@@ -1,0 +1,53 @@
+"""Engine configuration.
+
+The config dict plays the role of the reference's Flow YAML
+(``server/clip_server/__main__.py:21-27``, ``torch-flow.yml``): every knob a
+pipeline builder needs, in one plain dataclass, no distribution concern.
+
+BM25 constants are FROZEN (k1=1.2, b=0.75) — the analog of the reference's
+frozen ``_logit_scale = np.exp(4.60517)`` in
+``server/clip_server/executors/helper.py:89``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- BM25 scoring (frozen to match the golden oracle) ---
+    k1: float = 1.2
+    b: float = 0.75
+    # default top-k limit; mirrors client.py:785 / retriever.md:107
+    limit: int = 10
+
+    # --- index layout ---
+    # number of term-hash output partitions for the posting merge shuffle
+    num_index_partitions: int = 8
+    # postings are split into fixed-size blocks with per-block max-score
+    # metadata (block-max) so query scoring can skip blocks
+    postings_block_size: int = 128
+    # doc-range bucket width for the merge shuffle sub-key: partial posting
+    # runs are split on bucket boundaries so a hot term (stopword) becomes
+    # many (term, bucket) groups instead of one giant group — the skew
+    # splitting required by the north rule
+    doc_bucket_size: int = 1 << 20
+
+    # --- execution sizing ---
+    tokenize_batch_size: int = 8192
+    query_batch_size: int = 256
+    # actor pool size for the query scorer; None -> let Ray autoscale
+    query_concurrency: int = 4
+
+    # --- tokenizer ---
+    lowercase: bool = True
+
+    # --- resumability ---
+    # if True, pipeline stages skip partitions whose manifest says done
+    resume: bool = True
+
+    extra: dict = field(default_factory=dict)
+
+
+DEFAULT_CONFIG = EngineConfig()

@@ -1,0 +1,89 @@
+"""BM25 scoring kernels (pure numpy).
+
+This replaces the reference's cosine/softmax rank kernel
+(``/root/reference/server/clip_server/executors/helper.py:89-124``): where
+the reference computes ``1 - cosine(Q, C)`` then ``softmax(logit_scale*cos)``
+with a frozen ``logit_scale``, we compute BM25 with frozen ``k1=1.2, b=0.75``.
+
+Formulas (float64 throughout, fixed accumulation order = postings sorted by
+doc_id, so scores are bit-reproducible across parallelism levels):
+
+    idf(t)        = ln(1 + (N - df + 0.5) / (df + 0.5))        # Lucene-style, >= 0
+    tf_norm(t, d) = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    score(q, d)   = sum over unique t in q of idf(t) * tf_norm(t, d)
+
+Query terms are deduplicated (each unique query term contributes once),
+matching standard BM25 and the SQL oracle in ``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(df: np.ndarray | float, n_docs: int) -> np.ndarray | float:
+    """Lucene-style BM25 idf; always positive."""
+    df = np.asarray(df, dtype=np.float64)
+    return np.log1p((n_docs - df + 0.5) / (df + 0.5))
+
+
+def tf_norm(
+    tf: np.ndarray,
+    dl: np.ndarray,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+) -> np.ndarray:
+    """Per-posting normalized term frequency (vectorized float64)."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def term_scores(
+    tf: np.ndarray,
+    dl: np.ndarray,
+    df: int,
+    n_docs: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+) -> np.ndarray:
+    """idf(t) * tf_norm for one term's postings."""
+    return idf(float(df), n_docs) * tf_norm(tf, dl, avgdl, k1=k1, b=b)
+
+
+def block_max_score(
+    tf: np.ndarray,
+    dl: np.ndarray,
+    df: int,
+    n_docs: int,
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+) -> float:
+    """Max attainable score of a posting block — the block-max metadata used
+    for WAND-style block skipping at query time."""
+    if len(tf) == 0:
+        return 0.0
+    return float(np.max(term_scores(tf, dl, df, n_docs, avgdl, k1=k1, b=b)))
+
+
+def topk_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (score DESC, doc_id ASC) — the deterministic
+    tie-break mirroring the reference's stable descending match sort
+    (helper.py:120-124) made reproducible.
+
+    doc_id ascends with (conv_id, turn_idx), so this equals the documented
+    (score DESC, conv_id ASC, turn_idx ASC) ordering.
+    """
+    n = len(scores)
+    if n == 0:
+        return np.array([], dtype=np.int64)
+    k = min(k, n)
+    # np.lexsort sorts ascending by last key first -> sort by (-score, doc_id)
+    order = np.lexsort((doc_ids, -scores))
+    return order[:k]

@@ -1,0 +1,101 @@
+"""Text canonicalization + term splitting.
+
+Semantics cloned from the reference tokenizer
+(``/root/reference/server/clip_server/model/simple_tokenizer.py``):
+
+- ``basic_clean``      = ftfy.fix_text + html.unescape twice + strip
+                         (simple_tokenizer.py:58-61)
+- ``whitespace_clean`` = collapse ``\\s+`` -> ' ' + strip
+                         (simple_tokenizer.py:64-67)
+- lowercase            (simple_tokenizer.py:137)
+- term split           = regex findall with the reference pattern
+                         (simple_tokenizer.py:89-92): contraction suffixes,
+                         unicode letter runs, single digits, punctuation runs.
+
+We stop at words (SURVEY.md M4): BM25 terms are these regex tokens; the BPE
+subword stage (M5) is not needed for term scoring.
+
+ftfy is not available in this environment; it is imported best-effort and
+falls back to identity (documented in tests — mojibake cases are skipped).
+"""
+
+from __future__ import annotations
+
+import html
+
+import numpy as np
+
+try:  # pragma: no cover - environment-dependent
+    import ftfy
+
+    _fix_text = ftfy.fix_text
+except ImportError:  # pragma: no cover
+    def _fix_text(text: str) -> str:
+        return text
+
+try:
+    import regex as _re
+
+    # exact reference pattern, simple_tokenizer.py:89-92
+    TOKEN_PATTERN = _re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+        _re.IGNORECASE,
+    )
+except ImportError:  # pragma: no cover - `regex` is available in this env
+    import re as _re
+
+    # \p{L}/\p{N} unavailable in stdlib re; \w-based approximation
+    TOKEN_PATTERN = _re.compile(
+        r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|[^\s\w]+""",
+        _re.IGNORECASE | _re.UNICODE,
+    )
+
+_WS = _re.compile(r"\s+")
+
+
+def basic_clean(text: str) -> str:
+    """ftfy + double html.unescape + strip (simple_tokenizer.py:58-61)."""
+    text = _fix_text(text)
+    text = html.unescape(html.unescape(text))
+    return text.strip()
+
+
+def whitespace_clean(text: str) -> str:
+    """Collapse runs of whitespace (simple_tokenizer.py:64-67)."""
+    return _WS.sub(" ", text).strip()
+
+
+def normalize(text: str, lowercase: bool = True) -> str:
+    """Full canonicalization as applied at simple_tokenizer.py:137."""
+    text = whitespace_clean(basic_clean(text))
+    return text.lower() if lowercase else text
+
+
+def tokenize(text: str, lowercase: bool = True) -> list[str]:
+    """Normalize then split into terms with the reference regex."""
+    return TOKEN_PATTERN.findall(normalize(text, lowercase=lowercase))
+
+
+def tokenize_texts(texts, lowercase: bool = True) -> list[list[str]]:
+    """Tokenize a column of texts. Nulls -> empty term list.
+
+    The regex engine is C-backed; the Python loop here is over *rows of one
+    batch*, which is the same granularity the reference uses
+    (``simple_tokenizer.py:138`` runs findall per document).
+    """
+    pat = TOKEN_PATTERN
+    out = []
+    for t in texts:
+        if t is None or t == "":
+            out.append([])
+        else:
+            out.append(pat.findall(normalize(t, lowercase=lowercase)))
+    return out
+
+
+def term_frequencies(terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(unique_terms, counts) for one document's term list; dl = len(terms)."""
+    if not terms:
+        return np.array([], dtype=object), np.array([], dtype=np.int32)
+    uniq, counts = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+    return uniq, counts.astype(np.int32)

@@ -1,0 +1,60 @@
+"""Tokenizer semantics pinned to the reference
+(/root/reference/server/clip_server/model/simple_tokenizer.py:58-92,135-143).
+
+Golden rows cover every normalization branch (FIXTURES.md golden_tokens):
+double html.unescape, whitespace collapse, lowercase, each regex alternative
+(contraction suffixes, letter runs, single digits, punctuation runs).
+"""
+
+import pytest
+
+from clip_as_service_ray.functions.tokenizer import (
+    basic_clean,
+    normalize,
+    tokenize,
+    tokenize_texts,
+    whitespace_clean,
+)
+
+GOLDEN = [
+    # (input, expected terms)
+    ("hello world", ["hello", "world"]),
+    ("Hello WORLD", ["hello", "world"]),  # lowercase (simple_tokenizer.py:137)
+    ("  spaced\t\nout  ", ["spaced", "out"]),  # whitespace_clean (:64-67)
+    ("don't", ["don", "'t"]),  # contraction suffix branch (:89-92)
+    ("we'll i'm you're they'd i've it's", ["we", "'ll", "i", "'m", "you", "'re", "they", "'d", "i", "'ve", "it", "'s"]),
+    ("42nd street", ["4", "2", "nd", "street"]),  # single-digit alternative
+    ("wow!!! ok?!?", ["wow", "!!!", "ok", "?!?"]),  # punctuation runs
+    ("Tom &amp;amp; Jerry", ["tom", "&", "jerry"]),  # DOUBLE unescape (:60)
+    ("a &lt;tag&gt; b", ["a", "<", "tag", ">", "b"]),
+    ("naïve café", ["naïve", "café"]),  # \p{L} includes accented letters
+    ("東京 データ", ["東京", "データ"]),  # non-Latin letter runs
+    ("", []),
+    ("   \t  ", []),
+    ("<|startoftext|>x<|endoftext|>", ["<|startoftext|>", "x", "<|endoftext|>"]),
+    ("mix3d alphanum3ric", ["mix", "3", "d", "alphanum", "3", "ric"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDEN)
+def test_golden_tokens(text, expected):
+    assert tokenize(text) == expected
+
+
+def test_basic_clean_double_unescape():
+    assert basic_clean("&amp;amp;") == "&"
+    assert basic_clean("  x  ") == "x"
+
+
+def test_whitespace_clean():
+    assert whitespace_clean("a \t\n  b\r\nc") == "a b c"
+
+
+def test_normalize_composition():
+    assert normalize("  A &amp;  B  ") == "a & b"
+    assert normalize("A", lowercase=False) == "A"
+
+
+def test_tokenize_texts_nulls_and_empties():
+    out = tokenize_texts([None, "", "one two", "   "])
+    assert out == [[], [], ["one", "two"], []]
