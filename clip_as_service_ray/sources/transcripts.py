@@ -71,12 +71,15 @@ def synthesize_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
     the seeded conversation-length draw, then is trimmed to n_turns)."""
     rng = np.random.default_rng(seed)
 
-    # conversation lengths: Zipf-ish in [1, 40]
-    est_convs = max(4, int(n_turns / 6))
-    lens = np.minimum(rng.zipf(1.6, est_convs * 2), 40).astype(np.int64)
+    # conversation lengths: Zipf-ish in [1, 40]; draw until we cover n_turns
+    draw = max(8, int(n_turns / 3))
+    lens = np.minimum(rng.zipf(1.6, draw), 40).astype(np.int64)
+    while lens.sum() < n_turns:
+        lens = np.concatenate([lens, np.minimum(rng.zipf(1.6, draw), 40).astype(np.int64)])
     cum = np.cumsum(lens)
-    n_convs = int(np.searchsorted(cum, n_turns)) + 1
+    n_convs = int(np.searchsorted(cum, n_turns, side="left")) + 1
     lens = lens[:n_convs]
+    cum = cum[:n_convs]
     total = int(lens.sum())
 
     conv_ids_u = np.array([f"conv-{i:08d}" for i in range(n_convs)], dtype=object)
