@@ -36,6 +36,8 @@ class EngineConfig:
 
     # --- execution sizing ---
     tokenize_batch_size: int = 8192
+    # actor pool bounds for the tokenize stage (autoscaling (min, max))
+    tokenize_concurrency: int = 8
     query_batch_size: int = 256
     # actor pool size for the query scorer; None -> let Ray autoscale
     query_concurrency: int = 4

@@ -1,0 +1,226 @@
+"""Offline index build — the /index pipeline (SURVEY.md §3.3, C7).
+
+Ray-Data-first dataflow (every wide step is an explicit, keyed exchange,
+SURVEY.md §7.4):
+
+    read_parquet(transcripts, columns=[conv_id, turn_idx, text])
+      ├─ conv extents: per-batch partial max (combiner) → groupby(conv_id)
+      │    → driver prefix-sum → broadcast ConvBase (ray.put)     [small]
+      ├─ TokenizeStage (actor pool) → staging checkpoint parquet  [narrow]
+      ├─ stats: Count + Sum(dl) over staging → stats.json         [tiny agg]
+      ├─ EmitPartials (stateless map_batches; SPIMI per-batch
+      │    local index, combiner pre-aggregation)                 [narrow]
+      ├─ groupby(part, bucket).map_groups(MergeRuns)              [THE shuffle]
+      │    → postings parquet, partitioned by part
+      └─ dictionary: groupby(term).sum(n) over postings block
+           metadata (column-pruned read) → dictionary parquet     [small agg]
+
+Resumability: each stage output directory carries a ``_DONE.json`` manifest
+with counters (terms, postings, bytes, seconds — the north rule's lineage
+requirement); a restarted build skips completed stages (skip-if-valid,
+mirroring ``pretrained_models.py:161-167``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
+from clip_as_service_ray.stages.merge import EmitPartials, make_merge_fn
+from clip_as_service_ray.stages.tokenize import (
+    TokenizeStage,
+    compute_conv_bases,
+)
+from clip_as_service_ray.state import manifest as mf
+
+STAGING = "staging"
+POSTINGS = "postings"
+DICTIONARY = "dictionary"
+
+
+def _as_dataset(source):
+    import ray.data
+
+    if isinstance(source, (str, list)):
+        return ray.data.read_parquet(source, columns=["conv_id", "turn_idx", "text"])
+    if isinstance(source, pa.Table):
+        return ray.data.from_arrow(source.select(["conv_id", "turn_idx", "text"]))
+    return source  # already a Dataset
+
+
+def _conv_extents(ds) -> pa.Table:
+    """(conv_id, max_turn) via per-batch partial max then a small groupby."""
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = batch.group_by("conv_id").aggregate([("turn_idx", "max")])
+        return g.rename_columns(["conv_id", "max_turn"])
+
+    partials = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    agg = partials.groupby("conv_id").aggregate(Max("max_turn", alias_name="max_turn"))
+    return pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+
+
+def build_index(
+    source,
+    index_dir: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    *,
+    overwrite: bool = False,
+) -> dict:
+    """Build (or resume) the inverted index at ``index_dir``. Returns the
+    final manifest dict. Ray must already be initialised by the caller."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    t0 = time.time()
+    os.makedirs(index_dir, exist_ok=True)
+    final_path = os.path.join(index_dir, "manifest.json")
+    if overwrite:
+        for sub in (STAGING, POSTINGS, DICTIONARY):
+            mf.reset_stage(os.path.join(index_dir, sub))
+        for f in ("manifest.json", "stats.json", "convmap.parquet"):
+            p = os.path.join(index_dir, f)
+            if os.path.exists(p):
+                os.remove(p)
+    elif config.resume and os.path.exists(final_path):
+        return mf.read_json(final_path)  # skip-if-valid
+
+    timings: dict[str, float] = {}
+    ds = _as_dataset(source)
+
+    # ---- stage 1: conv extents -> broadcast doc-id base table ----
+    t = time.time()
+    convmap_path = os.path.join(index_dir, "convmap.parquet")
+    if config.resume and os.path.exists(convmap_path):
+        extents = pq.read_table(convmap_path)
+    else:
+        extents = _conv_extents(ds).sort_by("conv_id")
+        tmp = convmap_path + f".tmp.{os.getpid()}"
+        pq.write_table(extents, tmp)
+        os.replace(tmp, convmap_path)
+    conv_base = compute_conv_bases(extents)
+    conv_base_ref = ray.put(conv_base)
+    timings["conv_extents_s"] = time.time() - t
+
+    # ---- stage 2: tokenize -> staging checkpoint ----
+    t = time.time()
+    staging_dir = os.path.join(index_dir, STAGING)
+    if not (config.resume and mf.stage_done(staging_dir)):
+        mf.reset_stage(staging_dir)
+        ds.map_batches(
+            TokenizeStage,
+            fn_constructor_kwargs={
+                "conv_base_ref": conv_base_ref,
+                "lowercase": config.lowercase,
+            },
+            batch_format="pyarrow",
+            batch_size=config.tokenize_batch_size,
+            concurrency=(1, config.tokenize_concurrency),  # autoscaling actor pool
+        ).write_parquet(staging_dir)
+        mf.mark_stage_done(
+            staging_dir,
+            {"stage": "staging", "bytes": mf.dir_bytes(staging_dir), "seconds": time.time() - t},
+        )
+    timings["tokenize_s"] = time.time() - t
+
+    # ---- stage 3: corpus stats (N, avgdl) ----
+    t = time.time()
+    stats_path = os.path.join(index_dir, "stats.json")
+    if config.resume and os.path.exists(stats_path):
+        stats = mf.read_json(stats_path)
+    else:
+        staging = ray.data.read_parquet(staging_dir, columns=["dl"])
+        agg = staging.aggregate(Count(alias_name="n_docs"), Sum("dl", alias_name="sum_dl"))
+        n_docs = int(agg["n_docs"])
+        sum_dl = int(agg["sum_dl"] or 0)
+        stats = {
+            "n_docs": n_docs,
+            "sum_dl": sum_dl,
+            "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+            "k1": config.k1,
+            "b": config.b,
+            "block_size": config.postings_block_size,
+            "doc_bucket_size": config.doc_bucket_size,
+            "num_index_partitions": config.num_index_partitions,
+        }
+        mf.write_json(stats_path, stats)
+    timings["stats_s"] = time.time() - t
+
+    # ---- stage 4: partial postings -> merge shuffle -> postings ----
+    t = time.time()
+    postings_dir = os.path.join(index_dir, POSTINGS)
+    if not (config.resume and mf.stage_done(postings_dir)):
+        mf.reset_stage(postings_dir)
+        staging = ray.data.read_parquet(
+            staging_dir, columns=["doc_id", "dl", "terms", "tfs"]
+        )
+        partials = staging.map_batches(
+            EmitPartials(config.num_index_partitions, config.doc_bucket_size),
+            batch_format="pyarrow",
+            batch_size=config.tokenize_batch_size,
+        )
+        merged = partials.groupby(["part", "bucket"]).map_groups(
+            make_merge_fn(
+                avgdl=stats["avgdl"],
+                block_size=config.postings_block_size,
+                k1=config.k1,
+                b=config.b,
+            ),
+            batch_format="pyarrow",
+        )
+        merged.write_parquet(postings_dir, partition_cols=["part"])
+        mf.mark_stage_done(
+            postings_dir,
+            {"stage": "postings", "bytes": mf.dir_bytes(postings_dir), "seconds": time.time() - t},
+        )
+    timings["merge_s"] = time.time() - t
+
+    # ---- stage 5: term dictionary (term -> df) from block metadata ----
+    t = time.time()
+    dict_dir = os.path.join(index_dir, DICTIONARY)
+    if not (config.resume and mf.stage_done(dict_dir)):
+        mf.reset_stage(dict_dir)
+        blocks_meta = ray.data.read_parquet(postings_dir, columns=["term", "n"])
+        df_tbl = blocks_meta.groupby("term").aggregate(Sum("n", alias_name="df"))
+        df_tbl.write_parquet(dict_dir)
+        mf.mark_stage_done(
+            dict_dir,
+            {"stage": "dictionary", "bytes": mf.dir_bytes(dict_dir), "seconds": time.time() - t},
+        )
+    timings["dictionary_s"] = time.time() - t
+
+    # ---- final manifest with lineage counters ----
+    dict_tbl = pq.read_table(dict_dir, columns=["df"])
+    n_terms = dict_tbl.num_rows
+    n_postings = int(np.sum(dict_tbl.column("df").to_numpy())) if n_terms else 0
+    payload = {
+        "engine": "clip_as_service_ray",
+        "n_docs": stats["n_docs"],
+        "avgdl": stats["avgdl"],
+        "n_terms": n_terms,
+        "n_postings": n_postings,
+        "index_bytes": mf.dir_bytes(os.path.join(index_dir, POSTINGS)),
+        "staging_bytes": mf.dir_bytes(os.path.join(index_dir, STAGING)),
+        "config": {
+            "k1": config.k1,
+            "b": config.b,
+            "num_index_partitions": config.num_index_partitions,
+            "postings_block_size": config.postings_block_size,
+            "doc_bucket_size": config.doc_bucket_size,
+        },
+        "timings_s": timings,
+        "total_seconds": time.time() - t0,
+    }
+    mf.write_json(final_path, payload)
+    return payload

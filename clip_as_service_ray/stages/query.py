@@ -1,0 +1,172 @@
+"""Query execution: index reader + BM25 top-k scorer actor pool.
+
+Reimplements the reference's /rank + /search semantics
+(``executors/helper.py:89-124`` ``set_rank``, ``client.py:785-820`` limit-k
+contract) as a Ray Data actor-pool stage:
+
+- ``IndexReader`` is the per-actor state loaded once in ``__init__`` — the
+  T1/T5 pattern (model weights / AnnLite workspace loaded in the executor
+  ctor, ``executors/clip_torch.py:24-98``). At sandbox scale it loads the
+  whole postings set into memory; the cluster-scale path is one actor per
+  index partition (scatter-ALL-search, ``retriever.md:203-225``) with
+  postings files memory-mapped and block data sliced lazily by the
+  block-max metadata.
+
+- ``QueryScorer.__call__`` scores a batch of queries: tokenize (same
+  tokenizer as the build side), per-term postings lookup (J2: broadcast
+  small side = the queries; large side = index partitions), exact TAAT
+  (term-at-a-time) accumulation in float64 with FIXED accumulation order
+  (terms iterated in sorted order, postings doc-sorted) so scores are
+  bit-identical to the golden oracle, then top-k by
+  ``(score DESC, doc_id ASC)`` — the deterministic tie-break version of
+  set_rank's descending match sort (helper.py:120-124). The hit rows drop
+  the heavy text payload, mirroring ``helper.py:118``.
+
+Flat hit schema (HITS_SCHEMA, shared with the oracle):
+    query_id:int64, rank:int32, conv_id:string, turn_idx:int32, score:float64
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from clip_as_service_ray.functions import bm25
+from clip_as_service_ray.functions.tokenizer import tokenize
+from clip_as_service_ray.pipelines.oracle import HITS_SCHEMA
+from clip_as_service_ray.state import manifest as mf
+from clip_as_service_ray.state.postings import decode_block
+
+
+class IndexReader:
+    """Loads one index directory into queryable in-memory structures."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        stats = mf.read_json(os.path.join(index_dir, "stats.json"))
+        self.n_docs = int(stats["n_docs"])
+        self.avgdl = float(stats["avgdl"])
+        self.k1 = float(stats.get("k1", bm25.K1))
+        self.b = float(stats.get("b", bm25.B))
+
+        dict_tbl = pq.read_table(os.path.join(index_dir, "dictionary"))
+        self.df = dict(
+            zip(
+                dict_tbl.column("term").to_pylist(),
+                dict_tbl.column("df").to_numpy().tolist(),
+            )
+        )
+
+        blocks = pq.read_table(
+            os.path.join(index_dir, "postings"),
+            columns=[
+                "term", "first_doc", "last_doc", "n",
+                "doc_w", "tf_w", "dl_w", "max_tf_norm", "data",
+            ],
+        ).combine_chunks()
+        self._b_first = blocks.column("first_doc").to_numpy()
+        self._b_n = blocks.column("n").to_numpy()
+        self._b_doc_w = blocks.column("doc_w").to_numpy()
+        self._b_tf_w = blocks.column("tf_w").to_numpy()
+        self._b_dl_w = blocks.column("dl_w").to_numpy()
+        self._b_max = blocks.column("max_tf_norm").to_numpy()
+        self._b_data = blocks.column("data").to_pylist()
+        terms_np = blocks.column("term").to_numpy(zero_copy_only=False)
+        # term -> block row indices ordered by first_doc
+        self._term_blocks: dict[str, np.ndarray] = {}
+        if len(terms_np):
+            order = np.lexsort((self._b_first, terms_np))
+            terms_sorted = terms_np[order]
+            change = np.nonzero(terms_sorted[1:] != terms_sorted[:-1])[0] + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(order)]])
+            for s, e in zip(starts, ends):
+                self._term_blocks[terms_sorted[s]] = order[s:e]
+
+        conv_tbl = pq.read_table(os.path.join(index_dir, "convmap.parquet"))
+        conv_tbl = conv_tbl.sort_by("conv_id")
+        self._conv_ids = np.asarray(conv_tbl.column("conv_id").to_pylist(), dtype=object)
+        extents = conv_tbl.column("max_turn").to_numpy().astype(np.int64) + 1
+        self._bases = np.concatenate([[0], np.cumsum(extents)[:-1]])
+
+    def postings_for(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """Full decoded postings (doc-sorted) for a term, or None."""
+        rows = self._term_blocks.get(term)
+        if rows is None:
+            return None
+        parts = [
+            decode_block(
+                self._b_data[r], int(self._b_n[r]), int(self._b_doc_w[r]),
+                int(self._b_tf_w[r]), int(self._b_dl_w[r]), int(self._b_first[r]),
+            )
+            for r in rows
+        ]
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        dls = np.concatenate([p[2] for p in parts])
+        return docs, tfs, dls
+
+    def invert_doc_ids(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """doc_id -> (conv_id, turn_idx) via the conv base table (no docmap
+        lookup: doc_id = base[conv] + turn_idx by construction)."""
+        pos = np.searchsorted(self._bases, doc_ids, side="right") - 1
+        return self._conv_ids[pos], (doc_ids - self._bases[pos]).astype(np.int32)
+
+    def score_query(self, text: str, limit: int) -> tuple[np.ndarray, np.ndarray]:
+        """Exact TAAT scoring -> (top doc_ids, top scores), ranked."""
+        terms = sorted(set(tokenize(text or "")))
+        doc_parts, score_parts = [], []
+        for t in terms:
+            ps = self.postings_for(t)
+            if ps is None:
+                continue
+            docs, tfs, dls = ps
+            df = int(self.df.get(t, len(docs)))
+            score_parts.append(
+                bm25.term_scores(tfs, dls, df, self.n_docs, self.avgdl, k1=self.k1, b=self.b)
+            )
+            doc_parts.append(docs)
+        if not doc_parts:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        docs_all = np.concatenate(doc_parts)
+        scores_all = np.concatenate(score_parts)
+        order = np.argsort(docs_all, kind="stable")  # stable: keeps sorted-term order per doc
+        docs_s, scores_s = docs_all[order], scores_all[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(docs_s))[0] + 1])
+        uniq_docs = docs_s[starts]
+        summed = np.add.reduceat(scores_s, starts)
+        top = bm25.topk_indices(summed, uniq_docs, limit)
+        return uniq_docs[top], summed[top]
+
+
+class QueryScorer:
+    """map_batches actor-pool UDF: query batch -> flat ranked hits."""
+
+    def __init__(self, index_dir: str, default_limit: int = 10):
+        self.reader = IndexReader(index_dir)
+        self.default_limit = default_limit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        limits = (
+            batch.column("limit").to_pylist()
+            if "limit" in batch.column_names
+            else [self.default_limit] * len(qids)
+        )
+        cols: dict[str, list] = {n: [] for n in HITS_SCHEMA.names}
+        for qid, text, limit in zip(qids, texts, limits):
+            doc_ids, scores = self.reader.score_query(text, int(limit or self.default_limit))
+            if len(doc_ids) == 0:
+                continue
+            conv_ids, turn_idxs = self.reader.invert_doc_ids(doc_ids)
+            k = len(doc_ids)
+            cols["query_id"].extend([qid] * k)
+            cols["rank"].extend(range(k))
+            cols["conv_id"].extend(conv_ids.tolist())
+            cols["turn_idx"].extend(turn_idxs.tolist())
+            cols["score"].extend(scores.tolist())
+        return pa.table(cols, schema=HITS_SCHEMA)

@@ -1,0 +1,124 @@
+"""Tokenize stage: transcripts batches -> staged per-doc term vectors.
+
+The analog of the reference's encode path minus the model: per-batch
+normalize + split (``simple_tokenizer.py:135-143``) and per-doc term-frequency
+vectorization (the tf analog of token-id framing, ``model/tokenization.py``).
+
+Runs as an ACTOR POOL ``map_batches`` stage (the T1 `CLIPEncoder` pattern,
+``executors/clip_torch.py:24-98``): the compiled regex + the broadcast
+conv-id -> doc-id base table are loaded once per actor in ``__init__``, work
+happens per batch in ``__call__`` over zero-copy Arrow batches.
+
+Doc-id scheme (SURVEY.md §7.2 step 5): ``doc_id = conv_base[conv_id] +
+turn_idx`` where ``conv_base`` is the prefix sum of per-conversation extents
+over lexicographically sorted conv_ids — so doc_id order == stable
+``(conv_id ASC, turn_idx ASC)`` order without a global sort of the turns
+table, and ids are reproducible at any parallelism level. Ids may have gaps
+(dropped empty turns); they must only be unique + order-preserving.
+
+Output staging schema (the post-tokenize checkpoint, SURVEY.md §7.5):
+    conv_id:string, turn_idx:int32, doc_id:int64, dl:int32,
+    terms:list<string>, tfs:list<int32>
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from clip_as_service_ray.functions.tokenizer import tokenize_texts
+
+STAGING_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("dl", pa.int32()),
+        ("terms", pa.list_(pa.string())),
+        ("tfs", pa.list_(pa.int32())),
+    ]
+)
+
+
+class ConvBase:
+    """Sorted conv_id -> doc_id base lookup (vectorized via searchsorted).
+
+    Broadcast once with ``ray.put`` and shared read-only by every tokenize
+    actor — the small-side-broadcast pattern (ray_guide: joins and lookups).
+    At 10^12-turn scale the conv table itself becomes large; the scale path
+    is a range-partitioned conv map where each tokenize actor fetches only
+    the conv ranges its input shard covers (same searchsorted kernel).
+    """
+
+    def __init__(self, conv_ids_sorted: np.ndarray, bases: np.ndarray):
+        self.conv_ids = conv_ids_sorted  # object ndarray, lexicographically sorted
+        self.bases = bases  # int64 ndarray, same length
+
+    def lookup(self, conv_ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.conv_ids, conv_ids)
+        if np.any(pos >= len(self.conv_ids)) or not np.array_equal(
+            self.conv_ids[pos], conv_ids
+        ):
+            missing = conv_ids[
+                (pos >= len(self.conv_ids)) | (self.conv_ids[np.minimum(pos, len(self.conv_ids) - 1)] != conv_ids)
+            ]
+            raise KeyError(f"conv_ids missing from conv base table: {missing[:5]}")
+        return self.bases[pos]
+
+
+def compute_conv_bases(conv_extents: pa.Table) -> ConvBase:
+    """conv_extents: (conv_id, max_turn) -> prefix-sum base table.
+
+    Driver-side prefix sum over the (much smaller) conversation table; the
+    distributed variant is a two-pass block prefix-sum over the sorted conv
+    dataset (per-block sums -> driver scan over #blocks -> per-block offset).
+    """
+    t = conv_extents.sort_by("conv_id")
+    conv_ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+    extents = t.column("max_turn").to_numpy().astype(np.int64) + 1
+    bases = np.concatenate([[0], np.cumsum(extents)[:-1]])
+    return ConvBase(conv_ids, bases)
+
+
+class TokenizeStage:
+    """Callable-class map_batches UDF: transcripts batch -> staging batch."""
+
+    def __init__(self, conv_base_ref, lowercase: bool = True):
+        import ray
+
+        self.conv_base: ConvBase = (
+            ray.get(conv_base_ref) if not isinstance(conv_base_ref, ConvBase) else conv_base_ref
+        )
+        self.lowercase = lowercase
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+        turn = batch.column("turn_idx").to_numpy().astype(np.int64)
+        texts = batch.column("text").to_pylist()
+
+        term_lists = tokenize_texts(texts, lowercase=self.lowercase)
+        dl = np.fromiter((len(t) for t in term_lists), dtype=np.int32, count=len(term_lists))
+        keep = dl > 0  # drop-empty rule (helper.py:82-86 analog)
+
+        doc_id = self.conv_base.lookup(conv) + turn
+        idx = np.nonzero(keep)[0]
+
+        uniq_terms: list[list[str]] = []
+        uniq_tfs: list[np.ndarray] = []
+        for i in idx:
+            terms = term_lists[i]
+            u, c = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+            uniq_terms.append(u.tolist())
+            uniq_tfs.append(c.astype(np.int32))
+
+        return pa.table(
+            {
+                "conv_id": pa.array(conv[idx], pa.string()),
+                "turn_idx": pa.array(turn[idx].astype(np.int32), pa.int32()),
+                "doc_id": pa.array(doc_id[idx], pa.int64()),
+                "dl": pa.array(dl[idx], pa.int32()),
+                "terms": pa.array(uniq_terms, pa.list_(pa.string())),
+                "tfs": pa.array([t.tolist() for t in uniq_tfs], pa.list_(pa.int32())),
+            },
+            schema=STAGING_SCHEMA,
+        )

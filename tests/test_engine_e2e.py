@@ -1,0 +1,105 @@
+"""End-to-end: Ray Data index build + search is rank-identical (docIDs) and
+score-equal (<=1e-9; in practice bit-identical) to the golden oracle on the
+reference query set — the conformance core (SURVEY.md §7.2 step 11).
+"""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from clip_as_service_ray.config import EngineConfig
+from clip_as_service_ray.pipelines.build_index import build_index
+from clip_as_service_ray.pipelines.oracle import OracleIndex
+from clip_as_service_ray.pipelines.search import search_table
+from clip_as_service_ray.sources.transcripts import (
+    reference_query_table,
+    synthesize_transcripts,
+)
+
+N_TURNS = 3000
+CFG = EngineConfig(num_index_partitions=4, doc_bucket_size=512, postings_block_size=64)
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("engine")
+    corpus = synthesize_transcripts(N_TURNS, seed=42)
+    src = str(root / "transcripts.parquet")
+    pq.write_table(corpus, src)
+    index_dir = str(root / "index")
+    report = build_index(src, index_dir, CFG, overwrite=True)
+    oracle = OracleIndex(corpus)
+    return corpus, index_dir, report, oracle
+
+
+def test_manifest_counters(built):
+    corpus, index_dir, report, oracle = built
+    assert report["n_docs"] == oracle.n_docs
+    assert abs(report["avgdl"] - oracle.avgdl) < 1e-9
+    assert report["n_terms"] == len(oracle.postings)
+    assert report["n_postings"] == sum(len(d) for d, _ in oracle.postings.values())
+    assert report["index_bytes"] > 0
+    assert set(report["timings_s"]) >= {"tokenize_s", "merge_s", "stats_s"}
+
+
+def test_rank_identical_to_oracle(built):
+    corpus, index_dir, report, oracle = built
+    queries = reference_query_table()
+    got = search_table(index_dir, queries).to_pandas()
+    want = oracle.search(queries).to_pandas()
+    assert len(got) == len(want)
+    got_ids = list(zip(got.query_id, got["rank"], got.conv_id, got.turn_idx))
+    want_ids = list(zip(want.query_id, want["rank"], want.conv_id, want.turn_idx))
+    assert got_ids == want_ids  # rank-identical docIDs
+    np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy(), rtol=0, atol=1e-9)
+
+
+def test_search_contracts(built):
+    corpus, index_dir, report, oracle = built
+    queries = reference_query_table()
+    got = search_table(index_dir, queries).to_pandas()
+    # exactly `limit` hits for saturating queries (test_search.py:41-44)
+    limits = {int(q["query_id"]): int(q["limit"]) for q in queries.to_pylist()}
+    for qid, g in got.groupby("query_id"):
+        assert len(g) <= limits[qid]
+        assert list(g["rank"]) == list(range(len(g)))
+        s = g.score.to_numpy()
+        assert np.all(np.diff(s) <= 1e-15)  # descending (test_ranker.py:34-35)
+    # hot stopword saturates, absent/empty produce nothing (test_client.py:83-98)
+    assert len(got[got.query_id == 2]) == 10
+    assert len(got[got.query_id == 3]) == 0
+    assert len(got[got.query_id == 4]) == 0
+    # hits drop the heavy text payload (helper.py:118 analog): schema has no text
+    assert "text" not in got.columns
+
+
+def test_resume_skips_completed(built):
+    corpus, index_dir, report, oracle = built
+    report2 = build_index(
+        os.path.join(os.path.dirname(index_dir), "transcripts.parquet"),
+        index_dir,
+        CFG,
+    )
+    # second call returns the stored manifest without rebuilding
+    assert report2["n_docs"] == report["n_docs"]
+    assert report2["n_postings"] == report["n_postings"]
+
+
+def test_per_turn_text_round_trip(built):
+    """input_hint invariant: per-turn text equality under stable ordering —
+    the indexed tf vector for any turn equals a fresh tokenization of the
+    raw input text for that (conv_id, turn_idx)."""
+    from clip_as_service_ray.functions.tokenizer import tokenize
+
+    corpus, index_dir, report, oracle = built
+    staging = pq.read_table(os.path.join(index_dir, "staging"))
+    df = staging.to_pandas().set_index(["conv_id", "turn_idx"])
+    raw = corpus.to_pandas().set_index(["conv_id", "turn_idx"])
+    sample = df.sample(n=50, random_state=7)
+    for key, row in sample.iterrows():
+        terms = tokenize(raw.loc[key, "text"])
+        u, c = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+        assert list(row["terms"]) == u.tolist()
+        assert list(row["tfs"]) == c.tolist()
