@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (inverted-index build + BM25 top-k
+search through the real engine) over /root/testdata/sf0.001.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes the implemented operator inventory (SURVEY.md §2) over
+the driver tables; ``oracle_sql()`` pairs each SQL-expressible operator with
+an equivalent DuckDB query (matching column names/types; floats rounded
+identically on both sides). Non-SQL-expressible entries (full transcripts
+engine run) are rows-only by design.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +18,149 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# reference tokenizer regex (simple_tokenizer.py:89-92), RE2-compatible,
+# SQL-escaped ('' for ')
+_PAT_SQL = (
+    r"<\|startoftext\|>|<\|endoftext\|>|''s|''t|''re|''ve|''m|''ll|''d"
+    r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
+)
+_TOK = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '" + _PAT_SQL + "')) AS term "
+    "FROM documents"
+)
+_STOP_SQL = "('the', 'a', 'of', 'to', 'and', 'in')"
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from clip_as_service_ray.pipelines.operators import bm25_topk
+
+    return bm25_topk("/root/testdata/sf0.001")
+
+
+def _transcripts_bm25_search(sf_dir: str):
+    """Rows-only flagship: synthesize the transcripts table at this scale,
+    build the inverted index (cached/resumable under /tmp), run the
+    reference query set, return flat ranked hits."""
+    import os
+
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+    from clip_as_service_ray.sources.transcripts import (
+        n_turns_for_sf,
+        reference_query_table,
+        transcripts_path,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(tag[2:]) if tag.startswith("sf") else 0.01
+    n = n_turns_for_sf(sf)
+    src = transcripts_path(n)
+    index_dir = f"/tmp/cas_ray_index/transcripts_n{n}"
+    cfg = EngineConfig()
+    build_index(src, index_dir, cfg)
+    return search_table(index_dir, reference_query_table(), cfg)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from clip_as_service_ray.pipelines import operators as ops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tokenize_terms": ops.tokenize_terms,
+        "term_df": ops.term_df,
+        "top_terms": ops.top_terms,
+        "corpus_stats": ops.corpus_stats,
+        "bm25_topk": ops.bm25_topk,
+        "exact_dedup": ops.exact_dedup,
+        "doc_quality": ops.doc_quality,
+        "events_type_agg": ops.events_type_agg,
+        "events_hourly_windows": ops.events_hourly_windows,
+        "lineitem_pricing_summary": ops.lineitem_pricing_summary,
+        "ann_topk": ops.ann_topk,
+        "cosine_dup_pairs": ops.cosine_dup_pairs,
+        "transcripts_bm25_search": _transcripts_bm25_search,  # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tokenize_terms": (
+            f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK}) t "
+            "GROUP BY doc_id, term"
+        ),
+        "term_df": (
+            f"SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ({_TOK}) t "
+            "GROUP BY term"
+        ),
+        "top_terms": (
+            f"SELECT term, count(*)::BIGINT AS total_tf FROM ({_TOK}) t "
+            "GROUP BY term ORDER BY total_tf DESC, term ASC LIMIT 20"
+        ),
+        "corpus_stats": (
+            "WITH dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '"
+            + _PAT_SQL
+            + "')) AS dl FROM documents) "
+            "SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6)::DOUBLE AS avgdl "
+            "FROM dl WHERE dl > 0"
+        ),
+        "bm25_topk": (
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY score DESC, doc_id ASC LIMIT 10"
+        ),
+        "exact_dedup": (
+            "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count "
+            "FROM documents GROUP BY text"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, "
+            r"len(regexp_extract_all(lower(text), '\S+'))::BIGINT AS n_tokens, "
+            "length(text)::BIGINT AS n_chars, "
+            r"round(len(list_filter(regexp_extract_all(lower(text), '\S+'), "
+            f"x -> x IN {_STOP_SQL}))::DOUBLE "
+            r"/ greatest(len(regexp_extract_all(lower(text), '\S+')), 1), 6)::DOUBLE "
+            "AS stop_ratio FROM documents"
+        ),
+        "events_type_agg": (
+            "SELECT event_type, count(*)::BIGINT AS n_events, "
+            "round(sum(value), 4)::DOUBLE AS sum_value "
+            "FROM events GROUP BY event_type"
+        ),
+        "events_hourly_windows": (
+            "SELECT user_id, date_trunc('hour', ts) AS window_start, "
+            "count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "lineitem_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2)::DOUBLE AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS sum_revenue, "
+            "count(*)::BIGINT AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, "
+            "round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)::DOUBLE AS sim "
+            "FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC "
+            "LIMIT 10"
+        ),
+        "cosine_dup_pairs": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)::DOUBLE AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE a.vec_id < 1000 AND b.vec_id < 1000 "
+            "AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"
+        ),
+    }

@@ -1,0 +1,403 @@
+"""Operator library backing ``__ray_entry__.queries()``.
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and returns a
+Ray Dataset / pyarrow Table whose schema + values match the paired DuckDB SQL
+in ``__ray_entry__.oracle_sql()`` (column names and types aligned; floats
+rounded identically on both sides).
+
+Operators are the SURVEY.md §2 inventory re-expressed over the driver tables:
+tokenize (M3/M4), df / corpus stats (A-new), BM25 top-k (C4/C6 analog),
+exact dedup (§2.8), quality scoring / token stats, windowed + grouped
+aggregates, brute-force ANN (C6 baseline), near-dup pairs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from clip_as_service_ray.config import EngineConfig
+from clip_as_service_ray.functions.tokenizer import tokenize_texts
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _documents(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+    )
+
+
+def _tokens_flat(batch: pa.Table) -> pa.Table:
+    """documents batch -> flat (doc_id, term, tf) rows; per-doc unique terms."""
+    doc_ids = batch.column("doc_id").to_numpy()
+    term_lists = tokenize_texts(batch.column("text").to_pylist())
+    out_doc, out_term, out_tf = [], [], []
+    for did, terms in zip(doc_ids, term_lists):
+        if not terms:
+            continue
+        u, c = np.unique(np.asarray(terms, dtype=object), return_counts=True)
+        out_doc.append(np.full(len(u), did, dtype=np.int64))
+        out_term.append(u)
+        out_tf.append(c.astype(np.int64))
+    if not out_doc:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+             "tf": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            "term": pa.array(np.concatenate(out_term), pa.string()),
+            "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# fulltext core over `documents`
+
+
+def tokenize_terms(sf_dir: str):
+    """M3+M4: per-document term frequencies (the minimum slice §7.1)."""
+    return _documents(sf_dir).map_batches(_tokens_flat, batch_format="pyarrow")
+
+
+def term_df(sf_dir: str):
+    """Document frequency per term (combiner: per-batch unique, then sum)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _tokens_flat(batch)
+        g = t.group_by("term").aggregate([("doc_id", "count")])
+        return g.rename_columns(["term", "df_part"])
+
+    ds = _documents(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("term").aggregate(Sum("df_part", alias_name="df"))
+
+
+def top_terms(sf_dir: str, k: int = 20):
+    """Top-k terms by total tf; per-batch pre-aggregation before the small
+    groupby, then a driver-side sort of the tiny result (no global sort)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _tokens_flat(batch)
+        g = t.group_by("term").aggregate([("tf", "sum")])
+        return g.rename_columns(["term", "tf_part"])
+
+    ds = _documents(sf_dir).map_batches(partial, batch_format="pyarrow")
+    agg = ds.groupby("term").aggregate(Sum("tf_part", alias_name="total_tf"))
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return tbl.sort_by([("total_tf", "descending"), ("term", "ascending")]).slice(0, k)
+
+
+def corpus_stats(sf_dir: str):
+    """N (docs with >=1 term) + avgdl — the broadcast stats table (J2)."""
+    from ray.data.aggregate import Count, Sum
+
+    def dl_batch(batch: pa.Table) -> pa.Table:
+        term_lists = tokenize_texts(batch.column("text").to_pylist())
+        dl = np.fromiter((len(t) for t in term_lists), dtype=np.int64, count=len(term_lists))
+        return pa.table({"dl": pa.array(dl[dl > 0], pa.int64())})
+
+    ds = _documents(sf_dir).map_batches(dl_batch, batch_format="pyarrow")
+    agg = ds.aggregate(Count(alias_name="n_docs"), Sum("dl", alias_name="sum_dl"))
+    n = int(agg["n_docs"])
+    avgdl = (int(agg["sum_dl"]) / n) if n else 0.0
+    return pa.table(
+        {"n_docs": pa.array([n], pa.int64()),
+         "avgdl": pa.array([round(avgdl, 6)], pa.float64())}
+    )
+
+
+BM25_QUERY_TERMS = ("merge", "window")  # 2 terms: float sum is order-independent
+
+
+def _docs_as_transcripts(sf_dir: str) -> pa.Table:
+    """Adapt `documents` to the transcripts shape: one doc = one turn.
+
+    conv_id zero-padded so lexicographic conv order == numeric doc order,
+    keeping the (score DESC, doc_id ASC) tie-break aligned with the SQL
+    oracle's ORDER BY score DESC, doc_id.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    n = t.num_rows
+    return pa.table(
+        {
+            "conv_id": pa.array([f"doc-{d:012d}" for d in t.column("doc_id").to_pylist()]),
+            "turn_idx": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": t.column("text"),
+            "tool": pa.array([""] * n),
+            "ts": pa.array(np.zeros(n, dtype=np.int64), pa.timestamp("us")),
+        }
+    )
+
+
+def _index_dir_for(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/cas_ray_index/documents_{tag}"
+
+
+def bm25_topk(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
+    """BM25 top-k over `documents` THROUGH the real engine: build (cached,
+    resumable) inverted index -> QueryScorer search -> map conv_id back to
+    doc_id. The driver's DuckDB oracle recomputes BM25 in SQL."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )
+
+
+def exact_dedup(sf_dir: str):
+    """Exact dedup by full text: keep min doc_id per distinct text (§2.8,
+    last-write-wins by id analog -> first-write-wins deterministic)."""
+    from ray.data.aggregate import Count, Min
+
+    agg = (
+        _documents(sf_dir)
+        .groupby("text")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count"))
+    )
+    return agg.select_columns(["doc_id", "dup_count"])
+
+
+# ---------------------------------------------------------------------------
+# text analysis over `documents`
+
+STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def doc_quality(sf_dir: str):
+    """Per-doc quality features: token count, char count, stopword ratio —
+    the quality-scoring stage of a training-data pipeline (vectorized)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tokens, n_stop = [], []
+        stop = set(STOPWORDS)
+        for t in texts:
+            toks = (t or "").lower().split()
+            n_tokens.append(len(toks))
+            n_stop.append(sum(1 for w in toks if w in stop))
+        n_tokens = np.asarray(n_tokens, dtype=np.int64)
+        n_stop = np.asarray(n_stop, dtype=np.float64)
+        ratio = np.round(np.divide(n_stop, np.maximum(n_tokens, 1)), 6)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+                "stop_ratio": pa.array(ratio, pa.float64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grouped / windowed aggregates over `events` and `lineitem`
+
+
+def events_type_agg(sf_dir: str):
+    """Grouped aggregate with per-batch combiner (A-new pattern)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "event_type": tbl.column("event_type"),
+            "n_events": pc.cast(tbl.column("n_events"), pa.int64()),
+            "sum_value": pa.array(
+                np.round(tbl.column("sum_value").to_numpy(), 4), pa.float64()
+            ),
+        }
+    )
+
+
+def events_hourly_windows(sf_dir: str):
+    """Tumbling 1h event-time windows per user (streaming-shaped workload on
+    a batch engine: groupby(key, window) — ray_guide 'streaming-shaped')."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = batch.append_column("window_start", w)
+        g = t.group_by(["user_id", "window_start"]).aggregate([("ts", "count")])
+        return g.rename_columns(["user_id", "window_start", "n_part"])
+
+    partials = ds.map_batches(add_window, batch_format="pyarrow")
+    agg = partials.groupby(["user_id", "window_start"]).aggregate(
+        Sum("n_part", alias_name="n_events")
+    )
+    return agg
+
+
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped numeric aggregate over lineitem."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
+        )
+        return batch.append_column("revenue", rev)
+
+    agg = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Count(alias_name="n_rows"),
+        )
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "l_returnflag": tbl.column("l_returnflag"),
+            "l_linestatus": tbl.column("l_linestatus"),
+            "sum_qty": pa.array(np.round(tbl.column("sum_qty").to_numpy(), 2), pa.float64()),
+            "sum_revenue": pa.array(np.round(tbl.column("sum_revenue").to_numpy(), 2), pa.float64()),
+            "n_rows": pc.cast(tbl.column("n_rows"), pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: ANN + near-dup
+
+
+def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    idx = t.column("vec_id").to_numpy().tolist().index(vec_id)
+    return np.asarray(t.column("embedding").to_pylist()[idx], dtype=np.float64)
+
+
+def ann_topk(sf_dir: str, k: int = 10):
+    """Brute-force cosine top-k against a broadcast query vector (the C6
+    /search baseline: per-batch numpy matmul -> per-batch top-k -> tiny
+    driver merge; no global sort)."""
+    import ray
+
+    q = _query_vector(sf_dir, 0)
+    q_ref = ray.put(q / np.linalg.norm(q))
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch.column("vec_id").to_numpy()
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1)
+            sims = (emb @ self.q) / np.where(norms == 0, 1.0, norms)
+            top = np.lexsort((vec_ids, -sims))[: min(k, len(vec_ids))]
+            return pa.table(
+                {"vec_id": pa.array(vec_ids[top], pa.int64()),
+                 "sim": pa.array(sims[top], pa.float64())}
+            )
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    parts = ds.map_batches(Score, batch_format="pyarrow", batch_size=4096, concurrency=2)
+    tbl = pa.Table.from_pandas(parts.to_pandas(), preserve_index=False)
+    sims = tbl.column("sim").to_numpy()
+    vec_ids = tbl.column("vec_id").to_numpy()
+    top = np.lexsort((vec_ids, -sims))[: min(k, len(vec_ids))]
+    return pa.table(
+        {"vec_id": pa.array(vec_ids[top], pa.int64()),
+         "sim": pa.array(np.round(sims[top], 6), pa.float64())}
+    )
+
+
+def cosine_dup_pairs(sf_dir: str, max_id: int = 1000, threshold: float = 0.4):
+    """Embedding-cosine near-dup pairs among vec_id < max_id: block-matmul
+    per batch against the broadcast candidate matrix."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    mask = t.column("vec_id").to_numpy() < max_id
+    sub = t.filter(pa.array(mask))
+    ids = sub.column("vec_id").to_numpy().astype(np.int64)
+    m = np.array(sub.column("embedding").to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    ref = ray.put((ids, m))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b_ids = batch.column("vec_id").to_numpy().astype(np.int64)
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = emb @ self.m.T
+            rows, cols_ = np.nonzero((sims >= threshold) & (b_ids[:, None] < self.ids[None, :]))
+            return pa.table(
+                {
+                    "vec_a": pa.array(b_ids[rows], pa.int64()),
+                    "vec_b": pa.array(self.ids[cols_], pa.int64()),
+                    "sim": pa.array(np.round(sims[rows, cols_], 6), pa.float64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).filter(expr=f"vec_id < {max_id}")
+    out = ds.map_batches(Pairs, batch_format="pyarrow", batch_size=2048, concurrency=2)
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if tbl.num_rows == 0:  # keep a stable schema even when empty
+        return pa.table(
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+    return tbl.select(["vec_a", "vec_b", "sim"])
