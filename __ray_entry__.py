@@ -79,6 +79,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": ops.lineitem_pricing_summary,
         "ann_topk": ops.ann_topk,
         "cosine_dup_pairs": ops.cosine_dup_pairs,
+        "minhash_dup_pairs": ops.minhash_dup_pairs,  # rows-only
+        "simhash_dup_pairs": ops.simhash_dup_pairs,  # rows-only
+        "jaccard_dup_pairs": ops.jaccard_dup_pairs,
+        "langid_distribution": ops.langid_distribution,  # rows-only
+        "doc_fingerprints": ops.doc_fingerprints,  # rows-only
         "transcripts_bm25_search": _transcripts_bm25_search,  # rows-only
     }
 
@@ -155,6 +160,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e, q "
             "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC "
             "LIMIT 10"
+        ),
+        "jaccard_dup_pairs": (
+            r"WITH w AS (SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '\S+')) AS ws "
+            "FROM documents WHERE doc_id < 150) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "round(len(list_intersect(a.ws, b.ws))::DOUBLE "
+            "  / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))), 6)::DOUBLE AS jaccard "
+            "FROM w a JOIN w b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.ws, b.ws))::DOUBLE "
+            "  / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.75"
         ),
         "cosine_dup_pairs": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

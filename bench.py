@@ -1,0 +1,166 @@
+"""Benchmark harness — prints ONE JSON line with headline timings.
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+  - index_build: full inverted-index build (tokenize -> SPIMI partials ->
+    (part,bucket) merge shuffle -> postings+dictionary) over the
+    deterministic synthetic transcripts table at this scale (~600k turns at
+    sf0.1), reported also as turns/sec.
+  - query_batch: 1000 seeded queries through the QueryScorer actor pool
+    (reported also as qps).
+  - query_p50: median of 9 sequential reference-query-set searches.
+
+--scaling: run the same job in two fresh processes at num_cpus=8 and 32 and
+report throughput at both plus scaling efficiency (the sandbox substitute
+for the N vs 4N cluster-size rule; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+
+def _bench_queries(n: int = 1000, seed: int = 7):
+    import numpy as np
+    import pyarrow as pa
+
+    from clip_as_service_ray.sources.transcripts import VOCAB
+
+    rng = np.random.default_rng(seed)
+    words = np.array(VOCAB, dtype=object)
+    texts = [
+        " ".join(words[rng.integers(0, len(words), rng.integers(1, 4))])
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "query_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "limit": pa.array([10] * n, pa.int32()),
+        }
+    )
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(tag[2:]) if tag.startswith("sf") else 0.1
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search, search_table
+    from clip_as_service_ray.sources.transcripts import (
+        n_turns_for_sf,
+        reference_query_table,
+        transcripts_path,
+    )
+
+    n_turns = n_turns_for_sf(sf)
+    src = transcripts_path(n_turns)  # cached deterministic fixture
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    with open(src, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    cfg = EngineConfig(
+        num_index_partitions=max(8, num_cpus),
+        tokenize_concurrency=num_cpus,
+        query_concurrency=max(2, num_cpus // 4),
+    )
+    index_dir = f"/tmp/cas_ray_bench/index_n{n_turns}_c{num_cpus}"
+
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    report = build_index(src, index_dir, cfg, overwrite=True)
+    timings["index_build"] = time.time() - t0
+
+    qtbl = _bench_queries(1000)
+    t0 = time.time()
+    hits = search(index_dir, qtbl, cfg)
+    n_hits = hits.count()
+    timings["query_batch"] = time.time() - t0
+
+    ref_q = reference_query_table()
+    lat = []
+    for _ in range(9):
+        t0 = time.time()
+        search_table(index_dir, ref_q, cfg)
+        lat.append(time.time() - t0)
+    timings["query_p50"] = statistics.median(lat)
+
+    total = timings["index_build"] + timings["query_batch"]
+    out = {
+        "metric": "index_build_plus_query_batch_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / timings["index_build"], 1),
+        "qps": round(1000 / timings["query_batch"], 1),
+        "n_hits": n_hits,
+        "index_counters": {
+            "n_docs": report["n_docs"],
+            "n_terms": report["n_terms"],
+            "n_postings": report["n_postings"],
+            "index_bytes": report["index_bytes"],
+        },
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    tp_lo = r_lo["turns_per_sec"]
+    tp_hi = r_hi["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency_turns_per_sec",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "turns_per_sec_lo": tp_lo,
+        "turns_per_sec_hi": tp_hi,
+        "sec_lo": r_lo["queries"]["index_build"],
+        "sec_hi": r_hi["queries"]["index_build"],
+        "query_p50_lo": r_lo["queries"]["query_p50"],
+        "query_p50_hi": r_hi["queries"]["query_p50"],
+        "target": ">=0.8",
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -43,11 +43,23 @@ POSTINGS = "postings"
 DICTIONARY = "dictionary"
 
 
+def _num_cpus() -> int:
+    import ray
+
+    return int(ray.cluster_resources().get("CPU", 8))
+
+
 def _as_dataset(source):
     import ray.data
 
     if isinstance(source, (str, list)):
-        return ray.data.read_parquet(source, columns=["conv_id", "turn_idx", "text"])
+        # override_num_blocks: split few-file inputs on row-group boundaries
+        # so the tokenize stage parallelizes; no-op when files >= blocks
+        return ray.data.read_parquet(
+            source,
+            columns=["conv_id", "turn_idx", "text"],
+            override_num_blocks=2 * _num_cpus(),
+        )
     if isinstance(source, pa.Table):
         return ray.data.from_arrow(source.select(["conv_id", "turn_idx", "text"]))
     return source  # already a Dataset
@@ -64,9 +76,13 @@ def _conv_extents(ds) -> pa.Table:
         return g.rename_columns(["conv_id", "max_turn"])
 
     partials = ds.select_columns(["conv_id", "turn_idx"]).map_batches(
-        partial, batch_format="pyarrow"
+        partial, batch_format="pyarrow", batch_size=65536
     )
-    agg = partials.groupby("conv_id").aggregate(Max("max_turn", alias_name="max_turn"))
+    # num_partitions: bound the tiny-data shuffle (default 200 partitions of
+    # near-empty blocks dominates wall time at test scale)
+    agg = partials.groupby("conv_id", num_partitions=_num_cpus()).aggregate(
+        Max("max_turn", alias_name="max_turn")
+    )
     return pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
 
 
@@ -170,7 +186,9 @@ def build_index(
             batch_format="pyarrow",
             batch_size=config.tokenize_batch_size,
         )
-        merged = partials.groupby(["part", "bucket"]).map_groups(
+        merged = partials.groupby(
+            ["part", "bucket"], num_partitions=max(config.num_index_partitions, _num_cpus())
+        ).map_groups(
             make_merge_fn(
                 avgdl=stats["avgdl"],
                 block_size=config.postings_block_size,
@@ -192,7 +210,9 @@ def build_index(
     if not (config.resume and mf.stage_done(dict_dir)):
         mf.reset_stage(dict_dir)
         blocks_meta = ray.data.read_parquet(postings_dir, columns=["term", "n"])
-        df_tbl = blocks_meta.groupby("term").aggregate(Sum("n", alias_name="df"))
+        df_tbl = blocks_meta.groupby("term", num_partitions=_num_cpus()).aggregate(
+            Sum("n", alias_name="df")
+        )
         df_tbl.write_parquet(dict_dir)
         mf.mark_stage_done(
             dict_dir,

@@ -401,3 +401,69 @@ def cosine_dup_pairs(sf_dir: str, max_id: int = 1000, threshold: float = 0.4):
              "sim": pa.array([], pa.float64())}
         )
     return tbl.select(["vec_a", "vec_b", "sim"])
+
+
+# ---------------------------------------------------------------------------
+# dedup suite + text analysis (rows-only unless noted)
+
+
+def minhash_dup_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs over documents (rows-only: LSH is not
+    SQL-expressible; exactness is pinned by tests/test_dedup.py)."""
+    from clip_as_service_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_documents(sf_dir), threshold=0.8)
+
+
+def simhash_dup_pairs(sf_dir: str):
+    """SimHash near-dup pairs over documents (rows-only)."""
+    from clip_as_service_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_documents(sf_dir), max_hamming=3)
+
+
+def jaccard_dup_pairs(sf_dir: str):
+    """Exact word-set Jaccard pairs among doc_id < 150 (SQL-checkable)."""
+    from clip_as_service_ray.stages.dedup import word_jaccard_pairs
+
+    return word_jaccard_pairs(_documents(sf_dir), max_id=150, threshold=0.75)
+
+
+def langid_distribution(sf_dir: str):
+    """Predicted-language distribution over documents via the stopword-hit
+    heuristic (rows-only; heuristic pinned by tests/test_textstats.py)."""
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.functions.textstats import detect_language
+
+    def fn(batch: pa.Table) -> pa.Table:
+        langs = [
+            detect_language((t or "").lower().split())
+            for t in batch.column("text").to_pylist()
+        ]
+        u, c = np.unique(np.asarray(langs, dtype=object), return_counts=True)
+        return pa.table({"pred_lang": pa.array(u, pa.string()),
+                         "n_part": pa.array(c.astype(np.int64), pa.int64())})
+
+    ds = _documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return ds.groupby("pred_lang").aggregate(Sum("n_part", alias_name="n_docs"))
+
+
+def doc_fingerprints(sf_dir: str):
+    """Order-sensitive rolling-hash fingerprint per document (rows-only;
+    determinism pinned by tests). Returns fingerprint as decimal string to
+    stay uint64-safe across pandas conversions."""
+    from clip_as_service_ray.functions.minhash import hash_terms
+    from clip_as_service_ray.functions.textstats import fingerprint
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = []
+        for terms in tokenize_texts(batch.column("text").to_pylist()):
+            if not terms:
+                fps.append("0")
+            else:
+                fps.append(str(int(fingerprint(hash_terms(np.asarray(terms, dtype=object))))))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fingerprint": pa.array(fps, pa.string())})
+
+    return _documents(sf_dir).map_batches(fn, batch_format="pyarrow")

@@ -169,11 +169,13 @@ def transcripts_path(n_turns: int, seed: int = 42, root: str = "/tmp/cas_ray_fix
     two parallelism levels can share one fixture.
     """
     os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, f"transcripts_n{n_turns}_s{seed}.parquet")
+    path = os.path.join(root, f"transcripts_n{n_turns}_s{seed}_rg64k.parquet")
     if not os.path.exists(path):
         table = synthesize_transcripts(n_turns, seed)
         tmp = path + f".tmp.{os.getpid()}"
-        pq.write_table(table, tmp)
+        # small row groups so parallel readers can split one file into many
+        # blocks (at cluster scale the input is many files; this mirrors it)
+        pq.write_table(table, tmp, row_group_size=64 * 1024)
         os.replace(tmp, path)
     return path
 

@@ -92,6 +92,14 @@ class IndexReader:
         extents = conv_tbl.column("max_turn").to_numpy().astype(np.int64) + 1
         self._bases = np.concatenate([[0], np.cumsum(extents)[:-1]])
 
+        # per-term decoded (doc_ids, scores) cache: BM25 term scores are
+        # query-independent, so each term is decoded+scored at most once per
+        # actor (the analog of the reference's per-token LRU in
+        # simple_tokenizer.py:85-88). Bounded by total cached postings.
+        self._score_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        self._cached_postings = 0
+        self._cache_cap = 20_000_000  # postings entries (~320 MB at 16 B/entry)
+
     def postings_for(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
         """Full decoded postings (doc-sorted) for a term, or None."""
         rows = self._term_blocks.get(term)
@@ -115,20 +123,34 @@ class IndexReader:
         pos = np.searchsorted(self._bases, doc_ids, side="right") - 1
         return self._conv_ids[pos], (doc_ids - self._bases[pos]).astype(np.int32)
 
+    def term_docs_scores(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """(doc_ids, per-doc BM25 term scores) for one term, cached."""
+        hit = self._score_cache.get(term)
+        if hit is not None:
+            return hit
+        ps = self.postings_for(term)
+        if ps is None:
+            return None
+        docs, tfs, dls = ps
+        df = int(self.df.get(term, len(docs)))
+        scores = bm25.term_scores(
+            tfs, dls, df, self.n_docs, self.avgdl, k1=self.k1, b=self.b
+        )
+        if self._cached_postings + len(docs) <= self._cache_cap:
+            self._score_cache[term] = (docs, scores)
+            self._cached_postings += len(docs)
+        return docs, scores
+
     def score_query(self, text: str, limit: int) -> tuple[np.ndarray, np.ndarray]:
         """Exact TAAT scoring -> (top doc_ids, top scores), ranked."""
         terms = sorted(set(tokenize(text or "")))
         doc_parts, score_parts = [], []
         for t in terms:
-            ps = self.postings_for(t)
-            if ps is None:
+            ds_ = self.term_docs_scores(t)
+            if ds_ is None:
                 continue
-            docs, tfs, dls = ps
-            df = int(self.df.get(t, len(docs)))
-            score_parts.append(
-                bm25.term_scores(tfs, dls, df, self.n_docs, self.avgdl, k1=self.k1, b=self.b)
-            )
-            doc_parts.append(docs)
+            doc_parts.append(ds_[0])
+            score_parts.append(ds_[1])
         if not doc_parts:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
         docs_all = np.concatenate(doc_parts)

@@ -1,0 +1,98 @@
+"""Dedup suite: minhash/simhash kernels + Ray LSH pipelines find planted
+duplicates and report exact-verified similarity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from clip_as_service_ray.functions import minhash as mh
+
+
+def test_hash_terms_deterministic():
+    t = np.asarray(["alpha", "beta", "alpha"], dtype=object)
+    h1, h2 = mh.hash_terms(t), mh.hash_terms(t)
+    np.testing.assert_array_equal(h1, h2)
+    assert h1[0] == h1[2] != h1[1]
+
+
+def test_shingles_and_jaccard():
+    a = mh.hash_terms(np.asarray("the quick brown fox jumps".split(), dtype=object))
+    s_a = mh.shingle_hashes(a, n=3)
+    assert len(s_a) == 3  # 5 terms -> 3 trigrams
+    assert mh.jaccard(s_a, s_a) == 1.0
+    b = mh.hash_terms(np.asarray("totally different words here now".split(), dtype=object))
+    s_b = mh.shingle_hashes(b, n=3)
+    assert mh.jaccard(s_a, s_b) == 0.0
+    # short doc falls back to unigrams
+    assert len(mh.shingle_hashes(a[:2], n=3)) == 2
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.default_rng(0)
+    base = rng.integers(1, 2**60, 500).astype(np.uint64)
+    mod = base.copy()
+    mod[:100] = rng.integers(1, 2**60, 100).astype(np.uint64)  # ~80% overlap
+    a, b = mh.minhash_params(256)
+    sa = mh.minhash_signature(np.unique(base), a, b)
+    sb = mh.minhash_signature(np.unique(mod), a, b)
+    est = np.mean(sa == sb)
+    true = mh.jaccard(np.unique(base), np.unique(mod))
+    assert abs(est - true) < 0.12
+
+
+def test_simhash_properties():
+    u = np.asarray(["a", "b", "c", "d"], dtype=object)
+    h = mh.hash_terms(u)
+    tf = np.array([3, 1, 1, 1])
+    s1 = mh.simhash(h, tf)
+    s2 = mh.simhash(h, tf)
+    assert s1 == s2
+    # near-identical docs -> small hamming; unrelated -> large
+    tf2 = tf.copy(); tf2[1] += 1
+    s3 = mh.simhash(h, tf2)
+    d_near = mh.hamming64(np.array([s1], np.uint64), np.array([s3], np.uint64))[0]
+    other = mh.simhash(mh.hash_terms(np.asarray(["x", "y", "z", "w"], dtype=object)), tf)
+    d_far = mh.hamming64(np.array([s1], np.uint64), np.array([other], np.uint64))[0]
+    assert d_near <= d_far
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"w{i}" for i in range(500)], dtype=object)
+    texts = [" ".join(vocab[rng.integers(0, 500, 60)]) for i in range(200)]
+    # planted near-dups: 200~201 identical, 202 = 200 with small edit
+    texts.append(texts[0])
+    t = texts[0].split(); t[5] = "changed"; texts.append(" ".join(t))
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    return ray.data.from_arrow(tbl)
+
+
+def test_minhash_lsh_finds_planted_dups(dup_corpus):
+    from clip_as_service_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(dup_corpus, threshold=0.5).to_pandas()
+    found = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (0, 200) in found  # identical pair
+    exact = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 200)]
+    assert float(exact.jaccard.iloc[0]) == 1.0
+    assert (0, 201) in found or (200, 201) in found  # near-dup pair
+
+
+def test_simhash_finds_identical(dup_corpus):
+    from clip_as_service_ray.stages.dedup import simhash_pairs
+
+    pairs = simhash_pairs(dup_corpus, max_hamming=3).to_pandas()
+    found = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (0, 200) in found
+    assert int(pairs[(pairs.doc_a == 0) & (pairs.doc_b == 200)].hamming.iloc[0]) == 0
+
+
+def test_word_jaccard_pairs(dup_corpus):
+    from clip_as_service_ray.stages.dedup import word_jaccard_pairs
+
+    pairs = word_jaccard_pairs(dup_corpus, max_id=250, threshold=0.99).to_pandas()
+    assert (0, 200) in set(zip(pairs.doc_a, pairs.doc_b))

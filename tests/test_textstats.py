@@ -1,0 +1,39 @@
+"""Text-analysis kernels: language-ID heuristic, quality features,
+fingerprints."""
+
+import numpy as np
+
+from clip_as_service_ray.functions.minhash import hash_terms
+from clip_as_service_ray.functions.textstats import (
+    detect_language,
+    fingerprint,
+    quality_features,
+)
+
+
+def test_langid_basic():
+    assert detect_language("the cat is on the mat".split()) == "en"
+    assert detect_language("der hund ist nicht da und ich bin hier".split()) == "de"
+    assert detect_language("je ne suis pas avec le chien dans la maison".split()) == "fr"
+    assert detect_language("yo no voy con el perro para la casa".split()) == "es"
+    assert detect_language([]) == "und"
+    assert detect_language(["qwerty", "zxcvb"]) == "und"
+
+
+def test_quality_features():
+    f = quality_features("Hello, World 42!")
+    assert f["n_chars"] == 16
+    assert f["n_tokens"] == 3
+    assert f["punct_ratio"] == 2 / 16
+    assert f["digit_ratio"] == 2 / 16
+    assert f["upper_ratio"] == 2 / 16
+    z = quality_features("")
+    assert z["n_tokens"] == 0 and z["punct_ratio"] == 0.0
+
+
+def test_fingerprint_order_sensitive():
+    a = hash_terms(np.asarray(["x", "y", "z"], dtype=object))
+    b = hash_terms(np.asarray(["z", "y", "x"], dtype=object))
+    assert fingerprint(a) == fingerprint(a)
+    assert fingerprint(a) != fingerprint(b)
+    assert fingerprint(np.array([], dtype=np.uint64)) == fingerprint(np.array([], dtype=np.uint64))
