@@ -1,0 +1,154 @@
+"""Multimodal column stages: decode / feature-extract / resize / frame-sample.
+
+The reference's image path (uri->blob load at ``client.py:168-197``, PIL
+decode + resize + center-crop + normalize at ``executors/helper.py:20-56`` /
+``model/clip.py:25-52``) re-expressed as Ray Data actor-pool stages over
+opaque ``binary`` columns with typed metadata.
+
+IMAGE/AUDIO CODEC LIBRARIES ARE NOT AVAILABLE IN THIS ENVIRONMENT, so the
+actual byte->pixels decode is STUBBED: ``decode=\"fake\"`` produces a
+deterministic pseudo-image derived from the payload bytes (so downstream
+shapes/stats are testable), ``decode=\"real\"`` raises NotImplementedError at
+the exact point a PIL/libav call would go. Everything around the stub — the
+Arrow schema, small-batch sizing for large binary payloads, actor-pool
+signature, and output layout — is real and tested.
+
+Schemas:
+  media in : id:int64, payload:binary, mime:string, width:int32, height:int32
+  image out: id:int64, tensor flattened as list<float> (C*H*W), shape:list<int32>
+  frames out: id:int64, frame_idx:int32, payload:binary
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("id", pa.int64()),
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+IMAGENET_MEAN = (0.48145466, 0.4578275, 0.40821073)  # model/clip.py:36-41
+IMAGENET_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in for PIL.Image.open: bytes -> HxWx3 uint8."""
+    seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    rng = np.random.default_rng(int(seed))
+    return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+
+
+def _resize_center_crop(img: np.ndarray, size: int) -> np.ndarray:
+    """Nearest-neighbor resize (shorter side -> size) + center crop — the
+    geometry of the reference transform (Resize(BICUBIC)+CenterCrop,
+    model/clip.py:28-35) with a numpy kernel instead of PIL."""
+    h, w, _ = img.shape
+    scale = size / min(h, w)
+    nh, nw = max(size, int(round(h * scale))), max(size, int(round(w * scale)))
+    ys = np.clip((np.arange(nh) / scale).astype(np.int64), 0, h - 1)
+    xs = np.clip((np.arange(nw) / scale).astype(np.int64), 0, w - 1)
+    img = img[ys][:, xs]
+    top, left = (nh - size) // 2, (nw - size) // 2
+    return img[top : top + size, left : left + size]
+
+
+class ImagePreprocess:
+    """Actor-pool UDF: media batch -> normalized CHW float tensors.
+
+    Mirrors preproc_image (executors/helper.py:20-56): decode -> resize ->
+    center-crop -> RGB float -> normalize(mean, std) -> CHW, with the heavy
+    payload dropped from the output (drop_image_content analog,
+    helper.py:44-47). Use small batch_size: payloads are large binaries.
+    """
+
+    def __init__(self, size: int = 224, decode: str = "fake"):
+        self.size = size
+        self.decode = decode
+        self.mean = np.asarray(IMAGENET_MEAN, dtype=np.float32).reshape(3, 1, 1)
+        self.std = np.asarray(IMAGENET_STD, dtype=np.float32).reshape(3, 1, 1)
+
+    def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+        if self.decode == "fake":
+            return _fake_decode(payload, width, height)
+        raise NotImplementedError(
+            "real image decode requires PIL/torchvision, not present in this "
+            "environment; the Ray plumbing around it is real"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_numpy()
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_numpy()
+        heights = batch.column("height").to_numpy()
+        tensors, shapes = [], []
+        for p, w, h in zip(payloads, widths, heights):
+            img = self._decode(p, int(w), int(h))
+            img = _resize_center_crop(img, self.size)
+            chw = (img.astype(np.float32) / 255.0).transpose(2, 0, 1)
+            chw = (chw - self.mean) / self.std
+            tensors.append(chw.ravel())
+            shapes.append([3, self.size, self.size])
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "tensor": pa.array([t.tolist() for t in tensors], pa.list_(pa.float32())),
+                "shape": pa.array(shapes, pa.list_(pa.int32())),
+            }
+        )
+
+
+class FrameSample:
+    """Actor-pool UDF: video rows -> every k-th frame row (flat_map shape).
+
+    The video payload is treated as a concatenation of fixed-size fake
+    frames (real impl: libav demux). Emits (id, frame_idx, payload) rows —
+    one input row fans out to many output rows.
+    """
+
+    def __init__(self, frame_bytes: int = 1024, every_k: int = 5):
+        self.frame_bytes = frame_bytes
+        self.every_k = every_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, payload_out = [], [], []
+        for i, payload in zip(batch.column("id").to_numpy(), batch.column("payload").to_pylist()):
+            n_frames = max(0, len(payload) // self.frame_bytes)
+            for fi in range(0, n_frames, self.every_k):
+                ids_out.append(int(i))
+                idx_out.append(fi)
+                payload_out.append(payload[fi * self.frame_bytes : (fi + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                "id": pa.array(ids_out, pa.int64()),
+                "frame_idx": pa.array(idx_out, pa.int32()),
+                "payload": pa.array(payload_out, pa.binary()),
+            }
+        )
+
+
+def preprocess_images(ds, *, size: int = 224, decode: str = "fake", concurrency: int = 2):
+    """media Dataset -> tensor Dataset (small batches: binary payloads)."""
+    return ds.map_batches(
+        ImagePreprocess,
+        fn_constructor_kwargs={"size": size, "decode": decode},
+        batch_format="pyarrow",
+        batch_size=64,  # payloads are MB-scale in real use; keep blocks bounded
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(ds, *, frame_bytes: int = 1024, every_k: int = 5, concurrency: int = 2):
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"frame_bytes": frame_bytes, "every_k": every_k},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=concurrency,
+    )
