@@ -45,6 +45,11 @@ class EngineConfig:
     # --- tokenizer ---
     lowercase: bool = True
 
+    # --- query execution ---
+    # rank-safe MaxScore/block-max pruning (score_query_pruned); results are
+    # identical to the exact TAAT path (tests/test_query_pruning.py)
+    query_pruning: bool = True
+
     # --- resumability ---
     # if True, pipeline stages skip partitions whose manifest says done
     resume: bool = True

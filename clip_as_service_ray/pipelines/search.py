@@ -28,7 +28,11 @@ def search(
     qds = ray.data.from_arrow(queries) if isinstance(queries, pa.Table) else queries
     return qds.map_batches(
         QueryScorer,
-        fn_constructor_kwargs={"index_dir": index_dir, "default_limit": config.limit},
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "default_limit": config.limit,
+            "pruning": config.query_pruning,
+        },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
         concurrency=config.query_concurrency,

@@ -163,13 +163,102 @@ class IndexReader:
         top = bm25.topk_indices(summed, uniq_docs, limit)
         return uniq_docs[top], summed[top]
 
+    def term_upper_bound(self, term: str) -> float:
+        """idf(term) * max block max_tf_norm — the WAND/MaxScore term bound,
+        computed from block metadata only (no posting decode)."""
+        rows = self._term_blocks.get(term)
+        if rows is None:
+            return 0.0
+        df = int(self.df.get(term, 0))
+        return float(bm25.idf(float(df), self.n_docs) * np.max(self._b_max[rows]))
+
+    def score_query_pruned(self, text: str, limit: int) -> tuple[np.ndarray, np.ndarray]:
+        """Rank-safe MaxScore-style top-k: RETURNS EXACTLY WHAT score_query
+        RETURNS (same docs, bit-identical scores) but prunes work using the
+        block-max metadata:
+
+        - terms are processed in descending upper-bound order (upper bound
+          from block metadata alone, no decode);
+        - once the suffix of unprocessed terms cannot lift any NEW doc above
+          the current top-k threshold, remaining terms stop contributing new
+          candidates and only their postings matching current candidates are
+          gathered (np.searchsorted on the doc-sorted lists);
+        - accumulation order per doc is re-fixed to sorted-term order at the
+          end by re-scoring the final k docs exactly, so floats match the
+          exact path bit-for-bit.
+        """
+        terms = sorted(set(tokenize(text or "")))
+        present = [t for t in terms if t in self._term_blocks]
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        ubs = np.array([self.term_upper_bound(t) for t in present])
+        order = np.argsort(-ubs, kind="stable")
+        present = [present[i] for i in order]
+        ubs = ubs[order]
+        suffix_ub = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
+
+        cand_docs = np.array([], dtype=np.int64)
+        cand_scores = np.array([], dtype=np.float64)
+        for i, t in enumerate(present):
+            docs_t, scores_t = self.term_docs_scores(t)
+            theta = (
+                -np.inf
+                if len(cand_docs) < limit
+                else float(np.partition(cand_scores, -limit)[-limit])
+            )
+            # 1e-9 margin: theta comes from partially-ordered float sums that
+            # can differ from the exact path by ulps; the margin keeps every
+            # pruning decision safe under that noise
+            if suffix_ub[i] < theta - 1e-9:
+                # no unseen doc can reach the top-k: gather-only phase
+                pos = np.searchsorted(docs_t, cand_docs)
+                ok = (pos < len(docs_t)) & (docs_t[np.minimum(pos, len(docs_t) - 1)] == cand_docs)
+                cand_scores[ok] += scores_t[pos[ok]]
+            else:
+                docs_all = np.concatenate([cand_docs, docs_t])
+                scores_all = np.concatenate([cand_scores, scores_t])
+                o = np.argsort(docs_all, kind="stable")
+                d, s = docs_all[o], scores_all[o]
+                starts = np.concatenate([[0], np.nonzero(np.diff(d))[0] + 1])
+                cand_docs = d[starts]
+                cand_scores = np.add.reduceat(s, starts)
+            # prune candidates that can never reach the (updated) threshold
+            if len(cand_docs) > limit:
+                theta = float(np.partition(cand_scores, -limit)[-limit])
+                keep = cand_scores + suffix_ub[i + 1] >= theta - 1e-9
+                cand_docs, cand_scores = cand_docs[keep], cand_scores[keep]
+
+        # exact re-score of ALL surviving candidates with the SAME reduction
+        # structure as the exact TAAT path (stable term-order concat +
+        # np.add.reduceat, which sums pairwise) so selection and scores are
+        # bit-identical to score_query even at the ulp level
+        if len(cand_docs) == 0:
+            return cand_docs, cand_scores
+        idx_parts, sc_parts = [], []
+        for t in sorted(present):
+            docs_t, scores_t = self.term_docs_scores(t)
+            pos = np.searchsorted(docs_t, cand_docs)
+            ok = (pos < len(docs_t)) & (docs_t[np.minimum(pos, len(docs_t) - 1)] == cand_docs)
+            idx_parts.append(np.nonzero(ok)[0])
+            sc_parts.append(scores_t[pos[ok]])
+        idx_all = np.concatenate(idx_parts)
+        sc_all = np.concatenate(sc_parts)
+        o = np.argsort(idx_all, kind="stable")
+        idx_s, sc_s = idx_all[o], sc_all[o]
+        starts = np.concatenate([[0], np.nonzero(np.diff(idx_s))[0] + 1])
+        final_docs = cand_docs[idx_s[starts]]
+        final_scores = np.add.reduceat(sc_s, starts)
+        top = bm25.topk_indices(final_scores, final_docs, limit)
+        return final_docs[top], final_scores[top]
+
 
 class QueryScorer:
     """map_batches actor-pool UDF: query batch -> flat ranked hits."""
 
-    def __init__(self, index_dir: str, default_limit: int = 10):
+    def __init__(self, index_dir: str, default_limit: int = 10, pruning: bool = True):
         self.reader = IndexReader(index_dir)
         self.default_limit = default_limit
+        self.pruning = pruning
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("query_id").to_pylist()
@@ -179,9 +268,12 @@ class QueryScorer:
             if "limit" in batch.column_names
             else [self.default_limit] * len(qids)
         )
+        score_fn = (
+            self.reader.score_query_pruned if self.pruning else self.reader.score_query
+        )
         cols: dict[str, list] = {n: [] for n in HITS_SCHEMA.names}
         for qid, text, limit in zip(qids, texts, limits):
-            doc_ids, scores = self.reader.score_query(text, int(limit or self.default_limit))
+            doc_ids, scores = score_fn(text, int(limit or self.default_limit))
             if len(doc_ids) == 0:
                 continue
             conv_ids, turn_idxs = self.reader.invert_doc_ids(doc_ids)
