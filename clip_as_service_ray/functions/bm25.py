@@ -84,6 +84,13 @@ def topk_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
     if n == 0:
         return np.array([], dtype=np.int64)
     k = min(k, n)
+    if n > 4 * k and n > 1024:
+        # partition fast path: select the tie-inclusive superset of the top
+        # k scores, then lexsort only that subset (O(n + m log m), m ~ k)
+        kth = np.partition(scores, n - k)[n - k]
+        sel = np.nonzero(scores >= kth)[0]
+        sub = np.lexsort((doc_ids[sel], -scores[sel]))
+        return sel[sub[:k]]
     # np.lexsort sorts ascending by last key first -> sort by (-score, doc_id)
     order = np.lexsort((doc_ids, -scores))
     return order[:k]

@@ -91,6 +91,8 @@ class IndexReader:
         self._conv_ids = np.asarray(conv_tbl.column("conv_id").to_pylist(), dtype=object)
         extents = conv_tbl.column("max_turn").to_numpy().astype(np.int64) + 1
         self._bases = np.concatenate([[0], np.cumsum(extents)[:-1]])
+        # dense doc-id slot count for the per-query score accumulator
+        self._max_doc_id = int(self._bases[-1] + extents[-1] - 1) if len(extents) else 0
 
         # per-term decoded (doc_ids, scores) cache: BM25 term scores are
         # query-independent, so each term is decoded+scored at most once per
@@ -142,26 +144,29 @@ class IndexReader:
         return docs, scores
 
     def score_query(self, text: str, limit: int) -> tuple[np.ndarray, np.ndarray]:
-        """Exact TAAT scoring -> (top doc_ids, top scores), ranked."""
+        """Exact TAAT scoring -> (top doc_ids, top scores), ranked.
+
+        Dense accumulation with the SAME structure as the golden oracle
+        (``oracle.py``): ``scores[docs_t] += term_scores`` per term in sorted
+        term order — per-doc additions are sequential left-to-right, so
+        scores are bit-identical to the oracle. doc_ids are positions in a
+        dense [0, max_doc] array (doc ids are conv-base offsets, dense up to
+        gaps), so the accumulator is one n_docs-sized float64 array per
+        call — O(n_docs) memset + O(postings) adds, no sort.
+        """
         terms = sorted(set(tokenize(text or "")))
-        doc_parts, score_parts = [], []
-        for t in terms:
-            ds_ = self.term_docs_scores(t)
-            if ds_ is None:
-                continue
-            doc_parts.append(ds_[0])
-            score_parts.append(ds_[1])
-        if not doc_parts:
+        present = [t for t in terms if t in self._term_blocks]
+        if not present:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
-        docs_all = np.concatenate(doc_parts)
-        scores_all = np.concatenate(score_parts)
-        order = np.argsort(docs_all, kind="stable")  # stable: keeps sorted-term order per doc
-        docs_s, scores_s = docs_all[order], scores_all[order]
-        starts = np.concatenate([[0], np.nonzero(np.diff(docs_s))[0] + 1])
-        uniq_docs = docs_s[starts]
-        summed = np.add.reduceat(scores_s, starts)
-        top = bm25.topk_indices(summed, uniq_docs, limit)
-        return uniq_docs[top], summed[top]
+        scores = np.zeros(self._max_doc_id + 1, dtype=np.float64)
+        matched = np.zeros(self._max_doc_id + 1, dtype=bool)
+        for t in present:
+            docs_t, scores_t = self.term_docs_scores(t)
+            scores[docs_t] += scores_t  # docs unique per term: plain fancy-index add
+            matched[docs_t] = True
+        cand = np.nonzero(matched)[0]
+        top = bm25.topk_indices(scores[cand], cand, limit)
+        return cand[top].astype(np.int64), scores[cand[top]]
 
     def term_upper_bound(self, term: str) -> float:
         """idf(term) * max block max_tf_norm — the WAND/MaxScore term bound,
@@ -229,27 +234,19 @@ class IndexReader:
                 cand_docs, cand_scores = cand_docs[keep], cand_scores[keep]
 
         # exact re-score of ALL surviving candidates with the SAME reduction
-        # structure as the exact TAAT path (stable term-order concat +
-        # np.add.reduceat, which sums pairwise) so selection and scores are
-        # bit-identical to score_query even at the ulp level
+        # structure as the exact path / golden oracle (per-term sequential
+        # += in sorted-term order) so selection and scores are bit-identical
+        # to score_query even at the ulp level
         if len(cand_docs) == 0:
             return cand_docs, cand_scores
-        idx_parts, sc_parts = [], []
+        final = np.zeros(len(cand_docs), dtype=np.float64)
         for t in sorted(present):
             docs_t, scores_t = self.term_docs_scores(t)
             pos = np.searchsorted(docs_t, cand_docs)
             ok = (pos < len(docs_t)) & (docs_t[np.minimum(pos, len(docs_t) - 1)] == cand_docs)
-            idx_parts.append(np.nonzero(ok)[0])
-            sc_parts.append(scores_t[pos[ok]])
-        idx_all = np.concatenate(idx_parts)
-        sc_all = np.concatenate(sc_parts)
-        o = np.argsort(idx_all, kind="stable")
-        idx_s, sc_s = idx_all[o], sc_all[o]
-        starts = np.concatenate([[0], np.nonzero(np.diff(idx_s))[0] + 1])
-        final_docs = cand_docs[idx_s[starts]]
-        final_scores = np.add.reduceat(sc_s, starts)
-        top = bm25.topk_indices(final_scores, final_docs, limit)
-        return final_docs[top], final_scores[top]
+            final[ok] += scores_t[pos[ok]]
+        top = bm25.topk_indices(final, cand_docs, limit)
+        return cand_docs[top], final[top]
 
 
 class QueryScorer:

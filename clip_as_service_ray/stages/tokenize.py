@@ -92,6 +92,8 @@ class TokenizeStage:
         self.lowercase = lowercase
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
         turn = batch.column("turn_idx").to_numpy().astype(np.int64)
         texts = batch.column("text").to_pylist()
@@ -102,14 +104,36 @@ class TokenizeStage:
 
         doc_id = self.conv_base.lookup(conv) + turn
         idx = np.nonzero(keep)[0]
+        if len(idx) == 0:
+            return STAGING_SCHEMA.empty_table()
 
-        uniq_terms: list[list[str]] = []
-        uniq_tfs: list[np.ndarray] = []
-        for i in idx:
-            terms = term_lists[i]
-            u, c = np.unique(np.asarray(terms, dtype=object), return_counts=True)
-            uniq_terms.append(u.tolist())
-            uniq_tfs.append(c.astype(np.int32))
+        # batch-level tf vectorization: one factorize + one lexsort for the
+        # whole batch instead of a per-row np.unique (the hot path)
+        flat = np.concatenate(
+            [np.asarray(term_lists[i], dtype=object) for i in idx]
+        )
+        lens = dl[idx].astype(np.int64)
+        row_of_tok = np.repeat(np.arange(len(idx)), lens)
+        codes, uniques = pd.factorize(flat, sort=True)  # sorted -> lexicographic terms
+        order = np.lexsort((codes, row_of_tok))
+        row_s, code_s = row_of_tok[order], codes[order]
+        change = np.nonzero((np.diff(row_s) != 0) | (np.diff(code_s) != 0))[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(code_s)]])
+        tfs_flat = (ends - starts).astype(np.int32)
+        seg_row = row_s[starts]
+        seg_code = code_s[starts]
+        # per-row offsets into the (doc, term) segments
+        n_rows = len(idx)
+        terms_per_row = np.bincount(seg_row, minlength=n_rows)
+        offsets = np.concatenate([[0], np.cumsum(terms_per_row)]).astype(np.int32)
+
+        uniques_arr = pa.array(uniques, pa.string())
+        flat_terms = uniques_arr.take(pa.array(seg_code, pa.int64()))
+        terms_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat_terms)
+        tfs_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(tfs_flat, pa.int32())
+        )
 
         return pa.table(
             {
@@ -117,8 +141,8 @@ class TokenizeStage:
                 "turn_idx": pa.array(turn[idx].astype(np.int32), pa.int32()),
                 "doc_id": pa.array(doc_id[idx], pa.int64()),
                 "dl": pa.array(dl[idx], pa.int32()),
-                "terms": pa.array(uniq_terms, pa.list_(pa.string())),
-                "tfs": pa.array([t.tolist() for t in uniq_tfs], pa.list_(pa.int32())),
+                "terms": terms_col,
+                "tfs": tfs_col,
             },
             schema=STAGING_SCHEMA,
         )

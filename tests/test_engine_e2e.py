@@ -103,3 +103,21 @@ def test_per_turn_text_round_trip(built):
         u, c = np.unique(np.asarray(terms, dtype=object), return_counts=True)
         assert list(row["terms"]) == u.tolist()
         assert list(row["tfs"]) == c.tolist()
+
+
+def test_query_service_matches_batch_search(built):
+    """Persistent serving pool returns the same hits as the Dataset path."""
+    from clip_as_service_ray.pipelines.serving import QueryService
+
+    corpus, index_dir, report, oracle = built
+    queries = reference_query_table()
+    svc = QueryService(index_dir, CFG, num_replicas=2)
+    try:
+        got = svc.search(queries).to_pandas()
+    finally:
+        svc.shutdown()
+    want = oracle.search(queries).to_pandas()
+    assert list(zip(got.query_id, got["rank"], got.conv_id, got.turn_idx)) == list(
+        zip(want.query_id, want["rank"], want.conv_id, want.turn_idx)
+    )
+    np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy(), rtol=0, atol=1e-9)
