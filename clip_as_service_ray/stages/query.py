@@ -196,6 +196,12 @@ class IndexReader:
         present = [t for t in terms if t in self._term_blocks]
         if not present:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        # density bailout: when the candidate set will approach the corpus
+        # (stopword-heavy queries), the dense-accumulator exact path is
+        # strictly faster than sparse merge+prune; results are identical
+        total_df = sum(int(self.df.get(t, 0)) for t in present)
+        if total_df > 0.25 * max(self.n_docs, 1):
+            return self.score_query(text, limit)
         ubs = np.array([self.term_upper_bound(t) for t in present])
         order = np.argsort(-ubs, kind="stable")
         present = [present[i] for i in order]
