@@ -38,7 +38,7 @@ class EngineConfig:
     tokenize_batch_size: int = 8192
     # actor pool bounds for the tokenize stage (autoscaling (min, max))
     tokenize_concurrency: int = 8
-    query_batch_size: int = 256
+    query_batch_size: int = 64
     # actor pool size for the query scorer; None -> let Ray autoscale
     query_concurrency: int = 4
 

@@ -1,0 +1,158 @@
+"""Sharded index build + scatter-ALL-search across shards.
+
+The reference's sharding model (``retriever.md:180-229``): `/index` routes
+each doc to ONE shard (polling ANY), `/search` scatters each query to ALL
+shards, each returns its local top-limit, the gateway merges. Here:
+
+- ``build_sharded_index``: each shard is an independent, independently
+  RESUMABLE ``build_index`` run over its own input slice (this is the
+  per-partition resume story: a failed run re-enters and skips finished
+  shards via their manifests). Shard assignment = caller-provided input
+  splits (by file / conv range), mirroring polling-ANY.
+
+- BM25 correctness across shards requires GLOBAL corpus stats: per-shard
+  n_docs / sum_dl are summed into union stats, per-shard dictionaries are
+  summed into a union df table, and every shard's scorer is overridden with
+  those globals at query time. (Shard-local block-max bounds are computed
+  under shard-local avgdl, which is not a valid bound under global avgdl, so
+  pruning is disabled in sharded mode — the dense exact path is the default
+  for the hot queries anyway.)
+
+- ``ShardedQueryService``: one scorer replica (or more) per shard; a query
+  batch is sent to ALL shards, per-shard ranked hits come back, and the
+  merge keeps the global top-limit per query under the same deterministic
+  tie-break. Identical results to a single-shard build over the union corpus
+  (tests/test_sharded.py).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
+from clip_as_service_ray.pipelines.build_index import build_index
+from clip_as_service_ray.pipelines.oracle import HITS_SCHEMA
+from clip_as_service_ray.state import manifest as mf
+
+
+def build_sharded_index(
+    shard_sources: list,
+    index_root: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    *,
+    overwrite: bool = False,
+) -> dict:
+    """Build one index dir per input shard + union stats. Returns the root
+    manifest. Each shard build is skip-if-valid resumable on its own."""
+    os.makedirs(index_root, exist_ok=True)
+    shard_reports = []
+    for k, src in enumerate(shard_sources):
+        shard_dir = os.path.join(index_root, f"shard={k}")
+        shard_reports.append(build_index(src, shard_dir, config, overwrite=overwrite))
+
+    n_docs = sum(r["n_docs"] for r in shard_reports)
+    sum_dl = sum(
+        mf.read_json(os.path.join(index_root, f"shard={k}", "stats.json"))["sum_dl"]
+        for k in range(len(shard_sources))
+    )
+    # union dictionary: sum per-shard df per term (small tables)
+    df_union: dict[str, int] = defaultdict(int)
+    for k in range(len(shard_sources)):
+        t = pq.read_table(os.path.join(index_root, f"shard={k}", "dictionary"))
+        for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
+            df_union[term] += int(df)
+    union_dir = os.path.join(index_root, "union_dictionary")
+    mf.reset_stage(union_dir)
+    pq.write_table(
+        pa.table(
+            {"term": pa.array(list(df_union.keys()), pa.string()),
+             "df": pa.array(list(df_union.values()), pa.int64())}
+        ),
+        os.path.join(union_dir, "dictionary.parquet"),
+    )
+    payload = {
+        "n_shards": len(shard_sources),
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
+        "n_terms_union": len(df_union),
+        "n_postings": sum(r["n_postings"] for r in shard_reports),
+        "shards": shard_reports,
+    }
+    mf.write_json(os.path.join(index_root, "manifest.json"), payload)
+    return payload
+
+
+class ShardedQueryService:
+    """Scatter-ALL-search over per-shard scorer actors with global stats."""
+
+    def __init__(
+        self,
+        index_root: str,
+        config: EngineConfig = DEFAULT_CONFIG,
+    ):
+        import ray
+
+        from clip_as_service_ray.stages.query import QueryScorer
+
+        self.config = config
+        root = mf.read_json(os.path.join(index_root, "manifest.json"))
+        self.n_shards = int(root["n_shards"])
+        global_stats = {
+            "n_docs": int(root["n_docs"]),
+            "avgdl": float(root["avgdl"]),
+            "df_path": os.path.join(index_root, "union_dictionary", "dictionary.parquet"),
+        }
+        worker = ray.remote(num_cpus=1)(QueryScorer)
+        self.replicas = [
+            worker.remote(
+                os.path.join(index_root, f"shard={k}"),
+                config.limit,
+                False,  # pruning off: shard-local block bounds invalid under global avgdl
+                global_stats,
+            )
+            for k in range(self.n_shards)
+        ]
+        ray.get([r.__ray_ready__.remote() for r in self.replicas])
+
+    def search(self, queries: pa.Table) -> pa.Table:
+        import ray
+
+        if queries.num_rows == 0:
+            return HITS_SCHEMA.empty_table()
+        futs = [r.__call__.remote(queries) for r in self.replicas]  # scatter ALL
+        parts = [p for p in ray.get(futs) if p.num_rows > 0]
+        if not parts:
+            return HITS_SCHEMA.empty_table()
+        merged = pa.concat_tables(parts).to_pandas()
+        limits = (
+            dict(zip(queries.column("query_id").to_pylist(), queries.column("limit").to_pylist()))
+            if "limit" in queries.column_names
+            else {}
+        )
+        out = {n: [] for n in HITS_SCHEMA.names}
+        for qid, g in merged.groupby("query_id", sort=True):
+            k = int(limits.get(qid, self.config.limit))
+            # deterministic k-way merge of per-shard ranked lists
+            g = g.sort_values(
+                ["score", "conv_id", "turn_idx"], ascending=[False, True, True]
+            ).head(k)
+            n = len(g)
+            out["query_id"].extend([qid] * n)
+            out["rank"].extend(range(n))
+            out["conv_id"].extend(g.conv_id)
+            out["turn_idx"].extend(g.turn_idx)
+            out["score"].extend(g.score)
+        return pa.table(out, schema=HITS_SCHEMA)
+
+    def shutdown(self) -> None:
+        import ray
+
+        for r in self.replicas:
+            ray.kill(r)
+        self.replicas = []

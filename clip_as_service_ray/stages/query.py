@@ -42,9 +42,15 @@ from clip_as_service_ray.state.postings import decode_block
 
 
 class IndexReader:
-    """Loads one index directory into queryable in-memory structures."""
+    """Loads one index directory into queryable in-memory structures.
 
-    def __init__(self, index_dir: str):
+    ``global_stats`` (optional): {"n_docs", "avgdl", "df_path"} — overrides
+    the shard-local corpus stats with union stats for sharded search (BM25
+    idf / length normalization must be computed against the WHOLE corpus,
+    matching the reference's global-model-per-shard semantics).
+    """
+
+    def __init__(self, index_dir: str, global_stats: dict | None = None):
         self.index_dir = index_dir
         stats = mf.read_json(os.path.join(index_dir, "stats.json"))
         self.n_docs = int(stats["n_docs"])
@@ -52,7 +58,12 @@ class IndexReader:
         self.k1 = float(stats.get("k1", bm25.K1))
         self.b = float(stats.get("b", bm25.B))
 
-        dict_tbl = pq.read_table(os.path.join(index_dir, "dictionary"))
+        dict_path = os.path.join(index_dir, "dictionary")
+        if global_stats is not None:
+            self.n_docs = int(global_stats["n_docs"])
+            self.avgdl = float(global_stats["avgdl"])
+            dict_path = global_stats["df_path"]
+        dict_tbl = pq.read_table(dict_path)
         self.df = dict(
             zip(
                 dict_tbl.column("term").to_pylist(),
@@ -258,8 +269,14 @@ class IndexReader:
 class QueryScorer:
     """map_batches actor-pool UDF: query batch -> flat ranked hits."""
 
-    def __init__(self, index_dir: str, default_limit: int = 10, pruning: bool = True):
-        self.reader = IndexReader(index_dir)
+    def __init__(
+        self,
+        index_dir: str,
+        default_limit: int = 10,
+        pruning: bool = True,
+        global_stats: dict | None = None,
+    ):
+        self.reader = IndexReader(index_dir, global_stats=global_stats)
         self.default_limit = default_limit
         self.pruning = pruning
 
