@@ -31,8 +31,9 @@ class EngineConfig:
     # doc-range bucket width for the merge shuffle sub-key: partial posting
     # runs are split on bucket boundaries so a hot term (stopword) becomes
     # many (term, bucket) groups instead of one giant group — the skew
-    # splitting required by the north rule
-    doc_bucket_size: int = 1 << 20
+    # splitting required by the north rule. 64k docs/bucket caps a hot
+    # term's per-group postings at ~bucket_size regardless of corpus size.
+    doc_bucket_size: int = 1 << 16
 
     # --- execution sizing ---
     tokenize_batch_size: int = 8192

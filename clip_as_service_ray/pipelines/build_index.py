@@ -33,8 +33,8 @@ import pyarrow.parquet as pq
 from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
 from clip_as_service_ray.stages.merge import EmitPartials, make_merge_fn
 from clip_as_service_ray.stages.tokenize import (
-    TokenizeStage,
     compute_conv_bases,
+    tokenize_batch,
 )
 from clip_as_service_ray.state import manifest as mf
 
@@ -65,13 +65,52 @@ def _as_dataset(source):
     return source  # already a Dataset
 
 
+# below this many input bytes, the tiny side-aggregations (conv extents,
+# corpus stats, dictionary) run driver-side with plain pyarrow — a Ray job's
+# fixed scheduling cost dwarfs the compute there and flattens the scaling
+# curve. Above it, the distributed paths run.
+DRIVER_AGG_MAX_BYTES = 4 << 30
+
+
+def _source_bytes(source) -> int:
+    if isinstance(source, str):
+        if os.path.isdir(source):
+            return mf.dir_bytes(source)
+        try:
+            return os.path.getsize(source)
+        except OSError:
+            return 1 << 62
+    if isinstance(source, list):
+        return sum(_source_bytes(s) for s in source)
+    if isinstance(source, pa.Table):
+        return source.nbytes
+    return 1 << 62  # unknown (Dataset) -> use the distributed path
+
+
+def _conv_extents_driver(source) -> pa.Table:
+    """Driver-side (conv_id, max_turn): column-pruned read + one reduceat."""
+    if isinstance(source, pa.Table):
+        t = source.select(["conv_id", "turn_idx"])
+    else:
+        t = pq.read_table(source, columns=["conv_id", "turn_idx"])
+    conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+    turn = t.column("turn_idx").to_numpy().astype(np.int64)
+    order = np.argsort(conv, kind="stable")
+    conv_s, turn_s = conv[order], turn[order]
+    starts = np.concatenate([[0], np.nonzero(conv_s[1:] != conv_s[:-1])[0] + 1])
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_s[starts], pa.string()),
+            "max_turn": pa.array(np.maximum.reduceat(turn_s, starts), pa.int64()),
+        }
+    )
+
+
 def _conv_extents(ds) -> pa.Table:
     """(conv_id, max_turn) via per-batch partial max then a small groupby."""
     from ray.data.aggregate import Max
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         g = batch.group_by("conv_id").aggregate([("turn_idx", "max")])
         return g.rename_columns(["conv_id", "max_turn"])
 
@@ -118,10 +157,13 @@ def build_index(
     # ---- stage 1: conv extents -> broadcast doc-id base table ----
     t = time.time()
     convmap_path = os.path.join(index_dir, "convmap.parquet")
+    small_input = _source_bytes(source) < DRIVER_AGG_MAX_BYTES
     if config.resume and os.path.exists(convmap_path):
         extents = pq.read_table(convmap_path)
     else:
-        extents = _conv_extents(ds).sort_by("conv_id")
+        extents = (
+            _conv_extents_driver(source) if small_input else _conv_extents(ds)
+        ).sort_by("conv_id")
         tmp = convmap_path + f".tmp.{os.getpid()}"
         pq.write_table(extents, tmp)
         os.replace(tmp, convmap_path)
@@ -135,14 +177,13 @@ def build_index(
     if not (config.resume and mf.stage_done(staging_dir)):
         mf.reset_stage(staging_dir)
         ds.map_batches(
-            TokenizeStage,
-            fn_constructor_kwargs={
+            tokenize_batch,
+            fn_kwargs={
                 "conv_base_ref": conv_base_ref,
                 "lowercase": config.lowercase,
             },
             batch_format="pyarrow",
             batch_size=config.tokenize_batch_size,
-            concurrency=(1, config.tokenize_concurrency),  # autoscaling actor pool
         ).write_parquet(staging_dir)
         mf.mark_stage_done(
             staging_dir,
@@ -156,10 +197,17 @@ def build_index(
     if config.resume and os.path.exists(stats_path):
         stats = mf.read_json(stats_path)
     else:
-        staging = ray.data.read_parquet(staging_dir, columns=["dl"])
-        agg = staging.aggregate(Count(alias_name="n_docs"), Sum("dl", alias_name="sum_dl"))
-        n_docs = int(agg["n_docs"])
-        sum_dl = int(agg["sum_dl"] or 0)
+        if small_input:
+            dl_tbl = pq.read_table(staging_dir, columns=["dl"])
+            n_docs = dl_tbl.num_rows
+            sum_dl = int(np.sum(dl_tbl.column("dl").to_numpy())) if n_docs else 0
+        else:
+            staging = ray.data.read_parquet(staging_dir, columns=["dl"])
+            agg = staging.aggregate(
+                Count(alias_name="n_docs"), Sum("dl", alias_name="sum_dl")
+            )
+            n_docs = int(agg["n_docs"])
+            sum_dl = int(agg["sum_dl"] or 0)
         stats = {
             "n_docs": n_docs,
             "sum_dl": sum_dl,
@@ -209,11 +257,30 @@ def build_index(
     dict_dir = os.path.join(index_dir, DICTIONARY)
     if not (config.resume and mf.stage_done(dict_dir)):
         mf.reset_stage(dict_dir)
-        blocks_meta = ray.data.read_parquet(postings_dir, columns=["term", "n"])
-        df_tbl = blocks_meta.groupby("term", num_partitions=_num_cpus()).aggregate(
-            Sum("n", alias_name="df")
-        )
-        df_tbl.write_parquet(dict_dir)
+        if small_input:
+            meta = pq.read_table(postings_dir, columns=["term", "n"])
+            terms = np.asarray(meta.column("term").to_pylist(), dtype=object)
+            ns = meta.column("n").to_numpy().astype(np.int64)
+            order = np.argsort(terms, kind="stable")
+            t_s, n_s = terms[order], ns[order]
+            starts = np.concatenate(
+                [[0], np.nonzero(t_s[1:] != t_s[:-1])[0] + 1]
+            ) if len(t_s) else np.array([], dtype=np.int64)
+            df_pa = pa.table(
+                {
+                    "term": pa.array(t_s[starts] if len(t_s) else [], pa.string()),
+                    "df": pa.array(
+                        np.add.reduceat(n_s, starts) if len(t_s) else [], pa.int64()
+                    ),
+                }
+            )
+            pq.write_table(df_pa, os.path.join(dict_dir, "dictionary.parquet"))
+        else:
+            blocks_meta = ray.data.read_parquet(postings_dir, columns=["term", "n"])
+            df_tbl = blocks_meta.groupby("term", num_partitions=_num_cpus()).aggregate(
+                Sum("n", alias_name="df")
+            )
+            df_tbl.write_parquet(dict_dir)
         mf.mark_stage_done(
             dict_dir,
             {"stage": "dictionary", "bytes": mf.dir_bytes(dict_dir), "seconds": time.time() - t},

@@ -241,3 +241,20 @@ def word_jaccard_pairs(ds, *, max_id: int = 150, threshold: float = 0.75) -> pa.
         {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()),
          "jaccard": pa.array(out_j, pa.float64())}
     )
+
+
+def dedup_turns(ds):
+    """Exact (conv_id, turn_idx) dedup for idempotent re-ingest (SURVEY.md
+    §2.8): hash-partition on the key, keep the first row per group under a
+    deterministic order (ts, then text) — the AnnLite upsert-by-id analog
+    made first-write-wins. Run before build_index when the input may carry
+    replayed/duplicated turns."""
+
+    def first_per_key(group):
+        import pandas as pd  # noqa: F401  (batch_format pandas)
+
+        return group.sort_values(["ts", "text"]).head(1)
+
+    return ds.groupby(["conv_id", "turn_idx"]).map_groups(
+        first_per_key, batch_format="pandas"
+    )

@@ -4,10 +4,14 @@ The analog of the reference's encode path minus the model: per-batch
 normalize + split (``simple_tokenizer.py:135-143``) and per-doc term-frequency
 vectorization (the tf analog of token-id framing, ``model/tokenization.py``).
 
-Runs as an ACTOR POOL ``map_batches`` stage (the T1 `CLIPEncoder` pattern,
-``executors/clip_torch.py:24-98``): the compiled regex + the broadcast
-conv-id -> doc-id base table are loaded once per actor in ``__init__``, work
-happens per batch in ``__call__`` over zero-copy Arrow batches.
+Runs as STATELESS ``map_batches`` tasks (elastic across CPUs; a fixed actor
+pool sized to the node starves the read/write operators — the pitfall the
+Ray guide warns about). The T1 "load once per worker" pattern
+(``executors/clip_torch.py:24-98``) still holds: the compiled regex is
+module-level (once per worker process) and the broadcast conv-id -> doc-id
+base table is fetched from the object store once per process via
+``_CONV_BASE_CACHE``. The truly stateful stage in this engine is the query
+scorer (stages/query.py), which IS an actor pool.
 
 Doc-id scheme (SURVEY.md §7.2 step 5): ``doc_id = conv_base[conv_id] +
 turn_idx`` where ``conv_base`` is the prefix sum of per-conversation extents
@@ -80,15 +84,37 @@ def compute_conv_bases(conv_extents: pa.Table) -> ConvBase:
     return ConvBase(conv_ids, bases)
 
 
+# per-worker-process cache of deserialized broadcast ConvBase objects: the
+# tokenize map runs as STATELESS TASKS (elastic across CPUs — a fixed actor
+# pool sized to the node starves the read/write stages and can deadlock a
+# small cluster), so per-process state lives here instead of an actor.
+_CONV_BASE_CACHE: dict[str, "ConvBase"] = {}
+
+
+def _get_conv_base(conv_base_ref) -> "ConvBase":
+    if isinstance(conv_base_ref, ConvBase):
+        return conv_base_ref
+    import ray
+
+    key = conv_base_ref.hex() if hasattr(conv_base_ref, "hex") else str(conv_base_ref)
+    cb = _CONV_BASE_CACHE.get(key)
+    if cb is None:
+        cb = ray.get(conv_base_ref)
+        _CONV_BASE_CACHE.clear()  # only ever one live build per worker
+        _CONV_BASE_CACHE[key] = cb
+    return cb
+
+
+def tokenize_batch(batch: pa.Table, *, conv_base_ref, lowercase: bool = True) -> pa.Table:
+    """Stateless map_batches UDF: transcripts batch -> staging batch."""
+    return TokenizeStage(conv_base_ref, lowercase)(batch)
+
+
 class TokenizeStage:
-    """Callable-class map_batches UDF: transcripts batch -> staging batch."""
+    """Tokenize UDF body (also usable as a callable class for actor pools)."""
 
     def __init__(self, conv_base_ref, lowercase: bool = True):
-        import ray
-
-        self.conv_base: ConvBase = (
-            ray.get(conv_base_ref) if not isinstance(conv_base_ref, ConvBase) else conv_base_ref
-        )
+        self.conv_base: ConvBase = _get_conv_base(conv_base_ref)
         self.lowercase = lowercase
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -121,19 +121,58 @@ def encode_postings_to_blocks(
     """
     cols = out if out is not None else {name: [] for name in BLOCK_SCHEMA.names}
     n_total = len(doc_ids)
+    if n_total == 0:
+        return cols
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
     tf_norm_all = bm25.tf_norm(tfs, dls, avgdl, k1=k1, b=b)
-    for bi, start in enumerate(range(0, n_total, block_size)):
-        end = min(start + block_size, n_total)
-        d, t, l = doc_ids[start:end], tfs[start:end], dls[start:end]
-        doc_w, tf_w, dl_w, data = encode_block(d, t, l)
+
+    starts = np.arange(0, n_total, block_size)
+    ends = np.minimum(starts + block_size, n_total)
+    # vectorized across blocks: one diff + reduceat for per-block maxima,
+    # then pre-cast whole arrays once per needed width — per-block work is
+    # just memcpy slices (the per-block-numpy-op version was the merge
+    # hotspot at 10k+ blocks per hot term)
+    deltas = np.diff(doc_ids, prepend=doc_ids[0])
+    deltas[starts] = 0  # per-block baseline is its own first_doc
+    max_delta = np.maximum.reduceat(deltas, starts)
+    max_tf = np.maximum.reduceat(tfs, starts)
+    max_dl = np.maximum.reduceat(dls, starts)
+    max_norm = np.maximum.reduceat(tf_norm_all, starts)
+
+    def widths(maxes: np.ndarray) -> np.ndarray:
+        w = np.full(len(maxes), 8, dtype=np.int8)
+        w[maxes < (1 << 32)] = 4
+        w[maxes < (1 << 16)] = 2
+        w[maxes < (1 << 8)] = 1
+        return w
+
+    doc_ws, tf_ws, dl_ws = widths(max_delta), widths(max_tf), widths(max_dl)
+    src = {"d": deltas, "t": tfs, "l": dls}
+    cast: dict[tuple[str, int], np.ndarray] = {}
+
+    def _cast(kind: str, w: int) -> np.ndarray:
+        key = (kind, w)
+        if key not in cast:  # cast lazily, once per width actually used
+            cast[key] = src[kind].astype(_DTYPES[w])
+        return cast[key]
+    for bi in range(len(starts)):
+        s, e = int(starts[bi]), int(ends[bi])
+        dw, tw, lw = int(doc_ws[bi]), int(tf_ws[bi]), int(dl_ws[bi])
+        data = (
+            _cast("d", dw)[s:e].tobytes()
+            + _cast("t", tw)[s:e].tobytes()
+            + _cast("l", lw)[s:e].tobytes()
+        )
         cols["term"].append(term)
         cols["block_idx"].append(block_idx_base + bi)
-        cols["first_doc"].append(int(d[0]))
-        cols["last_doc"].append(int(d[-1]))
-        cols["n"].append(end - start)
-        cols["doc_w"].append(doc_w)
-        cols["tf_w"].append(tf_w)
-        cols["dl_w"].append(dl_w)
-        cols["max_tf_norm"].append(float(np.max(tf_norm_all[start:end])))
+        cols["first_doc"].append(int(doc_ids[s]))
+        cols["last_doc"].append(int(doc_ids[e - 1]))
+        cols["n"].append(e - s)
+        cols["doc_w"].append(dw)
+        cols["tf_w"].append(tw)
+        cols["dl_w"].append(lw)
+        cols["max_tf_norm"].append(float(max_norm[bi]))
         cols["data"].append(data)
     return cols

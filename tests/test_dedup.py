@@ -96,3 +96,29 @@ def test_word_jaccard_pairs(dup_corpus):
 
     pairs = word_jaccard_pairs(dup_corpus, max_id=250, threshold=0.99).to_pandas()
     assert (0, 200) in set(zip(pairs.doc_a, pairs.doc_b))
+
+
+def test_dedup_turns(ray_session):
+    """Replayed transcript turns are removed (first-write-wins by ts) so
+    indexing stays idempotent."""
+    import pyarrow as pa
+    import ray.data
+
+    from clip_as_service_ray.stages.dedup import dedup_turns
+
+    t = pa.table(
+        {
+            "conv_id": ["a", "a", "a", "b"],
+            "turn_idx": pa.array([0, 0, 1, 0], pa.int32()),
+            "role": ["user"] * 4,
+            "text": ["first write", "replayed dup", "next turn", "other"],
+            "tool": [""] * 4,
+            "ts": pa.array([10, 20, 30, 5], pa.timestamp("us")),
+        }
+    )
+    out = dedup_turns(ray.data.from_arrow(t)).to_pandas()
+    assert len(out) == 3
+    kept = out.set_index(["conv_id", "turn_idx"]).text.to_dict()
+    assert kept[("a", 0)] == "first write"  # earliest ts wins
+    assert kept[("a", 1)] == "next turn"
+    assert kept[("b", 0)] == "other"
