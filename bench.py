@@ -30,10 +30,10 @@ def _bench_queries(n: int = 1000, seed: int = 7):
     import numpy as np
     import pyarrow as pa
 
-    from clip_as_service_ray.sources.transcripts import VOCAB
+    from clip_as_service_ray.sources.transcripts import FULL_VOCAB
 
     rng = np.random.default_rng(seed)
-    words = np.array(VOCAB, dtype=object)
+    words = np.array(FULL_VOCAB, dtype=object)
     texts = [
         " ".join(words[rng.integers(0, len(words), rng.integers(1, 4))])
         for _ in range(n)

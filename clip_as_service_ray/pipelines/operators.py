@@ -80,7 +80,7 @@ def term_df(sf_dir: str):
         return g.rename_columns(["term", "df_part"])
 
     ds = _documents(sf_dir).map_batches(partial, batch_format="pyarrow")
-    return ds.groupby("term").aggregate(Sum("df_part", alias_name="df"))
+    return ds.groupby("term", num_partitions=8).aggregate(Sum("df_part", alias_name="df"))
 
 
 def top_terms(sf_dir: str, k: int = 20):
@@ -94,7 +94,7 @@ def top_terms(sf_dir: str, k: int = 20):
         return g.rename_columns(["term", "tf_part"])
 
     ds = _documents(sf_dir).map_batches(partial, batch_format="pyarrow")
-    agg = ds.groupby("term").aggregate(Sum("tf_part", alias_name="total_tf"))
+    agg = ds.groupby("term", num_partitions=8).aggregate(Sum("tf_part", alias_name="total_tf"))
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return tbl.sort_by([("total_tf", "descending"), ("term", "ascending")]).slice(0, k)
 
@@ -179,7 +179,7 @@ def exact_dedup(sf_dir: str):
 
     agg = (
         _documents(sf_dir)
-        .groupby("text")
+        .groupby("text", num_partitions=8)
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count"))
     )
     return agg.select_columns(["doc_id", "dup_count"])
@@ -230,7 +230,7 @@ def events_type_agg(sf_dir: str):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
     )
-    agg = ds.groupby("event_type").aggregate(
+    agg = ds.groupby("event_type", num_partitions=4).aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -262,7 +262,7 @@ def events_hourly_windows(sf_dir: str):
         return g.rename_columns(["user_id", "window_start", "n_part"])
 
     partials = ds.map_batches(add_window, batch_format="pyarrow")
-    agg = partials.groupby(["user_id", "window_start"]).aggregate(
+    agg = partials.groupby(["user_id", "window_start"], num_partitions=8).aggregate(
         Sum("n_part", alias_name="n_events")
     )
     return agg
@@ -286,7 +286,7 @@ def lineitem_pricing_summary(sf_dir: str):
 
     agg = (
         ds.map_batches(revenue, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=4)
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
             Sum("revenue", alias_name="sum_revenue"),
@@ -446,7 +446,7 @@ def langid_distribution(sf_dir: str):
                          "n_part": pa.array(c.astype(np.int64), pa.int64())})
 
     ds = _documents(sf_dir).map_batches(fn, batch_format="pyarrow")
-    return ds.groupby("pred_lang").aggregate(Sum("n_part", alias_name="n_docs"))
+    return ds.groupby("pred_lang", num_partitions=4).aggregate(Sum("n_part", alias_name="n_docs"))
 
 
 def doc_fingerprints(sf_dir: str):

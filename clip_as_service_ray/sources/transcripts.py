@@ -37,8 +37,9 @@ TRANSCRIPTS_SCHEMA = pa.schema(
     ]
 )
 
-# Fixed vocabulary; Zipf-weighted sampling makes the first entries stopword-hot
-# (the skew path: "the" dominates df, exercising hot-term splitting).
+# Fixed base vocabulary; Zipf-weighted sampling makes the first entries
+# stopword-hot (the skew path: "the" dominates df, exercising hot-term
+# splitting).
 VOCAB = (
     "the a of to and in for query data index search rank merge sort batch "
     "stream shard token score model vector table row column filter group join "
@@ -48,6 +49,15 @@ VOCAB = (
     "don't we'll it's can't i'm you're they'd i've shouldn't "
     "naïve café coöperate zürich 東京 データ 検索 モデル"
 ).split()
+
+# Extended tail vocabulary (deterministic compounds of base words): keeps the
+# base words hot while giving the corpus a realistic vocabulary size (~8k
+# terms) — without this every query is a stopword query and the index has
+# one hot posting list per term.
+_BASE_FOR_EXT = [w for w in VOCAB if w.isalpha() and w.isascii()]
+FULL_VOCAB = VOCAB + [
+    a + b for a in _BASE_FOR_EXT for b in _BASE_FOR_EXT if a != b
+][: 8000 - len(VOCAB)]
 
 EDGE_TEXTS = [
     "",  # empty-input contract (tests/test_client.py:83-98)
@@ -94,11 +104,12 @@ def synthesize_transcripts(n_turns: int, seed: int = 42) -> pa.Table:
         role == "tool", tools[1 + rng.integers(0, 4, total)], ""
     ).astype(object)
 
-    # per-turn text: dl words, Zipf term mixture
+    # per-turn text: dl words, Zipf term mixture over the full vocabulary
+    # (base stopwords hot, long compound tail — realistic df skew)
     dl = np.clip(rng.lognormal(2.8, 0.9, total), 1, 300).astype(np.int64)
-    probs = _zipf_probs(len(VOCAB))
-    words = np.array(VOCAB, dtype=object)
-    flat = words[rng.choice(len(VOCAB), int(dl.sum()), p=probs)]
+    probs = _zipf_probs(len(FULL_VOCAB))
+    words = np.array(FULL_VOCAB, dtype=object)
+    flat = words[rng.choice(len(FULL_VOCAB), int(dl.sum()), p=probs)]
     bounds = np.cumsum(dl)[:-1]
     texts = np.array([" ".join(chunk) for chunk in np.split(flat, bounds)], dtype=object)
 
@@ -181,5 +192,6 @@ def transcripts_path(n_turns: int, seed: int = 42, root: str = "/tmp/cas_ray_fix
 
 
 def n_turns_for_sf(sf: float) -> int:
-    """Scale mapping mirroring TESTDATA.md: sf0.001 ~ 6k turns."""
-    return max(64, int(6_000_000 * sf))
+    """Scale mapping: sf0.001 ~ 24k turns, sf0.1 ~ 2.4M turns (sized so the
+    bench build's compute dominates fixed job overheads — see BASELINE.md)."""
+    return max(64, int(24_000_000 * sf))
