@@ -45,6 +45,10 @@ class EngineConfig:
 
     # --- tokenizer ---
     lowercase: bool = True
+    # M1 modality-split analog (helper.py:82-86): when set, only turns whose
+    # `role` is in this tuple are indexed (e.g. ("user", "assistant"));
+    # None indexes every role. Empty/whitespace turns are always dropped.
+    index_roles: tuple | None = None
 
     # --- query execution ---
     # rank-safe MaxScore/block-max pruning (score_query_pruned); results are

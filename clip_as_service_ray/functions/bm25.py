@@ -72,6 +72,17 @@ def block_max_score(
     return float(np.max(term_scores(tf, dl, df, n_docs, avgdl, k1=k1, b=b)))
 
 
+def numpy_softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Numerically-stable softmax — semantics of the reference's
+    ``numpy_softmax`` (``executors/helper.py:12-17``), used for the optional
+    normalized per-query score (the ``clip_score`` analog: the reference
+    attaches BOTH a softmax score and the raw cosine, helper.py:110-114)."""
+    x = np.asarray(x, dtype=np.float64)
+    m = np.max(x, axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / np.sum(e, axis=axis, keepdims=True)
+
+
 def topk_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
     """Indices of the top-k by (score DESC, doc_id ASC) — the deterministic
     tie-break mirroring the reference's stable descending match sort

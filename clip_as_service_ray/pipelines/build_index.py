@@ -4,16 +4,20 @@ Ray-Data-first dataflow (every wide step is an explicit, keyed exchange,
 SURVEY.md §7.4):
 
     read_parquet(transcripts, columns=[conv_id, turn_idx, text])
-      ├─ conv extents: per-batch partial max (combiner) → groupby(conv_id)
-      │    → driver prefix-sum → broadcast ConvBase (ray.put)     [small]
-      ├─ TokenizeStage (actor pool) → staging checkpoint parquet  [narrow]
-      ├─ stats: Count + Sum(dl) over staging → stats.json         [tiny agg]
-      ├─ EmitPartials (stateless map_batches; SPIMI per-batch
-      │    local index, combiner pre-aggregation)                 [narrow]
-      ├─ groupby(part, bucket).map_groups(MergeRuns)              [THE shuffle]
-      │    → postings parquet, partitioned by part
-      └─ dictionary: groupby(term).sum(n) over postings block
-           metadata (column-pruned read) → dictionary parquet     [small agg]
+      ├─ conv extents → driver prefix-sum → broadcast ConvBase    [small]
+      ├─ tokenize_batch (stateless tasks) → staging checkpoint    [narrow]
+      ├─ stats: N + sum(dl) over staging → stats.json             [tiny agg]
+      ├─ EmitPartials (SPIMI per-batch local index, combiner
+      │    pre-aggregation) → partials/part=K/ parquet            [map side]
+      ├─ merge_partition × P Ray tasks over partials/part=K/      [reduce side]
+      │    → postings/part=K/ block-max parquet (+ per-part manifest)
+      └─ dictionary: sum(n) per term over postings block metadata [small agg]
+
+    The wide exchange is DISK-PARTITIONED (partition_cols on the map side,
+    one reduce task per partition) — the SPIMI spill-file model: sequential
+    IO, no in-memory sort shuffle, per-partition resume + lineage. The
+    tiny side-aggregations run driver-side below DRIVER_AGG_MAX_BYTES and
+    as distributed groupbys above it.
 
 Resumability: each stage output directory carries a ``_DONE.json`` manifest
 with counters (terms, postings, bytes, seconds — the north rule's lineage
@@ -31,7 +35,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
-from clip_as_service_ray.stages.merge import EmitPartials, make_merge_fn
+from clip_as_service_ray.stages.merge import EmitPartials, merge_partition
 from clip_as_service_ray.stages.tokenize import (
     compute_conv_bases,
     tokenize_batch,
@@ -39,6 +43,7 @@ from clip_as_service_ray.stages.tokenize import (
 from clip_as_service_ray.state import manifest as mf
 
 STAGING = "staging"
+PARTIALS = "partials"
 POSTINGS = "postings"
 DICTIONARY = "dictionary"
 
@@ -49,20 +54,33 @@ def _num_cpus() -> int:
     return int(ray.cluster_resources().get("CPU", 8))
 
 
-def _as_dataset(source):
+def _as_dataset(source, roles: tuple | None = None):
     import ray.data
 
     if isinstance(source, (str, list)):
         # override_num_blocks: split few-file inputs on row-group boundaries
         # so the tokenize stage parallelizes; no-op when files >= blocks
-        return ray.data.read_parquet(
-            source,
-            columns=["conv_id", "turn_idx", "text"],
-            override_num_blocks=2 * _num_cpus(),
+        cols = ["conv_id", "turn_idx", "text"] + (["role"] if roles else [])
+        ds = ray.data.read_parquet(
+            source, columns=cols, override_num_blocks=2 * _num_cpus()
         )
-    if isinstance(source, pa.Table):
-        return ray.data.from_arrow(source.select(["conv_id", "turn_idx", "text"]))
-    return source  # already a Dataset
+    elif isinstance(source, pa.Table):
+        cols = ["conv_id", "turn_idx", "text"] + (["role"] if roles else [])
+        ds = ray.data.from_arrow(source.select(cols))
+    else:
+        ds = source  # already a Dataset
+    if roles:
+        # M1 modality-split analog: route/keep only the requested roles
+        keep = set(roles)
+
+        def role_filter(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.is_in(batch.column("role"), value_set=pa.array(sorted(keep)))
+            return batch.filter(mask).drop_columns(["role"])
+
+        ds = ds.map_batches(role_filter, batch_format="pyarrow")
+    return ds
 
 
 # below this many input bytes, the tiny side-aggregations (conv extents,
@@ -142,7 +160,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     final_path = os.path.join(index_dir, "manifest.json")
     if overwrite:
-        for sub in (STAGING, POSTINGS, DICTIONARY):
+        for sub in (STAGING, PARTIALS, POSTINGS, DICTIONARY):
             mf.reset_stage(os.path.join(index_dir, sub))
         for f in ("manifest.json", "stats.json", "convmap.parquet"):
             p = os.path.join(index_dir, f)
@@ -152,7 +170,7 @@ def build_index(
         return mf.read_json(final_path)  # skip-if-valid
 
     timings: dict[str, float] = {}
-    ds = _as_dataset(source)
+    ds = _as_dataset(source, roles=config.index_roles)
 
     # ---- stage 1: conv extents -> broadcast doc-id base table ----
     t = time.time()
@@ -221,35 +239,65 @@ def build_index(
         mf.write_json(stats_path, stats)
     timings["stats_s"] = time.time() - t
 
-    # ---- stage 4: partial postings -> merge shuffle -> postings ----
+    # ---- stage 4a: partial postings -> DISK-PARTITIONED exchange ----
+    # The 'shuffle' is a partitioned parquet layout (partials/part=K/...),
+    # not an in-memory sort: map tasks append runs under their term-hash
+    # partition, sequential IO both sides — the SPIMI spill-file model.
     t = time.time()
-    postings_dir = os.path.join(index_dir, POSTINGS)
-    if not (config.resume and mf.stage_done(postings_dir)):
-        mf.reset_stage(postings_dir)
+    partials_dir = os.path.join(index_dir, PARTIALS)
+    if not (config.resume and mf.stage_done(partials_dir)):
+        mf.reset_stage(partials_dir)
         staging = ray.data.read_parquet(
             staging_dir, columns=["doc_id", "dl", "terms", "tfs"]
         )
-        partials = staging.map_batches(
+        staging.map_batches(
             EmitPartials(config.num_index_partitions, config.doc_bucket_size),
             batch_format="pyarrow",
             batch_size=config.tokenize_batch_size,
-        )
-        merged = partials.groupby(
-            ["part", "bucket"], num_partitions=max(config.num_index_partitions, _num_cpus())
-        ).map_groups(
-            make_merge_fn(
-                avgdl=stats["avgdl"],
-                block_size=config.postings_block_size,
-                k1=config.k1,
-                b=config.b,
-            ),
-            batch_format="pyarrow",
-        )
-        merged.write_parquet(postings_dir, partition_cols=["part"])
+        ).write_parquet(partials_dir, partition_cols=["part"])
         mf.mark_stage_done(
-            postings_dir,
-            {"stage": "postings", "bytes": mf.dir_bytes(postings_dir), "seconds": time.time() - t},
+            partials_dir,
+            {"stage": "partials", "bytes": mf.dir_bytes(partials_dir), "seconds": time.time() - t},
         )
+    timings["partials_s"] = time.time() - t
+
+    # ---- stage 4b: per-partition merge (one Ray task per partition, skew
+    # partitions split by doc-bucket range; each partition independently
+    # resumable with lineage counters) ----
+    t = time.time()
+    postings_dir = os.path.join(index_dir, POSTINGS)
+    os.makedirs(postings_dir, exist_ok=True)
+    merge_remote = ray.remote(num_cpus=1)(merge_partition)
+    merge_kwargs = dict(
+        avgdl=stats["avgdl"],
+        block_size=config.postings_block_size,
+        k1=config.k1,
+        b=config.b,
+    )
+    futs = []
+    for p in range(config.num_index_partitions):
+        part_in = os.path.join(partials_dir, f"part={p}")
+        part_out = os.path.join(postings_dir, f"part={p}")
+        if config.resume and mf.stage_done(part_out):
+            continue  # per-partition skip-if-valid
+        if os.path.exists(part_out):
+            mf.reset_stage(part_out)
+        files = (
+            sorted(
+                os.path.join(part_in, f)
+                for f in os.listdir(part_in)
+                if f.endswith(".parquet")
+            )
+            if os.path.isdir(part_in)
+            else []
+        )
+        futs.append(merge_remote.remote(files, part_out, **merge_kwargs))
+    if futs:
+        ray.get(futs)
+    mf.mark_stage_done(
+        postings_dir,
+        {"stage": "postings", "bytes": mf.dir_bytes(postings_dir), "seconds": time.time() - t},
+    )
     timings["merge_s"] = time.time() - t
 
     # ---- stage 5: term dictionary (term -> df) from block metadata ----

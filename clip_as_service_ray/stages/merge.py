@@ -9,15 +9,17 @@ This is the SPIMI pattern (SURVEY.md §7.2 steps 7-8) expressed Ray-Data-first:
   of B docs with V distinct terms shuffles V·(buckets) rows, not sum(dl)
   rows — the partial/combiner pre-aggregation the guide prescribes.
 
-- the merge shuffle groups partial runs by ``(part, bucket)`` where
-  ``part = crc32(term) % num_index_partitions`` and ``bucket =
-  first_doc // doc_bucket_size``. Grouping by (part, bucket) rather than by
-  term means (a) one vectorized merge call handles every term of a
-  partition — no per-term Python task overhead at web-scale vocabularies;
-  (b) a hot term (stopword) with postings across many doc buckets is SPLIT
-  across many groups — the per-partition skew splitting the north rule
-  requires. Block rows from different buckets of one term are stitched at
-  read time by ``first_doc`` order (doc buckets are disjoint ranges).
+- the merge exchange is DISK-PARTITIONED: the map side writes runs under
+  ``partials/part=K/`` (``part = crc32(term) % num_index_partitions``,
+  parquet ``partition_cols``), the reduce side (``merge_partition``) runs
+  one Ray task per partition over its files. No in-memory sort shuffle:
+  sequential IO both sides, each partition independently resumable with
+  lineage counters. One vectorized merge call handles every term of a
+  partition — no per-term Python task overhead at web-scale vocabularies.
+  Skew: a partition whose postings mass exceeds one task's budget is split
+  by ``bucket = first_doc // doc_bucket_size`` ranges (``bucket_range``
+  arg) — hot stopword partitions become several disjoint-doc-range merges
+  whose block rows stitch by ``first_doc`` order.
 
 Partial-run schema:
     part:int32, bucket:int64, term:string, first_doc:int64, n:int32,
@@ -26,6 +28,7 @@ Partial-run schema:
 
 from __future__ import annotations
 
+import os
 import zlib
 
 import numpy as np
@@ -112,65 +115,103 @@ class EmitPartials:
         return pa.table(cols, schema=PARTIAL_SCHEMA)
 
 
-def make_merge_fn(avgdl: float, block_size: int, k1: float, b: float):
-    """Build the map_groups UDF for one (part, bucket) group: merge all
-    partial runs of every term in this group into encoded block-max rows.
+def merge_partition(
+    partial_files: list,
+    out_dir: str,
+    *,
+    avgdl: float,
+    block_size: int,
+    k1: float,
+    b: float,
+    bucket_range: tuple | None = None,
+) -> dict:
+    """Merge ALL partial runs of one term-hash partition into block-max
+    posting rows; one call = one partition = one Ray task.
 
-    Vectorized across terms: one lexsort of all postings in the group by
-    (term, doc_id), then per-term slices are block-encoded. Input postings
-    within each run are already doc-sorted; the lexsort is the k-way merge.
+    This is the reduce side of an explicit DISK-PARTITIONED exchange: the
+    map side wrote runs under ``partials/part=K/`` (partition_cols), so the
+    'shuffle' is a partitioned parquet layout instead of an in-memory sort —
+    the SPIMI spill-file model, sequential IO, and independently RESUMABLE
+    per partition (the north rule's per-partition checkpoint+lineage).
+
+    ``bucket_range=(lo, hi)``: merge only runs whose doc-bucket falls in
+    [lo, hi) — the skew split for partitions whose postings mass would not
+    fit one task (hot stopword partitions). Disjoint doc ranges keep block
+    rows stitchable by first_doc order.
+
+    Returns lineage counters {terms, postings, blocks, bytes, seconds}.
     """
+    import time as _time
 
-    def merge_runs(group: pa.Table) -> pa.Table:
-        n_runs = group.num_rows
-        if n_runs == 0:
-            return pa.table({n: [] for n in MERGED_SCHEMA.names}, schema=MERGED_SCHEMA)
-        part = int(group.column("part")[0].as_py())
-        bucket = int(group.column("bucket")[0].as_py())
+    import pyarrow.parquet as _pq
+
+    from clip_as_service_ray.state import manifest as _mf
+
+    t0 = _time.time()
+    tables = []
+    for f in partial_files:
+        t = _pq.read_table(f, columns=["bucket", "term", "n", "docs", "tfs", "dls"])
+        if bucket_range is not None:
+            lo, hi = bucket_range
+            m = np.logical_and(
+                t.column("bucket").to_numpy() >= lo, t.column("bucket").to_numpy() < hi
+            )
+            t = t.filter(pa.array(m))
+        tables.append(t)
+    group = pa.concat_tables(tables) if tables else None
+
+    cols: dict[str, list] = {n: [] for n in BLOCK_SCHEMA.names}
+    n_postings = 0
+    if group is not None and group.num_rows:
         terms = group.column("term").to_numpy(zero_copy_only=False)
         ns = group.column("n").to_numpy().astype(np.int64)
-        docs_bufs = group.column("docs").to_pylist()
-        tfs_bufs = group.column("tfs").to_pylist()
-        dls_bufs = group.column("dls").to_pylist()
-
         codes, uniques = pd.factorize(terms, sort=False)
-        docs_all = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in docs_bufs])
-        tfs_all = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in tfs_bufs])
-        dls_all = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in dls_bufs])
+        docs_all = np.concatenate(
+            [np.frombuffer(b_, dtype=np.int64) for b_ in group.column("docs").to_pylist()]
+        )
+        tfs_all = np.concatenate(
+            [np.frombuffer(b_, dtype=np.int32) for b_ in group.column("tfs").to_pylist()]
+        )
+        dls_all = np.concatenate(
+            [np.frombuffer(b_, dtype=np.int32) for b_ in group.column("dls").to_pylist()]
+        )
         codes_all = np.repeat(codes, ns)
-
         order = np.lexsort((docs_all, codes_all))
         codes_s = codes_all[order]
         docs_s = docs_all[order]
         tfs_s = tfs_all[order].astype(np.int64)
         dls_s = dls_all[order].astype(np.int64)
-
         dup = (np.diff(codes_s) == 0) & (np.diff(docs_s) == 0)
         if np.any(dup):
             raise ValueError(
                 "duplicate (term, doc_id) postings — input has duplicate "
-                "(conv_id, turn_idx) rows; run exact dedup before indexing"
+                "(conv_id, turn_idx) rows; run dedup_turns before indexing"
             )
-
         change = np.nonzero(np.diff(codes_s) != 0)[0] + 1
         starts = np.concatenate([[0], change])
         ends = np.concatenate([change, [len(codes_s)]])
-
-        cols: dict[str, list] = {n: [] for n in BLOCK_SCHEMA.names}
         for s, e in zip(starts, ends):
             encode_postings_to_blocks(
                 uniques[codes_s[s]],
-                docs_s[s:e],
-                tfs_s[s:e],
-                dls_s[s:e],
-                block_size=block_size,
-                avgdl=avgdl,
-                k1=k1,
-                b=b,
-                out=cols,
+                docs_s[s:e], tfs_s[s:e], dls_s[s:e],
+                block_size=block_size, avgdl=avgdl, k1=k1, b=b, out=cols,
             )
-        n_out = len(cols["term"])
-        out = {"part": [part] * n_out, "bucket": [bucket] * n_out, **cols}
-        return pa.table(out, schema=MERGED_SCHEMA)
+        n_postings = len(codes_s)
 
-    return merge_runs
+    os.makedirs(out_dir, exist_ok=True)
+    out_tbl = pa.table(cols, schema=BLOCK_SCHEMA)
+    suffix = f"_{bucket_range[0]}" if bucket_range else ""
+    out_path = os.path.join(out_dir, f"blocks{suffix}.parquet")
+    tmp = out_path + f".tmp.{os.getpid()}"
+    _pq.write_table(out_tbl, tmp)
+    os.replace(tmp, out_path)
+    counters = {
+        "terms": int(len(np.unique(cols["term"])) if cols["term"] else 0),
+        "postings": n_postings,
+        "blocks": out_tbl.num_rows,
+        "bytes": os.path.getsize(out_path),
+        "seconds": _time.time() - t0,
+    }
+    if bucket_range is None:
+        _mf.mark_stage_done(out_dir, {"stage": "postings_part", **counters})
+    return counters

@@ -275,10 +275,14 @@ class QueryScorer:
         default_limit: int = 10,
         pruning: bool = True,
         global_stats: dict | None = None,
+        attach_softmax: bool = False,
     ):
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         self.default_limit = default_limit
         self.pruning = pruning
+        # mirror of set_rank writing BOTH scores (helper.py:110-114): the raw
+        # BM25 score (cosine analog) plus a per-query softmax over the hits
+        self.attach_softmax = attach_softmax
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("query_id").to_pylist()
@@ -292,6 +296,7 @@ class QueryScorer:
             self.reader.score_query_pruned if self.pruning else self.reader.score_query
         )
         cols: dict[str, list] = {n: [] for n in HITS_SCHEMA.names}
+        softmax_col: list[float] = []
         for qid, text, limit in zip(qids, texts, limits):
             doc_ids, scores = score_fn(text, int(limit or self.default_limit))
             if len(doc_ids) == 0:
@@ -303,4 +308,9 @@ class QueryScorer:
             cols["conv_id"].extend(conv_ids.tolist())
             cols["turn_idx"].extend(turn_idxs.tolist())
             cols["score"].extend(scores.tolist())
-        return pa.table(cols, schema=HITS_SCHEMA)
+            if self.attach_softmax:
+                softmax_col.extend(bm25.numpy_softmax(scores).tolist())
+        out = pa.table(cols, schema=HITS_SCHEMA)
+        if self.attach_softmax:
+            out = out.append_column("softmax_score", pa.array(softmax_col, pa.float64()))
+        return out

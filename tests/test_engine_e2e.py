@@ -121,3 +121,44 @@ def test_query_service_matches_batch_search(built):
         zip(want.query_id, want["rank"], want.conv_id, want.turn_idx)
     )
     np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy(), rtol=0, atol=1e-9)
+
+
+def test_softmax_scores_option(built):
+    """set_rank parity: optional per-query softmax score column alongside the
+    raw BM25 score (helper.py:110-114); softmax sums to 1 per query
+    (test_ranker.py:59-61)."""
+    import ray
+
+    from clip_as_service_ray.stages.query import QueryScorer
+
+    corpus, index_dir, report, oracle = built
+    worker = ray.remote(num_cpus=1)(QueryScorer)
+    actor = worker.remote(index_dir, 10, True, None, True)
+    try:
+        out = ray.get(actor.__call__.remote(reference_query_table())).to_pandas()
+    finally:
+        ray.kill(actor)
+    assert "softmax_score" in out.columns
+    for qid, g in out.groupby("query_id"):
+        assert abs(g.softmax_score.sum() - 1.0) < 1e-9
+        # softmax preserves the ranking of the raw score
+        assert list(g.sort_values("softmax_score", ascending=False)["rank"]) == list(g["rank"])
+
+
+def test_index_roles_filter(built, tmp_path):
+    """M1 analog: only requested roles are indexed."""
+    corpus, _idx, _r, _o = built
+    cfg2 = EngineConfig(
+        num_index_partitions=2, index_roles=("user",), postings_block_size=64
+    )
+    idx2 = str(tmp_path / "roles_idx")
+    report2 = build_index(corpus, idx2, cfg2, overwrite=True)
+    import pandas as pd
+
+    df = corpus.to_pandas()
+    from clip_as_service_ray.functions.tokenizer import tokenize
+
+    expect = sum(
+        1 for _, row in df.iterrows() if row.role == "user" and len(tokenize(row.text)) > 0
+    )
+    assert report2["n_docs"] == expect
