@@ -106,21 +106,15 @@ def _source_bytes(source) -> int:
 
 
 def _conv_extents_driver(source) -> pa.Table:
-    """Driver-side (conv_id, max_turn): column-pruned read + one reduceat."""
+    """Driver-side (conv_id, max_turn): column-pruned read + C++ group-max."""
     if isinstance(source, pa.Table):
         t = source.select(["conv_id", "turn_idx"])
     else:
         t = pq.read_table(source, columns=["conv_id", "turn_idx"])
-    conv = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
-    turn = t.column("turn_idx").to_numpy().astype(np.int64)
-    order = np.argsort(conv, kind="stable")
-    conv_s, turn_s = conv[order], turn[order]
-    starts = np.concatenate([[0], np.nonzero(conv_s[1:] != conv_s[:-1])[0] + 1])
-    return pa.table(
-        {
-            "conv_id": pa.array(conv_s[starts], pa.string()),
-            "max_turn": pa.array(np.maximum.reduceat(turn_s, starts), pa.int64()),
-        }
+    g = t.group_by("conv_id").aggregate([("turn_idx", "max")])
+    g = g.rename_columns(["conv_id", "max_turn"])
+    return g.set_column(
+        1, "max_turn", g.column("max_turn").cast(pa.int64())
     )
 
 

@@ -148,17 +148,19 @@ def merge_partition(
     from clip_as_service_ray.state import manifest as _mf
 
     t0 = _time.time()
-    tables = []
-    for f in partial_files:
-        t = _pq.read_table(f, columns=["bucket", "term", "n", "docs", "tfs", "dls"])
+    if partial_files:
+        # one multithreaded C++ read over the whole partition's files (the
+        # map side writes a file per map task; per-file Python reads were
+        # the reduce-side hotspot)
+        group = _pq.read_table(
+            partial_files, columns=["bucket", "term", "n", "docs", "tfs", "dls"]
+        ).combine_chunks()
         if bucket_range is not None:
             lo, hi = bucket_range
-            m = np.logical_and(
-                t.column("bucket").to_numpy() >= lo, t.column("bucket").to_numpy() < hi
-            )
-            t = t.filter(pa.array(m))
-        tables.append(t)
-    group = pa.concat_tables(tables) if tables else None
+            bk = group.column("bucket").to_numpy()
+            group = group.filter(pa.array((bk >= lo) & (bk < hi)))
+    else:
+        group = None
 
     cols: dict[str, list] = {n: [] for n in BLOCK_SCHEMA.names}
     n_postings = 0

@@ -77,6 +77,7 @@ class IndexReader:
                 "term", "first_doc", "last_doc", "n",
                 "doc_w", "tf_w", "dl_w", "max_tf_norm", "data",
             ],
+            memory_map=True,
         ).combine_chunks()
         self._b_first = blocks.column("first_doc").to_numpy()
         self._b_n = blocks.column("n").to_numpy()
@@ -84,7 +85,11 @@ class IndexReader:
         self._b_tf_w = blocks.column("tf_w").to_numpy()
         self._b_dl_w = blocks.column("dl_w").to_numpy()
         self._b_max = blocks.column("max_tf_norm").to_numpy()
-        self._b_data = blocks.column("data").to_pylist()
+        # keep payloads as the Arrow binary array; slice lazily per decode
+        # (an upfront to_pylist of every block blob dominated actor init)
+        self._b_data = blocks.column("data")
+        if isinstance(self._b_data, pa.ChunkedArray):
+            self._b_data = self._b_data.combine_chunks()
         terms_np = blocks.column("term").to_numpy(zero_copy_only=False)
         # term -> block row indices ordered by first_doc
         self._term_blocks: dict[str, np.ndarray] = {}
@@ -118,9 +123,11 @@ class IndexReader:
         rows = self._term_blocks.get(term)
         if rows is None:
             return None
+        data = self._b_data
         parts = [
             decode_block(
-                self._b_data[r], int(self._b_n[r]), int(self._b_doc_w[r]),
+                data[r].as_buffer(),  # zero-copy Arrow buffer view
+                int(self._b_n[r]), int(self._b_doc_w[r]),
                 int(self._b_tf_w[r]), int(self._b_dl_w[r]), int(self._b_first[r]),
             )
             for r in rows
