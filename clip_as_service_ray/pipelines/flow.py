@@ -1,0 +1,95 @@
+"""Config-driven pipeline builder — the Flow-YAML analog.
+
+The reference wires its serving pipeline from YAML (executors, replicas,
+shards — ``server/clip_server/__main__.py:21-27``, ``torch-flow.yml``).
+Our batch-engine equivalent: a plain dict describes a sequence of stages;
+each stage names an operator, its arguments, and (optionally) consumes the
+output of an earlier stage via ``"$stage_name"`` references. No new
+execution machinery — this just assembles calls into the pipelines/stages
+API, which is exactly what the Flow YAML does for executors.
+
+Example:
+
+    flow = {
+        "stages": [
+            {"name": "dedup", "op": "dedup_turns", "args": {"source": "/data/t.parquet"}},
+            {"name": "index", "op": "build_index",
+             "args": {"source": "$dedup", "index_dir": "/tmp/idx"}},
+            {"name": "hits", "op": "search",
+             "args": {"index_dir": "/tmp/idx", "queries": "$queries"}},
+        ],
+    }
+    results = run_flow(flow, inputs={"queries": queries_table})
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
+
+
+def _op_build_index(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.pipelines.build_index import build_index
+
+    return build_index(args["source"], args["index_dir"], cfg,
+                       overwrite=args.get("overwrite", False))
+
+
+def _op_search(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.pipelines.search import search_table
+
+    return search_table(args["index_dir"], args["queries"], cfg)
+
+
+def _op_dedup_turns(args: dict, cfg: EngineConfig):
+    import ray.data
+
+    from clip_as_service_ray.stages.dedup import dedup_turns
+
+    src = args["source"]
+    ds = ray.data.read_parquet(src) if isinstance(src, str) else src
+    if not hasattr(ds, "map_batches"):
+        ds = ray.data.from_arrow(ds)
+    return dedup_turns(ds)
+
+
+def _op_minhash_dedup(args: dict, cfg: EngineConfig):
+    import ray.data
+
+    from clip_as_service_ray.stages.dedup import minhash_lsh_pairs
+
+    src = args["source"]
+    ds = ray.data.read_parquet(src) if isinstance(src, str) else src
+    return minhash_lsh_pairs(ds, threshold=args.get("threshold", 0.8))
+
+
+OPS = {
+    "build_index": _op_build_index,
+    "search": _op_search,
+    "dedup_turns": _op_dedup_turns,
+    "minhash_dedup": _op_minhash_dedup,
+}
+
+
+def run_flow(
+    flow: dict,
+    inputs: dict[str, Any] | None = None,
+    config: EngineConfig | None = None,
+) -> dict[str, Any]:
+    """Execute a stage list; returns {stage_name: result}. ``$name`` in any
+    arg value resolves to a prior stage's result or a caller input."""
+    cfg = config or (
+        EngineConfig(**flow["config"]) if "config" in flow else DEFAULT_CONFIG
+    )
+    results: dict[str, Any] = dict(inputs or {})
+    for stage in flow["stages"]:
+        op = OPS.get(stage["op"])
+        if op is None:
+            raise ValueError(f"unknown op {stage['op']!r}; known: {sorted(OPS)}")
+        args = {
+            k: (results[v[1:]] if isinstance(v, str) and v.startswith("$") else v)
+            for k, v in stage.get("args", {}).items()
+        }
+        results[stage["name"]] = op(args, cfg)
+    return {s["name"]: results[s["name"]] for s in flow["stages"]}

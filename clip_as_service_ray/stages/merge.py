@@ -181,12 +181,14 @@ def merge_partition(
         dls_all = np.concatenate(
             [np.frombuffer(b_, dtype=np.int32) for b_ in group.column("dls").to_pylist()]
         )
-        codes_all = np.repeat(codes, ns)
+        # int32 where value ranges allow: the sandbox VM re-faults freed
+        # pages at hypervisor speed, so temporary bytes are the real cost
+        codes_all = np.repeat(codes.astype(np.int32), ns)
         order = np.lexsort((docs_all, codes_all))
         codes_s = codes_all[order]
         docs_s = docs_all[order]
-        tfs_s = tfs_all[order].astype(np.int64)
-        dls_s = dls_all[order].astype(np.int64)
+        tfs_s = tfs_all[order]
+        dls_s = dls_all[order]
         dup = (np.diff(codes_s) == 0) & (np.diff(docs_s) == 0)
         if np.any(dup):
             raise ValueError(

@@ -124,8 +124,8 @@ def encode_postings_to_blocks(
     if n_total == 0:
         return cols
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
-    tfs = np.asarray(tfs, dtype=np.int64)
-    dls = np.asarray(dls, dtype=np.int64)
+    tfs = np.asarray(tfs)  # any integer dtype; int32 upstream to cut temporaries
+    dls = np.asarray(dls)
     tf_norm_all = bm25.tf_norm(tfs, dls, avgdl, k1=k1, b=b)
 
     starts = np.arange(0, n_total, block_size)
