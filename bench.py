@@ -120,18 +120,24 @@ def run_bench() -> dict:
     else:
         timings["query_batch"] = 0.0
 
-    ref_q = reference_query_table()
-    svc = QueryService(index_dir, cfg)
-    try:
-        svc.search(ref_q)  # warm (index load + term-score caches)
-        lat = []
-        for _ in range(21):
-            t0 = time.time()
-            svc.search(ref_q)
-            lat.append(time.time() - t0)
-        timings["query_p50"] = statistics.median(lat)
-    finally:
-        svc.shutdown()
+    if os.environ.get("BENCH_SKIP_P50", "") == "1":
+        timings["query_p50"] = 0.0
+        out_early = True
+    else:
+        out_early = False
+    if not out_early:
+        ref_q = reference_query_table()
+        svc = QueryService(index_dir, cfg)
+        try:
+            svc.search(ref_q)  # warm (index load + term-score caches)
+            lat = []
+            for _ in range(21):
+                t0 = time.time()
+                svc.search(ref_q)
+                lat.append(time.time() - t0)
+            timings["query_p50"] = statistics.median(lat)
+        finally:
+            svc.shutdown()
 
     total = timings["index_build"] + timings["query_batch"]
     out = {
@@ -161,17 +167,21 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, warm_vm_only: bool = False) -> dict:
         # children skip the query batch (efficiency is measured on build
-        # throughput) but keep the warm-run build + p50
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_N_QUERIES="0")
+        # throughput); the VM-warm pass also skips p50 and the double build
+        extra = {"RAY_GRAFT_CPUS": str(ncpu), "BENCH_N_QUERIES": "0",
+                 "BENCH_NO_WARM": "1"}
+        if warm_vm_only:
+            extra["BENCH_SKIP_P50"] = "1"
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            env=dict(os.environ, **extra), capture_output=True, text=True, check=True,
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
+    run(hi, warm_vm_only=True)  # untimed: faults VM memory + OS page cache
     r_lo, r_hi = run(lo), run(hi)
     tp_lo = r_lo["turns_per_sec"]
     tp_hi = r_hi["turns_per_sec"]
