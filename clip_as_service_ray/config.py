@@ -34,6 +34,10 @@ class EngineConfig:
     # splitting required by the north rule. 64k docs/bucket caps a hot
     # term's per-group postings at ~bucket_size regardless of corpus size.
     doc_bucket_size: int = 1 << 16
+    # a partition whose partial-postings mass exceeds this is merged as
+    # several bucket-range subtasks (hot-term skew splitting): wall time of
+    # the merge stage is bounded by this instead of by the hottest term
+    merge_split_postings: int = 1_500_000
 
     # --- execution sizing ---
     tokenize_batch_size: int = 8192

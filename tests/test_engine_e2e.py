@@ -162,3 +162,30 @@ def test_index_roles_filter(built, tmp_path):
         1 for _, row in df.iterrows() if row.role == "user" and len(tokenize(row.text)) > 0
     )
     assert report2["n_docs"] == expect
+
+
+def test_skew_split_merge_rank_identical(built, tmp_path):
+    """Force bucket-range merge subtasks (hot-partition skew splitting) and
+    verify the split index is still rank-identical to the oracle."""
+    corpus, _idx, _r, oracle = built
+    cfg = EngineConfig(
+        num_index_partitions=2,
+        doc_bucket_size=256,
+        postings_block_size=64,
+        merge_split_postings=2000,  # tiny threshold -> every partition splits
+    )
+    idx = str(tmp_path / "split_idx")
+    report = build_index(corpus, idx, cfg, overwrite=True)
+    assert report["n_postings"] == _r["n_postings"]
+    queries = reference_query_table()
+    got = search_table(idx, queries, cfg).to_pandas()
+    want = oracle.search(queries).to_pandas()
+    assert list(zip(got.query_id, got["rank"], got.conv_id, got.turn_idx)) == list(
+        zip(want.query_id, want["rank"], want.conv_id, want.turn_idx)
+    )
+    np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy(), rtol=0, atol=1e-9)
+    # manifests record the subtask lineage
+    import json
+
+    m = json.load(open(os.path.join(idx, "postings", "part=0", "_DONE.json")))
+    assert m.get("subtasks", 0) >= 2
