@@ -94,7 +94,9 @@ def run_bench() -> dict:
             pass
 
     cfg = EngineConfig(
-        num_index_partitions=max(8, num_cpus),
+        # fixed partition count across parallelism levels (a real cluster
+        # keeps its partitioning when nodes are added): comparable work units
+        num_index_partitions=32,
         tokenize_concurrency=num_cpus,
         query_concurrency=max(2, num_cpus // 2),
     )
@@ -183,8 +185,8 @@ def run_scaling() -> dict:
     # therefore run REPS times and the best run is taken — min-time is the
     # standard noise-robust estimator, and both legs get identical treatment
     # on the same input (600k turns so each rep is short).
-    n_turns = int(os.environ.get("BENCH_SCALING_TURNS", "1200000"))
-    reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+    n_turns = int(os.environ.get("BENCH_SCALING_TURNS", "2400000"))
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
 
     def run(ncpu: int) -> dict:
         # one fresh process per leg; reps run INSIDE the session so the Ray

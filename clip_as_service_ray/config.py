@@ -37,7 +37,7 @@ class EngineConfig:
     # a partition whose partial-postings mass exceeds this is merged as
     # several bucket-range subtasks (hot-term skew splitting): wall time of
     # the merge stage is bounded by this instead of by the hottest term
-    merge_split_postings: int = 1_500_000
+    merge_split_postings: int = 500_000
 
     # --- execution sizing ---
     tokenize_batch_size: int = 8192
