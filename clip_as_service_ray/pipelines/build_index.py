@@ -214,11 +214,17 @@ def build_index(
     timings["conv_extents_s"] = time.time() - t
 
     # ---- stage 2: tokenize -> staging checkpoint ----
+    # For inputs that fit the object store comfortably, the tokenized
+    # dataset is MATERIALIZED in memory once and then both consumers (the
+    # staging checkpoint write and the partials emit) stream from it — no
+    # disk write->read barrier between tokenize and the exchange. Large
+    # inputs fall back to the pure disk path (staging written, then re-read).
     t = time.time()
     staging_dir = os.path.join(index_dir, STAGING)
+    staged_mem = None
     if not (config.resume and mf.stage_done(staging_dir)):
         mf.reset_stage(staging_dir)
-        ds.map_batches(
+        staged = ds.map_batches(
             tokenize_batch,
             fn_kwargs={
                 "conv_base_ref": conv_base_ref,
@@ -226,7 +232,12 @@ def build_index(
             },
             batch_format="pyarrow",
             batch_size=config.tokenize_batch_size,
-        ).write_parquet(staging_dir)
+        )
+        if small_input:
+            staged_mem = staged.materialize()
+            staged_mem.write_parquet(staging_dir)
+        else:
+            staged.write_parquet(staging_dir)
         mf.mark_stage_done(
             staging_dir,
             {"stage": "staging", "bytes": mf.dir_bytes(staging_dir), "seconds": time.time() - t},
@@ -271,8 +282,12 @@ def build_index(
     partials_dir = os.path.join(index_dir, PARTIALS)
     if not (config.resume and mf.stage_done(partials_dir)):
         mf.reset_stage(partials_dir)
-        staging = ray.data.read_parquet(
-            staging_dir, columns=["doc_id", "dl", "terms", "tfs"]
+        staging = (
+            staged_mem
+            if staged_mem is not None
+            else ray.data.read_parquet(
+                staging_dir, columns=["doc_id", "dl", "terms", "tfs"]
+            )
         )
         staging.map_batches(
             EmitPartials(config.num_index_partitions, config.doc_bucket_size),
