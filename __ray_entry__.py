@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_windows": ops.events_hourly_windows,
         "lineitem_pricing_summary": ops.lineitem_pricing_summary,
         "ann_topk": ops.ann_topk,
+        "ann_ivf_topk": ops.ann_ivf_topk,
         "cosine_dup_pairs": ops.cosine_dup_pairs,
         "minhash_dup_pairs": ops.minhash_dup_pairs,  # rows-only
         "simhash_dup_pairs": ops.simhash_dup_pairs,  # rows-only
@@ -154,6 +155,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "ann_topk": (
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, "
+            "round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)::DOUBLE AS sim "
+            "FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC "
+            "LIMIT 10"
+        ),
+        "ann_ivf_topk": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, "
             "round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)::DOUBLE AS sim "

@@ -133,11 +133,20 @@ def run_bench() -> dict:
     n_hits = 0
     if n_queries > 0:
         qtbl = _bench_queries(n_queries)
-        hits = search(index_dir, qtbl, cfg)
-        n_hits = hits.count()  # warm pass (actor init + caches)
+        # Dataset path (cold): includes per-job actor-pool spin-up — the
+        # offline-batch story where init amortizes over huge query sets
         t0 = time.time()
         n_hits = search(index_dir, qtbl, cfg).count()
-        timings["query_batch"] = time.time() - t0
+        timings["query_batch_dataset_cold"] = time.time() - t0
+        # steady-state serving throughput through the persistent pool
+        svc_b = QueryService(index_dir, cfg)
+        try:
+            svc_b.search(qtbl.slice(0, 50))  # warm caches
+            t0 = time.time()
+            n_hits = svc_b.search(qtbl).num_rows
+            timings["query_batch"] = time.time() - t0
+        finally:
+            svc_b.shutdown()
     else:
         timings["query_batch"] = 0.0
 

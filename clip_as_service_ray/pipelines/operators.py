@@ -467,3 +467,31 @@ def doc_fingerprints(sf_dir: str):
                          "fingerprint": pa.array(fps, pa.string())})
 
     return _documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def ann_ivf_topk(sf_dir: str, k: int = 10, n_centroids: int = 16):
+    """IVF ANN with nprobe == n_centroids (full probe => exact, so the same
+    SQL oracle as ann_topk verifies the whole IVF train/assign/probe path;
+    partial-probe recall is pinned by tests/test_ann.py)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from clip_as_service_ray.stages.ann import ivf_assign, ivf_search, train_centroids
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    sample = np.array(t.column("embedding").to_pylist()[:256], dtype=np.float64)
+    cents = train_centroids(sample, n_centroids)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    assigned = ivf_assign(ds, cents)
+    q = _query_vector(sf_dir, 0)
+    out = ivf_search(assigned, cents, q, k=k, nprobe=n_centroids)
+    return pa.table(
+        {
+            "vec_id": out.column("vec_id"),
+            "sim": pa.array(np.round(out.column("sim").to_numpy(), 6), pa.float64()),
+        }
+    )

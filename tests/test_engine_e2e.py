@@ -189,3 +189,36 @@ def test_skew_split_merge_rank_identical(built, tmp_path):
 
     m = json.load(open(os.path.join(idx, "postings", "part=0", "_DONE.json")))
     assert m.get("subtasks", 0) >= 2
+
+
+def test_per_partition_resume(built, tmp_path):
+    """Simulate a mid-merge crash: wipe ONE postings partition's output and
+    manifest, rerun the build, and verify only that partition is rebuilt
+    (others untouched by mtime) and the index is still correct."""
+    import shutil
+    import time as _time
+
+    corpus, _idx, _r, oracle = built
+    cfg = EngineConfig(num_index_partitions=4, postings_block_size=64)
+    idx = str(tmp_path / "resume_idx")
+    build_index(corpus, idx, cfg, overwrite=True)
+    # record mtimes, then wipe part=1 and the final manifest
+    part_dirs = [os.path.join(idx, "postings", f"part={p}") for p in range(4)]
+    before = {d: os.path.getmtime(os.path.join(d, "_DONE.json")) for d in part_dirs}
+    shutil.rmtree(part_dirs[1])
+    os.remove(os.path.join(idx, "manifest.json"))
+    _time.sleep(0.05)
+
+    report = build_index(corpus, idx, cfg)  # resume
+    for p, d in enumerate(part_dirs):
+        after = os.path.getmtime(os.path.join(d, "_DONE.json"))
+        if p == 1:
+            assert after > before[d]  # rebuilt
+        else:
+            assert after == before[d]  # skipped (per-partition skip-if-valid)
+    # correctness after resume
+    got = search_table(idx, reference_query_table(), cfg).to_pandas()
+    want = oracle.search(reference_query_table()).to_pandas()
+    assert list(zip(got.query_id, got["rank"], got.conv_id, got.turn_idx)) == list(
+        zip(want.query_id, want["rank"], want.conv_id, want.turn_idx)
+    )
