@@ -222,3 +222,24 @@ def test_per_partition_resume(built, tmp_path):
     assert list(zip(got.query_id, got["rank"], got.conv_id, got.turn_idx)) == list(
         zip(want.query_id, want["rank"], want.conv_id, want.turn_idx)
     )
+
+
+def test_partitioning_invariance(built, tmp_path):
+    """FIXTURES determinism invariant: identical ids/scores regardless of
+    execution layout — here, two different partition counts / bucket sizes /
+    batch sizes produce byte-identical search results."""
+    corpus, _idx, _r, oracle = built
+    cfg_a = EngineConfig(num_index_partitions=3, doc_bucket_size=128,
+                         postings_block_size=32, tokenize_batch_size=512)
+    cfg_b = EngineConfig(num_index_partitions=9, doc_bucket_size=4096,
+                         postings_block_size=256, tokenize_batch_size=4096)
+    hits = []
+    for tag, cfg in (("a", cfg_a), ("b", cfg_b)):
+        idx = str(tmp_path / f"layout_{tag}")
+        build_index(corpus, idx, cfg, overwrite=True)
+        hits.append(search_table(idx, reference_query_table(), cfg).to_pandas())
+    a, b = hits
+    assert list(zip(a.query_id, a["rank"], a.conv_id, a.turn_idx)) == list(
+        zip(b.query_id, b["rank"], b.conv_id, b.turn_idx)
+    )
+    np.testing.assert_array_equal(a.score.to_numpy(), b.score.to_numpy())
