@@ -82,14 +82,24 @@ def tokenize_texts(texts, lowercase: bool = True) -> list[list[str]]:
     The regex engine is C-backed; the Python loop here is over *rows of one
     batch*, which is the same granularity the reference uses
     (``simple_tokenizer.py:138`` runs findall per document).
+
+    Fast path: ``whitespace_clean`` (collapse ``\\s+`` -> ' ') is provably a
+    no-op for the TOKEN LIST — no alternative of TOKEN_PATTERN can match or
+    span whitespace (letters/digits exclude it; the punctuation run is
+    ``[^\\s...]+``), so findall over the uncollapsed string yields the exact
+    same tokens. It is skipped here (it cost as much as findall itself);
+    ``normalize()`` keeps it for callers that need the canonical STRING.
+    Equivalence is pinned by tests/test_tokenizer.py.
     """
     pat = TOKEN_PATTERN
+    clean = basic_clean
     out = []
-    for t in texts:
-        if t is None or t == "":
-            out.append([])
-        else:
-            out.append(pat.findall(normalize(t, lowercase=lowercase)))
+    if lowercase:
+        for t in texts:
+            out.append([] if not t else pat.findall(clean(t).lower()))
+    else:
+        for t in texts:
+            out.append([] if not t else pat.findall(clean(t)))
     return out
 
 

@@ -58,3 +58,21 @@ def test_normalize_composition():
 def test_tokenize_texts_nulls_and_empties():
     out = tokenize_texts([None, "", "one two", "   "])
     assert out == [[], [], ["one", "two"], []]
+
+
+def test_fast_path_equals_normalized_path():
+    """tokenize_texts skips whitespace_clean; prove token equality with the
+    fully-normalized path on goldens plus adversarial whitespace strings."""
+    import numpy as np
+
+    from clip_as_service_ray.functions.tokenizer import TOKEN_PATTERN
+
+    rng = np.random.default_rng(5)
+    pieces = ["ab", "x9", "don't", "!!", "…", "\t", "\n", "  ", " ", "é龍", "<|startoftext|>"]
+    samples = [t for t, _ in GOLDEN]
+    for _ in range(200):
+        samples.append("".join(rng.choice(pieces, rng.integers(1, 25))))
+    for s in samples:
+        slow = TOKEN_PATTERN.findall(normalize(s))
+        fast = tokenize_texts([s])[0]
+        assert fast == slow, repr(s)
