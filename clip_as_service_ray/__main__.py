@@ -1,0 +1,80 @@
+"""CLI entry point — the analog of ``python -m clip_server``
+(``/root/reference/server/clip_server/__main__.py:1-27``): one command to
+bring up each pipeline from plain arguments, suitable for ``ray job submit``.
+
+    python -m clip_as_service_ray build  --input T.parquet --index-dir IDX
+    python -m clip_as_service_ray search --index-dir IDX --queries Q.parquet --out HITS.parquet
+    python -m clip_as_service_ray bench  (alias of bench.py)
+
+Owns its Ray session (guarded init), unlike the library code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="clip_as_service_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True, help="transcripts parquet path/dir")
+    b.add_argument("--index-dir", required=True)
+    b.add_argument("--overwrite", action="store_true")
+    b.add_argument("--num-partitions", type=int, default=None)
+    b.add_argument("--roles", default=None, help="comma-separated roles to index")
+
+    s = sub.add_parser("search", help="run a query batch against an index")
+    s.add_argument("--index-dir", required=True)
+    s.add_argument("--queries", required=True, help="parquet with query_id,text[,limit]")
+    s.add_argument("--out", default=None, help="write hits parquet here (else print)")
+    s.add_argument("--limit", type=int, default=10)
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from clip_as_service_ray.config import EngineConfig
+
+    try:
+        if args.cmd == "build":
+            from clip_as_service_ray.pipelines.build_index import build_index
+
+            kwargs = {}
+            if args.num_partitions:
+                kwargs["num_index_partitions"] = args.num_partitions
+            if args.roles:
+                kwargs["index_roles"] = tuple(args.roles.split(","))
+            report = build_index(
+                args.input, args.index_dir, EngineConfig(**kwargs),
+                overwrite=args.overwrite,
+            )
+            print(json.dumps(report, default=str))
+        elif args.cmd == "search":
+            import pyarrow.parquet as pq
+
+            from clip_as_service_ray.pipelines.search import search_table
+
+            queries = pq.read_table(args.queries)
+            hits = search_table(args.index_dir, queries, EngineConfig(limit=args.limit))
+            if args.out:
+                pq.write_table(hits, args.out)
+                print(json.dumps({"hits": hits.num_rows, "out": args.out}))
+            else:
+                print(hits.to_pandas().to_string(index=False))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
