@@ -204,7 +204,7 @@ def run_scaling() -> dict:
     # standard noise-robust estimator, and both legs get identical treatment
     # on the same input (600k turns so each rep is short).
     n_turns = int(os.environ.get("BENCH_SCALING_TURNS", "2400000"))
-    reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
 
     def run(ncpu: int) -> dict:
         # one fresh process per leg; reps run INSIDE the session so the Ray
