@@ -34,10 +34,12 @@ class EngineConfig:
     # splitting required by the north rule. 64k docs/bucket caps a hot
     # term's per-group postings at ~bucket_size regardless of corpus size.
     doc_bucket_size: int = 1 << 16
-    # a partition whose partial-postings mass exceeds this is merged as
-    # several bucket-range subtasks (hot-term skew splitting): wall time of
-    # the merge stage is bounded by this instead of by the hottest term
-    merge_split_postings: int = 500_000
+    # doc-range groups per term-hash partition: the merge exchange is a 2-D
+    # grid (part x bgrp) and each grid cell is one merge task. Hot terms
+    # spread uniformly over doc ranges, so cells stay balanced under term
+    # skew; wall time of the merge stage is bounded by a cell, not by the
+    # hottest term (the north rule's skew splitting, statically planned).
+    merge_groups_per_part: int = 4
 
     # --- execution sizing ---
     tokenize_batch_size: int = 8192

@@ -137,36 +137,6 @@ def _conv_extents(ds) -> pa.Table:
     return pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
 
 
-def _split_ranges(files: list, threshold: int) -> list[tuple[int, int]] | None:
-    """Decide bucket-range subtasks for one partition from its partial-run
-    metadata (columns bucket, n — a tiny columnar read). Returns None when
-    the partition fits one task, else contiguous (lo, hi) bucket ranges each
-    carrying <= threshold postings (a single over-threshold bucket still
-    becomes its own range — doc_bucket_size bounds that mass)."""
-    if not files:
-        return None
-    meta = pq.read_table(files, columns=["bucket", "n"], use_threads=False)
-    total = int(np.sum(meta.column("n").to_numpy())) if meta.num_rows else 0
-    if total <= threshold:
-        return None
-    bk = meta.column("bucket").to_numpy()
-    ns = meta.column("n").to_numpy().astype(np.int64)
-    order = np.argsort(bk, kind="stable")
-    bk_s, ns_s = bk[order], ns[order]
-    starts = np.concatenate([[0], np.nonzero(np.diff(bk_s))[0] + 1])
-    buckets = bk_s[starts]
-    mass = np.add.reduceat(ns_s, starts)
-    ranges: list[tuple[int, int]] = []
-    lo, acc = int(buckets[0]), 0
-    for b, m in zip(buckets, mass):
-        if acc and acc + m > threshold:
-            ranges.append((lo, int(b)))
-            lo, acc = int(b), 0
-        acc += int(m)
-    ranges.append((lo, int(buckets[-1]) + 1))
-    return ranges
-
-
 def build_index(
     source,
     index_dir: str,
@@ -289,11 +259,15 @@ def build_index(
                 staging_dir, columns=["doc_id", "dl", "terms", "tfs"]
             )
         )
+        n_buckets = max(1, -(-stats["n_docs"] // config.doc_bucket_size))
+        grp_width = max(1, -(-n_buckets // config.merge_groups_per_part))
         staging.map_batches(
-            EmitPartials(config.num_index_partitions, config.doc_bucket_size),
+            EmitPartials(
+                config.num_index_partitions, config.doc_bucket_size, grp_width
+            ),
             batch_format="pyarrow",
             batch_size=config.tokenize_batch_size,
-        ).write_parquet(partials_dir, partition_cols=["part"])
+        ).write_parquet(partials_dir, partition_cols=["part", "bgrp"])
         mf.mark_stage_done(
             partials_dir,
             {"stage": "partials", "bytes": mf.dir_bytes(partials_dir), "seconds": time.time() - t},
@@ -314,7 +288,7 @@ def build_index(
         b=config.b,
     )
     futs = []
-    split_parts: list[tuple[str, list]] = []  # (part_out, its futures)
+    part_futs_map: dict[str, list] = {}
     for p in range(config.num_index_partitions):
         part_in = os.path.join(partials_dir, f"part={p}")
         part_out = os.path.join(postings_dir, f"part={p}")
@@ -322,36 +296,39 @@ def build_index(
             continue  # per-partition skip-if-valid
         if os.path.exists(part_out):
             mf.reset_stage(part_out)
-        files = (
+        grp_dirs = (
             sorted(
-                os.path.join(part_in, f)
-                for f in os.listdir(part_in)
-                if f.endswith(".parquet")
+                os.path.join(part_in, d)
+                for d in os.listdir(part_in)
+                if d.startswith("bgrp=")
             )
             if os.path.isdir(part_in)
             else []
         )
-        ranges = _split_ranges(files, config.merge_split_postings)
-        if ranges is None:
-            futs.append(merge_remote.remote(files, part_out, **merge_kwargs))
-        else:
-            # hot partition: bucket-range subtasks (skew splitting); the
-            # part manifest is written after ALL subtasks succeed
-            part_futs = [
-                merge_remote.remote(files, part_out, bucket_range=r, **merge_kwargs)
-                for r in ranges
-            ]
-            futs.extend(part_futs)
-            split_parts.append((part_out, part_futs))
+        pf = []
+        if not grp_dirs:
+            pf.append(merge_remote.remote([], part_out, **merge_kwargs))
+        for gd in grp_dirs:
+            files = sorted(
+                os.path.join(gd, f) for f in os.listdir(gd) if f.endswith(".parquet")
+            )
+            grp_tag = os.path.basename(gd).split("=")[1]
+            pf.append(
+                merge_remote.remote(
+                    files, part_out, out_suffix=f"_g{grp_tag}", **merge_kwargs
+                )
+            )
+        futs.extend(pf)
+        part_futs_map[part_out] = pf
     if futs:
         ray.get(futs)
-    for part_out, part_futs in split_parts:
-        counters = [c for c in ray.get(part_futs)]
+    for part_out, pf in part_futs_map.items():
+        counters = ray.get(pf)
         mf.mark_stage_done(
             part_out,
             {
                 "stage": "postings_part",
-                "subtasks": len(counters),
+                "cells": len(counters),
                 "terms": sum(c["terms"] for c in counters),
                 "postings": sum(c["postings"] for c in counters),
                 "blocks": sum(c["blocks"] for c in counters),

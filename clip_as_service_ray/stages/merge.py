@@ -9,17 +9,18 @@ This is the SPIMI pattern (SURVEY.md §7.2 steps 7-8) expressed Ray-Data-first:
   of B docs with V distinct terms shuffles V·(buckets) rows, not sum(dl)
   rows — the partial/combiner pre-aggregation the guide prescribes.
 
-- the merge exchange is DISK-PARTITIONED: the map side writes runs under
-  ``partials/part=K/`` (``part = crc32(term) % num_index_partitions``,
-  parquet ``partition_cols``), the reduce side (``merge_partition``) runs
-  one Ray task per partition over its files. No in-memory sort shuffle:
-  sequential IO both sides, each partition independently resumable with
-  lineage counters. One vectorized merge call handles every term of a
-  partition — no per-term Python task overhead at web-scale vocabularies.
-  Skew: a partition whose postings mass exceeds one task's budget is split
-  by ``bucket = first_doc // doc_bucket_size`` ranges (``bucket_range``
-  arg) — hot stopword partitions become several disjoint-doc-range merges
-  whose block rows stitch by ``first_doc`` order.
+- the merge exchange is a DISK-PARTITIONED 2-D GRID: the map side writes
+  runs under ``partials/part=K/bgrp=J/`` (``part = crc32(term) %
+  num_index_partitions``; ``bgrp`` = doc-range group, parquet
+  partition_cols), the reduce side (``merge_partition``) runs one Ray task
+  per grid cell over exactly its files. No in-memory sort shuffle:
+  sequential IO both sides, per-partition resume with lineage counters.
+  One vectorized merge call handles every term of a cell — no per-term
+  Python task overhead at web-scale vocabularies. Skew: a hot stopword's
+  postings spread uniformly across doc-range groups, so cells stay
+  balanced regardless of term frequency (the skew splitting is the static
+  doc-range axis of the grid); a cell's block rows stitch with its
+  neighbours by ``first_doc`` order at read time.
 
 Partial-run schema:
     part:int32, bucket:int64, term:string, first_doc:int64, n:int32,
@@ -44,6 +45,7 @@ PARTIAL_SCHEMA = pa.schema(
     [
         ("part", pa.int32()),
         ("bucket", pa.int64()),
+        ("bgrp", pa.int32()),
         ("term", pa.string()),
         ("first_doc", pa.int64()),
         ("n", pa.int32()),
@@ -53,11 +55,6 @@ PARTIAL_SCHEMA = pa.schema(
     ]
 )
 
-MERGED_SCHEMA = pa.schema(
-    [("part", pa.int32()), ("bucket", pa.int64())] + list(BLOCK_SCHEMA)
-)
-
-
 def term_partition(term: str, num_partitions: int) -> int:
     """Stable term -> partition hash (crc32; reproducible across processes,
     unlike Python's salted hash())."""
@@ -65,11 +62,19 @@ def term_partition(term: str, num_partitions: int) -> int:
 
 
 class EmitPartials:
-    """map_batches UDF: staging batch -> partial posting runs."""
+    """map_batches UDF: staging batch -> partial posting runs.
 
-    def __init__(self, num_partitions: int, doc_bucket_size: int):
+    ``bucket_grp_width`` (in buckets) adds the ``bgrp`` column — the
+    doc-range axis of the 2-D exchange grid (term-hash part x doc-range
+    group). The map side writes partition_cols=[part, bgrp], so each merge
+    task reads exactly its grid cell: hot terms are spread uniformly across
+    doc ranges, making cells naturally balanced regardless of term skew.
+    """
+
+    def __init__(self, num_partitions: int, doc_bucket_size: int, bucket_grp_width: int = 1 << 30):
         self.num_partitions = num_partitions
         self.doc_bucket_size = doc_bucket_size
+        self.bucket_grp_width = max(1, bucket_grp_width)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms_col = batch.column("terms").combine_chunks()
@@ -106,6 +111,7 @@ class EmitPartials:
             term = uniques[codes_s[s]]
             cols["part"].append(term_partition(term, self.num_partitions))
             cols["bucket"].append(int(buckets_s[s]))
+            cols["bgrp"].append(int(buckets_s[s]) // self.bucket_grp_width)
             cols["term"].append(term)
             cols["first_doc"].append(int(docs_s[s]))
             cols["n"].append(e - s)
@@ -123,7 +129,7 @@ def merge_partition(
     block_size: int,
     k1: float,
     b: float,
-    bucket_range: tuple | None = None,
+    out_suffix: str = "",
 ) -> dict:
     """Merge ALL partial runs of one term-hash partition into block-max
     posting rows; one call = one partition = one Ray task.
@@ -134,10 +140,11 @@ def merge_partition(
     the SPIMI spill-file model, sequential IO, and independently RESUMABLE
     per partition (the north rule's per-partition checkpoint+lineage).
 
-    ``bucket_range=(lo, hi)``: merge only runs whose doc-bucket falls in
-    [lo, hi) — the skew split for partitions whose postings mass would not
-    fit one task (hot stopword partitions). Disjoint doc ranges keep block
-    rows stitchable by first_doc order.
+    One call handles one grid CELL of the 2-D exchange (term-hash part x
+    doc-range group): cells of the same part write distinct ``out_suffix``
+    files into the part's output dir; disjoint doc ranges keep block rows
+    stitchable by first_doc order at read time. The caller writes the
+    per-part manifest after all its cells succeed.
 
     Returns lineage counters {terms, postings, blocks, bytes, seconds}.
     """
@@ -145,24 +152,18 @@ def merge_partition(
 
     import pyarrow.parquet as _pq
 
-    from clip_as_service_ray.state import manifest as _mf
-
     t0 = _time.time()
     if partial_files:
         # one multithreaded C++ read over the whole partition's files (the
         # map side writes a file per map task; per-file Python reads were
         # the reduce-side hotspot)
-        # use_threads=False: this task owns ONE cpu; 32 concurrent tasks each
+        # use_threads=False: this task owns ONE cpu; concurrent tasks each
         # spawning pyarrow's full thread pool oversubscribes the node
         group = _pq.read_table(
             partial_files,
-            columns=["bucket", "term", "n", "docs", "tfs", "dls"],
+            columns=["term", "n", "docs", "tfs", "dls"],
             use_threads=False,
         ).combine_chunks()
-        if bucket_range is not None:
-            lo, hi = bucket_range
-            bk = group.column("bucket").to_numpy()
-            group = group.filter(pa.array((bk >= lo) & (bk < hi)))
     else:
         group = None
 
@@ -208,8 +209,7 @@ def merge_partition(
 
     os.makedirs(out_dir, exist_ok=True)
     out_tbl = pa.table(cols, schema=BLOCK_SCHEMA)
-    suffix = f"_{bucket_range[0]}" if bucket_range else ""
-    out_path = os.path.join(out_dir, f"blocks{suffix}.parquet")
+    out_path = os.path.join(out_dir, f"blocks{out_suffix}.parquet")
     tmp = out_path + f".tmp.{os.getpid()}"
     _pq.write_table(out_tbl, tmp)
     os.replace(tmp, out_path)
@@ -220,6 +220,4 @@ def merge_partition(
         "bytes": os.path.getsize(out_path),
         "seconds": _time.time() - t0,
     }
-    if bucket_range is None:
-        _mf.mark_stage_done(out_dir, {"stage": "postings_part", **counters})
     return counters

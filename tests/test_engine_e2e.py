@@ -165,14 +165,14 @@ def test_index_roles_filter(built, tmp_path):
 
 
 def test_skew_split_merge_rank_identical(built, tmp_path):
-    """Force bucket-range merge subtasks (hot-partition skew splitting) and
-    verify the split index is still rank-identical to the oracle."""
+    """Force multiple doc-range grid cells per partition (hot-term skew
+    splitting) and verify the gridded index is rank-identical to the oracle."""
     corpus, _idx, _r, oracle = built
     cfg = EngineConfig(
         num_index_partitions=2,
         doc_bucket_size=256,
         postings_block_size=64,
-        merge_split_postings=2000,  # tiny threshold -> every partition splits
+        merge_groups_per_part=4,  # several doc-range cells per partition
     )
     idx = str(tmp_path / "split_idx")
     report = build_index(corpus, idx, cfg, overwrite=True)
@@ -188,7 +188,7 @@ def test_skew_split_merge_rank_identical(built, tmp_path):
     import json
 
     m = json.load(open(os.path.join(idx, "postings", "part=0", "_DONE.json")))
-    assert m.get("subtasks", 0) >= 2
+    assert m.get("cells", 0) >= 2
 
 
 def test_per_partition_resume(built, tmp_path):
