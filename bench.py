@@ -218,7 +218,8 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    pair = os.environ.get("BENCH_SCALING_CPUS", "8,32").split(",")
+    lo, hi = int(pair[0]), int(pair[1])
     r_lo, r_hi = run(lo), run(hi)
     sec_lo = r_lo["queries"]["index_build"]
     sec_hi = r_hi["queries"]["index_build"]
