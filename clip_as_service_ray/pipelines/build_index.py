@@ -221,9 +221,14 @@ def build_index(
         stats = mf.read_json(stats_path)
     else:
         if small_input:
-            dl_tbl = pq.read_table(staging_dir, columns=["dl"])
-            n_docs = dl_tbl.num_rows
-            sum_dl = int(np.sum(dl_tbl.column("dl").to_numpy())) if n_docs else 0
+            try:
+                dl_tbl = pq.read_table(staging_dir, columns=["dl"])
+                n_docs = dl_tbl.num_rows
+                sum_dl = int(np.sum(dl_tbl.column("dl").to_numpy())) if n_docs else 0
+            except pa.lib.ArrowInvalid:
+                # empty staging: the parquet sink wrote a schemaless
+                # placeholder (zero indexable turns)
+                n_docs, sum_dl = 0, 0
         else:
             staging = ray.data.read_parquet(staging_dir, columns=["dl"])
             agg = staging.aggregate(
@@ -243,6 +248,36 @@ def build_index(
         }
         mf.write_json(stats_path, stats)
     timings["stats_s"] = time.time() - t
+
+    if stats["n_docs"] == 0:
+        # empty-corpus short circuit (M9 contract: empty in -> empty out):
+        # write explicit empty artifacts so the query side loads cleanly
+        from clip_as_service_ray.state.postings import BLOCK_SCHEMA
+
+        postings_dir = os.path.join(index_dir, POSTINGS)
+        part0 = os.path.join(postings_dir, "part=0")
+        os.makedirs(part0, exist_ok=True)
+        pq.write_table(BLOCK_SCHEMA.empty_table(), os.path.join(part0, "blocks.parquet"))
+        mf.mark_stage_done(part0, {"stage": "postings_part", "postings": 0})
+        mf.mark_stage_done(postings_dir, {"stage": "postings", "postings": 0})
+        dict_dir = os.path.join(index_dir, DICTIONARY)
+        os.makedirs(dict_dir, exist_ok=True)
+        pq.write_table(
+            pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}),
+            os.path.join(dict_dir, "dictionary.parquet"),
+        )
+        mf.mark_stage_done(dict_dir, {"stage": "dictionary"})
+        payload = {
+            "engine": "clip_as_service_ray",
+            "n_docs": 0, "avgdl": 0.0, "n_terms": 0, "n_postings": 0,
+            "index_bytes": mf.dir_bytes(postings_dir),
+            "staging_bytes": mf.dir_bytes(os.path.join(index_dir, STAGING)),
+            "config": {"k1": config.k1, "b": config.b},
+            "timings_s": timings,
+            "total_seconds": time.time() - t0,
+        }
+        mf.write_json(final_path, payload)
+        return payload
 
     # ---- stage 4a: partial postings -> DISK-PARTITIONED exchange ----
     # The 'shuffle' is a partitioned parquet layout (partials/part=K/...),
