@@ -243,3 +243,19 @@ def test_partitioning_invariance(built, tmp_path):
         zip(b.query_id, b["rank"], b.conv_id, b.turn_idx)
     )
     np.testing.assert_array_equal(a.score.to_numpy(), b.score.to_numpy())
+
+
+@pytest.mark.parametrize("seed", [7, 99])
+def test_rank_identity_other_seeds(ray_session, tmp_path, seed):
+    """Rank-identity fuzz: different corpora (fresh seeds) stay
+    rank-identical + score-equal to the oracle."""
+    corpus = synthesize_transcripts(1500, seed=seed)
+    idx = str(tmp_path / f"seed{seed}")
+    build_index(corpus, idx, CFG, overwrite=True)
+    queries = reference_query_table()
+    got = search_table(idx, queries, CFG).to_pandas()
+    want = OracleIndex(corpus).search(queries).to_pandas()
+    assert list(zip(got.query_id, got["rank"], got.conv_id, got.turn_idx)) == list(
+        zip(want.query_id, want["rank"], want.conv_id, want.turn_idx)
+    )
+    np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy(), rtol=0, atol=1e-9)
