@@ -117,6 +117,9 @@ class IndexReader:
         self._score_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self._cached_postings = 0
         self._cache_cap = 20_000_000  # postings entries (~320 MB at 16 B/entry)
+        # reusable dense accumulators for score_query (allocated lazily)
+        self._score_buf: np.ndarray | None = None
+        self._match_buf: np.ndarray | None = None
 
     def postings_for(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
         """Full decoded postings (doc-sorted) for a term, or None."""
@@ -176,15 +179,28 @@ class IndexReader:
         present = [t for t in terms if t in self._term_blocks]
         if not present:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
-        scores = np.zeros(self._max_doc_id + 1, dtype=np.float64)
-        matched = np.zeros(self._max_doc_id + 1, dtype=bool)
+        # reused per-reader accumulators (fresh allocations pay hypervisor
+        # first-touch cost on this sandbox; real clusters also benefit)
+        n_slots = self._max_doc_id + 1
+        if self._score_buf is None or len(self._score_buf) != n_slots:
+            self._score_buf = np.zeros(n_slots, dtype=np.float64)
+            self._match_buf = np.zeros(n_slots, dtype=bool)
+        scores, matched = self._score_buf, self._match_buf
         for t in present:
             docs_t, scores_t = self.term_docs_scores(t)
             scores[docs_t] += scores_t  # docs unique per term: plain fancy-index add
             matched[docs_t] = True
         cand = np.nonzero(matched)[0]
         top = bm25.topk_indices(scores[cand], cand, limit)
-        return cand[top].astype(np.int64), scores[cand[top]]
+        out_docs, out_scores = cand[top].astype(np.int64), scores[cand[top]].copy()
+        # reset only what we touched (memset-full when dense)
+        if len(cand) > n_slots // 4:
+            scores[:] = 0.0
+            matched[:] = False
+        else:
+            scores[cand] = 0.0
+            matched[cand] = False
+        return out_docs, out_scores
 
     def term_upper_bound(self, term: str) -> float:
         """idf(term) * max block max_tf_norm — the WAND/MaxScore term bound,
