@@ -49,3 +49,33 @@ def search_table(index_dir: str, queries: pa.Table, config: EngineConfig = DEFAU
 
         return HITS_SCHEMA.empty_table()
     return tbl.sort_by([("query_id", "ascending"), ("rank", "ascending")])
+
+
+HIT_STRUCT = pa.struct(
+    [("conv_id", pa.string()), ("turn_idx", pa.int32()),
+     ("score", pa.float64()), ("rank", pa.int32())]
+)
+
+
+def search_nested(
+    index_dir: str, queries: pa.Table, config: EngineConfig = DEFAULT_CONFIG
+) -> pa.Table:
+    """One row per query with a ``hits: list<struct>`` column — the direct
+    mapping of the reference's nested ``doc.matches`` DocumentArray
+    (SURVEY.md §1.4): every input query appears exactly once, in input
+    order, with its ranked (possibly empty) match list."""
+    flat = search_table(index_dir, queries, config)
+    by_qid: dict[int, list[dict]] = {}
+    for row in flat.to_pylist():
+        by_qid.setdefault(row["query_id"], []).append(
+            {"conv_id": row["conv_id"], "turn_idx": row["turn_idx"],
+             "score": row["score"], "rank": row["rank"]}
+        )
+    qids = queries.column("query_id").to_pylist()
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "text": queries.column("text"),
+            "hits": pa.array([by_qid.get(q, []) for q in qids], pa.list_(HIT_STRUCT)),
+        }
+    )

@@ -259,3 +259,26 @@ def test_rank_identity_other_seeds(ray_session, tmp_path, seed):
         zip(want.query_id, want["rank"], want.conv_id, want.turn_idx)
     )
     np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy(), rtol=0, atol=1e-9)
+
+
+def test_search_nested(built):
+    """Nested hits variant: one row per query in input order (the
+    doc.matches data-model mapping, SURVEY §1.4); empty queries keep an
+    empty list (order/identity preservation, test_ranker.py:233-239)."""
+    from clip_as_service_ray.pipelines.search import search_nested
+
+    corpus, index_dir, report, oracle = built
+    queries = reference_query_table()
+    out = search_nested(index_dir, queries, CFG)
+    assert out.num_rows == queries.num_rows
+    assert out.column("query_id").to_pylist() == queries.column("query_id").to_pylist()
+    rows = out.to_pylist()
+    flat = oracle.search(queries).to_pylist()
+    want: dict[int, list] = {}
+    for r in flat:
+        want.setdefault(r["query_id"], []).append((r["conv_id"], r["turn_idx"]))
+    for r in rows:
+        got_ids = [(h["conv_id"], h["turn_idx"]) for h in r["hits"]]
+        assert got_ids == want.get(r["query_id"], [])
+        ranks = [h["rank"] for h in r["hits"]]
+        assert ranks == list(range(len(ranks)))
