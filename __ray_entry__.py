@@ -123,7 +123,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
             "  CROSS JOIN stats s GROUP BY tf.doc_id) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
-            "ORDER BY score DESC, doc_id ASC LIMIT 10"
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
         ),
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count "

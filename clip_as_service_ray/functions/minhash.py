@@ -32,6 +32,25 @@ def hash_terms(terms: np.ndarray) -> np.ndarray:
     return h[inv]
 
 
+_SHINGLE_MULS_BASE = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _shingle_muls(n: int) -> np.ndarray:
+    """First 3 multipliers are the historical fixed constants (signatures
+    for shingle_n <= 3 are stable); beyond that, odd splitmix64 outputs."""
+    muls = list(_SHINGLE_MULS_BASE[:n])
+    x = np.uint64(_SHINGLE_MULS_BASE[2])
+    with np.errstate(over="ignore"):
+        while len(muls) < n:
+            x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            z = x
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+            muls.append(int(z | np.uint64(1)))  # odd
+    return np.array(muls, dtype=np.uint64)
+
+
 def shingle_hashes(term_hashes: np.ndarray, n: int = 3) -> np.ndarray:
     """Hashes of overlapping word n-grams, vectorized: combine n consecutive
     term hashes with distinct odd multipliers. Docs shorter than n fall back
@@ -41,8 +60,7 @@ def shingle_hashes(term_hashes: np.ndarray, n: int = 3) -> np.ndarray:
         return np.array([], dtype=np.uint64)
     if m < n:
         return np.unique(term_hashes)
-    muls = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9],
-                    dtype=np.uint64)[:n]
+    muls = _shingle_muls(n)
     acc = np.zeros(m - n + 1, dtype=np.uint64)
     for i in range(n):
         acc = acc ^ (term_hashes[i : m - n + 1 + i] * muls[i])

@@ -4,17 +4,19 @@ Ray-Data-first dataflow (every wide step is an explicit, keyed exchange,
 SURVEY.md §7.4):
 
     read_parquet(transcripts, columns=[conv_id, turn_idx, text])
-      ├─ conv extents → driver prefix-sum → broadcast ConvBase    [small]
-      ├─ tokenize_batch (stateless tasks) → staging checkpoint    [narrow]
-      ├─ stats: N + sum(dl) over staging → stats.json             [tiny agg]
-      ├─ EmitPartials (SPIMI per-batch local index, combiner
-      │    pre-aggregation) → partials/part=K/ parquet            [map side]
-      ├─ merge_partition × P Ray tasks over partials/part=K/      [reduce side]
+      ├─ conv extents → prefix-sum → broadcast ConvBase           [small]
+      ├─ ONE fused pass: tokenize_batch ∘ EmitPartials (SPIMI
+      │    per-batch local index, combiner pre-aggregation)
+      │    → partials/part=K/bgrp=J/ parquet                      [map side]
+      │    (corpus stats ride along as 1 tiny row per batch under
+      │     part=-1 — no second pass, no staging barrier)
+      ├─ stats.json ← sum of the part=-1 pseudo-partition         [tiny read]
+      ├─ merge_partition × 1 Ray task per (part, bgrp) grid cell  [reduce side]
       │    → postings/part=K/ block-max parquet (+ per-part manifest)
       └─ dictionary: sum(n) per term over postings block metadata [small agg]
 
     The wide exchange is DISK-PARTITIONED (partition_cols on the map side,
-    one reduce task per partition) — the SPIMI spill-file model: sequential
+    one reduce task per grid cell) — the SPIMI spill-file model: sequential
     IO, no in-memory sort shuffle, per-partition resume + lineage. The
     tiny side-aggregations run driver-side below DRIVER_AGG_MAX_BYTES and
     as distributed groupbys above it.
@@ -35,7 +37,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
-from clip_as_service_ray.stages.merge import EmitPartials, merge_partition
+from clip_as_service_ray.stages.merge import STATS_PART, EmitPartials, merge_partition
 from clip_as_service_ray.stages.tokenize import (
     compute_conv_bases,
     tokenize_batch,
@@ -137,6 +139,44 @@ def _conv_extents(ds) -> pa.Table:
     return pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
 
 
+def _write_empty_index(
+    index_dir: str, config: EngineConfig, timings: dict, t0: float
+) -> dict:
+    """Empty-corpus short circuit (M9 contract: empty in -> empty out):
+    write explicit empty artifacts so the query side loads cleanly."""
+    from clip_as_service_ray.state.postings import BLOCK_SCHEMA
+
+    postings_dir = os.path.join(index_dir, POSTINGS)
+    part0 = os.path.join(postings_dir, "part=0")
+    os.makedirs(part0, exist_ok=True)
+    pq.write_table(BLOCK_SCHEMA.empty_table(), os.path.join(part0, "blocks.parquet"))
+    mf.mark_stage_done(part0, {"stage": "postings_part", "postings": 0})
+    mf.mark_stage_done(postings_dir, {"stage": "postings", "postings": 0})
+    dict_dir = os.path.join(index_dir, DICTIONARY)
+    os.makedirs(dict_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}),
+        os.path.join(dict_dir, "dictionary.parquet"),
+    )
+    mf.mark_stage_done(dict_dir, {"stage": "dictionary"})
+    stats_path = os.path.join(index_dir, "stats.json")
+    if not os.path.exists(stats_path):
+        mf.write_json(
+            stats_path,
+            {"n_docs": 0, "sum_dl": 0, "avgdl": 0.0, "k1": config.k1, "b": config.b},
+        )
+    payload = {
+        "engine": "clip_as_service_ray",
+        "n_docs": 0, "avgdl": 0.0, "n_terms": 0, "n_postings": 0,
+        "index_bytes": mf.dir_bytes(postings_dir),
+        "config": {"k1": config.k1, "b": config.b},
+        "timings_s": timings,
+        "total_seconds": time.time() - t0,
+    }
+    mf.write_json(os.path.join(index_dir, "manifest.json"), payload)
+    return payload
+
+
 def build_index(
     source,
     index_dir: str,
@@ -148,7 +188,7 @@ def build_index(
     final manifest dict. Ray must already be initialised by the caller."""
     import ray
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     t0 = time.time()
     os.makedirs(index_dir, exist_ok=True)
@@ -183,18 +223,29 @@ def build_index(
     conv_base_ref = ray.put(conv_base)
     timings["conv_extents_s"] = time.time() - t
 
-    # ---- stage 2: tokenize -> staging checkpoint ----
-    # For inputs that fit the object store comfortably, the tokenized
-    # dataset is MATERIALIZED in memory once and then both consumers (the
-    # staging checkpoint write and the partials emit) stream from it — no
-    # disk write->read barrier between tokenize and the exchange. Large
-    # inputs fall back to the pure disk path (staging written, then re-read).
+    if extents.num_rows == 0:
+        # zero input rows (no conversations at all): M9 empty-in/empty-out
+        return _write_empty_index(index_dir, config, timings, t0)
+
+    # ---- stage 2 (FUSED): tokenize -> partial postings, ONE streaming pass
+    # No staging checkpoint and no separate stats pass: the tokenize UDF and
+    # the SPIMI partials emit run fused in a single map chain (Ray Data fuses
+    # consecutive map_batches into one task), and corpus stats (n_docs,
+    # sum_dl) ride along as one tiny row per batch under the part=STATS_PART
+    # pseudo-partition. This removes the staging write->read barrier and the
+    # second stats pass over the corpus — the round-1 serial component.
     t = time.time()
-    staging_dir = os.path.join(index_dir, STAGING)
-    staged_mem = None
-    if not (config.resume and mf.stage_done(staging_dir)):
-        mf.reset_stage(staging_dir)
-        staged = ds.map_batches(
+    partials_dir = os.path.join(index_dir, PARTIALS)
+    # grid planning uses the doc-id SPAN from the conv extents (n_docs is not
+    # known until the pass runs; the span is a tight upper bound — dropped
+    # empty turns only leave gaps). The grid therefore depends only on the
+    # extents, keeping partials layout reproducible across resumes.
+    n_slots = int(np.sum(extents.column("max_turn").to_numpy() + 1))
+    n_buckets = max(1, -(-n_slots // config.doc_bucket_size))
+    grp_width = max(1, -(-n_buckets // config.merge_groups_per_part))
+    if not (config.resume and mf.stage_done(partials_dir)):
+        mf.reset_stage(partials_dir)
+        ds.map_batches(
             tokenize_batch,
             fn_kwargs={
                 "conv_base_ref": conv_base_ref,
@@ -202,40 +253,35 @@ def build_index(
             },
             batch_format="pyarrow",
             batch_size=config.tokenize_batch_size,
-        )
-        if small_input:
-            staged_mem = staged.materialize()
-            staged_mem.write_parquet(staging_dir)
-        else:
-            staged.write_parquet(staging_dir)
+        ).map_batches(
+            EmitPartials(
+                config.num_index_partitions,
+                config.doc_bucket_size,
+                grp_width,
+                emit_stats=True,
+            ),
+            batch_format="pyarrow",
+            batch_size=config.tokenize_batch_size,
+        ).write_parquet(partials_dir, partition_cols=["part", "bgrp"])
         mf.mark_stage_done(
-            staging_dir,
-            {"stage": "staging", "bytes": mf.dir_bytes(staging_dir), "seconds": time.time() - t},
+            partials_dir,
+            {"stage": "partials", "bytes": mf.dir_bytes(partials_dir), "seconds": time.time() - t},
         )
     timings["tokenize_s"] = time.time() - t
 
-    # ---- stage 3: corpus stats (N, avgdl) ----
+    # ---- stage 3: corpus stats (N, avgdl) from the stats pseudo-partition
     t = time.time()
     stats_path = os.path.join(index_dir, "stats.json")
     if config.resume and os.path.exists(stats_path):
         stats = mf.read_json(stats_path)
     else:
-        if small_input:
-            try:
-                dl_tbl = pq.read_table(staging_dir, columns=["dl"])
-                n_docs = dl_tbl.num_rows
-                sum_dl = int(np.sum(dl_tbl.column("dl").to_numpy())) if n_docs else 0
-            except pa.lib.ArrowInvalid:
-                # empty staging: the parquet sink wrote a schemaless
-                # placeholder (zero indexable turns)
-                n_docs, sum_dl = 0, 0
-        else:
-            staging = ray.data.read_parquet(staging_dir, columns=["dl"])
-            agg = staging.aggregate(
-                Count(alias_name="n_docs"), Sum("dl", alias_name="sum_dl")
-            )
-            n_docs = int(agg["n_docs"])
-            sum_dl = int(agg["sum_dl"] or 0)
+        n_docs, sum_dl = 0, 0
+        stats_dir = os.path.join(partials_dir, f"part={STATS_PART}")
+        if os.path.isdir(stats_dir):
+            st = pq.read_table(stats_dir, columns=["n", "bucket"])
+            if st.num_rows:
+                n_docs = int(np.sum(st.column("n").to_numpy()))
+                sum_dl = int(np.sum(st.column("bucket").to_numpy()))
         stats = {
             "n_docs": n_docs,
             "sum_dl": sum_dl,
@@ -250,64 +296,8 @@ def build_index(
     timings["stats_s"] = time.time() - t
 
     if stats["n_docs"] == 0:
-        # empty-corpus short circuit (M9 contract: empty in -> empty out):
-        # write explicit empty artifacts so the query side loads cleanly
-        from clip_as_service_ray.state.postings import BLOCK_SCHEMA
-
-        postings_dir = os.path.join(index_dir, POSTINGS)
-        part0 = os.path.join(postings_dir, "part=0")
-        os.makedirs(part0, exist_ok=True)
-        pq.write_table(BLOCK_SCHEMA.empty_table(), os.path.join(part0, "blocks.parquet"))
-        mf.mark_stage_done(part0, {"stage": "postings_part", "postings": 0})
-        mf.mark_stage_done(postings_dir, {"stage": "postings", "postings": 0})
-        dict_dir = os.path.join(index_dir, DICTIONARY)
-        os.makedirs(dict_dir, exist_ok=True)
-        pq.write_table(
-            pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}),
-            os.path.join(dict_dir, "dictionary.parquet"),
-        )
-        mf.mark_stage_done(dict_dir, {"stage": "dictionary"})
-        payload = {
-            "engine": "clip_as_service_ray",
-            "n_docs": 0, "avgdl": 0.0, "n_terms": 0, "n_postings": 0,
-            "index_bytes": mf.dir_bytes(postings_dir),
-            "staging_bytes": mf.dir_bytes(os.path.join(index_dir, STAGING)),
-            "config": {"k1": config.k1, "b": config.b},
-            "timings_s": timings,
-            "total_seconds": time.time() - t0,
-        }
-        mf.write_json(final_path, payload)
-        return payload
-
-    # ---- stage 4a: partial postings -> DISK-PARTITIONED exchange ----
-    # The 'shuffle' is a partitioned parquet layout (partials/part=K/...),
-    # not an in-memory sort: map tasks append runs under their term-hash
-    # partition, sequential IO both sides — the SPIMI spill-file model.
-    t = time.time()
-    partials_dir = os.path.join(index_dir, PARTIALS)
-    if not (config.resume and mf.stage_done(partials_dir)):
-        mf.reset_stage(partials_dir)
-        staging = (
-            staged_mem
-            if staged_mem is not None
-            else ray.data.read_parquet(
-                staging_dir, columns=["doc_id", "dl", "terms", "tfs"]
-            )
-        )
-        n_buckets = max(1, -(-stats["n_docs"] // config.doc_bucket_size))
-        grp_width = max(1, -(-n_buckets // config.merge_groups_per_part))
-        staging.map_batches(
-            EmitPartials(
-                config.num_index_partitions, config.doc_bucket_size, grp_width
-            ),
-            batch_format="pyarrow",
-            batch_size=config.tokenize_batch_size,
-        ).write_parquet(partials_dir, partition_cols=["part", "bgrp"])
-        mf.mark_stage_done(
-            partials_dir,
-            {"stage": "partials", "bytes": mf.dir_bytes(partials_dir), "seconds": time.time() - t},
-        )
-    timings["partials_s"] = time.time() - t
+        # rows existed but zero indexable turns (all empty/whitespace)
+        return _write_empty_index(index_dir, config, timings, t0)
 
     # ---- stage 4b: per-partition merge (one Ray task per partition, skew
     # partitions split by doc-bucket range; each partition independently
@@ -364,7 +354,7 @@ def build_index(
             {
                 "stage": "postings_part",
                 "cells": len(counters),
-                "terms": sum(c["terms"] for c in counters),
+                "term_runs": sum(c["term_runs"] for c in counters),
                 "postings": sum(c["postings"] for c in counters),
                 "blocks": sum(c["blocks"] for c in counters),
                 "bytes": sum(c["bytes"] for c in counters),
@@ -423,7 +413,7 @@ def build_index(
         "n_terms": n_terms,
         "n_postings": n_postings,
         "index_bytes": mf.dir_bytes(os.path.join(index_dir, POSTINGS)),
-        "staging_bytes": mf.dir_bytes(os.path.join(index_dir, STAGING)),
+        "partials_bytes": mf.dir_bytes(os.path.join(index_dir, PARTIALS)),
         "config": {
             "k1": config.k1,
             "b": config.b,

@@ -61,20 +61,50 @@ def term_partition(term: str, num_partitions: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % num_partitions
 
 
+# pseudo-partition for per-batch corpus-stats rows (fused stats: the build
+# needs (n_docs, sum_dl) and a second pass over the corpus to count them was
+# a measurable serial component; instead every EmitPartials batch appends
+# ONE tiny row under part=-1 with n=<docs in batch>, bucket=<sum dl> and the
+# driver sums that tiny partition afterwards)
+STATS_PART = -1
+
+
 class EmitPartials:
-    """map_batches UDF: staging batch -> partial posting runs.
+    """map_batches UDF: tokenized batch -> partial posting runs.
 
     ``bucket_grp_width`` (in buckets) adds the ``bgrp`` column — the
     doc-range axis of the 2-D exchange grid (term-hash part x doc-range
     group). The map side writes partition_cols=[part, bgrp], so each merge
     task reads exactly its grid cell: hot terms are spread uniformly across
     doc ranges, making cells naturally balanced regardless of term skew.
+
+    ``emit_stats``: append one stats row per batch under part=STATS_PART
+    (columns reused: n = doc count, bucket = sum of doc lengths) so corpus
+    stats fall out of the same single pass over the input.
     """
 
-    def __init__(self, num_partitions: int, doc_bucket_size: int, bucket_grp_width: int = 1 << 30):
+    def __init__(
+        self,
+        num_partitions: int,
+        doc_bucket_size: int,
+        bucket_grp_width: int = 1 << 30,
+        emit_stats: bool = False,
+    ):
         self.num_partitions = num_partitions
         self.doc_bucket_size = doc_bucket_size
         self.bucket_grp_width = max(1, bucket_grp_width)
+        self.emit_stats = emit_stats
+
+    def _stats_row(self, cols: dict, n_docs: int, sum_dl: int) -> None:
+        cols["part"].append(STATS_PART)
+        cols["bucket"].append(sum_dl)
+        cols["bgrp"].append(0)
+        cols["term"].append("")
+        cols["first_doc"].append(0)
+        cols["n"].append(n_docs)
+        cols["docs"].append(b"")
+        cols["tfs"].append(b"")
+        cols["dls"].append(b"")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms_col = batch.column("terms").combine_chunks()
@@ -91,7 +121,10 @@ class EmitPartials:
         dls_rep = np.repeat(dl, lengths)
 
         if len(flat_terms) == 0:
-            return pa.table({n: [] for n in PARTIAL_SCHEMA.names}, schema=PARTIAL_SCHEMA)
+            cols0: dict[str, list] = {n: [] for n in PARTIAL_SCHEMA.names}
+            if self.emit_stats:
+                self._stats_row(cols0, len(doc_id), int(dl.sum()))
+            return pa.table(cols0, schema=PARTIAL_SCHEMA)
 
         codes, uniques = pd.factorize(flat_terms, sort=False)
         order = np.lexsort((docs_rep, codes))
@@ -118,6 +151,8 @@ class EmitPartials:
             cols["docs"].append(docs_s[s:e].tobytes())
             cols["tfs"].append(tfs_s[s:e].astype(np.int32).tobytes())
             cols["dls"].append(dls_s[s:e].astype(np.int32).tobytes())
+        if self.emit_stats:
+            self._stats_row(cols, len(doc_id), int(dl.sum()))
         return pa.table(cols, schema=PARTIAL_SCHEMA)
 
 
@@ -214,7 +249,11 @@ def merge_partition(
     _pq.write_table(out_tbl, tmp)
     os.replace(tmp, out_path)
     counters = {
-        "terms": int(len(np.unique(cols["term"])) if cols["term"] else 0),
+        # per-CELL distinct-term count; a term whose postings span multiple
+        # doc-range cells is counted once per cell, so the per-part sum is a
+        # term-RUN count (the final manifest's n_terms from the dictionary
+        # is the true distinct count)
+        "term_runs": int(len(np.unique(cols["term"])) if cols["term"] else 0),
         "postings": n_postings,
         "blocks": out_tbl.num_rows,
         "bytes": os.path.getsize(out_path),

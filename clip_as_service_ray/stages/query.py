@@ -41,6 +41,17 @@ from clip_as_service_ray.state import manifest as mf
 from clip_as_service_ray.state.postings import decode_block
 
 
+def _prune_eps(n_terms: int, theta: float) -> float:
+    """Rank-safety margin for pruning decisions against float-order noise.
+
+    Absolute floor 1e-9 plus a relative component: a query with hundreds of
+    distinct terms accumulates pairwise-vs-sequential summation error that
+    grows with the score magnitude and term count."""
+    if not np.isfinite(theta):
+        return 1e-9
+    return max(1e-9, n_terms * abs(theta) * 1e-12)
+
+
 class IndexReader:
     """Loads one index directory into queryable in-memory structures.
 
@@ -155,7 +166,17 @@ class IndexReader:
         if ps is None:
             return None
         docs, tfs, dls = ps
-        df = int(self.df.get(term, len(docs)))
+        df_val = self.df.get(term)
+        if df_val is None:
+            # the dictionary is derived from the same postings, so a miss for
+            # a term that HAS postings always means a corrupt/partial index —
+            # and in sharded mode a silent shard-local fallback would compute
+            # idf from the wrong df. Surface it.
+            raise KeyError(
+                f"term {term!r} has postings but no dictionary entry: "
+                f"corrupt or partially-built index at {self.index_dir}"
+            )
+        df = int(df_val)
         scores = bm25.term_scores(
             tfs, dls, df, self.n_docs, self.avgdl, k1=self.k1, b=self.b
         )
@@ -251,10 +272,12 @@ class IndexReader:
                 if len(cand_docs) < limit
                 else float(np.partition(cand_scores, -limit)[-limit])
             )
-            # 1e-9 margin: theta comes from partially-ordered float sums that
-            # can differ from the exact path by ulps; the margin keeps every
-            # pruning decision safe under that noise
-            if suffix_ub[i] < theta - 1e-9:
+            # safety margin: theta comes from partially-ordered float sums
+            # (np.add.reduceat is pairwise) that can differ from the exact
+            # sequential path by ulps; the noise scales with |score| and the
+            # number of accumulated terms, so the margin scales with both
+            eps = _prune_eps(len(present), theta)
+            if suffix_ub[i] < theta - eps:
                 # no unseen doc can reach the top-k: gather-only phase
                 pos = np.searchsorted(docs_t, cand_docs)
                 ok = (pos < len(docs_t)) & (docs_t[np.minimum(pos, len(docs_t) - 1)] == cand_docs)
@@ -270,7 +293,8 @@ class IndexReader:
             # prune candidates that can never reach the (updated) threshold
             if len(cand_docs) > limit:
                 theta = float(np.partition(cand_scores, -limit)[-limit])
-                keep = cand_scores + suffix_ub[i + 1] >= theta - 1e-9
+                eps = _prune_eps(len(present), theta)
+                keep = cand_scores + suffix_ub[i + 1] >= theta - eps
                 cand_docs, cand_scores = cand_docs[keep], cand_scores[keep]
 
         # exact re-score of ALL surviving candidates with the SAME reduction

@@ -89,12 +89,19 @@ def test_resume_skips_completed(built):
 
 def test_per_turn_text_round_trip(built):
     """input_hint invariant: per-turn text equality under stable ordering —
-    the indexed tf vector for any turn equals a fresh tokenization of the
-    raw input text for that (conv_id, turn_idx)."""
+    the tf vector the build stage emits for any turn equals a fresh
+    tokenization of the raw input text for that (conv_id, turn_idx).
+    (The build fuses tokenize into the partials pass, so this drives the
+    same tokenize_batch UDF the build uses over the same corpus.)"""
     from clip_as_service_ray.functions.tokenizer import tokenize
+    from clip_as_service_ray.stages.tokenize import compute_conv_bases, tokenize_batch
 
     corpus, index_dir, report, oracle = built
-    staging = pq.read_table(os.path.join(index_dir, "staging"))
+    extents = pq.read_table(os.path.join(index_dir, "convmap.parquet"))
+    conv_base = compute_conv_bases(extents)
+    staging = tokenize_batch(
+        corpus.select(["conv_id", "turn_idx", "text"]), conv_base_ref=conv_base
+    )
     df = staging.to_pandas().set_index(["conv_id", "turn_idx"])
     raw = corpus.to_pandas().set_index(["conv_id", "turn_idx"])
     sample = df.sample(n=50, random_state=7)
