@@ -309,6 +309,7 @@ def build_index(
     merge_kwargs = dict(
         avgdl=stats["avgdl"],
         block_size=config.postings_block_size,
+        doc_bucket_size=config.doc_bucket_size,
         k1=config.k1,
         b=config.b,
     )

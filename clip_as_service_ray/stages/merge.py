@@ -22,9 +22,14 @@ This is the SPIMI pattern (SURVEY.md §7.2 steps 7-8) expressed Ray-Data-first:
   doc-range axis of the grid); a cell's block rows stitch with its
   neighbours by ``first_doc`` order at read time.
 
-Partial-run schema:
-    part:int32, bucket:int64, term:string, first_doc:int64, n:int32,
-    docs:binary (int64 LE), tfs:binary (int32 LE), dls:binary (int32 LE)
+Partial-run schema (the exchange wire format — every byte here crosses the
+disk/network boundary of the shuffle, so it is width-minimized):
+    part:int32, bucket:int64, bgrp:int32, term:string, first_doc:int64,
+    n:int32, doc_w/tf_w/dl_w:int8 (byte widths, uniform per input batch),
+    docs:binary (doc offsets RELATIVE to bucket*doc_bucket_size — uint16
+    whenever doc_bucket_size <= 64Ki, by construction), tfs/dls:binary
+    (uint16 normally; uint32 fallback when a batch holds a larger value).
+    Binary cells of one batch are zero-copy slices of one packed buffer.
 """
 
 from __future__ import annotations
@@ -49,11 +54,30 @@ PARTIAL_SCHEMA = pa.schema(
         ("term", pa.string()),
         ("first_doc", pa.int64()),
         ("n", pa.int32()),
+        ("doc_w", pa.int8()),
+        ("tf_w", pa.int8()),
+        ("dl_w", pa.int8()),
         ("docs", pa.binary()),
         ("tfs", pa.binary()),
         ("dls", pa.binary()),
     ]
 )
+
+_W_DTYPES = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
+def _runs_binary_column(values: np.ndarray, starts: np.ndarray, total: int, width: int) -> pa.Array:
+    """Zero-copy-ish binary column: one packed buffer for the whole batch,
+    per-run cells are offset slices (no per-run Python loop / bytes objects).
+    ``starts`` are run starts in element units; runs are contiguous."""
+    offs = np.empty(len(starts) + 1, dtype=np.int32)
+    offs[:-1] = starts * width
+    offs[-1] = total * width
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(starts),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(np.ascontiguousarray(values).tobytes())],
+    )
 
 def term_partition(term: str, num_partitions: int) -> int:
     """Stable term -> partition hash (crc32; reproducible across processes,
@@ -95,16 +119,16 @@ class EmitPartials:
         self.bucket_grp_width = max(1, bucket_grp_width)
         self.emit_stats = emit_stats
 
-    def _stats_row(self, cols: dict, n_docs: int, sum_dl: int) -> None:
-        cols["part"].append(STATS_PART)
-        cols["bucket"].append(sum_dl)
-        cols["bgrp"].append(0)
-        cols["term"].append("")
-        cols["first_doc"].append(0)
-        cols["n"].append(n_docs)
-        cols["docs"].append(b"")
-        cols["tfs"].append(b"")
-        cols["dls"].append(b"")
+    def _stats_table(self, n_docs: int, sum_dl: int) -> pa.Table:
+        return pa.table(
+            {
+                "part": [STATS_PART], "bucket": [sum_dl], "bgrp": [0],
+                "term": [""], "first_doc": [0], "n": [n_docs],
+                "doc_w": [0], "tf_w": [0], "dl_w": [0],
+                "docs": [b""], "tfs": [b""], "dls": [b""],
+            },
+            schema=PARTIAL_SCHEMA,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms_col = batch.column("terms").combine_chunks()
@@ -121,10 +145,12 @@ class EmitPartials:
         dls_rep = np.repeat(dl, lengths)
 
         if len(flat_terms) == 0:
-            cols0: dict[str, list] = {n: [] for n in PARTIAL_SCHEMA.names}
+            empty = pa.table(
+                {n: [] for n in PARTIAL_SCHEMA.names}, schema=PARTIAL_SCHEMA
+            )
             if self.emit_stats:
-                self._stats_row(cols0, len(doc_id), int(dl.sum()))
-            return pa.table(cols0, schema=PARTIAL_SCHEMA)
+                return self._stats_table(len(doc_id), int(dl.sum()))
+            return empty
 
         codes, uniques = pd.factorize(flat_terms, sort=False)
         order = np.lexsort((docs_rep, codes))
@@ -138,22 +164,84 @@ class EmitPartials:
         change = np.nonzero((np.diff(codes_s) != 0) | (np.diff(buckets_s) != 0))[0] + 1
         starts = np.concatenate([[0], change])
         ends = np.concatenate([change, [len(codes_s)]])
+        n_post = len(codes_s)
+        run_codes = codes_s[starts]
+        run_buckets = buckets_s[starts]
 
-        cols: dict[str, list] = {n: [] for n in PARTIAL_SCHEMA.names}
-        for s, e in zip(starts, ends):
-            term = uniques[codes_s[s]]
-            cols["part"].append(term_partition(term, self.num_partitions))
-            cols["bucket"].append(int(buckets_s[s]))
-            cols["bgrp"].append(int(buckets_s[s]) // self.bucket_grp_width)
-            cols["term"].append(term)
-            cols["first_doc"].append(int(docs_s[s]))
-            cols["n"].append(e - s)
-            cols["docs"].append(docs_s[s:e].tobytes())
-            cols["tfs"].append(tfs_s[s:e].astype(np.int32).tobytes())
-            cols["dls"].append(dls_s[s:e].astype(np.int32).tobytes())
+        # run columns, fully vectorized: crc32 once per UNIQUE term (the only
+        # per-string work), everything else numpy
+        crc = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) for t in uniques),
+            dtype=np.int64, count=len(uniques),
+        )
+        parts = (crc % self.num_partitions).astype(np.int32)[run_codes]
+        bgrps = (run_buckets // self.bucket_grp_width).astype(np.int32)
+        term_arr = pa.array(uniques, pa.string()).take(pa.array(run_codes, pa.int64()))
+
+        # batch-uniform byte widths (uint16 normally; uint32 fallback when a
+        # batch carries a larger value — recorded per row so mixed batches
+        # decode correctly on the reduce side)
+        doc_w = 2 if self.doc_bucket_size <= (1 << 16) else 4
+        tf_w = 2 if int(tfs_s.max()) < (1 << 16) else 4
+        dl_w = 2 if int(dls_s.max()) < (1 << 16) else 4
+        docs_rel = (docs_s - buckets_s * self.doc_bucket_size).astype(_W_DTYPES[doc_w])
+
+        out = pa.table(
+            {
+                "part": pa.array(parts, pa.int32()),
+                "bucket": pa.array(run_buckets, pa.int64()),
+                "bgrp": pa.array(bgrps, pa.int32()),
+                "term": term_arr,
+                "first_doc": pa.array(docs_s[starts], pa.int64()),
+                "n": pa.array((ends - starts).astype(np.int32), pa.int32()),
+                "doc_w": pa.array(np.full(len(starts), doc_w, np.int8), pa.int8()),
+                "tf_w": pa.array(np.full(len(starts), tf_w, np.int8), pa.int8()),
+                "dl_w": pa.array(np.full(len(starts), dl_w, np.int8), pa.int8()),
+                "docs": _runs_binary_column(docs_rel, starts, n_post, doc_w),
+                "tfs": _runs_binary_column(tfs_s.astype(_W_DTYPES[tf_w]), starts, n_post, tf_w),
+                "dls": _runs_binary_column(dls_s.astype(_W_DTYPES[dl_w]), starts, n_post, dl_w),
+            },
+            schema=PARTIAL_SCHEMA,
+        )
         if self.emit_stats:
-            self._stats_row(cols, len(doc_id), int(dl.sum()))
-        return pa.table(cols, schema=PARTIAL_SCHEMA)
+            return pa.concat_tables([out, self._stats_table(len(doc_id), int(dl.sum()))])
+        return out
+
+
+def _decode_runs(col, widths: np.ndarray, out_dtype) -> np.ndarray:
+    """Decode a packed binary run column into one flat numpy array.
+
+    Fast path: when every row of a chunk shares one byte width (the emit
+    side writes batch-uniform widths), the whole chunk's data buffer is
+    reinterpreted with ONE view — no per-row Python. Mixed-width chunks
+    (files mixing fallback batches) decode per row."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    arrs: list[np.ndarray] = []
+    row0 = 0
+    for chunk in chunks:
+        n_rows = len(chunk)
+        if n_rows == 0:
+            continue
+        w = widths[row0 : row0 + n_rows]
+        row0 += n_rows
+        bufs = chunk.buffers()
+        offs = np.frombuffer(
+            bufs[1], dtype=np.int32, count=n_rows + 1, offset=chunk.offset * 4
+        )
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        uw = np.unique(w)
+        if len(uw) == 1:
+            width = int(uw[0])
+            seg = data[int(offs[0]) : int(offs[-1])]
+            arrs.append(seg.view(_W_DTYPES[width]).astype(out_dtype))
+        else:
+            for i in range(n_rows):
+                width = int(w[i])
+                seg = data[int(offs[i]) : int(offs[i + 1])]
+                arrs.append(seg.view(_W_DTYPES[width]).astype(out_dtype))
+    if not arrs:
+        return np.array([], dtype=out_dtype)
+    return arrs[0] if len(arrs) == 1 else np.concatenate(arrs)
 
 
 def merge_partition(
@@ -162,6 +250,7 @@ def merge_partition(
     *,
     avgdl: float,
     block_size: int,
+    doc_bucket_size: int,
     k1: float,
     b: float,
     out_suffix: str = "",
@@ -196,9 +285,9 @@ def merge_partition(
         # spawning pyarrow's full thread pool oversubscribes the node
         group = _pq.read_table(
             partial_files,
-            columns=["term", "n", "docs", "tfs", "dls"],
+            columns=["term", "bucket", "n", "doc_w", "tf_w", "dl_w", "docs", "tfs", "dls"],
             use_threads=False,
-        ).combine_chunks()
+        )
     else:
         group = None
 
@@ -207,16 +296,20 @@ def merge_partition(
     if group is not None and group.num_rows:
         terms = group.column("term").to_numpy(zero_copy_only=False)
         ns = group.column("n").to_numpy().astype(np.int64)
+        buckets = group.column("bucket").to_numpy().astype(np.int64)
         codes, uniques = pd.factorize(terms, sort=False)
-        docs_all = np.concatenate(
-            [np.frombuffer(b_, dtype=np.int64) for b_ in group.column("docs").to_pylist()]
+        docs_rel = _decode_runs(
+            group.column("docs"), group.column("doc_w").to_numpy(), np.int64
         )
-        tfs_all = np.concatenate(
-            [np.frombuffer(b_, dtype=np.int32) for b_ in group.column("tfs").to_pylist()]
+        tfs_all = _decode_runs(
+            group.column("tfs"), group.column("tf_w").to_numpy(), np.int32
         )
-        dls_all = np.concatenate(
-            [np.frombuffer(b_, dtype=np.int32) for b_ in group.column("dls").to_pylist()]
+        dls_all = _decode_runs(
+            group.column("dls"), group.column("dl_w").to_numpy(), np.int32
         )
+        # absolute doc ids: run-relative offsets + the run's bucket base
+        docs_all = docs_rel
+        docs_all += np.repeat(buckets * doc_bucket_size, ns)
         # int32 where value ranges allow: the sandbox VM re-faults freed
         # pages at hypervisor speed, so temporary bytes are the real cost
         codes_all = np.repeat(codes.astype(np.int32), ns)
