@@ -87,11 +87,15 @@ def run_bench() -> dict:
     )
 
     n_turns = n_turns_override or n_turns_for_sf(sf)
-    src = transcripts_path(n_turns)  # cached deterministic fixture
+    src = transcripts_path(n_turns)  # cached deterministic fixture (dir)
     # warm OS page cache so we measure compute+shuffle, not first disk read
-    with open(src, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    files = (
+        [os.path.join(src, f) for f in os.listdir(src)] if os.path.isdir(src) else [src]
+    )
+    for fp in files:
+        with open(fp, "rb") as f:
+            while f.read(1 << 24):
+                pass
 
     cfg = EngineConfig(
         # fixed partition count across parallelism levels (a real cluster
@@ -197,6 +201,50 @@ def run_bench() -> dict:
     return out
 
 
+_CAL_PAT = None
+
+
+def _cal_work(seed: int) -> int:
+    """Pure-CPU calibration kernel: seeded regex findall over generated
+    strings — no Ray, no shared state, embarrassingly parallel by
+    construction. Anything below 1.0 scaling HERE is the box (hypervisor
+    steal / shared bus), not the engine."""
+    global _CAL_PAT
+    import re
+
+    import numpy as np
+
+    if _CAL_PAT is None:
+        _CAL_PAT = re.compile(r"[a-z]+|[0-9]")
+    rng = np.random.default_rng(seed)
+    words = np.array(["merge", "window", "the", "data", "stream", "index"], dtype=object)
+    texts = [" ".join(words[rng.integers(0, 6, 30)]) for _ in range(20000)]
+    return sum(len(_CAL_PAT.findall(t)) for t in texts)
+
+
+def cpu_ceiling(lo: int, hi: int, reps: int = 3) -> dict:
+    """Measured best-case scaling efficiency of this box from lo to hi
+    worker processes on pure CPU-bound work. The engine's measured
+    efficiency is reported both raw and normalized against this ceiling."""
+    from multiprocessing import Pool
+
+    def leg(n: int) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            with Pool(n) as p:
+                p.map(_cal_work, range(128))
+            best = min(best, time.time() - t0)
+        return best
+
+    sec_lo, sec_hi = leg(lo), leg(hi)
+    return {
+        "sec_lo": round(sec_lo, 2),
+        "sec_hi": round(sec_hi, 2),
+        "eff": round((sec_lo / sec_hi) / (hi / lo), 3),
+    }
+
+
 def run_scaling() -> dict:
     # The sandbox hypervisor's lazy memory makes single runs noisy (build
     # wall time varies ~2.5x run to run with identical code); each leg is
@@ -220,6 +268,7 @@ def run_scaling() -> dict:
 
     pair = os.environ.get("BENCH_SCALING_CPUS", "8,32").split(",")
     lo, hi = int(pair[0]), int(pair[1])
+    ceiling = cpu_ceiling(lo, hi)  # before the legs: no Ray running
     r_lo, r_hi = run(lo), run(hi)
     sec_lo = r_lo["queries"]["index_build"]
     sec_hi = r_hi["queries"]["index_build"]
@@ -242,6 +291,11 @@ def run_scaling() -> dict:
         "sec_hi_runs": r_hi.get("index_build_runs"),
         "query_p50_lo": r_lo["queries"]["query_p50"],
         "query_p50_hi": r_hi["queries"]["query_p50"],
+        # measured pure-CPU scaling ceiling of THIS box (hypervisor steal /
+        # shared bus): raw engine efficiency normalized against it is the
+        # box-independent number
+        "cpu_ceiling": ceiling,
+        "eff_vs_cpu_ceiling": round(eff / ceiling["eff"], 3) if ceiling["eff"] else None,
         "target": ">=0.8",
     }
 

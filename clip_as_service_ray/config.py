@@ -42,7 +42,7 @@ class EngineConfig:
     merge_groups_per_part: int = 4
 
     # --- execution sizing ---
-    tokenize_batch_size: int = 8192
+    tokenize_batch_size: int = 16384
     # actor pool bounds for the tokenize stage (autoscaling (min, max))
     tokenize_concurrency: int = 8
     query_batch_size: int = 64

@@ -29,9 +29,12 @@ try:  # pragma: no cover - environment-dependent
     import ftfy
 
     _fix_text = ftfy.fix_text
+    _HAS_FTFY = True
 except ImportError:  # pragma: no cover
     def _fix_text(text: str) -> str:
         return text
+
+    _HAS_FTFY = False
 
 try:
     import regex as _re
@@ -100,6 +103,42 @@ def tokenize_texts(texts, lowercase: bool = True) -> list[list[str]]:
     else:
         for t in texts:
             out.append([] if not t else pat.findall(clean(t)))
+    return out
+
+
+def tokenize_column(col, lowercase: bool = True) -> list[list[str]]:
+    """Tokenize an Arrow string column — the build hot path.
+
+    Identical token lists to ``tokenize_texts`` (pinned by
+    tests/test_tokenizer.py), but the case fold runs as ONE vectorized C++
+    kernel (``pc.utf8_lower``) instead of a per-row ``str.lower``, and the
+    double ``html.unescape`` runs only on rows that contain ``&`` (it is the
+    identity otherwise). Rows WITH ``&`` take the exact reference order —
+    unescape first, THEN lower — because entity names are case-sensitive
+    (``&Gt;`` is U+226B while ``&gt;`` is ``>``; lowering first would change
+    the result). ``strip``/whitespace-collapse are skipped per the
+    whitespace_clean no-op proof in ``tokenize_texts``. Falls back to the
+    scalar path entirely when ftfy is installed (fix_text must precede the
+    fold)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if _HAS_FTFY:  # pragma: no cover - ftfy absent in this environment
+        return tokenize_texts(col.to_pylist(), lowercase=lowercase)
+    texts = (pc.utf8_lower(col) if lowercase else col).to_pylist()
+    findall = TOKEN_PATTERN.findall
+    unesc = html.unescape
+    out: list[list[str]] = []
+    for i, t in enumerate(texts):
+        if not t:
+            out.append([])
+        elif "&" in t:  # '&' survives the fold: detect on the folded string
+            raw = unesc(unesc(col[i].as_py())).strip()
+            out.append(findall(raw.lower() if lowercase else raw))
+        else:
+            out.append(findall(t))
     return out
 
 

@@ -108,7 +108,9 @@ def _source_bytes(source) -> int:
 
 
 def _conv_extents_driver(source) -> pa.Table:
-    """Driver-side (conv_id, max_turn): column-pruned read + C++ group-max."""
+    """Single-task (conv_id, max_turn): column-pruned read + C++ group-max.
+    Runs as ONE Ray task overlapped with the fused tokenize pass for
+    path-like small inputs (not on the driver)."""
     if isinstance(source, pa.Table):
         t = source.select(["conv_id", "turn_idx"])
     else:
@@ -117,7 +119,57 @@ def _conv_extents_driver(source) -> pa.Table:
     g = g.rename_columns(["conv_id", "max_turn"])
     return g.set_column(
         1, "max_turn", g.column("max_turn").cast(pa.int64())
+    ).sort_by("conv_id")
+
+
+def _prep_from_extents(
+    extents: pa.Table, doc_bucket_size: int, merge_groups_per_part: int
+) -> dict:
+    """Build-planning state derived from the conv extents: the broadcast
+    ConvBase plus the 2-D grid's doc-range group width (from the doc-id
+    SPAN — a tight upper bound on n_docs, known before the pass runs)."""
+    n_slots = (
+        int(np.sum(extents.column("max_turn").to_numpy() + 1))
+        if extents.num_rows
+        else 0
     )
+    n_buckets = max(1, -(-n_slots // doc_bucket_size))
+    grp_width = max(1, -(-n_buckets // merge_groups_per_part))
+    return {
+        "conv_base": compute_conv_bases(extents),
+        "grp_width": grp_width,
+        "n_slots": n_slots,
+        "extents": extents,
+    }
+
+
+def _prep_task(source, doc_bucket_size: int, merge_groups_per_part: int) -> dict:
+    """Ray-task body: extents scan + planning (off the driver, overlapped
+    with the fused tokenize pass)."""
+    return _prep_from_extents(
+        _conv_extents_driver(source), doc_bucket_size, merge_groups_per_part
+    )
+
+
+def _source_rows(source) -> int | None:
+    """Total input rows from parquet footers only (cheap); None if unknown."""
+    if isinstance(source, pa.Table):
+        return source.num_rows
+    if isinstance(source, list):
+        subs = [_source_rows(s) for s in source]
+        return None if any(s is None for s in subs) else sum(subs)
+    if isinstance(source, str):
+        try:
+            if os.path.isdir(source):
+                return sum(
+                    pq.ParquetFile(os.path.join(source, f)).metadata.num_rows
+                    for f in os.listdir(source)
+                    if f.endswith(".parquet")
+                )
+            return pq.ParquetFile(source).metadata.num_rows
+        except Exception:
+            return None
+    return None
 
 
 def _conv_extents(ds) -> pa.Table:
@@ -165,6 +217,15 @@ def _write_empty_index(
             stats_path,
             {"n_docs": 0, "sum_dl": 0, "avgdl": 0.0, "k1": config.k1, "b": config.b},
         )
+    convmap_path = os.path.join(index_dir, "convmap.parquet")
+    if not os.path.exists(convmap_path):
+        pq.write_table(
+            pa.table(
+                {"conv_id": pa.array([], pa.string()),
+                 "max_turn": pa.array([], pa.int64())}
+            ),
+            convmap_path,
+        )
     payload = {
         "engine": "clip_as_service_ray",
         "n_docs": 0, "avgdl": 0.0, "n_terms": 0, "n_postings": 0,
@@ -206,26 +267,41 @@ def build_index(
     timings: dict[str, float] = {}
     ds = _as_dataset(source, roles=config.index_roles)
 
-    # ---- stage 1: conv extents -> broadcast doc-id base table ----
+    # ---- stage 1: conv extents -> planning state (ConvBase + grid) ----
+    # For fresh path-like small inputs the extents scan runs as ONE Ray task
+    # OVERLAPPED with the fused pass below: tokenize workers block on the
+    # prep ref only when their first batch arrives, by which time the
+    # column-pruned 2-column scan has typically finished — the driver never
+    # reads the corpus.
     t = time.time()
     convmap_path = os.path.join(index_dir, "convmap.parquet")
     small_input = _source_bytes(source) < DRIVER_AGG_MAX_BYTES
-    if config.resume and os.path.exists(convmap_path):
-        extents = pq.read_table(convmap_path)
-    else:
-        extents = (
-            _conv_extents_driver(source) if small_input else _conv_extents(ds)
-        ).sort_by("conv_id")
-        tmp = convmap_path + f".tmp.{os.getpid()}"
-        pq.write_table(extents, tmp)
-        os.replace(tmp, convmap_path)
-    conv_base = compute_conv_bases(extents)
-    conv_base_ref = ray.put(conv_base)
-    timings["conv_extents_s"] = time.time() - t
-
-    if extents.num_rows == 0:
+    if _source_rows(source) == 0:
         # zero input rows (no conversations at all): M9 empty-in/empty-out
         return _write_empty_index(index_dir, config, timings, t0)
+    prep = None
+    if config.resume and os.path.exists(convmap_path):
+        prep = _prep_from_extents(
+            pq.read_table(convmap_path),
+            config.doc_bucket_size, config.merge_groups_per_part,
+        )
+        prep_ref = ray.put(prep)
+    elif small_input and isinstance(source, (str, list)):
+        prep_task = ray.remote(num_cpus=1)(_prep_task)
+        prep_ref = prep_task.remote(
+            source, config.doc_bucket_size, config.merge_groups_per_part
+        )
+    else:
+        extents = (
+            _conv_extents_driver(source)
+            if isinstance(source, pa.Table)
+            else _conv_extents(ds).sort_by("conv_id")
+        )
+        prep = _prep_from_extents(
+            extents, config.doc_bucket_size, config.merge_groups_per_part
+        )
+        prep_ref = ray.put(prep)
+    timings["conv_extents_s"] = time.time() - t
 
     # ---- stage 2 (FUSED): tokenize -> partial postings, ONE streaming pass
     # No staging checkpoint and no separate stats pass: the tokenize UDF and
@@ -233,22 +309,17 @@ def build_index(
     # consecutive map_batches into one task), and corpus stats (n_docs,
     # sum_dl) ride along as one tiny row per batch under the part=STATS_PART
     # pseudo-partition. This removes the staging write->read barrier and the
-    # second stats pass over the corpus — the round-1 serial component.
+    # second stats pass over the corpus — the round-1 serial component. The
+    # grid's doc-range group width comes from the prep ref (doc-id SPAN — a
+    # tight upper bound on n_docs, reproducible across resumes).
     t = time.time()
     partials_dir = os.path.join(index_dir, PARTIALS)
-    # grid planning uses the doc-id SPAN from the conv extents (n_docs is not
-    # known until the pass runs; the span is a tight upper bound — dropped
-    # empty turns only leave gaps). The grid therefore depends only on the
-    # extents, keeping partials layout reproducible across resumes.
-    n_slots = int(np.sum(extents.column("max_turn").to_numpy() + 1))
-    n_buckets = max(1, -(-n_slots // config.doc_bucket_size))
-    grp_width = max(1, -(-n_buckets // config.merge_groups_per_part))
     if not (config.resume and mf.stage_done(partials_dir)):
         mf.reset_stage(partials_dir)
         ds.map_batches(
             tokenize_batch,
             fn_kwargs={
-                "conv_base_ref": conv_base_ref,
+                "conv_base_ref": prep_ref,
                 "lowercase": config.lowercase,
             },
             batch_format="pyarrow",
@@ -257,7 +328,7 @@ def build_index(
             EmitPartials(
                 config.num_index_partitions,
                 config.doc_bucket_size,
-                grp_width,
+                prep_ref,
                 emit_stats=True,
             ),
             batch_format="pyarrow",
@@ -268,6 +339,17 @@ def build_index(
             {"stage": "partials", "bytes": mf.dir_bytes(partials_dir), "seconds": time.time() - t},
         )
     timings["tokenize_s"] = time.time() - t
+
+    # collect the (long-finished) prep state; persist convmap for the query
+    # side if this is a fresh build
+    t = time.time()
+    if prep is None:
+        prep = ray.get(prep_ref)
+    if not os.path.exists(convmap_path):
+        tmp = convmap_path + f".tmp.{os.getpid()}"
+        pq.write_table(prep["extents"], tmp)
+        os.replace(tmp, convmap_path)
+    timings["convmap_write_s"] = time.time() - t
 
     # ---- stage 3: corpus stats (N, avgdl) from the stats pseudo-partition
     t = time.time()
@@ -315,10 +397,13 @@ def build_index(
     )
     futs = []
     part_futs_map: dict[str, list] = {}
+    df_tables: list[pa.Table] = []  # per-cell df contributions (stage 5)
+    merge_all_fresh = True  # df_tables cover every cell only on a full run
     for p in range(config.num_index_partitions):
         part_in = os.path.join(partials_dir, f"part={p}")
         part_out = os.path.join(postings_dir, f"part={p}")
         if config.resume and mf.stage_done(part_out):
+            merge_all_fresh = False
             continue  # per-partition skip-if-valid
         if os.path.exists(part_out):
             mf.reset_stage(part_out)
@@ -349,7 +434,9 @@ def build_index(
     if futs:
         ray.get(futs)
     for part_out, pf in part_futs_map.items():
-        counters = ray.get(pf)
+        results = ray.get(pf)
+        counters = [r[0] for r in results]
+        df_tables.extend(r[1] for r in results)
         mf.mark_stage_done(
             part_out,
             {
@@ -373,7 +460,20 @@ def build_index(
     dict_dir = os.path.join(index_dir, DICTIONARY)
     if not (config.resume and mf.stage_done(dict_dir)):
         mf.reset_stage(dict_dir)
-        if small_input:
+        if merge_all_fresh and small_input:
+            # df straight from the merge tasks' returned per-cell tables —
+            # no re-read of the postings files (cells are doc-disjoint, so
+            # per-term df sums across cells)
+            cat = pa.concat_tables(df_tables) if df_tables else pa.table(
+                {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+            g = cat.group_by("term").aggregate([("df", "sum")])
+            g = g.rename_columns(["term", "df"]).sort_by("term")
+            pq.write_table(
+                g.set_column(1, "df", g.column("df").cast(pa.int64())),
+                os.path.join(dict_dir, "dictionary.parquet"),
+            )
+        elif small_input:
             meta = pq.read_table(postings_dir, columns=["term", "n"])
             terms = np.asarray(meta.column("term").to_pylist(), dtype=object)
             ns = meta.column("n").to_numpy().astype(np.int64)

@@ -174,20 +174,35 @@ def reference_query_table() -> pa.Table:
 
 
 def transcripts_path(n_turns: int, seed: int = 42, root: str = "/tmp/cas_ray_fixtures") -> str:
-    """Materialize (once, cached) the synthetic table as parquet; return path.
+    """Materialize (once, cached) the synthetic table as a DIRECTORY of
+    parquet shards; return the directory path.
 
-    Written atomically (tmp file + rename) so concurrent bench processes at
-    two parallelism levels can share one fixture.
+    Many files, not one: a single parquet file serializes its footer/metadata
+    handling and costs ~4x in read wall time at 8+ readers (measured on this
+    box); at cluster scale the input is always many files, so the fixture
+    mirrors that. Written atomically (tmp dir + rename) so concurrent bench
+    processes at two parallelism levels can share one fixture.
     """
     os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, f"transcripts_n{n_turns}_s{seed}_rg64k.parquet")
+    n_files = max(1, min(64, n_turns // 75_000))
+    path = os.path.join(root, f"transcripts_n{n_turns}_s{seed}_f{n_files}")
     if not os.path.exists(path):
         table = synthesize_transcripts(n_turns, seed)
         tmp = path + f".tmp.{os.getpid()}"
-        # small row groups so parallel readers can split one file into many
-        # blocks (at cluster scale the input is many files; this mirrors it)
-        pq.write_table(table, tmp, row_group_size=64 * 1024)
-        os.replace(tmp, path)
+        os.makedirs(tmp, exist_ok=True)
+        step = -(-table.num_rows // n_files)
+        for i in range(n_files):
+            pq.write_table(
+                table.slice(i * step, step),
+                os.path.join(tmp, f"part-{i:04d}.parquet"),
+                row_group_size=64 * 1024,
+            )
+        try:
+            os.replace(tmp, path)
+        except OSError:  # lost the race: another process materialized it
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

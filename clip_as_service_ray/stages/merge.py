@@ -111,13 +111,27 @@ class EmitPartials:
         self,
         num_partitions: int,
         doc_bucket_size: int,
-        bucket_grp_width: int = 1 << 30,
+        bucket_grp_width=1 << 30,
         emit_stats: bool = False,
     ):
         self.num_partitions = num_partitions
         self.doc_bucket_size = doc_bucket_size
-        self.bucket_grp_width = max(1, bucket_grp_width)
+        # int, or an ObjectRef of the build-prep dict (resolved lazily in
+        # the worker so the driver never blocks on the extents scan)
+        self.bucket_grp_width = (
+            max(1, bucket_grp_width) if isinstance(bucket_grp_width, int) else bucket_grp_width
+        )
         self.emit_stats = emit_stats
+
+    def _grp_width(self) -> int:
+        w = self.bucket_grp_width
+        if not isinstance(w, int):
+            import ray
+
+            got = ray.get(w) if not isinstance(w, dict) else w
+            w = max(1, int(got["grp_width"] if isinstance(got, dict) else got))
+            self.bucket_grp_width = w
+        return w
 
     def _stats_table(self, n_docs: int, sum_dl: int) -> pa.Table:
         return pa.table(
@@ -175,7 +189,7 @@ class EmitPartials:
             dtype=np.int64, count=len(uniques),
         )
         parts = (crc % self.num_partitions).astype(np.int32)[run_codes]
-        bgrps = (run_buckets // self.bucket_grp_width).astype(np.int32)
+        bgrps = (run_buckets // self._grp_width()).astype(np.int32)
         term_arr = pa.array(uniques, pa.string()).take(pa.array(run_codes, pa.int64()))
 
         # batch-uniform byte widths (uint16 normally; uint32 fallback when a
@@ -334,6 +348,19 @@ def merge_partition(
                 block_size=block_size, avgdl=avgdl, k1=k1, b=b, out=cols,
             )
         n_postings = len(codes_s)
+        # per-cell df contributions (cells own disjoint doc ranges, so the
+        # global df is the plain sum across cells): returned to the caller so
+        # the dictionary stage needs no re-read of the postings files
+        df_tbl = pa.table(
+            {
+                "term": pa.array(uniques[codes_s[starts]], pa.string()),
+                "df": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            }
+        )
+    else:
+        df_tbl = pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
 
     os.makedirs(out_dir, exist_ok=True)
     out_tbl = pa.table(cols, schema=BLOCK_SCHEMA)
@@ -352,4 +379,4 @@ def merge_partition(
         "bytes": os.path.getsize(out_path),
         "seconds": _time.time() - t0,
     }
-    return counters
+    return counters, df_tbl

@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from clip_as_service_ray.functions.tokenizer import tokenize_texts
+from clip_as_service_ray.functions.tokenizer import tokenize_column
 
 STAGING_SCHEMA = pa.schema(
     [
@@ -94,12 +94,16 @@ _CONV_BASE_CACHE: dict[str, "ConvBase"] = {}
 def _get_conv_base(conv_base_ref) -> "ConvBase":
     if isinstance(conv_base_ref, ConvBase):
         return conv_base_ref
+    if isinstance(conv_base_ref, dict):  # build prep state
+        return conv_base_ref["conv_base"]
     import ray
 
     key = conv_base_ref.hex() if hasattr(conv_base_ref, "hex") else str(conv_base_ref)
     cb = _CONV_BASE_CACHE.get(key)
     if cb is None:
         cb = ray.get(conv_base_ref)
+        if isinstance(cb, dict):  # prep-task output: {conv_base, grp_width, ...}
+            cb = cb["conv_base"]
         _CONV_BASE_CACHE.clear()  # only ever one live build per worker
         _CONV_BASE_CACHE[key] = cb
     return cb
@@ -122,9 +126,8 @@ class TokenizeStage:
 
         conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
         turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-        texts = batch.column("text").to_pylist()
 
-        term_lists = tokenize_texts(texts, lowercase=self.lowercase)
+        term_lists = tokenize_column(batch.column("text"), lowercase=self.lowercase)
         dl = np.fromiter((len(t) for t in term_lists), dtype=np.int32, count=len(term_lists))
         keep = dl > 0  # drop-empty rule (helper.py:82-86 analog)
 

@@ -76,3 +76,27 @@ def test_fast_path_equals_normalized_path():
         slow = TOKEN_PATTERN.findall(normalize(s))
         fast = tokenize_texts([s])[0]
         assert fast == slow, repr(s)
+
+
+def test_tokenize_column_equals_tokenize_texts():
+    """The Arrow-column build hot path (vectorized lower + &-gated unescape)
+    must produce identical token lists to the scalar path — including
+    case-sensitive entities where unescape-then-lower differs from
+    lower-then-unescape (&Gt; is U+226B, &gt; is '>')."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.functions.tokenizer import tokenize_column
+
+    samples = [t for t, _ in GOLDEN] + [
+        None, "", "   ", "A &Gt; B", "A &gt; B", "&AMP; &amp;", "&Auml;bc",
+        "Tom &amp;amp; Jerry", "x &Omega; y", "no entities HERE", "&bogus; &",
+        "MiXeD Case &LT;tag&GT;", "東京 &amp; データ",
+    ]
+    for lc in (True, False):
+        col = pa.array(samples, pa.string())
+        fast = tokenize_column(col, lowercase=lc)
+        slow = tokenize_texts(samples, lowercase=lc)
+        assert fast == slow
+    # chunked input
+    ch = pa.chunked_array([samples[:5], samples[5:]], pa.string())
+    assert tokenize_column(ch) == tokenize_texts(samples)
