@@ -154,6 +154,7 @@ def run_bench() -> dict:
     else:
         timings["query_batch"] = 0.0
 
+    query_profile: dict = {}
     if os.environ.get("BENCH_SKIP_P50", "") == "1":
         timings["query_p50"] = 0.0
         out_early = True
@@ -170,6 +171,10 @@ def run_bench() -> dict:
                 svc.search(ref_q)
                 lat.append(time.time() - t0)
             timings["query_p50"] = statistics.median(lat)
+            query_profile = {
+                k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in svc.profile().items()
+            }
         finally:
             svc.shutdown()
 
@@ -190,6 +195,8 @@ def run_bench() -> dict:
             else None
         ),
         "n_hits": n_hits,
+        # per-stage query breakdown from the serving pool (profile() analog)
+        "query_profile": query_profile,
         "index_counters": {
             "n_docs": report["n_docs"],
             "n_terms": report["n_terms"],

@@ -62,6 +62,23 @@ class QueryService:
         out = pa.concat_tables(parts)
         return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
+    def profile(self) -> dict:
+        """Aggregated per-stage query timings across replicas — the analog
+        of the reference client's profile() latency tree (client.py:68-120):
+        score (tokenize+lookup+score), invert (doc id -> conv/turn), plus
+        lazy-decode counters."""
+        import ray
+
+        profs = ray.get([r.profile.remote() for r in self.replicas])
+        agg: dict = {}
+        for p in profs:
+            for k, v in p.items():
+                agg[k] = agg.get(k, 0) + v
+        # blocks_total is per-replica state, not additive
+        if profs:
+            agg["blocks_total"] = profs[0]["blocks_total"]
+        return agg
+
     def shutdown(self) -> None:
         import ray
 

@@ -61,8 +61,18 @@ class IndexReader:
     matching the reference's global-model-per-shard semantics).
     """
 
-    def __init__(self, index_dir: str, global_stats: dict | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        global_stats: dict | None = None,
+        dense_chunk_docs: int = 1 << 25,
+    ):
         self.index_dir = index_dir
+        # doc-id slots per dense-accumulator chunk: bounds score_query's
+        # working memory to O(chunk) instead of O(n_docs) — the scale-safe
+        # form for 10^9+ doc deployments (results identical; top-k of
+        # per-chunk top-k == global top-k)
+        self.dense_chunk_docs = int(dense_chunk_docs)
         stats = mf.read_json(os.path.join(index_dir, "stats.json"))
         self.n_docs = int(stats["n_docs"])
         self.avgdl = float(stats["avgdl"])
@@ -91,6 +101,7 @@ class IndexReader:
             memory_map=True,
         ).combine_chunks()
         self._b_first = blocks.column("first_doc").to_numpy()
+        self._b_last = blocks.column("last_doc").to_numpy()
         self._b_n = blocks.column("n").to_numpy()
         self._b_doc_w = blocks.column("doc_w").to_numpy()
         self._b_tf_w = blocks.column("tf_w").to_numpy()
@@ -126,8 +137,17 @@ class IndexReader:
         # actor (the analog of the reference's per-token LRU in
         # simple_tokenizer.py:85-88). Bounded by total cached postings.
         self._score_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        # per-BLOCK decoded (doc_ids, idf-free tf_norm) cache for the lazy
+        # block-max path: selective decodes touch only the blocks that can
+        # matter, so hot stopword lists are never fully decoded just to
+        # gather a handful of candidates
+        self._block_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._cached_postings = 0
         self._cache_cap = 20_000_000  # postings entries (~320 MB at 16 B/entry)
+        # lineage counters for the lazy decode (asserted by tests, reported
+        # by the query profile): blocks actually decoded vs blocks consulted
+        self.blocks_decoded = 0
+        self.blocks_total = int(blocks.num_rows)
         # reusable dense accumulators for score_query (allocated lazily)
         self._score_buf: np.ndarray | None = None
         self._match_buf: np.ndarray | None = None
@@ -146,10 +166,101 @@ class IndexReader:
             )
             for r in rows
         ]
+        self.blocks_decoded += len(rows)
         docs = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         dls = np.concatenate([p[2] for p in parts])
         return docs, tfs, dls
+
+    def _block(self, r: int) -> tuple[np.ndarray, np.ndarray]:
+        """Decoded (doc_ids, idf-free tf_norm) for ONE block row, cached —
+        the lazy unit of the block-max path (north star: block-max WAND).
+        tf_norm is idf-free so the cache is valid under global-stats
+        overrides that change df but not avgdl-per-posting values."""
+        hit = self._block_cache.get(r)
+        if hit is not None:
+            return hit
+        docs, tfs, dls = decode_block(
+            self._b_data[r].as_buffer(), int(self._b_n[r]), int(self._b_doc_w[r]),
+            int(self._b_tf_w[r]), int(self._b_dl_w[r]), int(self._b_first[r]),
+        )
+        tfn = bm25.tf_norm(tfs, dls, self.avgdl, k1=self.k1, b=self.b)
+        self.blocks_decoded += 1
+        if self._cached_postings + len(docs) <= self._cache_cap:
+            self._block_cache[r] = (docs, tfn)
+            self._cached_postings += len(docs)
+        return docs, tfn
+
+    def _term_df(self, term: str) -> int:
+        df_val = self.df.get(term)
+        if df_val is None:
+            raise KeyError(
+                f"term {term!r} has postings but no dictionary entry: "
+                f"corrupt or partially-built index at {self.index_dir}"
+            )
+        return int(df_val)
+
+    def term_scores_for_docs(self, term: str, cand: np.ndarray) -> np.ndarray:
+        """Per-candidate BM25 scores for one term via SELECTIVE block decode.
+
+        ``cand`` must be sorted ascending; returns float64 aligned to cand
+        (0.0 where the term does not match). Only blocks whose
+        [first_doc, last_doc] range contains a candidate are decoded — the
+        lazy half of block-max WAND: a stopword's thousands of blocks cost
+        nothing when only a handful of candidates need gathering. Scores are
+        bit-identical to the full-decode path (same elementwise idf*tf_norm)."""
+        out = np.zeros(len(cand), dtype=np.float64)
+        rows = self._term_blocks.get(term)
+        if rows is None or len(cand) == 0:
+            return out
+        hit = self._score_cache.get(term)
+        if hit is not None:  # already fully decoded+scored: no block work
+            docs_t, scores_t = hit
+            pos = np.searchsorted(docs_t, cand)
+            ok = (pos < len(docs_t)) & (docs_t[np.minimum(pos, len(docs_t) - 1)] == cand)
+            out[ok] = scores_t[pos[ok]]
+            return out
+        idf_t = bm25.idf(float(self._term_df(term)), self.n_docs)
+        firsts = self._b_first[rows]
+        lasts = self._b_last[rows]
+        lo = np.searchsorted(cand, firsts, side="left")
+        hi = np.searchsorted(cand, lasts, side="right")
+        for k in np.nonzero(hi > lo)[0]:
+            docs_b, tfn_b = self._block(int(rows[k]))
+            sub = cand[lo[k] : hi[k]]
+            pos = np.searchsorted(docs_b, sub)
+            ok = (pos < len(docs_b)) & (docs_b[np.minimum(pos, len(docs_b) - 1)] == sub)
+            out[lo[k] + np.nonzero(ok)[0]] = idf_t * tfn_b[pos[ok]]
+        return out
+
+    def term_postings_in_range(self, term: str, c0: int, c1: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, scores) for one term restricted to doc ids in [c0, c1),
+        decoding only the overlapping blocks — the per-chunk feed of the
+        memory-bounded dense path."""
+        rows = self._term_blocks.get(term)
+        if rows is None:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        hit = self._score_cache.get(term)
+        if hit is not None:
+            docs_t, scores_t = hit
+            a = int(np.searchsorted(docs_t, c0))
+            b_ = int(np.searchsorted(docs_t, c1))
+            return docs_t[a:b_], scores_t[a:b_]
+        idf_t = bm25.idf(float(self._term_df(term)), self.n_docs)
+        sel = rows[(self._b_first[rows] < c1) & (self._b_last[rows] >= c0)]
+        if len(sel) == 0:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        d_parts, s_parts = [], []
+        for r in sel:
+            docs_b, tfn_b = self._block(int(r))
+            a = int(np.searchsorted(docs_b, c0))
+            b_ = int(np.searchsorted(docs_b, c1))
+            if b_ > a:
+                d_parts.append(docs_b[a:b_])
+                s_parts.append(idf_t * tfn_b[a:b_])
+        if not d_parts:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        return np.concatenate(d_parts), np.concatenate(s_parts)
 
     def invert_doc_ids(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """doc_id -> (conv_id, turn_idx) via the conv base table (no docmap
@@ -200,9 +311,14 @@ class IndexReader:
         present = [t for t in terms if t in self._term_blocks]
         if not present:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        n_slots = self._max_doc_id + 1
+        if n_slots <= self.dense_chunk_docs:
+            return self._score_dense(present, limit, n_slots)
+        return self._score_dense_chunked(present, limit, n_slots)
+
+    def _score_dense(self, present: list[str], limit: int, n_slots: int):
         # reused per-reader accumulators (fresh allocations pay hypervisor
         # first-touch cost on this sandbox; real clusters also benefit)
-        n_slots = self._max_doc_id + 1
         if self._score_buf is None or len(self._score_buf) != n_slots:
             self._score_buf = np.zeros(n_slots, dtype=np.float64)
             self._match_buf = np.zeros(n_slots, dtype=bool)
@@ -222,6 +338,43 @@ class IndexReader:
             scores[cand] = 0.0
             matched[cand] = False
         return out_docs, out_scores
+
+    def _score_dense_chunked(self, present: list[str], limit: int, n_slots: int):
+        """Memory-bounded exact TAAT: doc-id space is processed in
+        ``dense_chunk_docs``-slot chunks; each chunk accumulates with the
+        SAME per-term sequential structure as ``_score_dense`` (so per-doc
+        float sums are bit-identical), keeps its own top-k, and the global
+        top-k of the per-chunk winners equals the global top-k. Working
+        memory is O(chunk), not O(n_docs) — the fix for the dense-accumulator
+        scale hazard at 10^9+ docs."""
+        chunk = self.dense_chunk_docs
+        if self._score_buf is None or len(self._score_buf) != chunk:
+            self._score_buf = np.zeros(chunk, dtype=np.float64)
+            self._match_buf = np.zeros(chunk, dtype=bool)
+        scores, matched = self._score_buf, self._match_buf
+        win_docs: list[np.ndarray] = []
+        win_scores: list[np.ndarray] = []
+        for c0 in range(0, n_slots, chunk):
+            c1 = min(c0 + chunk, n_slots)
+            for t in present:
+                docs_t, scores_t = self.term_postings_in_range(t, c0, c1)
+                if len(docs_t):
+                    rel = docs_t - c0
+                    scores[rel] += scores_t
+                    matched[rel] = True
+            cand = np.nonzero(matched[: c1 - c0])[0]
+            if len(cand):
+                top = bm25.topk_indices(scores[cand], cand + c0, limit)
+                win_docs.append((cand[top] + c0).astype(np.int64))
+                win_scores.append(scores[cand[top]].copy())
+                scores[cand] = 0.0
+                matched[cand] = False
+        if not win_docs:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        d = np.concatenate(win_docs)
+        s = np.concatenate(win_scores)
+        top = bm25.topk_indices(s, d, limit)
+        return d[top], s[top]
 
     def term_upper_bound(self, term: str) -> float:
         """idf(term) * max block max_tf_norm — the WAND/MaxScore term bound,
@@ -266,7 +419,6 @@ class IndexReader:
         cand_docs = np.array([], dtype=np.int64)
         cand_scores = np.array([], dtype=np.float64)
         for i, t in enumerate(present):
-            docs_t, scores_t = self.term_docs_scores(t)
             theta = (
                 -np.inf
                 if len(cand_docs) < limit
@@ -278,11 +430,12 @@ class IndexReader:
             # number of accumulated terms, so the margin scales with both
             eps = _prune_eps(len(present), theta)
             if suffix_ub[i] < theta - eps:
-                # no unseen doc can reach the top-k: gather-only phase
-                pos = np.searchsorted(docs_t, cand_docs)
-                ok = (pos < len(docs_t)) & (docs_t[np.minimum(pos, len(docs_t) - 1)] == cand_docs)
-                cand_scores[ok] += scores_t[pos[ok]]
+                # no unseen doc can reach the top-k: gather-only phase with
+                # LAZY block decode — only blocks containing a candidate are
+                # touched (block-max WAND's skipping, rank-safe by re-score)
+                cand_scores += self.term_scores_for_docs(t, cand_docs)
             else:
+                docs_t, scores_t = self.term_docs_scores(t)
                 docs_all = np.concatenate([cand_docs, docs_t])
                 scores_all = np.concatenate([cand_scores, scores_t])
                 o = np.argsort(docs_all, kind="stable")
@@ -305,10 +458,9 @@ class IndexReader:
             return cand_docs, cand_scores
         final = np.zeros(len(cand_docs), dtype=np.float64)
         for t in sorted(present):
-            docs_t, scores_t = self.term_docs_scores(t)
-            pos = np.searchsorted(docs_t, cand_docs)
-            ok = (pos < len(docs_t)) & (docs_t[np.minimum(pos, len(docs_t) - 1)] == cand_docs)
-            final[ok] += scores_t[pos[ok]]
+            # selective decode again: adding an exact 0.0 for non-matching
+            # candidates is bit-exact (scores are >= 0, x + 0.0 == x)
+            final += self.term_scores_for_docs(t, cand_docs)
         top = bm25.topk_indices(final, cand_docs, limit)
         return cand_docs[top], final[top]
 
@@ -330,8 +482,19 @@ class QueryScorer:
         # mirror of set_rank writing BOTH scores (helper.py:110-114): the raw
         # BM25 score (cosine analog) plus a per-query softmax over the hits
         self.attach_softmax = attach_softmax
+        # per-stage cumulative timings — the analog of the reference's
+        # profile() latency tree (client.py:68-120), exposed via profile()
+        self._prof = {"n_queries": 0, "n_hits": 0, "score_s": 0.0, "invert_s": 0.0}
+
+    def profile(self) -> dict:
+        out = dict(self._prof)
+        out["blocks_decoded"] = self.reader.blocks_decoded
+        out["blocks_total"] = self.reader.blocks_total
+        out["cached_postings"] = self.reader._cached_postings
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
         qids = batch.column("query_id").to_pylist()
         texts = batch.column("text").to_pylist()
         limits = (
@@ -345,10 +508,16 @@ class QueryScorer:
         cols: dict[str, list] = {n: [] for n in HITS_SCHEMA.names}
         softmax_col: list[float] = []
         for qid, text, limit in zip(qids, texts, limits):
+            t0 = _time.perf_counter()
             doc_ids, scores = score_fn(text, int(limit or self.default_limit))
+            self._prof["score_s"] += _time.perf_counter() - t0
+            self._prof["n_queries"] += 1
             if len(doc_ids) == 0:
                 continue
+            t0 = _time.perf_counter()
             conv_ids, turn_idxs = self.reader.invert_doc_ids(doc_ids)
+            self._prof["invert_s"] += _time.perf_counter() - t0
+            self._prof["n_hits"] += len(doc_ids)
             k = len(doc_ids)
             cols["query_id"].extend([qid] * k)
             cols["rank"].extend(range(k))

@@ -81,3 +81,46 @@ def test_term_upper_bound_is_bound(reader):
             continue
         ub = reader.term_upper_bound(t)
         assert np.max(ds_[1]) <= ub + 1e-12
+
+
+def test_lazy_block_decode_skips_blocks(reader):
+    """Block-max WAND's lazy half: a fresh reader answering mixed queries
+    must decode strictly fewer blocks than the index holds — gather/re-score
+    phases touch only blocks whose doc range contains a candidate."""
+    from clip_as_service_ray.stages.query import IndexReader
+
+    fresh = IndexReader(reader.index_dir)
+    assert fresh.blocks_total > 0 and fresh.blocks_decoded == 0
+    vocab = [_word(i) for i in range(2000)]
+    # rare leading term + hot tail terms: the hot terms land in the
+    # gather-only phase, where full decode would be the scale hazard
+    queries = [
+        f"{vocab[1500]} {vocab[0]} {vocab[1]}",
+        f"{vocab[1800]} {vocab[2]} {vocab[3]}",
+        f"{vocab[1200]} {vocab[4]}",
+    ]
+    for q in queries:
+        d_pr, s_pr = fresh.score_query_pruned(q, 10)
+        d_ex, s_ex = reader.score_query(q, 10)
+        assert d_pr.tolist() == d_ex.tolist()
+        np.testing.assert_array_equal(s_pr, s_ex)
+    assert 0 < fresh.blocks_decoded < fresh.blocks_total
+
+
+def test_chunked_dense_identical(reader, tmp_path):
+    """Memory-bounded chunked dense path == unbounded dense path,
+    bit-identical, across chunk sizes that force many chunks."""
+    from clip_as_service_ray.stages.query import IndexReader
+
+    vocab = [_word(i) for i in range(2000)]
+    queries = [vocab[0], f"{vocab[0]} {vocab[1]} {vocab[7]}",
+               f"{vocab[100]} {vocab[900]}", "wzzzzz"]
+    small = IndexReader(reader.index_dir, dense_chunk_docs=257)
+    tiny = IndexReader(reader.index_dir, dense_chunk_docs=4096)
+    for q in queries:
+        for limit in (1, 5, 10):
+            d_ex, s_ex = reader.score_query(q, limit)
+            for r in (small, tiny):
+                d_ch, s_ch = r.score_query(q, limit)
+                assert d_ch.tolist() == d_ex.tolist(), q
+                np.testing.assert_array_equal(s_ch, s_ex, err_msg=q)
