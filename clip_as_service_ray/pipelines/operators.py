@@ -121,27 +121,32 @@ def corpus_stats(sf_dir: str):
 BM25_QUERY_TERMS = ("merge", "window")  # 2 terms: float sum is order-independent
 
 
-def _docs_as_transcripts(sf_dir: str) -> pa.Table:
-    """Adapt `documents` to the transcripts shape: one doc = one turn.
+def _docs_as_transcripts(sf_dir: str):
+    """Adapt `documents` to the transcripts shape as a STREAMING Dataset
+    stage (no driver materialization — the round-1 adapter read the whole
+    table onto the driver, a corpus-sized driver copy at 100x).
 
-    conv_id zero-padded so lexicographic conv order == numeric doc order,
-    keeping the (score DESC, doc_id ASC) tie-break aligned with the SQL
-    oracle's ORDER BY score DESC, doc_id.
+    conv_id zero-padded (vectorized utf8_lpad) so lexicographic conv order
+    == numeric doc order, keeping the (score DESC, doc_id ASC) tie-break
+    aligned with the SQL oracle's ORDER BY score DESC, doc_id.
     """
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    n = t.num_rows
-    return pa.table(
-        {
-            "conv_id": pa.array([f"doc-{d:012d}" for d in t.column("doc_id").to_pylist()]),
-            "turn_idx": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
-            "role": pa.array(["user"] * n),
-            "text": t.column("text"),
-            "tool": pa.array([""] * n),
-            "ts": pa.array(np.zeros(n, dtype=np.int64), pa.timestamp("us")),
-        }
-    )
+    def fmt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        padded = pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 12, "0")
+        conv = pc.binary_join_element_wise(pa.scalar("doc"), padded, pa.scalar("-"))
+        return pa.table(
+            {
+                "conv_id": pc.cast(conv, pa.string()),
+                "turn_idx": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+                "role": pa.array(["user"] * n),
+                "text": batch.column("text"),
+                "tool": pa.array([""] * n),
+                "ts": pa.array(np.zeros(n, dtype=np.int64), pa.timestamp("us")),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(fmt, batch_format="pyarrow")
 
 
 def _index_dir_for(sf_dir: str) -> str:
@@ -173,13 +178,33 @@ def bm25_topk(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
 
 
 def exact_dedup(sf_dir: str):
-    """Exact dedup by full text: keep min doc_id per distinct text (§2.8,
-    last-write-wins by id analog -> first-write-wins deterministic)."""
+    """Exact dedup: keep min doc_id per distinct text (§2.8, last-write-wins
+    by id analog -> first-write-wins deterministic).
+
+    The shuffle key is a 128-bit CONTENT HASH (two independent 64-bit
+    vectorized hashes), not the text itself: only (h1, h2, doc_id) rows move
+    through the groupby, so at 100 TB the exchange ships ~24 B/doc instead
+    of re-shuffling the corpus. Collision probability over n docs is
+    ~n^2/2^129 (≈1e-21 at 10^9 docs); the DuckDB oracle groups by the full
+    text, so the driver check also verifies no collision occurred."""
     from ray.data.aggregate import Count, Min
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
+        h1 = pd.util.hash_array(texts, hash_key="cas_ray_dedup_01")
+        h2 = pd.util.hash_array(texts, hash_key="cas_ray_dedup_02")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "h1": pa.array(h1.view(np.int64), pa.int64()),
+                "h2": pa.array(h2.view(np.int64), pa.int64()),
+            }
+        )
 
     agg = (
         _documents(sf_dir)
-        .groupby("text", num_partitions=8)
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby(["h1", "h2"], num_partitions=8)
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count"))
     )
     return agg.select_columns(["doc_id", "dup_count"])
@@ -312,9 +337,13 @@ def lineitem_pricing_summary(sf_dir: str):
 def _query_vector(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
-    idx = t.column("vec_id").to_numpy().tolist().index(vec_id)
-    return np.asarray(t.column("embedding").to_pylist()[idx], dtype=np.float64)
+    # row-group predicate pushdown: only the matching row group leaves disk
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", vec_id)],
+    )
+    return np.asarray(t.column("embedding").to_pylist()[0], dtype=np.float64)
 
 
 def ann_topk(sf_dir: str, k: int = 10):
@@ -470,25 +499,28 @@ def doc_fingerprints(sf_dir: str):
 
 
 def ann_ivf_topk(sf_dir: str, k: int = 10, n_centroids: int = 16):
-    """IVF ANN with nprobe == n_centroids (full probe => exact, so the same
-    SQL oracle as ann_topk verifies the whole IVF train/assign/probe path;
-    partial-probe recall is pinned by tests/test_ann.py)."""
+    """IVF ANN through the cell-PARTITIONED on-disk index: train on a
+    first-row-group sample, build (cached) the cell=K/ parquet layout, probe
+    by reading only the probed cell directories. nprobe == n_centroids here
+    (full probe => exact), so the same SQL oracle as ann_topk verifies the
+    whole IVF train/assign/build/probe path; partial-probe recall and
+    probe-cost scaling are pinned by tests/test_ann.py."""
     import pyarrow.parquet as pq
     import ray.data
 
-    from clip_as_service_ray.stages.ann import ivf_assign, ivf_search, train_centroids
+    from clip_as_service_ray.stages.ann import ivf_build, ivf_search, train_centroids
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    sample = np.array(t.column("embedding").to_pylist()[:256], dtype=np.float64)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    pf = pq.ParquetFile(path)
+    first = next(pf.iter_batches(batch_size=256, columns=["embedding"]))
+    sample = np.array(first.column("embedding").to_pylist(), dtype=np.float64)
     cents = train_centroids(sample, n_centroids)
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    assigned = ivf_assign(ds, cents)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = f"/tmp/cas_ray_ann/ivf_{tag}_c{n_centroids}"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ivf_build(ds, cents, index_dir)
     q = _query_vector(sf_dir, 0)
-    out = ivf_search(assigned, cents, q, k=k, nprobe=n_centroids)
+    out = ivf_search(index_dir, q, k=k, nprobe=n_centroids)
     return pa.table(
         {
             "vec_id": out.column("vec_id"),

@@ -15,6 +15,8 @@ sample; ties break by lowest index.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -69,54 +71,126 @@ def ivf_assign(ds, centroids: np.ndarray):
     return ds.map_batches(Assign, batch_format="pyarrow", batch_size=4096, concurrency=2)
 
 
+def ivf_build(ds, centroids: np.ndarray, index_dir: str, *, overwrite: bool = False) -> str:
+    """Write the cell-PARTITIONED IVF index: assigned vectors land under
+    ``index_dir/cell=K/`` (parquet partition_cols) and the centroid table
+    under ``_centroids.parquet``. ``cell`` is the physical pruning key: a
+    probe reads ONLY its nprobe cell directories, so bytes read scale with
+    nprobe, not with the corpus — the AnnLite cell model
+    (docs/user-guides/retriever.md:156-168) expressed as a parquet layout."""
+    import json
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    done = os.path.join(index_dir, "_ivf.json")
+    if os.path.exists(done) and not overwrite:
+        return index_dir
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    ivf_assign(ds, cents).write_parquet(index_dir, partition_cols=["cell"])
+    pq.write_table(
+        pa.table(
+            {
+                "cell": pa.array(range(len(cents)), pa.int64()),
+                "centroid": pa.array([c.tolist() for c in cents], pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(index_dir, "_centroids.parquet"),
+    )
+    with open(done, "w") as f:
+        json.dump({"n_centroids": int(len(cents)), "dim": int(cents.shape[1])}, f)
+    return index_dir
+
+
+def load_centroids(index_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "_centroids.parquet"))
+    return np.array(t.column("centroid").to_pylist(), dtype=np.float64)
+
+
+def probe_cells(centroids: np.ndarray, query: np.ndarray, nprobe: int) -> np.ndarray:
+    """The nprobe nearest cells to the query (deterministic tie-break)."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    cents = _normalize(np.asarray(centroids, dtype=np.float64))
+    return np.argsort(-(cents @ q), kind="stable")[:nprobe].astype(np.int64)
+
+
 def ivf_search(
-    assigned_ds,
-    centroids: np.ndarray,
+    index_dir: str,
     query: np.ndarray,
     *,
     k: int = 10,
     nprobe: int = 4,
-) -> pa.Table:
-    """Probe the nprobe nearest cells, exact-score their members, global
-    top-k by (sim DESC, vec_id ASC). With nprobe == n_centroids this is
-    exact (== brute force), which is how the SQL oracle checks it."""
+    return_stats: bool = False,
+):
+    """Probe the nprobe nearest cells by reading ONLY their partition
+    directories, exact-score their members, global top-k by (sim DESC,
+    vec_id ASC). With nprobe == n_centroids this is exact (== brute force),
+    which is how the SQL oracle checks it. ``return_stats`` additionally
+    reports cells/rows/bytes actually read (pinned by tests/test_ann.py:
+    probe cost scales with nprobe, not corpus size)."""
+    import pyarrow.parquet as pq
     import ray
+    import ray.data
 
+    cents = load_centroids(index_dir)
     q = np.asarray(query, dtype=np.float64)
     q = q / np.linalg.norm(q)
-    cents = _normalize(np.asarray(centroids, dtype=np.float64))
-    probe = np.argsort(-(cents @ q), kind="stable")[:nprobe].astype(np.int32)
-    probe_ref = ray.put(set(int(c) for c in probe))
+    cells = probe_cells(cents, q, nprobe)
+    paths = []
+    for c in cells:
+        p = os.path.join(index_dir, f"cell={c}")
+        if os.path.isdir(p):
+            paths.append(p)
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+    )
+    stats = {"cells_probed": len(paths), "rows_read": 0, "bytes_read": 0}
+    if not paths:
+        return (empty, stats) if return_stats else empty
+    if return_stats:
+        for p in paths:
+            for f in os.listdir(p):
+                if f.endswith(".parquet"):
+                    fp = os.path.join(p, f)
+                    stats["rows_read"] += pq.ParquetFile(fp).metadata.num_rows
+                    stats["bytes_read"] += os.path.getsize(fp)
     q_ref = ray.put(q)
 
     class ProbeScore:
         def __init__(self):
-            self.cells = ray.get(probe_ref)
             self.q = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            cell = batch.column("cell").to_numpy()
-            keep = np.fromiter((int(c) in self.cells for c in cell), dtype=bool, count=len(cell))
-            if not keep.any():
-                return pa.table({"vec_id": pa.array([], pa.int64()),
-                                 "sim": pa.array([], pa.float64())})
-            sub = batch.filter(pa.array(keep))
-            emb = _normalize(np.array(sub.column("embedding").to_pylist(), dtype=np.float64))
+            emb = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
             sims = emb @ self.q
-            vec_ids = sub.column("vec_id").to_numpy().astype(np.int64)
+            vec_ids = batch.column("vec_id").to_numpy().astype(np.int64)
             top = np.lexsort((vec_ids, -sims))[: min(k, len(vec_ids))]
             return pa.table({"vec_id": pa.array(vec_ids[top], pa.int64()),
                              "sim": pa.array(sims[top], pa.float64())})
 
-    parts = assigned_ds.map_batches(
-        ProbeScore, batch_format="pyarrow", batch_size=4096, concurrency=2
-    ).to_pandas()
+    files = [
+        os.path.join(p, f)
+        for p in paths
+        for f in sorted(os.listdir(p))
+        if f.endswith(".parquet")
+    ]
+    parts = (
+        ray.data.read_parquet(files, columns=["vec_id", "embedding"])
+        .map_batches(ProbeScore, batch_format="pyarrow", batch_size=4096, concurrency=2)
+        .to_pandas()
+    )
     if len(parts) == 0:
-        return pa.table({"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+        return (empty, stats) if return_stats else empty
     sims = parts["sim"].to_numpy()
     vec_ids = parts["vec_id"].to_numpy()
     top = np.lexsort((vec_ids, -sims))[: min(k, len(vec_ids))]
-    return pa.table(
+    out = pa.table(
         {"vec_id": pa.array(vec_ids[top], pa.int64()),
          "sim": pa.array(sims[top], pa.float64())}
     )
+    return (out, stats) if return_stats else out

@@ -6,7 +6,7 @@ import pytest
 
 from clip_as_service_ray.stages.ann import (
     _normalize,
-    ivf_assign,
+    ivf_build,
     ivf_search,
     train_centroids,
 )
@@ -43,29 +43,54 @@ def test_centroids_deterministic(vectors):
     assert c1.shape == (16, 32)
 
 
-def test_full_probe_is_exact(vectors):
+@pytest.fixture(scope="module")
+def ivf_index(vectors, tmp_path_factory):
     ds, m = vectors
     cents = train_centroids(m[:500], 16)
-    assigned = ds.map_batches(lambda t: t, batch_format="pyarrow")  # passthrough
-    assigned = ivf_assign(ds, cents).materialize()
+    index_dir = str(tmp_path_factory.mktemp("ivf") / "index")
+    ivf_build(ds, cents, index_dir, overwrite=True)
+    return index_dir, m
+
+
+def test_full_probe_is_exact(ivf_index):
+    index_dir, m = ivf_index
     q = m[7]
-    got = ivf_search(assigned, cents, q, k=10, nprobe=16)
+    got = ivf_search(index_dir, q, k=10, nprobe=16)
     # float32 storage round-trips through the same cast in both paths
-    m32 = np.array([r for r in assigned.to_pandas().sort_values("vec_id")["embedding"]],
-                   dtype=np.float64)
+    import pyarrow.parquet as pq
+    import pandas as pd
+    import glob, os
+    parts = pd.concat(
+        [pq.read_table(p).to_pandas() for p in glob.glob(os.path.join(index_dir, "cell=*/*.parquet"))]
+    ).sort_values("vec_id")
+    m32 = np.array([r for r in parts["embedding"]], dtype=np.float64)
     want = _brute(m32, q.astype(np.float64), 10)
     assert got.column("vec_id").to_pylist() == want.tolist()
 
 
-def test_partial_probe_recall(vectors):
-    ds, m = vectors
-    cents = train_centroids(m[:500], 16)
-    assigned = ivf_assign(ds, cents).materialize()
+def test_partial_probe_recall(ivf_index):
+    index_dir, m = ivf_index
     hits = 0
     for qi in (1, 42, 77, 123, 999):
         q = m[qi]
-        approx = set(ivf_search(assigned, cents, q, k=10, nprobe=6).column("vec_id").to_pylist())
+        approx = set(ivf_search(index_dir, q, k=10, nprobe=6).column("vec_id").to_pylist())
         exact = set(_brute(m, q, 10).tolist())
         hits += len(approx & exact)
     recall = hits / 50
     assert recall >= 0.5  # random gaussian data, 6/16 cells probed
+
+
+def test_probe_cost_scales_with_nprobe(ivf_index):
+    """The pruned-read contract: bytes/rows read grow with nprobe and a
+    partial probe reads strictly less than the corpus (the AnnLite cell
+    model, retriever.md:156-168)."""
+    index_dir, m = ivf_index
+    q = m[3]
+    _, s2 = ivf_search(index_dir, q, k=10, nprobe=2, return_stats=True)
+    _, s6 = ivf_search(index_dir, q, k=10, nprobe=6, return_stats=True)
+    _, s16 = ivf_search(index_dir, q, k=10, nprobe=16, return_stats=True)
+    assert s2["cells_probed"] == 2 and s6["cells_probed"] == 6
+    assert s2["rows_read"] < s6["rows_read"] < s16["rows_read"]
+    assert s2["bytes_read"] < s6["bytes_read"] < s16["bytes_read"]
+    assert s16["rows_read"] == 2000  # full probe == whole corpus
+    assert s6["rows_read"] < 2000
