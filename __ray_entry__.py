@@ -80,10 +80,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ops.ann_topk,
         "ann_ivf_topk": ops.ann_ivf_topk,
         "cosine_dup_pairs": ops.cosine_dup_pairs,
-        "minhash_dup_pairs": ops.minhash_dup_pairs,  # rows-only
-        "simhash_dup_pairs": ops.simhash_dup_pairs,  # rows-only
+        "minhash_dup_pairs": ops.minhash_dup_pairs,
+        "simhash_dup_pairs": ops.simhash_dup_pairs,  # rows-only (simhash not SQL-expressible)
         "jaccard_dup_pairs": ops.jaccard_dup_pairs,
-        "langid_distribution": ops.langid_distribution,  # rows-only
+        "langid_distribution": ops.langid_distribution,
         "doc_fingerprints": ops.doc_fingerprints,  # rows-only
         "transcripts_bm25_search": _transcripts_bm25_search,  # rows-only
     }
@@ -179,6 +179,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM w a JOIN w b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.ws, b.ws))::DOUBLE "
             "  / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.75"
+        ),
+        "minhash_dup_pairs": (
+            # exact 3-shingle Jaccard over ALL pairs — the ground truth the
+            # MinHash+LSH pipeline approximates; equality additionally
+            # certifies LSH recall = 1.0 at this threshold on this corpus
+            # (every emitted pair is exact-verified, so output ⊆ truth
+            # always; matching row counts proves nothing was missed)
+            "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '" + _PAT_SQL + "') AS ts "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN "
+            "list_distinct(list_transform(generate_series(1, len(ts)-2), "
+            "i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2])) "
+            "ELSE list_distinct(ts) END AS s FROM t WHERE len(ts) > 0) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "round(len(list_intersect(a.s, b.s))::DOUBLE "
+            "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)::DOUBLE AS jaccard "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
+            "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"
+        ),
+        "langid_distribution": (
+            r"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w "
+            "FROM documents), "
+            "h AS (SELECT d.doc_id, "
+            "count(*) FILTER (WHERE t.w IN ('der','die','das','und','ist','nicht','ich','du','mit','ein','eine','zu','den','von')) AS de, "
+            "count(*) FILTER (WHERE t.w IN ('the','of','and','to','in','a','is','that','it','for','on','with','as','was','at','by')) AS en, "
+            "count(*) FILTER (WHERE t.w IN ('el','la','los','las','y','es','no','yo','con','un','una','para','en','de','del')) AS es, "
+            "count(*) FILTER (WHERE t.w IN ('le','la','les','et','est','pas','je','tu','avec','un','une','pour','dans','de','du')) AS fr "
+            "FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id), "
+            "p AS (SELECT doc_id, CASE WHEN greatest(de,en,es,fr) = 0 THEN 'und' "
+            "WHEN de = greatest(de,en,es,fr) THEN 'de' "
+            "WHEN en = greatest(de,en,es,fr) THEN 'en' "
+            "WHEN es = greatest(de,en,es,fr) THEN 'es' "
+            "ELSE 'fr' END AS pred_lang FROM h) "
+            "SELECT pred_lang, count(*)::BIGINT AS n_docs FROM p GROUP BY pred_lang"
         ),
         "cosine_dup_pairs": (
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "

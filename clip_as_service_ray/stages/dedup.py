@@ -10,10 +10,13 @@ Each operator follows the canonical shape from the Ray guide:
     -> candidate pairs
     -> exact verify on the (provably small) candidate set
 
-The verify step gathers candidate texts with a broadcast id-set filter and
-verifies on the driver — valid while candidates ≪ corpus (log a warning
-otherwise); the cluster-scale path is a pair-keyed join of shingle blobs and
-a distributed verify map, same kernels.
+The minhash verify is a PAIR-KEYED SHUFFLE (``_verify_pairs_distributed``):
+one corpus pass emits candidate shingle blobs keyed by pair id (broadcast
+pair membership, vectorized ``pc.is_in`` filter), then a ``groupby(pair)``
+computes exact Jaccard with both sides co-located — no driver gather of
+shingles. SimHash verifies Hamming distance INSIDE its band buckets (the
+band rows carry the full 64-bit signature), so neither near-dup family has
+a driver-side verify tail.
 """
 
 from __future__ import annotations
@@ -95,27 +98,85 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
     return pa.table({"doc_a": pa.array(docs[ia], pa.int64()), "doc_b": pa.array(docs[ib], pa.int64())})
 
 
-def _gather_shingles(ds, doc_ids: np.ndarray, shingle_n: int) -> dict[int, np.ndarray]:
-    """Second pass over the corpus restricted to candidate ids (broadcast
-    id-set semi-join filter), tokenize, return shingle sets."""
+_PAIR_SH_SCHEMA = pa.schema(
+    [("pair", pa.int64()), ("doc_id", pa.int64()), ("sh", pa.binary())]
+)
+
+
+def _verify_pairs_distributed(
+    ds, pairs: np.ndarray, shingle_n: int, threshold: float
+) -> pa.Table:
+    """Pair-keyed SHUFFLE verify (the cluster-scale verify tail): one pass
+    over the corpus emits each candidate doc's shingle set once per pair it
+    participates in, keyed by pair id; a groupby(pair) then computes exact
+    Jaccard with both sides co-located. The only driver-side state is the
+    candidate pair list itself (≪ corpus by LSH construction), broadcast
+    via ray.put. The candidate filter is a vectorized ``pc.is_in`` — no
+    per-row Python membership loop."""
+    import pyarrow.compute as pc
     import ray
 
-    id_ref = ray.put(set(int(x) for x in doc_ids))
+    memb: dict[int, list] = {}
+    for pi, (a, b) in enumerate(pairs):
+        memb.setdefault(int(a), []).append(pi)
+        memb.setdefault(int(b), []).append(pi)
+    memb_ref = ray.put(memb)
+    ids_arr = pa.array(np.unique(pairs).astype(np.int64), pa.int64())
+    ids_ref = ray.put(ids_arr)
 
-    class Filter:
+    class EmitPairShingles:
         def __init__(self):
-            self.ids = ray.get(id_ref)
+            self.memb = ray.get(memb_ref)
+            self.ids = ray.get(ids_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keep = np.fromiter(
-                (int(d) in self.ids for d in batch.column("doc_id").to_numpy()),
-                dtype=bool, count=batch.num_rows,
+            mask = pc.is_in(batch.column("doc_id"), value_set=self.ids)
+            sub = batch.filter(mask)
+            if sub.num_rows == 0:
+                return _PAIR_SH_SCHEMA.empty_table()
+            sh = _doc_shingles(sub.column("text").to_pylist(), shingle_n)
+            out_pair, out_doc, out_sh = [], [], []
+            for did, s in zip(sub.column("doc_id").to_numpy(), sh):
+                blob = s.tobytes()
+                for pi in self.memb.get(int(did), ()):
+                    out_pair.append(pi)
+                    out_doc.append(int(did))
+                    out_sh.append(blob)
+            return pa.table(
+                {"pair": pa.array(out_pair, pa.int64()),
+                 "doc_id": pa.array(out_doc, pa.int64()),
+                 "sh": pa.array(out_sh, pa.binary())},
+                schema=_PAIR_SH_SCHEMA,
             )
-            return batch.filter(pa.array(keep))
 
-    sub = ds.map_batches(Filter, batch_format="pyarrow", concurrency=2).to_pandas()
-    sh = _doc_shingles(sub["text"].tolist(), shingle_n)
-    return dict(zip(sub["doc_id"].astype(int).tolist(), sh))
+    def verify_group(g: pa.Table) -> pa.Table:
+        docs = np.asarray(g.column("doc_id").to_pylist(), dtype=np.int64)
+        if len(docs) < 2:
+            return PAIRS_SCHEMA.empty_table()
+        blobs = g.column("sh").to_pylist()
+        order = np.argsort(docs, kind="stable")
+        a, b = int(docs[order[0]]), int(docs[order[1]])
+        j = mh.jaccard(
+            np.frombuffer(blobs[order[0]], np.uint64),
+            np.frombuffer(blobs[order[1]], np.uint64),
+        )
+        if j < threshold:
+            return PAIRS_SCHEMA.empty_table()
+        return pa.table(
+            {"doc_a": pa.array([a], pa.int64()), "doc_b": pa.array([b], pa.int64()),
+             "jaccard": pa.array([round(j, 6)], pa.float64())},
+            schema=PAIRS_SCHEMA,
+        )
+
+    out = (
+        ds.map_batches(EmitPairShingles, batch_format="pyarrow", concurrency=2)
+        .groupby("pair", num_partitions=4)
+        .map_groups(verify_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return PAIRS_SCHEMA.empty_table()
+    return pa.Table.from_pandas(out, preserve_index=False).cast(PAIRS_SCHEMA)
 
 
 def minhash_lsh_pairs(
@@ -135,34 +196,25 @@ def minhash_lsh_pairs(
         concurrency=2,
     )
     cand = (
-        band_rows.groupby(["band", "band_hash"])
+        band_rows.groupby(["band", "band_hash"], num_partitions=8)
         .map_groups(_bucket_pairs, batch_format="pyarrow")
         .to_pandas()
     )
     if len(cand) == 0:
         return PAIRS_SCHEMA.empty_table()
     pairs = np.unique(cand[["doc_a", "doc_b"]].to_numpy(), axis=0)
-    ids = np.unique(pairs)
-    shingles = _gather_shingles(ds, ids, shingle_n)
-    out_a, out_b, out_j = [], [], []
-    for a, b in pairs:
-        j = mh.jaccard(shingles.get(int(a), np.array([], np.uint64)),
-                       shingles.get(int(b), np.array([], np.uint64)))
-        if j >= threshold:
-            out_a.append(int(a))
-            out_b.append(int(b))
-            out_j.append(round(j, 6))
-    return pa.table(
-        {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()),
-         "jaccard": pa.array(out_j, pa.float64())},
-    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    verified = _verify_pairs_distributed(ds, pairs, shingle_n, threshold)
+    return verified.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
-class SimHashStage:
-    """map_batches UDF: documents batch -> (doc_id, simhash, band rows)."""
+class SimHashBands:
+    """map_batches UDF: documents batch -> (band, band_val, doc_id, simhash)
+    LSH rows. Carrying the full 64-bit signature in every band row means the
+    verify (Hamming distance) runs INSIDE the bucket group with no second
+    pass — fully distributed, one shuffle of tiny rows."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_numpy()
+        doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
         sims = []
         for terms in tokenize_texts(batch.column("text").to_pylist()):
             if not terms:
@@ -170,47 +222,72 @@ class SimHashStage:
                 continue
             u, c = np.unique(np.asarray(terms, dtype=object), return_counts=True)
             sims.append(int(mh.simhash(mh.hash_terms(u), c)))
+        hashes = np.array(sims, dtype=np.uint64)
+        bands, vals, docs, sigs = [], [], [], []
+        for band in range(4):
+            bands.append(np.full(len(doc_ids), band, dtype=np.int64))
+            vals.append(
+                ((hashes >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+            )
+            docs.append(doc_ids)
+            sigs.append(hashes)
         return pa.table(
-            {"doc_id": pa.array(doc_ids, pa.int64()),
-             "simhash": pa.array(np.array(sims, dtype=np.uint64), pa.uint64())}
+            {
+                "band": pa.array(np.concatenate(bands), pa.int64()),
+                "band_val": pa.array(np.concatenate(vals), pa.int64()),
+                "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+                "simhash": pa.array(np.concatenate(sigs), pa.uint64()),
+            }
         )
+
+
+def _simhash_bucket_pairs(max_hamming: int):
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        docs = group.column("doc_id").to_numpy().astype(np.int64)
+        sigs = group.column("simhash").to_numpy().astype(np.uint64)
+        order = np.argsort(docs, kind="stable")
+        docs, sigs = docs[order], sigs[order]
+        keep = np.concatenate([[True], docs[1:] != docs[:-1]])  # unique per bucket
+        docs, sigs = docs[keep], sigs[keep]
+        if len(docs) < 2:
+            return SIMHASH_PAIRS_SCHEMA.empty_table()
+        if len(docs) > 200:  # no silent caps: bounded but visible
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash bucket with %d docs capped to first 200", len(docs)
+            )
+            docs, sigs = docs[:200], sigs[:200]
+        ia, ib = np.triu_indices(len(docs), k=1)
+        ham = mh.hamming64(sigs[ia], sigs[ib])
+        ok = ham <= max_hamming
+        return pa.table(
+            {"doc_a": pa.array(docs[ia][ok], pa.int64()),
+             "doc_b": pa.array(docs[ib][ok], pa.int64()),
+             "hamming": pa.array(ham[ok], pa.int64())},
+            schema=SIMHASH_PAIRS_SCHEMA,
+        )
+
+    return bucket_pairs
 
 
 def simhash_pairs(ds, *, max_hamming: int = 3) -> pa.Table:
     """SimHash near-dup pairs: 4x16-bit band LSH (any pair within Hamming
-    distance 3 shares >=1 exact 16-bit band), verified exactly."""
-    sigs = ds.map_batches(SimHashStage(), batch_format="pyarrow").to_pandas()
-    doc_ids = sigs["doc_id"].to_numpy().astype(np.int64)
-    hashes = sigs["simhash"].to_numpy().astype(np.uint64)
-    # band explode (driver-side on the small signature table; distributed
-    # variant: same groupby pattern as minhash_lsh_pairs)
-    cand = set()
-    for band in range(4):
-        vals = (hashes >> np.uint64(16 * band)) & np.uint64(0xFFFF)
-        order = np.argsort(vals, kind="stable")
-        vs, ds_ = vals[order], doc_ids[order]
-        starts = np.concatenate([[0], np.nonzero(np.diff(vs))[0] + 1, [len(vs)]])
-        for s, e in zip(starts[:-1], starts[1:]):
-            if e - s > 1:
-                grp = np.sort(ds_[s:e])
-                for i in range(len(grp)):
-                    for j in range(i + 1, len(grp)):
-                        cand.add((int(grp[i]), int(grp[j])))
-    if not cand:
+    distance 3 shares >=1 exact 16-bit band), verified exactly INSIDE the
+    bucket groups (distributed — the signature rows carry the full sig, so
+    no driver pandas pass and no second corpus scan). Pairs found in
+    multiple bands dedupe on the (small) result."""
+    pairs_fn = _simhash_bucket_pairs(max_hamming)
+    out = (
+        ds.map_batches(SimHashBands(), batch_format="pyarrow")
+        .groupby(["band", "band_val"], num_partitions=8)
+        .map_groups(pairs_fn, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(out) == 0:
         return SIMHASH_PAIRS_SCHEMA.empty_table()
-    by_id = dict(zip(doc_ids.tolist(), hashes.tolist()))
-    pairs = sorted(cand)
-    a = np.array([p[0] for p in pairs], dtype=np.int64)
-    b = np.array([p[1] for p in pairs], dtype=np.int64)
-    ham = mh.hamming64(
-        np.array([by_id[x] for x in a], dtype=np.uint64),
-        np.array([by_id[x] for x in b], dtype=np.uint64),
-    )
-    keep = ham <= max_hamming
-    return pa.table(
-        {"doc_a": pa.array(a[keep], pa.int64()), "doc_b": pa.array(b[keep], pa.int64()),
-         "hamming": pa.array(ham[keep], pa.int64())}
-    )
+    out = out.drop_duplicates(["doc_a", "doc_b"]).sort_values(["doc_a", "doc_b"])
+    return pa.Table.from_pandas(out, preserve_index=False).cast(SIMHASH_PAIRS_SCHEMA)
 
 
 def word_jaccard_pairs(ds, *, max_id: int = 150, threshold: float = 0.75) -> pa.Table:
