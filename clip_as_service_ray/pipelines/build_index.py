@@ -39,6 +39,7 @@ import pyarrow.parquet as pq
 from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
 from clip_as_service_ray.stages.merge import STATS_PART, EmitPartials, merge_partition
 from clip_as_service_ray.stages.tokenize import (
+    build_sharded_conv_base,
     compute_conv_bases,
     tokenize_batch,
 )
@@ -172,8 +173,9 @@ def _source_rows(source) -> int | None:
     return None
 
 
-def _conv_extents(ds) -> pa.Table:
-    """(conv_id, max_turn) via per-batch partial max then a small groupby."""
+def _conv_extents_ds(ds):
+    """(conv_id, max_turn) as a DATASET via per-batch partial max then a
+    groupby — the input to the distributed prefix-sum; never collected."""
     from ray.data.aggregate import Max
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -185,10 +187,13 @@ def _conv_extents(ds) -> pa.Table:
     )
     # num_partitions: bound the tiny-data shuffle (default 200 partitions of
     # near-empty blocks dominates wall time at test scale)
-    agg = partials.groupby("conv_id", num_partitions=_num_cpus()).aggregate(
+    return partials.groupby("conv_id", num_partitions=_num_cpus()).aggregate(
         Max("max_turn", alias_name="max_turn")
     )
-    return pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+
+
+def _write_convmap_shard(tbl: pa.Table, path: str) -> None:
+    pq.write_table(tbl.select(["conv_id", "max_turn"]), path)
 
 
 def _write_empty_index(
@@ -291,15 +296,28 @@ def build_index(
         prep_ref = prep_task.remote(
             source, config.doc_bucket_size, config.merge_groups_per_part
         )
-    else:
-        extents = (
-            _conv_extents_driver(source)
-            if isinstance(source, pa.Table)
-            else _conv_extents(ds).sort_by("conv_id")
-        )
+    elif isinstance(source, pa.Table):
         prep = _prep_from_extents(
-            extents, config.doc_bucket_size, config.merge_groups_per_part
+            _conv_extents_driver(source),
+            config.doc_bucket_size, config.merge_groups_per_part,
         )
+        prep_ref = ray.put(prep)
+    else:
+        # large / Dataset inputs: DISTRIBUTED two-pass block prefix-sum —
+        # no conversation id ever funnels through the driver (the driver
+        # sees one summary row per BLOCK); tokenize workers fetch only the
+        # conv-base shards their batches touch
+        scb, n_slots = build_sharded_conv_base(_conv_extents_ds(ds))
+        if scb is None:
+            return _write_empty_index(index_dir, config, timings, t0)
+        n_buckets = max(1, -(-n_slots // config.doc_bucket_size))
+        grp_width = max(1, -(-n_buckets // config.merge_groups_per_part))
+        prep = {
+            "conv_base": scb,
+            "grp_width": grp_width,
+            "n_slots": n_slots,
+            "extents": None,
+        }
         prep_ref = ray.put(prep)
     timings["conv_extents_s"] = time.time() - t
 
@@ -346,9 +364,24 @@ def build_index(
     if prep is None:
         prep = ray.get(prep_ref)
     if not os.path.exists(convmap_path):
-        tmp = convmap_path + f".tmp.{os.getpid()}"
-        pq.write_table(prep["extents"], tmp)
-        os.replace(tmp, convmap_path)
+        if prep.get("extents") is not None:
+            tmp = convmap_path + f".tmp.{os.getpid()}"
+            pq.write_table(prep["extents"], tmp)
+            os.replace(tmp, convmap_path)
+        else:
+            # sharded conv base: one parquet part per shard, written by the
+            # shard owners (convmap.parquet becomes a directory)
+            scb = prep["conv_base"]
+            tmp = convmap_path + f".tmp.{os.getpid()}"
+            os.makedirs(tmp, exist_ok=True)
+            writer = ray.remote(num_cpus=1)(_write_convmap_shard)
+            ray.get(
+                [
+                    writer.remote(ref, os.path.join(tmp, f"part-{i:05d}.parquet"))
+                    for i, ref in enumerate(scb.shard_refs)
+                ]
+            )
+            os.replace(tmp, convmap_path)
     timings["convmap_write_s"] = time.time() - t
 
     # ---- stage 3: corpus stats (N, avgdl) from the stats pseudo-partition

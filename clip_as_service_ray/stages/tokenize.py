@@ -74,14 +74,111 @@ def compute_conv_bases(conv_extents: pa.Table) -> ConvBase:
     """conv_extents: (conv_id, max_turn) -> prefix-sum base table.
 
     Driver-side prefix sum over the (much smaller) conversation table; the
-    distributed variant is a two-pass block prefix-sum over the sorted conv
-    dataset (per-block sums -> driver scan over #blocks -> per-block offset).
-    """
+    distributed variant is ``build_sharded_conv_base`` — a two-pass block
+    prefix-sum over the sorted conv dataset (per-block sums -> driver scan
+    over #blocks -> per-block offset)."""
     t = conv_extents.sort_by("conv_id")
     conv_ids = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
     extents = t.column("max_turn").to_numpy().astype(np.int64) + 1
     bases = np.concatenate([[0], np.cumsum(extents)[:-1]])
     return ConvBase(conv_ids, bases)
+
+
+class ShardedConvBase:
+    """Range-sharded conv_id -> doc-id base map for corpora whose
+    CONVERSATION table itself is too large for one process.
+
+    The driver holds only one (first_conv, ObjectRef) pair per shard; a
+    tokenize worker routes each batch's conv_ids to shards by binary search
+    on the shard boundaries, fetches ONLY the shard tables its batch
+    touches (from the object store), and caches them per process. Same
+    ``lookup`` contract as ConvBase."""
+
+    def __init__(self, first_convs: np.ndarray, shard_refs: list):
+        self.first_convs = first_convs  # object ndarray, sorted
+        self.shard_refs = shard_refs
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _shard(self, s: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = self._cache.get(s)
+        if hit is None:
+            import ray
+
+            t = ray.get(self.shard_refs[s])
+            hit = (
+                np.asarray(t.column("conv_id").to_pylist(), dtype=object),
+                t.column("base").to_numpy().astype(np.int64),
+            )
+            self._cache[s] = hit
+        return hit
+
+    def lookup(self, conv_ids: np.ndarray) -> np.ndarray:
+        out = np.empty(len(conv_ids), dtype=np.int64)
+        sidx = np.searchsorted(self.first_convs, conv_ids, side="right") - 1
+        if np.any(sidx < 0):
+            raise KeyError(
+                f"conv_ids below first shard boundary: {conv_ids[sidx < 0][:5]}"
+            )
+        for s in np.unique(sidx):
+            cids, bases = self._shard(int(s))
+            m = sidx == s
+            sub = conv_ids[m]
+            pos = np.searchsorted(cids, sub)
+            bad = (pos >= len(cids)) | (cids[np.minimum(pos, len(cids) - 1)] != sub)
+            if np.any(bad):
+                raise KeyError(f"conv_ids missing from conv base shards: {sub[bad][:5]}")
+            out[m] = bases[pos]
+        return out
+
+
+def _shard_summary(block: pa.Table):
+    if block.num_rows == 0:
+        return 0, 0, None
+    ext = block.column("max_turn").to_numpy().astype(np.int64) + 1
+    return block.num_rows, int(ext.sum()), block.column("conv_id")[0].as_py()
+
+
+def _make_shard(block: pa.Table, base_offset: int) -> pa.Table:
+    ext = block.column("max_turn").to_numpy().astype(np.int64) + 1
+    bases = base_offset + np.concatenate([[0], np.cumsum(ext)[:-1]])
+    return pa.table(
+        {
+            "conv_id": block.column("conv_id"),
+            "max_turn": block.column("max_turn").cast(pa.int64()),
+            "base": pa.array(bases, pa.int64()),
+        }
+    )
+
+
+def build_sharded_conv_base(extents_ds) -> tuple["ShardedConvBase | None", int]:
+    """Distributed two-pass block prefix-sum over a (conv_id, max_turn)
+    Dataset — no conversation ever funnels through the driver:
+
+      sort(conv_id) -> per-block (n, sum_extents, first_conv) summaries
+      [one tiny row per BLOCK gathered to the driver] -> exclusive scan over
+      the #blocks summaries -> one remote task per block attaches absolute
+      bases -> shard tables stay in the object store as refs.
+
+    Returns (ShardedConvBase | None-if-empty, n_slots)."""
+    import ray
+
+    mat = extents_ds.sort("conv_id").materialize()
+    block_refs = [
+        bref
+        for bundle in mat.iter_internal_ref_bundles()
+        for bref in bundle.block_refs
+    ]
+    summary = ray.remote(num_cpus=1)(_shard_summary)
+    sums = ray.get([summary.remote(b) for b in block_refs])
+    keep = [(b, s) for b, s in zip(block_refs, sums) if s[0] > 0]
+    if not keep:
+        return None, 0
+    offsets = np.concatenate([[0], np.cumsum([s[1] for _, s in keep])])
+    n_slots = int(offsets[-1])
+    make = ray.remote(num_cpus=1)(_make_shard)
+    shard_refs = [make.remote(b, int(offsets[i])) for i, (b, _) in enumerate(keep)]
+    first_convs = np.asarray([s[2] for _, s in keep], dtype=object)
+    return ShardedConvBase(first_convs, shard_refs), n_slots
 
 
 # per-worker-process cache of deserialized broadcast ConvBase objects: the

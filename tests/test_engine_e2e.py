@@ -289,3 +289,56 @@ def test_search_nested(built):
         assert got_ids == want.get(r["query_id"], [])
         ranks = [h["rank"] for h in r["hits"]]
         assert ranks == list(range(len(ranks)))
+
+
+def test_dataset_source_sharded_prefix_sum(built, tmp_path):
+    """Dataset-typed source takes the DISTRIBUTED conv-base path (two-pass
+    block prefix-sum + sharded lookup; no driver funnel) and must be
+    rank-identical + score-equal to the table-source build."""
+    import ray.data
+
+    corpus, index_dir, report, oracle = built
+    idx = str(tmp_path / "ds_src_idx")
+    ds = ray.data.from_arrow(corpus)
+    report2 = build_index(ds, idx, CFG, overwrite=True)
+    assert report2["n_docs"] == report["n_docs"]
+    assert report2["n_postings"] == report["n_postings"]
+    # convmap was written as a sharded directory by the shard owners
+    assert os.path.isdir(os.path.join(idx, "convmap.parquet"))
+    got = search_table(idx, reference_query_table(), CFG).to_pandas()
+    want = oracle.search(reference_query_table()).to_pandas()
+    assert list(zip(got.query_id, got["rank"], got.conv_id, got.turn_idx)) == list(
+        zip(want.query_id, want["rank"], want.conv_id, want.turn_idx)
+    )
+    np.testing.assert_allclose(got.score.to_numpy(), want.score.to_numpy(), rtol=0, atol=1e-9)
+
+
+def test_sharded_conv_base_matches_dense(ray_session):
+    """ShardedConvBase.lookup == ConvBase.lookup over every conversation."""
+    import pyarrow as pa
+    import ray.data
+
+    from clip_as_service_ray.stages.tokenize import (
+        build_sharded_conv_base,
+        compute_conv_bases,
+    )
+
+    rng = np.random.default_rng(3)
+    convs = np.array([f"c{i:06d}" for i in range(997)], dtype=object)
+    max_turn = rng.integers(0, 37, len(convs))
+    ext = pa.table({"conv_id": pa.array(convs, pa.string()),
+                    "max_turn": pa.array(max_turn, pa.int64())})
+    dense = compute_conv_bases(ext)
+    # shuffled dataset input, forced multi-block
+    perm = rng.permutation(len(convs))
+    scb, n_slots = build_sharded_conv_base(
+        ray.data.from_arrow(ext.take(pa.array(perm))).repartition(7)
+    )
+    assert n_slots == int((max_turn + 1).sum())
+    assert len(scb.shard_refs) >= 2  # actually sharded
+    probe = convs[rng.integers(0, len(convs), 500)]
+    np.testing.assert_array_equal(scb.lookup(probe), dense.lookup(probe))
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        scb.lookup(np.array(["zzz-missing"], dtype=object))
