@@ -144,6 +144,43 @@ def _prep_from_extents(
     }
 
 
+def _probe_path(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def _assert_shared_storage(index_dir: str) -> None:
+    """The disk-partitioned exchange passes ``index_dir`` paths between the
+    driver and remote tasks, so on a multi-node cluster ``index_dir`` MUST
+    live on storage visible to every node (NFS/EFS/fuse-mounted object
+    store). Single node: trivially true, probe skipped. Multi node: a
+    write->remote-read probe per node turns silent data loss into a clear
+    error at build start."""
+    import ray
+
+    alive = [n for n in ray.nodes() if n.get("Alive")]
+    if len(alive) <= 1:
+        return
+    from ray.util.scheduling_strategies import NodeAffinitySchedulingStrategy
+
+    token = os.path.join(index_dir, ".storage_probe")
+    with open(token, "w") as f:
+        f.write("probe")
+    probe = ray.remote(num_cpus=0)(_probe_path)
+    for n in alive:
+        ok = ray.get(
+            probe.options(
+                scheduling_strategy=NodeAffinitySchedulingStrategy(n["NodeID"], soft=True)
+            ).remote(token)
+        )
+        if not ok:
+            raise RuntimeError(
+                f"index_dir {index_dir!r} is not visible from node "
+                f"{n.get('NodeManagerAddress')}: the build's disk exchange "
+                "requires index_dir on shared storage (NFS/EFS/fuse object "
+                "store) when running multi-node"
+            )
+
+
 def _prep_task(source, doc_bucket_size: int, merge_groups_per_part: int) -> dict:
     """Ray-task body: extents scan + planning (off the driver, overlapped
     with the fused tokenize pass)."""
@@ -258,6 +295,7 @@ def build_index(
 
     t0 = time.time()
     os.makedirs(index_dir, exist_ok=True)
+    _assert_shared_storage(index_dir)
     final_path = os.path.join(index_dir, "manifest.json")
     if overwrite:
         for sub in (STAGING, PARTIALS, POSTINGS, DICTIONARY):

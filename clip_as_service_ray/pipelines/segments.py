@@ -1,0 +1,305 @@
+"""Incremental index segments: /index then /search sees new docs immediately.
+
+The reference supports incremental adds — ``/index`` upserts into AnnLite and
+a following ``/search`` already sees the new docs
+(``/root/reference/tests/test_search.py:34-44``, ``client.py:608-644``). The
+batch engine's analog is the classic SEGMENT model (Lucene-style, expressed
+Ray-Data-first):
+
+- ``add_segment``: each incremental batch becomes an independent, fully
+  resumable ``build_index`` run under ``segments/seg-XXXX``; the root's union
+  stats + union df dictionary are refreshed (tiny). New docs are searchable
+  the moment the call returns — no rebuild of earlier segments.
+- ``SegmentedQueryService``: scatter-ALL-search across segment indexes with
+  GLOBAL corpus stats (BM25 idf/avgdl over the union) — rank-identical to a
+  from-scratch rebuild over the concatenated corpus (test-pinned).
+- ``merge_segments``: physical background fold into ONE index: per term-hash
+  partition, decode segment blocks -> remap doc ids through the union conv
+  base -> sort -> re-encode under union avgdl (block-max metadata is
+  avgdl-dependent, so re-encoding is required and sufficient — no
+  re-tokenize, no shuffle: term-hash partitioning is stable across segments,
+  so part k of every segment folds into part k of the output).
+
+Constraint: conversations must be DISJOINT across segments (an upsert of an
+existing conversation belongs in a rebuild of its segment) — asserted at
+merge time.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
+from clip_as_service_ray.pipelines.build_index import build_index
+from clip_as_service_ray.pipelines.sharded import (
+    ScatterQueryService,
+    write_union_stats,
+)
+from clip_as_service_ray.stages.tokenize import compute_conv_bases
+from clip_as_service_ray.state import manifest as mf
+from clip_as_service_ray.state.postings import (
+    BLOCK_SCHEMA,
+    decode_block,
+    encode_postings_to_blocks,
+)
+
+SEG_RE = re.compile(r"^seg-(\d{4})$")
+
+
+def segment_dirs(index_root: str) -> list[str]:
+    base = os.path.join(index_root, "segments")
+    if not os.path.isdir(base):
+        return []
+    return [
+        os.path.join(base, d)
+        for d in sorted(os.listdir(base))
+        if SEG_RE.match(d) and os.path.exists(os.path.join(base, d, "manifest.json"))
+    ]
+
+
+def add_segment(
+    index_root: str,
+    source,
+    config: EngineConfig = DEFAULT_CONFIG,
+    *,
+    overwrite: bool = False,
+) -> dict:
+    """Build the next segment from ``source`` and refresh the union stats.
+    Returns the root manifest; the new docs are searchable immediately via
+    ``SegmentedQueryService``."""
+    os.makedirs(os.path.join(index_root, "segments"), exist_ok=True)
+    existing = segment_dirs(index_root)
+    k = (
+        max(int(SEG_RE.match(os.path.basename(d)).group(1)) for d in existing) + 1
+        if existing
+        else 0
+    )
+    seg_dir = os.path.join(index_root, "segments", f"seg-{k:04d}")
+    report = build_index(source, seg_dir, config, overwrite=overwrite)
+    dirs = segment_dirs(index_root)
+    union = write_union_stats(index_root, dirs)
+    payload = {
+        "n_segments": len(dirs),
+        "segments": [os.path.basename(d) for d in dirs],
+        **union,
+        "last_segment_report": report,
+    }
+    mf.write_json(os.path.join(index_root, "manifest.json"), payload)
+    return payload
+
+
+class SegmentedQueryService(ScatterQueryService):
+    """Scatter-ALL-search across the segment indexes with union stats."""
+
+    def __init__(self, index_root: str, config: EngineConfig = DEFAULT_CONFIG):
+        root = mf.read_json(os.path.join(index_root, "manifest.json"))
+        global_stats = {
+            "n_docs": int(root["n_docs"]),
+            "avgdl": float(root["avgdl"]),
+            "df_path": os.path.join(index_root, "union_dictionary", "dictionary.parquet"),
+        }
+        super().__init__(segment_dirs(index_root), global_stats, config)
+
+
+def _decode_segment_part(part_dir: str, old_bases: np.ndarray, new_bases: np.ndarray):
+    """Decode one segment's postings part and remap doc ids into the union
+    doc-id space: new_doc = new_base[conv] + (doc - old_base[conv])."""
+    terms, docs_l, tfs_l, dls_l = [], [], [], []
+    files = (
+        [
+            os.path.join(part_dir, f)
+            for f in sorted(os.listdir(part_dir))
+            if f.endswith(".parquet")
+        ]
+        if os.path.isdir(part_dir)
+        else []
+    )
+    for fp in files:
+        t = pq.read_table(fp, use_threads=False)
+        for i in range(t.num_rows):
+            docs, tfs, dls = decode_block(
+                t.column("data")[i].as_buffer(),
+                int(t.column("n")[i].as_py()),
+                int(t.column("doc_w")[i].as_py()),
+                int(t.column("tf_w")[i].as_py()),
+                int(t.column("dl_w")[i].as_py()),
+                int(t.column("first_doc")[i].as_py()),
+            )
+            pos = np.searchsorted(old_bases, docs, side="right") - 1
+            terms.append(t.column("term")[i].as_py())
+            docs_l.append(docs - old_bases[pos] + new_bases[pos])
+            tfs_l.append(tfs)
+            dls_l.append(dls)
+    return terms, docs_l, tfs_l, dls_l
+
+
+def _merge_segments_part(
+    part_dirs: list[str],
+    remaps: list,
+    out_dir: str,
+    *,
+    avgdl: float,
+    block_size: int,
+    k1: float,
+    b: float,
+) -> pa.Table:
+    """One Ray task: fold part k of every segment into one output part.
+    Returns the per-part (term, df) table for the union dictionary."""
+    terms_all, docs_all, tfs_all, dls_all = [], [], [], []
+    for part_dir, (old_bases, new_bases) in zip(part_dirs, remaps):
+        te, do, tf, dl = _decode_segment_part(part_dir, old_bases, new_bases)
+        terms_all += te
+        docs_all += do
+        tfs_all += tf
+        dls_all += dl
+    cols: dict[str, list] = {n: [] for n in BLOCK_SCHEMA.names}
+    df_terms: list[str] = []
+    df_counts: list[int] = []
+    if terms_all:
+        ns = np.fromiter((len(d) for d in docs_all), dtype=np.int64, count=len(docs_all))
+        codes_u, uniques = pd.factorize(np.asarray(terms_all, dtype=object), sort=False)
+        codes = np.repeat(codes_u.astype(np.int32), ns)
+        docs = np.concatenate(docs_all)
+        tfs = np.concatenate(tfs_all)
+        dls = np.concatenate(dls_all)
+        order = np.lexsort((docs, codes))
+        codes, docs, tfs, dls = codes[order], docs[order], tfs[order], dls[order]
+        if np.any((np.diff(codes) == 0) & (np.diff(docs) == 0)):
+            raise ValueError(
+                "duplicate (term, doc) across segments — conversations must "
+                "be disjoint between segments; rebuild the owning segment "
+                "instead of adding a new one"
+            )
+        change = np.nonzero(np.diff(codes) != 0)[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(codes)]])
+        for s, e in zip(starts, ends):
+            encode_postings_to_blocks(
+                uniques[codes[s]], docs[s:e], tfs[s:e], dls[s:e],
+                block_size=block_size, avgdl=avgdl, k1=k1, b=b, out=cols,
+            )
+        df_terms = list(uniques[codes[starts]])
+        df_counts = (ends - starts).astype(np.int64).tolist()
+    os.makedirs(out_dir, exist_ok=True)
+    out_tbl = pa.table(cols, schema=BLOCK_SCHEMA)
+    tmp = os.path.join(out_dir, f"blocks.parquet.tmp.{os.getpid()}")
+    pq.write_table(out_tbl, tmp)
+    os.replace(tmp, os.path.join(out_dir, "blocks.parquet"))
+    mf.mark_stage_done(
+        out_dir,
+        {"stage": "postings_part", "postings": int(sum(df_counts)), "blocks": out_tbl.num_rows},
+    )
+    return pa.table(
+        {"term": pa.array(df_terms, pa.string()), "df": pa.array(df_counts, pa.int64())}
+    )
+
+
+def merge_segments(
+    index_root: str, out_dir: str, config: EngineConfig = DEFAULT_CONFIG
+) -> dict:
+    """Physically fold all segments into one fresh index at ``out_dir``:
+    no re-tokenize, no shuffle — one Ray task per term-hash partition reads
+    that partition from every segment, remaps doc ids through the union
+    conv base, and re-encodes block-max postings under the union avgdl.
+    Search over the result is rank-identical to a from-scratch build over
+    the concatenated corpus (test-pinned)."""
+    import ray
+
+    t0 = time.time()
+    seg_dirs = segment_dirs(index_root)
+    if not seg_dirs:
+        raise ValueError(f"no segments under {index_root!r}")
+    seg_stats = [mf.read_json(os.path.join(d, "stats.json")) for d in seg_dirs]
+    parts = {s.get("num_index_partitions") for s in seg_stats}
+    if len(parts) != 1:
+        raise ValueError(f"segments disagree on num_index_partitions: {parts}")
+    n_parts = int(parts.pop())
+
+    # union conv extents -> union conv base (conversations must be disjoint)
+    extents = [
+        pq.read_table(os.path.join(d, "convmap.parquet")).select(["conv_id", "max_turn"])
+        for d in seg_dirs
+    ]
+    extents = [
+        e.set_column(1, "max_turn", e.column("max_turn").cast(pa.int64()))
+        for e in extents
+    ]
+    union_ext = pa.concat_tables(extents).sort_by("conv_id")
+    convs = np.asarray(union_ext.column("conv_id").to_pylist(), dtype=object)
+    if len(convs) != len(np.unique(convs)):
+        raise ValueError("conversations overlap across segments — cannot merge")
+    union_cb = compute_conv_bases(union_ext)
+
+    n_docs = sum(int(s["n_docs"]) for s in seg_stats)
+    sum_dl = sum(int(s["sum_dl"]) for s in seg_stats)
+    avgdl = (sum_dl / n_docs) if n_docs else 0.0
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, f"convmap.parquet.tmp.{os.getpid()}")
+    pq.write_table(union_ext, tmp)
+    os.replace(tmp, os.path.join(out_dir, "convmap.parquet"))
+    mf.write_json(
+        os.path.join(out_dir, "stats.json"),
+        {
+            "n_docs": n_docs, "sum_dl": sum_dl, "avgdl": avgdl,
+            "k1": config.k1, "b": config.b,
+            "block_size": config.postings_block_size,
+            "doc_bucket_size": config.doc_bucket_size,
+            "num_index_partitions": n_parts,
+        },
+    )
+
+    # per-segment doc-id remap arrays (aligned to each segment's sorted convs)
+    remaps = []
+    for ext in extents:
+        cb = compute_conv_bases(ext)
+        remaps.append((cb.bases, union_cb.lookup(cb.conv_ids)))
+    remap_ref = ray.put(remaps)
+
+    merge_task = ray.remote(num_cpus=1)(_merge_segments_part)
+    postings_dir = os.path.join(out_dir, "postings")
+    os.makedirs(postings_dir, exist_ok=True)
+    futs = []
+    for p in range(n_parts):
+        part_dirs = [os.path.join(d, "postings", f"part={p}") for d in seg_dirs]
+        futs.append(
+            merge_task.remote(
+                part_dirs, remap_ref, os.path.join(postings_dir, f"part={p}"),
+                avgdl=avgdl, block_size=config.postings_block_size,
+                k1=config.k1, b=config.b,
+            )
+        )
+    df_tables = ray.get(futs)
+    mf.mark_stage_done(postings_dir, {"stage": "postings", "bytes": mf.dir_bytes(postings_dir)})
+
+    dict_dir = os.path.join(out_dir, "dictionary")
+    mf.reset_stage(dict_dir)
+    cat = pa.concat_tables(df_tables)
+    g = cat.group_by("term").aggregate([("df", "sum")]).rename_columns(["term", "df"])
+    g = g.sort_by("term")
+    pq.write_table(
+        g.set_column(1, "df", g.column("df").cast(pa.int64())),
+        os.path.join(dict_dir, "dictionary.parquet"),
+    )
+    mf.mark_stage_done(dict_dir, {"stage": "dictionary"})
+
+    payload = {
+        "engine": "clip_as_service_ray",
+        "merged_from": [os.path.basename(d) for d in seg_dirs],
+        "n_docs": n_docs,
+        "avgdl": avgdl,
+        "n_terms": g.num_rows,
+        "n_postings": int(np.sum(g.column("df").to_numpy())) if g.num_rows else 0,
+        "index_bytes": mf.dir_bytes(postings_dir),
+        "config": {"k1": config.k1, "b": config.b},
+        "total_seconds": time.time() - t0,
+    }
+    mf.write_json(os.path.join(out_dir, "manifest.json"), payload)
+    return payload

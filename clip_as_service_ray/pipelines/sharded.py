@@ -40,30 +40,19 @@ from clip_as_service_ray.pipelines.oracle import HITS_SCHEMA
 from clip_as_service_ray.state import manifest as mf
 
 
-def build_sharded_index(
-    shard_sources: list,
-    index_root: str,
-    config: EngineConfig = DEFAULT_CONFIG,
-    *,
-    overwrite: bool = False,
-) -> dict:
-    """Build one index dir per input shard + union stats. Returns the root
-    manifest. Each shard build is skip-if-valid resumable on its own."""
-    os.makedirs(index_root, exist_ok=True)
-    shard_reports = []
-    for k, src in enumerate(shard_sources):
-        shard_dir = os.path.join(index_root, f"shard={k}")
-        shard_reports.append(build_index(src, shard_dir, config, overwrite=overwrite))
-
-    n_docs = sum(r["n_docs"] for r in shard_reports)
-    sum_dl = sum(
-        mf.read_json(os.path.join(index_root, f"shard={k}", "stats.json"))["sum_dl"]
-        for k in range(len(shard_sources))
-    )
-    # union dictionary: sum per-shard df per term (small tables)
+def write_union_stats(index_root: str, shard_dirs: list[str]) -> dict:
+    """Union corpus stats + union df dictionary across independent index
+    dirs (shards or segments): per-dir n_docs/sum_dl summed, per-term df
+    summed into ``union_dictionary/dictionary.parquet``. BM25 idf/length
+    normalization must see the WHOLE corpus — the reference's
+    global-model-per-shard semantics."""
+    n_docs, sum_dl = 0, 0
     df_union: dict[str, int] = defaultdict(int)
-    for k in range(len(shard_sources)):
-        t = pq.read_table(os.path.join(index_root, f"shard={k}", "dictionary"))
+    for d in shard_dirs:
+        st = mf.read_json(os.path.join(d, "stats.json"))
+        n_docs += int(st["n_docs"])
+        sum_dl += int(st.get("sum_dl", 0))
+        t = pq.read_table(os.path.join(d, "dictionary"))
         for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
             df_union[term] += int(df)
     union_dir = os.path.join(index_root, "union_dictionary")
@@ -75,12 +64,35 @@ def build_sharded_index(
         ),
         os.path.join(union_dir, "dictionary.parquet"),
     )
-    payload = {
-        "n_shards": len(shard_sources),
+    return {
         "n_docs": n_docs,
         "sum_dl": sum_dl,
         "avgdl": (sum_dl / n_docs) if n_docs else 0.0,
         "n_terms_union": len(df_union),
+    }
+
+
+def build_sharded_index(
+    shard_sources: list,
+    index_root: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    *,
+    overwrite: bool = False,
+) -> dict:
+    """Build one index dir per input shard + union stats. Returns the root
+    manifest. Each shard build is skip-if-valid resumable on its own."""
+    os.makedirs(index_root, exist_ok=True)
+    shard_reports = []
+    shard_dirs = []
+    for k, src in enumerate(shard_sources):
+        shard_dir = os.path.join(index_root, f"shard={k}")
+        shard_dirs.append(shard_dir)
+        shard_reports.append(build_index(src, shard_dir, config, overwrite=overwrite))
+
+    union = write_union_stats(index_root, shard_dirs)
+    payload = {
+        "n_shards": len(shard_sources),
+        **union,
         "n_postings": sum(r["n_postings"] for r in shard_reports),
         "shards": shard_reports,
     }
@@ -88,12 +100,15 @@ def build_sharded_index(
     return payload
 
 
-class ShardedQueryService:
-    """Scatter-ALL-search over per-shard scorer actors with global stats."""
+class ScatterQueryService:
+    """Scatter-ALL-search over per-partition scorer actors with GLOBAL
+    corpus stats — the shared engine behind sharded indexes and incremental
+    segments (both are 'many independent index dirs + union stats')."""
 
     def __init__(
         self,
-        index_root: str,
+        index_dirs: list[str],
+        global_stats: dict,
         config: EngineConfig = DEFAULT_CONFIG,
     ):
         import ray
@@ -101,22 +116,16 @@ class ShardedQueryService:
         from clip_as_service_ray.stages.query import QueryScorer
 
         self.config = config
-        root = mf.read_json(os.path.join(index_root, "manifest.json"))
-        self.n_shards = int(root["n_shards"])
-        global_stats = {
-            "n_docs": int(root["n_docs"]),
-            "avgdl": float(root["avgdl"]),
-            "df_path": os.path.join(index_root, "union_dictionary", "dictionary.parquet"),
-        }
+        self.n_shards = len(index_dirs)
         worker = ray.remote(num_cpus=1)(QueryScorer)
         self.replicas = [
             worker.remote(
-                os.path.join(index_root, f"shard={k}"),
+                d,
                 config.limit,
                 False,  # pruning off: shard-local block bounds invalid under global avgdl
                 global_stats,
             )
-            for k in range(self.n_shards)
+            for d in index_dirs
         ]
         ray.get([r.__ray_ready__.remote() for r in self.replicas])
 
@@ -156,3 +165,19 @@ class ShardedQueryService:
         for r in self.replicas:
             ray.kill(r)
         self.replicas = []
+
+
+class ShardedQueryService(ScatterQueryService):
+    """Scatter-ALL-search over a ``build_sharded_index`` root."""
+
+    def __init__(self, index_root: str, config: EngineConfig = DEFAULT_CONFIG):
+        root = mf.read_json(os.path.join(index_root, "manifest.json"))
+        global_stats = {
+            "n_docs": int(root["n_docs"]),
+            "avgdl": float(root["avgdl"]),
+            "df_path": os.path.join(index_root, "union_dictionary", "dictionary.parquet"),
+        }
+        dirs = [
+            os.path.join(index_root, f"shard={k}") for k in range(int(root["n_shards"]))
+        ]
+        super().__init__(dirs, global_stats, config)

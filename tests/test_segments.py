@@ -1,0 +1,104 @@
+"""Incremental segments: add -> search-immediately, union-stats equivalence,
+and physical merge — all rank-identical to a from-scratch rebuild (the
+reference's index-then-search behavior, tests/test_search.py:34-44)."""
+
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from clip_as_service_ray.config import EngineConfig
+from clip_as_service_ray.pipelines.build_index import build_index
+from clip_as_service_ray.pipelines.oracle import OracleIndex
+from clip_as_service_ray.pipelines.search import search_table
+from clip_as_service_ray.pipelines.segments import (
+    SegmentedQueryService,
+    add_segment,
+    merge_segments,
+    segment_dirs,
+)
+from clip_as_service_ray.sources.transcripts import (
+    reference_query_table,
+    synthesize_transcripts,
+)
+
+CFG = EngineConfig(num_index_partitions=4, doc_bucket_size=512, postings_block_size=64)
+
+
+@pytest.fixture(scope="module")
+def corpus_halves(ray_session):
+    corpus = synthesize_transcripts(3000, seed=42)
+    convs = sorted(set(corpus.column("conv_id").to_pylist()))
+    pivot = convs[len(convs) // 2]
+    import pyarrow as pa
+
+    a = corpus.filter(pc.less(corpus.column("conv_id"), pa.scalar(pivot)))
+    b = corpus.filter(pc.greater_equal(corpus.column("conv_id"), pa.scalar(pivot)))
+    assert a.num_rows + b.num_rows == corpus.num_rows
+    return corpus, a, b
+
+
+def _ids(df):
+    return list(zip(df.query_id, df["rank"], df.conv_id, df.turn_idx))
+
+
+def test_incremental_add_then_search(corpus_halves, tmp_path):
+    corpus, a, b = corpus_halves
+    root = str(tmp_path / "segroot")
+    queries = reference_query_table()
+
+    # first segment alone == oracle over just that slice
+    add_segment(root, a, CFG)
+    svc = SegmentedQueryService(root, CFG)
+    try:
+        got_a = svc.search(queries).to_pandas()
+    finally:
+        svc.shutdown()
+    want_a = OracleIndex(a).search(queries).to_pandas()
+    assert _ids(got_a) == _ids(want_a)
+
+    # add the second segment: new docs visible immediately, and the union
+    # (global idf/avgdl) matches a from-scratch oracle over the whole corpus
+    add_segment(root, b, CFG)
+    assert len(segment_dirs(root)) == 2
+    svc = SegmentedQueryService(root, CFG)
+    try:
+        got = svc.search(queries).to_pandas()
+    finally:
+        svc.shutdown()
+    want = OracleIndex(corpus).search(queries).to_pandas()
+    assert _ids(got) == _ids(want)
+    np.testing.assert_allclose(
+        got.score.to_numpy(), want.score.to_numpy(), rtol=0, atol=1e-9
+    )
+
+
+def test_merge_segments_equals_rebuild(corpus_halves, tmp_path):
+    corpus, a, b = corpus_halves
+    root = str(tmp_path / "segroot2")
+    add_segment(root, a, CFG)
+    add_segment(root, b, CFG)
+    merged = str(tmp_path / "merged")
+    report = merge_segments(root, merged, CFG)
+
+    rebuilt = str(tmp_path / "rebuilt")
+    report2 = build_index(corpus, rebuilt, CFG, overwrite=True)
+    assert report["n_docs"] == report2["n_docs"]
+    assert report["n_postings"] == report2["n_postings"]
+    assert report["n_terms"] == report2["n_terms"]
+
+    queries = reference_query_table()
+    got = search_table(merged, queries, CFG).to_pandas()
+    want = search_table(rebuilt, queries, CFG).to_pandas()
+    assert _ids(got) == _ids(want)
+    np.testing.assert_array_equal(got.score.to_numpy(), want.score.to_numpy())
+
+
+def test_merge_rejects_overlapping_convs(corpus_halves, tmp_path):
+    corpus, a, b = corpus_halves
+    root = str(tmp_path / "segroot3")
+    add_segment(root, a, CFG)
+    add_segment(root, a, CFG)  # same convs again
+    with pytest.raises(ValueError, match="overlap"):
+        merge_segments(root, str(tmp_path / "m3"), CFG)
