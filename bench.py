@@ -177,6 +177,36 @@ def run_bench() -> dict:
             }
         finally:
             svc.shutdown()
+        # doc-sharded serving layout (the cluster-scale serving story:
+        # scatter-ALL across per-shard actors with union stats) — measured
+        # on the same corpus split into 4 file groups
+        files = sorted(
+            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+        ) if os.path.isdir(src) else []
+        if len(files) >= 4 and os.environ.get("BENCH_SHARDED", "1") == "1":
+            from clip_as_service_ray.pipelines.sharded import (
+                ShardedQueryService,
+                build_sharded_index,
+            )
+
+            n_sh = 4
+            groups = [files[i::n_sh] for i in range(n_sh)]
+            shard_cfg = EngineConfig(
+                num_index_partitions=8, tokenize_concurrency=num_cpus
+            )
+            shard_root = f"/tmp/cas_ray_bench/shards_n{n_turns}"
+            build_sharded_index(groups, shard_root, shard_cfg)  # resumable
+            svc_s = ShardedQueryService(shard_root, shard_cfg)
+            try:
+                svc_s.search(ref_q)  # warm
+                lat = []
+                for _ in range(21):
+                    t0 = time.time()
+                    svc_s.search(ref_q)
+                    lat.append(time.time() - t0)
+                timings["query_p50_sharded"] = statistics.median(lat)
+            finally:
+                svc_s.shutdown()
 
     total = timings["index_build"] + timings["query_batch"]
     out = {

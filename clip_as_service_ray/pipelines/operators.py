@@ -121,7 +121,7 @@ def corpus_stats(sf_dir: str):
 BM25_QUERY_TERMS = ("merge", "window")  # 2 terms: float sum is order-independent
 
 
-def _docs_as_transcripts(sf_dir: str):
+def _docs_as_transcripts(sf_dir: str, parity: int | None = None):
     """Adapt `documents` to the transcripts shape as a STREAMING Dataset
     stage (no driver materialization — the round-1 adapter read the whole
     table onto the driver, a corpus-sized driver copy at 100x).
@@ -129,9 +129,17 @@ def _docs_as_transcripts(sf_dir: str):
     conv_id zero-padded (vectorized utf8_lpad) so lexicographic conv order
     == numeric doc order, keeping the (score DESC, doc_id ASC) tie-break
     aligned with the SQL oracle's ORDER BY score DESC, doc_id.
+    ``parity``: keep only even (0) / odd (1) doc ids — the disjoint split
+    used by the segmented variant.
     """
 
     def fmt(batch: pa.Table) -> pa.Table:
+        if parity is not None:
+            mask = pc.equal(
+                pc.bit_wise_and(batch.column("doc_id"), pa.scalar(1, pa.int64())),
+                pa.scalar(parity, pa.int64()),
+            )
+            batch = batch.filter(mask)
         n = batch.num_rows
         padded = pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 12, "0")
         conv = pc.binary_join_element_wise(pa.scalar("doc"), padded, pa.scalar("-"))
@@ -170,6 +178,42 @@ def bm25_topk(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
          "limit": pa.array([limit], pa.int32())}
     )
     hits = search_table(index_dir, queries, cfg)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )
+
+
+def bm25_topk_segmented(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
+    """Same query as bm25_topk but through the INCREMENTAL-SEGMENT path:
+    the documents table is split into two disjoint halves, each added as an
+    independent segment (add_segment), and the query runs via
+    SegmentedQueryService with union stats. The identical SQL oracle
+    verifies that segmented search == one-shot index over the union —
+    the reference's index-then-search-immediately contract
+    (tests/test_search.py:34-44)."""
+    from clip_as_service_ray.pipelines.segments import (
+        SegmentedQueryService,
+        add_segment,
+        segment_dirs,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    root = _index_dir_for(sf_dir) + "_segmented"
+    if len(segment_dirs(root)) < 2:
+        add_segment(root, _docs_as_transcripts(sf_dir, parity=0), cfg)
+        add_segment(root, _docs_as_transcripts(sf_dir, parity=1), cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    svc = SegmentedQueryService(root, cfg)
+    try:
+        hits = svc.search(queries)
+    finally:
+        svc.shutdown()
     doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
     scores = np.round(hits.column("score").to_numpy(), 6)
     return pa.table(
