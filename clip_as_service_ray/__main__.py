@@ -33,6 +33,11 @@ def main(argv=None) -> int:
     s.add_argument("--out", default=None, help="write hits parquet here (else print)")
     s.add_argument("--limit", type=int, default=10)
 
+    v = sub.add_parser("serve", help="serve an index over HTTP (/search, /health, /profile)")
+    v.add_argument("--index-dir", required=True)
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8080)
+
     args = p.parse_args(argv)
 
     import ray
@@ -71,6 +76,17 @@ def main(argv=None) -> int:
                 print(json.dumps({"hits": hits.num_rows, "out": args.out}))
             else:
                 print(hits.to_pandas().to_string(index=False))
+        elif args.cmd == "serve":
+            from clip_as_service_ray.pipelines.http_api import SearchHTTPServer
+
+            srv = SearchHTTPServer(args.index_dir, EngineConfig(), args.host, args.port)
+            print(json.dumps({"serving": srv.url, "index_dir": args.index_dir}), flush=True)
+            try:
+                srv._thread.join()  # serve until interrupted
+            except KeyboardInterrupt:
+                pass
+            finally:
+                srv.shutdown()
         return 0
     finally:
         ray.shutdown()

@@ -63,19 +63,38 @@ def search_nested(
     """One row per query with a ``hits: list<struct>`` column — the direct
     mapping of the reference's nested ``doc.matches`` DocumentArray
     (SURVEY.md §1.4): every input query appears exactly once, in input
-    order, with its ranked (possibly empty) match list."""
-    flat = search_table(index_dir, queries, config)
-    by_qid: dict[int, list[dict]] = {}
-    for row in flat.to_pylist():
-        by_qid.setdefault(row["query_id"], []).append(
-            {"conv_id": row["conv_id"], "turn_idx": row["turn_idx"],
-             "score": row["score"], "rank": row["rank"]}
-        )
-    qids = queries.column("query_id").to_pylist()
+    order, with its ranked (possibly empty) match list. Assembly is
+    vectorized: hits are permuted into input-query order once and wrapped
+    as a ListArray over a StructArray (no per-row Python)."""
+    import numpy as np
+
+    flat = search_table(index_dir, queries, config).combine_chunks()
+    qids = queries.column("query_id").to_numpy()
+    n_q = len(qids)
+    hit_qids = flat.column("query_id").to_numpy()
+    # map each hit to its input-query position (query_id unique per contract)
+    order = np.argsort(qids, kind="stable")
+    inp_pos = order[np.searchsorted(qids[order], hit_qids)]
+    counts = np.zeros(n_q, dtype=np.int64)
+    np.add.at(counts, inp_pos, 1)
+    perm = np.lexsort((flat.column("rank").to_numpy(), inp_pos))
+    taken = flat.take(pa.array(perm, pa.int64()))
+    struct = pa.StructArray.from_arrays(
+        [
+            taken.column("conv_id").combine_chunks(),
+            taken.column("turn_idx").combine_chunks(),
+            taken.column("score").combine_chunks(),
+            taken.column("rank").combine_chunks(),
+        ],
+        fields=list(HIT_STRUCT),
+    )
+    offsets = pa.array(
+        np.concatenate([[0], np.cumsum(counts)]).astype(np.int32), pa.int32()
+    )
     return pa.table(
         {
-            "query_id": pa.array(qids, pa.int64()),
+            "query_id": queries.column("query_id"),
             "text": queries.column("text"),
-            "hits": pa.array([by_qid.get(q, []) for q in qids], pa.list_(HIT_STRUCT)),
+            "hits": pa.ListArray.from_arrays(offsets, struct),
         }
     )

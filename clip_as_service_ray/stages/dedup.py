@@ -320,18 +320,43 @@ def word_jaccard_pairs(ds, *, max_id: int = 150, threshold: float = 0.75) -> pa.
     )
 
 
-def dedup_turns(ds):
+def dedup_turns(ds, num_buckets: int = 64):
     """Exact (conv_id, turn_idx) dedup for idempotent re-ingest (SURVEY.md
-    §2.8): hash-partition on the key, keep the first row per group under a
-    deterministic order (ts, then text) — the AnnLite upsert-by-id analog
-    made first-write-wins. Run before build_index when the input may carry
-    replayed/duplicated turns."""
+    §2.8): keep the first row per key under a deterministic order (ts, then
+    text) — the AnnLite upsert-by-id analog made first-write-wins. Run
+    before build_index when the input may carry replayed/duplicated turns.
 
-    def first_per_key(group):
-        import pandas as pd  # noqa: F401  (batch_format pandas)
+    Shape: the shuffle key is a SALTED BUCKET (hash of the logical key mod
+    num_buckets), so the group UDF runs once per bucket over many keys and
+    dedups the whole bucket with one vectorized lexsort + first-of-key mask
+    — not once per (tiny) key group. Same result, ~num_rows/num_buckets
+    rows per UDF call instead of ~1."""
+    import zlib
 
-        return group.sort_values(["ts", "text"]).head(1)
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        convs = batch.column("conv_id").to_pylist()
+        turns = batch.column("turn_idx").to_numpy()
+        h = np.fromiter(
+            (zlib.crc32(f"{c}\x1f{t}".encode()) for c, t in zip(convs, turns)),
+            dtype=np.int64, count=batch.num_rows,
+        )
+        return batch.append_column("_bucket", pa.array(h % num_buckets, pa.int64()))
 
-    return ds.groupby(["conv_id", "turn_idx"]).map_groups(
-        first_per_key, batch_format="pandas"
+    def first_per_key(group: pa.Table) -> pa.Table:
+        conv = np.asarray(group.column("conv_id").to_pylist(), dtype=object)
+        turn = group.column("turn_idx").to_numpy().astype(np.int64)
+        ts = group.column("ts").cast(pa.int64()).to_numpy()
+        text = np.asarray(group.column("text").to_pylist(), dtype=object)
+        order = np.lexsort((text, ts, turn, conv))
+        conv_s, turn_s = conv[order], turn[order]
+        first = np.concatenate(
+            [[True], (conv_s[1:] != conv_s[:-1]) | (turn_s[1:] != turn_s[:-1])]
+        )
+        keep = pa.array(order[first], pa.int64())
+        return group.take(keep).drop_columns(["_bucket"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=8)
+        .map_groups(first_per_key, batch_format="pyarrow")
     )

@@ -1,0 +1,82 @@
+"""HTTP front door: /search over the wire == QueryService.search directly
+(the reference's gateway-protocol surface, client.py:36-62 analog)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pyarrow.parquet as pq
+import pytest
+
+from clip_as_service_ray.config import EngineConfig
+from clip_as_service_ray.pipelines.build_index import build_index
+from clip_as_service_ray.pipelines.http_api import SearchHTTPServer
+from clip_as_service_ray.pipelines.oracle import OracleIndex
+from clip_as_service_ray.sources.transcripts import (
+    reference_query_table,
+    synthesize_transcripts,
+)
+
+CFG = EngineConfig(num_index_partitions=2, postings_block_size=64)
+
+
+@pytest.fixture(scope="module")
+def server(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("http")
+    corpus = synthesize_transcripts(1200, seed=42)
+    idx = str(root / "index")
+    build_index(corpus, idx, CFG, overwrite=True)
+    srv = SearchHTTPServer(idx, CFG)
+    yield srv, corpus
+    srv.shutdown()
+
+
+def _post(url, obj):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(), headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_health_and_profile(server):
+    srv, _ = server
+    with urllib.request.urlopen(srv.url + "/health", timeout=10) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok" and h["n_docs"] > 0
+    with urllib.request.urlopen(srv.url + "/profile", timeout=10) as r:
+        p = json.loads(r.read())
+    assert "score_s" in p and "blocks_total" in p
+
+
+def test_search_over_http_matches_oracle(server):
+    srv, corpus = server
+    queries = reference_query_table()
+    payload = {
+        "queries": [
+            {"query_id": q["query_id"], "text": q["text"], "limit": q["limit"]}
+            for q in queries.to_pylist()
+        ]
+    }
+    out = _post(srv.url + "/search", payload)
+    got = [(h["query_id"], h["rank"], h["conv_id"], h["turn_idx"]) for h in out["hits"]]
+    want_df = OracleIndex(corpus).search(queries).to_pandas()
+    want = list(zip(want_df.query_id, want_df["rank"], want_df.conv_id, want_df.turn_idx))
+    assert got == want
+
+
+def test_bad_requests(server):
+    srv, _ = server
+    # malformed body -> 400 with an error message
+    req = urllib.request.Request(
+        srv.url + "/search", data=b"{not json", headers={"Content-Type": "application/json"}
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400
+    # unknown path -> 404
+    with pytest.raises(urllib.error.HTTPError) as e2:
+        urllib.request.urlopen(srv.url + "/nope", timeout=10)
+    assert e2.value.code == 404
+    # empty query list -> empty hits, not an error
+    assert _post(srv.url + "/search", {"queries": []}) == {"hits": []}
