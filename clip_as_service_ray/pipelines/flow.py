@@ -64,11 +64,73 @@ def _op_minhash_dedup(args: dict, cfg: EngineConfig):
     return minhash_lsh_pairs(ds, threshold=args.get("threshold", 0.8))
 
 
+def _as_ds(src):
+    import ray.data
+
+    if isinstance(src, str):
+        return ray.data.read_parquet(src)
+    if hasattr(src, "map_batches"):
+        return src
+    return ray.data.from_arrow(src)
+
+
+def _op_add_segment(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.pipelines.segments import add_segment
+
+    return add_segment(args["index_root"], args["source"], cfg)
+
+
+def _op_segmented_search(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.pipelines.segments import SegmentedQueryService
+
+    svc = SegmentedQueryService(args["index_root"], cfg)
+    try:
+        return svc.search(args["queries"])
+    finally:
+        svc.shutdown()
+
+
+def _op_merge_segments(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.pipelines.segments import merge_segments
+
+    return merge_segments(args["index_root"], args["out_dir"], cfg)
+
+
+def _op_simhash_dedup(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_as_ds(args["source"]), max_hamming=args.get("max_hamming", 3))
+
+
+def _op_audio_features(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.stages.multimodal import extract_audio_features
+
+    return extract_audio_features(
+        _as_ds(args["source"]), sample_rate=args.get("sample_rate", 16000)
+    )
+
+
+def _op_image_preprocess(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.stages.multimodal import preprocess_images
+
+    return preprocess_images(
+        _as_ds(args["source"]),
+        size=args.get("size", 224),
+        decode=args.get("decode", "fake"),
+    )
+
+
 OPS = {
     "build_index": _op_build_index,
     "search": _op_search,
     "dedup_turns": _op_dedup_turns,
     "minhash_dedup": _op_minhash_dedup,
+    "simhash_dedup": _op_simhash_dedup,
+    "add_segment": _op_add_segment,
+    "segmented_search": _op_segmented_search,
+    "merge_segments": _op_merge_segments,
+    "audio_features": _op_audio_features,
+    "image_preprocess": _op_image_preprocess,
 }
 
 

@@ -133,6 +133,83 @@ class FrameSample:
         )
 
 
+class AudioFeatures:
+    """Actor-pool UDF: audio rows (payload = raw PCM s16le mono) ->
+    per-window acoustic features. Unlike the image path, this stage is
+    FULLY REAL: raw-PCM 'decode' is just ``np.frombuffer`` (no codec
+    library needed), and the features are standard DSP — per-window
+    log-energy, zero-crossing rate, and spectral centroid via rFFT.
+
+    Output rows (one per analysis window — flat_map shape like FrameSample):
+        id:int64, frame_idx:int32, log_energy:float64, zcr:float64,
+        centroid_hz:float64
+    """
+
+    def __init__(self, sample_rate: int = 16000, win: int = 1024, hop: int = 512):
+        self.sample_rate = sample_rate
+        self.win = win
+        self.hop = hop
+        # rFFT bin frequencies + Hann window, computed once per actor (the
+        # T1 load-once pattern); Hann + power weighting keeps the centroid
+        # from being dragged upward by rectangular-window leakage
+        self._freqs = np.fft.rfftfreq(win, d=1.0 / sample_rate)
+        self._hann = np.hanning(win)
+
+    def _features(self, pcm: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        n = (len(pcm) - self.win) // self.hop + 1 if len(pcm) >= self.win else 0
+        if n <= 0:
+            z = np.zeros(0, dtype=np.float64)
+            return z, z, z
+        idx = np.arange(self.win)[None, :] + self.hop * np.arange(n)[:, None]
+        frames = pcm[idx].astype(np.float64) / 32768.0  # (n, win)
+        energy = np.log1p((frames**2).sum(axis=1))
+        zcr = (np.diff(np.signbit(frames), axis=1) != 0).mean(axis=1)
+        power = np.abs(np.fft.rfft(frames * self._hann, axis=1)) ** 2
+        denom = power.sum(axis=1)
+        centroid = (power @ self._freqs) / np.where(denom == 0, 1.0, denom)
+        return energy, zcr, centroid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, idx_out, en_out, zc_out, ce_out = [], [], [], [], []
+        for i, payload in zip(
+            batch.column("id").to_numpy(), batch.column("payload").to_pylist()
+        ):
+            pcm = np.frombuffer(payload[: len(payload) // 2 * 2], dtype="<i2")
+            en, zc, ce = self._features(pcm)
+            k = len(en)
+            ids_out.append(np.full(k, int(i), dtype=np.int64))
+            idx_out.append(np.arange(k, dtype=np.int32))
+            en_out.append(en)
+            zc_out.append(zc)
+            ce_out.append(ce)
+        if not ids_out:
+            ids_out = [np.array([], dtype=np.int64)]
+            idx_out = [np.array([], dtype=np.int32)]
+            en_out = zc_out = ce_out = [np.array([], dtype=np.float64)]
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(ids_out), pa.int64()),
+                "frame_idx": pa.array(np.concatenate(idx_out), pa.int32()),
+                "log_energy": pa.array(np.concatenate(en_out), pa.float64()),
+                "zcr": pa.array(np.concatenate(zc_out), pa.float64()),
+                "centroid_hz": pa.array(np.concatenate(ce_out), pa.float64()),
+            }
+        )
+
+
+def extract_audio_features(
+    ds, *, sample_rate: int = 16000, win: int = 1024, hop: int = 512, concurrency: int = 2
+):
+    """audio Dataset (id, payload PCM s16le) -> per-window feature rows."""
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"sample_rate": sample_rate, "win": win, "hop": hop},
+        batch_format="pyarrow",
+        batch_size=32,  # payloads are large binaries; keep blocks bounded
+        concurrency=concurrency,
+    )
+
+
 def preprocess_images(ds, *, size: int = 224, decode: str = "fake", concurrency: int = 2):
     """media Dataset -> tensor Dataset (small batches: binary payloads)."""
     return ds.map_batches(

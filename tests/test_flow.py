@@ -60,3 +60,43 @@ def test_flow_end_to_end(ray_session, tmp_path):
 def test_flow_unknown_op(ray_session):
     with pytest.raises(ValueError, match="unknown op"):
         run_flow({"stages": [{"name": "x", "op": "nope", "args": {}}]})
+
+
+def test_flow_segmented_ops(ray_session, tmp_path):
+    """Flow surface wires the segment lifecycle: two adds -> segmented
+    search -> physical merge, all through the op registry."""
+    import pyarrow.compute as pc
+
+    from clip_as_service_ray.pipelines.flow import run_flow
+    from clip_as_service_ray.sources.transcripts import (
+        reference_query_table,
+        synthesize_transcripts,
+    )
+
+    corpus = synthesize_transcripts(800, seed=42)
+    convs = sorted(set(corpus.column("conv_id").to_pylist()))
+    pivot = convs[len(convs) // 2]
+    import pyarrow as pa
+
+    a = corpus.filter(pc.less(corpus.column("conv_id"), pa.scalar(pivot)))
+    b = corpus.filter(pc.greater_equal(corpus.column("conv_id"), pa.scalar(pivot)))
+    root = str(tmp_path / "segflow")
+    out = run_flow(
+        {
+            "config": {"num_index_partitions": 2, "postings_block_size": 64},
+            "stages": [
+                {"name": "seg_a", "op": "add_segment",
+                 "args": {"index_root": root, "source": "$part_a"}},
+                {"name": "seg_b", "op": "add_segment",
+                 "args": {"index_root": root, "source": "$part_b"}},
+                {"name": "hits", "op": "segmented_search",
+                 "args": {"index_root": root, "queries": "$queries"}},
+                {"name": "merged", "op": "merge_segments",
+                 "args": {"index_root": root, "out_dir": str(tmp_path / "m")}},
+            ],
+        },
+        inputs={"part_a": a, "part_b": b, "queries": reference_query_table()},
+    )
+    assert out["seg_b"]["n_segments"] == 2
+    assert out["hits"].num_rows > 0
+    assert out["merged"]["n_docs"] == out["seg_b"]["n_docs"]

@@ -77,3 +77,45 @@ def test_ray_pipeline_and_frame_fanout(ray_session):
     # id 0: 10 frames -> idx 0,5 ; id 1: 2 frames -> idx 0
     assert sorted(zip(frames.id, frames.frame_idx)) == [(0, 0), (0, 5), (1, 0)]
     assert all(len(p) == 1024 for p in frames.payload)
+
+
+def test_audio_features_real_dsp(ray_session):
+    """AudioFeatures is a fully-real stage (raw PCM needs no codec): a pure
+    440 Hz sine must yield a spectral centroid near 440 Hz, ~2x zero
+    crossings per period, and louder signal -> higher log-energy."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from clip_as_service_ray.stages.multimodal import extract_audio_features
+
+    sr = 16000
+    t = np.arange(sr) / sr  # 1 second
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    quiet = (0.05 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"id": pa.array([1, 2], pa.int64()),
+             "payload": pa.array([sine.tobytes(), quiet.tobytes()], pa.binary())}
+        )
+    )
+    out = extract_audio_features(ds, sample_rate=sr).to_pandas()
+    loud = out[out.id == 1]
+    soft = out[out.id == 2]
+    assert len(loud) == len(soft) > 20  # windows per second
+    assert abs(loud.centroid_hz.mean() - 440) < 40
+    # zcr of a 440 Hz sine at 16 kHz: 2*440/16000 crossings per sample
+    assert abs(loud.zcr.mean() - 2 * 440 / sr) < 0.01
+    assert loud.log_energy.mean() > soft.log_energy.mean()
+    # determinism: same input -> identical output
+    out2 = extract_audio_features(ds, sample_rate=sr).to_pandas()
+    assert out.sort_values(["id", "frame_idx"]).reset_index(drop=True).equals(
+        out2.sort_values(["id", "frame_idx"]).reset_index(drop=True)
+    )
+    # sub-window payload -> zero rows, stable schema
+    tiny = ray.data.from_arrow(
+        pa.table({"id": pa.array([9], pa.int64()),
+                  "payload": pa.array([b"\x00\x01"], pa.binary())})
+    )
+    empty = extract_audio_features(tiny, sample_rate=sr).to_pandas()
+    assert len(empty) == 0
