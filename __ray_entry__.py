@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ops.ann_topk,
         "ann_ivf_topk": ops.ann_ivf_topk,
         "cosine_dup_pairs": ops.cosine_dup_pairs,
+        "cosine_lsh_dup_pairs": ops.cosine_lsh_dup_pairs,
         "minhash_dup_pairs": ops.minhash_dup_pairs,
         "simhash_dup_pairs": ops.simhash_dup_pairs,  # rows-only (simhash not SQL-expressible)
         "jaccard_dup_pairs": ops.jaccard_dup_pairs,
@@ -237,5 +238,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE a.vec_id < 1000 AND b.vec_id < 1000 "
             "AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"
+        ),
+        "cosine_lsh_dup_pairs": (
+            # exact all-pairs ground truth for the hyperplane-LSH pipeline
+            # (no id bound: the LSH side scales, the SQL side is the oracle;
+            # equality certifies LSH recall = 1.0 here)
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)::DOUBLE AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"
         ),
     }

@@ -476,6 +476,22 @@ def cosine_dup_pairs(sf_dir: str, max_id: int = 1000, threshold: float = 0.4):
     return tbl.select(["vec_a", "vec_b", "sim"])
 
 
+def cosine_lsh_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-dup pairs over the WHOLE embeddings table via
+    random-hyperplane LSH + pair-keyed exact verify — the scale path of
+    cosine_dup_pairs (no broadcast candidate matrix, no max_id bound). The
+    SQL oracle computes exact all-pairs cosine; equality certifies LSH
+    recall = 1.0 on this corpus at this threshold."""
+    import ray.data
+
+    from clip_as_service_ray.stages.ann import cosine_lsh_pairs
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return cosine_lsh_pairs(ds, threshold=threshold)
+
+
 # ---------------------------------------------------------------------------
 # dedup suite + text analysis (rows-only unless noted)
 

@@ -71,6 +71,153 @@ def ivf_assign(ds, centroids: np.ndarray):
     return ds.map_batches(Assign, batch_format="pyarrow", batch_size=4096, concurrency=2)
 
 
+def cosine_lsh_pairs(
+    ds,
+    *,
+    threshold: float = 0.4,
+    bits_per_band: int = 4,
+    n_bands: int = 64,
+    seed: int = 7,
+) -> pa.Table:
+    """Embedding-cosine near-dup pairs over the WHOLE table via
+    random-hyperplane LSH — the scale path for ``cosine_dup_pairs`` (whose
+    broadcast-candidate kernel is bounded by max_id):
+
+      normalize -> sign(V @ R) bit signature -> (band, band_val, vec_id)
+      rows -> groupby(band, band_val) candidate pairs -> pair-keyed shuffle
+      verify with exact cosine (both vectors co-located per pair group).
+
+    Collision probability per band for angle θ is (1-θ/π)^bits; with 64
+    bands x 4 bits the miss probability AT cos=0.4 is ~(1-0.158)^64 ≈ 2e-5
+    per pair, so on deterministic data the output equals the exact
+    all-pairs result (the SQL oracle checks exactly that). Returns
+    (vec_a, vec_b, sim) sorted."""
+    import ray
+
+    OUT = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("sim", pa.float64())]
+    )
+
+    class Bands:
+        """(band, band_val, vec_id) rows; hyperplanes generated once per
+        actor from the shared seed (identical everywhere)."""
+
+        def __init__(self):
+            self._R = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+            if self._R is None:
+                r = np.random.default_rng(seed)
+                self._R = r.normal(size=(emb.shape[1], n_bands * bits_per_band))
+            bits = (emb @ self._R) > 0  # (n, bands*bits)
+            weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+            vals = bits.reshape(len(emb), n_bands, bits_per_band) @ weights
+            ids = batch.column("vec_id").to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    "band": pa.array(
+                        np.tile(np.arange(n_bands, dtype=np.int64), len(ids)), pa.int64()
+                    ),
+                    "band_val": pa.array(vals.ravel().astype(np.int64), pa.int64()),
+                    "vec_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                }
+            )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        docs = np.unique(group.column("vec_id").to_numpy())
+        if len(docs) < 2:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+            )
+        if len(docs) > 500:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "LSH bucket with %d vectors capped to first 500", len(docs)
+            )
+            docs = docs[:500]
+        ia, ib = np.triu_indices(len(docs), k=1)
+        return pa.table(
+            {"vec_a": pa.array(docs[ia], pa.int64()), "vec_b": pa.array(docs[ib], pa.int64())}
+        )
+
+    cand = (
+        ds.map_batches(Bands, batch_format="pyarrow", batch_size=4096, concurrency=2)
+        .groupby(["band", "band_val"], num_partitions=8)
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return OUT.empty_table()
+    pairs = np.unique(cand[["vec_a", "vec_b"]].to_numpy(), axis=0)
+
+    # pair-keyed distributed verify: exact cosine with both sides co-located
+    memb: dict[int, list] = {}
+    for pi, (a, b) in enumerate(pairs):
+        memb.setdefault(int(a), []).append(pi)
+        memb.setdefault(int(b), []).append(pi)
+    memb_ref = ray.put(memb)
+    ids_ref = ray.put(pa.array(np.unique(pairs).astype(np.int64), pa.int64()))
+
+    class EmitPairVecs:
+        def __init__(self):
+            self.memb = ray.get(memb_ref)
+            self.ids = ray.get(ids_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            sub = batch.filter(pc.is_in(batch.column("vec_id"), value_set=self.ids))
+            out_pair, out_id, out_v = [], [], []
+            if sub.num_rows:
+                emb = np.array(sub.column("embedding").to_pylist(), dtype=np.float64)
+                for j, vid in enumerate(sub.column("vec_id").to_numpy()):
+                    blob = emb[j].tobytes()
+                    for pi in self.memb.get(int(vid), ()):
+                        out_pair.append(pi)
+                        out_id.append(int(vid))
+                        out_v.append(blob)
+            return pa.table(
+                {"pair": pa.array(out_pair, pa.int64()),
+                 "vec_id": pa.array(out_id, pa.int64()),
+                 "v": pa.array(out_v, pa.binary())}
+            )
+
+    def verify_group(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g.column("vec_id").to_pylist(), dtype=np.int64)
+        if len(ids) < 2:
+            return OUT.empty_table()
+        order = np.argsort(ids, kind="stable")
+        va = np.frombuffer(g.column("v")[int(order[0])].as_py(), dtype=np.float64)
+        vb = np.frombuffer(g.column("v")[int(order[1])].as_py(), dtype=np.float64)
+        sim = float(
+            (va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb))
+        )
+        if sim < threshold:
+            return OUT.empty_table()
+        return pa.table(
+            {"vec_a": pa.array([int(ids[order[0]])], pa.int64()),
+             "vec_b": pa.array([int(ids[order[1]])], pa.int64()),
+             "sim": pa.array([round(sim, 6)], pa.float64())},
+            schema=OUT,
+        )
+
+    out = (
+        ds.map_batches(EmitPairVecs, batch_format="pyarrow", concurrency=2)
+        .groupby("pair", num_partitions=4)
+        .map_groups(verify_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return OUT.empty_table()
+    return (
+        pa.Table.from_pandas(out, preserve_index=False)
+        .cast(OUT)
+        .sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+    )
+
+
 def ivf_build(ds, centroids: np.ndarray, index_dir: str, *, overwrite: bool = False) -> str:
     """Write the cell-PARTITIONED IVF index: assigned vectors land under
     ``index_dir/cell=K/`` (parquet partition_cols) and the centroid table

@@ -94,3 +94,24 @@ def test_probe_cost_scales_with_nprobe(ivf_index):
     assert s2["bytes_read"] < s6["bytes_read"] < s16["bytes_read"]
     assert s16["rows_read"] == 2000  # full probe == whole corpus
     assert s6["rows_read"] < 2000
+
+
+def test_cosine_lsh_pairs_match_exact(vectors):
+    """Hyperplane-LSH near-dup pairs == exact all-pairs cosine at the
+    threshold (recall 1.0 on this corpus, seeded/deterministic)."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.stages.ann import cosine_lsh_pairs
+
+    ds, m = vectors
+    got = cosine_lsh_pairs(ds, threshold=0.55).to_pandas()
+    # exact truth over the float32-stored vectors (what the Dataset holds)
+    m32 = m.astype(np.float32).astype(np.float64)
+    sims = (m32 @ m32.T) / (
+        np.linalg.norm(m32, axis=1)[:, None] * np.linalg.norm(m32, axis=1)[None, :]
+    )
+    ia, ib = np.triu_indices(len(m32), k=1)
+    keep = sims[ia, ib] >= 0.55
+    want = sorted(zip(ia[keep].tolist(), ib[keep].tolist()))
+    assert sorted(zip(got.vec_a, got.vec_b)) == want
+    assert len(want) > 0  # the threshold actually selects something
