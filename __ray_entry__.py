@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_agg": ops.events_type_agg,
         "events_hourly_windows": ops.events_hourly_windows,
         "lineitem_pricing_summary": ops.lineitem_pricing_summary,
+        "customer_segment_revenue": ops.customer_segment_revenue,
+        "order_priority_revenue": ops.order_priority_revenue,
+        "purchase_click_asof": ops.purchase_click_asof,
         "ann_topk": ops.ann_topk,
         "ann_ivf_topk": ops.ann_ivf_topk,
         "cosine_dup_pairs": ops.cosine_dup_pairs,
@@ -170,6 +173,28 @@ def oracle_sql() -> dict[str, str]:
             "round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS sum_revenue, "
             "count(*)::BIGINT AS n_rows "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "customer_segment_revenue": (
+            "SELECT c_mktsegment, count(*)::BIGINT AS n_orders, "
+            "round(sum(o_totalprice), 2)::DOUBLE AS sum_total "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_mktsegment"
+        ),
+        "order_priority_revenue": (
+            "WITH rev AS (SELECT l_orderkey, "
+            "sum(l_extendedprice * (1 - l_discount)) AS rev "
+            "FROM lineitem GROUP BY l_orderkey) "
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_orders, "
+            "round(sum(rev), 2)::DOUBLE AS sum_revenue "
+            "FROM orders JOIN rev ON o_orderkey = l_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "purchase_click_asof": (
+            "SELECT p.event_id AS purchase_event_id, c.event_id AS click_event_id, "
+            "round((epoch_us(p.ts) - epoch_us(c.ts)) / 1000000.0, 6)::DOUBLE AS wait_s "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "

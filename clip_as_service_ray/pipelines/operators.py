@@ -375,6 +375,131 @@ def lineitem_pricing_summary(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# joins (SURVEY §2.5 — beyond the reference's id-keyed gathers)
+
+
+def customer_segment_revenue(sf_dir: str):
+    """BROADCAST hash join exemplar: the customer dimension is ray.put once
+    (sorted key + payload arrays) and the orders fact stream probes it with
+    vectorized searchsorted — no shuffle. Grouped by market segment."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from clip_as_service_ray.stages.joins import broadcast_hash_join
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    joined = broadcast_hash_join(orders, cust, left_key="o_custkey", right_key="c_custkey")
+    agg = joined.groupby("c_mktsegment", num_partitions=4).aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total")
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "c_mktsegment": tbl.column("c_mktsegment"),
+            "n_orders": pc.cast(tbl.column("n_orders"), pa.int64()),
+            "sum_total": pa.array(
+                np.round(tbl.column("sum_total").to_numpy(), 2), pa.float64()
+            ),
+        }
+    )
+
+
+def order_priority_revenue(sf_dir: str):
+    """SHUFFLE hash join exemplar with pre-aggregation: lineitem revenue is
+    combined per order BEFORE the join (the combiner-before-wide-step rule),
+    then big-big joined to orders on the order key (tagged union + one
+    co-partitioning groupby), grouped by priority."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from clip_as_service_ray.stages.joins import shuffle_hash_join
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        t = pa.table({"o_orderkey": batch.column("l_orderkey"), "rev": rev})
+        g = t.group_by("o_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_orderkey", "rev_part"])
+
+    rev = (
+        li.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("o_orderkey", num_partitions=8)
+        .aggregate(Sum("rev_part", alias_name="rev"))
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = shuffle_hash_join(orders, rev, on="o_orderkey")
+    agg = joined.groupby("o_orderpriority", num_partitions=4).aggregate(
+        Count(alias_name="n_orders"), Sum("rev", alias_name="sum_revenue")
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "o_orderpriority": tbl.column("o_orderpriority"),
+            "n_orders": pc.cast(tbl.column("n_orders"), pa.int64()),
+            "sum_revenue": pa.array(
+                np.round(tbl.column("sum_revenue").to_numpy(), 2), pa.float64()
+            ),
+        }
+    )
+
+
+def purchase_click_asof(sf_dir: str):
+    """AS-OF join: for each purchase event, the latest click by the same
+    user at or before the purchase time (point-in-time join; salted-bucket
+    shuffle, per-key vectorized searchsorted). DuckDB's native ASOF JOIN is
+    the oracle."""
+    import ray.data
+
+    from clip_as_service_ray.stages.joins import asof_join_by_user
+
+    def typed(event_type: str):
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch.column("event_type"), pa.scalar(event_type))
+            return batch.filter(mask).drop_columns(["event_type"])
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    out = asof_join_by_user(
+        typed("purchase"), typed("click"),
+        key="user_id", ts="ts", left_id="event_id", right_id="event_id",
+    )
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if tbl.num_rows == 0:
+        return pa.table(
+            {"purchase_event_id": pa.array([], pa.int64()),
+             "click_event_id": pa.array([], pa.int64()),
+             "wait_s": pa.array([], pa.float64())}
+        )
+    return pa.table(
+        {
+            "purchase_event_id": tbl.column("left_id"),
+            "click_event_id": tbl.column("right_id"),
+            "wait_s": tbl.column("wait_s"),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # embeddings: ANN + near-dup
 
 

@@ -1,0 +1,217 @@
+"""Join operators the Dataset API lacks, expressed Ray-Data-first.
+
+The reference's only joins are id-keyed result gathers (J1-J3 in SURVEY §2.5);
+a general data engine needs the real thing. Three shapes, each picked by the
+side sizes — the partitioning assumptions are the contract:
+
+- ``broadcast_hash_join``: small side (fits the object store comfortably)
+  is ``ray.put`` ONCE as sorted key/value arrays; the big side streams
+  through ``map_batches`` with a vectorized ``np.searchsorted`` probe. No
+  shuffle at all — the canonical small-side join from the Ray guide.
+- ``shuffle_hash_join``: big-big equi-join as a tagged UNION + one
+  ``groupby(key)`` — both sides co-partition on the join key, the group UDF
+  emits the vectorized cross product per key. Assumes per-key match groups
+  are small relative to a worker (true for key-unique or low-fanout joins;
+  pre-aggregate a side first when it is not — see order_priority_revenue).
+- ``asof_join_by_user``: per-key ordered as-of join (for each left event,
+  the latest right event with ts <= left.ts) via the salted-bucket pattern:
+  hash-bucket by key so the group UDF sees MANY keys at once and resolves
+  each with one sort + per-key ``np.searchsorted`` — the streaming-window
+  family's point-in-time join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def broadcast_hash_join(ds, small_table: pa.Table, *, left_key: str, right_key: str):
+    """Inner equi-join: stream ``ds`` against a broadcast ``small_table``.
+    Right keys must be unique (dimension-table contract; asserted)."""
+    import ray
+
+    st = small_table.sort_by(right_key)
+    keys = st.column(right_key).to_numpy()
+    if len(keys) and np.any(keys[1:] == keys[:-1]):
+        raise ValueError(f"broadcast side has duplicate keys in {right_key!r}")
+    payload_cols = [c for c in st.column_names if c != right_key]
+    ref = ray.put((keys, {c: st.column(c) for c in payload_cols}))
+
+    class Probe:
+        def __init__(self):
+            self.keys, self.payload = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            probe = batch.column(left_key).to_numpy()
+            pos = np.searchsorted(self.keys, probe)
+            ok = (pos < len(self.keys)) & (
+                self.keys[np.minimum(pos, len(self.keys) - 1)] == probe
+            )
+            sub = batch.filter(pa.array(ok))
+            take = pa.array(pos[ok], pa.int64())
+            for c, arr in self.payload.items():
+                sub = sub.append_column(c, arr.take(take))
+            return sub
+
+    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=2)
+
+
+def shuffle_hash_join(
+    left_ds,
+    right_ds,
+    *,
+    on: str,
+    num_partitions: int = 8,
+):
+    """Inner big-big equi-join: tag sides, union, one groupby(on) shuffle,
+    vectorized per-key cross product in the group UDF. Column name
+    collisions (other than the key) must be resolved by the caller."""
+    l_cols = r_cols = None
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "_side", pa.array(np.full(batch.num_rows, side, np.int8), pa.int8())
+            )
+
+        return fn
+
+    # align schemas: each side carries the other's columns as nulls
+    l_schema = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    r_schema = dict(zip(right_ds.schema().names, right_ds.schema().types))
+    overlap = (set(l_schema) & set(r_schema)) - {on}
+    if overlap:
+        raise ValueError(f"column collision outside the join key: {sorted(overlap)}")
+
+    l_only = [c for c in l_schema if c != on]
+    r_only = [c for c in r_schema if c != on]
+    canon = [on] + l_only + r_only + ["_side"]
+
+    def pad(missing: dict):
+        def fn(batch: pa.Table) -> pa.Table:
+            for c, t in missing.items():
+                batch = batch.append_column(c, pa.nulls(batch.num_rows, t))
+            return batch.select(canon)  # canonical column order for union
+
+        return fn
+
+    l = left_ds.map_batches(tag(0), batch_format="pyarrow").map_batches(
+        pad({c: t for c, t in r_schema.items() if c not in l_schema}),
+        batch_format="pyarrow",
+    )
+    r = right_ds.map_batches(tag(1), batch_format="pyarrow").map_batches(
+        pad({c: t for c, t in l_schema.items() if c not in r_schema}),
+        batch_format="pyarrow",
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy()
+        li = np.nonzero(side == 0)[0]
+        ri = np.nonzero(side == 1)[0]
+        if len(li) == 0 or len(ri) == 0:
+            return group.drop_columns(["_side"]).slice(0, 0)
+        # vectorized cross product of the (small) per-key match groups
+        lrep = np.repeat(li, len(ri))
+        rtil = np.tile(ri, len(li))
+        out = group.select([on] + l_only).take(pa.array(lrep, pa.int64()))
+        rpart = group.select(r_only).take(pa.array(rtil, pa.int64()))
+        for c in r_only:
+            out = out.append_column(c, rpart.column(c))
+        return out
+
+    return (
+        l.union(r)
+        .groupby(on, num_partitions=num_partitions)
+        .map_groups(join_group, batch_format="pyarrow")
+    )
+
+
+def asof_join_by_user(
+    left_ds,
+    right_ds,
+    *,
+    key: str,
+    ts: str,
+    left_id: str,
+    right_id: str,
+    num_buckets: int = 32,
+):
+    """Inner as-of join: for each left row, the LATEST right row of the same
+    ``key`` with ``right.ts <= left.ts``. Output: (left_id, right_id_matched,
+    wait_s). Salted-bucket shuffle: the group UDF handles a whole hash
+    bucket of keys with one lexsort + per-key searchsorted."""
+
+    def tag_and_bucket(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column(key).to_numpy().astype(np.int64)
+            out = pa.table(
+                {
+                    "_bucket": pa.array(k % num_buckets, pa.int64()),
+                    key: pa.array(k, pa.int64()),
+                    "_ts": batch.column(ts).cast(pa.int64()),
+                    "_id": batch.column(left_id if side == 0 else right_id).cast(pa.int64()),
+                    "_side": pa.array(np.full(batch.num_rows, side, np.int8), pa.int8()),
+                }
+            )
+            return out
+
+        return fn
+
+    def asof_group(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy()
+        keys = group.column(key).to_numpy()
+        tss = group.column("_ts").to_numpy()
+        ids = group.column("_id").to_numpy()
+        li = side == 0
+        ri = side == 1
+        empty = pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "wait_s": pa.array([], pa.float64()),
+            }
+        )
+        if not li.any() or not ri.any():
+            return empty
+        # both sides sorted by (key, ts); per UNIQUE key one vectorized
+        # searchsorted resolves every left probe of that key at once
+        lo = np.lexsort((tss[li], keys[li]))
+        lk, lt, lid = keys[li][lo], tss[li][lo], ids[li][lo]
+        ro = np.lexsort((tss[ri], keys[ri]))
+        rk, rt, rid = keys[ri][ro], tss[ri][ro], ids[ri][ro]
+        out_l, out_r, out_w = [], [], []
+        l_bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(lk))[0] + 1, [len(lk)]]
+        )
+        for s, e in zip(l_bounds[:-1], l_bounds[1:]):
+            k = lk[s]
+            rs = np.searchsorted(rk, k, side="left")
+            re_ = np.searchsorted(rk, k, side="right")
+            if re_ == rs:
+                continue
+            pos = np.searchsorted(rt[rs:re_], lt[s:e], side="right")
+            ok = pos > 0
+            idx = rs + pos[ok] - 1
+            out_l.append(lid[s:e][ok])
+            out_r.append(rid[idx])
+            out_w.append((lt[s:e][ok] - rt[idx]) / 1e6)
+        if not out_l:
+            return empty
+        return pa.table(
+            {
+                "left_id": pa.array(np.concatenate(out_l), pa.int64()),
+                "right_id": pa.array(np.concatenate(out_r), pa.int64()),
+                "wait_s": pa.array(
+                    np.round(np.concatenate(out_w), 6), pa.float64()
+                ),
+            }
+        )
+
+    l = left_ds.map_batches(tag_and_bucket(0), batch_format="pyarrow")
+    r = right_ds.map_batches(tag_and_bucket(1), batch_format="pyarrow")
+    return (
+        l.union(r)
+        .groupby("_bucket", num_partitions=8)
+        .map_groups(asof_group, batch_format="pyarrow")
+    )
