@@ -96,22 +96,35 @@ def test_probe_cost_scales_with_nprobe(ivf_index):
     assert s6["rows_read"] < 2000
 
 
-def test_cosine_lsh_pairs_match_exact(vectors):
+def test_cosine_lsh_pairs_match_exact(ray_session):
     """Hyperplane-LSH near-dup pairs == exact all-pairs cosine at the
-    threshold (recall 1.0 on this corpus, seeded/deterministic)."""
+    threshold (recall 1.0, seeded/deterministic) on a corpus with PLANTED
+    near-duplicates — the actual dedup regime (high threshold, high bits:
+    few candidates; the sf0.01 oracle covers the low-threshold regime)."""
     import pyarrow as pa
+    import ray.data
 
     from clip_as_service_ray.stages.ann import cosine_lsh_pairs
 
-    ds, m = vectors
-    got = cosine_lsh_pairs(ds, threshold=0.55).to_pandas()
-    # exact truth over the float32-stored vectors (what the Dataset holds)
+    rng = np.random.default_rng(17)
+    base = rng.normal(size=(400, 32))
+    # 30 near-dups: small perturbations of existing rows (cos ~0.95+)
+    dup_src = rng.choice(400, 30, replace=False)
+    dups = base[dup_src] + 0.12 * rng.normal(size=(30, 32))
+    m = np.vstack([base, dups])
+    tbl = pa.table(
+        {"vec_id": pa.array(range(len(m)), pa.int64()),
+         "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32()))}
+    )
+    got = cosine_lsh_pairs(
+        ray.data.from_arrow(tbl), threshold=0.85, bits_per_band=8, n_bands=48
+    ).to_pandas()
     m32 = m.astype(np.float32).astype(np.float64)
     sims = (m32 @ m32.T) / (
         np.linalg.norm(m32, axis=1)[:, None] * np.linalg.norm(m32, axis=1)[None, :]
     )
     ia, ib = np.triu_indices(len(m32), k=1)
-    keep = sims[ia, ib] >= 0.55
+    keep = sims[ia, ib] >= 0.85
     want = sorted(zip(ia[keep].tolist(), ib[keep].tolist()))
+    assert len(want) >= 25  # the planted dups are actually above threshold
     assert sorted(zip(got.vec_a, got.vec_b)) == want
-    assert len(want) > 0  # the threshold actually selects something
