@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": ops.doc_quality,
         "events_type_agg": ops.events_type_agg,
         "events_hourly_windows": ops.events_hourly_windows,
+        "user_sessions": ops.user_sessions,
         "lineitem_pricing_summary": ops.lineitem_pricing_summary,
         "customer_segment_revenue": ops.customer_segment_revenue,
         "order_priority_revenue": ops.order_priority_revenue,
@@ -166,6 +167,19 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_windows": (
             "SELECT user_id, date_trunc('hour', ts) AS window_start, "
             "count(*)::BIGINT AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "user_sessions": (
+            # gap-based session windows (30-min inactivity): the classic
+            # lag()+cumsum sessionization
+            "WITH d AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+            "OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000 "
+            "THEN 1 ELSE 0 END AS new_s FROM events), "
+            "s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM d) "
+            "SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events, "
+            "round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)::DOUBLE AS duration_s "
+            "FROM s GROUP BY user_id, sid"
         ),
         "lineitem_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

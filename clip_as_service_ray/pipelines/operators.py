@@ -337,6 +337,21 @@ def events_hourly_windows(sf_dir: str):
     return agg
 
 
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """SESSION windows over events: gap-based sessionization per user
+    (30-min inactivity gap) — the ordered streaming-window operator
+    (tumbling windows are events_hourly_windows). One row per session."""
+    import ray.data
+
+    from clip_as_service_ray.stages.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    out = sessionize(ds, key="user_id", ts="ts", gap_s=gap_minutes * 60)
+    return out
+
+
 def lineitem_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped grouped numeric aggregate over lineitem."""
     import ray.data

@@ -1,0 +1,72 @@
+"""Windowed aggregation stages beyond plain tumbling windows.
+
+Tumbling windows are a groupby on a derived key (``events_hourly_windows``);
+SESSION windows are gap-based and need per-key ORDER — the streaming-shaped
+operator a batch engine expresses as: salted-bucket shuffle on the key, then
+ONE vectorized lexsort + gap-scan per bucket (many keys per UDF call, no
+per-key Python). Same shape as ``dedup_turns``/``asof_join_by_user``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def sessionize(
+    ds,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    gap_s: float = 1800.0,
+    num_buckets: int = 32,
+):
+    """Gap-based sessions per key: a new session starts when the gap to the
+    previous event of the same key exceeds ``gap_s`` seconds. Returns one
+    row per session: (key, session_start:timestamp[us], n_events:int64,
+    duration_s:float64)."""
+    gap_us = int(gap_s * 1_000_000)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(k % num_buckets, pa.int64()),
+                key: pa.array(k, pa.int64()),
+                "_ts": batch.column(ts).cast(pa.int64()),
+            }
+        )
+
+    def sessions(group: pa.Table) -> pa.Table:
+        k = group.column(key).to_numpy()
+        t = group.column("_ts").to_numpy()
+        if len(k) == 0:
+            return pa.table(
+                {key: pa.array([], pa.int64()),
+                 "session_start": pa.array([], pa.timestamp("us")),
+                 "n_events": pa.array([], pa.int64()),
+                 "duration_s": pa.array([], pa.float64())}
+            )
+        order = np.lexsort((t, k))
+        ks, tss = k[order], t[order]
+        new_sess = np.concatenate(
+            [[True], (ks[1:] != ks[:-1]) | (np.diff(tss) > gap_us)]
+        )
+        starts = np.nonzero(new_sess)[0]
+        ends = np.concatenate([starts[1:], [len(ks)]])
+        return pa.table(
+            {
+                key: pa.array(ks[starts], pa.int64()),
+                "session_start": pa.array(tss[starts], pa.timestamp("us")),
+                "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
+                "duration_s": pa.array(
+                    np.round((tss[ends - 1] - tss[starts]) / 1e6, 6), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=8)
+        .map_groups(sessions, batch_format="pyarrow")
+    )

@@ -37,3 +37,34 @@ def test_fingerprint_order_sensitive():
     assert fingerprint(a) == fingerprint(a)
     assert fingerprint(a) != fingerprint(b)
     assert fingerprint(np.array([], dtype=np.uint64)) == fingerprint(np.array([], dtype=np.uint64))
+
+
+def test_sessionize_gap_semantics(ray_session):
+    """Session windows: exact gap-boundary behavior (gap == threshold stays
+    in-session; gap > threshold splits) and per-key isolation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from clip_as_service_ray.stages.windows import sessionize
+
+    us = 1_000_000
+    rows = [
+        (1, 0), (1, 1800 * us), (1, 3600 * us),        # gaps == 1800s: ONE session
+        (1, 3600 * us + 1801 * us),                     # gap 1801s: new session
+        (2, 0), (2, 10 * us),                           # separate user
+        (3, 5 * us),                                    # singleton
+    ]
+    t = pa.table(
+        {"user_id": pa.array([r[0] for r in rows], pa.int64()),
+         "ts": pa.array([r[1] for r in rows], pa.timestamp("us"))}
+    )
+    out = (
+        sessionize(ray.data.from_arrow(t), gap_s=1800)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert out.user_id.tolist() == [1, 1, 2, 3]
+    assert out.n_events.tolist() == [3, 1, 2, 1]
+    np.testing.assert_allclose(out.duration_s.tolist(), [3600.0, 0.0, 10.0, 0.0])
