@@ -78,6 +78,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_agg": ops.events_type_agg,
         "events_hourly_windows": ops.events_hourly_windows,
         "user_sessions": ops.user_sessions,
+        "token_counts": ops.token_counts,
+        "distinct_users_daily": ops.distinct_users_daily,
+        "approx_distinct_users": ops.approx_distinct_users,  # rows-only (sketch)
+        "top_events_per_type": ops.top_events_per_type,
+        "event_value_percentiles": ops.event_value_percentiles,
         "lineitem_pricing_summary": ops.lineitem_pricing_summary,
         "customer_segment_revenue": ops.customer_segment_revenue,
         "order_priority_revenue": ops.order_priority_revenue,
@@ -180,6 +185,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events, "
             "round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)::DOUBLE AS duration_s "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "token_counts": (
+            "SELECT doc_id, "
+            r"len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens, "
+            "len(regexp_extract_all(lower(text), '" + _PAT_SQL + "'))::BIGINT "
+            "AS bpe_tokens, "
+            "length(text)::BIGINT AS n_chars FROM documents"
+        ),
+        "distinct_users_daily": (
+            "SELECT date_trunc('day', ts) AS day, "
+            "count(DISTINCT user_id)::BIGINT AS n_users, "
+            "count(*)::BIGINT AS n_events FROM events GROUP BY day"
+        ),
+        "top_events_per_type": (
+            "SELECT event_type, event_id, round(value, 6)::DOUBLE AS value, rank "
+            "FROM (SELECT event_type, event_id, value, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY value DESC, event_id ASC)::BIGINT AS rank FROM events) "
+            "WHERE rank <= 5"
+        ),
+        "event_value_percentiles": (
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 6)::DOUBLE AS p50, "
+            "round(quantile_cont(value, 0.9), 6)::DOUBLE AS p90, "
+            "round(quantile_cont(value, 0.99), 6)::DOUBLE AS p99 "
+            "FROM events GROUP BY event_type"
         ),
         "lineitem_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -727,3 +727,184 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_centroids: int = 16):
             "sim": pa.array(np.round(out.column("sim").to_numpy(), 6), pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# token counting / distinct counts / per-group top-k / percentiles (round 2+)
+
+# RE2 form of the reference tokenizer pattern (simple_tokenizer.py:89-92),
+# applied to lower(text) on both the Arrow and DuckDB sides so IGNORECASE
+# is unnecessary (RE2 on both sides => identical alternation semantics).
+TOKEN_PATTERN_RE2 = (
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
+)
+
+
+def token_counts(sf_dir: str):
+    """Per-document token counting: whitespace tokens + the reference's
+    BPE-ish regex tokens + char length. Fully vectorized Arrow kernels
+    (pc.count_substring_regex / utf8_length run RE2 over the whole column
+    buffer) — zero Python per row, so this is the 100-TB-safe form."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        lower = pc.utf8_lower(text)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "ws_tokens": pc.cast(
+                    pc.count_substring_regex(text, r"\S+"), pa.int64()
+                ),
+                "bpe_tokens": pc.cast(
+                    pc.count_substring_regex(lower, TOKEN_PATTERN_RE2), pa.int64()
+                ),
+                "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def distinct_users_daily(sf_dir: str):
+    """COUNT(DISTINCT user_id) per day, distributed: per-batch combiner
+    collapses to unique (day, user) pairs first, the pair groupby is the
+    one necessary distinct-shuffle, and the final per-day rollup is tiny.
+    The raw event payload never moves — only (day, user_id, n_part) rows."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"day": day, "user_id": batch.column("user_id")})
+        g = t.group_by(["day", "user_id"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["day", "user_id", "n_part"])
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow")
+    per_pair = pairs.groupby(["day", "user_id"], num_partitions=8).aggregate(
+        Sum("n_part", alias_name="n_ev")
+    )
+    agg = per_pair.groupby("day", num_partitions=4).aggregate(
+        Count(alias_name="n_users"), Sum("n_ev", alias_name="n_events")
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "day": tbl.column("day"),
+            "n_users": pc.cast(tbl.column("n_users"), pa.int64()),
+            "n_events": pc.cast(tbl.column("n_events"), pa.int64()),
+        }
+    )
+
+
+def _topk_per_type(batch: pa.Table, k: int, with_rank: bool) -> pa.Table:
+    """Vectorized top-k rows per event_type within one table: lexsort by
+    (type ASC, value DESC, event_id ASC), keep the first k of each run."""
+    et = batch.column("event_type").to_numpy(zero_copy_only=False)
+    val = batch.column("value").to_numpy()
+    eid = batch.column("event_id").to_numpy()
+    order = np.lexsort((eid, -val, et))
+    et_s, val_s, eid_s = et[order], val[order], eid[order]
+    _, starts = np.unique(et_s, return_index=True)
+    starts = np.sort(starts)
+    run_len = np.diff(np.append(starts, len(et_s)))
+    rank = np.arange(len(et_s), dtype=np.int64) - np.repeat(starts, run_len)
+    keep = rank < k
+    cols = {
+        "event_type": pa.array(et_s[keep], pa.string()),
+        "event_id": pa.array(eid_s[keep], pa.int64()),
+        "value": pa.array(val_s[keep], pa.float64()),
+    }
+    if with_rank:
+        cols["rank"] = pa.array(rank[keep] + 1, pa.int64())
+    return pa.table(cols)
+
+
+def top_events_per_type(sf_dir: str, k: int = 5):
+    """Top-k rows per group (row_number() window analog): per-batch combiner
+    keeps at most k rows per type (bounded output regardless of input
+    size), then a small groupby finalizes — no global sort, no full
+    shuffle of the events table. Tie-break (value DESC, event_id ASC)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    partials = ds.map_batches(
+        lambda b: _topk_per_type(b, k, with_rank=False), batch_format="pyarrow"
+    )
+
+    def final(group: pa.Table) -> pa.Table:
+        out = _topk_per_type(group, k, with_rank=True)
+        return out.set_column(
+            out.schema.get_field_index("value"),
+            "value",
+            pa.array(np.round(out.column("value").to_numpy(), 6), pa.float64()),
+        )
+
+    return partials.groupby("event_type", num_partitions=4).map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+def event_value_percentiles(sf_dir: str):
+    """Exact per-group percentiles (p50/p90/p99, linear interpolation —
+    numpy's and DuckDB quantile_cont's shared definition). map_groups holds
+    one group per task; the documented scale path for groups that exceed a
+    worker is a t-digest/KLL sketch partial (the HLL entry below shows the
+    sketch-partial pattern on this engine)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def final(group: pa.Table) -> pa.Table:
+        vals = group.column("value").to_numpy()
+        qs = np.quantile(vals, [0.5, 0.9, 0.99], method="linear")
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "p50": pa.array([round(float(qs[0]), 6)], pa.float64()),
+                "p90": pa.array([round(float(qs[1]), 6)], pa.float64()),
+                "p99": pa.array([round(float(qs[2]), 6)], pa.float64()),
+            }
+        )
+
+    return ds.groupby("event_type", num_partitions=4).map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
+def approx_distinct_users(sf_dir: str, p: int = 14):
+    """Approximate COUNT(DISTINCT user_id) via HyperLogLog sketch partials
+    (functions/sketches.py): each batch folds into a 2^p-byte register row,
+    the driver max-merges the tiny partials (one 16 KiB row per block —
+    independent of cardinality). Rows-only by nature (approximate); the
+    error bound vs the exact count is pinned by tests/test_textstats.py."""
+    import ray.data
+
+    from clip_as_service_ray.functions.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_partial,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = hll_partial(batch.column("user_id").to_numpy(), p=p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = hll_merge([np.frombuffer(r["regs"], dtype=np.uint8) for r in rows])
+    return pa.table(
+        {"n_users_approx": pa.array([int(round(hll_estimate(merged)))], pa.int64())}
+    )

@@ -1,0 +1,95 @@
+"""HyperLogLog sketch + the round-2 count/percentile/top-k operators.
+
+Operator-level value equality vs DuckDB is covered by the driver oracle
+(scripts/check_oracle.py); these tests pin the kernel math and the
+distributed shapes at sf0.001 inside the shared Ray session.
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+from clip_as_service_ray.functions.sketches import (
+    hll_estimate,
+    hll_merge,
+    hll_partial,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 1 << 62, 200_000, dtype=np.int64)
+    exact = len(np.unique(vals))
+    # split into 8 partials, merge — must equal the single-pass sketch
+    parts = [hll_partial(c) for c in np.array_split(vals, 8)]
+    merged = hll_merge(parts)
+    assert np.array_equal(merged, hll_partial(vals))
+    est = hll_estimate(merged)
+    assert abs(est - exact) / exact < 0.02  # p=14 => ~0.81% std error
+
+
+def test_hll_small_range_linear_counting():
+    vals = np.arange(50, dtype=np.int64)
+    est = hll_estimate(hll_partial(vals))
+    assert abs(est - 50) <= 2
+
+
+def test_hll_empty_and_duplicates():
+    assert hll_estimate(hll_partial(np.array([], dtype=np.int64))) == 0.0
+    dup = np.full(10_000, 42, dtype=np.int64)
+    assert abs(hll_estimate(hll_partial(dup)) - 1) < 0.5
+
+
+def test_hll_bad_p():
+    with pytest.raises(ValueError):
+        hll_partial(np.array([1], dtype=np.int64), p=4)
+
+
+def test_approx_distinct_users_vs_exact(ray_session):
+    from clip_as_service_ray.pipelines import operators as ops
+
+    approx = ops.approx_distinct_users(SF).column("n_users_approx")[0].as_py()
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    assert abs(approx - exact) / max(exact, 1) < 0.03
+
+
+def test_top_events_per_type_matches_window_sql(ray_session):
+    from clip_as_service_ray.pipelines import operators as ops
+
+    got = (
+        ops.top_events_per_type(SF, k=3)
+        .to_pandas()
+        .sort_values(["event_type", "rank"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT event_type, event_id, round(value, 6)::DOUBLE AS value, rank "
+        "FROM (SELECT event_type, event_id, value, row_number() OVER ("
+        "PARTITION BY event_type ORDER BY value DESC, event_id ASC)::BIGINT "
+        f"AS rank FROM '{SF}/events.parquet') WHERE rank <= 3 "
+        "ORDER BY event_type, rank"
+    ).df()
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert got["rank"].tolist() == want["rank"].tolist()
+    assert np.allclose(got["value"], want["value"])
+
+
+def test_token_counts_vectorized_kernel(ray_session):
+    from clip_as_service_ray.pipelines import operators as ops
+
+    t = ops.token_counts(SF).to_pandas().set_index("doc_id")
+    d = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' LIMIT 5"
+    ).df()
+    from clip_as_service_ray.functions.tokenizer import tokenize_texts
+
+    for _, row in d.iterrows():
+        assert t.loc[row.doc_id, "ws_tokens"] == len(row.text.split())
+        assert t.loc[row.doc_id, "n_chars"] == len(row.text)
+        # BPE-ish regex count == reference tokenizer term count (the RE2
+        # pattern is the same alternation as functions.tokenizer.TOKEN_PATTERN)
+        assert t.loc[row.doc_id, "bpe_tokens"] == len(tokenize_texts([row.text])[0])
