@@ -5,13 +5,16 @@ decode + resize + center-crop + normalize at ``executors/helper.py:20-56`` /
 ``model/clip.py:25-52``) re-expressed as Ray Data actor-pool stages over
 opaque ``binary`` columns with typed metadata.
 
-IMAGE/AUDIO CODEC LIBRARIES ARE NOT AVAILABLE IN THIS ENVIRONMENT, so the
-actual byte->pixels decode is STUBBED: ``decode=\"fake\"`` produces a
-deterministic pseudo-image derived from the payload bytes (so downstream
-shapes/stats are testable), ``decode=\"real\"`` raises NotImplementedError at
-the exact point a PIL/libav call would go. Everything around the stub — the
-Arrow schema, small-batch sizing for large binary payloads, actor-pool
-signature, and output layout — is real and tested.
+IMAGE CODEC LIBRARIES ARE NOT AVAILABLE IN THIS ENVIRONMENT, so compressed
+formats (JPEG/PNG) cannot decode: ``decode=\"real\"`` REALLY decodes
+uncompressed 24-bit BMP (numpy-only parser, ``decode_bmp``) and raises
+NotImplementedError at the exact point a PIL/libjpeg call would go for
+other formats; ``decode=\"fake\"`` produces a deterministic pseudo-image
+derived from the payload bytes (so downstream shapes/stats are testable for
+any mime). The audio path (``AudioFeatures``) is fully real — raw PCM needs
+no codec. Everything around decode — the Arrow schema, small-batch sizing
+for large binary payloads, actor-pool signature, and output layout — is
+real and tested.
 
 Schemas:
   media in : id:int64, payload:binary, mime:string, width:int32, height:int32
@@ -36,6 +39,59 @@ MEDIA_SCHEMA = pa.schema(
 
 IMAGENET_MEAN = (0.48145466, 0.4578275, 0.40821073)  # model/clip.py:36-41
 IMAGENET_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL image decode for uncompressed 24-bit BMP (the one raster format
+    parseable with numpy alone — BITMAPFILEHEADER + BITMAPINFOHEADER per the
+    public BMP spec). Returns HxWx3 uint8 RGB. Raises ValueError for
+    non-BMP bytes, NotImplementedError for BMP variants needing a codec."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if w <= 0 or h <= 0 or pix_off + stride * h > len(payload):
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pix_off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Inverse of decode_bmp (24-bit bottom-up, row-padded): test/fixture
+    writer so the real-decode path is exercisable without codec libs."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # RGB -> BGR, bottom-up
+    raw = body.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(raw)).to_bytes(4, "little")
+        + b"\0\0\0\0"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raw).to_bytes(4, "little")
+        + b"\x13\x0b\0\0\x13\x0b\0\0"  # 2835 ppm ~ 72 dpi
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return header + raw
 
 
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -77,9 +133,15 @@ class ImagePreprocess:
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
         if self.decode == "fake":
             return _fake_decode(payload, width, height)
+        # decode == "real": uncompressed 24-bit BMP decodes for real
+        # (numpy-only, decode_bmp above); JPEG/PNG/etc would need PIL /
+        # libjpeg, which this environment does not ship — raise at exactly
+        # the point the codec call would go.
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
         raise NotImplementedError(
-            "real image decode requires PIL/torchvision, not present in this "
-            "environment; the Ray plumbing around it is real"
+            "only BMP decodes without codec libraries (PIL/libjpeg absent "
+            "in this environment); the Ray plumbing around it is real"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -53,9 +53,61 @@ def test_image_preprocess_batch():
     assert "payload" not in out.column_names
 
 
-def test_real_decode_raises():
+def test_real_decode_raises_for_compressed_formats():
+    # payload is random bytes (not BMP) -> the codec-library branch
     with pytest.raises(NotImplementedError):
         ImagePreprocess(decode="real")(_media_table(1))
+
+
+def test_bmp_round_trip():
+    from clip_as_service_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    for h, w in [(16, 16), (7, 13), (1, 1), (33, 62)]:  # odd widths: row padding
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(img))
+        np.testing.assert_array_equal(out, img)
+    with pytest.raises(ValueError):
+        decode_bmp(b"nonsense-bytes-here" * 10)
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(img)[:60])  # truncated pixel data
+    bad = bytearray(encode_bmp(img))
+    bad[28] = 8  # 8bpp palette BMP: needs a real codec path
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(bad))
+
+
+def test_real_bmp_decode_through_preprocess():
+    from clip_as_service_ray.stages.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for h, w in [(40, 64), (64, 40)]]
+    media = pa.table(
+        {
+            "id": pa.array(range(len(imgs)), pa.int64()),
+            "payload": pa.array([encode_bmp(i) for i in imgs], pa.binary()),
+            "mime": pa.array(["image/bmp"] * len(imgs)),
+            "width": pa.array([i.shape[1] for i in imgs], pa.int32()),
+            "height": pa.array([i.shape[0] for i in imgs], pa.int32()),
+        }
+    )
+    out = ImagePreprocess(size=32, decode="real")(media)
+    assert out.column("shape").to_pylist() == [[3, 32, 32]] * len(imgs)
+    # the tensor must derive from the REAL pixels: recompute expected from
+    # the decoded image through the same geometry + normalize kernels
+    from clip_as_service_ray.stages.multimodal import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        _resize_center_crop,
+    )
+
+    mean = np.asarray(IMAGENET_MEAN, np.float32).reshape(3, 1, 1)
+    std = np.asarray(IMAGENET_STD, np.float32).reshape(3, 1, 1)
+    for row, img in enumerate(imgs):
+        chw = (_resize_center_crop(decode_bmp(encode_bmp(img)), 32).astype(np.float32) / 255.0).transpose(2, 0, 1)
+        want = ((chw - mean) / std).ravel()
+        got = np.asarray(out.column("tensor")[row].as_py(), dtype=np.float32)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
 
 def test_ray_pipeline_and_frame_fanout(ray_session):
