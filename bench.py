@@ -146,9 +146,14 @@ def run_bench() -> dict:
         svc_b = QueryService(index_dir, cfg)
         try:
             svc_b.search(qtbl.slice(0, 50))  # warm caches
-            t0 = time.time()
-            n_hits = svc_b.search(qtbl).num_rows
-            timings["query_batch"] = time.time() - t0
+            # min over 3 reps: this VM has ~2.5x warm-run variance
+            # (hypervisor demand paging), one sample is not a measurement
+            batch_times = []
+            for _ in range(3):
+                t0 = time.time()
+                n_hits = svc_b.search(qtbl).num_rows
+                batch_times.append(time.time() - t0)
+            timings["query_batch"] = min(batch_times)
         finally:
             svc_b.shutdown()
     else:
@@ -171,6 +176,7 @@ def run_bench() -> dict:
                 svc.search(ref_q)
                 lat.append(time.time() - t0)
             timings["query_p50"] = statistics.median(lat)
+            timings["query_min"] = min(lat)  # noise floor alongside median
             query_profile = {
                 k: (round(v, 4) if isinstance(v, float) else v)
                 for k, v in svc.profile().items()
@@ -205,6 +211,7 @@ def run_bench() -> dict:
                     svc_s.search(ref_q)
                     lat.append(time.time() - t0)
                 timings["query_p50_sharded"] = statistics.median(lat)
+                timings["query_min_sharded"] = min(lat)
             finally:
                 svc_s.shutdown()
 
