@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_segment_revenue": ops.customer_segment_revenue,
         "order_priority_revenue": ops.order_priority_revenue,
         "purchase_click_asof": ops.purchase_click_asof,
+        "purchase_click_counts": ops.purchase_click_counts,
+        "revenue_filter_q6": ops.revenue_filter_q6,
         "ann_topk": ops.ann_topk,
         "ann_ivf_topk": ops.ann_ivf_topk,
         "cosine_dup_pairs": ops.cosine_dup_pairs,
@@ -240,6 +242,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "purchase_click_counts": (
+            # range/interval join: clicks by the same user in [ts, ts+5min)
+            "SELECT p.event_id, count(c.event_id)::BIGINT AS n_clicks "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts "
+            "AND c.ts < p.ts + INTERVAL 5 MINUTE "
+            "GROUP BY p.event_id"
+        ),
+        "revenue_filter_q6": (
+            "SELECT round(sum(l_extendedprice * l_discount), 2)::DOUBLE AS revenue, "
+            "count(*)::BIGINT AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "

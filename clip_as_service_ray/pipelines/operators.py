@@ -908,3 +908,82 @@ def approx_distinct_users(sf_dir: str, p: int = 14):
     return pa.table(
         {"n_users_approx": pa.array([int(round(hll_estimate(merged)))], pa.int64())}
     )
+
+
+def purchase_click_counts(sf_dir: str, window_minutes: int = 5):
+    """Distributed RANGE JOIN: for each purchase, the number of clicks by
+    the same user within the following 5 minutes (window-aligned time-bucket
+    partitioning, replication factor 2 on the right side only —
+    stages/joins.range_join_count). Both sides are predicate-pushed at the
+    read (pyarrow dataset filter), so only purchase/click rows leave
+    storage."""
+    import ray.data
+
+    from clip_as_service_ray.stages.joins import range_join_count
+
+    path = os.path.join(sf_dir, "events.parquet")
+    cols = ["event_id", "user_id", "ts"]
+    left = ray.data.read_parquet(
+        path, columns=cols, filter=pc.field("event_type") == "purchase"
+    )
+    right = ray.data.read_parquet(
+        path, columns=cols, filter=pc.field("event_type") == "click"
+    )
+    out = range_join_count(
+        left,
+        right,
+        key="user_id",
+        ts="ts",
+        left_id="event_id",
+        window_s=window_minutes * 60.0,
+    )
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "event_id": pc.cast(tbl.column("left_id"), pa.int64()),
+            "n_clicks": pc.cast(tbl.column("n_matches"), pa.int64()),
+        }
+    )
+
+
+def revenue_filter_q6(sf_dir: str):
+    """TPC-H Q6 analog: highly-selective filter + global sum. The filter is
+    pushed INTO the parquet read (columns= + pyarrow dataset filter =>
+    row-group pruning / late materialization), the sum is a per-batch
+    partial folded by a tiny driver-side add — the whole table never
+    reaches workers' heaps, let alone the driver."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(np.datetime64("1996-01-01", "us")))
+            & (pc.field("l_shipdate") < pa.scalar(np.datetime64("1997-01-01", "us")))
+            & (pc.field("l_discount") >= 0.05)
+            & (pc.field("l_discount") <= 0.07)
+            & (pc.field("l_quantity") < 24.0)
+        ),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = np.dot(
+            batch.column("l_extendedprice").to_numpy(),
+            batch.column("l_discount").to_numpy(),
+        )
+        return pa.table(
+            {
+                "rev": pa.array([float(rev)], pa.float64()),
+                "n": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return pa.table(
+        {
+            "revenue": pa.array(
+                [round(float(sum(r["rev"] for r in rows)), 2)], pa.float64()
+            ),
+            "n_rows": pa.array([int(sum(r["n"] for r in rows))], pa.int64()),
+        }
+    )

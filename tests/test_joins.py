@@ -115,3 +115,79 @@ def test_asof_join(rds):
     assert got.left_id.tolist() == want.left_id.tolist()
     assert got.right_id.tolist() == want.right_id.tolist()
     np.testing.assert_allclose(got.wait_s.to_numpy(), want.wait_s.to_numpy(), atol=1e-9)
+
+
+def test_range_join_count_boundaries(rds):
+    from clip_as_service_ray.stages.joins import range_join_count
+
+    US = 1_000_000
+    w = 10.0  # seconds -> bucket width 10s
+    # lefts: probe windows crossing bucket boundaries; rights at exact
+    # boundary instants (ts == t inclusive, ts == t+w exclusive)
+    left = pa.table(
+        {
+            "u": pa.array([1, 1, 2, 3], pa.int64()),
+            "ts": pa.array([5 * US, 9 * US, 50 * US, 7 * US], pa.timestamp("us")),
+            "id": pa.array([100, 101, 102, 103], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 1, 2, 9], pa.int64()),
+            "ts": pa.array(
+                [5 * US, 14 * US, 15 * US, 19 * US, 55 * US, 5 * US],
+                pa.timestamp("us"),
+            ),
+            "id": pa.array([0] * 6, pa.int64()),
+        }
+    )
+    out = (
+        range_join_count(
+            rds.from_arrow(left),
+            rds.from_arrow(right),
+            key="u",
+            ts="ts",
+            left_id="id",
+            window_s=w,
+        )
+        .to_pandas()
+        .set_index("left_id")["n_matches"]
+        .to_dict()
+    )
+    # id=100 window [5,15): rights at 5,14 -> 2 (15 excluded)
+    # id=101 window [9,19): rights at 14,15 -> 2 (19 excluded, 5 before)
+    # id=102 window [50,60): right at 55 (user 2) -> 1
+    # id=103 user 3: no rights -> 0 (left-join semantics)
+    assert out == {100: 2, 101: 2, 102: 1, 103: 0}
+
+
+def test_range_join_count_matches_pandas(rds):
+    from clip_as_service_ray.stages.joins import range_join_count
+
+    rng = np.random.default_rng(17)
+    n_l, n_r, w = 300, 1200, 37.0
+    lt = rng.integers(0, 3600 * 1_000_000, n_l)
+    rt = rng.integers(0, 3600 * 1_000_000, n_r)
+    lu = rng.integers(0, 20, n_l)
+    ru = rng.integers(0, 20, n_r)
+    left = pa.table(
+        {"u": pa.array(lu, pa.int64()), "ts": pa.array(lt, pa.timestamp("us")),
+         "id": pa.array(np.arange(n_l), pa.int64())}
+    )
+    right = pa.table(
+        {"u": pa.array(ru, pa.int64()), "ts": pa.array(rt, pa.timestamp("us")),
+         "id": pa.array(np.zeros(n_r), pa.int64())}
+    )
+    got = (
+        range_join_count(
+            rds.from_arrow(left), rds.from_arrow(right),
+            key="u", ts="ts", left_id="id", window_s=w,
+        )
+        .to_pandas().set_index("left_id")["n_matches"].sort_index()
+    )
+    w_us = int(w * 1e6)
+    want = np.array(
+        [((ru == u) & (rt >= t) & (rt < t + w_us)).sum() for u, t in zip(lu, lt)]
+    )
+    assert len(got) == n_l
+    np.testing.assert_array_equal(got.to_numpy(), want)
