@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": ops.lineitem_pricing_summary,
         "customer_segment_revenue": ops.customer_segment_revenue,
         "order_priority_revenue": ops.order_priority_revenue,
+        "shipping_priority_q3": ops.shipping_priority_q3,
+        "label_centroid_dims": ops.label_centroid_dims,
         "purchase_click_asof": ops.purchase_click_asof,
         "purchase_click_counts": ops.purchase_click_counts,
         "revenue_filter_q6": ops.revenue_filter_q6,
@@ -242,6 +244,27 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "shipping_priority_q3": (
+            # ORDER BY the unrounded sum (full precision both sides); round
+            # only in the projection
+            "SELECT l_orderkey, o_orderdate, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < DATE '1997-01-01' AND l_shipdate > DATE '1997-01-01' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey "
+            "LIMIT 10"
+        ),
+        "label_centroid_dims": (
+            "SELECT label, count(*)::BIGINT AS n_vecs, "
+            "round(avg(embedding[1]::DOUBLE), 6)::DOUBLE AS d0, "
+            "round(avg(embedding[2]::DOUBLE), 6)::DOUBLE AS d1, "
+            "round(avg(embedding[3]::DOUBLE), 6)::DOUBLE AS d2, "
+            "round(avg(embedding[4]::DOUBLE), 6)::DOUBLE AS d3 "
+            "FROM embeddings GROUP BY label"
         ),
         "purchase_click_counts": (
             # range/interval join: clicks by the same user in [ts, ts+5min)

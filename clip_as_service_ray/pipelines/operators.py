@@ -987,3 +987,138 @@ def revenue_filter_q6(sf_dir: str):
             "n_rows": pa.array([int(sum(r["n"] for r in rows))], pa.int64()),
         }
     )
+
+
+def shipping_priority_q3(
+    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1997-01-01", k: int = 10
+):
+    """TPC-H Q3 analog — a 3-table join pipeline composing BOTH join shapes
+    by side size: customer (filtered dimension, ~0.1% of lineitem bytes) is
+    a broadcast semi-join probe into orders; orders⋈lineitem is the big-big
+    shuffle_hash_join; lineitem is pre-aggregated per order INSIDE
+    map_batches before the shuffle (combiner), so only (okey, rev_part)
+    rows move. Final top-k = bounded per-batch partials + driver merge of
+    <= k rows per block (no global sort)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.stages.joins import (
+        broadcast_hash_join,
+        shuffle_hash_join,
+    )
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"],
+        filters=[("c_mktsegment", "==", segment)],
+    ).rename_columns(["o_custkey"])
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < cut,
+    )
+    orders_sel = broadcast_hash_join(
+        orders, cust, left_key="o_custkey", right_key="o_custkey"
+    ).map_batches(
+        lambda b: pa.table(
+            {"okey": b.column("o_orderkey"), "o_orderdate": b.column("o_orderdate")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > cut,
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        rev = batch.column("l_extendedprice").to_numpy() * (
+            1.0 - batch.column("l_discount").to_numpy()
+        )
+        t = pa.table(
+            {"okey": batch.column("l_orderkey"), "rev_part": pa.array(rev, pa.float64())}
+        )
+        g = t.group_by("okey").aggregate([("rev_part", "sum")])
+        return g.rename_columns(["okey", "rev_part"])
+
+    joined = shuffle_hash_join(
+        line.map_batches(rev_partial, batch_format="pyarrow"), orders_sel, on="okey"
+    )
+    agg = joined.groupby(["okey", "o_orderdate"], num_partitions=4).aggregate(
+        Sum("rev_part", alias_name="rev")
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        rev = batch.column("rev").to_numpy()
+        okey = batch.column("okey").to_numpy()
+        order = np.lexsort((okey, -rev))[:k]
+        return batch.take(pa.array(np.sort(order), pa.int64())).select(
+            ["okey", "o_orderdate", "rev"]
+        )
+
+    parts = agg.map_batches(topk_partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return pa.table(
+            {"l_orderkey": pa.array([], pa.int64()),
+             "o_orderdate": pa.array([], pa.timestamp("us")),
+             "revenue": pa.array([], pa.float64())}
+        )
+    okey = np.array([r["okey"] for r in parts], dtype=np.int64)
+    od = np.array([r["o_orderdate"] for r in parts])
+    rev = np.array([r["rev"] for r in parts], dtype=np.float64)
+    top = np.lexsort((okey, -rev))[:k]  # full-precision sort; round only below
+    return pa.table(
+        {
+            "l_orderkey": pa.array(okey[top], pa.int64()),
+            "o_orderdate": pa.array(od[top]).cast(pa.timestamp("us")),
+            "revenue": pa.array(np.round(rev[top], 2), pa.float64()),
+        }
+    )
+
+
+def label_centroid_dims(sf_dir: str, dims: int = 4):
+    """Per-label embedding centroid (mean pooling over a list<float> column
+    — the class-prototype op of a training pipeline), first ``dims``
+    components. Fully vectorized: the list column flattens zero-copy to one
+    float32 buffer, per-batch per-label sums ride a tiny groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb_col = batch.column("embedding").combine_chunks()
+        flat = emb_col.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(batch.num_rows, -1)[:, :dims].astype(np.float64)
+        labels = batch.column("label").to_numpy()
+        u, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(u), dims), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        cols = {"label": pa.array(u.astype(np.int32), pa.int32()),
+                "n_part": pa.array(n, pa.int64())}
+        for d in range(dims):
+            cols[f"s{d}"] = pa.array(sums[:, d], pa.float64())
+        return pa.table(cols)
+
+    aggs = [Sum("n_part", alias_name="n")] + [
+        Sum(f"s{d}", alias_name=f"ss{d}") for d in range(dims)
+    ]
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "label", num_partitions=4
+    ).aggregate(*aggs)
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    n = tbl.column("n").to_numpy().astype(np.float64)
+    cols = {"label": pc.cast(tbl.column("label"), pa.int32()),
+            "n_vecs": pc.cast(tbl.column("n"), pa.int64())}
+    for d in range(dims):
+        cols[f"d{d}"] = pa.array(
+            np.round(tbl.column(f"ss{d}").to_numpy() / n, 6), pa.float64()
+        )
+    return pa.table(cols)
