@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_segment_revenue": ops.customer_segment_revenue,
         "order_priority_revenue": ops.order_priority_revenue,
         "shipping_priority_q3": ops.shipping_priority_q3,
+        "parts_never_shipped_late": ops.parts_never_shipped_late,
+        "sample_documents": ops.sample_documents,
         "label_centroid_dims": ops.label_centroid_dims,
         "purchase_click_asof": ops.purchase_click_asof,
         "purchase_click_counts": ops.purchase_click_counts,
@@ -257,6 +259,15 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_orderkey, o_orderdate "
             "ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey "
             "LIMIT 10"
+        ),
+        "parts_never_shipped_late": (
+            "SELECT p_partkey, p_brand FROM part p WHERE NOT EXISTS ("
+            "SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey "
+            "AND l.l_shipdate >= DATE '2000-06-01')"
+        ),
+        "sample_documents": (
+            "SELECT doc_id, source, n_chars FROM documents "
+            "WHERE (doc_id * 2654435761) % 97 < 10"
         ),
         "label_centroid_dims": (
             "SELECT label, count(*)::BIGINT AS n_vecs, "

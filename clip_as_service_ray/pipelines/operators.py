@@ -1122,3 +1122,45 @@ def label_centroid_dims(sf_dir: str, dims: int = 4):
             np.round(tbl.column(f"ss{d}").to_numpy() / n, 6), pa.float64()
         )
     return pa.table(cols)
+
+
+def parts_never_shipped_late(sf_dir: str, cutoff: str = "2000-06-01"):
+    """ANTI join (NOT EXISTS): parts with no lineitem shipped on/after the
+    cutoff. The right side is filtered AT THE READ (only late lineitems
+    leave storage) and collapsed to unique keys per batch before the
+    shuffle — stages/joins.shuffle_anti_join."""
+    import ray.data
+
+    from clip_as_service_ray.stages.joins import shuffle_anti_join
+
+    cut = pa.scalar(np.datetime64(cutoff, "us"))
+    parts = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    late = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey"],
+        filter=pc.field("l_shipdate") >= cut,
+    ).map_batches(
+        lambda b: b.rename_columns(["p_partkey"]), batch_format="pyarrow"
+    )
+    out = shuffle_anti_join(parts, late, on="p_partkey")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def sample_documents(sf_dir: str, mod: int = 97, keep: int = 10):
+    """Deterministic hash sampling (the seeded-sampling operator O4 as a
+    dataset op): keep rows where (doc_id * KNUTH) % mod < keep. Pure int64
+    arithmetic so the DuckDB twin is the IDENTICAL expression — the sample
+    is reproducible across engines, runs, and partitionings (the property
+    that makes hash sampling the 100-TB choice over random_sample)."""
+    KNUTH = 2654435761  # Knuth multiplicative hash constant (public)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep_mask = (ids * KNUTH) % mod < keep
+        return batch.filter(pa.array(keep_mask))
+
+    return _documents(sf_dir, columns=("doc_id", "source", "n_chars")).map_batches(
+        fn, batch_format="pyarrow"
+    )

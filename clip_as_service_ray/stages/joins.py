@@ -325,3 +325,62 @@ def range_join_count(
         .groupby("_bucket", num_partitions=num_partitions)
         .map_groups(count_group, batch_format="pyarrow")
     )
+
+
+def shuffle_anti_join(left_ds, right_ds, *, on: str, num_partitions: int = 8):
+    """ANTI join (NOT EXISTS): left rows whose ``on`` key never appears in
+    ``right_ds``. Right side collapses to unique keys per batch FIRST
+    (combiner), so only distinct keys shuffle; the group UDF drops the
+    whole group when any right row is present. Semi join = same shape with
+    the predicate flipped (``keep_matches=True``)."""
+    return _shuffle_existence_join(
+        left_ds, right_ds, on=on, num_partitions=num_partitions, keep_matches=False
+    )
+
+
+def shuffle_semi_join(left_ds, right_ds, *, on: str, num_partitions: int = 8):
+    """SEMI join (EXISTS): left rows whose key appears in right_ds; left
+    rows come through at most once regardless of right-side fanout."""
+    return _shuffle_existence_join(
+        left_ds, right_ds, on=on, num_partitions=num_partitions, keep_matches=True
+    )
+
+
+def _shuffle_existence_join(left_ds, right_ds, *, on, num_partitions, keep_matches):
+    l_names = list(left_ds.schema().names)
+    l_types = dict(zip(left_ds.schema().names, left_ds.schema().types))
+    payload = [c for c in l_names if c != on]
+    canon = [on] + payload + ["_side"]
+
+    def l_tag(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "_side", pa.array(np.zeros(batch.num_rows, np.int8), pa.int8())
+        )
+        return batch.select(canon)
+
+    def r_tag(batch: pa.Table) -> pa.Table:
+        # combiner: unique keys only — the right payload never shuffles
+        keys = pa.table({on: batch.column(on)}).group_by(on).aggregate([])
+        out = pa.table({on: keys.column(on)})
+        for c in payload:
+            out = out.append_column(c, pa.nulls(out.num_rows, l_types[c]))
+        return out.append_column(
+            "_side", pa.array(np.ones(out.num_rows, np.int8), pa.int8())
+        )
+
+    def fin(group: pa.Table) -> pa.Table:
+        side = group.column("_side").to_numpy()
+        has_right = bool((side == 1).any())
+        keep = has_right if keep_matches else not has_right
+        lmask = side == 0
+        if not keep or not lmask.any():
+            return group.drop_columns(["_side"]).slice(0, 0)
+        return group.filter(pa.array(lmask)).drop_columns(["_side"])
+
+    l = left_ds.map_batches(l_tag, batch_format="pyarrow")
+    r = right_ds.map_batches(r_tag, batch_format="pyarrow")
+    return (
+        l.union(r)
+        .groupby(on, num_partitions=num_partitions)
+        .map_groups(fin, batch_format="pyarrow")
+    )

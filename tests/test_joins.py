@@ -191,3 +191,29 @@ def test_range_join_count_matches_pandas(rds):
     )
     assert len(got) == n_l
     np.testing.assert_array_equal(got.to_numpy(), want)
+
+
+def test_semi_and_anti_join(rds):
+    from clip_as_service_ray.stages.joins import shuffle_anti_join, shuffle_semi_join
+
+    left = rds.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 3, 4], pa.int64()),
+                  "v": pa.array(["a", "b", "c", "c2", "d"], pa.string())})
+    )
+    # right has fanout (duplicate keys) — semi must NOT duplicate lefts
+    right = rds.from_arrow(
+        pa.table({"k": pa.array([2, 2, 3, 9], pa.int64()),
+                  "w": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64())})
+    )
+    semi = (
+        shuffle_semi_join(left, right.select_columns(["k"]), on="k")
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    assert semi["k"].tolist() == [2, 3, 3]
+    assert semi["v"].tolist() == ["b", "c", "c2"]
+    anti = (
+        shuffle_anti_join(left, right.select_columns(["k"]), on="k")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert anti["k"].tolist() == [1, 4]
+    assert anti["v"].tolist() == ["a", "d"]
