@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": ops.approx_distinct_users,  # rows-only (sketch)
         "top_events_per_type": ops.top_events_per_type,
         "event_value_percentiles": ops.event_value_percentiles,
+        "event_value_percentiles_sketch": ops.event_value_percentiles_sketch,  # rows-only (sketch)
         "lineitem_pricing_summary": ops.lineitem_pricing_summary,
         "customer_segment_revenue": ops.customer_segment_revenue,
         "order_priority_revenue": ops.order_priority_revenue,

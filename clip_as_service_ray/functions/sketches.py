@@ -62,3 +62,87 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic KLL-style quantile sketch
+#
+# The mergeable-partial path for percentiles over groups too big for one
+# worker: each batch folds its values into a bounded multi-level sketch
+# (level i holds sorted values of weight 2^i, capacity k per level); merge =
+# concatenate per level + deterministic compaction (keep alternating
+# elements, parity flips per compaction so the bias cancels). Rank error is
+# O(levels / k): k=256 over 2^20 x-fold compactions stays ~1%. Deterministic
+# compaction (vs KLL's coin flips) trades the tight proof for exact
+# reproducibility given the same merge tree.
+
+
+def quantile_sketch_partial(values: np.ndarray, k: int = 256) -> list[np.ndarray]:
+    """Fold a value array into sketch levels: list[level] -> sorted float64."""
+    levels: list[np.ndarray] = [np.sort(values.astype(np.float64))]
+    _compact(levels, k)
+    return levels
+
+
+def quantile_sketch_merge(
+    sketches: list[list[np.ndarray]], k: int = 256
+) -> list[np.ndarray]:
+    """Merge sketches: per-level concatenation + compaction."""
+    if not sketches:
+        return [np.empty(0, np.float64)]
+    depth = max(len(s) for s in sketches)
+    levels = [
+        np.sort(np.concatenate([s[i] for s in sketches if i < len(s)] or
+                               [np.empty(0, np.float64)]))
+        for i in range(depth)
+    ]
+    _compact(levels, k)
+    return levels
+
+
+def _compact(levels: list[np.ndarray], k: int) -> None:
+    i = 0
+    while i < len(levels):
+        if len(levels[i]) > k:
+            v = np.sort(levels[i])
+            # alternate the kept offset by the current length parity so
+            # successive compactions don't systematically bias one way
+            off = (len(v) // 2) % 2
+            promoted = v[off::2]
+            levels[i] = np.empty(0, np.float64)
+            if i + 1 == len(levels):
+                levels.append(promoted)
+            else:
+                levels[i + 1] = np.concatenate([levels[i + 1], promoted])
+        i += 1
+
+
+def quantile_sketch_query(levels: list[np.ndarray], qs) -> np.ndarray:
+    """Weighted-quantile estimates for each q in qs."""
+    vals = np.concatenate([lv for lv in levels if len(lv)] or [np.empty(0)])
+    if len(vals) == 0:
+        return np.full(len(qs), np.nan)
+    wts = np.concatenate(
+        [np.full(len(lv), float(1 << i)) for i, lv in enumerate(levels) if len(lv)]
+    )
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    # midpoint rule: value whose cumulative weight first covers q*total
+    targets = np.asarray(qs, dtype=np.float64) * total
+    idx = np.searchsorted(cum, targets, side="left")
+    return vals[np.minimum(idx, len(vals) - 1)]
+
+
+def quantile_sketch_to_rows(levels: list[np.ndarray]):
+    """(level:int, blob:bytes) rows for Arrow transport."""
+    return [(i, lv.tobytes()) for i, lv in enumerate(levels) if len(lv)]
+
+
+def quantile_sketch_from_rows(rows) -> list[np.ndarray]:
+    depth = max((r[0] for r in rows), default=-1) + 1
+    levels = [np.empty(0, np.float64) for _ in range(depth)]
+    for i, blob in rows:
+        levels[i] = np.concatenate([levels[i], np.frombuffer(blob, np.float64)])
+    return levels if levels else [np.empty(0, np.float64)]

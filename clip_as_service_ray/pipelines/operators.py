@@ -1164,3 +1164,64 @@ def sample_documents(sf_dir: str, mod: int = 97, keep: int = 10):
     return _documents(sf_dir, columns=("doc_id", "source", "n_chars")).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def event_value_percentiles_sketch(sf_dir: str, k_sketch: int = 256):
+    """Per-group percentiles via the mergeable deterministic KLL-style
+    sketch (functions/sketches.py): per-batch per-group sketch partials
+    shuffle as (event_type, level, blob) rows — bounded bytes per group
+    regardless of group size — and each group folds+queries its sketch in
+    map_groups. Rows-only (approximate); accuracy vs the exact operator is
+    pinned by tests/test_sketches.py."""
+    import ray.data
+
+    from clip_as_service_ray.functions.sketches import (
+        quantile_sketch_from_rows,
+        quantile_sketch_merge,
+        quantile_sketch_partial,
+        quantile_sketch_query,
+        quantile_sketch_to_rows,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy()
+        types, levels, blobs = [], [], []
+        for t in np.unique(et):
+            sk = quantile_sketch_partial(val[et == t], k=k_sketch)
+            for lvl, blob in quantile_sketch_to_rows(sk):
+                types.append(t)
+                levels.append(lvl)
+                blobs.append(blob)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "level": pa.array(levels, pa.int32()),
+                "blob": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        rows = list(
+            zip(group.column("level").to_pylist(), group.column("blob").to_pylist())
+        )
+        sk = quantile_sketch_merge([quantile_sketch_from_rows(rows)], k=k_sketch)
+        qs = quantile_sketch_query(sk, [0.5, 0.9, 0.99])
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "p50": pa.array([round(float(qs[0]), 6)], pa.float64()),
+                "p90": pa.array([round(float(qs[1]), 6)], pa.float64()),
+                "p99": pa.array([round(float(qs[2]), 6)], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=4)
+        .map_groups(final, batch_format="pyarrow")
+    )

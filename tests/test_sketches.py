@@ -93,3 +93,68 @@ def test_token_counts_vectorized_kernel(ray_session):
         # BPE-ish regex count == reference tokenizer term count (the RE2
         # pattern is the same alternation as functions.tokenizer.TOKEN_PATTERN)
         assert t.loc[row.doc_id, "bpe_tokens"] == len(tokenize_texts([row.text])[0])
+
+
+def test_quantile_sketch_accuracy_and_merge():
+    from clip_as_service_ray.functions.sketches import (
+        quantile_sketch_merge,
+        quantile_sketch_partial,
+        quantile_sketch_query,
+    )
+
+    rng = np.random.default_rng(23)
+    vals = rng.lognormal(3.0, 1.2, 300_000)
+    qs = [0.5, 0.9, 0.99]
+    # many partials merged (simulates per-batch fold + shuffle)
+    parts = [quantile_sketch_partial(c) for c in np.array_split(vals, 64)]
+    est = quantile_sketch_query(quantile_sketch_merge(parts), qs)
+    sorted_vals = np.sort(vals)
+    for e, q in zip(est, qs):
+        # rank error: position of the estimate within the sorted data
+        rank = np.searchsorted(sorted_vals, e) / len(vals)
+        assert abs(rank - q) < 0.02, (q, rank)
+
+
+def test_quantile_sketch_small_is_exactish():
+    from clip_as_service_ray.functions.sketches import (
+        quantile_sketch_partial,
+        quantile_sketch_query,
+    )
+
+    vals = np.arange(100, dtype=np.float64)
+    est = quantile_sketch_query(quantile_sketch_partial(vals), [0.0, 0.5, 1.0])
+    assert est[0] == 0.0 and est[2] == 99.0 and abs(est[1] - 49.5) <= 1.0
+
+
+def test_quantile_sketch_rows_round_trip():
+    from clip_as_service_ray.functions.sketches import (
+        quantile_sketch_from_rows,
+        quantile_sketch_partial,
+        quantile_sketch_to_rows,
+    )
+
+    vals = np.random.default_rng(1).normal(size=10_000)
+    sk = quantile_sketch_partial(vals)
+    rt = quantile_sketch_from_rows(quantile_sketch_to_rows(sk))
+    assert all(np.array_equal(a, b) for a, b in zip(sk, rt) if len(a) or len(b))
+
+
+def test_event_value_percentiles_sketch_close_to_exact(ray_session):
+    from clip_as_service_ray.pipelines import operators as ops
+
+    approx = (
+        ops.event_value_percentiles_sketch(SF)
+        .to_pandas().set_index("event_type").sort_index()
+    )
+    assert list(approx.columns) == ["p50", "p90", "p99"]
+    # quantile sketches guarantee RANK error, not value error (a heavy tail
+    # makes tail value-error unbounded): check each estimate's rank within
+    # the group's sorted values against the target quantile
+    raw = duckdb.sql(
+        f"SELECT event_type, value FROM '{SF}/events.parquet'"
+    ).df()
+    for et, grp in raw.groupby("event_type"):
+        vals = np.sort(grp["value"].to_numpy())
+        for c, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            rank = np.searchsorted(vals, approx.loc[et, c]) / len(vals)
+            assert abs(rank - q) < 0.02, (et, c, rank)
