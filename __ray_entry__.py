@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_agg": ops.events_type_agg,
         "events_hourly_windows": ops.events_hourly_windows,
         "user_sessions": ops.user_sessions,
+        "events_sliding_windows": ops.events_sliding_windows,
         "token_counts": ops.token_counts,
         "distinct_users_daily": ops.distinct_users_daily,
         "approx_distinct_users": ops.approx_distinct_users,  # rows-only (sketch)
@@ -192,6 +193,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events, "
             "round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)::DOUBLE AS duration_s "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "events_sliding_windows": (
+            # 1h windows hopping every 15min: each event covers 4 windows
+            "SELECT ws, count(*)::BIGINT AS n FROM ("
+            "SELECT time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15 * i) AS ws "
+            "FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)) "
+            "GROUP BY ws"
         ),
         "token_counts": (
             "SELECT doc_id, "

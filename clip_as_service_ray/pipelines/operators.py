@@ -1225,3 +1225,41 @@ def event_value_percentiles_sketch(sf_dir: str, k_sketch: int = 256):
         .groupby("event_type", num_partitions=4)
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def events_sliding_windows(sf_dir: str):
+    """SLIDING (hopping) windows: events per 1h window hopping every 15min.
+    Window replication is done vectorized per batch (each event emits its 4
+    covering window starts via one tile+repeat), counts are pre-aggregated
+    per batch (combiner), and only (window_start, n_part) rows shuffle.
+    Completes the window family: tumbling (events_hourly_windows), session
+    (user_sessions), sliding (here)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    hop_us = 15 * 60 * 1_000_000
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64()).to_numpy()
+        tb = (t // hop_us) * hop_us  # floor to the hop grid
+        ws = np.repeat(tb, 4) - np.tile(
+            np.arange(4, dtype=np.int64) * hop_us, len(tb)
+        )
+        u, c = np.unique(ws, return_counts=True)
+        return pa.table(
+            {
+                "ws": pa.array(u, pa.int64()).cast(pa.timestamp("us")),
+                "n_part": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "ws", num_partitions=4
+    ).aggregate(Sum("n_part", alias_name="n"))
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {"ws": tbl.column("ws"), "n": pc.cast(tbl.column("n"), pa.int64())}
+    )
