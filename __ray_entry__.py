@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_windows": ops.events_hourly_windows,
         "user_sessions": ops.user_sessions,
         "events_sliding_windows": ops.events_sliding_windows,
+        "user_rolling_revenue": ops.user_rolling_revenue,
         "token_counts": ops.token_counts,
         "distinct_users_daily": ops.distinct_users_daily,
         "approx_distinct_users": ops.approx_distinct_users,  # rows-only (sketch)
@@ -193,6 +194,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events, "
             "round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)::DOUBLE AS duration_s "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "user_rolling_revenue": (
+            "SELECT event_id, "
+            "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 DAY PRECEDING AND CURRENT ROW), 6)"
+            "::DOUBLE AS roll_sum FROM events"
         ),
         "events_sliding_windows": (
             # 1h windows hopping every 15min: each event covers 4 windows

@@ -1263,3 +1263,35 @@ def events_sliding_windows(sf_dir: str):
     return pa.table(
         {"ws": tbl.column("ws"), "n": pc.cast(tbl.column("n"), pa.int64())}
     )
+
+
+def user_rolling_revenue(sf_dir: str, window_days: float = 1.0):
+    """Trailing 1-day rolling sum of event value per user at every event —
+    the RANGE-window aggregate (stages/windows.rolling_sum_by_key). The SQL
+    twin is the textbook window function; the Ray form is a salted-bucket
+    shuffle + cumsum/searchsorted per key segment."""
+    import ray.data
+
+    from clip_as_service_ray.stages.windows import rolling_sum_by_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = rolling_sum_by_key(
+        ds,
+        key="user_id",
+        ts="ts",
+        value="value",
+        id_col="event_id",
+        window_s=window_days * 86400.0,
+    )
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "event_id": pc.cast(tbl.column("_id"), pa.int64()),
+            "roll_sum": pa.array(
+                np.round(tbl.column("roll_sum").to_numpy(), 6), pa.float64()
+            ),
+        }
+    )

@@ -70,3 +70,63 @@ def sessionize(
         .groupby("_bucket", num_partitions=8)
         .map_groups(sessions, batch_format="pyarrow")
     )
+
+
+def rolling_sum_by_key(
+    ds,
+    *,
+    key: str,
+    ts: str,
+    value: str,
+    id_col: str,
+    window_s: float,
+    num_buckets: int = 32,
+):
+    """Trailing RANGE-window aggregate: for each row, sum(value) over rows
+    of the same key with ts in [row.ts - window, row.ts] — including
+    timestamp peers, matching SQL ``RANGE BETWEEN INTERVAL .. PRECEDING AND
+    CURRENT ROW``. Salted-bucket shuffle + one lexsort per bucket; per key
+    segment the whole window column resolves with a cumsum + two
+    vectorized searchsorted (no per-row work, no per-key re-sort).
+    Output: (id_col, roll_sum:float64)."""
+    w_us = np.int64(round(window_s * 1e6))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(k % num_buckets, pa.int64()),
+                "_key": pa.array(k, pa.int64()),
+                "_ts": batch.column(ts).cast(pa.int64()),
+                "_val": batch.column(value).cast(pa.float64()),
+                "_id": batch.column(id_col).cast(pa.int64()),
+            }
+        )
+
+    def roll(group: pa.Table) -> pa.Table:
+        keys = group.column("_key").to_numpy()
+        tss = group.column("_ts").to_numpy()
+        vals = group.column("_val").to_numpy()
+        ids = group.column("_id").to_numpy()
+        order = np.lexsort((tss, keys))
+        k_s, t_s, v_s, i_s = keys[order], tss[order], vals[order], ids[order]
+        csum = np.concatenate([[0.0], np.cumsum(v_s)])
+        out = np.empty(len(k_s), dtype=np.float64)
+        bounds = np.concatenate([[0], np.nonzero(np.diff(k_s))[0] + 1, [len(k_s)]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg_t = t_s[s:e]
+            lo = s + np.searchsorted(seg_t, seg_t - w_us, side="left")
+            hi = s + np.searchsorted(seg_t, seg_t, side="right")
+            out[s:e] = csum[hi] - csum[lo]
+        return pa.table(
+            {
+                "_id": pa.array(i_s, pa.int64()),
+                "roll_sum": pa.array(out, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=8)
+        .map_groups(roll, batch_format="pyarrow")
+    )

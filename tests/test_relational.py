@@ -92,3 +92,32 @@ def test_revenue_filter_q6(ray_session):
     ).fetchone()
     assert got.column("n_rows")[0].as_py() == want[1]
     assert abs(got.column("revenue")[0].as_py() - float(want[0])) < 1e-4
+
+
+def test_rolling_sum_range_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from clip_as_service_ray.stages.windows import rolling_sum_by_key
+
+    US = 1_000_000
+    # user 1: duplicate timestamps (RANGE peers must both see the full peer
+    # sum) and an exact window-boundary row (inclusive at t - w)
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([0, 10 * US, 10 * US, 20 * US, 0], pa.timestamp("us")),
+            "v": pa.array([1.0, 2.0, 4.0, 8.0, 100.0], pa.float64()),
+            "id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = (
+        rolling_sum_by_key(
+            ray.data.from_arrow(t), key="u", ts="ts", value="v", id_col="id",
+            window_s=10.0,
+        )
+        .to_pandas().set_index("_id")["roll_sum"].to_dict()
+    )
+    # id0: [−10s,0] -> 1 ; id1,id2 peers at t=10: [0,10] -> 1+2+4 = 7 (both)
+    # id3: [10,20] inclusive lower bound -> 2+4+8 = 14 ; id4: user 2 -> 100
+    assert out == {0: 1.0, 1: 7.0, 2: 7.0, 3: 14.0, 4: 100.0}
