@@ -937,12 +937,11 @@ def purchase_click_counts(sf_dir: str, window_minutes: int = 5):
         left_id="event_id",
         window_s=window_minutes * 60.0,
     )
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return pa.table(
-        {
-            "event_id": pc.cast(tbl.column("left_id"), pa.int64()),
-            "n_clicks": pc.cast(tbl.column("n_matches"), pa.int64()),
-        }
+    # rename stays streaming — one row per purchase is still corpus-sized
+    # at scale, so never funnel it through the driver
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_id", "n_clicks"]),
+        batch_format="pyarrow",
     )
 
 
@@ -1286,12 +1285,16 @@ def user_rolling_revenue(sf_dir: str, window_days: float = 1.0):
         id_col="event_id",
         window_s=window_days * 86400.0,
     )
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    return pa.table(
-        {
-            "event_id": pc.cast(tbl.column("_id"), pa.int64()),
-            "roll_sum": pa.array(
-                np.round(tbl.column("roll_sum").to_numpy(), 6), pa.float64()
-            ),
-        }
-    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # round distributed; output is per-event (corpus-sized at scale)
+        return pa.table(
+            {
+                "event_id": b.column("_id"),
+                "roll_sum": pa.array(
+                    np.round(b.column("roll_sum").to_numpy(), 6), pa.float64()
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
