@@ -498,19 +498,12 @@ def purchase_click_asof(sf_dir: str):
         typed("purchase"), typed("click"),
         key="user_id", ts="ts", left_id="event_id", right_id="event_id",
     )
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    if tbl.num_rows == 0:
-        return pa.table(
-            {"purchase_event_id": pa.array([], pa.int64()),
-             "click_event_id": pa.array([], pa.int64()),
-             "wait_s": pa.array([], pa.float64())}
-        )
-    return pa.table(
-        {
-            "purchase_event_id": tbl.column("left_id"),
-            "click_event_id": tbl.column("right_id"),
-            "wait_s": tbl.column("wait_s"),
-        }
+    # rename stays streaming — one row per matched purchase is corpus-sized
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["purchase_event_id", "click_event_id", "wait_s"]
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -1143,8 +1136,7 @@ def parts_never_shipped_late(sf_dir: str, cutoff: str = "2000-06-01"):
     ).map_batches(
         lambda b: b.rename_columns(["p_partkey"]), batch_format="pyarrow"
     )
-    out = shuffle_anti_join(parts, late, on="p_partkey")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return shuffle_anti_join(parts, late, on="p_partkey")
 
 
 def sample_documents(sf_dir: str, mod: int = 97, keep: int = 10):
