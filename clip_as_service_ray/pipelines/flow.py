@@ -120,6 +120,55 @@ def _op_image_preprocess(args: dict, cfg: EngineConfig):
     )
 
 
+def _op_sessionize(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.stages.windows import sessionize
+
+    return sessionize(
+        _as_ds(args["source"]),
+        key=args.get("key", "user_id"),
+        ts=args.get("ts", "ts"),
+        gap_s=args.get("gap_s", 1800.0),
+    )
+
+
+def _op_rolling_sum(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.stages.windows import rolling_sum_by_key
+
+    return rolling_sum_by_key(
+        _as_ds(args["source"]),
+        key=args["key"],
+        ts=args.get("ts", "ts"),
+        value=args["value"],
+        id_col=args["id_col"],
+        window_s=args["window_s"],
+    )
+
+
+def _op_range_join_count(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.stages.joins import range_join_count
+
+    return range_join_count(
+        _as_ds(args["left"]),
+        _as_ds(args["right"]),
+        key=args["key"],
+        ts=args.get("ts", "ts"),
+        left_id=args["left_id"],
+        window_s=args["window_s"],
+    )
+
+
+def _op_semi_join(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.stages.joins import shuffle_semi_join
+
+    return shuffle_semi_join(_as_ds(args["left"]), _as_ds(args["right"]), on=args["on"])
+
+
+def _op_anti_join(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.stages.joins import shuffle_anti_join
+
+    return shuffle_anti_join(_as_ds(args["left"]), _as_ds(args["right"]), on=args["on"])
+
+
 OPS = {
     "build_index": _op_build_index,
     "search": _op_search,
@@ -131,6 +180,11 @@ OPS = {
     "merge_segments": _op_merge_segments,
     "audio_features": _op_audio_features,
     "image_preprocess": _op_image_preprocess,
+    "sessionize": _op_sessionize,
+    "rolling_sum": _op_rolling_sum,
+    "range_join_count": _op_range_join_count,
+    "semi_join": _op_semi_join,
+    "anti_join": _op_anti_join,
 }
 
 

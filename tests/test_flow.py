@@ -100,3 +100,43 @@ def test_flow_segmented_ops(ray_session, tmp_path):
     assert out["seg_b"]["n_segments"] == 2
     assert out["hits"].num_rows > 0
     assert out["merged"]["n_docs"] == out["seg_b"]["n_docs"]
+
+
+def test_flow_relational_ops(ray_session):
+    import pyarrow as pa
+
+    from clip_as_service_ray.pipelines.flow import run_flow
+
+    US = 1_000_000
+    events = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "ts": pa.array([0, 5 * US, 60 * US, 0, 2 * US], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0], pa.float64()),
+            "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        }
+    )
+    dim = pa.table({"user_id": pa.array([2, 9], pa.int64())})
+    out = run_flow(
+        {
+            "stages": [
+                {"name": "sessions", "op": "sessionize",
+                 "args": {"source": "$events", "gap_s": 30.0}},
+                {"name": "rolled", "op": "rolling_sum",
+                 "args": {"source": "$events", "key": "user_id",
+                          "value": "value", "id_col": "event_id",
+                          "window_s": 10.0}},
+                {"name": "kept", "op": "semi_join",
+                 "args": {"left": "$events", "right": "$dim", "on": "user_id"}},
+                {"name": "dropped", "op": "anti_join",
+                 "args": {"left": "$events", "right": "$dim", "on": "user_id"}},
+            ],
+        },
+        inputs={"events": events, "dim": dim},
+    )
+    # user 1 splits into 2 sessions (gap 55s > 30s), user 2 has 1
+    assert out["sessions"].count() == 3
+    rolled = out["rolled"].to_pandas().set_index("_id")["roll_sum"].to_dict()
+    assert rolled == {0: 1.0, 1: 3.0, 2: 4.0, 3: 8.0, 4: 24.0}
+    assert out["kept"].count() == 2
+    assert out["dropped"].count() == 3
