@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": ops.user_sessions,
         "events_sliding_windows": ops.events_sliding_windows,
         "user_rolling_revenue": ops.user_rolling_revenue,
+        "order_price_percentile": ops.order_price_percentile,
         "token_counts": ops.token_counts,
         "distinct_users_daily": ops.distinct_users_daily,
         "approx_distinct_users": ops.approx_distinct_users,  # rows-only (sketch)
@@ -194,6 +195,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events, "
             "round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6)::DOUBLE AS duration_s "
             "FROM s GROUP BY user_id, sid"
+        ),
+        "order_price_percentile": (
+            "SELECT o_orderkey, round(percent_rank() OVER ("
+            "PARTITION BY o_orderpriority ORDER BY o_totalprice), 6)"
+            "::DOUBLE AS pr FROM orders"
         ),
         "user_rolling_revenue": (
             "SELECT event_id, "

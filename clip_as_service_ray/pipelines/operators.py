@@ -1290,3 +1290,36 @@ def user_rolling_revenue(sf_dir: str, window_days: float = 1.0):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def order_price_percentile(sf_dir: str):
+    """percent_rank() OVER (PARTITION BY priority ORDER BY totalprice) —
+    the rank-window analog of the percentile family. Per-group map_groups
+    with one sort + vectorized min-rank via searchsorted (SQL tie
+    semantics); at over-worker group sizes the distributed form is a
+    per-group sort + block-offset prefix sum (the ShardedConvBase pattern
+    in stages/tokenize.py). Output stays a streaming Dataset."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def pr(group: pa.Table) -> pa.Table:
+        v = group.column("o_totalprice").to_numpy()
+        n = len(v)
+        sv = np.sort(v)
+        # min rank of each row's value (ties share the lower rank)
+        rank = np.searchsorted(sv, v, side="left")
+        out = rank / (n - 1) if n > 1 else np.zeros(n)
+        return pa.table(
+            {
+                "o_orderkey": group.column("o_orderkey"),
+                "pr": pa.array(np.round(out, 6), pa.float64()),
+            }
+        )
+
+    return ds.groupby("o_orderpriority", num_partitions=4).map_groups(
+        pr, batch_format="pyarrow"
+    )

@@ -63,10 +63,15 @@ def shuffle_hash_join(
     *,
     on: str,
     num_partitions: int = 8,
+    how: str = "inner",
 ):
-    """Inner big-big equi-join: tag sides, union, one groupby(on) shuffle,
-    vectorized per-key cross product in the group UDF. Column name
-    collisions (other than the key) must be resolved by the caller."""
+    """Big-big equi-join (``how``: inner | left): tag sides, union, one
+    groupby(on) shuffle, vectorized per-key cross product in the group UDF;
+    left-outer keeps unmatched lefts with nulls in the right columns.
+    Column name collisions (other than the key) must be resolved by the
+    caller."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     l_cols = r_cols = None
 
     def tag(side: int):
@@ -109,6 +114,9 @@ def shuffle_hash_join(
         side = group.column("_side").to_numpy()
         li = np.nonzero(side == 0)[0]
         ri = np.nonzero(side == 1)[0]
+        if len(li) and len(ri) == 0 and how == "left":
+            # unmatched lefts survive with nulls in the right columns
+            return group.take(pa.array(li, pa.int64())).drop_columns(["_side"])
         if len(li) == 0 or len(ri) == 0:
             return group.drop_columns(["_side"]).slice(0, 0)
         # vectorized cross product of the (small) per-key match groups

@@ -217,3 +217,23 @@ def test_semi_and_anti_join(rds):
     )
     assert anti["k"].tolist() == [1, 4]
     assert anti["v"].tolist() == ["a", "d"]
+
+
+def test_shuffle_left_outer_join(rds):
+    left = rds.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "x": pa.array([10, 20, 30], pa.int64())})
+    )
+    right = rds.from_arrow(
+        pa.table({"k": pa.array([2, 2], pa.int64()),
+                  "y": pa.array([5.0, 6.0], pa.float64())})
+    )
+    out = (
+        shuffle_hash_join(left, right, on="k", how="left")
+        .to_pandas().sort_values(["k", "y"]).reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 2, 3]
+    assert out["y"].tolist()[1:3] == [5.0, 6.0]
+    assert np.isnan(out["y"][0]) and np.isnan(out["y"][3])
+    with pytest.raises(ValueError):
+        shuffle_hash_join(left, right, on="k", how="full")
