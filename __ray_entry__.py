@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_pairs": ops.jaccard_dup_pairs,
         "langid_distribution": ops.langid_distribution,
         "doc_fingerprints": ops.doc_fingerprints,  # rows-only
+        "training_data_pipeline": ops.training_data_pipeline,  # rows-only (sink op)
         "transcripts_bm25_search": _transcripts_bm25_search,  # rows-only
     }
 

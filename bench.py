@@ -237,6 +237,13 @@ def run_bench() -> dict:
         "n_hits": n_hits,
         # per-stage query breakdown from the serving pool (profile() analog)
         "query_profile": query_profile,
+        # per-stage build wall times of the LAST rep (manifest timings_s):
+        # lets a reader attribute slow days to a stage (tokenize/merge are
+        # memory+disk-bound and inflate with hypervisor paging; see
+        # BASELINE.md degraded-box note)
+        "build_stage_seconds": {
+            k: round(v, 2) for k, v in report.get("timings_s", {}).items()
+        },
         "index_counters": {
             "n_docs": report["n_docs"],
             "n_terms": report["n_terms"],

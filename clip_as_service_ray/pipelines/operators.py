@@ -1323,3 +1323,110 @@ def order_price_percentile(sf_dir: str):
     return ds.groupby("o_orderpriority", num_partitions=4).map_groups(
         pr, batch_format="pyarrow"
     )
+
+
+def training_data_pipeline(sf_dir: str, sample_mod: int = 97, sample_keep: int = 60):
+    """End-to-end training-data curation over `documents` — the composite
+    the other operators exist for, in one streaming lineage:
+
+      read -> exact-dedup keep-first (128-bit content-hash groupby -> keeper
+      ids; text ships ONCE, through the semi-join shuffle) -> quality filter
+      (vectorized stopword/len bounds) -> language tag -> token counts ->
+      deterministic hash sample -> partitioned parquet sink
+      (pred_lang=*/ dirs — the resumable output layout).
+
+    Returns a one-row summary (rows-only entry: the sink is the product;
+    stage counts are pinned by tests/test_relational.py). The keeper-id set
+    is materialize()d once — it is ids-only (~16 B/doc), so the reuse
+    avoids re-running the hash aggregation for its count."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from clip_as_service_ray.functions.textstats import detect_language
+    from clip_as_service_ray.stages.joins import shuffle_semi_join
+
+    KNUTH = 2654435761
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = ray.data.read_parquet(path, columns=["doc_id", "text", "source"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
+        h1 = pd.util.hash_array(texts, hash_key="cas_ray_dedup_01")
+        h2 = pd.util.hash_array(texts, hash_key="cas_ray_dedup_02")
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "h1": pa.array(h1.view(np.int64), pa.int64()),
+             "h2": pa.array(h2.view(np.int64), pa.int64())}
+        )
+
+    keepers = (
+        docs.map_batches(add_hash, batch_format="pyarrow")
+        .groupby(["h1", "h2"], num_partitions=8)
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+        .materialize()
+    )
+    n_unique = keepers.count()
+    kept = shuffle_semi_join(docs, keepers, on="doc_id")
+
+    def curate(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        n_tok = pc.count_substring_regex(text, r"\S+").to_numpy()
+        n_chars = pc.utf8_length(text).to_numpy()
+        # language-agnostic quality gate (length bounds + sane avg token
+        # size); language-specific scoring happens downstream per shard
+        avg_tok = n_chars / np.maximum(n_tok, 1)
+        ok = (n_tok >= 3) & (avg_tok >= 2.0) & (avg_tok <= 40.0)
+        sub = batch.filter(pa.array(ok))
+        langs = [
+            detect_language((t or "").lower().split())
+            for t in sub.column("text").to_pylist()
+        ]
+        ids = sub.column("doc_id").to_numpy()
+        sampled = (ids * KNUTH) % sample_mod < sample_keep
+        sub = sub.filter(pa.array(sampled))
+        keep_langs = [l for l, s in zip(langs, sampled) if s]
+        low2 = pc.utf8_lower(sub.column("text"))
+        return pa.table(
+            {
+                "doc_id": sub.column("doc_id"),
+                "text": sub.column("text"),
+                "source": sub.column("source"),
+                "pred_lang": pa.array(keep_langs, pa.string()),
+                "bpe_tokens": pc.cast(
+                    pc.count_substring_regex(low2, TOKEN_PATTERN_RE2), pa.int64()
+                ),
+            }
+        )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"/tmp/cas_ray_pipeline/curated_{tag}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    curated = kept.map_batches(curate, batch_format="pyarrow")
+    curated.write_parquet(out_dir, partition_cols=["pred_lang"])
+
+    import pyarrow.dataset as pds
+
+    written = pds.dataset(out_dir, format="parquet", partitioning="hive")
+    n_written = written.count_rows()
+    n_input = pq_metadata_rows(path)
+    return pa.table(
+        {
+            "n_input": pa.array([n_input], pa.int64()),
+            "n_unique": pa.array([n_unique], pa.int64()),
+            "n_written": pa.array([n_written], pa.int64()),
+            "n_lang_partitions": pa.array(
+                [len([d for d in os.listdir(out_dir) if d.startswith("pred_lang=")])],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def pq_metadata_rows(path: str) -> int:
+    """Row count from parquet FOOTER metadata — no data pages read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows

@@ -121,3 +121,32 @@ def test_rolling_sum_range_semantics(ray_session):
     # id0: [−10s,0] -> 1 ; id1,id2 peers at t=10: [0,10] -> 1+2+4 = 7 (both)
     # id3: [10,20] inclusive lower bound -> 2+4+8 = 14 ; id4: user 2 -> 100
     assert out == {0: 1.0, 1: 7.0, 2: 7.0, 3: 14.0, 4: 100.0}
+
+
+def test_training_data_pipeline(ray_session):
+    import os
+
+    import duckdb as dk
+    import pyarrow.dataset as pds
+
+    from clip_as_service_ray.pipelines.operators import training_data_pipeline
+
+    out = training_data_pipeline(SF).to_pandas().iloc[0]
+    assert out["n_input"] == 500
+    # fixture has no exact dup texts -> dedup keeps all
+    assert out["n_unique"] == dk.sql(
+        f"SELECT count(DISTINCT text) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert 0 < out["n_written"] <= out["n_unique"]
+    assert out["n_lang_partitions"] >= 1
+    # the sink is hive-partitioned and re-readable with the partition column
+    root = "/tmp/cas_ray_pipeline/curated_sf0.001"
+    ds = pds.dataset(root, format="parquet", partitioning="hive")
+    t = ds.to_table()
+    assert t.num_rows == out["n_written"]
+    assert {"doc_id", "text", "source", "bpe_tokens", "pred_lang"} <= set(
+        t.column_names
+    )
+    # deterministic hash sample: written ids all satisfy the sample predicate
+    ids = t.column("doc_id").to_numpy()
+    assert ((ids * 2654435761) % 97 < 60).all()
