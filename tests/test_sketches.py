@@ -158,3 +158,45 @@ def test_event_value_percentiles_sketch_close_to_exact(ray_session):
         for c, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
             rank = np.searchsorted(vals, approx.loc[et, c]) / len(vals)
             assert abs(rank - q) < 0.02, (et, c, rank)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    hst.integers(min_value=0, max_value=2**32),
+    hst.integers(min_value=2, max_value=9),
+)
+def test_hll_split_invariance(seed, n_parts):
+    """HLL partials are split-invariant: any partition of the input merges
+    to the SAME registers as one-shot folding (commutative idempotent max)."""
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1 << 60, 5_000, dtype=np.int64)
+    whole = hll_partial(vals)
+    cut = np.sort(rng.integers(0, len(vals), n_parts - 1))
+    parts = [hll_partial(c) for c in np.split(vals, cut)]
+    assert np.array_equal(hll_merge(parts), whole)
+
+
+@settings(max_examples=15, deadline=None)
+@given(hst.integers(min_value=0, max_value=2**32), hst.integers(min_value=1, max_value=32))
+def test_quantile_sketch_rank_error_any_merge_tree(seed, n_parts):
+    """Rank error stays bounded for ANY split of the stream into partials
+    (the property the shuffle relies on: block boundaries are arbitrary)."""
+    from clip_as_service_ray.functions.sketches import (
+        quantile_sketch_merge,
+        quantile_sketch_partial,
+        quantile_sketch_query,
+    )
+
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(size=20_000)
+    cut = np.sort(rng.integers(0, len(vals), n_parts - 1))
+    parts = [quantile_sketch_partial(c) for c in np.split(vals, cut) if len(c)]
+    est = quantile_sketch_query(quantile_sketch_merge(parts), [0.25, 0.5, 0.9])
+    sv = np.sort(vals)
+    for e, q in zip(est, [0.25, 0.5, 0.9]):
+        rank = np.searchsorted(sv, e) / len(sv)
+        assert abs(rank - q) < 0.03
