@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_distribution": ops.langid_distribution,
         "doc_fingerprints": ops.doc_fingerprints,  # rows-only
         "training_data_pipeline": ops.training_data_pipeline,  # rows-only (sink op)
+        "kmeans_embeddings": ops.kmeans_embeddings,  # rows-only (iterative)
         "transcripts_bm25_search": _transcripts_bm25_search,  # rows-only
     }
 

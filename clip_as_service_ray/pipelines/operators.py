@@ -1430,3 +1430,28 @@ def pq_metadata_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, n_iters: int = 5):
+    """Iterative-algorithm operator: distributed spherical k-means over the
+    embeddings table (stages/ann.kmeans_fit — broadcast centroids, tiny
+    mergeable partials, re-read per sweep). Rows-only: per-cluster sizes +
+    final inertia; convergence (non-increasing inertia) and determinism are
+    pinned by tests/test_ann.py."""
+    import ray.data
+
+    from clip_as_service_ray.stages.ann import kmeans_fit
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    _, counts, history = kmeans_fit(ds, k, n_iters=n_iters)
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(k, dtype=np.int32), pa.int32()),
+            "n_vecs": pa.array(counts, pa.int64()),
+            "final_inertia": pa.array(
+                np.full(k, round(history[-1], 6)), pa.float64()
+            ),
+        }
+    )

@@ -341,3 +341,74 @@ def ivf_search(
          "sim": pa.array(sims[top], pa.float64())}
     )
     return (out, stats) if return_stats else out
+
+
+def kmeans_fit(
+    ds,
+    n_clusters: int,
+    *,
+    n_iters: int = 5,
+    init: np.ndarray | None = None,
+    seed: int = 5,
+):
+    """DISTRIBUTED Lloyd's k-means over an embedding Dataset — the
+    iterative-algorithm shape on this engine: per iteration the centroid
+    matrix is broadcast once (``ray.put``), every batch folds into a
+    (k x dim sums, k counts, scalar inertia) partial, and the driver merges
+    the tiny partials (k*dim floats per block — independent of corpus
+    size). The input is re-read from storage each sweep (the 100-TB form:
+    iterating a materialized copy would pin the corpus in the object
+    store).
+
+    Returns (centroids, counts, inertia_history); inertia (sum of squared
+    distances on the normalized sphere) is non-increasing across
+    iterations for fixed assignments semantics, which the tests pin.
+    """
+    import ray
+
+    first = ds.take_batch(max(n_clusters * 8, 256), batch_format="pyarrow")
+    sample = np.array(first.column("embedding").to_pylist(), dtype=np.float64)
+    cents = (
+        _normalize(np.asarray(init, dtype=np.float64))
+        if init is not None
+        else train_centroids(sample, n_clusters, iters=1, seed=seed)
+    )
+    history: list[float] = []
+    counts = np.zeros(len(cents), dtype=np.int64)
+    for _ in range(n_iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            emb = _normalize(
+                np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            )
+            sims = emb @ c.T
+            a = np.argmax(sims, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, emb)
+            cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
+            # ||x - c||^2 on the unit sphere = 2 - 2 cos
+            inert = float(np.sum(2.0 - 2.0 * sims[np.arange(len(a)), a]))
+            return pa.table(
+                {
+                    "sums": pa.array([sums.tobytes()], pa.binary()),
+                    "counts": pa.array([cnt.tobytes()], pa.binary()),
+                    "inertia": pa.array([inert], pa.float64()),
+                }
+            )
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        inertia = 0.0
+        for r in rows:
+            sums += np.frombuffer(r["sums"], np.float64).reshape(cents.shape)
+            counts += np.frombuffer(r["counts"], np.int64)
+            inertia += r["inertia"]
+        history.append(round(inertia, 9))
+        nz = counts > 0
+        new = cents.copy()
+        new[nz] = sums[nz] / counts[nz, None]
+        cents = _normalize(new)
+    return cents, counts, history

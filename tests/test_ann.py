@@ -128,3 +128,22 @@ def test_cosine_lsh_pairs_match_exact(ray_session):
     want = sorted(zip(ia[keep].tolist(), ib[keep].tolist()))
     assert len(want) >= 25  # the planted dups are actually above threshold
     assert sorted(zip(got.vec_a, got.vec_b)) == want
+
+
+def test_kmeans_fit_converges_and_deterministic(ray_session):
+    import ray.data
+
+    from clip_as_service_ray.stages.ann import kmeans_fit
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    c1, n1, h1 = kmeans_fit(ds, 6, n_iters=4)
+    # spherical k-means objective is monotone: inertia never increases
+    assert all(a >= b - 1e-9 for a, b in zip(h1, h1[1:])), h1
+    assert n1.sum() == ds.count()
+    # deterministic across runs (seeded init, order-independent partials
+    # modulo float summation — compare to tolerance)
+    c2, n2, h2 = kmeans_fit(ds, 6, n_iters=4)
+    np.testing.assert_allclose(c1, c2, atol=1e-9)
+    assert (n1 == n2).all()
