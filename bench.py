@@ -299,6 +299,21 @@ def cpu_ceiling(lo: int, hi: int, reps: int = 3) -> dict:
     }
 
 
+def mem_first_touch_mb_s(mb: int = 200) -> float:
+    """First-touch page-fault bandwidth of fresh anonymous memory (MB/s).
+    On this VM the hypervisor demand-faults at ~10-20 MB/s on healthy days
+    and well below that on degraded days (see BASELINE.md); recording it
+    alongside each scaling run lets a reader attribute a bad efficiency
+    number to the box state rather than the engine."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.ones(mb * 1024 * 1024 // 8)
+    dt = time.time() - t0
+    del a
+    return round(mb / dt, 1)
+
+
 def run_scaling() -> dict:
     # The sandbox hypervisor's lazy memory makes single runs noisy (build
     # wall time varies ~2.5x run to run with identical code); each leg is
@@ -323,6 +338,7 @@ def run_scaling() -> dict:
     pair = os.environ.get("BENCH_SCALING_CPUS", "8,32").split(",")
     lo, hi = int(pair[0]), int(pair[1])
     ceiling = cpu_ceiling(lo, hi)  # before the legs: no Ray running
+    mem = mem_first_touch_mb_s()  # paging health context for this run
     r_lo, r_hi = run(lo), run(hi)
     sec_lo = r_lo["queries"]["index_build"]
     sec_hi = r_hi["queries"]["index_build"]
@@ -350,6 +366,7 @@ def run_scaling() -> dict:
         # box-independent number
         "cpu_ceiling": ceiling,
         "eff_vs_cpu_ceiling": round(eff / ceiling["eff"], 3) if ceiling["eff"] else None,
+        "mem_first_touch_mb_s": mem,
         "target": ">=0.8",
     }
 
