@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_click_counts": ops.purchase_click_counts,
         "revenue_filter_q6": ops.revenue_filter_q6,
         "ann_topk": ops.ann_topk,
+        "ann_topk_batch": ops.ann_topk_batch,
         "ann_ivf_topk": ops.ann_ivf_topk,
         "cosine_dup_pairs": ops.cosine_dup_pairs,
         "cosine_lsh_dup_pairs": ops.cosine_lsh_dup_pairs,
@@ -323,6 +324,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e, q "
             "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC "
             "LIMIT 10"
+        ),
+        "ann_topk_batch": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+            "WHERE vec_id < 8) "
+            "SELECT qid, vec_id, round(sim, 6)::DOUBLE AS sim, rank FROM ("
+            "SELECT q.qid, e.vec_id, "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) AS sim, "
+            "row_number() OVER (PARTITION BY q.qid ORDER BY "
+            "list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC, "
+            "e.vec_id ASC)::BIGINT AS rank "
+            "FROM embeddings e CROSS JOIN q) WHERE rank <= 3"
         ),
         "ann_ivf_topk": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "

@@ -1455,3 +1455,75 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, n_iters: int = 5):
             ),
         }
     )
+
+
+def ann_topk_batch(sf_dir: str, n_queries: int = 8, k: int = 3):
+    """BATCHED brute-force ANN: top-k per query for a query MATRIX — the
+    serving shape (one D x Q matmul per batch amortizes the corpus scan
+    over all queries, exactly why the reference batches /search requests).
+    Per-batch per-query top-k partials -> tiny driver merge. The query
+    matrix broadcasts once via ray.put."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    pf = pq.ParquetFile(path)
+    first = next(pf.iter_batches(batch_size=4096, columns=["vec_id", "embedding"]))
+    ids0 = first.column("vec_id").to_numpy()
+    sel = np.nonzero(ids0 < n_queries)[0]
+    qm = np.array(
+        [first.column("embedding")[int(i)].as_py() for i in sel], dtype=np.float64
+    )
+    qids = ids0[sel]
+    order = np.argsort(qids)
+    qm, qids = qm[order], qids[order]
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    q_ref = ray.put((qm, qids))
+
+    class Score:
+        def __init__(self):
+            self.qm, self.qids = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch.column("vec_id").to_numpy()
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1)
+            sims = (emb / np.where(norms == 0, 1.0, norms)[:, None]) @ self.qm.T
+            out_q, out_v, out_s = [], [], []
+            for c, qid in enumerate(self.qids):
+                col = sims[:, c]
+                top = np.lexsort((vec_ids, -col))[: min(k, len(vec_ids))]
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
+                out_v.append(vec_ids[top])
+                out_s.append(col[top])
+            return pa.table(
+                {
+                    "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "sim": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    parts = ds.map_batches(Score, batch_format="pyarrow", batch_size=4096, concurrency=2)
+    tbl = pa.Table.from_pandas(parts.to_pandas(), preserve_index=False)
+    qcol = tbl.column("qid").to_numpy()
+    vcol = tbl.column("vec_id").to_numpy()
+    scol = tbl.column("sim").to_numpy()
+    out_q, out_v, out_s, out_r = [], [], [], []
+    for qid in np.unique(qcol):
+        m = qcol == qid
+        top = np.lexsort((vcol[m], -scol[m]))[: min(k, int(m.sum()))]
+        out_q.append(np.full(len(top), qid, dtype=np.int64))
+        out_v.append(vcol[m][top])
+        out_s.append(scol[m][top])
+        out_r.append(np.arange(1, len(top) + 1, dtype=np.int64))
+    return pa.table(
+        {
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "sim": pa.array(np.round(np.concatenate(out_s), 6), pa.float64()),
+            "rank": pa.array(np.concatenate(out_r), pa.int64()),
+        }
+    )
