@@ -95,8 +95,32 @@ def add_segment(
     return payload
 
 
+def tombstones_path(index_root: str) -> str:
+    return os.path.join(index_root, "tombstones.json")
+
+
+def load_tombstones(index_root: str) -> frozenset[str]:
+    p = tombstones_path(index_root)
+    return frozenset(mf.read_json(p)["conv_ids"]) if os.path.exists(p) else frozenset()
+
+
+def delete_convs(index_root: str, conv_ids) -> dict:
+    """DELETE conversations from the segmented index by tombstone: the ids
+    are recorded in ``tombstones.json`` and filtered at query time (the
+    Lucene deletion model — stats intentionally keep the pre-delete corpus
+    until a rebuild; scoring of survivors is unchanged, which is exactly
+    what an incremental delete should do). Physical purge = rebuild; a
+    merge with live tombstones is refused rather than silently resurrecting
+    deleted docs."""
+    dead = sorted(load_tombstones(index_root) | set(map(str, conv_ids)))
+    mf.write_json(tombstones_path(index_root), {"conv_ids": dead})
+    return {"n_tombstones": len(dead)}
+
+
 class SegmentedQueryService(ScatterQueryService):
-    """Scatter-ALL-search across the segment indexes with union stats."""
+    """Scatter-ALL-search across the segment indexes with union stats;
+    tombstoned conversations never appear in results (limit-k preserved by
+    over-asking each segment by the tombstone count)."""
 
     def __init__(self, index_root: str, config: EngineConfig = DEFAULT_CONFIG):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -105,7 +129,12 @@ class SegmentedQueryService(ScatterQueryService):
             "avgdl": float(root["avgdl"]),
             "df_path": os.path.join(index_root, "union_dictionary", "dictionary.parquet"),
         }
-        super().__init__(segment_dirs(index_root), global_stats, config)
+        super().__init__(
+            segment_dirs(index_root),
+            global_stats,
+            config,
+            tombstones=load_tombstones(index_root),
+        )
 
 
 def _decode_segment_part(part_dir: str, old_bases: np.ndarray, new_bases: np.ndarray):
@@ -216,6 +245,12 @@ def merge_segments(
     seg_dirs = segment_dirs(index_root)
     if not seg_dirs:
         raise ValueError(f"no segments under {index_root!r}")
+    if load_tombstones(index_root):
+        raise ValueError(
+            "segments have live tombstones: a physical merge would resurrect "
+            "deleted docs (stats/postings still contain them). Rebuild from "
+            "the surviving source instead, or clear tombstones explicitly."
+        )
     seg_stats = [mf.read_json(os.path.join(d, "stats.json")) for d in seg_dirs]
     parts = {s.get("num_index_partitions") for s in seg_stats}
     if len(parts) != 1:

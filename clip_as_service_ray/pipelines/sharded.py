@@ -110,12 +110,17 @@ class ScatterQueryService:
         index_dirs: list[str],
         global_stats: dict,
         config: EngineConfig = DEFAULT_CONFIG,
+        tombstones: frozenset[str] = frozenset(),
     ):
         import ray
 
         from clip_as_service_ray.stages.query import QueryScorer
 
         self.config = config
+        # deleted conv_ids filtered at query time (segment tombstones);
+        # shards are over-asked by len(tombstones) so limit-k survives the
+        # filter even if every deleted doc out-ranked the survivors
+        self.tombstones = frozenset(tombstones)
         self.n_shards = len(index_dirs)
         worker = ray.remote(num_cpus=1)(QueryScorer)
         self.replicas = [
@@ -134,16 +139,28 @@ class ScatterQueryService:
 
         if queries.num_rows == 0:
             return HITS_SCHEMA.empty_table()
-        futs = [r.__call__.remote(queries) for r in self.replicas]  # scatter ALL
-        parts = [p for p in ray.get(futs) if p.num_rows > 0]
-        if not parts:
-            return HITS_SCHEMA.empty_table()
-        merged = pa.concat_tables(parts).to_pandas()
         limits = (
             dict(zip(queries.column("query_id").to_pylist(), queries.column("limit").to_pylist()))
             if "limit" in queries.column_names
             else {}
         )
+        scatter_q = queries
+        if self.tombstones:
+            extra = len(self.tombstones)
+            raised = [
+                int(limits.get(q, self.config.limit)) + extra
+                for q in queries.column("query_id").to_pylist()
+            ]
+            scatter_q = queries.drop_columns(
+                [c for c in ("limit",) if c in queries.column_names]
+            ).append_column("limit", pa.array(raised, pa.int32()))
+        futs = [r.__call__.remote(scatter_q) for r in self.replicas]  # scatter ALL
+        parts = [p for p in ray.get(futs) if p.num_rows > 0]
+        if not parts:
+            return HITS_SCHEMA.empty_table()
+        merged = pa.concat_tables(parts).to_pandas()
+        if self.tombstones:
+            merged = merged[~merged["conv_id"].isin(self.tombstones)]
         out = {n: [] for n in HITS_SCHEMA.names}
         for qid, g in merged.groupby("query_id", sort=True):
             k = int(limits.get(qid, self.config.limit))

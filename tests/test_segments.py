@@ -102,3 +102,44 @@ def test_merge_rejects_overlapping_convs(corpus_halves, tmp_path):
     add_segment(root, a, CFG)  # same convs again
     with pytest.raises(ValueError, match="overlap"):
         merge_segments(root, str(tmp_path / "m3"), CFG)
+
+
+def test_tombstone_delete(corpus_halves, tmp_path):
+    from clip_as_service_ray.pipelines.segments import delete_convs
+
+    corpus, a, b = corpus_halves
+    root = str(tmp_path / "segdel")
+    add_segment(root, a, CFG)
+    add_segment(root, b, CFG)
+    q = reference_query_table()
+
+    svc = SegmentedQueryService(root, CFG)
+    try:
+        before = svc.search(q).to_pandas()
+    finally:
+        svc.shutdown()
+    assert len(before) > 0
+    # tombstone every conv that appears in the top results of query 0
+    dead = sorted(set(before[before.query_id == before.query_id.iloc[0]].conv_id))[:2]
+    r = delete_convs(root, dead)
+    assert r["n_tombstones"] == 2
+
+    svc = SegmentedQueryService(root, CFG)
+    try:
+        after = svc.search(q).to_pandas()
+    finally:
+        svc.shutdown()
+    # deleted convs never appear
+    assert not set(after.conv_id) & set(dead)
+    # limit-k preserved: every query still returns as many hits as it has
+    # survivors (same count as `before` minus dead rows, floored by limit)
+    for qid, g in before.groupby("query_id"):
+        want = g[~g.conv_id.isin(dead)]
+        got = after[after.query_id == qid]
+        assert len(got) >= len(want)  # over-ask refills ranks beyond the cut
+        # surviving prefix is rank-identical (scores unchanged by design)
+        head = got.head(len(want))
+        assert list(head.conv_id)[: len(want)] == list(want.conv_id)[: len(head)]
+    # physical merge with live tombstones is refused
+    with pytest.raises(ValueError, match="tombstone"):
+        merge_segments(root, str(tmp_path / "m"), CFG)
