@@ -105,3 +105,141 @@ class SearchHTTPServer:
         self.httpd.server_close()
         self._thread.join(timeout=5)
         self.service.shutdown()
+
+
+def _turns_table(payload: dict) -> pa.Table:
+    rows = payload.get("turns", [])
+    import numpy as np
+
+    return pa.table(
+        {
+            "conv_id": pa.array([str(r["conv_id"]) for r in rows], pa.string()),
+            "turn_idx": pa.array([int(r["turn_idx"]) for r in rows], pa.int32()),
+            "role": pa.array([r.get("role", "user") for r in rows], pa.string()),
+            "text": pa.array([r.get("text", "") for r in rows], pa.string()),
+            "tool": pa.array([r.get("tool", "") for r in rows], pa.string()),
+            "ts": pa.array(
+                np.asarray([int(r.get("ts", 0)) for r in rows], dtype=np.int64),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+
+
+class SegmentedSearchHTTPServer:
+    """Full index/search/delete lifecycle over HTTP — the reference's
+    /index + /search + delete surface (client.py:608-644, tests/
+    test_search.py:34-44) on the segmented engine:
+
+        POST /index  {"turns": [{conv_id, turn_idx, role, text, ...}]}
+                     -> builds the next segment; docs searchable on return
+        POST /search {"queries": [{query_id, text, limit?}]}
+        POST /delete {"conv_ids": [...]} -> tombstones, filtered right away
+        GET  /health
+
+    Writes serialize under a lock and swap in a fresh scatter service
+    (shutdown-then-spawn: searches briefly 503 during a write instead of
+    risking a CPU-reservation deadlock from holding both pools)."""
+
+    def __init__(
+        self,
+        index_root: str,
+        config: EngineConfig = DEFAULT_CONFIG,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ):
+        import os
+
+        from clip_as_service_ray.pipelines.segments import (
+            SegmentedQueryService,
+            add_segment,
+            delete_convs,
+        )
+
+        self.index_root = index_root
+        self.config = config
+        self._write_lock = threading.Lock()
+        self._svc = (
+            SegmentedQueryService(index_root, config)
+            if os.path.exists(os.path.join(index_root, "manifest.json"))
+            else None
+        )
+        outer = self
+
+        def _refresh():
+            # shutdown-then-spawn: the actor pools are CPU-reserving, so
+            # holding old+new simultaneously can deadlock a small cluster;
+            # a brief search unavailability during a write is the trade
+            old, outer._svc = outer._svc, None
+            if old is not None:
+                old.shutdown()
+            outer._svc = SegmentedQueryService(outer.index_root, outer.config)
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def _send(self, code: int, obj: dict) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    n_seg = 0
+                    if outer._svc is not None:
+                        n_seg = outer._svc.n_shards
+                    self._send(200, {"status": "ok", "n_segments": n_seg})
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+
+            def do_POST(self):
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    payload = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/index":
+                        with outer._write_lock:
+                            rep = add_segment(
+                                outer.index_root, _turns_table(payload), outer.config
+                            )
+                            _refresh()
+                        self._send(
+                            200,
+                            {"n_segments": rep["n_segments"], "n_docs": rep["n_docs"]},
+                        )
+                    elif self.path == "/delete":
+                        with outer._write_lock:
+                            rep = delete_convs(
+                                outer.index_root, payload.get("conv_ids", [])
+                            )
+                            _refresh()
+                        self._send(200, rep)
+                    elif self.path == "/search":
+                        if outer._svc is None:
+                            self._send(400, {"error": "index is empty; POST /index first"})
+                            return
+                        hits = outer._svc.search(_queries_table(payload))
+                        self._send(200, {"hits": hits.to_pylist()})
+                    else:
+                        self._send(404, {"error": f"unknown path {self.path}"})
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    self._send(400, {"error": str(e)})
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self._thread.join(timeout=5)
+        if self._svc is not None:
+            self._svc.shutdown()

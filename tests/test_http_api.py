@@ -17,7 +17,9 @@ from clip_as_service_ray.sources.transcripts import (
     synthesize_transcripts,
 )
 
-CFG = EngineConfig(num_index_partitions=2, postings_block_size=64)
+# query_concurrency=2: the module server must not reserve all 4 test CPUs
+# (the segmented-lifecycle test needs slots for its own build + actors)
+CFG = EngineConfig(num_index_partitions=2, postings_block_size=64, query_concurrency=2)
 
 
 @pytest.fixture(scope="module")
@@ -35,7 +37,7 @@ def _post(url, obj):
     req = urllib.request.Request(
         url, data=json.dumps(obj).encode(), headers={"Content-Type": "application/json"}
     )
-    with urllib.request.urlopen(req, timeout=30) as r:
+    with urllib.request.urlopen(req, timeout=180) as r:
         return json.loads(r.read())
 
 
@@ -80,3 +82,44 @@ def test_bad_requests(server):
     assert e2.value.code == 404
     # empty query list -> empty hits, not an error
     assert _post(srv.url + "/search", {"queries": []}) == {"hits": []}
+
+
+def test_segmented_lifecycle_over_http(ray_session, tmp_path):
+    """index -> search -> index more -> search sees new docs -> delete ->
+    gone: the reference's /index + /search behavior through the front door."""
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.http_api import SegmentedSearchHTTPServer
+
+    cfg = EngineConfig(num_index_partitions=2, doc_bucket_size=256, postings_block_size=64, query_concurrency=1)
+    srv = SegmentedSearchHTTPServer(str(tmp_path / "seghttp"), cfg)
+    try:
+        def turns(conv, text):
+            return {"conv_id": conv, "turn_idx": 0, "role": "user", "text": text}
+
+        out = _post(srv.url + "/index", {"turns": [
+            turns("convaa", "merge the stream window"),
+            turns("convab", "data index layout"),
+        ]})
+        assert out["n_segments"] == 1 and out["n_docs"] == 2
+
+        hits = _post(srv.url + "/search", {"queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
+        assert [h["conv_id"] for h in hits][:1] == ["convaa"]
+
+        out = _post(srv.url + "/index", {"turns": [
+            turns("convac", "merge merge merge window")]})
+        assert out["n_segments"] == 2
+        hits = _post(srv.url + "/search", {"queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
+        assert "convac" in {h["conv_id"] for h in hits}  # new doc visible
+
+        _post(srv.url + "/delete", {"conv_ids": ["convac"]})
+        hits = _post(srv.url + "/search", {"queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
+        assert "convac" not in {h["conv_id"] for h in hits}
+        assert "convaa" in {h["conv_id"] for h in hits}  # survivors intact
+
+        health = json.loads(urllib.request.urlopen(srv.url + "/health").read())
+        assert health["n_segments"] == 2
+    finally:
+        srv.shutdown()
