@@ -36,27 +36,35 @@ def _documents(sf_dir: str, columns=("doc_id", "text")):
 
 
 def _tokens_flat(batch: pa.Table) -> pa.Table:
-    """documents batch -> flat (doc_id, term, tf) rows; per-doc unique terms."""
+    """documents batch -> flat (doc_id, term, tf) rows; per-doc unique terms.
+    Batch-level vectorization (one factorize + one lexsort for the whole
+    batch, the stages/tokenize.tokenize_batch pattern) instead of a per-doc
+    np.unique loop."""
     doc_ids = batch.column("doc_id").to_numpy()
     term_lists = tokenize_texts(batch.column("text").to_pylist())
-    out_doc, out_term, out_tf = [], [], []
-    for did, terms in zip(doc_ids, term_lists):
-        if not terms:
-            continue
-        u, c = np.unique(np.asarray(terms, dtype=object), return_counts=True)
-        out_doc.append(np.full(len(u), did, dtype=np.int64))
-        out_term.append(u)
-        out_tf.append(c.astype(np.int64))
-    if not out_doc:
+    lens = np.fromiter((len(t) for t in term_lists), np.int64, count=len(term_lists))
+    if lens.sum() == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
              "tf": pa.array([], pa.int64())}
         )
+    flat = np.concatenate(
+        [np.asarray(t, dtype=object) for t in term_lists if len(t)]
+    )
+    row_of_tok = np.repeat(np.arange(len(doc_ids)), lens)
+    codes, uniques = pd.factorize(flat, sort=True)
+    order = np.lexsort((codes, row_of_tok))
+    row_s, code_s = row_of_tok[order], codes[order]
+    change = np.nonzero((np.diff(row_s) != 0) | (np.diff(code_s) != 0))[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(code_s)]])
     return pa.table(
         {
-            "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
-            "term": pa.array(np.concatenate(out_term), pa.string()),
-            "tf": pa.array(np.concatenate(out_tf), pa.int64()),
+            "doc_id": pa.array(doc_ids[row_s[starts]], pa.int64()),
+            "term": pa.array(uniques, pa.string()).take(
+                pa.array(code_s[starts], pa.int64())
+            ),
+            "tf": pa.array((ends - starts).astype(np.int64), pa.int64()),
         }
     )
 
