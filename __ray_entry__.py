@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": ops.doc_fingerprints,  # rows-only
         "training_data_pipeline": ops.training_data_pipeline,  # rows-only (sink op)
         "kmeans_embeddings": ops.kmeans_embeddings,  # rows-only (iterative)
+        "approx_top_terms": ops.approx_top_terms,  # rows-only (sketch)
         "transcripts_bm25_search": _transcripts_bm25_search,  # rows-only
     }
 

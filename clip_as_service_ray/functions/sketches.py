@@ -146,3 +146,40 @@ def quantile_sketch_from_rows(rows) -> list[np.ndarray]:
     for i, blob in rows:
         levels[i] = np.concatenate([levels[i], np.frombuffer(blob, np.float64)])
     return levels if levels else [np.empty(0, np.float64)]
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (heavy hitters)
+
+
+def cms_partial(
+    keys: np.ndarray, counts: np.ndarray, *, width: int = 8192, depth: int = 4
+) -> np.ndarray:
+    """Fold (hashed key, count) pairs into a depth x width count-min matrix.
+    Mergeable by elementwise ADD (linear sketch). keys must be uint64
+    hashes (e.g. splitmix64 of the raw key)."""
+    m = np.zeros((depth, width), dtype=np.int64)
+    if len(keys) == 0:
+        return m
+    h = keys.astype(np.uint64, copy=True)
+    for d in range(depth):
+        h = splitmix64(h)
+        idx = (h % np.uint64(width)).astype(np.int64)
+        np.add.at(m[d], idx, counts)
+    return m
+
+
+def cms_merge(partials: list[np.ndarray]) -> np.ndarray:
+    return np.sum(partials, axis=0) if partials else np.zeros((4, 8192), np.int64)
+
+
+def cms_query(m: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point estimates (upper bounds; min over rows) for hashed keys."""
+    depth, width = m.shape
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    h = keys.astype(np.uint64, copy=True)
+    for d in range(depth):
+        h = splitmix64(h)
+        idx = (h % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, m[d, idx])
+    return est

@@ -1535,3 +1535,58 @@ def ann_topk_batch(sf_dir: str, n_queries: int = 8, k: int = 3):
             "rank": pa.array(np.concatenate(out_r), pa.int64()),
         }
     )
+
+
+def approx_top_terms(sf_dir: str, k: int = 20, width: int = 16384, depth: int = 4):
+    """Heavy hitters via count-min sketch + candidate ride-along (the third
+    sketch family: HLL=distinct, KLL=quantiles, CMS=frequencies). Each
+    batch emits one depth x width count matrix (mergeable by ADD) plus its
+    local top candidates; the driver merges the fixed-size matrices and
+    ranks the candidate union by sketch estimate. Rows-only (upper-bound
+    estimates); agreement with the exact combiner path is pinned by
+    tests/test_sketches.py."""
+    import ray.data
+
+    from clip_as_service_ray.functions.sketches import (
+        cms_merge,
+        cms_partial,
+        cms_query,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _tokens_flat(batch)
+        g = t.group_by("term").aggregate([("tf", "sum")])
+        terms = np.asarray(g.column("term").to_pylist(), dtype=object)
+        tf = g.column("tf_sum").to_numpy()
+        hashed = pd.util.hash_array(terms, hash_key="cas_ray_cms_0001")
+        m = cms_partial(hashed, tf, width=width, depth=depth)
+        top = np.argsort(-tf, kind="stable")[: 4 * k]
+        return pa.table(
+            {
+                "kind": pa.array(["cms"] + ["cand"] * len(top), pa.string()),
+                "blob": pa.array([m.tobytes()] + [b""] * len(top), pa.binary()),
+                "term": pa.array(
+                    np.concatenate([[""], terms[top]]), pa.string()
+                ),
+            }
+        )
+
+    rows = (
+        _documents(sf_dir).map_batches(partial, batch_format="pyarrow").take_all()
+    )
+    mats = [
+        np.frombuffer(r["blob"], np.int64).reshape(depth, width)
+        for r in rows
+        if r["kind"] == "cms"
+    ]
+    cands = sorted({r["term"] for r in rows if r["kind"] == "cand"})
+    merged = cms_merge(mats)
+    carr = np.asarray(cands, dtype=object)
+    est = cms_query(merged, pd.util.hash_array(carr, hash_key="cas_ray_cms_0001"))
+    top = np.lexsort((carr, -est))[:k]
+    return pa.table(
+        {
+            "term": pa.array(carr[top], pa.string()),
+            "est_tf": pa.array(est[top], pa.int64()),
+        }
+    )

@@ -200,3 +200,39 @@ def test_quantile_sketch_rank_error_any_merge_tree(seed, n_parts):
     for e, q in zip(est, [0.25, 0.5, 0.9]):
         rank = np.searchsorted(sv, e) / len(sv)
         assert abs(rank - q) < 0.03
+
+
+def test_cms_linearity_and_bounds():
+    from clip_as_service_ray.functions.sketches import (
+        cms_merge,
+        cms_partial,
+        cms_query,
+    )
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 1 << 60, 500).astype(np.uint64)
+    counts = rng.integers(1, 100, 500)
+    whole = cms_partial(keys, counts)
+    parts = [
+        cms_partial(keys[:200], counts[:200]),
+        cms_partial(keys[200:], counts[200:]),
+    ]
+    assert np.array_equal(cms_merge(parts), whole)  # linear sketch
+    # estimates are upper bounds and exact when collisions are rare
+    est = cms_query(whole, keys)
+    true = np.zeros(len(keys), dtype=np.int64)
+    for i, k in enumerate(keys):
+        true[i] = counts[keys == k].sum()
+    assert (est >= true).all()
+    assert (est == true).mean() > 0.95
+
+
+def test_approx_top_terms_matches_exact(ray_session):
+    from clip_as_service_ray.pipelines.operators import approx_top_terms, top_terms
+
+    a = approx_top_terms(SF).to_pandas()
+    e = top_terms(SF).to_pandas()
+    assert set(a.term) == set(e.term)  # same top-20 set
+    # estimates are upper bounds of the true totals
+    true = dict(zip(e.term, e.total_tf))
+    assert all(int(r.est_tf) >= int(true[r.term]) for r in a.itertuples())
