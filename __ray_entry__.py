@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_percentile": ops.order_price_percentile,
         "token_counts": ops.token_counts,
         "distinct_users_daily": ops.distinct_users_daily,
+        "events_daily_pivot": ops.events_daily_pivot,
         "approx_distinct_users": ops.approx_distinct_users,  # rows-only (sketch)
         "top_events_per_type": ops.top_events_per_type,
         "event_value_percentiles": ops.event_value_percentiles,
@@ -229,6 +230,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('day', ts) AS day, "
             "count(DISTINCT user_id)::BIGINT AS n_users, "
             "count(*)::BIGINT AS n_events FROM events GROUP BY day"
+        ),
+        "events_daily_pivot": (
+            "SELECT date_trunc('day', ts) AS day, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click, "
+            "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase, "
+            "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup, "
+            "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view "
+            "FROM events GROUP BY day"
         ),
         "top_events_per_type": (
             "SELECT event_type, event_id, round(value, 6)::DOUBLE AS value, rank "

@@ -1590,3 +1590,50 @@ def approx_top_terms(sf_dir: str, k: int = 20, width: int = 16384, depth: int = 
             "est_tf": pa.array(est[top], pa.int64()),
         }
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_daily_pivot(sf_dir: str):
+    """PIVOT (long -> wide reshaping): per-day event counts spread into one
+    column per event type. Per-batch combiner counts (day, type) pairs,
+    the tiny pair table shuffles, and the final per-day group emits the
+    wide row — the classic pivot without ever materializing the long table
+    twice. Unknown types would raise (schema is the contract)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        t = pa.table({"day": day, "event_type": batch.column("event_type")})
+        g = t.group_by(["day", "event_type"]).aggregate([("event_type", "count")])
+        return g.rename_columns(["day", "event_type", "n_part"])
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"], num_partitions=4)
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def widen(group: pa.Table) -> pa.Table:
+        types = group.column("event_type").to_pylist()
+        ns = group.column("n").to_numpy()
+        unknown = set(types) - set(EVENT_TYPES)
+        if unknown:
+            raise ValueError(f"unexpected event types: {sorted(unknown)}")
+        counts = {t: 0 for t in EVENT_TYPES}
+        for t, n in zip(types, ns):
+            counts[t] = int(n)
+        cols = {"day": pa.array([group.column("day")[0].as_py()], pa.timestamp("us"))}
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = pa.array([counts[t]], pa.int64())
+        return pa.table(cols)
+
+    return pairs.groupby("day", num_partitions=4).map_groups(
+        widen, batch_format="pyarrow"
+    )
