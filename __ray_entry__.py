@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": ops.token_counts,
         "distinct_users_daily": ops.distinct_users_daily,
         "events_daily_pivot": ops.events_daily_pivot,
+        "events_daily_unpivot": ops.events_daily_unpivot,
         "approx_distinct_users": ops.approx_distinct_users,  # rows-only (sketch)
         "top_events_per_type": ops.top_events_per_type,
         "event_value_percentiles": ops.event_value_percentiles,
@@ -239,6 +240,10 @@ def oracle_sql() -> dict[str, str]:
             "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup, "
             "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view "
             "FROM events GROUP BY day"
+        ),
+        "events_daily_unpivot": (
+            "SELECT date_trunc('day', ts) AS day, event_type, "
+            "count(*)::BIGINT AS n FROM events GROUP BY day, event_type"
         ),
         "top_events_per_type": (
             "SELECT event_type, event_id, round(value, 6)::DOUBLE AS value, rank "

@@ -1637,3 +1637,34 @@ def events_daily_pivot(sf_dir: str):
     return pairs.groupby("day", num_partitions=4).map_groups(
         widen, batch_format="pyarrow"
     )
+
+
+def events_daily_unpivot(sf_dir: str):
+    """UNPIVOT (wide -> long): melt the pivoted per-day table back into
+    (day, event_type, n) rows — the flat_map reshaping direction. Done with
+    one vectorized repeat/tile per batch (no per-row Python); the oracle is
+    the plain pair-groupby SQL, so the pivot∘unpivot round trip is
+    value-checked end to end."""
+
+    wide = events_daily_pivot(sf_dir)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        day = batch.column("day")
+        days = pa.concat_arrays(
+            [day.combine_chunks()] * len(EVENT_TYPES)
+        ) if n else day.combine_chunks()
+        types = np.repeat(np.asarray(EVENT_TYPES, dtype=object), n)
+        counts = np.concatenate(
+            [batch.column(f"n_{t}").to_numpy() for t in EVENT_TYPES]
+        ) if n else np.array([], dtype=np.int64)
+        out = pa.table(
+            {
+                "day": days,
+                "event_type": pa.array(types, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+        return out.filter(pc.greater(out.column("n"), 0))
+
+    return wide.map_batches(melt, batch_format="pyarrow")
