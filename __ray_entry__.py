@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": ops.exact_dedup,
         "doc_quality": ops.doc_quality,
         "events_type_agg": ops.events_type_agg,
+        "events_type_rollup": ops.events_type_rollup,
         "events_hourly_windows": ops.events_hourly_windows,
         "user_sessions": ops.user_sessions,
         "events_sliding_windows": ops.events_sliding_windows,
@@ -184,6 +185,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*)::BIGINT AS n_events, "
             "round(sum(value), 4)::DOUBLE AS sum_value "
             "FROM events GROUP BY event_type"
+        ),
+        "events_type_rollup": (
+            "SELECT COALESCE(event_type, 'ALL') AS event_type, "
+            "count(value)::BIGINT AS n_events, "
+            "round(sum(value), 4)::DOUBLE AS sum_value "
+            "FROM events GROUP BY ROLLUP(event_type)"
         ),
         "events_hourly_windows": (
             "SELECT user_id, date_trunc('hour', ts) AS window_start, "

@@ -1668,3 +1668,49 @@ def events_daily_unpivot(sf_dir: str):
         return out.filter(pc.greater(out.column("n"), 0))
 
     return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def events_type_rollup(sf_dir: str):
+    """ROLLUP (hierarchical aggregate): value sums at (event_type), plus
+    the grand total as the 'ALL' sentinel row — GROUP BY ROLLUP re-expressed
+    as combiner partials feeding BOTH granularities in one pass (the
+    per-batch partial is shared; only (event_type, n, s) pair rows
+    shuffle, and the grand total folds from the same tiny table)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {"event_type": batch.column("event_type"),
+                 "value": batch.column("value")}
+            )
+            .group_by("event_type")
+            .aggregate([("value", "count"), ("value", "sum")])
+        )
+        return g.rename_columns(["event_type", "n_part", "s_part"])
+
+    per_type = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=4)
+        .aggregate(Sum("n_part", alias_name="n"), Sum("s_part", alias_name="s"))
+    )
+    tbl = pa.Table.from_pandas(per_type.to_pandas(), preserve_index=False)
+    types = tbl.column("event_type").to_pylist() + ["ALL"]
+    ns = tbl.column("n").to_numpy()
+    ss = tbl.column("s").to_numpy()
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_events": pa.array(
+                np.concatenate([ns, [ns.sum()]]).astype(np.int64), pa.int64()
+            ),
+            "sum_value": pa.array(
+                np.round(np.concatenate([ss, [ss.sum()]]), 4), pa.float64()
+            ),
+        }
+    )
