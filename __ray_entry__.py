@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": ops.doc_quality,
         "events_type_agg": ops.events_type_agg,
         "events_type_rollup": ops.events_type_rollup,
+        "event_prop_stats": ops.event_prop_stats,
         "events_hourly_windows": ops.events_hourly_windows,
         "user_sessions": ops.user_sessions,
         "events_sliding_windows": ops.events_sliding_windows,
@@ -185,6 +186,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*)::BIGINT AS n_events, "
             "round(sum(value), 4)::DOUBLE AS sum_value "
             "FROM events GROUP BY event_type"
+        ),
+        "event_prop_stats": (
+            "SELECT event_type, count(*)::BIGINT AS n_with_k, "
+            "round(avg(CAST(props->>'k' AS BIGINT)), 6)::DOUBLE AS avg_k "
+            "FROM events WHERE props->>'k' IS NOT NULL GROUP BY event_type"
         ),
         "events_type_rollup": (
             "SELECT COALESCE(event_type, 'ALL') AS event_type, "

@@ -1714,3 +1714,41 @@ def events_type_rollup(sf_dir: str):
             ),
         }
     )
+
+
+def event_prop_stats(sf_dir: str):
+    """Semi-structured extraction (the parser operator class): pull the
+    numeric ``k`` out of the JSON ``props`` string with ONE vectorized RE2
+    kernel (pc.extract_regex — no per-row json.loads), then a combiner
+    aggregate per event type. Rows without the key drop out (null-safe),
+    matching the SQL twin's json_extract + IS NOT NULL."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch.column("props"), r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"), "k": k})
+        t = t.filter(pc.is_valid(t.column("k")))
+        g = t.group_by("event_type").aggregate([("k", "count"), ("k", "sum")])
+        return g.rename_columns(["event_type", "n_part", "s_part"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=4)
+        .aggregate(Sum("n_part", alias_name="n"), Sum("s_part", alias_name="s"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    n = tbl.column("n").to_numpy().astype(np.float64)
+    s = tbl.column("s").to_numpy().astype(np.float64)
+    return pa.table(
+        {
+            "event_type": tbl.column("event_type"),
+            "n_with_k": pc.cast(tbl.column("n"), pa.int64()),
+            "avg_k": pa.array(np.round(s / n, 6), pa.float64()),
+        }
+    )
