@@ -218,10 +218,13 @@ class SegmentedSearchHTTPServer:
                             _refresh()
                         self._send(200, rep)
                     elif self.path == "/search":
-                        if outer._svc is None:
-                            self._send(400, {"error": "index is empty; POST /index first"})
+                        svc = outer._svc  # read once: a write may swap it
+                        if svc is None:
+                            self._send(
+                                503, {"error": "index empty or write in progress"}
+                            )
                             return
-                        hits = outer._svc.search(_queries_table(payload))
+                        hits = svc.search(_queries_table(payload))
                         self._send(200, {"hits": hits.to_pylist()})
                     else:
                         self._send(404, {"error": f"unknown path {self.path}"})
