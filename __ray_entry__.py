@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority_q3": ops.shipping_priority_q3,
         "parts_never_shipped_late": ops.parts_never_shipped_late,
         "sample_documents": ops.sample_documents,
+        "stratified_sample_documents": ops.stratified_sample_documents,
         "label_centroid_dims": ops.label_centroid_dims,
         "purchase_click_asof": ops.purchase_click_asof,
         "purchase_click_counts": ops.purchase_click_counts,
@@ -322,6 +323,12 @@ def oracle_sql() -> dict[str, str]:
         "sample_documents": (
             "SELECT doc_id, source, n_chars FROM documents "
             "WHERE (doc_id * 2654435761) % 97 < 10"
+        ),
+        "stratified_sample_documents": (
+            "SELECT doc_id, source, n_chars FROM documents "
+            "WHERE (doc_id * 2654435761) % 97 < "
+            "CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0 "
+            "THEN 40 ELSE 10 END"
         ),
         "label_centroid_dims": (
             "SELECT label, count(*)::BIGINT AS n_vecs, "

@@ -1752,3 +1752,25 @@ def event_prop_stats(sf_dir: str):
             "avg_k": pa.array(np.round(s / n, 6), pa.float64()),
         }
     )
+
+
+def stratified_sample_documents(sf_dir: str, mod: int = 97):
+    """STRATIFIED deterministic sampling: per-stratum rates (40/97 for
+    even-numbered sources, 10/97 for odd) on the same Knuth-hash predicate
+    as sample_documents — rates differ per group, membership stays
+    reproducible across engines/partitionings. All vectorized Arrow
+    (utf8_slice + cast + int arithmetic)."""
+    KNUTH = 2654435761
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        src_num = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("source"), 3, 32), pa.int64()
+        ).to_numpy()
+        keep_rate = np.where(src_num % 2 == 0, 40, 10)
+        keep = (ids * KNUTH) % mod < keep_rate
+        return batch.filter(pa.array(keep))
+
+    return _documents(sf_dir, columns=("doc_id", "source", "n_chars")).map_batches(
+        fn, batch_format="pyarrow"
+    )
