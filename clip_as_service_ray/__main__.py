@@ -38,6 +38,15 @@ def main(argv=None) -> int:
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=8080)
 
+    g = sub.add_parser(
+        "serve-segmented",
+        help="serve a segmented index with the full lifecycle "
+        "(POST /index, /search, /delete; GET /health)",
+    )
+    g.add_argument("--index-root", required=True)
+    g.add_argument("--host", default="127.0.0.1")
+    g.add_argument("--port", type=int, default=8080)
+
     args = p.parse_args(argv)
 
     import ray
@@ -81,6 +90,19 @@ def main(argv=None) -> int:
 
             srv = SearchHTTPServer(args.index_dir, EngineConfig(), args.host, args.port)
             print(json.dumps({"serving": srv.url, "index_dir": args.index_dir}), flush=True)
+            try:
+                srv._thread.join()  # serve until interrupted
+            except KeyboardInterrupt:
+                pass
+            finally:
+                srv.shutdown()
+        elif args.cmd == "serve-segmented":
+            from clip_as_service_ray.pipelines.http_api import SegmentedSearchHTTPServer
+
+            srv = SegmentedSearchHTTPServer(
+                args.index_root, EngineConfig(), args.host, args.port
+            )
+            print(json.dumps({"serving": srv.url, "index_root": args.index_root}), flush=True)
             try:
                 srv._thread.join()  # serve until interrupted
             except KeyboardInterrupt:
