@@ -150,3 +150,45 @@ def test_training_data_pipeline(ray_session):
     # deterministic hash sample: written ids all satisfy the sample predicate
     ids = t.column("doc_id").to_numpy()
     assert ((ids * 2654435761) % 97 < 60).all()
+
+
+def test_range_join_empty_right(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from clip_as_service_ray.stages.joins import range_join_count
+
+    US = 1_000_000
+    left = pa.table(
+        {"u": pa.array([1, 2], pa.int64()),
+         "ts": pa.array([0, 5 * US], pa.timestamp("us")),
+         "id": pa.array([7, 8], pa.int64())}
+    )
+    right = left.slice(0, 0)
+    out = (
+        range_join_count(
+            ray.data.from_arrow(left), ray.data.from_arrow(right),
+            key="u", ts="ts", left_id="id", window_s=10.0,
+        )
+        .to_pandas().set_index("left_id")["n_matches"].to_dict()
+    )
+    assert out == {7: 0, 8: 0}  # LEFT-join semantics survive an empty right
+
+
+def test_rolling_sum_single_event(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from clip_as_service_ray.stages.windows import rolling_sum_by_key
+
+    t = pa.table(
+        {"u": pa.array([5], pa.int64()),
+         "ts": pa.array([123], pa.timestamp("us")),
+         "v": pa.array([2.5], pa.float64()),
+         "id": pa.array([0], pa.int64())}
+    )
+    out = rolling_sum_by_key(
+        ray.data.from_arrow(t), key="u", ts="ts", value="v", id_col="id",
+        window_s=1.0,
+    ).to_pandas()
+    assert out["roll_sum"].tolist() == [2.5]
