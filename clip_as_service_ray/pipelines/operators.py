@@ -1302,35 +1302,34 @@ def user_rolling_revenue(sf_dir: str, window_days: float = 1.0):
 
 def order_price_percentile(sf_dir: str):
     """percent_rank() OVER (PARTITION BY priority ORDER BY totalprice) —
-    the rank-window analog of the percentile family. Per-group map_groups
-    with one sort + vectorized min-rank via searchsorted (SQL tie
-    semantics); at over-worker group sizes the distributed form is a
-    per-group sort + block-offset prefix sum (the ShardedConvBase pattern
-    in stages/tokenize.py). Output stays a streaming Dataset."""
+    the rank-window analog of the percentile family, on the DISTRIBUTED
+    rank path (stages/rank.py): global sort + per-block boundary summaries
+    + driver prefix scan over summaries only + per-block correction. No
+    partition-key group is ever held whole in one worker, so a key owning
+    billions of rows costs no more than its share of sorted blocks."""
     import ray.data
+
+    from clip_as_service_ray.stages.rank import percent_rank_by_key
 
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
     )
+    ranked = percent_rank_by_key(
+        ds, key="o_orderpriority", value="o_totalprice", id_col="o_orderkey"
+    )
 
-    def pr(group: pa.Table) -> pa.Table:
-        v = group.column("o_totalprice").to_numpy()
-        n = len(v)
-        sv = np.sort(v)
-        # min rank of each row's value (ties share the lower rank)
-        rank = np.searchsorted(sv, v, side="left")
-        out = rank / (n - 1) if n > 1 else np.zeros(n)
+    def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "o_orderkey": group.column("o_orderkey"),
-                "pr": pa.array(np.round(out, 6), pa.float64()),
+                "o_orderkey": batch.column("o_orderkey"),
+                "pr": pa.array(
+                    np.round(batch.column("pr").to_numpy(), 6), pa.float64()
+                ),
             }
         )
 
-    return ds.groupby("o_orderpriority", num_partitions=4).map_groups(
-        pr, batch_format="pyarrow"
-    )
+    return ranked.map_batches(finish, batch_format="pyarrow")
 
 
 def training_data_pipeline(sf_dir: str, sample_mod: int = 97, sample_keep: int = 60):

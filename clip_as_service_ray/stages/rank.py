@@ -1,0 +1,234 @@
+"""Distributed rank windows: percent_rank() OVER (PARTITION BY k ORDER BY v)
+without per-group materialization.
+
+The per-group ``map_groups`` form (round 2's ``order_price_percentile``)
+holds one whole partition-key group in one UDF call — fine while every
+group fits a worker, wrong when one key owns billions of rows. The
+distributed form here is the sort + block-offset prefix-sum pattern
+(same shape as ``ShardedConvBase`` in stages/tokenize.py):
+
+1. global ``ds.sort([key, value])`` — Ray Data's range shuffle; the only
+   all-to-all exchange in the operator;
+2. one TINY metadata task per sorted block: row count plus the boundary
+   runs (how many leading rows share the first key / first (key, value)
+   pair, same for the trailing rows). O(1) numbers per block, never rows;
+3. a driver prefix scan over those summaries — forward for "rows of my
+   first key in earlier blocks" and its tie count, backward for "rows of
+   my last key in later blocks" — O(#blocks), no row data;
+4. one rank task per block: vectorized run-length rank within the block,
+   corrected at the two boundary keys by the scanned offsets. Emits
+   (id, pr) and the blocks go straight back into a Dataset via
+   ``from_arrow_refs`` — row data never touches the driver.
+
+Raw Ray tasks are used (not ``map_batches``) because the correction per
+block depends on the block's POSITION in the sorted order, which the
+Dataset API does not expose to a batch UDF. Blocks stay in the object
+store end-to-end; peak driver state is the summary list.
+
+SQL semantics: rank() ties share the min rank; percent_rank =
+(rank - 1) / (n_partition - 1), 0 for singleton partitions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+
+@dataclass
+class BlockSummary:
+    n: int
+    first_key: object = None
+    first_val: float = 0.0
+    last_key: object = None
+    last_val: float = 0.0
+    head_k: int = 0  # leading rows with key == first_key
+    head_kv: int = 0  # leading rows with (key, value) == (first_key, first_val)
+    tail_k: int = 0  # trailing rows with key == last_key
+    tail_kv: int = 0  # trailing rows with (key, value) == (last_key, last_val)
+
+
+def _col_np(tbl: pa.Table, name: str) -> np.ndarray:
+    arr = tbl.column(name)
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return np.asarray(arr.to_pylist(), dtype=object)
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def summarize_block(tbl: pa.Table, key: str, value: str) -> BlockSummary:
+    n = tbl.num_rows
+    if n == 0:
+        return BlockSummary(n=0)
+    k = _col_np(tbl, key)
+    v = _col_np(tbl, value)
+    same_k_head = k == k[0]
+    head_k = int(np.argmin(same_k_head)) if not same_k_head.all() else n
+    same_kv_head = same_k_head[:head_k] & (v[:head_k] == v[0])
+    head_kv = int(np.argmin(same_kv_head)) if not same_kv_head.all() else head_k
+    same_k_tail = k == k[-1]
+    tail_k = int(np.argmin(same_k_tail[::-1])) if not same_k_tail.all() else n
+    same_kv_tail = same_k_tail[n - tail_k:] & (v[n - tail_k:] == v[-1])
+    rev = same_kv_tail[::-1]
+    tail_kv = int(np.argmin(rev)) if not rev.all() else tail_k
+    return BlockSummary(
+        n=n,
+        first_key=k[0], first_val=float(v[0]),
+        last_key=k[-1], last_val=float(v[-1]),
+        head_k=head_k, head_kv=head_kv, tail_k=tail_k, tail_kv=tail_kv,
+    )
+
+
+def scan_offsets(summaries: list[BlockSummary]):
+    """Driver-side prefix scan over block summaries (sorted block order).
+
+    Returns per block: (prev_rows, prev_ties, total_first_key,
+    total_last_key) — rows of the block's first key in EARLIER blocks, rows
+    of its exact first (key, value) pair in earlier blocks, and the GLOBAL
+    totals of its first / last keys. Empty blocks pass chains through."""
+    B = len(summaries)
+    prev_rows = [0] * B
+    prev_ties = [0] * B
+    after_rows = [0] * B
+
+    cur_key = None
+    cur_rows = 0
+    cur_val = None
+    cur_pair = 0
+    started = False
+    for i, s in enumerate(summaries):
+        if s.n == 0:
+            continue
+        if started and s.first_key == cur_key:
+            prev_rows[i] = cur_rows
+            prev_ties[i] = cur_pair if s.first_val == cur_val else 0
+        if started and s.first_key == cur_key and s.head_k == s.n:
+            cur_rows += s.n
+            if s.first_val == cur_val and s.head_kv == s.n:
+                cur_pair += s.n
+            else:
+                cur_val = s.last_val
+                cur_pair = s.tail_kv
+        else:
+            cur_key = s.last_key
+            cur_val = s.last_val
+            cur_rows = s.tail_k
+            cur_pair = s.tail_kv
+            started = True
+
+    cur_key = None
+    cur_rows = 0
+    started = False
+    for i in range(B - 1, -1, -1):
+        s = summaries[i]
+        if s.n == 0:
+            continue
+        if started and s.last_key == cur_key:
+            after_rows[i] = cur_rows
+        if started and s.last_key == cur_key and s.tail_k == s.n:
+            cur_rows += s.n
+        else:
+            cur_key = s.first_key
+            cur_rows = s.head_k
+            started = True
+
+    total_fk = [0] * B
+    total_lk = [0] * B
+    for i, s in enumerate(summaries):
+        if s.n == 0:
+            continue
+        single_key = s.head_k == s.n
+        total_fk[i] = prev_rows[i] + s.head_k + (after_rows[i] if single_key else 0)
+        total_lk[i] = (prev_rows[i] if single_key else 0) + s.tail_k + after_rows[i]
+    return prev_rows, prev_ties, total_fk, total_lk
+
+
+def rank_block(
+    tbl: pa.Table,
+    key: str,
+    value: str,
+    id_col: str,
+    prev_rows: int,
+    prev_ties: int,
+    total_fk: int,
+    total_lk: int,
+) -> pa.Table:
+    """Vectorized within-block min-rank, corrected at the boundary keys.
+
+    Rows are already globally sorted by (key, value); for a row with value
+    v in the block's FIRST key, earlier blocks contribute ``prev_rows``
+    rows all <= v, of which exactly ``prev_ties`` equal v when
+    v == first_val (so they are subtracted from the strict-less count)."""
+    n = tbl.num_rows
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), "pr": pa.array([], pa.float64())}
+    )
+    if n == 0:
+        return empty
+    k = _col_np(tbl, key)
+    v = _col_np(tbl, value)
+    idx = np.arange(n, dtype=np.int64)
+    key_change = np.concatenate([[True], k[1:] != k[:-1]])
+    pair_change = key_change | np.concatenate([[True], v[1:] != v[:-1]])[0:]
+    key_start = np.maximum.accumulate(np.where(key_change, idx, 0))
+    run_first = np.maximum.accumulate(np.where(pair_change, idx, 0))
+    less = (run_first - key_start).astype(np.float64)
+
+    bounds = np.concatenate([np.nonzero(key_change)[0], [n]])
+    seg_counts = np.diff(bounds)
+    n_key = np.repeat(seg_counts, seg_counts).astype(np.float64)
+
+    seg0 = int(bounds[1])
+    less[:seg0] += prev_rows
+    if prev_ties:
+        less[:seg0][v[:seg0] == v[0]] -= prev_ties
+    n_key[:seg0] = total_fk
+    n_key[int(bounds[-2]):] = total_lk
+
+    pr = np.where(n_key > 1, less / np.maximum(n_key - 1, 1), 0.0)
+    return pa.table(
+        {
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            "pr": pa.array(pr, pa.float64()),
+        }
+    )
+
+
+def rank_tables(tables: list[pa.Table], key: str, value: str, id_col: str):
+    """Pure-local reference driver over pre-sorted block tables (test hook
+    for adversarial block splits: tie runs and keys spanning blocks)."""
+    summaries = [summarize_block(t, key, value) for t in tables]
+    pr, pt, tf, tl = scan_offsets(summaries)
+    return [
+        rank_block(t, key, value, id_col, pr[i], pt[i], tf[i], tl[i])
+        for i, t in enumerate(tables)
+    ]
+
+
+def percent_rank_by_key(ds, *, key: str, value: str, id_col: str):
+    """percent_rank() OVER (PARTITION BY key ORDER BY value) as a Dataset ->
+    Dataset operator. See module docstring for the distributed shape."""
+    import ray
+    import ray.data
+
+    sorted_ds = ds.sort([key, value])
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()), "pr": pa.array([], pa.float64())})
+        )
+
+    summarize = ray.remote(num_cpus=0.5)(summarize_block)
+    rank = ray.remote(num_cpus=0.5)(rank_block)
+
+    summaries = ray.get([summarize.remote(r, key, value) for r in refs])
+    prev_rows, prev_ties, total_fk, total_lk = scan_offsets(summaries)
+    out_refs = [
+        rank.remote(
+            refs[i], key, value, id_col,
+            prev_rows[i], prev_ties[i], total_fk[i], total_lk[i],
+        )
+        for i in range(len(refs))
+    ]
+    return ray.data.from_arrow_refs(out_refs)

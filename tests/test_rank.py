@@ -1,0 +1,105 @@
+"""Distributed percent_rank (stages/rank.py): block-split fuzz vs brute
+force, plus the Ray end-to-end operator vs DuckDB percent_rank()."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_pr(k: np.ndarray, v: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(k))
+    for i in range(len(k)):
+        m = k == k[i]
+        nk = m.sum()
+        out[i] = (v[m] < v[i]).sum() / (nk - 1) if nk > 1 else 0.0
+    return out
+
+
+def test_rank_tables_fuzz_block_splits():
+    """Pure-local check: arbitrary block cuts (tie runs and keys spanning
+    blocks, empty blocks) give exactly the brute-force percent_rank."""
+    from clip_as_service_ray.stages.rank import rank_tables
+
+    rng = np.random.default_rng(11)
+    for _ in range(150):
+        n = int(rng.integers(1, 60))
+        k = rng.integers(0, 4, n)
+        v = rng.integers(0, 6, n).astype(float)  # heavy ties
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        ids = np.arange(n)
+        exp = _brute_pr(k, v)
+        cuts = np.sort(rng.integers(0, n + 1, int(rng.integers(0, 6))))
+        bounds = [0, *cuts.tolist(), n]
+        tables = [
+            pa.table({"k": k[a:b], "v": v[a:b], "id": ids[a:b]})
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        outs = rank_tables(tables, "k", "v", "id")
+        got = np.concatenate([t.column("pr").to_numpy() for t in outs])
+        gid = np.concatenate([t.column("id").to_numpy() for t in outs])
+        assert (gid == ids).all()
+        np.testing.assert_allclose(got, exp)
+
+
+def test_rank_tables_one_key_spanning_all_blocks():
+    """One partition key across every block — the case the per-group form
+    cannot distribute."""
+    from clip_as_service_ray.stages.rank import rank_tables
+
+    v = np.repeat(np.arange(10.0), 3)  # ties of 3, one key
+    k = np.zeros(len(v), dtype=np.int64)
+    ids = np.arange(len(v))
+    tables = [
+        pa.table({"k": k[a:b], "v": v[a:b], "id": ids[a:b]})
+        for a, b in [(0, 7), (7, 8), (8, 8), (8, 20), (20, 30)]
+    ]
+    outs = rank_tables(tables, "k", "v", "id")
+    got = np.concatenate([t.column("pr").to_numpy() for t in outs])
+    np.testing.assert_allclose(got, _brute_pr(k, v))
+
+
+def test_order_price_percentile_distributed_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import order_price_percentile
+
+    got = (
+        order_price_percentile(SF)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    want = con.execute(
+        "SELECT o_orderkey, round(percent_rank() OVER ("
+        "PARTITION BY o_orderpriority ORDER BY o_totalprice), 6)::DOUBLE AS pr "
+        "FROM orders ORDER BY o_orderkey"
+    ).df()
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    np.testing.assert_allclose(got["pr"], want["pr"], atol=1e-9)
+
+
+def test_percent_rank_by_key_string_partition(ray_session):
+    """String partition keys route through the object-dtype path."""
+    import ray.data
+
+    from clip_as_service_ray.stages.rank import percent_rank_by_key
+
+    rng = np.random.default_rng(3)
+    n = 500
+    k = np.array(["alpha", "beta", "gamma"])[rng.integers(0, 3, n)]
+    v = rng.integers(0, 40, n).astype(float)
+    t = pa.table({"grp": k, "val": v, "rid": np.arange(n, dtype=np.int64)})
+    out = (
+        percent_rank_by_key(
+            ray.data.from_arrow(t).repartition(9),
+            key="grp", value="val", id_col="rid",
+        )
+        .to_pandas()
+        .sort_values("rid")
+    )
+    np.testing.assert_allclose(out["pr"].to_numpy(), _brute_pr(k, v))
