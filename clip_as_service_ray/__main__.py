@@ -47,6 +47,13 @@ def main(argv=None) -> int:
     g.add_argument("--host", default="127.0.0.1")
     g.add_argument("--port", type=int, default=8080)
 
+    c = sub.add_parser(
+        "compact",
+        help="physically purge tombstoned conversations from a segmented "
+        "index (postings-level rewrite, no re-tokenize)",
+    )
+    c.add_argument("--index-root", required=True)
+
     args = p.parse_args(argv)
 
     import ray
@@ -96,6 +103,10 @@ def main(argv=None) -> int:
                 pass
             finally:
                 srv.shutdown()
+        elif args.cmd == "compact":
+            from clip_as_service_ray.pipelines.segments import compact_segments
+
+            print(json.dumps(compact_segments(args.index_root, EngineConfig()), default=str))
         elif args.cmd == "serve-segmented":
             from clip_as_service_ray.pipelines.http_api import SegmentedSearchHTTPServer
 

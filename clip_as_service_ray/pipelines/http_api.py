@@ -135,6 +135,8 @@ class SegmentedSearchHTTPServer:
                      -> builds the next segment; docs searchable on return
         POST /search {"queries": [{query_id, text, limit?}]}
         POST /delete {"conv_ids": [...]} -> tombstones, filtered right away
+        POST /compact {} -> physical purge of tombstoned convs (segments
+                      rewritten at the postings level; stats post-purge)
         GET  /health
 
     Writes serialize under a lock and swap in a fresh scatter service
@@ -153,6 +155,7 @@ class SegmentedSearchHTTPServer:
         from clip_as_service_ray.pipelines.segments import (
             SegmentedQueryService,
             add_segment,
+            compact_segments,
             delete_convs,
         )
 
@@ -217,6 +220,17 @@ class SegmentedSearchHTTPServer:
                             )
                             _refresh()
                         self._send(200, rep)
+                    elif self.path == "/compact":
+                        with outer._write_lock:
+                            rep = compact_segments(outer.index_root, outer.config)
+                            _refresh()
+                        self._send(
+                            200,
+                            rep.get(
+                                "compaction",
+                                {"n_segments_compacted": 0, "n_tombstones_purged": 0},
+                            ),
+                        )
                     elif self.path == "/search":
                         svc = outer._svc  # read once: a write may swap it
                         if svc is None:

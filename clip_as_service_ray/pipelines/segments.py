@@ -108,8 +108,9 @@ def delete_convs(index_root: str, conv_ids) -> dict:
     """DELETE conversations from the segmented index by tombstone: the ids
     are recorded in ``tombstones.json`` and filtered at query time (the
     Lucene deletion model — stats intentionally keep the pre-delete corpus
-    until a rebuild; scoring of survivors is unchanged, which is exactly
-    what an incremental delete should do). Physical purge = rebuild; a
+    until a purge; scoring of survivors is unchanged, which is exactly
+    what an incremental delete should do). Physical purge =
+    ``compact_segments`` (per-segment postings rewrite, no re-tokenize); a
     merge with live tombstones is refused rather than silently resurrecting
     deleted docs."""
     dead = sorted(load_tombstones(index_root) | set(map(str, conv_ids)))
@@ -228,6 +229,263 @@ def _merge_segments_part(
     return pa.table(
         {"term": pa.array(df_terms, pa.string()), "df": pa.array(df_counts, pa.int64())}
     )
+
+
+def _part_block_files(part_dir: str) -> list[str]:
+    if not os.path.isdir(part_dir):
+        return []
+    return [
+        os.path.join(part_dir, f)
+        for f in sorted(os.listdir(part_dir))
+        if f.endswith(".parquet")
+    ]
+
+
+def _dead_doc_stats_part(part_dir: str, old_bases: np.ndarray, alive: np.ndarray):
+    """One Ray task of compaction phase 1: scan one postings part and return
+    the UNIQUE (doc_id, dl) pairs belonging to tombstoned conversations.
+    Output is bounded by the deleted conversations' turn count (deletes are
+    incremental), never by the corpus."""
+    docs_l, dls_l = [], []
+    for fp in _part_block_files(part_dir):
+        t = pq.read_table(fp, use_threads=False)
+        for i in range(t.num_rows):
+            docs, _tfs, dls = decode_block(
+                t.column("data")[i].as_buffer(),
+                int(t.column("n")[i].as_py()),
+                int(t.column("doc_w")[i].as_py()),
+                int(t.column("tf_w")[i].as_py()),
+                int(t.column("dl_w")[i].as_py()),
+                int(t.column("first_doc")[i].as_py()),
+            )
+            pos = np.searchsorted(old_bases, docs, side="right") - 1
+            dead = ~alive[pos]
+            if dead.any():
+                docs_l.append(docs[dead])
+                dls_l.append(dls[dead])
+    if not docs_l:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    docs = np.concatenate(docs_l)
+    dls = np.concatenate(dls_l).astype(np.int64)
+    _, first = np.unique(docs, return_index=True)
+    return docs[first], dls[first]
+
+
+def _compact_part(
+    part_dir: str,
+    old_bases: np.ndarray,
+    new_bases: np.ndarray,
+    alive: np.ndarray,
+    out_dir: str,
+    *,
+    avgdl: float,
+    block_size: int,
+    k1: float,
+    b: float,
+) -> pa.Table:
+    """One Ray task of compaction phase 2: drop tombstoned docs from one
+    postings part, remap surviving doc ids through the compacted conv base,
+    and re-encode block-max blocks under the segment's post-purge avgdl
+    (block bounds are avgdl-dependent). Returns the part's (term, df)."""
+    terms, docs_l, tfs_l, dls_l = [], [], [], []
+    for fp in _part_block_files(part_dir):
+        t = pq.read_table(fp, use_threads=False)
+        for i in range(t.num_rows):
+            docs, tfs, dls = decode_block(
+                t.column("data")[i].as_buffer(),
+                int(t.column("n")[i].as_py()),
+                int(t.column("doc_w")[i].as_py()),
+                int(t.column("tf_w")[i].as_py()),
+                int(t.column("dl_w")[i].as_py()),
+                int(t.column("first_doc")[i].as_py()),
+            )
+            pos = np.searchsorted(old_bases, docs, side="right") - 1
+            keep = alive[pos]
+            if not keep.any():
+                continue
+            pos = pos[keep]
+            terms.append(t.column("term")[i].as_py())
+            docs_l.append(docs[keep] - old_bases[pos] + new_bases[pos])
+            tfs_l.append(tfs[keep])
+            dls_l.append(dls[keep])
+    cols: dict[str, list] = {n: [] for n in BLOCK_SCHEMA.names}
+    df_terms: list[str] = []
+    df_counts: list[int] = []
+    if terms:
+        ns = np.fromiter((len(d) for d in docs_l), dtype=np.int64, count=len(docs_l))
+        codes_u, uniques = pd.factorize(np.asarray(terms, dtype=object), sort=False)
+        codes = np.repeat(codes_u.astype(np.int32), ns)
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        order = np.lexsort((docs, codes))
+        codes, docs, tfs, dls = codes[order], docs[order], tfs[order], dls[order]
+        change = np.nonzero(np.diff(codes) != 0)[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(codes)]])
+        for s, e in zip(starts, ends):
+            encode_postings_to_blocks(
+                uniques[codes[s]], docs[s:e], tfs[s:e], dls[s:e],
+                block_size=block_size, avgdl=avgdl, k1=k1, b=b, out=cols,
+            )
+        df_terms = list(uniques[codes[starts]])
+        df_counts = (ends - starts).astype(np.int64).tolist()
+    os.makedirs(out_dir, exist_ok=True)
+    out_tbl = pa.table(cols, schema=BLOCK_SCHEMA)
+    tmp = os.path.join(out_dir, f"blocks.parquet.tmp.{os.getpid()}")
+    pq.write_table(out_tbl, tmp)
+    os.replace(tmp, os.path.join(out_dir, "blocks.parquet"))
+    mf.mark_stage_done(
+        out_dir,
+        {"stage": "postings_part", "postings": int(sum(df_counts)), "blocks": out_tbl.num_rows},
+    )
+    return pa.table(
+        {"term": pa.array(df_terms, pa.string()), "df": pa.array(df_counts, pa.int64())}
+    )
+
+
+def compact_segments(
+    index_root: str, config: EngineConfig = DEFAULT_CONFIG
+) -> dict:
+    """Physically purge tombstoned conversations — the delete lifecycle's
+    final step (round 2 stopped at query-time filtering).
+
+    Per-segment rewrite at the POSTINGS level, no re-tokenize: segments with
+    no dead conversations are untouched; an affected segment gets (1) a
+    tiny phase-1 scan collecting the dead docs' (doc_id, dl) pairs so the
+    post-purge n_docs/sum_dl/avgdl are exact, then (2) one Ray task per
+    term-hash partition that drops dead postings, remaps surviving doc ids
+    through the compacted conv base (doc_id = base[conv] + turn_idx stays
+    invariant), and re-encodes block-max blocks under the new avgdl. The
+    rewritten segment lands in a temp dir and is swapped in atomically; a
+    segment whose every conversation is dead is removed outright. Tombstones
+    are cleared and union stats refreshed, so a subsequent
+    ``merge_segments`` is legal again.
+
+    Search over the compacted root is bit-identical to a from-scratch
+    segmented build over the surviving corpus (test-pinned)."""
+    import shutil
+
+    import ray
+
+    t0 = time.time()
+    dead_convs = load_tombstones(index_root)
+    if not dead_convs:
+        return {"n_segments_compacted": 0, "n_tombstones_purged": 0}
+    dead_arr = np.asarray(sorted(dead_convs), dtype=object)
+    compacted = 0
+    removed = 0
+    for seg_dir in segment_dirs(index_root):
+        ext = pq.read_table(os.path.join(seg_dir, "convmap.parquet")).select(
+            ["conv_id", "max_turn"]
+        )
+        ext = ext.set_column(1, "max_turn", ext.column("max_turn").cast(pa.int64()))
+        ext = ext.sort_by("conv_id")
+        convs = np.asarray(ext.column("conv_id").to_pylist(), dtype=object)
+        dead_mask = np.isin(convs, dead_arr)
+        if not dead_mask.any():
+            continue
+        surv_ext = ext.filter(pa.array(~dead_mask))
+        if surv_ext.num_rows == 0:
+            shutil.rmtree(seg_dir)
+            removed += 1
+            continue
+        stats = mf.read_json(os.path.join(seg_dir, "stats.json"))
+        n_parts = int(stats["num_index_partitions"])
+        old_cb = compute_conv_bases(ext)
+        new_cb = compute_conv_bases(surv_ext)
+        alive = ~dead_mask
+        new_bases = np.zeros(len(convs), dtype=np.int64)
+        new_bases[alive] = new_cb.bases  # both sides sorted by conv_id
+        part_dirs = [
+            os.path.join(seg_dir, "postings", f"part={p}") for p in range(n_parts)
+        ]
+
+        dead_task = ray.remote(num_cpus=1)(_dead_doc_stats_part)
+        ob_ref = ray.put(old_cb.bases)
+        alive_ref = ray.put(alive)
+        pairs = ray.get([dead_task.remote(d, ob_ref, alive_ref) for d in part_dirs])
+        dd = np.concatenate([p[0] for p in pairs])
+        dl = np.concatenate([p[1] for p in pairs])
+        _, first = np.unique(dd, return_index=True)
+        n_docs = int(stats["n_docs"]) - len(first)
+        sum_dl = int(stats["sum_dl"]) - int(dl[first].sum())
+        avgdl = (sum_dl / n_docs) if n_docs else 0.0
+
+        tmp_dir = seg_dir + ".compact.tmp"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        os.makedirs(tmp_dir)
+        pq.write_table(surv_ext, os.path.join(tmp_dir, "convmap.parquet"))
+        mf.write_json(
+            os.path.join(tmp_dir, "stats.json"),
+            {
+                "n_docs": n_docs, "sum_dl": sum_dl, "avgdl": avgdl,
+                "k1": stats["k1"], "b": stats["b"],
+                "block_size": stats["block_size"],
+                "doc_bucket_size": stats["doc_bucket_size"],
+                "num_index_partitions": n_parts,
+            },
+        )
+        compact_task = ray.remote(num_cpus=1)(_compact_part)
+        nb_ref = ray.put(new_bases)
+        postings_dir = os.path.join(tmp_dir, "postings")
+        futs = [
+            compact_task.remote(
+                part_dirs[p], ob_ref, nb_ref, alive_ref,
+                os.path.join(postings_dir, f"part={p}"),
+                avgdl=avgdl, block_size=int(stats["block_size"]),
+                k1=float(stats["k1"]), b=float(stats["b"]),
+            )
+            for p in range(n_parts)
+        ]
+        df_tables = ray.get(futs)
+        mf.mark_stage_done(
+            postings_dir, {"stage": "postings", "bytes": mf.dir_bytes(postings_dir)}
+        )
+        dict_dir = os.path.join(tmp_dir, "dictionary")
+        mf.reset_stage(dict_dir)
+        cat = pa.concat_tables(df_tables)
+        g = cat.group_by("term").aggregate([("df", "sum")]).rename_columns(["term", "df"])
+        g = g.sort_by("term")
+        pq.write_table(
+            g.set_column(1, "df", g.column("df").cast(pa.int64())),
+            os.path.join(dict_dir, "dictionary.parquet"),
+        )
+        mf.mark_stage_done(dict_dir, {"stage": "dictionary"})
+        mf.write_json(
+            os.path.join(tmp_dir, "manifest.json"),
+            {
+                "engine": "clip_as_service_ray",
+                "compacted_from": os.path.basename(seg_dir),
+                "n_docs": n_docs, "avgdl": avgdl, "n_terms": g.num_rows,
+                "n_postings": int(np.sum(g.column("df").to_numpy())) if g.num_rows else 0,
+            },
+        )
+        old = seg_dir + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(seg_dir, old)
+        os.rename(tmp_dir, seg_dir)
+        shutil.rmtree(old)
+        compacted += 1
+
+    os.remove(tombstones_path(index_root))
+    dirs = segment_dirs(index_root)
+    union = write_union_stats(index_root, dirs)
+    payload = {
+        "n_segments": len(dirs),
+        "segments": [os.path.basename(d) for d in dirs],
+        **union,
+        "compaction": {
+            "n_segments_compacted": compacted,
+            "n_segments_removed": removed,
+            "n_tombstones_purged": len(dead_convs),
+            "seconds": round(time.time() - t0, 3),
+        },
+    }
+    mf.write_json(os.path.join(index_root, "manifest.json"), payload)
+    return payload
 
 
 def merge_segments(

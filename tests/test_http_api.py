@@ -121,5 +121,17 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
 
         health = json.loads(urllib.request.urlopen(srv.url + "/health").read())
         assert health["n_segments"] == 2
+
+        # physical purge: convac's segment had only convac -> segment removed;
+        # deleted doc stays gone and survivors keep ranking
+        out = _post(srv.url + "/compact", {})
+        assert out["n_tombstones_purged"] == 1
+        assert out["n_segments_removed"] == 1
+        hits = _post(srv.url + "/search", {"queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
+        assert "convac" not in {h["conv_id"] for h in hits}
+        assert [h["conv_id"] for h in hits][:1] == ["convaa"]
+        health = json.loads(urllib.request.urlopen(srv.url + "/health").read())
+        assert health["n_segments"] == 1
     finally:
         srv.shutdown()

@@ -143,3 +143,86 @@ def test_tombstone_delete(corpus_halves, tmp_path):
     # physical merge with live tombstones is refused
     with pytest.raises(ValueError, match="tombstone"):
         merge_segments(root, str(tmp_path / "m"), CFG)
+
+
+def test_compact_segments_equals_rebuild_over_survivors(corpus_halves, tmp_path):
+    """Physical purge: delete convs from BOTH segments, compact, and the
+    root must behave exactly like a segmented build over the survivors —
+    stats, ranks, and scores (avgdl/df/n_docs all post-purge)."""
+    from clip_as_service_ray.pipelines.segments import (
+        compact_segments,
+        delete_convs,
+        load_tombstones,
+    )
+
+    corpus, a, b = corpus_halves
+    root = str(tmp_path / "segcmp")
+    add_segment(root, a, CFG)
+    add_segment(root, b, CFG)
+    q = reference_query_table()
+
+    dead = sorted(set(a.column("conv_id").to_pylist()))[:2] + sorted(
+        set(b.column("conv_id").to_pylist())
+    )[:2]
+    delete_convs(root, dead)
+    rep = compact_segments(root, CFG)
+    assert rep["compaction"]["n_segments_compacted"] == 2
+    assert rep["compaction"]["n_tombstones_purged"] == 4
+    assert not load_tombstones(root)
+
+    import pyarrow as pa
+
+    dead_set = pa.array(dead)
+    surv = corpus.filter(pc.invert(pc.is_in(corpus.column("conv_id"), value_set=dead_set)))
+
+    svc = SegmentedQueryService(root, CFG)
+    try:
+        got = svc.search(q).to_pandas()
+    finally:
+        svc.shutdown()
+    want = OracleIndex(surv).search(q).to_pandas()
+    assert _ids(got) == _ids(want)
+    np.testing.assert_allclose(
+        got.score.to_numpy(), want.score.to_numpy(), rtol=0, atol=1e-9
+    )
+
+    # post-purge stats equal a fresh build's stats
+    rebuilt = str(tmp_path / "cmp_rebuilt")
+    rep2 = build_index(surv, rebuilt, CFG, overwrite=True)
+    assert rep["n_docs"] == rep2["n_docs"]
+
+    # merge is legal again after the purge, and still equals the rebuild
+    merged = str(tmp_path / "cmp_merged")
+    merge_segments(root, merged, CFG)
+    got_m = search_table(merged, q, CFG).to_pandas()
+    want_m = search_table(rebuilt, q, CFG).to_pandas()
+    assert _ids(got_m) == _ids(want_m)
+    np.testing.assert_array_equal(got_m.score.to_numpy(), want_m.score.to_numpy())
+
+
+def test_compact_removes_fully_dead_segment(corpus_halves, tmp_path):
+    from clip_as_service_ray.pipelines.segments import (
+        compact_segments,
+        delete_convs,
+    )
+
+    corpus, a, b = corpus_halves
+    root = str(tmp_path / "segrm")
+    add_segment(root, a, CFG)
+    add_segment(root, b, CFG)
+    delete_convs(root, sorted(set(a.column("conv_id").to_pylist())))
+    rep = compact_segments(root, CFG)
+    assert rep["compaction"]["n_segments_removed"] == 1
+    assert len(segment_dirs(root)) == 1
+
+    q = reference_query_table()
+    svc = SegmentedQueryService(root, CFG)
+    try:
+        got = svc.search(q).to_pandas()
+    finally:
+        svc.shutdown()
+    want = OracleIndex(b).search(q).to_pandas()
+    assert _ids(got) == _ids(want)
+    np.testing.assert_allclose(
+        got.score.to_numpy(), want.score.to_numpy(), rtol=0, atol=1e-9
+    )
