@@ -5,16 +5,19 @@ decode + resize + center-crop + normalize at ``executors/helper.py:20-56`` /
 ``model/clip.py:25-52``) re-expressed as Ray Data actor-pool stages over
 opaque ``binary`` columns with typed metadata.
 
-IMAGE CODEC LIBRARIES ARE NOT AVAILABLE IN THIS ENVIRONMENT, so compressed
-formats (JPEG/PNG) cannot decode: ``decode=\"real\"`` REALLY decodes
-uncompressed 24-bit BMP (numpy-only parser, ``decode_bmp``) and raises
-NotImplementedError at the exact point a PIL/libjpeg call would go for
-other formats; ``decode=\"fake\"`` produces a deterministic pseudo-image
-derived from the payload bytes (so downstream shapes/stats are testable for
-any mime). The audio path (``AudioFeatures``) is fully real — raw PCM needs
-no codec. Everything around decode — the Arrow schema, small-batch sizing
-for large binary payloads, actor-pool signature, and output layout — is
-real and tested.
+IMAGE CODEC LIBRARIES ARE NOT AVAILABLE IN THIS ENVIRONMENT, but two
+formats decode FOR REAL anyway: uncompressed 24-bit BMP (numpy-only
+parser, ``decode_bmp``) and 8-bit PNG (``decode_png`` — stdlib zlib
+inflate + numpy scanline unfiltering per the public PNG spec: gray /
+RGB / palette / alpha, all five filter types). ``decode=\"real\"`` raises
+NotImplementedError at the exact point a libjpeg call would go for the
+remaining formats (JPEG's DCT entropy coding genuinely needs a codec);
+``decode=\"fake\"`` produces a deterministic pseudo-image derived from the
+payload bytes (so downstream shapes/stats are testable for any mime). The
+audio path (``AudioFeatures``) is fully real — raw PCM needs no codec.
+Everything around decode — the Arrow schema, small-batch sizing for large
+binary payloads, actor-pool signature, and output layout — is real and
+tested.
 
 Schemas:
   media in : id:int64, payload:binary, mime:string, width:int32, height:int32
@@ -94,6 +97,177 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + raw
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        yield ctype, data
+        pos += 12 + ln  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+    raise ValueError("PNG missing IEND")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering (spec §9: None/Sub/Up/Average/Paeth).
+
+    Row-vectorized where the recurrence allows: Sub is a per-pixel-channel
+    prefix sum mod 256; Up adds the already-reconstructed previous row;
+    Average/Paeth have a genuine left+up dependency, resolved per pixel
+    column within the row (w iterations of vector ops over bpp channels)."""
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: prefix sum along x with stride bpp
+            px = cur.reshape(-1, bpp)
+            rec = np.cumsum(px, axis=0).reshape(-1)
+        elif f == 2:  # Up
+            rec = cur + prev
+        elif f == 3:  # Average
+            rec = cur.copy()
+            up = prev.astype(np.int64)
+            rec[:bpp] += up[:bpp] >> 1
+            rec[:bpp] &= 0xFF
+            for x in range(bpp, stride, bpp):
+                left = rec[x - bpp : x]
+                rec[x : x + bpp] += (left + up[x : x + bpp]) >> 1
+                rec[x : x + bpp] &= 0xFF
+        elif f == 4:  # Paeth
+            rec = cur.copy()
+            up = prev.astype(np.int64)
+            rec[:bpp] += up[:bpp]  # left & upper-left are 0 -> predictor = up
+            rec[:bpp] &= 0xFF
+            for x in range(bpp, stride, bpp):
+                a = rec[x - bpp : x]  # left (already reconstructed)
+                b = up[x : x + bpp]  # up
+                c = up[x - bpp : x]  # upper-left
+                p = a + b - c
+                pa_ = np.abs(p - a)
+                pb_ = np.abs(p - b)
+                pc_ = np.abs(p - c)
+                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c))
+                rec[x : x + bpp] += pred
+                rec[x : x + bpp] &= 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        prev = (rec & 0xFF).astype(np.uint8)
+        out[y] = prev
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode with stdlib zlib + numpy only (PNG spec: IHDR/IDAT
+    inflate + per-scanline unfiltering). Supports 8-bit depth, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced. Returns HxWx3 uint8 RGB (alpha dropped, PIL
+    convert('RGB') semantics). Raises ValueError for non-PNG bytes,
+    NotImplementedError for 16-bit / sub-byte depths and Adam7."""
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype_n, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
+    if channels is None:
+        raise ValueError(f"PNG color type {ctype_n} invalid")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if ctype_n == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return pal[px[..., 0]]
+    if ctype_n == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_n == 4:
+        return np.repeat(px[..., :1], 3, axis=2)
+    return np.ascontiguousarray(px[..., :3])  # RGB / RGBA->RGB
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (8-bit RGB, one chosen filter type for every
+    scanline) — test/fixture writer so the real-decode path is exercisable
+    without codec libs; also round-trip proof for the unfilter kernels."""
+    import zlib
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8 and filter_type in (0, 1, 2, 3, 4)
+    px = img.astype(np.int64)
+    up = np.zeros((h, w, 3), dtype=np.int64)
+    up[1:] = px[:-1]
+    left = np.zeros((h, w, 3), dtype=np.int64)
+    left[:, 1:] = px[:, :-1]
+    ul = np.zeros((h, w, 3), dtype=np.int64)
+    ul[1:, 1:] = px[:-1, :-1]
+    if filter_type == 0:
+        filt = px
+    elif filter_type == 1:
+        filt = px - left
+    elif filter_type == 2:
+        filt = px - up
+    elif filter_type == 3:
+        filt = px - ((left + up) >> 1)
+    else:
+        p = left + up - ul
+        pa_, pb_, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where(
+            (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, up, ul)
+        )
+        filt = px - pred
+    body = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    body[:, 0] = filter_type
+    body[:, 1:] = (filt & 0xFF).astype(np.uint8).reshape(h, w * 3)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no interlace
+    )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in for PIL.Image.open: bytes -> HxWx3 uint8."""
     seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
@@ -133,15 +307,17 @@ class ImagePreprocess:
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
         if self.decode == "fake":
             return _fake_decode(payload, width, height)
-        # decode == "real": uncompressed 24-bit BMP decodes for real
-        # (numpy-only, decode_bmp above); JPEG/PNG/etc would need PIL /
-        # libjpeg, which this environment does not ship — raise at exactly
-        # the point the codec call would go.
+        # decode == "real": BMP and PNG decode for real (numpy-only /
+        # stdlib-zlib parsers above); JPEG would need libjpeg, which this
+        # environment does not ship — raise at exactly the point the codec
+        # call would go.
         if payload[:2] == b"BM":
             return decode_bmp(payload)
+        if payload[:8] == PNG_SIG:
+            return decode_png(payload)
         raise NotImplementedError(
-            "only BMP decodes without codec libraries (PIL/libjpeg absent "
-            "in this environment); the Ray plumbing around it is real"
+            "only BMP and PNG decode without codec libraries (PIL/libjpeg "
+            "absent in this environment); the Ray plumbing around it is real"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -171,3 +171,98 @@ def test_audio_features_real_dsp(ray_session):
     )
     empty = extract_audio_features(tiny, sample_rate=sr).to_pandas()
     assert len(empty) == 0
+
+
+def test_png_round_trip_all_filters():
+    from clip_as_service_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (9, 13), (24, 24), (17, 3)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for f in range(5):  # None / Sub / Up / Average / Paeth scanlines
+            out = decode_png(encode_png(img, filter_type=f))
+            np.testing.assert_array_equal(out, img)
+    with pytest.raises(ValueError):
+        decode_png(b"nonsense-bytes" * 8)
+    with pytest.raises(ValueError):
+        decode_png(encode_png(img)[:40])  # truncated: no IDAT/IEND
+
+
+def test_png_color_types_and_unsupported():
+    import zlib
+
+    from clip_as_service_ray.stages.multimodal import PNG_SIG, decode_png
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+
+    def manual(w, h, ctype_n, channels, raw_px, extra=b"", depth=8, interlace=0):
+        ihdr = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, ctype_n, 0, 0, interlace])
+        )
+        body = b"".join(
+            b"\x00" + raw_px[y * w * channels : (y + 1) * w * channels].tobytes()
+            for y in range(h)
+        )
+        return (
+            PNG_SIG + chunk(b"IHDR", ihdr) + extra
+            + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(9)
+    h, w = 6, 5
+    g = rng.integers(0, 256, (h, w, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(manual(w, h, 0, 1, g.ravel())), np.repeat(g, 3, axis=2)
+    )
+    rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(manual(w, h, 6, 4, rgba.ravel())), rgba[..., :3]
+    )
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (h, w, 1), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(manual(w, h, 3, 1, idx.ravel(), extra=chunk(b"PLTE", pal.tobytes()))),
+        pal[idx[..., 0]],
+    )
+    with pytest.raises(NotImplementedError):  # 16-bit needs the wide path
+        decode_png(manual(w, h, 0, 1, g.ravel(), depth=16))
+    with pytest.raises(NotImplementedError):  # Adam7
+        decode_png(manual(w, h, 0, 1, g.ravel(), interlace=1))
+
+
+def test_real_png_decode_through_preprocess():
+    from clip_as_service_ray.stages.multimodal import encode_png
+
+    rng = np.random.default_rng(11)
+    imgs = [
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for h, w in [(40, 64), (64, 40)]
+    ]
+    media = pa.table(
+        {
+            "id": pa.array(range(len(imgs)), pa.int64()),
+            "payload": pa.array(
+                [encode_png(i, filter_type=4) for i in imgs], pa.binary()
+            ),
+            "mime": pa.array(["image/png"] * len(imgs)),
+            "width": pa.array([i.shape[1] for i in imgs], pa.int32()),
+            "height": pa.array([i.shape[0] for i in imgs], pa.int32()),
+        }
+    )
+    out = ImagePreprocess(size=32, decode="real")(media)
+    assert out.column("shape").to_pylist() == [[3, 32, 32]] * len(imgs)
+    from clip_as_service_ray.stages.multimodal import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        _resize_center_crop,
+    )
+
+    mean = np.asarray(IMAGENET_MEAN, dtype=np.float32).reshape(3, 1, 1)
+    std = np.asarray(IMAGENET_STD, dtype=np.float32).reshape(3, 1, 1)
+    for i, img in enumerate(imgs):
+        want = (_resize_center_crop(img, 32).astype(np.float32) / 255.0).transpose(2, 0, 1)
+        want = ((want - mean) / std).ravel()
+        got = np.asarray(out.column("tensor")[i].as_py(), dtype=np.float32)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
