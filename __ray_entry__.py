@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_click_asof": ops.purchase_click_asof,
         "purchase_click_counts": ops.purchase_click_counts,
         "revenue_filter_q6": ops.revenue_filter_q6,
+        "local_supplier_volume": ops.local_supplier_volume,
+        "large_order_customers": ops.large_order_customers,
+        "promo_revenue": ops.promo_revenue,
         "ann_topk": ops.ann_topk,
         "ann_topk_batch": ops.ann_topk_batch,
         "ann_ivf_topk": ops.ann_ivf_topk,
@@ -346,6 +349,35 @@ def oracle_sql() -> dict[str, str]:
             "ON c.user_id = p.user_id AND c.ts >= p.ts "
             "AND c.ts < p.ts + INTERVAL 5 MINUTE "
             "GROUP BY p.event_id"
+        ),
+        "local_supplier_volume": (
+            # TPC-H Q5 analog (same-nation customer/supplier in one region)
+            "SELECT n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01' "
+            "GROUP BY n_name"
+        ),
+        "large_order_customers": (
+            # TPC-H Q18 analog; quantities are integral so sums are exact
+            "WITH s AS (SELECT l_orderkey, sum(l_quantity)::DOUBLE AS sum_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) "
+            "SELECT c_name, o_orderkey, round(o_totalprice, 2)::DOUBLE AS o_totalprice, "
+            "s.sum_qty FROM orders JOIN s ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY orders.o_totalprice DESC, o_orderkey ASC LIMIT 20"
+        ),
+        "promo_revenue": (
+            # TPC-H Q14 analog over the synthetic p_type vocabulary
+            "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+            "/ sum(l_extendedprice * (1 - l_discount)), 6)::DOUBLE AS promo_revenue_pct "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'"
         ),
         "revenue_filter_q6": (
             "SELECT round(sum(l_extendedprice * l_discount), 2)::DOUBLE AS revenue, "

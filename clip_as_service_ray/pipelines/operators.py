@@ -1773,3 +1773,241 @@ def stratified_sample_documents(sf_dir: str, mod: int = 97):
     return _documents(sf_dir, columns=("doc_id", "source", "n_chars")).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          date_from: str = "1996-01-01", date_to: str = "1998-01-01"):
+    """TPC-H Q5 analog — revenue per nation where the ordering customer and
+    the supplying supplier share a nation inside one region. Six tables,
+    ONE shuffle: region/nation/supplier/customer are dimension maps
+    broadcast into the fact scans (at 100-TB proportions customer is the
+    first map to outgrow a broadcast; the swap is a shuffle_hash_join on
+    custkey, same downstream shape), lineitem pre-aggregates
+    (okey, supp-nation) partials inside map_batches, and the only
+    all-to-all is the orderkey-keyed shuffle_hash_join against the
+    filtered orders. Output: (n_name, revenue) ordered by revenue DESC."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.stages.joins import (
+        broadcast_hash_join,
+        shuffle_hash_join,
+    )
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), filters=[("r_name", "==", region)]
+    )
+    rk = set(reg.column("r_regionkey").to_pylist())
+    nmask = pa.array([k in rk for k in nation.column("n_regionkey").to_pylist()])
+    nat = nation.filter(nmask)
+    nat_keys = set(nat.column("n_nationkey").to_pylist())
+    name_of = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    supp = supp.filter(
+        pc.is_in(supp.column("s_nationkey"), value_set=pa.array(sorted(nat_keys)))
+    ).rename_columns(["l_suppkey", "s_nat"])
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust.filter(
+        pc.is_in(cust.column("c_nationkey"), value_set=pa.array(sorted(nat_keys)))
+    ).rename_columns(["o_custkey", "c_nat"])
+
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    )
+    orders_sel = broadcast_hash_join(
+        orders, cust, left_key="o_custkey", right_key="o_custkey"
+    ).map_batches(
+        lambda b: pa.table({"okey": b.column("o_orderkey"), "c_nat": b.column("c_nat")}),
+        batch_format="pyarrow",
+    )
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    line = broadcast_hash_join(line, supp, left_key="l_suppkey", right_key="l_suppkey")
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        rev = batch.column("l_extendedprice").to_numpy() * (
+            1.0 - batch.column("l_discount").to_numpy()
+        )
+        t = pa.table(
+            {
+                "okey": batch.column("l_orderkey"),
+                "s_nat": batch.column("s_nat"),
+                "rev": pa.array(rev, pa.float64()),
+            }
+        )
+        g = t.group_by(["okey", "s_nat"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["okey", "s_nat", "rev"])
+
+    joined = shuffle_hash_join(
+        line.map_batches(rev_partial, batch_format="pyarrow"), orders_sel, on="okey"
+    )
+
+    def same_nation_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("s_nat"), batch.column("c_nat"))
+        sub = batch.filter(keep)
+        g = (
+            pa.table({"nat": sub.column("s_nat"), "rev": sub.column("rev")})
+            .group_by("nat")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["nat", "rev"])
+
+    agg = (
+        joined.map_batches(same_nation_partial, batch_format="pyarrow")
+        .groupby("nat", num_partitions=2)
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    t = agg.to_pandas()  # <= one row per nation in the region
+    t["n_name"] = [name_of[int(k)] for k in t["nat"]]
+    t["revenue"] = np.round(t["revenue"].to_numpy(), 2)
+    t = t.sort_values("revenue", ascending=False).reset_index(drop=True)
+    return pa.table(
+        {
+            "n_name": pa.array(t["n_name"], pa.string()),
+            "revenue": pa.array(t["revenue"], pa.float64()),
+        }
+    )
+
+
+def large_order_customers(sf_dir: str, qty_threshold: float = 300.0, k: int = 20):
+    """TPC-H Q18 analog — customers with orders whose total quantity
+    exceeds a threshold. lineitem pre-aggregates sum(qty) per order inside
+    map_batches (combiner), one small groupby finishes the per-order sums,
+    the HAVING filter shrinks the result to a driver-safe set (threshold
+    semantics guarantee it), and the survivors broadcast back into orders.
+    Top-k by (o_totalprice DESC, o_orderkey ASC) via per-batch partial
+    top-k + driver merge — no global sort."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.stages.joins import broadcast_hash_join
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "o_orderkey": batch.column("l_orderkey"),
+                    "q": batch.column("l_quantity").cast(pa.float64()),
+                }
+            )
+            .group_by("o_orderkey")
+            .aggregate([("q", "sum")])
+        )
+        return g.rename_columns(["o_orderkey", "q"])
+
+    sums = (
+        line.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("o_orderkey", num_partitions=4)
+        .aggregate(Sum("q", alias_name="sum_qty"))
+    )
+    big_df = sums.filter(
+        expr=f"sum_qty > {qty_threshold}"
+    ).to_pandas()  # HAVING keeps this driver-small by construction
+    big = pa.Table.from_pandas(big_df, preserve_index=False)
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    joined = broadcast_hash_join(
+        orders, big, left_key="o_orderkey", right_key="o_orderkey"
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy()
+        okey = batch.column("o_orderkey").to_numpy()
+        order = np.lexsort((okey, -price))[:k]
+        return batch.take(pa.array(np.sort(order), pa.int64()))
+
+    df = joined.map_batches(topk_partial, batch_format="pyarrow").to_pandas().sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(k)
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    cname = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_name").to_pylist()))
+    return pa.table(
+        {
+            "c_name": pa.array([cname[int(c)] for c in df["o_custkey"]], pa.string()),
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+            "o_totalprice": pa.array(
+                np.round(df["o_totalprice"].to_numpy(), 2), pa.float64()
+            ),
+            "sum_qty": pa.array(df["sum_qty"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+def promo_revenue(sf_dir: str, date_from: str = "1996-01-01", date_to: str = "1997-01-01"):
+    """TPC-H Q14 analog — promo part types' share of revenue in a shipdate
+    window. part is a broadcast dimension map (p_partkey -> is-promo flag);
+    the whole aggregate is two floats per batch folded by one tiny
+    driver-side sum — no shuffle at all. Output: one row
+    (promo_revenue_pct:float64)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from clip_as_service_ray.stages.joins import broadcast_hash_join
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    dim = pa.table(
+        {
+            "l_partkey": part.column("p_partkey"),
+            "is_promo": pc.equal(part.column("p_type"), pa.scalar("PROMO")),
+        }
+    )
+
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    )
+    joined = broadcast_hash_join(line, dim, left_key="l_partkey", right_key="l_partkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = batch.column("l_extendedprice").to_numpy() * (
+            1.0 - batch.column("l_discount").to_numpy()
+        )
+        promo = batch.column("is_promo").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "promo_rev": pa.array([float(rev[promo].sum())], pa.float64()),
+                "total_rev": pa.array([float(rev.sum())], pa.float64()),
+            }
+        )
+
+    t = pa.concat_tables(
+        ray.get(joined.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+    )
+    promo_rev = float(np.sum(t.column("promo_rev").to_numpy()))
+    total_rev = float(np.sum(t.column("total_rev").to_numpy()))
+    pct = 100.0 * promo_rev / total_rev if total_rev else 0.0
+    return pa.table({"promo_revenue_pct": pa.array([round(pct, 6)], pa.float64())})

@@ -26,9 +26,24 @@ import numpy as np
 import pyarrow as pa
 
 
+# Per-worker-process cache of fetched broadcast sides. ray.get on a plasma
+# object is zero-copy shared memory, but deserializing the (keys, payload)
+# tuple per batch still costs; one fetch per worker is the right amount.
+# Bounded so long-lived workers serving many distinct joins don't grow it.
+_BROADCAST_CACHE: dict = {}
+_BROADCAST_CACHE_MAX = 8
+
+
 def broadcast_hash_join(ds, small_table: pa.Table, *, left_key: str, right_key: str):
     """Inner equi-join: stream ``ds`` against a broadcast ``small_table``.
-    Right keys must be unique (dimension-table contract; asserted)."""
+    Right keys must be unique (dimension-table contract; asserted).
+
+    Task-based on purpose: an actor-pool probe pins CPUs for the lifetime
+    of the stage, and a plan composing several broadcast joins (e.g. TPC-H
+    Q5's supplier+customer dims) would pin pool×2 CPUs and starve the read
+    tasks on small clusters — a deadlock we hit at num_cpus=4. Plain tasks
+    fetch the broadcast once per worker process (module cache below) and
+    release their CPU between batches."""
     import ray
 
     st = small_table.sort_by(right_key)
@@ -38,23 +53,24 @@ def broadcast_hash_join(ds, small_table: pa.Table, *, left_key: str, right_key: 
     payload_cols = [c for c in st.column_names if c != right_key]
     ref = ray.put((keys, {c: st.column(c) for c in payload_cols}))
 
-    class Probe:
-        def __init__(self):
-            self.keys, self.payload = ray.get(ref)
+    def probe_fn(batch: pa.Table) -> pa.Table:
+        cache_key = ref.hex()
+        state = _BROADCAST_CACHE.get(cache_key)
+        if state is None:
+            if len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+                _BROADCAST_CACHE.clear()
+            state = _BROADCAST_CACHE[cache_key] = ray.get(ref)
+        skeys, payload = state
+        probe = batch.column(left_key).to_numpy()
+        pos = np.searchsorted(skeys, probe)
+        ok = (pos < len(skeys)) & (skeys[np.minimum(pos, len(skeys) - 1)] == probe)
+        sub = batch.filter(pa.array(ok))
+        take = pa.array(pos[ok], pa.int64())
+        for c, arr in payload.items():
+            sub = sub.append_column(c, arr.take(take))
+        return sub
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            probe = batch.column(left_key).to_numpy()
-            pos = np.searchsorted(self.keys, probe)
-            ok = (pos < len(self.keys)) & (
-                self.keys[np.minimum(pos, len(self.keys) - 1)] == probe
-            )
-            sub = batch.filter(pa.array(ok))
-            take = pa.array(pos[ok], pa.int64())
-            for c, arr in self.payload.items():
-                sub = sub.append_column(c, arr.take(take))
-            return sub
-
-    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=2)
+    return ds.map_batches(probe_fn, batch_format="pyarrow")
 
 
 def shuffle_hash_join(

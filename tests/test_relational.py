@@ -94,6 +94,66 @@ def test_revenue_filter_q6(ray_session):
     assert abs(got.column("revenue")[0].as_py() - float(want[0])) < 1e-4
 
 
+def test_local_supplier_volume_q5(ray_session):
+    from clip_as_service_ray.pipelines.operators import local_supplier_volume
+
+    got = local_supplier_volume(SF)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _view(con, t)
+    want = con.execute(
+        "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' "
+        "AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01' "
+        "GROUP BY n_name ORDER BY revenue DESC"
+    ).df()
+    assert got.column("n_name").to_pylist() == want["n_name"].tolist()
+    np.testing.assert_allclose(
+        got.column("revenue").to_numpy(), want["revenue"], atol=1e-4
+    )
+
+
+def test_large_order_customers_q18(ray_session):
+    from clip_as_service_ray.pipelines.operators import large_order_customers
+
+    got = large_order_customers(SF, qty_threshold=250.0, k=10)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        _view(con, t)
+    want = con.execute(
+        "WITH s AS (SELECT l_orderkey, sum(l_quantity)::DOUBLE AS sum_qty "
+        "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250) "
+        "SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice, s.sum_qty "
+        "FROM orders JOIN s ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "ORDER BY orders.o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    ).df()
+    assert got.column("o_orderkey").to_pylist() == want["o_orderkey"].tolist()
+    assert got.column("c_name").to_pylist() == want["c_name"].tolist()
+    assert got.column("sum_qty").to_pylist() == want["sum_qty"].tolist()
+
+
+def test_promo_revenue_q14(ray_session):
+    from clip_as_service_ray.pipelines.operators import promo_revenue
+
+    got = promo_revenue(SF)
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        _view(con, t)
+    want = con.execute(
+        "SELECT 100.0 * sum(CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+        "/ sum(l_extendedprice * (1 - l_discount)) "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'"
+    ).fetchone()[0]
+    assert abs(got.column("promo_revenue_pct")[0].as_py() - want) < 1e-5
+
+
 def test_rolling_sum_range_semantics(ray_session):
     import pyarrow as pa
     import ray.data
