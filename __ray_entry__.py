@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": ops.local_supplier_volume,
         "large_order_customers": ops.large_order_customers,
         "promo_revenue": ops.promo_revenue,
+        "bpe_vocab_top_tokens": ops.bpe_vocab_top_tokens,
         "ann_topk": ops.ann_topk,
         "ann_topk_batch": ops.ann_topk_batch,
         "ann_ivf_topk": ops.ann_ivf_topk,

@@ -2011,3 +2011,40 @@ def promo_revenue(sf_dir: str, date_from: str = "1996-01-01", date_to: str = "19
     total_rev = float(np.sum(t.column("total_rev").to_numpy()))
     pct = 100.0 * promo_rev / total_rev if total_rev else 0.0
     return pa.table({"promo_revenue_pct": pa.array([round(pct, 6)], pa.float64())})
+
+
+def bpe_vocab_top_tokens(
+    sf_dir: str, num_merges: int = 200, min_count: int = 2, k: int = 30
+):
+    """M5 closure — learn a BPE merge table FROM the documents corpus, then
+    encode the corpus with it and report the top-k subword tokens.
+
+    Ray-Data split (stages/bpe.py): the two corpus-sized passes (word
+    count, token count) are combiner-map_batches + one small groupby each;
+    the merge loop runs over the weighted distinct-word table
+    (corpus-size-independent). Encoding is the reference's load-once +
+    per-token-cache shape (simple_tokenizer.py:71-92) as an actor pool.
+    Non-SQL-expressible (iterative subword learning) -> rows-only entry;
+    pinned by tests/test_bpe.py against a pure-Python end-to-end twin.
+    Output: (token:string, n:int64), (n DESC, token ASC), k rows."""
+    from clip_as_service_ray.stages.bpe import (
+        bpe_token_counts,
+        train_bpe_from_dataset,
+    )
+
+    ds = _documents(sf_dir, columns=("text",))
+    merges = train_bpe_from_dataset(
+        ds, num_merges=num_merges, min_count=min_count
+    )
+    counts = bpe_token_counts(
+        _documents(sf_dir, columns=("text",)), merges
+    )
+    df = counts.to_pandas().sort_values(
+        ["n", "token"], ascending=[False, True]
+    ).head(k)
+    return pa.table(
+        {
+            "token": pa.array(df["token"].tolist(), pa.string()),
+            "n": pa.array(df["n"].to_numpy(), pa.int64()),
+        }
+    )
