@@ -1,0 +1,496 @@
+"""Baseline JPEG (ITU-T T.81 sequential DCT) codec in numpy + stdlib.
+
+No libjpeg/PIL in this environment, so the image stage decodes JFIF
+itself: marker parse -> Huffman entropy decode (arbitrary DHT tables,
+byte-stuffing, restart markers) -> batch dequantize/de-zigzag -> one
+vectorized IDCT over all blocks of a component -> chroma upsample ->
+YCbCr->RGB. The encoder exists for fixtures/round-trip tests (4:4:4 or
+4:2:0, libjpeg-convention quality scaling, Annex K quant + Huffman
+tables). Entropy coding is per-symbol Python (inherently sequential);
+all block math is numpy. Progressive/arithmetic/12-bit variants raise
+NotImplementedError.
+
+Reference parity note: the reference feeds images through PIL into CLIP
+preprocessing (`/root/reference/server/clip_server/model/clip.py:56-79`);
+this module replaces the PIL decode leg for the sandbox. Tables and
+algorithm are the public T.81 spec (Annex A/F/K).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag position -> natural (row-major) coefficient index (T.81 Fig. A.6)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# Annex K.1/K.2 base quantization tables (natural order)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  list(range(12)))
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+# orthonormal 8x8 DCT-II basis: forward F = C @ B @ C.T, inverse B = C.T @ F @ C
+_C8 = np.array([
+    [np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8)
+     * np.cos((2 * x + 1) * u * np.pi / 16) for x in range(8)]
+    for u in range(8)
+])
+_C8[0, :] = np.sqrt(1 / 8)  # exact alpha(0) row
+
+
+def _canonical_codes(bits, vals):
+    """(BITS, HUFFVAL) -> list of (value, code, length) in canonical order."""
+    out, code, k = [], 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((vals[k], code, length))
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits, vals):
+    return {(ln, code): v for v, code, ln in _canonical_codes(bits, vals)}
+
+
+def _encode_table(bits, vals):
+    return {v: (code, ln) for v, code, ln in _canonical_codes(bits, vals)}
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs FF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.cnt = 0
+
+    def _next_byte(self):
+        d = self.data
+        if self.pos >= len(d):
+            return None
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt != 0x00:
+                return None  # a real marker ends the entropy segment
+            self.pos += 2
+            return 0xFF
+        self.pos += 1
+        return b
+
+    def read_bit(self) -> int:
+        if self.cnt == 0:
+            b = self._next_byte()
+            self.cur = 0 if b is None else b  # spec: pad past-the-end with 0
+            self.cnt = 8
+        self.cnt -= 1
+        return (self.cur >> self.cnt) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid Huffman code in entropy stream")
+
+    def restart(self):
+        """Byte-align and consume an RSTn marker."""
+        self.cnt = 0
+        d = self.data
+        if not (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
+
+def _extend(r: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: s-bit magnitude -> signed value."""
+    return r if r >= (1 << (s - 1)) else r - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF -> (h, w, 3) uint8 RGB (grayscale replicated)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    dri = 0
+    frame = None
+    pos = 2
+    data = payload
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # parameterless
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(seg):
+                pq_, tq = seg[o] >> 4, seg[o] & 0xF
+                if pq_ != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tab = np.frombuffer(seg[o + 1:o + 65], dtype=np.uint8).astype(np.int64)
+                qt[tq] = tab  # stored in zigzag order
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(seg):
+                tc, th = seg[o] >> 4, seg[o] & 0xF
+                bits = list(seg[o + 1:o + 17])
+                n = sum(bits)
+                vals = list(seg[o + 17:o + 17 + n])
+                huff[(tc, th)] = _decode_table(bits, vals)
+                o += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"non-baseline SOF marker {marker:#x}")
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS -> entropy-coded data follows
+            ns = seg[0]
+            sel = {}
+            for i in range(ns):
+                cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                sel[cs] = (tables >> 4, tables & 0xF)
+            pos += seglen
+            return _decode_scan(data, pos, frame, sel, qt, huff, dri)
+        pos += seglen
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(data, pos, frame, sel, qt, huff, dri) -> np.ndarray:
+    if frame is None:
+        raise ValueError("SOS before SOF")
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # blocks across, padded to MCU grid
+        c["bh"] = mcuy * c["v"]
+        c["blocks"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["pred"] = 0
+        c["dc"], c["ac"] = sel[c["id"]]
+
+    rd = _BitReader(data, pos)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and n_mcu and n_mcu % dri == 0:
+                rd.restart()
+                for c in comps:
+                    c["pred"] = 0
+            n_mcu += 1
+            for c in comps:
+                dc_t = huff[(0, c["dc"])]
+                ac_t = huff[(1, c["ac"])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, dtype=np.int32)
+                        s = rd.decode_huff(dc_t)
+                        diff = _extend(rd.read_bits(s), s) if s else 0
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = rd.decode_huff(ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            blk[k] = _extend(rd.read_bits(s), s)
+                            k += 1
+                        row = my * c["v"] + by
+                        col = mx * c["h"] + bx
+                        c["blocks"][row * c["bw"] + col] = blk
+
+    planes = []
+    for c in comps:
+        zz = c["blocks"].astype(np.float64) * qt[c["tq"]][None, :]
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz  # de-zigzag: zigzag pos i lives at natural ZIGZAG[i]
+        b = nat.reshape(-1, 8, 8)
+        px = np.einsum("ij,njk,kl->nil", _C8.T, b, _C8) + 128.0
+        grid = px.reshape(c["bh"], c["bw"], 8, 8).transpose(0, 2, 1, 3)
+        plane = grid.reshape(c["bh"] * 8, c["bw"] * 8)
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b_ = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b_], axis=-1), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-convention quality (1-100) -> scaled table."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _amplitude(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _encode_blocks(bw, blocks_zz, pred, dc_tab, ac_tab):
+    """Write one component block's coefficients (zigzag int array)."""
+    for blk in blocks_zz:
+        diff = int(blk[0]) - pred[0]
+        pred[0] = int(blk[0])
+        s = _category(diff)
+        code, ln = dc_tab[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(_amplitude(diff, s), s)
+        run = 0
+        nz = np.nonzero(blk[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tab[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_tab[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(_amplitude(v, s), s)
+            run = 0
+        if last < 63:
+            code, ln = ac_tab[0x00]  # EOB
+            bw.write(code, ln)
+
+
+def _dct_quant(plane: np.ndarray, qtab_zz: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (H, W multiples of 8) -> (n_blocks, 64) zigzag ints.
+    Blocks ordered row-major over the block grid."""
+    H, W = plane.shape
+    b = plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    f = np.einsum("ij,njk,kl->nil", _C8, b - 128.0, _C8.T).reshape(-1, 64)
+    zz = f[:, ZIGZAG]
+    return np.round(zz / qtab_zz[None, :]).astype(np.int32)
+
+
+def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
+    H, W = plane.shape
+    return np.pad(plane, ((0, (-H) % mult), (0, (-W) % mult)), mode="edge")
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> baseline JFIF bytes.
+
+    ``subsample=True`` emits 4:2:0 (chroma averaged 2x2), else 4:4:4.
+    """
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _quality_scale(QT_LUMA, quality)[ZIGZAG]      # zigzag order
+    qc = _quality_scale(QT_CHROMA, quality)[ZIGZAG]
+
+    if gray:
+        y = img.astype(np.float64)
+        planes = [(_pad_edge(y, 8), qy, 0)]
+        comps = [(1, 1, 1, 0)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b_
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b_ + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b_ + 128.0
+        if subsample:
+            yp = _pad_edge(y, 16)
+            cbp = _pad_edge(cb, 16)
+            crp = _pad_edge(cr, 16)
+            cbs = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+            crs = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+            planes = [(yp, qy, 0), (cbs, qc, 1), (crs, qc, 1)]
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        else:
+            planes = [(_pad_edge(y, 8), qy, 0), (_pad_edge(cb, 8), qc, 1),
+                      (_pad_edge(cr, 8), qc, 1)]
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+
+    coeffs = [_dct_quant(p, q) for p, q, _ in planes]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, tab in ((0, qy), (1, qc)) if not gray else ((0, qy),):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
+            + bytes(int(x) for x in tab)
+    nc = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid, hs, vs, tq in comps:
+        out += bytes([cid, (hs << 4) | vs, tq])
+    tables = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if not gray:
+        tables += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    for tid, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tid]) \
+            + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for i, (cid, *_rest) in enumerate(comps):
+        out += bytes([cid, 0x00 if i == 0 else 0x11])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+
+    enc_dc = [_encode_table(*HUFF_DC_LUMA), _encode_table(*HUFF_DC_CHROMA)]
+    enc_ac = [_encode_table(*HUFF_AC_LUMA), _encode_table(*HUFF_AC_CHROMA)]
+    bw = _BitWriter()
+    preds = [[0] for _ in comps]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    bws = [planes[i][0].shape[1] // 8 for i in range(len(comps))]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                tsel = 0 if ci == 0 else 1
+                for by in range(vs):
+                    for bx in range(hs):
+                        row = my * vs + by
+                        col = mx * hs + bx
+                        blk = coeffs[ci][row * bws[ci] + col]
+                        _encode_blocks(bw, [blk], preds[ci],
+                                       enc_dc[tsel], enc_ac[tsel])
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -5,19 +5,20 @@ decode + resize + center-crop + normalize at ``executors/helper.py:20-56`` /
 ``model/clip.py:25-52``) re-expressed as Ray Data actor-pool stages over
 opaque ``binary`` columns with typed metadata.
 
-IMAGE CODEC LIBRARIES ARE NOT AVAILABLE IN THIS ENVIRONMENT, but two
-formats decode FOR REAL anyway: uncompressed 24-bit BMP (numpy-only
-parser, ``decode_bmp``) and 8-bit PNG (``decode_png`` — stdlib zlib
-inflate + numpy scanline unfiltering per the public PNG spec: gray /
-RGB / palette / alpha, all five filter types). ``decode=\"real\"`` raises
-NotImplementedError at the exact point a libjpeg call would go for the
-remaining formats (JPEG's DCT entropy coding genuinely needs a codec);
-``decode=\"fake\"`` produces a deterministic pseudo-image derived from the
-payload bytes (so downstream shapes/stats are testable for any mime). The
-audio path (``AudioFeatures``) is fully real — raw PCM needs no codec.
-Everything around decode — the Arrow schema, small-batch sizing for large
-binary payloads, actor-pool signature, and output layout — is real and
-tested.
+IMAGE CODEC LIBRARIES ARE NOT AVAILABLE IN THIS ENVIRONMENT, so the three
+common formats decode FOR REAL from first principles: uncompressed 24-bit
+BMP (numpy-only parser, ``decode_bmp``), 8-bit PNG (``decode_png`` —
+stdlib zlib inflate + numpy scanline unfiltering: gray / RGB / palette /
+alpha, all five filter types), and baseline JPEG (``functions/jpeg.py`` —
+T.81 marker parse, Huffman entropy decode with restart markers, batch
+numpy IDCT, 4:2:0 upsampling). ``decode=\"real\"`` raises
+NotImplementedError only for genuinely exotic variants (progressive /
+arithmetic JPEG, 16-bit PNG); ``decode=\"fake\"`` produces a deterministic
+pseudo-image derived from the payload bytes (downstream shapes/stats
+testable for any mime). The audio path (``AudioFeatures``) is fully real —
+raw PCM needs no codec. Everything around decode — the Arrow schema,
+small-batch sizing for large binary payloads, actor-pool signature, and
+output layout — is real and tested.
 
 Schemas:
   media in : id:int64, payload:binary, mime:string, width:int32, height:int32
@@ -307,17 +308,20 @@ class ImagePreprocess:
     def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
         if self.decode == "fake":
             return _fake_decode(payload, width, height)
-        # decode == "real": BMP and PNG decode for real (numpy-only /
-        # stdlib-zlib parsers above); JPEG would need libjpeg, which this
-        # environment does not ship — raise at exactly the point the codec
-        # call would go.
+        # decode == "real": BMP, PNG and baseline JPEG decode for real
+        # (numpy/stdlib parsers — see module header); anything else raises
+        # at exactly the point an external codec call would go.
         if payload[:2] == b"BM":
             return decode_bmp(payload)
         if payload[:8] == PNG_SIG:
             return decode_png(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            from clip_as_service_ray.functions.jpeg import decode_jpeg
+
+            return decode_jpeg(payload)
         raise NotImplementedError(
-            "only BMP and PNG decode without codec libraries (PIL/libjpeg "
-            "absent in this environment); the Ray plumbing around it is real"
+            "unrecognized image format: only BMP, PNG and baseline JPEG "
+            "decode without codec libraries (PIL/libjpeg absent here)"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
