@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ops.ann_topk,
         "ann_topk_batch": ops.ann_topk_batch,
         "ann_ivf_topk": ops.ann_ivf_topk,
+        "ann_ivfpq_topk": ops.ann_ivfpq_topk,
         "cosine_dup_pairs": ops.cosine_dup_pairs,
         "cosine_lsh_dup_pairs": ops.cosine_lsh_dup_pairs,
         "minhash_dup_pairs": ops.minhash_dup_pairs,
@@ -406,6 +407,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings e CROSS JOIN q) WHERE rank <= 3"
         ),
         "ann_ivf_topk": (
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, "
+            "round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)::DOUBLE AS sim "
+            "FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC "
+            "LIMIT 10"
+        ),
+        "ann_ivfpq_topk": (
+            # full probe + full refine degenerates to exact brute force
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
             "SELECT e.vec_id, "
             "round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)::DOUBLE AS sim "

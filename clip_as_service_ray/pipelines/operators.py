@@ -2048,3 +2048,39 @@ def bpe_vocab_top_tokens(
             "n": pa.array(df["n"].to_numpy(), pa.int64()),
         }
     )
+
+
+def ann_ivfpq_topk(
+    sf_dir: str, k: int = 10, n_centroids: int = 16, m: int = 8
+):
+    """IVF-PQ ANN (stages/pq.py): codes built cell-partitioned on top of the
+    IVF index, per-query ADC lookup table, scan reads ONLY code files, then
+    exact refine re-reads just the candidates' full vectors. Full probe +
+    refine >= candidate count => exact, so the brute-force SQL oracle
+    verifies the entire train/encode/ADC/refine path; compressed-scan
+    recall and code-vs-vector bytes are pinned by tests/test_pq.py."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from clip_as_service_ray.stages.ann import ivf_build, train_centroids
+    from clip_as_service_ray.stages.pq import ivfpq_build, ivfpq_search
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    pf = pq.ParquetFile(path)
+    first = next(pf.iter_batches(batch_size=256, columns=["embedding"]))
+    sample = np.array(first.column("embedding").to_pylist(), dtype=np.float64)
+    cents = train_centroids(sample, n_centroids)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    index_dir = f"/tmp/cas_ray_ann/ivfpq_{tag}_c{n_centroids}_m{m}"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ivf_build(ds, cents, index_dir)
+    ivfpq_build(ds, index_dir, m=m)
+    q = _query_vector(sf_dir, 0)
+    n_rows = pf.metadata.num_rows
+    out = ivfpq_search(index_dir, q, k=k, nprobe=n_centroids, refine=n_rows)
+    return pa.table(
+        {
+            "vec_id": out.column("vec_id"),
+            "sim": pa.array(np.round(out.column("sim").to_numpy(), 6), pa.float64()),
+        }
+    )
