@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": ops.local_supplier_volume,
         "large_order_customers": ops.large_order_customers,
         "promo_revenue": ops.promo_revenue,
+        "returned_item_revenue": ops.returned_item_revenue,
+        "brand_quantity_revenue": ops.brand_quantity_revenue,
         "bpe_vocab_top_tokens": ops.bpe_vocab_top_tokens,
         "ann_topk": ops.ann_topk,
         "ann_topk_batch": ops.ann_topk_batch,
@@ -372,6 +374,28 @@ def oracle_sql() -> dict[str, str]:
             "s.sum_qty FROM orders JOIN s ON o_orderkey = l_orderkey "
             "JOIN customer ON c_custkey = o_custkey "
             "ORDER BY orders.o_totalprice DESC, o_orderkey ASC LIMIT 20"
+        ),
+        "returned_item_revenue": (
+            # TPC-H Q10 analog over the available columns
+            "SELECT c_custkey, c_name, n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS revenue "
+            "FROM customer, orders, lineitem, nation "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND c_nationkey = n_nationkey AND l_returnflag = 'R' "
+            "AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01' "
+            "GROUP BY c_custkey, c_name, n_name "
+            "ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey ASC "
+            "LIMIT 20"
+        ),
+        "brand_quantity_revenue": (
+            # TPC-H Q19 analog: disjunctive brand/size/quantity predicates
+            "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS revenue, "
+            "count(*)::BIGINT AS n_rows "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size <= 10 "
+            "       AND l_quantity BETWEEN 1 AND 20) "
+            "   OR (p_brand = 'Brand#2' AND p_size <= 25 "
+            "       AND l_quantity BETWEEN 10 AND 35)"
         ),
         "promo_revenue": (
             # TPC-H Q14 analog over the synthetic p_type vocabulary

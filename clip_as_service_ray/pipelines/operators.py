@@ -2084,3 +2084,161 @@ def ann_ivfpq_topk(
             "sim": pa.array(np.round(out.column("sim").to_numpy(), 6), pa.float64()),
         }
     )
+
+
+def returned_item_revenue(
+    sf_dir: str, date_from: str = "1996-01-01", date_to: str = "1996-07-01",
+    k: int = 20,
+):
+    """TPC-H Q10 analog — customers ranked by revenue lost to returns in a
+    date window. lineitem (returnflag='R') pre-aggregates revenue per order
+    inside map_batches; the only shuffle is the orderkey join against the
+    date-filtered orders; the per-customer rollup is a small groupby whose
+    result broadcasts against the customer+nation dims. Top-k by
+    (revenue DESC, c_custkey ASC) via per-batch partials + driver merge."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.stages.joins import (
+        broadcast_hash_join,
+        shuffle_hash_join,
+    )
+
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == pa.scalar("R"),
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        rev = batch.column("l_extendedprice").to_numpy() * (
+            1.0 - batch.column("l_discount").to_numpy()
+        )
+        g = (
+            pa.table({"okey": batch.column("l_orderkey"),
+                      "rev": pa.array(rev, pa.float64())})
+            .group_by("okey")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["okey", "rev"])
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    ).map_batches(
+        lambda b: pa.table(
+            {"okey": b.column("o_orderkey"), "o_custkey": b.column("o_custkey")}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = shuffle_hash_join(
+        line.map_batches(rev_partial, batch_format="pyarrow"), orders, on="okey"
+    )
+    per_cust = joined.groupby("o_custkey", num_partitions=4).aggregate(
+        Sum("rev", alias_name="revenue")
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        rev = batch.column("revenue").to_numpy()
+        ck = batch.column("o_custkey").to_numpy()
+        order = np.lexsort((ck, -rev))[:k]
+        return batch.take(pa.array(np.sort(order), pa.int64()))
+
+    df = (
+        per_cust.map_batches(topk_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["revenue", "o_custkey"], ascending=[False, True])
+        .head(k)
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nname = dict(zip(nat.column("n_nationkey").to_pylist(),
+                     nat.column("n_name").to_pylist()))
+    cinfo = {
+        int(ck): (nm, nname[int(nk)])
+        for ck, nm, nk in zip(
+            cust.column("c_custkey").to_pylist(),
+            cust.column("c_name").to_pylist(),
+            cust.column("c_nationkey").to_pylist(),
+        )
+    }
+    names = [cinfo[int(c)] for c in df["o_custkey"]]
+    return pa.table(
+        {
+            "c_custkey": pa.array(df["o_custkey"].to_numpy(), pa.int64()),
+            "c_name": pa.array([n for n, _ in names], pa.string()),
+            "n_name": pa.array([r for _, r in names], pa.string()),
+            "revenue": pa.array(np.round(df["revenue"].to_numpy(), 2), pa.float64()),
+        }
+    )
+
+
+def brand_quantity_revenue(sf_dir: str):
+    """TPC-H Q19 analog — disjunctive part/lineitem predicates: revenue from
+    (Brand#1, p_size<=10, qty 1..20) OR (Brand#2, p_size<=25, qty 10..35).
+    part is a broadcast dim carrying (brand-class, size); the OR predicate
+    evaluates vectorized per batch; the aggregate is one float per batch
+    folded on the driver — no shuffle."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from clip_as_service_ray.stages.joins import broadcast_hash_join
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    )
+    dim = pa.table(
+        {
+            "l_partkey": part.column("p_partkey"),
+            "p_brand": part.column("p_brand"),
+            "p_size": part.column("p_size"),
+        }
+    )
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    joined = broadcast_hash_join(line, dim, left_key="l_partkey", right_key="l_partkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy()
+        size = batch.column("p_size").to_numpy()
+        b1 = pc.equal(batch.column("p_brand"), pa.scalar("Brand#1")).to_numpy(
+            zero_copy_only=False
+        )
+        b2 = pc.equal(batch.column("p_brand"), pa.scalar("Brand#2")).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (b1 & (size <= 10) & (qty >= 1) & (qty <= 20)) | (
+            b2 & (size <= 25) & (qty >= 10) & (qty <= 35)
+        )
+        rev = batch.column("l_extendedprice").to_numpy() * (
+            1.0 - batch.column("l_discount").to_numpy()
+        )
+        return pa.table(
+            {
+                "rev": pa.array([float(rev[keep].sum())], pa.float64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    t = pa.concat_tables(
+        ray.get(joined.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+    )
+    return pa.table(
+        {
+            "revenue": pa.array(
+                [round(float(np.sum(t.column("rev").to_numpy())), 2)], pa.float64()
+            ),
+            "n_rows": pa.array([int(np.sum(t.column("n").to_numpy()))], pa.int64()),
+        }
+    )

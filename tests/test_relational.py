@@ -252,3 +252,46 @@ def test_rolling_sum_single_event(ray_session):
         window_s=1.0,
     ).to_pandas()
     assert out["roll_sum"].tolist() == [2.5]
+
+
+def test_returned_item_revenue_q10(ray_session):
+    from clip_as_service_ray.pipelines.operators import returned_item_revenue
+
+    got = returned_item_revenue(SF, k=10)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "nation"):
+        _view(con, t)
+    want = con.execute(
+        "SELECT c_custkey, c_name, n_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM customer, orders, lineitem, nation "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND c_nationkey = n_nationkey AND l_returnflag = 'R' "
+        "AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01' "
+        "GROUP BY c_custkey, c_name, n_name "
+        "ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey ASC "
+        "LIMIT 10"
+    ).df()
+    assert got.column("c_custkey").to_pylist() == want["c_custkey"].tolist()
+    assert got.column("n_name").to_pylist() == want["n_name"].tolist()
+    np.testing.assert_allclose(
+        got.column("revenue").to_numpy(), want["revenue"], atol=1e-4
+    )
+
+
+def test_brand_quantity_revenue_q19(ray_session):
+    from clip_as_service_ray.pipelines.operators import brand_quantity_revenue
+
+    got = brand_quantity_revenue(SF)
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        _view(con, t)
+    want = con.execute(
+        "SELECT sum(l_extendedprice * (1 - l_discount)), count(*) "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20) "
+        "   OR (p_brand = 'Brand#2' AND p_size <= 25 AND l_quantity BETWEEN 10 AND 35)"
+    ).fetchone()
+    assert got.column("n_rows")[0].as_py() == want[1]
+    # engine rounds to 2 decimals (matching the oracle SQL projection)
+    assert abs(got.column("revenue")[0].as_py() - round(float(want[0]), 2)) < 1e-6
