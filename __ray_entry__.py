@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": ops.minhash_dup_pairs,
         "simhash_dup_pairs": ops.simhash_dup_pairs,  # rows-only (simhash not SQL-expressible)
         "jaccard_dup_pairs": ops.jaccard_dup_pairs,
+        "dup_clusters": ops.dup_clusters,
         "langid_distribution": ops.langid_distribution,
         "doc_fingerprints": ops.doc_fingerprints,  # rows-only
         "training_data_pipeline": ops.training_data_pipeline,  # rows-only (sink op)
@@ -475,6 +476,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
             "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"
+        ),
+        "dup_clusters": (
+            # transitive closure over the exact 3-shingle Jaccard >= 0.8
+            # pair predicate (the same ground truth minhash_dup_pairs is
+            # checked against); cluster_id = min doc_id reachable
+            "WITH RECURSIVE "
+            "t AS (SELECT doc_id, regexp_extract_all(lower(text), '" + _PAT_SQL + "') AS ts "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN "
+            "list_distinct(list_transform(generate_series(1, len(ts)-2), "
+            "i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2])) "
+            "ELSE list_distinct(ts) END AS s FROM t WHERE len(ts) > 0), "
+            "pairs AS (SELECT a.doc_id AS u, b.doc_id AS v "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
+            "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8), "
+            "edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs), "
+            "reach AS (SELECT u AS src, v AS dst FROM edges "
+            "UNION SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u) "
+            "SELECT src::BIGINT AS doc_id, "
+            "least(src, min(dst))::BIGINT AS cluster_id "
+            "FROM reach GROUP BY src ORDER BY doc_id"
         ),
         "langid_distribution": (
             r"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w "

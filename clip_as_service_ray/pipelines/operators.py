@@ -2242,3 +2242,38 @@ def brand_quantity_revenue(sf_dir: str):
             "n_rows": pa.array([int(np.sum(t.column("n").to_numpy()))], pa.int64()),
         }
     )
+
+
+def dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: MinHash+LSH candidate pairs (distributed,
+    exact-Jaccard verified >= 0.8) collapsed into connected components, each
+    doc labeled with its component's min doc_id (the canonical survivor).
+    This is the dedup family's capstone: pairs alone under-deduplicate
+    chains (a~b, b~c with a!~c must form ONE cluster).
+
+    Components run alternating large-star/small-star (stages/components.py)
+    — every shuffle is over the candidate-pair graph, never the corpus.
+    Oracle twin: recursive-CTE transitive closure over the same exact
+    Jaccard pair predicate (LSH recall 1.0 on this corpus is certified by
+    the minhash_dup_pairs entry's equality)."""
+    import ray.data
+
+    from clip_as_service_ray.stages.components import connected_components
+    from clip_as_service_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_documents(sf_dir), threshold=0.8)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+        )
+    edges = ray.data.from_arrow(
+        pa.table({"src": pairs.column("doc_a"), "dst": pairs.column("doc_b")})
+    )
+    labels = connected_components(edges).to_pandas()
+    labels = labels.sort_values("node").reset_index(drop=True)
+    return pa.table(
+        {
+            "doc_id": pa.array(labels["node"].to_numpy(), pa.int64()),
+            "cluster_id": pa.array(labels["component"].to_numpy(), pa.int64()),
+        }
+    )
