@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": ops.simhash_dup_pairs,  # rows-only (simhash not SQL-expressible)
         "jaccard_dup_pairs": ops.jaccard_dup_pairs,
         "dup_clusters": ops.dup_clusters,
+        "clean_documents": ops.clean_documents,
         "langid_distribution": ops.langid_distribution,
         "doc_fingerprints": ops.doc_fingerprints,  # rows-only
         "training_data_pipeline": ops.training_data_pipeline,  # rows-only (sink op)
@@ -476,6 +477,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
             "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"
+        ),
+        "clean_documents": (
+            # URL + email scrub, whitespace collapse — same RE2 patterns as
+            # the engine (operators.URL_RE2 / EMAIL_RE2)
+            r"SELECT doc_id, trim(regexp_replace(regexp_replace("
+            r"regexp_replace(text, 'https?://\S+', ' ', 'g'), "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'), "
+            r"'\s+', ' ', 'g')) AS clean_text, "
+            r"(len(regexp_extract_all(text, 'https?://\S+')) "
+            r" + len(regexp_extract_all(text, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))::BIGINT "
+            r"AS n_scrubbed FROM documents"
         ),
         "dup_clusters": (
             # transitive closure over the exact 3-shingle Jaccard >= 0.8

@@ -2277,3 +2277,38 @@ def dup_clusters(sf_dir: str):
             "cluster_id": pa.array(labels["component"].to_numpy(), pa.int64()),
         }
     )
+
+
+# Scrub patterns (RE2-safe: identical semantics in pyarrow.compute and
+# DuckDB regexp_replace, proven by test_clean_documents_matches_duckdb).
+URL_RE2 = r"https?://\S+"
+EMAIL_RE2 = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def clean_documents(sf_dir: str):
+    """Text scrub for training-data prep: remove URLs and email addresses
+    (PII/noise), collapse whitespace, trim. Entirely pyarrow.compute RE2
+    kernels over the text column — no Python-level row loop; the reference's
+    normalization analog is simple_tokenizer.py:58-67 (whitespace_clean).
+    n_scrubbed counts pattern hits on the ORIGINAL text (both patterns)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        u = pc.replace_substring_regex(text, pattern=URL_RE2, replacement=" ")
+        e = pc.replace_substring_regex(u, pattern=EMAIL_RE2, replacement=" ")
+        clean = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(e, pattern=r"\s+", replacement=" ")
+        )
+        n = pc.add(
+            pc.count_substring_regex(text, pattern=URL_RE2),
+            pc.count_substring_regex(text, pattern=EMAIL_RE2),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "clean_text": clean,
+                "n_scrubbed": n.cast(pa.int64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(fn, batch_format="pyarrow")

@@ -68,3 +68,27 @@ def test_sessionize_gap_semantics(ray_session):
     assert out.user_id.tolist() == [1, 1, 2, 3]
     assert out.n_events.tolist() == [3, 1, 2, 1]
     np.testing.assert_allclose(out.duration_s.tolist(), [3600.0, 0.0, 10.0, 0.0])
+
+
+def test_clean_documents_matches_duckdb(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        e.queries()["clean_documents"](sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(
+        e.oracle_sql()["clean_documents"] + " ORDER BY doc_id"
+    ).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["clean_text"].tolist() == want["clean_text"].tolist()
+    assert got["n_scrubbed"].tolist() == want["n_scrubbed"].tolist()
