@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_pairs": ops.jaccard_dup_pairs,
         "dup_clusters": ops.dup_clusters,
         "clean_documents": ops.clean_documents,
+        "bigram_counts": ops.bigram_counts,
+        "near_dedup_keep": ops.near_dedup_keep,
         "langid_distribution": ops.langid_distribution,
         "doc_fingerprints": ops.doc_fingerprints,  # rows-only
         "training_data_pipeline": ops.training_data_pipeline,  # rows-only (sink op)
@@ -477,6 +479,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
             "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8"
+        ),
+        "bigram_counts": (
+            "WITH t AS (SELECT regexp_extract_all(lower(text), '" + _PAT_SQL + "') AS ts "
+            "FROM documents), "
+            "bg AS (SELECT unnest(list_transform(generate_series(1, len(ts)-1), "
+            "i -> ts[i] || ' ' || ts[i+1])) AS bigram FROM t WHERE len(ts) >= 2) "
+            "SELECT bigram, count(*)::BIGINT AS n FROM bg "
+            "GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50"
+        ),
+        "near_dedup_keep": (
+            # documents minus non-canonical members of near-dup clusters
+            # (same transitive closure as dup_clusters)
+            "WITH RECURSIVE "
+            "t AS (SELECT doc_id, regexp_extract_all(lower(text), '" + _PAT_SQL + "') AS ts "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN "
+            "list_distinct(list_transform(generate_series(1, len(ts)-2), "
+            "i -> ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2])) "
+            "ELSE list_distinct(ts) END AS s FROM t WHERE len(ts) > 0), "
+            "pairs AS (SELECT a.doc_id AS u, b.doc_id AS v "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.s, b.s))::DOUBLE "
+            "  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8), "
+            "edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs), "
+            "reach AS (SELECT u AS src, v AS dst FROM edges "
+            "UNION SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u), "
+            "drop_ids AS (SELECT src AS doc_id FROM reach "
+            "GROUP BY src HAVING src > least(src, min(dst))) "
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM drop_ids)"
         ),
         "clean_documents": (
             # URL + email scrub, whitespace collapse — same RE2 patterns as

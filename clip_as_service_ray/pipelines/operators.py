@@ -2312,3 +2312,72 @@ def clean_documents(sf_dir: str):
         )
 
     return _documents(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def bigram_counts(sf_dir: str, k: int = 50):
+    """Top-k BIGRAM counts over the corpus (language-model count table,
+    the n=2 slice of the n-gram family; shingle machinery in
+    functions/minhash.py covers n=3 hashes). Per-batch combiner: tokenize
+    (reference regex, lowered), form adjacent pairs per doc with one numpy
+    concat + offset slice, pre-count inside the batch, then a small
+    groupby(sum) over the pre-aggregated (bigram, n) rows — the shuffle
+    carries unique bigrams per batch, not one row per token position."""
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.functions.tokenizer import tokenize_texts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams: list[str] = []
+        for terms in tokenize_texts(batch.column("text").to_pylist()):
+            if len(terms) >= 2:
+                grams.extend(
+                    a + " " + b for a, b in zip(terms[:-1], terms[1:])
+                )
+        if not grams:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n_part": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "bigram": pa.array(u, pa.string()),
+                "n_part": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        _documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram", num_partitions=8)
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    df = agg.to_pandas().sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+    return pa.table(
+        {
+            "bigram": pa.array(df["bigram"].tolist(), pa.string()),
+            "n": pa.array(df["n"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def near_dedup_keep(sf_dir: str):
+    """Apply near-dup clustering as a corpus FILTER: drop every document
+    that belongs to a dup cluster but is not its canonical (min-id) member.
+    The drop-set (non-canonical ids) is tiny relative to the corpus, so it
+    broadcasts into a vectorized pc.is_in anti-filter over the streaming
+    documents read — no shuffle of the corpus at all."""
+    labels = dup_clusters(sf_dir)
+    node = labels.column("doc_id").to_numpy(zero_copy_only=False)
+    comp = labels.column("cluster_id").to_numpy(zero_copy_only=False)
+    drop = pa.array(np.sort(node[node != comp]), pa.int64())
+
+    def keep_fn(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column("doc_id"), value_set=drop))
+        kept = batch.filter(mask)
+        return pa.table(
+            {"doc_id": kept.column("doc_id"), "n_chars": kept.column("n_chars")}
+        )
+
+    return _documents(sf_dir, columns=["doc_id", "n_chars"]).map_batches(
+        keep_fn, batch_format="pyarrow"
+    )

@@ -90,3 +90,27 @@ def test_dup_clusters_matches_recursive_cte(ray_session):
     # every cluster representative is a member of its own cluster
     reps = set(got["cluster_id"])
     assert reps <= set(got["doc_id"])
+
+
+def test_near_dedup_keep_drops_non_canonical(ray_session):
+    import __ray_entry__ as e
+
+    q = e.queries()
+    labels = q["dup_clusters"](SF).to_pandas()
+    kept = set(q["near_dedup_keep"](SF).to_pandas()["doc_id"])
+    non_canon = set(labels.loc[labels.doc_id != labels.cluster_id, "doc_id"])
+    canon = set(labels.loc[labels.doc_id == labels.cluster_id, "doc_id"])
+    assert kept.isdisjoint(non_canon)
+    assert canon <= kept
+
+
+def test_bigram_counts_deterministic_tiebreak(ray_session):
+    import __ray_entry__ as e
+
+    t = e.queries()["bigram_counts"](SF)
+    ns = t.column("n").to_pylist()
+    bgs = t.column("bigram").to_pylist()
+    assert ns == sorted(ns, reverse=True)
+    for i in range(1, len(ns)):
+        if ns[i] == ns[i - 1]:
+            assert bgs[i] > bgs[i - 1]
