@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_windows": ops.events_sliding_windows,
         "user_rolling_revenue": ops.user_rolling_revenue,
         "order_price_percentile": ops.order_price_percentile,
+        "user_cumulative_value": ops.user_cumulative_value,
         "token_counts": ops.token_counts,
         "distinct_users_daily": ops.distinct_users_daily,
         "events_daily_pivot": ops.events_daily_pivot,
@@ -231,6 +232,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, round(percent_rank() OVER ("
             "PARTITION BY o_orderpriority ORDER BY o_totalprice), 6)"
             "::DOUBLE AS pr FROM orders"
+        ),
+        "user_cumulative_value": (
+            "SELECT event_id, "
+            "round(sum(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id), 6)::DOUBLE AS cum_value FROM events"
         ),
         "user_rolling_revenue": (
             "SELECT event_id, "

@@ -2381,3 +2381,40 @@ def near_dedup_keep(sf_dir: str):
     return _documents(sf_dir, columns=["doc_id", "n_chars"]).map_batches(
         keep_fn, batch_format="pyarrow"
     )
+
+
+def user_cumulative_value(sf_dir: str):
+    """Running per-user total: SUM(value) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id) — the cumulative-window analog of
+    order_price_percentile, on the DISTRIBUTED sort + block-offset
+    prefix-scan path (stages/rank.py cumsum_by_key: one range-shuffle sort,
+    O(1)-size block summaries to the driver, per-block vectorized cumsum;
+    row data never gathers). ORDER BY is unique per partition (event_id),
+    so SQL RANGE and ROWS framings coincide."""
+    import ray.data
+
+    from clip_as_service_ray.stages.rank import cumsum_by_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    out = cumsum_by_key(
+        ds,
+        key="user_id",
+        value="value",
+        id_col="event_id",
+        sort_cols=["user_id", "ts", "event_id"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "cum_value": pa.array(
+                    np.round(batch.column("cum").to_numpy(), 6), pa.float64()
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

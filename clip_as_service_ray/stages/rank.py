@@ -232,3 +232,120 @@ def percent_rank_by_key(ds, *, key: str, value: str, id_col: str):
         for i in range(len(refs))
     ]
     return ray.data.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# Cumulative windowed SUM — same distributed shape as percent_rank above:
+# one global sort, O(1)-size block summaries, a driver scan over summaries,
+# then an embarrassingly-parallel per-block pass. The ORDER BY tuple must be
+# unique within each partition key (caller includes a tiebreaker column) so
+# SQL's RANGE and ROWS framings coincide.
+
+
+@dataclass
+class SumSummary:
+    n: int
+    first_key: object = None
+    last_key: object = None
+    head_k: int = 0       # leading rows sharing first_key
+    tail_k: int = 0       # trailing rows sharing last_key
+    head_sum: float = 0.0  # sum(value) over the leading run
+    tail_sum: float = 0.0  # sum(value) over the trailing run
+
+
+def summarize_sums(tbl: pa.Table, key: str, value: str) -> SumSummary:
+    n = tbl.num_rows
+    if n == 0:
+        return SumSummary(n=0)
+    k = _col_np(tbl, key)
+    v = _col_np(tbl, value).astype(np.float64)
+    same_head = k == k[0]
+    head_k = int(np.argmin(same_head)) if not same_head.all() else n
+    same_tail = k == k[-1]
+    tail_k = int(np.argmin(same_tail[::-1])) if not same_tail.all() else n
+    return SumSummary(
+        n=n,
+        first_key=k[0], last_key=k[-1],
+        head_k=head_k, tail_k=tail_k,
+        head_sum=float(np.sum(v[:head_k])),
+        tail_sum=float(np.sum(v[n - tail_k:])),
+    )
+
+
+def scan_sum_offsets(summaries: list[SumSummary]) -> list[float]:
+    """Per block: sum of value over EARLIER rows of the block's first key.
+    Float note: the carry adds per-block run sums left-to-right, so low-bit
+    results depend on the block split (as any distributed float sum does);
+    consumers round (the oracle twin rounds to 6 decimals on both sides)."""
+    out = [0.0] * len(summaries)
+    cur_key, cur_sum, started = None, 0.0, False
+    for i, s in enumerate(summaries):
+        if s.n == 0:
+            continue
+        if started and s.first_key == cur_key:
+            out[i] = cur_sum
+        if started and s.first_key == cur_key and s.head_k == s.n:
+            cur_sum += s.head_sum
+        else:
+            cur_key = s.last_key
+            cur_sum = s.tail_sum
+            started = True
+    return out
+
+
+def cumsum_block(
+    tbl: pa.Table, key: str, value: str, id_col: str, prev_sum: float
+) -> pa.Table:
+    """Within-block running sum restarting at key changes; the first key's
+    segment starts from ``prev_sum`` carried in from earlier blocks."""
+    n = tbl.num_rows
+    if n == 0:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "cum": pa.array([], pa.float64())}
+        )
+    k = _col_np(tbl, key)
+    v = _col_np(tbl, value).astype(np.float64)
+    cs = np.cumsum(v)
+    idx = np.arange(n, dtype=np.int64)
+    key_change = np.concatenate([[True], k[1:] != k[:-1]])
+    seg_start = np.maximum.accumulate(np.where(key_change, idx, 0))
+    base = np.where(seg_start > 0, cs[np.maximum(seg_start - 1, 0)], 0.0)
+    cum = cs - base
+    head = k == k[0]
+    head_run = int(np.argmin(head)) if not head.all() else n
+    cum[:head_run] += prev_sum
+    return pa.table(
+        {
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            "cum": pa.array(cum, pa.float64()),
+        }
+    )
+
+
+def cumsum_tables(tables: list[pa.Table], key: str, value: str, id_col: str):
+    """Local reference driver over pre-sorted blocks (test hook)."""
+    offs = scan_sum_offsets([summarize_sums(t, key, value) for t in tables])
+    return [
+        cumsum_block(t, key, value, id_col, offs[i]) for i, t in enumerate(tables)
+    ]
+
+
+def cumsum_by_key(ds, *, key: str, value: str, id_col: str, sort_cols=None):
+    """SUM(value) OVER (PARTITION BY key ORDER BY sort_cols ROWS UNBOUNDED
+    PRECEDING AND CURRENT ROW) as a Dataset -> Dataset operator. sort_cols
+    defaults to [key, id_col]; it must make the order unique per key."""
+    import ray
+    import ray.data
+
+    sorted_ds = ds.sort(sort_cols or [key, id_col])
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()), "cum": pa.array([], pa.float64())})
+        )
+    summarize = ray.remote(num_cpus=0.5)(summarize_sums)
+    cblock = ray.remote(num_cpus=0.5)(cumsum_block)
+    offs = scan_sum_offsets(ray.get([summarize.remote(r, key, value) for r in refs]))
+    return ray.data.from_arrow_refs(
+        [cblock.remote(refs[i], key, value, id_col, offs[i]) for i in range(len(refs))]
+    )

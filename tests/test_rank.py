@@ -103,3 +103,62 @@ def test_percent_rank_by_key_string_partition(ray_session):
         .sort_values("rid")
     )
     np.testing.assert_allclose(out["pr"].to_numpy(), _brute_pr(k, v))
+
+
+def test_cumsum_tables_fuzz_block_splits():
+    """Arbitrary block cuts (keys spanning blocks, single-key middle blocks,
+    empty blocks) match a brute-force per-key running sum."""
+    from clip_as_service_ray.stages.rank import cumsum_tables
+
+    rng = np.random.default_rng(23)
+    for _ in range(25):
+        n = int(rng.integers(1, 120))
+        k = np.sort(rng.integers(0, 6, n))
+        v = np.round(rng.normal(size=n), 3)
+        ids = np.arange(n, dtype=np.int64)
+        # brute force over the sorted stream
+        want = np.zeros(n)
+        for key in np.unique(k):
+            m = k == key
+            want[m] = np.cumsum(v[m])
+        # random cuts, including empty blocks
+        cuts = np.unique(rng.integers(0, n + 1, size=int(rng.integers(0, 6))))
+        bounds = [0, *cuts.tolist(), n]
+        tables = [
+            pa.table(
+                {
+                    "k": pa.array(k[a:b], pa.int64()),
+                    "v": pa.array(v[a:b], pa.float64()),
+                    "id": pa.array(ids[a:b], pa.int64()),
+                }
+            )
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        outs = [t.to_pandas() for t in cumsum_tables(tables, "k", "v", "id")]
+        import pandas as pd
+
+        got = pd.concat(outs).sort_values("id")["cum"].to_numpy()
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_user_cumulative_value_vs_duckdb(ray_session):
+    import __ray_entry__ as e
+
+    got = (
+        e.queries()["user_cumulative_value"](SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF}/events.parquet')"
+    )
+    want = (
+        con.execute(e.oracle_sql()["user_cumulative_value"])
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    np.testing.assert_allclose(got["cum_value"], want["cum_value"], atol=1e-6)
