@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": ops.corpus_stats,
         "bm25_topk": ops.bm25_topk,
         "bm25_topk_segmented": ops.bm25_topk_segmented,
+        "bm25_topk_deleted": ops.bm25_topk_deleted,
         "exact_dedup": ops.exact_dedup,
         "doc_quality": ops.doc_quality,
         "events_type_agg": ops.events_type_agg,
@@ -169,6 +170,25 @@ def oracle_sql() -> dict[str, str]:
         ),
 "bm25_topk_segmented": (  # same oracle: segmented == one-shot
             "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_deleted": (
+            # bm25_topk over the SURVIVING corpus (doc_id % 7 != 3): the
+            # engine side tombstones + physically compacts those docs, so
+            # N/avgdl/df must all match stats computed post-delete
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "')) AS term FROM documents WHERE doc_id % 7 != 3), "
             "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
             "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
             "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "

@@ -2418,3 +2418,52 @@ def user_cumulative_value(sf_dir: str):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def bm25_topk_deleted(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
+    """Full delete lifecycle, ORACLE-CHECKED: build two segments over the
+    documents corpus, tombstone every doc_id % 7 == 3 (delete_convs),
+    PHYSICALLY purge them (compact_segments — postings-level rewrite, no
+    re-tokenize), then search. BM25 stats (N, avgdl, df) must all reflect
+    the surviving corpus, which is exactly what the SQL twin computes over
+    ``documents WHERE doc_id % 7 != 3`` — so the hash check certifies the
+    whole delete path end-to-end, not just query-time filtering."""
+    import pyarrow.parquet as pq
+
+    from clip_as_service_ray.pipelines.segments import (
+        SegmentedQueryService,
+        add_segment,
+        compact_segments,
+        delete_convs,
+        load_tombstones,
+        segment_dirs,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    root = _index_dir_for(sf_dir) + "_lifecycle"
+    if len(segment_dirs(root)) < 2:
+        add_segment(root, _docs_as_transcripts(sf_dir, parity=0), cfg)
+        add_segment(root, _docs_as_transcripts(sf_dir, parity=1), cfg)
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).column("doc_id").to_numpy(zero_copy_only=False)
+        dead = ids[ids % 7 == 3]
+        delete_convs(root, [f"doc-{int(d):012d}" for d in dead])
+        compact_segments(root, cfg)
+    assert not load_tombstones(root), "compact must clear tombstones"
+
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    svc = SegmentedQueryService(root, cfg)
+    try:
+        hits = svc.search(queries)
+    finally:
+        svc.shutdown()
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )
