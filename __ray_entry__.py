@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": ops.approx_distinct_users,  # rows-only (sketch)
         "top_events_per_type": ops.top_events_per_type,
         "event_value_percentiles": ops.event_value_percentiles,
+        "event_value_percentiles_distributed": ops.event_value_percentiles_distributed,
         "event_value_percentiles_sketch": ops.event_value_percentiles_sketch,  # rows-only (sketch)
         "lineitem_pricing_summary": ops.lineitem_pricing_summary,
         "customer_segment_revenue": ops.customer_segment_revenue,
@@ -304,6 +305,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rank <= 5"
         ),
         "event_value_percentiles": (
+            "SELECT event_type, "
+            "round(quantile_cont(value, 0.5), 6)::DOUBLE AS p50, "
+            "round(quantile_cont(value, 0.9), 6)::DOUBLE AS p90, "
+            "round(quantile_cont(value, 0.99), 6)::DOUBLE AS p99 "
+            "FROM events GROUP BY event_type"
+        ),
+        "event_value_percentiles_distributed": (
             "SELECT event_type, "
             "round(quantile_cont(value, 0.5), 6)::DOUBLE AS p50, "
             "round(quantile_cont(value, 0.9), 6)::DOUBLE AS p90, "

@@ -2467,3 +2467,31 @@ def bm25_topk_deleted(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
     return pa.table(
         {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
     )
+
+
+def event_value_percentiles_distributed(sf_dir: str):
+    """Same result as ``event_value_percentiles`` via the DISTRIBUTED exact
+    path (stages/rank.quantiles_by_key): one global sort + per-block order
+    statistics, so a partition key owning billions of rows never has to fit
+    one worker — this closes the scale gap the map_groups form documents.
+    Interpolation is quantile_cont / np.quantile(method="linear") on both
+    engines."""
+    import ray.data
+
+    from clip_as_service_ray.stages.rank import quantiles_by_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    res = quantiles_by_key(
+        ds, key="event_type", value="value", quantiles=[0.5, 0.9, 0.99]
+    )
+    keys = sorted(res)
+    return pa.table(
+        {
+            "event_type": pa.array([str(k) for k in keys]),
+            "p50": pa.array([round(float(res[k][0]), 6) for k in keys], pa.float64()),
+            "p90": pa.array([round(float(res[k][1]), 6) for k in keys], pa.float64()),
+            "p99": pa.array([round(float(res[k][2]), 6) for k in keys], pa.float64()),
+        }
+    )

@@ -35,6 +35,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 @dataclass
@@ -349,3 +350,200 @@ def cumsum_by_key(ds, *, key: str, value: str, id_col: str, sort_cols=None):
     return ray.data.from_arrow_refs(
         [cblock.remote(refs[i], key, value, id_col, offs[i]) for i in range(len(refs))]
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed EXACT per-group quantiles (quantile_cont semantics) — the
+# over-worker-size path that `event_value_percentiles` (map_groups, one
+# group per task) documents but does not provide. Same distributed shape as
+# percent_rank above: one global sort by (key, value), O(1)-size block
+# summaries, a driver prefix scan, then one embarrassingly-parallel pass
+# that extracts ONLY the rows sitting at the pre-computed per-group order
+# statistics. Rows never gather anywhere: the per-block output is at most
+# 2 × |quantiles| × (groups present in the block) scalars.
+#
+# quantile_cont / np.quantile(method="linear"): for group size n and
+# fraction q, pos = q·(n-1); result = v[floor(pos)]·(1-frac) + v[ceil(pos)]·frac.
+# So each (group, q) needs at most TWO order statistics — we compute the
+# global per-group indices up front from a per-group count table (an
+# aggregate-sized broadcast: quantile output is O(groups) anyway), and each
+# sorted block emits the values whose per-group rank lands inside it.
+
+
+@dataclass
+class KeySummary:
+    n: int
+    first_key: object = None
+    last_key: object = None
+    head_k: int = 0  # leading rows sharing first_key
+    tail_k: int = 0  # trailing rows sharing last_key
+
+
+def summarize_keys(tbl: pa.Table, key: str) -> KeySummary:
+    n = tbl.num_rows
+    if n == 0:
+        return KeySummary(n=0)
+    k = _col_np(tbl, key)
+    same_head = k == k[0]
+    head_k = int(np.argmin(same_head)) if not same_head.all() else n
+    same_tail = k == k[-1]
+    tail_k = int(np.argmin(same_tail[::-1])) if not same_tail.all() else n
+    return KeySummary(n=n, first_key=k[0], last_key=k[-1], head_k=head_k, tail_k=tail_k)
+
+
+def scan_key_offsets(summaries: list[KeySummary]) -> list[int]:
+    """Per block: rows of the block's FIRST key in earlier blocks (the only
+    key in a sorted block whose per-group rank does not start at 0)."""
+    out = [0] * len(summaries)
+    cur_key, cur_rows, started = None, 0, False
+    for i, s in enumerate(summaries):
+        if s.n == 0:
+            continue
+        if started and s.first_key == cur_key:
+            out[i] = cur_rows
+        if started and s.first_key == cur_key and s.head_k == s.n:
+            cur_rows += s.n
+        else:
+            cur_key = s.last_key
+            cur_rows = s.tail_k
+            started = True
+    return out
+
+
+def order_stats_block(
+    tbl: pa.Table, key: str, value: str, prev_rows: int, targets: dict
+) -> pa.Table:
+    """Emit (key, gidx, value) for every requested per-group order statistic
+    whose global per-group rank falls inside this sorted block.
+
+    ``targets``: key -> SORTED np.int64 array of needed per-group ranks.
+    The loop is over KEY RUNS (distinct keys in the block), not rows; work
+    per run is two searchsorteds into that key's tiny target array."""
+    n = tbl.num_rows
+    if n == 0 or not targets:
+        return pa.table(
+            {"key_pos": pa.array([], pa.int64()), "gidx": pa.array([], pa.int64())}
+        )
+    k = _col_np(tbl, key)
+    change = np.concatenate([[True], k[1:] != k[:-1]])
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], n)
+    pos_chunks, gidx_chunks = [], []
+    for s0, e0 in zip(starts, ends):
+        t = targets.get(k[s0])
+        if t is None:
+            continue
+        g0 = prev_rows if s0 == 0 else 0
+        lo = int(np.searchsorted(t, g0))
+        hi = int(np.searchsorted(t, g0 + (e0 - s0)))
+        if hi > lo:
+            sel = t[lo:hi]
+            pos_chunks.append(s0 + (sel - g0))
+            gidx_chunks.append(sel)
+    if not pos_chunks:
+        return pa.table(
+            {"key_pos": pa.array([], pa.int64()), "gidx": pa.array([], pa.int64())}
+        )
+    pos = np.concatenate(pos_chunks)
+    out = tbl.select([key, value]).take(pa.array(pos, pa.int64()))
+    return pa.table(
+        {
+            "key": out.column(key),
+            "gidx": pa.array(np.concatenate(gidx_chunks), pa.int64()),
+            "value": pc.cast(out.column(value), pa.float64()),
+        }
+    )
+
+
+def quantile_targets(counts: dict, quantiles) -> dict:
+    """key -> sorted unique per-group ranks needed for quantile_cont."""
+    out = {}
+    for kk, n in counts.items():
+        pos = np.asarray(quantiles, dtype=np.float64) * (n - 1)
+        idx = np.unique(np.concatenate([np.floor(pos), np.ceil(pos)]).astype(np.int64))
+        out[kk] = idx
+    return out
+
+
+def interpolate_quantiles(counts: dict, quantiles, stats: dict) -> dict:
+    """(key -> n), [q...], ((key, gidx) -> value) -> key -> [vq...]."""
+    res = {}
+    for kk, n in counts.items():
+        vals = []
+        for q in quantiles:
+            pos = q * (n - 1)
+            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+            vlo, vhi = stats[(kk, lo)], stats[(kk, hi)]
+            vals.append(vlo + (pos - lo) * (vhi - vlo))
+        res[kk] = vals
+    return res
+
+
+def quantile_tables(tables: list[pa.Table], key: str, value: str, quantiles):
+    """Local reference driver over pre-sorted blocks (test hook for
+    adversarial splits: key runs and target ranks spanning blocks)."""
+    counts = {}
+    for t in tables:
+        for kk in _col_np(t, key) if t.num_rows else []:
+            counts[kk] = counts.get(kk, 0) + 1
+    targets = quantile_targets(counts, quantiles)
+    offs = scan_key_offsets([summarize_keys(t, key) for t in tables])
+    stats = {}
+    for i, t in enumerate(tables):
+        out = order_stats_block(t, key, value, offs[i], targets)
+        if "key" in out.column_names:
+            for kk, g, v in zip(
+                _col_np(out, "key"), out.column("gidx").to_pylist(),
+                out.column("value").to_pylist(),
+            ):
+                stats[(kk, g)] = v
+    return interpolate_quantiles(counts, quantiles, stats)
+
+
+def quantiles_by_key(ds, *, key: str, value: str, quantiles) -> dict:
+    """quantile_cont(value, q) GROUP BY key with NO per-group
+    materialization: groups may exceed any single worker. Returns
+    key -> [v_q ...] (aggregate-sized).
+
+    Stages: (1) per-batch count combiner -> per-group totals (the result is
+    O(groups), the same size as the operator's output, so driver-held and
+    broadcast by design); (2) global sort by (key, value) — the one
+    all-to-all; (3) O(1) block summaries + driver scan (same machinery as
+    percent_rank_by_key); (4) one task per block extracts only the rows at
+    the needed per-group ranks (≤ 2·|q| rows per group TOTAL across all
+    blocks)."""
+    import ray
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key]).group_by(key).aggregate([([], "count_all")])
+        return pa.table({"key": g.column(key), "n": g.column("count_all")})
+
+    counts: dict = {}
+    for part in ds.map_batches(count_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for kk, nn in zip(_col_np(part, "key"), part.column("n").to_pylist()):
+            counts[kk] = counts.get(kk, 0) + int(nn)
+    if not counts:
+        return {}
+
+    targets_ref = ray.put(quantile_targets(counts, quantiles))
+
+    sorted_ds = ds.sort([key, value])
+    refs = sorted_ds.to_arrow_refs()
+    summarize = ray.remote(num_cpus=0.5)(summarize_keys)
+    extract = ray.remote(num_cpus=0.5)(order_stats_block)
+    offs = scan_key_offsets(ray.get([summarize.remote(r, key) for r in refs]))
+    outs = ray.get(
+        [extract.remote(refs[i], key, value, offs[i], targets_ref) for i in range(len(refs))]
+    )
+    stats = {}
+    for out in outs:
+        if "key" not in out.column_names:
+            continue
+        for kk, g, v in zip(
+            _col_np(out, "key"), out.column("gidx").to_pylist(),
+            out.column("value").to_pylist(),
+        ):
+            stats[(kk, g)] = v
+    return interpolate_quantiles(counts, quantiles, stats)

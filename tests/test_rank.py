@@ -162,3 +162,55 @@ def test_user_cumulative_value_vs_duckdb(ray_session):
     )
     assert got["event_id"].tolist() == want["event_id"].tolist()
     np.testing.assert_allclose(got["cum_value"], want["cum_value"], atol=1e-6)
+
+
+def test_quantile_tables_fuzz_block_splits():
+    """Distributed exact quantiles: arbitrary block cuts (tie runs, keys and
+    target ranks spanning blocks, empty blocks) match np.quantile exactly."""
+    from clip_as_service_ray.stages.rank import quantile_tables
+
+    rng = np.random.default_rng(23)
+    qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+    for _ in range(150):
+        nkeys = int(rng.integers(1, 5))
+        k_all, v_all = [], []
+        for ki in range(nkeys):
+            n = int(rng.integers(1, 50))
+            k_all += [f"k{ki}"] * n
+            v_all += rng.choice([0.0, 1.5, 2.0, 7.25, -3.0], size=n).tolist()
+        order = np.lexsort((v_all, k_all))
+        k = np.array(k_all)[order]
+        v = np.array(v_all)[order]
+        cuts = np.sort(rng.integers(0, len(k) + 1, int(rng.integers(0, 7))))
+        bounds = [0, *cuts.tolist(), len(k)]
+        tables = [
+            pa.table({"g": pa.array(k[a:b]), "v": pa.array(v[a:b], pa.float64())})
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        got = quantile_tables(tables, "g", "v", qs)
+        for ki in set(k_all):
+            exp = np.quantile(v[k == ki], qs, method="linear")
+            np.testing.assert_allclose(got[ki], exp, atol=1e-12)
+
+
+def test_quantiles_by_key_vs_duckdb(ray_session):
+    """End-to-end distributed quantiles over events vs DuckDB quantile_cont."""
+    import ray.data
+
+    from clip_as_service_ray.stages.rank import quantiles_by_key
+
+    ds = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["event_type", "value"],
+        override_num_blocks=8,
+    )
+    got = quantiles_by_key(
+        ds, key="event_type", value="value", quantiles=[0.5, 0.9, 0.99]
+    )
+    exp = duckdb.sql(
+        "SELECT event_type, quantile_cont(value, 0.5) p50, "
+        "quantile_cont(value, 0.9) p90, quantile_cont(value, 0.99) p99 "
+        f"FROM read_parquet('{SF}/events.parquet') GROUP BY event_type"
+    ).fetchall()
+    assert len(exp) == len(got)
+    for et, p50, p90, p99 in exp:
+        np.testing.assert_allclose(got[et], [p50, p90, p99], rtol=1e-12)
