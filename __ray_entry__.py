@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_windows": ops.events_sliding_windows,
         "user_rolling_revenue": ops.user_rolling_revenue,
         "order_price_percentile": ops.order_price_percentile,
+        "user_interevent_gap": ops.user_interevent_gap,
         "user_cumulative_value": ops.user_cumulative_value,
         "token_counts": ops.token_counts,
         "distinct_users_daily": ops.distinct_users_daily,
@@ -310,6 +311,15 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.9), 6)::DOUBLE AS p90, "
             "round(quantile_cont(value, 0.99), 6)::DOUBLE AS p99 "
             "FROM events GROUP BY event_type"
+        ),
+        "user_interevent_gap": (
+            "WITH o AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events), "
+            "d AS (SELECT user_id, t - lag(t) OVER "
+            "      (PARTITION BY user_id ORDER BY t, event_id) AS gap FROM o) "
+            "SELECT user_id, count(*)::BIGINT AS n_gaps, "
+            "round(avg(gap) / 1e6, 6)::DOUBLE AS avg_gap_s, "
+            "max(gap)::BIGINT AS max_gap_us "
+            "FROM d WHERE gap IS NOT NULL GROUP BY user_id"
         ),
         "event_value_percentiles_distributed": (
             "SELECT event_type, "

@@ -2495,3 +2495,79 @@ def event_value_percentiles_distributed(sf_dir: str):
             "p99": pa.array([round(float(res[k][2]), 6) for k in keys], pa.float64()),
         }
     )
+
+
+def user_interevent_gap(sf_dir: str):
+    """Per-user inter-event time stats via the DISTRIBUTED lag(1) window
+    (stages/rank.lag_by_key): gap = ts - lag(ts) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id). One global sort; the per-block carry is a single
+    scalar, so a user's event history never has to fit one worker. Gaps are
+    integer microseconds held in float64 (exact < 2^53), so the partial sums
+    are order-independent and the avg is bit-stable."""
+    import ray.data
+
+    from clip_as_service_ray.stages.rank import lag_by_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "t": pc.cast(batch.column("ts"), pa.int64()),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    lagged = lag_by_key(
+        ds.map_batches(to_us, batch_format="pyarrow"),
+        key="user_id", value="t", id_col="event_id",
+        sort_cols=["user_id", "t", "event_id"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("lag")))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "c": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.float64()),
+                }
+            )
+        gap = pc.subtract(t.column("value"), t.column("lag"))
+        g = (
+            pa.table({"user_id": t.column("user_id"), "gap": gap})
+            .group_by("user_id")
+            .aggregate([("gap", "sum"), ("gap", "count"), ("gap", "max")])
+        )
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "s": g.column("gap_sum"),
+                "c": pc.cast(g.column("gap_count"), pa.int64()),
+                "m": g.column("gap_max"),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        s = float(np.sum(group.column("s").to_numpy()))
+        c = int(np.sum(group.column("c").to_numpy()))
+        m = float(np.max(group.column("m").to_numpy()))
+        return pa.table(
+            {
+                "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
+                "n_gaps": pa.array([c], pa.int64()),
+                "avg_gap_s": pa.array([round(s / c / 1e6, 6)], pa.float64()),
+                "max_gap_us": pa.array([int(m)], pa.int64()),
+            }
+        )
+
+    return (
+        lagged.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=4)
+        .map_groups(finalize, batch_format="pyarrow")
+    )

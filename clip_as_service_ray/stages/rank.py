@@ -547,3 +547,115 @@ def quantiles_by_key(ds, *, key: str, value: str, quantiles) -> dict:
         ):
             stats[(kk, g)] = v
     return interpolate_quantiles(counts, quantiles, stats)
+
+
+# ---------------------------------------------------------------------------
+# Distributed LAG(1) — value - lag(value) OVER (PARTITION BY key ORDER BY
+# sort_cols) without per-group materialization. The carry per block is a
+# single scalar (the last row of the nearest earlier non-empty block, used
+# only when its key matches this block's first key), so the driver scan is
+# O(#blocks) and each block then lags independently.
+
+
+@dataclass
+class LagSummary:
+    n: int
+    first_key: object = None
+    last_key: object = None
+    last_val: float = 0.0
+
+
+def summarize_lag(tbl: pa.Table, key: str, value: str) -> LagSummary:
+    n = tbl.num_rows
+    if n == 0:
+        return LagSummary(n=0)
+    k = _col_np(tbl, key)
+    v = _col_np(tbl, value)
+    return LagSummary(n=n, first_key=k[0], last_key=k[-1], last_val=float(v[-1]))
+
+
+def scan_lag_carry(summaries: list[LagSummary]):
+    """Per block: (has_carry, carry_value) for its first row — the value of
+    the globally preceding row when that row shares the block's first key."""
+    out = [(False, 0.0)] * len(summaries)
+    prev: LagSummary | None = None
+    for i, s in enumerate(summaries):
+        if s.n == 0:
+            continue
+        if prev is not None and prev.last_key == s.first_key:
+            out[i] = (True, prev.last_val)
+        prev = s
+    return out
+
+
+def lag_block(
+    tbl: pa.Table, key: str, value: str, id_col: str,
+    has_carry: bool, carry: float,
+) -> pa.Table:
+    """Vectorized within-block lag; null where a key's first row has no
+    predecessor. Emits (id, key, value, lag)."""
+    n = tbl.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                key: tbl.column(key),
+                "value": pa.array([], pa.float64()),
+                "lag": pa.array([], pa.float64()),
+            }
+        )
+    k = _col_np(tbl, key)
+    v = _col_np(tbl, value).astype(np.float64)
+    lagv = np.empty(n, dtype=np.float64)
+    lagv[1:] = v[:-1]
+    lagv[0] = carry
+    valid = np.concatenate([[has_carry], k[1:] == k[:-1]])
+    return pa.table(
+        {
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            key: tbl.column(key),
+            "value": pa.array(v, pa.float64()),
+            "lag": pa.array(np.where(valid, lagv, np.nan), pa.float64(), mask=~valid),
+        }
+    )
+
+
+def lag_tables(tables: list[pa.Table], key: str, value: str, id_col: str):
+    """Local reference driver over pre-sorted blocks (test hook)."""
+    carries = scan_lag_carry([summarize_lag(t, key, value) for t in tables])
+    return [
+        lag_block(t, key, value, id_col, carries[i][0], carries[i][1])
+        for i, t in enumerate(tables)
+    ]
+
+
+def lag_by_key(ds, *, key: str, value: str, id_col: str, sort_cols=None):
+    """lag(value, 1) OVER (PARTITION BY key ORDER BY sort_cols) as a
+    Dataset -> Dataset operator; sort_cols defaults to [key, value, id_col]
+    and must order rows uniquely per key."""
+    import ray
+    import ray.data
+
+    sorted_ds = ds.sort(sort_cols or [key, value, id_col])
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                    "lag": pa.array([], pa.float64()),
+                }
+            )
+        )
+    summarize = ray.remote(num_cpus=0.5)(summarize_lag)
+    lblock = ray.remote(num_cpus=0.5)(lag_block)
+    carries = scan_lag_carry(
+        ray.get([summarize.remote(r, key, value) for r in refs])
+    )
+    return ray.data.from_arrow_refs(
+        [
+            lblock.remote(refs[i], key, value, id_col, carries[i][0], carries[i][1])
+            for i in range(len(refs))
+        ]
+    )

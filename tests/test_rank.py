@@ -214,3 +214,64 @@ def test_quantiles_by_key_vs_duckdb(ray_session):
     assert len(exp) == len(got)
     for et, p50, p90, p99 in exp:
         np.testing.assert_allclose(got[et], [p50, p90, p99], rtol=1e-12)
+
+
+def test_lag_tables_fuzz_block_splits():
+    """Distributed lag(1): arbitrary block cuts (keys spanning blocks, empty
+    blocks, singleton keys) match the brute-force previous-row-of-same-key."""
+    from clip_as_service_ray.stages.rank import lag_tables
+
+    rng = np.random.default_rng(31)
+    for _ in range(150):
+        nkeys = int(rng.integers(1, 5))
+        k_all, v_all, id_all = [], [], []
+        nid = 0
+        for ki in range(nkeys):
+            n = int(rng.integers(1, 30))
+            k_all += [ki] * n
+            v_all += sorted(rng.integers(0, 50, n).tolist())
+            id_all += list(range(nid, nid + n))
+            nid += n
+        k = np.array(k_all)
+        v = np.array(v_all, float)
+        ids = np.array(id_all)
+        exp = {
+            ids[i]: (v[i - 1] if i > 0 and k[i - 1] == k[i] else None)
+            for i in range(len(k))
+        }
+        cuts = np.sort(rng.integers(0, len(k) + 1, int(rng.integers(0, 7))))
+        bounds = [0, *cuts.tolist(), len(k)]
+        tables = [
+            pa.table({"k": k[a:b], "v": v[a:b], "id": ids[a:b]})
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        for out in lag_tables(tables, "k", "v", "id"):
+            for rid, lag in zip(
+                out.column("id").to_pylist(), out.column("lag").to_pylist()
+            ):
+                assert lag == exp[rid]
+
+
+def test_user_interevent_gap_vs_duckdb(ray_session):
+    """E2E distributed-lag operator vs DuckDB's window lag()."""
+    from clip_as_service_ray.pipelines.operators import user_interevent_gap
+
+    got = (
+        user_interevent_gap(SF)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "WITH o AS (SELECT user_id, epoch_us(ts) AS t, event_id "
+        f"  FROM read_parquet('{SF}/events.parquet')), "
+        "d AS (SELECT user_id, t - lag(t) OVER "
+        "  (PARTITION BY user_id ORDER BY t, event_id) AS gap FROM o) "
+        "SELECT user_id, count(*)::BIGINT AS n_gaps, "
+        "round(avg(gap) / 1e6, 6)::DOUBLE AS avg_gap_s, max(gap)::BIGINT AS max_gap_us "
+        "FROM d WHERE gap IS NOT NULL GROUP BY user_id ORDER BY user_id"
+    ).df()
+    assert (got["user_id"].values == exp["user_id"].values).all()
+    assert (got["n_gaps"].values == exp["n_gaps"].values).all()
+    np.testing.assert_array_equal(got["avg_gap_s"].values, exp["avg_gap_s"].values)
+    assert (got["max_gap_us"].values == exp["max_gap_us"].values).all()
