@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_revenue": ops.user_rolling_revenue,
         "order_price_percentile": ops.order_price_percentile,
         "user_interevent_gap": ops.user_interevent_gap,
+        "order_value_quartiles": ops.order_value_quartiles,
         "user_cumulative_value": ops.user_cumulative_value,
         "token_counts": ops.token_counts,
         "distinct_users_daily": ops.distinct_users_daily,
@@ -311,6 +312,13 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.9), 6)::DOUBLE AS p90, "
             "round(quantile_cont(value, 0.99), 6)::DOUBLE AS p99 "
             "FROM events GROUP BY event_type"
+        ),
+        "order_value_quartiles": (
+            "SELECT o_orderkey, "
+            "row_number() OVER w::BIGINT AS rn, "
+            "ntile(4) OVER w::BIGINT AS quartile "
+            "FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"
         ),
         "user_interevent_gap": (
             "WITH o AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events), "

@@ -2571,3 +2571,35 @@ def user_interevent_gap(sf_dir: str):
         .groupby("user_id", num_partitions=4)
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def order_value_quartiles(sf_dir: str):
+    """ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice,
+    o_orderkey) via the DISTRIBUTED row_number/ntile window
+    (stages/rank.ntile_by_key): per-key group sizes come from the forward +
+    backward block-summary scan, so there is no per-key broadcast and no
+    per-group materialization at any key cardinality. The order includes
+    o_orderkey so both engines see a unique (deterministic) NTILE order."""
+    import ray.data
+
+    from clip_as_service_ray.stages.rank import ntile_by_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice", "o_orderkey"],
+    )
+    out = ntile_by_key(
+        ds, key="o_custkey", value="o_totalprice", id_col="o_orderkey",
+        n_tiles=4, sort_cols=["o_custkey", "o_totalprice", "o_orderkey"],
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "rn": batch.column("rn"),
+                "quartile": batch.column("tile"),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -659,3 +659,106 @@ def lag_by_key(ds, *, key: str, value: str, id_col: str, sort_cols=None):
             for i in range(len(refs))
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed ROW_NUMBER / NTILE — reuses percent_rank's BlockSummary scan:
+# prev_rows gives the block's first key its starting row_number, total_fk /
+# total_lk give the boundary keys their GROUP SIZES (interior keys are fully
+# contained, so both are block-local). No per-key broadcast at any size.
+
+
+def ntile_block(
+    tbl: pa.Table,
+    key: str,
+    value: str,
+    id_col: str,
+    prev_rows: int,
+    total_fk: int,
+    total_lk: int,
+    n_tiles: int,
+) -> pa.Table:
+    """Emit (id, rn, tile): 1-based row_number per key and SQL NTILE(n)
+    bucket (first c % n buckets get size c//n + 1)."""
+    n = tbl.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "rn": pa.array([], pa.int64()),
+                "tile": pa.array([], pa.int64()),
+            }
+        )
+    k = _col_np(tbl, key)
+    idx = np.arange(n, dtype=np.int64)
+    key_change = np.concatenate([[True], k[1:] != k[:-1]])
+    key_start = np.maximum.accumulate(np.where(key_change, idx, 0))
+    rn = idx - key_start  # 0-based within block
+    bounds = np.concatenate([np.nonzero(key_change)[0], [n]])
+    seg_counts = np.diff(bounds)
+    c = np.repeat(seg_counts, seg_counts).astype(np.int64)  # group sizes
+    seg0 = int(bounds[1])
+    rn[:seg0] += prev_rows
+    c[:seg0] = total_fk
+    c[int(bounds[-2]):] = total_lk
+
+    q, r = c // n_tiles, c % n_tiles
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    in_big = rn < big
+    tile = np.where(
+        in_big,
+        rn // np.maximum(q + 1, 1),
+        r + np.where(q > 0, (rn - big) // np.maximum(q, 1), 0),
+    ) + 1
+    return pa.table(
+        {
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            "rn": pa.array(rn + 1, pa.int64()),
+            "tile": pa.array(tile, pa.int64()),
+        }
+    )
+
+
+def ntile_tables(
+    tables: list[pa.Table], key: str, value: str, id_col: str, n_tiles: int
+):
+    """Local reference driver over pre-sorted blocks (test hook)."""
+    summaries = [summarize_block(t, key, value) for t in tables]
+    pr, _pt, tf, tl = scan_offsets(summaries)
+    return [
+        ntile_block(t, key, value, id_col, pr[i], tf[i], tl[i], n_tiles)
+        for i, t in enumerate(tables)
+    ]
+
+
+def ntile_by_key(ds, *, key: str, value: str, id_col: str, n_tiles: int, sort_cols=None):
+    """row_number()/ntile(n) OVER (PARTITION BY key ORDER BY sort_cols) as a
+    Dataset -> Dataset operator. sort_cols defaults to [key, value, id_col]
+    and MUST order rows uniquely per key (SQL leaves NTILE ties unspecified;
+    a unique order makes both engines deterministic)."""
+    import ray
+    import ray.data
+
+    sorted_ds = ds.sort(sort_cols or [key, value, id_col])
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "rn": pa.array([], pa.int64()),
+                    "tile": pa.array([], pa.int64()),
+                }
+            )
+        )
+    summarize = ray.remote(num_cpus=0.5)(summarize_block)
+    nblock = ray.remote(num_cpus=0.5)(ntile_block)
+    pr, _pt, tf, tl = scan_offsets(
+        ray.get([summarize.remote(r, key, value) for r in refs])
+    )
+    return ray.data.from_arrow_refs(
+        [
+            nblock.remote(refs[i], key, value, id_col, pr[i], tf[i], tl[i], n_tiles)
+            for i in range(len(refs))
+        ]
+    )

@@ -275,3 +275,49 @@ def test_user_interevent_gap_vs_duckdb(ray_session):
     assert (got["n_gaps"].values == exp["n_gaps"].values).all()
     np.testing.assert_array_equal(got["avg_gap_s"].values, exp["avg_gap_s"].values)
     assert (got["max_gap_us"].values == exp["max_gap_us"].values).all()
+
+
+def test_ntile_tables_fuzz_block_splits():
+    """Distributed row_number/ntile: arbitrary block cuts match brute-force
+    SQL NTILE sizing (first c % n buckets get c // n + 1 rows)."""
+    from clip_as_service_ray.stages.rank import ntile_tables
+
+    rng = np.random.default_rng(41)
+    for _ in range(150):
+        nkeys = int(rng.integers(1, 5))
+        n_tiles = int(rng.integers(1, 6))
+        k_all, v_all, id_all = [], [], []
+        nid = 0
+        for ki in range(nkeys):
+            n = int(rng.integers(1, 30))
+            k_all += [ki] * n
+            v_all += sorted(rng.integers(0, 50, n).tolist())
+            id_all += list(range(nid, nid + n))
+            nid += n
+        k = np.array(k_all)
+        v = np.array(v_all, float)
+        ids = np.array(id_all)
+        exp_rn, exp_tile = {}, {}
+        for ki in set(k_all):
+            rows = ids[k == ki]
+            c = len(rows)
+            q, r = divmod(c, n_tiles)
+            for j, rid in enumerate(rows):
+                exp_rn[rid] = j + 1
+                if j < r * (q + 1):
+                    exp_tile[rid] = j // (q + 1) + 1
+                else:
+                    exp_tile[rid] = r + (j - r * (q + 1)) // max(q, 1) + 1
+        cuts = np.sort(rng.integers(0, len(k) + 1, int(rng.integers(0, 7))))
+        bounds = [0, *cuts.tolist(), len(k)]
+        tables = [
+            pa.table({"k": k[a:b], "v": v[a:b], "id": ids[a:b]})
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        for out in ntile_tables(tables, "k", "v", "id", n_tiles):
+            for rid, rn, tile in zip(
+                out.column("id").to_pylist(),
+                out.column("rn").to_pylist(),
+                out.column("tile").to_pylist(),
+            ):
+                assert rn == exp_rn[rid] and tile == exp_tile[rid]
