@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": ops.order_priority_revenue,
         "shipping_priority_q3": ops.shipping_priority_q3,
         "parts_never_shipped_late": ops.parts_never_shipped_late,
+        "order_priority_check_q4": ops.order_priority_check_q4,
+        "returnflag_priority_share_q12": ops.returnflag_priority_share_q12,
         "sample_documents": ops.sample_documents,
         "stratified_sample_documents": ops.stratified_sample_documents,
         "label_centroid_dims": ops.label_centroid_dims,
@@ -377,6 +379,24 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_orderkey, o_orderdate "
             "ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey "
             "LIMIT 10"
+        ),
+        "order_priority_check_q4": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS order_count "
+            "FROM orders WHERE o_orderdate >= DATE '1996-07-01' "
+            "AND o_orderdate < DATE '1996-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "  WHERE l_orderkey = o_orderkey AND l_shipdate >= DATE '1996-08-01') "
+            "GROUP BY o_orderpriority"
+        ),
+        "returnflag_priority_share_q12": (
+            "SELECT l_returnflag, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "    THEN 1 ELSE 0 END)::BIGINT AS high_line_count, "
+            "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+            "    THEN 1 ELSE 0 END)::BIGINT AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01' "
+            "GROUP BY l_returnflag"
         ),
         "parts_never_shipped_late": (
             "SELECT p_partkey, p_brand FROM part p WHERE NOT EXISTS ("

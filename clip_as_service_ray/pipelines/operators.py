@@ -2603,3 +2603,105 @@ def order_value_quartiles(sf_dir: str):
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def order_priority_check_q4(
+    sf_dir: str,
+    date_from: str = "1996-07-01",
+    date_to: str = "1996-10-01",
+    ship_cut: str = "1996-08-01",
+):
+    """TPC-H Q4 analog (the driver's lineitem has no commit/receipt dates,
+    so the EXISTS predicate is "some lineitem shipped on/after ship_cut"):
+    one quarter of orders, kept only when a matching lineitem exists (semi
+    join — the right side is filtered AT THE READ and collapsed to unique
+    keys per batch before the shuffle), counted per o_orderpriority."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from clip_as_service_ray.stages.joins import shuffle_semi_join
+
+    f = pa.scalar(np.datetime64(date_from, "us"))
+    t = pa.scalar(np.datetime64(date_to, "us"))
+    cut = pa.scalar(np.datetime64(ship_cut, "us"))
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") >= f) & (pc.field("o_orderdate") < t),
+    )
+    shipped = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey"],
+        filter=pc.field("l_shipdate") >= cut,
+    ).map_batches(lambda b: b.rename_columns(["o_orderkey"]), batch_format="pyarrow")
+    agg = (
+        shuffle_semi_join(orders, shipped, on="o_orderkey")
+        .groupby("o_orderpriority", num_partitions=2)
+        .aggregate(Count(alias_name="order_count"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "o_orderpriority": tbl.column("o_orderpriority"),
+            "order_count": pc.cast(tbl.column("order_count"), pa.int64()),
+        }
+    )
+
+
+def returnflag_priority_share_q12(sf_dir: str, date_from: str = "1997-01-01", date_to: str = "1998-01-01"):
+    """TPC-H Q12 analog (no l_shipmode in the driver tables: group by
+    l_returnflag instead): lineitem∞orders big-big shuffle join, then the
+    Q12 conditional aggregation — per group, how many orders were
+    high-priority (1-URGENT/2-HIGH) vs not. The join ships only the two key
+    columns + priority; the CASE WHEN runs vectorized per batch."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.stages.joins import shuffle_hash_join
+
+    f = pa.scalar(np.datetime64(date_from, "us"))
+    t = pa.scalar(np.datetime64(date_to, "us"))
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag"],
+        filter=(pc.field("l_shipdate") >= f) & (pc.field("l_shipdate") < t),
+    ).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_returnflag"]),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = shuffle_hash_join(li, orders, on="o_orderkey")
+
+    def flags(batch: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            batch.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        ones = pc.cast(hi, pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "high_line_count": ones,
+                "low_line_count": pc.subtract(pa.scalar(1, pa.int64()), ones),
+            }
+        )
+
+    agg = (
+        joined.map_batches(flags, batch_format="pyarrow")
+        .groupby("l_returnflag", num_partitions=2)
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "l_returnflag": tbl.column("l_returnflag"),
+            "high_line_count": pc.cast(tbl.column("high_line_count"), pa.int64()),
+            "low_line_count": pc.cast(tbl.column("low_line_count"), pa.int64()),
+        }
+    )

@@ -295,3 +295,52 @@ def test_brand_quantity_revenue_q19(ray_session):
     assert got.column("n_rows")[0].as_py() == want[1]
     # engine rounds to 2 decimals (matching the oracle SQL projection)
     assert abs(got.column("revenue")[0].as_py() - round(float(want[0]), 2)) < 1e-6
+
+
+def test_order_priority_check_q4(ray_session):
+    from clip_as_service_ray.pipelines.operators import order_priority_check_q4
+
+    got = (
+        order_priority_check_q4(SF)
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        _view(con, t)
+    want = con.execute(
+        "SELECT o_orderpriority, count(*)::BIGINT AS order_count "
+        "FROM orders WHERE o_orderdate >= DATE '1996-07-01' "
+        "AND o_orderdate < DATE '1996-10-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "  WHERE l_orderkey = o_orderkey AND l_shipdate >= DATE '1996-08-01') "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ).df()
+    assert got["o_orderpriority"].tolist() == want["o_orderpriority"].tolist()
+    assert got["order_count"].tolist() == want["order_count"].tolist()
+
+
+def test_returnflag_priority_share_q12(ray_session):
+    from clip_as_service_ray.pipelines.operators import returnflag_priority_share_q12
+
+    got = (
+        returnflag_priority_share_q12(SF)
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        _view(con, t)
+    want = con.execute(
+        "SELECT l_returnflag, "
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS hi, "
+        "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS lo "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01' "
+        "GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).df()
+    assert got["l_returnflag"].tolist() == want["l_returnflag"].tolist()
+    assert got["high_line_count"].tolist() == want["hi"].tolist()
+    assert got["low_line_count"].tolist() == want["lo"].tolist()
