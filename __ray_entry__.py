@@ -76,6 +76,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": ops.bm25_topk_deleted,
         "exact_dedup": ops.exact_dedup,
         "doc_quality": ops.doc_quality,
+        "doc_repetition": ops.doc_repetition,
+        "user_top_event_type": ops.user_top_event_type,
+        "embedding_moments": ops.embedding_moments,
+        "embedding_pca": ops.embedding_pca,  # rows-only (eigendecomposition)
         "events_type_agg": ops.events_type_agg,
         "events_type_rollup": ops.events_type_rollup,
         "event_prop_stats": ops.event_prop_stats,
@@ -210,6 +214,31 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count "
             "FROM documents GROUP BY text"
+        ),
+        "doc_repetition": (
+            "WITH tf AS (SELECT doc_id, term, count(*)::BIGINT AS c "
+            f"FROM ({_TOK}) t GROUP BY doc_id, term) "
+            "SELECT doc_id, sum(c)::BIGINT AS n_tokens, "
+            "count(*)::BIGINT AS n_distinct_terms, max(c)::BIGINT AS max_tf, "
+            "round(max(c)::DOUBLE / sum(c), 6)::DOUBLE AS top_term_share, "
+            "round(count(*)::DOUBLE / sum(c), 6)::DOUBLE AS ttr "
+            "FROM tf GROUP BY doc_id"
+        ),
+        "user_top_event_type": (
+            "SELECT user_id, event_type AS top_event_type, cnt FROM ("
+            "  SELECT user_id, event_type, count(*)::BIGINT AS cnt, "
+            "  row_number() OVER (PARTITION BY user_id "
+            "    ORDER BY count(*) DESC, event_type ASC) AS rn "
+            "  FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+        ),
+        "embedding_moments": (
+            "SELECT count(*)::BIGINT AS n, "
+            "round(avg(embedding[1]), 6)::DOUBLE AS mean_0, "
+            "round(avg(embedding[2]), 6)::DOUBLE AS mean_1, "
+            "round(var_pop(embedding[1]), 6)::DOUBLE AS var_0, "
+            "round(var_pop(embedding[2]), 6)::DOUBLE AS var_1, "
+            "round(covar_pop(embedding[1], embedding[2]), 6)::DOUBLE AS cov_01 "
+            "FROM embeddings"
         ),
         "doc_quality": (
             "SELECT doc_id, "

@@ -2705,3 +2705,172 @@ def returnflag_priority_share_q12(sf_dir: str, date_from: str = "1997-01-01", da
             "low_line_count": pc.cast(tbl.column("low_line_count"), pa.int64()),
         }
     )
+
+
+def doc_repetition(sf_dir: str):
+    """Per-document repetition / lexical-diversity signals (the Gopher-style
+    quality gates a curation pipeline filters on): token count, distinct
+    terms, max term frequency, top-term share and type-token ratio — ONE
+    tokenize pass, aggregated per doc inside the batch UDF with reduceat
+    over run boundaries (docs never span batches), so the stage is
+    embarrassingly parallel: no shuffle at all."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        tf_rows = _tokens_flat(batch)
+        n = tf_rows.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_distinct_terms": pa.array([], pa.int64()),
+                    "max_tf": pa.array([], pa.int64()),
+                    "top_term_share": pa.array([], pa.float64()),
+                    "ttr": pa.array([], pa.float64()),
+                }
+            )
+        doc = tf_rows.column("doc_id").to_numpy()
+        tf = tf_rows.column("tf").to_numpy()
+        starts = np.concatenate([[0], np.nonzero(np.diff(doc))[0] + 1])
+        n_tokens = np.add.reduceat(tf, starts)
+        max_tf = np.maximum.reduceat(tf, starts)
+        n_distinct = np.diff(np.append(starts, n))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_distinct_terms": pa.array(n_distinct, pa.int64()),
+                "max_tf": pa.array(max_tf, pa.int64()),
+                "top_term_share": pa.array(
+                    np.round(max_tf.astype(np.float64) / n_tokens, 6), pa.float64()
+                ),
+                "ttr": pa.array(
+                    np.round(n_distinct.astype(np.float64) / n_tokens, 6), pa.float64()
+                ),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def user_top_event_type(sf_dir: str):
+    """Grouped MODE with deterministic tie-break (min event_type among max
+    counts): per-batch (user, type) count combiner shrinks the shuffle to
+    distinct pairs; the per-user finalize sees only that user's per-type
+    partials (bounded by #event types, not #events)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g.column("user_id"),
+                "event_type": g.column("event_type"),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        c = group.column("c").to_numpy()
+        # partials of the same type may repeat across batches: fold first,
+        # then tie-break (count DESC, event_type ASC)
+        agg: dict = {}
+        for t, cnt in zip(et, c):
+            agg[t] = agg.get(t, 0) + int(cnt)
+        top = min((t for t in agg), key=lambda t: (-agg[t], t))
+        return pa.table(
+            {
+                "user_id": pa.array([group.column("user_id")[0].as_py()], pa.int64()),
+                "top_event_type": pa.array([top], pa.string()),
+                "cnt": pa.array([agg[top]], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=4)
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+def embedding_moments(sf_dir: str):
+    """First/second moments of the embedding matrix (the sanity stats an
+    embedding pipeline checks before ANN/PCA): per-batch float64 partial
+    sums (n, Σx, Σx², Σx₀x₁) for the first two dimensions — a handful of
+    scalars per block regardless of corpus size — folded on the driver.
+    Variance/covariance use the E[x²]−μ² identity; values are O(1) and the
+    result is rounded to 6 on both engines."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding").combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(col[0]) if len(col) else 1
+        m = flat.reshape(-1, dim)
+        x0, x1 = m[:, 0], m[:, 1]
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "s0": pa.array([float(x0.sum())], pa.float64()),
+                "s1": pa.array([float(x1.sum())], pa.float64()),
+                "ss0": pa.array([float((x0 * x0).sum())], pa.float64()),
+                "ss1": pa.array([float((x1 * x1).sum())], pa.float64()),
+                "s01": pa.array([float((x0 * x1).sum())], pa.float64()),
+            }
+        )
+
+    tot = {"n": 0, "s0": 0.0, "s1": 0.0, "ss0": 0.0, "ss1": 0.0, "s01": 0.0}
+    for part in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for k in tot:
+            tot[k] += part.column(k).to_numpy().sum()
+    n = float(tot["n"])
+    m0, m1 = tot["s0"] / n, tot["s1"] / n
+    return pa.table(
+        {
+            "n": pa.array([int(n)], pa.int64()),
+            "mean_0": pa.array([round(m0, 6)], pa.float64()),
+            "mean_1": pa.array([round(m1, 6)], pa.float64()),
+            "var_0": pa.array([round(tot["ss0"] / n - m0 * m0, 6)], pa.float64()),
+            "var_1": pa.array([round(tot["ss1"] / n - m1 * m1, 6)], pa.float64()),
+            "cov_01": pa.array([round(tot["s01"] / n - m0 * m1, 6)], pa.float64()),
+        }
+    )
+
+
+def embedding_pca(sf_dir: str, k: int = 8):
+    """Distributed PCA (rows-only: eigendecomposition is not
+    SQL-expressible): per-batch (n, Σx, XᵀX) partials — O(d²) scalars per
+    block — folded into the exact covariance, then a driver-side eigh on
+    the d×d matrix (d=64 here; the d×d problem is always driver-sized even
+    when the corpus is not). Returns the top-k eigenvalue spectrum and
+    explained-variance ratios; eigenvector signs are not part of the
+    contract (they are basis-ambiguous)."""
+    from clip_as_service_ray.stages.ann import pca_fit
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    eigvals, _components, total_var = pca_fit(ds, column="embedding")
+    topk = eigvals[:k]
+    return pa.table(
+        {
+            "component": pa.array(np.arange(len(topk)), pa.int64()),
+            "eigenvalue": pa.array(np.round(topk, 6), pa.float64()),
+            "explained_ratio": pa.array(np.round(topk / total_var, 6), pa.float64()),
+        }
+    )

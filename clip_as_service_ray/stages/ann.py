@@ -412,3 +412,56 @@ def kmeans_fit(
         new[nz] = sums[nz] / counts[nz, None]
         cents = _normalize(new)
     return cents, counts, history
+
+
+def pca_fit(ds, *, column: str = "embedding"):
+    """Distributed exact PCA moments: every batch folds to (n, Σx, XᵀX) —
+    O(d²) float64 scalars per block, independent of corpus size — the
+    driver merges partials, forms the population covariance
+    XᵀX/n − μμᵀ, and eigendecomposes the d×d matrix locally (d is the
+    embedding width, always driver-sized). Returns
+    (eigenvalues DESC, components[d, d] row-per-component, total_variance).
+
+    Zero-copy flatten: the list<float> column is reshaped, not iterated."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(col[0]) if len(col) else 1
+        m = flat.reshape(-1, dim)
+        return pa.table(
+            {
+                "n": pa.array([m.shape[0]], pa.int64()),
+                "dim": pa.array([dim], pa.int64()),
+                "s": pa.array([m.sum(axis=0).tobytes()], pa.binary()),
+                "xtx": pa.array([(m.T @ m).tobytes()], pa.binary()),
+            }
+        )
+
+    n_total, s_total, xtx_total, dim = 0, None, None, None
+    for part in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for i in range(part.num_rows):
+            d = int(part.column("dim")[i].as_py())
+            if dim is None:
+                dim = d
+                s_total = np.zeros(d, dtype=np.float64)
+                xtx_total = np.zeros((d, d), dtype=np.float64)
+            n_total += int(part.column("n")[i].as_py())
+            s_total += np.frombuffer(part.column("s")[i].as_py(), dtype=np.float64)
+            xtx_total += np.frombuffer(
+                part.column("xtx")[i].as_py(), dtype=np.float64
+            ).reshape(d, d)
+    if not n_total:
+        raise ValueError("pca_fit: empty dataset")
+    mu = s_total / n_total
+    cov = xtx_total / n_total - np.outer(mu, mu)
+    cov = (cov + cov.T) / 2.0  # symmetrize float noise before eigh
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1]
+    eigvals = np.maximum(eigvals[order], 0.0)
+    components = eigvecs[:, order].T
+    return eigvals, components, float(eigvals.sum())

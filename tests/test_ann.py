@@ -147,3 +147,37 @@ def test_kmeans_fit_converges_and_deterministic(ray_session):
     c2, n2, h2 = kmeans_fit(ds, 6, n_iters=4)
     np.testing.assert_allclose(c1, c2, atol=1e-9)
     assert (n1 == n2).all()
+
+
+def test_pca_fit_matches_direct_numpy(ray_session):
+    """Distributed (n, Σx, XᵀX) partials reproduce the full-matrix PCA:
+    eigenvalues match a direct np.linalg.eigh on the exactly-computed
+    covariance, and components reconstruct the covariance."""
+    import ray.data
+
+    from clip_as_service_ray.stages.ann import pca_fit
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["embedding"],
+        override_num_blocks=8,
+    )
+    eigvals, components, total = pca_fit(ds, column="embedding")
+
+    import pyarrow.parquet as pq
+
+    m = np.array(
+        pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        .column("embedding")
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    mu = m.mean(axis=0)
+    cov = (m - mu).T @ (m - mu) / len(m)
+    exp = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    np.testing.assert_allclose(eigvals, np.maximum(exp, 0), atol=1e-9)
+    assert abs(total - exp.sum()) < 1e-9
+    # components are orthonormal and diagonalize the covariance
+    np.testing.assert_allclose(components @ components.T, np.eye(len(mu)), atol=1e-9)
+    diag = components @ cov @ components.T
+    np.testing.assert_allclose(np.diag(diag), eigvals, atol=1e-9)
