@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": ops.bm25_topk,
         "bm25_topk_segmented": ops.bm25_topk_segmented,
         "bm25_topk_deleted": ops.bm25_topk_deleted,
+        "bm25_topk_conjunctive": ops.bm25_topk_conjunctive,
+        "phrase_search": ops.phrase_search,
         "exact_dedup": ops.exact_dedup,
         "doc_quality": ops.doc_quality,
         "doc_repetition": ops.doc_repetition,
@@ -191,6 +193,37 @@ def oracle_sql() -> dict[str, str]:
             "  CROSS JOIN stats s GROUP BY tf.doc_id) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_conjunctive": (  # AND semantics: doc must match EVERY term
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id "
+            "  HAVING count(*) = 2) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "phrase_search": (
+            # positional self-join phrase match for 'merge part': zipped
+            # unnest(terms)/unnest(range(len)) gives (term, pos) rows; a
+            # phrase START is a pos p with term(p)='merge' and
+            # term(p+1)='part'; overlapping starts each count (engine ditto)
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "             unnest(range(len(ts))) AS pos "
+            "  FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents)) "
+            "SELECT a.doc_id, count(*)::BIGINT AS phrase_tf "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.term = 'merge' AND b.term = 'part' "
+            "GROUP BY a.doc_id "
+            "ORDER BY phrase_tf DESC, a.doc_id ASC LIMIT 10"
         ),
         "bm25_topk_deleted": (
             # bm25_topk over the SURVIVING corpus (doc_id % 7 != 3): the

@@ -2874,3 +2874,66 @@ def embedding_pca(sf_dir: str, k: int = 8):
             "explained_ratio": pa.array(np.round(topk / total_var, 6), pa.float64()),
         }
     )
+
+
+def phrase_search(sf_dir: str, phrase: str = "merge part", limit: int = 10):
+    """Exact token-phrase top-k over `documents` THROUGH the positional
+    index: build main index (doc-id scheme) + POSITIONS artifact (both
+    cached/resumable), run the phrase through the PhraseScorer actor pool,
+    rank by (phrase_tf DESC, doc_id ASC). The DuckDB oracle recomputes
+    phrase occurrences with a positional self-join over zipped-unnest
+    (term, pos) rows — overlapping occurrences count on both sides."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import (
+        build_positions,
+        phrase_search_table,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    build_positions(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([phrase]),
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    hits = phrase_search_table(index_dir, q, cfg)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "phrase_tf": hits.column("phrase_tf"),
+        }
+    )
+
+
+def bm25_topk_conjunctive(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
+    """Boolean-AND BM25 top-k over `documents` through the engine's
+    conjunctive path (rarest-first candidate intersection with selective
+    block decode, then canonical-order exact scoring). The SQL twin adds
+    HAVING count(*) = n_terms to the bm25_topk oracle."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([" ".join(terms)]),
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    hits = search_table(index_dir, queries, cfg, conjunctive=True)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )

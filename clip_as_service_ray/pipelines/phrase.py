@@ -1,0 +1,230 @@
+"""Phrase search: positional-index build + query pipelines.
+
+Extends a built index with the optional POSITIONS artifact and serves exact
+token-phrase queries over it — the classic full-text feature the reference's
+dense-vector engine approximates with embedding similarity but cannot answer
+exactly (its nearest analog is the match-filter path,
+``/root/reference/docs/user-guides/retriever.md:107-121``). Here it is the
+real thing: positional postings + vectorized positional intersection.
+
+Dataflow (same disk-partitioned grid exchange as the main build,
+pipelines/build_index.py):
+
+    read(source) -> TokenizePositions (ONE fused pass)
+      -> pos_partials/part=K/bgrp=J/          [map side, partition_cols]
+    merge_pos_partition x 1 task per cell -> positions/part=K/   [reduce]
+
+Query:  PhraseScorer actor pool (positions loaded once per actor in
+__init__) scores batches of phrase queries; hits are ranked by
+(phrase_tf DESC, doc_id ASC) — deterministic, SQL-checkable against a
+positional self-join in DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
+from clip_as_service_ray.stages.positions import (
+    PositionsReader,
+    TokenizePositions,
+    merge_pos_partition,
+)
+from clip_as_service_ray.state import manifest as mf
+
+POS_PARTIALS = "pos_partials"
+POSITIONS = "positions"
+
+PHRASE_HITS_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("rank", pa.int32()),
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("phrase_tf", pa.int64()),
+    ]
+)
+
+
+def build_positions(
+    source, index_dir: str, config: EngineConfig = DEFAULT_CONFIG
+) -> dict:
+    """Build (or resume) the positional artifact inside an EXISTING index dir
+    (needs convmap.parquet from ``build_index`` for the doc-id scheme — the
+    positional artifact shares doc ids with the main postings)."""
+    import ray
+
+    from clip_as_service_ray.pipelines.build_index import (
+        _as_dataset,
+        _prep_from_extents,
+    )
+
+    done_path = os.path.join(index_dir, POSITIONS)
+    if config.resume and mf.stage_done(done_path):
+        return mf.read_stage(done_path)
+
+    convmap_path = os.path.join(index_dir, "convmap.parquet")
+    if not os.path.exists(convmap_path):
+        raise FileNotFoundError(
+            f"{convmap_path} missing: build_index must run before build_positions"
+        )
+    prep = _prep_from_extents(
+        pq.read_table(convmap_path).select(["conv_id", "max_turn"]),
+        config.doc_bucket_size,
+        config.merge_groups_per_part,
+    )
+    prep_ref = ray.put(prep)
+
+    partials_dir = os.path.join(index_dir, POS_PARTIALS)
+    if not (config.resume and mf.stage_done(partials_dir)):
+        mf.reset_stage(partials_dir)
+        ds = _as_dataset(source, roles=config.index_roles)
+        ds.map_batches(
+            TokenizePositions(
+                prep_ref,
+                config.num_index_partitions,
+                config.doc_bucket_size,
+                bucket_grp_width=prep["grp_width"],
+                lowercase=config.lowercase,
+            ),
+            batch_format="pyarrow",
+            batch_size=config.tokenize_batch_size,
+        ).write_parquet(partials_dir, partition_cols=["part", "bgrp"])
+        mf.mark_stage_done(
+            partials_dir, {"stage": "pos_partials", "bytes": mf.dir_bytes(partials_dir)}
+        )
+
+    positions_dir = os.path.join(index_dir, POSITIONS)
+    merge_remote = ray.remote(num_cpus=1)(merge_pos_partition)
+    futs = []
+    for p in range(config.num_index_partitions):
+        part_in = os.path.join(partials_dir, f"part={p}")
+        part_out = os.path.join(positions_dir, f"part={p}")
+        if config.resume and mf.stage_done(part_out):
+            continue
+        if os.path.exists(part_out):
+            mf.reset_stage(part_out)
+        grp_dirs = (
+            sorted(
+                os.path.join(part_in, d)
+                for d in os.listdir(part_in)
+                if d.startswith("bgrp=")
+            )
+            if os.path.isdir(part_in)
+            else []
+        )
+        pf = []
+        if not grp_dirs:
+            pf.append(
+                merge_remote.remote(
+                    [], part_out,
+                    block_size=config.postings_block_size,
+                    doc_bucket_size=config.doc_bucket_size,
+                )
+            )
+        for gd in grp_dirs:
+            files = sorted(
+                os.path.join(gd, f) for f in os.listdir(gd) if f.endswith(".parquet")
+            )
+            grp_tag = os.path.basename(gd).split("=")[1]
+            pf.append(
+                merge_remote.remote(
+                    files, part_out, out_suffix=f"_g{grp_tag}",
+                    block_size=config.postings_block_size,
+                    doc_bucket_size=config.doc_bucket_size,
+                )
+            )
+        futs.append((part_out, pf))
+    counters = {"postings": 0, "blocks": 0, "bytes": 0}
+    for part_out, pf in futs:
+        results = ray.get(pf)
+        mf.mark_stage_done(
+            part_out,
+            {
+                "stage": "positions_part",
+                "cells": len(results),
+                "postings": sum(r["postings"] for r in results),
+                "blocks": sum(r["blocks"] for r in results),
+                "bytes": sum(r["bytes"] for r in results),
+            },
+        )
+        for r in results:
+            for k in counters:
+                counters[k] += r[k]
+    payload = {"stage": "positions", **counters}
+    mf.mark_stage_done(positions_dir, payload)
+    return payload
+
+
+class PhraseScorer:
+    """map_batches actor-pool UDF: phrase-query batch -> ranked hits.
+
+    Positional index + convmap loaded once per actor (T1 pattern). Queries:
+    (query_id:int64, text:string phrase, limit:int32 optional).
+    """
+
+    def __init__(self, index_dir: str, default_limit: int = 10):
+        self.reader = PositionsReader(index_dir)
+        conv_tbl = pq.read_table(os.path.join(index_dir, "convmap.parquet"))
+        conv_tbl = conv_tbl.sort_by("conv_id")
+        self._conv_ids = np.asarray(
+            conv_tbl.column("conv_id").to_pylist(), dtype=object
+        )
+        extents = conv_tbl.column("max_turn").to_numpy().astype(np.int64) + 1
+        self._bases = np.concatenate([[0], np.cumsum(extents)[:-1]])
+        self.default_limit = default_limit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        limits = (
+            batch.column("limit").to_pylist()
+            if "limit" in batch.column_names
+            else [self.default_limit] * len(qids)
+        )
+        cols: dict[str, list] = {n: [] for n in PHRASE_HITS_SCHEMA.names}
+        for qid, text, limit in zip(qids, texts, limits):
+            k = int(limit or self.default_limit)
+            docs, tfs = self.reader.phrase_docs(text or "")
+            if len(docs) == 0:
+                continue
+            # (phrase_tf DESC, doc_id ASC): docs ascending, so a stable sort
+            # on -tf preserves the doc_id tiebreak
+            order = np.argsort(-tfs, kind="stable")[:k]
+            d, t = docs[order], tfs[order]
+            pos = np.searchsorted(self._bases, d, side="right") - 1
+            cols["query_id"].extend([qid] * len(d))
+            cols["rank"].extend(range(len(d)))
+            cols["conv_id"].extend(self._conv_ids[pos].tolist())
+            cols["turn_idx"].extend((d - self._bases[pos]).astype(np.int32).tolist())
+            cols["phrase_tf"].extend(t.tolist())
+        return pa.table(cols, schema=PHRASE_HITS_SCHEMA)
+
+
+def phrase_search_table(
+    index_dir: str, queries: pa.Table, config: EngineConfig = DEFAULT_CONFIG
+) -> pa.Table:
+    """Batch phrase search through a Ray Data actor pool; returns hits
+    sorted by (query_id, rank)."""
+    import ray.data
+
+    ds = ray.data.from_arrow(queries)
+    hits = ds.map_batches(
+        PhraseScorer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "default_limit": config.limit,
+        },
+        batch_format="pyarrow",
+        batch_size=config.query_batch_size,
+        concurrency=config.query_concurrency,
+    )
+    out = hits.to_pandas()
+    if len(out) == 0:
+        return PHRASE_HITS_SCHEMA.empty_table()
+    out = out.sort_values(["query_id", "rank"], kind="stable").reset_index(drop=True)
+    return pa.Table.from_pandas(out, schema=PHRASE_HITS_SCHEMA, preserve_index=False)

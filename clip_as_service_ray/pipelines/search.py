@@ -20,9 +20,12 @@ def search(
     index_dir: str,
     queries,
     config: EngineConfig = DEFAULT_CONFIG,
+    *,
+    conjunctive: bool = False,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit]).
-    Returns a lazy Dataset of flat ranked hits."""
+    Returns a lazy Dataset of flat ranked hits. ``conjunctive=True`` switches
+    to boolean-AND semantics (hits must contain every query term)."""
     import ray.data
 
     qds = ray.data.from_arrow(queries) if isinstance(queries, pa.Table) else queries
@@ -32,6 +35,7 @@ def search(
             "index_dir": index_dir,
             "default_limit": config.limit,
             "pruning": config.query_pruning,
+            "conjunctive": conjunctive,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -39,10 +43,16 @@ def search(
     )
 
 
-def search_table(index_dir: str, queries: pa.Table, config: EngineConfig = DEFAULT_CONFIG) -> pa.Table:
+def search_table(
+    index_dir: str,
+    queries: pa.Table,
+    config: EngineConfig = DEFAULT_CONFIG,
+    *,
+    conjunctive: bool = False,
+) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
-    ds = search(index_dir, queries, config)
+    ds = search(index_dir, queries, config, conjunctive=conjunctive)
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:
         from clip_as_service_ray.pipelines.oracle import HITS_SCHEMA

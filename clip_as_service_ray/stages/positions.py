@@ -1,0 +1,391 @@
+"""Positional index build stages + phrase-match kernel.
+
+The POSITIONS artifact (``index_dir/positions/part=K/``) is built by the
+same disk-partitioned 2-D grid exchange as the main postings (stages/merge.py):
+
+- ``TokenizePositions`` — ONE fused map_batches UDF over the raw transcripts
+  (tokenize ∘ emit, no intermediate staging schema): re-tokenizes each doc,
+  keeps per-occurrence token positions, and packs per-(term, doc-bucket)
+  partial runs, width-minimized, under ``partition_cols=[part, bgrp]``.
+- ``merge_pos_partition`` — one Ray task per grid cell: decodes its runs,
+  sorts posting-level (term, doc), gathers the occurrence-level position
+  stream in the same order, and encodes per-term position blocks
+  (state/positions.py codec).
+
+A (term, doc) pair lives in exactly ONE partial file (a doc's tokens are
+emitted by the one batch that contains the doc), so merge never has to merge
+position lists within a posting — only concatenate doc runs in sorted order.
+
+Phrase matching (``PositionsReader.phrase_docs``) is the standard positional
+intersection: candidate docs = intersection of the phrase terms' doc lists
+(rarest term first), then occurrence verification entirely vectorized via
+composite int64 keys ``doc_id * 2^21 + (pos - i)`` — a surviving key is a
+phrase START position present in every term's shifted occurrence set.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from clip_as_service_ray.functions.tokenizer import tokenize, tokenize_column
+from clip_as_service_ray.stages.merge import _decode_runs, _runs_binary_column
+from clip_as_service_ray.stages.tokenize import _get_conv_base
+from clip_as_service_ray.state.positions import (
+    POS_BLOCK_SCHEMA,
+    decode_pos_block,
+    encode_pos_blocks,
+)
+
+POS_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("bucket", pa.int64()),
+        ("bgrp", pa.int32()),
+        ("term", pa.string()),
+        ("n", pa.int32()),       # postings (docs) in this run
+        ("total", pa.int32()),   # occurrences in this run
+        ("doc_w", pa.int8()),
+        ("cnt_w", pa.int8()),
+        ("pos_w", pa.int8()),
+        ("docs", pa.binary()),   # doc offsets relative to bucket base
+        ("cnts", pa.binary()),   # per-doc occurrence counts
+        ("poss", pa.binary()),   # ABSOLUTE in-doc positions (flat, doc-major)
+    ]
+)
+
+_W_DTYPES = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+# in-doc position cap for the composite phrase-match key (doc*2^21 + pos):
+# leaves 42 bits of doc-id headroom in int64; docs longer than 2M tokens
+# would need a wider key, asserted at read time
+POS_SHIFT = 1 << 21
+
+
+class TokenizePositions:
+    """Fused map_batches UDF: raw transcripts batch -> positional partial runs."""
+
+    def __init__(
+        self,
+        conv_base_ref,
+        num_partitions: int,
+        doc_bucket_size: int,
+        bucket_grp_width=1,
+        lowercase: bool = True,
+    ):
+        # keep the REF; resolve lazily per worker process (_get_conv_base
+        # caches) so the pickled UDF ships only an ObjectRef, not the table
+        self.conv_base_ref = conv_base_ref
+        self.num_partitions = num_partitions
+        self.doc_bucket_size = doc_bucket_size
+        self.bucket_grp_width = bucket_grp_width
+        self.lowercase = lowercase
+
+    def _grp_width(self) -> int:
+        w = self.bucket_grp_width
+        if not isinstance(w, int):
+            import ray
+
+            got = ray.get(w) if not isinstance(w, dict) else w
+            w = max(1, int(got["grp_width"] if isinstance(got, dict) else got))
+            self.bucket_grp_width = w
+        return w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        conv_base = _get_conv_base(self.conv_base_ref)
+        conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+        turn = batch.column("turn_idx").to_numpy().astype(np.int64)
+        term_lists = tokenize_column(batch.column("text"), lowercase=self.lowercase)
+        dl = np.fromiter(
+            (len(t) for t in term_lists), dtype=np.int64, count=len(term_lists)
+        )
+        idx = np.nonzero(dl > 0)[0]
+        if len(idx) == 0:
+            return pa.table({n: [] for n in POS_PARTIAL_SCHEMA.names}, schema=POS_PARTIAL_SCHEMA)
+        doc_id = (conv_base.lookup(conv) + turn)[idx]
+        lens = dl[idx]
+        flat = np.concatenate([np.asarray(term_lists[i], dtype=object) for i in idx])
+        total = len(flat)
+        row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(row_starts, lens)
+        docs_rep = np.repeat(doc_id, lens)
+
+        codes, uniques = pd.factorize(flat, sort=False)
+        order = np.lexsort((pos_in_row, docs_rep, codes))
+        codes_s = codes[order].astype(np.int32)
+        docs_s = docs_rep[order]
+        pos_s = pos_in_row[order]
+
+        # posting-level segments: (term code, doc) boundaries
+        pchange = np.nonzero((np.diff(codes_s) != 0) | (np.diff(docs_s) != 0))[0] + 1
+        p_starts = np.concatenate([[0], pchange])
+        p_ends = np.concatenate([pchange, [total]])
+        p_code = codes_s[p_starts]
+        p_doc = docs_s[p_starts]
+        p_cnt = (p_ends - p_starts).astype(np.int64)
+        p_bucket = p_doc // self.doc_bucket_size
+
+        # run-level segments: (term code, bucket) boundaries over postings
+        rchange = np.nonzero((np.diff(p_code) != 0) | (np.diff(p_bucket) != 0))[0] + 1
+        r_starts = np.concatenate([[0], rchange])
+        r_ends = np.concatenate([rchange, [len(p_code)]])
+        r_code = p_code[r_starts]
+        r_bucket = p_bucket[r_starts]
+        n_runs = len(r_starts)
+
+        crc = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) for t in uniques),
+            dtype=np.int64, count=len(uniques),
+        )
+        parts = (crc % self.num_partitions).astype(np.int32)[r_code]
+        bgrps = (r_bucket // self._grp_width()).astype(np.int32)
+        term_arr = pa.array(uniques, pa.string()).take(pa.array(r_code, pa.int64()))
+
+        doc_w = 2 if self.doc_bucket_size <= (1 << 16) else 4
+        cnt_w = 1 if int(p_cnt.max()) < (1 << 8) else (2 if int(p_cnt.max()) < (1 << 16) else 4)
+        maxp = int(pos_s.max())
+        pos_w = 2 if maxp < (1 << 16) else 4
+        docs_rel = (p_doc - p_bucket * self.doc_bucket_size).astype(_W_DTYPES[doc_w])
+
+        # occurrence-level run starts for the positions lane
+        occ_r_starts = p_starts[r_starts]
+        return pa.table(
+            {
+                "part": pa.array(parts, pa.int32()),
+                "bucket": pa.array(r_bucket, pa.int64()),
+                "bgrp": pa.array(bgrps, pa.int32()),
+                "term": term_arr,
+                "n": pa.array((r_ends - r_starts).astype(np.int32), pa.int32()),
+                "total": pa.array(
+                    (p_ends[r_ends - 1] - p_starts[r_starts]).astype(np.int32), pa.int32()
+                ),
+                "doc_w": pa.array(np.full(n_runs, doc_w, np.int8), pa.int8()),
+                "cnt_w": pa.array(np.full(n_runs, cnt_w, np.int8), pa.int8()),
+                "pos_w": pa.array(np.full(n_runs, pos_w, np.int8), pa.int8()),
+                "docs": _runs_binary_column(docs_rel, r_starts, len(p_doc), doc_w),
+                "cnts": _runs_binary_column(
+                    p_cnt.astype(_W_DTYPES[cnt_w]), r_starts, len(p_doc), cnt_w
+                ),
+                "poss": _runs_binary_column(
+                    pos_s.astype(_W_DTYPES[pos_w]), occ_r_starts, total, pos_w
+                ),
+            },
+            schema=POS_PARTIAL_SCHEMA,
+        )
+
+
+def merge_pos_partition(
+    partial_files: list,
+    out_dir: str,
+    *,
+    block_size: int,
+    doc_bucket_size: int,
+    out_suffix: str = "",
+) -> dict:
+    """Reduce side: merge one grid cell's positional runs into block rows."""
+    import time as _time
+
+    import pyarrow.parquet as _pq
+
+    t0 = _time.time()
+    cols: dict[str, list] = {n: [] for n in POS_BLOCK_SCHEMA.names}
+    n_postings = 0
+    if partial_files:
+        group = _pq.read_table(
+            partial_files,
+            columns=["term", "bucket", "n", "doc_w", "cnt_w", "pos_w", "docs", "cnts", "poss"],
+            use_threads=False,
+        )
+    else:
+        group = None
+    if group is not None and group.num_rows:
+        terms = group.column("term").to_numpy(zero_copy_only=False)
+        ns = group.column("n").to_numpy().astype(np.int64)
+        buckets = group.column("bucket").to_numpy().astype(np.int64)
+        codes, uniques = pd.factorize(terms, sort=False)
+        docs_rel = _decode_runs(group.column("docs"), group.column("doc_w").to_numpy(), np.int64)
+        cnts_all = _decode_runs(group.column("cnts"), group.column("cnt_w").to_numpy(), np.int64)
+        poss_all = _decode_runs(group.column("poss"), group.column("pos_w").to_numpy(), np.int64)
+        docs_all = docs_rel + np.repeat(buckets * doc_bucket_size, ns)
+        codes_all = np.repeat(codes.astype(np.int32), ns)
+        order = np.lexsort((docs_all, codes_all))
+        codes_s = codes_all[order]
+        docs_s = docs_all[order]
+        cnts_s = cnts_all[order]
+        dup = (np.diff(codes_s) == 0) & (np.diff(docs_s) == 0)
+        if np.any(dup):
+            raise ValueError(
+                "duplicate (term, doc_id) positional postings — input has "
+                "duplicate (conv_id, turn_idx) rows; run dedup_turns first"
+            )
+        # gather the occurrence stream in sorted posting order: for posting
+        # j (sorted), its occurrences live at occ_starts[order[j]] ..
+        occ_bounds = np.concatenate([[0], np.cumsum(cnts_all)])
+        src_starts = occ_bounds[:-1][order]
+        n_occ = int(cnts_s.sum())
+        out_bounds = np.concatenate([[0], np.cumsum(cnts_s)])
+        gather = (
+            np.repeat(src_starts, cnts_s)
+            + np.arange(n_occ, dtype=np.int64)
+            - np.repeat(out_bounds[:-1], cnts_s)
+        )
+        poss_s = poss_all[gather]
+
+        change = np.nonzero(np.diff(codes_s) != 0)[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(codes_s)]])
+        for s, e in zip(starts, ends):
+            encode_pos_blocks(
+                uniques[codes_s[s]],
+                docs_s[s:e],
+                cnts_s[s:e],
+                poss_s[int(out_bounds[s]) : int(out_bounds[e])],
+                block_size=block_size,
+                out=cols,
+            )
+        n_postings = len(codes_s)
+
+    os.makedirs(out_dir, exist_ok=True)
+    out_tbl = pa.table(cols, schema=POS_BLOCK_SCHEMA)
+    out_path = os.path.join(out_dir, f"blocks{out_suffix}.parquet")
+    tmp = out_path + f".tmp.{os.getpid()}"
+    _pq.write_table(out_tbl, tmp)
+    os.replace(tmp, out_path)
+    return {
+        "postings": n_postings,
+        "blocks": out_tbl.num_rows,
+        "bytes": os.path.getsize(out_path),
+        "seconds": _time.time() - t0,
+    }
+
+
+class PositionsReader:
+    """Per-actor positional-index state: term -> (docs, counts, positions).
+
+    Loaded once in ``__init__`` (T1 pattern); per-term decode is lazy and
+    cached. ``phrase_docs`` is the vectorized positional-intersection kernel.
+    """
+
+    def __init__(self, index_dir: str):
+        import pyarrow.parquet as pq
+
+        blocks = pq.read_table(
+            os.path.join(index_dir, "positions"),
+            columns=[
+                "term", "first_doc", "n", "total",
+                "doc_w", "cnt_w", "pos_w", "data",
+            ],
+            memory_map=True,
+        ).combine_chunks()
+        self._b_first = blocks.column("first_doc").to_numpy()
+        self._b_n = blocks.column("n").to_numpy()
+        self._b_total = blocks.column("total").to_numpy()
+        self._b_doc_w = blocks.column("doc_w").to_numpy()
+        self._b_cnt_w = blocks.column("cnt_w").to_numpy()
+        self._b_pos_w = blocks.column("pos_w").to_numpy()
+        self._b_data = blocks.column("data")
+        if isinstance(self._b_data, pa.ChunkedArray):
+            self._b_data = self._b_data.combine_chunks()
+        terms_np = blocks.column("term").to_numpy(zero_copy_only=False)
+        self._term_blocks: dict[str, np.ndarray] = {}
+        if len(terms_np):
+            order = np.lexsort((self._b_first, terms_np))
+            ts = terms_np[order]
+            change = np.nonzero(ts[1:] != ts[:-1])[0] + 1
+            starts = np.concatenate([[0], change])
+            ends = np.concatenate([change, [len(order)]])
+            for s, e in zip(starts, ends):
+                self._term_blocks[ts[s]] = order[s:e]
+        self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def term_positions(self, term: str):
+        """(doc_ids, counts, occ_bounds, flat positions) for one term, or None."""
+        hit = self._cache.get(term)
+        if hit is not None:
+            return hit
+        rows = self._term_blocks.get(term)
+        if rows is None:
+            return None
+        parts = [
+            decode_pos_block(
+                self._b_data[int(r)].as_buffer(),
+                int(self._b_n[r]), int(self._b_total[r]), int(self._b_doc_w[r]),
+                int(self._b_cnt_w[r]), int(self._b_pos_w[r]), int(self._b_first[r]),
+            )
+            for r in rows
+        ]
+        docs = np.concatenate([p[0] for p in parts])
+        cnts = np.concatenate([p[1] for p in parts])
+        poss = np.concatenate([p[2] for p in parts])
+        occ_bounds = np.concatenate([[0], np.cumsum(cnts)])
+        hit = (docs, cnts, occ_bounds, poss)
+        self._cache[term] = hit
+        return hit
+
+    def _term_keys(self, term: str, cand: np.ndarray, offset: int) -> np.ndarray:
+        """Composite start keys doc*POS_SHIFT + (pos - offset) for this
+        term's occurrences restricted to candidate docs; invalid starts
+        (pos < offset) are dropped. Keys are sorted ascending (doc-major,
+        positions ascending within doc)."""
+        docs, cnts, occ_bounds, poss = self.term_positions(term)
+        sel = np.nonzero(np.isin(docs, cand, assume_unique=True))[0]
+        if len(sel) == 0:
+            return np.array([], dtype=np.int64)
+        lens = cnts[sel]
+        n = int(lens.sum())
+        out_bounds = np.concatenate([[0], np.cumsum(lens)])
+        gather = (
+            np.repeat(occ_bounds[:-1][sel], lens)
+            + np.arange(n, dtype=np.int64)
+            - np.repeat(out_bounds[:-1], lens)
+        )
+        p = poss[gather]
+        if int(p.max(initial=0)) >= POS_SHIFT:
+            raise ValueError("document longer than 2^21 tokens: widen POS_SHIFT")
+        keys = np.repeat(docs[sel], lens) * POS_SHIFT + p - offset
+        if offset:
+            keys = keys[p >= offset]
+        return keys
+
+    def phrase_docs(self, phrase: str | list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """All docs containing the exact token phrase -> (doc_ids ascending,
+        phrase occurrence counts). Overlapping occurrences each count
+        (consistent with a positional self-join in SQL)."""
+        terms = tokenize(phrase) if isinstance(phrase, str) else list(phrase)
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+        if not terms:
+            return empty
+        per_term = []
+        for t in terms:
+            tp = self.term_positions(t)
+            if tp is None:
+                return empty
+            per_term.append(tp)
+        # candidate docs: intersect doc lists, rarest term first
+        order = np.argsort([len(tp[0]) for tp in per_term], kind="stable")
+        cand = per_term[order[0]][0]
+        for i in order[1:]:
+            cand = cand[np.isin(cand, per_term[i][0], assume_unique=True)]
+            if len(cand) == 0:
+                return empty
+        # positional verify: survive = phrase start keys present in every
+        # term's shifted occurrence keyset
+        keys = self._term_keys(terms[0], cand, 0)
+        for i in range(1, len(terms)):
+            if len(keys) == 0:
+                return empty
+            keys = keys[
+                np.isin(keys, self._term_keys(terms[i], cand, i), assume_unique=True)
+            ]
+        if len(keys) == 0:
+            return empty
+        d = keys // POS_SHIFT
+        change = np.nonzero(np.diff(d) != 0)[0] + 1
+        starts = np.concatenate([[0], change])
+        bounds = np.concatenate([starts, [len(d)]])
+        return d[starts], np.diff(bounds).astype(np.int64)

@@ -376,6 +376,36 @@ class IndexReader:
         top = bm25.topk_indices(s, d, limit)
         return d[top], s[top]
 
+    def score_query_conjunctive(self, text: str, limit: int) -> tuple[np.ndarray, np.ndarray]:
+        """Boolean-AND retrieval: top-k over docs containing EVERY query term,
+        scored with the same BM25 sum (idf from the full corpus) and the same
+        canonical accumulation order as ``score_query`` — so scores of the
+        surviving docs are bit-identical to the OR path's.
+
+        Scale shape: only the RAREST term's postings are fully decoded; every
+        other term filters the candidate list via ``term_scores_for_docs``
+        (selective block decode — score > 0 iff the term matches, since BM25
+        term scores are strictly positive on a match). Candidates shrink
+        monotonically, df-ascending order shrinks them fastest."""
+        terms = sorted(set(tokenize(text or "")))
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+        if not terms or any(t not in self._term_blocks for t in terms):
+            return empty
+        order = np.argsort([self._term_df(t) for t in terms], kind="stable")
+        cand = self.term_docs_scores(terms[int(order[0])])[0]
+        for i in order[1:]:
+            if len(cand) == 0:
+                return empty
+            s = self.term_scores_for_docs(terms[int(i)], cand)
+            cand = cand[s > 0.0]
+        if len(cand) == 0:
+            return empty
+        final = np.zeros(len(cand), dtype=np.float64)
+        for t in terms:  # sorted-term sequential += : canonical float order
+            final += self.term_scores_for_docs(t, cand)
+        top = bm25.topk_indices(final, cand, limit)
+        return cand[top], final[top]
+
     def term_upper_bound(self, term: str) -> float:
         """idf(term) * max block max_tf_norm — the WAND/MaxScore term bound,
         computed from block metadata only (no posting decode)."""
@@ -475,10 +505,13 @@ class QueryScorer:
         pruning: bool = True,
         global_stats: dict | None = None,
         attach_softmax: bool = False,
+        conjunctive: bool = False,
     ):
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         self.default_limit = default_limit
         self.pruning = pruning
+        # AND semantics: hits must contain every query term (score_query_conjunctive)
+        self.conjunctive = conjunctive
         # mirror of set_rank writing BOTH scores (helper.py:110-114): the raw
         # BM25 score (cosine analog) plus a per-query softmax over the hits
         self.attach_softmax = attach_softmax
@@ -502,9 +535,12 @@ class QueryScorer:
             if "limit" in batch.column_names
             else [self.default_limit] * len(qids)
         )
-        score_fn = (
-            self.reader.score_query_pruned if self.pruning else self.reader.score_query
-        )
+        if self.conjunctive:
+            score_fn = self.reader.score_query_conjunctive
+        else:
+            score_fn = (
+                self.reader.score_query_pruned if self.pruning else self.reader.score_query
+            )
         cols: dict[str, list] = {n: [] for n in HITS_SCHEMA.names}
         softmax_col: list[float] = []
         for qid, text, limit in zip(qids, texts, limits):

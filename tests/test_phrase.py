@@ -1,0 +1,234 @@
+"""Positional index + phrase search: codec round-trip, engine-vs-bruteforce
+equality, edge cases, multi-block stitching, resume."""
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from clip_as_service_ray.config import EngineConfig
+from clip_as_service_ray.functions.tokenizer import tokenize
+from clip_as_service_ray.state.positions import (
+    POS_BLOCK_SCHEMA,
+    decode_pos_block,
+    encode_pos_blocks,
+)
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "echo", "fox", "golf", "hotel", "india"]
+
+
+def _corpus(seed=11, n_convs=25):
+    rng = random.Random(seed)
+    rows = []
+    for c in range(n_convs):
+        for t in range(rng.randint(1, 4)):
+            text = " ".join(rng.choice(VOCAB) for _ in range(rng.randint(2, 40)))
+            rows.append((f"conv{c:04d}", t, "user", text))
+    return rows
+
+
+def _table(rows):
+    return pa.table(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": [r[2] for r in rows],
+            "text": [r[3] for r in rows],
+        }
+    )
+
+
+def _brute(rows, phrase):
+    pts = tokenize(phrase)
+    out = {}
+    for conv_id, ti, _, text in rows:
+        toks = tokenize(text)
+        c = sum(
+            1
+            for i in range(len(toks) - len(pts) + 1)
+            if toks[i : i + len(pts)] == pts
+        )
+        if c:
+            out[(conv_id, ti)] = c
+    return out
+
+
+def _engine(index_dir, cfg, phrase, limit=10_000):
+    from clip_as_service_ray.pipelines.phrase import phrase_search_table
+
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": [phrase],
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    hits = phrase_search_table(index_dir, q, cfg)
+    return {
+        (hits.column("conv_id")[i].as_py(), hits.column("turn_idx")[i].as_py()):
+            hits.column("phrase_tf")[i].as_py()
+        for i in range(hits.num_rows)
+    }
+
+
+def test_pos_codec_round_trip():
+    rng = np.random.default_rng(0)
+    for _ in range(100):
+        n = int(rng.integers(1, 40))
+        docs = np.sort(rng.choice(200_000, size=n, replace=False)).astype(np.int64)
+        counts = rng.integers(1, 6, size=n).astype(np.int64)
+        pos = np.concatenate(
+            [np.sort(rng.choice(70_000, size=c, replace=False)) for c in counts]
+        ).astype(np.int64)
+        cols = encode_pos_blocks(
+            "t", docs, counts, pos, block_size=int(rng.integers(1, 16))
+        )
+        tbl = pa.table(cols, schema=POS_BLOCK_SCHEMA)
+        dd, cc, pp = [], [], []
+        for r in range(tbl.num_rows):
+            d, c, p = decode_pos_block(
+                tbl.column("data")[r].as_py(),
+                tbl.column("n")[r].as_py(),
+                tbl.column("total")[r].as_py(),
+                tbl.column("doc_w")[r].as_py(),
+                tbl.column("cnt_w")[r].as_py(),
+                tbl.column("pos_w")[r].as_py(),
+                tbl.column("first_doc")[r].as_py(),
+            )
+            dd.append(d)
+            cc.append(c)
+            pp.append(p)
+        assert np.array_equal(np.concatenate(dd), docs)
+        assert np.array_equal(np.concatenate(cc), counts)
+        assert np.array_equal(np.concatenate(pp), pos)
+
+
+@pytest.fixture(scope="module")
+def phrase_index(ray_session, tmp_path_factory):
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import build_positions
+
+    rows = _corpus()
+    tbl = _table(rows)
+    idx = str(tmp_path_factory.mktemp("phrase") / "idx")
+    # tiny block size: forces multi-block terms so cross-block stitching and
+    # the per-block position re-baselining are exercised
+    cfg = EngineConfig(num_index_partitions=3, postings_block_size=8)
+    build_index(tbl, idx, cfg)
+    build_positions(tbl, idx, cfg)
+    return rows, idx, cfg
+
+
+def test_phrase_fuzz_vs_bruteforce(phrase_index):
+    rows, idx, cfg = phrase_index
+    rng = random.Random(5)
+    phrases = [
+        " ".join(rng.choice(VOCAB) for _ in range(rng.randint(1, 4)))
+        for _ in range(12)
+    ]
+    # guarantee some present phrases: real bigrams/trigrams from the corpus
+    toks0 = tokenize(rows[0][3])
+    if len(toks0) >= 2:
+        phrases.append(" ".join(toks0[:2]))
+    if len(toks0) >= 3:
+        phrases.append(" ".join(toks0[:3]))
+    for phrase in phrases:
+        assert _engine(idx, cfg, phrase) == _brute(rows, phrase), phrase
+
+
+def test_phrase_repeated_term(phrase_index):
+    rows, idx, cfg = phrase_index
+    assert _engine(idx, cfg, "alpha alpha") == _brute(rows, "alpha alpha")
+
+
+def test_phrase_absent_and_empty(phrase_index):
+    rows, idx, cfg = phrase_index
+    assert _engine(idx, cfg, "zeta alpha") == {}
+    assert _engine(idx, cfg, "") == {}
+    assert _engine(idx, cfg, "zeta") == {}
+
+
+def test_phrase_limit_and_ordering(phrase_index):
+    from clip_as_service_ray.pipelines.phrase import phrase_search_table
+
+    rows, idx, cfg = phrase_index
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": ["alpha"],
+            "limit": pa.array([3], pa.int32()),
+        }
+    )
+    hits = phrase_search_table(idx, q, cfg)
+    assert hits.num_rows == 3
+    tfs = hits.column("phrase_tf").to_pylist()
+    assert tfs == sorted(tfs, reverse=True)
+    # full result must be ordered (tf DESC, doc order ASC within ties)
+    full = _engine(idx, cfg, "alpha")
+    top_tf = sorted(full.values(), reverse=True)[:3]
+    assert tfs == top_tf
+
+
+def test_phrase_multi_query_batch(phrase_index):
+    from clip_as_service_ray.pipelines.phrase import phrase_search_table
+
+    rows, idx, cfg = phrase_index
+    q = pa.table(
+        {
+            "query_id": pa.array([3, 1, 2], pa.int64()),
+            "text": ["alpha beta", "gamma", "zeta"],
+        }
+    )
+    hits = phrase_search_table(idx, q, cfg)
+    qids = hits.column("query_id").to_pylist()
+    assert qids == sorted(qids)
+    assert 2 not in set(qids)  # absent term -> no rows for that query
+
+
+def test_build_positions_resume(phrase_index, tmp_path):
+    """Second build_positions call on the same dir is a skip-if-valid no-op."""
+    import time
+
+    from clip_as_service_ray.pipelines.phrase import build_positions
+
+    rows, idx, cfg = phrase_index
+    t0 = time.time()
+    out = build_positions(_table(rows), idx, cfg)
+    assert time.time() - t0 < 1.0  # manifest read, no Ray job
+    assert out["stage"] == "positions"
+
+
+def test_positions_missing_index(ray_session, tmp_path):
+    from clip_as_service_ray.pipelines.phrase import build_positions
+
+    with pytest.raises(FileNotFoundError):
+        build_positions(_table(_corpus()), str(tmp_path / "noidx"), EngineConfig())
+
+
+def test_conjunctive_matches_exact_filtered(phrase_index):
+    """AND-semantics top-k == exact OR scoring restricted to docs containing
+    every query term, scores bit-identical (same accumulation structure)."""
+    from clip_as_service_ray.stages.query import IndexReader
+
+    rows, idx, cfg = phrase_index
+    reader = IndexReader(idx)
+    for text in ["alpha beta", "gamma delta echo", "alpha zeta", "hotel"]:
+        terms = sorted(set(tokenize(text)))
+        docs_or, scores_or = reader.score_query(text, 10_000)
+        # brute-force membership: docs whose token set contains every term
+        want_docs = set()
+        for conv_id, ti, _, txt in rows:
+            toks = set(tokenize(txt))
+            if all(t in toks for t in terms):
+                want_docs.add((conv_id, ti))
+        docs_and, scores_and = reader.score_query_conjunctive(text, 10_000)
+        conv_and, turn_and = (
+            reader.invert_doc_ids(docs_and) if len(docs_and) else ([], [])
+        )
+        got = set(zip(list(conv_and), [int(x) for x in turn_and]))
+        assert got == want_docs, text
+        # scores must be bit-identical to the OR path's for the same docs
+        pos = {int(d): float(s) for d, s in zip(docs_or, scores_or)}
+        for d, s in zip(docs_and, scores_and):
+            assert pos[int(d)] == float(s), (text, d)
