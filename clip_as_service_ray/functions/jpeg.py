@@ -1,14 +1,19 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT) codec in numpy + stdlib.
+"""JPEG (ITU-T T.81) codec in numpy + stdlib: baseline AND progressive.
 
 No libjpeg/PIL in this environment, so the image stage decodes JFIF
 itself: marker parse -> Huffman entropy decode (arbitrary DHT tables,
 byte-stuffing, restart markers) -> batch dequantize/de-zigzag -> one
 vectorized IDCT over all blocks of a component -> chroma upsample ->
-YCbCr->RGB. The encoder exists for fixtures/round-trip tests (4:4:4 or
-4:2:0, libjpeg-convention quality scaling, Annex K quant + Huffman
-tables). Entropy coding is per-symbol Python (inherently sequential);
-all block math is numpy. Progressive/arithmetic/12-bit variants raise
-NotImplementedError.
+YCbCr->RGB. Progressive (SOF2) decode covers all four scan kinds —
+DC/AC first + refinement, spectral selection, successive approximation,
+EOBn runs, interleaved DC and non-interleaved AC geometry (T.81 Annex G;
+refinement walk mirrors libjpeg jdphuff.c). Encoders exist for
+fixtures/round-trip tests: baseline (4:4:4 or 4:2:0, libjpeg-convention
+quality scaling, Annex K tables) and progressive (4:4:4 scan script with
+successive approximation; optional cross-block EOBn runs via a custom
+table, since Annex K defines no EOBn symbols). Entropy coding is
+per-symbol Python (inherently sequential); all block math is numpy.
+Arithmetic-coded and 12-bit variants raise NotImplementedError.
 
 Reference parity note: the reference feeds images through PIL into CLIP
 preprocessing (`/root/reference/server/clip_server/model/clip.py:56-79`);
@@ -224,7 +229,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[o + 17:o + 17 + n])
                 huff[(tc, th)] = _decode_table(bits, vals)
                 o += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -232,22 +237,216 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"non-baseline SOF marker {marker:#x}")
+            raise NotImplementedError(f"unsupported SOF marker {marker:#x}")
         elif marker == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             ns = seg[0]
             sel = {}
+            scan_ids = []
             for i in range(ns):
                 cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
                 sel[cs] = (tables >> 4, tables & 0xF)
-            pos += seglen
-            return _decode_scan(data, pos, frame, sel, qt, huff, dri)
+                scan_ids.append(cs)
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if not frame.get("progressive"):
+                pos += seglen
+                return _decode_scan(data, pos, frame, sel, qt, huff, dri)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            _init_prog_state(frame)
+            pos = _decode_prog_scan(
+                data, pos + seglen, frame, scan_ids, sel,
+                ss, se, ahal >> 4, ahal & 0xF, huff, dri,
+            )
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive") and "state" in frame:
+        comps = frame["state"]
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        return _blocks_to_image(comps, frame["h"], frame["w"], hmax, vmax, qt)
     raise ValueError("no SOS marker found")
+
+
+def _init_prog_state(frame) -> None:
+    """Allocate per-component coefficient arrays once (first SOS): the
+    MCU-padded block grid shared by every scan of the progressive frame."""
+    if "state" in frame:
+        return
+    comps = [dict(c) for c in frame["comps"]]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        # non-interleaved scan geometry (T.81 A.1.1): ceil dims of the
+        # component's OWN sample grid, NOT the MCU-padded grid
+        sw = -(-(w * c["h"]) // hmax)
+        sh = -(-(h * c["v"]) // vmax)
+        c["nbw"] = -(-sw // 8)
+        c["nbh"] = -(-sh // 8)
+        c["blocks"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["pred"] = 0
+    frame["state"] = comps
+    frame["mcux"], frame["mcuy"] = mcux, mcuy
+
+
+def _refine_nonzero(blk, k, se, p1, rd) -> None:
+    """Append one correction bit to every nonzero-history coefficient in
+    blk[k..se] (T.81 G.2.2 / libjpeg decode_mcu_AC_refine tail)."""
+    for j in range(k, se + 1):
+        if blk[j] != 0 and rd.read_bit():
+            if (blk[j] & p1) == 0:
+                blk[j] += p1 if blk[j] >= 0 else -p1
+
+
+def _decode_prog_scan(
+    data, pos, frame, scan_ids, sel, ss, se, ah, al, huff, dri
+) -> int:
+    """Decode one progressive scan (any of the four kinds); returns the byte
+    offset of the next marker. Coefficients accumulate into frame['state']."""
+    comps = [next(c for c in frame["state"] if c["id"] == cid) for cid in scan_ids]
+    rd = _BitReader(data, pos)
+    interleaved = len(comps) > 1
+    eobrun = 0
+    p1 = 1 << al
+
+    if ss == 0:  # DC scan (se must be 0)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        for c in comps:
+            c["pred"] = 0
+
+        def dc_block(c, idx, dc_t):
+            blk = c["blocks"][idx]
+            if ah == 0:
+                s = rd.decode_huff(dc_t)
+                diff = _extend(rd.read_bits(s), s) if s else 0
+                c["pred"] += diff
+                blk[0] = c["pred"] << al
+            elif rd.read_bit():
+                blk[0] |= p1
+
+        if interleaved:
+            mcux, mcuy = frame["mcux"], frame["mcuy"]
+            n_mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and n_mcu and n_mcu % dri == 0:
+                        rd.restart()
+                        for c in comps:
+                            c["pred"] = 0
+                    n_mcu += 1
+                    for c in comps:
+                        dc_t = huff.get((0, sel[c["id"]][0]))
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                row = my * c["v"] + by
+                                col = mx * c["h"] + bx
+                                dc_block(c, row * c["bw"] + col, dc_t)
+        else:
+            c = comps[0]
+            dc_t = huff.get((0, sel[c["id"]][0]))
+            n_blk = 0
+            for row in range(c["nbh"]):
+                for col in range(c["nbw"]):
+                    if dri and n_blk and n_blk % dri == 0:
+                        rd.restart()
+                        c["pred"] = 0
+                    n_blk += 1
+                    dc_block(c, row * c["bw"] + col, dc_t)
+    else:  # AC scan: single component, non-interleaved (T.81 G.1.1.1.1)
+        if interleaved:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        c = comps[0]
+        ac_t = huff.get((1, sel[c["id"]][1]))
+        n_blk = 0
+        for row in range(c["nbh"]):
+            for col in range(c["nbw"]):
+                if dri and n_blk and n_blk % dri == 0:
+                    rd.restart()
+                    eobrun = 0
+                n_blk += 1
+                blk = c["blocks"][row * c["bw"] + col]
+                if ah == 0:  # AC first scan (with optional point transform)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = rd.decode_huff(ac_t)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rd.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overflow in scan band")
+                        blk[k] = _extend(rd.read_bits(s), s) << al
+                        k += 1
+                else:  # AC refinement (G.2.2; libjpeg decode_mcu_AC_refine)
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = rd.decode_huff(ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += rd.read_bits(r)
+                                    break
+                                val = 0  # ZRL: pass 16 zero-history coeffs
+                            elif s == 1:
+                                val = p1 if rd.read_bit() else -p1
+                            else:
+                                raise ValueError("refinement size must be 1")
+                            while k <= se:
+                                if blk[k] != 0:
+                                    if rd.read_bit():
+                                        if (blk[k] & p1) == 0:
+                                            blk[k] += p1 if blk[k] >= 0 else -p1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val != 0 and k <= se:
+                                blk[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        _refine_nonzero(blk, k, se, p1, rd)
+                        eobrun -= 1
+
+    return _next_marker_pos(data, rd.pos)
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """First byte offset at/after ``pos`` holding a real marker (FF followed
+    by neither 00 stuffing nor RSTn)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            if 0xD0 <= data[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
 
 
 def _decode_scan(data, pos, frame, sel, qt, huff, dri) -> np.ndarray:
@@ -303,6 +502,12 @@ def _decode_scan(data, pos, frame, sel, qt, huff, dri) -> np.ndarray:
                         col = mx * c["h"] + bx
                         c["blocks"][row * c["bw"] + col] = blk
 
+    return _blocks_to_image(comps, h, w, hmax, vmax, qt)
+
+
+def _blocks_to_image(comps, h, w, hmax, vmax, qt) -> np.ndarray:
+    """Shared tail of baseline and progressive decode: dequantize,
+    de-zigzag, one vectorized IDCT per component, upsample, color convert."""
     planes = []
     for c in comps:
         zz = c["blocks"].astype(np.float64) * qt[c["tq"]][None, :]
@@ -493,4 +698,246 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> 
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------- progressive encoder
+
+# flat 8-bit AC Huffman table for EOB-run scans: Annex K baseline tables
+# carry no EOBn symbols ((r<<4)|0 for r>=1 — baseline never needs them), so
+# runs longer than one block require a custom table; all (run, size) symbols
+# at code length 8 is canonical-valid (176 codes < 255)
+_FLAT_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+def _flush_eobrun(bw, ac_tab, eobrun: int, br: list[int]) -> None:
+    """Emit an EOBn symbol covering ``eobrun`` blocks plus the buffered
+    correction bits of those blocks (refinement scans)."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, ln = ac_tab[r << 4]
+        bw.write(code, ln)
+        if r:
+            bw.write(eobrun - (1 << r), r)
+    for bit in br:
+        bw.write(bit, 1)
+
+
+def _enc_ac_first_scan(bw, blocks, ss, se, al, ac_tab, eob_runs=False):
+    """AC first scan (Ah=0) over one component's blocks: point transform
+    |v| >> Al, zero runs. ``eob_runs=False`` flushes an EOB per block (fits
+    the Annex K tables); ``eob_runs=True`` accumulates cross-block EOBn runs
+    (needs a table with EOBn symbols, e.g. ``_FLAT_AC``)."""
+    eobrun = 0
+    for blk in blocks:
+        r = 0
+        emitted = False
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            mag = (v if v >= 0 else -v) >> al
+            if mag == 0:
+                r += 1
+                continue
+            if not emitted and eobrun:
+                _flush_eobrun(bw, ac_tab, eobrun, [])
+                eobrun = 0
+            while r > 15:
+                code, ln = ac_tab[0xF0]
+                bw.write(code, ln)
+                r -= 16
+            s = mag.bit_length()
+            code, ln = ac_tab[(r << 4) | s]
+            bw.write(code, ln)
+            signed = mag if v >= 0 else -mag
+            bw.write(_amplitude(signed, s), s)
+            r = 0
+            emitted = True
+        if r > 0 or not emitted:
+            eobrun += 1
+            if not eob_runs or eobrun == 0x7FFF:
+                _flush_eobrun(bw, ac_tab, eobrun, [])
+                eobrun = 0
+    _flush_eobrun(bw, ac_tab, eobrun, [])
+
+
+def _enc_ac_refine_scan(bw, blocks, ss, se, al, ac_tab, eob_runs=False):
+    """AC refinement scan (Ah=Al+1): libjpeg jcphuff encode_mcu_AC_refine
+    ordering — pending ZRLs flush BEFORE buffering the current coefficient's
+    correction bit, so the decoder's coefficient walk consumes correction
+    bits in exactly the emitted order. ``eob_runs=True`` accumulates
+    cross-block EOBn runs with their buffered correction bits."""
+    eobrun = 0
+    run_br: list[int] = []  # correction bits of the blocks inside the run
+    for blk in blocks:
+        mags = [(abs(int(blk[k])) >> al, int(blk[k]) >= 0) for k in range(ss, se + 1)]
+        # last newly-significant index (libjpeg's EOB): ZRLs are emitted only
+        # while one lies ahead; trailing zeros/corrections fold into the run
+        kex = ss - 1
+        for i, (m, _pos) in enumerate(mags):
+            if m == 1:
+                kex = ss + i
+        r = 0
+        br: list[int] = []
+        emitted = False
+        for i, (mag, positive) in enumerate(mags):
+            k = ss + i
+            if mag == 0:
+                r += 1
+                continue
+            if k <= kex:
+                # symbols still follow in this block: close any pending
+                # cross-block run, then pending ZRLs — BEFORE buffering this
+                # coefficient's bit, so the decoder's walk consumes
+                # correction bits in traversal order (jcphuff.c ordering)
+                if eobrun or run_br:
+                    _flush_eobrun(bw, ac_tab, eobrun, run_br)
+                    eobrun, run_br = 0, []
+                while r > 15:
+                    code, ln = ac_tab[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    for bit in br:
+                        bw.write(bit, 1)
+                    br = []
+            if mag > 1:  # already significant: append this bit's correction
+                br.append(mag & 1)
+                continue
+            # newly significant (magnitude exactly 1 at this approximation)
+            code, ln = ac_tab[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if positive else 0, 1)
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+            r = 0
+            emitted = True
+        if r > 0 or br or not emitted:
+            # this block's tail (or whole band) joins an EOB run
+            eobrun += 1
+            run_br.extend(br)
+            if not eob_runs or eobrun == 0x7FFF:
+                _flush_eobrun(bw, ac_tab, eobrun, run_br)
+                eobrun, run_br = 0, []
+    _flush_eobrun(bw, ac_tab, eobrun, run_br)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, eob_runs: bool = False
+) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> progressive (SOF2) JFIF bytes, 4:4:4.
+
+    Scan script exercises every progressive decode path: interleaved DC
+    first with successive approximation (Al=1), per-component AC first in
+    two spectral bands at Al=1, DC refinement, per-component AC refinement
+    — the shape emitted by `jpegtran -progressive`-style encoders.
+    ``eob_runs=True`` additionally codes cross-block EOBn runs through a
+    custom AC table (Annex K tables carry no EOBn symbols)."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _quality_scale(QT_LUMA, quality)[ZIGZAG]
+    qc = _quality_scale(QT_CHROMA, quality)[ZIGZAG]
+    if gray:
+        planes = [(_pad_edge(img.astype(np.float64), 8), qy)]
+        comps = [(1, 0)]  # (component id, quant table)
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b_
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b_ + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b_ + 128.0
+        planes = [(_pad_edge(y, 8), qy), (_pad_edge(cb, 8), qc),
+                  (_pad_edge(cr, 8), qc)]
+        comps = [(1, 0), (2, 1), (3, 1)]
+    coeffs = [_dct_quant(p, q) for p, q in planes]
+    nc = len(comps)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, tab in ((0, qy), (1, qc)) if not gray else ((0, qy),):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
+            + bytes(int(x) for x in tab)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid, tq in comps:
+        out += bytes([cid, 0x11, tq])  # 4:4:4 sampling
+    tables = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+    if not gray:
+        tables += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    if eob_runs:
+        tables.append((0x12, _FLAT_AC))  # AC table slot 2 (progressive: 0-3)
+    for tid, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tid]) \
+            + bytes(bits) + bytes(vals)
+
+    enc_dc = [_encode_table(*HUFF_DC_LUMA), _encode_table(*HUFF_DC_CHROMA)]
+    if eob_runs:
+        flat = _encode_table(*_FLAT_AC)
+        enc_ac = [flat, flat]
+        ac_sel = [2, 2]
+    else:
+        enc_ac = [_encode_table(*HUFF_AC_LUMA), _encode_table(*HUFF_AC_CHROMA)]
+        ac_sel = [0, 1]
+
+    def sos_header(comp_idx, ss, se, ah, al):
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_idx), len(comp_idx))
+        for ci in comp_idx:
+            tsel = 0 if ci == 0 else 1
+            hdr += bytes([comps[ci][0], (tsel << 4) | ac_sel[tsel]])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    # ---- scan 1: DC first, all components interleaved, Al=1
+    out += sos_header(list(range(nc)), 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * nc
+    n_blocks = coeffs[0].shape[0]  # 4:4:4: every component shares the grid
+    for b in range(n_blocks):
+        for ci in range(nc):
+            v = int(coeffs[ci][b][0]) >> 1  # arithmetic shift (two's compl.)
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = _category(diff)
+            code, ln = enc_dc[0 if ci == 0 else 1][s]
+            bw.write(code, ln)
+            if s:
+                bw.write(_amplitude(diff, s), s)
+    bw.flush()
+    out += bw.out
+
+    # ---- scans 2..: AC first per component, two spectral bands, Al=1
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nc):
+            out += sos_header([ci], ss, se, 0, 1)
+            bw = _BitWriter()
+            _enc_ac_first_scan(
+                bw, coeffs[ci], ss, se, 1,
+                enc_ac[0 if ci == 0 else 1], eob_runs=eob_runs,
+            )
+            bw.flush()
+            out += bw.out
+
+    # ---- DC refinement, all components interleaved, Ah=1 Al=0
+    out += sos_header(list(range(nc)), 0, 0, 1, 0)
+    bw = _BitWriter()
+    for b in range(n_blocks):
+        for ci in range(nc):
+            bw.write(int(coeffs[ci][b][0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # ---- AC refinement per component, full band, Ah=1 Al=0
+    for ci in range(nc):
+        out += sos_header([ci], 1, 63, 1, 0)
+        bw = _BitWriter()
+        _enc_ac_refine_scan(
+            bw, coeffs[ci], 1, 63, 0,
+            enc_ac[0 if ci == 0 else 1], eob_runs=eob_runs,
+        )
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
     return bytes(out)

@@ -101,3 +101,54 @@ def test_real_jpeg_decode_through_preprocess():
     )
     out = ImagePreprocess(size=32, decode="real")(media)
     assert out.column("shape").to_pylist() == [[3, 32, 32]] * len(imgs)
+
+
+def test_progressive_equals_baseline_pixels():
+    """SOF2 decode must reproduce EXACTLY the baseline decode of the same
+    image/quality (identical quantized coefficients -> identical pixels):
+    validates every progressive scan kind against the independently-tested
+    sequential path."""
+    from clip_as_service_ray.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 256, size=(33, 49, 3), dtype=np.uint8),  # noise
+        _gradient(40, 56, seed=3),                               # smooth
+        np.full((24, 24, 3), 128, np.uint8),                     # constant
+        rng.integers(0, 256, size=(17, 31), dtype=np.uint8),     # grayscale
+    ]
+    for img in cases:
+        for q in (25, 90):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert np.array_equal(base, prog)
+
+
+def test_progressive_eob_runs_variant():
+    """Cross-block EOBn runs (custom Huffman table with EOBn symbols, runs
+    spanning many blocks + buffered refinement correction bits) decode to
+    the same pixels."""
+    from clip_as_service_ray.functions.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    cases = [
+        np.full((64, 48, 3), 200, np.uint8),  # long runs across all blocks
+        _gradient(56, 56, seed=4),
+        rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8),
+    ]
+    for img in cases:
+        for q in (20, 85):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=q, eob_runs=True)
+            )
+            assert np.array_equal(base, prog)
+
+
+def test_progressive_marker_is_sof2():
+    from clip_as_service_ray.functions.jpeg import encode_jpeg_progressive
+
+    payload = encode_jpeg_progressive(_gradient(16, 16, seed=5))
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    # multi-scan: more than one SOS segment
+    assert payload.count(b"\xff\xda") >= 6
