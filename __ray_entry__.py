@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_deleted": ops.bm25_topk_deleted,
         "bm25_topk_conjunctive": ops.bm25_topk_conjunctive,
         "phrase_search": ops.phrase_search,
+        "proximity_search": ops.proximity_search,
+        "doc_keywords": ops.doc_keywords,
         "exact_dedup": ops.exact_dedup,
         "doc_quality": ops.doc_quality,
         "doc_repetition": ops.doc_repetition,
@@ -224,6 +226,36 @@ def oracle_sql() -> dict[str, str]:
             "WHERE a.term = 'merge' AND b.term = 'part' "
             "GROUP BY a.doc_id "
             "ORDER BY phrase_tf DESC, a.doc_id ASC LIMIT 10"
+        ),
+        "proximity_search": (
+            # windowed co-occurrence: all (occurrence_a, occurrence_b) pairs
+            # within 4 tokens, any order, counted per doc
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "             unnest(range(len(ts))) AS pos "
+            "  FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents)) "
+            "SELECT a.doc_id, count(*)::BIGINT AS pair_count "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id "
+            "  AND abs(a.pos - b.pos) <= 4 "
+            "WHERE a.term = 'merge' AND b.term = 'window' "
+            "GROUP BY a.doc_id "
+            "ORDER BY pair_count DESC, a.doc_id ASC LIMIT 10"
+        ),
+        "doc_keywords": (
+            # top-3 TF-IDF keywords per doc; idf = ln(N/df) with N = docs
+            # having >= 1 token, df over per-doc distinct terms
+            "WITH tok AS (" + _TOK + "), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM tok), "
+            "s AS (SELECT tf.doc_id, tf.term, "
+            "  tf.tf * ln(n.n / df.df) AS tfidf, "
+            "  row_number() OVER (PARTITION BY tf.doc_id "
+            "    ORDER BY tf.tf * ln(n.n / df.df) DESC, tf.term ASC) AS kw_rank "
+            "  FROM tf JOIN df USING (term) CROSS JOIN n) "
+            "SELECT doc_id, term, round(tfidf, 6)::DOUBLE AS tfidf, "
+            "kw_rank::BIGINT AS kw_rank FROM s WHERE kw_rank <= 3"
         ),
         "bm25_topk_deleted": (
             # bm25_topk over the SURVIVING corpus (doc_id % 7 != 3): the

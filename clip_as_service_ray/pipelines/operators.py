@@ -2937,3 +2937,125 @@ def bm25_topk_conjunctive(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
             "score": pa.array(scores, pa.float64()),
         }
     )
+
+
+# per-worker-process cache of deserialized broadcast objects: map_batches
+# tasks call this per batch; without it every batch re-fetches/deserializes
+# the broadcast table from the object store
+_BROADCAST_CACHE: dict[str, object] = {}
+
+
+def _broadcast_get(ref):
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    hit = _BROADCAST_CACHE.get(key)
+    if hit is None:
+        hit = ray.get(ref)
+        _BROADCAST_CACHE.clear()  # one live broadcast per operator run
+        _BROADCAST_CACHE[key] = hit
+    return hit
+
+
+def proximity_search(
+    sf_dir: str, term_a: str = "merge", term_b: str = "window",
+    window: int = 4, limit: int = 10,
+):
+    """Proximity top-k over `documents` through the positional index: docs
+    where the two terms co-occur within `window` tokens (any order), ranked
+    by qualifying (occurrence_a, occurrence_b) pair count. The SQL twin is
+    a positional self-join with abs(pos_a - pos_b) <= window."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import (
+        build_positions,
+        phrase_search_table,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    build_positions(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([f"{term_a} {term_b}"]),
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    hits = phrase_search_table(index_dir, q, cfg, window=window)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "pair_count": hits.column("phrase_tf"),
+        }
+    )
+
+
+def doc_keywords(sf_dir: str, k: int = 3):
+    """Top-k TF-IDF keywords per document (keyword extraction): pass 1 =
+    distributed df + doc count; the (term -> idf) map is broadcast ONCE via
+    ray.put (a sharded map like ShardedConvBase is the 10^8-vocab path);
+    pass 2 = per-batch tf * idf with a vectorized per-doc top-k — no
+    shuffle, the per-doc result is emitted by the same batch that read the
+    doc."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    # ---- pass 1: global df per term and N = docs with >= 1 term
+    df_pd = term_df(sf_dir).to_pandas()
+    terms_sorted = np.sort(df_pd["term"].to_numpy(dtype=object))
+    order = np.argsort(df_pd["term"].to_numpy(dtype=object), kind="stable")
+    dfs_sorted = df_pd["df"].to_numpy()[order].astype(np.float64)
+
+    def nonempty(batch: pa.Table) -> pa.Table:
+        term_lists = tokenize_texts(batch.column("text").to_pylist())
+        n = sum(1 for t in term_lists if t)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_docs = float(
+        _documents(sf_dir)
+        .map_batches(nonempty, batch_format="pyarrow")
+        .sum("n")
+    )
+    idf_sorted = np.log(n_docs / dfs_sorted)
+    idf_ref = ray.put((terms_sorted, idf_sorted))
+
+    # ---- pass 2: tf * idf, per-doc top-k inside the batch
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        ts, idfs = _broadcast_get(idf_ref)
+        t = _tokens_flat(batch)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tfidf": pa.array([], pa.float64()),
+                    "kw_rank": pa.array([], pa.int64()),
+                }
+            )
+        docs = t.column("doc_id").to_numpy()
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy().astype(np.float64)
+        pos = np.searchsorted(ts, terms)
+        tfidf = tf * idfs[pos]
+        codes, _ = pd.factorize(terms, sort=True)  # lex order for ties
+        o = np.lexsort((codes, -tfidf, docs))
+        d_s = docs[o]
+        starts = np.concatenate([[0], np.nonzero(np.diff(d_s) != 0)[0] + 1])
+        rank = np.arange(len(d_s), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(d_s)]]))
+        )
+        keep = rank < k
+        sel = o[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[sel], pa.int64()),
+                "term": pa.array(terms[sel], pa.string()),
+                "tfidf": pa.array(np.round(tfidf[sel], 6), pa.float64()),
+                "kw_rank": pa.array(rank[keep] + 1, pa.int64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(topk_batch, batch_format="pyarrow")

@@ -167,8 +167,12 @@ class PhraseScorer:
     (query_id:int64, text:string phrase, limit:int32 optional).
     """
 
-    def __init__(self, index_dir: str, default_limit: int = 10):
+    def __init__(self, index_dir: str, default_limit: int = 10, window: int = 0):
         self.reader = PositionsReader(index_dir)
+        # window > 0: proximity mode — a two-term query matches docs where
+        # the terms co-occur within `window` tokens (any order); phrase_tf
+        # becomes the qualifying pair count
+        self.window = int(window)
         conv_tbl = pq.read_table(os.path.join(index_dir, "convmap.parquet"))
         conv_tbl = conv_tbl.sort_by("conv_id")
         self._conv_ids = np.asarray(
@@ -189,7 +193,15 @@ class PhraseScorer:
         cols: dict[str, list] = {n: [] for n in PHRASE_HITS_SCHEMA.names}
         for qid, text, limit in zip(qids, texts, limits):
             k = int(limit or self.default_limit)
-            docs, tfs = self.reader.phrase_docs(text or "")
+            if self.window:
+                from clip_as_service_ray.functions.tokenizer import tokenize
+
+                terms = tokenize(text or "")
+                if len(terms) != 2:
+                    raise ValueError("proximity mode expects exactly 2 terms")
+                docs, tfs = self.reader.cooccur_docs(terms[0], terms[1], self.window)
+            else:
+                docs, tfs = self.reader.phrase_docs(text or "")
             if len(docs) == 0:
                 continue
             # (phrase_tf DESC, doc_id ASC): docs ascending, so a stable sort
@@ -206,10 +218,14 @@ class PhraseScorer:
 
 
 def phrase_search_table(
-    index_dir: str, queries: pa.Table, config: EngineConfig = DEFAULT_CONFIG
+    index_dir: str,
+    queries: pa.Table,
+    config: EngineConfig = DEFAULT_CONFIG,
+    *,
+    window: int = 0,
 ) -> pa.Table:
-    """Batch phrase search through a Ray Data actor pool; returns hits
-    sorted by (query_id, rank)."""
+    """Batch phrase (or, with ``window>0``, proximity) search through a Ray
+    Data actor pool; returns hits sorted by (query_id, rank)."""
     import ray.data
 
     ds = ray.data.from_arrow(queries)
@@ -218,6 +234,7 @@ def phrase_search_table(
         fn_constructor_kwargs={
             "index_dir": index_dir,
             "default_limit": config.limit,
+            "window": window,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,

@@ -352,6 +352,40 @@ class PositionsReader:
             keys = keys[p >= offset]
         return keys
 
+    def cooccur_docs(
+        self, term_a: str, term_b: str, window: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Proximity search: docs where ``term_a`` and ``term_b`` co-occur
+        within ``window`` tokens -> (doc_ids ascending, pair counts).
+
+        A pair is an (occurrence of a, occurrence of b) with
+        |pos_a - pos_b| <= window; counts are over ALL such pairs (the SQL
+        self-join contract). Fully vectorized: composite doc*2^21+pos keys +
+        two searchsorted range queries per a-occurrence."""
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+        ta = self.term_positions(term_a)
+        tb = self.term_positions(term_b)
+        if ta is None or tb is None:
+            return empty
+        cand = ta[0][np.isin(ta[0], tb[0], assume_unique=True)]
+        if len(cand) == 0:
+            return empty
+        keys_a = self._term_keys(term_a, cand, 0)
+        keys_b = self._term_keys(term_b, cand, 0)
+        doc_a = keys_a // POS_SHIFT
+        pos_a = keys_a - doc_a * POS_SHIFT
+        lo = np.searchsorted(keys_b, doc_a * POS_SHIFT + np.maximum(pos_a - window, 0))
+        hi = np.searchsorted(
+            keys_b, doc_a * POS_SHIFT + np.minimum(pos_a + window + 1, POS_SHIFT)
+        )
+        per_occ = (hi - lo).astype(np.int64)
+        change = np.nonzero(np.diff(doc_a) != 0)[0] + 1
+        starts = np.concatenate([[0], change])
+        docs = doc_a[starts]
+        counts = np.add.reduceat(per_occ, starts)
+        keep = counts > 0
+        return docs[keep], counts[keep]
+
     def phrase_docs(self, phrase: str | list[str]) -> tuple[np.ndarray, np.ndarray]:
         """All docs containing the exact token phrase -> (doc_ids ascending,
         phrase occurrence counts). Overlapping occurrences each count

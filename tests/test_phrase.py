@@ -232,3 +232,36 @@ def test_conjunctive_matches_exact_filtered(phrase_index):
         pos = {int(d): float(s) for d, s in zip(docs_or, scores_or)}
         for d, s in zip(docs_and, scores_and):
             assert pos[int(d)] == float(s), (text, d)
+
+
+def test_proximity_matches_bruteforce(phrase_index):
+    from clip_as_service_ray.pipelines.phrase import phrase_search_table
+
+    rows, idx, cfg = phrase_index
+    # window=0 is phrase mode by API contract, so proximity cases use >= 1
+    for ta, tb, win in [("alpha", "beta", 3), ("gamma", "gamma", 2),
+                        ("echo", "fox", 1), ("alpha", "zeta", 5)]:
+        q = pa.table(
+            {
+                "query_id": pa.array([0], pa.int64()),
+                "text": [f"{ta} {tb}"],
+                "limit": pa.array([10_000], pa.int32()),
+            }
+        )
+        hits = phrase_search_table(idx, q, cfg, window=win)
+        got = {
+            (hits.column("conv_id")[i].as_py(), hits.column("turn_idx")[i].as_py()):
+                hits.column("phrase_tf")[i].as_py()
+            for i in range(hits.num_rows)
+        }
+        want = {}
+        for conv_id, ti, _, text in rows:
+            toks = tokenize(text)
+            c = sum(
+                1
+                for i, x in enumerate(toks) if x == ta
+                for j, y in enumerate(toks) if y == tb and abs(i - j) <= win
+            )
+            if c:
+                want[(conv_id, ti)] = c
+        assert got == want, (ta, tb, win)
