@@ -218,6 +218,39 @@ def run_bench() -> dict:
             finally:
                 svc_s.shutdown()
 
+    # positional artifact + phrase/proximity serving (the full-text feature
+    # beyond BM25): positions build is the same fused-pass + grid-merge
+    # shape as the main build, so its wall time is directly comparable
+    if os.environ.get("BENCH_PHRASE", "1") == "1" and not out_early:
+        import pyarrow as pa
+
+        from clip_as_service_ray.pipelines.phrase import (
+            PhraseScorer,
+            build_positions,
+        )
+        from clip_as_service_ray.sources.transcripts import FULL_VOCAB
+
+        t0 = time.time()
+        build_positions(src, index_dir, cfg)
+        timings["positions_build"] = time.time() - t0
+        hot = FULL_VOCAB[:8]
+        phrases = [f"{hot[i]} {hot[(i + 1) % len(hot)]}" for i in range(8)]
+        phr_q = pa.table(
+            {
+                "query_id": pa.array(range(len(phrases)), type=pa.int64()),
+                "text": pa.array(phrases),
+            }
+        )
+        scorer = PhraseScorer(index_dir, default_limit=10)
+        scorer(phr_q)  # warm (positions decode + caches)
+        lat = []
+        for _ in range(11):
+            t0 = time.time()
+            scorer(phr_q)
+            lat.append(time.time() - t0)
+        timings["phrase_p50"] = statistics.median(lat)
+        timings["phrase_min"] = min(lat)
+
     total = timings["index_build"] + timings["query_batch"]
     out = {
         "metric": "index_build_plus_query_batch_sec",

@@ -55,7 +55,12 @@ def build_positions(
 ) -> dict:
     """Build (or resume) the positional artifact inside an EXISTING index dir
     (needs convmap.parquet from ``build_index`` for the doc-id scheme — the
-    positional artifact shares doc ids with the main postings)."""
+    positional artifact shares doc ids with the main postings).
+
+    The conv base is re-derived driver-side from convmap (file or shard
+    dir); for conv tables beyond driver memory the ShardedConvBase route of
+    ``build_index`` applies unchanged here (the emit UDF only needs a
+    ``lookup``-capable object) — wire it through ``prep_ref`` when needed."""
     import ray
 
     from clip_as_service_ray.pipelines.build_index import (
