@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": ops.phrase_search,
         "proximity_search": ops.proximity_search,
         "doc_keywords": ops.doc_keywords,
+        "customer_orders_full_outer": ops.customer_orders_full_outer,
+        "doc_perplexity": ops.doc_perplexity,
+        "chunk_documents": ops.chunk_documents,
         "exact_dedup": ops.exact_dedup,
         "doc_quality": ops.doc_quality,
         "doc_repetition": ops.doc_repetition,
@@ -226,6 +229,51 @@ def oracle_sql() -> dict[str, str]:
             "WHERE a.term = 'merge' AND b.term = 'part' "
             "GROUP BY a.doc_id "
             "ORDER BY phrase_tf DESC, a.doc_id ASC LIMIT 10"
+        ),
+        "chunk_documents": (
+            # overlapping token windows: size 32 every 16 (whitespace tokens,
+            # original case); DuckDB list slice is 1-based inclusive
+            r"WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts "
+            "            FROM documents), "
+            "s AS (SELECT doc_id, ts, unnest(range(0, len(ts), 16)) AS start "
+            "      FROM t WHERE len(ts) > 0) "
+            "SELECT doc_id, (start // 16)::BIGINT AS chunk_idx, "
+            "least(32, len(ts) - start)::BIGINT AS n_tokens, "
+            "array_to_string(ts[start + 1 : least(start + 32, len(ts))], ' ') "
+            "AS chunk FROM s"
+        ),
+        "doc_perplexity": (
+            # add-one smoothed bigram LM learned from the corpus itself;
+            # per-doc avg negative log-likelihood over adjacent token pairs
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "             unnest(range(len(ts))) AS pos "
+            "  FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents)), "
+            "big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2 FROM tok a "
+            "        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1), "
+            "bc AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM big GROUP BY w1, w2), "
+            "uc AS (SELECT term AS w1, count(*)::DOUBLE AS c1 FROM tok GROUP BY term), "
+            "v AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM tok), "
+            "scored AS (SELECT big.doc_id, "
+            "  -ln((bc.c2 + 1) / (uc.c1 + v.v)) AS nll "
+            "  FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v) "
+            "SELECT doc_id, round(avg(nll), 6)::DOUBLE AS avg_nll, "
+            "count(*)::BIGINT AS n_bigrams FROM scored GROUP BY doc_id"
+        ),
+        "customer_orders_full_outer": (
+            # genuine full-outer structure: BUILDING customers without urgent
+            # orders (left-only) + urgent-order custkeys outside BUILDING
+            # (right-only); outer nulls coalesced to sentinels on both sides
+            "WITH b AS (SELECT c_custkey AS custkey, c_acctbal FROM customer "
+            "           WHERE c_mktsegment = 'BUILDING'), "
+            "u AS (SELECT o_custkey AS custkey, count(*)::BIGINT AS urgent_orders, "
+            "      sum(o_totalprice) AS urgent_total FROM orders "
+            "      WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) "
+            "SELECT custkey::BIGINT AS custkey, "
+            "round(coalesce(b.c_acctbal, -1.0), 2)::DOUBLE AS acctbal, "
+            "coalesce(u.urgent_orders, 0)::BIGINT AS urgent_orders, "
+            "round(coalesce(u.urgent_total, 0.0), 2)::DOUBLE AS urgent_total "
+            "FROM b FULL OUTER JOIN u USING (custkey)"
         ),
         "proximity_search": (
             # windowed co-occurrence: all (occurrence_a, occurrence_b) pairs

@@ -3059,3 +3059,215 @@ def doc_keywords(sf_dir: str, k: int = 3):
         )
 
     return _documents(sf_dir).map_batches(topk_batch, batch_format="pyarrow")
+
+
+def customer_orders_full_outer(sf_dir: str):
+    """FULL OUTER join exemplar over two filtered sides with genuine
+    one-sided rows on both ends: BUILDING-segment customers vs per-customer
+    urgent-order aggregates. Predicate pushdown at both reads; the right
+    side is pre-aggregated per key BEFORE the shuffle (combiner); nulls
+    from the outer join are coalesced to sentinels so the comparison
+    carries no NULL-representation ambiguity."""
+    import pyarrow.dataset as pads
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from clip_as_service_ray.stages.joins import shuffle_hash_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"],
+        filter=pads.field("c_mktsegment") == "BUILDING",
+    ).map_batches(
+        lambda b: b.rename_columns(["custkey", "acctbal"]),
+        batch_format="pyarrow",
+    )
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("o_custkey").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+        return g.rename_columns(["custkey", "total_part", "n_part"])
+
+    urgent = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+            filter=pads.field("o_orderpriority") == "1-URGENT",
+        )
+        .map_batches(order_partial, batch_format="pyarrow")
+        .groupby("custkey", num_partitions=4)
+        .aggregate(
+            Sum("n_part", alias_name="urgent_orders"),
+            Sum("total_part", alias_name="urgent_total"),
+        )
+    )
+    joined = shuffle_hash_join(cust, urgent, on="custkey", how="full")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # np.round (not pc.round): numpy's scaled rounding lands on the same
+        # float64 representation as DuckDB's round(), pyarrow's does not
+        acct = pc.coalesce(
+            pc.cast(batch.column("acctbal"), pa.float64()), pa.scalar(-1.0)
+        ).to_numpy(zero_copy_only=False)
+        total = pc.coalesce(
+            pc.cast(batch.column("urgent_total"), pa.float64()), pa.scalar(0.0)
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "custkey": pc.cast(batch.column("custkey"), pa.int64()),
+                "acctbal": pa.array(np.round(acct, 2), pa.float64()),
+                "urgent_orders": pc.coalesce(
+                    pc.cast(batch.column("urgent_orders"), pa.int64()),
+                    pa.scalar(0, pa.int64()),
+                ),
+                "urgent_total": pa.array(np.round(total, 2), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_perplexity(sf_dir: str):
+    """Per-document bigram language-model score (the perplexity-style
+    quality signal of training-data pipelines): pass 1 learns add-one
+    smoothed bigram/unigram counts from the corpus itself in ONE combined
+    combiner pass (kind-prefixed keys, one small groupby); the count tables
+    are broadcast once; pass 2 scores each doc shuffle-free as
+    avg(-ln((c(w1,w2)+1)/(c(w1)+V))) over its adjacent token pairs."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.functions.tokenizer import tokenize_texts
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        keys: list[str] = []
+        for terms in tokenize_texts(batch.column("text").to_pylist()):
+            keys.extend("u\x00" + t for t in terms)
+            if len(terms) >= 2:
+                keys.extend(
+                    "b\x00" + a + " " + b for a, b in zip(terms[:-1], terms[1:])
+                )
+        if not keys:
+            return pa.table(
+                {"key": pa.array([], pa.string()), "n_part": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(keys, dtype=object), return_counts=True)
+        return pa.table(
+            {"key": pa.array(u, pa.string()),
+             "n_part": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    counts = (
+        _documents(sf_dir)
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("key", num_partitions=8)
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    keys = counts["key"].to_numpy(dtype=object)
+    ns = counts["n"].to_numpy().astype(np.float64)
+    is_uni = np.array([k.startswith("u\x00") for k in keys])
+    uni_keys = np.array([k[2:] for k in keys[is_uni]], dtype=object)
+    uni_order = np.argsort(uni_keys, kind="stable")
+    bi_keys = np.array([k[2:] for k in keys[~is_uni]], dtype=object)
+    bi_order = np.argsort(bi_keys, kind="stable")
+    vocab_v = float(len(uni_keys))
+    lm_ref = ray.put(
+        (uni_keys[uni_order], ns[is_uni][uni_order],
+         bi_keys[bi_order], ns[~is_uni][bi_order], vocab_v)
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        uk, uc, bk, bc, v = _broadcast_get(lm_ref)
+        doc_ids = batch.column("doc_id").to_numpy()
+        term_lists = tokenize_texts(batch.column("text").to_pylist())
+        grams: list[str] = []
+        w1s: list[str] = []
+        lens = np.zeros(len(term_lists), dtype=np.int64)
+        for i, terms in enumerate(term_lists):
+            if len(terms) >= 2:
+                lens[i] = len(terms) - 1
+                w1s.extend(terms[:-1])
+                grams.extend(
+                    a + " " + b for a, b in zip(terms[:-1], terms[1:])
+                )
+        if not grams:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "avg_nll": pa.array([], pa.float64()),
+                 "n_bigrams": pa.array([], pa.int64())}
+            )
+        g = np.asarray(grams, dtype=object)
+        w1 = np.asarray(w1s, dtype=object)
+        bpos = np.searchsorted(bk, g)
+        bpos_c = np.minimum(bpos, len(bk) - 1)
+        c2 = np.where(bk[bpos_c] == g, bc[bpos_c], 0.0)
+        upos = np.searchsorted(uk, w1)
+        c1 = uc[np.minimum(upos, len(uk) - 1)]
+        nll = -np.log((c2 + 1.0) / (c1 + v))
+        keep = lens > 0
+        bounds = np.concatenate([[0], np.cumsum(lens[keep])])
+        sums = np.add.reduceat(nll, bounds[:-1])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                "avg_nll": pa.array(
+                    np.round(sums / lens[keep], 6), pa.float64()
+                ),
+                "n_bigrams": pa.array(lens[keep], pa.int64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def chunk_documents(sf_dir: str, size: int = 32, stride: int = 16):
+    """Overlapping token-window chunking (the training-data prep step that
+    turns documents into fixed-budget model samples): whitespace tokens,
+    windows of ``size`` every ``stride``. Fully vectorized per batch — one
+    trim+split, then per chunk-start a list_slice + binary_join over ONLY
+    the rows long enough (the loop is over window starts, bounded by the
+    longest doc in the batch, never over rows)."""
+    import ray.data
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        lists = pc.utf8_split_whitespace(trimmed)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
+        lens[pc.equal(trimmed, "").to_numpy(zero_copy_only=False)] = 0
+        doc_ids = batch.column("doc_id").to_numpy()
+        out_docs, out_idx, out_n, out_chunks = [], [], [], []
+        max_len = int(lens.max()) if len(lens) else 0
+        for s in range(0, max_len, stride):
+            m = lens > s
+            if not m.any():
+                break
+            sel = pa.array(np.nonzero(m)[0], pa.int64())
+            sub = pc.list_slice(lists.take(sel), s, s + size)
+            out_chunks.append(pc.binary_join(sub, " "))
+            out_docs.append(doc_ids[m])
+            out_idx.append(np.full(int(m.sum()), s // stride, np.int64))
+            out_n.append(np.minimum(lens[m] - s, size))
+        if not out_docs:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "chunk_idx": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "chunk": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_docs), pa.int64()),
+                "chunk_idx": pa.array(np.concatenate(out_idx), pa.int64()),
+                "n_tokens": pa.array(np.concatenate(out_n), pa.int64()),
+                "chunk": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                     for c in out_chunks]
+                ),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(chunks, batch_format="pyarrow")

@@ -81,13 +81,15 @@ def shuffle_hash_join(
     num_partitions: int = 8,
     how: str = "inner",
 ):
-    """Big-big equi-join (``how``: inner | left): tag sides, union, one
-    groupby(on) shuffle, vectorized per-key cross product in the group UDF;
-    left-outer keeps unmatched lefts with nulls in the right columns.
-    Column name collisions (other than the key) must be resolved by the
-    caller."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    """Big-big equi-join (``how``: inner | left | right | full): tag sides,
+    union, one groupby(on) shuffle, vectorized per-key cross product in the
+    group UDF; outer variants keep unmatched rows of the named side(s) with
+    nulls in the other side's columns. Column name collisions (other than
+    the key) must be resolved by the caller."""
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"how must be 'inner', 'left', 'right' or 'full', got {how!r}"
+        )
     l_cols = r_cols = None
 
     def tag(side: int):
@@ -130,10 +132,17 @@ def shuffle_hash_join(
         side = group.column("_side").to_numpy()
         li = np.nonzero(side == 0)[0]
         ri = np.nonzero(side == 1)[0]
-        if len(li) and len(ri) == 0 and how == "left":
-            # unmatched lefts survive with nulls in the right columns
-            return group.take(pa.array(li, pa.int64())).drop_columns(["_side"])
-        if len(li) == 0 or len(ri) == 0:
+        if len(li) and len(ri) == 0:
+            if how in ("left", "full"):
+                # unmatched lefts survive with nulls in the right columns
+                return group.take(pa.array(li, pa.int64())).drop_columns(["_side"])
+            return group.drop_columns(["_side"]).slice(0, 0)
+        if len(ri) and len(li) == 0:
+            if how in ("right", "full"):
+                # unmatched rights survive with nulls in the left columns
+                return group.take(pa.array(ri, pa.int64())).drop_columns(["_side"])
+            return group.drop_columns(["_side"]).slice(0, 0)
+        if len(li) == 0 and len(ri) == 0:
             return group.drop_columns(["_side"]).slice(0, 0)
         # vectorized cross product of the (small) per-key match groups
         lrep = np.repeat(li, len(ri))

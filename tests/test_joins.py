@@ -236,4 +236,36 @@ def test_shuffle_left_outer_join(rds):
     assert out["y"].tolist()[1:3] == [5.0, 6.0]
     assert np.isnan(out["y"][0]) and np.isnan(out["y"][3])
     with pytest.raises(ValueError):
-        shuffle_hash_join(left, right, on="k", how="full")
+        shuffle_hash_join(left, right, on="k", how="cross")
+
+
+def test_shuffle_outer_join_variants_match_pandas(rds):
+    """full / right / left / inner against pandas merge on a random keyed
+    pair with one-sided keys on both ends and duplicate keys."""
+    rng = np.random.default_rng(3)
+    lk = rng.integers(0, 20, 40)
+    rk = rng.integers(10, 30, 35)  # overlap [10,20), one-sided both ends
+    lt = pa.table({"k": pa.array(lk, pa.int64()),
+                   "x": pa.array(rng.integers(0, 100, 40), pa.int64())})
+    rt = pa.table({"k": pa.array(rk, pa.int64()),
+                   "y": pa.array(rng.random(35), pa.float64())})
+    lpd, rpd = lt.to_pandas(), rt.to_pandas()
+    for how, pd_how in [("inner", "inner"), ("left", "left"),
+                        ("right", "right"), ("full", "outer")]:
+        got = (
+            shuffle_hash_join(rds.from_arrow(lt), rds.from_arrow(rt),
+                              on="k", how=how)
+            .to_pandas()
+            .sort_values(["k", "x", "y"])
+            .reset_index(drop=True)
+        )
+        want = (
+            lpd.merge(rpd, on="k", how=pd_how)
+            .sort_values(["k", "x", "y"])
+            .reset_index(drop=True)[["k", "x", "y"]]
+        )
+        assert len(got) == len(want), how
+        for c in ("k", "x", "y"):
+            a = got[c].to_numpy(dtype=float)
+            b = want[c].to_numpy(dtype=float)
+            assert np.allclose(a, b, rtol=0, atol=0, equal_nan=True), (how, c)
