@@ -302,6 +302,10 @@ class PositionsReader:
             for s, e in zip(starts, ends):
                 self._term_blocks[ts[s]] = order[s:e]
         self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
+        # full composite-key arrays per term (term_keys), byte-capped
+        self._keys_cache: dict[str, np.ndarray] = {}
+        self._cached_key_bytes = 0
+        self._key_cache_cap = 512 << 20
 
     def term_positions(self, term: str):
         """(doc_ids, counts, occ_bounds, flat positions) for one term, or None."""
@@ -327,29 +331,29 @@ class PositionsReader:
         self._cache[term] = hit
         return hit
 
-    def _term_keys(self, term: str, cand: np.ndarray, offset: int) -> np.ndarray:
-        """Composite start keys doc*POS_SHIFT + (pos - offset) for this
-        term's occurrences restricted to candidate docs; invalid starts
-        (pos < offset) are dropped. Keys are sorted ascending (doc-major,
-        positions ascending within doc)."""
-        docs, cnts, occ_bounds, poss = self.term_positions(term)
-        sel = np.nonzero(np.isin(docs, cand, assume_unique=True))[0]
-        if len(sel) == 0:
-            return np.array([], dtype=np.int64)
-        lens = cnts[sel]
-        n = int(lens.sum())
-        out_bounds = np.concatenate([[0], np.cumsum(lens)])
-        gather = (
-            np.repeat(occ_bounds[:-1][sel], lens)
-            + np.arange(n, dtype=np.int64)
-            - np.repeat(out_bounds[:-1], lens)
-        )
-        p = poss[gather]
-        if int(p.max(initial=0)) >= POS_SHIFT:
-            raise ValueError("document longer than 2^21 tokens: widen POS_SHIFT")
-        keys = np.repeat(docs[sel], lens) * POS_SHIFT + p - offset
-        if offset:
-            keys = keys[p >= offset]
+    def term_keys(self, term: str) -> np.ndarray | None:
+        """FULL sorted composite keys doc*POS_SHIFT + pos for every
+        occurrence of the term, built once per actor and cached (bounded).
+
+        This is the query-side working form: phrase/proximity kernels only
+        binary-search into these arrays — a hot term's millions of
+        occurrences are never gathered into per-query filtered copies
+        (the round-2 phrase_p50 regression at sf0.1 was exactly that)."""
+        hit = self._keys_cache.get(term)
+        if hit is not None:
+            return hit
+        tp = self.term_positions(term)
+        if tp is None:
+            return None
+        docs, cnts, _occ_bounds, poss = tp
+        if len(poss) and int(poss.max()) >= POS_SHIFT - 64:
+            raise ValueError(
+                "document longer than 2^21-64 tokens: widen POS_SHIFT"
+            )
+        keys = np.repeat(docs, cnts) * POS_SHIFT + poss
+        if self._cached_key_bytes + keys.nbytes <= self._key_cache_cap:
+            self._keys_cache[term] = keys
+            self._cached_key_bytes += keys.nbytes
         return keys
 
     def cooccur_docs(
@@ -360,23 +364,22 @@ class PositionsReader:
 
         A pair is an (occurrence of a, occurrence of b) with
         |pos_a - pos_b| <= window; counts are over ALL such pairs (the SQL
-        self-join contract). Fully vectorized: composite doc*2^21+pos keys +
-        two searchsorted range queries per a-occurrence."""
+        self-join contract). Two searchsorted range queries per occurrence
+        of the RARER side against the other side's full key array — no doc
+        intersection pass, no filtered copies; docs without pairs fall out
+        as zero counts."""
         empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
-        ta = self.term_positions(term_a)
-        tb = self.term_positions(term_b)
-        if ta is None or tb is None:
+        ka = self.term_keys(term_a)
+        kb = self.term_keys(term_b)
+        if ka is None or kb is None:
             return empty
-        cand = ta[0][np.isin(ta[0], tb[0], assume_unique=True)]
-        if len(cand) == 0:
-            return empty
-        keys_a = self._term_keys(term_a, cand, 0)
-        keys_b = self._term_keys(term_b, cand, 0)
-        doc_a = keys_a // POS_SHIFT
-        pos_a = keys_a - doc_a * POS_SHIFT
-        lo = np.searchsorted(keys_b, doc_a * POS_SHIFT + np.maximum(pos_a - window, 0))
+        if len(ka) > len(kb):  # iterate the rarer side (pair count symmetric)
+            ka, kb = kb, ka
+        doc_a = ka // POS_SHIFT
+        pos_a = ka - doc_a * POS_SHIFT
+        lo = np.searchsorted(kb, doc_a * POS_SHIFT + np.maximum(pos_a - window, 0))
         hi = np.searchsorted(
-            keys_b, doc_a * POS_SHIFT + np.minimum(pos_a + window + 1, POS_SHIFT)
+            kb, doc_a * POS_SHIFT + np.minimum(pos_a + window + 1, POS_SHIFT)
         )
         per_occ = (hi - lo).astype(np.int64)
         change = np.nonzero(np.diff(doc_a) != 0)[0] + 1
@@ -394,31 +397,39 @@ class PositionsReader:
         empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
         if not terms:
             return empty
-        per_term = []
+        if len(terms) > 64:
+            raise ValueError("phrase longer than 64 tokens unsupported")
+        key_arrays = []
         for t in terms:
-            tp = self.term_positions(t)
-            if tp is None:
+            ka = self.term_keys(t)
+            if ka is None:
                 return empty
-            per_term.append(tp)
-        # candidate docs: intersect doc lists, rarest term first
-        order = np.argsort([len(tp[0]) for tp in per_term], kind="stable")
-        cand = per_term[order[0]][0]
+            key_arrays.append(ka)
+        # candidate START keys seeded from the RAREST term (its keys shifted
+        # to the phrase start); every other term filters by binary search
+        # into its FULL cached key array — no doc-intersection pass, no
+        # filtered copies of hot terms, work is O(|rarest| * len(phrase))
+        # searches regardless of the other terms' frequencies
+        order = np.argsort([len(k) for k in key_arrays], kind="stable")
+        j0 = int(order[0])
+        if j0:  # a start needs position >= j0 in its doc
+            base = key_arrays[j0] - j0
+            base = base[(key_arrays[j0] % POS_SHIFT) >= j0]
+        else:
+            base = key_arrays[j0]  # filtered copies only; cache never mutated
         for i in order[1:]:
-            cand = cand[np.isin(cand, per_term[i][0], assume_unique=True)]
-            if len(cand) == 0:
+            if len(base) == 0:
                 return empty
-        # positional verify: survive = phrase start keys present in every
-        # term's shifted occurrence keyset
-        keys = self._term_keys(terms[0], cand, 0)
-        for i in range(1, len(terms)):
-            if len(keys) == 0:
-                return empty
-            keys = keys[
-                np.isin(keys, self._term_keys(terms[i], cand, i), assume_unique=True)
-            ]
-        if len(keys) == 0:
+            # repeated-term phrases ("x x") work naturally: each phrase
+            # index runs its own offset check against the shared key array
+            ki = key_arrays[int(i)]
+            q = base + int(i)
+            pos = np.searchsorted(ki, q)
+            ok = (pos < len(ki)) & (ki[np.minimum(pos, len(ki) - 1)] == q)
+            base = base[ok]
+        if len(base) == 0:
             return empty
-        d = keys // POS_SHIFT
+        d = base // POS_SHIFT
         change = np.nonzero(np.diff(d) != 0)[0] + 1
         starts = np.concatenate([[0], change])
         bounds = np.concatenate([starts, [len(d)]])
