@@ -169,6 +169,21 @@ def _op_anti_join(args: dict, cfg: EngineConfig):
     return shuffle_anti_join(_as_ds(args["left"]), _as_ds(args["right"]), on=args["on"])
 
 
+def _op_build_positions(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.pipelines.phrase import build_positions
+
+    return build_positions(args["source"], args["index_dir"], cfg)
+
+
+def _op_phrase_search(args: dict, cfg: EngineConfig):
+    from clip_as_service_ray.pipelines.phrase import phrase_search_table
+
+    return phrase_search_table(
+        args["index_dir"], args["queries"], cfg,
+        window=args.get("window", 0),
+    )
+
+
 OPS = {
     "build_index": _op_build_index,
     "search": _op_search,
@@ -185,6 +200,8 @@ OPS = {
     "range_join_count": _op_range_join_count,
     "semi_join": _op_semi_join,
     "anti_join": _op_anti_join,
+    "build_positions": _op_build_positions,
+    "phrase_search": _op_phrase_search,
 }
 
 

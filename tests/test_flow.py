@@ -140,3 +140,50 @@ def test_flow_relational_ops(ray_session):
     assert rolled == {0: 1.0, 1: 3.0, 2: 4.0, 3: 8.0, 4: 24.0}
     assert out["kept"].count() == 2
     assert out["dropped"].count() == 3
+
+
+def test_flow_phrase_ops(ray_session, tmp_path):
+    """build_index -> build_positions -> phrase_search wired through the
+    config-driven flow surface (phrase + proximity window modes)."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.pipelines.flow import run_flow
+
+    src = pa.table(
+        {
+            "conv_id": ["c0", "c0", "c1"],
+            "turn_idx": pa.array([0, 1, 0], pa.int32()),
+            "role": ["user"] * 3,
+            "text": ["alpha beta gamma", "beta alpha", "gamma delta alpha beta"],
+        }
+    )
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()), "text": ["alpha beta"]}
+    )
+    idx = str(tmp_path / "flowidx")
+    out = run_flow(
+        {
+            "stages": [
+                {"name": "index", "op": "build_index",
+                 "args": {"source": "$src", "index_dir": idx}},
+                {"name": "pos", "op": "build_positions",
+                 "args": {"source": "$src", "index_dir": idx}},
+                {"name": "hits", "op": "phrase_search",
+                 "args": {"index_dir": idx, "queries": "$queries"}},
+                {"name": "near", "op": "phrase_search",
+                 "args": {"index_dir": idx, "queries": "$queries",
+                          "window": 2}},
+            ],
+        },
+        inputs={"src": src, "queries": queries},
+    )
+    hits = out["hits"]
+    got = {(hits.column("conv_id")[i].as_py(), hits.column("turn_idx")[i].as_py()):
+           hits.column("phrase_tf")[i].as_py() for i in range(hits.num_rows)}
+    assert got == {("c0", 0): 1, ("c1", 0): 1}
+    near = out["near"]
+    got_near = {(near.column("conv_id")[i].as_py(), near.column("turn_idx")[i].as_py()):
+                near.column("phrase_tf")[i].as_py() for i in range(near.num_rows)}
+    # window=2 any-order pairs: c0t0 (alpha,beta adjacent) 1 pair,
+    # c0t1 (beta alpha reversed) 1 pair, c1t0 (alpha beta adjacent) 1 pair
+    assert got_near == {("c0", 0): 1, ("c0", 1): 1, ("c1", 0): 1}
