@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search": ops.proximity_search,
         "doc_keywords": ops.doc_keywords,
         "customer_orders_full_outer": ops.customer_orders_full_outer,
+        "phrase_search_segmented": ops.phrase_search_segmented,
         "doc_perplexity": ops.doc_perplexity,
         "chunk_documents": ops.chunk_documents,
         "exact_dedup": ops.exact_dedup,
@@ -216,6 +217,21 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
         ),
         "phrase_search": (
+            # positional self-join phrase match for 'merge part': zipped
+            # unnest(terms)/unnest(range(len)) gives (term, pos) rows; a
+            # phrase START is a pos p with term(p)='merge' and
+            # term(p+1)='part'; overlapping starts each count (engine ditto)
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "             unnest(range(len(ts))) AS pos "
+            "  FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents)) "
+            "SELECT a.doc_id, count(*)::BIGINT AS phrase_tf "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.term = 'merge' AND b.term = 'part' "
+            "GROUP BY a.doc_id "
+            "ORDER BY phrase_tf DESC, a.doc_id ASC LIMIT 10"
+        ),
+        "phrase_search_segmented": (  # segmented == one-shot
             # positional self-join phrase match for 'merge part': zipped
             # unnest(terms)/unnest(range(len)) gives (term, pos) rows; a
             # phrase START is a pos p with term(p)='merge' and

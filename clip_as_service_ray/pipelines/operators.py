@@ -3271,3 +3271,45 @@ def chunk_documents(sf_dir: str, size: int = 32, stride: int = 16):
         )
 
     return _documents(sf_dir).map_batches(chunks, batch_format="pyarrow")
+
+
+def phrase_search_segmented(sf_dir: str, phrase: str = "merge part", limit: int = 10):
+    """Same phrase query as phrase_search but through INCREMENTAL SEGMENTS
+    (two disjoint halves added via add_segment, per-segment positional
+    artifacts) — the identical SQL oracle certifies segmented phrase ==
+    one-shot positional index over the union."""
+    from clip_as_service_ray.pipelines.phrase import (
+        SegmentedPhraseService,
+        build_positions,
+    )
+    from clip_as_service_ray.pipelines.segments import add_segment, segment_dirs
+
+    cfg = EngineConfig(num_index_partitions=4)
+    root = _index_dir_for(sf_dir) + "_segmented"
+    if len(segment_dirs(root)) < 2:
+        add_segment(root, _docs_as_transcripts(sf_dir, parity=0), cfg, positions=True)
+        add_segment(root, _docs_as_transcripts(sf_dir, parity=1), cfg, positions=True)
+    else:
+        # segments already built by bm25_topk_segmented: extend them with
+        # the positional artifact (resumable no-op when present)
+        for parity, seg in enumerate(segment_dirs(root)[:2]):
+            build_positions(_docs_as_transcripts(sf_dir, parity=parity), seg, cfg)
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([phrase]),
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    svc = SegmentedPhraseService(root, cfg)
+    try:
+        hits = svc.search(q)
+    finally:
+        svc.shutdown()
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "phrase_tf": hits.column("phrase_tf"),
+        }
+    )

@@ -250,3 +250,106 @@ def phrase_search_table(
         return PHRASE_HITS_SCHEMA.empty_table()
     out = out.sort_values(["query_id", "rank"], kind="stable").reset_index(drop=True)
     return pa.Table.from_pandas(out, schema=PHRASE_HITS_SCHEMA, preserve_index=False)
+
+
+class SegmentedPhraseService:
+    """Scatter-ALL phrase/proximity search across incremental segments.
+
+    Phrase counts carry no corpus-global state (unlike BM25's idf/avgdl),
+    and conversations are disjoint across segments, so the merge is a plain
+    union + re-rank: results are identical to a monolithic positional index
+    over the concatenated corpus. Tombstoned conversations are filtered at
+    merge time; each segment is over-asked by the tombstone count so
+    limit-k survives the filter."""
+
+    def __init__(
+        self,
+        index_root: str,
+        config: EngineConfig = DEFAULT_CONFIG,
+        *,
+        window: int = 0,
+    ):
+        import ray
+
+        from clip_as_service_ray.pipelines.segments import (
+            load_tombstones,
+            segment_dirs,
+        )
+
+        self.config = config
+        self.tombstones = load_tombstones(index_root)
+        dirs = [
+            d for d in segment_dirs(index_root)
+            if os.path.isdir(os.path.join(d, POSITIONS))
+        ]
+        if not dirs:
+            raise FileNotFoundError(
+                f"no segments with a positions artifact under {index_root}: "
+                "add segments with add_segment(..., positions=True)"
+            )
+        worker = ray.remote(num_cpus=1)(PhraseScorer)
+        self.replicas = [
+            worker.remote(d, config.limit, window) for d in dirs
+        ]
+        ray.get([r.__ray_ready__.remote() for r in self.replicas])
+
+    def search(self, queries: pa.Table) -> pa.Table:
+        import ray
+
+        if queries.num_rows == 0:
+            return PHRASE_HITS_SCHEMA.empty_table()
+        limits = (
+            queries.column("limit").to_numpy()
+            if "limit" in queries.column_names
+            else np.full(queries.num_rows, self.config.limit, np.int64)
+        ).astype(np.int64)
+        over = queries.set_column(
+            queries.column_names.index("limit"),
+            "limit",
+            pa.array(limits + len(self.tombstones), pa.int32()),
+        ) if "limit" in queries.column_names else queries.append_column(
+            "limit",
+            pa.array(limits + len(self.tombstones), pa.int32()),
+        )
+        parts = ray.get([r.__call__.remote(over) for r in self.replicas])
+        merged = pa.concat_tables(parts)
+        if self.tombstones:
+            import pyarrow.compute as pc
+
+            mask = pc.invert(
+                pc.is_in(
+                    merged.column("conv_id"),
+                    value_set=pa.array(sorted(self.tombstones)),
+                )
+            )
+            merged = merged.filter(mask)
+        if merged.num_rows == 0:
+            return PHRASE_HITS_SCHEMA.empty_table()
+        df = merged.to_pandas()
+        df = df.sort_values(
+            ["query_id", "phrase_tf", "conv_id", "turn_idx"],
+            ascending=[True, False, True, True],
+            kind="stable",
+        )
+        import pandas as pd
+
+        lim = dict(zip(queries.column("query_id").to_pylist(), limits.tolist()))
+        out_parts = []
+        for qid, g in df.groupby("query_id", sort=True):
+            k = int(lim.get(qid, self.config.limit))
+            gg = g.head(k).copy()
+            gg["rank"] = np.arange(len(gg), dtype=np.int32)
+            out_parts.append(gg)
+        out = pd.concat(out_parts, ignore_index=True)
+        return pa.Table.from_pandas(
+            out[["query_id", "rank", "conv_id", "turn_idx", "phrase_tf"]],
+            schema=PHRASE_HITS_SCHEMA,
+            preserve_index=False,
+        )
+
+    def shutdown(self):
+        import ray
+
+        for r in self.replicas:
+            ray.kill(r)
+        self.replicas = []

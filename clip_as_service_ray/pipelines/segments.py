@@ -70,10 +70,13 @@ def add_segment(
     config: EngineConfig = DEFAULT_CONFIG,
     *,
     overwrite: bool = False,
+    positions: bool = False,
 ) -> dict:
     """Build the next segment from ``source`` and refresh the union stats.
     Returns the root manifest; the new docs are searchable immediately via
-    ``SegmentedQueryService``."""
+    ``SegmentedQueryService``. ``positions=True`` additionally builds the
+    segment's positional artifact so phrase/proximity queries see the new
+    docs immediately too (``SegmentedPhraseService``)."""
     os.makedirs(os.path.join(index_root, "segments"), exist_ok=True)
     existing = segment_dirs(index_root)
     k = (
@@ -83,6 +86,10 @@ def add_segment(
     )
     seg_dir = os.path.join(index_root, "segments", f"seg-{k:04d}")
     report = build_index(source, seg_dir, config, overwrite=overwrite)
+    if positions:
+        from clip_as_service_ray.pipelines.phrase import build_positions
+
+        build_positions(source, seg_dir, config)
     dirs = segment_dirs(index_root)
     union = write_union_stats(index_root, dirs)
     payload = {

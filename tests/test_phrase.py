@@ -265,3 +265,59 @@ def test_proximity_matches_bruteforce(phrase_index):
             if c:
                 want[(conv_id, ti)] = c
         assert got == want, (ta, tb, win)
+
+
+def test_segmented_phrase_equals_monolithic(phrase_index, tmp_path):
+    """Phrase search across incremental segments (disjoint conv halves) ==
+    monolithic positional index over the union; tombstoned convs filtered
+    with limit-k preserved."""
+    from clip_as_service_ray.pipelines.phrase import SegmentedPhraseService
+    from clip_as_service_ray.pipelines.segments import add_segment, delete_convs
+
+    rows, idx, cfg = phrase_index
+    root = str(tmp_path / "segroot")
+    half_a = [r for r in rows if int(r[0][4:]) % 2 == 0]
+    half_b = [r for r in rows if int(r[0][4:]) % 2 == 1]
+    add_segment(root, _table(half_a), cfg, positions=True)
+    add_segment(root, _table(half_b), cfg, positions=True)
+
+    q = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.int64()),
+            "text": ["alpha beta", "gamma"],
+            "limit": pa.array([10_000, 10_000], pa.int32()),
+        }
+    )
+    svc = SegmentedPhraseService(root, cfg)
+    try:
+        hits = svc.search(q)
+    finally:
+        svc.shutdown()
+    got = {
+        (hits.column("query_id")[i].as_py(), hits.column("conv_id")[i].as_py(),
+         hits.column("turn_idx")[i].as_py()): hits.column("phrase_tf")[i].as_py()
+        for i in range(hits.num_rows)
+    }
+    want = {}
+    for qid, phrase in [(0, "alpha beta"), (1, "gamma")]:
+        for key, tf in _brute(rows, phrase).items():
+            want[(qid, key[0], key[1])] = tf
+    assert got == want
+
+    # tombstone one conversation that HAS matches; limit-k must survive
+    victim = next(c for (_q, c, _t) in got)
+    delete_convs(root, [victim])
+    svc = SegmentedPhraseService(root, cfg)
+    try:
+        hits2 = svc.search(q)
+    finally:
+        svc.shutdown()
+    convs2 = set(hits2.column("conv_id").to_pylist())
+    assert victim not in convs2
+    want2 = {k: v for k, v in want.items() if k[1] != victim}
+    got2 = {
+        (hits2.column("query_id")[i].as_py(), hits2.column("conv_id")[i].as_py(),
+         hits2.column("turn_idx")[i].as_py()): hits2.column("phrase_tf")[i].as_py()
+        for i in range(hits2.num_rows)
+    }
+    assert got2 == want2
