@@ -30,15 +30,18 @@ from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
 from clip_as_service_ray.pipelines.serving import QueryService
 
 
-def _queries_table(payload: dict) -> pa.Table:
+def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
     qs = payload.get("queries", [])
-    return pa.table(
-        {
-            "query_id": pa.array([int(q["query_id"]) for q in qs], pa.int64()),
-            "text": pa.array([q.get("text", "") for q in qs], pa.string()),
-            "limit": pa.array([int(q.get("limit", 10)) for q in qs], pa.int32()),
-        }
-    )
+    cols = {
+        "query_id": pa.array([int(q["query_id"]) for q in qs], pa.int64()),
+        "text": pa.array([q.get("text", "") for q in qs], pa.string()),
+        "limit": pa.array([int(q.get("limit", 10)) for q in qs], pa.int32()),
+    }
+    if with_window:  # 0 = exact phrase; >0 = proximity window in tokens
+        cols["window"] = pa.array(
+            [int(q.get("window", 0)) for q in qs], pa.int32()
+        )
+    return pa.table(cols)
 
 
 class SearchHTTPServer:
@@ -134,6 +137,9 @@ class SegmentedSearchHTTPServer:
         POST /index  {"turns": [{conv_id, turn_idx, role, text, ...}]}
                      -> builds the next segment; docs searchable on return
         POST /search {"queries": [{query_id, text, limit?}]}
+        POST /phrase {"queries": [{query_id, text, limit?, window?}]}
+                     -> exact phrase (window absent/0) or proximity top-k
+                     through the per-segment positional artifacts
         POST /delete {"conv_ids": [...]} -> tombstones, filtered right away
         POST /compact {} -> physical purge of tombstoned convs (segments
                       rewritten at the postings level; stats post-purge)
@@ -149,9 +155,11 @@ class SegmentedSearchHTTPServer:
         config: EngineConfig = DEFAULT_CONFIG,
         host: str = "127.0.0.1",
         port: int = 0,
+        positions: bool = True,
     ):
         import os
 
+        from clip_as_service_ray.pipelines.phrase import SegmentedPhraseService
         from clip_as_service_ray.pipelines.segments import (
             SegmentedQueryService,
             add_segment,
@@ -161,12 +169,20 @@ class SegmentedSearchHTTPServer:
 
         self.index_root = index_root
         self.config = config
+        # positions: /index also builds the segment's positional artifact so
+        # /phrase sees new docs immediately (skipped when serving BM25 only)
+        self.positions = positions
         self._write_lock = threading.Lock()
-        self._svc = (
-            SegmentedQueryService(index_root, config)
-            if os.path.exists(os.path.join(index_root, "manifest.json"))
-            else None
-        )
+        has_index = os.path.exists(os.path.join(index_root, "manifest.json"))
+        self._svc = SegmentedQueryService(index_root, config) if has_index else None
+        self._phrase_svc = None
+        if has_index and positions:
+            try:
+                self._phrase_svc = SegmentedPhraseService(
+                    index_root, config, num_cpus=0
+                )
+            except FileNotFoundError:
+                pass  # pre-existing segments without positional artifacts
         outer = self
 
         def _refresh():
@@ -174,9 +190,19 @@ class SegmentedSearchHTTPServer:
             # holding old+new simultaneously can deadlock a small cluster;
             # a brief search unavailability during a write is the trade
             old, outer._svc = outer._svc, None
+            old_p, outer._phrase_svc = outer._phrase_svc, None
             if old is not None:
                 old.shutdown()
+            if old_p is not None:
+                old_p.shutdown()
             outer._svc = SegmentedQueryService(outer.index_root, outer.config)
+            if outer.positions:
+                try:
+                    outer._phrase_svc = SegmentedPhraseService(
+                        outer.index_root, outer.config, num_cpus=0
+                    )
+                except FileNotFoundError:
+                    pass
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -206,7 +232,8 @@ class SegmentedSearchHTTPServer:
                     if self.path == "/index":
                         with outer._write_lock:
                             rep = add_segment(
-                                outer.index_root, _turns_table(payload), outer.config
+                                outer.index_root, _turns_table(payload),
+                                outer.config, positions=outer.positions,
                             )
                             _refresh()
                         self._send(
@@ -239,6 +266,20 @@ class SegmentedSearchHTTPServer:
                             )
                             return
                         hits = svc.search(_queries_table(payload))
+                        self._send(200, {"hits": hits.to_pylist()})
+                    elif self.path == "/phrase":
+                        psvc = outer._phrase_svc  # read once: writes swap it
+                        if psvc is None:
+                            self._send(
+                                503,
+                                {"error": "no positional artifacts (index "
+                                          "empty, positions disabled, or "
+                                          "write in progress)"},
+                            )
+                            return
+                        hits = psvc.search(
+                            _queries_table(payload, with_window=True)
+                        )
                         self._send(200, {"hits": hits.to_pylist()})
                     else:
                         self._send(404, {"error": f"unknown path {self.path}"})

@@ -195,16 +195,23 @@ class PhraseScorer:
             if "limit" in batch.column_names
             else [self.default_limit] * len(qids)
         )
+        windows = (
+            batch.column("window").to_pylist()
+            if "window" in batch.column_names
+            else [self.window] * len(qids)
+        )
         cols: dict[str, list] = {n: [] for n in PHRASE_HITS_SCHEMA.names}
-        for qid, text, limit in zip(qids, texts, limits):
+        for qid, text, limit, window in zip(qids, texts, limits, windows):
             k = int(limit or self.default_limit)
-            if self.window:
+            if window:
                 from clip_as_service_ray.functions.tokenizer import tokenize
 
                 terms = tokenize(text or "")
                 if len(terms) != 2:
                     raise ValueError("proximity mode expects exactly 2 terms")
-                docs, tfs = self.reader.cooccur_docs(terms[0], terms[1], self.window)
+                docs, tfs = self.reader.cooccur_docs(
+                    terms[0], terms[1], int(window)
+                )
             else:
                 docs, tfs = self.reader.phrase_docs(text or "")
             if len(docs) == 0:
@@ -268,6 +275,7 @@ class SegmentedPhraseService:
         config: EngineConfig = DEFAULT_CONFIG,
         *,
         window: int = 0,
+        num_cpus: float = 1,
     ):
         import ray
 
@@ -287,7 +295,11 @@ class SegmentedPhraseService:
                 f"no segments with a positions artifact under {index_root}: "
                 "add segments with add_segment(..., positions=True)"
             )
-        worker = ray.remote(num_cpus=1)(PhraseScorer)
+        # num_cpus=0 for co-resident serving (e.g. the HTTP server holds the
+        # BM25 scatter pool too): phrase actors are bursty and sharing cores
+        # beats reserving a second full pool — a 2x reservation starves the
+        # very build tasks that /index needs on a small cluster
+        worker = ray.remote(num_cpus=num_cpus)(PhraseScorer)
         self.replicas = [
             worker.remote(d, config.limit, window) for d in dirs
         ]

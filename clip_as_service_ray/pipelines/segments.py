@@ -450,6 +450,32 @@ def compact_segments(
         mf.mark_stage_done(
             postings_dir, {"stage": "postings", "bytes": mf.dir_bytes(postings_dir)}
         )
+        # positional artifact, if present, must be purged in lockstep —
+        # compaction REMAPS doc ids, so a stale positions/ would resurrect
+        # deleted docs in phrase results once tombstones clear
+        pos_root = os.path.join(seg_dir, "positions")
+        if os.path.isdir(pos_root):
+            from clip_as_service_ray.stages.positions import compact_pos_part
+
+            pos_parts = sorted(
+                d for d in os.listdir(pos_root) if d.startswith("part=")
+            )
+            pos_task = ray.remote(num_cpus=1)(compact_pos_part)
+            new_pos = os.path.join(tmp_dir, "positions")
+            ray.get(
+                [
+                    pos_task.remote(
+                        os.path.join(pos_root, d), ob_ref, nb_ref, alive_ref,
+                        os.path.join(new_pos, d),
+                        block_size=int(stats["block_size"]),
+                    )
+                    for d in pos_parts
+                ]
+            )
+            mf.mark_stage_done(
+                new_pos,
+                {"stage": "positions", "bytes": mf.dir_bytes(new_pos)},
+            )
         dict_dir = os.path.join(tmp_dir, "dictionary")
         mf.reset_stage(dict_dir)
         cat = pa.concat_tables(df_tables)

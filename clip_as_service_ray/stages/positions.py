@@ -434,3 +434,91 @@ class PositionsReader:
         starts = np.concatenate([[0], change])
         bounds = np.concatenate([starts, [len(d)]])
         return d[starts], np.diff(bounds).astype(np.int64)
+
+
+def compact_pos_part(
+    part_dir: str,
+    old_bases: np.ndarray,
+    new_bases: np.ndarray,
+    alive: np.ndarray,
+    out_dir: str,
+    *,
+    block_size: int,
+) -> dict:
+    """Compaction of ONE positional part (the positions-side twin of
+    segments._compact_part): drop tombstoned docs, remap surviving doc ids
+    through the compacted conv base (in-doc token positions are invariant),
+    re-encode blocks. Without this a physical purge would leave a stale
+    positional artifact that resurrects deleted docs in phrase results."""
+    import pyarrow.parquet as _pq
+
+    terms_l, docs_l, cnts_l, poss_l = [], [], [], []
+    for fp in sorted(os.listdir(part_dir)) if os.path.isdir(part_dir) else []:
+        if not fp.endswith(".parquet"):
+            continue
+        t = _pq.read_table(os.path.join(part_dir, fp), use_threads=False)
+        for i in range(t.num_rows):
+            docs, cnts, poss = decode_pos_block(
+                t.column("data")[i].as_buffer(),
+                int(t.column("n")[i].as_py()),
+                int(t.column("total")[i].as_py()),
+                int(t.column("doc_w")[i].as_py()),
+                int(t.column("cnt_w")[i].as_py()),
+                int(t.column("pos_w")[i].as_py()),
+                int(t.column("first_doc")[i].as_py()),
+            )
+            conv = np.searchsorted(old_bases, docs, side="right") - 1
+            keep = alive[conv]
+            if not keep.any():
+                continue
+            conv = conv[keep]
+            terms_l.append(t.column("term")[i].as_py())
+            docs_l.append(docs[keep] - old_bases[conv] + new_bases[conv])
+            cnts_l.append(cnts[keep])
+            poss_l.append(poss[np.repeat(keep, cnts)])
+    cols: dict[str, list] = {n: [] for n in POS_BLOCK_SCHEMA.names}
+    n_postings = 0
+    if terms_l:
+        ns = np.fromiter((len(d) for d in docs_l), dtype=np.int64, count=len(docs_l))
+        codes_u, uniques = pd.factorize(np.asarray(terms_l, dtype=object), sort=False)
+        codes = np.repeat(codes_u.astype(np.int32), ns)
+        docs = np.concatenate(docs_l)
+        cnts = np.concatenate(cnts_l)
+        poss = np.concatenate(poss_l)
+        order = np.lexsort((docs, codes))
+        codes_s, docs_s, cnts_s = codes[order], docs[order], cnts[order]
+        occ_bounds = np.concatenate([[0], np.cumsum(cnts)])
+        src_starts = occ_bounds[:-1][order]
+        n_occ = int(cnts_s.sum())
+        out_bounds = np.concatenate([[0], np.cumsum(cnts_s)])
+        gather = (
+            np.repeat(src_starts, cnts_s)
+            + np.arange(n_occ, dtype=np.int64)
+            - np.repeat(out_bounds[:-1], cnts_s)
+        )
+        poss_s = poss[gather]
+        change = np.nonzero(np.diff(codes_s) != 0)[0] + 1
+        starts = np.concatenate([[0], change])
+        ends = np.concatenate([change, [len(codes_s)]])
+        for s, e in zip(starts, ends):
+            encode_pos_blocks(
+                uniques[codes_s[s]],
+                docs_s[s:e], cnts_s[s:e],
+                poss_s[int(out_bounds[s]) : int(out_bounds[e])],
+                block_size=block_size, out=cols,
+            )
+        n_postings = len(codes_s)
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow.parquet as _pq2
+
+    out_tbl = pa.table(cols, schema=POS_BLOCK_SCHEMA)
+    tmp = os.path.join(out_dir, f"blocks.parquet.tmp.{os.getpid()}")
+    _pq2.write_table(out_tbl, tmp)
+    os.replace(tmp, os.path.join(out_dir, "blocks.parquet"))
+    from clip_as_service_ray.state import manifest as _mf
+
+    _mf.mark_stage_done(
+        out_dir,
+        {"stage": "positions_part", "postings": n_postings, "blocks": out_tbl.num_rows},
+    )
+    return {"postings": n_postings, "blocks": out_tbl.num_rows}

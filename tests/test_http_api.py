@@ -113,11 +113,25 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
             {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
         assert "convac" in {h["conv_id"] for h in hits}  # new doc visible
 
+        # exact phrase + proximity through the positional artifacts: new
+        # docs phrase-searchable immediately, counts exact
+        ph = _post(srv.url + "/phrase", {"queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
+        assert {(h["conv_id"], h["phrase_tf"]) for h in ph} == {("convac", 1)}
+        ph = _post(srv.url + "/phrase", {"queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5,
+             "window": 3}]})["hits"]
+        assert {(h["conv_id"], h["phrase_tf"]) for h in ph} == {
+            ("convaa", 1), ("convac", 3)}
+
         _post(srv.url + "/delete", {"conv_ids": ["convac"]})
         hits = _post(srv.url + "/search", {"queries": [
             {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
         assert "convac" not in {h["conv_id"] for h in hits}
         assert "convaa" in {h["conv_id"] for h in hits}  # survivors intact
+        ph = _post(srv.url + "/phrase", {"queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
+        assert ph == []  # tombstoned conv filtered from phrase results too
 
         health = json.loads(urllib.request.urlopen(srv.url + "/health").read())
         assert health["n_segments"] == 2

@@ -321,3 +321,51 @@ def test_segmented_phrase_equals_monolithic(phrase_index, tmp_path):
         for i in range(hits2.num_rows)
     }
     assert got2 == want2
+
+
+def test_compacted_positions_stay_purged(phrase_index, tmp_path):
+    """compact_segments must purge the positional artifact in lockstep:
+    after the physical purge (tombstones cleared, doc ids remapped), phrase
+    results still exclude the deleted conv and match brute force over the
+    survivors."""
+    from clip_as_service_ray.pipelines.phrase import SegmentedPhraseService
+    from clip_as_service_ray.pipelines.segments import (
+        add_segment,
+        compact_segments,
+        delete_convs,
+        load_tombstones,
+    )
+
+    rows, idx, cfg = phrase_index
+    root = str(tmp_path / "segroot2")
+    half_a = [r for r in rows if int(r[0][4:]) % 2 == 0]
+    half_b = [r for r in rows if int(r[0][4:]) % 2 == 1]
+    add_segment(root, _table(half_a), cfg, positions=True)
+    add_segment(root, _table(half_b), cfg, positions=True)
+
+    full = _brute(rows, "alpha beta")
+    assert full, "fixture must contain the phrase"
+    victim = sorted({c for (c, _t) in full})[0]
+    delete_convs(root, [victim])
+    compact_segments(root, cfg)
+    assert load_tombstones(root) == frozenset()  # physically purged
+
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": ["alpha beta"],
+            "limit": pa.array([10_000], pa.int32()),
+        }
+    )
+    svc = SegmentedPhraseService(root, cfg)
+    try:
+        hits = svc.search(q)
+    finally:
+        svc.shutdown()
+    got = {
+        (hits.column("conv_id")[i].as_py(), hits.column("turn_idx")[i].as_py()):
+            hits.column("phrase_tf")[i].as_py()
+        for i in range(hits.num_rows)
+    }
+    want = {k: v for k, v in full.items() if k[0] != victim}
+    assert got == want
