@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_segmented": ops.phrase_search_segmented,
         "doc_perplexity": ops.doc_perplexity,
         "chunk_documents": ops.chunk_documents,
+        "regex_search_documents": ops.regex_search_documents,
+        "phrase_snippets": ops.phrase_snippets,
+        "profile_lineitem": ops.profile_lineitem,
         "exact_dedup": ops.exact_dedup,
         "doc_quality": ops.doc_quality,
         "doc_repetition": ops.doc_repetition,
@@ -245,6 +248,52 @@ def oracle_sql() -> dict[str, str]:
             "WHERE a.term = 'merge' AND b.term = 'part' "
             "GROUP BY a.doc_id "
             "ORDER BY phrase_tf DESC, a.doc_id ASC LIMIT 10"
+        ),
+        "phrase_snippets": (
+            # top-10 'merge part' hits with a token-window snippet around
+            # each doc's FIRST match (context 3, phrase length 2: 0-based
+            # window [s-3, s+4] -> 1-based slice [s-2, s+5])
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "             unnest(range(len(ts))) AS pos "
+            "  FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents)), "
+            "m AS (SELECT a.doc_id, count(*)::BIGINT AS phrase_tf, "
+            "      min(a.pos)::BIGINT AS first_pos "
+            "      FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "      WHERE a.term = 'merge' AND b.term = 'part' "
+            "      GROUP BY a.doc_id "
+            "      ORDER BY phrase_tf DESC, a.doc_id ASC LIMIT 10), "
+            "t AS (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents) "
+            "SELECT m.doc_id, m.phrase_tf, m.first_pos, "
+            "array_to_string(ts[greatest(1, first_pos - 2) : "
+            "least(len(ts), first_pos + 5)], ' ') AS snippet "
+            "FROM m JOIN t USING (doc_id)"
+        ),
+        "regex_search_documents": (
+            # same RE2 pattern; DuckDB len(regexp_extract_all) == match count
+            r"SELECT doc_id, len(regexp_extract_all(text, 'merge[ ]part|hash[ ]join'))::BIGINT "
+            "AS n_matches FROM documents "
+            "WHERE len(regexp_extract_all(text, 'merge[ ]part|hash[ ]join')) > 0"
+        ),
+        "profile_lineitem": (
+            "SELECT col, n_rows, n_nulls, round(min_v, 6)::DOUBLE AS min_v, "
+            "round(max_v, 6)::DOUBLE AS max_v, round(sum_v, 2)::DOUBLE AS sum_v "
+            "FROM ("
+            "  SELECT 'l_discount' AS col, count(*)::BIGINT AS n_rows, "
+            "  (count(*) - count(l_discount))::BIGINT AS n_nulls, "
+            "  min(l_discount)::DOUBLE AS min_v, max(l_discount)::DOUBLE AS max_v, "
+            "  sum(l_discount)::DOUBLE AS sum_v FROM lineitem "
+            "  UNION ALL "
+            "  SELECT 'l_extendedprice', count(*)::BIGINT, "
+            "  (count(*) - count(l_extendedprice))::BIGINT, "
+            "  min(l_extendedprice)::DOUBLE, max(l_extendedprice)::DOUBLE, "
+            "  sum(l_extendedprice)::DOUBLE FROM lineitem "
+            "  UNION ALL "
+            "  SELECT 'l_quantity', count(*)::BIGINT, "
+            "  (count(*) - count(l_quantity))::BIGINT, "
+            "  min(l_quantity)::DOUBLE, max(l_quantity)::DOUBLE, "
+            "  sum(l_quantity)::DOUBLE FROM lineitem)"
         ),
         "chunk_documents": (
             # overlapping token windows: size 32 every 16 (whitespace tokens,

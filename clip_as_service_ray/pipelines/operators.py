@@ -3313,3 +3313,152 @@ def phrase_search_segmented(sf_dir: str, phrase: str = "merge part", limit: int 
             "phrase_tf": hits.column("phrase_tf"),
         }
     )
+
+
+def regex_search_documents(sf_dir: str, pattern: str = "merge[ ]part|hash[ ]join"):
+    """Vectorized regex grep over the corpus (the data-exploration scan):
+    one RE2 kernel per batch (pc.count_substring_regex — zero Python per
+    row), emit matching docs with their match counts."""
+
+    def scan(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), pattern=pattern)
+        t = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_matches": pc.cast(n, pa.int64()),
+            }
+        )
+        return t.filter(pc.greater(t.column("n_matches"), 0))
+
+    return _documents(sf_dir).map_batches(scan, batch_format="pyarrow")
+
+
+def profile_lineitem(sf_dir: str):
+    """Column-level data profiling (the quality-report pass every ingest
+    runs): per numeric column of `lineitem` -> count, nulls, min, max, sum;
+    per-batch partials folded driver-side (output is O(columns), tiny)."""
+    import ray.data
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"col": [], "n_part": [], "nulls_part": [], "min_part": [],
+               "max_part": [], "sum_part": []}
+        for c in cols:
+            arr = batch.column(c)
+            out["col"].append(c)
+            out["n_part"].append(len(arr))
+            out["nulls_part"].append(arr.null_count)
+            out["min_part"].append(float(pc.min(arr).as_py() or 0.0))
+            out["max_part"].append(float(pc.max(arr).as_py() or 0.0))
+            out["sum_part"].append(float(pc.sum(arr).as_py() or 0.0))
+        return pa.table(
+            {
+                "col": pa.array(out["col"], pa.string()),
+                "n_part": pa.array(out["n_part"], pa.int64()),
+                "nulls_part": pa.array(out["nulls_part"], pa.int64()),
+                "min_part": pa.array(out["min_part"], pa.float64()),
+                "max_part": pa.array(out["max_part"], pa.float64()),
+                "sum_part": pa.array(out["sum_part"], pa.float64()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=cols
+    ).map_batches(partial, batch_format="pyarrow")
+    pdf = ds.to_pandas()
+    g = pdf.groupby("col", sort=True)
+    return pa.table(
+        {
+            "col": pa.array(sorted(cols), pa.string()),
+            "n_rows": pa.array(
+                g["n_part"].sum().loc[sorted(cols)].to_numpy(), pa.int64()
+            ),
+            "n_nulls": pa.array(
+                g["nulls_part"].sum().loc[sorted(cols)].to_numpy(), pa.int64()
+            ),
+            "min_v": pa.array(
+                np.round(g["min_part"].min().loc[sorted(cols)].to_numpy(), 6),
+                pa.float64(),
+            ),
+            "max_v": pa.array(
+                np.round(g["max_part"].max().loc[sorted(cols)].to_numpy(), 6),
+                pa.float64(),
+            ),
+            "sum_v": pa.array(
+                np.round(g["sum_part"].sum().loc[sorted(cols)].to_numpy(), 2),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def phrase_snippets(sf_dir: str, phrase: str = "merge part", context: int = 3, limit: int = 10):
+    """Search + fetch + highlight: top-k phrase hits with a token-window
+    SNIPPET around each doc's first match — the result-presentation step of
+    a search engine. The hit list (doc, tf, first match position) comes from
+    the positional index; snippet extraction is a shuffle-free filtered scan
+    of the source (broadcast hit set, pc.is_in, re-tokenize only the <=k
+    matching docs)."""
+    import ray
+
+    from clip_as_service_ray.functions.tokenizer import tokenize, tokenize_texts
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import (
+        build_positions,
+        phrase_search_table,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    build_positions(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([phrase]),
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    hits = phrase_search_table(index_dir, q, cfg)
+    doc_ids = np.asarray(
+        [int(c[4:]) for c in hits.column("conv_id").to_pylist()], dtype=np.int64
+    )
+    order = np.argsort(doc_ids, kind="stable")
+    hit_ref = ray.put(
+        (
+            doc_ids[order],
+            hits.column("phrase_tf").to_numpy()[order],
+            hits.column("first_pos").to_numpy()[order],
+        )
+    )
+    plen = len(tokenize(phrase))
+
+    def snip(batch: pa.Table) -> pa.Table:
+        d, tf, fp = _broadcast_get(hit_ref)
+        mask = pc.is_in(batch.column("doc_id"), value_set=pa.array(d, pa.int64()))
+        b = batch.filter(mask)
+        out = {
+            "doc_id": [], "phrase_tf": [], "first_pos": [], "snippet": [],
+        }
+        if b.num_rows:
+            toks = tokenize_texts(b.column("text").to_pylist())
+            ids = b.column("doc_id").to_numpy()
+            pos = np.searchsorted(d, ids)
+            for i in range(b.num_rows):
+                s = int(fp[pos[i]])
+                window = toks[i][max(0, s - context) : s + plen + context]
+                out["doc_id"].append(int(ids[i]))
+                out["phrase_tf"].append(int(tf[pos[i]]))
+                out["first_pos"].append(s)
+                out["snippet"].append(" ".join(window))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "phrase_tf": pa.array(out["phrase_tf"], pa.int64()),
+                "first_pos": pa.array(out["first_pos"], pa.int64()),
+                "snippet": pa.array(out["snippet"], pa.string()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(snip, batch_format="pyarrow")

@@ -46,6 +46,8 @@ PHRASE_HITS_SCHEMA = pa.schema(
         ("conv_id", pa.string()),
         ("turn_idx", pa.int32()),
         ("phrase_tf", pa.int64()),
+        # first match start (token index) — feeds snippet extraction
+        ("first_pos", pa.int64()),
     ]
 )
 
@@ -209,23 +211,24 @@ class PhraseScorer:
                 terms = tokenize(text or "")
                 if len(terms) != 2:
                     raise ValueError("proximity mode expects exactly 2 terms")
-                docs, tfs = self.reader.cooccur_docs(
+                docs, tfs, firsts = self.reader.cooccur_docs(
                     terms[0], terms[1], int(window)
                 )
             else:
-                docs, tfs = self.reader.phrase_docs(text or "")
+                docs, tfs, firsts = self.reader.phrase_docs(text or "")
             if len(docs) == 0:
                 continue
             # (phrase_tf DESC, doc_id ASC): docs ascending, so a stable sort
             # on -tf preserves the doc_id tiebreak
             order = np.argsort(-tfs, kind="stable")[:k]
-            d, t = docs[order], tfs[order]
+            d, t, f = docs[order], tfs[order], firsts[order]
             pos = np.searchsorted(self._bases, d, side="right") - 1
             cols["query_id"].extend([qid] * len(d))
             cols["rank"].extend(range(len(d)))
             cols["conv_id"].extend(self._conv_ids[pos].tolist())
             cols["turn_idx"].extend((d - self._bases[pos]).astype(np.int32).tolist())
             cols["phrase_tf"].extend(t.tolist())
+            cols["first_pos"].extend(f.tolist())
         return pa.table(cols, schema=PHRASE_HITS_SCHEMA)
 
 
@@ -354,7 +357,7 @@ class SegmentedPhraseService:
             out_parts.append(gg)
         out = pd.concat(out_parts, ignore_index=True)
         return pa.Table.from_pandas(
-            out[["query_id", "rank", "conv_id", "turn_idx", "phrase_tf"]],
+            out[["query_id", "rank", "conv_id", "turn_idx", "phrase_tf", "first_pos"]],
             schema=PHRASE_HITS_SCHEMA,
             preserve_index=False,
         )

@@ -360,7 +360,8 @@ class PositionsReader:
         self, term_a: str, term_b: str, window: int
     ) -> tuple[np.ndarray, np.ndarray]:
         """Proximity search: docs where ``term_a`` and ``term_b`` co-occur
-        within ``window`` tokens -> (doc_ids ascending, pair counts).
+        within ``window`` tokens -> (doc_ids ascending, pair counts,
+        first qualifying ``term_a`` position per doc).
 
         A pair is an (occurrence of a, occurrence of b) with
         |pos_a - pos_b| <= window; counts are over ALL such pairs (the SQL
@@ -368,13 +369,15 @@ class PositionsReader:
         of the RARER side against the other side's full key array — no doc
         intersection pass, no filtered copies; docs without pairs fall out
         as zero counts."""
-        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+        empty = (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+        )
         ka = self.term_keys(term_a)
         kb = self.term_keys(term_b)
         if ka is None or kb is None:
             return empty
-        if len(ka) > len(kb):  # iterate the rarer side (pair count symmetric)
-            ka, kb = kb, ka
         doc_a = ka // POS_SHIFT
         pos_a = ka - doc_a * POS_SHIFT
         lo = np.searchsorted(kb, doc_a * POS_SHIFT + np.maximum(pos_a - window, 0))
@@ -387,14 +390,28 @@ class PositionsReader:
         docs = doc_a[starts]
         counts = np.add.reduceat(per_occ, starts)
         keep = counts > 0
-        return docs[keep], counts[keep]
+        # first qualifying term_a position per surviving doc (SQL twin:
+        # min(a.pos) over qualifying pairs): doc_a is sorted, so unique on
+        # the qualifying occurrences' docs yields each doc's first index
+        qidx = np.nonzero(per_occ > 0)[0]
+        qdocs, qfirst = np.unique(doc_a[qidx], return_index=True)
+        first = pos_a[qidx[qfirst]]
+        assert np.array_equal(qdocs, docs[keep])
+        return docs[keep], counts[keep], first
 
-    def phrase_docs(self, phrase: str | list[str]) -> tuple[np.ndarray, np.ndarray]:
+    def phrase_docs(
+        self, phrase: str | list[str]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """All docs containing the exact token phrase -> (doc_ids ascending,
-        phrase occurrence counts). Overlapping occurrences each count
-        (consistent with a positional self-join in SQL)."""
+        phrase occurrence counts, first start position per doc).
+        Overlapping occurrences each count (consistent with a positional
+        self-join in SQL)."""
         terms = tokenize(phrase) if isinstance(phrase, str) else list(phrase)
-        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+        empty = (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+        )
         if not terms:
             return empty
         if len(terms) > 64:
@@ -433,7 +450,8 @@ class PositionsReader:
         change = np.nonzero(np.diff(d) != 0)[0] + 1
         starts = np.concatenate([[0], change])
         bounds = np.concatenate([starts, [len(d)]])
-        return d[starts], np.diff(bounds).astype(np.int64)
+        first = base[starts] - d[starts] * POS_SHIFT  # first start per doc
+        return d[starts], np.diff(bounds).astype(np.int64), first
 
 
 def compact_pos_part(
