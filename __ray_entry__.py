@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_search_documents": ops.regex_search_documents,
         "phrase_snippets": ops.phrase_snippets,
         "profile_lineitem": ops.profile_lineitem,
+        "edit_distance_dup_pairs": ops.edit_distance_dup_pairs,
         "exact_dedup": ops.exact_dedup,
         "doc_quality": ops.doc_quality,
         "doc_repetition": ops.doc_repetition,
@@ -275,6 +276,16 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT doc_id, len(regexp_extract_all(text, 'merge[ ]part|hash[ ]join'))::BIGINT "
             "AS n_matches FROM documents "
             "WHERE len(regexp_extract_all(text, 'merge[ ]part|hash[ ]join')) > 0"
+        ),
+        "edit_distance_dup_pairs": (
+            # fuzzy near-dups on the bounded subset: length pruning mirrors
+            # the engine's band blocking (|len diff| <= 20)
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "levenshtein(a.text, b.text)::BIGINT AS dist "
+            "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
+            "WHERE a.doc_id < 300 AND b.doc_id < 300 "
+            "AND abs(len(a.text) - len(b.text)) <= 20 "
+            "AND levenshtein(a.text, b.text) <= 20"
         ),
         "profile_lineitem": (
             "SELECT col, n_rows, n_nulls, round(min_v, 6)::DOUBLE AS min_v, "

@@ -3462,3 +3462,23 @@ def phrase_snippets(sf_dir: str, phrase: str = "merge part", context: int = 3, l
         )
 
     return _documents(sf_dir).map_batches(snip, batch_format="pyarrow")
+
+
+def edit_distance_dup_pairs(sf_dir: str, max_dist: int = 20, max_id: int = 300):
+    """Edit-distance near-dup pairs (the fuzzy-matching member of the §2.8
+    dedup family) on the bounded SQL-checkable subset (doc_id < max_id, the
+    jaccard_dup_pairs convention): length-band blocking + exact banded
+    Levenshtein verify; the DuckDB twin recomputes levenshtein() over the
+    same length-pruned pairs."""
+    import pyarrow.dataset as pads
+
+    from clip_as_service_ray.stages.dedup import edit_distance_pairs
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") < max_id,
+    )
+    return edit_distance_pairs(ds, max_dist=max_dist)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from clip_as_service_ray.functions import minhash as mh
 from clip_as_service_ray.functions.tokenizer import tokenize_texts
@@ -359,4 +360,103 @@ def dedup_turns(ds, num_buckets: int = 64):
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket", num_partitions=8)
         .map_groups(first_per_key, batch_format="pyarrow")
+    )
+
+
+def _levenshtein_capped(a: str, b: str, cap: int) -> int:
+    """Banded Levenshtein with early abandon: returns the exact distance if
+    <= cap, else cap+1. Row DP vectorized over one string (the sequential
+    insertion dependency is resolved by the min-accumulate-minus-index
+    trick), O(|a|*|b|) worst case but abandons when a whole row exceeds cap."""
+    if a == b:
+        return 0
+    na, nb = len(a), len(b)
+    if abs(na - nb) > cap:
+        return cap + 1
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    aa = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.arange(nb + 1)
+    prev = idx.copy()
+    for i in range(1, na + 1):
+        sub = prev[:-1] + (bb != aa[i - 1])
+        cand = np.minimum(prev[1:] + 1, sub)
+        full = np.concatenate(([i], cand))
+        prev = np.minimum.accumulate(full - idx) + idx
+        if prev.min() > cap:
+            return cap + 1
+    return int(prev[-1])
+
+
+def _edit_band_pairs(max_dist: int):
+    """Group UDF factory: one length band -> verified near-dup pairs.
+
+    A pair is counted in the band max(orig_band_a, orig_band_b) only, so
+    replication (each doc lives in its own band and the next) never double
+    counts."""
+
+    def pairs_fn(group: pa.Table) -> pa.Table:
+        band = int(group.column("band")[0].as_py())
+        ids = group.column("doc_id").to_numpy()
+        obs = group.column("orig_band").to_numpy()
+        texts = group.column("text").to_pylist()
+        order = np.argsort(ids, kind="stable")
+        out_a, out_b, out_d = [], [], []
+        for x in range(len(order)):
+            i = order[x]
+            for y in range(x + 1, len(order)):
+                j = order[y]
+                if max(int(obs[i]), int(obs[j])) != band:
+                    continue
+                if abs(len(texts[i]) - len(texts[j])) > max_dist:
+                    continue
+                d = _levenshtein_capped(texts[i], texts[j], max_dist)
+                if d <= max_dist:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_d.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    return pairs_fn
+
+
+def edit_distance_pairs(ds, *, max_dist: int = 20) -> "object":
+    """Distributed edit-distance near-dup pairs over (doc_id, text) rows:
+    LENGTH-BAND blocking (band width max_dist+1: a qualifying pair's bands
+    differ by at most 1, so each doc replicates into its own band and the
+    next — candidates co-locate in ONE groupby, never all-pairs), then
+    exact banded-Levenshtein verify inside each band group. Returns a lazy
+    Dataset of (doc_a < doc_b, dist)."""
+    width = max_dist + 1
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(batch.column("text")).to_numpy().astype(np.int64)
+        ob = lens // width
+        n = batch.num_rows
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate([ob, ob + 1]), pa.int64()),
+                "orig_band": pa.array(np.concatenate([ob, ob]), pa.int64()),
+                "doc_id": pa.concat_arrays(
+                    [batch.column("doc_id").combine_chunks()] * 2
+                    if isinstance(batch.column("doc_id"), pa.ChunkedArray)
+                    else [batch.column("doc_id")] * 2
+                ),
+                "text": pa.concat_arrays(
+                    [batch.column("text").combine_chunks()] * 2
+                    if isinstance(batch.column("text"), pa.ChunkedArray)
+                    else [batch.column("text")] * 2
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(to_bands, batch_format="pyarrow")
+        .groupby("band", num_partitions=8)
+        .map_groups(_edit_band_pairs(max_dist), batch_format="pyarrow")
     )

@@ -122,3 +122,47 @@ def test_dedup_turns(ray_session):
     assert kept[("a", 0)] == "first write"  # earliest ts wins
     assert kept[("a", 1)] == "next turn"
     assert kept[("b", 0)] == "other"
+
+
+def test_edit_distance_pairs_vs_bruteforce(ray_session):
+    """Length-band blocked + capped-Levenshtein pairs == brute-force O(n^2)
+    on a corpus with planted near-dups (band replication must not double
+    count or drop cross-band pairs)."""
+    import random
+
+    import ray.data
+
+    from clip_as_service_ray.stages.dedup import (
+        _levenshtein_capped,
+        edit_distance_pairs,
+    )
+
+    rng = random.Random(4)
+    base = ["".join(rng.choice("abcdef ") for _ in range(rng.randint(3, 60)))
+            for _ in range(30)]
+    texts = list(base)
+    for t in base[:8]:  # planted near-dups: small random edits
+        mut = list(t)
+        for _ in range(rng.randint(0, 4)):
+            if mut and rng.random() < 0.5:
+                mut.pop(rng.randrange(len(mut)))
+            else:
+                mut.insert(rng.randrange(len(mut) + 1), rng.choice("abcdef"))
+        texts.append("".join(mut))
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    D = 6
+    got = (
+        edit_distance_pairs(ray.data.from_arrow(tbl), max_dist=D)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    want = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = _levenshtein_capped(texts[i], texts[j], D)
+            if d <= D:
+                want.append((i, j, d))
+    assert list(map(tuple, got[["doc_a", "doc_b", "dist"]].to_numpy())) == want
+    assert len(want) >= 8  # the planted near-dups were actually found
