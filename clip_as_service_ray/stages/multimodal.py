@@ -319,9 +319,14 @@ class ImagePreprocess:
             from clip_as_service_ray.functions.jpeg import decode_jpeg
 
             return decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from clip_as_service_ray.functions.gif import decode_gif
+
+            return decode_gif(payload)
         raise NotImplementedError(
-            "unrecognized image format: only BMP, PNG and baseline JPEG "
-            "decode without codec libraries (PIL/libjpeg absent here)"
+            "unrecognized image format: only BMP, PNG, JPEG (baseline + "
+            "progressive) and GIF decode without codec libraries "
+            "(PIL/libjpeg absent here)"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -366,6 +371,37 @@ class FrameSample:
                 ids_out.append(int(i))
                 idx_out.append(fi)
                 payload_out.append(payload[fi * self.frame_bytes : (fi + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                "id": pa.array(ids_out, pa.int64()),
+                "frame_idx": pa.array(idx_out, pa.int32()),
+                "payload": pa.array(payload_out, pa.binary()),
+            }
+        )
+
+
+class GifFrameSample:
+    """Actor-pool UDF: REAL frame sampling for the multi-frame format the
+    sandbox can actually decode (GIF; the video analog of FrameSample's
+    byte-sliced stub). Emits every k-th COMPOSED frame, re-encoded as BMP —
+    a real, self-describing payload any downstream stage can decode."""
+
+    def __init__(self, every_k: int = 2, max_frames: int | None = None):
+        self.every_k = max(1, int(every_k))
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from clip_as_service_ray.functions.gif import decode_gif_frames
+
+        ids_out, idx_out, payload_out = [], [], []
+        for i, payload in zip(
+            batch.column("id").to_numpy(), batch.column("payload").to_pylist()
+        ):
+            frames = decode_gif_frames(payload, max_frames=self.max_frames)
+            for fi in range(0, len(frames), self.every_k):
+                ids_out.append(int(i))
+                idx_out.append(fi)
+                payload_out.append(encode_bmp(frames[fi]))
         return pa.table(
             {
                 "id": pa.array(ids_out, pa.int64()),

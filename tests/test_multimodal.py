@@ -266,3 +266,62 @@ def test_real_png_decode_through_preprocess():
         want = ((want - mean) / std).ravel()
         got = np.asarray(out.column("tensor")[i].as_py(), dtype=np.float32)
         np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_gif_round_trip_and_preprocess(ray_session):
+    """Real GIF decode: LZW (dictionary growth + CLEAR), interlace,
+    multi-frame composition; first frame flows through ImagePreprocess."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.functions.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+    )
+    from clip_as_service_ray.stages.multimodal import ImagePreprocess
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, size=(100, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 100, size=(40, 56))]
+    for interlace in (False, True):
+        assert np.array_equal(decode_gif(encode_gif(img, interlace=interlace)), img)
+    frames = [pal[rng.integers(0, 100, size=(24, 24))] for _ in range(3)]
+    got = decode_gif_frames(encode_gif(frames))
+    assert len(got) == 3
+    for a, b in zip(got, frames):
+        assert np.array_equal(a, b)
+
+    media = pa.table(
+        {
+            "id": pa.array([0], pa.int64()),
+            "payload": pa.array([encode_gif(img)], pa.binary()),
+            "mime": pa.array(["image/gif"]),
+            "width": pa.array([img.shape[1]], pa.int32()),
+            "height": pa.array([img.shape[0]], pa.int32()),
+        }
+    )
+    out = ImagePreprocess(size=32, decode="real")(media)
+    assert out.column("shape").to_pylist() == [[3, 32, 32]]
+
+
+def test_gif_frame_sampling_real(ray_session):
+    """GifFrameSample: every-k composed frames re-encoded as decodable BMP."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.functions.gif import encode_gif
+    from clip_as_service_ray.stages.multimodal import GifFrameSample, decode_bmp
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    frames = [pal[rng.integers(0, 16, size=(10, 12))] for _ in range(7)]
+    batch = pa.table(
+        {
+            "id": pa.array([42], pa.int64()),
+            "payload": pa.array([encode_gif(frames)], pa.binary()),
+        }
+    )
+    out = GifFrameSample(every_k=3)(batch)
+    assert out.column("frame_idx").to_pylist() == [0, 3, 6]
+    for row, fi in enumerate([0, 3, 6]):
+        decoded = decode_bmp(out.column("payload")[row].as_py())
+        assert np.array_equal(decoded, frames[fi])
