@@ -3482,3 +3482,54 @@ def edit_distance_dup_pairs(sf_dir: str, max_dist: int = 20, max_id: int = 300):
         filter=pads.field("doc_id") < max_id,
     )
     return edit_distance_pairs(ds, max_dist=max_dist)
+
+
+def bm25_topk_negated(sf_dir: str, terms=BM25_QUERY_TERMS, exclude: str = "part", limit: int = 10):
+    """Boolean NOT: bm25_topk over docs that contain NO token of `exclude`
+    (candidate filter applied before top-k, survivor scores unchanged) —
+    completes the boolean retrieval family (OR / AND / NOT)."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([" ".join(terms)]),
+            "limit": pa.array([limit], pa.int32()),
+            "exclude": pa.array([exclude]),
+        }
+    )
+    hits = search_table(index_dir, queries, cfg)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )
+
+
+def bm25_topk_prefix(sf_dir: str, prefix: str = "s", limit: int = 10):
+    """Wildcard query `prefix*`: BM25 over every dictionary term with the
+    prefix (one searchsorted range over the sorted vocabulary, each expanded
+    term scored with its own idf) — the classic prefix-search feature."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([prefix]),
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    hits = search_table(index_dir, queries, cfg, prefix=True)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )

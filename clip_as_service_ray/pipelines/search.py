@@ -22,10 +22,13 @@ def search(
     config: EngineConfig = DEFAULT_CONFIG,
     *,
     conjunctive: bool = False,
+    prefix: bool = False,
 ):
-    """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit]).
-    Returns a lazy Dataset of flat ranked hits. ``conjunctive=True`` switches
-    to boolean-AND semantics (hits must contain every query term)."""
+    """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
+    exclude]). Returns a lazy Dataset of flat ranked hits.
+    ``conjunctive=True`` switches to boolean-AND semantics; ``prefix=True``
+    treats each query text as a term prefix (wildcard expansion); an
+    ``exclude`` column applies boolean NOT per query."""
     import ray.data
 
     qds = ray.data.from_arrow(queries) if isinstance(queries, pa.Table) else queries
@@ -36,6 +39,7 @@ def search(
             "default_limit": config.limit,
             "pruning": config.query_pruning,
             "conjunctive": conjunctive,
+            "prefix": prefix,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -49,10 +53,11 @@ def search_table(
     config: EngineConfig = DEFAULT_CONFIG,
     *,
     conjunctive: bool = False,
+    prefix: bool = False,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
-    ds = search(index_dir, queries, config, conjunctive=conjunctive)
+    ds = search(index_dir, queries, config, conjunctive=conjunctive, prefix=prefix)
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:
         from clip_as_service_ray.pipelines.oracle import HITS_SCHEMA

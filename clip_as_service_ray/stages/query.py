@@ -123,6 +123,10 @@ class IndexReader:
             ends = np.concatenate([change, [len(order)]])
             for s, e in zip(starts, ends):
                 self._term_blocks[terms_sorted[s]] = order[s:e]
+            # sorted unique vocabulary: the wildcard-expansion lookup
+            self._terms_sorted = terms_sorted[starts]
+        else:
+            self._terms_sorted = np.array([], dtype=object)
 
         conv_tbl = pq.read_table(os.path.join(index_dir, "convmap.parquet"))
         conv_tbl = conv_tbl.sort_by("conv_id")
@@ -316,7 +320,7 @@ class IndexReader:
             return self._score_dense(present, limit, n_slots)
         return self._score_dense_chunked(present, limit, n_slots)
 
-    def _score_dense(self, present: list[str], limit: int, n_slots: int):
+    def _score_dense(self, present: list[str], limit: int, n_slots: int, exclude=None):
         # reused per-reader accumulators (fresh allocations pay hypervisor
         # first-touch cost on this sandbox; real clusters also benefit)
         if self._score_buf is None or len(self._score_buf) != n_slots:
@@ -328,8 +332,9 @@ class IndexReader:
             scores[docs_t] += scores_t  # docs unique per term: plain fancy-index add
             matched[docs_t] = True
         cand = np.nonzero(matched)[0]
-        top = bm25.topk_indices(scores[cand], cand, limit)
-        out_docs, out_scores = cand[top].astype(np.int64), scores[cand[top]].copy()
+        sel = cand if exclude is None else self._drop_excluded(cand, exclude)
+        top = bm25.topk_indices(scores[sel], sel, limit)
+        out_docs, out_scores = sel[top].astype(np.int64), scores[sel[top]].copy()
         # reset only what we touched (memset-full when dense)
         if len(cand) > n_slots // 4:
             scores[:] = 0.0
@@ -339,7 +344,7 @@ class IndexReader:
             matched[cand] = False
         return out_docs, out_scores
 
-    def _score_dense_chunked(self, present: list[str], limit: int, n_slots: int):
+    def _score_dense_chunked(self, present: list[str], limit: int, n_slots: int, exclude=None):
         """Memory-bounded exact TAAT: doc-id space is processed in
         ``dense_chunk_docs``-slot chunks; each chunk accumulates with the
         SAME per-term sequential structure as ``_score_dense`` (so per-doc
@@ -364,9 +369,15 @@ class IndexReader:
                     matched[rel] = True
             cand = np.nonzero(matched[: c1 - c0])[0]
             if len(cand):
-                top = bm25.topk_indices(scores[cand], cand + c0, limit)
-                win_docs.append((cand[top] + c0).astype(np.int64))
-                win_scores.append(scores[cand[top]].copy())
+                sel = (
+                    cand
+                    if exclude is None
+                    else self._drop_excluded(cand + c0, exclude) - c0
+                )
+                if len(sel):
+                    top = bm25.topk_indices(scores[sel], sel + c0, limit)
+                    win_docs.append((sel[top] + c0).astype(np.int64))
+                    win_scores.append(scores[sel[top]].copy())
                 scores[cand] = 0.0
                 matched[cand] = False
         if not win_docs:
@@ -405,6 +416,76 @@ class IndexReader:
             final += self.term_scores_for_docs(t, cand)
         top = bm25.topk_indices(final, cand, limit)
         return cand[top], final[top]
+
+    def expand_prefix(self, prefix: str, max_terms: int | None = None) -> list[str]:
+        """Wildcard expansion ``prefix*`` over the sorted dictionary: one
+        searchsorted range, no scan. ``max_terms`` caps runaway expansions
+        (None = unbounded, the SQL-twin-exact form)."""
+        if not prefix:
+            return []
+        lo = int(np.searchsorted(self._terms_sorted, prefix))
+        # upper bound: prefix + max code point (a term containing a literal
+        # U+10FFFF right after the prefix would be missed — not a real input)
+        hi = int(np.searchsorted(self._terms_sorted, prefix + chr(0x10FFFF)))
+        out = self._terms_sorted[lo:hi].tolist()
+        if max_terms is not None and len(out) > max_terms:
+            raise ValueError(
+                f"prefix {prefix!r} expands to {len(out)} terms (> {max_terms})"
+            )
+        return out
+
+    def score_query_prefix(self, prefix: str, limit: int) -> tuple[np.ndarray, np.ndarray]:
+        """BM25 top-k for a ``prefix*`` query: OR over every dictionary term
+        with that prefix, each with its own df/idf — exact dense scoring
+        with the same canonical accumulation order as ``score_query``."""
+        present = self.expand_prefix(prefix)
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        n_slots = self._max_doc_id + 1
+        if n_slots <= self.dense_chunk_docs:
+            return self._score_dense(present, limit, n_slots)
+        return self._score_dense_chunked(present, limit, n_slots)
+
+    def excluded_docs(self, text: str) -> np.ndarray:
+        """Union of doc ids containing ANY token of ``text`` (the NOT side
+        of boolean retrieval), sorted ascending."""
+        terms = sorted(set(tokenize(text or "")))
+        parts = []
+        for t in terms:
+            if t in self._term_blocks:
+                parts.append(self.term_docs_scores(t)[0])
+        if not parts:
+            return np.array([], dtype=np.int64)
+        return np.unique(np.concatenate(parts))
+
+    def score_query_not(
+        self, text: str, exclude_text: str, limit: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Boolean NOT: exact OR-semantics BM25 top-k over docs that match
+        ``text`` but contain NO token of ``exclude_text``. Scores of the
+        survivors are bit-identical to ``score_query``'s — the exclusion is
+        a candidate filter applied BEFORE top-k selection (an excluded doc
+        never consumes a result slot, and a hot excluded term never inflates
+        the sort: the filter is a searchsorted pass, not an over-ask)."""
+        excl = self.excluded_docs(exclude_text)
+        if len(excl) == 0:
+            return self.score_query(text, limit)
+        terms = sorted(set(tokenize(text or "")))
+        present = [t for t in terms if t in self._term_blocks]
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        n_slots = self._max_doc_id + 1
+        if n_slots <= self.dense_chunk_docs:
+            return self._score_dense(present, limit, n_slots, exclude=excl)
+        return self._score_dense_chunked(present, limit, n_slots, exclude=excl)
+
+    @staticmethod
+    def _drop_excluded(cand: np.ndarray, exclude: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(exclude, cand)
+        hit = (pos < len(exclude)) & (
+            exclude[np.minimum(pos, len(exclude) - 1)] == cand
+        )
+        return cand[~hit]
 
     def term_upper_bound(self, term: str) -> float:
         """idf(term) * max block max_tf_norm — the WAND/MaxScore term bound,
@@ -506,12 +587,16 @@ class QueryScorer:
         global_stats: dict | None = None,
         attach_softmax: bool = False,
         conjunctive: bool = False,
+        prefix: bool = False,
     ):
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         self.default_limit = default_limit
         self.pruning = pruning
         # AND semantics: hits must contain every query term (score_query_conjunctive)
         self.conjunctive = conjunctive
+        # prefix mode: query text is a term prefix, expanded over the
+        # dictionary (score_query_prefix)
+        self.prefix = prefix
         # mirror of set_rank writing BOTH scores (helper.py:110-114): the raw
         # BM25 score (cosine analog) plus a per-query softmax over the hits
         self.attach_softmax = attach_softmax
@@ -537,15 +622,30 @@ class QueryScorer:
         )
         if self.conjunctive:
             score_fn = self.reader.score_query_conjunctive
+        elif self.prefix:
+            score_fn = self.reader.score_query_prefix
         else:
             score_fn = (
                 self.reader.score_query_pruned if self.pruning else self.reader.score_query
             )
+        # boolean NOT: per-query `exclude` column (tokens whose docs are
+        # filtered before top-k; empty string = no exclusion)
+        excludes = (
+            batch.column("exclude").to_pylist()
+            if "exclude" in batch.column_names
+            else None
+        )
         cols: dict[str, list] = {n: [] for n in HITS_SCHEMA.names}
         softmax_col: list[float] = []
-        for qid, text, limit in zip(qids, texts, limits):
+        for qi, (qid, text, limit) in enumerate(zip(qids, texts, limits)):
             t0 = _time.perf_counter()
-            doc_ids, scores = score_fn(text, int(limit or self.default_limit))
+            excl = excludes[qi] if excludes is not None else ""
+            if excl:
+                doc_ids, scores = self.reader.score_query_not(
+                    text, excl, int(limit or self.default_limit)
+                )
+            else:
+                doc_ids, scores = score_fn(text, int(limit or self.default_limit))
             self._prof["score_s"] += _time.perf_counter() - t0
             self._prof["n_queries"] += 1
             if len(doc_ids) == 0:

@@ -369,3 +369,49 @@ def test_compacted_positions_stay_purged(phrase_index, tmp_path):
     }
     want = {k: v for k, v in full.items() if k[0] != victim}
     assert got == want
+
+
+def test_negated_query_matches_filtered_exact(phrase_index):
+    """score_query_not == score_query minus docs containing any excluded
+    token, survivor scores bit-identical; exclusion never consumes a slot."""
+    from clip_as_service_ray.stages.query import IndexReader
+
+    rows, idx, cfg = phrase_index
+    reader = IndexReader(idx)
+    for text, excl in [("alpha beta", "gamma"), ("delta", "delta"),
+                       ("echo fox", "zeta"), ("hotel india", "alpha beta")]:
+        docs_all, scores_all = reader.score_query(text, 10_000)
+        excl_docs = set()
+        for conv_id, ti, _, txt in rows:
+            toks = set(tokenize(txt))
+            if any(t in toks for t in tokenize(excl)):
+                d = reader._bases[
+                    np.searchsorted(
+                        np.asarray(reader._conv_ids, dtype=object), conv_id
+                    )
+                ] + ti
+                excl_docs.add(int(d))
+        want = [(int(d), float(s)) for d, s in zip(docs_all, scores_all)
+                if int(d) not in excl_docs]
+        docs_n, scores_n = reader.score_query_not(text, excl, 10_000)
+        assert [(int(d), float(s)) for d, s in zip(docs_n, scores_n)] == want, (text, excl)
+    # limit-k: excluded docs must not consume slots
+    d5, _ = reader.score_query_not("alpha beta", "gamma", 5)
+    assert len(d5) == min(5, len(reader.score_query_not("alpha beta", "gamma", 10_000)[0]))
+
+
+def test_prefix_query_equals_expanded_or(phrase_index):
+    """prefix expansion == explicit OR over the expanded terms (bit-identical
+    scores: the expanded list is sorted, the canonical accumulation order)."""
+    from clip_as_service_ray.stages.query import IndexReader
+
+    rows, idx, cfg = phrase_index
+    reader = IndexReader(idx)
+    assert reader.expand_prefix("al") == ["alpha"]
+    assert reader.expand_prefix("g") == ["gamma", "golf"]
+    assert reader.expand_prefix("zz") == []
+    dp, sp = reader.score_query_prefix("g", 10_000)
+    do, so = reader.score_query("gamma golf", 10_000)
+    assert np.array_equal(dp, do) and np.array_equal(sp, so)
+    dp2, _ = reader.score_query_prefix("zz", 10)
+    assert len(dp2) == 0
