@@ -3533,3 +3533,28 @@ def bm25_topk_prefix(sf_dir: str, prefix: str = "s", limit: int = 10):
     return pa.table(
         {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
     )
+
+
+def bm25_topk_fuzzy(sf_dir: str, text: str = "srt", max_dist: int = 2, limit: int = 10):
+    """Fuzzy query (Lucene FuzzyQuery analog): each token expands to its
+    edit-distance-<=2 vocabulary neighborhood ('srt' -> {part, sort} here),
+    the union scored with per-term idf."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([text]),
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    hits = search_table(index_dir, queries, cfg, fuzzy=max_dist)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )

@@ -23,6 +23,7 @@ def search(
     *,
     conjunctive: bool = False,
     prefix: bool = False,
+    fuzzy: int = 0,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -40,6 +41,7 @@ def search(
             "pruning": config.query_pruning,
             "conjunctive": conjunctive,
             "prefix": prefix,
+            "fuzzy": fuzzy,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -54,10 +56,14 @@ def search_table(
     *,
     conjunctive: bool = False,
     prefix: bool = False,
+    fuzzy: int = 0,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
-    ds = search(index_dir, queries, config, conjunctive=conjunctive, prefix=prefix)
+    ds = search(
+        index_dir, queries, config,
+        conjunctive=conjunctive, prefix=prefix, fuzzy=fuzzy,
+    )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:
         from clip_as_service_ray.pipelines.oracle import HITS_SCHEMA

@@ -446,6 +446,40 @@ class IndexReader:
             return self._score_dense(present, limit, n_slots)
         return self._score_dense_chunked(present, limit, n_slots)
 
+    def expand_fuzzy(self, term: str, max_dist: int = 2) -> list[str]:
+        """Fuzzy expansion: every vocabulary term within ``max_dist`` edits
+        (Lucene fuzzy-query analog). Length pruning before the capped-DP
+        verify; the sandbox vocabulary scans in one pass — at 10^8-term
+        vocabularies the scan shards trivially (the dictionary is already a
+        distributed table) or gates behind an n-gram index."""
+        from clip_as_service_ray.stages.dedup import _levenshtein_capped
+
+        lt = len(term)
+        out = []
+        for t in self._terms_sorted:
+            if abs(len(t) - lt) > max_dist:
+                continue
+            if _levenshtein_capped(term, t, max_dist) <= max_dist:
+                out.append(t)
+        return out
+
+    def score_query_fuzzy(
+        self, text: str, limit: int, max_dist: int = 2
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """BM25 top-k where EACH query token expands to its fuzzy vocabulary
+        neighborhood; the union of expansions scores with per-term idf in
+        the canonical sorted order."""
+        present: set[str] = set()
+        for tok in set(tokenize(text or "")):
+            present.update(self.expand_fuzzy(tok, max_dist))
+        terms = sorted(present)
+        if not terms:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        n_slots = self._max_doc_id + 1
+        if n_slots <= self.dense_chunk_docs:
+            return self._score_dense(terms, limit, n_slots)
+        return self._score_dense_chunked(terms, limit, n_slots)
+
     def excluded_docs(self, text: str) -> np.ndarray:
         """Union of doc ids containing ANY token of ``text`` (the NOT side
         of boolean retrieval), sorted ascending."""
@@ -588,6 +622,7 @@ class QueryScorer:
         attach_softmax: bool = False,
         conjunctive: bool = False,
         prefix: bool = False,
+        fuzzy: int = 0,
     ):
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         self.default_limit = default_limit
@@ -597,6 +632,8 @@ class QueryScorer:
         # prefix mode: query text is a term prefix, expanded over the
         # dictionary (score_query_prefix)
         self.prefix = prefix
+        # fuzzy > 0: each token expands to its edit-distance neighborhood
+        self.fuzzy = int(fuzzy)
         # mirror of set_rank writing BOTH scores (helper.py:110-114): the raw
         # BM25 score (cosine analog) plus a per-query softmax over the hits
         self.attach_softmax = attach_softmax
@@ -624,6 +661,9 @@ class QueryScorer:
             score_fn = self.reader.score_query_conjunctive
         elif self.prefix:
             score_fn = self.reader.score_query_prefix
+        elif self.fuzzy:
+            def score_fn(text, limit, _d=self.fuzzy):
+                return self.reader.score_query_fuzzy(text, limit, max_dist=_d)
         else:
             score_fn = (
                 self.reader.score_query_pruned if self.pruning else self.reader.score_query

@@ -415,3 +415,19 @@ def test_prefix_query_equals_expanded_or(phrase_index):
     assert np.array_equal(dp, do) and np.array_equal(sp, so)
     dp2, _ = reader.score_query_prefix("zz", 10)
     assert len(dp2) == 0
+
+
+def test_fuzzy_query_equals_expanded_or(phrase_index):
+    """Fuzzy expansion == explicit OR over the expanded neighborhood,
+    scores bit-identical."""
+    from clip_as_service_ray.stages.query import IndexReader
+
+    rows, idx, cfg = phrase_index
+    reader = IndexReader(idx)
+    # VOCAB neighborhood of 'alfa' at distance 2: alpha (2 edits)
+    exp = reader.expand_fuzzy("alfa", 2)
+    assert "alpha" in exp
+    df, sf = reader.score_query_fuzzy("alfa", 10_000, max_dist=2)
+    do, so = reader.score_query(" ".join(exp), 10_000)
+    assert np.array_equal(df, do) and np.array_equal(sf, so)
+    assert reader.expand_fuzzy("qqqqqqqq", 1) == []
