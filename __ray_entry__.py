@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_negated": ops.bm25_topk_negated,
         "bm25_topk_prefix": ops.bm25_topk_prefix,
         "bm25_topk_fuzzy": ops.bm25_topk_fuzzy,
+        "more_like_this": ops.more_like_this,
         "phrase_search": ops.phrase_search,
         "proximity_search": ops.proximity_search,
         "doc_keywords": ops.doc_keywords,
@@ -205,6 +206,33 @@ def oracle_sql() -> dict[str, str]:
             "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
             "  CROSS JOIN stats s GROUP BY tf.doc_id) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "more_like_this": (
+            # query-by-example for doc 42: its top-3 TF-IDF terms (idf over
+            # per-doc distinct terms, ties by term ASC) -> BM25 OR query,
+            # the query doc itself excluded
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tfall AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "          GROUP BY doc_id, term), "
+            "dfall AS (SELECT term, count(*)::DOUBLE AS df FROM tfall GROUP BY term), "
+            "kw AS (SELECT term FROM ("
+            "  SELECT tfall.term, row_number() OVER ("
+            "    ORDER BY tfall.tf * ln(s.n / dfall.df) DESC, tfall.term ASC) AS rn "
+            "  FROM tfall JOIN dfall USING (term) CROSS JOIN stats s "
+            "  WHERE tfall.doc_id = 42) WHERE rn <= 3), "
+            "tf AS (SELECT doc_id, term, tf FROM tfall "
+            "       WHERE term IN (SELECT term FROM kw)), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "WHERE doc_id != 42 "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
         ),
         "bm25_topk_fuzzy": (  # 'srt' expands to levenshtein<=2 vocabulary terms

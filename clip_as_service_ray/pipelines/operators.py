@@ -3134,7 +3134,14 @@ def doc_perplexity(sf_dir: str):
     smoothed bigram/unigram counts from the corpus itself in ONE combined
     combiner pass (kind-prefixed keys, one small groupby); the count tables
     are broadcast once; pass 2 scores each doc shuffle-free as
-    avg(-ln((c(w1,w2)+1)/(c(w1)+V))) over its adjacent token pairs."""
+    avg(-ln((c(w1,w2)+1)/(c(w1)+V))) over its adjacent token pairs.
+
+    Scale note: the broadcast LM is vocabulary-sized; at web scale the
+    bigram table outgrows one object — the standard fixes are (a) prune to
+    the top-K bigrams (unseen bigrams already take the +1 smoothing path,
+    so pruning only biases rare-bigram mass toward the smoothed estimate)
+    or (b) range-shard the sorted key table like ShardedConvBase and fetch
+    only the shards a batch touches."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -3557,4 +3564,65 @@ def bm25_topk_fuzzy(sf_dir: str, text: str = "srt", max_dist: int = 2, limit: in
     scores = np.round(hits.column("score").to_numpy(), 6)
     return pa.table(
         {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )
+
+
+def more_like_this(sf_dir: str, doc_id: int = 42, m: int = 3, limit: int = 10):
+    """Query-by-example (Lucene MoreLikeThis analog): the query doc's top-m
+    TF-IDF terms (idf from the index dictionary — the same broadcast table
+    the engine serves from) become an OR query; the doc itself is excluded
+    from the hits. Composes keyword extraction with BM25 search end-to-end
+    through the real engine."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from clip_as_service_ray.functions.tokenizer import tokenize
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+    from clip_as_service_ray.state import manifest as mf
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+
+    row = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id") == doc_id,
+        ).take(1)
+    )
+    toks = tokenize(row[0]["text"])
+    terms, tfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    dict_tbl = pq.read_table(os.path.join(index_dir, "dictionary"))
+    dterms = dict_tbl.column("term").to_numpy(zero_copy_only=False)
+    ddf = dict_tbl.column("df").to_numpy().astype(np.float64)
+    order = np.argsort(dterms, kind="stable")
+    dterms, ddf = dterms[order], ddf[order]
+    n_docs = float(mf.read_json(os.path.join(index_dir, "stats.json"))["n_docs"])
+    pos = np.searchsorted(dterms, terms)
+    df = ddf[np.minimum(pos, len(dterms) - 1)]
+    tfidf = tfs * np.log(n_docs / df)
+    top = np.lexsort((terms, -tfidf))[:m]
+    kw = sorted(terms[top].tolist())
+
+    queries = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([" ".join(kw)]),
+            "limit": pa.array([limit + 1], pa.int32()),  # self may rank
+        }
+    )
+    hits = search_table(index_dir, queries, cfg)
+    ids = np.asarray(
+        [int(c[4:]) for c in hits.column("conv_id").to_pylist()], dtype=np.int64
+    )
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    keep = ids != doc_id
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[keep][:limit], pa.int64()),
+            "score": pa.array(scores[keep][:limit], pa.float64()),
+        }
     )

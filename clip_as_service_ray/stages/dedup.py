@@ -431,7 +431,14 @@ def edit_distance_pairs(ds, *, max_dist: int = 20) -> "object":
     differ by at most 1, so each doc replicates into its own band and the
     next — candidates co-locate in ONE groupby, never all-pairs), then
     exact banded-Levenshtein verify inside each band group. Returns a lazy
-    Dataset of (doc_a < doc_b, dist)."""
+    Dataset of (doc_a < doc_b, dist).
+
+    Scale note: a length band is O(corpus at that length) and the verify is
+    O(band^2) DPs — right for the bounded/fuzzy-matching use (short keys,
+    titles, near-identical record linkage). For corpus-scale near-dup the
+    MinHash-LSH route above is the primary; composing it as a prefilter
+    INSIDE each band (bucket on shingles before the DP) bounds the
+    quadratic term when a length band is hot."""
     width = max_dist + 1
 
     def to_bands(batch: pa.Table) -> pa.Table:
