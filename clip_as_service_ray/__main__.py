@@ -29,9 +29,29 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("search", help="run a query batch against an index")
     s.add_argument("--index-dir", required=True)
-    s.add_argument("--queries", required=True, help="parquet with query_id,text[,limit]")
+    s.add_argument(
+        "--queries", required=True,
+        help="parquet with query_id,text[,limit,exclude]",
+    )
     s.add_argument("--out", default=None, help="write hits parquet here (else print)")
     s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--conjunctive", action="store_true", help="AND semantics")
+    s.add_argument("--prefix", action="store_true", help="wildcard prefix queries")
+    s.add_argument("--fuzzy", type=int, default=0, help="edit-distance expansion")
+
+    bp = sub.add_parser(
+        "build-positions",
+        help="add the positional artifact to a built index (phrase queries)",
+    )
+    bp.add_argument("--input", required=True, help="the index's source parquet")
+    bp.add_argument("--index-dir", required=True)
+
+    ph = sub.add_parser("phrase", help="exact phrase / proximity query batch")
+    ph.add_argument("--index-dir", required=True)
+    ph.add_argument("--queries", required=True, help="parquet with query_id,text[,limit]")
+    ph.add_argument("--out", default=None)
+    ph.add_argument("--window", type=int, default=0,
+                    help="0 = exact phrase; >0 = two-term proximity window")
 
     v = sub.add_parser("serve", help="serve an index over HTTP (/search, /health, /profile)")
     v.add_argument("--index-dir", required=True)
@@ -86,7 +106,32 @@ def main(argv=None) -> int:
             from clip_as_service_ray.pipelines.search import search_table
 
             queries = pq.read_table(args.queries)
-            hits = search_table(args.index_dir, queries, EngineConfig(limit=args.limit))
+            hits = search_table(
+                args.index_dir, queries, EngineConfig(limit=args.limit),
+                conjunctive=args.conjunctive, prefix=args.prefix,
+                fuzzy=args.fuzzy,
+            )
+            if args.out:
+                pq.write_table(hits, args.out)
+                print(json.dumps({"hits": hits.num_rows, "out": args.out}))
+            else:
+                print(hits.to_pandas().to_string(index=False))
+        elif args.cmd == "build-positions":
+            from clip_as_service_ray.pipelines.phrase import build_positions
+
+            print(json.dumps(
+                build_positions(args.input, args.index_dir, EngineConfig()),
+                default=str,
+            ))
+        elif args.cmd == "phrase":
+            import pyarrow.parquet as pq
+
+            from clip_as_service_ray.pipelines.phrase import phrase_search_table
+
+            queries = pq.read_table(args.queries)
+            hits = phrase_search_table(
+                args.index_dir, queries, EngineConfig(), window=args.window
+            )
             if args.out:
                 pq.write_table(hits, args.out)
                 print(json.dumps({"hits": hits.num_rows, "out": args.out}))
