@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_prefix": ops.bm25_topk_prefix,
         "bm25_topk_fuzzy": ops.bm25_topk_fuzzy,
         "more_like_this": ops.more_like_this,
+        "event_value_histogram": ops.event_value_histogram,
         "phrase_search": ops.phrase_search,
         "proximity_search": ops.proximity_search,
         "doc_keywords": ops.doc_keywords,
@@ -207,6 +208,10 @@ def oracle_sql() -> dict[str, str]:
             "  CROSS JOIN stats s GROUP BY tf.doc_id) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "event_value_histogram": (
+            "SELECT floor(value / 10.0)::BIGINT AS bin, count(*)::BIGINT AS n "
+            "FROM events GROUP BY bin"
         ),
         "more_like_this": (
             # query-by-example for doc 42: its top-3 TF-IDF terms (idf over

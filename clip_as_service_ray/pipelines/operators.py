@@ -3626,3 +3626,34 @@ def more_like_this(sf_dir: str, doc_id: int = 42, m: int = 3, limit: int = 10):
             "score": pa.array(scores[keep][:limit], pa.float64()),
         }
     )
+
+
+def event_value_histogram(sf_dir: str, width: float = 10.0):
+    """Fixed-width histogram over `events.value` (the distribution-profiling
+    companion of profile_lineitem): per-batch bincount partials — each batch
+    ships O(bins) rows — folded by one tiny groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy().astype(np.float64)
+        bins = np.floor(v / width).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(u, pa.int64()),
+             "n_part": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    agg = (
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin", num_partitions=4)
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "bin": pc.cast(tbl.column("bin"), pa.int64()),
+            "n": pc.cast(tbl.column("n"), pa.int64()),
+        }
+    )
