@@ -301,3 +301,5 @@ class SegmentedSearchHTTPServer:
         self._thread.join(timeout=5)
         if self._svc is not None:
             self._svc.shutdown()
+        if self._phrase_svc is not None:
+            self._phrase_svc.shutdown()

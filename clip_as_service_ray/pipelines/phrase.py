@@ -269,8 +269,9 @@ class SegmentedPhraseService:
     and conversations are disjoint across segments, so the merge is a plain
     union + re-rank: results are identical to a monolithic positional index
     over the concatenated corpus. Tombstoned conversations are filtered at
-    merge time; each segment is over-asked by the tombstone count so
-    limit-k survives the filter."""
+    merge time; each segment is over-asked by the tombstoned DOC (turn)
+    count — one deleted conversation can occupy one hit slot per turn — so
+    limit-k survives the filter (round-2 ADVICE, medium)."""
 
     def __init__(
         self,
@@ -287,12 +288,17 @@ class SegmentedPhraseService:
             segment_dirs,
         )
 
+        from clip_as_service_ray.pipelines.sharded import count_tombstoned_docs
+
         self.config = config
         self.tombstones = load_tombstones(index_root)
         dirs = [
             d for d in segment_dirs(index_root)
             if os.path.isdir(os.path.join(d, POSITIONS))
         ]
+        self.n_tombstoned_docs = (
+            count_tombstoned_docs(dirs, self.tombstones) if self.tombstones else 0
+        )
         if not dirs:
             raise FileNotFoundError(
                 f"no segments with a positions artifact under {index_root}: "
@@ -321,10 +327,10 @@ class SegmentedPhraseService:
         over = queries.set_column(
             queries.column_names.index("limit"),
             "limit",
-            pa.array(limits + len(self.tombstones), pa.int32()),
+            pa.array(limits + self.n_tombstoned_docs, pa.int32()),
         ) if "limit" in queries.column_names else queries.append_column(
             "limit",
-            pa.array(limits + len(self.tombstones), pa.int32()),
+            pa.array(limits + self.n_tombstoned_docs, pa.int32()),
         )
         parts = ray.get([r.__call__.remote(over) for r in self.replicas])
         merged = pa.concat_tables(parts)

@@ -40,6 +40,28 @@ from clip_as_service_ray.pipelines.oracle import HITS_SCHEMA
 from clip_as_service_ray.state import manifest as mf
 
 
+def count_tombstoned_docs(index_dirs: list[str], tombstones: frozenset[str]) -> int:
+    """Total DOC (turn) count of the tombstoned conversations across index
+    dirs: sum of (max_turn + 1) from each dir's convmap. This is the correct
+    over-ask amount for limit-k under query-time tombstone filtering — a
+    single deleted conversation can occupy one hit slot PER TURN. Cost is one
+    column-pruned convmap read per dir at service construction (convs are
+    disjoint across segments, so the sum is exact, not an upper bound)."""
+    if not tombstones:
+        return 0
+    total = 0
+    for d in index_dirs:
+        t = pq.read_table(
+            os.path.join(d, "convmap.parquet"), columns=["conv_id", "max_turn"]
+        )
+        convs = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+        dead = np.isin(convs, np.asarray(sorted(tombstones), dtype=object))
+        if dead.any():
+            ext = t.column("max_turn").to_numpy().astype(np.int64) + 1
+            total += int(ext[dead].sum())
+    return total
+
+
 def write_union_stats(index_root: str, shard_dirs: list[str]) -> dict:
     """Union corpus stats + union df dictionary across independent index
     dirs (shards or segments): per-dir n_docs/sum_dl summed, per-term df
@@ -118,9 +140,16 @@ class ScatterQueryService:
 
         self.config = config
         # deleted conv_ids filtered at query time (segment tombstones);
-        # shards are over-asked by len(tombstones) so limit-k survives the
-        # filter even if every deleted doc out-ranked the survivors
+        # shards are over-asked by the number of tombstoned DOCS (turns) so
+        # limit-k survives the filter even if every deleted doc out-ranked
+        # the survivors. Counting conversations is NOT enough: one tombstoned
+        # 12-turn conversation can occupy 12 hit slots (round-2 ADVICE, high).
         self.tombstones = frozenset(tombstones)
+        self.n_tombstoned_docs = (
+            count_tombstoned_docs(index_dirs, self.tombstones)
+            if self.tombstones
+            else 0
+        )
         self.n_shards = len(index_dirs)
         worker = ray.remote(num_cpus=1)(QueryScorer)
         self.replicas = [
@@ -146,7 +175,7 @@ class ScatterQueryService:
         )
         scatter_q = queries
         if self.tombstones:
-            extra = len(self.tombstones)
+            extra = self.n_tombstoned_docs
             raised = [
                 int(limits.get(q, self.config.limit)) + extra
                 for q in queries.column("query_id").to_pylist()

@@ -387,7 +387,9 @@ class IndexReader:
         top = bm25.topk_indices(s, d, limit)
         return d[top], s[top]
 
-    def score_query_conjunctive(self, text: str, limit: int) -> tuple[np.ndarray, np.ndarray]:
+    def score_query_conjunctive(
+        self, text: str, limit: int, exclude_text: str = ""
+    ) -> tuple[np.ndarray, np.ndarray]:
         """Boolean-AND retrieval: top-k over docs containing EVERY query term,
         scored with the same BM25 sum (idf from the full corpus) and the same
         canonical accumulation order as ``score_query`` — so scores of the
@@ -397,13 +399,20 @@ class IndexReader:
         other term filters the candidate list via ``term_scores_for_docs``
         (selective block decode — score > 0 iff the term matches, since BM25
         term scores are strictly positive on a match). Candidates shrink
-        monotonically, df-ascending order shrinks them fastest."""
+        monotonically, df-ascending order shrinks them fastest.
+
+        ``exclude_text``: boolean NOT — docs containing ANY excluded token
+        are dropped from the candidate set before scoring (AND-NOT)."""
         terms = sorted(set(tokenize(text or "")))
         empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
         if not terms or any(t not in self._term_blocks for t in terms):
             return empty
         order = np.argsort([self._term_df(t) for t in terms], kind="stable")
         cand = self.term_docs_scores(terms[int(order[0])])[0]
+        if exclude_text:
+            excl = self.excluded_docs(exclude_text)
+            if len(excl):
+                cand = self._drop_excluded(cand, excl)
         for i in order[1:]:
             if len(cand) == 0:
                 return empty
@@ -434,17 +443,22 @@ class IndexReader:
             )
         return out
 
-    def score_query_prefix(self, prefix: str, limit: int) -> tuple[np.ndarray, np.ndarray]:
+    def score_query_prefix(
+        self, prefix: str, limit: int, exclude_text: str = ""
+    ) -> tuple[np.ndarray, np.ndarray]:
         """BM25 top-k for a ``prefix*`` query: OR over every dictionary term
         with that prefix, each with its own df/idf — exact dense scoring
-        with the same canonical accumulation order as ``score_query``."""
+        with the same canonical accumulation order as ``score_query``.
+        ``exclude_text`` filters NOT-docs before top-k (prefix-NOT)."""
         present = self.expand_prefix(prefix)
         if not present:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
         n_slots = self._max_doc_id + 1
         if n_slots <= self.dense_chunk_docs:
-            return self._score_dense(present, limit, n_slots)
-        return self._score_dense_chunked(present, limit, n_slots)
+            return self._score_dense(present, limit, n_slots, exclude=excl)
+        return self._score_dense_chunked(present, limit, n_slots, exclude=excl)
 
     def expand_fuzzy(self, term: str, max_dist: int = 2) -> list[str]:
         """Fuzzy expansion: every vocabulary term within ``max_dist`` edits
@@ -464,21 +478,24 @@ class IndexReader:
         return out
 
     def score_query_fuzzy(
-        self, text: str, limit: int, max_dist: int = 2
+        self, text: str, limit: int, max_dist: int = 2, exclude_text: str = ""
     ) -> tuple[np.ndarray, np.ndarray]:
         """BM25 top-k where EACH query token expands to its fuzzy vocabulary
         neighborhood; the union of expansions scores with per-term idf in
-        the canonical sorted order."""
+        the canonical sorted order. ``exclude_text`` filters NOT-docs before
+        top-k (fuzzy-NOT; the exclusion side is NOT fuzzy-expanded)."""
         present: set[str] = set()
         for tok in set(tokenize(text or "")):
             present.update(self.expand_fuzzy(tok, max_dist))
         terms = sorted(present)
         if not terms:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
         n_slots = self._max_doc_id + 1
         if n_slots <= self.dense_chunk_docs:
-            return self._score_dense(terms, limit, n_slots)
-        return self._score_dense_chunked(terms, limit, n_slots)
+            return self._score_dense(terms, limit, n_slots, exclude=excl)
+        return self._score_dense_chunked(terms, limit, n_slots, exclude=excl)
 
     def excluded_docs(self, text: str) -> np.ndarray:
         """Union of doc ids containing ANY token of ``text`` (the NOT side
@@ -657,17 +674,25 @@ class QueryScorer:
             if "limit" in batch.column_names
             else [self.default_limit] * len(qids)
         )
+        # score_fn(text, limit, exclude_text) — a non-empty per-query
+        # `exclude` COMPOSES with the active mode (AND-NOT / prefix-NOT /
+        # fuzzy-NOT / OR-NOT) instead of silently forcing OR semantics
+        # (round-2 ADVICE, low): every mode threads the exclusion filter
+        # through its own scoring path.
         if self.conjunctive:
             score_fn = self.reader.score_query_conjunctive
         elif self.prefix:
             score_fn = self.reader.score_query_prefix
         elif self.fuzzy:
-            def score_fn(text, limit, _d=self.fuzzy):
-                return self.reader.score_query_fuzzy(text, limit, max_dist=_d)
+            def score_fn(text, limit, exclude_text="", _d=self.fuzzy):
+                return self.reader.score_query_fuzzy(
+                    text, limit, max_dist=_d, exclude_text=exclude_text
+                )
         else:
-            score_fn = (
-                self.reader.score_query_pruned if self.pruning else self.reader.score_query
-            )
+            def score_fn(text, limit, exclude_text="", _r=self.reader, _p=self.pruning):
+                if exclude_text:
+                    return _r.score_query_not(text, exclude_text, limit)
+                return (_r.score_query_pruned if _p else _r.score_query)(text, limit)
         # boolean NOT: per-query `exclude` column (tokens whose docs are
         # filtered before top-k; empty string = no exclusion)
         excludes = (
@@ -680,12 +705,9 @@ class QueryScorer:
         for qi, (qid, text, limit) in enumerate(zip(qids, texts, limits)):
             t0 = _time.perf_counter()
             excl = excludes[qi] if excludes is not None else ""
-            if excl:
-                doc_ids, scores = self.reader.score_query_not(
-                    text, excl, int(limit or self.default_limit)
-                )
-            else:
-                doc_ids, scores = score_fn(text, int(limit or self.default_limit))
+            doc_ids, scores = score_fn(
+                text, int(limit or self.default_limit), exclude_text=excl or ""
+            )
             self._prof["score_s"] += _time.perf_counter() - t0
             self._prof["n_queries"] += 1
             if len(doc_ids) == 0:

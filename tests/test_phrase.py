@@ -234,6 +234,59 @@ def test_conjunctive_matches_exact_filtered(phrase_index):
             assert pos[int(d)] == float(s), (text, d)
 
 
+def test_exclude_composes_with_modes(phrase_index):
+    """Round-2 ADVICE (low): a per-query `exclude` must COMPOSE with the
+    scorer mode (AND-NOT / prefix-NOT / fuzzy-NOT), not silently fall back to
+    OR-NOT. Checked reader-level and through the QueryScorer UDF."""
+    from clip_as_service_ray.stages.query import IndexReader, QueryScorer
+
+    rows, idx, cfg = phrase_index
+    reader = IndexReader(idx)
+    text, excl = "alpha beta", "gamma"
+    terms = sorted(set(tokenize(text)))
+
+    def brute(pred):
+        out = set()
+        for conv_id, ti, _, txt in rows:
+            toks = set(tokenize(txt))
+            if pred(toks) and excl not in toks:
+                out.add((conv_id, ti))
+        return out
+
+    # AND-NOT: every term present, excluded term absent
+    docs, scores = reader.score_query_conjunctive(text, 10_000, exclude_text=excl)
+    conv, turn = reader.invert_doc_ids(docs) if len(docs) else ([], [])
+    got = set(zip(list(conv), [int(x) for x in turn]))
+    assert got == brute(lambda toks: all(t in toks for t in terms))
+    # scores of survivors bit-identical to the plain AND path
+    d0, s0 = reader.score_query_conjunctive(text, 10_000)
+    pos = {int(d): float(s) for d, s in zip(d0, s0)}
+    assert all(pos[int(d)] == float(s) for d, s in zip(docs, scores))
+
+    # prefix-NOT: any 'alp*' term present, excluded term absent
+    docs_p, _ = reader.score_query_prefix("alp", 10_000, exclude_text=excl)
+    conv, turn = reader.invert_doc_ids(docs_p) if len(docs_p) else ([], [])
+    got_p = set(zip(list(conv), [int(x) for x in turn]))
+    assert got_p == brute(lambda toks: any(t.startswith("alp") for t in toks))
+
+    # through the actor UDF: conjunctive scorer + exclude column == AND-NOT
+    scorer = QueryScorer(idx, conjunctive=True)
+    batch = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": [text],
+            "limit": pa.array([10_000], pa.int32()),
+            "exclude": [excl],
+        }
+    )
+    hits = scorer(batch)
+    got_u = {
+        (hits.column("conv_id")[i].as_py(), hits.column("turn_idx")[i].as_py())
+        for i in range(hits.num_rows)
+    }
+    assert got_u == brute(lambda toks: all(t in toks for t in terms))
+
+
 def test_proximity_matches_bruteforce(phrase_index):
     from clip_as_service_ray.pipelines.phrase import phrase_search_table
 

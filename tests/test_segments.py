@@ -145,6 +145,55 @@ def test_tombstone_delete(corpus_halves, tmp_path):
         merge_segments(root, str(tmp_path / "m"), CFG)
 
 
+def test_tombstone_overask_counts_docs_not_convs(ray_session, tmp_path):
+    """Round-2 ADVICE (high): over-asking by the tombstoned CONVERSATION
+    count is wrong — one deleted multi-turn conversation can occupy many hit
+    slots. One tombstoned 12-turn conv that out-ranks everything + limit=5
+    must still return 5 live hits (8 live matching docs exist)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from clip_as_service_ray.pipelines.segments import delete_convs
+
+    # hot conv: 12 turns, each repeating the query term many times (top BM25
+    # tf) — out-ranks every live doc. 8 live single-turn convs also match.
+    rows = []
+    for t in range(12):
+        rows.append(("convhot", t, "user", "zebraword " * (6 + t), "", 0))
+    for i in range(8):
+        rows.append((f"convlive{i:02d}", 0, "user", "zebraword plain filler", "", 0))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    corpus = pa.table(
+        {
+            "conv_id": pa.array(df.conv_id, pa.string()),
+            "turn_idx": pa.array(df.turn_idx, pa.int32()),
+            "role": pa.array(df.role, pa.string()),
+            "text": pa.array(df.text, pa.string()),
+            "tool": pa.array(df.tool, pa.string()),
+            "ts": pa.array(df.ts.astype("int64"), pa.timestamp("us")),
+        }
+    )
+    root = str(tmp_path / "overask")
+    add_segment(root, corpus, CFG)
+    delete_convs(root, ["convhot"])
+
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array(["zebraword"], pa.string()),
+            "limit": pa.array([5], pa.int32()),
+        }
+    )
+    svc = SegmentedQueryService(root, CFG)
+    try:
+        assert svc.n_tombstoned_docs == 12  # docs, not 1 conversation
+        hits = svc.search(q).to_pandas()
+    finally:
+        svc.shutdown()
+    assert len(hits) == 5, f"limit-k must survive the tombstone filter, got {len(hits)}"
+    assert "convhot" not in set(hits.conv_id)
+
+
 def test_compact_segments_equals_rebuild_over_survivors(corpus_halves, tmp_path):
     """Physical purge: delete convs from BOTH segments, compact, and the
     root must behave exactly like a segmented build over the survivors —
