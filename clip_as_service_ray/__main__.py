@@ -26,6 +26,11 @@ def main(argv=None) -> int:
     b.add_argument("--overwrite", action="store_true")
     b.add_argument("--num-partitions", type=int, default=None)
     b.add_argument("--roles", default=None, help="comma-separated roles to index")
+    b.add_argument(
+        "--positions", action="store_true",
+        help="also build the positional artifact from the same single "
+        "tokenize pass (enables phrase/proximity queries)",
+    )
 
     s = sub.add_parser("search", help="run a query batch against an index")
     s.add_argument("--index-dir", required=True)
@@ -97,7 +102,7 @@ def main(argv=None) -> int:
                 kwargs["index_roles"] = tuple(args.roles.split(","))
             report = build_index(
                 args.input, args.index_dir, EngineConfig(**kwargs),
-                overwrite=args.overwrite,
+                overwrite=args.overwrite, positions=args.positions,
             )
             print(json.dumps(report, default=str))
         elif args.cmd == "search":

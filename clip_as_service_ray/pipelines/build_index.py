@@ -234,12 +234,26 @@ def _write_convmap_shard(tbl: pa.Table, path: str) -> None:
 
 
 def _write_empty_index(
-    index_dir: str, config: EngineConfig, timings: dict, t0: float
+    index_dir: str, config: EngineConfig, timings: dict, t0: float,
+    positions: bool = False,
 ) -> dict:
     """Empty-corpus short circuit (M9 contract: empty in -> empty out):
     write explicit empty artifacts so the query side loads cleanly."""
     from clip_as_service_ray.state.postings import BLOCK_SCHEMA
 
+    if positions:
+        from clip_as_service_ray.state.positions import POS_BLOCK_SCHEMA
+
+        pos0 = os.path.join(index_dir, "positions", "part=0")
+        os.makedirs(pos0, exist_ok=True)
+        pq.write_table(
+            POS_BLOCK_SCHEMA.empty_table(), os.path.join(pos0, "blocks.parquet")
+        )
+        mf.mark_stage_done(pos0, {"stage": "positions_part", "postings": 0})
+        mf.mark_stage_done(
+            os.path.join(index_dir, "positions"),
+            {"stage": "positions", "postings": 0, "blocks": 0, "bytes": 0},
+        )
     postings_dir = os.path.join(index_dir, POSTINGS)
     part0 = os.path.join(postings_dir, "part=0")
     os.makedirs(part0, exist_ok=True)
@@ -280,15 +294,38 @@ def _write_empty_index(
     return payload
 
 
+def _partials_fused(partials_dir: str) -> bool:
+    """True when the partials on disk carry the positions lane (written by
+    TokenizeEmitFused): any one file's schema decides (batch-uniform)."""
+    for p in range(64):
+        d = os.path.join(partials_dir, f"part={p}")
+        if not os.path.isdir(d):
+            continue
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    names = pq.ParquetFile(os.path.join(root, f)).schema_arrow.names
+                    return "poss" in names
+    return False
+
+
 def build_index(
     source,
     index_dir: str,
     config: EngineConfig = DEFAULT_CONFIG,
     *,
     overwrite: bool = False,
+    positions: bool = False,
 ) -> dict:
     """Build (or resume) the inverted index at ``index_dir``. Returns the
-    final manifest dict. Ray must already be initialised by the caller."""
+    final manifest dict. Ray must already be initialised by the caller.
+
+    ``positions=True`` also builds the positional artifact from the SAME
+    single tokenize pass (TokenizeEmitFused): the fused partials carry the
+    occurrence-position lane alongside the postings lane, and the positions
+    merge reads the same files — one corpus read, one tokenize, two artifact
+    sinks (round-2 VERDICT: the standalone ``build_positions`` re-tokenized
+    the whole corpus in a second pass costing more than the main build)."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
@@ -298,14 +335,31 @@ def build_index(
     _assert_shared_storage(index_dir)
     final_path = os.path.join(index_dir, "manifest.json")
     if overwrite:
-        for sub in (STAGING, PARTIALS, POSTINGS, DICTIONARY):
+        for sub in (STAGING, PARTIALS, POSTINGS, DICTIONARY, "positions", "pos_partials"):
             mf.reset_stage(os.path.join(index_dir, sub))
         for f in ("manifest.json", "stats.json", "convmap.parquet"):
             p = os.path.join(index_dir, f)
             if os.path.exists(p):
                 os.remove(p)
     elif config.resume and os.path.exists(final_path):
-        return mf.read_json(final_path)  # skip-if-valid
+        payload = mf.read_json(final_path)  # skip-if-valid
+        if positions and not mf.stage_done(os.path.join(index_dir, "positions")):
+            # index complete but positions missing: merge them from the fused
+            # partials when available (no re-tokenize), else fall back to the
+            # standalone second-pass build
+            from clip_as_service_ray.pipelines.phrase import (
+                build_positions,
+                merge_positions_grid,
+            )
+
+            partials_dir = os.path.join(index_dir, PARTIALS)
+            if mf.stage_done(partials_dir) and _partials_fused(partials_dir):
+                merge_positions_grid(
+                    partials_dir, index_dir, config, cnt_cols=("tf_w", "tfs")
+                )
+            else:
+                build_positions(source, index_dir, config)
+        return payload
 
     timings: dict[str, float] = {}
     ds = _as_dataset(source, roles=config.index_roles)
@@ -321,7 +375,7 @@ def build_index(
     small_input = _source_bytes(source) < DRIVER_AGG_MAX_BYTES
     if _source_rows(source) == 0:
         # zero input rows (no conversations at all): M9 empty-in/empty-out
-        return _write_empty_index(index_dir, config, timings, t0)
+        return _write_empty_index(index_dir, config, timings, t0, positions=positions)
     prep = None
     if config.resume and os.path.exists(convmap_path):
         prep = _prep_from_extents(
@@ -347,7 +401,7 @@ def build_index(
         # conv-base shards their batches touch
         scb, n_slots = build_sharded_conv_base(_conv_extents_ds(ds))
         if scb is None:
-            return _write_empty_index(index_dir, config, timings, t0)
+            return _write_empty_index(index_dir, config, timings, t0, positions=positions)
         n_buckets = max(1, -(-n_slots // config.doc_bucket_size))
         grp_width = max(1, -(-n_buckets // config.merge_groups_per_part))
         prep = {
@@ -372,24 +426,43 @@ def build_index(
     partials_dir = os.path.join(index_dir, PARTIALS)
     if not (config.resume and mf.stage_done(partials_dir)):
         mf.reset_stage(partials_dir)
-        ds.map_batches(
-            tokenize_batch,
-            fn_kwargs={
-                "conv_base_ref": prep_ref,
-                "lowercase": config.lowercase,
-            },
-            batch_format="pyarrow",
-            batch_size=config.tokenize_batch_size,
-        ).map_batches(
-            EmitPartials(
-                config.num_index_partitions,
-                config.doc_bucket_size,
-                prep_ref,
-                emit_stats=True,
-            ),
-            batch_format="pyarrow",
-            batch_size=config.tokenize_batch_size,
-        ).write_parquet(partials_dir, partition_cols=["part", "bgrp"])
+        if positions:
+            # fused dual-sink pass: the partials carry the positions lane
+            # too (tfs double as occurrence counts; poss is the only extra
+            # shuffle payload) — stats ride along identically
+            from clip_as_service_ray.stages.positions import TokenizeEmitFused
+
+            emitted = ds.map_batches(
+                TokenizeEmitFused(
+                    prep_ref,
+                    config.num_index_partitions,
+                    config.doc_bucket_size,
+                    bucket_grp_width=prep_ref,
+                    lowercase=config.lowercase,
+                ),
+                batch_format="pyarrow",
+                batch_size=config.tokenize_batch_size,
+            )
+        else:
+            emitted = ds.map_batches(
+                tokenize_batch,
+                fn_kwargs={
+                    "conv_base_ref": prep_ref,
+                    "lowercase": config.lowercase,
+                },
+                batch_format="pyarrow",
+                batch_size=config.tokenize_batch_size,
+            ).map_batches(
+                EmitPartials(
+                    config.num_index_partitions,
+                    config.doc_bucket_size,
+                    prep_ref,
+                    emit_stats=True,
+                ),
+                batch_format="pyarrow",
+                batch_size=config.tokenize_batch_size,
+            )
+        emitted.write_parquet(partials_dir, partition_cols=["part", "bgrp"])
         mf.mark_stage_done(
             partials_dir,
             {"stage": "partials", "bytes": mf.dir_bytes(partials_dir), "seconds": time.time() - t},
@@ -450,7 +523,7 @@ def build_index(
 
     if stats["n_docs"] == 0:
         # rows existed but zero indexable turns (all empty/whitespace)
-        return _write_empty_index(index_dir, config, timings, t0)
+        return _write_empty_index(index_dir, config, timings, t0, positions=positions)
 
     # ---- stage 4b: per-partition merge (one Ray task per partition, skew
     # partitions split by doc-bucket range; each partition independently
@@ -574,6 +647,19 @@ def build_index(
         )
     timings["dictionary_s"] = time.time() - t
 
+    # ---- stage 6 (positions=True): positional merge over the SAME fused
+    # partials — no second corpus read/tokenize; per-partition resumable ----
+    if positions:
+        t = time.time()
+        positions_dir = os.path.join(index_dir, "positions")
+        if not (config.resume and mf.stage_done(positions_dir)):
+            from clip_as_service_ray.pipelines.phrase import merge_positions_grid
+
+            merge_positions_grid(
+                partials_dir, index_dir, config, cnt_cols=("tf_w", "tfs")
+            )
+        timings["positions_merge_s"] = time.time() - t
+
     # ---- final manifest with lineage counters ----
     dict_tbl = pq.read_table(dict_dir, columns=["df"])
     n_terms = dict_tbl.num_rows
@@ -593,6 +679,7 @@ def build_index(
             "postings_block_size": config.postings_block_size,
             "doc_bucket_size": config.doc_bucket_size,
         },
+        "positions": bool(positions),
         "timings_s": timings,
         "total_seconds": time.time() - t0,
     }

@@ -105,6 +105,23 @@ def build_positions(
             partials_dir, {"stage": "pos_partials", "bytes": mf.dir_bytes(partials_dir)}
         )
 
+    return merge_positions_grid(partials_dir, index_dir, config)
+
+
+def merge_positions_grid(
+    partials_dir: str,
+    index_dir: str,
+    config: EngineConfig = DEFAULT_CONFIG,
+    *,
+    cnt_cols: tuple[str, str] = ("cnt_w", "cnts"),
+) -> dict:
+    """Reduce side of the positional build: one Ray task per (part, bgrp)
+    grid cell over ``partials_dir`` -> ``index_dir/positions/part=K/``,
+    per-partition resumable. ``cnt_cols``: ("cnt_w", "cnts") for standalone
+    pos_partials; ("tf_w", "tfs") for the FUSED single-pass partials
+    (build_index(..., positions=True)) where tf == occurrence count."""
+    import ray
+
     positions_dir = os.path.join(index_dir, POSITIONS)
     merge_remote = ray.remote(num_cpus=1)(merge_pos_partition)
     futs = []
@@ -131,6 +148,7 @@ def build_positions(
                     [], part_out,
                     block_size=config.postings_block_size,
                     doc_bucket_size=config.doc_bucket_size,
+                    cnt_cols=cnt_cols,
                 )
             )
         for gd in grp_dirs:
@@ -143,6 +161,7 @@ def build_positions(
                     files, part_out, out_suffix=f"_g{grp_tag}",
                     block_size=config.postings_block_size,
                     doc_bucket_size=config.doc_bucket_size,
+                    cnt_cols=cnt_cols,
                 )
             )
         futs.append((part_out, pf))
@@ -174,8 +193,13 @@ class PhraseScorer:
     (query_id:int64, text:string phrase, limit:int32 optional).
     """
 
-    def __init__(self, index_dir: str, default_limit: int = 10, window: int = 0):
+    def __init__(
+        self, index_dir: str, default_limit: int = 10, window: int = 0,
+        warm: bool = False,
+    ):
         self.reader = PositionsReader(index_dir)
+        if warm:  # pre-fault composite-key arrays at pool spawn (T1 pattern)
+            self.reader.warm_keys()
         # window > 0: proximity mode — a two-term query matches docs where
         # the terms co-occur within `window` tokens (any order); phrase_tf
         # becomes the qualifying pair count
@@ -309,8 +333,10 @@ class SegmentedPhraseService:
         # beats reserving a second full pool — a 2x reservation starves the
         # very build tasks that /index needs on a small cluster
         worker = ray.remote(num_cpus=num_cpus)(PhraseScorer)
+        # warm=True: a SERVING pool pays the key build + page faulting once
+        # at spawn, not on the first user queries
         self.replicas = [
-            worker.remote(d, config.limit, window) for d in dirs
+            worker.remote(d, config.limit, window, True) for d in dirs
         ]
         ray.get([r.__ray_ready__.remote() for r in self.replicas])
 

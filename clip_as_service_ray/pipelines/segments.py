@@ -85,11 +85,11 @@ def add_segment(
         else 0
     )
     seg_dir = os.path.join(index_root, "segments", f"seg-{k:04d}")
-    report = build_index(source, seg_dir, config, overwrite=overwrite)
-    if positions:
-        from clip_as_service_ray.pipelines.phrase import build_positions
-
-        build_positions(source, seg_dir, config)
+    # positions=True uses the FUSED single-pass build: postings + positional
+    # artifact from one tokenize (no second corpus read)
+    report = build_index(
+        source, seg_dir, config, overwrite=overwrite, positions=positions
+    )
     dirs = segment_dirs(index_root)
     union = write_union_stats(index_root, dirs)
     payload = {

@@ -57,6 +57,33 @@ POS_PARTIAL_SCHEMA = pa.schema(
     ]
 )
 
+# Fused single-pass wire format (build_index(..., positions=True)): the main
+# PARTIAL_SCHEMA plus the positions lane. The key identity making ONE partial
+# file serve BOTH merges: a run's per-doc occurrence counts ARE its term
+# frequencies, so `tfs` doubles as the positions codec's `cnts` and the only
+# positions-specific additions are (total, pos_w, poss). merge_partition
+# reads its column subset unchanged; merge_pos_partition reads the same
+# files with cnt_cols=("tf_w", "tfs").
+FUSED_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("part", pa.int32()),
+        ("bucket", pa.int64()),
+        ("bgrp", pa.int32()),
+        ("term", pa.string()),
+        ("first_doc", pa.int64()),
+        ("n", pa.int32()),       # postings (docs) in this run
+        ("total", pa.int32()),   # occurrences in this run
+        ("doc_w", pa.int8()),
+        ("tf_w", pa.int8()),
+        ("dl_w", pa.int8()),
+        ("pos_w", pa.int8()),
+        ("docs", pa.binary()),   # doc offsets relative to bucket base
+        ("tfs", pa.binary()),    # per-doc tf == per-doc occurrence count
+        ("dls", pa.binary()),    # per-doc length
+        ("poss", pa.binary()),   # ABSOLUTE in-doc positions (flat, doc-major)
+    ]
+)
+
 _W_DTYPES = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
 
 # in-doc position cap for the composite phrase-match key (doc*2^21 + pos):
@@ -179,6 +206,159 @@ class TokenizePositions:
         )
 
 
+class TokenizeEmitFused:
+    """ONE-pass map_batches UDF for ``build_index(..., positions=True)``:
+    raw transcripts batch -> FUSED partial runs feeding BOTH the postings
+    merge and the positions merge (round-2 VERDICT #2: the positional build
+    previously re-tokenized the whole corpus in a second pass).
+
+    One tokenize, one occurrence-level lexsort; the posting-level view
+    (term, doc, tf, dl) and the occurrence-level view (positions) fall out
+    of the same sorted stream. Run segmentation, ordering, byte widths and
+    the stats ride-along row are IDENTICAL to EmitPartials∘tokenize_batch,
+    so the postings artifact built from fused partials is bit-identical to
+    the postings-only build's (test-pinned)."""
+
+    def __init__(
+        self,
+        conv_base_ref,
+        num_partitions: int,
+        doc_bucket_size: int,
+        bucket_grp_width=1,
+        lowercase: bool = True,
+    ):
+        self.conv_base_ref = conv_base_ref
+        self.num_partitions = num_partitions
+        self.doc_bucket_size = doc_bucket_size
+        self.bucket_grp_width = bucket_grp_width
+        self.lowercase = lowercase
+
+    def _grp_width(self) -> int:
+        w = self.bucket_grp_width
+        if not isinstance(w, int):
+            import ray
+
+            got = ray.get(w) if not isinstance(w, dict) else w
+            w = max(1, int(got["grp_width"] if isinstance(got, dict) else got))
+            self.bucket_grp_width = w
+        return w
+
+    def _stats_table(self, n_docs: int, sum_dl: int) -> pa.Table:
+        from clip_as_service_ray.stages.merge import STATS_PART
+
+        return pa.table(
+            {
+                "part": [STATS_PART], "bucket": [sum_dl], "bgrp": [0],
+                "term": [""], "first_doc": [0], "n": [n_docs], "total": [0],
+                "doc_w": [0], "tf_w": [0], "dl_w": [0], "pos_w": [0],
+                "docs": [b""], "tfs": [b""], "dls": [b""], "poss": [b""],
+            },
+            schema=FUSED_PARTIAL_SCHEMA,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        conv_base = _get_conv_base(self.conv_base_ref)
+        conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+        turn = batch.column("turn_idx").to_numpy().astype(np.int64)
+        term_lists = tokenize_column(batch.column("text"), lowercase=self.lowercase)
+        dl = np.fromiter(
+            (len(t) for t in term_lists), dtype=np.int64, count=len(term_lists)
+        )
+        idx = np.nonzero(dl > 0)[0]
+        # stats over indexable (dl > 0) docs only — same drop-empty rule as
+        # tokenize_batch (helper.py:82-86 analog)
+        n_docs_b = len(idx)
+        sum_dl_b = int(dl[idx].sum())
+        if n_docs_b == 0:
+            return self._stats_table(0, 0)
+        doc_id = (conv_base.lookup(conv) + turn)[idx]
+        lens = dl[idx]
+        flat = np.concatenate([np.asarray(term_lists[i], dtype=object) for i in idx])
+        total = len(flat)
+        row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(row_starts, lens)
+        docs_rep = np.repeat(doc_id, lens)
+        dls_rep = np.repeat(lens, lens)
+
+        codes, uniques = pd.factorize(flat, sort=False)
+        order = np.lexsort((pos_in_row, docs_rep, codes))
+        codes_s = codes[order].astype(np.int32)
+        docs_s = docs_rep[order]
+        pos_s = pos_in_row[order]
+        dls_s = dls_rep[order]
+
+        # posting-level segments: (term code, doc) boundaries. Positions
+        # within a posting stay ascending (lexsort minor key), so the flat
+        # position stream is already doc-major/pos-ascending.
+        pchange = np.nonzero((np.diff(codes_s) != 0) | (np.diff(docs_s) != 0))[0] + 1
+        p_starts = np.concatenate([[0], pchange])
+        p_ends = np.concatenate([pchange, [total]])
+        p_code = codes_s[p_starts]
+        p_doc = docs_s[p_starts]
+        p_cnt = (p_ends - p_starts).astype(np.int64)  # == tf
+        p_dl = dls_s[p_starts]
+        p_bucket = p_doc // self.doc_bucket_size
+
+        # run-level segments: (term code, bucket) boundaries over postings —
+        # the same run definition as EmitPartials
+        rchange = np.nonzero((np.diff(p_code) != 0) | (np.diff(p_bucket) != 0))[0] + 1
+        r_starts = np.concatenate([[0], rchange])
+        r_ends = np.concatenate([rchange, [len(p_code)]])
+        r_code = p_code[r_starts]
+        r_bucket = p_bucket[r_starts]
+        n_runs = len(r_starts)
+
+        crc = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) for t in uniques),
+            dtype=np.int64, count=len(uniques),
+        )
+        parts = (crc % self.num_partitions).astype(np.int32)[r_code]
+        bgrps = (r_bucket // self._grp_width()).astype(np.int32)
+        term_arr = pa.array(uniques, pa.string()).take(pa.array(r_code, pa.int64()))
+
+        # batch-uniform byte widths — the same policy as EmitPartials so the
+        # postings wire format is unchanged
+        doc_w = 2 if self.doc_bucket_size <= (1 << 16) else 4
+        tf_w = 2 if int(p_cnt.max()) < (1 << 16) else 4
+        dl_w = 2 if int(p_dl.max()) < (1 << 16) else 4
+        pos_w = 2 if int(pos_s.max()) < (1 << 16) else 4
+        docs_rel = (p_doc - p_bucket * self.doc_bucket_size).astype(_W_DTYPES[doc_w])
+        occ_r_starts = p_starts[r_starts]
+
+        out = pa.table(
+            {
+                "part": pa.array(parts, pa.int32()),
+                "bucket": pa.array(r_bucket, pa.int64()),
+                "bgrp": pa.array(bgrps, pa.int32()),
+                "term": term_arr,
+                "first_doc": pa.array(p_doc[r_starts], pa.int64()),
+                "n": pa.array((r_ends - r_starts).astype(np.int32), pa.int32()),
+                "total": pa.array(
+                    (p_ends[r_ends - 1] - p_starts[r_starts]).astype(np.int32),
+                    pa.int32(),
+                ),
+                "doc_w": pa.array(np.full(n_runs, doc_w, np.int8), pa.int8()),
+                "tf_w": pa.array(np.full(n_runs, tf_w, np.int8), pa.int8()),
+                "dl_w": pa.array(np.full(n_runs, dl_w, np.int8), pa.int8()),
+                "pos_w": pa.array(np.full(n_runs, pos_w, np.int8), pa.int8()),
+                "docs": _runs_binary_column(docs_rel, r_starts, len(p_doc), doc_w),
+                "tfs": _runs_binary_column(
+                    p_cnt.astype(_W_DTYPES[tf_w]), r_starts, len(p_doc), tf_w
+                ),
+                "dls": _runs_binary_column(
+                    p_dl.astype(_W_DTYPES[dl_w]), r_starts, len(p_doc), dl_w
+                ),
+                "poss": _runs_binary_column(
+                    pos_s.astype(_W_DTYPES[pos_w]), occ_r_starts, total, pos_w
+                ),
+            },
+            schema=FUSED_PARTIAL_SCHEMA,
+        )
+        return pa.concat_tables([out, self._stats_table(n_docs_b, sum_dl_b)])
+
+
 def merge_pos_partition(
     partial_files: list,
     out_dir: str,
@@ -186,19 +366,25 @@ def merge_pos_partition(
     block_size: int,
     doc_bucket_size: int,
     out_suffix: str = "",
+    cnt_cols: tuple[str, str] = ("cnt_w", "cnts"),
 ) -> dict:
-    """Reduce side: merge one grid cell's positional runs into block rows."""
+    """Reduce side: merge one grid cell's positional runs into block rows.
+
+    ``cnt_cols``: (width column, data column) holding the per-doc occurrence
+    counts — ("cnt_w", "cnts") for the standalone POS_PARTIAL_SCHEMA files,
+    ("tf_w", "tfs") for FUSED_PARTIAL_SCHEMA files where tf == count."""
     import time as _time
 
     import pyarrow.parquet as _pq
 
     t0 = _time.time()
+    cw_col, cd_col = cnt_cols
     cols: dict[str, list] = {n: [] for n in POS_BLOCK_SCHEMA.names}
     n_postings = 0
     if partial_files:
         group = _pq.read_table(
             partial_files,
-            columns=["term", "bucket", "n", "doc_w", "cnt_w", "pos_w", "docs", "cnts", "poss"],
+            columns=["term", "bucket", "n", "doc_w", cw_col, "pos_w", "docs", cd_col, "poss"],
             use_threads=False,
         )
     else:
@@ -209,7 +395,7 @@ def merge_pos_partition(
         buckets = group.column("bucket").to_numpy().astype(np.int64)
         codes, uniques = pd.factorize(terms, sort=False)
         docs_rel = _decode_runs(group.column("docs"), group.column("doc_w").to_numpy(), np.int64)
-        cnts_all = _decode_runs(group.column("cnts"), group.column("cnt_w").to_numpy(), np.int64)
+        cnts_all = _decode_runs(group.column(cd_col), group.column(cw_col).to_numpy(), np.int64)
         poss_all = _decode_runs(group.column("poss"), group.column("pos_w").to_numpy(), np.int64)
         docs_all = docs_rel + np.repeat(buckets * doc_bucket_size, ns)
         codes_all = np.repeat(codes.astype(np.int32), ns)
@@ -306,6 +492,26 @@ class PositionsReader:
         self._keys_cache: dict[str, np.ndarray] = {}
         self._cached_key_bytes = 0
         self._key_cache_cap = 512 << 20
+
+    def warm_keys(self) -> int:
+        """Pre-build the composite-key arrays at actor spawn so the FIRST
+        queries don't pay the build + first-touch paging cost (round-2
+        BENCH: phrase_p50 11.3 s vs phrase_min 0.906 s was exactly this).
+        Most-frequent terms first so the byte cap keeps the hottest keys;
+        the posting-tuple cache is dropped afterwards (queries only binary-
+        search the key arrays). Returns the number of terms warmed."""
+        order = sorted(
+            self._term_blocks,
+            key=lambda t: -int(self._b_total[self._term_blocks[t]].sum()),
+        )
+        n = 0
+        for t in order:
+            if self._cached_key_bytes >= self._key_cache_cap:
+                break
+            self.term_keys(t)
+            n += 1
+        self._cache.clear()
+        return n
 
     def term_positions(self, term: str):
         """(doc_ids, counts, occ_bounds, flat positions) for one term, or None."""

@@ -120,6 +120,62 @@ def phrase_index(ray_session, tmp_path_factory):
     return rows, idx, cfg
 
 
+def test_fused_build_equals_two_pass(phrase_index, tmp_path):
+    """build_index(positions=True) — ONE tokenize pass feeding both sinks —
+    must produce an index whose BM25 hits are bit-identical to the plain
+    build's and whose phrase results equal the two-pass (build_index +
+    build_positions) artifact's. Also: positions merge RESUMES from the
+    fused partials without re-tokenizing, and the empty-corpus short
+    circuit writes loadable empty positions."""
+    import shutil
+
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import PhraseScorer
+    from clip_as_service_ray.pipelines.search import search_table
+    from clip_as_service_ray.sources.transcripts import reference_query_table
+
+    rows, idx_two_pass, cfg = phrase_index
+    tbl = _table(rows)
+    fused = str(tmp_path / "fused")
+    rep = build_index(tbl, fused, cfg, positions=True)
+    assert rep["positions"] is True
+    assert "positions_merge_s" in rep["timings_s"]
+
+    # BM25 side: bit-identical to the two-pass index
+    q = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.int64()),
+            "text": ["alpha beta", "gamma hotel india"],
+            "limit": pa.array([10_000, 10_000], pa.int32()),
+        }
+    )
+    ha = search_table(idx_two_pass, q, cfg).to_pandas()
+    hb = search_table(fused, q, cfg).to_pandas()
+    assert ha[["query_id", "rank", "conv_id", "turn_idx"]].equals(
+        hb[["query_id", "rank", "conv_id", "turn_idx"]]
+    )
+    np.testing.assert_array_equal(ha.score.to_numpy(), hb.score.to_numpy())
+
+    # phrase side: identical to the brute force (and thus to the two-pass)
+    for phrase in ["alpha beta", "gamma", "echo fox golf"]:
+        assert _engine(fused, cfg, phrase) == _brute(rows, phrase), phrase
+
+    # resume: delete positions/, re-enter — merged back from the fused
+    # partials (no tokenize: the partials stage is skip-if-valid)
+    shutil.rmtree(f"{fused}/positions")
+    build_index(tbl, fused, cfg, positions=True)
+    assert _engine(fused, cfg, "alpha beta") == _brute(rows, "alpha beta")
+
+    # empty corpus with positions: artifacts load cleanly, zero hits
+    empty = str(tmp_path / "empty")
+    build_index(_table([]), empty, cfg, positions=True)
+    scorer = PhraseScorer(empty)
+    out = scorer(
+        pa.table({"query_id": pa.array([0], pa.int64()), "text": ["alpha"]})
+    )
+    assert out.num_rows == 0
+
+
 def test_phrase_fuzz_vs_bruteforce(phrase_index):
     rows, idx, cfg = phrase_index
     rng = random.Random(5)
