@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_segmented": ops.bm25_topk_segmented,
         "bm25_topk_deleted": ops.bm25_topk_deleted,
         "bm25_topk_conjunctive": ops.bm25_topk_conjunctive,
+        "bm25_topk_conjunctive_segmented": ops.bm25_topk_conjunctive_segmented,
         "bm25_topk_negated": ops.bm25_topk_negated,
         "bm25_topk_prefix": ops.bm25_topk_prefix,
         "bm25_topk_fuzzy": ops.bm25_topk_fuzzy,
@@ -129,8 +130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_full_outer": ops.customer_orders_full_outer,
         "purchase_click_asof": ops.purchase_click_asof,
         "event_value_percentiles_distributed": ops.event_value_percentiles_distributed,
-        "event_value_histogram": ops.event_value_histogram,
         # ==== entries below the driver's 50-entry cap (locally checked) ====
+        "event_value_histogram": ops.event_value_histogram,
         "profile_lineitem": ops.profile_lineitem,
         "doc_repetition": ops.doc_repetition,
         "user_top_event_type": ops.user_top_event_type,
@@ -304,6 +305,22 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
         ),
         "bm25_topk_conjunctive": (  # AND semantics: doc must match EVERY term
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id "
+            "  HAVING count(*) = 2) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_conjunctive_segmented": (  # segmented scatter == monolithic
             "WITH tok AS (" + _TOK + "), "
             "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
             "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "

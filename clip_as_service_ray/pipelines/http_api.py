@@ -37,11 +37,30 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
         "text": pa.array([q.get("text", "") for q in qs], pa.string()),
         "limit": pa.array([int(q.get("limit", 10)) for q in qs], pa.int32()),
     }
+    if any(q.get("exclude") for q in qs):  # boolean NOT, composes with mode
+        cols["exclude"] = pa.array(
+            [str(q.get("exclude", "") or "") for q in qs], pa.string()
+        )
     if with_window:  # 0 = exact phrase; >0 = proximity window in tokens
         cols["window"] = pa.array(
             [int(q.get("window", 0)) for q in qs], pa.int32()
         )
     return pa.table(cols)
+
+
+def _mode_key(payload: dict) -> tuple | None:
+    """Request-level query mode -> pool key: None (default OR),
+    ("conjunctive",), ("prefix",), or ("fuzzy", max_dist)."""
+    mode = str(payload.get("mode", "") or "")
+    if not mode:
+        return None
+    if mode == "conjunctive":
+        return ("conjunctive",)
+    if mode == "prefix":
+        return ("prefix",)
+    if mode == "fuzzy":
+        return ("fuzzy", int(payload.get("fuzzy_dist", 2)))
+    raise ValueError(f"unknown mode {mode!r} (conjunctive|prefix|fuzzy)")
 
 
 class SearchHTTPServer:
@@ -136,7 +155,13 @@ class SegmentedSearchHTTPServer:
 
         POST /index  {"turns": [{conv_id, turn_idx, role, text, ...}]}
                      -> builds the next segment; docs searchable on return
-        POST /search {"queries": [{query_id, text, limit?}]}
+        POST /search {"queries": [{query_id, text, limit?, exclude?}],
+                      "mode"?: "conjunctive"|"prefix"|"fuzzy",
+                      "fuzzy_dist"?: 2}
+                     -> every query-language mode works against the
+                     segmented index (retriever.md:180-225 contract); mode
+                     pools spawn lazily, a per-query `exclude` composes
+                     with any mode (AND-NOT / prefix-NOT / fuzzy-NOT)
         POST /phrase {"queries": [{query_id, text, limit?, window?}]}
                      -> exact phrase (window absent/0) or proximity top-k
                      through the per-segment positional artifacts
@@ -175,6 +200,10 @@ class SegmentedSearchHTTPServer:
         self._write_lock = threading.Lock()
         has_index = os.path.exists(os.path.join(index_root, "manifest.json"))
         self._svc = SegmentedQueryService(index_root, config) if has_index else None
+        # boolean-mode pools (conjunctive / prefix / fuzzy), spawned lazily
+        # on the first request that asks for the mode (num_cpus=0: secondary
+        # co-resident pools share cores with the primary OR pool)
+        self._mode_svcs: dict[tuple, SegmentedQueryService] = {}
         self._phrase_svc = None
         if has_index and positions:
             try:
@@ -191,10 +220,13 @@ class SegmentedSearchHTTPServer:
             # a brief search unavailability during a write is the trade
             old, outer._svc = outer._svc, None
             old_p, outer._phrase_svc = outer._phrase_svc, None
+            old_m, outer._mode_svcs = outer._mode_svcs, {}
             if old is not None:
                 old.shutdown()
             if old_p is not None:
                 old_p.shutdown()
+            for svc in old_m.values():  # mode pools re-spawn lazily on demand
+                svc.shutdown()
             outer._svc = SegmentedQueryService(outer.index_root, outer.config)
             if outer.positions:
                 try:
@@ -259,7 +291,21 @@ class SegmentedSearchHTTPServer:
                             ),
                         )
                     elif self.path == "/search":
-                        svc = outer._svc  # read once: a write may swap it
+                        key = _mode_key(payload)  # may raise ValueError -> 400
+                        if key is None:
+                            svc = outer._svc  # read once: a write may swap it
+                        else:
+                            svc = outer._mode_svcs.get(key)
+                            if svc is None and outer._svc is not None:
+                                with outer._write_lock:  # single spawner
+                                    svc = outer._mode_svcs.get(key)
+                                    if svc is None:
+                                        kw = {key[0]: key[1] if len(key) > 1 else True}
+                                        svc = SegmentedQueryService(
+                                            outer.index_root, outer.config,
+                                            num_cpus=0, **kw,
+                                        )
+                                        outer._mode_svcs[key] = svc
                         if svc is None:
                             self._send(
                                 503, {"error": "index empty or write in progress"}
@@ -303,3 +349,6 @@ class SegmentedSearchHTTPServer:
             self._svc.shutdown()
         if self._phrase_svc is not None:
             self._phrase_svc.shutdown()
+        for svc in self._mode_svcs.values():
+            svc.shutdown()
+        self._mode_svcs = {}

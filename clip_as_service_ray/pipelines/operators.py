@@ -2939,6 +2939,47 @@ def bm25_topk_conjunctive(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
     )
 
 
+def bm25_topk_conjunctive_segmented(
+    sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10
+):
+    """Boolean-AND BM25 top-k through the SEGMENTED scatter path: two
+    disjoint segments + union stats + conjunctive QueryScorer replicas.
+    The SQL twin is the monolithic conjunctive oracle — every query mode
+    against shards must equal the one-index result (the reference serves
+    all modes against shards, retriever.md:180-225)."""
+    from clip_as_service_ray.pipelines.segments import (
+        SegmentedQueryService,
+        add_segment,
+        segment_dirs,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    root = _index_dir_for(sf_dir) + "_segmented"
+    if len(segment_dirs(root)) < 2:
+        add_segment(root, _docs_as_transcripts(sf_dir, parity=0), cfg)
+        add_segment(root, _docs_as_transcripts(sf_dir, parity=1), cfg)
+    queries = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([" ".join(terms)]),
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    svc = SegmentedQueryService(root, cfg, conjunctive=True)
+    try:
+        hits = svc.search(queries)
+    finally:
+        svc.shutdown()
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
 # per-worker-process cache of deserialized broadcast objects: map_batches
 # tasks call this per batch; without it every batch re-fetches/deserializes
 # the broadcast table from the object store

@@ -130,7 +130,16 @@ class SegmentedQueryService(ScatterQueryService):
     tombstoned conversations never appear in results (limit-k preserved by
     over-asking each segment by the tombstone count)."""
 
-    def __init__(self, index_root: str, config: EngineConfig = DEFAULT_CONFIG):
+    def __init__(
+        self,
+        index_root: str,
+        config: EngineConfig = DEFAULT_CONFIG,
+        *,
+        conjunctive: bool = False,
+        prefix: bool = False,
+        fuzzy: int = 0,
+        num_cpus: float = 1,
+    ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
         global_stats = {
             "n_docs": int(root["n_docs"]),
@@ -142,6 +151,10 @@ class SegmentedQueryService(ScatterQueryService):
             global_stats,
             config,
             tombstones=load_tombstones(index_root),
+            conjunctive=conjunctive,
+            prefix=prefix,
+            fuzzy=fuzzy,
+            num_cpus=num_cpus,
         )
 
 

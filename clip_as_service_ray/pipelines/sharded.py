@@ -133,6 +133,11 @@ class ScatterQueryService:
         global_stats: dict,
         config: EngineConfig = DEFAULT_CONFIG,
         tombstones: frozenset[str] = frozenset(),
+        *,
+        conjunctive: bool = False,
+        prefix: bool = False,
+        fuzzy: int = 0,
+        num_cpus: float = 1,
     ):
         import ray
 
@@ -151,13 +156,26 @@ class ScatterQueryService:
             else 0
         )
         self.n_shards = len(index_dirs)
-        worker = ray.remote(num_cpus=1)(QueryScorer)
+        # boolean/prefix/fuzzy modes are shard-safe: each shard expands over
+        # its LOCAL vocabulary but scores with the UNION df/idf — a term
+        # present only in other shards contributes zero to this shard's docs
+        # either way, so scatter results are bit-identical to a monolithic
+        # index in every mode (test-pinned); a per-query `exclude` column
+        # flows through unchanged (shard-local doc exclusion is exact).
+        # num_cpus=0 for SECONDARY co-resident pools (e.g. the HTTP server's
+        # lazily-spawned boolean-mode pools next to the primary OR pool): the
+        # modes are bursty and sharing cores beats a 2x CPU reservation that
+        # can starve concurrent build tasks on a small cluster
+        worker = ray.remote(num_cpus=num_cpus)(QueryScorer)
         self.replicas = [
             worker.remote(
                 d,
                 config.limit,
                 False,  # pruning off: shard-local block bounds invalid under global avgdl
                 global_stats,
+                conjunctive=conjunctive,
+                prefix=prefix,
+                fuzzy=fuzzy,
             )
             for d in index_dirs
         ]
@@ -216,7 +234,9 @@ class ScatterQueryService:
 class ShardedQueryService(ScatterQueryService):
     """Scatter-ALL-search over a ``build_sharded_index`` root."""
 
-    def __init__(self, index_root: str, config: EngineConfig = DEFAULT_CONFIG):
+    def __init__(
+        self, index_root: str, config: EngineConfig = DEFAULT_CONFIG, **modes
+    ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
         global_stats = {
             "n_docs": int(root["n_docs"]),
@@ -226,4 +246,4 @@ class ShardedQueryService(ScatterQueryService):
         dirs = [
             os.path.join(index_root, f"shard={k}") for k in range(int(root["n_shards"]))
         ]
-        super().__init__(dirs, global_stats, config)
+        super().__init__(dirs, global_stats, config, **modes)

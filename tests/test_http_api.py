@@ -136,6 +136,32 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
         health = json.loads(urllib.request.urlopen(srv.url + "/health").read())
         assert health["n_segments"] == 2
 
+        # boolean query modes against the segmented index over HTTP
+        # (retriever.md:180-225: every mode works against shards). convac is
+        # tombstoned at this point, so only convaa matches "merge window" AND
+        hits = _post(srv.url + "/search", {"mode": "conjunctive", "queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
+        assert {h["conv_id"] for h in hits} == {"convaa"}
+        # prefix: "ind*" matches only convab ("index")
+        hits = _post(srv.url + "/search", {"mode": "prefix", "queries": [
+            {"query_id": 0, "text": "ind", "limit": 5}]})["hits"]
+        assert {h["conv_id"] for h in hits} == {"convab"}
+        # fuzzy: "windoz" ~1~ "window"
+        hits = _post(srv.url + "/search", {"mode": "fuzzy", "fuzzy_dist": 2,
+                                           "queries": [
+            {"query_id": 0, "text": "windoz", "limit": 5}]})["hits"]
+        assert "convaa" in {h["conv_id"] for h in hits}
+        # NOT composes with the mode: AND-NOT excludes convaa via "stream"
+        hits = _post(srv.url + "/search", {"mode": "conjunctive", "queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5,
+             "exclude": "stream"}]})["hits"]
+        assert hits == []
+        # unknown mode -> 400
+        with pytest.raises(urllib.error.HTTPError) as em:
+            _post(srv.url + "/search", {"mode": "nope", "queries": [
+                {"query_id": 0, "text": "merge"}]})
+        assert em.value.code == 400
+
         # physical purge: convac's segment had only convac -> segment removed;
         # deleted doc stays gone and survivors keep ranking
         out = _post(srv.url + "/compact", {})

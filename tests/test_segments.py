@@ -145,6 +145,56 @@ def test_tombstone_delete(corpus_halves, tmp_path):
         merge_segments(root, str(tmp_path / "m"), CFG)
 
 
+def test_segmented_modes_equal_monolithic(corpus_halves, tmp_path):
+    """Boolean/prefix/fuzzy query modes against the SEGMENTED index are
+    bit-identical to the same mode against one monolithic index over the
+    union corpus (the reference serves every query mode against shards,
+    retriever.md:180-225). Also: exclude composes with the mode through the
+    scatter path."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.stages.query import QueryScorer
+
+    corpus, a, b = corpus_halves
+    root = str(tmp_path / "segmodes")
+    add_segment(root, a, CFG)
+    add_segment(root, b, CFG)
+    mono = str(tmp_path / "mono")
+    build_index(corpus, mono, CFG)
+
+    cases = [
+        ({"conjunctive": True}, ["merge window", "data stream merge"], ""),
+        ({"prefix": True}, ["mer", "wind"], ""),
+        ({"fuzzy": 1}, ["merge", "windoz"], ""),
+        ({"conjunctive": True}, ["merge window"], "stream"),  # AND-NOT
+    ]
+    for kwargs, texts, excl in cases:
+        q = {
+            "query_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "limit": pa.array([25] * len(texts), pa.int32()),
+        }
+        if excl:
+            q["exclude"] = pa.array([excl] * len(texts), pa.string())
+        qt = pa.table(q)
+        svc = SegmentedQueryService(root, CFG, **kwargs)
+        try:
+            got = svc.search(qt).to_pandas()
+        finally:
+            svc.shutdown()
+        scorer = QueryScorer(mono, CFG.limit, False, **kwargs)
+        want = (
+            scorer(qt)
+            .to_pandas()
+            .sort_values(["query_id", "rank"], kind="stable")
+            .reset_index(drop=True)
+        )
+        assert _ids(got) == _ids(want), (kwargs, excl)
+        np.testing.assert_array_equal(
+            got.score.to_numpy(), want.score.to_numpy()
+        )
+
+
 def test_tombstone_overask_counts_docs_not_convs(ray_session, tmp_path):
     """Round-2 ADVICE (high): over-asking by the tombstoned CONVERSATION
     count is wrong — one deleted multi-turn conversation can occupy many hit
