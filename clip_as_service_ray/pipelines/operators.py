@@ -3035,21 +3035,17 @@ def proximity_search(
 
 def doc_keywords(sf_dir: str, k: int = 3):
     """Top-k TF-IDF keywords per document (keyword extraction): pass 1 =
-    distributed df + doc count; the (term -> idf) map is broadcast ONCE via
-    ray.put (a sharded map like ShardedConvBase is the 10^8-vocab path);
-    pass 2 = per-batch tf * idf with a vectorized per-doc top-k — no
-    shuffle, the per-doc result is emitted by the same batch that read the
-    doc."""
-    import ray
+    distributed df + doc count; the (term -> idf) map is RANGE-SHARDED in
+    the object store (state/kvmap.py, the ShardedConvBase pattern) — the
+    driver holds one boundary key per shard, never the vocabulary, and each
+    scoring batch fetches only the idf shards its terms touch; pass 2 =
+    per-batch tf * idf with a vectorized per-doc top-k — no shuffle, the
+    per-doc result is emitted by the same batch that read the doc."""
     import ray.data
-    from ray.data.aggregate import Count
+
+    from clip_as_service_ray.state.kvmap import build_sharded_float_map
 
     # ---- pass 1: global df per term and N = docs with >= 1 term
-    df_pd = term_df(sf_dir).to_pandas()
-    terms_sorted = np.sort(df_pd["term"].to_numpy(dtype=object))
-    order = np.argsort(df_pd["term"].to_numpy(dtype=object), kind="stable")
-    dfs_sorted = df_pd["df"].to_numpy()[order].astype(np.float64)
-
     def nonempty(batch: pa.Table) -> pa.Table:
         term_lists = tokenize_texts(batch.column("text").to_pylist())
         n = sum(1 for t in term_lists if t)
@@ -3060,12 +3056,20 @@ def doc_keywords(sf_dir: str, k: int = 3):
         .map_batches(nonempty, batch_format="pyarrow")
         .sum("n")
     )
-    idf_sorted = np.log(n_docs / dfs_sorted)
-    idf_ref = ray.put((terms_sorted, idf_sorted))
+
+    def to_idf(batch: pa.Table) -> pa.Table:
+        df = batch.column("df").to_numpy().astype(np.float64)
+        return pa.table(
+            {"key": batch.column("term").cast(pa.string()),
+             "val": pa.array(np.log(n_docs / df), pa.float64())}
+        )
+
+    idf_map = build_sharded_float_map(
+        term_df(sf_dir).map_batches(to_idf, batch_format="pyarrow")
+    )
 
     # ---- pass 2: tf * idf, per-doc top-k inside the batch
     def topk_batch(batch: pa.Table) -> pa.Table:
-        ts, idfs = _broadcast_get(idf_ref)
         t = _tokens_flat(batch)
         if t.num_rows == 0:
             return pa.table(
@@ -3079,8 +3083,7 @@ def doc_keywords(sf_dir: str, k: int = 3):
         docs = t.column("doc_id").to_numpy()
         terms = t.column("term").to_numpy(zero_copy_only=False)
         tf = t.column("tf").to_numpy().astype(np.float64)
-        pos = np.searchsorted(ts, terms)
-        tfidf = tf * idfs[pos]
+        tfidf = tf * idf_map.lookup(terms)
         codes, _ = pd.factorize(terms, sort=True)  # lex order for ties
         o = np.lexsort((codes, -tfidf, docs))
         d_s = docs[o]
@@ -3173,20 +3176,16 @@ def doc_perplexity(sf_dir: str):
     """Per-document bigram language-model score (the perplexity-style
     quality signal of training-data pipelines): pass 1 learns add-one
     smoothed bigram/unigram counts from the corpus itself in ONE combined
-    combiner pass (kind-prefixed keys, one small groupby); the count tables
-    are broadcast once; pass 2 scores each doc shuffle-free as
-    avg(-ln((c(w1,w2)+1)/(c(w1)+V))) over its adjacent token pairs.
-
-    Scale note: the broadcast LM is vocabulary-sized; at web scale the
-    bigram table outgrows one object — the standard fixes are (a) prune to
-    the top-K bigrams (unseen bigrams already take the +1 smoothing path,
-    so pruning only biases rare-bigram mass toward the smoothed estimate)
-    or (b) range-shard the sorted key table like ShardedConvBase and fetch
-    only the shards a batch touches."""
-    import ray
+    combiner pass (kind-prefixed keys, one small groupby); the count table
+    is RANGE-SHARDED in the object store (state/kvmap.py) — the bigram
+    vocabulary never funnels through the driver and a scoring batch fetches
+    only the count shards its n-grams touch; pass 2 scores each doc
+    shuffle-free as avg(-ln((c(w1,w2)+1)/(c(w1)+V))) over its adjacent
+    token pairs."""
     from ray.data.aggregate import Sum
 
     from clip_as_service_ray.functions.tokenizer import tokenize_texts
+    from clip_as_service_ray.state.kvmap import build_sharded_float_map
 
     def count_partial(batch: pa.Table) -> pa.Table:
         keys: list[str] = []
@@ -3206,28 +3205,23 @@ def doc_perplexity(sf_dir: str):
              "n_part": pa.array(c.astype(np.int64), pa.int64())}
         )
 
-    counts = (
+    counts_ds = (
         _documents(sf_dir)
         .map_batches(count_partial, batch_format="pyarrow")
         .groupby("key", num_partitions=8)
         .aggregate(Sum("n_part", alias_name="n"))
-        .to_pandas()
+        .materialize()  # consumed twice (V count + map build): run the groupby once
     )
-    keys = counts["key"].to_numpy(dtype=object)
-    ns = counts["n"].to_numpy().astype(np.float64)
-    is_uni = np.array([k.startswith("u\x00") for k in keys])
-    uni_keys = np.array([k[2:] for k in keys[is_uni]], dtype=object)
-    uni_order = np.argsort(uni_keys, kind="stable")
-    bi_keys = np.array([k[2:] for k in keys[~is_uni]], dtype=object)
-    bi_order = np.argsort(bi_keys, kind="stable")
-    vocab_v = float(len(uni_keys))
-    lm_ref = ray.put(
-        (uni_keys[uni_order], ns[is_uni][uni_order],
-         bi_keys[bi_order], ns[~is_uni][bi_order], vocab_v)
-    )
+    # V = |unigram vocabulary|: a tiny distributed count, not a driver table
+    def uni_count(batch: pa.Table) -> pa.Table:
+        m = pc.starts_with(batch.column("key"), "u\x00")
+        return pa.table({"n": pa.array([int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)], pa.int64())})
+
+    vocab_v = float(counts_ds.map_batches(uni_count, batch_format="pyarrow").sum("n"))
+    lm_map = build_sharded_float_map(counts_ds, key_col="key", val_col="n")
 
     def score(batch: pa.Table) -> pa.Table:
-        uk, uc, bk, bc, v = _broadcast_get(lm_ref)
+        v = vocab_v
         doc_ids = batch.column("doc_id").to_numpy()
         term_lists = tokenize_texts(batch.column("text").to_pylist())
         grams: list[str] = []
@@ -3246,13 +3240,10 @@ def doc_perplexity(sf_dir: str):
                  "avg_nll": pa.array([], pa.float64()),
                  "n_bigrams": pa.array([], pa.int64())}
             )
-        g = np.asarray(grams, dtype=object)
-        w1 = np.asarray(w1s, dtype=object)
-        bpos = np.searchsorted(bk, g)
-        bpos_c = np.minimum(bpos, len(bk) - 1)
-        c2 = np.where(bk[bpos_c] == g, bc[bpos_c], 0.0)
-        upos = np.searchsorted(uk, w1)
-        c1 = uc[np.minimum(upos, len(uk) - 1)]
+        g = np.asarray(["b\x00" + x for x in grams], dtype=object)
+        w1 = np.asarray(["u\x00" + x for x in w1s], dtype=object)
+        c2 = lm_map.lookup(g)       # missing bigram -> 0 (the +1 smoothing path)
+        c1 = lm_map.lookup(w1)      # w1 always present: LM learned from this corpus
         nll = -np.log((c2 + 1.0) / (c1 + v))
         keep = lens > 0
         bounds = np.concatenate([[0], np.cumsum(lens[keep])])
@@ -3636,14 +3627,24 @@ def more_like_this(sf_dir: str, doc_id: int = 42, m: int = 3, limit: int = 10):
     )
     toks = tokenize(row[0]["text"])
     terms, tfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-    dict_tbl = pq.read_table(os.path.join(index_dir, "dictionary"))
+    # predicate-pushdown dictionary read: only the QUERY DOC's terms leave
+    # storage (one doc's vocabulary, never the index's) — the scale-safe
+    # replacement for materializing the full dictionary on the driver
+    dict_tbl = pq.read_table(
+        os.path.join(index_dir, "dictionary"),
+        filters=[("term", "in", terms.tolist())],
+    )
     dterms = dict_tbl.column("term").to_numpy(zero_copy_only=False)
     ddf = dict_tbl.column("df").to_numpy().astype(np.float64)
     order = np.argsort(dterms, kind="stable")
     dterms, ddf = dterms[order], ddf[order]
     n_docs = float(mf.read_json(os.path.join(index_dir, "stats.json"))["n_docs"])
     pos = np.searchsorted(dterms, terms)
-    df = ddf[np.minimum(pos, len(dterms) - 1)]
+    pos_c = np.minimum(pos, max(len(dterms) - 1, 0))
+    # terms absent from the dictionary (not indexed) get df = n_docs -> idf 0
+    df = np.where(
+        (len(dterms) > 0) & (dterms[pos_c] == terms), ddf[pos_c], n_docs
+    ) if len(dterms) else np.full(len(terms), n_docs)
     tfidf = tfs * np.log(n_docs / df)
     top = np.lexsort((terms, -tfidf))[:m]
     kw = sorted(terms[top].tolist())

@@ -1,0 +1,113 @@
+"""Range-sharded sorted key->value maps built from a Dataset.
+
+The scale-safe replacement for "materialize a vocabulary-sized table on the
+driver, then ray.put it" (round-2 VERDICT: doc_keywords / doc_perplexity /
+more_like_this all did this). Pattern mirrors stages/tokenize.ShardedConvBase:
+
+  Dataset(key, val) -> sort(key) -> per-BLOCK (n, first_key) summaries
+  [one tiny row per block to the driver] -> shard tables stay in the object
+  store as refs; the driver holds only the shard boundary keys.
+
+A lookup worker routes its needles to shards by binary search on the
+boundaries, fetches ONLY the shards its batch touches, and caches them per
+process (bounded FIFO). No key ever funnels through the driver; a 10^8-term
+vocabulary costs the driver 10^8/rows_per_block boundary strings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# per-worker-process shard cache: maps touched by the current operator stay
+# hot across batches; FIFO-capped so a long-running worker serving many
+# operators doesn't accumulate every map it ever saw
+_SHARD_CACHE: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+_SHARD_CACHE_CAP = 64
+
+
+def _shard_get(ref) -> tuple[np.ndarray, np.ndarray]:
+    import ray
+
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    hit = _SHARD_CACHE.get(key)
+    if hit is None:
+        t = ray.get(ref)
+        hit = (
+            np.asarray(t.column("key").to_pylist(), dtype=object),
+            t.column("val").to_numpy().astype(np.float64),
+        )
+        if len(_SHARD_CACHE) >= _SHARD_CACHE_CAP:
+            _SHARD_CACHE.pop(next(iter(_SHARD_CACHE)))
+        _SHARD_CACHE[key] = hit
+    return hit
+
+
+class ShardedFloatMap:
+    """string key -> float64 value, sharded by sorted key range.
+
+    Ships as (boundary keys ndarray + ObjectRef list) inside a map_batches
+    UDF closure; ``lookup`` returns ``default`` for missing keys."""
+
+    def __init__(self, first_keys: np.ndarray, shard_refs: list, default: float = 0.0):
+        self.first_keys = first_keys  # object ndarray, sorted
+        self.shard_refs = shard_refs
+        self.default = float(default)
+        self.n_shards = len(shard_refs)
+
+    def lookup(self, needles: np.ndarray) -> np.ndarray:
+        out = np.full(len(needles), self.default, dtype=np.float64)
+        if len(needles) == 0 or self.n_shards == 0:
+            return out
+        sidx = np.searchsorted(self.first_keys, needles, side="right") - 1
+        valid = sidx >= 0  # below the first boundary -> missing
+        for s in np.unique(sidx[valid]):
+            keys, vals = _shard_get(self.shard_refs[int(s)])
+            m = sidx == s
+            sub = needles[m]
+            pos = np.searchsorted(keys, sub)
+            hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == sub)
+            vv = np.full(len(sub), self.default, dtype=np.float64)
+            vv[hit] = vals[pos[hit]]
+            out[m] = vv
+        return out
+
+
+def _kv_summary(block: pa.Table, key_col: str):
+    if block.num_rows == 0:
+        return 0, None
+    return block.num_rows, block.column(key_col)[0].as_py()
+
+
+def _kv_shard(block: pa.Table, key_col: str, val_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "key": block.column(key_col).cast(pa.string()),
+            "val": block.column(val_col).cast(pa.float64()),
+        }
+    )
+
+
+def build_sharded_float_map(
+    ds, key_col: str = "key", val_col: str = "val", default: float = 0.0
+) -> ShardedFloatMap:
+    """Distributed build: sort by key, per-block summaries to the driver
+    (one tiny row per BLOCK), shard tables pinned in the object store.
+    Ray must already be initialised."""
+    import ray
+
+    mat = ds.sort(key_col).materialize()
+    block_refs = [
+        bref
+        for bundle in mat.iter_internal_ref_bundles()
+        for bref in bundle.block_refs
+    ]
+    summary = ray.remote(num_cpus=1)(_kv_summary)
+    sums = ray.get([summary.remote(b, key_col) for b in block_refs])
+    keep = [(b, s) for b, s in zip(block_refs, sums) if s[0] > 0]
+    if not keep:
+        return ShardedFloatMap(np.array([], dtype=object), [], default)
+    make = ray.remote(num_cpus=1)(_kv_shard)
+    shard_refs = [make.remote(b, key_col, val_col) for b, _ in keep]
+    first_keys = np.asarray([s[1] for _, s in keep], dtype=object)
+    return ShardedFloatMap(first_keys, shard_refs, default)
