@@ -22,12 +22,63 @@ from __future__ import annotations
 
 import json
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pyarrow as pa
 
 from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
 from clip_as_service_ray.pipelines.serving import QueryService
+
+
+class Metrics:
+    """Thread-safe serving counters + a scrape renderer — the analog of the
+    reference's Prometheus/OTel surface (clip_torch.py:101-119): an operator
+    can point a scraper at GET /metrics and watch qps, latency quantiles,
+    hit volume, and index size move."""
+
+    def __init__(self, window: int = 512):
+        self._lock = threading.Lock()
+        self._counts: dict[str, int] = {}
+        self._lat: dict[str, deque] = {}
+        self._window = window
+        self._t0 = time.time()
+
+    def inc(self, name: str, by: int = 1) -> None:
+        with self._lock:
+            self._counts[name] = self._counts.get(name, 0) + by
+
+    def observe(self, name: str, seconds: float) -> None:
+        with self._lock:
+            d = self._lat.get(name)
+            if d is None:
+                d = self._lat[name] = deque(maxlen=self._window)
+            d.append(seconds)
+
+    def render(self, gauges: dict | None = None) -> str:
+        """Prometheus text exposition format (0.0.4)."""
+        lines: list[str] = []
+        with self._lock:
+            counts = dict(self._counts)
+            lats = {k: sorted(d) for k, d in self._lat.items() if d}
+        for k, v in sorted(counts.items()):
+            lines.append(f"# TYPE cas_{k} counter")
+            lines.append(f"cas_{k} {v}")
+        for k, xs in sorted(lats.items()):
+            lines.append(f"# TYPE cas_{k}_seconds summary")
+            for q in (0.5, 0.9, 0.99):
+                val = xs[min(len(xs) - 1, int(q * len(xs)))]
+                lines.append(
+                    f'cas_{k}_seconds{{quantile="{q}"}} {val:.6f}'
+                )
+            lines.append(f"cas_{k}_seconds_count {len(xs)}")
+        for k, v in sorted((gauges or {}).items()):
+            lines.append(f"# TYPE cas_{k} gauge")
+            lines.append(f"cas_{k} {v}")
+        lines.append("# TYPE cas_uptime_seconds gauge")
+        lines.append(f"cas_uptime_seconds {time.time() - self._t0:.3f}")
+        return "\n".join(lines) + "\n"
 
 
 def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
@@ -74,12 +125,14 @@ class SearchHTTPServer:
         port: int = 0,
     ):
         self.service = QueryService(index_dir, config)
+        self.metrics = Metrics()
         import os
 
         from clip_as_service_ray.state import manifest as mf
 
         stats = mf.read_json(os.path.join(index_dir, "stats.json"))
         service = self.service
+        metrics = self.metrics
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -93,11 +146,31 @@ class SearchHTTPServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _send_text(self, code: int, text: str) -> None:
+                body = text.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self):
                 if self.path == "/health":
                     self._send(200, {"status": "ok", "n_docs": stats["n_docs"]})
                 elif self.path == "/profile":
                     self._send(200, service.profile())
+                elif self.path == "/metrics":
+                    prof = service.profile()
+                    self._send_text(
+                        200,
+                        metrics.render(
+                            {
+                                "index_docs": stats["n_docs"],
+                                "blocks_decoded": prof.get("blocks_decoded", 0),
+                                "cached_postings": prof.get("cached_postings", 0),
+                            }
+                        ),
+                    )
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -108,9 +181,17 @@ class SearchHTTPServer:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     payload = json.loads(self.rfile.read(n) or b"{}")
+                    t0 = time.time()
                     hits = service.search(_queries_table(payload))
+                    metrics.observe("search_latency", time.time() - t0)
+                    metrics.inc("search_requests_total")
+                    metrics.inc(
+                        "search_queries_total", len(payload.get("queries", []))
+                    )
+                    metrics.inc("search_hits_total", hits.num_rows)
                     self._send(200, {"hits": hits.to_pylist()})
                 except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    metrics.inc("search_errors_total")
                     self._send(400, {"error": str(e)})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
@@ -169,6 +250,8 @@ class SegmentedSearchHTTPServer:
         POST /compact {} -> physical purge of tombstoned convs (segments
                       rewritten at the postings level; stats post-purge)
         GET  /health
+        GET  /metrics -> Prometheus text: request/query/hit counters,
+                      latency quantiles, segment/doc/tombstone gauges
 
     Writes serialize under a lock and swap in a fresh scatter service
     (shutdown-then-spawn: searches briefly 503 during a write instead of
@@ -194,6 +277,7 @@ class SegmentedSearchHTTPServer:
 
         self.index_root = index_root
         self.config = config
+        self.metrics = Metrics()
         # positions: /index also builds the segment's positional artifact so
         # /phrase sees new docs immediately (skipped when serving BM25 only)
         self.positions = positions
@@ -248,26 +332,54 @@ class SegmentedSearchHTTPServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _send_text(self, code: int, text: str) -> None:
+                body = text.encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self):
                 if self.path == "/health":
                     n_seg = 0
                     if outer._svc is not None:
                         n_seg = outer._svc.n_shards
                     self._send(200, {"status": "ok", "n_segments": n_seg})
+                elif self.path == "/metrics":
+                    svc = outer._svc
+                    gauges = {
+                        "segments": svc.n_shards if svc is not None else 0,
+                        "tombstoned_convs": (
+                            len(svc.tombstones) if svc is not None else 0
+                        ),
+                        "tombstoned_docs": (
+                            svc.n_tombstoned_docs if svc is not None else 0
+                        ),
+                        "mode_pools": len(outer._mode_svcs),
+                    }
+                    self._send_text(200, outer.metrics.render(gauges))
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
 
             def do_POST(self):
+                metrics = outer.metrics
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     payload = json.loads(self.rfile.read(n) or b"{}")
                     if self.path == "/index":
+                        t0 = time.time()
                         with outer._write_lock:
                             rep = add_segment(
                                 outer.index_root, _turns_table(payload),
                                 outer.config, positions=outer.positions,
                             )
                             _refresh()
+                        metrics.observe("index_latency", time.time() - t0)
+                        metrics.inc("index_requests_total")
+                        metrics.inc(
+                            "indexed_turns_total", len(payload.get("turns", []))
+                        )
                         self._send(
                             200,
                             {"n_segments": rep["n_segments"], "n_docs": rep["n_docs"]},
@@ -278,6 +390,7 @@ class SegmentedSearchHTTPServer:
                                 outer.index_root, payload.get("conv_ids", [])
                             )
                             _refresh()
+                        metrics.inc("delete_requests_total")
                         self._send(200, rep)
                     elif self.path == "/compact":
                         with outer._write_lock:
@@ -311,7 +424,14 @@ class SegmentedSearchHTTPServer:
                                 503, {"error": "index empty or write in progress"}
                             )
                             return
+                        t0 = time.time()
                         hits = svc.search(_queries_table(payload))
+                        metrics.observe("search_latency", time.time() - t0)
+                        metrics.inc("search_requests_total")
+                        metrics.inc(
+                            "search_queries_total", len(payload.get("queries", []))
+                        )
+                        metrics.inc("search_hits_total", hits.num_rows)
                         self._send(200, {"hits": hits.to_pylist()})
                     elif self.path == "/phrase":
                         psvc = outer._phrase_svc  # read once: writes swap it
@@ -323,13 +443,18 @@ class SegmentedSearchHTTPServer:
                                           "write in progress)"},
                             )
                             return
+                        t0 = time.time()
                         hits = psvc.search(
                             _queries_table(payload, with_window=True)
                         )
+                        metrics.observe("phrase_latency", time.time() - t0)
+                        metrics.inc("phrase_requests_total")
+                        metrics.inc("phrase_hits_total", hits.num_rows)
                         self._send(200, {"hits": hits.to_pylist()})
                     else:
                         self._send(404, {"error": f"unknown path {self.path}"})
                 except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    metrics.inc("error_responses_total")
                     self._send(400, {"error": str(e)})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)

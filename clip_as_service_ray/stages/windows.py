@@ -13,19 +13,43 @@ import numpy as np
 import pyarrow as pa
 
 
+def _scaled_buckets(num_buckets: int | None) -> tuple[int, int]:
+    """(num_buckets, num_partitions) sized to the CLUSTER, not a constant:
+    at a fixed 32 buckets, 100x the data makes each bucket 1/32 of the
+    corpus materialized inside a single map_groups call. 4 buckets per CPU
+    keeps per-group working sets bounded as nodes are added; partitions
+    track CPUs so the shuffle fans out with the cluster. Bucket count never
+    changes RESULTS (key % buckets only co-locates keys; each kernel sorts
+    within its group) — test-pinned at two bucket counts. A single hot KEY
+    still serializes into one group by construction (per-key order is the
+    semantics); keys hotter than a worker's memory need the windowed
+    pre-aggregation path, not more buckets."""
+    if num_buckets is None:
+        import ray
+
+        cpus = (
+            int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized()
+            else 8
+        )
+        num_buckets = max(32, 4 * cpus)
+    return num_buckets, max(8, num_buckets // 4)
+
+
 def sessionize(
     ds,
     *,
     key: str = "user_id",
     ts: str = "ts",
     gap_s: float = 1800.0,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ):
     """Gap-based sessions per key: a new session starts when the gap to the
     previous event of the same key exceeds ``gap_s`` seconds. Returns one
     row per session: (key, session_start:timestamp[us], n_events:int64,
     duration_s:float64)."""
     gap_us = int(gap_s * 1_000_000)
+    num_buckets, num_partitions = _scaled_buckets(num_buckets)
 
     def tag(batch: pa.Table) -> pa.Table:
         k = batch.column(key).to_numpy().astype(np.int64)
@@ -67,7 +91,7 @@ def sessionize(
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("_bucket", num_partitions=8)
+        .groupby("_bucket", num_partitions=num_partitions)
         .map_groups(sessions, batch_format="pyarrow")
     )
 
@@ -80,7 +104,7 @@ def rolling_sum_by_key(
     value: str,
     id_col: str,
     window_s: float,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ):
     """Trailing RANGE-window aggregate: for each row, sum(value) over rows
     of the same key with ts in [row.ts - window, row.ts] — including
@@ -90,6 +114,7 @@ def rolling_sum_by_key(
     vectorized searchsorted (no per-row work, no per-key re-sort).
     Output: (id_col, roll_sum:float64)."""
     w_us = np.int64(round(window_s * 1e6))
+    num_buckets, num_partitions = _scaled_buckets(num_buckets)
 
     def tag(batch: pa.Table) -> pa.Table:
         k = batch.column(key).to_numpy().astype(np.int64)
@@ -110,14 +135,17 @@ def rolling_sum_by_key(
         ids = group.column("_id").to_numpy()
         order = np.lexsort((tss, keys))
         k_s, t_s, v_s, i_s = keys[order], tss[order], vals[order], ids[order]
-        csum = np.concatenate([[0.0], np.cumsum(v_s)])
         out = np.empty(len(k_s), dtype=np.float64)
         bounds = np.concatenate([[0], np.nonzero(np.diff(k_s))[0] + 1, [len(k_s)]])
         for s, e in zip(bounds[:-1], bounds[1:]):
+            # PER-KEY cumsum (restarted at each segment): a group-wide cumsum
+            # would leak float rounding from whichever OTHER keys share the
+            # bucket, making results depend on the bucket count
             seg_t = t_s[s:e]
-            lo = s + np.searchsorted(seg_t, seg_t - w_us, side="left")
-            hi = s + np.searchsorted(seg_t, seg_t, side="right")
-            out[s:e] = csum[hi] - csum[lo]
+            seg_c = np.concatenate([[0.0], np.cumsum(v_s[s:e])])
+            lo = np.searchsorted(seg_t, seg_t - w_us, side="left")
+            hi = np.searchsorted(seg_t, seg_t, side="right")
+            out[s:e] = seg_c[hi] - seg_c[lo]
         return pa.table(
             {
                 "_id": pa.array(i_s, pa.int64()),
@@ -127,6 +155,6 @@ def rolling_sum_by_key(
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("_bucket", num_partitions=8)
+        .groupby("_bucket", num_partitions=num_partitions)
         .map_groups(roll, batch_format="pyarrow")
     )

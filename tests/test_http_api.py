@@ -51,6 +51,38 @@ def test_health_and_profile(server):
     assert "score_s" in p and "blocks_total" in p
 
 
+def _scrape(url):
+    """GET /metrics -> {metric_name: float} (Prometheus text format)."""
+    with urllib.request.urlopen(url + "/metrics", timeout=10) as r:
+        text = r.read().decode()
+    out = {}
+    for line in text.splitlines():
+        if line.startswith("#") or not line.strip():
+            continue
+        name, val = line.rsplit(" ", 1)
+        out[name] = float(val)
+    return out
+
+
+def test_metrics_counters_move_under_load(server):
+    """GET /metrics is Prometheus-scrapeable and its counters/quantiles move
+    with traffic (the reference's Prometheus surface, clip_torch.py:101-119)."""
+    srv, _ = server
+    before = _scrape(srv.url)
+    assert before["cas_index_docs"] > 0
+    n0 = before.get("cas_search_requests_total", 0)
+    for _ in range(3):
+        _post(srv.url + "/search", {"queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})
+    after = _scrape(srv.url)
+    assert after["cas_search_requests_total"] == n0 + 3
+    assert after.get("cas_search_queries_total", 0) >= 3
+    assert after.get("cas_search_hits_total", 0) > 0
+    assert 'cas_search_latency_seconds{quantile="0.5"}' in after
+    assert after["cas_search_latency_seconds_count"] >= 3
+    assert after["cas_uptime_seconds"] > 0
+
+
 def test_search_over_http_matches_oracle(server):
     srv, corpus = server
     queries = reference_query_table()
@@ -173,5 +205,20 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
         assert [h["conv_id"] for h in hits][:1] == ["convaa"]
         health = json.loads(urllib.request.urlopen(srv.url + "/health").read())
         assert health["n_segments"] == 1
+
+        # lifecycle metrics: write/read counters and segment gauges track
+        # the traffic this test just generated
+        m = _scrape(srv.url)
+        assert m["cas_index_requests_total"] == 2
+        assert m["cas_indexed_turns_total"] == 3
+        assert m["cas_delete_requests_total"] == 1
+        assert m["cas_search_requests_total"] >= 5
+        assert m["cas_phrase_requests_total"] >= 3
+        assert m["cas_segments"] == 1
+        assert m["cas_tombstoned_docs"] == 0  # compacted away
+        # mode pools were spawned by the boolean queries above, then torn
+        # down by the /compact refresh (they re-spawn lazily on demand)
+        assert m["cas_mode_pools"] == 0
+        assert m["cas_error_responses_total"] == 1  # the unknown-mode 400
     finally:
         srv.shutdown()
