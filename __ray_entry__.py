@@ -394,14 +394,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(regexp_extract_all(text, 'merge[ ]part|hash[ ]join')) > 0"
         ),
         "edit_distance_dup_pairs": (
-            # fuzzy near-dups on the bounded subset: length pruning mirrors
-            # the engine's band blocking (|len diff| <= 20)
+            # fuzzy near-dups: length pruning mirrors the engine's band
+            # blocking (|len diff| <= 60); covers the whole sf0.01 table
+            # (331 pairs) so band recall is certified at non-trivial volume
             "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
             "levenshtein(a.text, b.text)::BIGINT AS dist "
             "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
-            "WHERE a.doc_id < 300 AND b.doc_id < 300 "
-            "AND abs(len(a.text) - len(b.text)) <= 20 "
-            "AND levenshtein(a.text, b.text) <= 20"
+            "WHERE a.doc_id < 1000 AND b.doc_id < 1000 "
+            "AND abs(len(a.text) - len(b.text)) <= 60 "
+            "AND levenshtein(a.text, b.text) <= 60"
         ),
         "profile_lineitem": (
             "SELECT col, n_rows, n_nulls, round(min_v, 6)::DOUBLE AS min_v, "

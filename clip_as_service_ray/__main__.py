@@ -72,6 +72,16 @@ def main(argv=None) -> int:
     g.add_argument("--host", default="127.0.0.1")
     g.add_argument("--port", type=int, default=8080)
 
+    w = sub.add_parser(
+        "serve-ws",
+        help="serve a segmented index over WebSocket (async front door: "
+        "JSON ops search/phrase/index/delete/health, streamed batches)",
+    )
+    w.add_argument("--index-root", required=True)
+    w.add_argument("--host", default="127.0.0.1")
+    w.add_argument("--port", type=int, default=8081)
+    w.add_argument("--positions", action="store_true")
+
     c = sub.add_parser(
         "compact",
         help="physically purge tombstoned conversations from a segmented "
@@ -162,6 +172,20 @@ def main(argv=None) -> int:
 
             srv = SegmentedSearchHTTPServer(
                 args.index_root, EngineConfig(), args.host, args.port
+            )
+            print(json.dumps({"serving": srv.url, "index_root": args.index_root}), flush=True)
+            try:
+                srv._thread.join()  # serve until interrupted
+            except KeyboardInterrupt:
+                pass
+            finally:
+                srv.shutdown()
+        elif args.cmd == "serve-ws":
+            from clip_as_service_ray.pipelines.ws_api import WebSocketSearchServer
+
+            srv = WebSocketSearchServer(
+                args.index_root, EngineConfig(), args.host, args.port,
+                positions=args.positions,
             )
             print(json.dumps({"serving": srv.url, "index_root": args.index_root}), flush=True)
             try:

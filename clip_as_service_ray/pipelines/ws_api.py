@@ -1,0 +1,444 @@
+"""WebSocket transport + async client — the engine's second front door.
+
+The reference serves gRPC, HTTP, and WEBSOCKET schemes and ships a full
+async client API (``/root/reference/client/clip_client/client.py:29-54``
+parses ``ws(s)://`` URLs; ``client.py:333,503,647`` are
+``aencode``/``arank``/``aindex``; ``tests/test_asyncio.py`` pins the
+behavior). This module is that surface re-expressed for the batch engine,
+from first principles on the stdlib (no websocket package in the sandbox):
+
+- RFC 6455 framing: handshake (SHA-1 accept key), text/ping/close opcodes,
+  client-side masking, 7/16/64-bit lengths. Fragmented messages (FIN=0)
+  are reassembled per the spec's continuation rules.
+- ``WebSocketSearchServer``: an asyncio server (own thread + event loop) in
+  front of the same SegmentedQueryService / add_segment / delete_convs
+  engine objects the HTTP server mounts — the transport only translates
+  JSON messages <-> Arrow tables. Blocking engine calls run in the loop's
+  default executor so one slow search never stalls the event loop
+  (concurrent clients stay served — the async-server property the
+  reference gets from jina's gateway).
+- Message protocol (one JSON object per text frame):
+    {"op": "search", "id": 7, "queries": [...], "mode"?, "stream"?: chunk}
+      -> {"id": 7, "hits": [...]} or, with "stream": N, a sequence
+         {"id": 7, "seq": k, "final": bool, "hits": [...]} one per
+         N-query chunk (the aencode streamed-batches analog)
+    {"op": "phrase" | "index" | "delete" | "health"} mirror the HTTP body
+- ``AsyncSearchClient``: ``await asearch/aphrase/aindex/adelete/ahealth`` —
+  the aencode/arank/aindex analog, usable from any asyncio app.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import hashlib
+import json
+import os
+import struct
+import threading
+
+from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
+from clip_as_service_ray.pipelines.http_api import (
+    Metrics,
+    _mode_key,
+    _queries_table,
+    _turns_table,
+)
+
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+OP_CONT, OP_TEXT, OP_CLOSE, OP_PING, OP_PONG = 0x0, 0x1, 0x8, 0x9, 0xA
+
+
+def _accept_key(client_key: str) -> str:
+    return base64.b64encode(
+        hashlib.sha1((client_key + _WS_GUID).encode()).digest()
+    ).decode()
+
+
+def encode_frame(payload: bytes, opcode: int = OP_TEXT, mask: bool = False) -> bytes:
+    """One WS frame (FIN set). Servers send unmasked; clients MUST mask."""
+    head = bytearray([0x80 | opcode])
+    n = len(payload)
+    mask_bit = 0x80 if mask else 0
+    if n < 126:
+        head.append(mask_bit | n)
+    elif n < (1 << 16):
+        head.append(mask_bit | 126)
+        head += struct.pack(">H", n)
+    else:
+        head.append(mask_bit | 127)
+        head += struct.pack(">Q", n)
+    if mask:
+        key = os.urandom(4)
+        head += key
+        payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+    return bytes(head) + payload
+
+
+async def read_message(reader) -> tuple[int, bytes]:
+    """Read one complete message (reassembling continuation frames).
+    Returns (opcode, payload); opcode OP_CLOSE on close/EOF."""
+    opcode = None
+    buf = bytearray()
+    while True:
+        hdr = await reader.readexactly(2)
+        fin = bool(hdr[0] & 0x80)
+        op = hdr[0] & 0x0F
+        masked = bool(hdr[1] & 0x80)
+        n = hdr[1] & 0x7F
+        if n == 126:
+            n = struct.unpack(">H", await reader.readexactly(2))[0]
+        elif n == 127:
+            n = struct.unpack(">Q", await reader.readexactly(8))[0]
+        key = await reader.readexactly(4) if masked else None
+        payload = await reader.readexactly(n) if n else b""
+        if key:
+            payload = bytes(b ^ key[i % 4] for i, b in enumerate(payload))
+        if op in (OP_CLOSE, OP_PING, OP_PONG):
+            return op, payload  # control frames are never fragmented
+        if opcode is None:
+            opcode = op  # first (possibly only) data frame
+        buf += payload
+        if fin:
+            return opcode, bytes(buf)
+
+
+class WebSocketSearchServer:
+    """Serve the segmented-index lifecycle over WebSocket; ``port=0`` picks
+    a free port. Same engine objects and write-lock policy as
+    SegmentedSearchHTTPServer — only the transport differs."""
+
+    def __init__(
+        self,
+        index_root: str,
+        config: EngineConfig = DEFAULT_CONFIG,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        positions: bool = False,
+    ):
+        from clip_as_service_ray.pipelines.phrase import SegmentedPhraseService
+        from clip_as_service_ray.pipelines.segments import (
+            SegmentedQueryService,
+            add_segment,
+            delete_convs,
+        )
+
+        self.index_root = index_root
+        self.config = config
+        self.positions = positions
+        self.metrics = Metrics()
+        self._write_lock = threading.Lock()
+        has_index = os.path.exists(os.path.join(index_root, "manifest.json"))
+        self._svc = SegmentedQueryService(index_root, config) if has_index else None
+        self._phrase_svc = None
+        if has_index and positions:
+            try:
+                self._phrase_svc = SegmentedPhraseService(index_root, config, num_cpus=0)
+            except FileNotFoundError:
+                pass
+        self._mode_svcs: dict[tuple, SegmentedQueryService] = {}
+        self._SegmentedQueryService = SegmentedQueryService
+        self._SegmentedPhraseService = SegmentedPhraseService
+        self._add_segment = add_segment
+        self._delete_convs = delete_convs
+
+        self._loop = asyncio.new_event_loop()
+        started = threading.Event()
+
+        def run():
+            asyncio.set_event_loop(self._loop)
+            server = self._loop.run_until_complete(
+                asyncio.start_server(self._handle, host, port)
+            )
+            self._server = server
+            self.host, self.port = server.sockets[0].getsockname()[:2]
+            started.set()
+            self._loop.run_forever()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        started.wait(10)
+
+    @property
+    def url(self) -> str:
+        return f"ws://{self.host}:{self.port}"
+
+    # ---- engine plumbing (blocking; runs in the loop's executor) ----
+
+    def _refresh(self) -> None:
+        old, self._svc = self._svc, None
+        old_p, self._phrase_svc = self._phrase_svc, None
+        old_m, self._mode_svcs = self._mode_svcs, {}
+        if old is not None:
+            old.shutdown()
+        if old_p is not None:
+            old_p.shutdown()
+        for svc in old_m.values():
+            svc.shutdown()
+        self._svc = self._SegmentedQueryService(self.index_root, self.config)
+        if self.positions:
+            try:
+                self._phrase_svc = self._SegmentedPhraseService(
+                    self.index_root, self.config, num_cpus=0
+                )
+            except FileNotFoundError:
+                pass
+
+    def _do_index(self, payload: dict) -> dict:
+        with self._write_lock:
+            rep = self._add_segment(
+                self.index_root, _turns_table(payload), self.config,
+                positions=self.positions,
+            )
+            self._refresh()
+        self.metrics.inc("index_requests_total")
+        return {"n_segments": rep["n_segments"], "n_docs": rep["n_docs"]}
+
+    def _do_delete(self, payload: dict) -> dict:
+        with self._write_lock:
+            rep = self._delete_convs(self.index_root, payload.get("conv_ids", []))
+            self._refresh()
+        self.metrics.inc("delete_requests_total")
+        return rep
+
+    def _search_service(self, payload: dict):
+        key = _mode_key(payload)
+        if key is None:
+            return self._svc
+        svc = self._mode_svcs.get(key)
+        if svc is None and self._svc is not None:
+            with self._write_lock:
+                svc = self._mode_svcs.get(key)
+                if svc is None:
+                    kw = {key[0]: key[1] if len(key) > 1 else True}
+                    svc = self._SegmentedQueryService(
+                        self.index_root, self.config, num_cpus=0, **kw
+                    )
+                    self._mode_svcs[key] = svc
+        return svc
+
+    def _do_search(self, payload: dict) -> dict:
+        svc = self._search_service(payload)
+        if svc is None:
+            return {"error": "index empty or write in progress", "code": 503}
+        hits = svc.search(_queries_table(payload))
+        self.metrics.inc("search_requests_total")
+        self.metrics.inc("search_hits_total", hits.num_rows)
+        return {"hits": hits.to_pylist()}
+
+    def _do_phrase(self, payload: dict) -> dict:
+        svc = self._phrase_svc
+        if svc is None:
+            return {"error": "no positional artifacts", "code": 503}
+        hits = svc.search(_queries_table(payload, with_window=True))
+        self.metrics.inc("phrase_requests_total")
+        return {"hits": hits.to_pylist()}
+
+    def _do_health(self, payload: dict) -> dict:
+        return {
+            "status": "ok",
+            "n_segments": self._svc.n_shards if self._svc is not None else 0,
+        }
+
+    # ---- asyncio connection handler ----
+
+    async def _handshake(self, reader, writer) -> bool:
+        req = await reader.readuntil(b"\r\n\r\n")
+        headers = {}
+        for line in req.decode("latin-1").split("\r\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        key = headers.get("sec-websocket-key")
+        if not key or "websocket" not in headers.get("upgrade", "").lower():
+            writer.write(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+            await writer.drain()
+            return False
+        writer.write(
+            (
+                "HTTP/1.1 101 Switching Protocols\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Accept: {_accept_key(key)}\r\n\r\n"
+            ).encode()
+        )
+        await writer.drain()
+        return True
+
+    async def _handle(self, reader, writer) -> None:
+        try:
+            if not await self._handshake(reader, writer):
+                return
+            loop = asyncio.get_running_loop()
+            while True:
+                try:
+                    op, payload = await read_message(reader)
+                except (asyncio.IncompleteReadError, ConnectionError):
+                    return
+                if op == OP_CLOSE:
+                    writer.write(encode_frame(b"", OP_CLOSE))
+                    await writer.drain()
+                    return
+                if op == OP_PING:
+                    writer.write(encode_frame(payload, OP_PONG))
+                    await writer.drain()
+                    continue
+                if op != OP_TEXT:
+                    continue
+                try:
+                    msg = json.loads(payload)
+                    mid = msg.get("id")
+                    fn = {
+                        "search": self._do_search,
+                        "phrase": self._do_phrase,
+                        "index": self._do_index,
+                        "delete": self._do_delete,
+                        "health": self._do_health,
+                    }.get(msg.get("op"))
+                    if fn is None:
+                        raise ValueError(f"unknown op {msg.get('op')!r}")
+                    chunk = int(msg.get("stream", 0) or 0)
+                    # NOTE: compare the op string, not `fn is self._do_search`
+                    # — bound-method attribute access creates a fresh object
+                    # each time, so `is` on it is always False
+                    if msg.get("op") == "search" and chunk > 0:
+                        # streamed batches: one reply frame per chunk of N
+                        # queries (the aencode progress-stream analog) —
+                        # results start flowing before the batch finishes
+                        queries = msg.get("queries", [])
+                        parts = [
+                            queries[i : i + chunk]
+                            for i in range(0, len(queries), chunk)
+                        ] or [[]]
+                        for k, part in enumerate(parts):
+                            sub = dict(msg, queries=part)
+                            out = await loop.run_in_executor(
+                                None, self._do_search, sub
+                            )
+                            out.update(
+                                {"id": mid, "seq": k, "final": k == len(parts) - 1}
+                            )
+                            writer.write(encode_frame(json.dumps(out).encode()))
+                            await writer.drain()
+                        continue
+                    out = await loop.run_in_executor(None, fn, msg)
+                    out["id"] = mid
+                except (KeyError, ValueError, json.JSONDecodeError) as e:
+                    out = {"id": None, "error": str(e), "code": 400}
+                    self.metrics.inc("error_responses_total")
+                writer.write(encode_frame(json.dumps(out).encode()))
+                await writer.drain()
+        finally:
+            writer.close()
+
+    def shutdown(self) -> None:
+        def stop():
+            self._server.close()
+            self._loop.stop()
+
+        self._loop.call_soon_threadsafe(stop)
+        self._thread.join(timeout=5)
+        if self._svc is not None:
+            self._svc.shutdown()
+        if self._phrase_svc is not None:
+            self._phrase_svc.shutdown()
+        for svc in self._mode_svcs.values():
+            svc.shutdown()
+        self._mode_svcs = {}
+
+
+class AsyncSearchClient:
+    """Asyncio client for WebSocketSearchServer — the ``aencode``/``arank``/
+    ``aindex`` analog (client.py:333,503,647): every call is a coroutine, so
+    an application can interleave searches with its own async work. One
+    in-flight request per connection (replies are matched in order);
+    ``asearch(..., stream=N)`` yields per-chunk hit batches as they arrive."""
+
+    def __init__(self, url: str):
+        if not url.startswith("ws://"):
+            raise ValueError(f"expected ws:// url, got {url!r}")
+        hostport = url[5:].split("/", 1)[0]
+        self.host, port = hostport.rsplit(":", 1)
+        self.port = int(port)
+        self._reader = None
+        self._writer = None
+        self._next_id = 0
+
+    async def connect(self) -> "AsyncSearchClient":
+        self._reader, self._writer = await asyncio.open_connection(
+            self.host, self.port
+        )
+        key = base64.b64encode(os.urandom(16)).decode()
+        self._writer.write(
+            (
+                f"GET / HTTP/1.1\r\nHost: {self.host}:{self.port}\r\n"
+                "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        await self._writer.drain()
+        resp = await self._reader.readuntil(b"\r\n\r\n")
+        status = resp.split(b"\r\n", 1)[0]
+        if b"101" not in status:
+            raise ConnectionError(f"handshake failed: {status!r}")
+        want = _accept_key(key).encode()
+        if want not in resp:
+            raise ConnectionError("bad Sec-WebSocket-Accept")
+        return self
+
+    async def _call(self, msg: dict) -> dict:
+        self._next_id += 1
+        msg["id"] = self._next_id
+        self._writer.write(encode_frame(json.dumps(msg).encode(), mask=True))
+        await self._writer.drain()
+        op, payload = await read_message(self._reader)
+        if op == OP_CLOSE:
+            raise ConnectionError("server closed")
+        out = json.loads(payload)
+        if out.get("error"):
+            raise ValueError(out["error"])
+        return out
+
+    async def asearch(self, queries: list[dict], *, mode: str = "", stream: int = 0,
+                      fuzzy_dist: int = 2):
+        msg = {"op": "search", "queries": queries}
+        if mode:
+            msg["mode"] = mode
+            msg["fuzzy_dist"] = fuzzy_dist
+        if stream:
+            msg["stream"] = int(stream)
+            self._next_id += 1
+            msg["id"] = self._next_id
+            self._writer.write(encode_frame(json.dumps(msg).encode(), mask=True))
+            await self._writer.drain()
+            chunks = []
+            while True:
+                op, payload = await read_message(self._reader)
+                if op == OP_CLOSE:
+                    raise ConnectionError("server closed mid-stream")
+                out = json.loads(payload)
+                if out.get("error"):
+                    raise ValueError(out["error"])
+                chunks.append(out)
+                if out.get("final"):
+                    return chunks
+        return (await self._call(msg))["hits"]
+
+    async def aphrase(self, queries: list[dict]):
+        return (await self._call({"op": "phrase", "queries": queries}))["hits"]
+
+    async def aindex(self, turns: list[dict]) -> dict:
+        return await self._call({"op": "index", "turns": turns})
+
+    async def adelete(self, conv_ids: list[str]) -> dict:
+        return await self._call({"op": "delete", "conv_ids": conv_ids})
+
+    async def ahealth(self) -> dict:
+        return await self._call({"op": "health"})
+
+    async def aclose(self) -> None:
+        if self._writer is not None:
+            self._writer.write(encode_frame(b"", OP_CLOSE, mask=True))
+            await self._writer.drain()
+            self._writer.close()
+            self._writer = None

@@ -1,0 +1,127 @@
+"""WebSocket transport + async client: full index/search/delete lifecycle
+over the second front door (the reference's ws:// scheme + async API,
+client.py:29-54,333; tests/test_asyncio.py analog)."""
+
+import asyncio
+
+from clip_as_service_ray.config import EngineConfig
+from clip_as_service_ray.pipelines.ws_api import (
+    AsyncSearchClient,
+    WebSocketSearchServer,
+)
+
+CFG = EngineConfig(
+    num_index_partitions=2, doc_bucket_size=256, postings_block_size=64,
+    query_concurrency=1,
+)
+
+
+def _turn(conv, text, t=0):
+    return {"conv_id": conv, "turn_idx": t, "role": "user", "text": text}
+
+
+def test_websocket_lifecycle(ray_session, tmp_path):
+    srv = WebSocketSearchServer(str(tmp_path / "wsroot"), CFG)
+    try:
+        async def main():
+            c = await AsyncSearchClient(srv.url).connect()
+            h = await c.ahealth()
+            assert h["status"] == "ok" and h["n_segments"] == 0
+
+            out = await c.aindex(
+                [
+                    _turn("convw", "merge the stream window"),
+                    _turn("convx", "data index layout"),
+                    _turn("convy", "merge merge window"),
+                ]
+            )
+            assert out == {"n_segments": 1, "n_docs": 3, "id": out["id"]}
+
+            hits = await c.asearch(
+                [{"query_id": 0, "text": "merge window", "limit": 5}]
+            )
+            assert {x["conv_id"] for x in hits} == {"convw", "convy"}
+            assert hits[0]["conv_id"] == "convy"  # highest tf first
+
+            # boolean mode through the same socket
+            hits = await c.asearch(
+                [{"query_id": 0, "text": "merge window", "limit": 5,
+                  "exclude": "stream"}],
+                mode="conjunctive",
+            )
+            assert {x["conv_id"] for x in hits} == {"convy"}
+
+            # streamed batches: 4 queries in chunks of 2 -> 2 reply frames
+            qs = [
+                {"query_id": i, "text": t, "limit": 5}
+                for i, t in enumerate(["merge", "window", "data", "layout"])
+            ]
+            chunks = await c.asearch(qs, stream=2)
+            assert len(chunks) == 2
+            assert [ch["seq"] for ch in chunks] == [0, 1]
+            assert chunks[-1]["final"] is True
+            got_qids = {
+                h["query_id"] for ch in chunks for h in ch["hits"]
+            }
+            assert got_qids == {0, 1, 2, 3}
+
+            # delete lifecycle: tombstoned conv disappears immediately
+            await c.adelete(["convy"])
+            hits = await c.asearch(
+                [{"query_id": 0, "text": "merge window", "limit": 5}]
+            )
+            assert {x["conv_id"] for x in hits} == {"convw"}
+
+            # second segment visible on return
+            out = await c.aindex([_turn("convz", "window window window")])
+            assert out["n_segments"] == 2
+            hits = await c.asearch([{"query_id": 0, "text": "window", "limit": 5}])
+            assert "convz" in {x["conv_id"] for x in hits}
+
+            # errors surface as ValueError, connection stays usable
+            try:
+                await c.asearch([{"query_id": 0, "text": "x"}], mode="bogus")
+                raise AssertionError("expected error for unknown mode")
+            except ValueError as e:
+                assert "bogus" in str(e)
+            h = await c.ahealth()
+            assert h["n_segments"] == 2
+            await c.aclose()
+
+        asyncio.run(main())
+        assert srv.metrics._counts["search_requests_total"] >= 5
+        assert srv.metrics._counts["index_requests_total"] == 2
+    finally:
+        srv.shutdown()
+
+
+def test_websocket_concurrent_clients(ray_session, tmp_path):
+    """Two clients interleaving on one event loop — the async-server
+    property: a blocking engine call on one connection must not stall the
+    other (both run through the loop's executor)."""
+    srv = WebSocketSearchServer(str(tmp_path / "wsroot2"), CFG)
+    try:
+        async def main():
+            a = await AsyncSearchClient(srv.url).connect()
+            b = await AsyncSearchClient(srv.url).connect()
+            await a.aindex([_turn("convp", "alpha beta gamma")])
+
+            async def hammer(cli, n):
+                out = []
+                for _ in range(n):
+                    out.append(
+                        await cli.asearch(
+                            [{"query_id": 0, "text": "alpha", "limit": 3}]
+                        )
+                    )
+                return out
+
+            ra, rb = await asyncio.gather(hammer(a, 4), hammer(b, 4))
+            for hits in ra + rb:
+                assert [x["conv_id"] for x in hits] == ["convp"]
+            await a.aclose()
+            await b.aclose()
+
+        asyncio.run(main())
+    finally:
+        srv.shutdown()
