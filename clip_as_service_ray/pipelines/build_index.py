@@ -5,7 +5,7 @@ SURVEY.md §7.4):
 
     read_parquet(transcripts, columns=[conv_id, turn_idx, text])
       ├─ conv extents → prefix-sum → broadcast ConvBase           [small]
-      ├─ ONE fused pass: tokenize_batch ∘ EmitPartials (SPIMI
+      ├─ ONE fused pass: TokenizeEmitPartials (SPIMI
       │    per-batch local index, combiner pre-aggregation)
       │    → partials/part=K/bgrp=J/ parquet                      [map side]
       │    (corpus stats ride along as 1 tiny row per batch under
@@ -37,11 +37,14 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
-from clip_as_service_ray.stages.merge import STATS_PART, EmitPartials, merge_partition
+from clip_as_service_ray.stages.merge import (
+    STATS_PART,
+    TokenizeEmitPartials,
+    merge_partition,
+)
 from clip_as_service_ray.stages.tokenize import (
     build_sharded_conv_base,
     compute_conv_bases,
-    tokenize_batch,
 )
 from clip_as_service_ray.state import manifest as mf
 
@@ -445,19 +448,11 @@ def build_index(
             )
         else:
             emitted = ds.map_batches(
-                tokenize_batch,
-                fn_kwargs={
-                    "conv_base_ref": prep_ref,
-                    "lowercase": config.lowercase,
-                },
-                batch_format="pyarrow",
-                batch_size=config.tokenize_batch_size,
-            ).map_batches(
-                EmitPartials(
+                TokenizeEmitPartials(
                     config.num_index_partitions,
                     config.doc_bucket_size,
                     prep_ref,
-                    emit_stats=True,
+                    lowercase=config.lowercase,
                 ),
                 batch_format="pyarrow",
                 batch_size=config.tokenize_batch_size,

@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 
 from clip_as_service_ray.functions.bpe import bpe_word, merge_ranks, train_bpe
-from clip_as_service_ray.functions.tokenizer import tokenize_column
+from clip_as_service_ray.functions.tokenizer import tokenize_column_flat
 
 
 def word_frequencies(
@@ -42,15 +42,13 @@ def word_frequencies(
     from ray.data.aggregate import Sum
 
     def count_partial(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for terms in tokenize_column(batch.column(text_col)):
-            c.update(terms)
-        if not c:
+        tokens, _ = tokenize_column_flat(batch.column(text_col))
+        if len(tokens) == 0:
             return pa.table({"word": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        words, ns = zip(*c.items())
-        return pa.table({"word": pa.array(list(words), pa.string()),
-                         "n": pa.array(list(ns), pa.int64())})
+        vc = tokens.value_counts()  # C++ hash count, replaces the Counter loop
+        return pa.table({"word": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
 
     agg = (
         ds.map_batches(count_partial, batch_format="pyarrow")
@@ -103,16 +101,10 @@ class BpeEncode:
 
         if len(self.cache) > self.CACHE_MAX:
             self.cache.clear()
-        term_lists = tokenize_column(batch.column(self.text_col))
-        lens = np.fromiter(
-            (len(t) for t in term_lists), dtype=np.int64, count=len(term_lists)
-        )
-        flat_words = (
-            np.concatenate([np.asarray(t, dtype=object) for t in term_lists if t])
-            if lens.sum()
-            else np.array([], dtype=object)
-        )
-        codes, uniques = pd.factorize(flat_words, sort=False)
+        flat_tokens, lens = tokenize_column_flat(batch.column(self.text_col))
+        denc = flat_tokens.dictionary_encode()
+        codes = denc.indices.to_numpy().astype(np.int64) if len(flat_tokens) else np.array([], np.int64)
+        uniques = denc.dictionary.to_pylist()
         encoded = [bpe_word(w, self.ranks, self.cache) for w in uniques]
 
         # ragged assembly: per input row, concatenate its words' token tuples
@@ -120,15 +112,16 @@ class BpeEncode:
             (len(e) for e in encoded), dtype=np.int64, count=len(encoded)
         )
         word_tok_counts = toks_per_word[codes] if len(codes) else np.array([], np.int64)
-        row_of_word = np.repeat(np.arange(len(term_lists)), lens)
+        n_rows = len(lens)
+        row_of_word = np.repeat(np.arange(n_rows), lens)
         n_tokens_row = np.bincount(
-            row_of_word, weights=word_tok_counts, minlength=len(term_lists)
+            row_of_word, weights=word_tok_counts, minlength=n_rows
         ).astype(np.int64)
 
-        flat_tokens = [t for c in codes for t in encoded[c]]
+        flat_bpe = [t for c in codes for t in encoded[c]]
         offsets = np.concatenate([[0], np.cumsum(n_tokens_row)]).astype(np.int64)
         tok_col = pa.LargeListArray.from_arrays(
-            pa.array(offsets, pa.int64()), pa.array(flat_tokens, pa.string())
+            pa.array(offsets, pa.int64()), pa.array(flat_bpe, pa.string())
         )
         return batch.append_column("bpe_tokens", tok_col).append_column(
             "n_bpe_tokens", pa.array(n_tokens_row, pa.int64())

@@ -168,10 +168,27 @@ class EmitPartials:
 
         codes, uniques = pd.factorize(flat_terms, sort=False)
         order = np.lexsort((docs_rep, codes))
-        codes_s = codes[order]
-        docs_s = docs_rep[order]
-        tfs_s = flat_tfs[order]
-        dls_s = dls_rep[order]
+        return self._pack_runs(
+            codes[order],
+            docs_rep[order],
+            flat_tfs[order],
+            dls_rep[order],
+            pa.array(uniques, pa.string()),
+            len(doc_id),
+            int(dl.sum()),
+        )
+
+    def _pack_runs(
+        self,
+        codes_s: np.ndarray,
+        docs_s: np.ndarray,
+        tfs_s: np.ndarray,
+        dls_s: np.ndarray,
+        dict_arr: pa.Array,
+        n_docs: int,
+        sum_dl: int,
+    ) -> pa.Table:
+        """Pack a (term-code, doc)-sorted posting stream into partial runs."""
         buckets_s = docs_s // self.doc_bucket_size
 
         # segment boundaries where term code or doc bucket changes
@@ -185,12 +202,12 @@ class EmitPartials:
         # run columns, fully vectorized: crc32 once per UNIQUE term (the only
         # per-string work), everything else numpy
         crc = np.fromiter(
-            (zlib.crc32(t.encode("utf-8")) for t in uniques),
-            dtype=np.int64, count=len(uniques),
+            (zlib.crc32(t.encode("utf-8")) for t in dict_arr.to_pylist()),
+            dtype=np.int64, count=len(dict_arr),
         )
         parts = (crc % self.num_partitions).astype(np.int32)[run_codes]
         bgrps = (run_buckets // self._grp_width()).astype(np.int32)
-        term_arr = pa.array(uniques, pa.string()).take(pa.array(run_codes, pa.int64()))
+        term_arr = dict_arr.take(pa.array(run_codes, pa.int64()))
 
         # batch-uniform byte widths (uint16 normally; uint32 fallback when a
         # batch carries a larger value — recorded per row so mixed batches
@@ -218,8 +235,77 @@ class EmitPartials:
             schema=PARTIAL_SCHEMA,
         )
         if self.emit_stats:
-            return pa.concat_tables([out, self._stats_table(len(doc_id), int(dl.sum()))])
+            return pa.concat_tables([out, self._stats_table(n_docs, sum_dl)])
         return out
+
+
+class TokenizeEmitPartials(EmitPartials):
+    """ONE fused UDF: raw transcripts batch -> partial posting runs + stats.
+
+    Wire-format- and merge-output-identical to ``tokenize_batch`` ∘
+    ``EmitPartials`` (the merge canonicalizes (term, doc) order), but skips
+    the staging list<string> assembly, re-flatten and second factorize
+    between the two stages — the token stream goes straight from the
+    vectorized tokenizer's flat Arrow array into run packing."""
+
+    def __init__(
+        self,
+        num_partitions: int,
+        doc_bucket_size: int,
+        conv_base_ref,
+        *,
+        lowercase: bool = True,
+        emit_stats: bool = True,
+    ):
+        super().__init__(
+            num_partitions, doc_bucket_size, conv_base_ref, emit_stats=emit_stats
+        )
+        self.conv_base_ref = conv_base_ref
+        self.lowercase = lowercase
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from clip_as_service_ray.functions.tokenizer import tokenize_column_flat
+        from clip_as_service_ray.stages.tokenize import _get_conv_base
+
+        conv_base = _get_conv_base(self.conv_base_ref)
+        conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
+        turn = batch.column("turn_idx").to_numpy().astype(np.int64)
+        flat_tokens, dl = tokenize_column_flat(
+            batch.column("text"), lowercase=self.lowercase
+        )
+        idx = np.nonzero(dl > 0)[0]
+        n_docs_b = len(idx)
+        sum_dl_b = int(dl[idx].sum())
+        if n_docs_b == 0:
+            if self.emit_stats:
+                return self._stats_table(0, 0)
+            return pa.table({n: [] for n in PARTIAL_SCHEMA.names}, schema=PARTIAL_SCHEMA)
+        doc_id = (conv_base.lookup(conv) + turn)[idx]
+        lens = dl[idx]
+        docs_rep = np.repeat(doc_id, lens)
+        dls_rep = np.repeat(lens, lens)
+
+        denc = flat_tokens.dictionary_encode()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        dict_arr = denc.dictionary
+        order = np.lexsort((docs_rep, codes))
+        codes_t = codes[order]
+        docs_t = docs_rep[order]
+        dls_t = dls_rep[order]
+
+        # occurrence stream -> posting-level (term, doc, tf) segments
+        pchange = np.nonzero((np.diff(codes_t) != 0) | (np.diff(docs_t) != 0))[0] + 1
+        p_starts = np.concatenate([[0], pchange])
+        p_ends = np.concatenate([pchange, [len(codes_t)]])
+        return self._pack_runs(
+            codes_t[p_starts],
+            docs_t[p_starts],
+            (p_ends - p_starts).astype(np.int64),
+            dls_t[p_starts],
+            dict_arr,
+            n_docs_b,
+            sum_dl_b,
+        )
 
 
 def _decode_runs(col, widths: np.ndarray, out_dtype) -> np.ndarray:

@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from clip_as_service_ray.functions.tokenizer import tokenize, tokenize_column
+from clip_as_service_ray.functions.tokenizer import tokenize, tokenize_column_flat
 from clip_as_service_ray.stages.merge import _decode_runs, _runs_binary_column
 from clip_as_service_ray.stages.tokenize import _get_conv_base
 from clip_as_service_ray.state.positions import (
@@ -127,22 +127,23 @@ class TokenizePositions:
         conv_base = _get_conv_base(self.conv_base_ref)
         conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
         turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-        term_lists = tokenize_column(batch.column("text"), lowercase=self.lowercase)
-        dl = np.fromiter(
-            (len(t) for t in term_lists), dtype=np.int64, count=len(term_lists)
+        flat_tokens, dl = tokenize_column_flat(
+            batch.column("text"), lowercase=self.lowercase
         )
         idx = np.nonzero(dl > 0)[0]
         if len(idx) == 0:
             return pa.table({n: [] for n in POS_PARTIAL_SCHEMA.names}, schema=POS_PARTIAL_SCHEMA)
         doc_id = (conv_base.lookup(conv) + turn)[idx]
         lens = dl[idx]
-        flat = np.concatenate([np.asarray(term_lists[i], dtype=object) for i in idx])
-        total = len(flat)
+        total = len(flat_tokens)
         row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(row_starts, lens)
         docs_rep = np.repeat(doc_id, lens)
 
-        codes, uniques = pd.factorize(flat, sort=False)
+        denc = flat_tokens.dictionary_encode()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        dict_arr = denc.dictionary
+        uniques = dict_arr.to_pylist()
         order = np.lexsort((pos_in_row, docs_rep, codes))
         codes_s = codes[order].astype(np.int32)
         docs_s = docs_rep[order]
@@ -171,7 +172,7 @@ class TokenizePositions:
         )
         parts = (crc % self.num_partitions).astype(np.int32)[r_code]
         bgrps = (r_bucket // self._grp_width()).astype(np.int32)
-        term_arr = pa.array(uniques, pa.string()).take(pa.array(r_code, pa.int64()))
+        term_arr = dict_arr.take(pa.array(r_code, pa.int64()))
 
         doc_w = 2 if self.doc_bucket_size <= (1 << 16) else 4
         cnt_w = 1 if int(p_cnt.max()) < (1 << 8) else (2 if int(p_cnt.max()) < (1 << 16) else 4)
@@ -262,9 +263,8 @@ class TokenizeEmitFused:
         conv_base = _get_conv_base(self.conv_base_ref)
         conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
         turn = batch.column("turn_idx").to_numpy().astype(np.int64)
-        term_lists = tokenize_column(batch.column("text"), lowercase=self.lowercase)
-        dl = np.fromiter(
-            (len(t) for t in term_lists), dtype=np.int64, count=len(term_lists)
+        flat_tokens, dl = tokenize_column_flat(
+            batch.column("text"), lowercase=self.lowercase
         )
         idx = np.nonzero(dl > 0)[0]
         # stats over indexable (dl > 0) docs only — same drop-empty rule as
@@ -275,14 +275,16 @@ class TokenizeEmitFused:
             return self._stats_table(0, 0)
         doc_id = (conv_base.lookup(conv) + turn)[idx]
         lens = dl[idx]
-        flat = np.concatenate([np.asarray(term_lists[i], dtype=object) for i in idx])
-        total = len(flat)
+        total = len(flat_tokens)
         row_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(row_starts, lens)
         docs_rep = np.repeat(doc_id, lens)
         dls_rep = np.repeat(lens, lens)
 
-        codes, uniques = pd.factorize(flat, sort=False)
+        denc = flat_tokens.dictionary_encode()
+        codes = denc.indices.to_numpy().astype(np.int64)
+        dict_arr = denc.dictionary
+        uniques = dict_arr.to_pylist()
         order = np.lexsort((pos_in_row, docs_rep, codes))
         codes_s = codes[order].astype(np.int32)
         docs_s = docs_rep[order]
@@ -316,7 +318,7 @@ class TokenizeEmitFused:
         )
         parts = (crc % self.num_partitions).astype(np.int32)[r_code]
         bgrps = (r_bucket // self._grp_width()).astype(np.int32)
-        term_arr = pa.array(uniques, pa.string()).take(pa.array(r_code, pa.int64()))
+        term_arr = dict_arr.take(pa.array(r_code, pa.int64()))
 
         # batch-uniform byte widths — the same policy as EmitPartials so the
         # postings wire format is unchanged

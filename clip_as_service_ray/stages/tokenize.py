@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from clip_as_service_ray.functions.tokenizer import tokenize_column
+from clip_as_service_ray.functions.tokenizer import tokenize_column_flat
 
 STAGING_SCHEMA = pa.schema(
     [
@@ -219,13 +219,15 @@ class TokenizeStage:
         self.lowercase = lowercase
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
+        import pyarrow.compute as pc
 
         conv = np.asarray(batch.column("conv_id").to_pylist(), dtype=object)
         turn = batch.column("turn_idx").to_numpy().astype(np.int64)
 
-        term_lists = tokenize_column(batch.column("text"), lowercase=self.lowercase)
-        dl = np.fromiter((len(t) for t in term_lists), dtype=np.int32, count=len(term_lists))
+        flat_tokens, tok_lens = tokenize_column_flat(
+            batch.column("text"), lowercase=self.lowercase
+        )
+        dl = tok_lens.astype(np.int32)
         keep = dl > 0  # drop-empty rule (helper.py:82-86 analog)
 
         doc_id = self.conv_base.lookup(conv) + turn
@@ -233,14 +235,22 @@ class TokenizeStage:
         if len(idx) == 0:
             return STAGING_SCHEMA.empty_table()
 
-        # batch-level tf vectorization: one factorize + one lexsort for the
-        # whole batch instead of a per-row np.unique (the hot path)
-        flat = np.concatenate(
-            [np.asarray(term_lists[i], dtype=object) for i in idx]
-        )
-        lens = dl[idx].astype(np.int64)
+        # batch-level tf vectorization over the FLAT token array: one Arrow
+        # dictionary_encode (C++) + sorted-code remap replaces the object
+        # array flatten + pd.factorize(sort=True) — token-identical, since
+        # UTF-8 byte order == codepoint order == Python str comparison
+        denc = flat_tokens.dictionary_encode()
+        raw_codes = denc.indices.to_numpy().astype(np.int64)
+        dict_arr = denc.dictionary
+        sort_idx = pc.array_sort_indices(dict_arr)
+        rank = np.empty(len(dict_arr), np.int64)
+        rank[sort_idx.to_numpy()] = np.arange(len(dict_arr))
+        codes = rank[raw_codes]
+        uniques_arr0 = dict_arr.take(sort_idx)
+
+        lens = tok_lens[idx]
+        # tokens belong only to non-empty rows; renumber to kept positions
         row_of_tok = np.repeat(np.arange(len(idx)), lens)
-        codes, uniques = pd.factorize(flat, sort=True)  # sorted -> lexicographic terms
         order = np.lexsort((codes, row_of_tok))
         row_s, code_s = row_of_tok[order], codes[order]
         change = np.nonzero((np.diff(row_s) != 0) | (np.diff(code_s) != 0))[0] + 1
@@ -254,8 +264,7 @@ class TokenizeStage:
         terms_per_row = np.bincount(seg_row, minlength=n_rows)
         offsets = np.concatenate([[0], np.cumsum(terms_per_row)]).astype(np.int32)
 
-        uniques_arr = pa.array(uniques, pa.string())
-        flat_terms = uniques_arr.take(pa.array(seg_code, pa.int64()))
+        flat_terms = uniques_arr0.take(pa.array(seg_code, pa.int64()))
         terms_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat_terms)
         tfs_col = pa.ListArray.from_arrays(
             pa.array(offsets, pa.int32()), pa.array(tfs_flat, pa.int32())

@@ -76,3 +76,64 @@ def test_encode_postings_to_blocks():
     np.testing.assert_array_equal(np.concatenate(got_docs), docs)
     np.testing.assert_array_equal(np.concatenate(got_tfs), tfs)
     np.testing.assert_array_equal(np.concatenate(got_dls), dls)
+
+
+def test_fused_emit_equals_chain():
+    """TokenizeEmitPartials (one fused UDF) must produce the same posting
+    multiset {(term, doc, tf, dl)} and the same ride-along stats row as the
+    tokenize_batch ∘ EmitPartials chain on the same batch — the merge
+    canonicalizes order, so set equality here implies identical final
+    artifacts."""
+    from clip_as_service_ray.sources.transcripts import synthesize_transcripts
+    from clip_as_service_ray.stages.merge import (
+        STATS_PART,
+        EmitPartials,
+        TokenizeEmitPartials,
+        _decode_runs,
+    )
+    from clip_as_service_ray.stages.tokenize import compute_conv_bases, tokenize_batch
+
+    tbl = synthesize_transcripts(1500, seed=13)
+    extents = (
+        tbl.select(["conv_id", "turn_idx"])
+        .group_by("conv_id")
+        .aggregate([("turn_idx", "max")])
+        .rename_columns(["conv_id", "max_turn"])
+    )
+    extents = extents.set_column(
+        1, "max_turn", extents.column("max_turn").cast(pa.int64())
+    ).sort_by("conv_id")
+    cb = compute_conv_bases(extents)
+    prep = {"conv_base": cb, "grp_width": 3}
+    bucket = 512
+
+    def postings_set(t: pa.Table):
+        stats = t.filter(
+            pa.compute.equal(t.column("part"), pa.scalar(STATS_PART, pa.int32()))
+        )
+        t = t.filter(
+            pa.compute.not_equal(t.column("part"), pa.scalar(STATS_PART, pa.int32()))
+        )
+        n = t.column("n").to_numpy().astype(np.int64)
+        docs_rel = _decode_runs(t.column("docs"), t.column("doc_w").to_numpy(), np.int64)
+        tfs = _decode_runs(t.column("tfs"), t.column("tf_w").to_numpy(), np.int64)
+        dls = _decode_runs(t.column("dls"), t.column("dl_w").to_numpy(), np.int64)
+        buckets = np.repeat(t.column("bucket").to_numpy().astype(np.int64), n)
+        docs = buckets * bucket + docs_rel
+        terms = np.repeat(np.asarray(t.column("term").to_pylist(), dtype=object), n)
+        stat = (
+            (int(stats.column("n")[0].as_py()), int(stats.column("bucket")[0].as_py()))
+            if stats.num_rows
+            else None
+        )
+        return sorted(zip(terms, docs, tfs, dls)), stat
+
+    chain = EmitPartials(8, bucket, prep, emit_stats=True)(
+        tokenize_batch(tbl, conv_base_ref=prep)
+    )
+    fused = TokenizeEmitPartials(8, bucket, prep)(tbl)
+    chain_posts, chain_stat = postings_set(chain)
+    fused_posts, fused_stat = postings_set(fused)
+    assert chain_stat == fused_stat and chain_stat is not None
+    assert len(chain_posts) == len(fused_posts)
+    assert chain_posts == fused_posts

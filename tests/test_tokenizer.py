@@ -100,3 +100,76 @@ def test_tokenize_column_equals_tokenize_texts():
     # chunked input
     ch = pa.chunked_array([samples[:5], samples[5:]], pa.string())
     assert tokenize_column(ch) == tokenize_texts(samples)
+
+
+def test_tokenize_column_flat_equals_scalar_fuzz():
+    """The vectorized byte-classification path (tokenize_column_flat) must be
+    token-identical to the scalar reference path on adversarial contraction /
+    control-char / unicode-fold cases and on random fuzz, in both case
+    modes. Covers: contraction carving ('s/'t/'re/'ve/'m/'ll/'d incl. the
+    'street prefix-match rule), greedy punct runs over apostrophes, \\x1c-\\x1f
+    (Python-strip-only whitespace), fold-divergent codepoints (İ, final
+    sigma), non-ASCII digits (one token per codepoint), astral-plane chars,
+    '&' entity rows, and <|startoftext|> specials."""
+    import random
+    import string
+
+    import pyarrow as pa
+
+    from clip_as_service_ray.functions.tokenizer import tokenize_column_flat
+
+    def flat_to_lists(tokens, lens):
+        toks = tokens.to_pylist()
+        out, p = [], 0
+        for ln in lens:
+            q = p + int(ln)
+            out.append(toks[p:q])
+            p = q
+        return out
+
+    cases = [
+        "don't stop", "it's can't we'll they'd i've you're shouldn't i'm",
+        "'street 'reach 'verify 'llama 'lt 'm", "a''t x's't", "Tom &amp; Jerry",
+        "<|startoftext|>hello<|endoftext|>", "", "   ",
+        "naïve café 東京 データ 検索 モデル", "abc123!!! x,y;z", "42 7", "a’b",
+        "x'", "'", "a'ref'll", "UPPER Case", None, "tab\there\nnewline",
+        chr(28) + "fs" + chr(31), "a" + chr(28) + "b", chr(28) + "!x",
+        "٣ arabic digits ٤٥", "emoji 😀 astral 𝕏", "İstanbul TURKISH ı",
+        "ΣΊΣΥΦΟΣ greek sigma ς", "中文标点。，！", "ｆｕｌｌｗｉｄｔｈ１２３",
+        "　ideographic space　", "ǅungla titlecase", "x &lt; y &amp; z",
+    ]
+    random.seed(11)
+    charset = (
+        string.ascii_letters + string.digits + " \t\n'\"!?.,;:-_()[]&<>|"
+        + "éİΣ東あ٣😀" + chr(28) + chr(31)
+    )
+    for _ in range(2500):
+        cases.append("".join(random.choice(charset) for _ in range(random.randint(0, 40))))
+    col = pa.array(cases, pa.string())
+    filled = [c if c is not None else "" for c in cases]
+    for lc in (True, False):
+        got = flat_to_lists(*tokenize_column_flat(col, lowercase=lc))
+        exp = tokenize_texts(filled, lowercase=lc)
+        for i, (g, e) in enumerate(zip(got, exp)):
+            assert g == e, (lc, repr(cases[i]), e, g)
+
+
+def test_tokenize_column_flat_fixture_shard():
+    """Flat path == scalar path over a slice of the synthetic transcripts
+    fixture (the actual build input distribution, ~20% unicode-bearing rows)."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.functions.tokenizer import tokenize_column_flat
+    from clip_as_service_ray.sources.transcripts import synthesize_transcripts
+
+    tbl = synthesize_transcripts(4000, seed=9)
+    col = tbl.column("text").combine_chunks()
+    tokens, lens = tokenize_column_flat(col)
+    assert int(lens.sum()) == len(tokens)
+    toks = tokens.to_pylist()
+    exp = tokenize_texts(col.to_pylist())
+    p = 0
+    for i, ln in enumerate(lens):
+        q = p + int(ln)
+        assert toks[p:q] == exp[i], i
+        p = q
