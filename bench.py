@@ -148,11 +148,14 @@ def run_bench() -> dict:
         # steady-state serving throughput through the persistent pool
         svc_b = QueryService(index_dir, cfg)
         try:
-            svc_b.search(qtbl.slice(0, 50))  # warm caches
-            # min over 3 reps: this VM has ~2.5x warm-run variance
-            # (hypervisor demand paging), one sample is not a measurement
+            # warm with the FULL query set: replicas are round-robin, so a
+            # small warm slice leaves most actors' term-score caches cold and
+            # the first timed rep pays their misses (measured 5-6x)
+            svc_b.search(qtbl)
+            # min over reps: this VM has ~2.5x warm-run variance (hypervisor
+            # demand paging), one sample is not a measurement
             batch_times = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.time()
                 n_hits = svc_b.search(qtbl).num_rows
                 batch_times.append(time.time() - t0)

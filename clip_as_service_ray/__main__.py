@@ -62,6 +62,8 @@ def main(argv=None) -> int:
     v.add_argument("--index-dir", required=True)
     v.add_argument("--host", default="127.0.0.1")
     v.add_argument("--port", type=int, default=8080)
+    v.add_argument("--auth-token", default=None,
+                   help="require this Authorization header on every request")
 
     g = sub.add_parser(
         "serve-segmented",
@@ -71,6 +73,8 @@ def main(argv=None) -> int:
     g.add_argument("--index-root", required=True)
     g.add_argument("--host", default="127.0.0.1")
     g.add_argument("--port", type=int, default=8080)
+    g.add_argument("--auth-token", default=None,
+                   help="require this Authorization header on every request")
 
     w = sub.add_parser(
         "serve-ws",
@@ -81,6 +85,8 @@ def main(argv=None) -> int:
     w.add_argument("--host", default="127.0.0.1")
     w.add_argument("--port", type=int, default=8081)
     w.add_argument("--positions", action="store_true")
+    w.add_argument("--auth-token", default=None,
+                   help="require this Authorization header on the ws handshake")
 
     c = sub.add_parser(
         "compact",
@@ -155,7 +161,8 @@ def main(argv=None) -> int:
         elif args.cmd == "serve":
             from clip_as_service_ray.pipelines.http_api import SearchHTTPServer
 
-            srv = SearchHTTPServer(args.index_dir, EngineConfig(), args.host, args.port)
+            srv = SearchHTTPServer(args.index_dir, EngineConfig(), args.host, args.port,
+                                   auth_token=args.auth_token)
             print(json.dumps({"serving": srv.url, "index_dir": args.index_dir}), flush=True)
             try:
                 srv._thread.join()  # serve until interrupted
@@ -171,7 +178,8 @@ def main(argv=None) -> int:
             from clip_as_service_ray.pipelines.http_api import SegmentedSearchHTTPServer
 
             srv = SegmentedSearchHTTPServer(
-                args.index_root, EngineConfig(), args.host, args.port
+                args.index_root, EngineConfig(), args.host, args.port,
+                auth_token=args.auth_token,
             )
             print(json.dumps({"serving": srv.url, "index_root": args.index_root}), flush=True)
             try:
@@ -185,7 +193,7 @@ def main(argv=None) -> int:
 
             srv = WebSocketSearchServer(
                 args.index_root, EngineConfig(), args.host, args.port,
-                positions=args.positions,
+                positions=args.positions, auth_token=args.auth_token,
             )
             print(json.dumps({"serving": srv.url, "index_root": args.index_root}), flush=True)
             try:

@@ -81,6 +81,18 @@ class Metrics:
         return "\n".join(lines) + "\n"
 
 
+def _auth_ok(handler, token: str | None) -> bool:
+    """Authorization pass-through (client.py:26-64, 208: the reference sends
+    ``credential={'Authorization': <token>}`` as a request header and the
+    gateway rejects mismatches). ``token=None`` disables the check."""
+    if token is None:
+        return True
+    got = handler.headers.get("Authorization", "")
+    if got.startswith("Bearer "):  # accept both raw and Bearer forms
+        got = got[7:]
+    return got == token
+
+
 def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
     qs = payload.get("queries", [])
     cols = {
@@ -123,6 +135,7 @@ class SearchHTTPServer:
         config: EngineConfig = DEFAULT_CONFIG,
         host: str = "127.0.0.1",
         port: int = 0,
+        auth_token: str | None = None,
     ):
         self.service = QueryService(index_dir, config)
         self.metrics = Metrics()
@@ -133,6 +146,7 @@ class SearchHTTPServer:
         stats = mf.read_json(os.path.join(index_dir, "stats.json"))
         service = self.service
         metrics = self.metrics
+        token = auth_token
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -155,8 +169,11 @@ class SearchHTTPServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path == "/health":
+                if self.path == "/health":  # liveness stays unauthenticated
                     self._send(200, {"status": "ok", "n_docs": stats["n_docs"]})
+                elif not _auth_ok(self, token):
+                    metrics.inc("auth_failures_total")
+                    self._send(401, {"error": "unauthorized"})
                 elif self.path == "/profile":
                     self._send(200, service.profile())
                 elif self.path == "/metrics":
@@ -175,6 +192,10 @@ class SearchHTTPServer:
                     self._send(404, {"error": f"unknown path {self.path}"})
 
             def do_POST(self):
+                if not _auth_ok(self, token):
+                    metrics.inc("auth_failures_total")
+                    self._send(401, {"error": "unauthorized"})
+                    return
                 if self.path != "/search":
                     self._send(404, {"error": f"unknown path {self.path}"})
                     return
@@ -264,6 +285,7 @@ class SegmentedSearchHTTPServer:
         host: str = "127.0.0.1",
         port: int = 0,
         positions: bool = True,
+        auth_token: str | None = None,
     ):
         import os
 
@@ -289,6 +311,7 @@ class SegmentedSearchHTTPServer:
         # co-resident pools share cores with the primary OR pool)
         self._mode_svcs: dict[tuple, SegmentedQueryService] = {}
         self._phrase_svc = None
+        token = auth_token
         if has_index and positions:
             try:
                 self._phrase_svc = SegmentedPhraseService(
@@ -341,11 +364,14 @@ class SegmentedSearchHTTPServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path == "/health":
+                if self.path == "/health":  # liveness stays unauthenticated
                     n_seg = 0
                     if outer._svc is not None:
                         n_seg = outer._svc.n_shards
                     self._send(200, {"status": "ok", "n_segments": n_seg})
+                elif not _auth_ok(self, token):
+                    outer.metrics.inc("auth_failures_total")
+                    self._send(401, {"error": "unauthorized"})
                 elif self.path == "/metrics":
                     svc = outer._svc
                     gauges = {
@@ -364,6 +390,10 @@ class SegmentedSearchHTTPServer:
 
             def do_POST(self):
                 metrics = outer.metrics
+                if not _auth_ok(self, token):
+                    metrics.inc("auth_failures_total")
+                    self._send(401, {"error": "unauthorized"})
+                    return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     payload = json.loads(self.rfile.read(n) or b"{}")
@@ -477,3 +507,71 @@ class SegmentedSearchHTTPServer:
         for svc in self._mode_svcs.values():
             svc.shutdown()
         self._mode_svcs = {}
+
+
+class SearchHTTPClient:
+    """Thin synchronous client for the HTTP servers, with the reference's
+    credential contract (client.py:26-64): ``credential={'Authorization':
+    <token>}`` wins, else the ``CLIP_AUTH_TOKEN`` env var; the token rides
+    every request as the ``Authorization`` header (client.py:208,429).
+    stdlib-urllib only — no dependency beyond what the servers use."""
+
+    def __init__(self, server: str, credential: dict | None = None, timeout: float = 30.0):
+        import os
+        from urllib.parse import urlparse
+
+        r = urlparse(server)
+        if r.scheme not in ("http", "https"):
+            raise ValueError(f"{server!r} is not a valid http(s) server URL")
+        self.base = f"{r.scheme}://{r.hostname}:{r.port or (443 if r.scheme == 'https' else 80)}"
+        self.timeout = timeout
+        self._authorization = (credential or {}).get(
+            "Authorization", os.environ.get("CLIP_AUTH_TOKEN")
+        )
+
+    def _request(self, path: str, payload: dict | None = None) -> dict | str:
+        import urllib.error
+        import urllib.request
+
+        headers = {"Content-Type": "application/json"}
+        if self._authorization:
+            headers["Authorization"] = self._authorization
+        data = json.dumps(payload).encode() if payload is not None else None
+        req = urllib.request.Request(self.base + path, data=data, headers=headers)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                body = resp.read().decode()
+        except urllib.error.HTTPError as e:
+            detail = e.read().decode(errors="replace")
+            raise PermissionError(detail) if e.code == 401 else ValueError(detail)
+        ctype = resp.headers.get("Content-Type", "")
+        return json.loads(body) if "json" in ctype else body
+
+    def health(self) -> dict:
+        return self._request("/health")
+
+    def profile(self) -> dict:
+        return self._request("/profile")
+
+    def metrics(self) -> str:
+        return self._request("/metrics")
+
+    def search(self, queries: list[dict], *, mode: str = "", fuzzy_dist: int = 2) -> list[dict]:
+        payload: dict = {"queries": queries}
+        if mode:
+            payload["mode"] = mode
+            if mode == "fuzzy":
+                payload["fuzzy_dist"] = fuzzy_dist
+        return self._request("/search", payload)["hits"]
+
+    def phrase(self, queries: list[dict]) -> list[dict]:
+        return self._request("/phrase", {"queries": queries})["hits"]
+
+    def index(self, turns: list[dict]) -> dict:
+        return self._request("/index", {"turns": turns})
+
+    def delete(self, conv_ids: list[str]) -> dict:
+        return self._request("/delete", {"conv_ids": conv_ids})
+
+    def compact(self) -> dict:
+        return self._request("/compact", {})

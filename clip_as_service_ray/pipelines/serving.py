@@ -34,6 +34,7 @@ class QueryService:
         import ray
 
         self.config = config
+        self.index_dir = index_dir
         n = num_replicas or config.query_concurrency
         worker = ray.remote(num_cpus=1)(QueryScorer)
         self.replicas = [

@@ -116,6 +116,7 @@ class WebSocketSearchServer:
         host: str = "127.0.0.1",
         port: int = 0,
         positions: bool = False,
+        auth_token: str | None = None,
     ):
         from clip_as_service_ray.pipelines.phrase import SegmentedPhraseService
         from clip_as_service_ray.pipelines.segments import (
@@ -127,6 +128,7 @@ class WebSocketSearchServer:
         self.index_root = index_root
         self.config = config
         self.positions = positions
+        self.auth_token = auth_token
         self.metrics = Metrics()
         self._write_lock = threading.Lock()
         has_index = os.path.exists(os.path.join(index_root, "manifest.json"))
@@ -255,6 +257,19 @@ class WebSocketSearchServer:
             writer.write(b"HTTP/1.1 400 Bad Request\r\n\r\n")
             await writer.drain()
             return False
+        if self.auth_token is not None:
+            # credential pass-through at the upgrade (client.py:26-64): the
+            # Authorization header rides the handshake request, so every op
+            # on the connection is covered (the reference warns ws lacks
+            # credentials, client.py:48-52 — this transport supports them)
+            got = headers.get("authorization", "")
+            if got.startswith("Bearer "):
+                got = got[7:]
+            if got != self.auth_token:
+                self.metrics.inc("auth_failures_total")
+                writer.write(b"HTTP/1.1 401 Unauthorized\r\n\r\n")
+                await writer.drain()
+                return False
         writer.write(
             (
                 "HTTP/1.1 101 Switching Protocols\r\n"
@@ -354,12 +369,17 @@ class AsyncSearchClient:
     in-flight request per connection (replies are matched in order);
     ``asearch(..., stream=N)`` yields per-chunk hit batches as they arrive."""
 
-    def __init__(self, url: str):
+    def __init__(self, url: str, credential: dict | None = None):
         if not url.startswith("ws://"):
             raise ValueError(f"expected ws:// url, got {url!r}")
         hostport = url[5:].split("/", 1)[0]
         self.host, port = hostport.rsplit(":", 1)
         self.port = int(port)
+        # credential contract cloned from client.py:26-64: explicit
+        # {'Authorization': token} wins, else the CLIP_AUTH_TOKEN env var
+        self._authorization = (credential or {}).get(
+            "Authorization", os.environ.get("CLIP_AUTH_TOKEN")
+        )
         self._reader = None
         self._writer = None
         self._next_id = 0
@@ -369,10 +389,16 @@ class AsyncSearchClient:
             self.host, self.port
         )
         key = base64.b64encode(os.urandom(16)).decode()
+        auth = (
+            f"Authorization: {self._authorization}\r\n"
+            if self._authorization
+            else ""
+        )
         self._writer.write(
             (
                 f"GET / HTTP/1.1\r\nHost: {self.host}:{self.port}\r\n"
                 "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                f"{auth}"
                 f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
             ).encode()
         )

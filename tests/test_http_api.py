@@ -222,3 +222,55 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
         assert m["cas_error_responses_total"] == 1  # the unknown-mode 400
     finally:
         srv.shutdown()
+
+
+def test_auth_pass_through(server, tmp_path):
+    """Authorization pass-through (client.py:26-64,208): a server started
+    with auth_token rejects unauthenticated/mistokened requests with 401,
+    accepts the credential header (raw and Bearer forms) and the
+    CLIP_AUTH_TOKEN env fallback, and keeps /health open for liveness."""
+    import os
+
+    from clip_as_service_ray.pipelines.http_api import SearchHTTPClient
+
+    srv, corpus = server
+    auth_srv = SearchHTTPServer(srv.service.index_dir, CFG, auth_token="s3cr3t")
+    try:
+        # /health unauthenticated
+        with urllib.request.urlopen(auth_srv.url + "/health", timeout=10) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        # unauthenticated search -> 401
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(auth_srv.url + "/search",
+                  {"queries": [{"query_id": 0, "text": "index", "limit": 3}]})
+        assert ei.value.code == 401
+        # wrong token -> 401 (client surfaces PermissionError)
+        bad = SearchHTTPClient(auth_srv.url, credential={"Authorization": "nope"})
+        with pytest.raises(PermissionError):
+            bad.search([{"query_id": 0, "text": "index", "limit": 3}])
+        # right token -> same hits as the unauthenticated server
+        good = SearchHTTPClient(auth_srv.url, credential={"Authorization": "s3cr3t"})
+        hits = good.search([{"query_id": 0, "text": "index", "limit": 3}])
+        ref = _post(srv.url + "/search",
+                    {"queries": [{"query_id": 0, "text": "index", "limit": 3}]})["hits"]
+        assert hits == ref and len(hits) == 3
+        # Bearer form
+        req = urllib.request.Request(
+            auth_srv.url + "/search",
+            data=json.dumps({"queries": [{"query_id": 0, "text": "index", "limit": 1}]}).encode(),
+            headers={"Content-Type": "application/json", "Authorization": "Bearer s3cr3t"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert len(json.loads(r.read())["hits"]) == 1
+        # env fallback (client.py:64-65)
+        os.environ["CLIP_AUTH_TOKEN"] = "s3cr3t"
+        try:
+            envc = SearchHTTPClient(auth_srv.url)
+            assert envc.search([{"query_id": 0, "text": "index", "limit": 2}]) == ref[:2]
+        finally:
+            del os.environ["CLIP_AUTH_TOKEN"]
+        # auth failures show up on the (authenticated) metrics scrape
+        m = good.metrics()
+        assert "cas_auth_failures_total" in m
+    finally:
+        auth_srv.shutdown()

@@ -125,3 +125,54 @@ def test_websocket_concurrent_clients(ray_session, tmp_path):
         asyncio.run(main())
     finally:
         srv.shutdown()
+
+
+def test_websocket_auth(ray_session, tmp_path):
+    """Credential pass-through on the websocket transport: the Authorization
+    header rides the upgrade handshake (client.py:26-64 contract — explicit
+    {'Authorization': token} or the CLIP_AUTH_TOKEN env var); a missing or
+    wrong token is rejected at the handshake with 401 before any op runs.
+    (The reference warns ws lacks credential support, client.py:48-52; this
+    transport closes that gap.)"""
+    import os
+
+    srv = WebSocketSearchServer(str(tmp_path / "wsauth"), CFG, auth_token="tok-42")
+    try:
+        async def main():
+            # no credential -> handshake refused
+            try:
+                await AsyncSearchClient(srv.url).connect()
+                raise AssertionError("unauthenticated handshake succeeded")
+            except ConnectionError as e:
+                assert "401" in str(e)
+            # wrong credential -> refused
+            try:
+                await AsyncSearchClient(
+                    srv.url, credential={"Authorization": "nope"}
+                ).connect()
+                raise AssertionError("mistokened handshake succeeded")
+            except ConnectionError as e:
+                assert "401" in str(e)
+            # right credential -> full lifecycle works on the socket
+            c = await AsyncSearchClient(
+                srv.url, credential={"Authorization": "tok-42"}
+            ).connect()
+            out = await c.aindex([_turn("convz", "auth data index")])
+            assert out["n_docs"] == 1
+            hits = await c.asearch([{"query_id": 0, "text": "auth", "limit": 3}])
+            assert hits and hits[0]["conv_id"] == "convz"
+            await c.aclose()
+            # env fallback
+            os.environ["CLIP_AUTH_TOKEN"] = "tok-42"
+            try:
+                c2 = await AsyncSearchClient(srv.url).connect()
+                h = await c2.ahealth()
+                assert h["status"] == "ok"
+                await c2.aclose()
+            finally:
+                del os.environ["CLIP_AUTH_TOKEN"]
+
+        asyncio.run(main())
+        assert srv.metrics._counts.get("auth_failures_total", 0) >= 2
+    finally:
+        srv.shutdown()
