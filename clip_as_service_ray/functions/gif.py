@@ -13,10 +13,12 @@ video-analog pipeline. Format per the public GIF89a specification:
 - LZW: variable code width (min_code_size+1 .. 12 bits), CLEAR resets the
   dictionary, EOI terminates.
 
-Frame composition: frames render onto the running canvas at their rect
-(disposal modes 0/1 semantics — "leave in place"); transparent pixels leave
-the canvas unchanged. Disposal 2/3 (restore-to-background/previous) raise
-NotImplementedError — rare in data-pipeline GIFs and honestly out of scope.
+Frame composition: frames render onto the running canvas at their rect;
+transparent pixels leave the canvas unchanged. All four disposal modes are
+implemented (GIF89a §23): 0/1 leave the rect in place, 2 restores it to the
+logical screen's background color (we compose onto RGB, so "background" is
+the GCT color at the bg index rather than transparency), 3 restores the
+pre-frame canvas content; the disposal runs when the NEXT frame arrives.
 
 The encoder performs REAL LZW compression (dictionary growth through the
 full 12-bit range with CLEAR on overflow) and can emit interlaced and
@@ -168,8 +170,14 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> list[np.
         gct = np.frombuffer(payload[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
         pos += 3 * n
     canvas = np.zeros((h, w, 3), dtype=np.uint8)  # black until first frame
+    # restore-to-background fills with the logical screen's background color
+    # (GIF89a §18; we compose onto an RGB canvas, so "background" is the GCT
+    # color at the bg index rather than transparency)
+    bg_rgb = gct[_bg] if (gct is not None and _bg < len(gct)) else np.zeros(3, np.uint8)
     frames: list[np.ndarray] = []
     transparent = None
+    disposal = 0
+    pending: tuple | None = None  # previous frame's (mode, rect, saved)
     while pos < len(payload):
         b = payload[pos]
         pos += 1
@@ -187,16 +195,22 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> list[np.
                 assert payload[pos] == 0
                 pos += 1
                 disposal = (gflags >> 2) & 0x7
-                if disposal >= 2:
-                    raise NotImplementedError(
-                        f"GIF disposal method {disposal} (restore modes)"
-                    )
+                if disposal > 3:
+                    raise ValueError(f"GIF disposal method {disposal} reserved")
                 transparent = tidx if (gflags & 0x1) else None
             else:  # comment / app / plain-text: skip sub-blocks
                 _data, pos = _read_sub_blocks(payload, pos)
             continue
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block {b:#x}")
+        if pending is not None:
+            # the PREVIOUS frame's disposal runs when the next frame arrives
+            mode, (py, px, ph, pw), saved = pending
+            if mode == 2:  # restore to background color
+                canvas[py : py + ph, px : px + pw] = bg_rgb
+            else:  # 3: restore to the pre-frame canvas content
+                canvas[py : py + ph, px : px + pw] = saved
+            pending = None
         fx, fy, fw, fh, iflags = struct.unpack("<HHHHB", payload[pos:pos + 9])
         pos += 9
         ct = gct
@@ -212,6 +226,12 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> list[np.
         idx = _lzw_decode(data, mcs, fw * fh).reshape(fh, fw)
         if iflags & 0x40:  # interlaced
             idx = idx[_deinterlace_rows(fh)]
+        if disposal in (2, 3):
+            pending = (
+                disposal,
+                (fy, fx, fh, fw),
+                canvas[fy : fy + fh, fx : fx + fw].copy() if disposal == 3 else None,
+            )
         rect = canvas[fy:fy + fh, fx:fx + fw]
         px = ct[np.minimum(idx, len(ct) - 1)]
         if transparent is not None:
@@ -221,6 +241,7 @@ def decode_gif_frames(payload: bytes, max_frames: int | None = None) -> list[np.
             rect[:, :] = px
         frames.append(canvas.copy())
         transparent = None
+        disposal = 0
         if max_frames is not None and len(frames) >= max_frames:
             break
     if not frames:
@@ -248,14 +269,29 @@ def _palettize(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def encode_gif(
-    frames: np.ndarray | list[np.ndarray], *, interlace: bool = False
+    frames: np.ndarray | list[np.ndarray],
+    *,
+    interlace: bool = False,
+    offsets: list[tuple[int, int]] | None = None,
+    disposals: list[int] | None = None,
+    bg_color: tuple[int, int, int] | None = None,
 ) -> bytes:
-    """(h, w, 3) uint8 frame or list of same-size frames -> GIF89a bytes.
-    One shared global palette (exact colors across all frames, <=256)."""
+    """(h, w, 3) uint8 frame or list of frames -> GIF89a bytes. One shared
+    global palette (exact colors across all frames, <=256). Frame 0 sets
+    the logical screen size; later frames may be smaller sub-rects placed
+    at ``offsets[i]`` (x, y). ``disposals[i]`` emits a graphic-control
+    extension with that disposal mode (0/1 leave, 2 restore-to-background,
+    3 restore-to-previous); ``bg_color`` sets the screen background color
+    (added to the palette)."""
     if isinstance(frames, np.ndarray):
         frames = [frames]
+    offsets = offsets or [(0, 0)] * len(frames)
+    disposals = disposals or [0] * len(frames)
     h, w = frames[0].shape[:2]
-    stacked = np.concatenate([f.reshape(-1, 3) for f in frames])
+    stacked = np.concatenate(
+        [f.reshape(-1, 3) for f in frames]
+        + ([np.asarray([bg_color], np.uint8)] if bg_color is not None else [])
+    )
     pal, _ = _palettize(stacked.reshape(1, -1, 3))
     pal_bits = max(1, int(np.ceil(np.log2(max(2, len(pal))))))
     n_slots = 1 << pal_bits
@@ -266,24 +302,31 @@ def encode_gif(
         | (pal[:, 1].astype(np.uint32) << 8)
         | pal[:, 2].astype(np.uint32)
     )
+    bg_idx = 0
+    if bg_color is not None:
+        bkey = (bg_color[0] << 16) | (bg_color[1] << 8) | bg_color[2]
+        bg_idx = int(np.searchsorted(pkeys, bkey))
     out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), bg_idx, 0)
     out += pal_full.tobytes()
     mcs = max(2, pal_bits)
-    for f in frames:
+    for f, (fx, fy), disp in zip(frames, offsets, disposals):
+        fh, fw = f.shape[:2]
+        if disp:
+            out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, (disp & 0x7) << 2, 0, 0, 0)
         keys = (
             (f[..., 0].astype(np.uint32) << 16)
             | (f[..., 1].astype(np.uint32) << 8)
             | f[..., 2].astype(np.uint32)
         ).reshape(-1)
         idx = np.searchsorted(pkeys, keys)  # pkeys sorted by construction
-        rows = idx.reshape(h, w).astype(np.uint8)
+        rows = idx.reshape(fh, fw).astype(np.uint8)
         iflags = 0
         if interlace:
             # stream order = pass order = argsort of the decoder's inverse
-            rows = rows[np.argsort(_deinterlace_rows(h), kind="stable")]
+            rows = rows[np.argsort(_deinterlace_rows(fh), kind="stable")]
             iflags |= 0x40
-        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, iflags)
+        out += struct.pack("<BHHHHB", 0x2C, fx, fy, fw, fh, iflags)
         out.append(mcs)
         out += _sub_blocks(_LZWEncoder(mcs).encode(rows.reshape(-1)))
     out.append(0x3B)

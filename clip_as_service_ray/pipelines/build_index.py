@@ -184,12 +184,46 @@ def _assert_shared_storage(index_dir: str) -> None:
             )
 
 
+def _file_extents(path: str) -> pa.Table:
+    """(conv_id, max_turn) for ONE parquet file — the per-file leg of the
+    parallel extents scan."""
+    t = pq.read_table(path, columns=["conv_id", "turn_idx"])
+    g = t.group_by("conv_id").aggregate([("turn_idx", "max")])
+    return g.rename_columns(["conv_id", "max_turn"])
+
+
 def _prep_task(source, doc_bucket_size: int, merge_groups_per_part: int) -> dict:
     """Ray-task body: extents scan + planning (off the driver, overlapped
-    with the fused tokenize pass)."""
-    return _prep_from_extents(
-        _conv_extents_driver(source), doc_bucket_size, merge_groups_per_part
-    )
+    with the fused tokenize pass).
+
+    The scan fans out one task per input FILE (max of per-file maxes is the
+    max — conversations straddling file boundaries combine correctly), so
+    the tokenize pass's first batch blocks on ~extents(one file), not
+    extents(corpus): the prep used to be a 1-2 s serial prefix on the whole
+    build at every parallelism level."""
+    import ray
+
+    files: list[str] = []
+    if isinstance(source, str) and os.path.isdir(source):
+        files = sorted(
+            os.path.join(source, f)
+            for f in os.listdir(source)
+            if f.endswith(".parquet")
+        )
+    elif isinstance(source, list):
+        files = [s for s in source if isinstance(s, str) and os.path.isfile(s)]
+    if len(files) > 1:
+        fx = ray.remote(num_cpus=1)(_file_extents)
+        parts = pa.concat_tables(ray.get([fx.remote(f) for f in files]))
+        g = parts.group_by("conv_id").aggregate([("max_turn", "max")])
+        extents = (
+            g.rename_columns(["conv_id", "max_turn"])
+            .set_column(1, "max_turn", g.column("max_turn_max").cast(pa.int64()))
+            .sort_by("conv_id")
+        )
+    else:
+        extents = _conv_extents_driver(source)
+    return _prep_from_extents(extents, doc_bucket_size, merge_groups_per_part)
 
 
 def _source_rows(source) -> int | None:

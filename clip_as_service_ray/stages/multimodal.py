@@ -9,11 +9,11 @@ IMAGE CODEC LIBRARIES ARE NOT AVAILABLE IN THIS ENVIRONMENT, so the three
 common formats decode FOR REAL from first principles: uncompressed 24-bit
 BMP (numpy-only parser, ``decode_bmp``), 8-bit PNG (``decode_png`` —
 stdlib zlib inflate + numpy scanline unfiltering: gray / RGB / palette /
-alpha, all five filter types), and baseline JPEG (``functions/jpeg.py`` —
-T.81 marker parse, Huffman entropy decode with restart markers, batch
-numpy IDCT, 4:2:0 upsampling). ``decode=\"real\"`` raises
-NotImplementedError only for genuinely exotic variants (progressive /
-arithmetic JPEG, 16-bit PNG); ``decode=\"fake\"`` produces a deterministic
+alpha, all five filter types, Adam7 interlacing), and baseline +
+progressive JPEG (``functions/jpeg.py`` — T.81 marker parse, Huffman
+entropy decode with restart markers, batch numpy IDCT, 4:2:0 upsampling).
+``decode=\"real\"`` raises NotImplementedError only for genuinely exotic
+variants (arithmetic / 12-bit JPEG, 16-bit PNG); ``decode=\"fake\"`` produces a deterministic
 pseudo-image derived from the payload bytes (downstream shapes/stats
 testable for any mime). The audio path (``AudioFeatures``) is fully real —
 raw PCM needs no codec. Everything around decode — the Arrow schema,
@@ -169,13 +169,22 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decode with stdlib zlib + numpy only (PNG spec: IHDR/IDAT
     inflate + per-scanline unfiltering). Supports 8-bit depth, color types
-    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced. Returns HxWx3 uint8 RGB (alpha dropped, PIL
-    convert('RGB') semantics). Raises ValueError for non-PNG bytes,
-    NotImplementedError for 16-bit / sub-byte depths and Adam7."""
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both
+    non-interlaced and Adam7-interlaced (each of the 7 passes is an
+    independently-filtered sub-image scattered back onto the pixel grid,
+    spec §8.2). Returns HxWx3 uint8 RGB (alpha dropped, PIL convert('RGB')
+    semantics). Raises ValueError for non-PNG bytes, NotImplementedError
+    for 16-bit / sub-byte depths."""
     import zlib
 
     if payload[:8] != PNG_SIG:
@@ -197,16 +206,34 @@ def decode_png(payload: bytes) -> np.ndarray:
     depth, ctype_n, _comp, _filt, interlace = ihdr[8:13]
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
     if channels is None:
         raise ValueError(f"PNG color type {ctype_n} invalid")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data size mismatch")
-    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    if interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = -(-(w - x0) // xs) if w > x0 else 0
+            ph = -(-(h - y0) // ys) if h > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * channels
+            nbytes = ph * (pstride + 1)
+            if pos + nbytes > len(raw):
+                raise ValueError("PNG Adam7 pixel data size mismatch")
+            sub = _png_unfilter(raw[pos : pos + nbytes], ph, pstride, channels)
+            px[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+            pos += nbytes
+        if pos != len(raw):
+            raise ValueError("PNG Adam7 pixel data size mismatch")
+    else:
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data size mismatch")
+        px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
     if ctype_n == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -219,14 +246,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[..., :3])  # RGB / RGBA->RGB
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """Minimal PNG writer (8-bit RGB, one chosen filter type for every
-    scanline) — test/fixture writer so the real-decode path is exercisable
-    without codec libs; also round-trip proof for the unfilter kernels."""
-    import zlib
-
-    h, w, c = img.shape
-    assert c == 3 and img.dtype == np.uint8 and filter_type in (0, 1, 2, 3, 4)
+def _png_filter_rows(img: np.ndarray, filter_type: int) -> np.ndarray:
+    """Filter one (sub-)image into scanline rows (filter byte + data)."""
+    h, w, _c = img.shape
     px = img.astype(np.int64)
     up = np.zeros((h, w, 3), dtype=np.int64)
     up[1:] = px[:-1]
@@ -252,6 +274,27 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     body = np.zeros((h, 1 + w * 3), dtype=np.uint8)
     body[:, 0] = filter_type
     body[:, 1:] = (filt & 0xFF).astype(np.uint8).reshape(h, w * 3)
+    return body
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0, interlace: bool = False) -> bytes:
+    """Minimal PNG writer (8-bit RGB, one chosen filter type for every
+    scanline; optional Adam7 interlacing with each pass filtered as its own
+    sub-image) — test/fixture writer so the real-decode path is exercisable
+    without codec libs; also round-trip proof for the unfilter kernels."""
+    import zlib
+
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8 and filter_type in (0, 1, 2, 3, 4)
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = img[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_png_filter_rows(np.ascontiguousarray(sub), filter_type).tobytes())
+        body = b"".join(parts)
+    else:
+        body = _png_filter_rows(img, filter_type)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
@@ -259,12 +302,13 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no interlace
+        + bytes([8, 2, 0, 0, 1 if interlace else 0])  # depth 8, RGB, deflate
     )
+    raw = body if isinstance(body, bytes) else body.tobytes()
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(body.tobytes()))
+        + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
 

@@ -229,8 +229,29 @@ def test_png_color_types_and_unsupported():
     )
     with pytest.raises(NotImplementedError):  # 16-bit needs the wide path
         decode_png(manual(w, h, 0, 1, g.ravel(), depth=16))
-    with pytest.raises(NotImplementedError):  # Adam7
+    # Adam7 decodes for real now; a sequential stream mislabeled as
+    # interlaced is a hard size-mismatch error, not a silent misread
+    with pytest.raises(ValueError):
         decode_png(manual(w, h, 0, 1, g.ravel(), interlace=1))
+    # real Adam7 grayscale: pass sub-images in spec order, filter 0
+    adam7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    gh, gw = 11, 9
+    gg = rng.integers(0, 256, (gh, gw, 1), dtype=np.uint8)
+    parts = []
+    for x0, y0, xs, ys in adam7:
+        sub = gg[y0::ys, x0::xs]
+        if sub.shape[0] and sub.shape[1]:
+            parts.append(
+                b"".join(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+            )
+    ipng = (
+        PNG_SIG
+        + chunk(b"IHDR", gw.to_bytes(4, "big") + gh.to_bytes(4, "big") + bytes([8, 0, 0, 0, 1]))
+        + chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(ipng), np.repeat(gg, 3, axis=2))
 
 
 def test_real_png_decode_through_preprocess():
@@ -325,3 +346,62 @@ def test_gif_frame_sampling_real(ray_session):
     for row, fi in enumerate([0, 3, 6]):
         decoded = decode_bmp(out.column("payload")[row].as_py())
         assert np.array_equal(decoded, frames[fi])
+
+
+def test_png_adam7_roundtrip():
+    """Adam7 interlaced PNG: encoder (per-pass filtering) -> decoder
+    (per-pass unfilter + scatter) is pixel-identical to the source across
+    sizes that exercise empty passes (dims < 8) and every filter type."""
+    from clip_as_service_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for (h, w) in [(1, 1), (2, 3), (7, 7), (8, 8), (9, 13), (33, 47), (5, 64)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for ft in range(5):
+            out = decode_png(encode_png(img, filter_type=ft, interlace=True))
+            np.testing.assert_array_equal(out, img, err_msg=f"{h}x{w} f{ft}")
+
+
+def test_gif_disposal_modes():
+    """GIF89a disposal: 2 restores the frame rect to the background color,
+    3 restores the pre-frame canvas; both run when the NEXT frame arrives
+    (spec §23). The encoder emits graphic-control extensions + sub-rect
+    frames so the composition path is exercised end-to-end."""
+    from clip_as_service_ray.functions.gif import decode_gif_frames, encode_gif
+
+    blue = np.full((8, 8, 3), (0, 0, 255), np.uint8)
+    red = np.full((2, 2, 3), (255, 0, 0), np.uint8)
+    green = np.full((2, 2, 3), (0, 255, 0), np.uint8)
+    white = np.full((8, 8, 3), (255, 255, 255), np.uint8)
+    frames = decode_gif_frames(
+        encode_gif(
+            [blue, red, green, white],
+            offsets=[(0, 0), (3, 2), (0, 0), (0, 0)],
+            disposals=[0, 3, 2, 0],
+            bg_color=(17, 34, 51),
+        )
+    )
+    assert len(frames) == 4
+    assert (frames[0] == (0, 0, 255)).all()
+    # frame 1: red patch at x=3..4, y=2..3 on blue
+    assert (frames[1][2:4, 3:5] == (255, 0, 0)).all()
+    assert (frames[1][0, 0] == (0, 0, 255)).all()
+    # frame 2: red patch restored to PREVIOUS (blue); green drawn at origin
+    assert (frames[2][2:4, 3:5] == (0, 0, 255)).all()
+    assert (frames[2][0:2, 0:2] == (0, 255, 0)).all()
+    # frame 3: fully covered by white regardless of the bg restore
+    assert (frames[3] == (255, 255, 255)).all()
+
+    # restore-to-background left visible by a non-covering last frame
+    tiny = np.full((1, 1, 3), (255, 0, 0), np.uint8)
+    fr = decode_gif_frames(
+        encode_gif(
+            [blue, green, tiny],
+            offsets=[(0, 0), (0, 0), (7, 7)],
+            disposals=[0, 2, 0],
+            bg_color=(17, 34, 51),
+        )
+    )
+    assert (fr[2][0:2, 0:2] == (17, 34, 51)).all()  # bg-restored rect
+    assert (fr[2][7, 7] == (255, 0, 0)).all()
+    assert (fr[2][4, 4] == (0, 0, 255)).all()  # untouched canvas stays
