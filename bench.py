@@ -379,14 +379,15 @@ def run_scaling() -> dict:
     # well the work itself scales). 4x the input restores W >> F while
     # keeping each rep under ~30 s; the fixture is cached after first use.
     n_turns = int(os.environ.get("BENCH_SCALING_TURNS", "9600000"))
-    reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "4"))
 
     def run(ncpu: int) -> dict:
         # one fresh process per leg; reps run INSIDE the session so the Ray
         # worker pool stays warm between them (min over reps)
         extra = {"RAY_GRAFT_CPUS": str(ncpu), "BENCH_N_QUERIES": "0",
                  "BENCH_NO_WARM": "1", "BENCH_N_TURNS": str(n_turns),
-                 "BENCH_BUILD_REPS": str(reps)}
+                 "BENCH_BUILD_REPS": str(reps), "BENCH_PHRASE": "0",
+                 "BENCH_SHARDED": "0"}
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=dict(os.environ, **extra), capture_output=True, text=True, check=True,

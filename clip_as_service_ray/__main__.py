@@ -64,6 +64,8 @@ def main(argv=None) -> int:
     v.add_argument("--port", type=int, default=8080)
     v.add_argument("--auth-token", default=None,
                    help="require this Authorization header on every request")
+    v.add_argument("--certfile", default=None, help="serve https:// with this cert")
+    v.add_argument("--keyfile", default=None)
 
     g = sub.add_parser(
         "serve-segmented",
@@ -75,6 +77,8 @@ def main(argv=None) -> int:
     g.add_argument("--port", type=int, default=8080)
     g.add_argument("--auth-token", default=None,
                    help="require this Authorization header on every request")
+    g.add_argument("--certfile", default=None, help="serve https:// with this cert")
+    g.add_argument("--keyfile", default=None)
 
     w = sub.add_parser(
         "serve-ws",
@@ -162,7 +166,8 @@ def main(argv=None) -> int:
             from clip_as_service_ray.pipelines.http_api import SearchHTTPServer
 
             srv = SearchHTTPServer(args.index_dir, EngineConfig(), args.host, args.port,
-                                   auth_token=args.auth_token)
+                                   auth_token=args.auth_token,
+                                   certfile=args.certfile, keyfile=args.keyfile)
             print(json.dumps({"serving": srv.url, "index_dir": args.index_dir}), flush=True)
             try:
                 srv._thread.join()  # serve until interrupted
@@ -180,6 +185,7 @@ def main(argv=None) -> int:
             srv = SegmentedSearchHTTPServer(
                 args.index_root, EngineConfig(), args.host, args.port,
                 auth_token=args.auth_token,
+                certfile=args.certfile, keyfile=args.keyfile,
             )
             print(json.dumps({"serving": srv.url, "index_root": args.index_root}), flush=True)
             try:

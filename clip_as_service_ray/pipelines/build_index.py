@@ -192,6 +192,73 @@ def _file_extents(path: str) -> pa.Table:
     return g.rename_columns(["conv_id", "max_turn"])
 
 
+def _source_files(source) -> list[str]:
+    """Parquet files of a path-like source ([] when not path-like)."""
+    if isinstance(source, str):
+        if os.path.isdir(source):
+            return sorted(
+                os.path.join(source, f)
+                for f in os.listdir(source)
+                if f.endswith(".parquet")
+            )
+        return [source] if os.path.isfile(source) else []
+    if isinstance(source, list):
+        out: list[str] = []
+        for s in source:
+            out.extend(_source_files(s))
+        return out
+    return []
+
+
+def _rg_work_items(source) -> list[dict]:
+    """(file, row-group) work items — the read-in-task plan. Footer-only
+    metadata reads; [] when the source is not path-like."""
+    items: list[dict] = []
+    for f in _source_files(source):
+        try:
+            n_rg = pq.ParquetFile(f).metadata.num_row_groups
+        except Exception:
+            return []
+        items.extend({"path": f, "rg": rg} for rg in range(n_rg))
+    return items
+
+
+class _ReadThenEmit:
+    """Read-in-task fused UDF: one (file, row-group) item -> read the rows
+    INSIDE the task -> tokenize+emit partial runs.
+
+    Why not read_parquet().map_batches(...): Ray Data 2.49 does not fuse the
+    read operator with a downstream map, so every text byte would cross the
+    object store between the read task and the tokenize task. Under
+    first-touch-throttled memory that transfer is the build's largest cost
+    at scale (measured: the plasma hop saturates before the CPUs do). With
+    the read inside the task, only the compact partial runs (~5.6 B/posting)
+    ever enter the object store; parallelism = row groups, the same
+    granularity read_parquet can split to anyway. Peak task memory is one
+    row group, sub-batched to ``batch_size`` rows per emit call."""
+
+    def __init__(self, emit, roles: tuple | None, batch_size: int):
+        self.emit = emit
+        self.roles = tuple(sorted(roles)) if roles else None
+        self.batch_size = batch_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = ["conv_id", "turn_idx", "text"] + (["role"] if self.roles else [])
+        outs = []
+        for i in range(batch.num_rows):
+            path = batch.column("path")[i].as_py()
+            rg = batch.column("rg")[i].as_py()
+            t = pq.ParquetFile(path).read_row_group(rg, columns=cols)
+            if self.roles:
+                mask = pc.is_in(t.column("role"), value_set=pa.array(list(self.roles)))
+                t = t.filter(mask).drop_columns(["role"])
+            for s in range(0, max(t.num_rows, 1), self.batch_size):
+                outs.append(self.emit(t.slice(s, self.batch_size)))
+        return pa.concat_tables(outs)
+
+
 def _prep_task(source, doc_bucket_size: int, merge_groups_per_part: int) -> dict:
     """Ray-task body: extents scan + planning (off the driver, overlapped
     with the fused tokenize pass).
@@ -469,25 +536,33 @@ def build_index(
             # shuffle payload) — stats ride along identically
             from clip_as_service_ray.stages.positions import TokenizeEmitFused
 
-            emitted = ds.map_batches(
-                TokenizeEmitFused(
-                    prep_ref,
-                    config.num_index_partitions,
-                    config.doc_bucket_size,
-                    bucket_grp_width=prep_ref,
-                    lowercase=config.lowercase,
-                ),
+            emit = TokenizeEmitFused(
+                prep_ref,
+                config.num_index_partitions,
+                config.doc_bucket_size,
+                bucket_grp_width=prep_ref,
+                lowercase=config.lowercase,
+            )
+        else:
+            emit = TokenizeEmitPartials(
+                config.num_index_partitions,
+                config.doc_bucket_size,
+                prep_ref,
+                lowercase=config.lowercase,
+            )
+        work_items = _rg_work_items(source)
+        if len(work_items) > 1:
+            # read-in-task: text bytes never enter the object store (see
+            # _ReadThenEmit); one task per parquet row group
+            emitted = ray.data.from_items(
+                work_items, override_num_blocks=len(work_items)
+            ).map_batches(
+                _ReadThenEmit(emit, config.index_roles, config.tokenize_batch_size),
                 batch_format="pyarrow",
-                batch_size=config.tokenize_batch_size,
             )
         else:
             emitted = ds.map_batches(
-                TokenizeEmitPartials(
-                    config.num_index_partitions,
-                    config.doc_bucket_size,
-                    prep_ref,
-                    lowercase=config.lowercase,
-                ),
+                emit,
                 batch_format="pyarrow",
                 batch_size=config.tokenize_batch_size,
             )

@@ -81,6 +81,19 @@ class Metrics:
         return "\n".join(lines) + "\n"
 
 
+
+def _wrap_tls(httpd, certfile: str, keyfile: str | None):
+    """Wrap a ThreadingHTTPServer socket in TLS (the https:// scheme of the
+    reference's gateway, client.py:36-62/44-45). Standard ssl context; the
+    caller provides the cert/key (tests generate a self-signed pair)."""
+    import ssl
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile, keyfile)
+    httpd.socket = ctx.wrap_socket(httpd.socket, server_side=True)
+    return httpd
+
+
 def _auth_ok(handler, token: str | None) -> bool:
     """Authorization pass-through (client.py:26-64, 208: the reference sends
     ``credential={'Authorization': <token>}`` as a request header and the
@@ -136,6 +149,8 @@ class SearchHTTPServer:
         host: str = "127.0.0.1",
         port: int = 0,
         auth_token: str | None = None,
+        certfile: str | None = None,
+        keyfile: str | None = None,
     ):
         self.service = QueryService(index_dir, config)
         self.metrics = Metrics()
@@ -216,13 +231,17 @@ class SearchHTTPServer:
                     self._send(400, {"error": str(e)})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.scheme = "http"
+        if certfile:
+            _wrap_tls(self.httpd, certfile, keyfile)
+            self.scheme = "https"
         self.host, self.port = self.httpd.server_address[:2]
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         self._thread.start()
 
     @property
     def url(self) -> str:
-        return f"http://{self.host}:{self.port}"
+        return f"{self.scheme}://{self.host}:{self.port}"
 
     def shutdown(self) -> None:
         self.httpd.shutdown()
@@ -286,6 +305,8 @@ class SegmentedSearchHTTPServer:
         port: int = 0,
         positions: bool = True,
         auth_token: str | None = None,
+        certfile: str | None = None,
+        keyfile: str | None = None,
     ):
         import os
 
@@ -488,13 +509,17 @@ class SegmentedSearchHTTPServer:
                     self._send(400, {"error": str(e)})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.scheme = "http"
+        if certfile:
+            _wrap_tls(self.httpd, certfile, keyfile)
+            self.scheme = "https"
         self.host, self.port = self.httpd.server_address[:2]
         self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         self._thread.start()
 
     @property
     def url(self) -> str:
-        return f"http://{self.host}:{self.port}"
+        return f"{self.scheme}://{self.host}:{self.port}"
 
     def shutdown(self) -> None:
         self.httpd.shutdown()
@@ -516,7 +541,8 @@ class SearchHTTPClient:
     every request as the ``Authorization`` header (client.py:208,429).
     stdlib-urllib only — no dependency beyond what the servers use."""
 
-    def __init__(self, server: str, credential: dict | None = None, timeout: float = 30.0):
+    def __init__(self, server: str, credential: dict | None = None,
+                 timeout: float = 30.0, cafile: str | None = None):
         import os
         from urllib.parse import urlparse
 
@@ -528,6 +554,14 @@ class SearchHTTPClient:
         self._authorization = (credential or {}).get(
             "Authorization", os.environ.get("CLIP_AUTH_TOKEN")
         )
+        self._ssl_ctx = None
+        if r.scheme == "https":
+            import ssl
+
+            # trust the provided CA (self-signed serving certs included)
+            self._ssl_ctx = ssl.create_default_context(cafile=cafile)
+            if cafile:
+                self._ssl_ctx.check_hostname = False
 
     def _request(self, path: str, payload: dict | None = None) -> dict | str:
         import urllib.error
@@ -539,7 +573,9 @@ class SearchHTTPClient:
         data = json.dumps(payload).encode() if payload is not None else None
         req = urllib.request.Request(self.base + path, data=data, headers=headers)
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            with urllib.request.urlopen(
+                req, timeout=self.timeout, context=self._ssl_ctx
+            ) as resp:
                 body = resp.read().decode()
         except urllib.error.HTTPError as e:
             detail = e.read().decode(errors="replace")

@@ -21,7 +21,27 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from clip_as_service_ray.config import EngineConfig
-from clip_as_service_ray.functions.tokenizer import tokenize_texts
+from clip_as_service_ray.functions.tokenizer import (
+    tokenize_column_flat,
+    tokenize_texts,
+)
+
+
+def _flat_bigrams(col):
+    """(left_tokens, bigram_strings, n_bigrams_per_row) for a text column —
+    adjacent in-row token pairs built with Arrow kernels over the flat token
+    stream (no per-token Python strings). Rows with <2 tokens contribute 0."""
+    tokens, lens = tokenize_column_flat(col)
+    n_bi = np.maximum(lens - 1, 0)
+    if len(tokens) < 2 or int(n_bi.sum()) == 0:
+        empty = pa.array([], pa.string())
+        return empty, empty, n_bi
+    row = np.repeat(np.arange(len(lens)), lens)
+    ok = pa.array(row[:-1] == row[1:])
+    left = tokens.slice(0, len(tokens) - 1).filter(ok)
+    right = tokens.slice(1).filter(ok)
+    grams = pc.binary_join_element_wise(left, right, " ")
+    return left, grams, n_bi
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -37,22 +57,27 @@ def _documents(sf_dir: str, columns=("doc_id", "text")):
 
 def _tokens_flat(batch: pa.Table) -> pa.Table:
     """documents batch -> flat (doc_id, term, tf) rows; per-doc unique terms.
-    Batch-level vectorization (one factorize + one lexsort for the whole
-    batch, the stages/tokenize.tokenize_batch pattern) instead of a per-doc
-    np.unique loop."""
+    Batch-level vectorization over the flat Arrow token stream: vectorized
+    tokenize, one dictionary_encode (sorted-remap for lexicographic terms)
+    and one lexsort for the whole batch instead of a per-doc np.unique loop."""
+    import pyarrow.compute as pc
+
     doc_ids = batch.column("doc_id").to_numpy()
-    term_lists = tokenize_texts(batch.column("text").to_pylist())
-    lens = np.fromiter((len(t) for t in term_lists), np.int64, count=len(term_lists))
-    if lens.sum() == 0:
+    tokens, lens = tokenize_column_flat(batch.column("text"))
+    if len(tokens) == 0:
         return pa.table(
             {"doc_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
              "tf": pa.array([], pa.int64())}
         )
-    flat = np.concatenate(
-        [np.asarray(t, dtype=object) for t in term_lists if len(t)]
-    )
+    denc = tokens.dictionary_encode()
+    raw_codes = denc.indices.to_numpy().astype(np.int64)
+    dict_arr = denc.dictionary
+    sort_idx = pc.array_sort_indices(dict_arr)
+    rank = np.empty(len(dict_arr), np.int64)
+    rank[sort_idx.to_numpy()] = np.arange(len(dict_arr))
+    codes = rank[raw_codes]
+    uniques_sorted = dict_arr.take(sort_idx)
     row_of_tok = np.repeat(np.arange(len(doc_ids)), lens)
-    codes, uniques = pd.factorize(flat, sort=True)
     order = np.lexsort((codes, row_of_tok))
     row_s, code_s = row_of_tok[order], codes[order]
     change = np.nonzero((np.diff(row_s) != 0) | (np.diff(code_s) != 0))[0] + 1
@@ -61,9 +86,7 @@ def _tokens_flat(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "doc_id": pa.array(doc_ids[row_s[starts]], pa.int64()),
-            "term": pa.array(uniques, pa.string()).take(
-                pa.array(code_s[starts], pa.int64())
-            ),
+            "term": uniques_sorted.take(pa.array(code_s[starts], pa.int64())),
             "tf": pa.array((ends - starts).astype(np.int64), pa.int64()),
         }
     )
@@ -112,8 +135,7 @@ def corpus_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def dl_batch(batch: pa.Table) -> pa.Table:
-        term_lists = tokenize_texts(batch.column("text").to_pylist())
-        dl = np.fromiter((len(t) for t in term_lists), dtype=np.int64, count=len(term_lists))
+        _tokens, dl = tokenize_column_flat(batch.column("text"))
         return pa.table({"dl": pa.array(dl[dl > 0], pa.int64())})
 
     ds = _documents(sf_dir).map_batches(dl_batch, batch_format="pyarrow")
@@ -687,12 +709,18 @@ def doc_fingerprints(sf_dir: str):
     from clip_as_service_ray.functions.textstats import fingerprint
 
     def fn(batch: pa.Table) -> pa.Table:
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        if len(tokens):
+            denc = tokens.dictionary_encode()
+            codes = denc.indices.to_numpy().astype(np.int64)
+            uniq_h = hash_terms(np.asarray(denc.dictionary.to_pylist(), dtype=object))
+            tok_h = uniq_h[codes]  # hash once per DISTINCT token, gather
         fps = []
-        for terms in tokenize_texts(batch.column("text").to_pylist()):
-            if not terms:
-                fps.append("0")
-            else:
-                fps.append(str(int(fingerprint(hash_terms(np.asarray(terms, dtype=object))))))
+        p = 0
+        for n in lens:
+            q = p + int(n)
+            fps.append(str(int(fingerprint(tok_h[p:q]))) if n else "0")
+            p = q
         return pa.table({"doc_id": batch.column("doc_id"),
                          "fingerprint": pa.array(fps, pa.string())})
 
@@ -2324,20 +2352,17 @@ def bigram_counts(sf_dir: str, k: int = 50):
     carries unique bigrams per batch, not one row per token position."""
     from ray.data.aggregate import Sum
 
-    from clip_as_service_ray.functions.tokenizer import tokenize_texts
-
     def partial(batch: pa.Table) -> pa.Table:
-        grams: list[str] = []
-        for terms in tokenize_texts(batch.column("text").to_pylist()):
-            if len(terms) >= 2:
-                grams.extend(
-                    a + " " + b for a, b in zip(terms[:-1], terms[1:])
-                )
-        if not grams:
+        _left, grams, _nb = _flat_bigrams(batch.column("text"))
+        if len(grams) == 0:
             return pa.table(
                 {"bigram": pa.array([], pa.string()), "n_part": pa.array([], pa.int64())}
             )
-        u, c = np.unique(np.asarray(grams, dtype=object), return_counts=True)
+        vc = grams.value_counts()
+        u = vc.field("values").to_numpy(zero_copy_only=False)
+        c = vc.field("counts").to_numpy()
+        o = np.argsort(u)  # np.unique parity: sorted keys
+        u, c = u[o], c[o]
         return pa.table(
             {
                 "bigram": pa.array(u, pa.string()),
@@ -3047,9 +3072,8 @@ def doc_keywords(sf_dir: str, k: int = 3):
 
     # ---- pass 1: global df per term and N = docs with >= 1 term
     def nonempty(batch: pa.Table) -> pa.Table:
-        term_lists = tokenize_texts(batch.column("text").to_pylist())
-        n = sum(1 for t in term_lists if t)
-        return pa.table({"n": pa.array([n], pa.int64())})
+        _tokens, lens = tokenize_column_flat(batch.column("text"))
+        return pa.table({"n": pa.array([int((lens > 0).sum())], pa.int64())})
 
     n_docs = float(
         _documents(sf_dir)
@@ -3184,25 +3208,32 @@ def doc_perplexity(sf_dir: str):
     token pairs."""
     from ray.data.aggregate import Sum
 
-    from clip_as_service_ray.functions.tokenizer import tokenize_texts
     from clip_as_service_ray.state.kvmap import build_sharded_float_map
 
     def count_partial(batch: pa.Table) -> pa.Table:
-        keys: list[str] = []
-        for terms in tokenize_texts(batch.column("text").to_pylist()):
-            keys.extend("u\x00" + t for t in terms)
-            if len(terms) >= 2:
-                keys.extend(
-                    "b\x00" + a + " " + b for a, b in zip(terms[:-1], terms[1:])
-                )
-        if not keys:
+        tokens, _lens = tokenize_column_flat(batch.column("text"))
+        _left, grams, _nb = _flat_bigrams(batch.column("text"))
+        keys = pa.concat_arrays(
+            [
+                pc.binary_join_element_wise(
+                    pa.array(["u\x00"] * len(tokens), pa.string()), tokens, ""
+                ),
+                pc.binary_join_element_wise(
+                    pa.array(["b\x00"] * len(grams), pa.string()), grams, ""
+                ),
+            ]
+        )
+        if len(keys) == 0:
             return pa.table(
                 {"key": pa.array([], pa.string()), "n_part": pa.array([], pa.int64())}
             )
-        u, c = np.unique(np.asarray(keys, dtype=object), return_counts=True)
+        vc = keys.value_counts()
+        u = vc.field("values").to_numpy(zero_copy_only=False)
+        c = vc.field("counts").to_numpy()
+        o = np.argsort(u)
         return pa.table(
-            {"key": pa.array(u, pa.string()),
-             "n_part": pa.array(c.astype(np.int64), pa.int64())}
+            {"key": pa.array(u[o], pa.string()),
+             "n_part": pa.array(c[o].astype(np.int64), pa.int64())}
         )
 
     counts_ds = (
@@ -3223,25 +3254,25 @@ def doc_perplexity(sf_dir: str):
     def score(batch: pa.Table) -> pa.Table:
         v = vocab_v
         doc_ids = batch.column("doc_id").to_numpy()
-        term_lists = tokenize_texts(batch.column("text").to_pylist())
-        grams: list[str] = []
-        w1s: list[str] = []
-        lens = np.zeros(len(term_lists), dtype=np.int64)
-        for i, terms in enumerate(term_lists):
-            if len(terms) >= 2:
-                lens[i] = len(terms) - 1
-                w1s.extend(terms[:-1])
-                grams.extend(
-                    a + " " + b for a, b in zip(terms[:-1], terms[1:])
-                )
-        if not grams:
+        left, grams, lens = _flat_bigrams(batch.column("text"))
+        if len(grams) == 0:
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()),
                  "avg_nll": pa.array([], pa.float64()),
                  "n_bigrams": pa.array([], pa.int64())}
             )
-        g = np.asarray(["b\x00" + x for x in grams], dtype=object)
-        w1 = np.asarray(["u\x00" + x for x in w1s], dtype=object)
+        g = np.asarray(
+            pc.binary_join_element_wise(
+                pa.array(["b\x00"] * len(grams), pa.string()), grams, ""
+            ).to_pylist(),
+            dtype=object,
+        )
+        w1 = np.asarray(
+            pc.binary_join_element_wise(
+                pa.array(["u\x00"] * len(left), pa.string()), left, ""
+            ).to_pylist(),
+            dtype=object,
+        )
         c2 = lm_map.lookup(g)       # missing bigram -> 0 (the +1 smoothing path)
         c1 = lm_map.lookup(w1)      # w1 always present: LM learned from this corpus
         nll = -np.log((c2 + 1.0) / (c1 + v))

@@ -369,7 +369,8 @@ class AsyncSearchClient:
     in-flight request per connection (replies are matched in order);
     ``asearch(..., stream=N)`` yields per-chunk hit batches as they arrive."""
 
-    def __init__(self, url: str, credential: dict | None = None):
+    def __init__(self, url: str, credential: dict | None = None,
+                 on_progress=None):
         if not url.startswith("ws://"):
             raise ValueError(f"expected ws:// url, got {url!r}")
         hostport = url[5:].split("/", 1)[0]
@@ -383,6 +384,36 @@ class AsyncSearchClient:
         self._reader = None
         self._writer = None
         self._next_id = 0
+        # transfer progress counters (client.py:132-158 analog): bytes and
+        # message counts both ways, readable any time via .progress
+        self._sent_bytes = 0
+        self._recv_bytes = 0
+        self._sent_msgs = 0
+        self._recv_msgs = 0
+        self._on_progress = on_progress
+
+    @property
+    def progress(self) -> dict:
+        return {
+            "bytes_sent": self._sent_bytes,
+            "bytes_recv": self._recv_bytes,
+            "msgs_sent": self._sent_msgs,
+            "msgs_recv": self._recv_msgs,
+        }
+
+    def _track_sent(self, frame: bytes) -> bytes:
+        self._sent_bytes += len(frame)
+        self._sent_msgs += 1
+        if self._on_progress is not None:
+            self._on_progress(self.progress)
+        return frame
+
+    def _track_recv(self, payload: bytes) -> bytes:
+        self._recv_bytes += len(payload)
+        self._recv_msgs += 1
+        if self._on_progress is not None:
+            self._on_progress(self.progress)
+        return payload
 
     async def connect(self) -> "AsyncSearchClient":
         self._reader, self._writer = await asyncio.open_connection(
@@ -415,11 +446,12 @@ class AsyncSearchClient:
     async def _call(self, msg: dict) -> dict:
         self._next_id += 1
         msg["id"] = self._next_id
-        self._writer.write(encode_frame(json.dumps(msg).encode(), mask=True))
+        self._writer.write(self._track_sent(encode_frame(json.dumps(msg).encode(), mask=True)))
         await self._writer.drain()
         op, payload = await read_message(self._reader)
         if op == OP_CLOSE:
             raise ConnectionError("server closed")
+        self._track_recv(payload)
         out = json.loads(payload)
         if out.get("error"):
             raise ValueError(out["error"])
@@ -435,13 +467,14 @@ class AsyncSearchClient:
             msg["stream"] = int(stream)
             self._next_id += 1
             msg["id"] = self._next_id
-            self._writer.write(encode_frame(json.dumps(msg).encode(), mask=True))
+            self._writer.write(self._track_sent(encode_frame(json.dumps(msg).encode(), mask=True)))
             await self._writer.drain()
             chunks = []
             while True:
                 op, payload = await read_message(self._reader)
                 if op == OP_CLOSE:
                     raise ConnectionError("server closed mid-stream")
+                self._track_recv(payload)
                 out = json.loads(payload)
                 if out.get("error"):
                     raise ValueError(out["error"])

@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from clip_as_service_ray.functions import minhash as mh
-from clip_as_service_ray.functions.tokenizer import tokenize_texts
+from clip_as_service_ray.functions.tokenizer import tokenize_column_flat
 
 PAIRS_SCHEMA = pa.schema(
     [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
@@ -36,14 +36,29 @@ SIMHASH_PAIRS_SCHEMA = pa.schema(
 )
 
 
-def _doc_shingles(texts: list[str], shingle_n: int) -> list[np.ndarray]:
+def _doc_shingles(col, shingle_n: int) -> list[np.ndarray]:
+    """Per-doc shingle-hash sets from an Arrow text column. One vectorized
+    tokenize for the batch, crc+mix once per DISTINCT token (zipfian text
+    makes that a large constant factor), gather to the flat token stream,
+    then per-doc n-gram combine. Hash-identical to the per-doc scalar path
+    (the hash depends only on the token string)."""
+    tokens, lens = tokenize_column_flat(col)
+    if len(tokens) == 0:
+        return [np.array([], dtype=np.uint64) for _ in range(len(lens))]
+    denc = tokens.dictionary_encode()
+    codes = denc.indices.to_numpy().astype(np.int64)
+    uniq_h = mh.hash_terms(np.asarray(denc.dictionary.to_pylist(), dtype=object))
+    tok_h = uniq_h[codes]
     out = []
-    for terms in tokenize_texts(texts):
-        if not terms:
-            out.append(np.array([], dtype=np.uint64))
-            continue
-        th = mh.hash_terms(np.asarray(terms, dtype=object))
-        out.append(mh.shingle_hashes(th, n=shingle_n))
+    p = 0
+    for n in lens:
+        q = p + int(n)
+        out.append(
+            mh.shingle_hashes(tok_h[p:q], n=shingle_n)
+            if n
+            else np.array([], dtype=np.uint64)
+        )
+        p = q
     return out
 
 
@@ -59,7 +74,7 @@ class MinHashBands:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy()
-        shingle_sets = _doc_shingles(batch.column("text").to_pylist(), self.shingle_n)
+        shingle_sets = _doc_shingles(batch.column("text"), self.shingle_n)
         rows_doc, rows_band, rows_hash = [], [], []
         for did, sh in zip(doc_ids, shingle_sets):
             if len(sh) == 0:
@@ -135,7 +150,7 @@ def _verify_pairs_distributed(
             sub = batch.filter(mask)
             if sub.num_rows == 0:
                 return _PAIR_SH_SCHEMA.empty_table()
-            sh = _doc_shingles(sub.column("text").to_pylist(), shingle_n)
+            sh = _doc_shingles(sub.column("text"), shingle_n)
             out_pair, out_doc, out_sh = [], [], []
             for did, s in zip(sub.column("doc_id").to_numpy(), sh):
                 blob = s.tobytes()
@@ -216,13 +231,26 @@ class SimHashBands:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        denc = tokens.dictionary_encode()
+        codes = denc.indices.to_numpy().astype(np.int64) if len(tokens) else np.array([], np.int64)
+        uniq_h = (
+            mh.hash_terms(np.asarray(denc.dictionary.to_pylist(), dtype=object))
+            if len(tokens)
+            else np.array([], np.uint64)
+        )
         sims = []
-        for terms in tokenize_texts(batch.column("text").to_pylist()):
-            if not terms:
+        p = 0
+        for n in lens:
+            q = p + int(n)
+            if n:
+                # per-doc (unique term hash, tf) pairs from the code slice —
+                # same votes as np.unique over the doc's term strings
+                u, c = np.unique(codes[p:q], return_counts=True)
+                sims.append(int(mh.simhash(uniq_h[u], c)))
+            else:
                 sims.append(0)
-                continue
-            u, c = np.unique(np.asarray(terms, dtype=object), return_counts=True)
-            sims.append(int(mh.simhash(mh.hash_terms(u), c)))
+            p = q
         hashes = np.array(sims, dtype=np.uint64)
         bands, vals, docs, sigs = [], [], [], []
         for band in range(4):

@@ -274,3 +274,63 @@ def test_auth_pass_through(server, tmp_path):
         assert "cas_auth_failures_total" in m
     finally:
         auth_srv.shutdown()
+
+
+def test_tls_serving(server, tmp_path):
+    """https:// scheme (client.py:36-62: grpcs/https/wss set tls=True): the
+    server wraps its socket in TLS from a provided cert/key; the client
+    trusts the CA file and the auth header still rides the TLS channel."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    from clip_as_service_ray.pipelines.http_api import SearchHTTPClient
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name).public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.IPAddress(__import__("ipaddress").ip_address("127.0.0.1"))]),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    certfile = str(tmp_path / "srv.pem")
+    keyfile = str(tmp_path / "srv.key")
+    with open(certfile, "wb") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(keyfile, "wb") as f:
+        f.write(key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        ))
+
+    srv, _corpus = server
+    tls_srv = SearchHTTPServer(
+        srv.service.index_dir, CFG, auth_token="tls-tok",
+        certfile=certfile, keyfile=keyfile,
+    )
+    try:
+        assert tls_srv.url.startswith("https://")
+        cli = SearchHTTPClient(
+            tls_srv.url, credential={"Authorization": "tls-tok"}, cafile=certfile
+        )
+        assert cli.health()["status"] == "ok"
+        hits = cli.search([{"query_id": 0, "text": "index", "limit": 3}])
+        assert len(hits) == 3
+        with pytest.raises(PermissionError):
+            SearchHTTPClient(tls_srv.url, cafile=certfile).search(
+                [{"query_id": 0, "text": "index", "limit": 1}]
+            )
+    finally:
+        tls_srv.shutdown()

@@ -176,3 +176,36 @@ def test_websocket_auth(ray_session, tmp_path):
         assert srv.metrics._counts.get("auth_failures_total", 0) >= 2
     finally:
         srv.shutdown()
+
+
+def test_async_client_progress_counters(ray_session, tmp_path):
+    """Transfer progress (client.py:132-158 analog): the async client counts
+    bytes/messages both ways, streamed chunks included, and fires the
+    optional on_progress callback as transfers complete."""
+    srv = WebSocketSearchServer(str(tmp_path / "wsprog"), CFG)
+    try:
+        seen = []
+
+        async def main():
+            c = await AsyncSearchClient(srv.url, on_progress=seen.append).connect()
+            assert c.progress == {"bytes_sent": 0, "bytes_recv": 0,
+                                  "msgs_sent": 0, "msgs_recv": 0}
+            await c.aindex([_turn(f"c{i}", "progress data turn") for i in range(8)])
+            p1 = dict(c.progress)
+            assert p1["bytes_sent"] > 0 and p1["bytes_recv"] > 0
+            assert p1["msgs_sent"] == 1 and p1["msgs_recv"] == 1
+            # streamed search: one sent message, multiple received chunks
+            chunks = await c.asearch(
+                [{"query_id": i, "text": "progress", "limit": 2} for i in range(6)],
+                stream=2,
+            )
+            p2 = c.progress
+            assert p2["msgs_sent"] == 2
+            assert p2["msgs_recv"] == 1 + len(chunks) and len(chunks) >= 3
+            assert p2["bytes_recv"] > p1["bytes_recv"]
+            await c.aclose()
+
+        asyncio.run(main())
+        assert len(seen) >= 4  # callback fired per tracked transfer
+    finally:
+        srv.shutdown()
