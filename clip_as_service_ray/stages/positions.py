@@ -494,6 +494,12 @@ class PositionsReader:
         self._keys_cache: dict[str, np.ndarray] = {}
         self._cached_key_bytes = 0
         self._key_cache_cap = 512 << 20
+        # raw buffer views of the binary data column for the batched decode
+        odt = np.int64 if pa.types.is_large_binary(self._b_data.type) else np.int32
+        self._v_off = np.frombuffer(self._b_data.buffers()[1], odt)[
+            self._b_data.offset : self._b_data.offset + len(self._b_data) + 1
+        ].astype(np.int64)
+        self._v_bytes = np.frombuffer(self._b_data.buffers()[2], np.uint8)
 
     def warm_keys(self) -> int:
         """Pre-build the composite-key arrays at actor spawn so the FIRST
@@ -515,6 +521,44 @@ class PositionsReader:
         self._cache.clear()
         return n
 
+    def _gather_sections(self, offsets: np.ndarray, lens: np.ndarray, width: int):
+        """Concatenate per-row byte sections [off, off+len) from the packed
+        values buffer and view as the width's dtype — one fancy gather."""
+        total = int(lens.sum())
+        out_off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        idx = np.arange(total, dtype=np.int64) + np.repeat(offsets - out_off[:-1], lens)
+        return self._v_bytes[idx].view(_W_DTYPES[width])
+
+    def _decode_rows_batch(self, rows: np.ndarray, doc_w: int, cnt_w: int, pos_w: int):
+        """Vectorized decode of MANY same-width blocks at once (the per-block
+        Python loop was the warm/cold decode bottleneck: ~350k tiny calls at
+        2.4M docs). Valid across blocks because blocks cut on doc boundaries
+        and each doc's first occurrence is stored absolute — the per-doc
+        delta inversion never crosses a block."""
+        n = self._b_n[rows].astype(np.int64)
+        tot = self._b_total[rows].astype(np.int64)
+        base = self._v_off[rows]
+        dlen, clen, plen = n * doc_w, n * cnt_w, tot * pos_w
+        dd = self._gather_sections(base, dlen, doc_w).astype(np.int64)
+        cc = self._gather_sections(base + dlen, clen, cnt_w).astype(np.int64)
+        pd = self._gather_sections(base + dlen + clen, plen, pos_w).astype(np.int64)
+        # per-block doc-delta inversion: global cumsum minus per-block base
+        g = np.cumsum(dd)
+        blk_starts = np.zeros(len(rows), np.int64)
+        np.cumsum(n[:-1], out=blk_starts[1:])
+        seg_first = g[blk_starts] - dd[blk_starts] - self._b_first[rows]
+        docs = g - np.repeat(seg_first, n)
+        # per-DOC position-delta inversion (first occurrence absolute)
+        if len(pd):
+            occ_starts = np.concatenate([[0], np.cumsum(cc)[:-1]]).astype(np.int64)
+            gp = np.cumsum(pd)
+            seg0 = gp[occ_starts] - pd[occ_starts]
+            poss = gp - np.repeat(seg0, cc)
+        else:
+            poss = pd
+        return docs, cc, poss
+
     def term_positions(self, term: str):
         """(doc_ids, counts, occ_bounds, flat positions) for one term, or None."""
         hit = self._cache.get(term)
@@ -523,17 +567,41 @@ class PositionsReader:
         rows = self._term_blocks.get(term)
         if rows is None:
             return None
-        parts = [
-            decode_pos_block(
-                self._b_data[int(r)].as_buffer(),
-                int(self._b_n[r]), int(self._b_total[r]), int(self._b_doc_w[r]),
-                int(self._b_cnt_w[r]), int(self._b_pos_w[r]), int(self._b_first[r]),
+        wkey = (
+            self._b_doc_w[rows].astype(np.int64) * 100
+            + self._b_cnt_w[rows].astype(np.int64) * 10
+            + self._b_pos_w[rows].astype(np.int64)
+        )
+        uw = np.unique(wkey)
+        if len(uw) == 1:  # the common case: one batched decode
+            w = int(uw[0])
+            docs, cnts, poss = self._decode_rows_batch(
+                rows, w // 100, (w // 10) % 10, w % 10
             )
-            for r in rows
-        ]
-        docs = np.concatenate([p[0] for p in parts])
-        cnts = np.concatenate([p[1] for p in parts])
-        poss = np.concatenate([p[2] for p in parts])
+        else:
+            # mixed byte widths across blocks: decode per width group, then
+            # scatter back into row order (doc order must stay ascending)
+            n_all = self._b_n[rows].astype(np.int64)
+            t_all = self._b_total[rows].astype(np.int64)
+            d_off = np.zeros(len(rows) + 1, np.int64)
+            np.cumsum(n_all, out=d_off[1:])
+            o_off = np.zeros(len(rows) + 1, np.int64)
+            np.cumsum(t_all, out=o_off[1:])
+            docs = np.empty(int(d_off[-1]), np.int64)
+            cnts = np.empty(int(d_off[-1]), np.int64)
+            poss = np.empty(int(o_off[-1]), np.int64)
+            for w in uw:
+                sel = np.nonzero(wkey == w)[0]
+                gd, gc, gp = self._decode_rows_batch(
+                    rows[sel], int(w) // 100, (int(w) // 10) % 10, int(w) % 10
+                )
+                didx = np.concatenate(
+                    [np.arange(d_off[i], d_off[i + 1]) for i in sel]
+                )
+                oidx = np.concatenate(
+                    [np.arange(o_off[i], o_off[i + 1]) for i in sel]
+                )
+                docs[didx], cnts[didx], poss[oidx] = gd, gc, gp
         occ_bounds = np.concatenate([[0], np.cumsum(cnts)])
         hit = (docs, cnts, occ_bounds, poss)
         self._cache[term] = hit
