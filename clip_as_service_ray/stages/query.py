@@ -38,6 +38,7 @@ from clip_as_service_ray.functions import bm25
 from clip_as_service_ray.functions.tokenizer import tokenize
 from clip_as_service_ray.pipelines.oracle import HITS_SCHEMA
 from clip_as_service_ray.state import manifest as mf
+from clip_as_service_ray.state.postings import _DTYPES as _W_DT
 from clip_as_service_ray.state.postings import decode_block
 
 
@@ -112,6 +113,12 @@ class IndexReader:
         self._b_data = blocks.column("data")
         if isinstance(self._b_data, pa.ChunkedArray):
             self._b_data = self._b_data.combine_chunks()
+        # raw buffer views for the batched multi-block decode
+        _odt = np.int64 if pa.types.is_large_binary(self._b_data.type) else np.int32
+        self._v_off = np.frombuffer(self._b_data.buffers()[1], _odt)[
+            self._b_data.offset : self._b_data.offset + len(self._b_data) + 1
+        ].astype(np.int64)
+        self._v_bytes = np.frombuffer(self._b_data.buffers()[2], np.uint8)
         terms_np = blocks.column("term").to_numpy(zero_copy_only=False)
         # term -> block row indices ordered by first_doc
         self._term_blocks: dict[str, np.ndarray] = {}
@@ -156,24 +163,62 @@ class IndexReader:
         self._score_buf: np.ndarray | None = None
         self._match_buf: np.ndarray | None = None
 
+    def _gather_sections(self, offsets: np.ndarray, lens: np.ndarray, width: int):
+        """Concatenate per-row byte sections from the packed values buffer
+        and view as the width's dtype — one fancy gather."""
+        total = int(lens.sum())
+        out_off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        idx = np.arange(total, dtype=np.int64) + np.repeat(offsets - out_off[:-1], lens)
+        return self._v_bytes[idx].view(_W_DT[width])
+
+    def _decode_rows_batch(self, rows: np.ndarray, doc_w: int, tf_w: int, dl_w: int):
+        """Vectorized decode of MANY same-width blocks at once — the
+        per-block Python loop costs ~0.1 ms/block, and a hot stopword holds
+        ~15k blocks at 2.4M docs. Doc-delta inversion is per-block (each
+        block's first delta rebases on its first_doc)."""
+        n = self._b_n[rows].astype(np.int64)
+        base = self._v_off[rows]
+        dlen, tlen = n * doc_w, n * tf_w
+        dd = self._gather_sections(base, dlen, doc_w).astype(np.int64)
+        tfs = self._gather_sections(base + dlen, tlen, tf_w).astype(np.int64)
+        dls = self._gather_sections(base + dlen + tlen, n * dl_w, dl_w).astype(np.int64)
+        g = np.cumsum(dd)
+        blk_starts = np.zeros(len(rows), np.int64)
+        np.cumsum(n[:-1], out=blk_starts[1:])
+        seg_first = g[blk_starts] - dd[blk_starts] - self._b_first[rows]
+        docs = g - np.repeat(seg_first, n)
+        return docs, tfs, dls
+
     def postings_for(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
         """Full decoded postings (doc-sorted) for a term, or None."""
         rows = self._term_blocks.get(term)
         if rows is None:
             return None
-        data = self._b_data
-        parts = [
-            decode_block(
-                data[r].as_buffer(),  # zero-copy Arrow buffer view
-                int(self._b_n[r]), int(self._b_doc_w[r]),
-                int(self._b_tf_w[r]), int(self._b_dl_w[r]), int(self._b_first[r]),
-            )
-            for r in rows
-        ]
         self.blocks_decoded += len(rows)
-        docs = np.concatenate([p[0] for p in parts])
-        tfs = np.concatenate([p[1] for p in parts])
-        dls = np.concatenate([p[2] for p in parts])
+        wkey = (
+            self._b_doc_w[rows].astype(np.int64) * 100
+            + self._b_tf_w[rows].astype(np.int64) * 10
+            + self._b_dl_w[rows].astype(np.int64)
+        )
+        uw = np.unique(wkey)
+        if len(uw) == 1:  # common case: one batched decode
+            w = int(uw[0])
+            return self._decode_rows_batch(rows, w // 100, (w // 10) % 10, w % 10)
+        # mixed widths: per-group batch decode, scattered back in row order
+        n_all = self._b_n[rows].astype(np.int64)
+        d_off = np.zeros(len(rows) + 1, np.int64)
+        np.cumsum(n_all, out=d_off[1:])
+        docs = np.empty(int(d_off[-1]), np.int64)
+        tfs = np.empty(int(d_off[-1]), np.int64)
+        dls = np.empty(int(d_off[-1]), np.int64)
+        for w in uw:
+            sel = np.nonzero(wkey == w)[0]
+            gd, gt, gl = self._decode_rows_batch(
+                rows[sel], int(w) // 100, (int(w) // 10) % 10, int(w) % 10
+            )
+            idx = np.concatenate([np.arange(d_off[i], d_off[i + 1]) for i in sel])
+            docs[idx], tfs[idx], dls[idx] = gd, gt, gl
         return docs, tfs, dls
 
     def _block(self, r: int) -> tuple[np.ndarray, np.ndarray]:
