@@ -13,7 +13,10 @@ quality scaling, Annex K tables) and progressive (4:4:4 scan script with
 successive approximation; optional cross-block EOBn runs via a custom
 table, since Annex K defines no EOBn symbols). Entropy coding is
 per-symbol Python (inherently sequential); all block math is numpy.
-Arithmetic-coded and 12-bit variants raise NotImplementedError.
+12-bit precision (extended sequential SOF1 / progressive, 16-bit DQT)
+decodes for real; arithmetic-coded variants raise NotImplementedError (the
+QM-coder's Table D.3 constants are not reconstructible offline, and a
+guessed table would silently mis-decode real files).
 
 Reference parity note: the reference feeds images through PIL into CLIP
 preprocessing (`/root/reference/server/clip_server/model/clip.py:56-79`);
@@ -190,8 +193,11 @@ def _extend(r: int, s: int) -> int:
     return r if r >= (1 << (s - 1)) else r - (1 << s) + 1
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF -> (h, w, 3) uint8 RGB (grayscale replicated)."""
+def decode_jpeg(payload: bytes, keep_precision: bool = False) -> np.ndarray:
+    """JFIF -> (h, w, 3) RGB (grayscale replicated). 8-bit frames return
+    uint8; 12-bit frames (extended sequential / progressive, T.81 B.2.2
+    sample precision 12 with 16-bit DQT entries) return uint8 scaled by
+    255/4095, or native 0..4095 uint16 when ``keep_precision=True``."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -215,11 +221,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             o = 0
             while o < len(seg):
                 pq_, tq = seg[o] >> 4, seg[o] & 0xF
-                if pq_ != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                tab = np.frombuffer(seg[o + 1:o + 65], dtype=np.uint8).astype(np.int64)
+                if pq_ == 0:
+                    tab = np.frombuffer(seg[o + 1:o + 65], dtype=np.uint8).astype(np.int64)
+                    o += 65
+                elif pq_ == 1:  # 16-bit entries (12-bit precision frames)
+                    tab = np.frombuffer(seg[o + 1:o + 129], dtype=">u2").astype(np.int64)
+                    o += 129
+                else:
+                    raise ValueError(f"DQT precision field {pq_} invalid")
                 qt[tq] = tab  # stored in zigzag order
-                o += 65
         elif marker == 0xC4:  # DHT
             o = 0
             while o < len(seg):
@@ -231,13 +241,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 o += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8:
-                raise NotImplementedError("only 8-bit precision")
+            if prec not in (8, 12):
+                raise ValueError(f"SOF precision {prec} invalid")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps,
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2}
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -256,7 +266,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             if not frame.get("progressive"):
                 pos += seglen
-                return _decode_scan(data, pos, frame, sel, qt, huff, dri)
+                return _decode_scan(data, pos, frame, sel, qt, huff, dri, keep_precision)
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
             ahal = seg[3 + 2 * ns]
             _init_prog_state(frame)
@@ -270,7 +280,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         comps = frame["state"]
         hmax = max(c["h"] for c in frame["comps"])
         vmax = max(c["v"] for c in frame["comps"])
-        return _blocks_to_image(comps, frame["h"], frame["w"], hmax, vmax, qt)
+        return _blocks_to_image(
+            comps, frame["h"], frame["w"], hmax, vmax, qt,
+            prec=frame.get("prec", 8), keep_precision=keep_precision,
+        )
     raise ValueError("no SOS marker found")
 
 
@@ -449,7 +462,7 @@ def _next_marker_pos(data: bytes, pos: int) -> int:
     return n
 
 
-def _decode_scan(data, pos, frame, sel, qt, huff, dri) -> np.ndarray:
+def _decode_scan(data, pos, frame, sel, qt, huff, dri, keep_precision=False) -> np.ndarray:
     if frame is None:
         raise ValueError("SOS before SOF")
     comps = frame["comps"]
@@ -502,19 +515,27 @@ def _decode_scan(data, pos, frame, sel, qt, huff, dri) -> np.ndarray:
                         col = mx * c["h"] + bx
                         c["blocks"][row * c["bw"] + col] = blk
 
-    return _blocks_to_image(comps, h, w, hmax, vmax, qt)
+    return _blocks_to_image(
+        comps, h, w, hmax, vmax, qt,
+        prec=frame.get("prec", 8), keep_precision=keep_precision,
+    )
 
 
-def _blocks_to_image(comps, h, w, hmax, vmax, qt) -> np.ndarray:
+def _blocks_to_image(comps, h, w, hmax, vmax, qt, prec: int = 8,
+                     keep_precision: bool = False) -> np.ndarray:
     """Shared tail of baseline and progressive decode: dequantize,
-    de-zigzag, one vectorized IDCT per component, upsample, color convert."""
+    de-zigzag, one vectorized IDCT per component, upsample, color convert.
+    ``prec`` sets the level shift (2^(prec-1)) and clamp range; the 8-bit
+    path is byte-identical to the original fixed-128 form."""
+    half = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
     planes = []
     for c in comps:
         zz = c["blocks"].astype(np.float64) * qt[c["tq"]][None, :]
         nat = np.zeros_like(zz)
         nat[:, ZIGZAG] = zz  # de-zigzag: zigzag pos i lives at natural ZIGZAG[i]
         b = nat.reshape(-1, 8, 8)
-        px = np.einsum("ij,njk,kl->nil", _C8.T, b, _C8) + 128.0
+        px = np.einsum("ij,njk,kl->nil", _C8.T, b, _C8) + half
         grid = px.reshape(c["bh"], c["bw"], 8, 8).transpose(0, 2, 1, 3)
         plane = grid.reshape(c["bh"] * 8, c["bw"] * 8)
         plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
@@ -522,13 +543,19 @@ def _blocks_to_image(comps, h, w, hmax, vmax, qt) -> np.ndarray:
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:
-        y = np.clip(planes[0], 0, 255).astype(np.uint8)
-        return np.stack([y, y, y], axis=-1)
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b_ = y + 1.772 * cb
-    return np.clip(np.stack([r, g, b_], axis=-1), 0, 255).astype(np.uint8)
+        rgb = np.stack([planes[0]] * 3, axis=-1)
+    else:
+        y, cb, cr = planes[0], planes[1] - half, planes[2] - half
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b_ = y + 1.772 * cb
+        rgb = np.stack([r, g, b_], axis=-1)
+    rgb = np.clip(rgb, 0, maxv)
+    if prec == 8:
+        return rgb.astype(np.uint8)
+    if keep_precision:
+        return np.round(rgb).astype(np.uint16)
+    return np.round(rgb * (255.0 / maxv)).astype(np.uint8)
 
 
 # ---------------------------------------------------------------- encoder
@@ -603,12 +630,13 @@ def _encode_blocks(bw, blocks_zz, pred, dc_tab, ac_tab):
             bw.write(code, ln)
 
 
-def _dct_quant(plane: np.ndarray, qtab_zz: np.ndarray) -> np.ndarray:
+def _dct_quant(plane: np.ndarray, qtab_zz: np.ndarray, half: float = 128.0) -> np.ndarray:
     """(H, W) float plane (H, W multiples of 8) -> (n_blocks, 64) zigzag ints.
-    Blocks ordered row-major over the block grid."""
+    Blocks ordered row-major over the block grid. ``half`` is the level
+    shift (128 for 8-bit samples, 2048 for 12-bit)."""
     H, W = plane.shape
     b = plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    f = np.einsum("ij,njk,kl->nil", _C8, b - 128.0, _C8.T).reshape(-1, 64)
+    f = np.einsum("ij,njk,kl->nil", _C8, b - half, _C8.T).reshape(-1, 64)
     zz = f[:, ZIGZAG]
     return np.round(zz / qtab_zz[None, :]).astype(np.int32)
 
@@ -618,14 +646,23 @@ def _pad_edge(plane: np.ndarray, mult: int) -> np.ndarray:
     return np.pad(plane, ((0, (-H) % mult), (0, (-W) % mult)), mode="edge")
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
-    """(h, w, 3) or (h, w) uint8 -> baseline JFIF bytes.
+def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
+                precision: int = 8) -> bytes:
+    """(h, w, 3) or (h, w) -> JFIF bytes.
 
     ``subsample=True`` emits 4:2:0 (chroma averaged 2x2), else 4:4:4.
+    ``precision=12`` (samples 0..4095, uint16) emits an extended-sequential
+    frame (SOF1) with 16-bit DQT entries and widened flat Huffman tables
+    (Annex K baseline tables stop at DC category 11 / AC size 10; 12-bit
+    coefficients reach category 15) — the fixture path for decode_jpeg's
+    12-bit support.
     """
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    half = float(1 << (precision - 1))
     qy = _quality_scale(QT_LUMA, quality)[ZIGZAG]      # zigzag order
     qc = _quality_scale(QT_CHROMA, quality)[ZIGZAG]
 
@@ -637,8 +674,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> 
         rgb = img.astype(np.float64)
         r, g, b_ = rgb[..., 0], rgb[..., 1], rgb[..., 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b_
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b_ + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b_ + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b_ + half
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b_ + half
         if subsample:
             yp = _pad_edge(y, 16)
             cbp = _pad_edge(cb, 16)
@@ -652,21 +689,31 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> 
                       (_pad_edge(cr, 8), qc, 1)]
             comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
 
-    coeffs = [_dct_quant(p, q) for p, q, _ in planes]
+    coeffs = [_dct_quant(p, q, half=half) for p, q, _ in planes]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HH", 1, 1) + b"\x00\x00"
     for tq, tab in ((0, qy), (1, qc)) if not gray else ((0, qy),):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
-            + bytes(int(x) for x in tab)
+        if precision == 8:
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) \
+                + bytes(int(x) for x in tab)
+        else:  # Pq=1: 16-bit entries
+            out += b"\xff\xdb" + struct.pack(">H", 131) + bytes([0x10 | tq]) \
+                + tab.astype(">u2").tobytes()
     nc = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    sof = 0xC0 if precision == 8 else 0xC1  # extended sequential for 12-bit
+    out += bytes([0xFF, sof]) + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
     for cid, hs, vs, tq in comps:
         out += bytes([cid, (hs << 4) | vs, tq])
-    tables = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
-    if not gray:
-        tables += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    if precision == 8:
+        tables = [(0x00, HUFF_DC_LUMA), (0x10, HUFF_AC_LUMA)]
+        if not gray:
+            tables += [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)]
+    else:
+        tables = [(0x00, _FLAT_DC12), (0x10, _FLAT_AC12)]
+        if not gray:
+            tables += [(0x01, _FLAT_DC12), (0x11, _FLAT_AC12)]
     for tid, (bits, vals) in tables:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tid]) \
             + bytes(bits) + bytes(vals)
@@ -675,8 +722,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> 
         out += bytes([cid, 0x00 if i == 0 else 0x11])
     out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
 
-    enc_dc = [_encode_table(*HUFF_DC_LUMA), _encode_table(*HUFF_DC_CHROMA)]
-    enc_ac = [_encode_table(*HUFF_AC_LUMA), _encode_table(*HUFF_AC_CHROMA)]
+    if precision == 8:
+        enc_dc = [_encode_table(*HUFF_DC_LUMA), _encode_table(*HUFF_DC_CHROMA)]
+        enc_ac = [_encode_table(*HUFF_AC_LUMA), _encode_table(*HUFF_AC_CHROMA)]
+    else:
+        enc_dc = [_encode_table(*_FLAT_DC12)] * 2
+        enc_ac = [_encode_table(*_FLAT_AC12)] * 2
     bw = _BitWriter()
     preds = [[0] for _ in comps]
     hmax = max(c[1] for c in comps)
@@ -710,6 +761,16 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False) -> 
 _FLAT_AC = (
     [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
     [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+# 12-bit tables: DC categories reach 15 (diff range +-16384 after the 2048
+# level shift) and AC sizes reach 15 — beyond Annex K's baseline tables.
+# Flat canonical tables: 16 DC symbols at length 5, 242 AC symbols (EOB +
+# ZRL + every (run, 1<=size<=15)) at length 8.
+_FLAT_DC12 = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+_FLAT_AC12 = (
+    [0, 0, 0, 0, 0, 0, 0, 242, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 16)],
 )
 
 

@@ -13,7 +13,7 @@ alpha, all five filter types, Adam7 interlacing), and baseline +
 progressive JPEG (``functions/jpeg.py`` — T.81 marker parse, Huffman
 entropy decode with restart markers, batch numpy IDCT, 4:2:0 upsampling).
 ``decode=\"real\"`` raises NotImplementedError only for genuinely exotic
-variants (arithmetic / 12-bit JPEG, 16-bit PNG); ``decode=\"fake\"`` produces a deterministic
+variants (arithmetic-coded JPEG, 16-bit PNG); ``decode=\"fake\"`` produces a deterministic
 pseudo-image derived from the payload bytes (downstream shapes/stats
 testable for any mime). The audio path (``AudioFeatures``) is fully real —
 raw PCM needs no codec. Everything around decode — the Arrow schema,

@@ -152,3 +152,34 @@ def test_progressive_marker_is_sof2():
     assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
     # multi-scan: more than one SOS segment
     assert payload.count(b"\xff\xda") >= 6
+
+
+def test_jpeg_12bit_roundtrip():
+    """12-bit JPEG (extended sequential SOF1, 16-bit DQT entries, widened
+    flat Huffman tables — T.81 sample precision 12): encoder->decoder is
+    near-lossless at quality 100 (max err 1 from float DCT rounding), incl.
+    extreme coefficients (DC category 15 / large AC sizes), grayscale, and
+    4:2:0 structure; the default uint8 contract scales by 255/4095."""
+    import numpy as np
+
+    from clip_as_service_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack(
+        [((yy * 60 + xx * 3) % 4096), ((yy + xx) % 2) * 4095,
+         (((yy // 8) + (xx // 8)) % 2) * 4095],
+        axis=-1,
+    ).astype(np.uint16)
+    payload = encode_jpeg(img, quality=100, precision=12)
+    out = decode_jpeg(payload, keep_precision=True)
+    assert out.dtype == np.uint16
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+    u8 = decode_jpeg(payload)
+    assert u8.dtype == np.uint8 and u8.shape == img.shape
+    # grayscale
+    g = np.linspace(0, 4095, 32 * 32).reshape(32, 32).astype(np.uint16)
+    og = decode_jpeg(encode_jpeg(g, quality=100, precision=12), keep_precision=True)
+    assert np.abs(og[..., 0].astype(int) - g.astype(int)).max() <= 1
+    # 4:2:0 at 12-bit decodes with the right geometry
+    o2 = decode_jpeg(encode_jpeg(img, quality=100, precision=12, subsample=True))
+    assert o2.shape == img.shape
