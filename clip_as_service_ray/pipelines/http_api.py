@@ -117,6 +117,10 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
         cols["exclude"] = pa.array(
             [str(q.get("exclude", "") or "") for q in qs], pa.string()
         )
+    if any(q.get("conv_prefix") for q in qs):  # metadata filter (conv prefix)
+        cols["conv_prefix"] = pa.array(
+            [str(q.get("conv_prefix", "") or "") for q in qs], pa.string()
+        )
     if with_window:  # 0 = exact phrase; >0 = proximity window in tokens
         cols["window"] = pa.array(
             [int(q.get("window", 0)) for q in qs], pa.int32()

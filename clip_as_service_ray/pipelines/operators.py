@@ -215,6 +215,36 @@ def bm25_topk(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
     )
 
 
+def bm25_topk_filtered(
+    sf_dir: str, terms=BM25_QUERY_TERMS, prefix: str = "doc-0000000000",
+    limit: int = 10,
+):
+    """Metadata-FILTERED BM25 top-k (the reference retriever's AnnLite
+    filter-column contract, retriever.md:164-165): the per-query
+    ``conv_prefix`` restricts CANDIDATES to conversations whose id starts
+    with the prefix while idf/avgdl stay global. With the zero-padded
+    conv naming, prefix "doc-0000000000" == doc_id < 100 — the SQL twin
+    filters the scored set the same way before top-k."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32()),
+         "conv_prefix": pa.array([prefix], pa.string())}
+    )
+    hits = search_table(index_dir, queries, cfg)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )
+
+
 def bm25_topk_segmented(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
     """Same query as bm25_topk but through the INCREMENTAL-SEGMENT path:
     the documents table is split into two disjoint halves, each added as an

@@ -80,8 +80,12 @@ class OracleIndex:
         ps = self.postings.get(term)
         return 0 if ps is None else len(ps[0])
 
-    def search_one(self, text: str, limit: int = 10) -> list[tuple[str, int, float]]:
-        """Top-``limit`` hits for one query -> [(conv_id, turn_idx, score)]."""
+    def search_one(self, text: str, limit: int = 10,
+                   conv_prefix: str = "") -> list[tuple[str, int, float]]:
+        """Top-``limit`` hits for one query -> [(conv_id, turn_idx, score)].
+        ``conv_prefix`` restricts CANDIDATES to conversations whose id
+        starts with the prefix; BM25 stats stay global (the metadata-filter
+        contract: filter the result set, not the model)."""
         terms = sorted(set(tokenize(text)))  # dedupe; sorted = fixed accumulation order
         scores = np.zeros(self.n_docs, dtype=np.float64)
         matched = np.zeros(self.n_docs, dtype=bool)
@@ -96,6 +100,11 @@ class OracleIndex:
             )
             matched[docs] = True
         cand = np.nonzero(matched)[0]
+        if conv_prefix:
+            keep = np.asarray(
+                [self.docs[i][0].startswith(conv_prefix) for i in cand], dtype=bool
+            )
+            cand = cand[keep]
         if len(cand) == 0:
             return []
         top = bm25.topk_indices(scores[cand], cand, limit)
@@ -112,8 +121,15 @@ class OracleIndex:
             if "limit" in queries.column_names
             else [10] * len(qids)
         )
-        for qid, text, limit in zip(qids, texts, limits):
-            for rank, (cid, tidx, score) in enumerate(self.search_one(text or "", limit)):
+        prefixes = (
+            queries.column("conv_prefix").to_pylist()
+            if "conv_prefix" in queries.column_names
+            else [""] * len(qids)
+        )
+        for qid, text, limit, pfx in zip(qids, texts, limits, prefixes):
+            for rank, (cid, tidx, score) in enumerate(
+                self.search_one(text or "", limit, conv_prefix=pfx or "")
+            ):
                 cols["query_id"].append(qid)
                 cols["rank"].append(rank)
                 cols["conv_id"].append(cid)

@@ -311,6 +311,29 @@ class IndexReader:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
         return np.concatenate(d_parts), np.concatenate(s_parts)
 
+    def conv_prefix_range(self, prefix: str) -> tuple[int, int]:
+        """Half-open doc-id range of conversations whose conv_id starts with
+        ``prefix``. Doc ids are assigned in conv-sorted order, so a conv
+        prefix is ONE contiguous doc range — the filter-column analog of the
+        reference retriever's AnnLite metadata filters (retriever.md:164-165):
+        the filter restricts CANDIDATES; BM25 stats stay global."""
+        if not prefix:
+            return (0, self._max_doc_id + 1)
+        i0 = int(np.searchsorted(self._conv_ids, prefix))
+        i1 = int(np.searchsorted(self._conv_ids, prefix + chr(0x10FFFF)))
+        if i0 >= i1:
+            return (0, 0)
+        lo = int(self._bases[i0])
+        hi = int(self._bases[i1]) if i1 < len(self._bases) else self._max_doc_id + 1
+        return (lo, hi)
+
+    @staticmethod
+    def _clip_to_range(cand: np.ndarray, rng) -> np.ndarray:
+        """Restrict a SORTED doc-id array to a half-open range."""
+        lo = int(np.searchsorted(cand, rng[0], side="left"))
+        hi = int(np.searchsorted(cand, rng[1], side="left"))
+        return cand[lo:hi]
+
     def invert_doc_ids(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """doc_id -> (conv_id, turn_idx) via the conv base table (no docmap
         lookup: doc_id = base[conv] + turn_idx by construction)."""
@@ -345,7 +368,7 @@ class IndexReader:
             self._cached_postings += len(docs)
         return docs, scores
 
-    def score_query(self, text: str, limit: int) -> tuple[np.ndarray, np.ndarray]:
+    def score_query(self, text: str, limit: int, doc_range=None) -> tuple[np.ndarray, np.ndarray]:
         """Exact TAAT scoring -> (top doc_ids, top scores), ranked.
 
         Dense accumulation with the SAME structure as the golden oracle
@@ -362,10 +385,10 @@ class IndexReader:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
         n_slots = self._max_doc_id + 1
         if n_slots <= self.dense_chunk_docs:
-            return self._score_dense(present, limit, n_slots)
-        return self._score_dense_chunked(present, limit, n_slots)
+            return self._score_dense(present, limit, n_slots, doc_range=doc_range)
+        return self._score_dense_chunked(present, limit, n_slots, doc_range=doc_range)
 
-    def _score_dense(self, present: list[str], limit: int, n_slots: int, exclude=None):
+    def _score_dense(self, present: list[str], limit: int, n_slots: int, exclude=None, doc_range=None):
         # reused per-reader accumulators (fresh allocations pay hypervisor
         # first-touch cost on this sandbox; real clusters also benefit)
         if self._score_buf is None or len(self._score_buf) != n_slots:
@@ -377,7 +400,8 @@ class IndexReader:
             scores[docs_t] += scores_t  # docs unique per term: plain fancy-index add
             matched[docs_t] = True
         cand = np.nonzero(matched)[0]
-        sel = cand if exclude is None else self._drop_excluded(cand, exclude)
+        sel = cand if doc_range is None else self._clip_to_range(cand, doc_range)
+        sel = sel if exclude is None else self._drop_excluded(sel, exclude)
         top = bm25.topk_indices(scores[sel], sel, limit)
         out_docs, out_scores = sel[top].astype(np.int64), scores[sel[top]].copy()
         # reset only what we touched (memset-full when dense)
@@ -389,7 +413,7 @@ class IndexReader:
             matched[cand] = False
         return out_docs, out_scores
 
-    def _score_dense_chunked(self, present: list[str], limit: int, n_slots: int, exclude=None):
+    def _score_dense_chunked(self, present: list[str], limit: int, n_slots: int, exclude=None, doc_range=None):
         """Memory-bounded exact TAAT: doc-id space is processed in
         ``dense_chunk_docs``-slot chunks; each chunk accumulates with the
         SAME per-term sequential structure as ``_score_dense`` (so per-doc
@@ -414,11 +438,11 @@ class IndexReader:
                     matched[rel] = True
             cand = np.nonzero(matched[: c1 - c0])[0]
             if len(cand):
-                sel = (
-                    cand
-                    if exclude is None
-                    else self._drop_excluded(cand + c0, exclude) - c0
-                )
+                sel = cand
+                if doc_range is not None:
+                    sel = self._clip_to_range(sel + c0, doc_range) - c0
+                if exclude is not None:
+                    sel = self._drop_excluded(sel + c0, exclude) - c0
                 if len(sel):
                     top = bm25.topk_indices(scores[sel], sel + c0, limit)
                     win_docs.append((sel[top] + c0).astype(np.int64))
@@ -433,7 +457,7 @@ class IndexReader:
         return d[top], s[top]
 
     def score_query_conjunctive(
-        self, text: str, limit: int, exclude_text: str = ""
+        self, text: str, limit: int, exclude_text: str = "", doc_range=None
     ) -> tuple[np.ndarray, np.ndarray]:
         """Boolean-AND retrieval: top-k over docs containing EVERY query term,
         scored with the same BM25 sum (idf from the full corpus) and the same
@@ -454,6 +478,8 @@ class IndexReader:
             return empty
         order = np.argsort([self._term_df(t) for t in terms], kind="stable")
         cand = self.term_docs_scores(terms[int(order[0])])[0]
+        if doc_range is not None:
+            cand = self._clip_to_range(cand, doc_range)
         if exclude_text:
             excl = self.excluded_docs(exclude_text)
             if len(excl):
@@ -489,7 +515,7 @@ class IndexReader:
         return out
 
     def score_query_prefix(
-        self, prefix: str, limit: int, exclude_text: str = ""
+        self, prefix: str, limit: int, exclude_text: str = "", doc_range=None
     ) -> tuple[np.ndarray, np.ndarray]:
         """BM25 top-k for a ``prefix*`` query: OR over every dictionary term
         with that prefix, each with its own df/idf — exact dense scoring
@@ -502,8 +528,8 @@ class IndexReader:
         excl = excl if excl is not None and len(excl) else None
         n_slots = self._max_doc_id + 1
         if n_slots <= self.dense_chunk_docs:
-            return self._score_dense(present, limit, n_slots, exclude=excl)
-        return self._score_dense_chunked(present, limit, n_slots, exclude=excl)
+            return self._score_dense(present, limit, n_slots, exclude=excl, doc_range=doc_range)
+        return self._score_dense_chunked(present, limit, n_slots, exclude=excl, doc_range=doc_range)
 
     def expand_fuzzy(self, term: str, max_dist: int = 2) -> list[str]:
         """Fuzzy expansion: every vocabulary term within ``max_dist`` edits
@@ -523,7 +549,8 @@ class IndexReader:
         return out
 
     def score_query_fuzzy(
-        self, text: str, limit: int, max_dist: int = 2, exclude_text: str = ""
+        self, text: str, limit: int, max_dist: int = 2, exclude_text: str = "",
+        doc_range=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """BM25 top-k where EACH query token expands to its fuzzy vocabulary
         neighborhood; the union of expansions scores with per-term idf in
@@ -539,8 +566,8 @@ class IndexReader:
         excl = excl if excl is not None and len(excl) else None
         n_slots = self._max_doc_id + 1
         if n_slots <= self.dense_chunk_docs:
-            return self._score_dense(terms, limit, n_slots, exclude=excl)
-        return self._score_dense_chunked(terms, limit, n_slots, exclude=excl)
+            return self._score_dense(terms, limit, n_slots, exclude=excl, doc_range=doc_range)
+        return self._score_dense_chunked(terms, limit, n_slots, exclude=excl, doc_range=doc_range)
 
     def excluded_docs(self, text: str) -> np.ndarray:
         """Union of doc ids containing ANY token of ``text`` (the NOT side
@@ -555,7 +582,7 @@ class IndexReader:
         return np.unique(np.concatenate(parts))
 
     def score_query_not(
-        self, text: str, exclude_text: str, limit: int
+        self, text: str, exclude_text: str, limit: int, doc_range=None
     ) -> tuple[np.ndarray, np.ndarray]:
         """Boolean NOT: exact OR-semantics BM25 top-k over docs that match
         ``text`` but contain NO token of ``exclude_text``. Scores of the
@@ -565,15 +592,15 @@ class IndexReader:
         the sort: the filter is a searchsorted pass, not an over-ask)."""
         excl = self.excluded_docs(exclude_text)
         if len(excl) == 0:
-            return self.score_query(text, limit)
+            return self.score_query(text, limit, doc_range=doc_range)
         terms = sorted(set(tokenize(text or "")))
         present = [t for t in terms if t in self._term_blocks]
         if not present:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
         n_slots = self._max_doc_id + 1
         if n_slots <= self.dense_chunk_docs:
-            return self._score_dense(present, limit, n_slots, exclude=excl)
-        return self._score_dense_chunked(present, limit, n_slots, exclude=excl)
+            return self._score_dense(present, limit, n_slots, exclude=excl, doc_range=doc_range)
+        return self._score_dense_chunked(present, limit, n_slots, exclude=excl, doc_range=doc_range)
 
     @staticmethod
     def _drop_excluded(cand: np.ndarray, exclude: np.ndarray) -> np.ndarray:
@@ -729,14 +756,20 @@ class QueryScorer:
         elif self.prefix:
             score_fn = self.reader.score_query_prefix
         elif self.fuzzy:
-            def score_fn(text, limit, exclude_text="", _d=self.fuzzy):
+            def score_fn(text, limit, exclude_text="", doc_range=None, _d=self.fuzzy):
                 return self.reader.score_query_fuzzy(
-                    text, limit, max_dist=_d, exclude_text=exclude_text
+                    text, limit, max_dist=_d, exclude_text=exclude_text,
+                    doc_range=doc_range,
                 )
         else:
-            def score_fn(text, limit, exclude_text="", _r=self.reader, _p=self.pruning):
+            def score_fn(text, limit, exclude_text="", doc_range=None,
+                         _r=self.reader, _p=self.pruning):
                 if exclude_text:
-                    return _r.score_query_not(text, exclude_text, limit)
+                    return _r.score_query_not(text, exclude_text, limit, doc_range=doc_range)
+                if doc_range is not None:
+                    # filtered queries take the exact dense path: the pruned
+                    # path's thresholds assume unfiltered candidate flow
+                    return _r.score_query(text, limit, doc_range=doc_range)
                 return (_r.score_query_pruned if _p else _r.score_query)(text, limit)
         # boolean NOT: per-query `exclude` column (tokens whose docs are
         # filtered before top-k; empty string = no exclusion)
@@ -745,13 +778,23 @@ class QueryScorer:
             if "exclude" in batch.column_names
             else None
         )
+        # metadata filter: per-query conv_id PREFIX restricting candidates
+        # (the AnnLite filter-column analog); empty string = unfiltered
+        prefixes = (
+            batch.column("conv_prefix").to_pylist()
+            if "conv_prefix" in batch.column_names
+            else None
+        )
         cols: dict[str, list] = {n: [] for n in HITS_SCHEMA.names}
         softmax_col: list[float] = []
         for qi, (qid, text, limit) in enumerate(zip(qids, texts, limits)):
             t0 = _time.perf_counter()
             excl = excludes[qi] if excludes is not None else ""
+            pfx = (prefixes[qi] or "") if prefixes is not None else ""
+            rng = self.reader.conv_prefix_range(pfx) if pfx else None
             doc_ids, scores = score_fn(
-                text, int(limit or self.default_limit), exclude_text=excl or ""
+                text, int(limit or self.default_limit), exclude_text=excl or "",
+                doc_range=rng,
             )
             self._prof["score_s"] += _time.perf_counter() - t0
             self._prof["n_queries"] += 1

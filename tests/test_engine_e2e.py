@@ -342,3 +342,71 @@ def test_sharded_conv_base_matches_dense(ray_session):
 
     with _pytest.raises(KeyError):
         scb.lookup(np.array(["zzz-missing"], dtype=object))
+
+
+def test_conv_prefix_filtered_search(built):
+    """Metadata-filtered search (the AnnLite filter-column analog,
+    retriever.md:164-165): a per-query conv_prefix restricts CANDIDATES to
+    matching conversations while BM25 stats stay global. Engine hits are
+    bit-identical to the filtered golden oracle, every hit matches the
+    prefix, limit-k is filled from the filtered set (not post-filtered from
+    the global top-k), and the filter composes with exclude (OR-NOT)."""
+    import numpy as np
+    import pyarrow as pa
+
+    corpus, index_dir, report, oracle = built
+    some_conv = corpus.column("conv_id")[len(corpus) // 2].as_py()
+    prefix = some_conv[:-1]  # a ~10-conversation slice of the id space
+    queries = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["query data search", "the", "merge sort batch"], pa.string()),
+            "limit": pa.array([10, 10, 10], pa.int32()),
+            "conv_prefix": pa.array([prefix, prefix, ""], pa.string()),
+        }
+    )
+    hits = search_table(index_dir, queries, CFG)
+    gold = oracle.search(queries)
+    assert hits.num_rows == gold.num_rows > 0
+    assert hits.select(["query_id", "rank", "conv_id", "turn_idx"]).to_pydict() == \
+        gold.select(["query_id", "rank", "conv_id", "turn_idx"]).to_pydict()
+    assert np.array_equal(
+        np.asarray(hits.column("score").to_pylist()),
+        np.asarray(gold.column("score").to_pylist()),
+    )
+    hp = hits.to_pandas()
+    assert hp[hp.query_id == 0].conv_id.str.startswith(prefix).all()
+    assert hp[hp.query_id == 1].conv_id.str.startswith(prefix).all()
+    # the filtered top-k differs from post-filtering the unfiltered top-k
+    # (a doc outside the prefix holds a global top slot for "the")
+    unfiltered = search_table(
+        index_dir,
+        pa.table({"query_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["the"], pa.string()),
+                  "limit": pa.array([10], pa.int32())}),
+        CFG,
+    ).to_pandas()
+    assert not unfiltered.conv_id.str.startswith(prefix).all()
+    assert len(hp[hp.query_id == 1]) == 10  # limit filled from filtered set
+    # compose with exclude: filtered AND-NOT
+    q2 = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array(["query data search"], pa.string()),
+            "limit": pa.array([10], pa.int32()),
+            "conv_prefix": pa.array([prefix], pa.string()),
+            "exclude": pa.array(["merge"], pa.string()),
+        }
+    )
+    h2 = search_table(index_dir, q2, CFG).to_pandas()
+    assert len(h2) > 0 and h2.conv_id.str.startswith(prefix).all()
+    # no-match prefix -> zero hits
+    h3 = search_table(
+        index_dir,
+        pa.table({"query_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["the"], pa.string()),
+                  "limit": pa.array([5], pa.int32()),
+                  "conv_prefix": pa.array(["zzzz-no-such"], pa.string())}),
+        CFG,
+    )
+    assert h3.num_rows == 0

@@ -83,3 +83,47 @@ def test_shard_resume(sharded):
     )
     assert m2["n_docs"] == manifest["n_docs"]
     assert time.time() - t0 < 10  # no rebuild
+
+
+def test_sharded_filtered_search_matches_oracle(sharded):
+    """conv_prefix metadata filter through the scatter path: each shard
+    resolves the prefix against its OWN convmap; the k-way merge of filtered
+    shard results equals the filtered golden oracle (global stats, filtered
+    candidates), with the filter composing with per-query exclude."""
+    corpus, index_root, manifest = sharded
+    oracle = OracleIndex(corpus)
+    some_conv = corpus.column("conv_id")[len(corpus) // 3].as_py()
+    prefix = some_conv[:-1]
+    queries = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["query data search", "the"], pa.string()),
+            "limit": pa.array([10, 10], pa.int32()),
+            "conv_prefix": pa.array([prefix, prefix], pa.string()),
+            "exclude": pa.array(["", "merge"], pa.string()),
+        }
+    )
+    svc = ShardedQueryService(index_root, CFG)
+    try:
+        got = svc.search(queries).to_pandas()
+    finally:
+        svc.shutdown()
+    assert len(got) > 0 and got.conv_id.str.startswith(prefix).all()
+    # oracle twin: filtered candidates + OR-NOT exclusion
+    rows = []
+    for qid, text, excl in [(0, "query data search", ""), (1, "the", "merge")]:
+        hits = oracle.search_one(text, 1000, conv_prefix=prefix)
+        if excl:
+            bad = set()
+            ps = oracle.postings.get(excl)
+            if ps is not None:
+                bad = {(oracle.docs[d][0], oracle.docs[d][1]) for d in ps[0]}
+            hits = [h for h in hits if (h[0], h[1]) not in bad]
+        for rank, (cid, tidx, score) in enumerate(hits[:10]):
+            rows.append((qid, rank, cid, tidx, score))
+    assert list(zip(got.query_id, got["rank"], got.conv_id, got.turn_idx)) == [
+        (r[0], r[1], r[2], r[3]) for r in rows
+    ]
+    np.testing.assert_allclose(
+        got.score.to_numpy(), np.asarray([r[4] for r in rows]), rtol=0, atol=1e-9
+    )
