@@ -320,6 +320,7 @@ class SegmentedSearchHTTPServer:
             add_segment,
             compact_segments,
             delete_convs,
+            update_convs,
         )
 
         self.index_root = index_root
@@ -410,6 +411,34 @@ class SegmentedSearchHTTPServer:
                         "mode_pools": len(outer._mode_svcs),
                     }
                     self._send_text(200, outer.metrics.render(gauges))
+                elif self.path == "/status":
+                    # the reference's /status op (retriever.md:203-225):
+                    # per-root segment inventory + delete state as JSON
+                    import os as _os
+
+                    from clip_as_service_ray.pipelines.segments import (
+                        load_tombstones,
+                        segment_dirs,
+                    )
+                    from clip_as_service_ray.state import manifest as _mf
+
+                    segs = segment_dirs(outer.index_root)
+                    svc = outer._svc
+                    root_mf = {}
+                    mpath = _os.path.join(outer.index_root, "manifest.json")
+                    if _os.path.exists(mpath):
+                        root_mf = _mf.read_json(mpath)
+                    self._send(200, {
+                        "n_segments": len(segs),
+                        "segments": [_os.path.basename(d) for d in segs],
+                        "n_docs": root_mf.get("n_docs", 0),
+                        "avgdl": root_mf.get("avgdl", 0.0),
+                        "tombstoned_convs": len(load_tombstones(outer.index_root)),
+                        "tombstoned_docs": (
+                            svc.n_tombstoned_docs if svc is not None else 0
+                        ),
+                        "positions": outer.positions,
+                    })
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -439,6 +468,23 @@ class SegmentedSearchHTTPServer:
                             200,
                             {"n_segments": rep["n_segments"], "n_docs": rep["n_docs"]},
                         )
+                    elif self.path == "/update":
+                        # delete-then-add with segment-scoped deletes: new
+                        # versions searchable on return, old never surface
+                        t0 = time.time()
+                        with outer._write_lock:
+                            rep = update_convs(
+                                outer.index_root, _turns_table(payload),
+                                outer.config, positions=outer.positions,
+                            )
+                            _refresh()
+                        metrics.observe("update_latency", time.time() - t0)
+                        metrics.inc("update_requests_total")
+                        self._send(200, {
+                            "n_segments": rep["n_segments"],
+                            "n_updated_convs": rep["n_updated_convs"],
+                            "n_tombstones": rep["n_tombstones"],
+                        })
                     elif self.path == "/delete":
                         with outer._write_lock:
                             rep = delete_convs(

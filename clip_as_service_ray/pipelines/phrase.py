@@ -315,11 +315,12 @@ class SegmentedPhraseService:
         from clip_as_service_ray.pipelines.sharded import count_tombstoned_docs
 
         self.config = config
-        self.tombstones = load_tombstones(index_root)
+        self.tombstones = load_tombstones(index_root)  # conv -> scope|None
         dirs = [
             d for d in segment_dirs(index_root)
             if os.path.isdir(os.path.join(d, POSITIONS))
         ]
+        self.shard_names = [os.path.basename(d) for d in dirs]
         self.n_tombstoned_docs = (
             count_tombstoned_docs(dirs, self.tombstones) if self.tombstones else 0
         )
@@ -359,17 +360,35 @@ class SegmentedPhraseService:
             pa.array(limits + self.n_tombstoned_docs, pa.int32()),
         )
         parts = ray.get([r.__call__.remote(over) for r in self.replicas])
-        merged = pa.concat_tables(parts)
-        if self.tombstones:
-            import pyarrow.compute as pc
-
-            mask = pc.invert(
-                pc.is_in(
-                    merged.column("conv_id"),
-                    value_set=pa.array(sorted(self.tombstones)),
+        tagged = []
+        for name, p in zip(self.shard_names, parts):
+            if p.num_rows:
+                tagged.append(
+                    p.append_column("_seg", pa.array([name] * p.num_rows, pa.string()))
                 )
+        if not tagged:
+            return PHRASE_HITS_SCHEMA.empty_table()
+        merged = pa.concat_tables(tagged)
+        if self.tombstones:
+            tomb = self.tombstones
+            miss = object()
+
+            def _dead(c, seg):
+                scope = tomb.get(c, miss)
+                if scope is miss:
+                    return False
+                return scope is None or seg in scope
+
+            keep = pa.array(
+                [
+                    not _dead(c, seg)
+                    for c, seg in zip(
+                        merged.column("conv_id").to_pylist(),
+                        merged.column("_seg").to_pylist(),
+                    )
+                ]
             )
-            merged = merged.filter(mask)
+            merged = merged.filter(keep)
         if merged.num_rows == 0:
             return PHRASE_HITS_SCHEMA.empty_table()
         df = merged.to_pandas()

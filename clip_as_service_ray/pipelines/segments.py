@@ -34,6 +34,7 @@ import time
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
@@ -106,23 +107,81 @@ def tombstones_path(index_root: str) -> str:
     return os.path.join(index_root, "tombstones.json")
 
 
-def load_tombstones(index_root: str) -> frozenset[str]:
+def load_tombstones(index_root: str) -> dict[str, frozenset[str] | None]:
+    """conv_id -> segment-name scope the delete applies to (None = every
+    segment — the legacy un-scoped format). A delete only affects segments
+    that EXISTED when it was issued (the Lucene delete model), so a
+    conversation re-added afterwards (an update) is visible again."""
     p = tombstones_path(index_root)
-    return frozenset(mf.read_json(p)["conv_ids"]) if os.path.exists(p) else frozenset()
+    if not os.path.exists(p):
+        return {}
+    data = mf.read_json(p)
+    if "scoped" in data:
+        return {
+            c: (frozenset(v) if v is not None else None)
+            for c, v in data["scoped"].items()
+        }
+    return {c: None for c in data.get("conv_ids", [])}  # legacy roots
+
+
+def _save_tombstones(index_root: str, tomb: dict) -> None:
+    mf.write_json(
+        tombstones_path(index_root),
+        {"scoped": {c: (sorted(v) if v is not None else None) for c, v in sorted(tomb.items())}},
+    )
 
 
 def delete_convs(index_root: str, conv_ids) -> dict:
     """DELETE conversations from the segmented index by tombstone: the ids
-    are recorded in ``tombstones.json`` and filtered at query time (the
-    Lucene deletion model — stats intentionally keep the pre-delete corpus
-    until a purge; scoring of survivors is unchanged, which is exactly
-    what an incremental delete should do). Physical purge =
+    are recorded in ``tombstones.json`` SCOPED to the segments existing at
+    delete time and filtered at query time (the Lucene deletion model —
+    stats intentionally keep the pre-delete corpus until a purge; scoring
+    of survivors is unchanged, which is exactly what an incremental delete
+    should do). A conversation re-added in a LATER segment is visible again
+    (that is what ``update_convs`` builds on). Physical purge =
     ``compact_segments`` (per-segment postings rewrite, no re-tokenize); a
     merge with live tombstones is refused rather than silently resurrecting
     deleted docs."""
-    dead = sorted(load_tombstones(index_root) | set(map(str, conv_ids)))
-    mf.write_json(tombstones_path(index_root), {"conv_ids": dead})
-    return {"n_tombstones": len(dead)}
+    tomb = load_tombstones(index_root)
+    scope = frozenset(os.path.basename(d) for d in segment_dirs(index_root))
+    for c in map(str, conv_ids):
+        prev = tomb.get(c)
+        tomb[c] = None if prev is None and c in tomb else (
+            (prev | scope) if prev is not None else scope
+        )
+    _save_tombstones(index_root, tomb)
+    return {"n_tombstones": len(tomb)}
+
+
+def update_convs(
+    index_root: str,
+    source,
+    config: EngineConfig = DEFAULT_CONFIG,
+    *,
+    positions: bool = False,
+) -> dict:
+    """UPDATE conversations: tombstone every conv_id present in ``source``
+    (scoped to the segments existing NOW) and add the new turns as the next
+    segment — the reference's /update contract (retriever.md:203-225: update
+    polls ALL shards; here delete-then-add with segment-scoped deletes).
+    The new versions are searchable on return; old versions never surface.
+    Stats follow the Lucene model (old docs still count until compaction)."""
+    import ray.data
+
+    if isinstance(source, pa.Table):
+        convs = set(pc.unique(source.column("conv_id")).to_pylist())
+    elif isinstance(source, ray.data.Dataset):
+        convs = set(
+            source.select_columns(["conv_id"]).unique("conv_id")
+        )
+    else:  # path-like
+        t = pq.read_table(source, columns=["conv_id"])
+        convs = set(pc.unique(t.column("conv_id")).to_pylist())
+    rep_del = delete_convs(index_root, sorted(convs))
+    payload = add_segment(index_root, source, config, positions=positions)
+    payload["n_tombstones"] = rep_del["n_tombstones"]
+    payload["n_updated_convs"] = len(convs)
+    return payload
 
 
 class SegmentedQueryService(ScatterQueryService):
@@ -392,10 +451,19 @@ def compact_segments(
     dead_convs = load_tombstones(index_root)
     if not dead_convs:
         return {"n_segments_compacted": 0, "n_tombstones_purged": 0}
-    dead_arr = np.asarray(sorted(dead_convs), dtype=object)
     compacted = 0
     removed = 0
     for seg_dir in segment_dirs(index_root):
+        seg_name = os.path.basename(seg_dir)
+        # scope-aware purge: a delete only covers segments that existed when
+        # it was issued — an updated conversation's NEW segment is untouched
+        dead_here = sorted(
+            c for c, scope in dead_convs.items()
+            if scope is None or seg_name in scope
+        )
+        if not dead_here:
+            continue
+        dead_arr = np.asarray(dead_here, dtype=object)
         ext = pq.read_table(os.path.join(seg_dir, "convmap.parquet")).select(
             ["conv_id", "max_turn"]
         )

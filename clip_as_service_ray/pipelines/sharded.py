@@ -40,22 +40,42 @@ from clip_as_service_ray.pipelines.oracle import HITS_SCHEMA
 from clip_as_service_ray.state import manifest as mf
 
 
-def count_tombstoned_docs(index_dirs: list[str], tombstones: frozenset[str]) -> int:
+_MISSING = object()
+
+
+def _as_scoped(tombstones) -> dict:
+    """Normalize tombstones to the scoped form: conv -> segment-name scope
+    (None = all segments; a plain set/frozenset input means un-scoped)."""
+    if isinstance(tombstones, dict):
+        return dict(tombstones)
+    return {c: None for c in tombstones}
+
+
+def count_tombstoned_docs(index_dirs: list[str], tombstones) -> int:
     """Total DOC (turn) count of the tombstoned conversations across index
-    dirs: sum of (max_turn + 1) from each dir's convmap. This is the correct
-    over-ask amount for limit-k under query-time tombstone filtering — a
-    single deleted conversation can occupy one hit slot PER TURN. Cost is one
-    column-pruned convmap read per dir at service construction (convs are
-    disjoint across segments, so the sum is exact, not an upper bound)."""
-    if not tombstones:
+    dirs: sum of (max_turn + 1) from each dir's convmap, honoring each
+    delete's SEGMENT SCOPE (a conversation re-added after its delete is live
+    in the newer segment and must not inflate the over-ask). This is the
+    correct over-ask amount for limit-k under query-time tombstone
+    filtering — a single deleted conversation can occupy one hit slot PER
+    TURN. Cost is one column-pruned convmap read per dir at service
+    construction."""
+    tomb = _as_scoped(tombstones)
+    if not tomb:
         return 0
     total = 0
     for d in index_dirs:
+        name = os.path.basename(d)
+        dead_here = sorted(
+            c for c, scope in tomb.items() if scope is None or name in scope
+        )
+        if not dead_here:
+            continue
         t = pq.read_table(
             os.path.join(d, "convmap.parquet"), columns=["conv_id", "max_turn"]
         )
         convs = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
-        dead = np.isin(convs, np.asarray(sorted(tombstones), dtype=object))
+        dead = np.isin(convs, np.asarray(dead_here, dtype=object))
         if dead.any():
             ext = t.column("max_turn").to_numpy().astype(np.int64) + 1
             total += int(ext[dead].sum())
@@ -149,13 +169,14 @@ class ScatterQueryService:
         # limit-k survives the filter even if every deleted doc out-ranked
         # the survivors. Counting conversations is NOT enough: one tombstoned
         # 12-turn conversation can occupy 12 hit slots (round-2 ADVICE, high).
-        self.tombstones = frozenset(tombstones)
+        self.tombstones = _as_scoped(tombstones)
         self.n_tombstoned_docs = (
             count_tombstoned_docs(index_dirs, self.tombstones)
             if self.tombstones
             else 0
         )
         self.n_shards = len(index_dirs)
+        self.shard_names = [os.path.basename(d) for d in index_dirs]
         # boolean/prefix/fuzzy modes are shard-safe: each shard expands over
         # its LOCAL vocabulary but scores with the UNION df/idf — a term
         # present only in other shards contributes zero to this shard's docs
@@ -202,12 +223,32 @@ class ScatterQueryService:
                 [c for c in ("limit",) if c in queries.column_names]
             ).append_column("limit", pa.array(raised, pa.int32()))
         futs = [r.__call__.remote(scatter_q) for r in self.replicas]  # scatter ALL
-        parts = [p for p in ray.get(futs) if p.num_rows > 0]
-        if not parts:
+        raw = ray.get(futs)
+        frames = []
+        for name, p in zip(self.shard_names, raw):
+            if p.num_rows > 0:
+                f = p.to_pandas()
+                f["_seg"] = name  # provenance for scope-aware tombstones
+                frames.append(f)
+        if not frames:
             return HITS_SCHEMA.empty_table()
-        merged = pa.concat_tables(parts).to_pandas()
+        import pandas as pd
+
+        merged = pd.concat(frames, ignore_index=True)
         if self.tombstones:
-            merged = merged[~merged["conv_id"].isin(self.tombstones)]
+            tomb = self.tombstones
+
+            def _dead(c, seg):
+                scope = tomb.get(c, _MISSING)
+                if scope is _MISSING:
+                    return False
+                return scope is None or seg in scope
+
+            drop = np.fromiter(
+                (_dead(c, seg) for c, seg in zip(merged["conv_id"], merged["_seg"])),
+                dtype=bool, count=len(merged),
+            )
+            merged = merged[~drop]
         out = {n: [] for n in HITS_SCHEMA.names}
         for qid, g in merged.groupby("query_id", sort=True):
             k = int(limits.get(qid, self.config.limit))

@@ -123,6 +123,7 @@ class WebSocketSearchServer:
             SegmentedQueryService,
             add_segment,
             delete_convs,
+            update_convs,
         )
 
         self.index_root = index_root
@@ -144,6 +145,7 @@ class WebSocketSearchServer:
         self._SegmentedPhraseService = SegmentedPhraseService
         self._add_segment = add_segment
         self._delete_convs = delete_convs
+        self._update_convs = update_convs
 
         self._loop = asyncio.new_event_loop()
         started = threading.Event()
@@ -196,6 +198,39 @@ class WebSocketSearchServer:
             self._refresh()
         self.metrics.inc("index_requests_total")
         return {"n_segments": rep["n_segments"], "n_docs": rep["n_docs"]}
+
+    def _do_update(self, payload: dict) -> dict:
+        """UPDATE: delete-then-add with segment-scoped deletes — the
+        reference's /update op (retriever.md:203-225)."""
+        with self._write_lock:
+            rep = self._update_convs(
+                self.index_root, _turns_table(payload), self.config,
+                positions=self.positions,
+            )
+            self._refresh()
+        self.metrics.inc("update_requests_total")
+        return {
+            "n_segments": rep["n_segments"],
+            "n_updated_convs": rep["n_updated_convs"],
+            "n_tombstones": rep["n_tombstones"],
+        }
+
+    def _do_status(self, payload: dict) -> dict:
+        from clip_as_service_ray.pipelines.segments import (
+            load_tombstones,
+            segment_dirs,
+        )
+
+        segs = segment_dirs(self.index_root)
+        return {
+            "n_segments": len(segs),
+            "segments": [os.path.basename(d) for d in segs],
+            "tombstoned_convs": len(load_tombstones(self.index_root)),
+            "tombstoned_docs": (
+                self._svc.n_tombstoned_docs if self._svc is not None else 0
+            ),
+            "positions": self.positions,
+        }
 
     def _do_delete(self, payload: dict) -> dict:
         with self._write_lock:
@@ -307,6 +342,8 @@ class WebSocketSearchServer:
                         "search": self._do_search,
                         "phrase": self._do_phrase,
                         "index": self._do_index,
+                        "update": self._do_update,
+                        "status": self._do_status,
                         "delete": self._do_delete,
                         "health": self._do_health,
                     }.get(msg.get("op"))
@@ -488,6 +525,12 @@ class AsyncSearchClient:
 
     async def aindex(self, turns: list[dict]) -> dict:
         return await self._call({"op": "index", "turns": turns})
+
+    async def aupdate(self, turns: list[dict]) -> dict:
+        return await self._call({"op": "update", "turns": turns})
+
+    async def astatus(self) -> dict:
+        return await self._call({"op": "status"})
 
     async def adelete(self, conv_ids: list[str]) -> dict:
         return await self._call({"op": "delete", "conv_ids": conv_ids})

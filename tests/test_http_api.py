@@ -334,3 +334,37 @@ def test_tls_serving(server, tmp_path):
             )
     finally:
         tls_srv.shutdown()
+
+
+def test_update_and_status_over_http(ray_session, tmp_path):
+    """/update re-indexes a conversation (segment-scoped delete + add: new
+    text searchable on return, old text never surfaces) and /status reports
+    the segment inventory + delete state — the reference's /update + /status
+    ops (retriever.md:203-225) on the segmented engine."""
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.http_api import SegmentedSearchHTTPServer
+
+    cfg = EngineConfig(num_index_partitions=2, doc_bucket_size=256,
+                       postings_block_size=64, query_concurrency=1)
+    srv = SegmentedSearchHTTPServer(str(tmp_path / "updhttp"), cfg, positions=False)
+    try:
+        def turn(conv, text):
+            return {"conv_id": conv, "turn_idx": 0, "role": "user", "text": text}
+
+        _post(srv.url + "/index", {"turns": [turn("u1", "alpha beta gamma"),
+                                             turn("u2", "alpha zulu")]})
+        rep = _post(srv.url + "/update",
+                    {"turns": [turn("u1", "alpha beta delta updated")]})
+        assert rep["n_updated_convs"] == 1 and rep["n_segments"] == 2
+        hits = _post(srv.url + "/search",
+                     {"queries": [{"query_id": 0, "text": "delta", "limit": 5},
+                                  {"query_id": 1, "text": "gamma", "limit": 5}]})["hits"]
+        got = {(h["query_id"], h["conv_id"]) for h in hits}
+        assert (0, "u1") in got and (1, "u1") not in got
+        with urllib.request.urlopen(srv.url + "/status", timeout=30) as r:
+            st = json.loads(r.read())
+        assert st["n_segments"] == 2 and len(st["segments"]) == 2
+        assert st["tombstoned_convs"] == 1 and st["tombstoned_docs"] == 1
+        assert st["n_docs"] == 3  # Lucene model: old doc counts until compaction
+    finally:
+        srv.shutdown()

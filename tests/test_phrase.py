@@ -457,7 +457,7 @@ def test_compacted_positions_stay_purged(phrase_index, tmp_path):
     victim = sorted({c for (c, _t) in full})[0]
     delete_convs(root, [victim])
     compact_segments(root, cfg)
-    assert load_tombstones(root) == frozenset()  # physically purged
+    assert load_tombstones(root) == {}  # physically purged (scoped dict)
 
     q = pa.table(
         {

@@ -325,3 +325,75 @@ def test_compact_removes_fully_dead_segment(corpus_halves, tmp_path):
     np.testing.assert_allclose(
         got.score.to_numpy(), want.score.to_numpy(), rtol=0, atol=1e-9
     )
+
+
+def test_update_convs_lifecycle(ray_session, tmp_path):
+    """UPDATE = segment-scoped delete + add (the reference /update op): the
+    new version is searchable on return, the old version never surfaces, a
+    re-add after a plain delete is visible again (a delete only covers
+    segments existing when it was issued), and compaction physically purges
+    only the OLD versions then clears the tombstones."""
+    import numpy as np
+    import pyarrow as pa
+
+    from clip_as_service_ray.pipelines.segments import (
+        compact_segments,
+        delete_convs,
+        load_tombstones,
+        update_convs,
+    )
+
+    cfg = EngineConfig(
+        num_index_partitions=2, doc_bucket_size=256, postings_block_size=64,
+        query_concurrency=1,
+    )
+    root = str(tmp_path / "updroot")
+
+    def turns(conv, texts):
+        return pa.table(
+            {"conv_id": pa.array([conv] * len(texts)),
+             "turn_idx": pa.array(range(len(texts)), pa.int32()),
+             "role": pa.array(["user"] * len(texts)),
+             "text": pa.array(texts),
+             "tool": pa.array([""] * len(texts)),
+             "ts": pa.array(np.zeros(len(texts), np.int64), pa.timestamp("us"))}
+        )
+
+    add_segment(root, turns("c1", ["alpha beta gamma"]), cfg)
+    add_segment(root, turns("c2", ["alpha zulu"]), cfg)
+    rep = update_convs(root, turns("c1", ["alpha beta delta updated"]), cfg)
+    assert rep["n_updated_convs"] == 1 and rep["n_segments"] == 3
+
+    q = pa.table({"query_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["delta", "gamma"]),
+                  "limit": pa.array([5, 5], pa.int32())})
+    svc = SegmentedQueryService(root, cfg)
+    try:
+        hits = list(zip(*[svc.search(q).to_pydict()[c] for c in ("query_id", "conv_id")]))
+    finally:
+        svc.shutdown()
+    assert (0, "c1") in hits      # updated text searchable
+    assert (1, "c1") not in hits  # old version never surfaces
+
+    # compaction purges only the OLD version; the update survives
+    compact_segments(root, cfg)
+    assert not load_tombstones(root)
+    svc = SegmentedQueryService(root, cfg)
+    try:
+        hits2 = list(zip(*[svc.search(q).to_pydict()[c] for c in ("query_id", "conv_id")]))
+    finally:
+        svc.shutdown()
+    assert (0, "c1") in hits2 and (1, "c1") not in hits2
+
+    # plain delete then RE-ADD: the re-added conversation is visible (the
+    # delete is scoped to the segments that existed when it was issued)
+    delete_convs(root, ["c2"])
+    add_segment(root, turns("c2", ["alpha zulu reborn"]), cfg)
+    svc = SegmentedQueryService(root, cfg)
+    try:
+        h3 = svc.search(pa.table({"query_id": pa.array([0], pa.int64()),
+                                  "text": pa.array(["reborn"]),
+                                  "limit": pa.array([5], pa.int32())})).to_pydict()
+    finally:
+        svc.shutdown()
+    assert "c2" in h3["conv_id"]
