@@ -128,6 +128,28 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
     return pa.table(cols)
 
 
+def _rank_tables(payload: dict) -> tuple[pa.Table, pa.Table]:
+    """/rank body {"queries": [{"query_id", "text", "candidates":
+    [{"conv_id", "turn_idx"}, ...]}]} -> (queries, candidates) tables."""
+    qs = payload.get("queries", [])
+    queries = pa.table(
+        {"query_id": pa.array([int(q["query_id"]) for q in qs], pa.int64()),
+         "text": pa.array([q.get("text", "") for q in qs], pa.string())}
+    )
+    qid, conv, turn = [], [], []
+    for q in qs:
+        for c in q.get("candidates", []):
+            qid.append(int(q["query_id"]))
+            conv.append(str(c["conv_id"]))
+            turn.append(int(c.get("turn_idx", 0)))
+    cands = pa.table(
+        {"query_id": pa.array(qid, pa.int64()),
+         "conv_id": pa.array(conv, pa.string()),
+         "turn_idx": pa.array(turn, pa.int32())}
+    )
+    return queries, cands
+
+
 def _mode_key(payload: dict) -> tuple | None:
     """Request-level query mode -> pool key: None (default OR),
     ("conjunctive",), ("prefix",), or ("fuzzy", max_dist)."""
@@ -215,12 +237,20 @@ class SearchHTTPServer:
                     metrics.inc("auth_failures_total")
                     self._send(401, {"error": "unauthorized"})
                     return
-                if self.path != "/search":
+                if self.path not in ("/search", "/rank"):
                     self._send(404, {"error": f"unknown path {self.path}"})
                     return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     payload = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/rank":
+                        # set_rank over PROVIDED candidates (helper.py:89-124)
+                        t0 = time.time()
+                        ranked = service.rank(*_rank_tables(payload))
+                        metrics.observe("rank_latency", time.time() - t0)
+                        metrics.inc("rank_requests_total")
+                        self._send(200, {"hits": ranked.to_pylist()})
+                        return
                     t0 = time.time()
                     hits = service.search(_queries_table(payload))
                     metrics.observe("search_latency", time.time() - t0)
@@ -468,6 +498,16 @@ class SegmentedSearchHTTPServer:
                             200,
                             {"n_segments": rep["n_segments"], "n_docs": rep["n_docs"]},
                         )
+                    elif self.path == "/rank":
+                        svc = outer._svc
+                        if svc is None:
+                            self._send(503, {"error": "index empty"})
+                            return
+                        t0 = time.time()
+                        ranked = svc.rank(*_rank_tables(payload))
+                        metrics.observe("rank_latency", time.time() - t0)
+                        metrics.inc("rank_requests_total")
+                        self._send(200, {"hits": ranked.to_pylist()})
                     elif self.path == "/update":
                         # delete-then-add with segment-scoped deletes: new
                         # versions searchable on return, old never surface
@@ -641,6 +681,11 @@ class SearchHTTPClient:
 
     def metrics(self) -> str:
         return self._request("/metrics")
+
+    def rank(self, queries: list[dict]) -> list[dict]:
+        """set_rank: each query dict carries text + candidates
+        [{conv_id, turn_idx}]; returns ALL candidates ranked per query."""
+        return self._request("/rank", {"queries": queries})["hits"]
 
     def search(self, queries: list[dict], *, mode: str = "", fuzzy_dist: int = 2) -> list[dict]:
         payload: dict = {"queries": queries}

@@ -44,6 +44,16 @@ class QueryService:
         ray.get([r.__ray_ready__.remote() for r in self.replicas])
         self._rr = 0
 
+    def rank(self, queries: pa.Table, candidates: pa.Table) -> pa.Table:
+        """Re-rank provided candidates per query (the reference's /rank,
+        set_rank semantics) through one pool replica, round-robin."""
+        import ray
+
+        self._rr = (self._rr + 1) % len(self.replicas)
+        return ray.get(
+            self.replicas[self._rr].rank_batch.remote(queries, candidates)
+        )
+
     def search(self, queries: pa.Table) -> pa.Table:
         """Blocking scatter/gather search; hits sorted (query_id, rank)."""
         import ray

@@ -202,6 +202,58 @@ class ScatterQueryService:
         ]
         ray.get([r.__ray_ready__.remote() for r in self.replicas])
 
+    def rank(self, queries: pa.Table, candidates: pa.Table) -> pa.Table:
+        """Scatter /rank: every segment ranks the candidates IT holds
+        (lenient resolution), results merge per query under the same
+        (score DESC, conv ASC, turn ASC) order; scoped tombstones filter
+        dead candidate versions. Scores use the union global stats, so a
+        candidate's rank score equals its retrieval score."""
+        import ray
+
+        if queries.num_rows == 0 or candidates.num_rows == 0:
+            return HITS_SCHEMA.empty_table()
+        futs = [
+            r.rank_batch.remote(queries, candidates, True) for r in self.replicas
+        ]
+        raw = ray.get(futs)
+        frames = []
+        for name, p in zip(self.shard_names, raw):
+            if p.num_rows > 0:
+                f = p.to_pandas()
+                f["_seg"] = name
+                frames.append(f)
+        if not frames:
+            return HITS_SCHEMA.empty_table()
+        import pandas as pd
+
+        merged = pd.concat(frames, ignore_index=True)
+        if self.tombstones:
+            tomb = self.tombstones
+
+            def _dead(c, seg):
+                scope = tomb.get(c, _MISSING)
+                if scope is _MISSING:
+                    return False
+                return scope is None or seg in scope
+
+            drop = np.fromiter(
+                (_dead(c, seg) for c, seg in zip(merged["conv_id"], merged["_seg"])),
+                dtype=bool, count=len(merged),
+            )
+            merged = merged[~drop]
+        out = {n: [] for n in HITS_SCHEMA.names}
+        for qid, g in merged.groupby("query_id", sort=True):
+            g = g.sort_values(
+                ["score", "conv_id", "turn_idx"], ascending=[False, True, True]
+            )
+            n = len(g)
+            out["query_id"].extend([qid] * n)
+            out["rank"].extend(range(n))
+            out["conv_id"].extend(g.conv_id)
+            out["turn_idx"].extend(g.turn_idx)
+            out["score"].extend(g.score)
+        return pa.table(out, schema=HITS_SCHEMA)
+
     def search(self, queries: pa.Table) -> pa.Table:
         import ray
 

@@ -42,6 +42,7 @@ from clip_as_service_ray.pipelines.http_api import (
     Metrics,
     _mode_key,
     _queries_table,
+    _rank_tables,
     _turns_table,
 )
 
@@ -264,6 +265,14 @@ class WebSocketSearchServer:
         self.metrics.inc("search_hits_total", hits.num_rows)
         return {"hits": hits.to_pylist()}
 
+    def _do_rank(self, payload: dict) -> dict:
+        svc = self._svc
+        if svc is None:
+            return {"error": "index empty or write in progress", "code": 503}
+        hits = svc.rank(*_rank_tables(payload))
+        self.metrics.inc("rank_requests_total")
+        return {"hits": hits.to_pylist()}
+
     def _do_phrase(self, payload: dict) -> dict:
         svc = self._phrase_svc
         if svc is None:
@@ -340,6 +349,7 @@ class WebSocketSearchServer:
                     mid = msg.get("id")
                     fn = {
                         "search": self._do_search,
+                        "rank": self._do_rank,
                         "phrase": self._do_phrase,
                         "index": self._do_index,
                         "update": self._do_update,
@@ -519,6 +529,10 @@ class AsyncSearchClient:
                 if out.get("final"):
                     return chunks
         return (await self._call(msg))["hits"]
+
+    async def arank(self, queries: list[dict]):
+        """set_rank over provided candidates (client.py:503 arank analog)."""
+        return (await self._call({"op": "rank", "queries": queries}))["hits"]
 
     async def aphrase(self, queries: list[dict]):
         return (await self._call({"op": "phrase", "queries": queries}))["hits"]

@@ -334,6 +334,44 @@ class IndexReader:
         hi = int(np.searchsorted(cand, rng[1], side="left"))
         return cand[lo:hi]
 
+    def doc_ids_for(self, conv_ids, turn_idxs, strict: bool = True):
+        """(conv_id, turn_idx) -> doc_id (= base[conv] + turn). ``strict``
+        raises KeyError for conversations this index does not hold;
+        otherwise returns (doc_ids, known_mask) — the scatter-rank form,
+        where each segment ranks only the candidates IT holds."""
+        conv = np.asarray(list(conv_ids), dtype=object)
+        pos = np.searchsorted(self._conv_ids, conv)
+        bad = (pos >= len(self._conv_ids)) | (
+            self._conv_ids[np.minimum(pos, len(self._conv_ids) - 1)] != conv
+        )
+        ids = self._bases[np.minimum(pos, len(self._bases) - 1)] + np.asarray(
+            list(turn_idxs), dtype=np.int64
+        )
+        if strict:
+            if bad.any():
+                raise KeyError(f"unknown conv_ids: {conv[bad][:5].tolist()}")
+            return ids
+        return ids, ~bad
+
+    def rank_docs(self, text: str, doc_ids: np.ndarray) -> np.ndarray:
+        """BM25 scores of ``text`` against EXACTLY the given docs — the
+        set_rank contract (helper.py:89-124: score the provided candidate
+        set, no retrieval). Scores aligned to ``doc_ids``; docs matching no
+        query term score 0.0. Accumulation is per-term in sorted order over
+        the doc-sorted candidates, the same canonical structure as
+        score_query, so scores are bit-identical to retrieval scores."""
+        out = np.zeros(len(doc_ids), dtype=np.float64)
+        if len(doc_ids) == 0:
+            return out
+        order = np.argsort(doc_ids, kind="stable")
+        cand = doc_ids[order]
+        acc = np.zeros(len(cand), dtype=np.float64)
+        for t in sorted(set(tokenize(text or ""))):
+            if t in self._term_blocks:
+                acc += self.term_scores_for_docs(t, cand)
+        out[order] = acc
+        return out
+
     def invert_doc_ids(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """doc_id -> (conv_id, turn_idx) via the conv base table (no docmap
         lookup: doc_id = base[conv] + turn_idx by construction)."""
@@ -735,6 +773,53 @@ class QueryScorer:
         out["blocks_decoded"] = self.reader.blocks_decoded
         out["blocks_total"] = self.reader.blocks_total
         out["cached_postings"] = self.reader._cached_postings
+        return out
+
+    def rank_batch(self, queries: pa.Table, candidates: pa.Table,
+                   lenient: bool = False) -> pa.Table:
+        """/rank: re-rank PROVIDED candidates per query — the set_rank
+        contract (helper.py:89-124): score the candidate set against the
+        query text, sort (score DESC, doc ASC), return ALL candidates ranked
+        (no retrieval, no limit-k). ``queries``: (query_id, text);
+        ``candidates``: (query_id, conv_id, turn_idx)."""
+        import time as _time
+
+        texts = dict(zip(queries.column("query_id").to_pylist(),
+                         queries.column("text").to_pylist()))
+        c_qids = np.asarray(candidates.column("query_id").to_pylist(), dtype=np.int64)
+        c_convs = np.asarray(candidates.column("conv_id").to_pylist(), dtype=object)
+        c_turns = np.asarray(candidates.column("turn_idx").to_pylist(), dtype=np.int64)
+        if lenient:  # scatter form: keep only candidates this index holds
+            doc_ids, known = self.reader.doc_ids_for(c_convs, c_turns, strict=False)
+            c_qids, c_convs, c_turns, doc_ids = (
+                c_qids[known], c_convs[known], c_turns[known], doc_ids[known]
+            )
+        else:
+            doc_ids = self.reader.doc_ids_for(c_convs, c_turns)
+        cols: dict[str, list] = {n: [] for n in HITS_SCHEMA.names}
+        softmax_col: list[float] = []
+        for qid in sorted(texts):
+            m = c_qids == qid
+            if not m.any():
+                continue
+            t0 = _time.perf_counter()
+            docs_q = doc_ids[m]
+            scores = self.reader.rank_docs(texts[qid] or "", docs_q)
+            order = np.lexsort((docs_q, -scores))  # score DESC, doc ASC
+            self._prof["score_s"] += _time.perf_counter() - t0
+            self._prof["n_queries"] += 1
+            self._prof["n_hits"] += len(order)
+            conv_q, turn_q = c_convs[m][order], c_turns[m][order]
+            cols["query_id"].extend([qid] * len(order))
+            cols["rank"].extend(range(len(order)))
+            cols["conv_id"].extend(conv_q.tolist())
+            cols["turn_idx"].extend(int(x) for x in turn_q)
+            cols["score"].extend(scores[order].tolist())
+            if self.attach_softmax:
+                softmax_col.extend(bm25.numpy_softmax(scores[order]).tolist())
+        out = pa.table(cols, schema=HITS_SCHEMA)
+        if self.attach_softmax:
+            out = out.append_column("softmax_score", pa.array(softmax_col, pa.float64()))
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:

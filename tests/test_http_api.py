@@ -368,3 +368,33 @@ def test_update_and_status_over_http(ray_session, tmp_path):
         assert st["n_docs"] == 3  # Lucene model: old doc counts until compaction
     finally:
         srv.shutdown()
+
+
+def test_rank_endpoint_set_rank_contract(server):
+    """/rank (the reference's set_rank, helper.py:89-124): scores EXACTLY
+    the provided candidates against the query text — every candidate comes
+    back ranked (score DESC, doc ASC), scores are bit-identical to the
+    retrieval path's for the same docs, and non-matching candidates rank
+    last with score 0 instead of disappearing."""
+    from clip_as_service_ray.pipelines.http_api import SearchHTTPClient
+
+    srv, corpus = server
+    # candidates: the /search top-3 for a query, one other doc, in shuffled order
+    top = _post(srv.url + "/search",
+                {"queries": [{"query_id": 0, "text": "query data", "limit": 3}]})["hits"]
+    assert len(top) == 3
+    other = {"conv_id": corpus.column("conv_id")[0].as_py(), "turn_idx": 0}
+    cands = [
+        {"conv_id": top[2]["conv_id"], "turn_idx": top[2]["turn_idx"]},
+        other,
+        {"conv_id": top[0]["conv_id"], "turn_idx": top[0]["turn_idx"]},
+        {"conv_id": top[1]["conv_id"], "turn_idx": top[1]["turn_idx"]},
+    ]
+    cli = SearchHTTPClient(srv.url)
+    ranked = cli.rank([{"query_id": 0, "text": "query data", "candidates": cands}])
+    assert len(ranked) == 4  # every candidate ranked, none dropped
+    # the three retrieval hits keep their relative order and exact scores
+    assert [(r["conv_id"], r["turn_idx"]) for r in ranked[:3]] == \
+        [(t["conv_id"], t["turn_idx"]) for t in top]
+    assert [r["score"] for r in ranked[:3]] == [t["score"] for t in top]
+    assert [r["rank"] for r in ranked] == [0, 1, 2, 3]

@@ -209,3 +209,42 @@ def test_async_client_progress_counters(ray_session, tmp_path):
         assert len(seen) >= 4  # callback fired per tracked transfer
     finally:
         srv.shutdown()
+
+
+def test_websocket_rank_op(ray_session, tmp_path):
+    """'rank' op over the socket: segmented scatter-rank scores PROVIDED
+    candidates (per-segment lenient resolution), rank scores equal retrieval
+    scores for the same docs, and updated conversations rank with their NEW
+    text (scoped tombstones drop the old version's score)."""
+    srv = WebSocketSearchServer(str(tmp_path / "wsrank"), CFG)
+    try:
+        async def main():
+            c = await AsyncSearchClient(srv.url).connect()
+            await c.aindex([
+                _turn("r1", "merge the stream window"),
+                _turn("r2", "data index layout"),
+                _turn("r3", "merge merge window"),
+            ])
+            top = await c.asearch([{"query_id": 0, "text": "merge window", "limit": 3}])
+            cands = [{"conv_id": cv, "turn_idx": 0} for cv in ("r2", "r1", "r3")]
+            ranked = await c.arank([
+                {"query_id": 0, "text": "merge window", "candidates": cands}
+            ])
+            assert [r["conv_id"] for r in ranked] == ["r3", "r1", "r2"]
+            by_conv = {r["conv_id"]: r["score"] for r in ranked}
+            for t in top:
+                assert by_conv[t["conv_id"]] == t["score"]  # rank == retrieval score
+            assert ranked[-1]["conv_id"] == "r2" and ranked[-1]["score"] == 0.0
+            # update r3: candidates resolve to the NEW version only
+            await c.aupdate([_turn("r3", "completely different now")])
+            ranked2 = await c.arank([
+                {"query_id": 0, "text": "merge window", "candidates": cands}
+            ])
+            assert {r["conv_id"] for r in ranked2} == {"r1", "r2", "r3"}
+            new_r3 = [r for r in ranked2 if r["conv_id"] == "r3"][0]
+            assert new_r3["score"] == 0.0  # new text matches nothing
+            await c.aclose()
+
+        asyncio.run(main())
+    finally:
+        srv.shutdown()
