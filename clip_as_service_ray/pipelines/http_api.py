@@ -237,12 +237,31 @@ class SearchHTTPServer:
                     metrics.inc("auth_failures_total")
                     self._send(401, {"error": "unauthorized"})
                     return
-                if self.path not in ("/search", "/rank"):
+                if self.path not in ("/search", "/rank", "/encode"):
                     self._send(404, {"error": f"unknown path {self.path}"})
                     return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     payload = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/encode":
+                        # sparse BM25 vectors: [{term: weight, ...}] per text
+                        t0 = time.time()
+                        flat = service.encode(_queries_table(payload))
+                        metrics.observe("encode_latency", time.time() - t0)
+                        metrics.inc("encode_requests_total")
+                        vecs: dict[int, dict] = {}
+                        for qid, term, wt in zip(
+                            flat.column("query_id").to_pylist(),
+                            flat.column("term").to_pylist(),
+                            flat.column("weight").to_pylist(),
+                        ):
+                            vecs.setdefault(qid, {})[term] = wt
+                        self._send(200, {"vectors": [
+                            {"query_id": int(q["query_id"]),
+                             "vector": vecs.get(int(q["query_id"]), {})}
+                            for q in payload.get("queries", [])
+                        ]})
+                        return
                     if self.path == "/rank":
                         # set_rank over PROVIDED candidates (helper.py:89-124)
                         t0 = time.time()
@@ -681,6 +700,10 @@ class SearchHTTPClient:
 
     def metrics(self) -> str:
         return self._request("/metrics")
+
+    def encode(self, queries: list[dict]) -> list[dict]:
+        """Sparse BM25 term vectors: [{query_id, vector: {term: w}}]."""
+        return self._request("/encode", {"queries": queries})["vectors"]
 
     def rank(self, queries: list[dict]) -> list[dict]:
         """set_rank: each query dict carries text + candidates

@@ -44,6 +44,13 @@ class QueryService:
         ray.get([r.__ray_ready__.remote() for r in self.replicas])
         self._rr = 0
 
+    def encode(self, queries: pa.Table) -> pa.Table:
+        """Sparse BM25 term vectors for texts (the /encode analog)."""
+        import ray
+
+        self._rr = (self._rr + 1) % len(self.replicas)
+        return ray.get(self.replicas[self._rr].encode_batch.remote(queries))
+
     def rank(self, queries: pa.Table, candidates: pa.Table) -> pa.Table:
         """Re-rank provided candidates per query (the reference's /rank,
         set_rank semantics) through one pool replica, round-robin."""

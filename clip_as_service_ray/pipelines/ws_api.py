@@ -265,6 +265,29 @@ class WebSocketSearchServer:
         self.metrics.inc("search_hits_total", hits.num_rows)
         return {"hits": hits.to_pylist()}
 
+    def _do_encode(self, payload: dict) -> dict:
+        svc = self._svc
+        if svc is None:
+            return {"error": "index empty or write in progress", "code": 503}
+        import ray
+
+        # encode via the first segment's scorer: the sparse vector depends
+        # only on the UNION stats every replica holds
+        flat = ray.get(svc.replicas[0].encode_batch.remote(_queries_table(payload)))
+        vecs: dict[int, dict] = {}
+        for qid, term, wt in zip(
+            flat.column("query_id").to_pylist(),
+            flat.column("term").to_pylist(),
+            flat.column("weight").to_pylist(),
+        ):
+            vecs.setdefault(qid, {})[term] = wt
+        self.metrics.inc("encode_requests_total")
+        return {"vectors": [
+            {"query_id": int(q["query_id"]),
+             "vector": vecs.get(int(q["query_id"]), {})}
+            for q in payload.get("queries", [])
+        ]}
+
     def _do_rank(self, payload: dict) -> dict:
         svc = self._svc
         if svc is None:
@@ -349,6 +372,7 @@ class WebSocketSearchServer:
                     mid = msg.get("id")
                     fn = {
                         "search": self._do_search,
+                        "encode": self._do_encode,
                         "rank": self._do_rank,
                         "phrase": self._do_phrase,
                         "index": self._do_index,
@@ -529,6 +553,10 @@ class AsyncSearchClient:
                 if out.get("final"):
                     return chunks
         return (await self._call(msg))["hits"]
+
+    async def aencode(self, queries: list[dict]):
+        """Sparse BM25 vectors (client.py:333 aencode analog)."""
+        return (await self._call({"op": "encode", "queries": queries}))["vectors"]
 
     async def arank(self, queries: list[dict]):
         """set_rank over provided candidates (client.py:503 arank analog)."""

@@ -311,6 +311,30 @@ class IndexReader:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
         return np.concatenate(d_parts), np.concatenate(s_parts)
 
+    def encode_text(self, text: str) -> tuple[list[str], np.ndarray]:
+        """Sparse BM25 document vector of a text — the /encode analog (the
+        reference encodes inputs into a vector space; this engine's text
+        representation IS the BM25-weighted term vector): for each distinct
+        in-vocabulary term, idf(term) * tf_norm(tf, len, avgdl) with the
+        text treated as a document under the index's global stats. Encoding
+        a text then dotting against another text's INDICATOR vector
+        reproduces retrieval scoring term-for-term."""
+        toks = tokenize(text or "")
+        dl = len(toks)
+        terms, weights = [], []
+        for t in sorted(set(toks)):
+            df_val = self.df.get(t)
+            if df_val is None:
+                continue
+            tf = float(toks.count(t))
+            w = bm25.idf(float(df_val), self.n_docs) * bm25.tf_norm(
+                np.array([tf]), np.array([float(dl)]), self.avgdl,
+                k1=self.k1, b=self.b,
+            )[0]
+            terms.append(t)
+            weights.append(float(w))
+        return terms, np.asarray(weights, dtype=np.float64)
+
     def conv_prefix_range(self, prefix: str) -> tuple[int, int]:
         """Half-open doc-id range of conversations whose conv_id starts with
         ``prefix``. Doc ids are assigned in conv-sorted order, so a conv
@@ -774,6 +798,23 @@ class QueryScorer:
         out["blocks_total"] = self.reader.blocks_total
         out["cached_postings"] = self.reader._cached_postings
         return out
+
+    def encode_batch(self, queries: pa.Table) -> pa.Table:
+        """/encode: (query_id, text) -> one row per (query_id, term, weight)
+        — the flat form of the sparse BM25 vector (client-side regroup is a
+        dict build; a flat table keeps the wire format columnar)."""
+        qids_out, terms_out, w_out = [], [], []
+        for qid, text in zip(queries.column("query_id").to_pylist(),
+                             queries.column("text").to_pylist()):
+            terms, weights = self.reader.encode_text(text or "")
+            qids_out.extend([qid] * len(terms))
+            terms_out.extend(terms)
+            w_out.extend(weights.tolist())
+        return pa.table(
+            {"query_id": pa.array(qids_out, pa.int64()),
+             "term": pa.array(terms_out, pa.string()),
+             "weight": pa.array(w_out, pa.float64())}
+        )
 
     def rank_batch(self, queries: pa.Table, candidates: pa.Table,
                    lenient: bool = False) -> pa.Table:

@@ -398,3 +398,34 @@ def test_rank_endpoint_set_rank_contract(server):
         [(t["conv_id"], t["turn_idx"]) for t in top]
     assert [r["score"] for r in ranked[:3]] == [t["score"] for t in top]
     assert [r["rank"] for r in ranked] == [0, 1, 2, 3]
+
+
+def test_encode_endpoint_sparse_bm25_vectors(server):
+    """/encode (the reference's core op re-expressed for a term engine):
+    each text encodes to its sparse BM25 vector {term: idf*tf_norm} under
+    the index's global stats. The single-term weight must equal the
+    retrieval score contribution of that term for an identical-length doc,
+    OOV terms drop out, and empty text encodes to the empty vector."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.pipelines.http_api import SearchHTTPClient
+
+    srv, corpus = server
+    cli = SearchHTTPClient(srv.url)
+    vecs = cli.encode([
+        {"query_id": 0, "text": "index merge index"},
+        {"query_id": 1, "text": "zzznotinvocab"},
+        {"query_id": 2, "text": ""},
+    ])
+    v0 = vecs[0]["vector"]
+    assert set(v0) == {"index", "merge"}
+    assert v0["index"] > v0["merge"] > 0  # tf 2 vs 1, same dl
+    assert vecs[1]["vector"] == {} and vecs[2]["vector"] == {}
+    # exact value: idf(df) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
+    # engine-side encode must match the HTTP JSON exactly
+    flat = srv.service.encode(
+        pa.table({"query_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["index merge index"], pa.string())})
+    ).to_pydict()
+    got = dict(zip(flat["term"], flat["weight"]))
+    assert got == v0  # HTTP json == engine table exactly (float64 roundtrip)

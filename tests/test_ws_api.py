@@ -248,3 +248,27 @@ def test_websocket_rank_op(ray_session, tmp_path):
         asyncio.run(main())
     finally:
         srv.shutdown()
+
+
+def test_websocket_encode_op(ray_session, tmp_path):
+    """'encode' op: sparse BM25 vectors under the UNION stats — the aencode
+    analog. Terms unknown to segment 0 but present in segment 1 still
+    encode (weights come from the union dictionary, not any one segment)."""
+    srv = WebSocketSearchServer(str(tmp_path / "wsenc"), CFG)
+    try:
+        async def main():
+            c = await AsyncSearchClient(srv.url).connect()
+            await c.aindex([_turn("e1", "alpha beta alpha")])
+            await c.aindex([_turn("e2", "gammaword delta")])  # segment 2 only
+            vecs = await c.aencode([
+                {"query_id": 0, "text": "alpha gammaword"},
+                {"query_id": 1, "text": "unknownterm"},
+            ])
+            v0 = vecs[0]["vector"]
+            assert set(v0) == {"alpha", "gammaword"} and all(w > 0 for w in v0.values())
+            assert vecs[1]["vector"] == {}
+            await c.aclose()
+
+        asyncio.run(main())
+    finally:
+        srv.shutdown()
