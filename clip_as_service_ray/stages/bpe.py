@@ -6,7 +6,7 @@ that encode shape (broadcast ranks + per-worker cache, T6 in SURVEY §2)
 but also LEARNS the table from the corpus, split Ray-Data-first:
 
 - ``word_frequencies`` — the only corpus-sized pass: per-batch tokenize +
-  ``Counter`` partials (a combiner — only distinct (word, n) rows leave a
+  ``value_counts`` partials (a combiner — only distinct (word, n) rows leave a
   batch), one small ``groupby(word)`` finishes the sums. ``min_count``
   prunes the hapax tail BEFORE the table comes to the driver; at web scale
   the surviving distinct-word table is orders of magnitude smaller than the
@@ -21,8 +21,6 @@ but also LEARNS the table from the corpus, split Ray-Data-first:
 """
 
 from __future__ import annotations
-
-from collections import Counter
 
 import numpy as np
 import pyarrow as pa
@@ -97,8 +95,6 @@ class BpeEncode:
         self.cache: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         if len(self.cache) > self.CACHE_MAX:
             self.cache.clear()
         flat_tokens, lens = tokenize_column_flat(batch.column(self.text_col))
