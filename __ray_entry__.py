@@ -171,6 +171,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": ops.kmeans_embeddings,  # rows-only (iterative)
         "approx_top_terms": ops.approx_top_terms,  # rows-only (sketch)
         "transcripts_bm25_search": _transcripts_bm25_search,  # rows-only
+        "spell_suggest": ops.spell_suggest,
+        "autocomplete_prefix": ops.autocomplete_prefix,
+        "search_facets": ops.search_facets,
+        "ngram_contamination": ops.ngram_contamination,
     }
 
 
@@ -999,5 +1003,51 @@ def oracle_sql() -> dict[str, str]:
             "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6)::DOUBLE AS sim "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"
+        ),
+        "spell_suggest": (
+            "WITH tok AS (" + _TOK + "), "
+            "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok "
+            "       GROUP BY term), "
+            "q(query) AS (VALUES ('merg'), ('windw'), ('tabel'), ('jon'), ('sot'), ('kay'), ('vale'), ('prt')), "
+            "cand AS (SELECT q.query, d.term, "
+            "  levenshtein(q.query, d.term)::BIGINT AS dist, d.df "
+            "  FROM q, df d WHERE levenshtein(q.query, d.term) <= 2) "
+            "SELECT query, term, dist, df FROM ("
+            "  SELECT cand.*, row_number() OVER (PARTITION BY query "
+            "    ORDER BY dist ASC, df DESC, term ASC) AS rn FROM cand) "
+            "WHERE rn <= 5"
+        ),
+        "autocomplete_prefix": (
+            "WITH tok AS (" + _TOK + "), "
+            "df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok "
+            "       GROUP BY term), "
+            "q(prefix) AS (VALUES ('s'), ('wi')), "
+            "cand AS (SELECT q.prefix, d.term, d.df FROM q, df d "
+            "         WHERE starts_with(d.term, q.prefix)) "
+            "SELECT prefix, term, df FROM ("
+            "  SELECT cand.*, row_number() OVER (PARTITION BY prefix "
+            "    ORDER BY df DESC, term ASC) AS rn FROM cand) "
+            "WHERE rn <= 5"
+        ),
+        "search_facets": (
+            "WITH tok AS (" + _TOK + "), "
+            "m AS (SELECT DISTINCT doc_id FROM tok "
+            "      WHERE term IN ('merge', 'window')) "
+            "SELECT 'lang' AS facet, lang AS value, count(*)::BIGINT AS n_docs "
+            "FROM documents JOIN m USING (doc_id) GROUP BY lang "
+            "UNION ALL "
+            "SELECT 'source' AS facet, source AS value, count(*)::BIGINT AS n_docs "
+            "FROM documents JOIN m USING (doc_id) GROUP BY source"
+        ),
+        "ngram_contamination": (
+            "WITH t AS (SELECT doc_id, source, "
+            "  regexp_extract_all(lower(text), '" + _PAT_SQL + "') AS toks "
+            "  FROM documents), "
+            "g AS (SELECT doc_id, source, array_to_string(toks[i:i+3], ' ') AS shingle "
+            "      FROM t, unnest(generate_series(1, greatest(len(toks)-3, 0))) AS u(i)), "
+            "bench AS (SELECT DISTINCT shingle FROM g WHERE source = 'src0'), "
+            "corp AS (SELECT DISTINCT doc_id, shingle FROM g WHERE source <> 'src0') "
+            "SELECT c.doc_id, count(*)::BIGINT AS n_overlap "
+            "FROM corp c JOIN bench b USING (shingle) GROUP BY c.doc_id"
         ),
     }

@@ -267,9 +267,13 @@ def _token_spans(b: np.ndarray, c: np.ndarray, rel_off: np.ndarray):
                 c[s : nz[lo]] = 0
                 c[nz[hi] + 1 : e] = 0
 
-    # run boundaries: class changes ∪ row boundaries (runs never span rows)
+    # run boundaries: class changes ∪ row boundaries (runs never span rows).
+    # Empty first/last rows put 0 / m into rel_off[1:-1] — as "boundaries"
+    # they would create a zero-length run (a spurious empty token) or an
+    # out-of-range rstart, so keep strict-interior offsets only.
     bounds = np.nonzero(c[1:] != c[:-1])[0] + 1
     interior = rel_off[1:-1]
+    interior = interior[(interior > 0) & (interior < m)]
     if len(interior):
         bounds = np.unique(np.concatenate([bounds, interior]))
     rstart = np.empty(len(bounds) + 1, np.int64)

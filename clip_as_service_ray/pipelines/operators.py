@@ -3762,3 +3762,305 @@ def event_value_histogram(sf_dir: str, width: float = 10.0):
             "n": pc.cast(tbl.column("n"), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# query-assist surface: did-you-mean, autocomplete, facets, decontamination
+
+
+SUGGEST_QUERIES = ("merg", "windw", "tabel", "jon", "sot", "kay", "vale", "prt")
+AUTOCOMPLETE_PREFIXES = ("s", "wi")
+
+
+def spell_suggest(
+    sf_dir: str,
+    queries: tuple[str, ...] = SUGGEST_QUERIES,
+    max_dist: int = 2,
+    k: int = 5,
+):
+    """Did-you-mean: for each (misspelled) query string, the top-k vocabulary
+    terms within ``max_dist`` edits ranked by (dist ASC, df DESC, term ASC).
+
+    Ray-first shape: the vocabulary is the DISTRIBUTED (term, df) table from
+    ``term_df`` — candidate generation runs inside map_batches against the
+    tiny broadcast query list (vectorized length-band prefilter, capped-DP
+    verify only inside the band), and only survivors (a few rows per query)
+    reach the driver for the final top-k sort. At a 10^8-term vocabulary the
+    same pass just has more blocks; nothing vocabulary-sized is collected.
+
+    Reference analog: fuzzy query expansion (SURVEY §2 C4 query modes);
+    ranking by collection df is the standard speller prior.
+    """
+    qlist = [str(q) for q in queries]
+    qlens = np.array([len(q) for q in qlist], np.int64)
+
+    def cand(batch: pa.Table) -> pa.Table:
+        from clip_as_service_ray.stages.dedup import _levenshtein_capped
+
+        terms = batch.column("term")
+        tlens = pc.utf8_length(terms).to_numpy().astype(np.int64)
+        dfs = batch.column("df").to_numpy()
+        out_q: list[str] = []
+        out_t: list[str] = []
+        out_d: list[int] = []
+        out_df: list[int] = []
+        for q, lq in zip(qlist, qlens):
+            band = np.nonzero(np.abs(tlens - lq) <= max_dist)[0]
+            if len(band) == 0:
+                continue
+            band_terms = terms.take(pa.array(band)).to_pylist()
+            for j, t in zip(band, band_terms):
+                d = _levenshtein_capped(q, t, max_dist)
+                if d <= max_dist:
+                    out_q.append(q)
+                    out_t.append(t)
+                    out_d.append(d)
+                    out_df.append(int(dfs[j]))
+        return pa.table(
+            {
+                "query": pa.array(out_q, pa.string()),
+                "term": pa.array(out_t, pa.string()),
+                "dist": pa.array(out_d, pa.int64()),
+                "df": pa.array(out_df, pa.int64()),
+            }
+        )
+
+    surv = term_df(sf_dir).map_batches(cand, batch_format="pyarrow")
+    tbl = pa.Table.from_pandas(surv.to_pandas(), preserve_index=False)
+    if len(tbl) == 0:
+        return pa.table(
+            {"query": pa.array([], pa.string()), "term": pa.array([], pa.string()),
+             "dist": pa.array([], pa.int64()), "df": pa.array([], pa.int64())}
+        )
+    tbl = tbl.sort_by(
+        [("query", "ascending"), ("dist", "ascending"),
+         ("df", "descending"), ("term", "ascending")]
+    )
+    qcol = np.asarray(tbl.column("query").to_pylist())
+    # rank within query group = position - group start (groups are contiguous)
+    starts = np.nonzero(np.concatenate(([True], qcol[1:] != qcol[:-1])))[0]
+    grp = np.cumsum(np.concatenate(([0], (qcol[1:] != qcol[:-1]).astype(np.int64))))
+    rank = np.arange(len(qcol)) - starts[grp]
+    return tbl.filter(pa.array(rank < k))
+
+
+def autocomplete_prefix(
+    sf_dir: str,
+    prefixes: tuple[str, ...] = AUTOCOMPLETE_PREFIXES,
+    k: int = 5,
+):
+    """Autocomplete: top-k vocabulary completions per prefix by (df DESC,
+    term ASC). Same distributed-vocabulary shape as ``spell_suggest``; the
+    per-batch filter is a vectorized ``starts_with`` (on the sorted on-disk
+    dictionary this is a searchsorted range — ``IndexReader.expand_prefix``
+    is the serving-path twin of this operator)."""
+    plist = [str(p) for p in prefixes]
+
+    def cand(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term")
+        dfs = batch.column("df")
+        parts = []
+        for p in plist:
+            m = pc.starts_with(terms, p)
+            t = terms.filter(m)
+            parts.append(
+                pa.table(
+                    {
+                        "prefix": pa.array([p] * len(t), pa.string()),
+                        "term": t,
+                        "df": pc.cast(dfs.filter(m), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts) if parts else pa.table(
+            {"prefix": pa.array([], pa.string()), "term": pa.array([], pa.string()),
+             "df": pa.array([], pa.int64())}
+        )
+
+    surv = term_df(sf_dir).map_batches(cand, batch_format="pyarrow")
+    tbl = pa.Table.from_pandas(surv.to_pandas(), preserve_index=False)
+    if len(tbl) == 0:
+        return pa.table(
+            {"prefix": pa.array([], pa.string()), "term": pa.array([], pa.string()),
+             "df": pa.array([], pa.int64())}
+        )
+    tbl = tbl.sort_by(
+        [("prefix", "ascending"), ("df", "descending"), ("term", "ascending")]
+    )
+    pcol = np.asarray(tbl.column("prefix").to_pylist())
+    starts = np.nonzero(np.concatenate(([True], pcol[1:] != pcol[:-1])))[0]
+    grp = np.cumsum(np.concatenate(([0], (pcol[1:] != pcol[:-1]).astype(np.int64))))
+    rank = np.arange(len(pcol)) - starts[grp]
+    return tbl.filter(pa.array(rank < k))
+
+
+def search_facets(sf_dir: str, terms: tuple[str, ...] = BM25_QUERY_TERMS):
+    """Faceted search: for documents matching ANY query term, document counts
+    per facet value over the ``lang`` and ``source`` dimensions — the facet
+    panel next to a result list.
+
+    One streaming corpus pass: per batch, vectorized match-any (is_in over the
+    flat token stream, OR-reduced per row via bincount) then O(facet-values)
+    partial count rows; a tiny groupby folds partials. Text never shuffles;
+    the exchange is facet-cardinality-sized regardless of corpus size.
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    tset = pa.array(sorted(set(terms)), pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        n_rows = len(lens)
+        if len(tokens) == 0 or n_rows == 0:
+            return pa.table(
+                {"facet": pa.array([], pa.string()),
+                 "value": pa.array([], pa.string()),
+                 "n_part": pa.array([], pa.int64())}
+            )
+        hit = pc.is_in(tokens, value_set=tset).to_numpy(zero_copy_only=False)
+        row_of_tok = np.repeat(np.arange(n_rows), lens)
+        matched = np.bincount(row_of_tok, weights=hit, minlength=n_rows) > 0
+        parts = []
+        for facet in ("lang", "source"):
+            vals = batch.column(facet).filter(pa.array(matched))
+            vc = vals.combine_chunks().value_counts()
+            if isinstance(vc, pa.ChunkedArray):
+                vc = vc.combine_chunks()
+            parts.append(
+                pa.table(
+                    {
+                        "facet": pa.array([facet] * len(vc), pa.string()),
+                        "value": vc.field("values"),
+                        "n_part": vc.field("counts").cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    ds = _documents(sf_dir, columns=("doc_id", "text", "lang", "source"))
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["facet", "value"], num_partitions=4)
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "facet": pc.cast(tbl.column("facet"), pa.string()),
+            "value": pc.cast(tbl.column("value"), pa.string()),
+            "n_docs": pc.cast(tbl.column("n_docs"), pa.int64()),
+        }
+    )
+
+
+def _flat_ngrams(col, n: int):
+    """(gram_strings, row_of_gram, n_rows) for a text column: n-token
+    shingles joined with ' ', built from n shifted slices of the flat token
+    stream with a row-boundary validity mask (the _flat_bigrams pattern
+    generalized)."""
+    tokens, lens = tokenize_column_flat(col)
+    n_rows = len(lens)
+    L = len(tokens)
+    if L < n:
+        return pa.array([], pa.string()), np.array([], np.int64), n_rows
+    row = np.repeat(np.arange(n_rows), lens)
+    ok = row[: L - n + 1] == row[n - 1 :]
+    if not ok.any():
+        return pa.array([], pa.string()), np.array([], np.int64), n_rows
+    okp = pa.array(ok)
+    slices = [tokens.slice(j, L - n + 1).filter(okp) for j in range(n)]
+    grams = pc.binary_join_element_wise(*slices, " ")
+    return grams, row[: L - n + 1][ok], n_rows
+
+
+def ngram_contamination(
+    sf_dir: str,
+    n: int = 4,
+    bench_source: str = "src0",
+):
+    """Benchmark decontamination (GPT-3 appendix-C style): flag corpus
+    documents sharing at least one n-token shingle with a held-out benchmark
+    partition, with the count of DISTINCT shared shingles per document.
+
+    Two passes, no shuffle: (1) the benchmark partition (an eval set — small
+    by nature, and read with a pushed-down source filter) reduces to its
+    distinct shingle set, which is ray.put ONCE; (2) one streaming corpus
+    pass computes per-row distinct shingles (vectorized; a document's
+    shingles live entirely in its row, so batch-local dedupe is globally
+    exact) and counts hash-lookup membership hits. If the benchmark side ever
+    outgrew one object, the same pass becomes a shingle-keyed groupby join —
+    documented, not needed for eval-set-sized inputs.
+    """
+    import ray
+    import ray.data
+
+    bench = (
+        _documents(sf_dir, columns=("text", "source"))
+        .filter(expr=f"source == '{bench_source}'")
+    )
+
+    def bench_part(batch: pa.Table) -> pa.Table:
+        grams, _rows, _n = _flat_ngrams(batch.column("text"), n)
+        u = pc.unique(grams)
+        return pa.table({"shingle": u})
+
+    bench_tbl = pa.Table.from_pandas(
+        bench.map_batches(bench_part, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    bench_set = pc.unique(
+        bench_tbl.column("shingle").combine_chunks()
+        if len(bench_tbl)
+        else pa.array([], pa.string())
+    )
+    set_ref = ray.put(bench_set)
+
+    class CountOverlap:
+        def __init__(self, set_ref):
+            self.bench = ray.get(set_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            grams, row_of_gram, n_rows = _flat_ngrams(batch.column("text"), n)
+            doc_ids = batch.column("doc_id").to_numpy()
+            if len(grams) == 0 or len(self.bench) == 0:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "n_overlap": pa.array([], pa.int64())}
+                )
+            denc = grams.dictionary_encode()
+            codes = denc.indices.to_numpy().astype(np.int64)
+            n_codes = len(denc.dictionary)
+            # distinct (row, gram) pairs: a doc's shingles are batch-local
+            pair = np.unique(row_of_gram * n_codes + codes)
+            urow = pair // n_codes
+            ucode = pair % n_codes
+            hit = pc.is_in(
+                denc.dictionary.take(pa.array(ucode)), value_set=self.bench
+            ).to_numpy(zero_copy_only=False)
+            n_ov = np.bincount(urow, weights=hit, minlength=n_rows).astype(np.int64)
+            keep = n_ov > 0
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                    "n_overlap": pa.array(n_ov[keep], pa.int64()),
+                }
+            )
+
+    corpus = (
+        _documents(sf_dir, columns=("doc_id", "text", "source"))
+        .filter(expr=f"source != '{bench_source}'")
+        .map_batches(
+            CountOverlap,
+            fn_constructor_kwargs={"set_ref": set_ref},
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+    )
+    tbl = pa.Table.from_pandas(corpus.to_pandas(), preserve_index=False)
+    return pa.table(
+        {
+            "doc_id": pc.cast(tbl.column("doc_id"), pa.int64()),
+            "n_overlap": pc.cast(tbl.column("n_overlap"), pa.int64()),
+        }
+    )

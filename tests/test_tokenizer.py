@@ -173,3 +173,21 @@ def test_tokenize_column_flat_fixture_shard():
         q = p + int(ln)
         assert toks[p:q] == exp[i], i
         p = q
+
+
+def test_tokenize_column_flat_empty_edge_rows():
+    """Empty FIRST/LAST rows regression: an empty last row used to crash
+    (rel_off boundary == m indexed past the class array) and an empty first
+    row emitted a spurious '' token (zero-length run at offset 0)."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.functions.tokenizer import tokenize_column_flat
+
+    for rows in (
+        ["a", ""], ["", "a"], ["a b", ""], ["x y", "", ""], ["", "", "x"],
+        ["", ""], ["a", "", "b"], [" ", "a", ""],
+    ):
+        tokens, lens = tokenize_column_flat(pa.array(rows, pa.string()))
+        exp = tokenize_texts(rows)
+        assert lens.tolist() == [len(e) for e in exp], rows
+        assert tokens.to_pylist() == [t for e in exp for t in e], rows
