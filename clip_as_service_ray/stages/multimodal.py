@@ -7,13 +7,15 @@ opaque ``binary`` columns with typed metadata.
 
 IMAGE CODEC LIBRARIES ARE NOT AVAILABLE IN THIS ENVIRONMENT, so the three
 common formats decode FOR REAL from first principles: uncompressed 24-bit
-BMP (numpy-only parser, ``decode_bmp``), 8-bit PNG (``decode_png`` —
-stdlib zlib inflate + numpy scanline unfiltering: gray / RGB / palette /
-alpha, all five filter types, Adam7 interlacing), and baseline +
-progressive JPEG (``functions/jpeg.py`` — T.81 marker parse, Huffman
-entropy decode with restart markers, batch numpy IDCT, 4:2:0 upsampling).
-``decode=\"real\"`` raises NotImplementedError only for genuinely exotic
-variants (arithmetic-coded JPEG, 16-bit PNG); ``decode=\"fake\"`` produces a deterministic
+BMP (numpy-only parser, ``decode_bmp``), PNG at EVERY legal bit depth
+(``decode_png`` — stdlib zlib inflate + numpy scanline unfiltering:
+1/2/4/8/16-bit, gray / RGB / palette / alpha, all five filter types, Adam7
+interlacing), and baseline + progressive JPEG (``functions/jpeg.py`` — T.81
+marker parse, Huffman entropy decode with restart markers, batch numpy
+IDCT, 4:2:0 upsampling).
+``decode=\"real\"`` raises NotImplementedError only for the one genuinely
+exotic variant left (arithmetic-coded JPEG — the QM-coder's Table D.3 is
+not reconstructible offline); ``decode=\"fake\"`` produces a deterministic
 pseudo-image derived from the payload bytes (downstream shapes/stats
 testable for any mime). The audio path (``AudioFeatures``) is fully real —
 raw PCM needs no codec. Everything around decode — the Arrow schema,
@@ -176,15 +178,18 @@ _ADAM7 = (
 )
 
 
-def decode_png(payload: bytes) -> np.ndarray:
+def decode_png(payload: bytes, keep_precision: bool = False) -> np.ndarray:
     """REAL PNG decode with stdlib zlib + numpy only (PNG spec: IHDR/IDAT
-    inflate + per-scanline unfiltering). Supports 8-bit depth, color types
+    inflate + per-scanline unfiltering). Supports EVERY legal bit depth
+    (1/2/4-bit gray+palette, 8-bit, 16-bit gray/RGB/alpha), color types
     0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both
     non-interlaced and Adam7-interlaced (each of the 7 passes is an
     independently-filtered sub-image scattered back onto the pixel grid,
     spec §8.2). Returns HxWx3 uint8 RGB (alpha dropped, PIL convert('RGB')
-    semantics). Raises ValueError for non-PNG bytes, NotImplementedError
-    for 16-bit / sub-byte depths."""
+    semantics; 16-bit keeps the most-significant byte like PIL's 'RGB;16B'
+    rawmode, or the full uint16 samples when ``keep_precision`` — mirroring
+    the 12-bit JPEG API). Raises ValueError for non-PNG bytes or
+    depth/color-type combinations the spec forbids."""
     import zlib
 
     if payload[:8] != PNG_SIG:
@@ -204,41 +209,67 @@ def decode_png(payload: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ctype_n, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace} invalid")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
     if channels is None:
         raise ValueError(f"PNG color type {ctype_n} invalid")
+    if depth not in (1, 2, 4, 8, 16) or (
+        depth < 8 and ctype_n not in (0, 3)
+    ) or (depth == 16 and ctype_n == 3):
+        raise ValueError(f"PNG depth {depth} invalid for color type {ctype_n}")
+    bits_pp = channels * depth
+    bpp = max(1, bits_pp // 8)  # filter stride (spec §9: filters act on bytes)
+    dtype = np.uint16 if depth == 16 else np.uint8
+
+    def samples(sub: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        """(ph, pstride) unfiltered bytes -> (ph, pw, channels) samples."""
+        if depth == 8:
+            return sub.reshape(ph, pw, channels)
+        if depth == 16:  # network byte order (big-endian) sample pairs
+            u = sub.reshape(ph, pw * channels, 2)
+            v = (u[..., 0].astype(np.uint16) << 8) | u[..., 1]
+            return v.reshape(ph, pw, channels)
+        # sub-byte: MSB-first packed samples, scanline-trailing bits ignored
+        bits = np.unpackbits(sub, axis=1)
+        vals = bits.reshape(ph, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        v = (vals * weights).sum(axis=2).astype(np.uint8)
+        return v[:, :pw].reshape(ph, pw, 1)
+
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     if interlace == 1:  # Adam7: 7 independently-filtered sub-images
-        px = np.zeros((h, w, channels), dtype=np.uint8)
+        px = np.zeros((h, w, channels), dtype=dtype)
         pos = 0
         for x0, y0, xs, ys in _ADAM7:
             pw = -(-(w - x0) // xs) if w > x0 else 0
             ph = -(-(h - y0) // ys) if h > y0 else 0
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * channels
+            pstride = (pw * bits_pp + 7) // 8
             nbytes = ph * (pstride + 1)
             if pos + nbytes > len(raw):
                 raise ValueError("PNG Adam7 pixel data size mismatch")
-            sub = _png_unfilter(raw[pos : pos + nbytes], ph, pstride, channels)
-            px[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+            sub = _png_unfilter(raw[pos : pos + nbytes], ph, pstride, bpp)
+            px[y0::ys, x0::xs] = samples(sub, ph, pw)
             pos += nbytes
         if pos != len(raw):
             raise ValueError("PNG Adam7 pixel data size mismatch")
     else:
-        stride = w * channels
+        stride = (w * bits_pp + 7) // 8
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG pixel data size mismatch")
-        px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+        px = samples(_png_unfilter(raw, h, stride, bpp), h, w)
     if ctype_n == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         return pal[px[..., 0]]
+    if depth < 8:  # grayscale: scale to full 8-bit range (spec §11.2.2 LUT)
+        px = (px * np.uint8(255 // ((1 << depth) - 1))).astype(np.uint8)
+    elif depth == 16 and not keep_precision:
+        # PIL 'RGB;16B' semantics: most-significant byte per sample
+        px = (px >> 8).astype(np.uint8)
     if ctype_n == 0:
         return np.repeat(px, 3, axis=2)
     if ctype_n == 4:
@@ -309,6 +340,111 @@ def encode_png(img: np.ndarray, filter_type: int = 0, interlace: bool = False) -
         PNG_SIG
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_filter_bytes(rows: np.ndarray, bpp: int, filter_type: int) -> np.ndarray:
+    """Filter raw scanline BYTES (h, stride) at an arbitrary filter stride
+    ``bpp`` — the exact inverse of ``_png_unfilter`` for any depth. Returns
+    (h, stride+1) rows with the leading filter byte."""
+    h, stride = rows.shape
+    px = rows.astype(np.int64)
+    up = np.zeros_like(px)
+    up[1:] = px[:-1]
+    left = np.zeros_like(px)
+    left[:, bpp:] = px[:, :-bpp]
+    ul = np.zeros_like(px)
+    ul[1:, bpp:] = px[:-1, :-bpp]
+    if filter_type == 0:
+        filt = px
+    elif filter_type == 1:
+        filt = px - left
+    elif filter_type == 2:
+        filt = px - up
+    elif filter_type == 3:
+        filt = px - ((left + up) >> 1)
+    else:
+        p = left + up - ul
+        pa_, pb_, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where(
+            (pa_ <= pb_) & (pa_ <= pc_), left, np.where(pb_ <= pc_, up, ul)
+        )
+        filt = px - pred
+    body = np.zeros((h, 1 + stride), dtype=np.uint8)
+    body[:, 0] = filter_type
+    body[:, 1:] = (filt & 0xFF).astype(np.uint8)
+    return body
+
+
+def _pack_scanlines(img: np.ndarray, depth: int, channels: int) -> np.ndarray:
+    """(h, w, channels) samples -> (h, stride) raw scanline bytes for
+    ``depth``: 16-bit big-endian pairs, 8-bit identity, sub-byte MSB-first
+    packing with zero padding bits at the row tail (spec §7.2)."""
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * channels).astype(np.uint16)
+    if depth == 16:
+        b = np.empty((h, w * channels * 2), np.uint8)
+        b[:, 0::2] = (flat >> 8).astype(np.uint8)
+        b[:, 1::2] = (flat & 0xFF).astype(np.uint8)
+        return b
+    if depth == 8:
+        return flat.astype(np.uint8)
+    spb = 8 // depth
+    stride = (w * channels * depth + 7) // 8
+    padded = np.zeros((h, stride * spb), np.uint8)
+    padded[:, : w * channels] = flat
+    bits = ((padded[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(h, -1), axis=1)
+
+
+def encode_png_ext(
+    img: np.ndarray,
+    depth: int = 8,
+    ctype_n: int = 2,
+    filter_type: int = 0,
+    interlace: bool = False,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Fixture PNG writer for EVERY legal (depth, color type) combination —
+    the round-trip proof for ``decode_png``'s wide/sub-byte paths. ``img`` is
+    (h, w, channels) samples (uint8, or uint16 for depth 16; palette indices
+    for color type 3); ``palette`` is the (n, 3) PLTE for color type 3."""
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_n]
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, c = img.shape
+    assert c == channels and filter_type in (0, 1, 2, 3, 4)
+    bpp = max(1, channels * depth // 8)
+    if interlace:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = img[y0::ys, x0::xs]
+            if sub.shape[0] and sub.shape[1]:
+                rows = _pack_scanlines(np.ascontiguousarray(sub), depth, channels)
+                parts.append(_png_filter_bytes(rows, bpp, filter_type).tobytes())
+        body = b"".join(parts)
+    else:
+        body = _png_filter_bytes(
+            _pack_scanlines(img, depth, channels), bpp, filter_type
+        ).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([depth, ctype_n, 0, 0, 1 if interlace else 0])
+    )
+    plte = chunk(b"PLTE", palette.astype(np.uint8).tobytes()) if palette is not None else b""
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + plte
+        + chunk(b"IDAT", zlib.compress(body))
         + chunk(b"IEND", b"")
     )
 

@@ -227,7 +227,9 @@ def test_png_color_types_and_unsupported():
         decode_png(manual(w, h, 3, 1, idx.ravel(), extra=chunk(b"PLTE", pal.tobytes()))),
         pal[idx[..., 0]],
     )
-    with pytest.raises(NotImplementedError):  # 16-bit needs the wide path
+    # 16-bit decodes for real now; an 8-bit-sized body mislabeled depth=16
+    # is a hard size-mismatch error, not a silent misread
+    with pytest.raises(ValueError):
         decode_png(manual(w, h, 0, 1, g.ravel(), depth=16))
     # Adam7 decodes for real now; a sequential stream mislabeled as
     # interlaced is a hard size-mismatch error, not a silent misread
@@ -405,3 +407,87 @@ def test_gif_disposal_modes():
     assert (fr[2][0:2, 0:2] == (17, 34, 51)).all()  # bg-restored rect
     assert (fr[2][7, 7] == (255, 0, 0)).all()
     assert (fr[2][4, 4] == (0, 0, 255)).all()  # untouched canvas stays
+
+
+def test_png_16bit_all_color_types():
+    """16-bit gray/RGB/gray+alpha/RGBA round-trip through every filter type:
+    default output keeps the most-significant byte (PIL 'RGB;16B' rawmode
+    semantics); keep_precision returns the full uint16 samples."""
+    from clip_as_service_ray.stages.multimodal import decode_png, encode_png_ext
+
+    rng = np.random.default_rng(21)
+    h, w = 9, 7
+    for ctype_n, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        img = rng.integers(0, 1 << 16, (h, w, ch), dtype=np.uint16)
+        for ft in range(5):
+            payload = encode_png_ext(img, depth=16, ctype_n=ctype_n, filter_type=ft)
+            out = decode_png(payload)
+            hi = (img >> 8).astype(np.uint8)
+            exp = (
+                np.repeat(hi[..., :1], 3, axis=2) if ch in (1, 2)
+                else hi[..., :3]
+            )
+            np.testing.assert_array_equal(out, exp, err_msg=f"ct{ctype_n} f{ft}")
+            wide = decode_png(payload, keep_precision=True)
+            expw = (
+                np.repeat(img[..., :1], 3, axis=2) if ch in (1, 2)
+                else img[..., :3]
+            )
+            np.testing.assert_array_equal(wide, expw)
+
+
+def test_png_16bit_adam7():
+    from clip_as_service_ray.stages.multimodal import decode_png, encode_png_ext
+
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 1 << 16, (11, 9, 3), dtype=np.uint16)
+    for ft in (0, 4):
+        payload = encode_png_ext(img, depth=16, ctype_n=2, filter_type=ft, interlace=True)
+        np.testing.assert_array_equal(
+            decode_png(payload, keep_precision=True), img
+        )
+
+
+def test_png_sub_byte_depths():
+    """1/2/4-bit gray (scaled to full 8-bit range per spec §11.2.2) and
+    palette (indices never scaled), sequential and Adam7, odd widths so the
+    scanline tail has padding bits."""
+    from clip_as_service_ray.stages.multimodal import decode_png, encode_png_ext
+
+    rng = np.random.default_rng(23)
+    h, w = 10, 13  # 13 samples/row -> padded final byte at depths 1/2/4
+    for depth in (1, 2, 4):
+        mx = (1 << depth) - 1
+        g = rng.integers(0, mx + 1, (h, w, 1), dtype=np.uint8)
+        scale = 255 // mx
+        for ft in (0, 1, 2, 3, 4):
+            payload = encode_png_ext(g, depth=depth, ctype_n=0, filter_type=ft)
+            np.testing.assert_array_equal(
+                decode_png(payload), np.repeat(g * scale, 3, axis=2),
+                err_msg=f"gray d{depth} f{ft}",
+            )
+        pal = rng.integers(0, 256, (mx + 1, 3), dtype=np.uint8)
+        idx = rng.integers(0, mx + 1, (h, w, 1), dtype=np.uint8)
+        payload = encode_png_ext(idx, depth=depth, ctype_n=3, palette=pal)
+        np.testing.assert_array_equal(decode_png(payload), pal[idx[..., 0]])
+        # Adam7 at sub-byte depth: per-pass scanline padding
+        payload = encode_png_ext(g, depth=depth, ctype_n=0, filter_type=2, interlace=True)
+        np.testing.assert_array_equal(
+            decode_png(payload), np.repeat(g * scale, 3, axis=2)
+        )
+
+
+def test_png_invalid_depth_combos():
+    from clip_as_service_ray.stages.multimodal import decode_png, encode_png_ext
+
+    rng = np.random.default_rng(24)
+    img = rng.integers(0, 2, (4, 4, 3), dtype=np.uint16)
+    payload = bytearray(encode_png_ext(img, depth=16, ctype_n=2))
+    # corrupt IHDR depth to an illegal combo: depth 4 with color type 2
+    assert payload[24] == 16 and payload[25] == 2
+    payload[24] = 4
+    with pytest.raises(ValueError):
+        decode_png(bytes(payload))
+    payload[24] = 3  # depth 3 is never legal
+    with pytest.raises(ValueError):
+        decode_png(bytes(payload))
