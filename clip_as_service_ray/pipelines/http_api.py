@@ -12,6 +12,10 @@ Endpoints:
     GET  /profile  -> aggregated per-stage query timings (profile() analog)
     POST /search   -> body {"queries": [{"query_id": i, "text": str,
                      "limit": k?}, ...]} -> {"hits": [flat hit rows]}
+    POST /suggest  -> did-you-mean over the index dictionary: {"queries":
+                     [...], "max_dist"?: 2, "k"?: 5} -> per-query terms
+                     ranked (dist ASC, df DESC, term ASC)
+    POST /complete -> prefix autocomplete, ranked (df DESC, term ASC)
 
 The engine-side contract stays ``QueryService.search`` (pa.Table in/out);
 this handler only translates JSON <-> Arrow, so the same service mounts
@@ -237,12 +241,38 @@ class SearchHTTPServer:
                     metrics.inc("auth_failures_total")
                     self._send(401, {"error": "unauthorized"})
                     return
-                if self.path not in ("/search", "/rank", "/encode"):
+                if self.path not in (
+                    "/search", "/rank", "/encode", "/suggest", "/complete"
+                ):
                     self._send(404, {"error": f"unknown path {self.path}"})
                     return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     payload = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path in ("/suggest", "/complete"):
+                        # query-assist over the index dictionary: did-you-mean
+                        # (edit-distance + df prior) / prefix autocomplete
+                        t0 = time.time()
+                        k = int(payload.get("k", 5))
+                        if self.path == "/suggest":
+                            flat = service.suggest(
+                                _queries_table(payload),
+                                max_dist=int(payload.get("max_dist", 2)),
+                                k=k,
+                            )
+                        else:
+                            flat = service.complete(_queries_table(payload), k=k)
+                        metrics.observe("assist_latency", time.time() - t0)
+                        metrics.inc("assist_requests_total")
+                        rows: dict[int, list] = {}
+                        for row in flat.to_pylist():
+                            rows.setdefault(row.pop("query_id"), []).append(row)
+                        self._send(200, {"suggestions": [
+                            {"query_id": int(q["query_id"]),
+                             "terms": rows.get(int(q["query_id"]), [])}
+                            for q in payload.get("queries", [])
+                        ]})
+                        return
                     if self.path == "/encode":
                         # sparse BM25 vectors: [{term: weight, ...}] per text
                         t0 = time.time()
@@ -593,6 +623,31 @@ class SegmentedSearchHTTPServer:
                         )
                         metrics.inc("search_hits_total", hits.num_rows)
                         self._send(200, {"hits": hits.to_pylist()})
+                    elif self.path in ("/suggest", "/complete"):
+                        svc = outer._svc  # read once: a write may swap it
+                        if svc is None:
+                            self._send(503, {"error": "index empty"})
+                            return
+                        t0 = time.time()
+                        k = int(payload.get("k", 5))
+                        if self.path == "/suggest":
+                            flat = svc.suggest(
+                                _queries_table(payload),
+                                max_dist=int(payload.get("max_dist", 2)),
+                                k=k,
+                            )
+                        else:
+                            flat = svc.complete(_queries_table(payload), k=k)
+                        metrics.observe("assist_latency", time.time() - t0)
+                        metrics.inc("assist_requests_total")
+                        rows: dict[int, list] = {}
+                        for row in flat.to_pylist():
+                            rows.setdefault(row.pop("query_id"), []).append(row)
+                        self._send(200, {"suggestions": [
+                            {"query_id": int(q["query_id"]),
+                             "terms": rows.get(int(q["query_id"]), [])}
+                            for q in payload.get("queries", [])
+                        ]})
                     elif self.path == "/phrase":
                         psvc = outer._phrase_svc  # read once: writes swap it
                         if psvc is None:

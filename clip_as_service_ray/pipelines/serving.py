@@ -51,6 +51,22 @@ class QueryService:
         self._rr = (self._rr + 1) % len(self.replicas)
         return ray.get(self.replicas[self._rr].encode_batch.remote(queries))
 
+    def suggest(self, queries: pa.Table, max_dist: int = 2, k: int = 5) -> pa.Table:
+        """Did-you-mean over the index dictionary (the /suggest analog)."""
+        import ray
+
+        self._rr = (self._rr + 1) % len(self.replicas)
+        return ray.get(
+            self.replicas[self._rr].suggest_batch.remote(queries, max_dist, k)
+        )
+
+    def complete(self, queries: pa.Table, k: int = 5) -> pa.Table:
+        """Prefix autocomplete over the index dictionary (/complete)."""
+        import ray
+
+        self._rr = (self._rr + 1) % len(self.replicas)
+        return ray.get(self.replicas[self._rr].complete_batch.remote(queries, k))
+
     def rank(self, queries: pa.Table, candidates: pa.Table) -> pa.Table:
         """Re-rank provided candidates per query (the reference's /rank,
         set_rank semantics) through one pool replica, round-robin."""

@@ -142,6 +142,35 @@ def build_sharded_index(
     return payload
 
 
+def _merge_assist(parts: list[pa.Table], k: int, with_dist: bool) -> pa.Table:
+    """Merge per-segment suggest/complete tables. Each shard's reader holds
+    the UNION dictionary (global_stats df_path), so a term's df is already
+    the global value — the merge DEDUPES per (query, term) (max = the common
+    value), it must not sum. dist is segment-invariant; per-query top-k
+    re-ranks globally."""
+    import pandas as pd
+
+    merged = pd.concat([p.to_pandas() for p in parts], ignore_index=True)
+    if len(merged) == 0:
+        return parts[0].slice(0, 0)
+    agg = {"df": "max"} | ({"dist": "min"} if with_dist else {})
+    g = merged.groupby(["query_id", "term"], as_index=False).agg(agg)
+    sort_cols = (["query_id", "dist", "df", "term"] if with_dist
+                 else ["query_id", "df", "term"])
+    asc = [True, True, False, True] if with_dist else [True, False, True]
+    g = g.sort_values(sort_cols, ascending=asc, kind="mergesort")
+    if k > 0:
+        g = g.groupby("query_id", sort=False).head(k)
+    cols = {
+        "query_id": pa.array(g["query_id"].to_numpy(), pa.int64()),
+        "term": pa.array(g["term"].tolist(), pa.string()),
+    }
+    if with_dist:
+        cols["dist"] = pa.array(g["dist"].to_numpy(), pa.int64())
+    cols["df"] = pa.array(g["df"].to_numpy(), pa.int64())
+    return pa.table(cols)
+
+
 class ScatterQueryService:
     """Scatter-ALL-search over per-partition scorer actors with GLOBAL
     corpus stats — the shared engine behind sharded indexes and incremental
@@ -253,6 +282,43 @@ class ScatterQueryService:
             out["turn_idx"].extend(g.turn_idx)
             out["score"].extend(g.score)
         return pa.table(out, schema=HITS_SCHEMA)
+
+    def suggest(self, queries: pa.Table, max_dist: int = 2, k: int = 5) -> pa.Table:
+        """Scatter did-you-mean: each segment expands over its LOCAL
+        vocabulary (the union of shard vocabs IS the union vocabulary) but
+        reports the UNION df (readers load global_stats df_path), so the
+        merge dedupes per (query, term) and re-ranks globally (dist ASC,
+        df DESC, term ASC). Each shard returns its full neighborhood (k=0):
+        per-shard top-k could hide a term that only out-ranks after the
+        global merge. df counts tombstoned docs until compaction — an
+        approximate prior by design in a segmented index."""
+        import ray
+
+        if queries.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+                 "dist": pa.array([], pa.int64()), "df": pa.array([], pa.int64())}
+            )
+        raw = ray.get(
+            [r.suggest_batch.remote(queries, max_dist, 0) for r in self.replicas]
+        )
+        return _merge_assist(raw, k, with_dist=True)
+
+    def complete(self, queries: pa.Table, k: int = 5) -> pa.Table:
+        """Scatter autocomplete: union of per-segment prefix expansions
+        (union df deduped per (query, term)), global (df DESC, term ASC)
+        top-k."""
+        import ray
+
+        if queries.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64())}
+            )
+        raw = ray.get(
+            [r.complete_batch.remote(queries, 0) for r in self.replicas]
+        )
+        return _merge_assist(raw, k, with_dist=False)
 
     def search(self, queries: pa.Table) -> pa.Table:
         import ray

@@ -304,6 +304,36 @@ class WebSocketSearchServer:
         self.metrics.inc("phrase_requests_total")
         return {"hits": hits.to_pylist()}
 
+    def _do_assist(self, payload: dict, complete: bool) -> dict:
+        """suggest/complete: query-assist over the union dictionary."""
+        svc = self._svc
+        if svc is None:
+            return {"error": "index empty or write in progress", "code": 503}
+        k = int(payload.get("k", 5))
+        if complete:
+            flat = svc.complete(_queries_table(payload), k=k)
+        else:
+            flat = svc.suggest(
+                _queries_table(payload),
+                max_dist=int(payload.get("max_dist", 2)),
+                k=k,
+            )
+        self.metrics.inc("assist_requests_total")
+        rows: dict[int, list] = {}
+        for row in flat.to_pylist():
+            rows.setdefault(row.pop("query_id"), []).append(row)
+        return {"suggestions": [
+            {"query_id": int(q["query_id"]),
+             "terms": rows.get(int(q["query_id"]), [])}
+            for q in payload.get("queries", [])
+        ]}
+
+    def _do_suggest(self, payload: dict) -> dict:
+        return self._do_assist(payload, complete=False)
+
+    def _do_complete(self, payload: dict) -> dict:
+        return self._do_assist(payload, complete=True)
+
     def _do_health(self, payload: dict) -> dict:
         return {
             "status": "ok",
@@ -375,6 +405,8 @@ class WebSocketSearchServer:
                         "encode": self._do_encode,
                         "rank": self._do_rank,
                         "phrase": self._do_phrase,
+                        "suggest": self._do_suggest,
+                        "complete": self._do_complete,
                         "index": self._do_index,
                         "update": self._do_update,
                         "status": self._do_status,
@@ -564,6 +596,16 @@ class AsyncSearchClient:
 
     async def aphrase(self, queries: list[dict]):
         return (await self._call({"op": "phrase", "queries": queries}))["hits"]
+
+    async def asuggest(self, queries: list[dict], max_dist: int = 2, k: int = 5):
+        return (await self._call(
+            {"op": "suggest", "queries": queries, "max_dist": max_dist, "k": k}
+        ))["suggestions"]
+
+    async def acomplete(self, queries: list[dict], k: int = 5):
+        return (await self._call(
+            {"op": "complete", "queries": queries, "k": k}
+        ))["suggestions"]
 
     async def aindex(self, turns: list[dict]) -> dict:
         return await self._call({"op": "index", "turns": turns})

@@ -610,6 +610,46 @@ class IndexReader:
                 out.append(t)
         return out
 
+    def suggest(
+        self, term: str, max_dist: int = 2, k: int = 5
+    ) -> list[tuple[str, int, int]]:
+        """Did-you-mean: the top-k vocabulary terms within ``max_dist`` edits
+        of ``term``, ranked (dist ASC, df DESC, term ASC) — edit-distance
+        candidates weighted by the collection-frequency prior, the standard
+        speller shape (Lucene DirectSpellChecker analog). Vectorized
+        length-band prefilter; capped-DP verify only inside the band."""
+        from clip_as_service_ray.stages.dedup import _levenshtein_capped
+
+        if not term or len(self._terms_sorted) == 0:
+            return []
+        if not hasattr(self, "_term_lens"):
+            self._term_lens = np.fromiter(
+                (len(t) for t in self._terms_sorted),
+                np.int64,
+                count=len(self._terms_sorted),
+            )
+        band = np.nonzero(np.abs(self._term_lens - len(term)) <= max_dist)[0]
+        cands = []
+        for i in band:
+            t = self._terms_sorted[i]
+            d = _levenshtein_capped(term, t, max_dist)
+            if d <= max_dist:
+                cands.append((d, -int(self.df.get(t, 0)), t))
+        cands.sort()
+        if k > 0:  # k<=0: ALL candidates (segmented merge re-ranks globally)
+            cands = cands[:k]
+        return [(t, d, -negdf) for d, negdf, t in cands]
+
+    def complete(self, prefix: str, k: int = 5) -> list[tuple[str, int]]:
+        """Autocomplete: top-k completions of ``prefix`` by (df DESC, term
+        ASC) — one searchsorted range over the sorted dictionary, then a
+        partial sort of the (usually small) expansion."""
+        terms = self.expand_prefix(prefix)
+        ranked = sorted((-int(self.df.get(t, 0)), t) for t in terms)
+        if k > 0:  # k<=0: ALL completions (segmented merge re-ranks globally)
+            ranked = ranked[:k]
+        return [(t, -negdf) for negdf, t in ranked]
+
     def score_query_fuzzy(
         self, text: str, limit: int, max_dist: int = 2, exclude_text: str = "",
         doc_range=None,
@@ -814,6 +854,51 @@ class QueryScorer:
             {"query_id": pa.array(qids_out, pa.int64()),
              "term": pa.array(terms_out, pa.string()),
              "weight": pa.array(w_out, pa.float64())}
+        )
+
+    def suggest_batch(
+        self, queries: pa.Table, max_dist: int = 2, k: int = 5
+    ) -> pa.Table:
+        """/suggest: (query_id, text) -> (query_id, term, dist, df) rows,
+        per-query top-k spell corrections from the index dictionary."""
+        qids_out: list[int] = []
+        terms_out: list[str] = []
+        dist_out: list[int] = []
+        df_out: list[int] = []
+        for qid, text in zip(queries.column("query_id").to_pylist(),
+                             queries.column("text").to_pylist()):
+            for t, d, df_val in self.reader.suggest(
+                (text or "").strip().lower(), max_dist=max_dist, k=k
+            ):
+                qids_out.append(qid)
+                terms_out.append(t)
+                dist_out.append(d)
+                df_out.append(df_val)
+        return pa.table(
+            {"query_id": pa.array(qids_out, pa.int64()),
+             "term": pa.array(terms_out, pa.string()),
+             "dist": pa.array(dist_out, pa.int64()),
+             "df": pa.array(df_out, pa.int64())}
+        )
+
+    def complete_batch(self, queries: pa.Table, k: int = 5) -> pa.Table:
+        """/complete: (query_id, text) -> (query_id, term, df) rows,
+        per-query top-k prefix completions from the index dictionary."""
+        qids_out: list[int] = []
+        terms_out: list[str] = []
+        df_out: list[int] = []
+        for qid, text in zip(queries.column("query_id").to_pylist(),
+                             queries.column("text").to_pylist()):
+            for t, df_val in self.reader.complete(
+                (text or "").strip().lower(), k=k
+            ):
+                qids_out.append(qid)
+                terms_out.append(t)
+                df_out.append(df_val)
+        return pa.table(
+            {"query_id": pa.array(qids_out, pa.int64()),
+             "term": pa.array(terms_out, pa.string()),
+             "df": pa.array(df_out, pa.int64())}
         )
 
     def rank_batch(self, queries: pa.Table, candidates: pa.Table,

@@ -429,3 +429,84 @@ def test_encode_endpoint_sparse_bm25_vectors(server):
     ).to_pydict()
     got = dict(zip(flat["term"], flat["weight"]))
     assert got == v0  # HTTP json == engine table exactly (float64 roundtrip)
+
+
+def _expected_assist(dict_path, q, max_dist=2, k=5, prefix=False):
+    """Brute-force expected suggest/complete ranking from a dictionary
+    parquet: (dist ASC,) df DESC, term ASC."""
+    from clip_as_service_ray.stages.dedup import _levenshtein_capped
+
+    t = pq.read_table(dict_path)
+    rows = []
+    for term, df in zip(t.column("term").to_pylist(), t.column("df").to_pylist()):
+        if prefix:
+            if term.startswith(q):
+                rows.append((-int(df), term))
+        else:
+            d = _levenshtein_capped(q, term, max_dist)
+            if d <= max_dist:
+                rows.append((d, -int(df), term))
+    rows.sort()
+    if prefix:
+        return [{"term": t, "df": -negdf} for negdf, t in rows[:k]]
+    return [{"term": t, "dist": d, "df": -negdf} for d, negdf, t in rows[:k]]
+
+
+def test_suggest_and_complete_over_http(server):
+    import os
+
+    srv, _ = server
+    dict_path = os.path.join(srv.service.index_dir, "dictionary")
+    # pick a real corpus term and misspell it
+    t = pq.read_table(dict_path).sort_by([("df", "descending"), ("term", "ascending")])
+    word = next(w for w in t.column("term").to_pylist() if len(w) >= 5)
+    typo = word[:-1] + ("x" if word[-1] != "x" else "y")
+    out = _post(srv.url + "/suggest", {"queries": [{"query_id": 0, "text": typo}]})
+    got = out["suggestions"][0]["terms"]
+    assert got == _expected_assist(dict_path, typo)
+    assert got and got[0]["term"] == word  # the source word must rank first
+
+    pre = word[:2]
+    out = _post(srv.url + "/complete", {"queries": [{"query_id": 0, "text": pre},
+                                                    {"query_id": 1, "text": "zzzz"}]})
+    assert out["suggestions"][0]["terms"] == _expected_assist(
+        dict_path, pre, prefix=True
+    )
+    assert out["suggestions"][1]["terms"] == []  # no completions, stable shape
+
+    # k caps the list
+    out = _post(srv.url + "/complete", {"k": 1, "queries": [{"query_id": 0, "text": pre}]})
+    assert len(out["suggestions"][0]["terms"]) == 1
+
+
+def test_segmented_suggest_merges_union_df(ray_session, tmp_path):
+    """Scatter suggest/complete over two segments == brute force over the
+    UNION dictionary (df deduped, not summed; global re-rank)."""
+    import os
+
+    from clip_as_service_ray.pipelines.http_api import SegmentedSearchHTTPServer
+
+    root = str(tmp_path / "segsug")
+    srv = SegmentedSearchHTTPServer(root, CFG)
+    try:
+        def turns(conv, text):
+            return {"conv_id": conv, "turn_idx": 0, "role": "user", "text": text}
+
+        _post(srv.url + "/index", {"turns": [
+            turns("ca", "panda panda bamboo"), turns("cb", "panda river")]})
+        _post(srv.url + "/index", {"turns": [
+            turns("cc", "pander bamboo bamboo"), turns("cd", "pans of steel")]})
+        union = os.path.join(root, "union_dictionary", "dictionary.parquet")
+        out = _post(srv.url + "/suggest", {"queries": [{"query_id": 5, "text": "pnda"}]})
+        got = out["suggestions"][0]["terms"]
+        assert got == _expected_assist(union, "pnda")
+        assert got[0]["term"] == "panda" and got[0]["df"] == 2  # union df: 2 docs
+        out = _post(srv.url + "/complete", {"queries": [{"query_id": 1, "text": "pan"}]})
+        assert out["suggestions"][0]["terms"] == _expected_assist(
+            union, "pan", prefix=True
+        )
+        # terms split across segments appear once with the union df
+        terms = {r["term"]: r["df"] for r in out["suggestions"][0]["terms"]}
+        assert terms["panda"] == 2 and terms["pander"] == 1 and terms["pans"] == 1
+    finally:
+        srv.shutdown()

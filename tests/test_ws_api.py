@@ -272,3 +272,26 @@ def test_websocket_encode_op(ray_session, tmp_path):
         asyncio.run(main())
     finally:
         srv.shutdown()
+
+
+def test_websocket_suggest_complete_ops(ray_session, tmp_path):
+    srv = WebSocketSearchServer(str(tmp_path / "wssug"), CFG)
+    try:
+        async def main():
+            c = await AsyncSearchClient(srv.url).connect()
+            await c.aindex([
+                _turn("cva", "panda panda bamboo"),
+                _turn("cvb", "panda pander pans"),
+            ])
+            sug = await c.asuggest([{"query_id": 0, "text": "pnda"}])
+            terms = sug[0]["terms"]
+            assert terms[0]["term"] == "panda" and terms[0]["dist"] == 1
+            assert terms[0]["df"] == 2  # both docs
+            comp = await c.acomplete([{"query_id": 0, "text": "pan"}], k=2)
+            got = [t["term"] for t in comp[0]["terms"]]
+            assert got == ["panda", "pander"]  # df 2 first, then term ASC
+            await c.aclose()
+
+        asyncio.run(main())
+    finally:
+        srv.shutdown()
