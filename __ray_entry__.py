@@ -116,23 +116,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_batch": ops.ann_topk_batch,
         "ann_ivf_topk": ops.ann_ivf_topk,
         "ann_ivfpq_topk": ops.ann_ivfpq_topk,
-        # --- 37-46: relational / TPC-H analogs ---
+        # --- 37-45: relational / TPC-H analogs + round-3 flagship class ---
         "lineitem_pricing_summary": ops.lineitem_pricing_summary,
         "revenue_filter_q6": ops.revenue_filter_q6,
         "shipping_priority_q3": ops.shipping_priority_q3,
         "order_priority_check_q4": ops.order_priority_check_q4,
         "returnflag_priority_share_q12": ops.returnflag_priority_share_q12,
-        "customer_segment_revenue": ops.customer_segment_revenue,
-        "promo_revenue": ops.promo_revenue,
-        "brand_quantity_revenue": ops.brand_quantity_revenue,
-        "parts_never_shipped_late": ops.parts_never_shipped_late,
         "returned_item_revenue": ops.returned_item_revenue,
-        # --- 47-50: joins / windows / sketch representatives ---
+        # --- query-assist / curation / hybrid (round-3 flagship class) ---
+        "spell_suggest": ops.spell_suggest,
+        "ngram_contamination": ops.ngram_contamination,
+        "hybrid_rrf_topk": ops.hybrid_rrf_topk,
+        # --- 46-50: joins / windows / distributed-quantile representatives ---
         "customer_orders_full_outer": ops.customer_orders_full_outer,
         "purchase_click_asof": ops.purchase_click_asof,
         "event_value_percentiles_distributed": ops.event_value_percentiles_distributed,
         # ==== entries below the driver's 50-entry cap (locally checked) ====
         "event_value_histogram": ops.event_value_histogram,
+        "customer_segment_revenue": ops.customer_segment_revenue,
+        "promo_revenue": ops.promo_revenue,
+        "brand_quantity_revenue": ops.brand_quantity_revenue,
+        "parts_never_shipped_late": ops.parts_never_shipped_late,
         "profile_lineitem": ops.profile_lineitem,
         "doc_repetition": ops.doc_repetition,
         "user_top_event_type": ops.user_top_event_type,
@@ -171,10 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": ops.kmeans_embeddings,  # rows-only (iterative)
         "approx_top_terms": ops.approx_top_terms,  # rows-only (sketch)
         "transcripts_bm25_search": _transcripts_bm25_search,  # rows-only
-        "spell_suggest": ops.spell_suggest,
         "autocomplete_prefix": ops.autocomplete_prefix,
         "search_facets": ops.search_facets,
-        "ngram_contamination": ops.ngram_contamination,
     }
 
 
@@ -1038,6 +1040,35 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'source' AS facet, source AS value, count(*)::BIGINT AS n_docs "
             "FROM documents JOIN m USING (doc_id) GROUP BY source"
+        ),
+        "hybrid_rrf_topk": (
+            # reciprocal-rank fusion of the BM25 leg (top-30) and the cosine
+            # leg (query = vec 0, top-30): rrf = sum 1/(60 + rank)
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            "sparse AS (SELECT doc_id, "
+            "  row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r "
+            "  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 30), "
+            "dense AS (SELECT vec_id AS doc_id, "
+            "  row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS r FROM ("
+            "    SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.v) AS sim "
+            "    FROM embeddings e, (SELECT embedding::DOUBLE[] AS v FROM embeddings "
+            "                        WHERE vec_id = 0) q) "
+            "  ORDER BY sim DESC, vec_id ASC LIMIT 30), "
+            "fused AS (SELECT coalesce(s.doc_id, d.doc_id) AS doc_id, "
+            "  coalesce(1.0 / (60 + s.r), 0) + coalesce(1.0 / (60 + d.r), 0) AS rrf "
+            "  FROM sparse s FULL OUTER JOIN dense d USING (doc_id)) "
+            "SELECT doc_id, round(rrf, 6)::DOUBLE AS rrf FROM fused "
+            "ORDER BY rrf DESC, doc_id ASC LIMIT 10"
         ),
         "ngram_contamination": (
             "WITH t AS (SELECT doc_id, source, "

@@ -4064,3 +4064,33 @@ def ngram_contamination(
             "n_overlap": pc.cast(tbl.column("n_overlap"), pa.int64()),
         }
     )
+
+
+def hybrid_rrf_topk(
+    sf_dir: str, n: int = 30, k: int = 10, kappa: int = 60
+):
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al., SIGIR'09):
+    the sparse leg is BM25 top-n THROUGH the real engine (``bm25_topk``) and
+    the dense leg is cosine top-n over the embedding column (``ann_topk``,
+    query = vec 0); fused score = sum over legs of 1 / (kappa + rank). Both
+    legs are distributed passes that return only n rows, so the fusion
+    itself is a driver-side merge of two k-sized lists — the standard shape
+    for hybrid search at any corpus size (the engine's /search + the ANN
+    index each do their own top-n; fusion cost is O(n)).
+
+    doc_id and vec_id share the entity space in the driver tables; rrf is a
+    sum of two fixed-point-free reciprocals (order-independent)."""
+    sparse = bm25_topk(sf_dir, limit=n)  # rows already in rank order
+    dense = ann_topk(sf_dir, k=n)  # rows already in (sim DESC, id ASC) order
+    rrf: dict[int, float] = {}
+    for r, d in enumerate(sparse.column("doc_id").to_pylist(), start=1):
+        rrf[int(d)] = rrf.get(int(d), 0.0) + 1.0 / (kappa + r)
+    for r, d in enumerate(dense.column("vec_id").to_pylist(), start=1):
+        rrf[int(d)] = rrf.get(int(d), 0.0) + 1.0 / (kappa + r)
+    ranked = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in ranked], pa.int64()),
+            "rrf": pa.array([round(s, 6) for _, s in ranked], pa.float64()),
+        }
+    )
