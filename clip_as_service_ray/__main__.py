@@ -58,6 +58,21 @@ def main(argv=None) -> int:
     ph.add_argument("--window", type=int, default=0,
                     help="0 = exact phrase; >0 = two-term proximity window")
 
+    sg = sub.add_parser(
+        "suggest", help="did-you-mean terms from the index dictionary"
+    )
+    sg.add_argument("--index-dir", required=True)
+    sg.add_argument("--text", required=True, help="the (misspelled) term")
+    sg.add_argument("--max-dist", type=int, default=2)
+    sg.add_argument("--k", type=int, default=5)
+
+    cp = sub.add_parser(
+        "complete", help="prefix autocompletions from the index dictionary"
+    )
+    cp.add_argument("--index-dir", required=True)
+    cp.add_argument("--text", required=True, help="the term prefix")
+    cp.add_argument("--k", type=int, default=5)
+
     v = sub.add_parser("serve", help="serve an index over HTTP (/search, /health, /profile)")
     v.add_argument("--index-dir", required=True)
     v.add_argument("--host", default="127.0.0.1")
@@ -141,6 +156,24 @@ def main(argv=None) -> int:
                 print(json.dumps({"hits": hits.num_rows, "out": args.out}))
             else:
                 print(hits.to_pandas().to_string(index=False))
+        elif args.cmd in ("suggest", "complete"):
+            # dictionary-only ops: one local reader, no actor pool
+            from clip_as_service_ray.stages.query import IndexReader
+
+            reader = IndexReader(args.index_dir)
+            if args.cmd == "suggest":
+                rows = [
+                    {"term": t, "dist": d, "df": df}
+                    for t, d, df in reader.suggest(
+                        args.text.strip().lower(), args.max_dist, args.k
+                    )
+                ]
+            else:
+                rows = [
+                    {"term": t, "df": df}
+                    for t, df in reader.complete(args.text.strip().lower(), args.k)
+                ]
+            print(json.dumps({"query": args.text, "terms": rows}))
         elif args.cmd == "build-positions":
             from clip_as_service_ray.pipelines.phrase import build_positions
 
