@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcripts_bm25_search": _transcripts_bm25_search,  # rows-only
         "autocomplete_prefix": ops.autocomplete_prefix,
         "search_facets": ops.search_facets,
+        "stem_counts": ops.stem_counts,  # rows-only (no offline SQL stemmer)
     }
 
 

@@ -4094,3 +4094,48 @@ def hybrid_rrf_topk(
             "rrf": pa.array([round(s, 6) for _, s in ranked], pa.float64()),
         }
     )
+
+
+def stem_counts(sf_dir: str, min_count: int = 1):
+    """Porter-stem frequency table over the corpus (functions/stem.py): per
+    batch, each DISTINCT token is stemmed once (dictionary_encode, then the
+    per-code stem maps back through the code array — zipfian text makes this
+    a large constant factor), counts pre-aggregate per batch, one small
+    groupby(stem) finishes. Rows-only entry: DuckDB has no offline stemmer
+    (the fts extension's stem() needs a network INSTALL), so correctness is
+    pinned by the paper-example suite in tests/test_stem.py instead."""
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.functions.stem import porter_stem
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens, _lens = tokenize_column_flat(batch.column("text"))
+        if len(tokens) == 0:
+            return pa.table({"stem": pa.array([], pa.string()),
+                             "n_part": pa.array([], pa.int64())})
+        denc = tokens.dictionary_encode()
+        stems = [
+            porter_stem(t) if t.isalpha() else t
+            for t in denc.dictionary.to_pylist()
+        ]
+        codes = denc.indices.to_numpy().astype(np.int64)
+        counts = np.bincount(codes, minlength=len(stems)).astype(np.int64)
+        t = pa.table({"stem": pa.array(stems, pa.string()),
+                      "n_part": pa.array(counts, pa.int64())})
+        # same stem from several surface forms within the batch: pre-sum
+        g = t.group_by("stem").aggregate([("n_part", "sum")])
+        return g.rename_columns(["stem", "n_part"])
+
+    agg = (
+        _documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("stem", num_partitions=4)
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    if min_count > 1:
+        tbl = tbl.filter(pc.greater_equal(tbl.column("n"), min_count))
+    return pa.table(
+        {"stem": pc.cast(tbl.column("stem"), pa.string()),
+         "n": pc.cast(tbl.column("n"), pa.int64())}
+    )
