@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocomplete_prefix": ops.autocomplete_prefix,
         "search_facets": ops.search_facets,
         "stem_counts": ops.stem_counts,  # rows-only (no offline SQL stemmer)
+        "bm25_topk_stemmed": ops.bm25_topk_stemmed,  # rows-only (same)
     }
 
 

@@ -31,6 +31,11 @@ def main(argv=None) -> int:
         help="also build the positional artifact from the same single "
         "tokenize pass (enables phrase/proximity queries)",
     )
+    b.add_argument(
+        "--analyzer", default=None, choices=["stem"],
+        help="post-tokenize analyzer (Porter stemming); recorded in the "
+        "index and auto-applied to every query against it",
+    )
 
     s = sub.add_parser("search", help="run a query batch against an index")
     s.add_argument("--index-dir", required=True)
@@ -135,6 +140,8 @@ def main(argv=None) -> int:
                 kwargs["num_index_partitions"] = args.num_partitions
             if args.roles:
                 kwargs["index_roles"] = tuple(args.roles.split(","))
+            if args.analyzer:
+                kwargs["analyzer"] = args.analyzer
             report = build_index(
                 args.input, args.index_dir, EngineConfig(**kwargs),
                 overwrite=args.overwrite, positions=args.positions,

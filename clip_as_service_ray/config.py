@@ -51,6 +51,10 @@ class EngineConfig:
 
     # --- tokenizer ---
     lowercase: bool = True
+    # post-tokenize analyzer applied symmetrically at build and query time
+    # (functions/analyzers.py); None = raw terms, "stem" = Porter stemming.
+    # Recorded in stats.json so readers auto-apply it — never a search flag.
+    analyzer: str | None = None
     # M1 modality-split analog (helper.py:82-86): when set, only turns whose
     # `role` is in this tuple are indexed (e.g. ("user", "assistant"));
     # None indexes every role. Empty/whitespace turns are always dropped.

@@ -375,7 +375,8 @@ def _write_empty_index(
     if not os.path.exists(stats_path):
         mf.write_json(
             stats_path,
-            {"n_docs": 0, "sum_dl": 0, "avgdl": 0.0, "k1": config.k1, "b": config.b},
+            {"n_docs": 0, "sum_dl": 0, "avgdl": 0.0, "k1": config.k1,
+             "b": config.b, "analyzer": config.analyzer},
         )
     convmap_path = os.path.join(index_dir, "convmap.parquet")
     if not os.path.exists(convmap_path):
@@ -434,6 +435,9 @@ def build_index(
     import ray.data
     from ray.data.aggregate import Sum
 
+    from clip_as_service_ray.functions.analyzers import check_analyzer
+
+    check_analyzer(config.analyzer)  # fail fast, not inside a worker
     t0 = time.time()
     os.makedirs(index_dir, exist_ok=True)
     _assert_shared_storage(index_dir)
@@ -542,6 +546,7 @@ def build_index(
                 config.doc_bucket_size,
                 bucket_grp_width=prep_ref,
                 lowercase=config.lowercase,
+                analyzer=config.analyzer,
             )
         else:
             emit = TokenizeEmitPartials(
@@ -549,6 +554,7 @@ def build_index(
                 config.doc_bucket_size,
                 prep_ref,
                 lowercase=config.lowercase,
+                analyzer=config.analyzer,
             )
         work_items = _rg_work_items(source)
         if len(work_items) > 1:
@@ -621,6 +627,7 @@ def build_index(
             "block_size": config.postings_block_size,
             "doc_bucket_size": config.doc_bucket_size,
             "num_index_partitions": config.num_index_partitions,
+            "analyzer": config.analyzer,
         }
         mf.write_json(stats_path, stats)
     timings["stats_s"] = time.time() - t

@@ -4139,3 +4139,31 @@ def stem_counts(sf_dir: str, min_count: int = 1):
         {"stem": pc.cast(tbl.column("stem"), pa.string()),
          "n": pc.cast(tbl.column("n"), pa.int64())}
     )
+
+
+def bm25_topk_stemmed(sf_dir: str, text: str = "merging windows", limit: int = 10):
+    """BM25 top-k through a Porter-STEMMED index (EngineConfig(analyzer=
+    "stem"), functions/analyzers.py): the index folds every term at build
+    time, the reader auto-folds the query (stats.json records the analyzer),
+    so morphological variants — "merging windows" vs corpus "merge window" —
+    retrieve like exact terms. Rows-only entry: no offline SQL stemmer
+    exists (DuckDB's fts stem() needs a network INSTALL); correctness is
+    pinned by the Porter paper-example suite (tests/test_stem.py) plus the
+    engine-vs-oracle stemmed parity tests (tests/test_analyzer.py)."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4, analyzer="stem")
+    index_dir = _index_dir_for(sf_dir) + "_stem"
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([text]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )

@@ -40,12 +40,18 @@ HITS_SCHEMA = pa.schema(
 class OracleIndex:
     """In-memory inverted index over a transcripts pyarrow Table."""
 
-    def __init__(self, transcripts: pa.Table, k1: float = bm25.K1, b: float = bm25.B):
+    def __init__(self, transcripts: pa.Table, k1: float = bm25.K1, b: float = bm25.B,
+                 analyzer: str | None = None):
         self.k1, self.b = k1, b
+        self.analyzer = analyzer
         conv = transcripts.column("conv_id").to_pylist()
         turn = transcripts.column("turn_idx").to_pylist()
         texts = transcripts.column("text").to_pylist()
         term_lists = tokenize_texts(texts)
+        if analyzer:
+            from clip_as_service_ray.functions.analyzers import fold_tokens
+
+            term_lists = [fold_tokens(analyzer, ts) for ts in term_lists]
 
         # stable (conv_id, turn_idx) ordering defines doc order
         order = sorted(range(len(conv)), key=lambda i: (conv[i], turn[i]))
@@ -86,7 +92,12 @@ class OracleIndex:
         ``conv_prefix`` restricts CANDIDATES to conversations whose id
         starts with the prefix; BM25 stats stay global (the metadata-filter
         contract: filter the result set, not the model)."""
-        terms = sorted(set(tokenize(text)))  # dedupe; sorted = fixed accumulation order
+        toks = tokenize(text)
+        if self.analyzer:
+            from clip_as_service_ray.functions.analyzers import fold_tokens
+
+            toks = fold_tokens(self.analyzer, toks)
+        terms = sorted(set(toks))  # dedupe; sorted = fixed accumulation order
         scores = np.zeros(self.n_docs, dtype=np.float64)
         matched = np.zeros(self.n_docs, dtype=bool)
         for t in terms:

@@ -97,6 +97,7 @@ def build_positions(
                 config.doc_bucket_size,
                 bucket_grp_width=prep["grp_width"],
                 lowercase=config.lowercase,
+                analyzer=config.analyzer,
             ),
             batch_format="pyarrow",
             batch_size=config.tokenize_batch_size,
@@ -230,9 +231,7 @@ class PhraseScorer:
         for qid, text, limit, window in zip(qids, texts, limits, windows):
             k = int(limit or self.default_limit)
             if window:
-                from clip_as_service_ray.functions.tokenizer import tokenize
-
-                terms = tokenize(text or "")
+                terms = self.reader.query_tokens(text or "")
                 if len(terms) != 2:
                     raise ValueError("proximity mode expects exactly 2 terms")
                 docs, tfs, firsts = self.reader.cooccur_docs(

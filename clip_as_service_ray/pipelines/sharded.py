@@ -206,6 +206,18 @@ class ScatterQueryService:
         )
         self.n_shards = len(index_dirs)
         self.shard_names = [os.path.basename(d) for d in index_dirs]
+        # analyzers must agree across segments: each reader folds queries by
+        # ITS OWN stats.json analyzer, so a mixed set would score the same
+        # query against different term spaces and the merge would be garbage
+        analyzers = set()
+        for d in index_dirs:
+            sp = os.path.join(d, "stats.json")
+            if os.path.exists(sp):
+                analyzers.add(mf.read_json(sp).get("analyzer"))
+        if len(analyzers) > 1:
+            raise ValueError(
+                f"segments built with different analyzers: {sorted(map(str, analyzers))}"
+            )
         # boolean/prefix/fuzzy modes are shard-safe: each shard expands over
         # its LOCAL vocabulary but scores with the UNION df/idf — a term
         # present only in other shards contributes zero to this shard's docs

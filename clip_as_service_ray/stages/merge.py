@@ -255,6 +255,7 @@ class TokenizeEmitPartials(EmitPartials):
         conv_base_ref,
         *,
         lowercase: bool = True,
+        analyzer: str | None = None,
         emit_stats: bool = True,
     ):
         super().__init__(
@@ -262,6 +263,7 @@ class TokenizeEmitPartials(EmitPartials):
         )
         self.conv_base_ref = conv_base_ref
         self.lowercase = lowercase
+        self.analyzer = analyzer
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from clip_as_service_ray.functions.tokenizer import tokenize_column_flat
@@ -288,6 +290,10 @@ class TokenizeEmitPartials(EmitPartials):
         denc = flat_tokens.dictionary_encode()
         codes = denc.indices.to_numpy().astype(np.int64)
         dict_arr = denc.dictionary
+        if self.analyzer:
+            from clip_as_service_ray.functions.analyzers import fold_dictionary
+
+            dict_arr, codes = fold_dictionary(self.analyzer, dict_arr, codes)
         order = np.lexsort((docs_rep, codes))
         codes_t = codes[order]
         docs_t = docs_rep[order]

@@ -102,6 +102,7 @@ class TokenizePositions:
         doc_bucket_size: int,
         bucket_grp_width=1,
         lowercase: bool = True,
+        analyzer: str | None = None,
     ):
         # keep the REF; resolve lazily per worker process (_get_conv_base
         # caches) so the pickled UDF ships only an ObjectRef, not the table
@@ -110,6 +111,7 @@ class TokenizePositions:
         self.doc_bucket_size = doc_bucket_size
         self.bucket_grp_width = bucket_grp_width
         self.lowercase = lowercase
+        self.analyzer = analyzer
 
     def _grp_width(self) -> int:
         w = self.bucket_grp_width
@@ -143,6 +145,10 @@ class TokenizePositions:
         denc = flat_tokens.dictionary_encode()
         codes = denc.indices.to_numpy().astype(np.int64)
         dict_arr = denc.dictionary
+        if self.analyzer:
+            from clip_as_service_ray.functions.analyzers import fold_dictionary
+
+            dict_arr, codes = fold_dictionary(self.analyzer, dict_arr, codes)
         uniques = dict_arr.to_pylist()
         order = np.lexsort((pos_in_row, docs_rep, codes))
         codes_s = codes[order].astype(np.int32)
@@ -227,12 +233,14 @@ class TokenizeEmitFused:
         doc_bucket_size: int,
         bucket_grp_width=1,
         lowercase: bool = True,
+        analyzer: str | None = None,
     ):
         self.conv_base_ref = conv_base_ref
         self.num_partitions = num_partitions
         self.doc_bucket_size = doc_bucket_size
         self.bucket_grp_width = bucket_grp_width
         self.lowercase = lowercase
+        self.analyzer = analyzer
 
     def _grp_width(self) -> int:
         w = self.bucket_grp_width
@@ -284,6 +292,10 @@ class TokenizeEmitFused:
         denc = flat_tokens.dictionary_encode()
         codes = denc.indices.to_numpy().astype(np.int64)
         dict_arr = denc.dictionary
+        if self.analyzer:
+            from clip_as_service_ray.functions.analyzers import fold_dictionary
+
+            dict_arr, codes = fold_dictionary(self.analyzer, dict_arr, codes)
         uniques = dict_arr.to_pylist()
         order = np.lexsort((pos_in_row, docs_rep, codes))
         codes_s = codes[order].astype(np.int32)
@@ -460,7 +472,17 @@ class PositionsReader:
     """
 
     def __init__(self, index_dir: str):
+        import json
+
         import pyarrow.parquet as pq
+
+        # analyzer the index (and thus its positions lane) was built with;
+        # phrase/proximity query terms must fold identically
+        stats_path = os.path.join(index_dir, "stats.json")
+        self.analyzer = None
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                self.analyzer = json.load(f).get("analyzer")
 
         blocks = pq.read_table(
             os.path.join(index_dir, "positions"),
@@ -632,6 +654,16 @@ class PositionsReader:
             self._cached_key_bytes += keys.nbytes
         return keys
 
+    def query_tokens(self, text: str) -> list[str]:
+        """Tokenize + the index's analyzer fold — the same symmetric-analysis
+        contract as ``IndexReader._qtokens``."""
+        toks = tokenize(text or "")
+        if self.analyzer:
+            from clip_as_service_ray.functions.analyzers import fold_tokens
+
+            toks = fold_tokens(self.analyzer, toks)
+        return toks
+
     def cooccur_docs(
         self, term_a: str, term_b: str, window: int
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -682,7 +714,7 @@ class PositionsReader:
         phrase occurrence counts, first start position per doc).
         Overlapping occurrences each count (consistent with a positional
         self-join in SQL)."""
-        terms = tokenize(phrase) if isinstance(phrase, str) else list(phrase)
+        terms = self.query_tokens(phrase) if isinstance(phrase, str) else list(phrase)
         empty = (
             np.array([], dtype=np.int64),
             np.array([], dtype=np.int64),

@@ -79,6 +79,9 @@ class IndexReader:
         self.avgdl = float(stats["avgdl"])
         self.k1 = float(stats.get("k1", bm25.K1))
         self.b = float(stats.get("b", bm25.B))
+        # analyzer the index was BUILT with (stats.json is authoritative);
+        # auto-applied to every query path so the index is self-describing
+        self.analyzer = stats.get("analyzer")
 
         dict_path = os.path.join(index_dir, "dictionary")
         if global_stats is not None:
@@ -311,6 +314,17 @@ class IndexReader:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
         return np.concatenate(d_parts), np.concatenate(s_parts)
 
+    def _qtokens(self, text: str) -> list[str]:
+        """Query-side tokenize + the index's analyzer fold (stats.json
+        ``analyzer``): queries are normalized exactly like documents were at
+        build time — the symmetric-analysis contract."""
+        toks = tokenize(text or "")
+        if self.analyzer:
+            from clip_as_service_ray.functions.analyzers import fold_tokens
+
+            toks = fold_tokens(self.analyzer, toks)
+        return toks
+
     def encode_text(self, text: str) -> tuple[list[str], np.ndarray]:
         """Sparse BM25 document vector of a text — the /encode analog (the
         reference encodes inputs into a vector space; this engine's text
@@ -319,7 +333,7 @@ class IndexReader:
         text treated as a document under the index's global stats. Encoding
         a text then dotting against another text's INDICATOR vector
         reproduces retrieval scoring term-for-term."""
-        toks = tokenize(text or "")
+        toks = self._qtokens(text)
         dl = len(toks)
         terms, weights = [], []
         for t in sorted(set(toks)):
@@ -390,7 +404,7 @@ class IndexReader:
         order = np.argsort(doc_ids, kind="stable")
         cand = doc_ids[order]
         acc = np.zeros(len(cand), dtype=np.float64)
-        for t in sorted(set(tokenize(text or ""))):
+        for t in sorted(set(self._qtokens(text))):
             if t in self._term_blocks:
                 acc += self.term_scores_for_docs(t, cand)
         out[order] = acc
@@ -441,7 +455,7 @@ class IndexReader:
         gaps), so the accumulator is one n_docs-sized float64 array per
         call — O(n_docs) memset + O(postings) adds, no sort.
         """
-        terms = sorted(set(tokenize(text or "")))
+        terms = sorted(set(self._qtokens(text)))
         present = [t for t in terms if t in self._term_blocks]
         if not present:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
@@ -534,7 +548,7 @@ class IndexReader:
 
         ``exclude_text``: boolean NOT — docs containing ANY excluded token
         are dropped from the candidate set before scoring (AND-NOT)."""
-        terms = sorted(set(tokenize(text or "")))
+        terms = sorted(set(self._qtokens(text)))
         empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
         if not terms or any(t not in self._term_blocks for t in terms):
             return empty
@@ -659,7 +673,7 @@ class IndexReader:
         the canonical sorted order. ``exclude_text`` filters NOT-docs before
         top-k (fuzzy-NOT; the exclusion side is NOT fuzzy-expanded)."""
         present: set[str] = set()
-        for tok in set(tokenize(text or "")):
+        for tok in set(self._qtokens(text)):
             present.update(self.expand_fuzzy(tok, max_dist))
         terms = sorted(present)
         if not terms:
@@ -674,7 +688,7 @@ class IndexReader:
     def excluded_docs(self, text: str) -> np.ndarray:
         """Union of doc ids containing ANY token of ``text`` (the NOT side
         of boolean retrieval), sorted ascending."""
-        terms = sorted(set(tokenize(text or "")))
+        terms = sorted(set(self._qtokens(text)))
         parts = []
         for t in terms:
             if t in self._term_blocks:
@@ -695,7 +709,7 @@ class IndexReader:
         excl = self.excluded_docs(exclude_text)
         if len(excl) == 0:
             return self.score_query(text, limit, doc_range=doc_range)
-        terms = sorted(set(tokenize(text or "")))
+        terms = sorted(set(self._qtokens(text)))
         present = [t for t in terms if t in self._term_blocks]
         if not present:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
@@ -736,7 +750,7 @@ class IndexReader:
           end by re-scoring the final k docs exactly, so floats match the
           exact path bit-for-bit.
         """
-        terms = sorted(set(tokenize(text or "")))
+        terms = sorted(set(self._qtokens(text)))
         present = [t for t in terms if t in self._term_blocks]
         if not present:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
