@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_negated": ops.bm25_topk_negated,
         "bm25_topk_prefix": ops.bm25_topk_prefix,
         "bm25_topk_fuzzy": ops.bm25_topk_fuzzy,
+        "bm25_topk_synonyms": ops.bm25_topk_synonyms,
         "bm25_topk_filtered": ops.bm25_topk_filtered,
         "more_like_this": ops.more_like_this,
         # --- 13-16: positional index / phrase ---
@@ -278,6 +279,21 @@ def oracle_sql() -> dict[str, str]:
             "  CROSS JOIN stats s GROUP BY tf.doc_id) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "WHERE doc_id != 42 "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_synonyms": (  # query 'merge' + synonym group (join, combine)
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'join', 'combine') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
         ),
         "bm25_topk_fuzzy": (  # 'srt' expands to levenshtein<=2 vocabulary terms

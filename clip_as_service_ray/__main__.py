@@ -48,6 +48,11 @@ def main(argv=None) -> int:
     s.add_argument("--conjunctive", action="store_true", help="AND semantics")
     s.add_argument("--prefix", action="store_true", help="wildcard prefix queries")
     s.add_argument("--fuzzy", type=int, default=0, help="edit-distance expansion")
+    s.add_argument(
+        "--synonyms", default=None,
+        help="JSON file mapping term -> [synonym terms]; expands OR queries "
+        "at query time",
+    )
 
     bp = sub.add_parser(
         "build-positions",
@@ -153,10 +158,14 @@ def main(argv=None) -> int:
             from clip_as_service_ray.pipelines.search import search_table
 
             queries = pq.read_table(args.queries)
+            synonyms = None
+            if args.synonyms:
+                with open(args.synonyms) as f:
+                    synonyms = json.load(f)
             hits = search_table(
                 args.index_dir, queries, EngineConfig(limit=args.limit),
                 conjunctive=args.conjunctive, prefix=args.prefix,
-                fuzzy=args.fuzzy,
+                fuzzy=args.fuzzy, synonyms=synonyms,
             )
             if args.out:
                 pq.write_table(hits, args.out)

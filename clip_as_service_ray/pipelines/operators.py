@@ -4167,3 +4167,33 @@ def bm25_topk_stemmed(sf_dir: str, text: str = "merging windows", limit: int = 1
     return pa.table(
         {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
     )
+
+
+def bm25_topk_synonyms(
+    sf_dir: str, text: str = "merge", synonyms=None, limit: int = 10,
+):
+    """Query-time synonym expansion (Lucene's SynonymGraph-at-query-time
+    model): each query term adds its curated synonym group as independent
+    OR terms, so scores are plain BM25 over the expanded set — the SQL twin
+    is the ordinary formula with a longer IN list. 'combine' is absent from
+    the corpus vocabulary on purpose (a zero-df expansion term contributes
+    nothing on either side)."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    if synonyms is None:
+        synonyms = {"merge": ["join", "combine"]}
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([text]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, synonyms=synonyms)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )

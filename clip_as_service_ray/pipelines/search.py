@@ -24,12 +24,14 @@ def search(
     conjunctive: bool = False,
     prefix: bool = False,
     fuzzy: int = 0,
+    synonyms: dict | None = None,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
     ``conjunctive=True`` switches to boolean-AND semantics; ``prefix=True``
     treats each query text as a term prefix (wildcard expansion); an
-    ``exclude`` column applies boolean NOT per query."""
+    ``exclude`` column applies boolean NOT per query; ``synonyms`` expands
+    OR-query terms by a curated term->[terms] map at query time."""
     import ray.data
 
     qds = ray.data.from_arrow(queries) if isinstance(queries, pa.Table) else queries
@@ -42,6 +44,7 @@ def search(
             "conjunctive": conjunctive,
             "prefix": prefix,
             "fuzzy": fuzzy,
+            "synonyms": synonyms,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -57,12 +60,14 @@ def search_table(
     conjunctive: bool = False,
     prefix: bool = False,
     fuzzy: int = 0,
+    synonyms: dict | None = None,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
     ds = search(
         index_dir, queries, config,
         conjunctive=conjunctive, prefix=prefix, fuzzy=fuzzy,
+        synonyms=synonyms,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

@@ -82,6 +82,9 @@ class IndexReader:
         # analyzer the index was BUILT with (stats.json is authoritative);
         # auto-applied to every query path so the index is self-describing
         self.analyzer = stats.get("analyzer")
+        # query-time synonym map (term -> tuple of expansion terms); set by
+        # QueryScorer — empty means no expansion
+        self.synonyms: dict[str, tuple] = {}
 
         dict_path = os.path.join(index_dir, "dictionary")
         if global_stats is not None:
@@ -325,6 +328,25 @@ class IndexReader:
             toks = fold_tokens(self.analyzer, toks)
         return toks
 
+    def _expand_synonyms(self, terms: list[str]) -> list[str]:
+        """Query-time synonym expansion (OR semantics): each query term adds
+        its synonym group's members as additional independent OR terms —
+        Lucene's SynonymGraph-at-query-time model. Scores stay exactly
+        BM25-over-the-expanded-term-set, so the SQL twin is the ordinary
+        formula with a longer IN list. The map is tiny (curated pairs) and
+        lives on the reader (ships once per actor); keys/values are
+        POST-analysis terms (QueryScorer folds them through the index's
+        analyzer on construction). Conjunctive/prefix/fuzzy modes do not
+        expand (AND over an expanded set would change semantics — a query
+        term's group should match, not every member; QueryScorer rejects
+        the combination)."""
+        if not self.synonyms:
+            return terms
+        out = set(terms)
+        for t in terms:
+            out.update(self.synonyms.get(t, ()))
+        return sorted(out)
+
     def encode_text(self, text: str) -> tuple[list[str], np.ndarray]:
         """Sparse BM25 document vector of a text — the /encode analog (the
         reference encodes inputs into a vector space; this engine's text
@@ -455,7 +477,7 @@ class IndexReader:
         gaps), so the accumulator is one n_docs-sized float64 array per
         call — O(n_docs) memset + O(postings) adds, no sort.
         """
-        terms = sorted(set(self._qtokens(text)))
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
         present = [t for t in terms if t in self._term_blocks]
         if not present:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
@@ -709,7 +731,7 @@ class IndexReader:
         excl = self.excluded_docs(exclude_text)
         if len(excl) == 0:
             return self.score_query(text, limit, doc_range=doc_range)
-        terms = sorted(set(self._qtokens(text)))
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
         present = [t for t in terms if t in self._term_blocks]
         if not present:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
@@ -750,7 +772,7 @@ class IndexReader:
           end by re-scoring the final k docs exactly, so floats match the
           exact path bit-for-bit.
         """
-        terms = sorted(set(self._qtokens(text)))
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
         present = [t for t in terms if t in self._term_blocks]
         if not present:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
@@ -828,10 +850,24 @@ class QueryScorer:
         conjunctive: bool = False,
         prefix: bool = False,
         fuzzy: int = 0,
+        synonyms: dict | None = None,
     ):
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         self.default_limit = default_limit
         self.pruning = pruning
+        if synonyms:
+            if conjunctive or prefix or fuzzy:
+                raise ValueError(
+                    "synonyms expand OR queries only (AND over an expanded "
+                    "set would require group-match semantics)"
+                )
+            from clip_as_service_ray.functions.analyzers import fold_tokens
+
+            az = self.reader.analyzer
+            self.reader.synonyms = {
+                fold_tokens(az, [k])[0]: tuple(sorted(set(fold_tokens(az, list(vs)))))
+                for k, vs in synonyms.items()
+            }
         # AND semantics: hits must contain every query term (score_query_conjunctive)
         self.conjunctive = conjunctive
         # prefix mode: query text is a term prefix, expanded over the
