@@ -93,15 +93,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": ops.phrase_search,
         "proximity_search": ops.proximity_search,
         "phrase_search_segmented": ops.phrase_search_segmented,
-        "phrase_snippets": ops.phrase_snippets,
         # --- 17-24: text / LLM-data pipeline ---
         "doc_keywords": ops.doc_keywords,
         "doc_perplexity": ops.doc_perplexity,
         "chunk_documents": ops.chunk_documents,
         "clean_documents": ops.clean_documents,
         "token_counts": ops.token_counts,
-        "regex_search_documents": ops.regex_search_documents,
-        "doc_quality": ops.doc_quality,
         "langid_distribution": ops.langid_distribution,
         # --- 25-32: deduplication family ---
         "exact_dedup": ops.exact_dedup,
@@ -124,15 +121,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_check_q4": ops.order_priority_check_q4,
         "returnflag_priority_share_q12": ops.returnflag_priority_share_q12,
         "returned_item_revenue": ops.returned_item_revenue,
+        "top_supplier_revenue": ops.top_supplier_revenue,
+        "small_quantity_order_revenue": ops.small_quantity_order_revenue,
+        "sole_late_supplier": ops.sole_late_supplier,
+        "idle_rich_customers": ops.idle_rich_customers,
         # --- query-assist / curation / hybrid (round-3 flagship class) ---
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
         "hybrid_rrf_topk": ops.hybrid_rrf_topk,
-        # --- 46-50: joins / windows / distributed-quantile representatives ---
-        "customer_orders_full_outer": ops.customer_orders_full_outer,
+        # --- 50: joins representative (never driver-checked before r03) ---
         "purchase_click_asof": ops.purchase_click_asof,
+        # ==== entries below the driver's 50-entry cap (locally checked; the
+        # ones moved down here were hash-green in CORRECTNESS_r02) ====
+        "customer_orders_full_outer": ops.customer_orders_full_outer,
+        "phrase_snippets": ops.phrase_snippets,
+        "regex_search_documents": ops.regex_search_documents,
+        "doc_quality": ops.doc_quality,
         "event_value_percentiles_distributed": ops.event_value_percentiles_distributed,
-        # ==== entries below the driver's 50-entry cap (locally checked) ====
         "event_value_histogram": ops.event_value_histogram,
         "customer_segment_revenue": ops.customer_segment_revenue,
         "promo_revenue": ops.promo_revenue,
@@ -838,6 +843,52 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c_custkey, c_name, n_name "
             "ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, c_custkey ASC "
             "LIMIT 20"
+        ),
+        "top_supplier_revenue": (
+            # TPC-H Q15 analog: max-revenue supplier(s) over one quarter;
+            # max/equality over CENT-ROUNDED revenue (engine-independent)
+            "WITH rev AS (SELECT l_suppkey, "
+            "  round(sum(l_extendedprice * (1 - l_discount)), 2) AS r "
+            "  FROM lineitem WHERE l_shipdate >= DATE '1996-01-01' "
+            "  AND l_shipdate < DATE '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, r::DOUBLE AS total_revenue "
+            "FROM rev JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE r = (SELECT max(r) FROM rev) ORDER BY s_suppkey"
+        ),
+        "small_quantity_order_revenue": (
+            # TPC-H Q17 analog: avg-per-part threshold (exact: quantities
+            # are integral doubles, sum/count is bit-identical everywhere)
+            "SELECT round(sum(l_extendedprice) / 7.0, 2)::DOUBLE AS avg_yearly "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand = 'Brand#13' AND l_quantity < 0.2 * ("
+            "  SELECT avg(l2.l_quantity) FROM lineitem l2 "
+            "  WHERE l2.l_partkey = p_partkey)"
+        ),
+        "sole_late_supplier": (
+            # TPC-H Q21 analog: 'late' = shipped > 90 days after order date;
+            # sum(suppkey*late) IS the sole late supplier when n_late = 1
+            "WITH sl AS (SELECT l_orderkey AS okey, l_suppkey AS skey, "
+            "  max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY "
+            "      THEN 1 ELSE 0 END) AS late "
+            "  FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "  GROUP BY 1, 2), "
+            "po AS (SELECT okey, count(*) AS n_supp, sum(late) AS n_late, "
+            "  sum(skey * late) AS late_key FROM sl GROUP BY okey) "
+            "SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait "
+            "FROM po JOIN supplier s ON s.s_suppkey = po.late_key "
+            "WHERE n_supp >= 2 AND n_late = 1 "
+            "GROUP BY 1, 2 ORDER BY numwait DESC, s.s_suppkey ASC LIMIT 10"
+        ),
+        "idle_rich_customers": (
+            # TPC-H Q22 analog (no phone column: grouped by nation)
+            "SELECT c_nationkey::BIGINT AS c_nationkey, "
+            "count(*)::BIGINT AS numcust, "
+            "round(sum(c_acctbal), 2)::DOUBLE AS totacctbal "
+            "FROM customer WHERE c_acctbal > ("
+            "  SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "  AND o_orderdate >= DATE '2000-01-01') "
+            "GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
         "brand_quantity_revenue": (
             # TPC-H Q19 analog: disjunctive brand/size/quantity predicates

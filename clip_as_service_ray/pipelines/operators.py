@@ -4197,3 +4197,302 @@ def bm25_topk_synonyms(
     return pa.table(
         {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
     )
+
+
+def top_supplier_revenue(sf_dir: str, date_from: str = "1996-01-01",
+                         date_to: str = "1996-04-01"):
+    """TPC-H Q15 analog — the supplier(s) with MAX revenue over a quarter.
+    One column-pruned, predicate-pushed lineitem scan with per-batch partial
+    sums, a supplier-cardinality groupby, then a driver-side max over the
+    (tiny) per-supplier table; names come from a broadcast supplier dim.
+    The max/equality is taken over CENT-ROUNDED revenue so the winner is
+    engine-independent (ulp-order noise in float sums can't flip it)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= pa.scalar(np.datetime64(date_from, "us")))
+            & (pc.field("l_shipdate") < pa.scalar(np.datetime64(date_to, "us")))
+        ),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        t = pa.table({"l_suppkey": batch.column("l_suppkey"), "rev": rev})
+        g = t.group_by("l_suppkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_suppkey", "rev_part"])
+
+    agg = (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey", num_partitions=4)
+        .aggregate(Sum("rev_part", alias_name="total_revenue"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    rev2 = np.round(tbl.column("total_revenue").to_numpy(), 2)
+    best = rev2.max() if len(rev2) else 0.0
+    keep = np.nonzero(rev2 == best)[0]
+    skeys = tbl.column("l_suppkey").to_numpy()[keep]
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    names = dict(zip(supp.column("s_suppkey").to_pylist(),
+                     supp.column("s_name").to_pylist()))
+    order = np.argsort(skeys)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(skeys[order].astype(np.int64), pa.int64()),
+            "s_name": pa.array([names[int(k)] for k in skeys[order]], pa.string()),
+            "total_revenue": pa.array(rev2[keep][order], pa.float64()),
+        }
+    )
+
+
+def small_quantity_order_revenue(sf_dir: str, brand: str = "Brand#13"):
+    """TPC-H Q17 analog — average yearly revenue lost by refusing small
+    orders of one brand's parts. Two column-pruned lineitem scans, zero
+    all-to-all: the brand's partkey set broadcasts into scan 1 (per-part
+    qty sums -> exact avg: quantities are integral doubles, so sum/count is
+    bit-identical across engines), the 0.2*avg threshold map broadcasts
+    into scan 2 which keeps rows with l_quantity < threshold and partial-
+    sums extendedprice. At 100 TB both maps stay |parts-of-one-brand|-sized."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    pkeys = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"],
+        filters=[("p_brand", "==", brand)],
+    ).column("p_partkey")
+    pk_arr = pkeys.combine_chunks()
+
+    line1 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity"],
+        filter=pc.field("l_partkey").isin(pk_arr),
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("l_partkey").aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")]
+        )
+        return g.rename_columns(["l_partkey", "q_sum", "q_cnt"])
+
+    qt = pa.Table.from_pandas(
+        line1.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey", num_partitions=4)
+        .sum(["q_sum", "q_cnt"])
+        .to_pandas(),
+        preserve_index=False,
+    )
+    pk = qt.column("l_partkey").to_numpy()
+    thr = 0.2 * (
+        qt.column("sum(q_sum)").to_numpy() / qt.column("sum(q_cnt)").to_numpy()
+    )
+    thr_ref = ray.put(dict(zip(pk.tolist(), thr.tolist())))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        tmap = ray.get(thr_ref)
+        pks = batch.column("l_partkey").to_numpy()
+        qty = batch.column("l_quantity").to_numpy()
+        lim = np.fromiter((tmap.get(int(p), 0.0) for p in pks), np.float64, len(pks))
+        keep = qty < lim
+        s = float(batch.column("l_extendedprice").to_numpy()[keep].sum())
+        return pa.table({"s": pa.array([s], pa.float64())})
+
+    line2 = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        filter=pc.field("l_partkey").isin(pk_arr),
+    )
+    rows = line2.map_batches(rev_partial, batch_format="pyarrow").take_all()
+    total = sum(r["s"] for r in rows)
+    return pa.table(
+        {"avg_yearly": pa.array([round(total / 7.0, 2)], pa.float64())}
+    )
+
+
+def sole_late_supplier(sf_dir: str, days: int = 90, limit: int = 10):
+    """TPC-H Q21 analog (adapted: no commit/receipt dates in this schema —
+    'late' means shipped > ``days`` after the order date): suppliers who
+    were the ONLY late supplier on a multi-supplier order. Shape: one
+    orderkey shuffle join (lineitem x orders), then a composite-key
+    (order, supplier) exchange collapsing to per-order counters where
+    sum(suppkey*late) IS the sole late supplier's key when exactly one
+    supplier was late — no per-order group UDF, everything stays in Sum/
+    Count aggregates."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from clip_as_service_ray.stages.joins import shuffle_hash_join
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"],
+    ).map_batches(
+        lambda b: b.rename_columns(["l_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    joined = shuffle_hash_join(line, orders, on="l_orderkey", num_partitions=8)
+
+    SHIFT = 1 << 20  # suppkey < 2^20 by construction of the generator
+
+    def per_pair(batch: pa.Table) -> pa.Table:
+        late = pc.cast(
+            pc.greater(
+                batch.column("l_shipdate"),
+                pc.add(
+                    batch.column("o_orderdate"),
+                    pa.scalar(np.timedelta64(days, "D").astype("timedelta64[us]")),
+                ),
+            ),
+            pa.int64(),
+        )
+        okey = batch.column("l_orderkey").to_numpy()
+        skey = batch.column("l_suppkey").to_numpy()
+        t = pa.table(
+            {"pair": pa.array(okey * SHIFT + skey, pa.int64()), "late": late}
+        )
+        g = t.group_by("pair").aggregate([("late", "max")])
+        return g.rename_columns(["pair", "late_part"])
+
+    pairs = (
+        joined.map_batches(per_pair, batch_format="pyarrow")
+        .groupby("pair", num_partitions=8)
+        .aggregate(Max("late_part", alias_name="late"))
+    )
+
+    def per_order(batch) -> pa.Table:
+        pair = batch["pair"].to_numpy() if hasattr(batch["pair"], "to_numpy") else np.asarray(batch["pair"])
+        late = batch["late"].to_numpy() if hasattr(batch["late"], "to_numpy") else np.asarray(batch["late"])
+        okey = pair // SHIFT
+        skey = pair - okey * SHIFT
+        return pa.table(
+            {
+                "okey": pa.array(okey, pa.int64()),
+                "one": pa.array(np.ones(len(okey), np.int64), pa.int64()),
+                "late": pa.array(late.astype(np.int64), pa.int64()),
+                "skl": pa.array(skey * late.astype(np.int64), pa.int64()),
+            }
+        )
+
+    po = (
+        pairs.map_batches(per_order, batch_format="pandas")
+        .groupby("okey", num_partitions=8)
+        .aggregate(
+            Sum("one", alias_name="n_supp"),
+            Sum("late", alias_name="n_late"),
+            Sum("skl", alias_name="late_key"),
+        )
+    )
+
+    def winners(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("n_supp"), pa.scalar(2, pa.int64())),
+            pc.equal(batch.column("n_late"), pa.scalar(1, pa.int64())),
+        )
+        b = batch.filter(keep)
+        t = pa.table(
+            {"s_suppkey": b.column("late_key"),
+             "w": pa.array(np.ones(b.num_rows, np.int64), pa.int64())}
+        )
+        g = t.group_by("s_suppkey").aggregate([("w", "sum")])
+        return g.rename_columns(["s_suppkey", "w_part"])
+
+    agg = (
+        po.map_batches(winners, batch_format="pyarrow")
+        .groupby("s_suppkey", num_partitions=4)
+        .aggregate(Sum("w_part", alias_name="numwait"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    names = dict(zip(supp.column("s_suppkey").to_pylist(),
+                     supp.column("s_name").to_pylist()))
+    sk = tbl.column("s_suppkey").to_numpy().astype(np.int64)
+    nw = tbl.column("numwait").to_numpy().astype(np.int64)
+    order = np.lexsort((sk, -nw))[:limit]
+    return pa.table(
+        {
+            "s_suppkey": pa.array(sk[order], pa.int64()),
+            "s_name": pa.array([names[int(k)] for k in sk[order]], pa.string()),
+            "numwait": pa.array(nw[order], pa.int64()),
+        }
+    )
+
+
+def idle_rich_customers(sf_dir: str, since: str = "2000-01-01"):
+    """TPC-H Q22 analog (no phone column — grouped by nation instead):
+    customers with above-average positive balance and NO orders since
+    ``since``. The global avg is one tiny aggregate; the existence check is
+    a custkey-hash shuffle ANTI join over the date-filtered orders (scale
+    path: neither side broadcasts); the output is a nation-cardinality
+    groupby."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from clip_as_service_ray.stages.joins import shuffle_anti_join
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy()
+        pos = bal[bal > 0.0]
+        return pa.table(
+            {"s": pa.array([float(pos.sum())], pa.float64()),
+             "n": pa.array([len(pos)], pa.int64())}
+        )
+
+    rows = cust.map_batches(bal_partial, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in rows)
+    avg_bal = (sum(r["s"] for r in rows) / n) if n else 0.0
+
+    rich = cust.filter(expr=f"c_acctbal > {avg_bal!r}")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"],
+        filter=pc.field("o_orderdate") >= pa.scalar(np.datetime64(since, "us")),
+    ).map_batches(
+        lambda b: b.select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow",
+    )
+    idle = shuffle_anti_join(rich, orders, on="c_custkey", num_partitions=8)
+
+    def nat_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("c_nationkey").aggregate(
+            [("c_acctbal", "sum"), ("c_acctbal", "count")]
+        )
+        return g.rename_columns(["c_nationkey", "bal_part", "n_part"])
+
+    agg = (
+        idle.map_batches(nat_partial, batch_format="pyarrow")
+        .groupby("c_nationkey", num_partitions=4)
+        .aggregate(Sum("bal_part", alias_name="totacctbal"),
+                   Sum("n_part", alias_name="numcust"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    tbl = tbl.sort_by("c_nationkey")
+    return pa.table(
+        {
+            "c_nationkey": pc.cast(tbl.column("c_nationkey"), pa.int64()),
+            "numcust": pc.cast(tbl.column("numcust"), pa.int64()),
+            "totacctbal": pa.array(
+                np.round(tbl.column("totacctbal").to_numpy(), 2), pa.float64()
+            ),
+        }
+    )
