@@ -91,6 +91,8 @@ def main(argv=None) -> int:
                    help="require this Authorization header on every request")
     v.add_argument("--certfile", default=None, help="serve https:// with this cert")
     v.add_argument("--keyfile", default=None)
+    v.add_argument("--synonyms", default=None,
+                   help="JSON file term -> [synonyms], expands OR queries")
 
     g = sub.add_parser(
         "serve-segmented",
@@ -104,6 +106,8 @@ def main(argv=None) -> int:
                    help="require this Authorization header on every request")
     g.add_argument("--certfile", default=None, help="serve https:// with this cert")
     g.add_argument("--keyfile", default=None)
+    g.add_argument("--synonyms", default=None,
+                   help="JSON file term -> [synonyms], expands OR queries")
 
     w = sub.add_parser(
         "serve-ws",
@@ -214,9 +218,14 @@ def main(argv=None) -> int:
         elif args.cmd == "serve":
             from clip_as_service_ray.pipelines.http_api import SearchHTTPServer
 
+            synonyms = None
+            if args.synonyms:
+                with open(args.synonyms) as f:
+                    synonyms = json.load(f)
             srv = SearchHTTPServer(args.index_dir, EngineConfig(), args.host, args.port,
                                    auth_token=args.auth_token,
-                                   certfile=args.certfile, keyfile=args.keyfile)
+                                   certfile=args.certfile, keyfile=args.keyfile,
+                                   synonyms=synonyms)
             print(json.dumps({"serving": srv.url, "index_dir": args.index_dir}), flush=True)
             try:
                 srv._thread.join()  # serve until interrupted
@@ -231,10 +240,15 @@ def main(argv=None) -> int:
         elif args.cmd == "serve-segmented":
             from clip_as_service_ray.pipelines.http_api import SegmentedSearchHTTPServer
 
+            synonyms = None
+            if args.synonyms:
+                with open(args.synonyms) as f:
+                    synonyms = json.load(f)
             srv = SegmentedSearchHTTPServer(
                 args.index_root, EngineConfig(), args.host, args.port,
                 auth_token=args.auth_token,
                 certfile=args.certfile, keyfile=args.keyfile,
+                synonyms=synonyms,
             )
             print(json.dumps({"serving": srv.url, "index_root": args.index_root}), flush=True)
             try:

@@ -181,8 +181,12 @@ class SearchHTTPServer:
         auth_token: str | None = None,
         certfile: str | None = None,
         keyfile: str | None = None,
+        synonyms: dict | None = None,
     ):
-        self.service = QueryService(index_dir, config)
+        # server-level synonym map (the Lucene synonyms-file deployment
+        # model): expands OR queries on every replica; mode pools never
+        # expand (QueryScorer rejects the combination)
+        self.service = QueryService(index_dir, config, synonyms=synonyms)
         self.metrics = Metrics()
         import os
 
@@ -390,6 +394,7 @@ class SegmentedSearchHTTPServer:
         auth_token: str | None = None,
         certfile: str | None = None,
         keyfile: str | None = None,
+        synonyms: dict | None = None,
     ):
         import os
 
@@ -410,7 +415,12 @@ class SegmentedSearchHTTPServer:
         self.positions = positions
         self._write_lock = threading.Lock()
         has_index = os.path.exists(os.path.join(index_root, "manifest.json"))
-        self._svc = SegmentedQueryService(index_root, config) if has_index else None
+        self.synonyms = synonyms
+        self._svc = (
+            SegmentedQueryService(index_root, config, synonyms=synonyms)
+            if has_index
+            else None
+        )
         # boolean-mode pools (conjunctive / prefix / fuzzy), spawned lazily
         # on the first request that asks for the mode (num_cpus=0: secondary
         # co-resident pools share cores with the primary OR pool)
@@ -439,7 +449,9 @@ class SegmentedSearchHTTPServer:
                 old_p.shutdown()
             for svc in old_m.values():  # mode pools re-spawn lazily on demand
                 svc.shutdown()
-            outer._svc = SegmentedQueryService(outer.index_root, outer.config)
+            outer._svc = SegmentedQueryService(
+                outer.index_root, outer.config, synonyms=outer.synonyms
+            )
             if outer.positions:
                 try:
                     outer._phrase_svc = SegmentedPhraseService(

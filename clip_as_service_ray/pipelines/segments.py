@@ -197,6 +197,7 @@ class SegmentedQueryService(ScatterQueryService):
         conjunctive: bool = False,
         prefix: bool = False,
         fuzzy: int = 0,
+        synonyms: dict | None = None,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -213,6 +214,7 @@ class SegmentedQueryService(ScatterQueryService):
             conjunctive=conjunctive,
             prefix=prefix,
             fuzzy=fuzzy,
+            synonyms=synonyms,
             num_cpus=num_cpus,
         )
 

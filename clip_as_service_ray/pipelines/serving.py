@@ -30,6 +30,7 @@ class QueryService:
         index_dir: str,
         config: EngineConfig = DEFAULT_CONFIG,
         num_replicas: int | None = None,
+        synonyms: dict | None = None,
     ):
         import ray
 
@@ -38,7 +39,9 @@ class QueryService:
         n = num_replicas or config.query_concurrency
         worker = ray.remote(num_cpus=1)(QueryScorer)
         self.replicas = [
-            worker.remote(index_dir, config.limit, config.query_pruning) for _ in range(n)
+            worker.remote(index_dir, config.limit, config.query_pruning,
+                          synonyms=synonyms)
+            for _ in range(n)
         ]
         # warm: force index load now (actor __init__ errors surface here)
         ray.get([r.__ray_ready__.remote() for r in self.replicas])

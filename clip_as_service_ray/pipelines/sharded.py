@@ -186,6 +186,7 @@ class ScatterQueryService:
         conjunctive: bool = False,
         prefix: bool = False,
         fuzzy: int = 0,
+        synonyms: dict | None = None,
         num_cpus: float = 1,
     ):
         import ray
@@ -238,6 +239,7 @@ class ScatterQueryService:
                 conjunctive=conjunctive,
                 prefix=prefix,
                 fuzzy=fuzzy,
+                synonyms=synonyms,
             )
             for d in index_dirs
         ]

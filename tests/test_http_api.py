@@ -510,3 +510,31 @@ def test_segmented_suggest_merges_union_df(ray_session, tmp_path):
         assert terms["panda"] == 2 and terms["pander"] == 1 and terms["pans"] == 1
     finally:
         srv.shutdown()
+
+
+def test_server_level_synonyms(server, tmp_path):
+    """A server constructed with a synonyms map answers exactly like the
+    plain server asked for the manually expanded query."""
+    from clip_as_service_ray.functions.tokenizer import tokenize
+
+    srv, corpus = server
+    # pick two vocabulary terms from the corpus
+    toks = []
+    for t in corpus.column("text").to_pylist()[:20]:
+        for tok in tokenize(t):
+            if tok.isalpha() and tok not in toks:
+                toks.append(tok)
+        if len(toks) >= 2:
+            break
+    a, b = toks[0], toks[1]
+    syn_srv = SearchHTTPServer(
+        srv.service.index_dir, CFG, synonyms={a: [b]}
+    )
+    try:
+        got = _post(syn_srv.url + "/search",
+                    {"queries": [{"query_id": 0, "text": a, "limit": 15}]})
+        want = _post(srv.url + "/search",
+                     {"queries": [{"query_id": 0, "text": f"{a} {b}", "limit": 15}]})
+        assert got["hits"] == want["hits"] and len(got["hits"]) > 0
+    finally:
+        syn_srv.shutdown()
