@@ -32,9 +32,10 @@ def main(argv=None) -> int:
         "tokenize pass (enables phrase/proximity queries)",
     )
     b.add_argument(
-        "--analyzer", default=None, choices=["stem"],
-        help="post-tokenize analyzer (Porter stemming); recorded in the "
-        "index and auto-applied to every query against it",
+        "--analyzer", default=None, choices=["stem", "stop", "stop+stem"],
+        help="post-tokenize analyzer (Porter stemming / English stopword "
+        "removal); recorded in the index and auto-applied to every query "
+        "against it",
     )
 
     s = sub.add_parser("search", help="run a query batch against an index")

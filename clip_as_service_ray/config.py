@@ -52,7 +52,8 @@ class EngineConfig:
     # --- tokenizer ---
     lowercase: bool = True
     # post-tokenize analyzer applied symmetrically at build and query time
-    # (functions/analyzers.py); None = raw terms, "stem" = Porter stemming.
+    # (functions/analyzers.py): None = raw terms, "stem" = Porter stemming,
+    # "stop" = English stopword removal, "stop+stem" = both (Lucene order).
     # Recorded in stats.json so readers auto-apply it — never a search flag.
     analyzer: str | None = None
     # M1 modality-split analog (helper.py:82-86): when set, only turns whose

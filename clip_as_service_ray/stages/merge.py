@@ -275,6 +275,10 @@ class TokenizeEmitPartials(EmitPartials):
         flat_tokens, dl = tokenize_column_flat(
             batch.column("text"), lowercase=self.lowercase
         )
+        if self.analyzer:
+            from clip_as_service_ray.functions.analyzers import stream_filter
+
+            flat_tokens, dl = stream_filter(self.analyzer, flat_tokens, dl)
         idx = np.nonzero(dl > 0)[0]
         n_docs_b = len(idx)
         sum_dl_b = int(dl[idx].sum())

@@ -132,6 +132,10 @@ class TokenizePositions:
         flat_tokens, dl = tokenize_column_flat(
             batch.column("text"), lowercase=self.lowercase
         )
+        if self.analyzer:
+            from clip_as_service_ray.functions.analyzers import stream_filter
+
+            flat_tokens, dl = stream_filter(self.analyzer, flat_tokens, dl)
         idx = np.nonzero(dl > 0)[0]
         if len(idx) == 0:
             return pa.table({n: [] for n in POS_PARTIAL_SCHEMA.names}, schema=POS_PARTIAL_SCHEMA)
@@ -274,6 +278,10 @@ class TokenizeEmitFused:
         flat_tokens, dl = tokenize_column_flat(
             batch.column("text"), lowercase=self.lowercase
         )
+        if self.analyzer:
+            from clip_as_service_ray.functions.analyzers import stream_filter
+
+            flat_tokens, dl = stream_filter(self.analyzer, flat_tokens, dl)
         idx = np.nonzero(dl > 0)[0]
         # stats over indexable (dl > 0) docs only — same drop-empty rule as
         # tokenize_batch (helper.py:82-86 analog)

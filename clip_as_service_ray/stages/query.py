@@ -864,10 +864,13 @@ class QueryScorer:
             from clip_as_service_ray.functions.analyzers import fold_tokens
 
             az = self.reader.analyzer
-            self.reader.synonyms = {
-                fold_tokens(az, [k])[0]: tuple(sorted(set(fold_tokens(az, list(vs)))))
-                for k, vs in synonyms.items()
-            }
+            folded: dict[str, tuple] = {}
+            for k, vs in synonyms.items():
+                fk = fold_tokens(az, [k])
+                if not fk:  # key is a stopword under this analyzer
+                    continue
+                folded[fk[0]] = tuple(sorted(set(fold_tokens(az, list(vs)))))
+            self.reader.synonyms = folded
         # AND semantics: hits must contain every query term (score_query_conjunctive)
         self.conjunctive = conjunctive
         # prefix mode: query text is a term prefix, expanded over the

@@ -180,3 +180,94 @@ def test_segment_analyzer_mismatch_raises(ray_session, tmp_path):
             {"n_docs": 1, "avgdl": 1.0, "df_path": "unused"},
             CFG,
         )
+
+
+# ---- stopword analyzer (stream-level, token-dropping) ----
+
+
+def test_stop_rank_identical_to_oracle(ray_session, tmp_path):
+    scfg = EngineConfig(
+        num_index_partitions=4, doc_bucket_size=512, postings_block_size=64,
+        analyzer="stop+stem",
+    )
+    corpus = synthesize_transcripts(800, seed=13)
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, scfg, overwrite=True)
+    oracle = OracleIndex(corpus, analyzer="stop+stem")
+    queries = reference_query_table()
+    got = search_table(idx, queries, scfg).to_pandas()
+    want = oracle.search(queries).to_pandas()
+    assert len(got) == len(want)
+    for col in ("query_id", "rank", "conv_id", "turn_idx"):
+        assert (got[col].values == want[col].values).all(), col
+    assert np.array_equal(got["score"].values, want["score"].values)
+
+
+def test_stopwords_dropped_and_dl_counts_survivors(ray_session, tmp_path):
+    corpus = pa.table(
+        {
+            "conv_id": ["a", "b", "c"],
+            "turn_idx": pa.array([0, 0, 0], pa.int32()),
+            "role": ["user"] * 3,
+            "text": [
+                "the cat sat on the mat",
+                "and or not but if",          # ALL stopwords -> dropped doc
+                "a cat and a dog",
+            ],
+        }
+    )
+    scfg = EngineConfig(num_index_partitions=2, analyzer="stop")
+    idx = str(tmp_path / "idx")
+    report = build_index(corpus, idx, scfg, overwrite=True)
+    # doc b vanishes (drop-empty over the filtered stream); dl counts
+    # survivors: a -> [cat, sat, mat] = 3, c -> [cat, dog] = 2
+    assert report["n_docs"] == 2
+    assert abs(report["avgdl"] - 2.5) < 1e-12
+    # a stopword query matches nothing; content terms still rank
+    assert len(search_table(idx, _queries(["the"]), scfg)) == 0
+    hits = search_table(idx, _queries(["cat"]), scfg).to_pandas()
+    assert set(hits.conv_id) == {"a", "c"}
+
+
+def test_stop_phrase_over_filtered_positions(ray_session, tmp_path):
+    from clip_as_service_ray.pipelines.phrase import phrase_search_table
+
+    corpus = pa.table(
+        {
+            "conv_id": ["a", "b"],
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": ["user"] * 2,
+            "text": [
+                "merge of the window",   # filtered stream: merge window
+                "window merge",          # reversed: no phrase hit
+            ],
+        }
+    )
+    scfg = EngineConfig(num_index_partitions=2, analyzer="stop")
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, scfg, overwrite=True, positions=True)
+    hits = phrase_search_table(
+        idx, _queries(["merge of the window"]), scfg
+    ).to_pandas()
+    # query folds to [merge, window]; doc a's filtered stream is adjacent
+    assert set(zip(hits.conv_id, hits.turn_idx)) == {("a", 0)}
+
+
+def test_stopword_synonym_key_skipped(ray_session, tmp_path):
+    corpus = pa.table(
+        {
+            "conv_id": ["a"],
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": ["user"],
+            "text": ["merge window pipeline"],
+        }
+    )
+    scfg = EngineConfig(num_index_partitions=2, analyzer="stop")
+    idx = str(tmp_path / "idx")
+    build_index(corpus, idx, scfg, overwrite=True)
+    # 'the' folds to nothing under stop: the map entry is dropped, search
+    # still works
+    hits = search_table(
+        idx, _queries(["merge"]), scfg, synonyms={"the": ["window"]}
+    ).to_pandas()
+    assert len(hits) == 1
