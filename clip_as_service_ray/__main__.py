@@ -84,6 +84,16 @@ def main(argv=None) -> int:
     cp.add_argument("--text", required=True, help="the term prefix")
     cp.add_argument("--k", type=int, default=5)
 
+    ex = sub.add_parser(
+        "explain",
+        help="per-term BM25 score breakdown of one document against a "
+        "query (Lucene-explain analog; score == /search's, bit-identical)",
+    )
+    ex.add_argument("--index-dir", required=True)
+    ex.add_argument("--text", required=True, help="the query text")
+    ex.add_argument("--conv-id", required=True)
+    ex.add_argument("--turn-idx", type=int, default=0)
+
     v = sub.add_parser("serve", help="serve an index over HTTP (/search, /health, /profile)")
     v.add_argument("--index-dir", required=True)
     v.add_argument("--host", default="127.0.0.1")
@@ -195,6 +205,16 @@ def main(argv=None) -> int:
                     for t, df in reader.complete(args.text.strip().lower(), args.k)
                 ]
             print(json.dumps({"query": args.text, "terms": rows}))
+        elif args.cmd == "explain":
+            from clip_as_service_ray.stages.query import IndexReader
+
+            out = IndexReader(args.index_dir).explain(
+                args.text, args.conv_id, args.turn_idx
+            )
+            if out is None:
+                print(json.dumps({"error": "document not indexed"}))
+                return 1
+            print(json.dumps(out))
         elif args.cmd == "build-positions":
             from clip_as_service_ray.pipelines.phrase import build_positions
 

@@ -246,7 +246,8 @@ class SearchHTTPServer:
                     self._send(401, {"error": "unauthorized"})
                     return
                 if self.path not in (
-                    "/search", "/rank", "/encode", "/suggest", "/complete"
+                    "/search", "/rank", "/encode", "/suggest", "/complete",
+                    "/explain",
                 ):
                     self._send(404, {"error": f"unknown path {self.path}"})
                     return
@@ -303,6 +304,19 @@ class SearchHTTPServer:
                         metrics.observe("rank_latency", time.time() - t0)
                         metrics.inc("rank_requests_total")
                         self._send(200, {"hits": ranked.to_pylist()})
+                        return
+                    if self.path == "/explain":
+                        # Lucene-explain analog: per-term score breakdown
+                        out = service.explain(
+                            str(payload.get("text", "")),
+                            str(payload["conv_id"]),
+                            int(payload.get("turn_idx", 0)),
+                        )
+                        metrics.inc("explain_requests_total")
+                        if out is None:
+                            self._send(404, {"error": "document not indexed"})
+                        else:
+                            self._send(200, out)
                         return
                     t0 = time.time()
                     hits = service.search(_queries_table(payload))
@@ -569,6 +583,21 @@ class SegmentedSearchHTTPServer:
                         metrics.observe("rank_latency", time.time() - t0)
                         metrics.inc("rank_requests_total")
                         self._send(200, {"hits": ranked.to_pylist()})
+                    elif self.path == "/explain":
+                        svc = outer._svc
+                        if svc is None:
+                            self._send(503, {"error": "index empty"})
+                            return
+                        out = svc.explain(
+                            str(payload.get("text", "")),
+                            str(payload["conv_id"]),
+                            int(payload.get("turn_idx", 0)),
+                        )
+                        metrics.inc("explain_requests_total")
+                        if out is None:
+                            self._send(404, {"error": "document not indexed"})
+                        else:
+                            self._send(200, out)
                     elif self.path == "/update":
                         # delete-then-add with segment-scoped deletes: new
                         # versions searchable on return, old never surface

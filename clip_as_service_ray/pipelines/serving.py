@@ -70,6 +70,16 @@ class QueryService:
         self._rr = (self._rr + 1) % len(self.replicas)
         return ray.get(self.replicas[self._rr].complete_batch.remote(queries, k))
 
+    def explain(self, text: str, conv_id: str, turn_idx: int) -> dict | None:
+        """Per-term score decomposition of one (doc, query) pair — the
+        Lucene-explain analog; score bit-identical to /search's."""
+        import ray
+
+        self._rr = (self._rr + 1) % len(self.replicas)
+        return ray.get(
+            self.replicas[self._rr].explain.remote(text, conv_id, turn_idx)
+        )
+
     def rank(self, queries: pa.Table, candidates: pa.Table) -> pa.Table:
         """Re-rank provided candidates per query (the reference's /rank,
         set_rank semantics) through one pool replica, round-robin."""

@@ -245,6 +245,29 @@ class ScatterQueryService:
         ]
         ray.get([r.__ray_ready__.remote() for r in self.replicas])
 
+    def explain(self, text: str, conv_id: str, turn_idx: int) -> dict | None:
+        """Scatter Lucene-explain: every segment is asked, only owners
+        answer; scoped tombstones filter dead (conv, segment) pairs and the
+        NEWEST live owner wins (the update_convs contract: a re-added
+        conversation's latest version is the visible one)."""
+        import ray
+
+        outs = ray.get(
+            [r.explain.remote(text, conv_id, turn_idx) for r in self.replicas]
+        )
+        tomb = self.tombstones
+        best = None
+        for seg, out in zip(self.shard_names, outs):
+            if out is None:
+                continue
+            if conv_id in tomb:
+                scope = tomb[conv_id]
+                if scope is None or seg in scope:
+                    continue  # dead in this segment
+            best = dict(out)
+            best["segment"] = seg
+        return best
+
     def rank(self, queries: pa.Table, candidates: pa.Table) -> pa.Table:
         """Scatter /rank: every segment ranks the candidates IT holds
         (lenient resolution), results merge per query under the same

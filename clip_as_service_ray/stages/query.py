@@ -413,6 +413,58 @@ class IndexReader:
             return ids
         return ids, ~bad
 
+    def explain(self, text: str, conv_id: str, turn_idx: int) -> dict | None:
+        """Lucene-``explain`` analog: the full per-term score decomposition
+        of ONE document against a query. Returns None when this index does
+        not hold the document. ``score`` accumulates the per-term parts
+        sequentially in sorted-term order — the canonical structure — so it
+        is bit-identical to the retrieval/rank score of the same doc.
+
+        Each term entry carries the raw statistics a relevance engineer
+        needs: tf, dl, df, idf, tf_norm, and the product (= contribution).
+        Query analysis (analyzer fold + synonym expansion) matches
+        score_query exactly, so explain explains what search actually ran."""
+        ids, known = self.doc_ids_for([conv_id], [turn_idx], strict=False)
+        if not bool(known[0]):
+            return None
+        doc = int(ids[0])
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
+        parts: list[dict] = []
+        score = 0.0
+        for t in terms:
+            ps = self.postings_for(t)
+            if ps is None:
+                continue
+            docs_t, tfs_t, dls_t = ps
+            i = int(np.searchsorted(docs_t, doc))
+            if i >= len(docs_t) or int(docs_t[i]) != doc:
+                continue
+            tf = float(tfs_t[i])
+            dl = float(dls_t[i])
+            df_val = float(self._term_df(t))
+            idf_t = bm25.idf(df_val, self.n_docs)
+            tfn = float(
+                bm25.tf_norm(
+                    np.array([tf]), np.array([dl]), self.avgdl,
+                    k1=self.k1, b=self.b,
+                )[0]
+            )
+            part = idf_t * tfn
+            score += part
+            parts.append(
+                {
+                    "term": t, "tf": tf, "dl": dl, "df": df_val,
+                    "idf": float(idf_t), "tf_norm": tfn, "score": float(part),
+                }
+            )
+        return {
+            "conv_id": conv_id,
+            "turn_idx": int(turn_idx),
+            "doc_id": doc,
+            "score": float(score),
+            "terms": parts,
+        }
+
     def rank_docs(self, text: str, doc_ids: np.ndarray) -> np.ndarray:
         """BM25 scores of ``text`` against EXACTLY the given docs — the
         set_rank contract (helper.py:89-124: score the provided candidate
@@ -908,6 +960,11 @@ class QueryScorer:
              "term": pa.array(terms_out, pa.string()),
              "weight": pa.array(w_out, pa.float64())}
         )
+
+    def explain(self, text: str, conv_id: str, turn_idx: int) -> dict | None:
+        """Proxy to the reader's Lucene-explain analog (None when this
+        worker's index does not hold the document)."""
+        return self.reader.explain(text, conv_id, int(turn_idx))
 
     def suggest_batch(
         self, queries: pa.Table, max_dist: int = 2, k: int = 5

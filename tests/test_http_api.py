@@ -538,3 +538,26 @@ def test_server_level_synonyms(server, tmp_path):
         assert got["hits"] == want["hits"] and len(got["hits"]) > 0
     finally:
         syn_srv.shutdown()
+
+
+def test_explain_over_http(server):
+    srv, _ = server
+    hits = _post(srv.url + "/search",
+                 {"queries": [{"query_id": 0, "text": "merge window", "limit": 1}]})["hits"]
+    if not hits:
+        pytest.skip("no hits for the probe query in this corpus")
+    h = hits[0]
+    out = _post(srv.url + "/explain",
+                {"text": "merge window", "conv_id": h["conv_id"],
+                 "turn_idx": h["turn_idx"]})
+    assert out["score"] == h["score"]
+    assert sum(p["score"] for p in out["terms"]) == out["score"]
+    # unknown doc -> 404
+    req = urllib.request.Request(
+        srv.url + "/explain",
+        data=json.dumps({"text": "x", "conv_id": "nope", "turn_idx": 0}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 404
