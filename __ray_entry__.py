@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_facets": ops.search_facets,
         "stem_counts": ops.stem_counts,  # rows-only (no offline SQL stemmer)
         "bm25_topk_stemmed": ops.bm25_topk_stemmed,  # rows-only (same)
+        "search_snippets": ops.search_snippets,
     }
 
 
@@ -285,6 +286,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "WHERE doc_id != 42 "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "search_snippets": (  # Lucene-highlighter analog: +-3 token window
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            "top AS (SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "        ORDER BY scores.score DESC, doc_id ASC LIMIT 10), "
+            "sn AS (SELECT top.doc_id, top.score, "
+            "  regexp_extract_all(lower(d.text), '" + _PAT_SQL + "') AS toks "
+            "  FROM top JOIN documents d ON d.doc_id = top.doc_id), "
+            "sp AS (SELECT doc_id, score, toks, coalesce(least("
+            "  nullif(list_position(toks, 'merge'), 0), "
+            "  nullif(list_position(toks, 'window'), 0)), 1) AS p FROM sn) "
+            "SELECT doc_id, score, "
+            "array_to_string(toks[greatest(1, p - 3) : p + 3], ' ') AS snippet "
+            "FROM sp"
         ),
         "bm25_topk_synonyms": (  # query 'merge' + synonym group (join, combine)
             "WITH tok AS (" + _TOK + "), "

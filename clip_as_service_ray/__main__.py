@@ -84,6 +84,16 @@ def main(argv=None) -> int:
     cp.add_argument("--text", required=True, help="the term prefix")
     cp.add_argument("--k", type=int, default=5)
 
+    qs = sub.add_parser(
+        "query",
+        help="run query-language strings (OR/AND/NOT/-term/term*/term~d/"
+        "\"phrase\"/\"a b\"~N) against an index",
+    )
+    qs.add_argument("--index-dir", required=True)
+    qs.add_argument("text", nargs="+", help="one or more query strings")
+    qs.add_argument("--limit", type=int, default=10)
+    qs.add_argument("--out", default=None, help="write hits parquet here")
+
     ex = sub.add_parser(
         "explain",
         help="per-term BM25 score breakdown of one document against a "
@@ -205,6 +215,20 @@ def main(argv=None) -> int:
                     for t, df in reader.complete(args.text.strip().lower(), args.k)
                 ]
             print(json.dumps({"query": args.text, "terms": rows}))
+        elif args.cmd == "query":
+            from clip_as_service_ray.pipelines.querylang import query_string_table
+
+            hits = query_string_table(
+                args.index_dir, list(args.text),
+                EngineConfig(limit=args.limit), limit=args.limit,
+            )
+            if args.out:
+                import pyarrow.parquet as pq
+
+                pq.write_table(hits, args.out)
+                print(json.dumps({"hits": hits.num_rows, "out": args.out}))
+            else:
+                print(hits.to_pandas().to_string(index=False))
         elif args.cmd == "explain":
             from clip_as_service_ray.stages.query import IndexReader
 

@@ -22,6 +22,7 @@ import pyarrow.compute as pc
 
 from clip_as_service_ray.config import EngineConfig
 from clip_as_service_ray.functions.tokenizer import (
+    tokenize,
     tokenize_column_flat,
     tokenize_texts,
 )
@@ -4495,4 +4496,45 @@ def idle_rich_customers(sf_dir: str, since: str = "2000-01-01"):
                 np.round(tbl.column("totacctbal").to_numpy(), 2), pa.float64()
             ),
         }
+    )
+
+
+def search_snippets(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10,
+                    width: int = 3):
+    """Highlighted snippets for ranked search (the Lucene highlighter
+    analog, completing phrase_snippets for the OR path): BM25 top-k through
+    the real engine, then ONE predicate-pushed read of just the hit rows
+    (is_in on doc_id — hits-sized, never a corpus scan) and a ±``width``
+    token window around the first occurrence of any query term. The window
+    is cut on the tokenized stream, so the SQL twin reproduces it exactly
+    with list_position + 1-based inclusive list slicing."""
+    import ray.data
+
+    hits = bm25_topk(sf_dir, terms, limit)
+    if hits.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64()),
+             "snippet": pa.array([], pa.string())}
+        )
+    id_arr = hits.column("doc_id").combine_chunks()
+    docs = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(id_arr),
+        )
+        .take_all()
+    )  # hits-sized (<= limit rows) by construction
+    text_of = {int(r["doc_id"]): r["text"] for r in docs}
+    term_set = set(terms)
+    snippets = []
+    for d in hits.column("doc_id").to_pylist():
+        toks = tokenize(text_of[int(d)])
+        p0 = next((i for i, t in enumerate(toks) if t in term_set), 0)
+        snippets.append(" ".join(toks[max(0, p0 - width): p0 + width + 1]))
+    return pa.table(
+        {"doc_id": hits.column("doc_id"),
+         "score": hits.column("score"),
+         "snippet": pa.array(snippets, pa.string())}
     )

@@ -1,0 +1,217 @@
+"""Query-string front end — the Lucene QueryParser analog.
+
+The engine exposes its retrieval modes as separate flags/columns
+(``search_table(conjunctive=, prefix=, fuzzy=)``, an ``exclude`` column,
+``phrase_search_table(window=)``). This module maps ONE human query string
+onto those primitives:
+
+    merge window            OR (default)
+    merge AND window        conjunctive (every term must match)
+    merge NOT part          boolean NOT (also: merge -part)
+    mer*                    wildcard prefix expansion
+    mrge~2                  fuzzy (edit distance <= 2)
+    "merge window"          exact phrase (needs the positional artifact)
+    "merge window"~4        proximity (two terms within 4 tokens)
+
+Composition rules mirror what the engine's kernels implement; anything the
+kernels cannot express (mixed AND/OR, multiple prefixes, a phrase plus
+loose terms) raises ``ValueError`` instead of silently approximating.
+``NOT`` composes with every mode (the exclude column flows through all
+scorers)."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
+
+_PHRASE_RE = re.compile(r'^"(?P<body>[^"]+)"(?:~(?P<win>\d+))?$')
+_FUZZY_RE = re.compile(r"^(?P<body>[^~\s]+)~(?P<dist>\d+)?$")
+
+
+@dataclass
+class QuerySpec:
+    """Parsed form of one query string; maps 1:1 onto engine kernels."""
+
+    text: str = ""
+    exclude: str = ""
+    conjunctive: bool = False
+    prefix: bool = False
+    fuzzy: int = 0
+    phrase: str | None = None
+    window: int = 0
+    #: raw positive tokens, pre-join (for tests / introspection)
+    terms: list[str] = field(default_factory=list)
+
+
+def parse_query(s: str) -> QuerySpec:
+    """Parse one query string into a :class:`QuerySpec`. See module doc."""
+    s = (s or "").strip()
+    spec = QuerySpec()
+    if not s:
+        return spec
+
+    m = _PHRASE_RE.match(s)
+    if m:
+        spec.phrase = m.group("body").strip()
+        spec.window = int(m.group("win") or 0)
+        if spec.window and len(spec.phrase.split()) != 2:
+            raise ValueError("proximity form \"a b\"~N takes exactly 2 terms")
+        return spec
+    if '"' in s:
+        raise ValueError(
+            "a phrase must be the whole query (loose terms beside a quoted "
+            "phrase are not expressible by the positional kernel)"
+        )
+
+    raw = s.split()
+    positives: list[str] = []
+    excludes: list[str] = []
+    and_seen = or_gap = False
+    expect_not = False
+    for tok in raw:
+        if tok == "AND":
+            and_seen = True
+            continue
+        if tok == "OR":
+            continue  # OR is the default combinator
+        if tok == "NOT":
+            expect_not = True
+            continue
+        if tok.startswith("-") and len(tok) > 1:
+            excludes.append(tok[1:])
+            continue
+        if expect_not:
+            excludes.append(tok)
+            expect_not = False
+            continue
+        positives.append(tok)
+    if expect_not:
+        raise ValueError("dangling NOT")
+    # AND must bind every gap: "a AND b c" would be a mixed-boolean tree the
+    # conjunctive kernel cannot express
+    if and_seen:
+        n_gaps = len(positives) - 1
+        n_ands = sum(1 for t in raw if t == "AND")
+        if n_gaps != n_ands:
+            raise ValueError(
+                "mixed AND/OR is not expressible (AND must join every term)"
+            )
+        spec.conjunctive = True
+
+    # wildcard / fuzzy markers
+    cleaned: list[str] = []
+    for tok in positives:
+        if tok.endswith("*") and len(tok) > 1:
+            if spec.prefix or len(positives) > 1:
+                raise ValueError("prefix queries take exactly one term*")
+            spec.prefix = True
+            cleaned.append(tok[:-1])
+            continue
+        fm = _FUZZY_RE.match(tok)
+        if fm and "~" in tok:
+            d = int(fm.group("dist") or 2)
+            if spec.fuzzy and spec.fuzzy != d:
+                raise ValueError("all fuzzy terms must share one distance")
+            spec.fuzzy = d
+            cleaned.append(fm.group("body"))
+            continue
+        cleaned.append(tok)
+    if spec.prefix and (spec.conjunctive or spec.fuzzy):
+        raise ValueError("prefix does not compose with AND/fuzzy")
+    if spec.conjunctive and spec.fuzzy:
+        raise ValueError("fuzzy does not compose with AND")
+
+    spec.terms = cleaned
+    spec.text = " ".join(cleaned)
+    spec.exclude = " ".join(excludes)
+    return spec
+
+
+def query_string_table(
+    index_dir: str,
+    queries,
+    config: EngineConfig = DEFAULT_CONFIG,
+    *,
+    limit: int | None = None,
+    synonyms: dict | None = None,
+) -> pa.Table:
+    """Run query STRINGS end to end: parse each, group by kernel shape,
+    dispatch to ``search_table`` / ``phrase_search_table``, and return the
+    union of flat hits sorted (query_id ASC, rank ASC). ``queries`` is a
+    list[str] (ids = positions) or a (query_id, text[, limit]) table of
+    query-language strings."""
+    from clip_as_service_ray.pipelines.oracle import HITS_SCHEMA
+    from clip_as_service_ray.pipelines.phrase import phrase_search_table
+    from clip_as_service_ray.pipelines.search import search_table
+
+    if isinstance(queries, list):
+        qids = list(range(len(queries)))
+        texts = [str(q) for q in queries]
+        limits = [limit or config.limit] * len(texts)
+    else:
+        qids = queries.column("query_id").to_pylist()
+        texts = queries.column("text").to_pylist()
+        limits = (
+            queries.column("limit").to_pylist()
+            if "limit" in queries.column_names
+            else [limit or config.limit] * len(qids)
+        )
+
+    specs = [parse_query(t) for t in texts]
+    parts: list[pa.Table] = []
+    # group compatible specs into one engine call per kernel shape — the
+    # request batcher: N strings of the same shape ride one actor-pool pass
+    shapes: dict[tuple, list[int]] = {}
+    for i, sp in enumerate(specs):
+        if sp.phrase is not None:
+            key = ("phrase", sp.window)
+        else:
+            key = ("search", sp.conjunctive, sp.prefix, sp.fuzzy)
+        shapes.setdefault(key, []).append(i)
+    for key, idxs in shapes.items():
+        if key[0] == "phrase":
+            qt = pa.table(
+                {
+                    "query_id": pa.array([qids[i] for i in idxs], pa.int64()),
+                    "text": pa.array([specs[i].phrase for i in idxs]),
+                    "limit": pa.array([int(limits[i]) for i in idxs], pa.int32()),
+                }
+            )
+            hits = phrase_search_table(index_dir, qt, config, window=key[1])
+            # phrase hits rank by phrase_tf (no BM25 model); surface it as
+            # the score column so the union shares one flat schema
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": hits.column("query_id"),
+                        "rank": hits.column("rank"),
+                        "conv_id": hits.column("conv_id"),
+                        "turn_idx": hits.column("turn_idx"),
+                        "score": hits.column("phrase_tf").cast(pa.float64()),
+                    }
+                )
+            )
+        else:
+            _, conj, pref, fz = key
+            cols = {
+                "query_id": pa.array([qids[i] for i in idxs], pa.int64()),
+                "text": pa.array([specs[i].text for i in idxs]),
+                "limit": pa.array([int(limits[i]) for i in idxs], pa.int32()),
+            }
+            if any(specs[i].exclude for i in idxs):
+                cols["exclude"] = pa.array([specs[i].exclude for i in idxs])
+            parts.append(
+                search_table(
+                    index_dir, pa.table(cols), config,
+                    conjunctive=conj, prefix=pref, fuzzy=fz,
+                    synonyms=synonyms,
+                )
+            )
+    if not parts:
+        return HITS_SCHEMA.empty_table()
+    out = pa.concat_tables([p.cast(HITS_SCHEMA) for p in parts])
+    return out.sort_by([("query_id", "ascending"), ("rank", "ascending")])

@@ -1,0 +1,138 @@
+"""Query-string parser (Lucene QueryParser analog): parse shapes, rejection
+of inexpressible trees, and end-to-end dispatch equivalence against the
+flag-based engine calls."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from clip_as_service_ray.pipelines.querylang import parse_query, query_string_table
+
+# ---- pure parser tests (no Ray) ----
+
+
+def test_parse_or_default():
+    sp = parse_query("merge window scan")
+    assert sp.text == "merge window scan" and not sp.conjunctive
+    assert sp.exclude == "" and sp.phrase is None
+
+
+def test_parse_and():
+    sp = parse_query("merge AND window")
+    assert sp.conjunctive and sp.text == "merge window"
+
+
+def test_parse_not_and_dash():
+    sp = parse_query("merge NOT part -sort")
+    assert sp.text == "merge" and sp.exclude == "part sort"
+
+
+def test_parse_prefix_fuzzy_phrase():
+    assert parse_query("mer*").prefix and parse_query("mer*").text == "mer"
+    sp = parse_query("mrge~2")
+    assert sp.fuzzy == 2 and sp.text == "mrge"
+    assert parse_query("mrge~").fuzzy == 2  # default distance
+    ph = parse_query('"merge window"')
+    assert ph.phrase == "merge window" and ph.window == 0
+    pr = parse_query('"merge window"~4')
+    assert pr.window == 4
+
+
+def test_parse_not_composes_with_modes():
+    sp = parse_query("merge AND window NOT part")
+    assert sp.conjunctive and sp.exclude == "part"
+
+
+def test_parse_rejects_inexpressible():
+    for bad in (
+        "a AND b c",            # mixed AND/OR
+        'loose "a phrase"',     # phrase + loose terms
+        "a* b",                 # multi-term prefix
+        "a* AND b",             # prefix + AND
+        "a~1 b~2",              # conflicting distances
+        "merge NOT",            # dangling NOT
+        '"a b c"~4',            # proximity needs exactly 2 terms
+    ):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_parse_empty():
+    sp = parse_query("   ")
+    assert sp.text == "" and sp.phrase is None
+
+
+# ---- end-to-end dispatch (Ray) ----
+
+
+@pytest.fixture(scope="module")
+def idx(ray_session, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.sources.transcripts import synthesize_transcripts
+
+    cfg = EngineConfig(num_index_partitions=2, postings_block_size=64)
+    root = tmp_path_factory.mktemp("qlang")
+    corpus = synthesize_transcripts(900, seed=33)
+    d = str(root / "index")
+    build_index(corpus, d, cfg, overwrite=True, positions=True)
+    return d, cfg, corpus
+
+
+def _vocab(corpus, k):
+    from clip_as_service_ray.functions.tokenizer import tokenize
+
+    seen = []
+    for t in corpus.column("text").to_pylist():
+        for tok in tokenize(t):
+            if tok.isalpha() and tok not in seen:
+                seen.append(tok)
+            if len(seen) >= k:
+                return seen
+    return seen
+
+
+def test_query_string_matches_flag_calls(idx):
+    from clip_as_service_ray.pipelines.search import search_table
+
+    d, cfg, corpus = idx
+    vocab = _vocab(corpus, 8)
+    a, b = vocab[0], vocab[1]
+    # pick an exclude term that leaves survivors (zipfian vocab: some terms
+    # co-occur with nearly everything)
+    want = None
+    for c in vocab[2:]:
+        q = pa.table(
+            {"query_id": pa.array([0], pa.int64()), "text": [f"{a} {b}"],
+             "limit": pa.array([10], pa.int32()), "exclude": [c]}
+        )
+        want = search_table(d, q, cfg).to_pandas()
+        if len(want) > 0:
+            break
+    assert want is not None and len(want) > 0
+    got = query_string_table(d, [f"{a} {b} NOT {c}"], cfg).to_pandas()
+    assert len(got) == len(want)
+    assert np.array_equal(got["score"].values, want["score"].values)
+    assert (got["conv_id"].values == want["conv_id"].values).all()
+
+
+def test_query_string_mixed_batch(idx):
+    d, cfg, corpus = idx
+    a, b, _ = _vocab(corpus, 3)
+    hits = query_string_table(
+        d, [f"{a} {b}", f"{a} AND {b}", f'"{a} {b}"', f"{a[:2]}*"], cfg
+    ).to_pandas()
+    # every query id present in output order, ranks contiguous from 0
+    assert set(hits.query_id) <= {0, 1, 2, 3}
+    assert len(hits[hits.query_id == 0]) > 0
+    for qid, g in hits.groupby("query_id"):
+        assert list(g["rank"]) == list(range(len(g)))
+    # AND results are a subset of OR results (same scores where present)
+    or_set = set(zip(hits[hits.query_id == 0].conv_id,
+                     hits[hits.query_id == 0].turn_idx))
+    and_rows = hits[hits.query_id == 1]
+    assert set(zip(and_rows.conv_id, and_rows.turn_idx)) <= or_set or len(
+        and_rows
+    ) == 0
