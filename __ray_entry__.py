@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stem_counts": ops.stem_counts,  # rows-only (no offline SQL stemmer)
         "bm25_topk_stemmed": ops.bm25_topk_stemmed,  # rows-only (same)
         "search_snippets": ops.search_snippets,
+        "funnel_counts": ops.funnel_counts,
+        "collocations": ops.collocations,
     }
 
 
@@ -286,6 +288,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "WHERE doc_id != 42 "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "collocations": (  # PMI-ranked adjacent pairs (Church & Hanks 1990)
+            "WITH t AS (SELECT regexp_extract_all(lower(text), '" + _PAT_SQL + "') AS ts "
+            "FROM documents), "
+            "bg AS (SELECT unnest(list_transform(generate_series(1, len(ts)-1), "
+            "i -> ts[i] || ' ' || ts[i+1])) AS bigram FROM t WHERE len(ts) >= 2), "
+            "bgc AS (SELECT bigram, count(*)::BIGINT AS n_ab FROM bg GROUP BY bigram), "
+            "ug AS (SELECT unnest(ts) AS term FROM t), "
+            "ugc AS (SELECT term, count(*)::DOUBLE AS c FROM ug GROUP BY term), "
+            "tot AS (SELECT (SELECT sum(n_ab)::DOUBLE FROM bgc) AS nb, "
+            "               (SELECT count(*)::DOUBLE FROM ug) AS nu), "
+            "cand AS (SELECT bigram, n_ab, split_part(bigram, ' ', 1) AS a, "
+            "         split_part(bigram, ' ', 2) AS b FROM bgc WHERE n_ab >= 5) "
+            "SELECT bigram, n_ab, "
+            "round(ln((n_ab::DOUBLE / nb) / ((ca.c / nu) * (cb.c / nu))), 6)::DOUBLE AS pmi "
+            "FROM cand CROSS JOIN tot "
+            "JOIN ugc ca ON ca.term = cand.a JOIN ugc cb ON cb.term = cand.b "
+            "ORDER BY pmi DESC, bigram ASC LIMIT 20"
+        ),
+        "funnel_counts": (  # ordered view->click->purchase funnel cascade
+            "WITH t1 AS (SELECT user_id, min(ts) AS t FROM events "
+            "  WHERE event_type = 'view' GROUP BY user_id), "
+            "t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "  JOIN t1 USING (user_id) WHERE e.event_type = 'click' "
+            "  AND e.ts > t1.t GROUP BY e.user_id), "
+            "t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "  JOIN t2 USING (user_id) WHERE e.event_type = 'purchase' "
+            "  AND e.ts > t2.t GROUP BY e.user_id) "
+            "SELECT * FROM ("
+            "  SELECT 0::BIGINT AS step_idx, 'view' AS step, "
+            "         (SELECT count(*) FROM t1)::BIGINT AS n_users "
+            "  UNION ALL SELECT 1::BIGINT, 'click', "
+            "         (SELECT count(*) FROM t2)::BIGINT "
+            "  UNION ALL SELECT 2::BIGINT, 'purchase', "
+            "         (SELECT count(*) FROM t3)::BIGINT) "
+            "ORDER BY step_idx"
         ),
         "search_snippets": (  # Lucene-highlighter analog: +-3 token window
             "WITH tok AS (" + _TOK + "), "

@@ -4538,3 +4538,165 @@ def search_snippets(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10,
          "score": hits.column("score"),
          "snippet": pa.array(snippets, pa.string())}
     )
+
+
+def funnel_counts(sf_dir: str, steps=("view", "click", "purchase")):
+    """Ordered funnel analysis (the product-analytics staple): how many
+    users completed step 1, then step 2 STRICTLY AFTER their first step 1,
+    then step 3 strictly after that, each time taking the user's EARLIEST
+    qualifying event. Same distributed shape as sessionize: predicate-pushed
+    read of just the step events, salted-bucket shuffle on user_id (a user's
+    history lands in one group), then ONE vectorized lexsort + per-step
+    first-qualifying scan per bucket — the cascade loop runs len(steps)
+    times over numpy arrays, never per user. Per-bucket step counts are
+    additive partials (each user lives in exactly one bucket)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.stages.windows import _scaled_buckets
+
+    num_buckets, num_partitions = _scaled_buckets(None)
+    step_of = {s: i for i, s in enumerate(steps)}
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+        filter=pc.field("event_type").isin(pa.array(list(steps))),
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column("user_id").to_numpy().astype(np.int64)
+        s = np.fromiter(
+            (step_of[t] for t in batch.column("event_type").to_pylist()),
+            np.int8, batch.num_rows,
+        )
+        return pa.table(
+            {
+                "_bucket": pa.array(k % num_buckets, pa.int64()),
+                "user_id": pa.array(k, pa.int64()),
+                "_ts": batch.column("ts").cast(pa.int64()),
+                "_step": pa.array(s, pa.int8()),
+            }
+        )
+
+    n_steps = len(steps)
+
+    def cascade(group: pa.Table) -> pa.Table:
+        k = group.column("user_id").to_numpy()
+        t = group.column("_ts").to_numpy()
+        s = group.column("_step").to_numpy()
+        counts = np.zeros(n_steps, np.int64)
+        if len(k):
+            order = np.lexsort((t, k))
+            ks, ts_, ss = k[order], t[order], s[order]
+            users = np.unique(ks)
+            cur = np.full(len(users), np.iinfo(np.int64).min, np.int64)
+            alive = np.ones(len(users), bool)
+            uidx_all = np.searchsorted(users, ks)
+            for i in range(n_steps):
+                rows = np.nonzero(ss == i)[0]
+                u = uidx_all[rows]
+                valid = alive[u] & (ts_[rows] > cur[u])
+                vu = u[valid]
+                # rows are (user, ts)-sorted: first valid row per user IS
+                # the user's earliest qualifying event for this step
+                uu, first = np.unique(vu, return_index=True)
+                nxt = np.zeros(len(users), bool)
+                nxt[uu] = True
+                cur[uu] = ts_[rows[valid][first]]
+                alive &= nxt
+                counts[i] = int(alive.sum())
+        return pa.table(
+            {
+                "step_idx": pa.array(np.arange(n_steps, dtype=np.int64), pa.int64()),
+                "step": pa.array(list(steps), pa.string()),
+                "n_part": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=num_partitions)
+        .map_groups(cascade, batch_format="pyarrow")
+        .groupby("step_idx", num_partitions=1)
+        .aggregate(Sum("n_part", alias_name="n_users"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    tbl = tbl.sort_by("step_idx")
+    return pa.table(
+        {
+            "step_idx": pc.cast(tbl.column("step_idx"), pa.int64()),
+            "step": pa.array(list(steps), pa.string()),
+            "n_users": pc.cast(tbl.column("n_users"), pa.int64()),
+        }
+    )
+
+
+def collocations(sf_dir: str, k: int = 20, min_count: int = 5):
+    """PMI-ranked collocations (Church & Hanks 1990): for adjacent token
+    pairs with n_ab >= ``min_count``, pmi = ln(p(ab) / (p(a) p(b))) with
+    p(ab) over the bigram total and p(a) over the unigram total. Three
+    pre-aggregated count passes share the distributed shape of
+    bigram_counts (per-batch combiners -> tiny groupby); the PMI math runs
+    on the driver over the top-candidate table (vocabulary-sized, ~31 terms
+    here, bounded by min_count at scale). The SQL twin computes the SAME
+    float expression left-to-right, so round(...,6) hashes identically."""
+    from ray.data.aggregate import Sum
+
+    def bg_partial(batch: pa.Table) -> pa.Table:
+        _left, grams, _nb = _flat_bigrams(batch.column("text"))
+        if len(grams) == 0:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "n_part": pa.array([], pa.int64())}
+            )
+        vc = grams.value_counts()
+        return pa.table(
+            {"bigram": vc.field("values").cast(pa.string()),
+             "n_part": vc.field("counts").cast(pa.int64())}
+        )
+
+    bg = pa.Table.from_pandas(
+        _documents(sf_dir)
+        .map_batches(bg_partial, batch_format="pyarrow")
+        .groupby("bigram", num_partitions=8)
+        .aggregate(Sum("n_part", alias_name="n_ab"))
+        .to_pandas(),
+        preserve_index=False,
+    )
+
+    def ug_partial(batch: pa.Table) -> pa.Table:
+        t = _tokens_flat(batch)
+        g = t.group_by("term").aggregate([("tf", "sum")])
+        return g.rename_columns(["term", "n_part"])
+
+    ug = pa.Table.from_pandas(
+        _documents(sf_dir)
+        .map_batches(ug_partial, batch_format="pyarrow")
+        .groupby("term", num_partitions=8)
+        .aggregate(Sum("n_part", alias_name="c"))
+        .to_pandas(),
+        preserve_index=False,
+    )
+    n_bi = float(np.sum(bg.column("n_ab").to_numpy()))
+    n_uni = float(np.sum(ug.column("c").to_numpy()))
+    cmap = dict(zip(ug.column("term").to_pylist(),
+                    ug.column("c").to_numpy().astype(np.float64).tolist()))
+
+    keep = pc.greater_equal(bg.column("n_ab"), pa.scalar(min_count, pa.int64()))
+    bg = bg.filter(keep)
+    grams = bg.column("bigram").to_pylist()
+    n_ab = bg.column("n_ab").to_numpy().astype(np.float64)
+    pmi = np.empty(len(grams), np.float64)
+    for i, g in enumerate(grams):
+        a, b = g.split(" ", 1)
+        # EXACT expression order mirrored in the SQL twin
+        pmi[i] = np.log((n_ab[i] / n_bi) / ((cmap[a] / n_uni) * (cmap[b] / n_uni)))
+    pmi = np.round(pmi, 6)
+    order = np.lexsort((np.asarray(grams, dtype=object), -pmi))[:k]
+    return pa.table(
+        {
+            "bigram": pa.array([grams[i] for i in order], pa.string()),
+            "n_ab": pa.array(n_ab[order].astype(np.int64), pa.int64()),
+            "pmi": pa.array(pmi[order], pa.float64()),
+        }
+    )

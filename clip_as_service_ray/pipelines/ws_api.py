@@ -296,6 +296,20 @@ class WebSocketSearchServer:
         self.metrics.inc("rank_requests_total")
         return {"hits": hits.to_pylist()}
 
+    def _do_explain(self, payload: dict) -> dict:
+        svc = self._svc
+        if svc is None:
+            return {"error": "index empty or write in progress", "code": 503}
+        out = svc.explain(
+            str(payload.get("text", "")),
+            str(payload["conv_id"]),
+            int(payload.get("turn_idx", 0)),
+        )
+        self.metrics.inc("explain_requests_total")
+        if out is None:
+            return {"error": "document not indexed", "code": 404}
+        return out
+
     def _do_phrase(self, payload: dict) -> dict:
         svc = self._phrase_svc
         if svc is None:
@@ -404,6 +418,7 @@ class WebSocketSearchServer:
                         "search": self._do_search,
                         "encode": self._do_encode,
                         "rank": self._do_rank,
+                        "explain": self._do_explain,
                         "phrase": self._do_phrase,
                         "suggest": self._do_suggest,
                         "complete": self._do_complete,
@@ -596,6 +611,21 @@ class AsyncSearchClient:
 
     async def aphrase(self, queries: list[dict]):
         return (await self._call({"op": "phrase", "queries": queries}))["hits"]
+
+    async def aexplain(
+        self, text: str, conv_id: str, turn_idx: int = 0
+    ) -> dict | None:
+        """Per-term score breakdown of one document (Lucene-explain analog);
+        None when the index does not hold the document."""
+        try:
+            return await self._call(
+                {"op": "explain", "text": text, "conv_id": conv_id,
+                 "turn_idx": turn_idx}
+            )
+        except ValueError as e:
+            if "not indexed" in str(e):
+                return None
+            raise
 
     async def asuggest(self, queries: list[dict], max_dist: int = 2, k: int = 5):
         return (await self._call(

@@ -295,3 +295,28 @@ def test_websocket_suggest_complete_ops(ray_session, tmp_path):
         asyncio.run(main())
     finally:
         srv.shutdown()
+
+
+def test_websocket_explain_op(ray_session, tmp_path):
+    srv = WebSocketSearchServer(str(tmp_path / "wsroot"), CFG)
+    try:
+        async def main():
+            c = await AsyncSearchClient(srv.url).connect()
+            await c.aindex(
+                [
+                    _turn("conva", "alpha beta gamma"),
+                    _turn("convb", "alpha delta"),
+                ]
+            )
+            hits = await c.asearch([{"query_id": 0, "text": "alpha beta", "limit": 1}])
+            h = hits[0]
+            out = await c.aexplain("alpha beta", h["conv_id"], h["turn_idx"])
+            assert out["score"] == h["score"]
+            assert sum(p["score"] for p in out["terms"]) == out["score"]
+            assert [p["term"] for p in out["terms"]] == ["alpha", "beta"]
+            assert await c.aexplain("alpha", "no-such-conv", 0) is None
+            await c.aclose()
+
+        asyncio.run(main())
+    finally:
+        srv.shutdown()
