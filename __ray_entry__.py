@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_snippets": ops.search_snippets,
         "funnel_counts": ops.funnel_counts,
         "collocations": ops.collocations,
+        "lineitem_correlations": ops.lineitem_correlations,
     }
 
 
@@ -288,6 +289,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "WHERE doc_id != 42 "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "lineitem_correlations": (  # Pearson r from explicit moment sums
+            "WITH m AS (SELECT count(*)::DOUBLE AS n, "
+            "  sum(l_quantity) AS s0, sum(l_extendedprice) AS s1, "
+            "  sum(l_discount) AS s2, sum(l_tax) AS s3, "
+            "  sum(l_quantity*l_quantity) AS s00, "
+            "  sum(l_extendedprice*l_extendedprice) AS s11, "
+            "  sum(l_discount*l_discount) AS s22, sum(l_tax*l_tax) AS s33, "
+            "  sum(l_quantity*l_extendedprice) AS s01, "
+            "  sum(l_quantity*l_discount) AS s02, sum(l_quantity*l_tax) AS s03, "
+            "  sum(l_extendedprice*l_discount) AS s12, "
+            "  sum(l_extendedprice*l_tax) AS s13, sum(l_discount*l_tax) AS s23 "
+            "  FROM lineitem) "
+            "SELECT * FROM ("
+            "SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, "
+            " round((n*s01 - s0*s1) / (sqrt(n*s00 - s0*s0) * sqrt(n*s11 - s1*s1)), 6)::DOUBLE AS r FROM m "
+            "UNION ALL SELECT 'l_quantity', 'l_discount', "
+            " round((n*s02 - s0*s2) / (sqrt(n*s00 - s0*s0) * sqrt(n*s22 - s2*s2)), 6)::DOUBLE FROM m "
+            "UNION ALL SELECT 'l_quantity', 'l_tax', "
+            " round((n*s03 - s0*s3) / (sqrt(n*s00 - s0*s0) * sqrt(n*s33 - s3*s3)), 6)::DOUBLE FROM m "
+            "UNION ALL SELECT 'l_extendedprice', 'l_discount', "
+            " round((n*s12 - s1*s2) / (sqrt(n*s11 - s1*s1) * sqrt(n*s22 - s2*s2)), 6)::DOUBLE FROM m "
+            "UNION ALL SELECT 'l_extendedprice', 'l_tax', "
+            " round((n*s13 - s1*s3) / (sqrt(n*s11 - s1*s1) * sqrt(n*s33 - s3*s3)), 6)::DOUBLE FROM m "
+            "UNION ALL SELECT 'l_discount', 'l_tax', "
+            " round((n*s23 - s2*s3) / (sqrt(n*s22 - s2*s2) * sqrt(n*s33 - s3*s3)), 6)::DOUBLE FROM m)"
         ),
         "collocations": (  # PMI-ranked adjacent pairs (Church & Hanks 1990)
             "WITH t AS (SELECT regexp_extract_all(lower(text), '" + _PAT_SQL + "') AS ts "

@@ -129,6 +129,10 @@ def main(argv=None) -> int:
     g.add_argument("--keyfile", default=None)
     g.add_argument("--synonyms", default=None,
                    help="JSON file term -> [synonyms], expands OR queries")
+    g.add_argument("--analyzer", default=None,
+                   choices=["stem", "stop", "stop+stem"],
+                   help="analyzer for segments built via POST /index (must "
+                   "match any existing segments)")
 
     w = sub.add_parser(
         "serve-ws",
@@ -289,8 +293,13 @@ def main(argv=None) -> int:
             if args.synonyms:
                 with open(args.synonyms) as f:
                     synonyms = json.load(f)
+            seg_cfg = (
+                EngineConfig(analyzer=args.analyzer)
+                if args.analyzer
+                else EngineConfig()
+            )
             srv = SegmentedSearchHTTPServer(
-                args.index_root, EngineConfig(), args.host, args.port,
+                args.index_root, seg_cfg, args.host, args.port,
                 auth_token=args.auth_token,
                 certfile=args.certfile, keyfile=args.keyfile,
                 synonyms=synonyms,

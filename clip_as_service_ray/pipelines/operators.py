@@ -4700,3 +4700,57 @@ def collocations(sf_dir: str, k: int = 20, min_count: int = 5):
             "pmi": pa.array(pmi[order], pa.float64()),
         }
     )
+
+
+def lineitem_correlations(
+    sf_dir: str,
+    cols=("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+):
+    """Pearson correlation matrix over lineitem's numeric columns via
+    DISTRIBUTED sufficient statistics: each batch contributes one row of
+    (n, sum_i, sum_i*j) moments — a fixed O(k^2)-sized partial regardless
+    of data volume — and the driver combines + evaluates
+    r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2)).
+    The SQL twin evaluates the SAME expression from the same moments (not
+    DuckDB's corr(), whose internal streaming formula differs in float
+    ordering), so round(...,6) hashes identically."""
+    import ray.data
+
+    k = len(cols)
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = np.stack([batch.column(c).to_numpy() for c in cols])
+        out = {"n": pa.array([batch.num_rows], pa.int64())}
+        for i in range(k):
+            out[f"s{i}"] = pa.array([float(x[i].sum())], pa.float64())
+            out[f"s{i}{i}"] = pa.array([float(np.dot(x[i], x[i]))], pa.float64())
+        for i, j in pairs:
+            out[f"s{i}{j}"] = pa.array([float(np.dot(x[i], x[j]))], pa.float64())
+        return pa.table(out)
+
+    rows = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"), columns=list(cols)
+        )
+        .map_batches(moments, batch_format="pyarrow")
+        .take_all()
+    )
+    n = float(sum(r["n"] for r in rows))
+    s = {key: sum(r[key] for r in rows) for key in rows[0] if key != "n"}
+    out_x, out_y, out_r = [], [], []
+    for i, j in pairs:
+        num = n * s[f"s{i}{j}"] - s[f"s{i}"] * s[f"s{j}"]
+        den = np.sqrt(n * s[f"s{i}{i}"] - s[f"s{i}"] * s[f"s{i}"]) * np.sqrt(
+            n * s[f"s{j}{j}"] - s[f"s{j}"] * s[f"s{j}"]
+        )
+        out_x.append(cols[i])
+        out_y.append(cols[j])
+        out_r.append(round(float(num / den), 6))
+    return pa.table(
+        {
+            "col_x": pa.array(out_x, pa.string()),
+            "col_y": pa.array(out_y, pa.string()),
+            "r": pa.array(out_r, pa.float64()),
+        }
+    )

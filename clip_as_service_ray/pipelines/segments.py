@@ -80,6 +80,18 @@ def add_segment(
     docs immediately too (``SegmentedPhraseService``)."""
     os.makedirs(os.path.join(index_root, "segments"), exist_ok=True)
     existing = segment_dirs(index_root)
+    if existing:
+        # write-time analyzer guard: a segment built with a different
+        # analyzer would poison every future search (the read-time guard in
+        # ScatterQueryService would then reject the whole root)
+        sp = os.path.join(existing[0], "stats.json")
+        if os.path.exists(sp):
+            have = mf.read_json(sp).get("analyzer")
+            if have != config.analyzer:
+                raise ValueError(
+                    f"segment root was built with analyzer={have!r}; "
+                    f"refusing to add a segment with analyzer={config.analyzer!r}"
+                )
     k = (
         max(int(SEG_RE.match(os.path.basename(d)).group(1)) for d in existing) + 1
         if existing

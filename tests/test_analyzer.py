@@ -271,3 +271,13 @@ def test_stopword_synonym_key_skipped(ray_session, tmp_path):
         idx, _queries(["merge"]), scfg, synonyms={"the": ["window"]}
     ).to_pandas()
     assert len(hits) == 1
+
+
+def test_add_segment_analyzer_guard(ray_session, tmp_path):
+    from clip_as_service_ray.pipelines.segments import add_segment
+
+    root = str(tmp_path / "segroot")
+    corpus = synthesize_transcripts(40, seed=9)
+    add_segment(root, corpus, CFG)  # stemmed root
+    with pytest.raises(ValueError, match="refusing to add a segment"):
+        add_segment(root, corpus, EngineConfig())
