@@ -48,6 +48,10 @@ class EngineConfig:
     query_batch_size: int = 64
     # actor pool size for the query scorer; None -> let Ray autoscale
     query_concurrency: int = 4
+    # per-replica LRU result-cache entries for SERVING pools (QueryService /
+    # ScatterQueryService); safe because readers are immutable per actor
+    # (writes swap in fresh pools). The batch map_batches path keeps it off.
+    query_cache_size: int = 256
 
     # --- tokenizer ---
     lowercase: bool = True

@@ -40,7 +40,8 @@ class QueryService:
         worker = ray.remote(num_cpus=1)(QueryScorer)
         self.replicas = [
             worker.remote(index_dir, config.limit, config.query_pruning,
-                          synonyms=synonyms)
+                          synonyms=synonyms,
+                          query_cache_size=config.query_cache_size)
             for _ in range(n)
         ]
         # warm: force index load now (actor __init__ errors surface here)

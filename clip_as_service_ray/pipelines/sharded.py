@@ -240,6 +240,7 @@ class ScatterQueryService:
                 prefix=prefix,
                 fuzzy=fuzzy,
                 synonyms=synonyms,
+                query_cache_size=config.query_cache_size,
             )
             for d in index_dirs
         ]

@@ -903,10 +903,22 @@ class QueryScorer:
         prefix: bool = False,
         fuzzy: int = 0,
         synonyms: dict | None = None,
+        query_cache_size: int = 0,
     ):
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         self.default_limit = default_limit
         self.pruning = pruning
+        # per-replica LRU result cache (the serving-side query cache of
+        # Lucene/ES): keyed by the full query identity, safe because the
+        # reader is immutable for the actor's lifetime (segment writes swap
+        # in fresh pools). 0 disables — the batch-analytics path keeps it
+        # off (keys rarely repeat there); serving pools turn it on.
+        from collections import OrderedDict
+
+        self._qcache: OrderedDict | None = (
+            OrderedDict() if query_cache_size > 0 else None
+        )
+        self._qcache_cap = int(query_cache_size)
         if synonyms:
             if conjunctive or prefix or fuzzy:
                 raise ValueError(
@@ -935,7 +947,10 @@ class QueryScorer:
         self.attach_softmax = attach_softmax
         # per-stage cumulative timings — the analog of the reference's
         # profile() latency tree (client.py:68-120), exposed via profile()
-        self._prof = {"n_queries": 0, "n_hits": 0, "score_s": 0.0, "invert_s": 0.0}
+        self._prof = {
+            "n_queries": 0, "n_hits": 0, "score_s": 0.0, "invert_s": 0.0,
+            "cache_hits": 0,
+        }
 
     def profile(self) -> dict:
         out = dict(self._prof)
@@ -1112,11 +1127,22 @@ class QueryScorer:
             t0 = _time.perf_counter()
             excl = excludes[qi] if excludes is not None else ""
             pfx = (prefixes[qi] or "") if prefixes is not None else ""
-            rng = self.reader.conv_prefix_range(pfx) if pfx else None
-            doc_ids, scores = score_fn(
-                text, int(limit or self.default_limit), exclude_text=excl or "",
-                doc_range=rng,
-            )
+            lim = int(limit or self.default_limit)
+            ckey = (text, lim, excl or "", pfx)
+            cached = self._qcache.get(ckey) if self._qcache is not None else None
+            if cached is not None:
+                self._qcache.move_to_end(ckey)
+                self._prof["cache_hits"] += 1
+                doc_ids, scores = cached
+            else:
+                rng = self.reader.conv_prefix_range(pfx) if pfx else None
+                doc_ids, scores = score_fn(
+                    text, lim, exclude_text=excl or "", doc_range=rng,
+                )
+                if self._qcache is not None:
+                    self._qcache[ckey] = (doc_ids, scores)
+                    if len(self._qcache) > self._qcache_cap:
+                        self._qcache.popitem(last=False)
             self._prof["score_s"] += _time.perf_counter() - t0
             self._prof["n_queries"] += 1
             if len(doc_ids) == 0:

@@ -138,3 +138,33 @@ def test_flat_ngrams_row_boundaries():
 
     grams2, row2, _ = _flat_ngrams(pa.chunked_array([pa.array(["x y"], pa.string())]), 3)
     assert len(grams2) == 0 and len(row2) == 0
+
+
+def test_query_cache_identical_results_and_counter(ray_session, tmp_path):
+    """Per-replica LRU result cache: second identical request returns the
+    SAME hits (bit-identical scores) and the profile counter moves."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.serving import QueryService
+    from clip_as_service_ray.sources.transcripts import synthesize_transcripts
+
+    cfg = EngineConfig(num_index_partitions=2, query_concurrency=1,
+                       query_cache_size=8)
+    idx = str(tmp_path / "idx")
+    build_index(synthesize_transcripts(400, seed=17), idx, cfg, overwrite=True)
+    svc = QueryService(idx, cfg, num_replicas=1)
+    try:
+        q = pa.table(
+            {"query_id": pa.array([0], pa.int64()),
+             "text": ["merge window"],
+             "limit": pa.array([5], pa.int32())}
+        )
+        first = svc.search(q)
+        second = svc.search(q)
+        assert first.equals(second)
+        prof = svc.profile()
+        assert prof.get("cache_hits", 0) >= 1
+    finally:
+        svc.shutdown()
