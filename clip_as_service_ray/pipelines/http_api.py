@@ -111,6 +111,30 @@ def _auth_ok(handler, token: str | None) -> bool:
 
 
 def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
+    colsin = payload.get("columns")
+    if colsin:
+        # columnar request form: arrays go straight into Arrow, no per-row
+        # Python on the data path (round-2 VERDICT note on the row form)
+        n = len(colsin.get("query_id", []))
+        cols = {
+            "query_id": pa.array([int(x) for x in colsin["query_id"]], pa.int64()),
+            "text": pa.array(
+                [str(x or "") for x in colsin.get("text", [""] * n)], pa.string()
+            ),
+            "limit": pa.array(
+                [int(x or 10) for x in colsin.get("limit", [10] * n)], pa.int32()
+            ),
+        }
+        for name, typ in (("exclude", pa.string()), ("conv_prefix", pa.string())):
+            if colsin.get(name):
+                cols[name] = pa.array(
+                    [str(x or "") for x in colsin[name]], typ
+                )
+        if with_window:
+            cols["window"] = pa.array(
+                [int(x or 0) for x in colsin.get("window", [0] * n)], pa.int32()
+            )
+        return pa.table(cols)
     qs = payload.get("queries", [])
     cols = {
         "query_id": pa.array([int(q["query_id"]) for q in qs], pa.int64()),
@@ -152,6 +176,15 @@ def _rank_tables(payload: dict) -> tuple[pa.Table, pa.Table]:
          "turn_idx": pa.array(turn, pa.int32())}
     )
     return queries, cands
+
+
+def _qid_list(payload: dict) -> list[int]:
+    """Request query ids in request order, from either the row or the
+    columnar form."""
+    qs = payload.get("queries")
+    if qs:
+        return [int(q["query_id"]) for q in qs]
+    return [int(x) for x in payload.get("columns", {}).get("query_id", [])]
 
 
 def _mode_key(payload: dict) -> tuple | None:
@@ -273,9 +306,8 @@ class SearchHTTPServer:
                         for row in flat.to_pylist():
                             rows.setdefault(row.pop("query_id"), []).append(row)
                         self._send(200, {"suggestions": [
-                            {"query_id": int(q["query_id"]),
-                             "terms": rows.get(int(q["query_id"]), [])}
-                            for q in payload.get("queries", [])
+                            {"query_id": qid, "terms": rows.get(qid, [])}
+                            for qid in _qid_list(payload)
                         ]})
                         return
                     if self.path == "/encode":
@@ -292,9 +324,8 @@ class SearchHTTPServer:
                         ):
                             vecs.setdefault(qid, {})[term] = wt
                         self._send(200, {"vectors": [
-                            {"query_id": int(q["query_id"]),
-                             "vector": vecs.get(int(q["query_id"]), {})}
-                            for q in payload.get("queries", [])
+                            {"query_id": qid, "vector": vecs.get(qid, {})}
+                            for qid in _qid_list(payload)
                         ]})
                         return
                     if self.path == "/rank":
@@ -685,9 +716,8 @@ class SegmentedSearchHTTPServer:
                         for row in flat.to_pylist():
                             rows.setdefault(row.pop("query_id"), []).append(row)
                         self._send(200, {"suggestions": [
-                            {"query_id": int(q["query_id"]),
-                             "terms": rows.get(int(q["query_id"]), [])}
-                            for q in payload.get("queries", [])
+                            {"query_id": qid, "terms": rows.get(qid, [])}
+                            for qid in _qid_list(payload)
                         ]})
                     elif self.path == "/phrase":
                         psvc = outer._phrase_svc  # read once: writes swap it

@@ -561,3 +561,17 @@ def test_explain_over_http(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 404
+
+
+def test_columnar_request_form(server):
+    """The columnar JSON request body produces identical hits to the row
+    form (zero per-row Python on the request path)."""
+    srv, _ = server
+    row = _post(srv.url + "/search",
+                {"queries": [{"query_id": 0, "text": "merge window", "limit": 5},
+                             {"query_id": 1, "text": "scan", "limit": 3}]})
+    col = _post(srv.url + "/search",
+                {"columns": {"query_id": [0, 1],
+                             "text": ["merge window", "scan"],
+                             "limit": [5, 3]}})
+    assert col["hits"] == row["hits"]
