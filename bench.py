@@ -103,6 +103,10 @@ def run_bench() -> dict:
         num_index_partitions=32,
         tokenize_concurrency=num_cpus,
         query_concurrency=max(2, num_cpus // 2),
+        # the bench replays the SAME query set for min/p50 stats — with the
+        # serving LRU cache on, those metrics would measure dict lookups,
+        # not the scoring path. Cache benchmarking is not the goal here.
+        query_cache_size=0,
     )
     index_dir = f"/tmp/cas_ray_bench/index_n{n_turns}_c{num_cpus}"
 
@@ -204,7 +208,8 @@ def run_bench() -> dict:
             n_sh = 4
             groups = [files[i::n_sh] for i in range(n_sh)]
             shard_cfg = EngineConfig(
-                num_index_partitions=8, tokenize_concurrency=num_cpus
+                num_index_partitions=8, tokenize_concurrency=num_cpus,
+                query_cache_size=0,  # see cfg: repeated-set replay
             )
             shard_root = f"/tmp/cas_ray_bench/shards_n{n_turns}"
             build_sharded_index(groups, shard_root, shard_cfg)  # resumable
