@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": ops.funnel_counts,
         "collocations": ops.collocations,
         "lineitem_correlations": ops.lineitem_correlations,
+        "user_retention": ops.user_retention,
     }
 
 
@@ -289,6 +290,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "WHERE doc_id != 42 "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "user_retention": (  # cohort retention matrix on integer epoch weeks
+            "WITH su AS (SELECT user_id, "
+            "  min(epoch_us(ts) // 604800000000) AS w0 FROM events "
+            "  WHERE event_type = 'signup' GROUP BY user_id), "
+            "act AS (SELECT DISTINCT user_id, "
+            "  epoch_us(ts) // 604800000000 AS w FROM events) "
+            "SELECT su.w0::BIGINT AS cohort_week, "
+            "(act.w - su.w0)::BIGINT AS week_offset, count(*)::BIGINT AS n_users "
+            "FROM su JOIN act USING (user_id) WHERE act.w >= su.w0 "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "lineitem_correlations": (  # Pearson r from explicit moment sums
             "WITH m AS (SELECT count(*)::DOUBLE AS n, "

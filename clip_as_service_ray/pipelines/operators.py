@@ -4754,3 +4754,115 @@ def lineitem_correlations(
             "r": pa.array(out_r, pa.float64()),
         }
     )
+
+
+def user_retention(sf_dir: str):
+    """Cohort retention matrix (the product-analytics classic): users are
+    cohorted by their signup WEEK (integer epoch-week arithmetic — exact on
+    both sides), and each (cohort_week, week_offset) cell counts cohort
+    members active in that later week. Shape: two pre-aggregated passes
+    (per-user signup week; distinct (user, week) activity pairs — both
+    per-batch combiners before small groupbys) joined on the user-id hash
+    (shuffle join: at scale neither side broadcasts), then a
+    cells-cardinality count."""
+    import ray.data
+    from ray.data.aggregate import Count, Min, Sum
+
+    WEEK_US = 604800 * 1_000_000
+
+    su_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+        filter=pc.field("event_type") == "signup",
+    )
+
+    def su_partial(batch: pa.Table) -> pa.Table:
+        w = batch.column("ts").cast(pa.int64()).to_numpy() // WEEK_US
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "w": pa.array(w, pa.int64())})
+        g = t.group_by("user_id").aggregate([("w", "min")])
+        return g.rename_columns(["user_id", "w_part"])
+
+    signup = (
+        su_ds.map_batches(su_partial, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=4)
+        .aggregate(Min("w_part", alias_name="w0"))
+    )
+
+    act_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def act_partial(batch: pa.Table) -> pa.Table:
+        w = batch.column("ts").cast(pa.int64()).to_numpy() // WEEK_US
+        t = pa.table({"user_id": batch.column("user_id"),
+                      "w": pa.array(w, pa.int64())})
+        # batch-local distinct (user, week): shrinks the shuffle to unique
+        # pairs per batch
+        return t.group_by(["user_id", "w"]).aggregate([])
+
+    # distinct pairs across batches: one groupby on the composite key
+    def pair_key(batch) -> pa.Table:
+        u = batch["user_id"].to_numpy() if hasattr(batch["user_id"], "to_numpy") else np.asarray(batch["user_id"])
+        w = batch["w"].to_numpy() if hasattr(batch["w"], "to_numpy") else np.asarray(batch["w"])
+        return pa.table(
+            {"pair": pa.array(u.astype(np.int64) * (1 << 20) + w.astype(np.int64), pa.int64())}
+        )
+
+    pairs = (
+        act_ds.map_batches(act_partial, batch_format="pyarrow")
+        .map_batches(pair_key, batch_format="pandas")
+        .groupby("pair", num_partitions=4)
+        .aggregate(Count(alias_name="_c"))  # distinct pairs; count unused
+    )
+
+    def unkey(batch) -> pa.Table:
+        p = batch["pair"].to_numpy() if hasattr(batch["pair"], "to_numpy") else np.asarray(batch["pair"])
+        return pa.table(
+            {"user_id": pa.array(p // (1 << 20), pa.int64()),
+             "w": pa.array(p - (p // (1 << 20)) * (1 << 20), pa.int64())}
+        )
+
+    from clip_as_service_ray.stages.joins import shuffle_hash_join
+
+    act = pairs.map_batches(unkey, batch_format="pandas")
+    joined = shuffle_hash_join(act, signup, on="user_id", num_partitions=4)
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy()
+        w0 = batch.column("w0").to_numpy()
+        keep = w >= w0
+        t = pa.table(
+            {"cohort_week": pa.array(w0[keep], pa.int64()),
+             "week_offset": pa.array((w - w0)[keep], pa.int64()),
+             "one": pa.array(np.ones(int(keep.sum()), np.int64), pa.int64())}
+        )
+        g = t.group_by(["cohort_week", "week_offset"]).aggregate([("one", "sum")])
+        return g.rename_columns(["cohort_week", "week_offset", "n_part"])
+
+    def cell_key(batch) -> pa.Table:
+        c = batch["cohort_week"].to_numpy() if hasattr(batch["cohort_week"], "to_numpy") else np.asarray(batch["cohort_week"])
+        o = batch["week_offset"].to_numpy() if hasattr(batch["week_offset"], "to_numpy") else np.asarray(batch["week_offset"])
+        n = batch["n_part"].to_numpy() if hasattr(batch["n_part"], "to_numpy") else np.asarray(batch["n_part"])
+        return pa.table(
+            {"cell": pa.array(c.astype(np.int64) * (1 << 20) + o.astype(np.int64), pa.int64()),
+             "n_part": pa.array(n.astype(np.int64), pa.int64())}
+        )
+
+    agg = (
+        joined.map_batches(cell_partial, batch_format="pyarrow")
+        .map_batches(cell_key, batch_format="pandas")
+        .groupby("cell", num_partitions=1)
+        .aggregate(Sum("n_part", alias_name="n_users"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    cell = tbl.column("cell").to_numpy().astype(np.int64)
+    cohort = cell // (1 << 20)
+    off = cell - cohort * (1 << 20)
+    n = tbl.column("n_users").to_numpy().astype(np.int64)
+    order = np.lexsort((off, cohort))
+    return pa.table(
+        {"cohort_week": pa.array(cohort[order], pa.int64()),
+         "week_offset": pa.array(off[order], pa.int64()),
+         "n_users": pa.array(n[order], pa.int64())}
+    )
