@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": ops.collocations,
         "lineitem_correlations": ops.lineitem_correlations,
         "user_retention": ops.user_retention,
+        "customer_rfm": ops.customer_rfm,
     }
 
 
@@ -290,6 +291,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "WHERE doc_id != 42 "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "customer_rfm": (  # RFM scores; NTILE ties fixed by (metric, custkey)
+            "WITH a AS (SELECT o_custkey AS c_custkey, "
+            "  max(epoch_us(o_orderdate) // 86400000000) AS recency_day, "
+            "  count(*)::BIGINT AS frequency, "
+            "  round(sum(o_totalprice), 2) AS monetary FROM orders GROUP BY 1) "
+            "SELECT c_custkey::BIGINT AS c_custkey, recency_day::BIGINT AS recency_day, "
+            "frequency, monetary::DOUBLE AS monetary, "
+            "ntile(5) OVER (ORDER BY recency_day, c_custkey)::BIGINT AS r_score, "
+            "ntile(5) OVER (ORDER BY frequency, c_custkey)::BIGINT AS f_score, "
+            "ntile(5) OVER (ORDER BY monetary, c_custkey)::BIGINT AS m_score "
+            "FROM a ORDER BY c_custkey"
         ),
         "user_retention": (  # cohort retention matrix on integer epoch weeks
             "WITH su AS (SELECT user_id, "

@@ -4866,3 +4866,82 @@ def user_retention(sf_dir: str):
          "week_offset": pa.array(off[order], pa.int64()),
          "n_users": pa.array(n[order], pa.int64())}
     )
+
+
+def customer_rfm(sf_dir: str, n_tiles: int = 5):
+    """RFM segmentation (recency / frequency / monetary, the classic CRM
+    scoring): per-customer order aggregates (one custkey groupby with
+    per-batch combiners), then THREE distributed NTILE passes through
+    stages/rank.py's sort + block-offset machinery — ties broken by
+    (metric, custkey) so both engines bucket identically (SQL leaves NTILE
+    ties unspecified). Scores are 1..n ascending in the metric; the three
+    customers-sized score tables meet in driver dict joins (|customers|
+    rows — bounded output, not corpus-sized)."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Sum
+
+    from clip_as_service_ray.stages.rank import ntile_by_key
+
+    DAY_US = 86400 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = batch.column("o_orderdate").cast(pa.int64()).to_numpy() // DAY_US
+        t = pa.table(
+            {"c_custkey": batch.column("o_custkey"),
+             "day": pa.array(day, pa.int64()),
+             "price": batch.column("o_totalprice"),
+             "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64())}
+        )
+        g = t.group_by("c_custkey").aggregate(
+            [("day", "max"), ("one", "sum"), ("price", "sum")]
+        )
+        return g.rename_columns(["c_custkey", "day_p", "n_p", "m_p"])
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("c_custkey", num_partitions=4)
+        .aggregate(
+            Max("day_p", alias_name="recency_day"),
+            Sum("n_p", alias_name="frequency"),
+            Sum("m_p", alias_name="monetary_raw"),
+        )
+    )
+    base = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    monetary = np.round(base.column("monetary_raw").to_numpy(), 2)
+    base = pa.table(
+        {
+            "c_custkey": pc.cast(base.column("c_custkey"), pa.int64()),
+            "recency_day": pc.cast(base.column("recency_day"), pa.int64()),
+            "frequency": pc.cast(base.column("frequency"), pa.int64()),
+            "monetary": pa.array(monetary, pa.float64()),
+            "_k": pa.array(np.zeros(base.num_rows, np.int64), pa.int64()),
+        }
+    )
+    scores: dict[str, dict[int, int]] = {}
+    for metric, name in (
+        ("recency_day", "r_score"), ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        out = pa.Table.from_pandas(
+            ntile_by_key(
+                ray.data.from_arrow(base.select(["_k", metric, "c_custkey"])),
+                key="_k", value=metric, id_col="c_custkey", n_tiles=n_tiles,
+                sort_cols=["_k", metric, "c_custkey"],
+            ).to_pandas(),
+            preserve_index=False,
+        )
+        scores[name] = dict(
+            zip(out.column("c_custkey").to_pylist(),
+                out.column("tile").to_pylist())
+        )
+    keys = base.column("c_custkey").to_pylist()
+    tbl = base.drop(["_k"])
+    for name in ("r_score", "f_score", "m_score"):
+        tbl = tbl.append_column(
+            name, pa.array([int(scores[name][k]) for k in keys], pa.int64())
+        )
+    return tbl.sort_by("c_custkey")
