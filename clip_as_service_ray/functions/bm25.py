@@ -51,9 +51,16 @@ def term_scores(
     avgdl: float,
     k1: float = K1,
     b: float = B,
+    delta: float = 0.0,
 ) -> np.ndarray:
-    """idf(t) * tf_norm for one term's postings."""
-    return idf(float(df), n_docs) * tf_norm(tf, dl, avgdl, k1=k1, b=b)
+    """idf(t) * (tf_norm + delta) for one term's postings. ``delta=0`` is
+    classic BM25; ``delta=1`` is BM25+ (Lv & Zhai, CIKM 2011): a matched
+    term always contributes at least idf*delta, fixing BM25's over-penalty
+    of long documents. delta=0 is float-identical to the undeltaed form
+    (x + 0.0 == x for finite positive x)."""
+    return idf(float(df), n_docs) * (
+        tf_norm(tf, dl, avgdl, k1=k1, b=b) + delta
+    )
 
 
 def block_max_score(

@@ -4945,3 +4945,29 @@ def customer_rfm(sf_dir: str, n_tiles: int = 5):
             name, pa.array([int(scores[name][k]) for k in keys], pa.int64())
         )
     return tbl.sort_by("c_custkey")
+
+
+def bm25_topk_plus(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10,
+                   delta: float = 1.0):
+    """BM25+ top-k (Lv & Zhai, CIKM 2011) — the alternate scoring model
+    behind the same index artifact: contribution = idf * (tf_norm + delta),
+    so a matched term always adds at least idf*delta (fixes BM25's
+    over-penalty of very long documents). Same pool, same pruning (the
+    term upper bound carries the delta), query-time strategy dispatch."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, delta=delta)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )

@@ -41,9 +41,10 @@ class OracleIndex:
     """In-memory inverted index over a transcripts pyarrow Table."""
 
     def __init__(self, transcripts: pa.Table, k1: float = bm25.K1, b: float = bm25.B,
-                 analyzer: str | None = None):
+                 analyzer: str | None = None, delta: float = 0.0):
         self.k1, self.b = k1, b
         self.analyzer = analyzer
+        self.delta = float(delta)  # BM25+ bonus; 0 = classic BM25
         conv = transcripts.column("conv_id").to_pylist()
         turn = transcripts.column("turn_idx").to_pylist()
         texts = transcripts.column("text").to_pylist()
@@ -107,7 +108,7 @@ class OracleIndex:
             docs, tfs = ps
             scores[docs] += bm25.term_scores(
                 tfs, self.dl_arr[docs], len(docs), self.n_docs, self.avgdl,
-                k1=self.k1, b=self.b,
+                k1=self.k1, b=self.b, delta=self.delta,
             )
             matched[docs] = True
         cand = np.nonzero(matched)[0]

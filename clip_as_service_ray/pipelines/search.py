@@ -25,6 +25,7 @@ def search(
     prefix: bool = False,
     fuzzy: int = 0,
     synonyms: dict | None = None,
+    delta: float = 0.0,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -45,6 +46,7 @@ def search(
             "prefix": prefix,
             "fuzzy": fuzzy,
             "synonyms": synonyms,
+            "delta": delta,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -61,13 +63,14 @@ def search_table(
     prefix: bool = False,
     fuzzy: int = 0,
     synonyms: dict | None = None,
+    delta: float = 0.0,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
     ds = search(
         index_dir, queries, config,
         conjunctive=conjunctive, prefix=prefix, fuzzy=fuzzy,
-        synonyms=synonyms,
+        synonyms=synonyms, delta=delta,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

@@ -85,6 +85,11 @@ class IndexReader:
         # query-time synonym map (term -> tuple of expansion terms); set by
         # QueryScorer — empty means no expansion
         self.synonyms: dict[str, tuple] = {}
+        # BM25+ lower-bound bonus (Lv & Zhai 2011): score contribution is
+        # idf * (tf_norm + delta). 0.0 = classic BM25, float-identical to
+        # the undeltaed form; set per QUERY POOL (the idf-free tf_norm
+        # block cache stays variant-independent, only the multiply changes)
+        self.delta = 0.0
 
         dict_path = os.path.join(index_dir, "dictionary")
         if global_stats is not None:
@@ -285,7 +290,7 @@ class IndexReader:
             sub = cand[lo[k] : hi[k]]
             pos = np.searchsorted(docs_b, sub)
             ok = (pos < len(docs_b)) & (docs_b[np.minimum(pos, len(docs_b) - 1)] == sub)
-            out[lo[k] + np.nonzero(ok)[0]] = idf_t * tfn_b[pos[ok]]
+            out[lo[k] + np.nonzero(ok)[0]] = idf_t * (tfn_b[pos[ok]] + self.delta)
         return out
 
     def term_postings_in_range(self, term: str, c0: int, c1: int) -> tuple[np.ndarray, np.ndarray]:
@@ -312,7 +317,7 @@ class IndexReader:
             b_ = int(np.searchsorted(docs_b, c1))
             if b_ > a:
                 d_parts.append(docs_b[a:b_])
-                s_parts.append(idf_t * tfn_b[a:b_])
+                s_parts.append(idf_t * (tfn_b[a:b_] + self.delta))
         if not d_parts:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
         return np.concatenate(d_parts), np.concatenate(s_parts)
@@ -363,10 +368,13 @@ class IndexReader:
             if df_val is None:
                 continue
             tf = float(toks.count(t))
-            w = bm25.idf(float(df_val), self.n_docs) * bm25.tf_norm(
-                np.array([tf]), np.array([float(dl)]), self.avgdl,
-                k1=self.k1, b=self.b,
-            )[0]
+            w = bm25.idf(float(df_val), self.n_docs) * (
+                bm25.tf_norm(
+                    np.array([tf]), np.array([float(dl)]), self.avgdl,
+                    k1=self.k1, b=self.b,
+                )[0]
+                + self.delta
+            )
             terms.append(t)
             weights.append(float(w))
         return terms, np.asarray(weights, dtype=np.float64)
@@ -449,7 +457,7 @@ class IndexReader:
                     k1=self.k1, b=self.b,
                 )[0]
             )
-            part = idf_t * tfn
+            part = idf_t * (tfn + self.delta)
             score += part
             parts.append(
                 {
@@ -511,7 +519,8 @@ class IndexReader:
             )
         df = int(df_val)
         scores = bm25.term_scores(
-            tfs, dls, df, self.n_docs, self.avgdl, k1=self.k1, b=self.b
+            tfs, dls, df, self.n_docs, self.avgdl, k1=self.k1, b=self.b,
+            delta=self.delta,
         )
         if self._cached_postings + len(docs) <= self._cache_cap:
             self._score_cache[term] = (docs, scores)
@@ -807,7 +816,10 @@ class IndexReader:
         if rows is None:
             return 0.0
         df = int(self.df.get(term, 0))
-        return float(bm25.idf(float(df), self.n_docs) * np.max(self._b_max[rows]))
+        return float(
+            bm25.idf(float(df), self.n_docs)
+            * (np.max(self._b_max[rows]) + self.delta)
+        )
 
     def score_query_pruned(self, text: str, limit: int) -> tuple[np.ndarray, np.ndarray]:
         """Rank-safe MaxScore-style top-k: RETURNS EXACTLY WHAT score_query
@@ -904,8 +916,12 @@ class QueryScorer:
         fuzzy: int = 0,
         synonyms: dict | None = None,
         query_cache_size: int = 0,
+        delta: float = 0.0,
     ):
         self.reader = IndexReader(index_dir, global_stats=global_stats)
+        # scoring variant: delta > 0 = BM25+ (same index artifact; the
+        # idf-free block cache is variant-independent)
+        self.reader.delta = float(delta)
         self.default_limit = default_limit
         self.pruning = pruning
         # per-replica LRU result cache (the serving-side query cache of

@@ -410,3 +410,28 @@ def test_conv_prefix_filtered_search(built):
         CFG,
     )
     assert h3.num_rows == 0
+
+
+def test_bm25_plus_matches_oracle(built):
+    """BM25+ (delta=1) through BOTH query paths is bit-identical to the
+    delta-aware oracle; delta=0 stays bit-identical to classic BM25."""
+    corpus, index_dir, report, _ = built
+    queries = reference_query_table()
+    plus_oracle = OracleIndex(corpus, delta=1.0)
+    want = plus_oracle.search(queries).to_pandas()
+    got = search_table(index_dir, queries, CFG, delta=1.0).to_pandas()
+    assert len(got) == len(want) > 0
+    for col in ("query_id", "rank", "conv_id", "turn_idx"):
+        assert (got[col].values == want[col].values).all(), col
+    assert np.array_equal(got["score"].values, want["score"].values)
+    # pruning off -> same answers (rank-safety of the deltaed upper bound)
+    cfg_np = EngineConfig(
+        num_index_partitions=4, doc_bucket_size=512, postings_block_size=64,
+        query_pruning=False,
+    )
+    got2 = search_table(index_dir, queries, cfg_np, delta=1.0).to_pandas()
+    assert np.array_equal(got2["score"].values, want["score"].values)
+    # delta=0 unchanged vs the classic oracle
+    base = OracleIndex(corpus).search(queries).to_pandas()
+    got0 = search_table(index_dir, queries, CFG, delta=0.0).to_pandas()
+    assert np.array_equal(got0["score"].values, base["score"].values)
