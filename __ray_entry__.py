@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_correlations": ops.lineitem_correlations,
         "user_retention": ops.user_retention,
         "customer_rfm": ops.customer_rfm,
+        "event_value_outliers": ops.event_value_outliers,
     }
 
 
@@ -292,6 +293,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "WHERE doc_id != 42 "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "event_value_outliers": (  # per-type z-score outliers, |z| > 3
+            "WITH m AS (SELECT event_type, count(*)::DOUBLE AS n, "
+            "  sum(value) AS s, sum(value*value) AS s2 FROM events "
+            "  GROUP BY event_type), "
+            "st AS (SELECT event_type, s/n AS mean, "
+            "  sqrt(s2/n - (s/n)*(s/n)) AS std FROM m) "
+            "SELECT e.event_id, e.event_type, e.value, "
+            "round((e.value - st.mean) / st.std, 6)::DOUBLE AS z "
+            "FROM events e JOIN st USING (event_type) "
+            "WHERE abs(e.value - st.mean) > 3.0 * st.std ORDER BY e.event_id"
         ),
         "customer_rfm": (  # RFM scores; NTILE ties fixed by (metric, custkey)
             "WITH a AS (SELECT o_custkey AS c_custkey, "

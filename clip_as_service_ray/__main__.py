@@ -54,6 +54,11 @@ def main(argv=None) -> int:
         help="JSON file mapping term -> [synonym terms]; expands OR queries "
         "at query time",
     )
+    s.add_argument(
+        "--delta", type=float, default=0.0,
+        help="BM25+ bonus (Lv & Zhai 2011): score = idf * (tf_norm + delta); "
+        "0 = classic BM25",
+    )
 
     bp = sub.add_parser(
         "build-positions",
@@ -194,7 +199,7 @@ def main(argv=None) -> int:
             hits = search_table(
                 args.index_dir, queries, EngineConfig(limit=args.limit),
                 conjunctive=args.conjunctive, prefix=args.prefix,
-                fuzzy=args.fuzzy, synonyms=synonyms,
+                fuzzy=args.fuzzy, synonyms=synonyms, delta=args.delta,
             )
             if args.out:
                 pq.write_table(hits, args.out)

@@ -4971,3 +4971,81 @@ def bm25_topk_plus(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10,
     return pa.table(
         {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
     )
+
+
+def event_value_outliers(sf_dir: str, z: float = 3.0):
+    """Z-score outlier detection per event type (the monitoring staple):
+    pass 1 collects per-type moment partials (n, sum, sum-of-squares —
+    type-cardinality rows per batch), the driver evaluates mean/std with
+    the explicit population formula, and pass 2 broadcasts the tiny
+    (type -> mean, std) map and keeps |v - mean| > z * std rows. Both
+    engines evaluate the SAME expressions from the same moments, so the
+    flagged SET matches exactly (boundary floats land identically)."""
+    import ray
+    import ray.data
+
+    def moments(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"event_type": batch.column("event_type"),
+             "v": batch.column("value"),
+             "v2": pc.multiply(batch.column("value"), batch.column("value")),
+             "one": pa.array(np.ones(batch.num_rows, np.int64), pa.int64())}
+        )
+        g = t.group_by("event_type").aggregate(
+            [("one", "sum"), ("v", "sum"), ("v2", "sum")]
+        )
+        return g.rename_columns(["event_type", "n_p", "s_p", "s2_p"])
+
+    from ray.data.aggregate import Sum
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    mom = pa.Table.from_pandas(
+        ray.data.read_parquet(ev_path, columns=["event_type", "value"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=2)
+        .aggregate(Sum("n_p", alias_name="n"),
+                   Sum("s_p", alias_name="s"),
+                   Sum("s2_p", alias_name="s2"))
+        .to_pandas(),
+        preserve_index=False,
+    )
+    stats = {}
+    for r in mom.to_pylist():
+        n = float(r["n"])
+        mean = r["s"] / n
+        std = np.sqrt(r["s2"] / n - mean * mean)
+        stats[r["event_type"]] = (mean, float(std))
+    stats_ref = ray.put(stats)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        types = batch.column("event_type").to_pylist()
+        v = batch.column("value").to_numpy()
+        mean = np.fromiter((st[t][0] for t in types), np.float64, len(types))
+        std = np.fromiter((st[t][1] for t in types), np.float64, len(types))
+        keep = np.abs(v - mean) > z * std
+        b = batch.filter(pa.array(keep))
+        zs = (b.column("value").to_numpy()
+              - np.fromiter((st[t][0] for t in b.column("event_type").to_pylist()),
+                            np.float64, b.num_rows)) / np.fromiter(
+            (st[t][1] for t in b.column("event_type").to_pylist()),
+            np.float64, b.num_rows)
+        return pa.table(
+            {"event_id": b.column("event_id"),
+             "event_type": b.column("event_type"),
+             "value": b.column("value"),
+             "z": pa.array(np.round(zs, 6), pa.float64())}
+        )
+
+    out = pa.Table.from_pandas(
+        ray.data.read_parquet(ev_path, columns=["event_id", "event_type", "value"])
+        .map_batches(flag, batch_format="pyarrow")
+        .to_pandas(),
+        preserve_index=False,
+    )
+    return out.sort_by("event_id") if out.num_rows else pa.table(
+        {"event_id": pa.array([], pa.int64()),
+         "event_type": pa.array([], pa.string()),
+         "value": pa.array([], pa.float64()),
+         "z": pa.array([], pa.float64())}
+    )
