@@ -4875,8 +4875,10 @@ def customer_rfm(sf_dir: str, n_tiles: int = 5):
     stages/rank.py's sort + block-offset machinery — ties broken by
     (metric, custkey) so both engines bucket identically (SQL leaves NTILE
     ties unspecified). Scores are 1..n ascending in the metric; the three
-    customers-sized score tables meet in driver dict joins (|customers|
-    rows — bounded output, not corpus-sized)."""
+    customers-sized score tables meet in driver dict joins — legitimate
+    because the RESULT is |customers| rows by definition (the operator
+    returns that table); a 10^9-customer deployment would keep the final
+    assembly as a shuffle join + write_parquet instead of materializing."""
     import ray.data
     from ray.data.aggregate import Count, Max, Sum
 
