@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": ops.user_retention,
         "customer_rfm": ops.customer_rfm,
         "event_value_outliers": ops.event_value_outliers,
+        "bm25_topk_plus_segmented": ops.bm25_topk_plus_segmented,
     }
 
 
@@ -415,6 +416,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM sp"
         ),
         "bm25_topk_plus": (  # BM25+ (Lv & Zhai 2011): idf * (tf_norm + 1)
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) + 1.0)) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_plus_segmented": (  # segmented == one-shot BM25+
             "WITH tok AS (" + _TOK + "), "
             "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
             "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "

@@ -5051,3 +5051,37 @@ def event_value_outliers(sf_dir: str, z: float = 3.0):
          "value": pa.array([], pa.float64()),
          "z": pa.array([], pa.float64())}
     )
+
+
+def bm25_topk_plus_segmented(sf_dir: str, terms=BM25_QUERY_TERMS,
+                             limit: int = 10, delta: float = 1.0):
+    """BM25+ through the incremental-segment scatter path: the per-segment
+    scorer pools carry the delta, union stats stay global — segmented
+    BM25+ == one-shot BM25+ over the union corpus (same SQL twin as
+    bm25_topk_plus)."""
+    from clip_as_service_ray.pipelines.segments import (
+        SegmentedQueryService,
+        add_segment,
+        segment_dirs,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    root = _index_dir_for(sf_dir) + "_segmented"
+    if len(segment_dirs(root)) < 2:
+        add_segment(root, _docs_as_transcripts(sf_dir, parity=0), cfg)
+        add_segment(root, _docs_as_transcripts(sf_dir, parity=1), cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    svc = SegmentedQueryService(root, cfg, delta=delta)
+    try:
+        hits = svc.search(queries)
+    finally:
+        svc.shutdown()
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )

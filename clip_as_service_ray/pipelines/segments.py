@@ -210,6 +210,7 @@ class SegmentedQueryService(ScatterQueryService):
         prefix: bool = False,
         fuzzy: int = 0,
         synonyms: dict | None = None,
+        delta: float = 0.0,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -227,6 +228,7 @@ class SegmentedQueryService(ScatterQueryService):
             prefix=prefix,
             fuzzy=fuzzy,
             synonyms=synonyms,
+            delta=delta,
             num_cpus=num_cpus,
         )
 

@@ -187,6 +187,7 @@ class ScatterQueryService:
         prefix: bool = False,
         fuzzy: int = 0,
         synonyms: dict | None = None,
+        delta: float = 0.0,
         num_cpus: float = 1,
     ):
         import ray
@@ -241,6 +242,7 @@ class ScatterQueryService:
                 fuzzy=fuzzy,
                 synonyms=synonyms,
                 query_cache_size=config.query_cache_size,
+                delta=delta,
             )
             for d in index_dirs
         ]
