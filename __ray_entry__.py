@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": ops.customer_rfm,
         "event_value_outliers": ops.event_value_outliers,
         "bm25_topk_plus_segmented": ops.bm25_topk_plus_segmented,
+        "percolate_documents": ops.percolate_documents,
     }
 
 
@@ -294,6 +295,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "WHERE doc_id != 42 "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "percolate_documents": (  # reverse search vs the registered queries
+            "WITH tok AS (" + _TOK + "), "
+            "dt AS (SELECT DISTINCT doc_id, term FROM tok), "
+            "qt(query_name, term) AS (VALUES "
+            " ('merge_window_and', 'merge'), ('merge_window_and', 'window'), "
+            " ('hash_or_sort', 'hash'), ('hash_or_sort', 'sort'), "
+            " ('stream_and', 'stream')), "
+            "qk(query_name, need) AS (VALUES ('merge_window_and', 2), "
+            " ('hash_or_sort', 1), ('stream_and', 1)), "
+            "m AS (SELECT dt.doc_id, qt.query_name, count(*) AS n "
+            "  FROM dt JOIN qt USING (term) GROUP BY 1, 2) "
+            "SELECT m.doc_id, m.query_name FROM m JOIN qk USING (query_name) "
+            "WHERE m.n >= qk.need ORDER BY doc_id, query_name"
         ),
         "event_value_outliers": (  # per-type z-score outliers, |z| > 3
             "WITH m AS (SELECT event_type, count(*)::DOUBLE AS n, "

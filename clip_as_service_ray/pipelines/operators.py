@@ -5085,3 +5085,70 @@ def bm25_topk_plus_segmented(sf_dir: str, terms=BM25_QUERY_TERMS,
     return pa.table(
         {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
     )
+
+
+PERCOLATE_QUERIES = {
+    # name -> (terms, conjunctive): the registered-query registry
+    "merge_window_and": (("merge", "window"), True),
+    "hash_or_sort": (("hash", "sort"), False),
+    "stream_and": (("stream",), True),
+}
+
+
+def percolate_documents(sf_dir: str, queries=None):
+    """Percolation (reverse search, the Elasticsearch `percolate` analog):
+    a REGISTERED query set is matched against every incoming document in
+    one streaming pass — the shape of alert routing / saved-search
+    notification at ingest. Per batch: one flat-token pass to per-doc
+    DISTINCT terms, then a vectorized membership count per registered
+    query (the registry is tiny and iterated per query; each iteration is
+    pure Arrow/numpy over the whole batch). AND queries need their full
+    term count, OR queries any hit. No shuffle: a doc's tokens are
+    row-local, so matching is batch-local and the output streams."""
+    if queries is None:
+        queries = PERCOLATE_QUERIES
+
+    def match(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "query_name": pa.array([], pa.string())}
+        )
+        t = _tokens_flat(batch)  # (doc_id, term, tf): term DISTINCT per doc
+        if t.num_rows == 0:
+            return empty
+        docs = t.column("doc_id").to_numpy()
+        udocs = np.unique(docs)
+        dpos = np.searchsorted(udocs, docs)
+        out_docs: list[np.ndarray] = []
+        out_names: list[str] = []
+        for name in sorted(queries):
+            terms, conj = queries[name]
+            inq = pc.is_in(
+                t.column("term"), value_set=pa.array(sorted(terms), pa.string())
+            ).to_numpy(zero_copy_only=False)
+            n_match = np.bincount(dpos[inq], minlength=len(udocs))
+            need = len(terms) if conj else 1
+            sel = udocs[n_match >= need]
+            if len(sel):
+                out_docs.append(sel)
+                out_names.extend([name] * len(sel))
+        if not out_docs:
+            return empty
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate(out_docs), pa.int64()),
+             "query_name": pa.array(out_names, pa.string())}
+        )
+
+    tbl = pa.Table.from_pandas(
+        _documents(sf_dir).map_batches(match, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    if tbl.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "query_name": pa.array([], pa.string())}
+        )
+    return pa.table(
+        {"doc_id": pc.cast(tbl.column("doc_id"), pa.int64()),
+         "query_name": pc.cast(tbl.column("query_name"), pa.string())}
+    ).sort_by([("doc_id", "ascending"), ("query_name", "ascending")])
