@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_outliers": ops.event_value_outliers,
         "bm25_topk_plus_segmented": ops.bm25_topk_plus_segmented,
         "percolate_documents": ops.percolate_documents,
+        "duplicate_passages": ops.duplicate_passages,
     }
 
 
@@ -295,6 +296,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "WHERE doc_id != 42 "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "duplicate_passages": (  # 8-token shingles shared by >= 2 docs
+            "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '" + _PAT_SQL + "') AS ts "
+            "FROM documents), "
+            "sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "  generate_series(1, len(ts) - 7), "
+            "  i -> array_to_string(ts[i : i + 7], ' ')))) AS passage "
+            "  FROM t WHERE len(ts) >= 8) "
+            "SELECT passage, count(*)::BIGINT AS n_docs FROM sh "
+            "GROUP BY passage HAVING count(*) >= 2 "
+            "ORDER BY n_docs DESC, passage ASC LIMIT 20"
         ),
         "percolate_documents": (  # reverse search vs the registered queries
             "WITH tok AS (" + _TOK + "), "

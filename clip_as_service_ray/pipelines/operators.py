@@ -5152,3 +5152,46 @@ def percolate_documents(sf_dir: str, queries=None):
         {"doc_id": pc.cast(tbl.column("doc_id"), pa.int64()),
          "query_name": pc.cast(tbl.column("query_name"), pa.string())}
     ).sort_by([("doc_id", "ascending"), ("query_name", "ascending")])
+
+
+def duplicate_passages(sf_dir: str, n: int = 8, min_docs: int = 2, k: int = 20):
+    """Corpus-internal repeated-passage detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    n-token shingle that appears in >= ``min_docs`` DISTINCT documents,
+    ranked by document count. Per batch: vectorized shingling
+    (_flat_ngrams), per-doc DISTINCT shingles via one Arrow group_by (a
+    doc's shingles are row-local, so the distinct is exact in-batch), then
+    one shingle-keyed groupby sums doc counts — the shuffle carries one row
+    per distinct (doc, shingle), the standard cost of exact passage dedup;
+    the scale lever is a first hash pass that keeps only shingles whose
+    count sketch says >= min_docs (the documented pre-filter), not a
+    different algorithm."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams, row, _n_rows = _flat_ngrams(batch.column("text"), n)
+        if len(grams) == 0:
+            return pa.table(
+                {"passage": pa.array([], pa.string()),
+                 "nd_part": pa.array([], pa.int64())}
+            )
+        t = pa.table({"passage": grams, "row": pa.array(row, pa.int64())})
+        dt = t.group_by(["passage", "row"]).aggregate([])  # per-doc distinct
+        g = dt.group_by("passage").aggregate([("row", "count")])
+        return g.rename_columns(["passage", "nd_part"])
+
+    agg = (
+        _documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("passage", num_partitions=8)
+        .aggregate(Sum("nd_part", alias_name="n_docs"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    tbl = tbl.filter(pc.greater_equal(tbl.column("n_docs"), pa.scalar(min_docs)))
+    p = np.asarray(tbl.column("passage").to_pylist(), dtype=object)
+    c = tbl.column("n_docs").to_numpy().astype(np.int64)
+    order = np.lexsort((p, -c))[:k]
+    return pa.table(
+        {"passage": pa.array(p[order].tolist(), pa.string()),
+         "n_docs": pa.array(c[order], pa.int64())}
+    )
