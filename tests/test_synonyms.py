@@ -99,3 +99,32 @@ def test_synonyms_reject_boolean_modes(idx):
             index_dir, _queries(["x"]), CFG,
             conjunctive=True, synonyms={"x": ["y"]},
         )
+
+
+def test_segmented_synonyms_match_monolithic(ray_session, tmp_path):
+    from clip_as_service_ray.pipelines.segments import (
+        SegmentedQueryService,
+        add_segment,
+    )
+
+    corpus = synthesize_transcripts(600, seed=8)
+    half = corpus.num_rows // 2
+    root = str(tmp_path / "segroot")
+    add_segment(root, corpus.slice(0, half), CFG)
+    add_segment(root, corpus.slice(half), CFG)
+    mono = str(tmp_path / "mono")
+    build_index(corpus, mono, CFG, overwrite=True)
+
+    a, b = _vocab_terms(corpus, 2)
+    syn = {a: [b]}
+    svc = SegmentedQueryService(root, CFG, synonyms=syn)
+    try:
+        got = svc.search(_queries([a])).to_pandas()
+    finally:
+        svc.shutdown()
+    want = search_table(mono, _queries([a]), CFG, synonyms=syn).to_pandas()
+    assert len(got) == len(want) > 0
+    for col in ("conv_id", "turn_idx", "rank"):
+        assert (got[col].values == want[col].values).all()
+    assert np.array_equal(got["score"].values, want["score"].values)
+
