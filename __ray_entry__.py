@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_plus_segmented": ops.bm25_topk_plus_segmented,
         "percolate_documents": ops.percolate_documents,
         "duplicate_passages": ops.duplicate_passages,
+        "parts_bought_together": ops.parts_bought_together,
     }
 
 
@@ -296,6 +297,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "WHERE doc_id != 42 "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "parts_bought_together": (  # market-basket pair counts
+            "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+            "SELECT a.l_partkey::BIGINT AS part_a, b.l_partkey::BIGINT AS part_b, "
+            "count(*)::BIGINT AS n_orders "
+            "FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 20"
         ),
         "duplicate_passages": (  # 8-token shingles shared by >= 2 docs
             "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '" + _PAT_SQL + "') AS ts "

@@ -5195,3 +5195,90 @@ def duplicate_passages(sf_dir: str, n: int = 8, min_docs: int = 2, k: int = 20):
         {"passage": pa.array(p[order].tolist(), pa.string()),
          "n_docs": pa.array(c[order], pa.int64())}
     )
+
+
+def parts_bought_together(sf_dir: str, k: int = 20):
+    """Market-basket affinity: part pairs co-occurring in the same order,
+    ranked by order count. Shape: distinct (order, part) rows bucket-shuffle
+    on orderkey (an order's lines land in one group), then ONE vectorized
+    pair expansion per bucket — for elements sorted by (order, part), each
+    element's partner count is (segment_end - position - 1), and the
+    (a, b) index pairs fall out of two arange/repeat expressions (no
+    per-order Python; an order with L lines emits L(L-1)/2 pairs, the
+    inherent output size). Pair counts pre-aggregate per bucket before the
+    tiny final groupby."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    SHIFT = 1 << 20  # partkey < 2^20 by generator construction
+    num_buckets = 64
+
+    lp = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        return pa.table({"op": pa.array(o * SHIFT + p, pa.int64())})
+
+    dpairs = (
+        lp.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("op", num_partitions=8)
+        .aggregate(Count(alias_name="_c"))  # global distinct (order, part)
+    )
+
+    def bucket_tag(batch) -> pa.Table:
+        op = batch["op"].to_numpy() if hasattr(batch["op"], "to_numpy") else np.asarray(batch["op"])
+        okey = op // SHIFT
+        return pa.table(
+            {"_bucket": pa.array(okey % num_buckets, pa.int64()),
+             "op": pa.array(op.astype(np.int64), pa.int64())}
+        )
+
+    def expand(group: pa.Table) -> pa.Table:
+        op = np.sort(group.column("op").to_numpy())  # (order, part) ascending
+        okey = op // SHIFT
+        part = op - okey * SHIFT
+        n = len(op)
+        if n == 0:
+            return pa.table(
+                {"pair": pa.array([], pa.int64()),
+                 "n_part": pa.array([], pa.int64())}
+            )
+        seg_start = np.concatenate([[0], np.nonzero(np.diff(okey))[0] + 1])
+        seg_end = np.concatenate([seg_start[1:], [n]])
+        seg_of = np.repeat(np.arange(len(seg_start)), seg_end - seg_start)
+        partners = seg_end[seg_of] - np.arange(n) - 1
+        total = int(partners.sum())
+        a_idx = np.repeat(np.arange(n), partners)
+        csum = np.concatenate([[0], np.cumsum(partners)])
+        off = np.arange(total) - np.repeat(csum[:-1], partners) + 1
+        b_idx = a_idx + off
+        key = part[a_idx] * SHIFT + part[b_idx]
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {"pair": pa.array(u, pa.int64()),
+             "n_part": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    agg = (
+        dpairs.map_batches(bucket_tag, batch_format="pandas")
+        .groupby("_bucket", num_partitions=8)
+        .map_groups(expand, batch_format="pyarrow")
+        .groupby("pair", num_partitions=4)
+        .aggregate(Sum("n_part", alias_name="n_orders"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    pair = tbl.column("pair").to_numpy().astype(np.int64)
+    a = pair // SHIFT
+    b = pair - a * SHIFT
+    n_ord = tbl.column("n_orders").to_numpy().astype(np.int64)
+    order = np.lexsort((b, a, -n_ord))[:k]
+    return pa.table(
+        {"part_a": pa.array(a[order], pa.int64()),
+         "part_b": pa.array(b[order], pa.int64()),
+         "n_orders": pa.array(n_ord[order], pa.int64())}
+    )
