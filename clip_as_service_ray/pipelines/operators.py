@@ -2159,10 +2159,7 @@ def returned_item_revenue(
     import ray.data
     from ray.data.aggregate import Sum
 
-    from clip_as_service_ray.stages.joins import (
-        broadcast_hash_join,
-        shuffle_hash_join,
-    )
+    from clip_as_service_ray.stages.joins import shuffle_hash_join
 
     lo = pa.scalar(np.datetime64(date_from, "us"))
     hi = pa.scalar(np.datetime64(date_to, "us"))
@@ -3169,7 +3166,7 @@ def customer_orders_full_outer(sf_dir: str):
     carries no NULL-representation ambiguity."""
     import pyarrow.dataset as pads
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from clip_as_service_ray.stages.joins import shuffle_hash_join
 
@@ -4443,7 +4440,7 @@ def idle_rich_customers(sf_dir: str, since: str = "2000-01-01"):
     path: neither side broadcasts); the output is a nation-cardinality
     groupby."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from clip_as_service_ray.stages.joins import shuffle_anti_join
 
@@ -4880,7 +4877,7 @@ def customer_rfm(sf_dir: str, n_tiles: int = 5):
     returns that table); a 10^9-customer deployment would keep the final
     assembly as a shuffle join + write_parquet instead of materializing."""
     import ray.data
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Max, Sum
 
     from clip_as_service_ray.stages.rank import ntile_by_key
 
