@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_documents": ops.percolate_documents,
         "duplicate_passages": ops.duplicate_passages,
         "parts_bought_together": ops.parts_bought_together,
+        "nation_volume_shipping": ops.nation_volume_shipping,
     }
 
 
@@ -297,6 +298,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "WHERE doc_id != 42 "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "nation_volume_shipping": (  # TPC-H Q7 analog: bilateral trade
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "year(l.l_shipdate)::BIGINT AS l_year, "
+            "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)::DOUBLE AS revenue "
+            "FROM lineitem l "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "JOIN nation sn ON sn.n_nationkey = s.s_nationkey "
+            "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "JOIN nation cn ON cn.n_nationkey = c.c_nationkey "
+            "WHERE sn.n_name IN ('NATION_3', 'NATION_8') "
+            "AND cn.n_name IN ('NATION_3', 'NATION_8') "
+            "AND sn.n_name <> cn.n_name "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
         ),
         "parts_bought_together": (  # market-basket pair counts
             "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "

@@ -5279,3 +5279,120 @@ def parts_bought_together(sf_dir: str, k: int = 20):
          "part_b": pa.array(b[order], pa.int64()),
          "n_orders": pa.array(n_ord[order], pa.int64())}
     )
+
+
+def nation_volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
+                           nation_b: str = "NATION_8"):
+    """TPC-H Q7 analog — bilateral trade volume: revenue shipped between
+    two nations (supplier in one, ordering customer in the other, both
+    directions) per ship year. Supplier and customer nation maps are tiny
+    dimension broadcasts folded into the two fact scans; the only
+    all-to-all is the orderkey shuffle join between the pre-filtered,
+    pre-projected lineitem and orders streams; the final groupby has
+    2 x years cells."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.stages.joins import (
+        broadcast_hash_join,
+        shuffle_hash_join,
+    )
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nk = dict(zip(nation.column("n_name").to_pylist(),
+                  nation.column("n_nationkey").to_pylist()))
+    keys = pa.array([nk[nation_a], nk[nation_b]], pa.int64())
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    supp = supp.filter(pc.is_in(supp.column("s_nationkey").cast(pa.int64()), value_set=keys))
+    name_of = {int(nk[nation_a]): nation_a, int(nk[nation_b]): nation_b}
+    supp = pa.table(
+        {"l_suppkey": supp.column("s_suppkey"),
+         "supp_nation": pa.array(
+             [name_of[int(x)] for x in supp.column("s_nationkey").to_pylist()],
+             pa.string())}
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust.filter(pc.is_in(cust.column("c_nationkey").cast(pa.int64()), value_set=keys))
+    cust = pa.table(
+        {"o_custkey": cust.column("c_custkey"),
+         "cust_nation": pa.array(
+             [name_of[int(x)] for x in cust.column("c_nationkey").to_pylist()],
+             pa.string())}
+    )
+
+    orders = broadcast_hash_join(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+        ),
+        cust, left_key="o_custkey", right_key="o_custkey",
+    ).map_batches(
+        lambda b: pa.table({"l_orderkey": b.column("o_orderkey"),
+                            "cust_nation": b.column("cust_nation")}),
+        batch_format="pyarrow",
+    )
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        year = pc.year(batch.column("l_shipdate"))
+        return pa.table(
+            {"l_orderkey": batch.column("l_orderkey"),
+             "supp_nation": batch.column("supp_nation"),
+             "l_year": pc.cast(year, pa.int64()),
+             "rev": rev}
+        )
+
+    line = broadcast_hash_join(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_shipdate"],
+        ),
+        supp, left_key="l_suppkey", right_key="l_suppkey",
+    ).map_batches(line_prep, batch_format="pyarrow")
+
+    joined = shuffle_hash_join(line, orders, on="l_orderkey", num_partitions=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.equal(batch.column("supp_nation"), batch.column("cust_nation"))
+        )
+        b = batch.filter(keep)
+        t = pa.table(
+            {"supp_nation": b.column("supp_nation"),
+             "cust_nation": b.column("cust_nation"),
+             "l_year": b.column("l_year"),
+             "rev": b.column("rev")}
+        )
+        g = t.group_by(["supp_nation", "cust_nation", "l_year"]).aggregate(
+            [("rev", "sum")]
+        )
+        return g.rename_columns(["supp_nation", "cust_nation", "l_year", "rev_part"])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"], num_partitions=2)
+        .aggregate(Sum("rev_part", alias_name="revenue"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    tbl = tbl.sort_by(
+        [("supp_nation", "ascending"), ("cust_nation", "ascending"),
+         ("l_year", "ascending")]
+    )
+    return pa.table(
+        {"supp_nation": pc.cast(tbl.column("supp_nation"), pa.string()),
+         "cust_nation": pc.cast(tbl.column("cust_nation"), pa.string()),
+         "l_year": pc.cast(tbl.column("l_year"), pa.int64()),
+         "revenue": pa.array(
+             np.round(tbl.column("revenue").to_numpy(), 2), pa.float64())}
+    )

@@ -61,6 +61,11 @@ def broadcast_hash_join(ds, small_table: pa.Table, *, left_key: str, right_key: 
                 _BROADCAST_CACHE.clear()
             state = _BROADCAST_CACHE[cache_key] = ray.get(ref)
         skeys, payload = state
+        if len(skeys) == 0:  # empty dimension side: inner join is empty
+            sub = batch.slice(0, 0)
+            for c, arr in payload.items():
+                sub = sub.append_column(c, arr.slice(0, 0))
+            return sub
         probe = batch.column(left_key).to_numpy()
         pos = np.searchsorted(skeys, probe)
         ok = (pos < len(skeys)) & (skeys[np.minimum(pos, len(skeys) - 1)] == probe)

@@ -269,3 +269,22 @@ def test_shuffle_outer_join_variants_match_pandas(rds):
             a = got[c].to_numpy(dtype=float)
             b = want[c].to_numpy(dtype=float)
             assert np.allclose(a, b, rtol=0, atol=0, equal_nan=True), (how, c)
+
+
+def test_broadcast_join_empty_dimension_side(ray_session):
+    """An empty broadcast side yields an empty inner join with the full
+    joined schema (regression: probe_fn indexed skeys[-1] on size 0)."""
+    import pyarrow as pa
+    import ray.data
+
+    from clip_as_service_ray.stages.joins import broadcast_hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array(["a", "b", "c"])})
+    )
+    dim = pa.table({"k": pa.array([], pa.int64()),
+                    "name": pa.array([], pa.string())})
+    out = broadcast_hash_join(left, dim, left_key="k", right_key="k")
+    tbl = out.take_all()
+    assert tbl == []
