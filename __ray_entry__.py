@@ -198,6 +198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_passages": ops.duplicate_passages,
         "parts_bought_together": ops.parts_bought_together,
         "nation_volume_shipping": ops.nation_volume_shipping,
+        "nation_market_share_q8": ops.nation_market_share_q8,
+        "nation_year_profit_q9": ops.nation_year_profit_q9,
+        "customer_order_distribution_q13": ops.customer_order_distribution_q13,
+        "supplier_part_variety_q16": ops.supplier_part_variety_q16,
     }
 
 
@@ -313,6 +317,51 @@ def oracle_sql() -> dict[str, str]:
             "AND cn.n_name IN ('NATION_3', 'NATION_8') "
             "AND sn.n_name <> cn.n_name "
             "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "nation_market_share_q8": (  # TPC-H Q8 analog: market share by year
+            "SELECT year(o_orderdate)::BIGINT AS o_year, "
+            "round(sum(CASE WHEN s_nationkey = "
+            "(SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3') "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+            "/ sum(l_extendedprice * (1 - l_discount)), 6)::DOUBLE AS mkt_share "
+            "FROM lineitem "
+            "JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            "WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY' "
+            "AND o_orderdate >= DATE '1996-01-01' "
+            "AND o_orderdate < DATE '1998-01-01' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "nation_year_profit_q9": (  # TPC-H Q9 analog; cost proxy = 10% retail
+            "SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year, "
+            "round(sum(l_extendedprice * (1 - l_discount) "
+            "- 0.1 * p_retailprice * l_quantity), 2)::DOUBLE AS sum_profit "
+            "FROM lineitem "
+            "JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE p_name LIKE 'red%' "
+            "GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC"
+        ),
+        "customer_order_distribution_q13": (  # TPC-H Q13 analog
+            "SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist "
+            "FROM (SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) c "
+            "GROUP BY 1 ORDER BY custdist DESC, c_count DESC"
+        ),
+        "supplier_part_variety_q16": (  # TPC-H Q16 analog via lineitem
+            "SELECT p_brand, p_type, p_size::BIGINT AS p_size, "
+            "count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand <> 'Brand#1' AND p_size <= 25 "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 30"
         ),
         "parts_bought_together": (  # market-basket pair counts
             "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "

@@ -5203,9 +5203,14 @@ def parts_bought_together(sf_dir: str, k: int = 20):
     (a, b) index pairs fall out of two arange/repeat expressions (no
     per-order Python; an order with L lines emits L(L-1)/2 pairs, the
     inherent output size). Pair counts pre-aggregate per bucket before the
-    tiny final groupby."""
+    tiny final groupby.
+
+    TWO shuffles total: the bucket key is derived from orderkey, so every
+    line of an order lands in ONE bucket and in-bucket (order, part) dedup
+    equals global dedup — no separate global-distinct groupby needed (the
+    original 3-shuffle form cost ~30 s of barrier overhead at sf0.01)."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     SHIFT = 1 << 20  # partkey < 2^20 by generator construction
     num_buckets = 64
@@ -5216,27 +5221,21 @@ def parts_bought_together(sf_dir: str, k: int = 20):
     )
 
     def distinct_partial(batch: pa.Table) -> pa.Table:
+        # per-batch dedup shrinks the shuffle; final dedup happens in-bucket
         t = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
         o = t.column("l_orderkey").to_numpy().astype(np.int64)
         p = t.column("l_partkey").to_numpy().astype(np.int64)
-        return pa.table({"op": pa.array(o * SHIFT + p, pa.int64())})
-
-    dpairs = (
-        lp.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby("op", num_partitions=8)
-        .aggregate(Count(alias_name="_c"))  # global distinct (order, part)
-    )
-
-    def bucket_tag(batch) -> pa.Table:
-        op = batch["op"].to_numpy() if hasattr(batch["op"], "to_numpy") else np.asarray(batch["op"])
-        okey = op // SHIFT
+        op = o * SHIFT + p
         return pa.table(
-            {"_bucket": pa.array(okey % num_buckets, pa.int64()),
-             "op": pa.array(op.astype(np.int64), pa.int64())}
+            {"_bucket": pa.array((o % num_buckets).astype(np.int64), pa.int64()),
+             "op": pa.array(op, pa.int64())}
         )
 
+    dpairs = lp.map_batches(distinct_partial, batch_format="pyarrow")
+
     def expand(group: pa.Table) -> pa.Table:
-        op = np.sort(group.column("op").to_numpy())  # (order, part) ascending
+        # in-bucket dedup IS global dedup (order -> one bucket)
+        op = np.unique(group.column("op").to_numpy())  # sorted (order, part)
         okey = op // SHIFT
         part = op - okey * SHIFT
         n = len(op)
@@ -5262,8 +5261,7 @@ def parts_bought_together(sf_dir: str, k: int = 20):
         )
 
     agg = (
-        dpairs.map_batches(bucket_tag, batch_format="pandas")
-        .groupby("_bucket", num_partitions=8)
+        dpairs.groupby("_bucket", num_partitions=8)
         .map_groups(expand, batch_format="pyarrow")
         .groupby("pair", num_partitions=4)
         .aggregate(Sum("n_part", alias_name="n_orders"))
@@ -5395,4 +5393,427 @@ def nation_volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
          "l_year": pc.cast(tbl.column("l_year"), pa.int64()),
          "revenue": pa.array(
              np.round(tbl.column("revenue").to_numpy(), 2), pa.float64())}
+    )
+
+
+def nation_market_share_q8(
+    sf_dir: str,
+    nation: str = "NATION_3",
+    region: str = "EUROPE",
+    ptype: str = "ECONOMY",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+):
+    """TPC-H Q8 analog — a nation's market share (revenue fraction supplied
+    by ``nation``) by order year, over orders placed by customers in
+    ``region`` for parts of ``ptype``. ONE shuffle: part/supplier/customer
+    are broadcast dimension maps (the part filter shrinks the partkey set
+    before ray.put; at 100-TB proportions customer flips to a
+    shuffle_hash_join on custkey), lineitem pre-aggregates
+    (okey, vol, vol_nation) partials inside map_batches, and the only
+    all-to-all is the orderkey join against date-filtered orders carrying
+    the order year. Output: (o_year, mkt_share) ordered by o_year."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.stages.joins import (
+        broadcast_hash_join,
+        shuffle_hash_join,
+    )
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), filters=[("r_name", "==", region)]
+    )
+    rk = set(reg.column("r_regionkey").to_pylist())
+    region_nations = {
+        int(k)
+        for k, g in zip(
+            nat.column("n_nationkey").to_pylist(), nat.column("n_regionkey").to_pylist()
+        )
+        if g in rk
+    }
+    target_key = nat.filter(pc.equal(nat.column("n_name"), nation)).column(
+        "n_nationkey"
+    ).to_pylist()
+    if not target_key:
+        raise ValueError(f"unknown nation {nation!r}")
+    target_key = int(target_key[0])
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"],
+        filters=[("p_type", "==", ptype)],
+    ).select(["p_partkey"]).rename_columns(["l_partkey"])
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).rename_columns(["l_suppkey", "s_nat"])
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust.filter(
+        pc.is_in(
+            cust.column("c_nationkey"),
+            value_set=pa.array(sorted(region_nations)),
+        )
+    ).select(["c_custkey"]).rename_columns(["o_custkey"])
+
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    )
+    orders_sel = broadcast_hash_join(
+        orders, cust, left_key="o_custkey", right_key="o_custkey"
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "okey": b.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    line = broadcast_hash_join(line, part, left_key="l_partkey", right_key="l_partkey")
+    line = broadcast_hash_join(line, supp, left_key="l_suppkey", right_key="l_suppkey")
+
+    def vol_partial(batch: pa.Table) -> pa.Table:
+        vol = batch.column("l_extendedprice").to_numpy() * (
+            1.0 - batch.column("l_discount").to_numpy()
+        )
+        is_target = batch.column("s_nat").to_numpy() == target_key
+        t = pa.table(
+            {
+                "okey": batch.column("l_orderkey"),
+                "vol": pa.array(vol, pa.float64()),
+                "vol_nat": pa.array(np.where(is_target, vol, 0.0), pa.float64()),
+            }
+        )
+        g = t.group_by("okey").aggregate([("vol", "sum"), ("vol_nat", "sum")])
+        return g.rename_columns(["okey", "vol", "vol_nat"])
+
+    joined = shuffle_hash_join(
+        line.map_batches(vol_partial, batch_format="pyarrow"), orders_sel, on="okey"
+    )
+
+    def year_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_year": batch.column("o_year"),
+                "vol": batch.column("vol"),
+                "vol_nat": batch.column("vol_nat"),
+            }
+        )
+        g = t.group_by("o_year").aggregate([("vol", "sum"), ("vol_nat", "sum")])
+        return g.rename_columns(["o_year", "vol", "vol_nat"])
+
+    agg = (
+        joined.map_batches(year_partial, batch_format="pyarrow")
+        .groupby("o_year", num_partitions=2)
+        .aggregate(Sum("vol", alias_name="vol"), Sum("vol_nat", alias_name="vol_nat"))
+    )
+    t = agg.to_pandas().sort_values("o_year").reset_index(drop=True)
+    share = np.round(t["vol_nat"].to_numpy() / t["vol"].to_numpy(), 6)
+    return pa.table(
+        {
+            "o_year": pa.array(t["o_year"].to_numpy().astype(np.int64), pa.int64()),
+            "mkt_share": pa.array(share, pa.float64()),
+        }
+    )
+
+
+def nation_year_profit_q9(sf_dir: str, name_prefix: str = "red"):
+    """TPC-H Q9 analog — per (supplier nation, order year) profit for parts
+    whose name starts with ``name_prefix``. The testdata has no partsupp
+    table, so supply cost is proxied as 10% of p_retailprice per unit:
+    profit = l_extendedprice*(1-l_discount) - 0.1*p_retailprice*l_quantity.
+    Broadcast part (filtered) + supplier dims into the lineitem scan,
+    pre-aggregate (okey, nation, profit), ONE orderkey shuffle join to pick
+    up the year, then a tiny (nation, year) groupby. Output:
+    (nation, o_year, sum_profit) ordered by nation ASC, o_year DESC."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.stages.joins import (
+        broadcast_hash_join,
+        shuffle_hash_join,
+    )
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name", "p_retailprice"]
+    )
+    part = part.filter(pc.starts_with(part.column("p_name"), name_prefix))
+    part = part.select(["p_partkey", "p_retailprice"]).rename_columns(
+        ["l_partkey", "p_retail"]
+    )
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    name_of = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).rename_columns(["l_suppkey", "s_nat"])
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "okey": b.column("o_orderkey"),
+                "o_year": pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_quantity", "l_extendedprice", "l_discount",
+        ],
+    )
+    line = broadcast_hash_join(line, part, left_key="l_partkey", right_key="l_partkey")
+    line = broadcast_hash_join(line, supp, left_key="l_suppkey", right_key="l_suppkey")
+
+    def profit_partial(batch: pa.Table) -> pa.Table:
+        profit = batch.column("l_extendedprice").to_numpy() * (
+            1.0 - batch.column("l_discount").to_numpy()
+        ) - 0.1 * batch.column("p_retail").to_numpy() * batch.column(
+            "l_quantity"
+        ).to_numpy()
+        t = pa.table(
+            {
+                "okey": batch.column("l_orderkey"),
+                "s_nat": batch.column("s_nat"),
+                "profit": pa.array(profit, pa.float64()),
+            }
+        )
+        g = t.group_by(["okey", "s_nat"]).aggregate([("profit", "sum")])
+        return g.rename_columns(["okey", "s_nat", "profit"])
+
+    joined = shuffle_hash_join(
+        line.map_batches(profit_partial, batch_format="pyarrow"), orders, on="okey"
+    )
+
+    def ny_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "s_nat": batch.column("s_nat"),
+                "o_year": batch.column("o_year"),
+                "profit": batch.column("profit"),
+            }
+        )
+        g = t.group_by(["s_nat", "o_year"]).aggregate([("profit", "sum")])
+        return g.rename_columns(["s_nat", "o_year", "profit"])
+
+    agg = (
+        joined.map_batches(ny_partial, batch_format="pyarrow")
+        .groupby(["s_nat", "o_year"], num_partitions=2)
+        .aggregate(Sum("profit", alias_name="sum_profit"))
+    )
+    t = agg.to_pandas()
+    t["nation"] = [name_of[int(k)] for k in t["s_nat"]]
+    t = t.sort_values(
+        ["nation", "o_year"], ascending=[True, False]
+    ).reset_index(drop=True)
+    return pa.table(
+        {
+            "nation": pa.array(t["nation"], pa.string()),
+            "o_year": pa.array(t["o_year"].to_numpy().astype(np.int64), pa.int64()),
+            "sum_profit": pa.array(
+                np.round(t["sum_profit"].to_numpy(), 2), pa.float64()
+            ),
+        }
+    )
+
+
+def customer_order_distribution_q13(sf_dir: str, exclude_priority: str = "1-URGENT"):
+    """TPC-H Q13 analog — distribution of customers by order count,
+    excluding orders of ``exclude_priority``. No customer-side join at all:
+    per-customer order counts come from a custkey-keyed groupby over the
+    filtered orders scan (per-batch count partials first), the zero bucket
+    is n_customers - n_customers_with_orders (FK containment: every
+    o_custkey exists in customer), and the count-of-counts distribution is
+    another per-batch partial + tiny groupby. Output: (c_count, custdist)
+    ordered by custdist DESC, c_count DESC."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    n_customers = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    ).count()
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") != exclude_priority,
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"cust": batch.column("o_custkey")}).group_by("cust").aggregate(
+            [("cust", "count")]
+        )
+        return g.rename_columns(["cust", "n"])
+
+    per_cust = (
+        orders.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("cust", num_partitions=4)
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"c_count": batch.column("c_count")}).group_by(
+            "c_count"
+        ).aggregate([("c_count", "count")])
+        return g.rename_columns(["c_count", "d"])
+
+    dist = (
+        per_cust.map_batches(dist_partial, batch_format="pyarrow")
+        .groupby("c_count", num_partitions=2)
+        .aggregate(Sum("d", alias_name="custdist"))
+    )
+    t = dist.to_pandas()
+    n_with_orders = int(t["custdist"].sum())
+    zero = n_customers - n_with_orders
+    if zero > 0:
+        import pandas as pd
+
+        t = pd.concat(
+            [t, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    t = t.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+    return pa.table(
+        {
+            "c_count": pa.array(t["c_count"].to_numpy().astype(np.int64), pa.int64()),
+            "custdist": pa.array(
+                t["custdist"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def supplier_part_variety_q16(
+    sf_dir: str, exclude_brand: str = "Brand#1", max_size: int = 25, k: int = 30
+):
+    """TPC-H Q16 analog — distinct supplier count per (brand, type, size)
+    combo, witnessed through lineitem (the testdata has no partsupp table),
+    excluding ``exclude_brand`` and sizes above ``max_size``. part is a
+    broadcast dimension map; lineitem per-batch dedups (partkey, suppkey),
+    maps to an attr-composite int64 key, and distinct-ness resolves in ONE
+    key groupby; the count-per-combo is a second tiny groupby over the
+    distinct keys. Output: (p_brand, p_type, p_size, supplier_cnt) ordered
+    by supplier_cnt DESC, p_brand, p_type, p_size, top-k."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.stages.joins import broadcast_hash_join
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    keep = pc.and_(
+        pc.not_equal(part.column("p_brand"), exclude_brand),
+        pc.less_equal(part.column("p_size"), max_size),
+    )
+    part = part.filter(keep)
+    brands = sorted(set(part.column("p_brand").to_pylist()))
+    types = sorted(set(part.column("p_type").to_pylist()))
+    b_idx = {b: i for i, b in enumerate(brands)}
+    t_idx = {t: i for i, t in enumerate(types)}
+    # attr composite: ((brand * n_types + type) * 64 + size); suppkey rides
+    # in the low 2^20 bits of the distinct key
+    SUPP_SHIFT = 1 << 20
+    combo = np.array(
+        [
+            (b_idx[b] * len(types) + t_idx[t]) * 64 + s
+            for b, t, s in zip(
+                part.column("p_brand").to_pylist(),
+                part.column("p_type").to_pylist(),
+                part.column("p_size").to_pylist(),
+            )
+        ],
+        dtype=np.int64,
+    )
+    pmap = pa.table(
+        {
+            "l_partkey": part.column("p_partkey"),
+            "combo": pa.array(combo, pa.int64()),
+        }
+    )
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_suppkey"]
+    )
+    line = broadcast_hash_join(line, pmap, left_key="l_partkey", right_key="l_partkey")
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        key = (
+            batch.column("combo").to_numpy().astype(np.int64) * SUPP_SHIFT
+            + batch.column("l_suppkey").to_numpy().astype(np.int64)
+        )
+        return pa.table({"key": pa.array(np.unique(key), pa.int64())})
+
+    from ray.data.aggregate import Count
+
+    distinct = (
+        line.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("key", num_partitions=4)
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def combo_partial(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy().astype(np.int64) // SUPP_SHIFT
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "combo": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        distinct.map_batches(combo_partial, batch_format="pyarrow")
+        .groupby("combo", num_partitions=2)
+        .aggregate(Sum("n", alias_name="supplier_cnt"))
+    )
+    t = agg.to_pandas()
+    c = t["combo"].to_numpy().astype(np.int64)
+    size = c % 64
+    bt = c // 64
+    ty = bt % len(types)
+    br = bt // len(types)
+    t["p_brand"] = [brands[i] for i in br]
+    t["p_type"] = [types[i] for i in ty]
+    t["p_size"] = size
+    t = t.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).head(k).reset_index(drop=True)
+    return pa.table(
+        {
+            "p_brand": pa.array(t["p_brand"], pa.string()),
+            "p_type": pa.array(t["p_type"], pa.string()),
+            "p_size": pa.array(t["p_size"].to_numpy().astype(np.int64), pa.int64()),
+            "supplier_cnt": pa.array(
+                t["supplier_cnt"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
     )

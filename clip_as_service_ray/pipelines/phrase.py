@@ -266,6 +266,14 @@ def phrase_search_table(
     Data actor pool; returns hits sorted by (query_id, rank)."""
     import ray.data
 
+    # fail on the driver with a clear message, not a RayTaskError from the
+    # actor pool's first __init__ (round-3 handoff soft spot: querylang
+    # phrase entries surfaced a raw FileNotFoundError)
+    if not os.path.isdir(os.path.join(index_dir, POSITIONS)):
+        raise FileNotFoundError(
+            f"no positional artifact under {index_dir!r}: run "
+            "build_positions(index_dir) before phrase/proximity search"
+        )
     ds = ray.data.from_arrow(queries)
     hits = ds.map_batches(
         PhraseScorer,

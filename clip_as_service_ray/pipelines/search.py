@@ -26,13 +26,18 @@ def search(
     fuzzy: int = 0,
     synonyms: dict | None = None,
     delta: float = 0.0,
+    boosted: bool = False,
+    min_match: int = 0,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
     ``conjunctive=True`` switches to boolean-AND semantics; ``prefix=True``
     treats each query text as a term prefix (wildcard expansion); an
     ``exclude`` column applies boolean NOT per query; ``synonyms`` expands
-    OR-query terms by a curated term->[terms] map at query time."""
+    OR-query terms by a curated term->[terms] map at query time;
+    ``boosted=True`` parses Lucene caret boosts in the query text
+    ("merge^2 window"); ``min_match=N`` applies a minimum_should_match
+    floor of N distinct matched terms."""
     import ray.data
 
     qds = ray.data.from_arrow(queries) if isinstance(queries, pa.Table) else queries
@@ -47,6 +52,8 @@ def search(
             "fuzzy": fuzzy,
             "synonyms": synonyms,
             "delta": delta,
+            "boosted": boosted,
+            "min_match": min_match,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -64,13 +71,15 @@ def search_table(
     fuzzy: int = 0,
     synonyms: dict | None = None,
     delta: float = 0.0,
+    boosted: bool = False,
+    min_match: int = 0,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
     ds = search(
         index_dir, queries, config,
         conjunctive=conjunctive, prefix=prefix, fuzzy=fuzzy,
-        synonyms=synonyms, delta=delta,
+        synonyms=synonyms, delta=delta, boosted=boosted, min_match=min_match,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

@@ -484,6 +484,14 @@ class PositionsReader:
 
         import pyarrow.parquet as pq
 
+        if not os.path.isdir(os.path.join(index_dir, "positions")):
+            raise FileNotFoundError(
+                f"no positional artifact under {index_dir!r}: phrase and "
+                "proximity queries need the positions lane — run "
+                "build_positions(index_dir) (or build_index(..., "
+                "positions=True) / add_segment(..., positions=True)) first"
+            )
+
         # analyzer the index (and thus its positions lane) was built with;
         # phrase/proximity query terms must fold identically
         stats_path = os.path.join(index_dir, "stats.json")

@@ -656,6 +656,137 @@ class IndexReader:
         top = bm25.topk_indices(final, cand, limit)
         return cand[top], final[top]
 
+    def parse_boosts(self, text: str) -> dict[str, float]:
+        """Parse Lucene caret-boost syntax (``merge^2 window``) into a
+        folded-term -> weight map. Each whitespace clause may carry one
+        ``^<float>`` suffix; the clause body tokenizes/analyzes exactly like
+        an ordinary query and every token it yields inherits the clause
+        weight. Repeated terms ADD their weights (so ``a a`` == ``a^2`` —
+        the additive duplicate semantics of a weighted OR)."""
+        weights: dict[str, float] = {}
+        for clause in (text or "").split():
+            body, sep, w = clause.rpartition("^")
+            if sep and body:
+                try:
+                    weight = float(w)
+                except ValueError:
+                    body, weight = clause, 1.0
+            else:
+                body, weight = clause, 1.0
+            for t in self._qtokens(body):
+                weights[t] = weights.get(t, 0.0) + weight
+        return weights
+
+    def score_query_boosted(
+        self, text: str, limit: int, exclude_text: str = "", doc_range=None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Weighted-OR retrieval with Lucene caret boosts: each term's BM25
+        contribution is multiplied by its clause weight before the canonical
+        sorted-term sequential accumulation. With every weight exactly 1.0
+        the multiply is a float no-op (1.0 * x == x), so an unboosted query
+        scores bit-identically to ``score_query``. ``exclude_text`` filters
+        NOT-docs before top-k (boost-NOT)."""
+        weights = self.parse_boosts(text)
+        present = [(t, weights[t]) for t in sorted(weights) if t in self._term_blocks]
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        return self._score_dense_general(
+            present, limit, n_slots, exclude=excl, doc_range=doc_range
+        )
+
+    def score_query_msm(
+        self, text: str, limit: int, min_match: int = 2,
+        exclude_text: str = "", doc_range=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """OR retrieval with a minimum_should_match floor: only docs matching
+        at least ``min_match`` DISTINCT query terms survive to top-k (the
+        Lucene/ES ``minimum_should_match`` contract). Scores of survivors are
+        bit-identical to ``score_query`` (same canonical accumulation; the
+        floor is a candidate filter, not a scoring change). Out-of-vocabulary
+        terms can never match — a floor above the in-vocab term count returns
+        empty, exactly like the SQL twin's HAVING count >= m."""
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
+        present = [(t, 1.0) for t in terms if t in self._term_blocks]
+        if not present or min_match > len(present):
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        return self._score_dense_general(
+            present, limit, n_slots, min_match=int(min_match),
+            exclude=excl, doc_range=doc_range,
+        )
+
+    def _score_dense_general(
+        self, present: list[tuple[str, float]], limit: int, n_slots: int,
+        *, min_match: int = 0, exclude=None, doc_range=None,
+    ):
+        """Shared dense/chunked accumulator for the weighted and
+        minimum_should_match variants. Keeps the canonical per-term
+        sequential ``scores[docs] +=`` structure (sorted-term order is the
+        caller's contract); tracks a per-doc distinct-match count only when
+        ``min_match > 1``. Memory-bounded: falls to ``dense_chunk_docs``-slot
+        chunks above the dense threshold, same as ``score_query``."""
+        chunk = min(n_slots, self.dense_chunk_docs)
+        if self._score_buf is None or len(self._score_buf) != chunk:
+            self._score_buf = np.zeros(chunk, dtype=np.float64)
+            self._match_buf = np.zeros(chunk, dtype=bool)
+        counts = None
+        if min_match > 1:
+            if (
+                getattr(self, "_count_buf", None) is None
+                or len(self._count_buf) != chunk
+            ):
+                self._count_buf = np.zeros(chunk, dtype=np.uint16)
+            counts = self._count_buf
+        scores, matched = self._score_buf, self._match_buf
+        win_docs: list[np.ndarray] = []
+        win_scores: list[np.ndarray] = []
+        one_chunk = chunk >= n_slots
+        for c0 in range(0, n_slots, chunk):
+            c1 = min(c0 + chunk, n_slots)
+            for t, w in present:
+                if one_chunk:
+                    docs_t, scores_t = self.term_docs_scores(t)
+                    rel = docs_t
+                else:
+                    docs_t, scores_t = self.term_postings_in_range(t, c0, c1)
+                    if not len(docs_t):
+                        continue
+                    rel = docs_t - c0
+                scores[rel] += scores_t if w == 1.0 else w * scores_t
+                matched[rel] = True
+                if counts is not None:
+                    counts[rel] += 1
+            cand = np.nonzero(matched[: c1 - c0])[0]
+            if len(cand):
+                sel = cand
+                if counts is not None:
+                    sel = sel[counts[sel] >= min_match]
+                if doc_range is not None and len(sel):
+                    sel = self._clip_to_range(sel + c0, doc_range) - c0
+                if exclude is not None and len(sel):
+                    sel = self._drop_excluded(sel + c0, exclude) - c0
+                if len(sel):
+                    top = bm25.topk_indices(scores[sel], sel + c0, limit)
+                    win_docs.append((sel[top] + c0).astype(np.int64))
+                    win_scores.append(scores[sel[top]].copy())
+                scores[cand] = 0.0
+                matched[cand] = False
+                if counts is not None:
+                    counts[cand] = 0
+        if not win_docs:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        if len(win_docs) == 1:
+            return win_docs[0], win_scores[0]
+        d = np.concatenate(win_docs)
+        s = np.concatenate(win_scores)
+        top = bm25.topk_indices(s, d, limit)
+        return d[top], s[top]
+
     def expand_prefix(self, prefix: str, max_terms: int | None = None) -> list[str]:
         """Wildcard expansion ``prefix*`` over the sorted dictionary: one
         searchsorted range, no scan. ``max_terms`` caps runaway expansions
@@ -917,7 +1048,14 @@ class QueryScorer:
         synonyms: dict | None = None,
         query_cache_size: int = 0,
         delta: float = 0.0,
+        boosted: bool = False,
+        min_match: int = 0,
     ):
+        if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match))) > 1:
+            raise ValueError(
+                "query modes are mutually exclusive: pick ONE of conjunctive/"
+                "prefix/fuzzy/boosted/min_match"
+            )
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         # scoring variant: delta > 0 = BM25+ (same index artifact; the
         # idf-free block cache is variant-independent)
@@ -936,10 +1074,11 @@ class QueryScorer:
         )
         self._qcache_cap = int(query_cache_size)
         if synonyms:
-            if conjunctive or prefix or fuzzy:
+            if conjunctive or prefix or fuzzy or boosted:
                 raise ValueError(
                     "synonyms expand OR queries only (AND over an expanded "
-                    "set would require group-match semantics)"
+                    "set would require group-match semantics; boosted "
+                    "clauses would need per-group weight inheritance)"
                 )
             from clip_as_service_ray.functions.analyzers import fold_tokens
 
@@ -958,6 +1097,10 @@ class QueryScorer:
         self.prefix = prefix
         # fuzzy > 0: each token expands to its edit-distance neighborhood
         self.fuzzy = int(fuzzy)
+        # boosted: query text carries Lucene caret boosts ("merge^2 window")
+        self.boosted = boosted
+        # min_match > 0: minimum_should_match floor on distinct matched terms
+        self.min_match = int(min_match)
         # mirror of set_rank writing BOTH scores (helper.py:110-114): the raw
         # BM25 score (cosine analog) plus a per-query softmax over the hits
         self.attach_softmax = attach_softmax
@@ -1107,6 +1250,15 @@ class QueryScorer:
             score_fn = self.reader.score_query_conjunctive
         elif self.prefix:
             score_fn = self.reader.score_query_prefix
+        elif self.boosted:
+            score_fn = self.reader.score_query_boosted
+        elif self.min_match:
+            def score_fn(text, limit, exclude_text="", doc_range=None,
+                         _m=self.min_match):
+                return self.reader.score_query_msm(
+                    text, limit, min_match=_m, exclude_text=exclude_text,
+                    doc_range=doc_range,
+                )
         elif self.fuzzy:
             def score_fn(text, limit, exclude_text="", doc_range=None, _d=self.fuzzy):
                 return self.reader.score_query_fuzzy(
