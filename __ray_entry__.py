@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_passages": ops.duplicate_passages,
         "parts_bought_together": ops.parts_bought_together,
         "nation_volume_shipping": ops.nation_volume_shipping,
+        "bm25_topk_boosted": ops.bm25_topk_boosted,
+        "bm25_topk_msm": ops.bm25_topk_msm,
         "nation_market_share_q8": ops.nation_market_share_q8,
         "nation_year_profit_q9": ops.nation_year_profit_q9,
         "customer_order_distribution_q13": ops.customer_order_distribution_q13,
@@ -317,6 +319,38 @@ def oracle_sql() -> dict[str, str]:
             "AND cn.n_name IN ('NATION_3', 'NATION_8') "
             "AND sn.n_name <> cn.n_name "
             "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "bm25_topk_boosted": (  # caret boost: merge^2 doubles its contribution
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum((CASE tf.term WHEN 'merge' THEN 2.0 ELSE 1.0 END) "
+            "      * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_msm": (  # minimum_should_match: >= 2 of 3 terms
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('join', 'merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id "
+            "  HAVING count(*) >= 2) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
         ),
         "nation_market_share_q8": (  # TPC-H Q8 analog: market share by year
             "SELECT year(o_orderdate)::BIGINT AS o_year, "

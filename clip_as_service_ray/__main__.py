@@ -50,6 +50,14 @@ def main(argv=None) -> int:
     s.add_argument("--prefix", action="store_true", help="wildcard prefix queries")
     s.add_argument("--fuzzy", type=int, default=0, help="edit-distance expansion")
     s.add_argument(
+        "--boosted", action="store_true",
+        help="parse Lucene caret boosts in query text (merge^2 window)",
+    )
+    s.add_argument(
+        "--min-match", type=int, default=0,
+        help="minimum_should_match floor: docs must match >= N distinct terms",
+    )
+    s.add_argument(
         "--synonyms", default=None,
         help="JSON file mapping term -> [synonym terms]; expands OR queries "
         "at query time",
@@ -200,6 +208,7 @@ def main(argv=None) -> int:
                 args.index_dir, queries, EngineConfig(limit=args.limit),
                 conjunctive=args.conjunctive, prefix=args.prefix,
                 fuzzy=args.fuzzy, synonyms=synonyms, delta=args.delta,
+                boosted=args.boosted, min_match=args.min_match,
             )
             if args.out:
                 pq.write_table(hits, args.out)

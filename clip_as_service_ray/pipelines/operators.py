@@ -5817,3 +5817,57 @@ def supplier_part_variety_q16(
             ),
         }
     )
+
+
+def bm25_topk_boosted(sf_dir: str, query: str = "merge^2 window", limit: int = 10):
+    """Caret-boosted BM25 top-k over `documents` through the engine's
+    weighted-OR path: 'merge^2 window' doubles merge's per-doc BM25
+    contribution before the canonical accumulation (Lucene boost-query
+    analog). Boost weight 2.0 is a power of two, so the multiply is exact
+    in float64 and the SQL twin's CASE-weighted sum lands bit-identically
+    (pre-round)."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([query]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, boosted=True)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )
+
+
+def bm25_topk_msm(
+    sf_dir: str, terms=("merge", "window", "join"), min_match: int = 2,
+    limit: int = 10,
+):
+    """minimum_should_match BM25 top-k over `documents`: OR retrieval where
+    only docs matching >= min_match distinct query terms survive to top-k
+    (the Lucene/ES minimum_should_match contract). The floor is a candidate
+    filter — surviving docs score exactly like plain OR — so the SQL twin
+    is the bm25_topk formula plus HAVING count(*) >= min_match."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, min_match=min_match)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )

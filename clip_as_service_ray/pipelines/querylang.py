@@ -10,6 +10,7 @@ onto those primitives:
     merge NOT part          boolean NOT (also: merge -part)
     mer*                    wildcard prefix expansion
     mrge~2                  fuzzy (edit distance <= 2)
+    merge^2 window          caret boost (weighted OR; weights multiply BM25)
     "merge window"          exact phrase (needs the positional artifact)
     "merge window"~4        proximity (two terms within 4 tokens)
 
@@ -17,7 +18,9 @@ Composition rules mirror what the engine's kernels implement; anything the
 kernels cannot express (mixed AND/OR, multiple prefixes, a phrase plus
 loose terms) raises ``ValueError`` instead of silently approximating.
 ``NOT`` composes with every mode (the exclude column flows through all
-scorers)."""
+scorers). Caret-boosted queries skip server-level synonym expansion (the
+boosted kernel has no per-group weight inheritance; QueryScorer rejects the
+combination, so the parser routes boosted strings to a synonym-free pool)."""
 
 from __future__ import annotations
 
@@ -30,6 +33,7 @@ from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
 
 _PHRASE_RE = re.compile(r'^"(?P<body>[^"]+)"(?:~(?P<win>\d+))?$')
 _FUZZY_RE = re.compile(r"^(?P<body>[^~\s]+)~(?P<dist>\d+)?$")
+_BOOST_RE = re.compile(r"^(?P<body>[^\^\s]+)\^(?P<w>\d+(?:\.\d+)?)$")
 
 
 @dataclass
@@ -41,6 +45,7 @@ class QuerySpec:
     conjunctive: bool = False
     prefix: bool = False
     fuzzy: int = 0
+    boosted: bool = False
     phrase: str | None = None
     window: int = 0
     #: raw positive tokens, pre-join (for tests / introspection)
@@ -119,11 +124,17 @@ def parse_query(s: str) -> QuerySpec:
             spec.fuzzy = d
             cleaned.append(fm.group("body"))
             continue
+        if _BOOST_RE.match(tok):
+            # keep the caret clause verbatim: the boosted kernel
+            # (IndexReader.parse_boosts) owns weight parsing
+            spec.boosted = True
         cleaned.append(tok)
     if spec.prefix and (spec.conjunctive or spec.fuzzy):
         raise ValueError("prefix does not compose with AND/fuzzy")
     if spec.conjunctive and spec.fuzzy:
         raise ValueError("fuzzy does not compose with AND")
+    if spec.boosted and (spec.conjunctive or spec.prefix or spec.fuzzy):
+        raise ValueError("caret boosts apply to plain OR queries only")
 
     spec.terms = cleaned
     spec.text = " ".join(cleaned)
@@ -170,7 +181,7 @@ def query_string_table(
         if sp.phrase is not None:
             key = ("phrase", sp.window)
         else:
-            key = ("search", sp.conjunctive, sp.prefix, sp.fuzzy)
+            key = ("search", sp.conjunctive, sp.prefix, sp.fuzzy, sp.boosted)
         shapes.setdefault(key, []).append(i)
     for key, idxs in shapes.items():
         if key[0] == "phrase":
@@ -196,7 +207,7 @@ def query_string_table(
                 )
             )
         else:
-            _, conj, pref, fz = key
+            _, conj, pref, fz, bo = key
             cols = {
                 "query_id": pa.array([qids[i] for i in idxs], pa.int64()),
                 "text": pa.array([specs[i].text for i in idxs]),
@@ -208,7 +219,7 @@ def query_string_table(
                 search_table(
                     index_dir, pa.table(cols), config,
                     conjunctive=conj, prefix=pref, fuzzy=fz,
-                    synonyms=synonyms,
+                    synonyms=None if bo else synonyms, boosted=bo,
                 )
             )
     if not parts:

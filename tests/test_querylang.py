@@ -136,3 +136,30 @@ def test_query_string_mixed_batch(idx):
     assert set(zip(and_rows.conv_id, and_rows.turn_idx)) <= or_set or len(
         and_rows
     ) == 0
+
+
+def test_parse_boost():
+    sp = parse_query("merge^2 window")
+    assert sp.boosted and sp.text == "merge^2 window"
+    sp = parse_query("merge^2.5 window^0.5 NOT part")
+    assert sp.boosted and sp.exclude == "part"
+    with pytest.raises(ValueError, match="OR queries only"):
+        parse_query("merge^2 AND window")
+    with pytest.raises(ValueError, match="OR queries only"):
+        parse_query("merge^2 win~1")
+
+
+def test_query_string_boosted(idx):
+    from clip_as_service_ray.pipelines.search import search_table
+
+    d, cfg, corpus = idx
+    a, b = _vocab(corpus, 2)
+    q = pa.table(
+        {"query_id": pa.array([0], pa.int64()), "text": [f"{a}^2 {b}"],
+         "limit": pa.array([10], pa.int32())}
+    )
+    want = search_table(d, q, cfg, boosted=True).to_pandas()
+    got = query_string_table(d, [f"{a}^2 {b}"], cfg).to_pandas()
+    assert len(got) == len(want) > 0
+    assert np.array_equal(got["score"].values, want["score"].values)
+    assert (got["conv_id"].values == want["conv_id"].values).all()
