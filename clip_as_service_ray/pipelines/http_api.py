@@ -189,7 +189,8 @@ def _qid_list(payload: dict) -> list[int]:
 
 def _mode_key(payload: dict) -> tuple | None:
     """Request-level query mode -> pool key: None (default OR),
-    ("conjunctive",), ("prefix",), or ("fuzzy", max_dist)."""
+    ("conjunctive",), ("prefix",), ("fuzzy", max_dist), ("boosted",), or
+    ("min_match", n)."""
     mode = str(payload.get("mode", "") or "")
     if not mode:
         return None
@@ -199,7 +200,13 @@ def _mode_key(payload: dict) -> tuple | None:
         return ("prefix",)
     if mode == "fuzzy":
         return ("fuzzy", int(payload.get("fuzzy_dist", 2)))
-    raise ValueError(f"unknown mode {mode!r} (conjunctive|prefix|fuzzy)")
+    if mode == "boosted":
+        return ("boosted",)
+    if mode == "msm":
+        return ("min_match", int(payload.get("min_match", 2)))
+    raise ValueError(
+        f"unknown mode {mode!r} (conjunctive|prefix|fuzzy|boosted|msm)"
+    )
 
 
 class SearchHTTPServer:
@@ -409,8 +416,8 @@ class SegmentedSearchHTTPServer:
         POST /index  {"turns": [{conv_id, turn_idx, role, text, ...}]}
                      -> builds the next segment; docs searchable on return
         POST /search {"queries": [{query_id, text, limit?, exclude?}],
-                      "mode"?: "conjunctive"|"prefix"|"fuzzy",
-                      "fuzzy_dist"?: 2}
+                      "mode"?: "conjunctive"|"prefix"|"fuzzy"|"boosted"|"msm",
+                      "fuzzy_dist"?: 2, "min_match"?: 2}
                      -> every query-language mode works against the
                      segmented index (retriever.md:180-225 contract); mode
                      pools spawn lazily, a per-query `exclude` composes
@@ -836,12 +843,15 @@ class SearchHTTPClient:
         [{conv_id, turn_idx}]; returns ALL candidates ranked per query."""
         return self._request("/rank", {"queries": queries})["hits"]
 
-    def search(self, queries: list[dict], *, mode: str = "", fuzzy_dist: int = 2) -> list[dict]:
+    def search(self, queries: list[dict], *, mode: str = "",
+               fuzzy_dist: int = 2, min_match: int = 2) -> list[dict]:
         payload: dict = {"queries": queries}
         if mode:
             payload["mode"] = mode
             if mode == "fuzzy":
                 payload["fuzzy_dist"] = fuzzy_dist
+            if mode == "msm":
+                payload["min_match"] = min_match
         return self._request("/search", payload)["hits"]
 
     def phrase(self, queries: list[dict]) -> list[dict]:

@@ -211,6 +211,8 @@ class SegmentedQueryService(ScatterQueryService):
         fuzzy: int = 0,
         synonyms: dict | None = None,
         delta: float = 0.0,
+        boosted: bool = False,
+        min_match: int = 0,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -227,6 +229,8 @@ class SegmentedQueryService(ScatterQueryService):
             conjunctive=conjunctive,
             prefix=prefix,
             fuzzy=fuzzy,
+            boosted=boosted,
+            min_match=min_match,
             synonyms=synonyms,
             delta=delta,
             num_cpus=num_cpus,

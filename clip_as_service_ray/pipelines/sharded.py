@@ -188,6 +188,8 @@ class ScatterQueryService:
         fuzzy: int = 0,
         synonyms: dict | None = None,
         delta: float = 0.0,
+        boosted: bool = False,
+        min_match: int = 0,
         num_cpus: float = 1,
     ):
         import ray
@@ -220,8 +222,8 @@ class ScatterQueryService:
             raise ValueError(
                 f"segments built with different analyzers: {sorted(map(str, analyzers))}"
             )
-        # boolean/prefix/fuzzy modes are shard-safe: each shard expands over
-        # its LOCAL vocabulary but scores with the UNION df/idf — a term
+        # boolean/prefix/fuzzy/boosted/msm modes are shard-safe: each shard
+        # expands over its LOCAL vocabulary but scores with the UNION df/idf — a term
         # present only in other shards contributes zero to this shard's docs
         # either way, so scatter results are bit-identical to a monolithic
         # index in every mode (test-pinned); a per-query `exclude` column
@@ -240,6 +242,8 @@ class ScatterQueryService:
                 conjunctive=conjunctive,
                 prefix=prefix,
                 fuzzy=fuzzy,
+                boosted=boosted,
+                min_match=min_match,
                 synonyms=synonyms,
                 query_cache_size=config.query_cache_size,
                 delta=delta,

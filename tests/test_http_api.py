@@ -188,6 +188,20 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
             {"query_id": 0, "text": "merge window", "limit": 5,
              "exclude": "stream"}]})["hits"]
         assert hits == []
+        # boosted: caret weights accepted, OR-like recall (convaa matches)
+        hits = _post(srv.url + "/search", {"mode": "boosted", "queries": [
+            {"query_id": 0, "text": "merge^2 window", "limit": 5}]})["hits"]
+        assert "convaa" in {h["conv_id"] for h in hits}
+        # msm: "merge window nosuch" with floor 2 still matches convaa
+        # (2 of 3 terms); floor 3 cannot be met (nosuch is OOV) -> empty
+        hits = _post(srv.url + "/search", {"mode": "msm", "min_match": 2,
+                                           "queries": [
+            {"query_id": 0, "text": "merge window nosuch", "limit": 5}]})["hits"]
+        assert {h["conv_id"] for h in hits} == {"convaa"}
+        hits = _post(srv.url + "/search", {"mode": "msm", "min_match": 3,
+                                           "queries": [
+            {"query_id": 0, "text": "merge window nosuch", "limit": 5}]})["hits"]
+        assert hits == []
         # unknown mode -> 400
         with pytest.raises(urllib.error.HTTPError) as em:
             _post(srv.url + "/search", {"mode": "nope", "queries": [

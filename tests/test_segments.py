@@ -167,6 +167,9 @@ def test_segmented_modes_equal_monolithic(corpus_halves, tmp_path):
         ({"prefix": True}, ["mer", "wind"], ""),
         ({"fuzzy": 1}, ["merge", "windoz"], ""),
         ({"conjunctive": True}, ["merge window"], "stream"),  # AND-NOT
+        ({"boosted": True}, ["merge^2 window", "merge window^0.5"], ""),
+        ({"min_match": 2}, ["merge window stream"], ""),
+        ({"boosted": True}, ["merge^3"], "stream"),  # boost-NOT
     ]
     for kwargs, texts, excl in cases:
         q = {
