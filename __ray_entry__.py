@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_bought_together": ops.parts_bought_together,
         "nation_volume_shipping": ops.nation_volume_shipping,
         "bm25_topk_boosted": ops.bm25_topk_boosted,
+        "bm25_topk_collapsed": ops.bm25_topk_collapsed,
+        "bm25_topk_page2": ops.bm25_topk_page2,
         "bm25_topk_msm": ops.bm25_topk_msm,
         "nation_market_share_q8": ops.nation_market_share_q8,
         "nation_year_profit_q9": ops.nation_year_profit_q9,
@@ -319,6 +321,39 @@ def oracle_sql() -> dict[str, str]:
             "AND cn.n_name IN ('NATION_3', 'NATION_8') "
             "AND sn.n_name <> cn.n_name "
             "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "bm25_topk_collapsed": (  # ES field-collapse: best doc per group of 10
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            "w AS (SELECT doc_id, score, row_number() OVER "
+            "  (PARTITION BY doc_id // 10 ORDER BY score DESC, doc_id ASC) AS rn "
+            "  FROM scores) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM w "
+            "WHERE rn = 1 ORDER BY w.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_page2": (  # search_after cursor == OFFSET page_size
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10 OFFSET 10"
         ),
         "bm25_topk_boosted": (  # caret boost: merge^2 doubles its contribution
             "WITH tok AS (" + _TOK + "), "

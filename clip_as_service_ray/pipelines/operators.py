@@ -5871,3 +5871,103 @@ def bm25_topk_msm(
     return pa.table(
         {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
     )
+
+
+def _docs_as_grouped_transcripts(sf_dir: str, group: int = 10):
+    """`documents` adapted to MULTI-TURN conversations: conv = doc_id //
+    group (zero-padded), turn = doc_id % group. Same docs, same dl/df/avgdl
+    — BM25 scores are identical to the flat adapter; only the conv
+    structure differs, which is exactly what collapse-by-conversation
+    needs. Streaming stage, no driver materialization."""
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        padded = pc.utf8_lpad(
+            pc.cast(pa.array(did // group, pa.int64()), pa.string()), 12, "0"
+        )
+        conv = pc.binary_join_element_wise(pa.scalar("grp"), padded, pa.scalar("-"))
+        return pa.table(
+            {
+                "conv_id": pc.cast(conv, pa.string()),
+                "turn_idx": pa.array((did % group).astype(np.int32), pa.int32()),
+                "role": pa.array(["user"] * n, pa.string()),
+                "text": batch.column("text"),
+                "tool": pa.array([""] * n, pa.string()),
+                "ts": pa.array(np.zeros(n, dtype=np.int64), pa.timestamp("us")),
+            }
+        )
+
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(fmt, batch_format="pyarrow")
+
+
+def bm25_topk_collapsed(
+    sf_dir: str, terms=BM25_QUERY_TERMS, group: int = 10, limit: int = 10
+):
+    """Field-collapsed BM25 top-k (the ES ``collapse`` analog): docs are
+    grouped ``group`` per conversation and each conversation is represented
+    by its single best-scoring doc; top-k ranks the winners. The SQL twin
+    is the bm25_topk formula + row_number() OVER (PARTITION BY doc_id //
+    group ORDER BY score DESC, doc_id) = 1."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir) + f"_grp{group}"
+    build_index(_docs_as_grouped_transcripts(sf_dir, group), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, collapse=True)
+    grp = np.array([int(c[4:]) for c in hits.column("conv_id").to_pylist()],
+                   dtype=np.int64)
+    doc_ids = grp * group + hits.column("turn_idx").to_numpy().astype(np.int64)
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.float64())}
+    )
+
+
+def bm25_topk_page2(sf_dir: str, terms=BM25_QUERY_TERMS, page_size: int = 10):
+    """Cursor pagination (the ES ``search_after`` contract): page 1's last
+    hit becomes the (after_score, after_doc) cursor and page 2 continues
+    with no duplicate and no gap — the engine recomputes page 2
+    independently, so the SQL twin is simply OFFSET page_size."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    q1 = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([page_size], pa.int32())}
+    )
+    page1 = search_table(index_dir, q1, cfg)
+    assert page1.num_rows == page_size
+    last_score = float(page1.column("score")[-1].as_py())
+    last_conv = page1.column("conv_id")[-1].as_py()
+    last_turn = int(page1.column("turn_idx")[-1].as_py())
+    q2 = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([page_size], pa.int32()),
+         "after_score": pa.array([last_score], pa.float64()),
+         "after_conv": pa.array([last_conv], pa.string()),
+         "after_turn": pa.array([last_turn], pa.int32())}
+    )
+    page2 = search_table(index_dir, q2, cfg)
+    doc_ids = [int(c[4:]) for c in page2.column("conv_id").to_pylist()]
+    scores = np.round(page2.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.float64())}
+    )

@@ -28,6 +28,7 @@ def search(
     delta: float = 0.0,
     boosted: bool = False,
     min_match: int = 0,
+    collapse: bool = False,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -37,7 +38,10 @@ def search(
     OR-query terms by a curated term->[terms] map at query time;
     ``boosted=True`` parses Lucene caret boosts in the query text
     ("merge^2 window"); ``min_match=N`` applies a minimum_should_match
-    floor of N distinct matched terms."""
+    floor of N distinct matched terms; ``collapse=True`` returns one best
+    turn per conversation (ES field-collapse); per-query ``after_score`` /
+    ``after_doc`` columns page with a search_after cursor (default OR mode
+    only)."""
     import ray.data
 
     qds = ray.data.from_arrow(queries) if isinstance(queries, pa.Table) else queries
@@ -54,6 +58,7 @@ def search(
             "delta": delta,
             "boosted": boosted,
             "min_match": min_match,
+            "collapse": collapse,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -73,6 +78,7 @@ def search_table(
     delta: float = 0.0,
     boosted: bool = False,
     min_match: int = 0,
+    collapse: bool = False,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
@@ -80,6 +86,7 @@ def search_table(
         index_dir, queries, config,
         conjunctive=conjunctive, prefix=prefix, fuzzy=fuzzy,
         synonyms=synonyms, delta=delta, boosted=boosted, min_match=min_match,
+        collapse=collapse,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

@@ -720,9 +720,118 @@ class IndexReader:
             exclude=excl, doc_range=doc_range,
         )
 
+    def score_query_after(
+        self, text: str, limit: int, after_score: float, after_doc: int,
+        exclude_text: str = "", doc_range=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Cursor pagination (the ES ``search_after`` contract): top-k among
+        docs ranking STRICTLY AFTER the cursor ``(after_score, after_doc)``
+        in the canonical (score DESC, doc ASC) order — page N+1 continues
+        exactly where page N's last hit stopped, with no duplicate and no
+        gap even when new pages are computed independently. Scores are
+        bit-identical to ``score_query`` (the cursor is a candidate filter);
+        paging through all docs reproduces the full ranked list."""
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
+        present = [(t, 1.0) for t in terms if t in self._term_blocks]
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        return self._score_dense_general(
+            present, limit, n_slots, exclude=excl, doc_range=doc_range,
+            after=(float(after_score), int(after_doc)),
+        )
+
+    def score_query_collapse(
+        self, text: str, limit: int, group_of=None,
+        exclude_text: str = "", doc_range=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Field-collapse retrieval (the ES ``collapse`` analog): each GROUP
+        is represented by its single best doc (max score, doc-ASC tie-break
+        — the canonical order), and top-k ranks the group winners.
+        ``group_of`` maps a sorted doc-id array to int64 group ids; None
+        collapses by conversation (doc ids are conv-base offsets, so the
+        group id is a searchsorted over the bases). Winner scores are
+        bit-identical to ``score_query``'s for the same docs.
+
+        Chunk-safe: groups may span chunks, but max is distributive — the
+        global top-k group winners are a subset of the union of per-chunk
+        top-k group winners, so each chunk contributes its capped winner set
+        and the merge re-reduces per group."""
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
+        present = [(t, 1.0) for t in terms if t in self._term_blocks]
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        if group_of is None:
+            def group_of(docs):
+                return np.searchsorted(self._bases, docs, side="right") - 1
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        chunk = min(n_slots, self.dense_chunk_docs)
+        if self._score_buf is None or len(self._score_buf) != chunk:
+            self._score_buf = np.zeros(chunk, dtype=np.float64)
+            self._match_buf = np.zeros(chunk, dtype=bool)
+        scores, matched = self._score_buf, self._match_buf
+        one_chunk = chunk >= n_slots
+        w_group: list[np.ndarray] = []
+        w_docs: list[np.ndarray] = []
+        w_scores: list[np.ndarray] = []
+        for c0 in range(0, n_slots, chunk):
+            c1 = min(c0 + chunk, n_slots)
+            for t, _w in present:
+                if one_chunk:
+                    docs_t, scores_t = self.term_docs_scores(t)
+                    rel = docs_t
+                else:
+                    docs_t, scores_t = self.term_postings_in_range(t, c0, c1)
+                    if not len(docs_t):
+                        continue
+                    rel = docs_t - c0
+                scores[rel] += scores_t
+                matched[rel] = True
+            cand = np.nonzero(matched[: c1 - c0])[0]
+            if len(cand):
+                sel = cand
+                if doc_range is not None:
+                    sel = self._clip_to_range(sel + c0, doc_range) - c0
+                if excl is not None and len(sel):
+                    sel = self._drop_excluded(sel + c0, excl) - c0
+                if len(sel):
+                    docs_abs = sel + c0
+                    s_sel = scores[sel]
+                    g = np.asarray(group_of(docs_abs), dtype=np.int64)
+                    # per-group winner: first row in (group ASC, score DESC,
+                    # doc ASC) order; docs_abs is ascending so a stable sort
+                    # keeps doc-ASC among score ties
+                    order = np.lexsort((docs_abs, -s_sel, g))
+                    gs = g[order]
+                    first = np.concatenate([[0], np.nonzero(np.diff(gs))[0] + 1])
+                    win = order[first]
+                    if len(win) > limit:  # cap: top-limit groups this chunk
+                        top = bm25.topk_indices(s_sel[win], docs_abs[win], limit)
+                        win = win[top]
+                    w_group.append(g[win])
+                    w_docs.append(docs_abs[win].astype(np.int64))
+                    w_scores.append(s_sel[win].copy())
+                scores[cand] = 0.0
+                matched[cand] = False
+        if not w_docs:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        g = np.concatenate(w_group)
+        d = np.concatenate(w_docs)
+        s = np.concatenate(w_scores)
+        order = np.lexsort((d, -s, g))
+        gs = g[order]
+        first = np.concatenate([[0], np.nonzero(np.diff(gs))[0] + 1])
+        win = order[first]
+        top = bm25.topk_indices(s[win], d[win], limit)
+        return d[win][top], s[win][top]
+
     def _score_dense_general(
         self, present: list[tuple[str, float]], limit: int, n_slots: int,
-        *, min_match: int = 0, exclude=None, doc_range=None,
+        *, min_match: int = 0, exclude=None, doc_range=None, after=None,
     ):
         """Shared dense/chunked accumulator for the weighted and
         minimum_should_match variants. Keeps the canonical per-term
@@ -770,6 +879,12 @@ class IndexReader:
                     sel = self._clip_to_range(sel + c0, doc_range) - c0
                 if exclude is not None and len(sel):
                     sel = self._drop_excluded(sel + c0, exclude) - c0
+                if after is not None and len(sel):
+                    # strictly after the cursor in (score DESC, doc ASC):
+                    # lower score, or equal score and larger doc id
+                    a_s, a_d = after
+                    s_sel = scores[sel]
+                    sel = sel[(s_sel < a_s) | ((s_sel == a_s) & (sel + c0 > a_d))]
                 if len(sel):
                     top = bm25.topk_indices(scores[sel], sel + c0, limit)
                     win_docs.append((sel[top] + c0).astype(np.int64))
@@ -1050,11 +1165,13 @@ class QueryScorer:
         delta: float = 0.0,
         boosted: bool = False,
         min_match: int = 0,
+        collapse: bool = False,
     ):
-        if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match))) > 1:
+        if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match,
+                          collapse))) > 1:
             raise ValueError(
                 "query modes are mutually exclusive: pick ONE of conjunctive/"
-                "prefix/fuzzy/boosted/min_match"
+                "prefix/fuzzy/boosted/min_match/collapse"
             )
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         # scoring variant: delta > 0 = BM25+ (same index artifact; the
@@ -1101,6 +1218,8 @@ class QueryScorer:
         self.boosted = boosted
         # min_match > 0: minimum_should_match floor on distinct matched terms
         self.min_match = int(min_match)
+        # collapse: one best turn per conversation (ES field-collapse)
+        self.collapse = collapse
         # mirror of set_rank writing BOTH scores (helper.py:110-114): the raw
         # BM25 score (cosine analog) plus a per-query softmax over the hits
         self.attach_softmax = attach_softmax
@@ -1259,6 +1378,8 @@ class QueryScorer:
                     text, limit, min_match=_m, exclude_text=exclude_text,
                     doc_range=doc_range,
                 )
+        elif self.collapse:
+            score_fn = self.reader.score_query_collapse
         elif self.fuzzy:
             def score_fn(text, limit, exclude_text="", doc_range=None, _d=self.fuzzy):
                 return self.reader.score_query_fuzzy(
@@ -1289,14 +1410,52 @@ class QueryScorer:
             if "conv_prefix" in batch.column_names
             else None
         )
+        # cursor pagination (search_after): per-query (after_score,
+        # after_conv, after_turn) columns — the cursor identifies page N's
+        # last hit by its EXTERNAL identity; null/absent = first page.
+        # Default OR mode only — a cursor under a mode-specific ranking
+        # would silently change semantics, so it raises instead.
+        after_scores = (
+            batch.column("after_score").to_pylist()
+            if "after_score" in batch.column_names
+            else None
+        )
+        after_convs = (
+            batch.column("after_conv").to_pylist()
+            if "after_conv" in batch.column_names
+            else None
+        )
+        after_turns = (
+            batch.column("after_turn").to_pylist()
+            if "after_turn" in batch.column_names
+            else None
+        )
+        if after_scores is not None and any(
+            a is not None for a in after_scores
+        ) and (self.conjunctive or self.prefix or self.fuzzy or self.boosted
+               or self.min_match or self.collapse):
+            raise ValueError(
+                "search_after cursors apply to the default OR mode only"
+            )
         cols: dict[str, list] = {n: [] for n in HITS_SCHEMA.names}
         softmax_col: list[float] = []
         for qi, (qid, text, limit) in enumerate(zip(qids, texts, limits)):
             t0 = _time.perf_counter()
             excl = excludes[qi] if excludes is not None else ""
             pfx = (prefixes[qi] or "") if prefixes is not None else ""
+            aft = None
+            if after_scores is not None and after_scores[qi] is not None:
+                cursor_doc = -1
+                if after_convs is not None and after_convs[qi]:
+                    cursor_doc = int(
+                        self.reader.doc_ids_for(
+                            [after_convs[qi]],
+                            [int(after_turns[qi]) if after_turns is not None else 0],
+                        )[0]
+                    )
+                aft = (float(after_scores[qi]), cursor_doc)
             lim = int(limit or self.default_limit)
-            ckey = (text, lim, excl or "", pfx)
+            ckey = (text, lim, excl or "", pfx, aft)
             cached = self._qcache.get(ckey) if self._qcache is not None else None
             if cached is not None:
                 self._qcache.move_to_end(ckey)
@@ -1304,9 +1463,15 @@ class QueryScorer:
                 doc_ids, scores = cached
             else:
                 rng = self.reader.conv_prefix_range(pfx) if pfx else None
-                doc_ids, scores = score_fn(
-                    text, lim, exclude_text=excl or "", doc_range=rng,
-                )
+                if aft is not None:
+                    doc_ids, scores = self.reader.score_query_after(
+                        text, lim, aft[0], aft[1],
+                        exclude_text=excl or "", doc_range=rng,
+                    )
+                else:
+                    doc_ids, scores = score_fn(
+                        text, lim, exclude_text=excl or "", doc_range=rng,
+                    )
                 if self._qcache is not None:
                     self._qcache[ckey] = (doc_ids, scores)
                     if len(self._qcache) > self._qcache_cap:

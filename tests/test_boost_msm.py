@@ -220,3 +220,93 @@ def test_search_table_end_to_end(index_dir, reader):
     d2, s2 = reader.score_query_msm(f"{_word(0)} {_word(1)} {_word(2)}", 5, min_match=2)
     assert hits2.num_rows == len(d2)
     np.testing.assert_array_equal(hits2.column("score").to_numpy(), s2)
+
+
+# ---- search_after pagination + field collapse ----
+
+
+def test_search_after_paging_reproduces_full_list(reader):
+    for q in (f"{_word(0)} {_word(1)}", f"{_word(2)} {_word(5)} {_word(9)}"):
+        d_all, s_all = reader.score_query(q, 10**9)
+        pages_d, pages_s = [], []
+        cur = None
+        for _ in range(10**6):
+            if cur is None:
+                d, s = reader.score_query(q, 37)
+            else:
+                d, s = reader.score_query_after(q, 37, cur[0], cur[1])
+            if len(d) == 0:
+                break
+            pages_d.append(d)
+            pages_s.append(s)
+            cur = (float(s[-1]), int(d[-1]))
+        assert np.concatenate(pages_d).tolist() == d_all.tolist()
+        np.testing.assert_array_equal(np.concatenate(pages_s), s_all)
+
+
+def test_collapse_matches_first_per_group(reader):
+    q = f"{_word(0)} {_word(1)} {_word(3)}"
+    d_all, s_all = reader.score_query(q, 10**9)
+    for g in (lambda d: d % 7, lambda d: d // 50):
+        seen, keep = set(), []
+        for i, doc in enumerate(d_all):
+            k = int(g(np.int64(doc)))
+            if k not in seen:
+                seen.add(k)
+                keep.append(i)
+        keep = np.array(keep)[:10]
+        d_c, s_c = reader.score_query_collapse(q, 10, group_of=g)
+        assert d_c.tolist() == d_all[keep].tolist()
+        np.testing.assert_array_equal(s_c, s_all[keep])
+
+
+def test_collapse_default_groups_by_conv(reader):
+    # fixture corpus is one turn per conv -> conv collapse is the identity
+    q = f"{_word(0)} {_word(1)}"
+    d1, s1 = reader.score_query(q, 10)
+    d2, s2 = reader.score_query_collapse(q, 10)
+    assert d1.tolist() == d2.tolist()
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_after_collapse_chunked_identity(reader, index_dir):
+    chunked = IndexReader(index_dir)
+    chunked.dense_chunk_docs = 149
+    q = f"{_word(0)} {_word(1)} {_word(4)}"
+    d_all, s_all = reader.score_query(q, 30)
+    cur = (float(s_all[9]), int(d_all[9]))
+    d1, s1 = reader.score_query_after(q, 10, *cur)
+    d2, s2 = chunked.score_query_after(q, 10, *cur)
+    assert d1.tolist() == d2.tolist() == d_all[10:20].tolist()
+    np.testing.assert_array_equal(s1, s2)
+    g = lambda d: d % 11  # noqa: E731
+    d3, s3 = reader.score_query_collapse(q, 10, group_of=g)
+    d4, s4 = chunked.score_query_collapse(q, 10, group_of=g)
+    assert d3.tolist() == d4.tolist()
+    np.testing.assert_array_equal(s3, s4)
+
+
+def test_scorer_cursor_columns(index_dir, reader):
+    from clip_as_service_ray.pipelines.search import search_table
+
+    q_text = f"{_word(0)} {_word(1)}"
+    base = {
+        "query_id": pa.array([0], pa.int64()),
+        "text": pa.array([q_text]),
+        "limit": pa.array([10], pa.int32()),
+    }
+    page1 = search_table(index_dir, pa.table(base), EngineConfig())
+    q2 = dict(
+        base,
+        after_score=pa.array([page1.column("score")[-1].as_py()], pa.float64()),
+        after_conv=pa.array([page1.column("conv_id")[-1].as_py()], pa.string()),
+        after_turn=pa.array([page1.column("turn_idx")[-1].as_py()], pa.int32()),
+    )
+    page2 = search_table(index_dir, pa.table(q2), EngineConfig())
+    d_all, s_all = reader.score_query(q_text, 20)
+    convs, turns = reader.invert_doc_ids(d_all[10:20])
+    assert page2.column("conv_id").to_pylist() == convs.tolist()
+    np.testing.assert_array_equal(page2.column("score").to_numpy(), s_all[10:20])
+    # cursor under a non-default mode -> hard error, not silent OR
+    with pytest.raises(Exception, match="OR mode only"):
+        search_table(index_dir, pa.table(q2), EngineConfig(), conjunctive=True)
