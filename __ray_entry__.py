@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": ops.embedding_pca,  # rows-only (eigendecomposition)
         "events_type_agg": ops.events_type_agg,
         "events_type_rollup": ops.events_type_rollup,
+        "events_cube": ops.events_cube,
         "event_prop_stats": ops.event_prop_stats,
         "events_hourly_windows": ops.events_hourly_windows,
         "user_sessions": ops.user_sessions,
@@ -939,6 +940,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*)::BIGINT AS n_with_k, "
             "round(avg(CAST(props->>'k' AS BIGINT)), 6)::DOUBLE AS avg_k "
             "FROM events WHERE props->>'k' IS NOT NULL GROUP BY event_type"
+        ),
+        "events_cube": (  # all 4 grouping sets of (event_type, day)
+            "SELECT COALESCE(event_type, 'ALL') AS event_type, "
+            "COALESCE(day, 'ALL') AS day, "
+            "count(value)::BIGINT AS n_events, "
+            "round(sum(value), 4)::DOUBLE AS sum_value "
+            "FROM (SELECT event_type, "
+            "strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value "
+            "FROM events) GROUP BY CUBE(event_type, day) "
+            "ORDER BY event_type, day"
         ),
         "events_type_rollup": (
             "SELECT COALESCE(event_type, 'ALL') AS event_type, "

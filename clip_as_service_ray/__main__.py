@@ -54,6 +54,10 @@ def main(argv=None) -> int:
         help="parse Lucene caret boosts in query text (merge^2 window)",
     )
     s.add_argument(
+        "--collapse", action="store_true",
+        help="one best turn per conversation (ES field-collapse)",
+    )
+    s.add_argument(
         "--min-match", type=int, default=0,
         help="minimum_should_match floor: docs must match >= N distinct terms",
     )
@@ -209,6 +213,7 @@ def main(argv=None) -> int:
                 conjunctive=args.conjunctive, prefix=args.prefix,
                 fuzzy=args.fuzzy, synonyms=synonyms, delta=args.delta,
                 boosted=args.boosted, min_match=args.min_match,
+                collapse=args.collapse,
             )
             if args.out:
                 pq.write_table(hits, args.out)

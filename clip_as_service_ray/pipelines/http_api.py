@@ -204,8 +204,19 @@ def _mode_key(payload: dict) -> tuple | None:
         return ("boosted",)
     if mode == "msm":
         return ("min_match", int(payload.get("min_match", 2)))
+    if mode == "collapse":
+        return ("collapse",)
+    if mode == "bm25plus":
+        # per-request scoring variant: one lazy pool per distinct delta
+        # (deltas are a handful of curated values in practice, so the pool
+        # map stays small; the round-3 handoff flagged per-request
+        # delta/synonyms as server-level only — delta is now per-request,
+        # synonym maps stay server-level: an unbounded per-request dict
+        # would leak one pool per distinct map)
+        return ("delta", float(payload.get("delta", 1.0)))
     raise ValueError(
-        f"unknown mode {mode!r} (conjunctive|prefix|fuzzy|boosted|msm)"
+        f"unknown mode {mode!r} "
+        "(conjunctive|prefix|fuzzy|boosted|msm|collapse|bm25plus)"
     )
 
 
@@ -416,8 +427,9 @@ class SegmentedSearchHTTPServer:
         POST /index  {"turns": [{conv_id, turn_idx, role, text, ...}]}
                      -> builds the next segment; docs searchable on return
         POST /search {"queries": [{query_id, text, limit?, exclude?}],
-                      "mode"?: "conjunctive"|"prefix"|"fuzzy"|"boosted"|"msm",
-                      "fuzzy_dist"?: 2, "min_match"?: 2}
+                      "mode"?: "conjunctive"|"prefix"|"fuzzy"|"boosted"|
+                               "msm"|"collapse"|"bm25plus",
+                      "fuzzy_dist"?: 2, "min_match"?: 2, "delta"?: 1.0}
                      -> every query-language mode works against the
                      segmented index (retriever.md:180-225 contract); mode
                      pools spawn lazily, a per-query `exclude` composes

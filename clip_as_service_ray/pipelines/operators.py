@@ -5971,3 +5971,65 @@ def bm25_topk_page2(sf_dir: str, terms=BM25_QUERY_TERMS, page_size: int = 10):
         {"doc_id": pa.array(doc_ids, pa.int64()),
          "score": pa.array(scores, pa.float64())}
     )
+
+
+def events_cube(sf_dir: str):
+    """GROUP BY CUBE (event_type, day): all four grouping sets from ONE
+    corpus pass. Per-batch combiner partials aggregate at the FINEST grain
+    (type, day); after the single small groupby, the three coarser sets —
+    (type), (day), () — fold from the finest table, which has grouping-set
+    cardinality rows (types x days), driver-safe at any corpus size. 'ALL'
+    is the sentinel for a rolled-up dimension, mirroring the SQL twin's
+    COALESCE over CUBE nulls."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch.column("ts"), unit="day"), "%Y-%m-%d")
+        g = (
+            pa.table(
+                {"event_type": batch.column("event_type"), "day": day,
+                 "value": batch.column("value")}
+            )
+            .group_by(["event_type", "day"])
+            .aggregate([("value", "count"), ("value", "sum")])
+        )
+        return g.rename_columns(["event_type", "day", "n", "s"])
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"], num_partitions=2)
+        .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
+    ).to_pandas()
+
+    import pandas as pd
+
+    by_type = fine.groupby("event_type", as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+    )
+    by_type["day"] = "ALL"
+    by_day = fine.groupby("day", as_index=False).agg(
+        n_events=("n_events", "sum"), sum_value=("sum_value", "sum")
+    )
+    by_day["event_type"] = "ALL"
+    total = pd.DataFrame(
+        {"event_type": ["ALL"], "day": ["ALL"],
+         "n_events": [fine["n_events"].sum()],
+         "sum_value": [fine["sum_value"].sum()]}
+    )
+    out = pd.concat([fine, by_type, by_day, total], ignore_index=True)
+    out = out.sort_values(["event_type", "day"]).reset_index(drop=True)
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "day": pa.array(out["day"], pa.string()),
+            "n_events": pa.array(out["n_events"].to_numpy().astype(np.int64), pa.int64()),
+            "sum_value": pa.array(
+                np.round(out["sum_value"].to_numpy(), 4), pa.float64()
+            ),
+        }
+    )

@@ -213,6 +213,7 @@ class SegmentedQueryService(ScatterQueryService):
         delta: float = 0.0,
         boosted: bool = False,
         min_match: int = 0,
+        collapse: bool = False,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -231,6 +232,7 @@ class SegmentedQueryService(ScatterQueryService):
             fuzzy=fuzzy,
             boosted=boosted,
             min_match=min_match,
+            collapse=collapse,
             synonyms=synonyms,
             delta=delta,
             num_cpus=num_cpus,

@@ -190,6 +190,7 @@ class ScatterQueryService:
         delta: float = 0.0,
         boosted: bool = False,
         min_match: int = 0,
+        collapse: bool = False,
         num_cpus: float = 1,
     ):
         import ray
@@ -244,6 +245,7 @@ class ScatterQueryService:
                 fuzzy=fuzzy,
                 boosted=boosted,
                 min_match=min_match,
+                collapse=collapse,
                 synonyms=synonyms,
                 query_cache_size=config.query_cache_size,
                 delta=delta,

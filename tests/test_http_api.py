@@ -202,6 +202,22 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
                                            "queries": [
             {"query_id": 0, "text": "merge window nosuch", "limit": 5}]})["hits"]
         assert hits == []
+        # collapse: one best turn per conversation
+        hits = _post(srv.url + "/search", {"mode": "collapse", "queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
+        convs = [h["conv_id"] for h in hits]
+        assert len(convs) == len(set(convs)) > 0
+        # bm25plus: per-REQUEST delta (round-3 handoff item) — every matched
+        # doc gains at least idf*delta, so scores strictly exceed plain BM25
+        plain = _post(srv.url + "/search", {"queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
+        plus = _post(srv.url + "/search", {"mode": "bm25plus", "delta": 1.0,
+                                           "queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
+        p0 = {h["conv_id"]: h["score"] for h in plain}
+        p1 = {h["conv_id"]: h["score"] for h in plus}
+        shared = set(p0) & set(p1)
+        assert shared and all(p1[c] > p0[c] for c in shared)
         # unknown mode -> 400
         with pytest.raises(urllib.error.HTTPError) as em:
             _post(srv.url + "/search", {"mode": "nope", "queries": [

@@ -170,6 +170,7 @@ def test_segmented_modes_equal_monolithic(corpus_halves, tmp_path):
         ({"boosted": True}, ["merge^2 window", "merge window^0.5"], ""),
         ({"min_match": 2}, ["merge window stream"], ""),
         ({"boosted": True}, ["merge^3"], "stream"),  # boost-NOT
+        ({"collapse": True}, ["merge window"], ""),  # best turn per conv
     ]
     for kwargs, texts, excl in cases:
         q = {
