@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_agg": ops.events_type_agg,
         "events_type_rollup": ops.events_type_rollup,
         "events_cube": ops.events_cube,
+        "pack_sequences": ops.pack_sequences,
+        "ann_range_search": ops.ann_range_search,
         "event_prop_stats": ops.event_prop_stats,
         "events_hourly_windows": ops.events_hourly_windows,
         "user_sessions": ops.user_sessions,
@@ -940,6 +942,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, count(*)::BIGINT AS n_with_k, "
             "round(avg(CAST(props->>'k' AS BIGINT)), 6)::DOUBLE AS avg_k "
             "FROM events WHERE props->>'k' IS NOT NULL GROUP BY event_type"
+        ),
+        "ann_range_search": (  # radius query: all vectors with sim >= t
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(sim, 6)::DOUBLE AS sim FROM ("
+            "SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], "
+            "q.embedding::DOUBLE[]) AS sim FROM embeddings e CROSS JOIN q) e "
+            "WHERE sim >= 0.1 ORDER BY e.sim DESC, vec_id ASC"
+        ),
+        "pack_sequences": (  # GPT-style token-stream packing manifest
+            "WITH c AS (SELECT doc_id, "
+            "len(regexp_extract_all(lower(text), '" + _PAT_SQL + "'))::BIGINT "
+            "AS n_tokens FROM documents), "
+            "w AS (SELECT doc_id, n_tokens, COALESCE(sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "PRECEDING), 0) AS cb FROM c) "
+            "SELECT doc_id, n_tokens, (cb // 512)::BIGINT AS first_seq, "
+            "((cb + greatest(n_tokens, 1) - 1) // 512)::BIGINT AS last_seq "
+            "FROM w ORDER BY doc_id"
         ),
         "events_cube": (  # all 4 grouping sets of (event_type, day)
             "SELECT COALESCE(event_type, 'ALL') AS event_type, "

@@ -6033,3 +6033,114 @@ def events_cube(sf_dir: str):
             ),
         }
     )
+
+
+def pack_sequences(sf_dir: str, seq_len: int = 512):
+    """GPT-style sequence-packing manifest (the LLM training-data staple):
+    the corpus token stream — documents concatenated in doc_id order,
+    reference-regex tokens — is cut into fixed ``seq_len``-token training
+    sequences, documents straddling cuts. Each doc's placement is pure
+    arithmetic over the exclusive prefix sum of token counts:
+    first_seq = cum_before // L, last_seq = (cum_before + n_tokens - 1) // L
+    (a zero-token doc reports the sequence it would start in).
+
+    Distributed shape: vectorized RE2 token counts per batch; ONE global
+    sort by doc_id; then the stages/rank.py block-summary pattern — O(1)
+    per-block token-sum summaries scan on the driver (O(blocks), never the
+    rows) and each block finishes independently with its carried offset.
+    Text never shuffles; no all-to-all beyond the sort of (doc_id, count)
+    pairs. Output: (doc_id, n_tokens, first_seq, last_seq)."""
+    import ray
+    import ray.data
+
+    from clip_as_service_ray.stages.rank import scan_sum_offsets, summarize_sums
+
+    def count_fn(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch.column("text"))
+        return pa.table(
+            {
+                "_k": pa.array(np.zeros(batch.num_rows, dtype=np.int64), pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(lower, TOKEN_PATTERN_RE2), pa.int64()
+                ),
+            }
+        )
+
+    counts = (
+        _documents(sf_dir).map_batches(count_fn, batch_format="pyarrow").sort("doc_id")
+    )
+    refs = counts.to_arrow_refs()
+    if not refs:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_tokens": pa.array([], pa.int64()),
+             "first_seq": pa.array([], pa.int64()), "last_seq": pa.array([], pa.int64())}
+        )
+    summarize = ray.remote(num_cpus=0.5)(summarize_sums)
+    offs = scan_sum_offsets(
+        ray.get([summarize.remote(r, "_k", "n_tokens") for r in refs])
+    )
+
+    def pack_block(tbl: pa.Table, prev_sum: float, L: int) -> pa.Table:
+        n_tok = tbl.column("n_tokens").to_numpy().astype(np.int64)
+        cum_excl = int(round(prev_sum)) + np.cumsum(n_tok) - n_tok
+        first = cum_excl // L
+        last = (cum_excl + np.maximum(n_tok, 1) - 1) // L
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "first_seq": pa.array(first, pa.int64()),
+                "last_seq": pa.array(last, pa.int64()),
+            }
+        )
+
+    pb = ray.remote(num_cpus=0.5)(pack_block)
+    return ray.data.from_arrow_refs(
+        [pb.remote(refs[i], offs[i], seq_len) for i in range(len(refs))]
+    )
+
+
+def ann_range_search(sf_dir: str, threshold: float = 0.1):
+    """Range search (the radius-query member of the similarity family):
+    ALL vectors with cosine >= threshold against the broadcast query — the
+    per-batch matmul filters locally, so only qualifying (vec_id, sim) rows
+    ever leave a worker (result-sized output, corpus never gathers).
+    Output ordered (sim DESC, vec_id ASC)."""
+    import ray
+    import ray.data
+
+    q = _query_vector(sf_dir, 0)
+    q_ref = ray.put(q / np.linalg.norm(q))
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch.column("vec_id").to_numpy()
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1)
+            sims = (emb @ self.q) / np.where(norms == 0, 1.0, norms)
+            keep = sims >= threshold
+            return pa.table(
+                {"vec_id": pa.array(vec_ids[keep], pa.int64()),
+                 "sim": pa.array(sims[keep], pa.float64())}
+            )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    parts = ds.map_batches(Score, batch_format="pyarrow", batch_size=4096, concurrency=2)
+    tbl = pa.Table.from_pandas(parts.to_pandas(), preserve_index=False)
+    if tbl.num_rows == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
+    sims = tbl.column("sim").to_numpy()
+    vec_ids = tbl.column("vec_id").to_numpy()
+    order = np.lexsort((vec_ids, -sims))
+    return pa.table(
+        {"vec_id": pa.array(vec_ids[order], pa.int64()),
+         "sim": pa.array(np.round(sims[order], 6), pa.float64())}
+    )
