@@ -73,48 +73,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # check locally via `python scripts/check_oracle.py` (full board). Add
     # new entries to the TAIL unless they should displace a checked slot.
     return {
-        # --- 1-12: tokenize + BM25 query-mode family (the engine core) ---
-        "tokenize_terms": ops.tokenize_terms,
-        "term_df": ops.term_df,
-        "top_terms": ops.top_terms,
-        "corpus_stats": ops.corpus_stats,
-        "bm25_topk": ops.bm25_topk,
-        "bm25_topk_segmented": ops.bm25_topk_segmented,
-        "bm25_topk_deleted": ops.bm25_topk_deleted,
-        "bm25_topk_conjunctive": ops.bm25_topk_conjunctive,
+        # ORDERING IS LOAD-BEARING: the driver's CORRECTNESS snapshot
+        # verifies only the FIRST 50 dict keys. Curation rule: entries the
+        # driver has NEVER checked come first (this round's additions +
+        # the round-3 batch), entries hash-green in CORRECTNESS_r02 are
+        # rotated past the cap (they re-verify locally via
+        # scripts/check_oracle.py, which runs the FULL board).
         "bm25_topk_conjunctive_segmented": ops.bm25_topk_conjunctive_segmented,
-        "bm25_topk_negated": ops.bm25_topk_negated,
-        "bm25_topk_prefix": ops.bm25_topk_prefix,
-        "bm25_topk_fuzzy": ops.bm25_topk_fuzzy,
         "bm25_topk_synonyms": ops.bm25_topk_synonyms,
         "bm25_topk_plus": ops.bm25_topk_plus,
         "bm25_topk_filtered": ops.bm25_topk_filtered,
-        "more_like_this": ops.more_like_this,
-        # --- 13-16: positional index / phrase ---
-        "phrase_search": ops.phrase_search,
-        "proximity_search": ops.proximity_search,
-        "phrase_search_segmented": ops.phrase_search_segmented,
-        # --- 17-24: text / LLM-data pipeline ---
-        "doc_keywords": ops.doc_keywords,
-        "doc_perplexity": ops.doc_perplexity,
         "clean_documents": ops.clean_documents,
-        "token_counts": ops.token_counts,
         "langid_distribution": ops.langid_distribution,
-        # --- 25-32: deduplication family ---
-        "exact_dedup": ops.exact_dedup,
         "minhash_dup_pairs": ops.minhash_dup_pairs,
         "jaccard_dup_pairs": ops.jaccard_dup_pairs,
         "cosine_dup_pairs": ops.cosine_dup_pairs,
         "cosine_lsh_dup_pairs": ops.cosine_lsh_dup_pairs,
-        "edit_distance_dup_pairs": ops.edit_distance_dup_pairs,
         "dup_clusters": ops.dup_clusters,
         "near_dedup_keep": ops.near_dedup_keep,
-        # --- 33-36: ANN / similarity search ---
         "ann_topk": ops.ann_topk,
         "ann_topk_batch": ops.ann_topk_batch,
         "ann_ivf_topk": ops.ann_ivf_topk,
         "ann_ivfpq_topk": ops.ann_ivfpq_topk,
-        # --- 37-45: relational / TPC-H analogs + round-3 flagship class ---
         "lineitem_pricing_summary": ops.lineitem_pricing_summary,
         "revenue_filter_q6": ops.revenue_filter_q6,
         "shipping_priority_q3": ops.shipping_priority_q3,
@@ -125,20 +105,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_order_revenue": ops.small_quantity_order_revenue,
         "sole_late_supplier": ops.sole_late_supplier,
         "idle_rich_customers": ops.idle_rich_customers,
-        # --- query-assist / curation / hybrid (round-3 flagship class) ---
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
         "hybrid_rrf_topk": ops.hybrid_rrf_topk,
-        # --- 50: joins representative (never driver-checked before r03) ---
         "purchase_click_asof": ops.purchase_click_asof,
-        # ==== entries below the driver's 50-entry cap (locally checked; the
-        # ones moved down here were hash-green in CORRECTNESS_r02) ====
+        "bm25_topk_boosted": ops.bm25_topk_boosted,
+        "bm25_topk_msm": ops.bm25_topk_msm,
+        "bm25_topk_collapsed": ops.bm25_topk_collapsed,
+        "bm25_topk_page2": ops.bm25_topk_page2,
+        "nation_market_share_q8": ops.nation_market_share_q8,
+        "nation_year_profit_q9": ops.nation_year_profit_q9,
+        "customer_order_distribution_q13": ops.customer_order_distribution_q13,
+        "supplier_part_variety_q16": ops.supplier_part_variety_q16,
+        "events_cube": ops.events_cube,
+        "pack_sequences": ops.pack_sequences,
+        "ann_range_search": ops.ann_range_search,
+        "bm25_topk_plus_segmented": ops.bm25_topk_plus_segmented,
+        "percolate_documents": ops.percolate_documents,
+        "duplicate_passages": ops.duplicate_passages,
+        "parts_bought_together": ops.parts_bought_together,
+        "nation_volume_shipping": ops.nation_volume_shipping,
+        "event_value_percentiles_distributed": ops.event_value_percentiles_distributed,
+        "customer_rfm": ops.customer_rfm,
+        "user_retention": ops.user_retention,
         "customer_orders_full_outer": ops.customer_orders_full_outer,
+        # ==== entries below the driver's 50-entry cap (locally checked;
+        # the first 20 here were hash-green in CORRECTNESS_r02) ====
+        "tokenize_terms": ops.tokenize_terms,
+        "term_df": ops.term_df,
+        "top_terms": ops.top_terms,
+        "corpus_stats": ops.corpus_stats,
+        "bm25_topk": ops.bm25_topk,
+        "bm25_topk_segmented": ops.bm25_topk_segmented,
+        "bm25_topk_deleted": ops.bm25_topk_deleted,
+        "bm25_topk_conjunctive": ops.bm25_topk_conjunctive,
+        "bm25_topk_negated": ops.bm25_topk_negated,
+        "bm25_topk_prefix": ops.bm25_topk_prefix,
+        "bm25_topk_fuzzy": ops.bm25_topk_fuzzy,
+        "more_like_this": ops.more_like_this,
+        "phrase_search": ops.phrase_search,
+        "proximity_search": ops.proximity_search,
+        "phrase_search_segmented": ops.phrase_search_segmented,
+        "doc_keywords": ops.doc_keywords,
+        "doc_perplexity": ops.doc_perplexity,
+        "token_counts": ops.token_counts,
+        "exact_dedup": ops.exact_dedup,
+        "edit_distance_dup_pairs": ops.edit_distance_dup_pairs,
         "chunk_documents": ops.chunk_documents,
         "phrase_snippets": ops.phrase_snippets,
         "regex_search_documents": ops.regex_search_documents,
         "doc_quality": ops.doc_quality,
-        "event_value_percentiles_distributed": ops.event_value_percentiles_distributed,
         "event_value_histogram": ops.event_value_histogram,
         "customer_segment_revenue": ops.customer_segment_revenue,
         "promo_revenue": ops.promo_revenue,
@@ -151,9 +167,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": ops.embedding_pca,  # rows-only (eigendecomposition)
         "events_type_agg": ops.events_type_agg,
         "events_type_rollup": ops.events_type_rollup,
-        "events_cube": ops.events_cube,
-        "pack_sequences": ops.pack_sequences,
-        "ann_range_search": ops.ann_range_search,
         "event_prop_stats": ops.event_prop_stats,
         "events_hourly_windows": ops.events_hourly_windows,
         "user_sessions": ops.user_sessions,
@@ -177,12 +190,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_click_counts": ops.purchase_click_counts,
         "local_supplier_volume": ops.local_supplier_volume,
         "large_order_customers": ops.large_order_customers,
-        "bpe_vocab_top_tokens": ops.bpe_vocab_top_tokens,
+        "bpe_vocab_top_tokens": ops.bpe_vocab_top_tokens,  # rows-only
         "simhash_dup_pairs": ops.simhash_dup_pairs,  # rows-only (simhash not SQL-expressible)
         "bigram_counts": ops.bigram_counts,
         "doc_fingerprints": ops.doc_fingerprints,  # rows-only
         "training_data_pipeline": ops.training_data_pipeline,  # rows-only (sink op)
         "kmeans_embeddings": ops.kmeans_embeddings,  # rows-only (iterative)
+        "ann_topk_mmr": ops.ann_topk_mmr,  # rows-only (iterative greedy)
         "approx_top_terms": ops.approx_top_terms,  # rows-only (sketch)
         "transcripts_bm25_search": _transcripts_bm25_search,  # rows-only
         "autocomplete_prefix": ops.autocomplete_prefix,
@@ -193,22 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": ops.funnel_counts,
         "collocations": ops.collocations,
         "lineitem_correlations": ops.lineitem_correlations,
-        "user_retention": ops.user_retention,
-        "customer_rfm": ops.customer_rfm,
         "event_value_outliers": ops.event_value_outliers,
-        "bm25_topk_plus_segmented": ops.bm25_topk_plus_segmented,
-        "percolate_documents": ops.percolate_documents,
-        "duplicate_passages": ops.duplicate_passages,
-        "parts_bought_together": ops.parts_bought_together,
-        "nation_volume_shipping": ops.nation_volume_shipping,
-        "bm25_topk_boosted": ops.bm25_topk_boosted,
-        "bm25_topk_collapsed": ops.bm25_topk_collapsed,
-        "bm25_topk_page2": ops.bm25_topk_page2,
-        "bm25_topk_msm": ops.bm25_topk_msm,
-        "nation_market_share_q8": ops.nation_market_share_q8,
-        "nation_year_profit_q9": ops.nation_year_profit_q9,
-        "customer_order_distribution_q13": ops.customer_order_distribution_q13,
-        "supplier_part_variety_q16": ops.supplier_part_variety_q16,
     }
 
 

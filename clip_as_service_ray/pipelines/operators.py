@@ -6144,3 +6144,70 @@ def ann_range_search(sf_dir: str, threshold: float = 0.1):
         {"vec_id": pa.array(vec_ids[order], pa.int64()),
          "sim": pa.array(np.round(sims[order], 6), pa.float64())}
     )
+
+
+def ann_topk_mmr(sf_dir: str, k: int = 10, pool: int = 50, lam: float = 0.7):
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein,
+    SIGIR 1998): greedy selection maximizing
+    lam * sim(q, d) - (1 - lam) * max_{s in selected} sim(d, s).
+    Distributed shape: the EXPENSIVE part — scoring the whole corpus — is
+    the same per-batch broadcast-matmul scan as ann_topk, keeping only a
+    ``pool``-sized candidate set per batch; the greedy re-rank is an
+    O(pool * k) driver-side loop over the tiny merged pool (pool-sized
+    matrices, corpus-size-independent). Iterative greedy selection has no
+    SQL analog — rows-only entry. Output: (rank, vec_id, sim)."""
+    import ray
+    import ray.data
+
+    q = _query_vector(sf_dir, 0)
+    q_ref = ray.put(q / np.linalg.norm(q))
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch.column("vec_id").to_numpy()
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1)
+            unit = emb / np.where(norms == 0, 1.0, norms)[:, None]
+            sims = unit @ self.q
+            top = np.lexsort((vec_ids, -sims))[: min(pool, len(vec_ids))]
+            return pa.table(
+                {"vec_id": pa.array(vec_ids[top], pa.int64()),
+                 "sim": pa.array(sims[top], pa.float64()),
+                 "unit": pa.array(list(unit[top]), pa.list_(pa.float64()))}
+            )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    parts = ds.map_batches(Score, batch_format="pyarrow", batch_size=4096, concurrency=2)
+    tbl = pa.Table.from_pandas(parts.to_pandas(), preserve_index=False)
+    sims = np.asarray(tbl.column("sim").to_pylist(), dtype=np.float64)
+    vec_ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    units = np.array(tbl.column("unit").to_pylist(), dtype=np.float64)
+    order = np.lexsort((vec_ids, -sims))[: min(pool, len(vec_ids))]
+    sims, vec_ids, units = sims[order], vec_ids[order], units[order]
+
+    n = len(vec_ids)
+    k = min(k, n)
+    selected: list[int] = []
+    max_to_sel = np.full(n, -np.inf)
+    picked = np.zeros(n, dtype=bool)
+    for _ in range(k):
+        mmr = np.where(
+            picked, -np.inf,
+            lam * sims - (0.0 if not selected else (1.0 - lam) * max_to_sel),
+        )
+        # tie-break: highest mmr, then vec_id ASC (lexsort on masked array)
+        i = int(np.lexsort((vec_ids, -mmr))[0])
+        selected.append(i)
+        picked[i] = True
+        max_to_sel = np.maximum(max_to_sel, units @ units[i])
+    sel = np.asarray(selected)
+    return pa.table(
+        {"rank": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+         "vec_id": pa.array(vec_ids[sel], pa.int64()),
+         "sim": pa.array(np.round(sims[sel], 6), pa.float64())}
+    )
