@@ -105,6 +105,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_quantity_order_revenue": ops.small_quantity_order_revenue,
         "sole_late_supplier": ops.sole_late_supplier,
         "idle_rich_customers": ops.idle_rich_customers,
+        "min_cost_supplier": ops.min_cost_supplier,
+        "important_part_values": ops.important_part_values,
+        "promo_part_suppliers": ops.promo_part_suppliers,
+        "search_count": ops.search_count,
+        "query_facets": ops.query_facets,
+        "significant_terms": ops.significant_terms,
+        "bm25_topk_rescored": ops.bm25_topk_rescored,
+        "doc_term_vectors": ops.doc_term_vectors,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
         "hybrid_rrf_topk": ops.hybrid_rrf_topk,
@@ -262,6 +270,74 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "WHERE doc_id < 100 "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "search_count": (
+            # ES _count analog: OR-retrieval match-set size
+            "WITH tok AS (" + _TOK + ") "
+            "SELECT count(DISTINCT doc_id)::BIGINT AS n_matches FROM tok "
+            "WHERE term IN ('merge', 'window')"
+        ),
+        "query_facets": (
+            # ES terms-aggregation alongside a query: facet counts over the
+            # FULL match set via the INDEX posting union (search_facets is
+            # the corpus-scan twin of the same aggregation)
+            "WITH tok AS (" + _TOK + "), "
+            "m AS (SELECT DISTINCT doc_id FROM tok "
+            "      WHERE term IN ('merge', 'window')) "
+            "SELECT source, count(*)::BIGINT AS n_docs "
+            "FROM m JOIN documents USING (doc_id) "
+            "GROUP BY source ORDER BY source"
+        ),
+        "significant_terms": (
+            # ES significant-terms (JLH): same expression order as the
+            # engine: (fg% - bg%) * (fg% / bg%)
+            "WITH tok AS (" + _TOK + "), "
+            "fg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'), "
+            "nfg AS (SELECT count(*)::DOUBLE AS n_fg FROM fg), "
+            "nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tok), "
+            "fgdf AS (SELECT term, count(DISTINCT t.doc_id)::DOUBLE AS fg_df "
+            "         FROM tok t JOIN fg ON t.doc_id = fg.doc_id GROUP BY term), "
+            "bgdf AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df "
+            "         FROM tok GROUP BY term) "
+            "SELECT f.term, f.fg_df::BIGINT AS fg_df, "
+            "round((f.fg_df / n_fg - b.df / n_docs) "
+            "      * ((f.fg_df / n_fg) / (b.df / n_docs)), 6)::DOUBLE AS score "
+            "FROM fgdf f JOIN bgdf b ON f.term = b.term "
+            "CROSS JOIN nfg CROSS JOIN nd "
+            "WHERE f.term <> 'merge' "
+            "ORDER BY score DESC, f.term LIMIT 10"
+        ),
+        "bm25_topk_rescored": (
+            # ES rescore window + function_score(field_value_factor):
+            # both factors round to 6 before the multiply (engine parity)
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            "win AS (SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "        ORDER BY scores.score DESC, doc_id ASC LIMIT 100) "
+            "SELECT w.doc_id, "
+            "round(w.score * round(ln(1 + d.n_chars), 6), 6)::DOUBLE AS combined, "
+            "w.score AS score "
+            "FROM win w JOIN documents d USING (doc_id) "
+            "ORDER BY combined DESC, w.doc_id ASC LIMIT 10"
+        ),
+        "doc_term_vectors": (
+            # ES _termvectors analog: one doc's (term, tf, df)
+            "WITH tok AS (" + _TOK + "), "
+            "d AS (SELECT term, count(*)::BIGINT AS tf FROM tok "
+            "      WHERE doc_id = 42 GROUP BY term), "
+            "dfx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
+            "        FROM tok GROUP BY term) "
+            "SELECT d.term, d.tf, dfx.df FROM d JOIN dfx USING (term) "
+            "ORDER BY d.term"
         ),
         "bm25_topk_segmented": (  # same oracle: segmented == one-shot
             "WITH tok AS (" + _TOK + "), "
@@ -1248,6 +1324,72 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "  AND o_orderdate >= DATE '2000-01-01') "
             "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        "min_cost_supplier": (
+            # TPC-H Q2 analog: cost(part, supp) = min unit price observed in
+            # lineitem (no partsupp table); cheapest in-region supplier per
+            # size-7 part, tie-break s_suppkey ASC
+            "WITH rs AS ("
+            "  SELECT s_suppkey, s_name, s_acctbal FROM supplier "
+            "  JOIN nation ON s_nationkey = n_nationkey "
+            "  JOIN region ON n_regionkey = r_regionkey "
+            "  WHERE r_name = 'ASIA'), "
+            "cost AS ("
+            "  SELECT l_partkey, l_suppkey, "
+            "  min(l_extendedprice / l_quantity) AS c "
+            "  FROM lineitem "
+            "  JOIN part ON l_partkey = p_partkey AND p_size = 7 "
+            "  JOIN rs ON l_suppkey = s_suppkey "
+            "  GROUP BY 1, 2), "
+            "best AS (SELECT l_partkey, min(c) AS minc FROM cost GROUP BY 1), "
+            "pick AS ("
+            "  SELECT c.l_partkey, min(c.l_suppkey) AS s_suppkey "
+            "  FROM cost c JOIN best b ON c.l_partkey = b.l_partkey "
+            "  AND c.c = b.minc GROUP BY 1) "
+            "SELECT pick.l_partkey::BIGINT AS p_partkey, "
+            "pick.s_suppkey::BIGINT AS s_suppkey, rs.s_name, "
+            "round(rs.s_acctbal, 2)::DOUBLE AS s_acctbal, "
+            # round_even: unit prices are dyadic rationals (price/quantity),
+            # so exact decimal-half boundaries occur; np.round is half-even
+            "round_even(b.minc, 6)::DOUBLE AS cost "
+            "FROM pick JOIN rs ON pick.s_suppkey = rs.s_suppkey "
+            "JOIN best b ON pick.l_partkey = b.l_partkey "
+            "ORDER BY p_partkey"
+        ),
+        "important_part_values": (
+            # TPC-H Q11 analog: part value = shipped revenue via one
+            # nation's suppliers; scale-free above-the-mean threshold
+            "WITH pv AS ("
+            "  SELECT l_partkey, "  # round_even: np.round parity on halves
+            "  round_even(sum(l_extendedprice * (1 - l_discount)), 2) AS value "
+            "  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "  JOIN nation ON s_nationkey = n_nationkey "
+            "  WHERE n_name = 'NATION_3' GROUP BY 1) "
+            "SELECT l_partkey::BIGINT AS p_partkey, value::DOUBLE AS value "
+            "FROM pv WHERE value > round((SELECT avg(value) FROM pv), 6) "
+            "ORDER BY value DESC, p_partkey"
+        ),
+        "promo_part_suppliers": (
+            # TPC-H Q20 analog: a supplier over-shipped a prefix-named part
+            # when their quantity beats half the part's per-supplier average
+            "WITH pk AS ("
+            "  SELECT p_partkey FROM part WHERE p_name LIKE 'large%'), "
+            "sp AS ("
+            "  SELECT l_suppkey, l_partkey, sum(l_quantity) AS q "
+            "  FROM lineitem JOIN pk ON l_partkey = p_partkey GROUP BY 1, 2), "
+            "pt AS ("
+            "  SELECT l_partkey, sum(q) AS tq, count(*) AS ns "
+            "  FROM sp GROUP BY 1), "
+            "qual AS ("
+            "  SELECT DISTINCT sp.l_suppkey FROM sp "
+            "  JOIN pt ON sp.l_partkey = pt.l_partkey "
+            "  WHERE sp.q > 0.5 * pt.tq / pt.ns) "
+            "SELECT s_suppkey::BIGINT AS s_suppkey, s_name, "
+            "round(s_acctbal, 2)::DOUBLE AS s_acctbal "
+            "FROM qual JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE' ORDER BY s_suppkey"
         ),
         "brand_quantity_revenue": (
             # TPC-H Q19 analog: disjunctive brand/size/quantity predicates

@@ -156,6 +156,56 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
     return pa.table(cols)
 
 
+def _expand_request_synonyms(payload: dict, analyzer: str | None) -> dict:
+    """Per-request query-time synonyms WITHOUT a per-map actor pool: OR-mode
+    expansion is a pure term-set union (query.py:336-353 — each analyzed
+    query token adds its group's members as independent OR terms, then the
+    scorer re-sorts the distinct set), so appending each matched key's
+    synonym words to the query TEXT is score-identical to serving from a
+    QueryScorer(synonyms=map) pool: the downstream _qtokens re-tokenizes and
+    analyzer-folds the appended words exactly as the scorer folds map
+    values at construction. Keys fold the same way the scorer folds them
+    (fold_tokens on the key token; stopword keys drop). Composes with a
+    server-level map as chained synonym filters (server map may expand the
+    appended terms further). OR mode only — the scorer itself rejects
+    synonym expansion under conjunctive/prefix/fuzzy/boosted."""
+    syn = payload.get("synonyms")
+    if not syn:
+        return payload
+    if _mode_key(payload) is not None:
+        raise ValueError(
+            "per-request synonyms apply to the default OR mode only "
+            "(the scorer rejects expansion under other modes)"
+        )
+    from clip_as_service_ray.functions.analyzers import fold_tokens
+    from clip_as_service_ray.functions.tokenizer import tokenize
+
+    folded: dict[str, list[str]] = {}
+    for k, vs in syn.items():
+        fk = fold_tokens(analyzer, [str(k)])
+        if fk:  # key is a stopword under this analyzer -> never matches
+            folded[fk[0]] = [str(v) for v in vs]
+
+    def expand(text: str) -> str:
+        toks = set(fold_tokens(analyzer, tokenize(str(text))))
+        extra = sorted(
+            {v for key, vals in folded.items() if key in toks for v in vals}
+        )
+        return f"{text} {' '.join(extra)}" if extra else str(text)
+
+    out = dict(payload)
+    if payload.get("queries"):
+        out["queries"] = [
+            dict(q, text=expand(q.get("text", ""))) for q in payload["queries"]
+        ]
+    elif payload.get("columns"):
+        cols = dict(payload["columns"])
+        cols["text"] = [expand(t) for t in cols.get("text", [])]
+        out["columns"] = cols
+    out.pop("synonyms", None)
+    return out
+
+
 def _rank_tables(payload: dict) -> tuple[pa.Table, pa.Table]:
     """/rank body {"queries": [{"query_id", "text", "candidates":
     [{"conv_id", "turn_idx"}, ...]}]} -> (queries, candidates) tables."""
@@ -368,7 +418,11 @@ class SearchHTTPServer:
                             self._send(200, out)
                         return
                     t0 = time.time()
-                    hits = service.search(_queries_table(payload))
+                    hits = service.search(
+                        _queries_table(
+                            _expand_request_synonyms(payload, stats.get("analyzer"))
+                        )
+                    )
                     metrics.observe("search_latency", time.time() - t0)
                     metrics.inc("search_requests_total")
                     metrics.inc(
@@ -685,6 +739,9 @@ class SegmentedSearchHTTPServer:
                             ),
                         )
                     elif self.path == "/search":
+                        payload = _expand_request_synonyms(
+                            payload, outer.config.analyzer
+                        )
                         key = _mode_key(payload)  # may raise ValueError -> 400
                         if key is None:
                             svc = outer._svc  # read once: a write may swap it
@@ -856,7 +913,8 @@ class SearchHTTPClient:
         return self._request("/rank", {"queries": queries})["hits"]
 
     def search(self, queries: list[dict], *, mode: str = "",
-               fuzzy_dist: int = 2, min_match: int = 2) -> list[dict]:
+               fuzzy_dist: int = 2, min_match: int = 2,
+               synonyms: dict | None = None) -> list[dict]:
         payload: dict = {"queries": queries}
         if mode:
             payload["mode"] = mode
@@ -864,6 +922,8 @@ class SearchHTTPClient:
                 payload["fuzzy_dist"] = fuzzy_dist
             if mode == "msm":
                 payload["min_match"] = min_match
+        if synonyms:  # per-request OR-mode expansion (server rewrites text)
+            payload["synonyms"] = synonyms
         return self._request("/search", payload)["hits"]
 
     def phrase(self, queries: list[dict]) -> list[dict]:

@@ -6211,3 +6211,463 @@ def ann_topk_mmr(sf_dir: str, k: int = 10, pool: int = 50, lam: float = 0.7):
          "vec_id": pa.array(vec_ids[sel], pa.int64()),
          "sim": pa.array(np.round(sims[sel], 6), pa.float64())}
     )
+
+
+def min_cost_supplier(sf_dir: str, size: int = 7, region: str = "ASIA"):
+    """TPC-H Q2 analog (no partsupp table — the part↔supplier link is the
+    lineitem fact, cost(part, supp) = min observed unit price
+    l_extendedprice / l_quantity): for every part of one size, the
+    cheapest in-region supplier, tie-break s_suppkey ASC. Shape: both
+    dimension sides (region suppliers; size-matched partkeys) are tiny and
+    broadcast into ONE column-pruned lineitem scan; per-batch partial min
+    on a composite (part, supp) key, one small groupby-min, then the
+    argmin-with-tiebreak over the |parts|x|region suppliers| pairs table
+    on the driver (dimension-sized, never fact-sized). Unit price and min
+    are exact selections (no accumulation) so equality with the SQL twin
+    is float-exact before the final display rounding."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    SHIFT = 1 << 20
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rk = reg.filter(pc.equal(reg.column("r_name"), region)).column(
+        "r_regionkey"
+    ).to_numpy()
+    nkeys = nat.filter(
+        pc.is_in(nat.column("n_regionkey"), pa.array(rk, pa.int64()))
+    ).column("n_nationkey")
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
+    sup = sup.filter(pc.is_in(sup.column("s_nationkey"), nkeys.combine_chunks()))
+    skeys = sup.column("s_suppkey").combine_chunks()
+    sname = dict(zip(sup.column("s_suppkey").to_pylist(),
+                     sup.column("s_name").to_pylist()))
+    sbal = dict(zip(sup.column("s_suppkey").to_pylist(),
+                    sup.column("s_acctbal").to_pylist()))
+
+    pkeys = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_size"],
+        filters=[("p_size", "==", size)],
+    ).column("p_partkey").combine_chunks()
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+        filter=pc.field("l_partkey").isin(pkeys) & pc.field("l_suppkey").isin(skeys),
+    )
+
+    def unit_partial(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_partkey").to_numpy().astype(np.int64)
+        s = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        unit = (
+            batch.column("l_extendedprice").to_numpy()
+            / batch.column("l_quantity").to_numpy()
+        )
+        t = pa.table({"ps": pa.array(p * SHIFT + s, pa.int64()),
+                      "unit": pa.array(unit, pa.float64())})
+        g = t.group_by("ps").aggregate([("unit", "min")])
+        return g.rename_columns(["ps", "unit"])
+
+    pairs = pa.Table.from_pandas(
+        line.map_batches(unit_partial, batch_format="pyarrow")
+        .groupby("ps", num_partitions=4)
+        .min("unit")
+        .to_pandas(),
+        preserve_index=False,
+    )
+    if pairs.num_rows == 0:
+        return pa.table(
+            {"p_partkey": pa.array([], pa.int64()),
+             "s_suppkey": pa.array([], pa.int64()),
+             "s_name": pa.array([], pa.string()),
+             "s_acctbal": pa.array([], pa.float64()),
+             "cost": pa.array([], pa.float64())}
+        )
+    ps = pairs.column("ps").to_numpy()
+    cost = pairs.column("min(unit)").to_numpy()
+    pk = ps // SHIFT
+    sk = ps - pk * SHIFT
+    # argmin per part with (cost ASC, suppkey ASC) tie-break
+    order = np.lexsort((sk, cost, pk))
+    pk, sk, cost = pk[order], sk[order], cost[order]
+    first = np.concatenate([[True], np.diff(pk) != 0])
+    pk, sk, cost = pk[first], sk[first], cost[first]
+    return pa.table(
+        {"p_partkey": pa.array(pk, pa.int64()),
+         "s_suppkey": pa.array(sk, pa.int64()),
+         "s_name": pa.array([sname[int(s)] for s in sk], pa.string()),
+         "s_acctbal": pa.array(
+             np.round([sbal[int(s)] for s in sk], 2), pa.float64()),
+         "cost": pa.array(np.round(cost, 6), pa.float64())}
+    )
+
+
+def important_part_values(sf_dir: str, nation: str = "NATION_3"):
+    """TPC-H Q11 analog (no partsupp — value of a part is its shipped
+    revenue sum(l_extendedprice * (1 - l_discount)) via one nation's
+    suppliers): parts whose value exceeds the mean per-part value, ordered
+    value DESC. The TPC-H fraction threshold is replaced by the scale-free
+    above-the-mean rule so the entry is meaningful at every sf. Shape: the
+    nation's suppkey set broadcasts into one pruned lineitem scan;
+    per-part partial sums -> one part-cardinality groupby; the
+    mean-threshold filter runs on the (tiny) per-part value table. Both
+    sides round values to 2 and the mean to 6 before comparing."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nk = nat.filter(pc.equal(nat.column("n_name"), nation)).column("n_nationkey")
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    skeys = sup.filter(
+        pc.is_in(sup.column("s_nationkey"), nk.combine_chunks())
+    ).column("s_suppkey").combine_chunks()
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_suppkey").isin(skeys),
+    )
+
+    def val_partial(batch: pa.Table) -> pa.Table:
+        rev = batch.column("l_extendedprice").to_numpy() * (
+            1.0 - batch.column("l_discount").to_numpy()
+        )
+        t = pa.table({"l_partkey": batch.column("l_partkey"),
+                      "v": pa.array(rev, pa.float64())})
+        g = t.group_by("l_partkey").aggregate([("v", "sum")])
+        return g.rename_columns(["l_partkey", "v"])
+
+    agg = pa.Table.from_pandas(
+        line.map_batches(val_partial, batch_format="pyarrow")
+        .groupby("l_partkey", num_partitions=4)
+        .aggregate(Sum("v", alias_name="value"))
+        .to_pandas(),
+        preserve_index=False,
+    )
+    pk = agg.column("l_partkey").to_numpy().astype(np.int64)
+    val = np.round(agg.column("value").to_numpy(), 2)
+    if len(val) == 0:
+        return pa.table({"p_partkey": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.float64())})
+    thr = round(float(val.sum() / len(val)), 6)
+    keep = val > thr
+    pk, val = pk[keep], val[keep]
+    order = np.lexsort((pk, -val))
+    return pa.table({"p_partkey": pa.array(pk[order], pa.int64()),
+                     "value": pa.array(val[order], pa.float64())})
+
+
+def promo_part_suppliers(sf_dir: str, prefix: str = "large",
+                         region: str = "EUROPE"):
+    """TPC-H Q20 analog (no partsupp/availqty — a supplier 'has excess
+    stock' of a part when their shipped quantity of it exceeds half the
+    part's per-supplier average): in-region suppliers who over-shipped any
+    name-prefixed part. Shape: the prefix partkey set broadcasts into one
+    pruned lineitem scan; (supp, part) composite-key partial sums -> one
+    small groupby; the per-part totals, the 0.5 * total / n_suppliers
+    threshold, and the qualifying-supplier distinct all run on the
+    dimension-sized pairs table. Quantity sums are integral doubles so the
+    threshold comparison is exact (expression order 0.5*tq/ns matches the
+    SQL twin)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    SHIFT = 1 << 20
+
+    pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                       columns=["p_partkey", "p_name"])
+    pkeys = pt.filter(
+        pc.starts_with(pt.column("p_name"), prefix)
+    ).column("p_partkey").combine_chunks()
+
+    line = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=pc.field("l_partkey").isin(pkeys),
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_partkey").to_numpy().astype(np.int64)
+        s = batch.column("l_suppkey").to_numpy().astype(np.int64)
+        t = pa.table({"sp": pa.array(s * SHIFT + p, pa.int64()),
+                      "q": batch.column("l_quantity")})
+        g = t.group_by("sp").aggregate([("q", "sum")])
+        return g.rename_columns(["sp", "q"])
+
+    pairs = pa.Table.from_pandas(
+        line.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("sp", num_partitions=4)
+        .aggregate(Sum("q", alias_name="q"))
+        .to_pandas(),
+        preserve_index=False,
+    )
+    out_schema = {"s_suppkey": pa.array([], pa.int64()),
+                  "s_name": pa.array([], pa.string()),
+                  "s_acctbal": pa.array([], pa.float64())}
+    if pairs.num_rows == 0:
+        return pa.table(out_schema)
+    sp = pairs.column("sp").to_numpy()
+    q = pairs.column("q").to_numpy()
+    sk = sp // SHIFT
+    pk = sp - sk * SHIFT
+    # per-part total + supplier count over the pairs table (tiny)
+    upk, inv = np.unique(pk, return_inverse=True)
+    tq = np.bincount(inv, weights=q)
+    ns = np.bincount(inv)
+    qual = np.unique(sk[q > 0.5 * tq[inv] / ns[inv]])
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rk = reg.filter(pc.equal(reg.column("r_name"), region)).column("r_regionkey")
+    nkeys = nat.filter(
+        pc.is_in(nat.column("n_regionkey"), rk.combine_chunks())
+    ).column("n_nationkey")
+    sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
+    sup = sup.filter(
+        pc.and_(
+            pc.is_in(sup.column("s_nationkey"), nkeys.combine_chunks()),
+            pc.is_in(sup.column("s_suppkey"), pa.array(qual, pa.int64())),
+        )
+    ).sort_by("s_suppkey")
+    return pa.table(
+        {"s_suppkey": sup.column("s_suppkey"),
+         "s_name": sup.column("s_name"),
+         "s_acctbal": pa.array(
+             np.round(sup.column("s_acctbal").to_numpy(), 2), pa.float64())}
+    )
+
+
+def _match_doc_ids(index_dir: str, terms) -> np.ndarray:
+    """Sorted documents.doc_id array of docs containing ANY query term —
+    the OR-retrieval match set, read from the engine's own postings (only
+    the query terms' posting lists leave disk; at scale this runs per
+    shard inside the scatter service, here the reader union is the
+    driver-side equivalent). conv names invert to doc ids by the
+    zero-padded 'doc-NNN' construction of _docs_as_transcripts."""
+    from clip_as_service_ray.stages.query import IndexReader
+
+    reader = IndexReader(index_dir)
+    docs = reader.excluded_docs(" ".join(terms))  # union of postings
+    if len(docs) == 0:
+        return np.array([], dtype=np.int64)
+    convs, _turns = reader.invert_doc_ids(docs)
+    return np.array([int(c[4:]) for c in convs], dtype=np.int64)
+
+
+def search_count(sf_dir: str, terms=BM25_QUERY_TERMS):
+    """The ES `_count` API analog: number of docs matching >= 1 query term
+    (OR retrieval), counted from the inverted index WITHOUT materializing
+    hits — a posting-list union per term, never a corpus scan."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    n = len(_match_doc_ids(index_dir, terms))
+    return pa.table({"n_matches": pa.array([n], pa.int64())})
+
+
+def query_facets(sf_dir: str, terms=BM25_QUERY_TERMS):
+    """ES terms-aggregation on a query (facets): per `source` value, how
+    many docs match the OR query — counted over the FULL match set (not
+    the top-k page), the way ES aggregations run alongside hits. The match
+    set comes from the INDEX posting union (vs ``search_facets``, the
+    corpus-scan form of the same aggregation); the facet field is read
+    with doc-id predicate pushdown (only matching rows leave storage) and
+    reduced by a source-cardinality groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.pipelines.build_index import build_index
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    ids = _match_doc_ids(index_dir, terms)
+    if len(ids) == 0:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+        filter=pc.field("doc_id").isin(pa.array(ids, pa.int64())),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate([("doc_id", "count")])
+        return g.rename_columns(["source", "n_part"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return tbl.sort_by("source")
+
+
+def significant_terms(sf_dir: str, fg_term: str = "merge", k: int = 10):
+    """ES significant-terms aggregation (JLH score): terms over-represented
+    in the docs matching ``fg_term`` vs the whole corpus.
+    JLH = (fg% - bg%) * (fg% / bg%) with fg% = fg_df / n_fg,
+    bg% = df / n_docs. Shape: the foreground doc set is the term's posting
+    list (index read); foreground term df's come from ONE pushdown-filtered
+    scan over just those docs (per-batch distinct (doc, term) partials ->
+    term groupby); background df's are a predicate-pushdown dictionary
+    read of only the foreground's vocabulary. The score math runs on the
+    fg-vocabulary-sized table."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.stages.query import IndexReader
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    reader = IndexReader(index_dir)
+    n_docs = float(reader.n_docs)
+    ids = _match_doc_ids(index_dir, [fg_term])
+    n_fg = float(len(ids))
+    if n_fg == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "fg_df": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(pa.array(ids, pa.int64())),
+    )
+
+    def fg_partial(batch: pa.Table) -> pa.Table:
+        t = _tokens_flat(batch)  # per-doc distinct terms
+        g = t.group_by("term").aggregate([("doc_id", "count")])
+        return g.rename_columns(["term", "df_part"])
+
+    fg = pa.Table.from_pandas(
+        ds.map_batches(fg_partial, batch_format="pyarrow")
+        .groupby("term", num_partitions=4)
+        .aggregate(Sum("df_part", alias_name="fg_df"))
+        .to_pandas(),
+        preserve_index=False,
+    )
+    terms = fg.column("term").to_numpy(zero_copy_only=False)
+    fg_df = fg.column("fg_df").to_numpy().astype(np.float64)
+    # background df for exactly the foreground vocabulary
+    dict_tbl = pq.read_table(
+        os.path.join(index_dir, "dictionary"),
+        filters=[("term", "in", terms.tolist())],
+    )
+    dterms = dict_tbl.column("term").to_numpy(zero_copy_only=False)
+    ddf = dict_tbl.column("df").to_numpy().astype(np.float64)
+    order = np.argsort(dterms, kind="stable")
+    dterms, ddf = dterms[order], ddf[order]
+    pos = np.searchsorted(dterms, terms)
+    df = ddf[pos]  # every fg term is indexed by construction
+
+    fgp = fg_df / n_fg
+    bgp = df / n_docs
+    score = (fgp - bgp) * (fgp / bgp)
+    keep = terms != fg_term
+    terms, fg_df, score = terms[keep], fg_df[keep], score[keep]
+    score = np.round(score, 6)
+    top = np.lexsort((terms, -score))[:k]
+    return pa.table(
+        {"term": pa.array(terms[top], pa.string()),
+         "fg_df": pa.array(fg_df[top].astype(np.int64), pa.int64()),
+         "score": pa.array(score[top], pa.float64())}
+    )
+
+
+def bm25_topk_rescored(sf_dir: str, terms=BM25_QUERY_TERMS,
+                       window: int = 100, k: int = 10):
+    """ES rescore-window + function_score(field_value_factor) composed:
+    BM25 retrieves a ``window`` of candidates, then only that window is
+    re-scored by combined = score * ln(1 + n_chars) (a doc-field factor —
+    the 'boost long documents' shape) and the top-k of the window is
+    returned. The factor field is read with doc-id pushdown (window-sized,
+    never corpus-sized). Both factors round to 6 before the multiply so
+    the product is bit-reproducible against the SQL twin."""
+    import pyarrow.parquet as pq
+
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([window], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg)
+    ids = np.array(
+        [int(c[4:]) for c in hits.column("conv_id").to_pylist()], np.int64
+    )
+    score = np.round(hits.column("score").to_numpy(), 6)
+    nc = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"],
+        filters=[("doc_id", "in", ids.tolist())],
+    )
+    nid = nc.column("doc_id").to_numpy()
+    nch = nc.column("n_chars").to_numpy().astype(np.float64)
+    o = np.argsort(nid)
+    nid, nch = nid[o], nch[o]
+    factor = np.round(np.log1p(nch[np.searchsorted(nid, ids)]), 6)
+    combined = np.round(score * factor, 6)
+    top = np.lexsort((ids, -combined))[:k]
+    return pa.table(
+        {"doc_id": pa.array(ids[top], pa.int64()),
+         "combined": pa.array(combined[top], pa.float64()),
+         "score": pa.array(score[top], pa.float64())}
+    )
+
+
+def doc_term_vectors(sf_dir: str, doc_id: int = 42):
+    """The ES/Lucene _termvectors API analog: one doc's (term, tf, df)
+    triples — tf from analyzing the document, df from the index dictionary
+    via predicate-pushdown (only this doc's vocabulary leaves storage,
+    the more_like_this access path). Ordered by term."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from clip_as_service_ray.pipelines.build_index import build_index
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    row = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id") == doc_id,
+    ).take(1)
+    toks = tokenize(row[0]["text"])
+    terms, tfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    dict_tbl = pq.read_table(
+        os.path.join(index_dir, "dictionary"),
+        filters=[("term", "in", terms.tolist())],
+    )
+    dterms = dict_tbl.column("term").to_numpy(zero_copy_only=False)
+    ddf = dict_tbl.column("df").to_numpy().astype(np.int64)
+    order = np.argsort(dterms, kind="stable")
+    dterms, ddf = dterms[order], ddf[order]
+    pos = np.searchsorted(dterms, terms)
+    df = ddf[pos]
+    return pa.table(
+        {"term": pa.array(terms.astype(str), pa.string()),
+         "tf": pa.array(tfs.astype(np.int64), pa.int64()),
+         "df": pa.array(df, pa.int64())}
+    )

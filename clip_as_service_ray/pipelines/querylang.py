@@ -24,6 +24,7 @@ combination, so the parser routes boosted strings to a synonym-free pool)."""
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -192,6 +193,17 @@ def query_string_table(
                     "limit": pa.array([int(limits[i]) for i in idxs], pa.int32()),
                 }
             )
+            # eager artifact check: inside the actor pool a missing
+            # positions dir surfaces as an opaque ActorDiedError
+            from clip_as_service_ray.state import manifest as mf
+
+            if not mf.stage_done(os.path.join(index_dir, "positions")):
+                raise FileNotFoundError(
+                    f"quoted-phrase queries need the positional artifact, "
+                    f"which {index_dir!r} does not have — build it with "
+                    f"build_index(..., positions=True) or the CLI "
+                    f"`build-positions --index-dir {index_dir}`"
+                )
             hits = phrase_search_table(index_dir, qt, config, window=key[1])
             # phrase hits rank by phrase_tf (no BM25 model); surface it as
             # the score column so the union shares one flat schema

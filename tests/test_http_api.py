@@ -570,6 +570,46 @@ def test_server_level_synonyms(server, tmp_path):
         syn_srv.shutdown()
 
 
+def test_per_request_synonyms(server):
+    """A per-request synonyms map on the SAME plain server answers exactly
+    like the manually expanded query (score-identical server-side text
+    rewrite — no per-map pool), and errors under a non-OR mode."""
+    from clip_as_service_ray.functions.tokenizer import tokenize
+
+    srv, corpus = server
+    toks = []
+    for t in corpus.column("text").to_pylist()[:20]:
+        for tok in tokenize(t):
+            if tok.isalpha() and tok not in toks:
+                toks.append(tok)
+        if len(toks) >= 2:
+            break
+    a, b = toks[0], toks[1]
+    got = _post(srv.url + "/search",
+                {"queries": [{"query_id": 0, "text": a, "limit": 15}],
+                 "synonyms": {a: [b]}})
+    want = _post(srv.url + "/search",
+                 {"queries": [{"query_id": 0, "text": f"{a} {b}", "limit": 15}]})
+    assert got["hits"] == want["hits"] and len(got["hits"]) > 0
+    # a non-matching key leaves the query untouched
+    same = _post(srv.url + "/search",
+                 {"queries": [{"query_id": 0, "text": a, "limit": 15}],
+                  "synonyms": {"zzzunseen": [b]}})
+    plain = _post(srv.url + "/search",
+                  {"queries": [{"query_id": 0, "text": a, "limit": 15}]})
+    assert same["hits"] == plain["hits"]
+    # columnar form takes the same expansion
+    gotc = _post(srv.url + "/search",
+                 {"columns": {"query_id": [0], "text": [a], "limit": [15]},
+                  "synonyms": {a: [b]}})
+    assert gotc["hits"] == want["hits"]
+    # synonyms + a non-OR mode is a 400 (the scorer rejects the combination)
+    with pytest.raises(urllib.error.HTTPError):
+        _post(srv.url + "/search",
+              {"queries": [{"query_id": 0, "text": a, "limit": 15}],
+               "synonyms": {a: [b]}, "mode": "conjunctive"})
+
+
 def test_explain_over_http(server):
     srv, _ = server
     hits = _post(srv.url + "/search",

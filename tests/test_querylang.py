@@ -163,3 +163,19 @@ def test_query_string_boosted(idx):
     assert len(got) == len(want) > 0
     assert np.array_equal(got["score"].values, want["score"].values)
     assert (got["conv_id"].values == want["conv_id"].values).all()
+
+
+def test_phrase_without_positions_clear_error(ray_session, tmp_path):
+    """A quoted-phrase query against an index built WITHOUT the positional
+    artifact surfaces an actionable error naming the fix, not a raw
+    missing-file traceback."""
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.querylang import query_string_table
+    from clip_as_service_ray.sources.transcripts import synthesize_transcripts
+
+    cfg = EngineConfig(num_index_partitions=2, postings_block_size=64)
+    d = str(tmp_path / "nopos")
+    build_index(synthesize_transcripts(300, seed=7), d, cfg, overwrite=True)
+    with pytest.raises(FileNotFoundError, match="positions"):
+        query_string_table(d, ['"merge window"'], cfg)
