@@ -1349,9 +1349,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT pick.l_partkey::BIGINT AS p_partkey, "
             "pick.s_suppkey::BIGINT AS s_suppkey, rs.s_name, "
             "round(rs.s_acctbal, 2)::DOUBLE AS s_acctbal, "
-            # round_even: unit prices are dyadic rationals (price/quantity),
-            # so exact decimal-half boundaries occur; np.round is half-even
-            "round_even(b.minc, 6)::DOUBLE AS cost "
+            # plain round(): the engine's _sql_round reproduces DuckDB's
+            # scaled-half-away double rounding bit-for-bit on positives
+            "round(b.minc, 6)::DOUBLE AS cost "
             "FROM pick JOIN rs ON pick.s_suppkey = rs.s_suppkey "
             "JOIN best b ON pick.l_partkey = b.l_partkey "
             "ORDER BY p_partkey"
@@ -1360,8 +1360,10 @@ def oracle_sql() -> dict[str, str]:
             # TPC-H Q11 analog: part value = shipped revenue via one
             # nation's suppliers; scale-free above-the-mean threshold
             "WITH pv AS ("
-            "  SELECT l_partkey, "  # round_even: np.round parity on halves
-            "  round_even(sum(l_extendedprice * (1 - l_discount)), 2) AS value "
+            # per-line cent rounding before the sum (cent-multiple sums are
+            # order-independent); plain round() == the engine's _sql_round
+            "  SELECT l_partkey, "
+            "  round(sum(round(l_extendedprice * (1 - l_discount), 2)), 2) AS value "
             "  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
             "  JOIN nation ON s_nationkey = n_nationkey "
             "  WHERE n_name = 'NATION_3' GROUP BY 1) "

@@ -48,6 +48,20 @@ def _flat_bigrams(col):
 # helpers
 
 
+def _sql_round(x, d: int):
+    """DuckDB-parity rounding for POSITIVE doubles: DuckDB's round()/
+    round_even() on DOUBLE scale by 10^d and round the scaled double half
+    AWAY from zero (observed: round_even(87780.72499999999::DOUBLE, 2) =
+    87780.73 because x*100 FP-rounds to exactly ...72.5), while np.round
+    rounds the scaled half to even. floor(x * 10^d + 0.5) / 10^d
+    reproduces DuckDB bit-for-bit on positives (identical IEEE multiply,
+    identical half handling). Use this + plain round() in the SQL twin for
+    entries whose values are dyadic rationals (divisions, cent sums) where
+    exact scaled halves actually occur."""
+    p = float(10 ** d)
+    return np.floor(np.asarray(x, dtype=np.float64) * p + 0.5) / p
+
+
 def _documents(sf_dir: str, columns=("doc_id", "text")):
     import ray.data
 
@@ -6300,8 +6314,8 @@ def min_cost_supplier(sf_dir: str, size: int = 7, region: str = "ASIA"):
          "s_suppkey": pa.array(sk, pa.int64()),
          "s_name": pa.array([sname[int(s)] for s in sk], pa.string()),
          "s_acctbal": pa.array(
-             np.round([sbal[int(s)] for s in sk], 2), pa.float64()),
-         "cost": pa.array(np.round(cost, 6), pa.float64())}
+             _sql_round([sbal[int(s)] for s in sk], 2), pa.float64()),
+         "cost": pa.array(_sql_round(cost, 6), pa.float64())}
     )
 
 
@@ -6335,8 +6349,15 @@ def important_part_values(sf_dir: str, nation: str = "NATION_3"):
     )
 
     def val_partial(batch: pa.Table) -> pa.Table:
-        rev = batch.column("l_extendedprice").to_numpy() * (
-            1.0 - batch.column("l_discount").to_numpy()
+        # cent-round each line's revenue BEFORE summing (bookkeeping
+        # semantics): per-line products are computed identically on both
+        # engines, and sums of cent multiples are order-independent far
+        # beyond float noise — partial-sum order can no longer flip a
+        # 0.005 boundary against the SQL twin's sequential sum
+        rev = _sql_round(
+            batch.column("l_extendedprice").to_numpy()
+            * (1.0 - batch.column("l_discount").to_numpy()),
+            2,
         )
         t = pa.table({"l_partkey": batch.column("l_partkey"),
                       "v": pa.array(rev, pa.float64())})
@@ -6351,11 +6372,11 @@ def important_part_values(sf_dir: str, nation: str = "NATION_3"):
         preserve_index=False,
     )
     pk = agg.column("l_partkey").to_numpy().astype(np.int64)
-    val = np.round(agg.column("value").to_numpy(), 2)
+    val = _sql_round(agg.column("value").to_numpy(), 2)
     if len(val) == 0:
         return pa.table({"p_partkey": pa.array([], pa.int64()),
                          "value": pa.array([], pa.float64())})
-    thr = round(float(val.sum() / len(val)), 6)
+    thr = float(_sql_round(val.sum() / len(val), 6))
     keep = val > thr
     pk, val = pk[keep], val[keep]
     order = np.lexsort((pk, -val))
