@@ -113,6 +113,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms": ops.significant_terms,
         "bm25_topk_rescored": ops.bm25_topk_rescored,
         "doc_term_vectors": ops.doc_term_vectors,
+        "bm25_topk_suffix": ops.bm25_topk_suffix,
+        "bm25_topk_regex": ops.bm25_topk_regex,
+        "search_sort_by_field": ops.search_sort_by_field,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
         "hybrid_rrf_topk": ops.hybrid_rrf_topk,
@@ -328,6 +331,45 @@ def oracle_sql() -> dict[str, str]:
             "w.score AS score "
             "FROM win w JOIN documents d USING (doc_id) "
             "ORDER BY combined DESC, w.doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_suffix": (  # leading wildcard *er: terms LIKE '%er'
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term LIKE '%er' GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok "
+            "       WHERE term LIKE '%er' GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_regex": (  # Lucene RegexpQuery: full-match over the vocab
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE regexp_full_match(term, 's.*t') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok "
+            "       WHERE regexp_full_match(term, 's.*t') GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "search_sort_by_field": (
+            # ES sort-by-field: match set ordered by doc_id DESC, no scores
+            "WITH tok AS (" + _TOK + ") "
+            "SELECT DISTINCT doc_id FROM tok "
+            "WHERE term IN ('merge', 'window') "
+            "ORDER BY doc_id DESC LIMIT 10"
         ),
         "doc_term_vectors": (
             # ES _termvectors analog: one doc's (term, tf, df)

@@ -48,6 +48,10 @@ def main(argv=None) -> int:
     s.add_argument("--limit", type=int, default=10)
     s.add_argument("--conjunctive", action="store_true", help="AND semantics")
     s.add_argument("--prefix", action="store_true", help="wildcard prefix queries")
+    s.add_argument("--suffix", action="store_true",
+                   help="leading-wildcard *suffix queries")
+    s.add_argument("--regex", action="store_true",
+                   help="regexp term queries (Lucene RegexpQuery)")
     s.add_argument("--fuzzy", type=int, default=0, help="edit-distance expansion")
     s.add_argument(
         "--boosted", action="store_true",
@@ -213,7 +217,7 @@ def main(argv=None) -> int:
                 conjunctive=args.conjunctive, prefix=args.prefix,
                 fuzzy=args.fuzzy, synonyms=synonyms, delta=args.delta,
                 boosted=args.boosted, min_match=args.min_match,
-                collapse=args.collapse,
+                collapse=args.collapse, suffix=args.suffix, regex=args.regex,
             )
             if args.out:
                 pq.write_table(hits, args.out)

@@ -6692,3 +6692,65 @@ def doc_term_vectors(sf_dir: str, doc_id: int = 42):
          "tf": pa.array(tfs.astype(np.int64), pa.int64()),
          "df": pa.array(df, pa.int64())}
     )
+
+
+def bm25_topk_suffix(sf_dir: str, suffix: str = "er", limit: int = 10):
+    """Leading-wildcard query `*suffix` (Lucene ReverseStringFilter use
+    case): BM25 over every dictionary term ending with the suffix, each
+    with its own idf — same OR accumulation as the prefix mode."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([suffix]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, suffix=True)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.float64())}
+    )
+
+
+def bm25_topk_regex(sf_dir: str, pattern: str = "s.*t", limit: int = 10):
+    """Regexp term query (Lucene RegexpQuery analog): the pattern expands
+    over the term dictionary (full match), the matched set scored as an OR
+    query with per-term idf."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([pattern]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, regex=True)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.float64())}
+    )
+
+
+def search_sort_by_field(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
+    """ES sort-by-field: hits of the OR query ordered by a DOC FIELD
+    (doc_id DESC — 'newest first' under the monotonic-id convention)
+    instead of relevance. The match set is the index posting union; no
+    scores are computed at all (ES skips scoring when sorting by field)."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    ids = np.sort(_match_doc_ids(index_dir, terms))[::-1][:limit]
+    return pa.table({"doc_id": pa.array(ids, pa.int64())})

@@ -9,6 +9,8 @@ onto those primitives:
     merge AND window        conjunctive (every term must match)
     merge NOT part          boolean NOT (also: merge -part)
     mer*                    wildcard prefix expansion
+    *ger                    leading wildcard (suffix expansion)
+    /m.rge/                 regexp term query (full match over the vocab)
     mrge~2                  fuzzy (edit distance <= 2)
     merge^2 window          caret boost (weighted OR; weights multiply BM25)
     "merge window"          exact phrase (needs the positional artifact)
@@ -45,6 +47,8 @@ class QuerySpec:
     exclude: str = ""
     conjunctive: bool = False
     prefix: bool = False
+    suffix: bool = False
+    regex: bool = False
     fuzzy: int = 0
     boosted: bool = False
     phrase: str | None = None
@@ -111,11 +115,23 @@ def parse_query(s: str) -> QuerySpec:
     # wildcard / fuzzy markers
     cleaned: list[str] = []
     for tok in positives:
-        if tok.endswith("*") and len(tok) > 1:
+        if tok.endswith("*") and len(tok) > 1 and not tok.startswith("*"):
             if spec.prefix or len(positives) > 1:
                 raise ValueError("prefix queries take exactly one term*")
             spec.prefix = True
             cleaned.append(tok[:-1])
+            continue
+        if tok.startswith("*") and len(tok) > 1:
+            if spec.suffix or len(positives) > 1:
+                raise ValueError("suffix queries take exactly one *term")
+            spec.suffix = True
+            cleaned.append(tok[1:])
+            continue
+        if tok.startswith("/") and tok.endswith("/") and len(tok) > 2:
+            if spec.regex or len(positives) > 1:
+                raise ValueError("regex queries take exactly one /pattern/")
+            spec.regex = True
+            cleaned.append(tok[1:-1])
             continue
         fm = _FUZZY_RE.match(tok)
         if fm and "~" in tok:
@@ -132,9 +148,12 @@ def parse_query(s: str) -> QuerySpec:
         cleaned.append(tok)
     if spec.prefix and (spec.conjunctive or spec.fuzzy):
         raise ValueError("prefix does not compose with AND/fuzzy")
+    if (spec.suffix or spec.regex) and (spec.conjunctive or spec.fuzzy):
+        raise ValueError("suffix/regex do not compose with AND/fuzzy")
     if spec.conjunctive and spec.fuzzy:
         raise ValueError("fuzzy does not compose with AND")
-    if spec.boosted and (spec.conjunctive or spec.prefix or spec.fuzzy):
+    if spec.boosted and (spec.conjunctive or spec.prefix or spec.fuzzy
+                         or spec.suffix or spec.regex):
         raise ValueError("caret boosts apply to plain OR queries only")
 
     spec.terms = cleaned
@@ -182,7 +201,8 @@ def query_string_table(
         if sp.phrase is not None:
             key = ("phrase", sp.window)
         else:
-            key = ("search", sp.conjunctive, sp.prefix, sp.fuzzy, sp.boosted)
+            key = ("search", sp.conjunctive, sp.prefix, sp.fuzzy, sp.boosted,
+                   sp.suffix, sp.regex)
         shapes.setdefault(key, []).append(i)
     for key, idxs in shapes.items():
         if key[0] == "phrase":
@@ -219,7 +239,7 @@ def query_string_table(
                 )
             )
         else:
-            _, conj, pref, fz, bo = key
+            _, conj, pref, fz, bo, suf, rx = key
             cols = {
                 "query_id": pa.array([qids[i] for i in idxs], pa.int64()),
                 "text": pa.array([specs[i].text for i in idxs]),
@@ -231,7 +251,8 @@ def query_string_table(
                 search_table(
                     index_dir, pa.table(cols), config,
                     conjunctive=conj, prefix=pref, fuzzy=fz,
-                    synonyms=None if bo else synonyms, boosted=bo,
+                    synonyms=None if (bo or suf or rx) else synonyms,
+                    boosted=bo, suffix=suf, regex=rx,
                 )
             )
     if not parts:

@@ -29,6 +29,8 @@ def search(
     boosted: bool = False,
     min_match: int = 0,
     collapse: bool = False,
+    suffix: bool = False,
+    regex: bool = False,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -59,6 +61,8 @@ def search(
             "boosted": boosted,
             "min_match": min_match,
             "collapse": collapse,
+            "suffix": suffix,
+            "regex": regex,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -79,6 +83,8 @@ def search_table(
     boosted: bool = False,
     min_match: int = 0,
     collapse: bool = False,
+    suffix: bool = False,
+    regex: bool = False,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
@@ -86,7 +92,7 @@ def search_table(
         index_dir, queries, config,
         conjunctive=conjunctive, prefix=prefix, fuzzy=fuzzy,
         synonyms=synonyms, delta=delta, boosted=boosted, min_match=min_match,
-        collapse=collapse,
+        collapse=collapse, suffix=suffix, regex=regex,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

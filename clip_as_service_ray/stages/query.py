@@ -936,6 +936,69 @@ class IndexReader:
             return self._score_dense(present, limit, n_slots, exclude=excl, doc_range=doc_range)
         return self._score_dense_chunked(present, limit, n_slots, exclude=excl, doc_range=doc_range)
 
+    def expand_suffix(self, suffix: str, max_terms: int | None = None) -> list[str]:
+        """Leading-wildcard expansion ``*suffix`` (Lucene's
+        ReverseStringFilter use case): every dictionary term ending with
+        the suffix. One vocabulary pass here; the index-side scale path is
+        a REVERSED sorted dictionary making this the same searchsorted
+        range as ``expand_prefix`` (the dictionary is already a plain
+        sorted column — reversing at build adds one string kernel)."""
+        if not suffix:
+            return []
+        out = [t for t in self._terms_sorted.tolist() if t.endswith(suffix)]
+        if max_terms is not None and len(out) > max_terms:
+            raise ValueError(
+                f"suffix {suffix!r} expands to {len(out)} terms (> {max_terms})"
+            )
+        return out
+
+    def score_query_suffix(
+        self, suffix: str, limit: int, exclude_text: str = "", doc_range=None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """BM25 top-k for a ``*suffix`` query — OR over the expanded term
+        set, same canonical accumulation as ``score_query_prefix``."""
+        present = self.expand_suffix(suffix)
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        if n_slots <= self.dense_chunk_docs:
+            return self._score_dense(present, limit, n_slots, exclude=excl, doc_range=doc_range)
+        return self._score_dense_chunked(present, limit, n_slots, exclude=excl, doc_range=doc_range)
+
+    def expand_regex(self, pattern: str, max_terms: int | None = None) -> list[str]:
+        """Regexp term expansion (Lucene RegexpQuery analog): every
+        dictionary term FULLY matching the pattern. Lucene walks the term
+        dictionary per segment the same way; at 10^8-term vocabularies the
+        scan shards over the distributed dictionary table."""
+        import re as _re
+
+        if not pattern:
+            return []
+        rx = _re.compile(pattern)
+        out = [t for t in self._terms_sorted.tolist() if rx.fullmatch(t)]
+        if max_terms is not None and len(out) > max_terms:
+            raise ValueError(
+                f"regex {pattern!r} expands to {len(out)} terms (> {max_terms})"
+            )
+        return out
+
+    def score_query_regex(
+        self, pattern: str, limit: int, exclude_text: str = "", doc_range=None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """BM25 top-k for a regexp term query — OR over the matched term
+        set, each with its own idf."""
+        present = self.expand_regex(pattern)
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        if n_slots <= self.dense_chunk_docs:
+            return self._score_dense(present, limit, n_slots, exclude=excl, doc_range=doc_range)
+        return self._score_dense_chunked(present, limit, n_slots, exclude=excl, doc_range=doc_range)
+
     def expand_fuzzy(self, term: str, max_dist: int = 2) -> list[str]:
         """Fuzzy expansion: every vocabulary term within ``max_dist`` edits
         (Lucene fuzzy-query analog). Length pruning before the capped-DP
@@ -1166,12 +1229,14 @@ class QueryScorer:
         boosted: bool = False,
         min_match: int = 0,
         collapse: bool = False,
+        suffix: bool = False,
+        regex: bool = False,
     ):
         if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match,
-                          collapse))) > 1:
+                          collapse, suffix, regex))) > 1:
             raise ValueError(
                 "query modes are mutually exclusive: pick ONE of conjunctive/"
-                "prefix/fuzzy/boosted/min_match/collapse"
+                "prefix/fuzzy/boosted/min_match/collapse/suffix/regex"
             )
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         # scoring variant: delta > 0 = BM25+ (same index artifact; the
@@ -1191,7 +1256,7 @@ class QueryScorer:
         )
         self._qcache_cap = int(query_cache_size)
         if synonyms:
-            if conjunctive or prefix or fuzzy or boosted:
+            if conjunctive or prefix or fuzzy or boosted or suffix or regex:
                 raise ValueError(
                     "synonyms expand OR queries only (AND over an expanded "
                     "set would require group-match semantics; boosted "
@@ -1212,6 +1277,10 @@ class QueryScorer:
         # prefix mode: query text is a term prefix, expanded over the
         # dictionary (score_query_prefix)
         self.prefix = prefix
+        # suffix mode: leading wildcard *suffix (score_query_suffix)
+        self.suffix = suffix
+        # regex mode: query text is a term regexp (score_query_regex)
+        self.regex = regex
         # fuzzy > 0: each token expands to its edit-distance neighborhood
         self.fuzzy = int(fuzzy)
         # boosted: query text carries Lucene caret boosts ("merge^2 window")
@@ -1369,6 +1438,10 @@ class QueryScorer:
             score_fn = self.reader.score_query_conjunctive
         elif self.prefix:
             score_fn = self.reader.score_query_prefix
+        elif self.suffix:
+            score_fn = self.reader.score_query_suffix
+        elif self.regex:
+            score_fn = self.reader.score_query_regex
         elif self.boosted:
             score_fn = self.reader.score_query_boosted
         elif self.min_match:
@@ -1433,7 +1506,8 @@ class QueryScorer:
         if after_scores is not None and any(
             a is not None for a in after_scores
         ) and (self.conjunctive or self.prefix or self.fuzzy or self.boosted
-               or self.min_match or self.collapse):
+               or self.min_match or self.collapse or self.suffix
+               or self.regex):
             raise ValueError(
                 "search_after cursors apply to the default OR mode only"
             )

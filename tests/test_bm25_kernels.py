@@ -48,3 +48,56 @@ def test_topk_fast_path_equals_slow(n, k, seed, tie_levels):
     slow = _slow_topk(scores, doc_ids, k)
     assert doc_ids[fast].tolist() == doc_ids[slow].tolist()
     assert scores[fast].tolist() == scores[slow].tolist()
+
+
+def test_suffix_regex_expansion_score_parity(tmp_path, ray_session):
+    """suffix/regex modes score EXACTLY like an explicit OR query over the
+    manually expanded term set (per-term idf, canonical accumulation)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+    from clip_as_service_ray.sources.transcripts import synthesize_transcripts
+    from clip_as_service_ray.stages.query import IndexReader
+
+    cfg = EngineConfig(num_index_partitions=2, postings_block_size=64)
+    d = str(tmp_path / "sfx")
+    build_index(synthesize_transcripts(600, seed=5), d, cfg, overwrite=True)
+    reader = IndexReader(d)
+    # pick a suffix with a small expansion set
+    terms = reader._terms_sorted.tolist()
+    suf = terms[0][-2:]
+    expanded = reader.expand_suffix(suf)
+    assert terms[0] in expanded and len(expanded) >= 1
+    q = pa.table({"query_id": pa.array([0], pa.int64()), "text": [suf],
+                  "limit": pa.array([10], pa.int32())})
+    got = search_table(d, q, cfg, suffix=True)
+    qor = pa.table({"query_id": pa.array([0], pa.int64()),
+                    "text": [" ".join(expanded)],
+                    "limit": pa.array([10], pa.int32())})
+    want = search_table(d, qor, cfg)
+    assert got.column("conv_id").to_pylist() == want.column("conv_id").to_pylist()
+    np.testing.assert_array_equal(
+        got.column("score").to_numpy(), want.column("score").to_numpy()
+    )
+    # regex: same contract
+    pat = terms[0][0] + ".*"
+    expanded_r = reader.expand_regex(pat)
+    got_r = search_table(
+        d,
+        pa.table({"query_id": pa.array([0], pa.int64()), "text": [pat],
+                  "limit": pa.array([10], pa.int32())}),
+        cfg, regex=True,
+    )
+    want_r = search_table(
+        d,
+        pa.table({"query_id": pa.array([0], pa.int64()),
+                  "text": [" ".join(expanded_r)],
+                  "limit": pa.array([10], pa.int32())}),
+        cfg,
+    )
+    np.testing.assert_array_equal(
+        got_r.column("score").to_numpy(), want_r.column("score").to_numpy()
+    )

@@ -179,3 +179,39 @@ def test_phrase_without_positions_clear_error(ray_session, tmp_path):
     build_index(synthesize_transcripts(300, seed=7), d, cfg, overwrite=True)
     with pytest.raises(FileNotFoundError, match="positions"):
         query_string_table(d, ['"merge window"'], cfg)
+
+
+def test_parse_suffix_regex():
+    sp = parse_query("*ger")
+    assert sp.suffix and sp.text == "ger" and not sp.prefix
+    rx = parse_query("/m.rge/")
+    assert rx.regex and rx.text == "m.rge"
+    with pytest.raises(ValueError):
+        parse_query("*ger other")
+    with pytest.raises(ValueError):
+        parse_query("/a/ AND b")
+
+
+def test_query_string_suffix_regex_modes(idx):
+    """*suffix == search_table(suffix=True); /regex/ == regex=True —
+    score-identical through the parser path."""
+    from clip_as_service_ray.pipelines.search import search_table
+
+    d, cfg, corpus = idx
+    vocab = _vocab(corpus, 4)
+    term = max(vocab, key=len)
+    suf = term[-2:]
+    q = pa.table({"query_id": pa.array([0], pa.int64()), "text": [suf],
+                  "limit": pa.array([10], pa.int32())})
+    want = search_table(d, q, cfg, suffix=True).to_pandas()
+    got = query_string_table(d, [f"*{suf}"], cfg).to_pandas()
+    assert len(want) > 0 and len(got) == len(want)
+    assert np.array_equal(got["score"].values, want["score"].values)
+
+    pat = term[0] + ".*"
+    qr = pa.table({"query_id": pa.array([0], pa.int64()), "text": [pat],
+                   "limit": pa.array([10], pa.int32())})
+    want_r = search_table(d, qr, cfg, regex=True).to_pandas()
+    got_r = query_string_table(d, [f"/{pat}/"], cfg).to_pandas()
+    assert len(want_r) > 0 and len(got_r) == len(want_r)
+    assert np.array_equal(got_r["score"].values, want_r["score"].values)
