@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_suffix": ops.bm25_topk_suffix,
         "bm25_topk_regex": ops.bm25_topk_regex,
         "search_sort_by_field": ops.search_sort_by_field,
+        "ann_topk_sq8": ops.ann_topk_sq8,
+        "pagerank_parts": ops.pagerank_parts,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
         "hybrid_rrf_topk": ops.hybrid_rrf_topk,
@@ -1435,6 +1437,24 @@ def oracle_sql() -> dict[str, str]:
             "JOIN region ON n_regionkey = r_regionkey "
             "WHERE r_name = 'EUROPE' ORDER BY s_suppkey"
         ),
+        "pagerank_parts": (
+            # 5 unrolled power iterations over the distinct
+            # co-purchase edge set; (1 - 0.85)/n matches the
+            # engine's float expression order
+            "WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+            "      FROM dp a JOIN dp b ON a.l_orderkey = b.l_orderkey "
+            "      AND a.l_partkey <> b.l_partkey), "
+            "deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src), "
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM deg), "
+            "r0 AS (SELECT src AS node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn), "
+            "r1 AS (SELECT e.dst AS node, (SELECT (1 - 0.85) / n FROM nn) + 0.85 * sum(p.r / deg.deg) AS r FROM e JOIN r0 p ON e.src = p.node JOIN deg ON e.src = deg.src GROUP BY e.dst), "
+            "r2 AS (SELECT e.dst AS node, (SELECT (1 - 0.85) / n FROM nn) + 0.85 * sum(p.r / deg.deg) AS r FROM e JOIN r1 p ON e.src = p.node JOIN deg ON e.src = deg.src GROUP BY e.dst), "
+            "r3 AS (SELECT e.dst AS node, (SELECT (1 - 0.85) / n FROM nn) + 0.85 * sum(p.r / deg.deg) AS r FROM e JOIN r2 p ON e.src = p.node JOIN deg ON e.src = deg.src GROUP BY e.dst), "
+            "r4 AS (SELECT e.dst AS node, (SELECT (1 - 0.85) / n FROM nn) + 0.85 * sum(p.r / deg.deg) AS r FROM e JOIN r3 p ON e.src = p.node JOIN deg ON e.src = deg.src GROUP BY e.dst), "
+            "r5 AS (SELECT e.dst AS node, (SELECT (1 - 0.85) / n FROM nn) + 0.85 * sum(p.r / deg.deg) AS r FROM e JOIN r4 p ON e.src = p.node JOIN deg ON e.src = deg.src GROUP BY e.dst) "
+            "SELECT node::BIGINT AS p_partkey, round(r, 6)::DOUBLE AS pr FROM r5 ORDER BY pr DESC, p_partkey LIMIT 20"
+        ),
         "brand_quantity_revenue": (
             # TPC-H Q19 analog: disjunctive brand/size/quantity predicates
             "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS revenue, "
@@ -1458,6 +1478,16 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS n_rows FROM lineitem "
             "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' "
             "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "ann_topk_sq8": (
+            # SQ8 coarse scan + exact refine returns EXACTLY the brute
+            # top-k (pool >> k), so the twin is ann_topk's oracle verbatim
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, "
+            "round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)::DOUBLE AS sim "
+            "FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC "
+            "LIMIT 10"
         ),
         "ann_topk": (
             "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "

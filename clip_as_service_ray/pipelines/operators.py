@@ -6754,3 +6754,189 @@ def search_sort_by_field(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
     build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
     ids = np.sort(_match_doc_ids(index_dir, terms))[::-1][:limit]
     return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+
+def ann_topk_sq8(sf_dir: str, k: int = 10, pool_per_batch: int = 64):
+    """Scalar-quantized (SQ8) ANN: the int8-compressed scan + exact-refine
+    pattern (FAISS SQ8 / Lucene scalar quantization). Coarse phase scans
+    int8 codes (4x smaller than float32, 8x than float64 — at 100 TB the
+    codes fit where raw vectors do not), keeping a generous per-batch
+    candidate pool by approximate score; refine reads ONLY the pooled
+    candidates' exact vectors (vec-id pushdown) and returns their exact
+    cosine top-k. With the pool >> k the quantization margin keeps the
+    true top-k inside the pool, so the result — and the SQL twin — are
+    EXACTLY ann_topk's (the pytest pins equality; a recall-vs-pool knob is
+    the honest failure mode, not silently approximate scores)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    q = _query_vector(sf_dir, 0)
+    qu = q / np.linalg.norm(q)
+    qs = float(np.abs(qu).max() / 127.0)
+    qq = np.round(qu / qs).astype(np.int32)  # int8-ranged codes
+    q_ref = ray.put((qq, qs))
+
+    class Coarse:
+        def __init__(self):
+            self.qq, self.qs = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch.column("vec_id").to_numpy()
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1)
+            unit = emb / np.where(norms == 0, 1.0, norms)[:, None]
+            # per-vector symmetric int8 quantization of the UNIT vectors
+            xs = np.abs(unit).max(axis=1) / 127.0
+            xs = np.where(xs == 0, 1.0, xs)
+            codes = np.round(unit / xs[:, None]).astype(np.int32)
+            approx = (codes @ self.qq).astype(np.float64) * xs * self.qs
+            top = np.argsort(-approx, kind="stable")[: min(pool_per_batch, len(vec_ids))]
+            return pa.table({"vec_id": pa.array(vec_ids[top], pa.int64())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pool_ids = (
+        pa.Table.from_pandas(
+            ds.map_batches(Coarse, batch_format="pyarrow",
+                           batch_size=4096, concurrency=2).to_pandas(),
+            preserve_index=False,
+        ).column("vec_id").to_numpy()
+    )
+    # exact refine over the pooled candidates only
+    ref = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", np.unique(pool_ids).tolist())],
+    )
+    vec_ids = ref.column("vec_id").to_numpy()
+    emb = np.array(ref.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(emb, axis=1)
+    sims = (emb @ (q / np.linalg.norm(q))) / np.where(norms == 0, 1.0, norms)
+    top = np.lexsort((vec_ids, -sims))[: min(k, len(vec_ids))]
+    return pa.table(
+        {"vec_id": pa.array(vec_ids[top], pa.int64()),
+         "sim": pa.array(np.round(sims[top], 6), pa.float64())}
+    )
+
+
+def pagerank_parts(sf_dir: str, damping: float = 0.85, iters: int = 5,
+                   k: int = 20):
+    """PageRank over the part co-purchase graph (edges = distinct part
+    pairs sharing an order, both directions): ``iters`` power iterations
+    at the classic damping. Distributed shape: the edge list is built by
+    the parts_bought_together bucket expansion then made globally distinct
+    by ONE composite-key groupby; each iteration broadcasts the
+    node-sized (rank/deg) map and reduces per-dst partial sums with a
+    node-cardinality groupby — edges never leave the cluster, only the
+    O(nodes) rank table moves (web-scale graphs would range-shard the
+    rank table ShardedConvBase-style instead of broadcasting). The SQL
+    twin unrolls the same ``iters`` updates as chained CTEs."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    SHIFT = 1 << 20
+    num_buckets = 64
+
+    lp = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {"_bucket": pa.array((o % num_buckets).astype(np.int64), pa.int64()),
+             "op": pa.array(o * SHIFT + p, pa.int64())}
+        )
+
+    def expand(group: pa.Table) -> pa.Table:
+        op = np.unique(group.column("op").to_numpy())
+        okey = op // SHIFT
+        part = op - okey * SHIFT
+        n = len(op)
+        if n == 0:
+            return pa.table({"edge": pa.array([], pa.int64())})
+        seg_start = np.concatenate([[0], np.nonzero(np.diff(okey))[0] + 1])
+        seg_end = np.concatenate([seg_start[1:], [n]])
+        seg_of = np.repeat(np.arange(len(seg_start)), seg_end - seg_start)
+        partners = seg_end[seg_of] - np.arange(n) - 1
+        total = int(partners.sum())
+        a_idx = np.repeat(np.arange(n), partners)
+        csum = np.concatenate([[0], np.cumsum(partners)])
+        off = np.arange(total) - np.repeat(csum[:-1], partners) + 1
+        b_idx = a_idx + off
+        a, b = part[a_idx], part[b_idx]
+        both = np.unique(np.concatenate([a * SHIFT + b, b * SHIFT + a]))
+        return pa.table({"edge": pa.array(both, pa.int64())})
+
+    def _expand_groups(group: pa.Table) -> pa.Table:
+        return expand(group)
+
+    edges = (
+        lp.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=8)
+        .map_groups(_expand_groups, batch_format="pyarrow")
+        .groupby("edge", num_partitions=8)
+        # global distinct (the same pair can arise in many order buckets);
+        # Ray's aggregate() needs >=1 agg, so a throwaway Count rides along
+        .aggregate(Count(alias_name="_c"))
+        .materialize()  # re-read every iteration without recomputing
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("edge").to_numpy()
+        srcs, cnt = np.unique(e // SHIFT, return_counts=True)
+        return pa.table({"node": pa.array(srcs, pa.int64()),
+                         "d_part": pa.array(cnt, pa.int64())})
+
+    deg_tbl = pa.Table.from_pandas(
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("node", num_partitions=4)
+        .aggregate(Sum("d_part", alias_name="deg"))
+        .to_pandas(),
+        preserve_index=False,
+    )
+    nodes = np.sort(deg_tbl.column("node").to_numpy().astype(np.int64))
+    if len(nodes) == 0:
+        return pa.table({"p_partkey": pa.array([], pa.int64()),
+                         "pr": pa.array([], pa.float64())})
+    order = np.argsort(deg_tbl.column("node").to_numpy())
+    deg = deg_tbl.column("deg").to_numpy().astype(np.float64)[order]
+    n = float(len(nodes))
+    rank = np.full(len(nodes), 1.0 / n)
+    base = (1.0 - damping) / n
+
+    for _ in range(iters):
+        state_ref = ray.put((nodes, rank / deg))  # O(nodes), once per sweep
+
+        def contrib_partial(batch: pa.Table, _ref=state_ref) -> pa.Table:
+            nd, rd = ray.get(_ref)
+            e = batch.column("edge").to_numpy()
+            s = e // SHIFT
+            d = e - s * SHIFT
+            t = pa.table({"node": pa.array(d, pa.int64()),
+                          "c": pa.array(rd[np.searchsorted(nd, s)], pa.float64())})
+            g = t.group_by("node").aggregate([("c", "sum")])
+            return g.rename_columns(["node", "c_part"])
+
+        agg = pa.Table.from_pandas(
+            edges.map_batches(contrib_partial, batch_format="pyarrow")
+            .groupby("node", num_partitions=4)
+            .aggregate(Sum("c_part", alias_name="c"))
+            .to_pandas(),
+            preserve_index=False,
+        )
+        rank = np.full(len(nodes), base)
+        idx = np.searchsorted(nodes, agg.column("node").to_numpy())
+        rank[idx] = base + damping * agg.column("c").to_numpy()
+    rank = np.round(rank, 6)
+    top = np.lexsort((nodes, -rank))[:k]
+    return pa.table(
+        {"p_partkey": pa.array(nodes[top], pa.int64()),
+         "pr": pa.array(rank[top], pa.float64())}
+    )

@@ -181,3 +181,59 @@ def test_pca_fit_matches_direct_numpy(ray_session):
     np.testing.assert_allclose(components @ components.T, np.eye(len(mu)), atol=1e-9)
     diag = components @ cov @ components.T
     np.testing.assert_allclose(np.diag(diag), eigvals, atol=1e-9)
+
+
+def test_sq8_refine_equals_exact(ray_session):
+    """SQ8 coarse scan + exact refine returns EXACTLY the brute-force
+    top-k (the pool >> k recall contract the oracle twin relies on)."""
+    from clip_as_service_ray.pipelines.operators import ann_topk, ann_topk_sq8
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann_topk(sf, k=10)
+    sq8 = ann_topk_sq8(sf, k=10)
+    assert sq8.column("vec_id").to_pylist() == exact.column("vec_id").to_pylist()
+    import numpy as np
+    np.testing.assert_array_equal(
+        sq8.column("sim").to_numpy(), exact.column("sim").to_numpy()
+    )
+
+
+def test_pagerank_matches_local_power_iteration(ray_session):
+    """Distributed PageRank == a single-machine numpy power iteration over
+    the same distinct co-purchase edge set (5 iters, d=0.85)."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from clip_as_service_ray.pipelines.operators import pagerank_parts
+
+    sf = "/root/testdata/sf0.001"
+    got = pagerank_parts(sf)
+    con = duckdb.connect()
+    edges = con.execute(
+        "WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM "
+        f"read_parquet('{os.path.join(sf, 'lineitem.parquet')}')) "
+        "SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst FROM dp a "
+        "JOIN dp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"
+    ).df()
+    src = edges["src"].to_numpy(dtype=np.int64)
+    dst = edges["dst"].to_numpy(dtype=np.int64)
+    nodes = np.unique(src)
+    n = float(len(nodes))
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    deg = np.bincount(si).astype(np.float64)
+    rank = np.full(len(nodes), 1.0 / n)
+    for _ in range(5):
+        rank = (1.0 - 0.85) / n + 0.85 * np.bincount(
+            di, weights=rank[si] / deg[si], minlength=len(nodes)
+        )
+    # probability mass is conserved (no dangling nodes in this graph)
+    assert abs(rank.sum() - 1.0) < 1e-9
+    rank = np.round(rank, 6)
+    top = np.lexsort((nodes, -rank))[:20]
+    assert got.column("p_partkey").to_pylist() == nodes[top].tolist()
+    np.testing.assert_allclose(
+        got.column("pr").to_numpy(), rank[top], rtol=0, atol=1e-9
+    )
