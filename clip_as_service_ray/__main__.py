@@ -174,6 +174,22 @@ def main(argv=None) -> int:
     )
     c.add_argument("--index-root", required=True)
 
+    sn = sub.add_parser("snapshot", help="point-in-time index snapshot "
+                        "(hardlinked artifacts + size manifest)")
+    sn.add_argument("--index-dir", required=True)
+    sn.add_argument("--snap-dir", required=True)
+
+    rs = sub.add_parser("restore", help="restore a snapshot (manifest-verified)")
+    rs.add_argument("--snap-dir", required=True)
+    rs.add_argument("--dest", required=True)
+
+    al = sub.add_parser("alias", help="atomic alias registry (set/resolve/"
+                        "drop/list) — the zero-downtime reindex swap")
+    al.add_argument("--registry", required=True)
+    al.add_argument("--set", nargs=2, metavar=("ALIAS", "INDEX_DIR"))
+    al.add_argument("--resolve", metavar="ALIAS")
+    al.add_argument("--drop", metavar="ALIAS")
+
     args = p.parse_args(argv)
 
     import ray
@@ -305,6 +321,29 @@ def main(argv=None) -> int:
                 pass
             finally:
                 srv.shutdown()
+        elif args.cmd == "snapshot":
+            from clip_as_service_ray.pipelines.admin import snapshot_index
+
+            man = snapshot_index(args.index_dir, args.snap_dir)
+            print(json.dumps({"files": len(man["files"]),
+                              "bytes": sum(man["files"].values())}))
+        elif args.cmd == "restore":
+            from clip_as_service_ray.pipelines.admin import restore_index
+
+            man = restore_index(args.snap_dir, args.dest)
+            print(json.dumps({"files": len(man["files"]), "dest": args.dest}))
+        elif args.cmd == "alias":
+            from clip_as_service_ray.pipelines import admin
+
+            if args.set:
+                out = admin.set_alias(args.registry, args.set[0], args.set[1])
+            elif args.drop:
+                out = admin.drop_alias(args.registry, args.drop)
+            elif args.resolve:
+                out = {args.resolve: admin.resolve_alias(args.registry, args.resolve)}
+            else:
+                out = admin.list_aliases(args.registry)
+            print(json.dumps(out))
         elif args.cmd == "compact":
             from clip_as_service_ray.pipelines.segments import compact_segments
 
