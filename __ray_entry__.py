@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_sort_by_field": ops.search_sort_by_field,
         "ann_topk_sq8": ops.ann_topk_sq8,
         "pagerank_parts": ops.pagerank_parts,
+        "bm25f_topk": ops.bm25f_topk,
+        "sentence_dedup": ops.sentence_dedup,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
         "hybrid_rrf_topk": ops.hybrid_rrf_topk,
@@ -333,6 +335,42 @@ def oracle_sql() -> dict[str, str]:
             "w.score AS score "
             "FROM win w JOIN documents d USING (doc_id) "
             "ORDER BY combined DESC, w.doc_id ASC LIMIT 10"
+        ),
+        "sentence_dedup": (
+            # C4-style repeated-sentence detection; same RE2 split
+            "WITH s AS (SELECT DISTINCT doc_id, "
+            "  trim(unnest(regexp_split_to_array(lower(text), '[.!?]+')), "
+            "  ' \t\n\r') AS sentence FROM documents) "
+            "SELECT sentence, count(*)::BIGINT AS n_docs FROM s "
+            "WHERE len(sentence) >= 20 "
+            "GROUP BY sentence HAVING count(*) >= 2 "
+            "ORDER BY n_docs DESC, sentence ASC LIMIT 20"
+        ),
+        "bm25f_topk": (
+            # BM25F simple variant: title (first 8 tokens) weight 2, body
+            # weight 1; weighted tf + combined weighted length norm ==
+            # plain BM25 over the title-doubled pseudo-document
+            "WITH toks AS (SELECT doc_id, "
+            "  regexp_extract_all(lower(text), '" + _PAT_SQL + "') AS ts "
+            "  FROM documents), "
+            "tok AS ("
+            "  SELECT doc_id, unnest(ts[1:least(8, len(ts))]) AS term, "
+            "  2.0 AS w FROM toks WHERE len(ts) > 0 "
+            "  UNION ALL "
+            "  SELECT doc_id, unnest(ts[9:len(ts)]) AS term, 1.0 AS w "
+            "  FROM toks WHERE len(ts) > 8), "
+            "dl AS (SELECT doc_id, sum(w)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, sum(w)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
         ),
         "bm25_topk_suffix": (  # leading wildcard *er: terms LIKE '%er'
             "WITH tok AS (" + _TOK + "), "

@@ -6940,3 +6940,113 @@ def pagerank_parts(sf_dir: str, damping: float = 0.85, iters: int = 5,
         {"p_partkey": pa.array(nodes[top], pa.int64()),
          "pr": pa.array(rank[top], pa.float64())}
     )
+
+
+def bm25f_topk(sf_dir: str, terms=BM25_QUERY_TERMS, title_tokens: int = 8,
+               title_weight: int = 2, limit: int = 10):
+    """BM25F (simple variant / ES combined_fields): two fields per doc —
+    'title' (the first ``title_tokens`` tokens) at weight 2 and 'body' at
+    weight 1 — with field-weighted tf and a COMBINED weighted length norm.
+    For integer weights this equals plain BM25 over the pseudo-document
+    whose title repeats ``title_weight`` times (tf, dl, df, avgdl all
+    transform consistently), so the REAL engine serves it end to end: the
+    corpus adapter rebuilds each doc's text as title x2 + body (a
+    streaming map_batches — token order is irrelevant to the bag-of-words
+    model), the normal index/build/search path does the rest. The SQL
+    twin recomputes from the weighted token multiset."""
+    import ray.data
+
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir) + "_bm25f"
+
+    def fields(batch: pa.Table) -> pa.Table:
+        # vectorized pseudo-doc assembly over the flat token stream: slice
+        # each row's token list into title/body, join, and concatenate
+        # title x weight + body — no per-row Python tokenize
+        n = batch.num_rows
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        )
+        lists = pa.ListArray.from_arrays(offsets, tokens)
+        title = pc.binary_join(pc.list_slice(lists, 0, title_tokens), " ")
+        body = pc.binary_join(
+            pc.list_slice(lists, title_tokens, (1 << 30)), " "
+        )
+        pieces = [title] * title_weight + [body]
+        out = pc.binary_join_element_wise(
+            *pieces, pa.scalar(" ")  # extra spaces tokenize away
+        )
+        padded = pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 12, "0")
+        conv = pc.binary_join_element_wise(pa.scalar("doc"), padded, pa.scalar("-"))
+        return pa.table(
+            {"conv_id": pc.cast(conv, pa.string()),
+             "turn_idx": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+             "role": pa.array(["doc"] * n, pa.string()),
+             "text": pc.cast(out, pa.string())}
+        )
+
+    src = _documents(sf_dir).map_batches(fields, batch_format="pyarrow")
+    build_index(src, index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.float64())}
+    )
+
+
+def sentence_dedup(sf_dir: str, min_chars: int = 20, k: int = 20):
+    """Sentence-level exact dedup (the C4 / RefinedWeb 'repeated lines'
+    curation pass): split every doc into sentences on terminal
+    punctuation runs, normalize (lower + trim), and count DISTINCT docs
+    per sentence; sentences appearing in >= 2 docs are the boilerplate /
+    contamination candidates. Vectorized split via Arrow
+    split_pattern_regex over the batch (RE2 '[.!?]+' — no lookbehind, so
+    the SQL twin's regexp_split_to_array matches exactly); per-batch
+    (sentence, doc) distinct partials -> one sentence-keyed groupby. Only
+    sentence/count pairs shuffle, never full texts."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
+        low = pc.utf8_lower(batch.column("text"))
+        sents = pc.split_pattern_regex(low, "[.!?]+")
+        flat = pc.list_flatten(sents)
+        lens = pc.list_value_length(sents).to_numpy()
+        row_of = np.repeat(np.arange(len(doc_ids)), lens)
+        trimmed = pc.utf8_trim_whitespace(flat)
+        keep = pc.greater_equal(
+            pc.utf8_length(trimmed), pa.scalar(min_chars)
+        ).to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return pa.table({"sentence": pa.array([], pa.string()),
+                             "d_part": pa.array([], pa.int64())})
+        t = pa.table(
+            {"sentence": trimmed.filter(pa.array(keep)),
+             "doc_id": pa.array(doc_ids[row_of[keep]], pa.int64())}
+        )
+        # per-batch distinct (sentence, doc): one row per doc is enough
+        g = t.group_by(["sentence", "doc_id"]).aggregate([])
+        g2 = g.group_by("sentence").aggregate([("doc_id", "count")])
+        return g2.rename_columns(["sentence", "d_part"])
+
+    agg = (
+        _documents(sf_dir).map_batches(partial, batch_format="pyarrow")
+        .groupby("sentence", num_partitions=8)
+        .aggregate(Sum("d_part", alias_name="n_docs"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    tbl = tbl.filter(pc.greater_equal(tbl.column("n_docs"), pa.scalar(2)))
+    tbl = tbl.sort_by([("n_docs", "descending"), ("sentence", "ascending")])
+    return tbl.slice(0, k)

@@ -166,3 +166,45 @@ def test_edit_distance_pairs_vs_bruteforce(ray_session):
                 want.append((i, j, d))
     assert list(map(tuple, got[["doc_a", "doc_b", "dist"]].to_numpy())) == want
     assert len(want) >= 8  # the planted near-dups were actually found
+
+
+def test_sentence_dedup_planted_boilerplate(ray_session, tmp_path):
+    """sentence_dedup finds planted repeated sentences (engine vs a DuckDB
+    recomputation over the same synthetic punctuated corpus). The driver
+    corpus has no punctuation, so the oracle entry is trivially empty —
+    this pins the non-trivial path."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clip_as_service_ray.pipelines.operators import sentence_dedup
+
+    boiler = "subscribe to our newsletter for updates"
+    legal = "all rights reserved by the original author"
+    docs = []
+    for i in range(30):
+        parts = [f"unique sentence number {i} with some extra words"]
+        if i % 3 == 0:
+            parts.append(boiler)
+        if i % 5 == 0:
+            parts.append(legal)
+        docs.append(". ".join(parts) + ".")
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(30), pa.int64()),
+                  "text": pa.array(docs)}),
+        str(sf / "documents.parquet"),
+    )
+    got = sentence_dedup(str(sf)).to_pandas()
+    want = duckdb.sql(
+        "WITH s AS (SELECT DISTINCT doc_id, trim(unnest("
+        "regexp_split_to_array(lower(text), '[.!?]+')), ' \t\n\r') AS sentence "
+        f"FROM read_parquet('{sf}/documents.parquet')) "
+        "SELECT sentence, count(*)::BIGINT AS n_docs FROM s "
+        "WHERE len(sentence) >= 20 GROUP BY 1 HAVING count(*) >= 2 "
+        "ORDER BY n_docs DESC, sentence LIMIT 20"
+    ).df()
+    assert got["sentence"].tolist() == want["sentence"].tolist()
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    assert boiler in got["sentence"].tolist() and legal in got["sentence"].tolist()
