@@ -120,6 +120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_parts": ops.pagerank_parts,
         "bm25f_topk": ops.bm25f_topk,
         "sentence_dedup": ops.sentence_dedup,
+        "basket_lift": ops.basket_lift,
+        "ann_topk_filtered": ops.ann_topk_filtered,
+        "event_type_transitions": ops.event_type_transitions,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
         "hybrid_rrf_topk": ops.hybrid_rrf_topk,
@@ -335,6 +338,37 @@ def oracle_sql() -> dict[str, str]:
             "w.score AS score "
             "FROM win w JOIN documents d USING (doc_id) "
             "ORDER BY combined DESC, w.doc_id ASC LIMIT 10"
+        ),
+        "basket_lift": (
+            # association rules over co-purchased parts; expression order
+            # mirrors the engine (support=n/N, conf=n/ca, lift=n*N/(ca*cb))
+            "WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "  count(*)::DOUBLE AS n FROM dp a JOIN dp b "
+            "  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "  GROUP BY 1, 2), "
+            "pcnt AS (SELECT l_partkey, count(*)::DOUBLE AS c FROM dp GROUP BY 1), "
+            "no AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n FROM lineitem) "
+            "SELECT part_a::BIGINT AS part_a, part_b::BIGINT AS part_b, "
+            "pairs.n::BIGINT AS n_orders, "
+            "round(pairs.n / no.n, 6)::DOUBLE AS support, "
+            "round(pairs.n / ca.c, 6)::DOUBLE AS confidence, "
+            "round(pairs.n * no.n / (ca.c * cb.c), 6)::DOUBLE AS lift "
+            "FROM pairs JOIN pcnt ca ON part_a = ca.l_partkey "
+            "JOIN pcnt cb ON part_b = cb.l_partkey CROSS JOIN no "
+            "WHERE pairs.n >= 3 "
+            "ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT 20"
+        ),
+        "event_type_transitions": (
+            # first-order Markov chain over per-user event streams
+            "WITH e AS (SELECT user_id, event_type, lag(event_type) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+            "t AS (SELECT prev AS src, event_type AS dst, count(*)::DOUBLE AS n "
+            "      FROM e WHERE prev IS NOT NULL GROUP BY 1, 2), "
+            "s AS (SELECT src, sum(n) AS tot FROM t GROUP BY 1) "
+            "SELECT t.src, t.dst, t.n::BIGINT AS n, "
+            "round(t.n / s.tot, 6)::DOUBLE AS p FROM t JOIN s USING (src) "
+            "ORDER BY t.n DESC, t.src ASC, t.dst ASC LIMIT 20"
         ),
         "sentence_dedup": (
             # C4-style repeated-sentence detection; same RE2 split
@@ -1516,6 +1550,15 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS n_rows FROM lineitem "
             "WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01' "
             "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "ann_topk_filtered": (
+            # filtered vector search: label predicate BEFORE top-k
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, "
+            "round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)::DOUBLE AS sim "
+            "FROM embeddings e, q WHERE e.label = 3 "
+            "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC "
+            "LIMIT 10"
         ),
         "ann_topk_sq8": (
             # SQ8 coarse scan + exact refine returns EXACTLY the brute

@@ -248,6 +248,10 @@ def _mode_key(payload: dict) -> tuple | None:
         return ("conjunctive",)
     if mode == "prefix":
         return ("prefix",)
+    if mode == "suffix":
+        return ("suffix",)
+    if mode == "regex":
+        return ("regex",)
     if mode == "fuzzy":
         return ("fuzzy", int(payload.get("fuzzy_dist", 2)))
     if mode == "boosted":
@@ -266,7 +270,8 @@ def _mode_key(payload: dict) -> tuple | None:
         return ("delta", float(payload.get("delta", 1.0)))
     raise ValueError(
         f"unknown mode {mode!r} "
-        "(conjunctive|prefix|fuzzy|boosted|msm|collapse|bm25plus)"
+        "(conjunctive|prefix|suffix|regex|fuzzy|boosted|msm|collapse|"
+        "bm25plus)"
     )
 
 

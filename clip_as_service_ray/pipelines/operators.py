@@ -7050,3 +7050,228 @@ def sentence_dedup(sf_dir: str, min_chars: int = 20, k: int = 20):
     tbl = tbl.filter(pc.greater_equal(tbl.column("n_docs"), pa.scalar(2)))
     tbl = tbl.sort_by([("n_docs", "descending"), ("sentence", "ascending")])
     return tbl.slice(0, k)
+
+
+def basket_lift(sf_dir: str, min_pair_orders: int = 3, k: int = 20):
+    """Association rules over co-purchased parts: for part pairs sharing
+    >= ``min_pair_orders`` orders, support / confidence / lift. Reuses the
+    parts_bought_together exchange (order-bucket pair expansion, two
+    shuffles); per-part order counts ride the same distinct (order, part)
+    partials, so the whole operator reads lineitem ONCE. The rule stats
+    run on the pair-cardinality table. Expression order matches the SQL
+    twin: support = pair/n, conf = pair/cnt_a, lift = (pair*n)/(cnt_a*cnt_b)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    SHIFT = 1 << 20
+    num_buckets = 64
+
+    lp = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {"_bucket": pa.array((o % num_buckets).astype(np.int64), pa.int64()),
+             "op": pa.array(o * SHIFT + p, pa.int64())}
+        )
+
+    def expand(group: pa.Table) -> pa.Table:
+        # in-bucket distinct == global distinct (order -> one bucket); emits
+        # ordered pairs a<b plus per-part order-count partials (part, -1)
+        op = np.unique(group.column("op").to_numpy())
+        okey = op // SHIFT
+        part = op - okey * SHIFT
+        n = len(op)
+        if n == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        seg_start = np.concatenate([[0], np.nonzero(np.diff(okey))[0] + 1])
+        seg_end = np.concatenate([seg_start[1:], [n]])
+        seg_of = np.repeat(np.arange(len(seg_start)), seg_end - seg_start)
+        partners = seg_end[seg_of] - np.arange(n) - 1
+        total = int(partners.sum())
+        a_idx = np.repeat(np.arange(n), partners)
+        csum = np.concatenate([[0], np.cumsum(partners)])
+        off = np.arange(total) - np.repeat(csum[:-1], partners) + 1
+        b_idx = a_idx + off
+        pk, ck = np.unique(part[a_idx] * SHIFT + part[b_idx], return_counts=True)
+        # per-part order counts share the exchange under key = part (SHIFT=0 lane)
+        sk, sc = np.unique(part, return_counts=True)
+        return pa.table(
+            {"key": pa.array(np.concatenate([pk, -sk - 1]), pa.int64()),
+             "c": pa.array(np.concatenate([ck, sc]), pa.int64())}
+        )
+
+    def _expand_groups(group: pa.Table) -> pa.Table:
+        return expand(group)
+
+    agg = pa.Table.from_pandas(
+        lp.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=8)
+        .map_groups(_expand_groups, batch_format="pyarrow")
+        .groupby("key", num_partitions=8)
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas(),
+        preserve_index=False,
+    )
+    key = agg.column("key").to_numpy()
+    cnt = agg.column("n").to_numpy().astype(np.float64)
+    is_part = key < 0
+    pids = (-key[is_part] - 1).astype(np.int64)
+    order_cnt = dict(zip(pids.tolist(), cnt[is_part].tolist()))
+    pk = key[~is_part]
+    pair_n = cnt[~is_part]
+    a = (pk // SHIFT).astype(np.int64)
+    b = (pk - a * SHIFT).astype(np.int64)
+    keep = pair_n >= min_pair_orders
+    a, b, pair_n = a[keep], b[keep], pair_n[keep]
+    n_orders = float(
+        pa.Table.from_pandas(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+            ).map_batches(
+                lambda t: pa.table(
+                    {"o": pa.array(np.unique(t.column("l_orderkey").to_numpy()))}
+                ),
+                batch_format="pyarrow",
+            ).groupby("o", num_partitions=4).count().to_pandas(),
+            preserve_index=False,
+        ).num_rows
+    )
+    ca = np.array([order_cnt[int(x)] for x in a])
+    cb = np.array([order_cnt[int(x)] for x in b])
+    support = np.round(pair_n / n_orders, 6)
+    conf = np.round(pair_n / ca, 6)
+    lift = np.round(pair_n * n_orders / (ca * cb), 6)
+    order = np.lexsort((b, a, -lift))[:k]
+    return pa.table(
+        {"part_a": pa.array(a[order], pa.int64()),
+         "part_b": pa.array(b[order], pa.int64()),
+         "n_orders": pa.array(pair_n[order].astype(np.int64), pa.int64()),
+         "support": pa.array(support[order], pa.float64()),
+         "confidence": pa.array(conf[order], pa.float64()),
+         "lift": pa.array(lift[order], pa.float64())}
+    )
+
+
+def event_type_transitions(sf_dir: str, k: int = 20):
+    """First-order Markov transitions over each user's time-ordered event
+    stream: count (prev_type -> type) pairs and the per-source transition
+    probability. Shape: user-hash bucket shuffle (a user's events land in
+    one group), in-group vectorized lexsort + shift for the lag — the
+    same distributed-lag structure as user_interevent_gap — then a tiny
+    (type x type) aggregate. Ties inside a user's identical timestamps
+    break by event_id, matching the SQL twin's ORDER BY (ts, event_id)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    num_buckets = 64
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        return batch.append_column(
+            "_bucket", pa.array((u % num_buckets).astype(np.int64), pa.int64())
+        )
+
+    def trans(group: pa.Table) -> pa.Table:
+        u = group.column("user_id").to_numpy()
+        ts = group.column("ts").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u, et = u[order], et[order]
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        # rows i with same[i]: (prev=et[i-1], cur=et[i]) within one user
+        idx = np.nonzero(same)[0]
+        if len(idx) == 0:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        pairs = pd.DataFrame({"src": et[idx - 1], "dst": et[idx]})
+        g = pairs.groupby(["src", "dst"], as_index=False).size()
+        return pa.table(
+            {"src": pa.array(g["src"], pa.string()),
+             "dst": pa.array(g["dst"], pa.string()),
+             "c": pa.array(g["size"].to_numpy(), pa.int64())}
+        )
+
+    def _trans_groups(group: pa.Table) -> pa.Table:
+        return trans(group)
+
+    agg = pa.Table.from_pandas(
+        ev.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=8)
+        .map_groups(_trans_groups, batch_format="pyarrow")
+        .to_pandas(),
+        preserve_index=False,
+    )
+    df = agg.to_pandas().groupby(["src", "dst"], as_index=False)["c"].sum()
+    tot = df.groupby("src")["c"].transform("sum").to_numpy().astype(np.float64)
+    cnt = df["c"].to_numpy().astype(np.float64)
+    prob = np.round(cnt / tot, 6)
+    out = pa.table(
+        {"src": pa.array(df["src"], pa.string()),
+         "dst": pa.array(df["dst"], pa.string()),
+         "n": pa.array(cnt.astype(np.int64), pa.int64()),
+         "p": pa.array(prob, pa.float64())}
+    )
+    idx = np.lexsort((df["dst"].to_numpy(), df["src"].to_numpy(), -cnt))[:k]
+    return out.take(pa.array(idx, pa.int64()))
+
+
+def ann_topk_filtered(sf_dir: str, label: int = 3, k: int = 10):
+    """Metadata-FILTERED vector search (the filtered-ANN problem): cosine
+    top-k restricted to rows with a given ``label``. Pre-filtering at the
+    READ (label predicate pushdown — only matching row groups leave
+    storage) then the same broadcast-query matmul scan as ann_topk; the
+    selective-filter regime where post-filtering an unfiltered ANN result
+    under-fills k."""
+    import ray
+    import ray.data
+
+    q = _query_vector(sf_dir, 0)
+    q_ref = ray.put(q / np.linalg.norm(q))
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch.column("vec_id").to_numpy()
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1)
+            sims = (emb @ self.q) / np.where(norms == 0, 1.0, norms)
+            top = np.lexsort((vec_ids, -sims))[: min(k, len(vec_ids))]
+            return pa.table(
+                {"vec_id": pa.array(vec_ids[top], pa.int64()),
+                 "sim": pa.array(sims[top], pa.float64())}
+            )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pc.field("label") == label,
+    )
+    parts = ds.map_batches(Score, batch_format="pyarrow", batch_size=4096,
+                           concurrency=2)
+    tbl = pa.Table.from_pandas(parts.to_pandas(), preserve_index=False)
+    if tbl.num_rows == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    sims = tbl.column("sim").to_numpy()
+    vec_ids = tbl.column("vec_id").to_numpy()
+    top = np.lexsort((vec_ids, -sims))[: min(k, len(vec_ids))]
+    return pa.table(
+        {"vec_id": pa.array(vec_ids[top], pa.int64()),
+         "sim": pa.array(np.round(sims[top], 6), pa.float64())}
+    )

@@ -214,6 +214,8 @@ class SegmentedQueryService(ScatterQueryService):
         boosted: bool = False,
         min_match: int = 0,
         collapse: bool = False,
+        suffix: bool = False,
+        regex: bool = False,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -233,6 +235,8 @@ class SegmentedQueryService(ScatterQueryService):
             boosted=boosted,
             min_match=min_match,
             collapse=collapse,
+            suffix=suffix,
+            regex=regex,
             synonyms=synonyms,
             delta=delta,
             num_cpus=num_cpus,

@@ -191,6 +191,8 @@ class ScatterQueryService:
         boosted: bool = False,
         min_match: int = 0,
         collapse: bool = False,
+        suffix: bool = False,
+        regex: bool = False,
         num_cpus: float = 1,
     ):
         import ray
@@ -223,7 +225,8 @@ class ScatterQueryService:
             raise ValueError(
                 f"segments built with different analyzers: {sorted(map(str, analyzers))}"
             )
-        # boolean/prefix/fuzzy/boosted/msm modes are shard-safe: each shard
+        # boolean/prefix/suffix/regex/fuzzy/boosted/msm modes are
+        # shard-safe: each shard
         # expands over its LOCAL vocabulary but scores with the UNION df/idf — a term
         # present only in other shards contributes zero to this shard's docs
         # either way, so scatter results are bit-identical to a monolithic
@@ -246,6 +249,8 @@ class ScatterQueryService:
                 boosted=boosted,
                 min_match=min_match,
                 collapse=collapse,
+                suffix=suffix,
+                regex=regex,
                 synonyms=synonyms,
                 query_cache_size=config.query_cache_size,
                 delta=delta,

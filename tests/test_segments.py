@@ -171,6 +171,8 @@ def test_segmented_modes_equal_monolithic(corpus_halves, tmp_path):
         ({"min_match": 2}, ["merge window stream"], ""),
         ({"boosted": True}, ["merge^3"], "stream"),  # boost-NOT
         ({"collapse": True}, ["merge window"], ""),  # best turn per conv
+        ({"suffix": True}, ["ge", "dow"], ""),  # leading wildcard *suffix
+        ({"regex": True}, ["m.rge", "w.*w"], ""),  # regexp term query
     ]
     for kwargs, texts, excl in cases:
         q = {
