@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_dedup": ops.sentence_dedup,
         "basket_lift": ops.basket_lift,
         "ann_topk_filtered": ops.ann_topk_filtered,
+        "proximity_search_span": ops.proximity_search_span,
         "event_type_transitions": ops.event_type_transitions,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
@@ -1036,6 +1037,22 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(u.urgent_orders, 0)::BIGINT AS urgent_orders, "
             "round(coalesce(u.urgent_total, 0.0), 2)::DOUBLE AS urgent_total "
             "FROM b FULL OUTER JOIN u USING (custkey)"
+        ),
+        "proximity_search_span": (
+            # N-term span_near (anchored at 'merge'): tuples with every
+            # other term within 6 tokens of an anchor occurrence
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "             unnest(range(len(ts))) AS pos "
+            "  FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents)) "
+            "SELECT a.doc_id, count(*)::BIGINT AS n_tuples "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id "
+            "  AND abs(a.pos - b.pos) <= 6 "
+            "JOIN tok c ON c.doc_id = a.doc_id "
+            "  AND abs(a.pos - c.pos) <= 6 "
+            "WHERE a.term = 'merge' AND b.term = 'window' AND c.term = 'join' "
+            "GROUP BY a.doc_id "
+            "ORDER BY n_tuples DESC, a.doc_id ASC LIMIT 10"
         ),
         "proximity_search": (
             # windowed co-occurrence: all (occurrence_a, occurrence_b) pairs

@@ -7275,3 +7275,35 @@ def ann_topk_filtered(sf_dir: str, label: int = 3, k: int = 10):
         {"vec_id": pa.array(vec_ids[top], pa.int64()),
          "sim": pa.array(np.round(sims[top], 6), pa.float64())}
     )
+
+
+def proximity_search_span(
+    sf_dir: str, terms=("merge", "window", "join"), window: int = 6,
+    limit: int = 10,
+):
+    """N-term proximity (Lucene span_near analog, anchored form) through
+    the positional index: docs where every term occurs within ``window``
+    tokens of some occurrence of the FIRST term, ranked by anchored tuple
+    count — the SQL twin is the N-way positional self-join with
+    abs(pos_anchor - pos_i) <= window per other term."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import (
+        build_positions,
+        phrase_search_table,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    build_positions(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    q = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = phrase_search_table(index_dir, q, cfg, window=window)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "n_tuples": hits.column("phrase_tf")}
+    )

@@ -232,11 +232,16 @@ class PhraseScorer:
             k = int(limit or self.default_limit)
             if window:
                 terms = self.reader.query_tokens(text or "")
-                if len(terms) != 2:
-                    raise ValueError("proximity mode expects exactly 2 terms")
-                docs, tfs, firsts = self.reader.cooccur_docs(
-                    terms[0], terms[1], int(window)
-                )
+                if len(terms) < 2:
+                    raise ValueError("proximity mode expects >= 2 terms")
+                if len(terms) == 2:
+                    docs, tfs, firsts = self.reader.cooccur_docs(
+                        terms[0], terms[1], int(window)
+                    )
+                else:  # N-term span_near (anchored at the first term)
+                    docs, tfs, firsts = self.reader.span_near_docs(
+                        terms, int(window)
+                    )
             else:
                 docs, tfs, firsts = self.reader.phrase_docs(text or "")
             if len(docs) == 0:

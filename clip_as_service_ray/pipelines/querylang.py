@@ -68,8 +68,8 @@ def parse_query(s: str) -> QuerySpec:
     if m:
         spec.phrase = m.group("body").strip()
         spec.window = int(m.group("win") or 0)
-        if spec.window and len(spec.phrase.split()) != 2:
-            raise ValueError("proximity form \"a b\"~N takes exactly 2 terms")
+        if spec.window and len(spec.phrase.split()) < 2:
+            raise ValueError('proximity form "a b"~N takes >= 2 terms')
         return spec
     if '"' in s:
         raise ValueError(

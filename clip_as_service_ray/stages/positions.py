@@ -680,6 +680,56 @@ class PositionsReader:
             toks = fold_tokens(self.analyzer, toks)
         return toks
 
+    def span_near_docs(
+        self, terms: list[str], window: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """N-term proximity (Lucene span_near analog, anchored form): docs
+        where EVERY term occurs within ``window`` tokens of some occurrence
+        of the FIRST term (the anchor). Per anchor occurrence the tuple
+        count is the product over other terms of their in-window occurrence
+        counts — the SQL self-join contract (t1 a JOIN t2 b ON
+        |pa-pb|<=W JOIN t3 c ON |pa-pc|<=W ... counts exactly these
+        tuples). Two searchsorted range queries per (anchor occurrence,
+        other term) against cached full key arrays — no doc intersection
+        pass, no filtered copies. For two terms this IS cooccur_docs."""
+        empty = (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+        )
+        if len(terms) < 2:
+            raise ValueError("span_near needs at least 2 terms")
+        ka = self.term_keys(terms[0])
+        if ka is None:
+            return empty
+        others = []
+        for t in terms[1:]:
+            kt = self.term_keys(t)
+            if kt is None:
+                return empty
+            others.append(kt)
+        doc_a = ka // POS_SHIFT
+        pos_a = ka - doc_a * POS_SHIFT
+        per_occ = np.ones(len(ka), dtype=np.int64)
+        for kb in others:
+            lo = np.searchsorted(
+                kb, doc_a * POS_SHIFT + np.maximum(pos_a - window, 0)
+            )
+            hi = np.searchsorted(
+                kb, doc_a * POS_SHIFT + np.minimum(pos_a + window + 1, POS_SHIFT)
+            )
+            per_occ *= (hi - lo).astype(np.int64)
+        change = np.nonzero(np.diff(doc_a) != 0)[0] + 1
+        starts = np.concatenate([[0], change])
+        docs = doc_a[starts]
+        counts = np.add.reduceat(per_occ, starts)
+        keep = counts > 0
+        qidx = np.nonzero(per_occ > 0)[0]
+        qdocs, qfirst = np.unique(doc_a[qidx], return_index=True)
+        first = pos_a[qidx[qfirst]]
+        assert np.array_equal(qdocs, docs[keep])
+        return docs[keep], counts[keep], first
+
     def cooccur_docs(
         self, term_a: str, term_b: str, window: int
     ) -> tuple[np.ndarray, np.ndarray]:

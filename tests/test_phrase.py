@@ -376,6 +376,52 @@ def test_proximity_matches_bruteforce(phrase_index):
         assert got == want, (ta, tb, win)
 
 
+def test_span_near_matches_bruteforce(phrase_index):
+    """N-term proximity (anchored span_near): per anchor occurrence the
+    tuple count is the product of in-window occurrence counts of every
+    other term — mirrors the SQL N-way positional self-join."""
+    from clip_as_service_ray.pipelines.phrase import phrase_search_table
+
+    rows, idx, cfg = phrase_index
+    for terms, win in [
+        (("alpha", "beta", "gamma"), 4),
+        (("echo", "fox", "golf"), 2),
+        (("beta", "alpha", "alpha"), 3),  # repeated non-anchor term
+        (("delta", "echo", "fox", "golf"), 6),  # 4 terms
+        (("alpha", "beta", "zeta"), 5),  # absent term -> empty
+    ]:
+        q = pa.table(
+            {
+                "query_id": pa.array([0], pa.int64()),
+                "text": [" ".join(terms)],
+                "limit": pa.array([10_000], pa.int32()),
+            }
+        )
+        hits = phrase_search_table(idx, q, cfg, window=win)
+        got = {
+            (hits.column("conv_id")[i].as_py(), hits.column("turn_idx")[i].as_py()):
+                hits.column("phrase_tf")[i].as_py()
+            for i in range(hits.num_rows)
+        }
+        want = {}
+        for conv_id, ti, _, text in rows:
+            toks = tokenize(text)
+            total = 0
+            for i, x in enumerate(toks):
+                if x != terms[0]:
+                    continue
+                prod = 1
+                for t in terms[1:]:
+                    prod *= sum(
+                        1 for j, y in enumerate(toks)
+                        if y == t and abs(i - j) <= win
+                    )
+                total += prod
+            if total:
+                want[(conv_id, ti)] = total
+        assert got == want, (terms, win)
+
+
 def test_segmented_phrase_equals_monolithic(phrase_index, tmp_path):
     """Phrase search across incremental segments (disjoint conv halves) ==
     monolithic positional index over the union; tombstoned convs filtered

@@ -51,10 +51,15 @@ def test_parse_rejects_inexpressible():
         "a* AND b",             # prefix + AND
         "a~1 b~2",              # conflicting distances
         "merge NOT",            # dangling NOT
-        '"a b c"~4',            # proximity needs exactly 2 terms
+        '"a"~4',                # proximity needs >= 2 terms
     ):
         with pytest.raises(ValueError):
             parse_query(bad)
+
+
+def test_parse_span_near():
+    sp = parse_query('"a b c"~4')
+    assert sp.phrase == "a b c" and sp.window == 4
 
 
 def test_parse_empty():
