@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_lift": ops.basket_lift,
         "ann_topk_filtered": ops.ann_topk_filtered,
         "proximity_search_span": ops.proximity_search_span,
+        "bm25_topk_term_range": ops.bm25_topk_term_range,
         "event_type_transitions": ops.event_type_transitions,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
@@ -415,6 +416,22 @@ def oracle_sql() -> dict[str, str]:
             "       WHERE term LIKE '%er' GROUP BY doc_id, term), "
             "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok "
             "       WHERE term LIKE '%er' GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_term_range": (  # Lucene TermRangeQuery: [scan TO sort}
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term >= 'scan' AND term < 'sort' GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok "
+            "       WHERE term >= 'scan' AND term < 'sort' GROUP BY term), "
             "scores AS (SELECT tf.doc_id, "
             "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
             "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "

@@ -52,6 +52,8 @@ def main(argv=None) -> int:
                    help="leading-wildcard *suffix queries")
     s.add_argument("--regex", action="store_true",
                    help="regexp term queries (Lucene RegexpQuery)")
+    s.add_argument("--term-range", action="store_true",
+                   help="term range queries '[lo TO hi]' (Lucene TermRangeQuery)")
     s.add_argument("--fuzzy", type=int, default=0, help="edit-distance expansion")
     s.add_argument(
         "--boosted", action="store_true",
@@ -234,6 +236,7 @@ def main(argv=None) -> int:
                 fuzzy=args.fuzzy, synonyms=synonyms, delta=args.delta,
                 boosted=args.boosted, min_match=args.min_match,
                 collapse=args.collapse, suffix=args.suffix, regex=args.regex,
+                term_range=args.term_range,
             )
             if args.out:
                 pq.write_table(hits, args.out)

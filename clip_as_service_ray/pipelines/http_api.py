@@ -252,6 +252,8 @@ def _mode_key(payload: dict) -> tuple | None:
         return ("suffix",)
     if mode == "regex":
         return ("regex",)
+    if mode == "term_range":
+        return ("term_range",)
     if mode == "fuzzy":
         return ("fuzzy", int(payload.get("fuzzy_dist", 2)))
     if mode == "boosted":
@@ -270,8 +272,8 @@ def _mode_key(payload: dict) -> tuple | None:
         return ("delta", float(payload.get("delta", 1.0)))
     raise ValueError(
         f"unknown mode {mode!r} "
-        "(conjunctive|prefix|suffix|regex|fuzzy|boosted|msm|collapse|"
-        "bm25plus)"
+        "(conjunctive|prefix|suffix|regex|term_range|fuzzy|boosted|msm|"
+        "collapse|bm25plus)"
     )
 
 

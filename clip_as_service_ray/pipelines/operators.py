@@ -6718,6 +6718,34 @@ def bm25_topk_suffix(sf_dir: str, suffix: str = "er", limit: int = 10):
     )
 
 
+def bm25_topk_term_range(
+    sf_dir: str, query: str = "[scan TO sort}", limit: int = 10
+):
+    """Term-range query (Lucene TermRangeQuery analog): BM25 over every
+    dictionary term lexicographically inside the range — `[` inclusive,
+    `{`/`}` exclusive, `*` unbounded — each with its own idf, scored as an
+    OR query. The default `[scan TO sort}` is a half-open range (>= scan,
+    < sort), exercising mixed bracket inclusivity."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([query]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, term_range=True)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.float64())}
+    )
+
+
 def bm25_topk_regex(sf_dir: str, pattern: str = "s.*t", limit: int = 10):
     """Regexp term query (Lucene RegexpQuery analog): the pattern expands
     over the term dictionary (full match), the matched set scored as an OR

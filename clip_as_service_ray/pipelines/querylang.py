@@ -14,7 +14,10 @@ onto those primitives:
     mrge~2                  fuzzy (edit distance <= 2)
     merge^2 window          caret boost (weighted OR; weights multiply BM25)
     "merge window"          exact phrase (needs the positional artifact)
-    "merge window"~4        proximity (two terms within 4 tokens)
+    "merge window"~4        proximity (terms within 4 tokens; 3+ terms
+                            anchor at the first — span_near)
+    [mer TO mes]            term range, inclusive (Lucene TermRangeQuery;
+                            {..} = exclusive end, * = unbounded)
 
 Composition rules mirror what the engine's kernels implement; anything the
 kernels cannot express (mixed AND/OR, multiple prefixes, a phrase plus
@@ -37,6 +40,7 @@ from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
 _PHRASE_RE = re.compile(r'^"(?P<body>[^"]+)"(?:~(?P<win>\d+))?$')
 _FUZZY_RE = re.compile(r"^(?P<body>[^~\s]+)~(?P<dist>\d+)?$")
 _BOOST_RE = re.compile(r"^(?P<body>[^\^\s]+)\^(?P<w>\d+(?:\.\d+)?)$")
+_RANGE_RE = re.compile(r"^[\[{]\s*\S+\s+TO\s+\S+\s*[\]}]$")
 
 
 @dataclass
@@ -51,6 +55,7 @@ class QuerySpec:
     regex: bool = False
     fuzzy: int = 0
     boosted: bool = False
+    term_range: bool = False
     phrase: str | None = None
     window: int = 0
     #: raw positive tokens, pre-join (for tests / introspection)
@@ -62,6 +67,13 @@ def parse_query(s: str) -> QuerySpec:
     s = (s or "").strip()
     spec = QuerySpec()
     if not s:
+        return spec
+
+    if _RANGE_RE.match(s):
+        # whole-query term range [lo TO hi] / {lo TO hi}; the reader's
+        # parse_term_range owns bound/inclusivity parsing
+        spec.term_range = True
+        spec.text = s
         return spec
 
     m = _PHRASE_RE.match(s)
@@ -202,7 +214,7 @@ def query_string_table(
             key = ("phrase", sp.window)
         else:
             key = ("search", sp.conjunctive, sp.prefix, sp.fuzzy, sp.boosted,
-                   sp.suffix, sp.regex)
+                   sp.suffix, sp.regex, sp.term_range)
         shapes.setdefault(key, []).append(i)
     for key, idxs in shapes.items():
         if key[0] == "phrase":
@@ -239,7 +251,7 @@ def query_string_table(
                 )
             )
         else:
-            _, conj, pref, fz, bo, suf, rx = key
+            _, conj, pref, fz, bo, suf, rx, trng = key
             cols = {
                 "query_id": pa.array([qids[i] for i in idxs], pa.int64()),
                 "text": pa.array([specs[i].text for i in idxs]),
@@ -251,8 +263,8 @@ def query_string_table(
                 search_table(
                     index_dir, pa.table(cols), config,
                     conjunctive=conj, prefix=pref, fuzzy=fz,
-                    synonyms=None if (bo or suf or rx) else synonyms,
-                    boosted=bo, suffix=suf, regex=rx,
+                    synonyms=None if (bo or suf or rx or trng) else synonyms,
+                    boosted=bo, suffix=suf, regex=rx, term_range=trng,
                 )
             )
     if not parts:

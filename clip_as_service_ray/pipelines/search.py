@@ -31,6 +31,7 @@ def search(
     collapse: bool = False,
     suffix: bool = False,
     regex: bool = False,
+    term_range: bool = False,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -63,6 +64,7 @@ def search(
             "collapse": collapse,
             "suffix": suffix,
             "regex": regex,
+            "term_range": term_range,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -85,6 +87,7 @@ def search_table(
     collapse: bool = False,
     suffix: bool = False,
     regex: bool = False,
+    term_range: bool = False,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
@@ -92,7 +95,7 @@ def search_table(
         index_dir, queries, config,
         conjunctive=conjunctive, prefix=prefix, fuzzy=fuzzy,
         synonyms=synonyms, delta=delta, boosted=boosted, min_match=min_match,
-        collapse=collapse, suffix=suffix, regex=regex,
+        collapse=collapse, suffix=suffix, regex=regex, term_range=term_range,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

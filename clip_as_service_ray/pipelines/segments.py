@@ -216,6 +216,7 @@ class SegmentedQueryService(ScatterQueryService):
         collapse: bool = False,
         suffix: bool = False,
         regex: bool = False,
+        term_range: bool = False,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -237,6 +238,7 @@ class SegmentedQueryService(ScatterQueryService):
             collapse=collapse,
             suffix=suffix,
             regex=regex,
+            term_range=term_range,
             synonyms=synonyms,
             delta=delta,
             num_cpus=num_cpus,

@@ -193,6 +193,7 @@ class ScatterQueryService:
         collapse: bool = False,
         suffix: bool = False,
         regex: bool = False,
+        term_range: bool = False,
         num_cpus: float = 1,
     ):
         import ray
@@ -251,6 +252,7 @@ class ScatterQueryService:
                 collapse=collapse,
                 suffix=suffix,
                 regex=regex,
+                term_range=term_range,
                 synonyms=synonyms,
                 query_cache_size=config.query_cache_size,
                 delta=delta,

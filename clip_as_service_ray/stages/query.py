@@ -999,6 +999,73 @@ class IndexReader:
             return self._score_dense(present, limit, n_slots, exclude=excl, doc_range=doc_range)
         return self._score_dense_chunked(present, limit, n_slots, exclude=excl, doc_range=doc_range)
 
+    def expand_term_range(
+        self,
+        lo: str | None,
+        hi: str | None,
+        include_lo: bool = True,
+        include_hi: bool = True,
+        max_terms: int | None = None,
+    ) -> list[str]:
+        """Term-range expansion (Lucene TermRangeQuery analog): every
+        dictionary term lexicographically between ``lo`` and ``hi``
+        (None = unbounded end, the `[a TO *]` form). Two searchsorted
+        probes on the sorted dictionary — no scan; at 10^8-term
+        vocabularies the sorted dictionary is range-partitioned and the
+        probes touch only boundary shards."""
+        t = self._terms_sorted
+        i = 0 if lo is None else int(
+            np.searchsorted(t, lo, side="left" if include_lo else "right")
+        )
+        j = len(t) if hi is None else int(
+            np.searchsorted(t, hi, side="right" if include_hi else "left")
+        )
+        out = t[i:j].tolist()
+        if max_terms is not None and len(out) > max_terms:
+            raise ValueError(
+                f"range [{lo!r} TO {hi!r}] expands to {len(out)} terms "
+                f"(> {max_terms})"
+            )
+        return out
+
+    @staticmethod
+    def parse_term_range(text: str) -> tuple[str | None, str | None, bool, bool]:
+        """Parse Lucene range syntax: ``[lo TO hi]`` inclusive, ``{lo TO
+        hi}`` exclusive, mixed brackets allowed, ``*`` = unbounded end.
+        Returns (lo, hi, include_lo, include_hi)."""
+        import re as _re
+
+        m = _re.fullmatch(
+            r"\s*([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])\s*", text or ""
+        )
+        if not m:
+            raise ValueError(
+                f"term range query must look like '[lo TO hi]' or "
+                f"'{{lo TO hi}}' (got {text!r})"
+            )
+        lo = None if m.group(2) == "*" else m.group(2)
+        hi = None if m.group(3) == "*" else m.group(3)
+        return lo, hi, m.group(1) == "[", m.group(4) == "]"
+
+    def score_query_term_range(
+        self, text: str, limit: int, exclude_text: str = "", doc_range=None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """BM25 top-k for a term-range query ``[lo TO hi]`` — OR over the
+        expanded term set, each with its own idf, same canonical
+        accumulation as ``score_query_prefix``. Bounds compare against
+        dictionary terms as stored (post-analyzer), mirroring Lucene's
+        unanalyzed range semantics."""
+        lo, hi, ilo, ihi = self.parse_term_range(text)
+        present = self.expand_term_range(lo, hi, ilo, ihi)
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        if n_slots <= self.dense_chunk_docs:
+            return self._score_dense(present, limit, n_slots, exclude=excl, doc_range=doc_range)
+        return self._score_dense_chunked(present, limit, n_slots, exclude=excl, doc_range=doc_range)
+
     def expand_fuzzy(self, term: str, max_dist: int = 2) -> list[str]:
         """Fuzzy expansion: every vocabulary term within ``max_dist`` edits
         (Lucene fuzzy-query analog). Length pruning before the capped-DP
@@ -1231,12 +1298,14 @@ class QueryScorer:
         collapse: bool = False,
         suffix: bool = False,
         regex: bool = False,
+        term_range: bool = False,
     ):
         if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match,
-                          collapse, suffix, regex))) > 1:
+                          collapse, suffix, regex, term_range))) > 1:
             raise ValueError(
                 "query modes are mutually exclusive: pick ONE of conjunctive/"
-                "prefix/fuzzy/boosted/min_match/collapse/suffix/regex"
+                "prefix/fuzzy/boosted/min_match/collapse/suffix/regex/"
+                "term_range"
             )
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         # scoring variant: delta > 0 = BM25+ (same index artifact; the
@@ -1256,7 +1325,8 @@ class QueryScorer:
         )
         self._qcache_cap = int(query_cache_size)
         if synonyms:
-            if conjunctive or prefix or fuzzy or boosted or suffix or regex:
+            if (conjunctive or prefix or fuzzy or boosted or suffix or regex
+                    or term_range):
                 raise ValueError(
                     "synonyms expand OR queries only (AND over an expanded "
                     "set would require group-match semantics; boosted "
@@ -1281,6 +1351,8 @@ class QueryScorer:
         self.suffix = suffix
         # regex mode: query text is a term regexp (score_query_regex)
         self.regex = regex
+        # term_range mode: query text is Lucene range syntax [lo TO hi]
+        self.term_range = term_range
         # fuzzy > 0: each token expands to its edit-distance neighborhood
         self.fuzzy = int(fuzzy)
         # boosted: query text carries Lucene caret boosts ("merge^2 window")
@@ -1442,6 +1514,8 @@ class QueryScorer:
             score_fn = self.reader.score_query_suffix
         elif self.regex:
             score_fn = self.reader.score_query_regex
+        elif self.term_range:
+            score_fn = self.reader.score_query_term_range
         elif self.boosted:
             score_fn = self.reader.score_query_boosted
         elif self.min_match:
@@ -1507,7 +1581,7 @@ class QueryScorer:
             a is not None for a in after_scores
         ) and (self.conjunctive or self.prefix or self.fuzzy or self.boosted
                or self.min_match or self.collapse or self.suffix
-               or self.regex):
+               or self.regex or self.term_range):
             raise ValueError(
                 "search_after cursors apply to the default OR mode only"
             )

@@ -101,3 +101,29 @@ def test_suffix_regex_expansion_score_parity(tmp_path, ray_session):
     np.testing.assert_array_equal(
         got_r.column("score").to_numpy(), want_r.column("score").to_numpy()
     )
+    # term range: same contract, all four bracket inclusivity forms
+    lo, hi = terms[1], terms[min(6, len(terms) - 1)]
+    for rq, want_set in [
+        (f"[{lo} TO {hi}]", reader.expand_term_range(lo, hi, True, True)),
+        (f"{{{lo} TO {hi}}}", reader.expand_term_range(lo, hi, False, False)),
+        (f"[{lo} TO {hi}}}", reader.expand_term_range(lo, hi, True, False)),
+        (f"[* TO {hi}]", reader.expand_term_range(None, hi, True, True)),
+    ]:
+        assert want_set, rq
+        got_t = search_table(
+            d,
+            pa.table({"query_id": pa.array([0], pa.int64()), "text": [rq],
+                      "limit": pa.array([10], pa.int32())}),
+            cfg, term_range=True,
+        )
+        want_t = search_table(
+            d,
+            pa.table({"query_id": pa.array([0], pa.int64()),
+                      "text": [" ".join(want_set)],
+                      "limit": pa.array([10], pa.int32())}),
+            cfg,
+        )
+        assert got_t.column("conv_id").to_pylist() == want_t.column("conv_id").to_pylist(), rq
+        np.testing.assert_array_equal(
+            got_t.column("score").to_numpy(), want_t.column("score").to_numpy()
+        )

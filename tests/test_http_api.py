@@ -218,6 +218,10 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
         p1 = {h["conv_id"]: h["score"] for h in plus}
         shared = set(p0) & set(p1)
         assert shared and all(p1[c] > p0[c] for c in shared)
+        # term_range: [lo TO hi] expands over the dictionary
+        hits = _post(srv.url + "/search", {"mode": "term_range", "queries": [
+            {"query_id": 0, "text": "[merge TO window]", "limit": 5}]})["hits"]
+        assert len(hits) > 0
         # unknown mode -> 400
         with pytest.raises(urllib.error.HTTPError) as em:
             _post(srv.url + "/search", {"mode": "nope", "queries": [

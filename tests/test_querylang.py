@@ -220,3 +220,27 @@ def test_query_string_suffix_regex_modes(idx):
     got_r = query_string_table(d, [f"/{pat}/"], cfg).to_pandas()
     assert len(want_r) > 0 and len(got_r) == len(want_r)
     assert np.array_equal(got_r["score"].values, want_r["score"].values)
+
+
+def test_parse_term_range():
+    sp = parse_query("[mer TO mes]")
+    assert sp.term_range and sp.text == "[mer TO mes]"
+    assert parse_query("{a TO b}").term_range
+    assert not parse_query("a TO b").term_range  # no brackets -> plain OR
+
+
+def test_query_string_term_range_mode(idx):
+    """[lo TO hi] == search_table(term_range=True) — score-identical
+    through the parser path."""
+    from clip_as_service_ray.pipelines.search import search_table
+
+    d, cfg, corpus = idx
+    vocab = sorted(_vocab(corpus, 6))
+    lo, hi = vocab[0], vocab[-1]
+    rq = f"[{lo} TO {hi}]"
+    q = pa.table({"query_id": pa.array([0], pa.int64()), "text": [rq],
+                  "limit": pa.array([10], pa.int32())})
+    want = search_table(d, q, cfg, term_range=True).to_pandas()
+    got = query_string_table(d, [rq], cfg).to_pandas()
+    assert len(want) > 0 and len(got) == len(want)
+    assert np.array_equal(got["score"].values, want["score"].values)

@@ -173,6 +173,8 @@ def test_segmented_modes_equal_monolithic(corpus_halves, tmp_path):
         ({"collapse": True}, ["merge window"], ""),  # best turn per conv
         ({"suffix": True}, ["ge", "dow"], ""),  # leading wildcard *suffix
         ({"regex": True}, ["m.rge", "w.*w"], ""),  # regexp term query
+        ({"term_range": True}, ["[merge TO part]", "{data TO merge}"], ""),
+        ({"term_range": True}, ["[m TO *]"], "stream"),  # range-NOT
     ]
     for kwargs, texts, excl in cases:
         q = {
