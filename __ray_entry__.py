@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_filtered": ops.ann_topk_filtered,
         "proximity_search_span": ops.proximity_search_span,
         "bm25_topk_term_range": ops.bm25_topk_term_range,
+        "span_first_search": ops.span_first_search,
         "event_type_transitions": ops.event_type_transitions,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
@@ -1054,6 +1055,18 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(u.urgent_orders, 0)::BIGINT AS urgent_orders, "
             "round(coalesce(u.urgent_total, 0.0), 2)::DOUBLE AS urgent_total "
             "FROM b FULL OUTER JOIN u USING (custkey)"
+        ),
+        "span_first_search": (
+            # Lucene SpanFirstQuery: 'merge' before token position 5
+            # (0-based); ranked by qualifying occurrence count
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "             unnest(range(len(ts))) AS pos "
+            "  FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents)) "
+            "SELECT doc_id, count(*)::BIGINT AS n_occ, "
+            "min(pos)::BIGINT AS first_pos FROM tok "
+            "WHERE term = 'merge' AND pos < 5 "
+            "GROUP BY doc_id ORDER BY n_occ DESC, doc_id ASC LIMIT 10"
         ),
         "proximity_search_span": (
             # N-term span_near (anchored at 'merge'): tuples with every

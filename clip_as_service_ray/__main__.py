@@ -90,7 +90,10 @@ def main(argv=None) -> int:
     ph.add_argument("--queries", required=True, help="parquet with query_id,text[,limit]")
     ph.add_argument("--out", default=None)
     ph.add_argument("--window", type=int, default=0,
-                    help="0 = exact phrase; >0 = two-term proximity window")
+                    help="0 = exact phrase; >0 = proximity window (2+ terms)")
+    ph.add_argument("--span-first", type=int, default=0,
+                    help=">0 = single term within the first N positions "
+                         "(Lucene SpanFirstQuery)")
 
     sg = sub.add_parser(
         "suggest", help="did-you-mean terms from the index dictionary"
@@ -299,7 +302,8 @@ def main(argv=None) -> int:
 
             queries = pq.read_table(args.queries)
             hits = phrase_search_table(
-                args.index_dir, queries, EngineConfig(), window=args.window
+                args.index_dir, queries, EngineConfig(), window=args.window,
+                span_first=args.span_first,
             )
             if args.out:
                 pq.write_table(hits, args.out)

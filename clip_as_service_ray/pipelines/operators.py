@@ -7305,6 +7305,37 @@ def ann_topk_filtered(sf_dir: str, label: int = 3, k: int = 10):
     )
 
 
+def span_first_search(
+    sf_dir: str, term: str = "merge", end: int = 5, limit: int = 10
+):
+    """Lucene SpanFirstQuery analog through the positional index: docs
+    where ``term`` occurs before token position ``end`` (0-based), ranked
+    by qualifying occurrence count; first_pos = first qualifying position.
+    The SQL twin filters the tokenized position stream with pos < end."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import (
+        build_positions,
+        phrase_search_table,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    build_positions(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    q = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([term]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = phrase_search_table(index_dir, q, cfg, span_first=end)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "n_occ": hits.column("phrase_tf"),
+         "first_pos": hits.column("first_pos")}
+    )
+
+
 def proximity_search_span(
     sf_dir: str, terms=("merge", "window", "join"), window: int = 6,
     limit: int = 10,

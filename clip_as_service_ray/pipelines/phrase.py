@@ -196,7 +196,7 @@ class PhraseScorer:
 
     def __init__(
         self, index_dir: str, default_limit: int = 10, window: int = 0,
-        warm: bool = False,
+        warm: bool = False, span_first: int = 0,
     ):
         self.reader = PositionsReader(index_dir)
         if warm:  # pre-fault composite-key arrays at pool spawn (T1 pattern)
@@ -205,6 +205,9 @@ class PhraseScorer:
         # the terms co-occur within `window` tokens (any order); phrase_tf
         # becomes the qualifying pair count
         self.window = int(window)
+        # span_first > 0: SpanFirstQuery mode — a single-term query matches
+        # docs where the term occurs before token position `span_first`
+        self.span_first = int(span_first)
         conv_tbl = pq.read_table(os.path.join(index_dir, "convmap.parquet"))
         conv_tbl = conv_tbl.sort_by("conv_id")
         self._conv_ids = np.asarray(
@@ -227,10 +230,29 @@ class PhraseScorer:
             if "window" in batch.column_names
             else [self.window] * len(qids)
         )
+        span_firsts = (
+            batch.column("span_first").to_pylist()
+            if "span_first" in batch.column_names
+            else [self.span_first] * len(qids)
+        )
         cols: dict[str, list] = {n: [] for n in PHRASE_HITS_SCHEMA.names}
-        for qid, text, limit, window in zip(qids, texts, limits, windows):
+        for qid, text, limit, window, sfirst in zip(
+            qids, texts, limits, windows, span_firsts
+        ):
             k = int(limit or self.default_limit)
-            if window:
+            if sfirst:
+                if window:
+                    raise ValueError(
+                        "span_first and proximity window are mutually "
+                        "exclusive per query"
+                    )
+                terms = self.reader.query_tokens(text or "")
+                if len(terms) != 1:
+                    raise ValueError("span_first mode expects a single term")
+                docs, tfs, firsts = self.reader.span_first_docs(
+                    terms[0], int(sfirst)
+                )
+            elif window:
                 terms = self.reader.query_tokens(text or "")
                 if len(terms) < 2:
                     raise ValueError("proximity mode expects >= 2 terms")
@@ -266,9 +288,11 @@ def phrase_search_table(
     config: EngineConfig = DEFAULT_CONFIG,
     *,
     window: int = 0,
+    span_first: int = 0,
 ) -> pa.Table:
-    """Batch phrase (or, with ``window>0``, proximity) search through a Ray
-    Data actor pool; returns hits sorted by (query_id, rank)."""
+    """Batch phrase (or, with ``window>0``, proximity; with
+    ``span_first>0``, SpanFirstQuery) search through a Ray Data actor
+    pool; returns hits sorted by (query_id, rank)."""
     import ray.data
 
     # fail on the driver with a clear message, not a RayTaskError from the
@@ -286,6 +310,7 @@ def phrase_search_table(
             "index_dir": index_dir,
             "default_limit": config.limit,
             "window": window,
+            "span_first": span_first,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,

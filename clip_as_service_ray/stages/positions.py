@@ -680,6 +680,35 @@ class PositionsReader:
             toks = fold_tokens(self.analyzer, toks)
         return toks
 
+    def span_first_docs(
+        self, term: str, end: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Lucene SpanFirstQuery analog: docs where ``term`` occurs at a
+        token position < ``end`` (0-based), with the qualifying occurrence
+        count and the first qualifying position. One boolean mask over the
+        cached composite key array — positions are the low bits of the
+        (doc << 21 | pos) keys, so no per-doc work at all."""
+        empty = (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+        )
+        ka = self.term_keys(term)
+        if ka is None:
+            return empty
+        doc = ka // POS_SHIFT
+        pos = ka - doc * POS_SHIFT
+        m = pos < int(end)
+        if not m.any():
+            return empty
+        doc_m, pos_m = doc[m], pos[m]
+        change = np.nonzero(np.diff(doc_m) != 0)[0] + 1
+        starts = np.concatenate([[0], change])
+        counts = np.diff(np.concatenate([starts, [len(doc_m)]]))
+        # keys sort by (doc, pos), so each segment's first element is the
+        # first qualifying occurrence
+        return doc_m[starts], counts.astype(np.int64), pos_m[starts]
+
     def span_near_docs(
         self, terms: list[str], window: int
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

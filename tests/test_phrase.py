@@ -422,6 +422,42 @@ def test_span_near_matches_bruteforce(phrase_index):
         assert got == want, (terms, win)
 
 
+def test_span_first_matches_bruteforce(phrase_index):
+    """SpanFirstQuery: single term before position N — count + first_pos
+    parity with a Python scan; multi-term and window-combined forms raise."""
+    from clip_as_service_ray.pipelines.phrase import phrase_search_table
+
+    rows, idx, cfg = phrase_index
+    for term, end in [("alpha", 3), ("gamma", 1), ("fox", 7), ("zeta", 4)]:
+        q = pa.table(
+            {"query_id": pa.array([0], pa.int64()),
+             "text": [term],
+             "limit": pa.array([10_000], pa.int32())}
+        )
+        hits = phrase_search_table(idx, q, cfg, span_first=end)
+        got = {
+            (hits.column("conv_id")[i].as_py(), hits.column("turn_idx")[i].as_py()):
+                (hits.column("phrase_tf")[i].as_py(),
+                 hits.column("first_pos")[i].as_py())
+            for i in range(hits.num_rows)
+        }
+        want = {}
+        for conv_id, ti, _, text in rows:
+            toks = tokenize(text)
+            qual = [i for i, x in enumerate(toks) if x == term and i < end]
+            if qual:
+                want[(conv_id, ti)] = (len(qual), qual[0])
+        assert got == want, (term, end)
+    with pytest.raises(Exception):  # multi-term span_first raises in-pool
+        phrase_search_table(
+            idx,
+            pa.table({"query_id": pa.array([0], pa.int64()),
+                      "text": ["alpha beta"],
+                      "limit": pa.array([10], pa.int32())}),
+            cfg, span_first=3,
+        )
+
+
 def test_segmented_phrase_equals_monolithic(phrase_index, tmp_path):
     """Phrase search across incremental segments (disjoint conv halves) ==
     monolithic positional index over the union; tombstoned convs filtered
