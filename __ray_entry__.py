@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search_span": ops.proximity_search_span,
         "bm25_topk_term_range": ops.bm25_topk_term_range,
         "span_first_search": ops.span_first_search,
+        "bm25_topk_blockjoin": ops.bm25_topk_blockjoin,
         "event_type_transitions": ops.event_type_transitions,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
@@ -1055,6 +1056,25 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(u.urgent_orders, 0)::BIGINT AS urgent_orders, "
             "round(coalesce(u.urgent_total, 0.0), 2)::DOUBLE AS urgent_total "
             "FROM b FULL OUTER JOIN u USING (custkey)"
+        ),
+        "bm25_topk_blockjoin": (  # ES has_child score_mode=sum over 8-doc parents
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id // 8 AS parent_id, "
+            "round(sum(score), 6)::DOUBLE AS score, "
+            "(array_agg(doc_id ORDER BY score DESC, doc_id ASC))[1]::BIGINT "
+            "AS best_doc_id "
+            "FROM scores GROUP BY doc_id // 8 "
+            "ORDER BY sum(score) DESC, parent_id ASC LIMIT 10"
         ),
         "span_first_search": (
             # Lucene SpanFirstQuery: 'merge' before token position 5

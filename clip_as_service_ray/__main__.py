@@ -54,6 +54,10 @@ def main(argv=None) -> int:
                    help="regexp term queries (Lucene RegexpQuery)")
     s.add_argument("--term-range", action="store_true",
                    help="term range queries '[lo TO hi]' (Lucene TermRangeQuery)")
+    s.add_argument("--block-join", choices=["sum", "avg", "max", "count"],
+                   default=None,
+                   help="rank conversations by aggregating matching turns "
+                        "(ES has_child score_mode)")
     s.add_argument("--fuzzy", type=int, default=0, help="edit-distance expansion")
     s.add_argument(
         "--boosted", action="store_true",
@@ -239,7 +243,7 @@ def main(argv=None) -> int:
                 fuzzy=args.fuzzy, synonyms=synonyms, delta=args.delta,
                 boosted=args.boosted, min_match=args.min_match,
                 collapse=args.collapse, suffix=args.suffix, regex=args.regex,
-                term_range=args.term_range,
+                term_range=args.term_range, block_join=args.block_join,
             )
             if args.out:
                 pq.write_table(hits, args.out)

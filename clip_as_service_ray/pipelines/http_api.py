@@ -254,6 +254,8 @@ def _mode_key(payload: dict) -> tuple | None:
         return ("regex",)
     if mode == "term_range":
         return ("term_range",)
+    if mode == "block_join":
+        return ("block_join", str(payload.get("score_mode", "sum")))
     if mode == "fuzzy":
         return ("fuzzy", int(payload.get("fuzzy_dist", 2)))
     if mode == "boosted":
@@ -272,8 +274,8 @@ def _mode_key(payload: dict) -> tuple | None:
         return ("delta", float(payload.get("delta", 1.0)))
     raise ValueError(
         f"unknown mode {mode!r} "
-        "(conjunctive|prefix|suffix|regex|term_range|fuzzy|boosted|msm|"
-        "collapse|bm25plus)"
+        "(conjunctive|prefix|suffix|regex|term_range|block_join|fuzzy|"
+        "boosted|msm|collapse|bm25plus)"
     )
 
 

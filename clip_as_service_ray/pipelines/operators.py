@@ -6718,6 +6718,67 @@ def bm25_topk_suffix(sf_dir: str, suffix: str = "er", limit: int = 10):
     )
 
 
+def _docs_as_grouped_transcripts(sf_dir: str, group_size: int = 8):
+    """Documents as MULTI-TURN conversations: doc_id // group_size is the
+    conversation, doc_id % group_size the turn — the parent/child block
+    layout of Lucene's index-time join (parents are contiguous doc blocks).
+    Streaming map_batches like _docs_as_transcripts; conv ids zero-padded so
+    lexicographic conv order == numeric group order, which keeps index
+    doc_id == original doc_id (groups are dense and contiguous)."""
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        grp = ids // group_size
+        n = batch.num_rows
+        padded = pc.utf8_lpad(pc.cast(pa.array(grp, pa.int64()), pa.string()), 12, "0")
+        conv = pc.binary_join_element_wise(pa.scalar("grp"), padded, pa.scalar("-"))
+        return pa.table(
+            {
+                "conv_id": pc.cast(conv, pa.string()),
+                "turn_idx": pa.array((ids % group_size).astype(np.int32), pa.int32()),
+                "role": pa.array(["user"] * n),
+                "text": batch.column("text"),
+                "tool": pa.array([""] * n),
+                "ts": pa.array(np.zeros(n, dtype=np.int64), pa.timestamp("us")),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(fmt, batch_format="pyarrow")
+
+
+def bm25_topk_blockjoin(
+    sf_dir: str, terms=BM25_QUERY_TERMS, mode: str = "sum",
+    group_size: int = 8, limit: int = 10,
+):
+    """Parent/child block join (ES has_child / Lucene
+    ToParentBlockJoinQuery): documents grouped group_size-per-parent rank
+    PARENTS by aggregating their matching children's BM25 scores
+    (score_mode="sum" by default); the returned child is the parent's best
+    turn (inner_hits representative). The SQL twin aggregates the per-doc
+    BM25 CTE by doc_id // group_size."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir) + f"_grp{group_size}"
+    build_index(_docs_as_grouped_transcripts(sf_dir, group_size), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, block_join=mode)
+    parents = np.asarray(
+        [int(c[4:]) for c in hits.column("conv_id").to_pylist()], dtype=np.int64
+    )
+    best = parents * group_size + hits.column("turn_idx").to_numpy().astype(np.int64)
+    return pa.table(
+        {"parent_id": pa.array(parents, pa.int64()),
+         "score": pa.array(np.round(hits.column("score").to_numpy(), 6), pa.float64()),
+         "best_doc_id": pa.array(best, pa.int64())}
+    )
+
+
 def bm25_topk_term_range(
     sf_dir: str, query: str = "[scan TO sort}", limit: int = 10
 ):

@@ -217,6 +217,7 @@ class SegmentedQueryService(ScatterQueryService):
         suffix: bool = False,
         regex: bool = False,
         term_range: bool = False,
+        block_join: str | None = None,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -239,6 +240,7 @@ class SegmentedQueryService(ScatterQueryService):
             suffix=suffix,
             regex=regex,
             term_range=term_range,
+            block_join=block_join,
             synonyms=synonyms,
             delta=delta,
             num_cpus=num_cpus,

@@ -194,6 +194,7 @@ class ScatterQueryService:
         suffix: bool = False,
         regex: bool = False,
         term_range: bool = False,
+        block_join: str | None = None,
         num_cpus: float = 1,
     ):
         import ray
@@ -253,6 +254,7 @@ class ScatterQueryService:
                 suffix=suffix,
                 regex=regex,
                 term_range=term_range,
+                block_join=block_join,
                 synonyms=synonyms,
                 query_cache_size=config.query_cache_size,
                 delta=delta,

@@ -829,6 +829,128 @@ class IndexReader:
         top = bm25.topk_indices(s[win], d[win], limit)
         return d[win][top], s[win][top]
 
+    def score_query_blockjoin(
+        self, text: str, limit: int, mode: str = "sum",
+        exclude_text: str = "", doc_range=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Parent/child block-join retrieval (the ES ``has_child`` /
+        Lucene ToParentBlockJoinQuery analog): each CONVERSATION is scored
+        by aggregating its matching turns' BM25 scores — ``mode`` is the
+        ES score_mode: "sum", "avg" (over matching turns), "max", or
+        "count" (number of matching turns). Returns the group's BEST turn
+        (max score, doc-ASC tie-break — the inner_hits representative)
+        carrying the GROUP score; groups rank (group score DESC, conv ASC).
+
+        Chunk-safe for every mode: sum/avg/count are NOT cappable per chunk
+        the way max is, so each chunk emits complete per-group PARTIALS
+        (sum, n, max, representative doc) and the merge reduces partials by
+        group id before the single global top-k — a conversation spanning a
+        chunk boundary combines exactly."""
+        if mode not in ("sum", "avg", "max", "count"):
+            raise ValueError(f"unknown block-join score mode {mode!r}")
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
+        present = [(t, 1.0) for t in terms if t in self._term_blocks]
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        chunk = min(n_slots, self.dense_chunk_docs)
+        if self._score_buf is None or len(self._score_buf) != chunk:
+            self._score_buf = np.zeros(chunk, dtype=np.float64)
+            self._match_buf = np.zeros(chunk, dtype=bool)
+        scores, matched = self._score_buf, self._match_buf
+        one_chunk = chunk >= n_slots
+        p_group: list[np.ndarray] = []
+        p_sum: list[np.ndarray] = []
+        p_n: list[np.ndarray] = []
+        p_max: list[np.ndarray] = []
+        p_rep: list[np.ndarray] = []
+        for c0 in range(0, n_slots, chunk):
+            c1 = min(c0 + chunk, n_slots)
+            for t, _w in present:
+                if one_chunk:
+                    docs_t, scores_t = self.term_docs_scores(t)
+                    rel = docs_t
+                else:
+                    docs_t, scores_t = self.term_postings_in_range(t, c0, c1)
+                    if not len(docs_t):
+                        continue
+                    rel = docs_t - c0
+                scores[rel] += scores_t
+                matched[rel] = True
+            cand = np.nonzero(matched[: c1 - c0])[0]
+            if len(cand):
+                sel = cand
+                if doc_range is not None:
+                    sel = self._clip_to_range(sel + c0, doc_range) - c0
+                if excl is not None and len(sel):
+                    sel = self._drop_excluded(sel + c0, excl) - c0
+                if len(sel):
+                    docs_abs = (sel + c0).astype(np.int64)
+                    s_sel = scores[sel]
+                    g = np.searchsorted(self._bases, docs_abs, side="right") - 1
+                    # docs_abs ascending => g non-decreasing: one reduceat
+                    # pass per statistic, no sort needed
+                    starts = np.concatenate(
+                        [[0], np.nonzero(np.diff(g))[0] + 1]
+                    )
+                    p_group.append(g[starts])
+                    p_sum.append(np.add.reduceat(s_sel, starts))
+                    p_n.append(np.diff(np.concatenate([starts, [len(g)]])))
+                    gmax = np.maximum.reduceat(s_sel, starts)
+                    p_max.append(gmax)
+                    # representative = first doc achieving the group max
+                    # (doc-ASC tie-break falls out of first-occurrence argmax)
+                    seg = np.repeat(
+                        np.arange(len(starts)), np.diff(np.concatenate([starts, [len(g)]]))
+                    )
+                    is_max = s_sel == gmax[seg]
+                    # first True per segment = doc-ASC argmax
+                    idxs = np.nonzero(is_max)[0]
+                    segs_of = seg[idxs]
+                    firsts = np.concatenate(
+                        [[0], np.nonzero(np.diff(segs_of))[0] + 1]
+                    )
+                    first_max = idxs[firsts]
+                    p_rep.append(docs_abs[first_max])
+                scores[cand] = 0.0
+                matched[cand] = False
+        if not p_group:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        g = np.concatenate(p_group)
+        sm = np.concatenate(p_sum)
+        nn = np.concatenate(p_n).astype(np.int64)
+        mx = np.concatenate(p_max)
+        rep = np.concatenate(p_rep)
+        # merge partials of groups split across chunk boundaries
+        order = np.argsort(g, kind="stable")
+        g, sm, nn, mx, rep = g[order], sm[order], nn[order], mx[order], rep[order]
+        starts = np.concatenate([[0], np.nonzero(np.diff(g))[0] + 1])
+        g_u = g[starts]
+        sm_u = np.add.reduceat(sm, starts)
+        nn_u = np.add.reduceat(nn, starts)
+        mx_u = np.maximum.reduceat(mx, starts)
+        # representative across partials: the partial with the larger max
+        # wins; ties keep the earlier (lower-doc) partial
+        npart = np.diff(np.concatenate([starts, [len(g)]]))
+        seg = np.repeat(np.arange(len(starts)), npart)
+        is_max = mx == mx_u[seg]
+        idxs = np.nonzero(is_max)[0]
+        segs_of = seg[idxs]
+        firsts = np.concatenate([[0], np.nonzero(np.diff(segs_of))[0] + 1])
+        rep_u = rep[idxs[firsts]]
+        if mode == "sum":
+            score_u = sm_u
+        elif mode == "avg":
+            score_u = sm_u / nn_u
+        elif mode == "count":
+            score_u = nn_u.astype(np.float64)
+        else:
+            score_u = mx_u
+        top = bm25.topk_indices(score_u, rep_u, limit)
+        return rep_u[top], score_u[top]
+
     def _score_dense_general(
         self, present: list[tuple[str, float]], limit: int, n_slots: int,
         *, min_match: int = 0, exclude=None, doc_range=None, after=None,
@@ -1299,13 +1421,15 @@ class QueryScorer:
         suffix: bool = False,
         regex: bool = False,
         term_range: bool = False,
+        block_join: str | None = None,
     ):
         if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match,
-                          collapse, suffix, regex, term_range))) > 1:
+                          collapse, suffix, regex, term_range,
+                          block_join))) > 1:
             raise ValueError(
                 "query modes are mutually exclusive: pick ONE of conjunctive/"
                 "prefix/fuzzy/boosted/min_match/collapse/suffix/regex/"
-                "term_range"
+                "term_range/block_join"
             )
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         # scoring variant: delta > 0 = BM25+ (same index artifact; the
@@ -1326,7 +1450,7 @@ class QueryScorer:
         self._qcache_cap = int(query_cache_size)
         if synonyms:
             if (conjunctive or prefix or fuzzy or boosted or suffix or regex
-                    or term_range):
+                    or term_range or block_join):
                 raise ValueError(
                     "synonyms expand OR queries only (AND over an expanded "
                     "set would require group-match semantics; boosted "
@@ -1353,6 +1477,9 @@ class QueryScorer:
         self.regex = regex
         # term_range mode: query text is Lucene range syntax [lo TO hi]
         self.term_range = term_range
+        # block_join: parent/child score mode (sum|avg|max|count) — rank
+        # conversations by aggregating their matching turns (ES has_child)
+        self.block_join = block_join
         # fuzzy > 0: each token expands to its edit-distance neighborhood
         self.fuzzy = int(fuzzy)
         # boosted: query text carries Lucene caret boosts ("merge^2 window")
@@ -1516,6 +1643,13 @@ class QueryScorer:
             score_fn = self.reader.score_query_regex
         elif self.term_range:
             score_fn = self.reader.score_query_term_range
+        elif self.block_join:
+            def score_fn(text, limit, exclude_text="", doc_range=None,
+                         _m=self.block_join):
+                return self.reader.score_query_blockjoin(
+                    text, limit, mode=_m, exclude_text=exclude_text,
+                    doc_range=doc_range,
+                )
         elif self.boosted:
             score_fn = self.reader.score_query_boosted
         elif self.min_match:
@@ -1581,7 +1715,7 @@ class QueryScorer:
             a is not None for a in after_scores
         ) and (self.conjunctive or self.prefix or self.fuzzy or self.boosted
                or self.min_match or self.collapse or self.suffix
-               or self.regex or self.term_range):
+               or self.regex or self.term_range or self.block_join):
             raise ValueError(
                 "search_after cursors apply to the default OR mode only"
             )

@@ -127,3 +127,66 @@ def test_suffix_regex_expansion_score_parity(tmp_path, ray_session):
         np.testing.assert_array_equal(
             got_t.column("score").to_numpy(), want_t.column("score").to_numpy()
         )
+
+
+def test_blockjoin_modes_vs_bruteforce(tmp_path, ray_session):
+    """Block-join (has_child) score modes: per-conv sum/avg/max/count of
+    the matching turns' OR scores, representative = best turn (doc ASC on
+    ties); max mode is bit-identical to field-collapse."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+    from clip_as_service_ray.sources.transcripts import synthesize_transcripts
+    from clip_as_service_ray.stages.query import IndexReader
+
+    cfg = EngineConfig(num_index_partitions=2, postings_block_size=64)
+    d = str(tmp_path / "bj")
+    build_index(synthesize_transcripts(900, seed=7), d, cfg, overwrite=True)
+    reader = IndexReader(d)
+    text = " ".join(reader._terms_sorted[:2].tolist())
+    # brute force: full OR match set (huge limit), group by conv
+    full_docs, full_scores = reader.score_query(text, 10**9)
+    convs, _turns = reader.invert_doc_ids(full_docs)
+    per_conv: dict = {}
+    for dct, s, c in zip(full_docs, full_scores, convs):
+        e = per_conv.setdefault(c, [0.0, 0, -1.0, None])
+        e[0] += s
+        e[1] += 1
+        if s > e[2]:  # docs ascend, so first max == doc-ASC tie-break
+            e[2], e[3] = s, dct
+    for mode, score_of in [
+        ("sum", lambda e: e[0]), ("avg", lambda e: e[0] / e[1]),
+        ("max", lambda e: e[2]), ("count", lambda e: float(e[1])),
+    ]:
+        got = search_table(
+            d,
+            pa.table({"query_id": pa.array([0], pa.int64()), "text": [text],
+                      "limit": pa.array([8], pa.int32())}),
+            cfg, block_join=mode,
+        )
+        want = sorted(
+            ((score_of(e), c) for c, e in per_conv.items()),
+            key=lambda z: (-z[0], z[1]),
+        )[:8]
+        assert got.column("conv_id").to_pylist() == [c for _, c in want], mode
+        np.testing.assert_allclose(
+            got.column("score").to_numpy(), [s for s, _ in want],
+            rtol=0, atol=1e-12,
+        )
+        # representative turn = the conv's best doc
+        for i in range(got.num_rows):
+            c = got.column("conv_id")[i].as_py()
+            rep_doc = per_conv[c][3]
+            rc, rt = reader.invert_doc_ids(np.array([rep_doc], dtype=np.int64))
+            assert rc[0] == c and rt[0] == got.column("turn_idx")[i].as_py(), mode
+    # max mode == collapse, bit-identical
+    q = pa.table({"query_id": pa.array([0], pa.int64()), "text": [text],
+                  "limit": pa.array([8], pa.int32())})
+    bj = search_table(d, q, cfg, block_join="max")
+    cl = search_table(d, q, cfg, collapse=True)
+    assert bj.column("conv_id").to_pylist() == cl.column("conv_id").to_pylist()
+    np.testing.assert_array_equal(
+        bj.column("score").to_numpy(), cl.column("score").to_numpy()
+    )

@@ -175,6 +175,8 @@ def test_segmented_modes_equal_monolithic(corpus_halves, tmp_path):
         ({"regex": True}, ["m.rge", "w.*w"], ""),  # regexp term query
         ({"term_range": True}, ["[merge TO part]", "{data TO merge}"], ""),
         ({"term_range": True}, ["[m TO *]"], "stream"),  # range-NOT
+        ({"block_join": "sum"}, ["merge window"], ""),  # has_child sum
+        ({"block_join": "avg"}, ["merge window"], "stream"),  # avg-NOT
     ]
     for kwargs, texts, excl in cases:
         q = {
