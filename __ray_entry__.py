@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_term_range": ops.bm25_topk_term_range,
         "span_first_search": ops.span_first_search,
         "bm25_topk_blockjoin": ops.bm25_topk_blockjoin,
+        "bm25_topk_decay": ops.bm25_topk_decay,
         "event_type_transitions": ops.event_type_transitions,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
@@ -425,6 +426,27 @@ def oracle_sql() -> dict[str, str]:
             "  CROSS JOIN stats s GROUP BY tf.doc_id) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_decay": (  # ES function_score gauss decay on n_chars
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            # gauss multiplier with the engine's exact expression shape:
+            # exp(-(d*d) / (2*sigma2)), sigma2 = -(scale^2)/(2 ln decay)
+            "dec AS (SELECT sc.doc_id, sc.score * exp("
+            "  -((abs(d.n_chars - 150.0) * abs(d.n_chars - 150.0))) / "
+            "  (2.0 * (-(80.0 * 80.0) / (2.0 * ln(0.5))))) AS score "
+            "  FROM scores sc JOIN documents d USING (doc_id)) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM dec "
+            "ORDER BY dec.score DESC, doc_id ASC LIMIT 10"
         ),
         "bm25_topk_term_range": (  # Lucene TermRangeQuery: [scan TO sort}
             "WITH tok AS (" + _TOK + "), "

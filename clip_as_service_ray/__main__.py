@@ -77,10 +77,28 @@ def main(argv=None) -> int:
         "at query time",
     )
     s.add_argument(
+        "--decay", default=None,
+        help="function_score decay spec as JSON: "
+             '\'{"field": "ts", "origin": 0, "scale": 100, "kind": "gauss"}\' '
+             "(needs the field's doc-values artifact; see build-doc-values)",
+    )
+    s.add_argument(
         "--delta", type=float, default=0.0,
         help="BM25+ bonus (Lv & Zhai 2011): score = idf * (tf_norm + delta); "
         "0 = classic BM25",
     )
+
+    dv = sub.add_parser(
+        "build-doc-values",
+        help="add a numeric doc-values field to a built index "
+             "(enables function_score decay queries)",
+    )
+    dv.add_argument("--input", required=True,
+                    help="parquet with conv_id,turn_idx,<field>")
+    dv.add_argument("--index-dir", required=True)
+    dv.add_argument("--field", required=True)
+    dv.add_argument("--value-column", default=None,
+                    help="source column if named differently from --field")
 
     bp = sub.add_parser(
         "build-positions",
@@ -244,6 +262,7 @@ def main(argv=None) -> int:
                 boosted=args.boosted, min_match=args.min_match,
                 collapse=args.collapse, suffix=args.suffix, regex=args.regex,
                 term_range=args.term_range, block_join=args.block_join,
+                decay=json.loads(args.decay) if args.decay else None,
             )
             if args.out:
                 pq.write_table(hits, args.out)
@@ -292,6 +311,16 @@ def main(argv=None) -> int:
                 print(json.dumps({"error": "document not indexed"}))
                 return 1
             print(json.dumps(out))
+        elif args.cmd == "build-doc-values":
+            from clip_as_service_ray.pipelines.docvalues import build_doc_values
+
+            print(json.dumps(
+                build_doc_values(
+                    args.input, args.index_dir, args.field, EngineConfig(),
+                    value_column=args.value_column,
+                ),
+                default=str,
+            ))
         elif args.cmd == "build-positions":
             from clip_as_service_ray.pipelines.phrase import build_positions
 

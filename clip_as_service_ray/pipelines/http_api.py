@@ -256,6 +256,9 @@ def _mode_key(payload: dict) -> tuple | None:
         return ("term_range",)
     if mode == "block_join":
         return ("block_join", str(payload.get("score_mode", "sum")))
+    if mode == "decay":
+        # spec dict -> hashable pool key (one lazy pool per distinct spec)
+        return ("decay", tuple(sorted((payload.get("decay") or {}).items())))
     if mode == "fuzzy":
         return ("fuzzy", int(payload.get("fuzzy_dist", 2)))
     if mode == "boosted":
@@ -274,8 +277,8 @@ def _mode_key(payload: dict) -> tuple | None:
         return ("delta", float(payload.get("delta", 1.0)))
     raise ValueError(
         f"unknown mode {mode!r} "
-        "(conjunctive|prefix|suffix|regex|term_range|block_join|fuzzy|"
-        "boosted|msm|collapse|bm25plus)"
+        "(conjunctive|prefix|suffix|regex|term_range|block_join|decay|"
+        "fuzzy|boosted|msm|collapse|bm25plus)"
     )
 
 
@@ -760,7 +763,8 @@ class SegmentedSearchHTTPServer:
                                 with outer._write_lock:  # single spawner
                                     svc = outer._mode_svcs.get(key)
                                     if svc is None:
-                                        kw = {key[0]: key[1] if len(key) > 1 else True}
+                                        kw = {key[0]: (dict(key[1]) if key[0] == "decay"
+                                                       else key[1] if len(key) > 1 else True)}
                                         svc = SegmentedQueryService(
                                             outer.index_root, outer.config,
                                             num_cpus=0, **kw,

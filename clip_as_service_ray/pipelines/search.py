@@ -33,6 +33,7 @@ def search(
     regex: bool = False,
     term_range: bool = False,
     block_join: str | None = None,
+    decay: dict | None = None,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -67,6 +68,7 @@ def search(
             "regex": regex,
             "term_range": term_range,
             "block_join": block_join,
+            "decay": decay,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -91,6 +93,7 @@ def search_table(
     regex: bool = False,
     term_range: bool = False,
     block_join: str | None = None,
+    decay: dict | None = None,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
@@ -99,7 +102,7 @@ def search_table(
         conjunctive=conjunctive, prefix=prefix, fuzzy=fuzzy,
         synonyms=synonyms, delta=delta, boosted=boosted, min_match=min_match,
         collapse=collapse, suffix=suffix, regex=regex, term_range=term_range,
-        block_join=block_join,
+        block_join=block_join, decay=decay,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

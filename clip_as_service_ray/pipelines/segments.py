@@ -218,6 +218,7 @@ class SegmentedQueryService(ScatterQueryService):
         regex: bool = False,
         term_range: bool = False,
         block_join: str | None = None,
+        decay: dict | None = None,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -241,6 +242,7 @@ class SegmentedQueryService(ScatterQueryService):
             regex=regex,
             term_range=term_range,
             block_join=block_join,
+            decay=decay,
             synonyms=synonyms,
             delta=delta,
             num_cpus=num_cpus,

@@ -195,6 +195,7 @@ class ScatterQueryService:
         regex: bool = False,
         term_range: bool = False,
         block_join: str | None = None,
+        decay: dict | None = None,
         num_cpus: float = 1,
     ):
         import ray
@@ -255,6 +256,7 @@ class ScatterQueryService:
                 regex=regex,
                 term_range=term_range,
                 block_join=block_join,
+                decay=decay,
                 synonyms=synonyms,
                 query_cache_size=config.query_cache_size,
                 delta=delta,

@@ -951,6 +951,87 @@ class IndexReader:
         top = bm25.topk_indices(score_u, rep_u, limit)
         return rep_u[top], score_u[top]
 
+    def doc_values(self, field: str) -> np.ndarray:
+        """Doc-indexed numeric field array (Lucene doc values), loaded once
+        per reader and cached — the per-actor T1 pattern."""
+        cache = getattr(self, "_dv_cache", None)
+        if cache is None:
+            cache = self._dv_cache = {}
+        arr = cache.get(field)
+        if arr is None:
+            from clip_as_service_ray.pipelines.docvalues import load_doc_values
+
+            arr = cache[field] = load_doc_values(
+                self.index_dir, field, self._max_doc_id + 1
+            )
+        return arr
+
+    def score_query_decay(
+        self, text: str, limit: int, *, field: str, origin: float,
+        scale: float, offset: float = 0.0, decay: float = 0.5,
+        kind: str = "gauss", exclude_text: str = "", doc_range=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """function_score decay retrieval (the ES gauss/exp/linear decay
+        analog, multiply mode): every matching doc's OR score is multiplied
+        by the decay of its ``field`` doc value around ``origin`` BEFORE
+        top-k — the decayed ranking is global, not a rescoring of an
+        unweighted top-N. Chunk-safe: the multiplier is pointwise, so
+        per-chunk capping after multiplication is exact."""
+        from clip_as_service_ray.pipelines.docvalues import decay_multiplier
+
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
+        present = [(t, 1.0) for t in terms if t in self._term_blocks]
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        vals = self.doc_values(field)
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        chunk = min(n_slots, self.dense_chunk_docs)
+        if self._score_buf is None or len(self._score_buf) != chunk:
+            self._score_buf = np.zeros(chunk, dtype=np.float64)
+            self._match_buf = np.zeros(chunk, dtype=bool)
+        scores, matched = self._score_buf, self._match_buf
+        one_chunk = chunk >= n_slots
+        win_docs: list[np.ndarray] = []
+        win_scores: list[np.ndarray] = []
+        for c0 in range(0, n_slots, chunk):
+            c1 = min(c0 + chunk, n_slots)
+            for t, _w in present:
+                if one_chunk:
+                    docs_t, scores_t = self.term_docs_scores(t)
+                    rel = docs_t
+                else:
+                    docs_t, scores_t = self.term_postings_in_range(t, c0, c1)
+                    if not len(docs_t):
+                        continue
+                    rel = docs_t - c0
+                scores[rel] += scores_t
+                matched[rel] = True
+            cand = np.nonzero(matched[: c1 - c0])[0]
+            if len(cand):
+                sel = cand
+                if doc_range is not None:
+                    sel = self._clip_to_range(sel + c0, doc_range) - c0
+                if excl is not None and len(sel):
+                    sel = self._drop_excluded(sel + c0, excl) - c0
+                if len(sel):
+                    docs_abs = (sel + c0).astype(np.int64)
+                    s_dec = scores[sel] * decay_multiplier(
+                        vals[docs_abs], origin, scale, offset, decay, kind
+                    )
+                    top = bm25.topk_indices(s_dec, docs_abs, limit)
+                    win_docs.append(docs_abs[top])
+                    win_scores.append(s_dec[top].copy())
+                scores[cand] = 0.0
+                matched[cand] = False
+        if not win_docs:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        d = np.concatenate(win_docs)
+        s = np.concatenate(win_scores)
+        top = bm25.topk_indices(s, d, limit)
+        return d[top], s[top]
+
     def _score_dense_general(
         self, present: list[tuple[str, float]], limit: int, n_slots: int,
         *, min_match: int = 0, exclude=None, doc_range=None, after=None,
@@ -1422,14 +1503,15 @@ class QueryScorer:
         regex: bool = False,
         term_range: bool = False,
         block_join: str | None = None,
+        decay: dict | None = None,
     ):
         if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match,
                           collapse, suffix, regex, term_range,
-                          block_join))) > 1:
+                          block_join, decay))) > 1:
             raise ValueError(
                 "query modes are mutually exclusive: pick ONE of conjunctive/"
                 "prefix/fuzzy/boosted/min_match/collapse/suffix/regex/"
-                "term_range/block_join"
+                "term_range/block_join/decay"
             )
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         # scoring variant: delta > 0 = BM25+ (same index artifact; the
@@ -1450,7 +1532,7 @@ class QueryScorer:
         self._qcache_cap = int(query_cache_size)
         if synonyms:
             if (conjunctive or prefix or fuzzy or boosted or suffix or regex
-                    or term_range or block_join):
+                    or term_range or block_join or decay):
                 raise ValueError(
                     "synonyms expand OR queries only (AND over an expanded "
                     "set would require group-match semantics; boosted "
@@ -1480,6 +1562,9 @@ class QueryScorer:
         # block_join: parent/child score mode (sum|avg|max|count) — rank
         # conversations by aggregating their matching turns (ES has_child)
         self.block_join = block_join
+        # decay: function_score decay spec {field, origin, scale[, offset,
+        # decay, kind]} — multiplies each match's OR score pre-top-k
+        self.decay = dict(decay) if decay else None
         # fuzzy > 0: each token expands to its edit-distance neighborhood
         self.fuzzy = int(fuzzy)
         # boosted: query text carries Lucene caret boosts ("merge^2 window")
@@ -1650,6 +1735,13 @@ class QueryScorer:
                     text, limit, mode=_m, exclude_text=exclude_text,
                     doc_range=doc_range,
                 )
+        elif self.decay:
+            def score_fn(text, limit, exclude_text="", doc_range=None,
+                         _d=self.decay):
+                return self.reader.score_query_decay(
+                    text, limit, exclude_text=exclude_text,
+                    doc_range=doc_range, **_d,
+                )
         elif self.boosted:
             score_fn = self.reader.score_query_boosted
         elif self.min_match:
@@ -1715,7 +1807,8 @@ class QueryScorer:
             a is not None for a in after_scores
         ) and (self.conjunctive or self.prefix or self.fuzzy or self.boosted
                or self.min_match or self.collapse or self.suffix
-               or self.regex or self.term_range or self.block_join):
+               or self.regex or self.term_range or self.block_join
+               or self.decay):
             raise ValueError(
                 "search_after cursors apply to the default OR mode only"
             )

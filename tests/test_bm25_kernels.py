@@ -190,3 +190,66 @@ def test_blockjoin_modes_vs_bruteforce(tmp_path, ray_session):
     np.testing.assert_array_equal(
         bj.column("score").to_numpy(), cl.column("score").to_numpy()
     )
+
+
+def test_decay_scoring_vs_bruteforce(tmp_path, ray_session):
+    """function_score decay: engine top-k == (full OR match set) scores
+    multiplied by the same decay curve — all three kinds; docs missing the
+    field keep their raw score (multiplier 1.0); chunked path identical."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.docvalues import (
+        build_doc_values,
+        decay_multiplier,
+    )
+    from clip_as_service_ray.pipelines.search import search_table
+    from clip_as_service_ray.sources.transcripts import synthesize_transcripts
+    from clip_as_service_ray.stages.query import IndexReader
+
+    cfg = EngineConfig(num_index_partitions=2, postings_block_size=64)
+    d = str(tmp_path / "dec")
+    corpus = synthesize_transcripts(700, seed=9)
+    build_index(corpus, d, cfg, overwrite=True)
+    # value = a deterministic function of the row; every 5th doc MISSING
+    src = corpus.select(["conv_id", "turn_idx"]).append_column(
+        "recency",
+        pa.array(
+            (np.arange(corpus.num_rows) * 13 % 97).astype(np.float64),
+            pa.float64(),
+        ),
+    ).filter(pa.array(np.arange(corpus.num_rows) % 5 != 0))
+    build_doc_values(src, d, "recency", cfg)
+
+    reader = IndexReader(d)
+    text = " ".join(reader._terms_sorted[:2].tolist())
+    full_docs, full_scores = reader.score_query(text, 10**9)
+    vals = reader.doc_values("recency")
+    assert np.isnan(vals).any()  # the missing fifth is really missing
+    for kind in ("gauss", "exp", "linear"):
+        spec = {"field": "recency", "origin": 40.0, "scale": 25.0,
+                "decay": 0.5, "kind": kind}
+        got = search_table(
+            d,
+            pa.table({"query_id": pa.array([0], pa.int64()), "text": [text],
+                      "limit": pa.array([12], pa.int32())}),
+            cfg, decay=spec,
+        )
+        m = decay_multiplier(vals[full_docs], 40.0, 25.0, 0.0, 0.5, kind)
+        s2 = full_scores * m
+        order = np.lexsort((full_docs, -s2))[:12]
+        wc, wt = reader.invert_doc_ids(full_docs[order])
+        assert got.column("conv_id").to_pylist() == wc.tolist(), kind
+        assert got.column("turn_idx").to_pylist() == wt.tolist(), kind
+        np.testing.assert_array_equal(
+            got.column("score").to_numpy(), s2[order]
+        )
+    # chunked dense path: force multi-chunk scoring, must stay identical
+    r2 = IndexReader(d)
+    r2.dense_chunk_docs = 97
+    spec = {"field": "recency", "origin": 40.0, "scale": 25.0}
+    d1, s1 = reader.score_query_decay(text, 12, **spec)
+    d2, s2b = r2.score_query_decay(text, 12, **spec)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2b)
