@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_first_search": ops.span_first_search,
         "bm25_topk_blockjoin": ops.bm25_topk_blockjoin,
         "bm25_topk_decay": ops.bm25_topk_decay,
+        "bm25_topk_rm3": ops.bm25_topk_rm3,
         "event_type_transitions": ops.event_type_transitions,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
@@ -426,6 +427,49 @@ def oracle_sql() -> dict[str, str]:
             "  CROSS JOIN stats s GROUP BY tf.doc_id) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_rm3": (  # RM3 pseudo-relevance feedback, 2 passes
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf0 AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "        WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df0 AS (SELECT term, count(*)::DOUBLE AS df FROM tf0 GROUP BY term), "
+            "s0 AS (SELECT tf0.doc_id, "
+            "  sum(ln(1 + (s.n - df0.df + 0.5) / (df0.df + 0.5)) "
+            "      * tf0.tf * 2.2 / (tf0.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf0 JOIN df0 USING (term) JOIN dl ON tf0.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf0.doc_id), "
+            "fb AS (SELECT doc_id, score FROM s0 "
+            "       ORDER BY score DESC, doc_id ASC LIMIT 5), "
+            "wd AS (SELECT doc_id, score / (SELECT sum(score) FROM fb) AS w FROM fb), "
+            "ftf AS (SELECT tok.doc_id, term, count(*)::DOUBLE AS tf "
+            "        FROM tok JOIN fb USING (doc_id) GROUP BY tok.doc_id, term), "
+            "prm AS (SELECT term, sum(wd.w * ftf.tf / dl.dl) AS p, "
+            "        sum(ftf.tf)::BIGINT AS ttf "
+            "        FROM ftf JOIN wd USING (doc_id) JOIN dl USING (doc_id) "
+            "        GROUP BY term), "
+            # expansion: top-3 non-query non-stopword terms by INTEGER
+            # feedback tf (deterministic selection), term-ASC tie-break
+            "ex AS (SELECT term, p FROM prm "
+            "       WHERE term NOT IN ('merge', 'window') "
+            "       AND term NOT IN " + _STOP_SQL + " "
+            "       ORDER BY ttf DESC, term ASC LIMIT 3), "
+            "wts AS ("
+            "  SELECT q.term, 0.6 / 2 + (1.0 - 0.6) * coalesce(prm.p, 0.0) AS w "
+            "  FROM (SELECT unnest(['merge', 'window']) AS term) q "
+            "  LEFT JOIN prm USING (term) "
+            "  UNION ALL SELECT term, (1.0 - 0.6) * p FROM ex), "
+            "tf2 AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "        WHERE term IN (SELECT term FROM wts) GROUP BY doc_id, term), "
+            "df2 AS (SELECT term, count(*)::DOUBLE AS df FROM tf2 GROUP BY term), "
+            "s2 AS (SELECT tf2.doc_id, "
+            "  sum(wts.w * ln(1 + (s.n - df2.df + 0.5) / (df2.df + 0.5)) "
+            "      * tf2.tf * 2.2 / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf2 JOIN df2 USING (term) JOIN dl ON tf2.doc_id = dl.doc_id "
+            "  JOIN wts USING (term) CROSS JOIN stats s GROUP BY tf2.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM s2 "
+            "ORDER BY s2.score DESC, doc_id ASC LIMIT 10"
         ),
         "bm25_topk_decay": (  # ES function_score gauss decay on n_chars
             "WITH tok AS (" + _TOK + "), "

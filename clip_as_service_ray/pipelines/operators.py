@@ -6718,6 +6718,95 @@ def bm25_topk_suffix(sf_dir: str, suffix: str = "er", limit: int = 10):
     )
 
 
+def bm25_topk_rm3(
+    sf_dir: str, terms=BM25_QUERY_TERMS, fb_docs: int = 5,
+    fb_terms: int = 3, alpha: float = 0.6, limit: int = 10,
+):
+    """RM3-style pseudo-relevance feedback (Lavrenko & Croft relevance
+    models; the ES/Anserini PRF analog), two engine passes:
+
+    1. initial BM25 top-``fb_docs``;
+    2. relevance model over the feedback docs — P(w|R) = Σ_d w_d·tf/dl with
+       w_d = normalized BM25 score; expansion = top-``fb_terms`` NON-query,
+       non-stopword terms by TOTAL feedback tf (integer selection keeps the
+       term choice exactly reproducible by the SQL twin; P weights the
+       final query);
+    3. final weighted-OR query: weight(w) = alpha·qtf/|q| + (1-alpha)·P(w|R),
+       served through the boosted kernel (float weights round-trip exactly
+       via repr).
+
+    Feedback texts are fetched by a doc-id pushdown read (hits-sized, the
+    more_like_this pattern) and re-tokenized — the ES term-vectors route."""
+    from clip_as_service_ray.functions.tokenizer import tokenize
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    import pyarrow.dataset as pads
+    import ray.data
+
+    STOP = ("the", "a", "of", "to", "and", "in")
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+
+    q1 = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([fb_docs], pa.int32())}
+    )
+    fb = search_table(index_dir, q1, cfg)
+    fb_ids = np.asarray(
+        [int(c[4:]) for c in fb.column("conv_id").to_pylist()], dtype=np.int64
+    )
+    fb_scores = fb.column("score").to_numpy()
+    w_by_id = dict(zip(fb_ids.tolist(), (fb_scores / fb_scores.sum()).tolist()))
+
+    rows = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(fb_ids.tolist()),
+        ).take_all()
+    )
+    rows.sort(key=lambda r: r["doc_id"])  # canonical doc-ASC accumulation
+    p_rm: dict[str, float] = {}
+    tf_tot: dict[str, int] = {}
+    for r in rows:
+        toks = tokenize(r["text"])
+        dl = len(toks)
+        wd = w_by_id[int(r["doc_id"])]
+        tfs: dict[str, int] = {}
+        for t in toks:
+            tfs[t] = tfs.get(t, 0) + 1
+        for t in sorted(tfs):
+            p_rm[t] = p_rm.get(t, 0.0) + wd * tfs[t] / dl
+            tf_tot[t] = tf_tot.get(t, 0) + tfs[t]
+
+    qset = set(terms)
+    cand = [t for t in tf_tot if t not in qset and t not in STOP]
+    cand.sort(key=lambda t: (-tf_tot[t], t))
+    expansion = cand[:fb_terms]
+
+    weights = {t: alpha / len(terms) + (1.0 - alpha) * p_rm.get(t, 0.0)
+               for t in terms}
+    for t in expansion:
+        weights[t] = (1.0 - alpha) * p_rm[t]
+    boosted = " ".join(f"{t}^{w!r}" for t, w in sorted(weights.items()))
+
+    q2 = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([boosted]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, q2, cfg, boosted=True)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.float64())}
+    )
+
+
 def bm25_topk_decay(
     sf_dir: str, terms=BM25_QUERY_TERMS, field: str = "n_chars",
     origin: float = 150.0, scale: float = 80.0, limit: int = 10,
