@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_blockjoin": ops.bm25_topk_blockjoin,
         "bm25_topk_decay": ops.bm25_topk_decay,
         "bm25_topk_rm3": ops.bm25_topk_rm3,
+        "duplicate_span_coverage": ops.duplicate_span_coverage,
         "event_type_transitions": ops.event_type_transitions,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
@@ -470,6 +471,28 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN wts USING (term) CROSS JOIN stats s GROUP BY tf2.doc_id) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM s2 "
             "ORDER BY s2.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "duplicate_span_coverage": (
+            # Lee et al. span-removal dedup: positions covered by an 8-gram
+            # occurring in >= 2 distinct docs
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "             unnest(range(len(ts))) AS pos "
+            "  FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents)), "
+            "sh AS (SELECT doc_id, pos, term || ' ' || "
+            "lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w || ' ' || "
+            "lead(term, 3) OVER w || ' ' || lead(term, 4) OVER w || ' ' || "
+            "lead(term, 5) OVER w || ' ' || lead(term, 6) OVER w || ' ' || "
+            "lead(term, 7) OVER w AS g "
+            "  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos) "
+            "  QUALIFY lead(term, 7) OVER w IS NOT NULL), "
+            "dup AS (SELECT g FROM sh GROUP BY g "
+            "        HAVING count(DISTINCT doc_id) >= 2), "
+            "occ AS (SELECT DISTINCT sh.doc_id, sh.pos FROM sh JOIN dup USING (g)), "
+            "cov AS (SELECT DISTINCT doc_id, pos + i AS p FROM occ "
+            "        CROSS JOIN (SELECT unnest(range(8)) AS i) t) "
+            "SELECT doc_id, count(*)::BIGINT AS dup_tokens FROM cov "
+            "GROUP BY doc_id ORDER BY doc_id ASC"
         ),
         "bm25_topk_decay": (  # ES function_score gauss decay on n_chars
             "WITH tok AS (" + _TOK + "), "

@@ -6718,6 +6718,23 @@ def bm25_topk_suffix(sf_dir: str, suffix: str = "er", limit: int = 10):
     )
 
 
+def duplicate_span_coverage(sf_dir: str, n: int = 8):
+    """Exact duplicated-substring coverage per document (Lee et al. 2021
+    span-removal dedup): token positions covered by an n-gram that occurs
+    in >= 2 distinct docs. Distributed shape in
+    stages/dedup.py::dup_span_coverage (gram-routed shuffle + interval
+    union); the SQL twin rebuilds shingles with 7 window leads and counts
+    DISTINCT covered positions."""
+    from clip_as_service_ray.stages.dedup import dup_span_coverage
+
+    out = dup_span_coverage(_documents(sf_dir), n=n).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table(
+        {"doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+         "dup_tokens": pa.array(out["dup_tokens"].to_numpy(), pa.int64())}
+    )
+
+
 def bm25_topk_rm3(
     sf_dir: str, terms=BM25_QUERY_TERMS, fb_docs: int = 5,
     fb_terms: int = 3, alpha: float = 0.6, limit: int = 10,

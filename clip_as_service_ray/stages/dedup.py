@@ -495,3 +495,134 @@ def edit_distance_pairs(ds, *, max_dist: int = 20) -> "object":
         .groupby("band", num_partitions=8)
         .map_groups(_edit_band_pairs(max_dist), batch_format="pyarrow")
     )
+
+
+DUP_SPAN_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("dup_tokens", pa.int64())]
+)
+_SPAN_ROWS_SCHEMA = pa.schema(
+    [("_bucket", pa.int64()), ("g", pa.string()),
+     ("doc_id", pa.int64()), ("start", pa.int64())]
+)
+_SPAN_OCC_SCHEMA = pa.schema([("doc_id", pa.int64()), ("start", pa.int64())])
+
+
+def dup_span_coverage(ds, *, n: int = 8, num_buckets: int = 64):
+    """Exact duplicated-substring coverage (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better" — the span-REMOVAL form of
+    exact substring dedup): for each doc, the number of token positions
+    covered by at least one n-token shingle that also occurs in ANOTHER
+    document. ``ds``: (doc_id, text).
+
+    Shape (two shuffles, both on narrow rows):
+      1. vectorized shingling (flat token stream, n shifted slices) ->
+         (bucket, gram, doc, start) rows; the bucket is a rolling-hash of
+         the gram so every occurrence of a gram lands in ONE group — the
+         hash only ROUTES, in-bucket equality is exact string equality via
+         dictionary-encode, so hash collisions cannot merge distinct grams;
+      2. per bucket: distinct-doc count per gram (one lexsort + flag
+         reduceat), emit the occurrences of cross-doc grams only;
+      3. per doc bucket: interval union |[start, start+n)| via sorted-diff
+         arithmetic (coverage = n per run head + min(gap, n) per follower).
+
+    The suffix-array formulation of the paper finds UNBOUNDED-length
+    duplicate spans; the n-gram formulation here finds every span of
+    length >= n (any longer duplicate is a union of overlapping n-grams,
+    which the interval union reassembles exactly), which is the form the
+    paper's public implementation exposes as its threshold parameter."""
+    from clip_as_service_ray.functions import minhash as mh
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        L = len(tokens)
+        n_rows = len(lens)
+        if L < n or n_rows == 0:
+            return _SPAN_ROWS_SCHEMA.empty_table()
+        row = np.repeat(np.arange(n_rows), lens)
+        ok = row[: L - n + 1] == row[n - 1 :]
+        if not ok.any():
+            return _SPAN_ROWS_SCHEMA.empty_table()
+        okp = pa.array(ok)
+        slices = [tokens.slice(j, L - n + 1).filter(okp) for j in range(n)]
+        grams = pc.binary_join_element_wise(*slices, " ")
+        flatpos = np.nonzero(ok)[0]
+        r = row[: L - n + 1][ok]
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        start = flatpos - offs[r]
+        th = mh.hash_terms(np.asarray(tokens.to_pylist(), dtype=object))
+        muls = mh._shingle_muls(n)
+        acc = np.zeros(L - n + 1, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(n):
+                acc = acc ^ (th[i : L - n + 1 + i] * muls[i])
+        b = (acc[ok] % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {"_bucket": pa.array(b, pa.int64()),
+             "g": grams.combine_chunks() if hasattr(grams, "combine_chunks") else grams,
+             "doc_id": pa.array(ids[r], pa.int64()),
+             "start": pa.array(start, pa.int64())},
+            schema=_SPAN_ROWS_SCHEMA,
+        )
+
+    def emit_cross_doc(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return _SPAN_OCC_SCHEMA.empty_table()
+        g = group.column("g")
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        doc = group.column("doc_id").to_numpy().astype(np.int64)
+        start = group.column("start").to_numpy().astype(np.int64)
+        order = np.lexsort((doc, codes))
+        cs, ds_ = codes[order], doc[order]
+        new_code = np.concatenate([[True], cs[1:] != cs[:-1]])
+        new_pair = new_code | np.concatenate([[True], ds_[1:] != ds_[:-1]])
+        seg = np.nonzero(new_code)[0]
+        ndocs = np.add.reduceat(new_pair.astype(np.int64), seg)
+        dup_codes = cs[seg][ndocs >= 2]
+        keep = np.isin(codes, dup_codes)
+        return pa.table(
+            {"doc_id": pa.array(doc[keep], pa.int64()),
+             "start": pa.array(start[keep], pa.int64())},
+            schema=_SPAN_OCC_SCHEMA,
+        )
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        return batch.append_column(
+            "_db", pa.array((d % num_buckets).astype(np.int64), pa.int64())
+        )
+
+    SHIFT = np.int64(1) << np.int64(32)
+
+    def coverage(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return DUP_SPAN_SCHEMA.empty_table()
+        doc = group.column("doc_id").to_numpy().astype(np.int64)
+        start = group.column("start").to_numpy().astype(np.int64)
+        key = np.unique(doc * SHIFT + start)  # start < 2^32 per doc
+        doc_u = key // SHIFT
+        st = key - doc_u * SHIFT
+        seg = np.concatenate([[0], np.nonzero(np.diff(doc_u))[0] + 1])
+        contrib = np.empty(len(st), dtype=np.int64)
+        contrib[0] = n
+        if len(st) > 1:
+            contrib[1:] = np.minimum(np.diff(st), n)
+        contrib[seg] = n
+        tot = np.add.reduceat(contrib, seg)
+        return pa.table(
+            {"doc_id": pa.array(doc_u[seg], pa.int64()),
+             "dup_tokens": pa.array(tot, pa.int64())},
+            schema=DUP_SPAN_SCHEMA,
+        )
+
+    return (
+        ds.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=8)
+        .map_groups(emit_cross_doc, batch_format="pyarrow")
+        .map_batches(add_doc_bucket, batch_format="pyarrow")
+        .groupby("_db", num_partitions=8)
+        .map_groups(coverage, batch_format="pyarrow")
+    )

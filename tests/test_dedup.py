@@ -208,3 +208,51 @@ def test_sentence_dedup_planted_boilerplate(ray_session, tmp_path):
     assert got["sentence"].tolist() == want["sentence"].tolist()
     assert got["n_docs"].tolist() == want["n_docs"].tolist()
     assert boiler in got["sentence"].tolist() and legal in got["sentence"].tolist()
+
+
+def test_dup_span_coverage_vs_bruteforce(ray_session):
+    """Planted duplicated substrings: coverage == |union of [start, start+n)|
+    over cross-doc n-grams, via a Python brute force — exercises overlapping
+    runs, adjacent runs, repeated grams inside one doc (no double count),
+    and docs with no cross-doc gram (absent from output)."""
+    import random
+
+    import ray.data
+
+    from clip_as_service_ray.functions.tokenizer import tokenize
+    from clip_as_service_ray.stages.dedup import dup_span_coverage
+
+    rng = random.Random(5)
+    vocab = [f"w{c}" for c in "abcdefghijklmnopqrstuv"]
+    boiler = "the quick brown fox jumps over the lazy dog today".split()
+    legal = "all rights reserved by the original author hereof".split()
+    docs = []
+    for i in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+        if i % 3 == 0:
+            p = rng.randint(0, len(toks))
+            toks[p:p] = boiler
+        if i % 5 == 0:
+            p = rng.randint(0, len(toks))
+            toks[p:p] = legal + legal  # adjacent repeat inside one doc
+        docs.append(" ".join(toks))
+    n = 8
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = dup_span_coverage(ray.data.from_arrow(t), n=n).to_pandas()
+    got = dict(zip(got["doc_id"], got["dup_tokens"]))
+
+    toks_by_doc = [tokenize(x) for x in docs]
+    gram_docs: dict[tuple, set] = {}
+    for d, toks in enumerate(toks_by_doc):
+        for i in range(len(toks) - n + 1):
+            gram_docs.setdefault(tuple(toks[i:i + n]), set()).add(d)
+    want = {}
+    for d, toks in enumerate(toks_by_doc):
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if len(gram_docs[tuple(toks[i:i + n])]) >= 2:
+                covered.update(range(i, i + n))
+        if covered:
+            want[d] = len(covered)
+    assert got == want and len(want) > 5
