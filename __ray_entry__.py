@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_decay": ops.bm25_topk_decay,
         "bm25_topk_rm3": ops.bm25_topk_rm3,
         "duplicate_span_coverage": ops.duplicate_span_coverage,
+        "hybrid_linear_topk": ops.hybrid_linear_topk,
         "event_type_transitions": ops.event_type_transitions,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
@@ -428,6 +429,43 @@ def oracle_sql() -> dict[str, str]:
             "  CROSS JOIN stats s GROUP BY tf.doc_id) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "hybrid_linear_topk": (
+            # ES linear retriever: min-max normalized weighted fusion of the
+            # BM25 leg (top-30, rounded scores) and the cosine leg (top-30)
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            "sparse AS (SELECT doc_id, round(score, 6)::DOUBLE AS sc "
+            "  FROM scores ORDER BY score DESC, doc_id ASC LIMIT 30), "
+            "dense AS (SELECT vec_id AS doc_id, round(sim, 6)::DOUBLE AS sc FROM ("
+            "    SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.v) AS sim "
+            "    FROM embeddings e, (SELECT embedding::DOUBLE[] AS v FROM embeddings "
+            "                        WHERE vec_id = 0) q) "
+            "  ORDER BY sim DESC, vec_id ASC LIMIT 30), "
+            "sn AS (SELECT doc_id, CASE WHEN "
+            "  (SELECT max(sc) FROM sparse) = (SELECT min(sc) FROM sparse) THEN 1.0 "
+            "  ELSE (sc - (SELECT min(sc) FROM sparse)) / "
+            "       ((SELECT max(sc) FROM sparse) - (SELECT min(sc) FROM sparse)) "
+            "  END AS v FROM sparse), "
+            "dn AS (SELECT doc_id, CASE WHEN "
+            "  (SELECT max(sc) FROM dense) = (SELECT min(sc) FROM dense) THEN 1.0 "
+            "  ELSE (sc - (SELECT min(sc) FROM dense)) / "
+            "       ((SELECT max(sc) FROM dense) - (SELECT min(sc) FROM dense)) "
+            "  END AS v FROM dense), "
+            "fused AS (SELECT coalesce(s.doc_id, d.doc_id) AS doc_id, "
+            "  coalesce(0.7 * s.v, 0.0) + coalesce(0.3 * d.v, 0.0) AS f "
+            "  FROM sn s FULL OUTER JOIN dn d USING (doc_id)) "
+            "SELECT doc_id, round(f, 6)::DOUBLE AS fused FROM fused "
+            "ORDER BY f DESC, doc_id ASC LIMIT 10"
         ),
         "bm25_topk_rm3": (  # RM3 pseudo-relevance feedback, 2 passes
             "WITH tok AS (" + _TOK + "), "

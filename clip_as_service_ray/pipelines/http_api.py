@@ -134,6 +134,10 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
             cols["window"] = pa.array(
                 [int(x or 0) for x in colsin.get("window", [0] * n)], pa.int32()
             )
+            if colsin.get("span_first"):
+                cols["span_first"] = pa.array(
+                    [int(x or 0) for x in colsin["span_first"]], pa.int32()
+                )
         return pa.table(cols)
     qs = payload.get("queries", [])
     cols = {
@@ -153,6 +157,10 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
         cols["window"] = pa.array(
             [int(q.get("window", 0)) for q in qs], pa.int32()
         )
+        if any(q.get("span_first") for q in qs):  # SpanFirstQuery per query
+            cols["span_first"] = pa.array(
+                [int(q.get("span_first", 0)) for q in qs], pa.int32()
+            )
     return pa.table(cols)
 
 

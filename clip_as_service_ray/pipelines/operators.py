@@ -4108,6 +4108,42 @@ def hybrid_rrf_topk(
     )
 
 
+def hybrid_linear_topk(
+    sf_dir: str, n: int = 30, k: int = 10,
+    w_sparse: float = 0.7, w_dense: float = 0.3,
+):
+    """Hybrid retrieval via normalized linear fusion (the ES 8.x 'linear
+    retriever' / normalizer=minmax): each leg's top-n scores min-max
+    normalize to [0, 1], fused = w_sparse·norm(bm25) + w_dense·norm(cos);
+    a doc absent from a leg contributes 0 from it. Same two distributed
+    legs as hybrid_rrf_topk (engine BM25 + ANN cosine), O(n) driver fusion.
+    Legs normalize over their ROUNDED scores so the SQL twin sees identical
+    inputs; a degenerate leg (max == min) normalizes to all-1.0."""
+    sparse = bm25_topk(sf_dir, limit=n)
+    dense = ann_topk(sf_dir, k=n)
+
+    def norm(x: np.ndarray) -> np.ndarray:
+        if len(x) == 0:
+            return x
+        lo, hi = float(x.min()), float(x.max())
+        if hi == lo:
+            return np.ones_like(x)
+        return (x - lo) / (hi - lo)
+
+    fused: dict[int, float] = {}
+    ns = norm(sparse.column("score").to_numpy())
+    for d, v in zip(sparse.column("doc_id").to_pylist(), ns):
+        fused[int(d)] = fused.get(int(d), 0.0) + w_sparse * float(v)
+    nd = norm(dense.column("sim").to_numpy())
+    for d, v in zip(dense.column("vec_id").to_pylist(), nd):
+        fused[int(d)] = fused.get(int(d), 0.0) + w_dense * float(v)
+    ranked = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table(
+        {"doc_id": pa.array([d for d, _ in ranked], pa.int64()),
+         "fused": pa.array([round(s, 6) for _, s in ranked], pa.float64())}
+    )
+
+
 def stem_counts(sf_dir: str, min_count: int = 1):
     """Porter-stem frequency table over the corpus (functions/stem.py): per
     batch, each DISTINCT token is stemmed once (dictionary_encode, then the

@@ -155,6 +155,14 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
              "window": 3}]})["hits"]
         assert {(h["conv_id"], h["phrase_tf"]) for h in ph} == {
             ("convaa", 1), ("convac", 3)}
+        # SpanFirstQuery per query: 'merge' before position 2 — convac has
+        # 2 qualifying occurrences (pos 0, 1), first_pos 0
+        ph = _post(srv.url + "/phrase", {"queries": [
+            {"query_id": 0, "text": "merge", "limit": 5,
+             "span_first": 2}]})["hits"]
+        convac_hit = [h for h in ph if h["conv_id"] == "convac"]
+        assert convac_hit and convac_hit[0]["phrase_tf"] == 2
+        assert convac_hit[0]["first_pos"] == 0
 
         _post(srv.url + "/delete", {"conv_ids": ["convac"]})
         hits = _post(srv.url + "/search", {"queries": [
