@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_rm3": ops.bm25_topk_rm3,
         "duplicate_span_coverage": ops.duplicate_span_coverage,
         "hybrid_linear_topk": ops.hybrid_linear_topk,
+        "events_composite_agg": ops.events_composite_agg,
         "event_type_transitions": ops.event_type_transitions,
         "spell_suggest": ops.spell_suggest,
         "ngram_contamination": ops.ngram_contamination,
@@ -429,6 +430,16 @@ def oracle_sql() -> dict[str, str]:
             "  CROSS JOIN stats s GROUP BY tf.doc_id) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "events_composite_agg": (
+            # ES composite agg, page after ('click', '2024-01-20')
+            "SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, "
+            "count(*)::BIGINT AS n, round(sum(value), 2)::DOUBLE AS sum_value "
+            "FROM events "
+            "WHERE event_type > 'click' OR (event_type = 'click' "
+            "      AND strftime(ts, '%Y-%m-%d') > '2024-01-20') "
+            "GROUP BY event_type, day "
+            "ORDER BY event_type ASC, day ASC LIMIT 10"
         ),
         "hybrid_linear_topk": (
             # ES linear retriever: min-max normalized weighted fusion of the

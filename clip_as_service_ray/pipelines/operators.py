@@ -4108,6 +4108,67 @@ def hybrid_rrf_topk(
     )
 
 
+def events_composite_agg(
+    sf_dir: str, size: int = 10, after=("click", "2024-01-20"),
+):
+    """ES composite aggregation with after_key cursor paging: multi-source
+    buckets (event_type, day) ordered by the composite key, returning the
+    ``size`` buckets strictly AFTER the cursor. The cursor predicate is
+    pushed into the per-batch pre-aggregation (rows before the cursor never
+    enter the shuffle — the reason ES composite paging scales), partial
+    (count, sum) per key per batch, one small keyed groupby finishes."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    a_type, a_day = after
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        day = pc.strftime(batch.column("ts"), "%Y-%m-%d")
+        keep = pc.or_(
+            pc.greater(et, pa.scalar(a_type)),
+            pc.and_(pc.equal(et, pa.scalar(a_type)),
+                    pc.greater(day, pa.scalar(a_day))),
+        )
+        t = pa.table(
+            {"event_type": et, "day": day, "value": batch.column("value")}
+        ).filter(keep)
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "day": pa.array([], pa.string()),
+                 "n_part": pa.array([], pa.int64()),
+                 "v_part": pa.array([], pa.float64())}
+            )
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return pa.table(
+            {"event_type": g.column("event_type"),
+             "day": g.column("day"),
+             "n_part": g.column("value_count").cast(pa.int64()),
+             "v_part": g.column("value_sum").cast(pa.float64())}
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts", "value"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"], num_partitions=4)
+        .aggregate(Sum("n_part"), Sum("v_part"))
+    )
+    df = agg.to_pandas().sort_values(["event_type", "day"]).head(size)
+    return pa.table(
+        {"event_type": pa.array(df["event_type"].tolist(), pa.string()),
+         "day": pa.array(df["day"].tolist(), pa.string()),
+         "n": pa.array(df["sum(n_part)"].to_numpy().astype(np.int64), pa.int64()),
+         "sum_value": pa.array(
+             np.round(df["sum(v_part)"].to_numpy(), 2), pa.float64())}
+    )
+
+
 def hybrid_linear_topk(
     sf_dir: str, n: int = 30, k: int = 10,
     w_sparse: float = 0.7, w_dense: float = 0.3,

@@ -407,3 +407,63 @@ def test_update_convs_lifecycle(ray_session, tmp_path):
     finally:
         svc.shutdown()
     assert "c2" in h3["conv_id"]
+
+
+def test_segmented_decay_equals_monolithic(corpus_halves, tmp_path):
+    """function_score decay through the scatter path == monolithic: each
+    segment carries its own doc-values artifact (built per segment dir, the
+    add-doc-values-per-segment deployment), scores bit-identical."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.pipelines.docvalues import build_doc_values
+    from clip_as_service_ray.pipelines.segments import segment_dirs
+    from clip_as_service_ray.stages.query import QueryScorer
+
+    corpus, a, b = corpus_halves
+    root = str(tmp_path / "segdecay")
+    add_segment(root, a, CFG)
+    add_segment(root, b, CFG)
+    mono = str(tmp_path / "monodecay")
+    build_index(corpus, mono, CFG)
+
+    def dv_table(t: pa.Table) -> pa.Table:
+        # value = deterministic function of (conv, turn): both sides agree
+        conv = t.column("conv_id").to_pylist()
+        turn = t.column("turn_idx").to_numpy()
+        vals = np.asarray(
+            [(hash_stable(c) + int(x)) % 83 for c, x in zip(conv, turn)],
+            dtype=np.float64,
+        )
+        return pa.table(
+            {"conv_id": t.column("conv_id"), "turn_idx": t.column("turn_idx"),
+             "age": pa.array(vals, pa.float64())}
+        )
+
+    import zlib
+
+    def hash_stable(c: str) -> int:
+        return zlib.crc32(c.encode())
+
+    for d, src in zip(segment_dirs(root), (a, b)):
+        build_doc_values(dv_table(src), d, "age", CFG)
+    build_doc_values(dv_table(corpus), mono, "age", CFG)
+
+    spec = {"field": "age", "origin": 30.0, "scale": 20.0, "kind": "gauss"}
+    q = pa.table(
+        {"query_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array(["merge window", "data stream"], pa.string()),
+         "limit": pa.array([15, 15], pa.int32())}
+    )
+    svc = SegmentedQueryService(root, CFG, decay=spec)
+    try:
+        got = svc.search(q).to_pandas()
+    finally:
+        svc.shutdown()
+    scorer = QueryScorer(mono, CFG.limit, False, decay=spec)
+    want = (
+        scorer(q).to_pandas()
+        .sort_values(["query_id", "rank"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert _ids(got) == _ids(want)
+    np.testing.assert_array_equal(got.score.to_numpy(), want.score.to_numpy())
