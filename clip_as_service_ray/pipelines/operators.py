@@ -1217,7 +1217,19 @@ def parts_never_shipped_late(sf_dir: str, cutoff: str = "2000-06-01"):
     ).map_batches(
         lambda b: b.rename_columns(["p_partkey"]), batch_format="pyarrow"
     )
-    return shuffle_anti_join(parts, late, on="p_partkey")
+    out = shuffle_anti_join(parts, late, on="p_partkey").materialize()
+    if out.count() == 0:
+        # a legitimately-empty anti join (every part shipped late, e.g. tiny
+        # scale factors) must still carry its schema: empty map_groups
+        # partitions emit schema-less blocks and Dataset.to_pandas() would
+        # return a zero-COLUMN frame, failing the driver's column check
+        return pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "p_brand": pa.array([], pa.string()),
+            }
+        )
+    return out
 
 
 def sample_documents(sf_dir: str, mod: int = 97, keep: int = 10):
