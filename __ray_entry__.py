@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the round-3 batch), entries hash-green in CORRECTNESS_r02 are
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
+        "nb_classify_documents": ops.nb_classify_documents,
         "bm25_topk_conjunctive_segmented": ops.bm25_topk_conjunctive_segmented,
         "bm25_topk_synonyms": ops.bm25_topk_synonyms,
         "bm25_topk_plus": ops.bm25_topk_plus,
@@ -240,6 +241,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "nb_classify_documents": (
+            # multinomial Naive Bayes, trained AND scored in SQL: train =
+            # doc_id % 10 <> 0, label = lang, Laplace(+1) over the train
+            # vocabulary, OOV test tokens dropped, score = round(sum ln
+            # P(tok|lang) + ln prior, 6), argmax tie-break lang ASC
+            "WITH train AS (SELECT doc_id, lang, text FROM documents "
+            "WHERE doc_id % 10 <> 0), "
+            "test AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0), "
+            "ttok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '"
+            + _PAT_SQL
+            + "')) AS term FROM train), "
+            "vsize AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM ttok), "
+            "cls AS (SELECT lang, count(*)::DOUBLE AS n_docs FROM train GROUP BY lang), "
+            "tot AS (SELECT count(*)::DOUBLE AS n_total FROM train), "
+            "cnt AS (SELECT lang, term, count(*)::DOUBLE AS n FROM ttok "
+            "GROUP BY lang, term), "
+            "ctot AS (SELECT lang, count(*)::DOUBLE AS t FROM ttok GROUP BY lang), "
+            "stok AS (SELECT doc_id, term FROM (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '" + _PAT_SQL + "')) AS term "
+            "FROM test) s WHERE term IN (SELECT DISTINCT term FROM ttok)), "
+            "scored AS (SELECT s.doc_id, c.lang, "
+            "round(sum(ln((coalesce(cnt.n, 0) + 1) / (ct.t + vs.v))) "
+            "+ ln(c.n_docs / t.n_total), 6) AS score "
+            "FROM stok s CROSS JOIN cls c "
+            "JOIN ctot ct ON ct.lang = c.lang CROSS JOIN vsize vs CROSS JOIN tot t "
+            "LEFT JOIN cnt ON cnt.lang = c.lang AND cnt.term = s.term "
+            "GROUP BY s.doc_id, c.lang, c.n_docs, ct.t, vs.v, t.n_total) "
+            "SELECT doc_id, lang AS pred, score FROM "
+            "(SELECT doc_id, lang, score, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored) "
+            "WHERE rn = 1"
+        ),
         "tokenize_terms": (
             f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK}) t "
             "GROUP BY doc_id, term"

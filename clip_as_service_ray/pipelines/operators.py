@@ -7695,3 +7695,219 @@ def proximity_search_span(
         {"doc_id": pa.array(doc_ids, pa.int64()),
          "n_tuples": hits.column("phrase_tf")}
     )
+
+
+def nb_train_documents(sf_dir: str, label_col: str = "lang", test_mod: int = 10):
+    """Distributed multinomial Naive Bayes TRAINING over documents: the
+    model is exactly the sufficient statistics, so training is one
+    combiner-shaped count aggregation — per-batch (label, term, n)
+    occurrence partials (vectorized over the flat Arrow token stream),
+    folded by a (label, term) groupby. Returns everything inference needs:
+
+      counts_map  ShardedFloatMap  "label\\x1fterm" -> occurrence count
+                  (range-sharded in the object store — the vocabulary
+                  never lands on the driver; state/kvmap.py)
+      labels      sorted label list (ASC — the argmax tie-break order)
+      ctot        per-label total token occurrences (len == len(labels))
+      priors      per-label TRAIN doc counts
+      n_train     total train docs;  v  distinct-term count (Laplace V)
+
+    Docs with doc_id % test_mod == 0 are HELD OUT (the test split scored
+    by nb_classify_documents). Laplace(+1) smoothing over the train
+    vocabulary; multinomial event model (token occurrences, not presence).
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from clip_as_service_ray.functions.tokenizer import tokenize_column_flat
+    from clip_as_service_ray.state.kvmap import build_sharded_float_map
+
+    SEP = "\x1f"
+    docs = _documents(sf_dir, columns=("doc_id", label_col, "text"))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sub = batch.filter(pa.array(ids % test_mod != 0))
+        empty = pa.table(
+            {"label": pa.array([], pa.string()),
+             "term": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64()),
+             "docs_part": pa.array([], pa.int64())}
+        )
+        if sub.num_rows == 0:
+            return empty
+        tokens, lens = tokenize_column_flat(sub.column("text"))
+        lab = sub.column(label_col).to_numpy(zero_copy_only=False)
+        lcodes, luniq = pd.factorize(lab, sort=True)
+        # per-label train-doc counts ride along under term="" (never a real
+        # token: the tokenizer never emits an empty string)
+        ldocs = np.bincount(lcodes, minlength=len(luniq)).astype(np.int64)
+        if len(tokens) == 0:
+            return pa.table(
+                {"label": pa.array(luniq, pa.string()),
+                 "term": pa.array([""] * len(luniq), pa.string()),
+                 "n": pa.array(np.zeros(len(luniq), np.int64), pa.int64()),
+                 "docs_part": pa.array(ldocs, pa.int64())}
+            )
+        denc = tokens.dictionary_encode()
+        tcodes = denc.indices.to_numpy().astype(np.int64)
+        nt = len(denc.dictionary)
+        row_of_tok = np.repeat(np.arange(sub.num_rows), lens)
+        combined = lcodes[row_of_tok] * nt + tcodes
+        u, c = np.unique(combined, return_counts=True)
+        terms = denc.dictionary.take(pa.array(u % nt, pa.int64()))
+        out_labels = np.concatenate([luniq[u // nt], luniq])
+        return pa.table(
+            {
+                "label": pa.array(out_labels, pa.string()),
+                "term": pa.concat_arrays(
+                    [terms.combine_chunks() if isinstance(terms, pa.ChunkedArray)
+                     else terms,
+                     pa.array([""] * len(luniq), pa.string())]
+                ),
+                "n": pa.array(
+                    np.concatenate([c, np.zeros(len(luniq), np.int64)]),
+                    pa.int64(),
+                ),
+                "docs_part": pa.array(
+                    np.concatenate([np.zeros(len(u), np.int64), ldocs]),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["label", "term"], num_partitions=8)
+        .aggregate(Sum("n", alias_name="n"), Sum("docs_part", alias_name="docs"))
+        .materialize()
+    )
+
+    # small per-label reductions (L rows) + the Laplace V (one scalar)
+    def label_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("label").aggregate([("n", "sum"), ("docs", "sum")])
+        return g.rename_columns(["label", "tok_part", "doc_part"])
+
+    lab_tbl = (
+        counts.map_batches(label_partial, batch_format="pyarrow")
+        .groupby("label", num_partitions=1)
+        .aggregate(Sum("tok_part", alias_name="tot"), Sum("doc_part", alias_name="docs"))
+        .to_pandas()
+        .sort_values("label")
+    )
+    labels = lab_tbl["label"].tolist()
+    ctot = lab_tbl["tot"].to_numpy().astype(np.float64)
+    priors = lab_tbl["docs"].to_numpy().astype(np.float64)
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch.column("term"), ""))
+        u = pc.unique(t.column("term"))
+        return pa.table({"term": u})
+
+    v = float(
+        counts.map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("term", num_partitions=8)
+        .count()
+        .count()
+    )
+
+    def to_kv(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch.column("term"), ""))
+        key = pc.binary_join_element_wise(
+            t.column("label").cast(pa.string()),
+            t.column("term").cast(pa.string()),
+            SEP,
+        )
+        return pa.table({"key": key, "val": t.column("n").cast(pa.float64())})
+
+    counts_map = build_sharded_float_map(
+        counts.map_batches(to_kv, batch_format="pyarrow")
+    )
+    return {
+        "counts_map": counts_map,
+        "labels": labels,
+        "ctot": ctot,
+        "priors": priors,
+        "n_train": float(priors.sum()),
+        "v": v,
+        "sep": SEP,
+    }
+
+
+def nb_classify_documents(sf_dir: str, label_col: str = "lang", test_mod: int = 10):
+    """Train-then-score Naive Bayes text classification (the model-scoring
+    operator of a training-data curation pipeline): nb_train_documents
+    learns P(term|label) from the train split; this stage scores the HELD
+    OUT docs (doc_id % test_mod == 0) in one streaming map_batches pass —
+    per batch, per label: range-sharded count lookups, vectorized
+    log-likelihoods, bincount fold to per-doc sums. Tokens outside the
+    train vocabulary are dropped (standard multinomial NB); test docs with
+    zero in-vocab tokens are dropped on both sides. score = round(sum ln
+    P(tok|label) + ln prior, 6); pred = argmax with label-ASC tie-break on
+    the ROUNDED scores (both deterministic under float reassociation).
+    Fully SQL-expressible — train AND inference — so the DuckDB twin
+    certifies the whole learned model, not just the plumbing."""
+    model = nb_train_documents(sf_dir, label_col=label_col, test_mod=test_mod)
+    from clip_as_service_ray.functions.tokenizer import tokenize_column_flat
+
+    cmap = model["counts_map"]
+    labels = model["labels"]
+    ctot, priors = model["ctot"], model["priors"]
+    v, n_train, sep = model["v"], model["n_train"], model["sep"]
+    log_prior = np.log(priors / n_train)
+    denom = np.log(ctot + v)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sub = batch.filter(pa.array(ids % test_mod == 0))
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "pred": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64())}
+        )
+        if sub.num_rows == 0:
+            return empty
+        tokens, lens = tokenize_column_flat(sub.column("text"))
+        if len(tokens) == 0:
+            return empty
+        sub_ids = sub.column("doc_id").to_numpy()
+        row_of_tok = np.repeat(np.arange(sub.num_rows), lens)
+        # one lookup pass per label over the batch's flat token stream;
+        # the kvmap fetches only the count shards these tokens touch
+        toks = tokens.to_numpy(zero_copy_only=False)
+        n_tok = len(toks)
+        vals = np.empty((len(labels), n_tok), dtype=np.float64)
+        for i, lab in enumerate(labels):
+            needles = np.asarray(
+                pc.binary_join_element_wise(
+                    pa.array([lab] * n_tok, pa.string()), tokens, sep
+                ).to_pylist(),
+                dtype=object,
+            )
+            vals[i] = cmap.lookup(needles)
+        member = vals.sum(axis=0) > 0  # token in the train vocabulary
+        scores = np.empty((len(labels), sub.num_rows), dtype=np.float64)
+        for i in range(len(labels)):
+            contrib = np.log(vals[i][member] + 1.0) - denom[i]
+            scores[i] = (
+                np.bincount(
+                    row_of_tok[member], weights=contrib, minlength=sub.num_rows
+                )
+                + log_prior[i]
+            )
+        scores = np.round(scores, 6)
+        has_tok = np.bincount(row_of_tok[member], minlength=sub.num_rows) > 0
+        pred_idx = np.argmax(scores, axis=0)  # first max == label-ASC ties
+        best = scores[pred_idx, np.arange(sub.num_rows)]
+        lab_arr = np.asarray(labels, dtype=object)
+        return pa.table(
+            {
+                "doc_id": pa.array(sub_ids[has_tok], pa.int64()),
+                "pred": pa.array(lab_arr[pred_idx][has_tok], pa.string()),
+                "score": pa.array(best[has_tok], pa.float64()),
+            }
+        )
+
+    return _documents(sf_dir, columns=("doc_id", "text")).map_batches(
+        score_batch, batch_format="pyarrow"
+    )
