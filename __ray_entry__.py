@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "nb_classify_documents": ops.nb_classify_documents,
+        "ann_hnsw_topk": ops.ann_hnsw_topk,
         "bm25_topk_conjunctive_segmented": ops.bm25_topk_conjunctive_segmented,
         "bm25_topk_synonyms": ops.bm25_topk_synonyms,
         "bm25_topk_plus": ops.bm25_topk_plus,
@@ -241,6 +242,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_hnsw_topk": (
+            # twin = EXACT brute-force cosine top-k: with ef >= shard size
+            # the HNSW beam is exhaustive over each shard's connected graph,
+            # so the graph path must reproduce the exact answer
+            # (tests/test_hnsw.py pins the exhaustive-ef property)
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_cosine_similarity("
+            "e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)::DOUBLE AS sim "
+            "FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], "
+            "q.embedding::DOUBLE[]) DESC, e.vec_id ASC LIMIT 10"
+        ),
         "nb_classify_documents": (
             # multinomial Naive Bayes, trained AND scored in SQL: train =
             # doc_id % 10 <> 0, label = lang, Laplace(+1) over the train

@@ -7911,3 +7911,48 @@ def nb_classify_documents(sf_dir: str, label_col: str = "lang", test_mod: int = 
     return _documents(sf_dir, columns=("doc_id", "text")).map_batches(
         score_batch, batch_format="pyarrow"
     )
+
+
+def ann_hnsw_topk(
+    sf_dir: str,
+    k: int = 10,
+    n_shards: int = 4,
+    m: int = 8,
+    ef: int = 128,
+):
+    """Graph ANN: shard-partitioned HNSW (stages/hnsw.py) — build the
+    per-shard navigable-small-world graphs and score the query INSIDE one
+    streaming groupby pass, merge the k-sized shard partials. With ef >=
+    shard size the beam visits every reachable node, so on this corpus the
+    result is the EXACT cosine top-k (pinned by tests + the brute-force SQL
+    twin); at scale ef << n is the knob that buys O(ef*M*log n) search.
+    Final sims recompute ann_topk's exact expression (emb @ q_unit /
+    |emb|) so the twin sees identical float inputs."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from clip_as_service_ray.stages.hnsw import hnsw_topk_table
+
+    q = _query_vector(sf_dir, 0)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    hits = hnsw_topk_table(
+        ds, q, k=k, n_shards=n_shards, m=m, ef=ef
+    )
+    ids = hits.column("vec_id").to_numpy()
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", ids.tolist())],
+    )
+    vids = t.column("vec_id").to_numpy()
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(emb, axis=1)
+    qn = q / np.linalg.norm(q)
+    sims = (emb @ qn) / np.where(norms == 0, 1.0, norms)
+    top = np.lexsort((vids, -sims))[: min(k, len(vids))]
+    return pa.table(
+        {"vec_id": pa.array(vids[top], pa.int64()),
+         "sim": pa.array(np.round(sims[top], 6), pa.float64())}
+    )
