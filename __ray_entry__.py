@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/check_oracle.py, which runs the FULL board).
         "nb_classify_documents": ops.nb_classify_documents,
         "ann_hnsw_topk": ops.ann_hnsw_topk,
+        "mixture_sample_documents": ops.mixture_sample_documents,
+        "phrase_prefix_search": ops.phrase_prefix_search,
         "bm25_topk_conjunctive_segmented": ops.bm25_topk_conjunctive_segmented,
         "bm25_topk_synonyms": ops.bm25_topk_synonyms,
         "bm25_topk_plus": ops.bm25_topk_plus,
@@ -242,6 +244,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "phrase_prefix_search": (
+            # match_phrase_prefix "merge pa*": positional self-join where
+            # the second slot draws from the first-50 (lex ASC) vocabulary
+            # expansions of 'pa' — the same deterministic cap the engine
+            # kernel applies
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "unnest(range(len(ts))) AS pos "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL
+            + "') AS ts FROM documents)), "
+            "exp AS (SELECT DISTINCT term FROM tok WHERE term LIKE 'pa%' "
+            "ORDER BY term LIMIT 50) "
+            "SELECT a.doc_id, count(*)::BIGINT AS phrase_tf "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.term = 'merge' AND b.term IN (SELECT term FROM exp) "
+            "GROUP BY a.doc_id ORDER BY phrase_tf DESC, a.doc_id ASC LIMIT 10"
+        ),
+        "mixture_sample_documents": (
+            # mirror of pipelines.operators.MIXTURE_WEIGHTS @ mod=10000,
+            # default 0.1 -> threshold 1000
+            "SELECT doc_id, source FROM documents "
+            "WHERE (doc_id * 2654435761) % 10000 < "
+            "CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 8000 "
+            "WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 1000 END"
+        ),
         "ann_hnsw_topk": (
             # twin = EXACT brute-force cosine top-k: with ef >= shard size
             # the HNSW beam is exhaustive over each shard's connected graph,

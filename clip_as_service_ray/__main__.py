@@ -116,6 +116,11 @@ def main(argv=None) -> int:
     ph.add_argument("--span-first", type=int, default=0,
                     help=">0 = single term within the first N positions "
                          "(Lucene SpanFirstQuery)")
+    ph.add_argument("--prefix-last", action="store_true",
+                    help="match_phrase_prefix: query text ends with '*', "
+                         "the last token is a vocabulary prefix")
+    ph.add_argument("--max-expansions", type=int, default=50,
+                    help="prefix-last expansion cap (lex ASC, ES default 50)")
 
     sg = sub.add_parser(
         "suggest", help="did-you-mean terms from the index dictionary"
@@ -336,7 +341,8 @@ def main(argv=None) -> int:
             queries = pq.read_table(args.queries)
             hits = phrase_search_table(
                 args.index_dir, queries, EngineConfig(), window=args.window,
-                span_first=args.span_first,
+                span_first=args.span_first, prefix_last=args.prefix_last,
+                max_expansions=args.max_expansions,
             )
             if args.out:
                 pq.write_table(hits, args.out)

@@ -138,6 +138,10 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
                 cols["span_first"] = pa.array(
                     [int(x or 0) for x in colsin["span_first"]], pa.int32()
                 )
+            if colsin.get("prefix_last"):  # match_phrase_prefix per query
+                cols["prefix_last"] = pa.array(
+                    [bool(x) for x in colsin["prefix_last"]], pa.bool_()
+                )
         return pa.table(cols)
     qs = payload.get("queries", [])
     cols = {
@@ -160,6 +164,10 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
         if any(q.get("span_first") for q in qs):  # SpanFirstQuery per query
             cols["span_first"] = pa.array(
                 [int(q.get("span_first", 0)) for q in qs], pa.int32()
+            )
+        if any(q.get("prefix_last") for q in qs):  # match_phrase_prefix
+            cols["prefix_last"] = pa.array(
+                [bool(q.get("prefix_last", False)) for q in qs], pa.bool_()
             )
     return pa.table(cols)
 
@@ -508,8 +516,10 @@ class SegmentedSearchHTTPServer:
                      segmented index (retriever.md:180-225 contract); mode
                      pools spawn lazily, a per-query `exclude` composes
                      with any mode (AND-NOT / prefix-NOT / fuzzy-NOT)
-        POST /phrase {"queries": [{query_id, text, limit?, window?}]}
-                     -> exact phrase (window absent/0) or proximity top-k
+        POST /phrase {"queries": [{query_id, text, limit?, window?,
+                                   span_first?, prefix_last?}]}
+                     -> exact phrase (window absent/0), proximity,
+                     span-first, or match_phrase_prefix (text ends '*') top-k
                      through the per-segment positional artifacts
         POST /delete {"conv_ids": [...]} -> tombstones, filtered right away
         POST /compact {} -> physical purge of tombstoned convs (segments

@@ -7956,3 +7956,79 @@ def ann_hnsw_topk(
         {"vec_id": pa.array(vids[top], pa.int64()),
          "sim": pa.array(np.round(sims[top], 6), pa.float64())}
     )
+
+
+# default domain-mixture weights for mixture_sample_documents: up-weight
+# curated-looking sources, down-weight the rest (the "data mixture" knob of
+# a training-data pipeline); any source absent from the dict gets `default`
+MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.8, "src2": 0.5, "src3": 0.25}
+
+
+def mixture_sample_documents(
+    sf_dir: str, weights: dict | None = None, default: float = 0.1,
+    mod: int = 10000,
+):
+    """Domain-mixture sampling (training-data mixture reweighting): each
+    source s keeps a deterministic hash-fraction weights[s] of its docs —
+    keep iff (doc_id * KNUTH) % mod < floor(w_s * mod). Pure int64
+    arithmetic + a tiny per-source threshold map in the closure, so the
+    mixture is reproducible across engines/runs/partitionings and the
+    DuckDB twin is the identical expression. One streaming pass, no
+    shuffle; at 100 TB this is the op that turns 'weights per domain' into
+    an actual sampled corpus without materializing anything."""
+    KNUTH = 2654435761
+    w = dict(MIXTURE_WEIGHTS if weights is None else weights)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(src, sort=True)
+        thr = np.asarray(
+            [int(float(w.get(s, default)) * mod) for s in uniq], dtype=np.int64
+        )
+        keep = (ids * KNUTH) % mod < thr[codes]
+        return batch.filter(pa.array(keep))
+
+    return _documents(sf_dir, columns=("doc_id", "source")).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def phrase_prefix_search(
+    sf_dir: str, phrase: str = "merge pa*", limit: int = 10,
+    max_expansions: int = 50,
+):
+    """match_phrase_prefix (Elasticsearch analog / Lucene MultiPhraseQuery):
+    exact leading tokens followed by ANY vocabulary expansion of the final
+    prefix (first `max_expansions`, lex ASC — the ES default cap of 50).
+    Runs through the positional index's phrase_prefix_docs kernel: leading
+    run verified exactly like phrase_docs, the prefix slot is a mask UNION
+    of binary searches into each expansion's cached composite-key array
+    (positions hold one token, so expansion matches are disjoint)."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import (
+        build_positions,
+        phrase_search_table,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    build_positions(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([phrase]),
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    hits = phrase_search_table(
+        index_dir, q, cfg, prefix_last=True, max_expansions=max_expansions
+    )
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "phrase_tf": hits.column("phrase_tf"),
+        }
+    )

@@ -196,7 +196,8 @@ class PhraseScorer:
 
     def __init__(
         self, index_dir: str, default_limit: int = 10, window: int = 0,
-        warm: bool = False, span_first: int = 0,
+        warm: bool = False, span_first: int = 0, prefix_last: bool = False,
+        max_expansions: int = 50,
     ):
         self.reader = PositionsReader(index_dir)
         if warm:  # pre-fault composite-key arrays at pool spawn (T1 pattern)
@@ -208,6 +209,11 @@ class PhraseScorer:
         # span_first > 0: SpanFirstQuery mode — a single-term query matches
         # docs where the term occurs before token position `span_first`
         self.span_first = int(span_first)
+        # prefix_last: match_phrase_prefix mode — the query's LAST token is
+        # a prefix (query text must end with '*'); the first
+        # `max_expansions` vocabulary expansions (lex ASC) fill the slot
+        self.prefix_last = bool(prefix_last)
+        self.max_expansions = int(max_expansions)
         conv_tbl = pq.read_table(os.path.join(index_dir, "convmap.parquet"))
         conv_tbl = conv_tbl.sort_by("conv_id")
         self._conv_ids = np.asarray(
@@ -235,12 +241,34 @@ class PhraseScorer:
             if "span_first" in batch.column_names
             else [self.span_first] * len(qids)
         )
+        prefix_lasts = (
+            batch.column("prefix_last").to_pylist()
+            if "prefix_last" in batch.column_names
+            else [self.prefix_last] * len(qids)
+        )
         cols: dict[str, list] = {n: [] for n in PHRASE_HITS_SCHEMA.names}
-        for qid, text, limit, window, sfirst in zip(
-            qids, texts, limits, windows, span_firsts
+        for qid, text, limit, window, sfirst, plast in zip(
+            qids, texts, limits, windows, span_firsts, prefix_lasts
         ):
             k = int(limit or self.default_limit)
-            if sfirst:
+            if plast:
+                if window or sfirst:
+                    raise ValueError(
+                        "prefix_last is mutually exclusive with window/"
+                        "span_first"
+                    )
+                body = (text or "").rstrip()
+                if not body.endswith("*") or len(body) < 2:
+                    raise ValueError(
+                        "match_phrase_prefix queries must end with '*'"
+                    )
+                toks = self.reader.query_tokens(body[:-1])
+                if not toks:
+                    raise ValueError("empty match_phrase_prefix query")
+                docs, tfs, firsts = self.reader.phrase_prefix_docs(
+                    toks[:-1], toks[-1], self.max_expansions
+                )
+            elif sfirst:
                 if window:
                     raise ValueError(
                         "span_first and proximity window are mutually "
@@ -289,10 +317,13 @@ def phrase_search_table(
     *,
     window: int = 0,
     span_first: int = 0,
+    prefix_last: bool = False,
+    max_expansions: int = 50,
 ) -> pa.Table:
     """Batch phrase (or, with ``window>0``, proximity; with
-    ``span_first>0``, SpanFirstQuery) search through a Ray Data actor
-    pool; returns hits sorted by (query_id, rank)."""
+    ``span_first>0``, SpanFirstQuery; with ``prefix_last``,
+    match_phrase_prefix) search through a Ray Data actor pool; returns
+    hits sorted by (query_id, rank)."""
     import ray.data
 
     # fail on the driver with a clear message, not a RayTaskError from the
@@ -311,6 +342,8 @@ def phrase_search_table(
             "default_limit": config.limit,
             "window": window,
             "span_first": span_first,
+            "prefix_last": prefix_last,
+            "max_expansions": max_expansions,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,

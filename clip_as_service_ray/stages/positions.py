@@ -817,13 +817,21 @@ class PositionsReader:
         )
         if not terms:
             return empty
+        base = self._phrase_start_keys(terms)
+        if base is None or len(base) == 0:
+            return empty
+        return self._group_start_keys(base)
+
+    def _phrase_start_keys(self, terms: list[str]) -> np.ndarray | None:
+        """Verified phrase-START composite keys (ascending) for an exact
+        token sequence, or None when any term is absent from the index."""
         if len(terms) > 64:
             raise ValueError("phrase longer than 64 tokens unsupported")
         key_arrays = []
         for t in terms:
             ka = self.term_keys(t)
             if ka is None:
-                return empty
+                return None
             key_arrays.append(ka)
         # candidate START keys seeded from the RAREST term (its keys shifted
         # to the phrase start); every other term filters by binary search
@@ -839,7 +847,7 @@ class PositionsReader:
             base = key_arrays[j0]  # filtered copies only; cache never mutated
         for i in order[1:]:
             if len(base) == 0:
-                return empty
+                return base
             # repeated-term phrases ("x x") work naturally: each phrase
             # index runs its own offset check against the shared key array
             ki = key_arrays[int(i)]
@@ -847,14 +855,71 @@ class PositionsReader:
             pos = np.searchsorted(ki, q)
             ok = (pos < len(ki)) & (ki[np.minimum(pos, len(ki) - 1)] == q)
             base = base[ok]
-        if len(base) == 0:
-            return empty
+        return base
+
+    @staticmethod
+    def _group_start_keys(base: np.ndarray):
+        """Ascending start keys -> (doc_ids, per-doc counts, first pos)."""
         d = base // POS_SHIFT
         change = np.nonzero(np.diff(d) != 0)[0] + 1
         starts = np.concatenate([[0], change])
         bounds = np.concatenate([starts, [len(d)]])
         first = base[starts] - d[starts] * POS_SHIFT  # first start per doc
         return d[starts], np.diff(bounds).astype(np.int64), first
+
+    def expand_prefix(self, prefix: str, max_terms: int = 50) -> list[str]:
+        """First ``max_terms`` vocabulary terms (lex ASC) starting with
+        ``prefix`` — the deterministic MultiPhraseQuery expansion cap
+        (Elasticsearch match_phrase_prefix defaults to 50)."""
+        if not hasattr(self, "_sorted_vocab"):
+            self._sorted_vocab = np.sort(
+                np.asarray(list(self._term_blocks), dtype=object)
+            )
+        v = self._sorted_vocab
+        lo = np.searchsorted(v, prefix)
+        hi = np.searchsorted(v, prefix + "\U0010ffff")
+        return v[lo : min(hi, lo + max_terms)].tolist()
+
+    def phrase_prefix_docs(
+        self, terms: list[str], prefix: str, max_expansions: int = 50
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """match_phrase_prefix (Lucene MultiPhraseQuery with a prefix last
+        slot): docs containing the exact token sequence ``terms`` followed
+        by ANY vocabulary term starting with ``prefix`` (first
+        ``max_expansions`` expansions, lex ASC). A position holds exactly
+        one token, so per-expansion matches are disjoint and the OR is a
+        mask union — counts stay one per start. With no leading terms this
+        degenerates to a prefix TERM query with positional tf."""
+        empty = (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+        )
+        exps = self.expand_prefix(prefix, max_expansions)
+        if not exps:
+            return empty
+        if not terms:
+            keys = [self.term_keys(e) for e in exps]
+            keys = [k for k in keys if k is not None and len(k)]
+            if not keys:
+                return empty
+            allk = np.sort(np.concatenate(keys))
+            return self._group_start_keys(allk)
+        base = self._phrase_start_keys(terms)
+        if base is None or len(base) == 0:
+            return empty
+        q = base + len(terms)  # the prefix slot right after the leading run
+        ok = np.zeros(len(base), dtype=bool)
+        for e in exps:
+            ke = self.term_keys(e)
+            if ke is None or len(ke) == 0:
+                continue
+            pos = np.searchsorted(ke, q)
+            ok |= (pos < len(ke)) & (ke[np.minimum(pos, len(ke) - 1)] == q)
+        base = base[ok]
+        if len(base) == 0:
+            return empty
+        return self._group_start_keys(base)
 
 
 def compact_pos_part(

@@ -163,6 +163,17 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
         convac_hit = [h for h in ph if h["conv_id"] == "convac"]
         assert convac_hit and convac_hit[0]["phrase_tf"] == 2
         assert convac_hit[0]["first_pos"] == 0
+        # match_phrase_prefix per query: leading run + prefix slot
+        ph = _post(srv.url + "/phrase", {"queries": [
+            {"query_id": 0, "text": "merge wind*", "limit": 5,
+             "prefix_last": True}]})["hits"]
+        assert {(h["conv_id"], h["phrase_tf"]) for h in ph} == {("convac", 1)}
+        # degenerate single-prefix form: tf = total occurrences of me*
+        ph = _post(srv.url + "/phrase", {"queries": [
+            {"query_id": 0, "text": "me*", "limit": 5,
+             "prefix_last": True}]})["hits"]
+        assert {(h["conv_id"], h["phrase_tf"]) for h in ph} == {
+            ("convaa", 1), ("convac", 3)}
 
         _post(srv.url + "/delete", {"conv_ids": ["convac"]})
         hits = _post(srv.url + "/search", {"queries": [

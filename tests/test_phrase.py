@@ -622,3 +622,79 @@ def test_fuzzy_query_equals_expanded_or(phrase_index):
     do, so = reader.score_query(" ".join(exp), 10_000)
     assert np.array_equal(df, do) and np.array_equal(sf, so)
     assert reader.expand_fuzzy("qqqqqqqq", 1) == []
+
+
+def _brute_prefix(rows, leading, prefix, max_expansions=50):
+    """Brute-force match_phrase_prefix over the raw corpus: leading tokens
+    exact, final slot = any of the first-`max_expansions` (lex ASC)
+    corpus-vocabulary terms starting with `prefix`."""
+    vocab = sorted({t for _, _, _, text in rows for t in tokenize(text)})
+    exps = [t for t in vocab if t.startswith(prefix)][:max_expansions]
+    lead = tokenize(" ".join(leading)) if leading else []
+    n = len(lead) + 1
+    out = {}
+    for conv_id, ti, _, text in rows:
+        toks = tokenize(text)
+        c = sum(
+            1
+            for i in range(len(toks) - n + 1)
+            if toks[i : i + len(lead)] == lead and toks[i + len(lead)] in exps
+        )
+        if c:
+            out[(conv_id, ti)] = c
+    return out
+
+
+def _engine_prefix(index_dir, cfg, text, max_expansions=50, limit=10_000):
+    from clip_as_service_ray.pipelines.phrase import phrase_search_table
+
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": [text],
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    hits = phrase_search_table(
+        index_dir, q, cfg, prefix_last=True, max_expansions=max_expansions
+    )
+    return {
+        (hits.column("conv_id")[i].as_py(), hits.column("turn_idx")[i].as_py()):
+            hits.column("phrase_tf")[i].as_py()
+        for i in range(hits.num_rows)
+    }
+
+
+def test_phrase_prefix_vs_bruteforce(phrase_index):
+    rows, idx, cfg = phrase_index
+    # 'g' expands to gamma+golf; 'al' to alpha; two-term leading run too
+    for lead, prefix in ([["alpha"], "g"], [[], "al"], [["beta", "gamma"], "d"]):
+        text = " ".join(lead + [prefix]) + "*"
+        got = _engine_prefix(idx, cfg, text)
+        want = _brute_prefix(rows, lead, prefix)
+        assert got == want, (lead, prefix)
+    assert _brute_prefix(rows, ["alpha"], "g"), "fixture must contain matches"
+
+
+def test_phrase_prefix_expansion_cap(phrase_index):
+    """max_expansions=1 keeps only the lex-first expansion (gamma, not
+    golf)."""
+    rows, idx, cfg = phrase_index
+    got = _engine_prefix(idx, cfg, "alpha g*", max_expansions=1)
+    want = _brute_prefix(rows, ["alpha"], "g", max_expansions=1)
+    assert got == want
+    # and the capped result differs from the uncapped one somewhere
+    assert _brute_prefix(rows, ["alpha"], "g") != want or not want
+
+
+def test_phrase_prefix_edges(phrase_index):
+    rows, idx, cfg = phrase_index
+    # no vocabulary expansion -> no hits
+    assert _engine_prefix(idx, cfg, "alpha zzz*") == {}
+    # absent leading term -> no hits
+    assert _engine_prefix(idx, cfg, "zzzz al*") == {}
+    # malformed query (no trailing star) raises
+    import ray
+
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        _engine_prefix(idx, cfg, "alpha g")
