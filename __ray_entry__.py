@@ -31,6 +31,30 @@ _TOK = (
 _STOP_SQL = "('the', 'a', 'of', 'to', 'and', 'in')"
 
 
+def _bm25_field_sql(name: str, pos_pred: str, terms=("merge", "window")) -> str:
+    """One field's BM25 score CTE chain over position-filtered tokens
+    (dis_max twin): field df/dl/avgdl are computed over the FIELD's tokens
+    only — mirrors the engine's per-field index statistics."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        f"{name}_tok AS (SELECT doc_id, term FROM tokp WHERE {pos_pred}), "
+        f"{name}_dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM {name}_tok "
+        "GROUP BY doc_id), "
+        f"{name}_stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        f"FROM {name}_dl), "
+        f"{name}_tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM {name}_tok "
+        f"WHERE term IN ({tlist}) GROUP BY doc_id, term), "
+        f"{name}_df AS (SELECT term, count(*)::DOUBLE AS df FROM {name}_tf "
+        "GROUP BY term), "
+        f"{name}_score AS (SELECT tf.doc_id, "
+        "sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2 / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+        f"FROM {name}_tf tf JOIN {name}_df df USING (term) "
+        f"JOIN {name}_dl dl ON tf.doc_id = dl.doc_id "
+        f"CROSS JOIN {name}_stats s GROUP BY tf.doc_id)"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     from clip_as_service_ray.pipelines.operators import bm25_topk
@@ -83,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_hnsw_topk": ops.ann_hnsw_topk,
         "mixture_sample_documents": ops.mixture_sample_documents,
         "phrase_prefix_search": ops.phrase_prefix_search,
+        "dismax_topk": ops.dismax_topk,
         "bm25_topk_conjunctive_segmented": ops.bm25_topk_conjunctive_segmented,
         "bm25_topk_synonyms": ops.bm25_topk_synonyms,
         "bm25_topk_plus": ops.bm25_topk_plus,
@@ -244,6 +269,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dismax_topk": (
+            # multi_match best_fields: per-field BM25 (title = pos < 8,
+            # body = pos >= 8, each with its OWN n/avgdl/df), combined as
+            # best + 0.3 * (sum - best); missing fields contribute 0
+            "WITH tokp AS (SELECT doc_id, unnest(ts) AS term, "
+            "unnest(range(len(ts))) AS pos "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL
+            + "') AS ts FROM documents)), "
+            + _bm25_field_sql("title", "pos < 8")
+            + ", "
+            + _bm25_field_sql("body", "pos >= 8")
+            + ", comb AS (SELECT coalesce(t.doc_id, b.doc_id) AS doc_id, "
+            "greatest(coalesce(t.score, 0), coalesce(b.score, 0)) + 0.3 * "
+            "(coalesce(t.score, 0) + coalesce(b.score, 0) - "
+            "greatest(coalesce(t.score, 0), coalesce(b.score, 0))) AS score "
+            "FROM title_score t FULL OUTER JOIN body_score b USING (doc_id)) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM comb "
+            "ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10"
+        ),
         "phrase_prefix_search": (
             # match_phrase_prefix "merge pa*": positional self-join where
             # the second slot draws from the first-50 (lex ASC) vocabulary

@@ -8032,3 +8032,85 @@ def phrase_prefix_search(
             "phrase_tf": hits.column("phrase_tf"),
         }
     )
+
+
+def dismax_topk(
+    sf_dir: str, terms=BM25_QUERY_TERMS, title_tokens: int = 8,
+    tie_breaker: float = 0.3, limit: int = 10,
+):
+    """multi_match best_fields / Lucene DisjunctionMaxQuery: per-FIELD BM25
+    (title = first `title_tokens` tokens, body = the rest, each its own
+    index with its own df/dl/avgdl statistics), combined per doc as
+    best + tie_breaker * (sum - best). Each field index is built by the
+    real pipeline from a streaming field-slice adapter; both field score
+    sets are the engine's own hit tables (exhaustive limit — a field's
+    match set is its posting union, the same rows BM25 had to score
+    anyway), merged with one vectorized outer combine. Missing-field
+    scores contribute 0 (BM25 scores are strictly positive)."""
+    import ray.data
+
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+
+    def field_adapter(lo: int, hi: int):
+        def fields(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            tokens, lens = tokenize_column_flat(batch.column("text"))
+            offsets = pa.array(
+                np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+            )
+            lists = pa.ListArray.from_arrays(offsets, tokens)
+            out = pc.binary_join(pc.list_slice(lists, lo, hi), " ")
+            padded = pc.utf8_lpad(
+                pc.cast(batch.column("doc_id"), pa.string()), 12, "0"
+            )
+            conv = pc.binary_join_element_wise(
+                pa.scalar("doc"), padded, pa.scalar("-")
+            )
+            return pa.table(
+                {"conv_id": pc.cast(conv, pa.string()),
+                 "turn_idx": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+                 "role": pa.array(["doc"] * n, pa.string()),
+                 "text": pc.cast(out, pa.string())}
+            )
+
+        return fields
+
+    field_scores = {}
+    for name, lo, hi in (
+        ("title", 0, title_tokens), ("body", title_tokens, 1 << 30)
+    ):
+        index_dir = _index_dir_for(sf_dir) + f"_dismax_{name}{title_tokens}"
+        src = _documents(sf_dir).map_batches(
+            field_adapter(lo, hi), batch_format="pyarrow"
+        )
+        build_index(src, index_dir, cfg)
+        queries = pa.table(
+            {"query_id": pa.array([0], pa.int64()),
+             "text": pa.array([" ".join(terms)]),
+             # exhaustive: every doc matching the field participates in max
+             "limit": pa.array([1 << 30], pa.int32())}
+        )
+        hits = search_table(index_dir, queries, cfg)
+        ids = np.asarray(
+            [int(c[4:]) for c in hits.column("conv_id").to_pylist()],
+            dtype=np.int64,
+        )
+        field_scores[name] = (ids, hits.column("score").to_numpy())
+
+    all_ids = np.unique(
+        np.concatenate([ids for ids, _ in field_scores.values()])
+    )
+    per_field = np.zeros((len(field_scores), len(all_ids)), dtype=np.float64)
+    for i, (ids, sc) in enumerate(field_scores.values()):
+        per_field[i, np.searchsorted(all_ids, ids)] = sc
+    best = per_field.max(axis=0)
+    total = per_field.sum(axis=0)
+    score = np.round(best + tie_breaker * (total - best), 6)
+    top = np.lexsort((all_ids, -score))[: min(limit, len(all_ids))]
+    return pa.table(
+        {"doc_id": pa.array(all_ids[top], pa.int64()),
+         "score": pa.array(score[top], pa.float64())}
+    )

@@ -1380,6 +1380,81 @@ class IndexReader:
             return self._score_dense(present, limit, n_slots, exclude=excl, doc_range=doc_range)
         return self._score_dense_chunked(present, limit, n_slots, exclude=excl, doc_range=doc_range)
 
+    def score_query_boosting(
+        self, text: str, negative_text: str, limit: int, *,
+        negative_boost: float = 0.5, exclude_text: str = "",
+        doc_range=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ES `boosting` query (soft NOT): exact OR-semantics BM25 where
+        docs matching ANY token of ``negative_text`` keep their slot but
+        have their score multiplied by ``negative_boost`` BEFORE top-k —
+        demotion, not exclusion (score_query_not is the hard form). The
+        multiplier is pointwise, so per-chunk capping after multiplication
+        is exact (same chunk-safety argument as decay). Survivor scores of
+        non-demoted docs are bit-identical to score_query's; demoted docs
+        are exactly score * negative_boost (one multiply, same float on
+        both engines)."""
+        neg = self.excluded_docs(negative_text) if negative_text else None
+        neg = neg if neg is not None and len(neg) else None
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        if neg is None and excl is None:
+            return self.score_query(text, limit, doc_range=doc_range)
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
+        present = [t for t in terms if t in self._term_blocks]
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        nb = float(negative_boost)
+        n_slots = self._max_doc_id + 1
+        chunk = min(n_slots, self.dense_chunk_docs)
+        if self._score_buf is None or len(self._score_buf) != chunk:
+            self._score_buf = np.zeros(chunk, dtype=np.float64)
+            self._match_buf = np.zeros(chunk, dtype=bool)
+        scores, matched = self._score_buf, self._match_buf
+        one_chunk = chunk >= n_slots
+        win_docs: list[np.ndarray] = []
+        win_scores: list[np.ndarray] = []
+        for c0 in range(0, n_slots, chunk):
+            c1 = min(c0 + chunk, n_slots)
+            for t in present:
+                if one_chunk:
+                    docs_t, scores_t = self.term_docs_scores(t)
+                    rel = docs_t
+                else:
+                    docs_t, scores_t = self.term_postings_in_range(t, c0, c1)
+                    if not len(docs_t):
+                        continue
+                    rel = docs_t - c0
+                scores[rel] += scores_t
+                matched[rel] = True
+            cand = np.nonzero(matched[: c1 - c0])[0]
+            if len(cand):
+                sel = cand
+                if doc_range is not None:
+                    sel = self._clip_to_range(sel + c0, doc_range) - c0
+                if excl is not None and len(sel):
+                    sel = self._drop_excluded(sel + c0, excl) - c0
+                if len(sel):
+                    docs_abs = (sel + c0).astype(np.int64)
+                    s = scores[sel].copy()
+                    if neg is not None:
+                        pos = np.searchsorted(neg, docs_abs)
+                        hit = (pos < len(neg)) & (
+                            neg[np.minimum(pos, len(neg) - 1)] == docs_abs
+                        )
+                        s[hit] *= nb
+                    top = bm25.topk_indices(s, docs_abs, limit)
+                    win_docs.append(docs_abs[top])
+                    win_scores.append(s[top].copy())
+                scores[cand] = 0.0
+                matched[cand] = False
+        if not win_docs:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        d = np.concatenate(win_docs)
+        s = np.concatenate(win_scores)
+        top = bm25.topk_indices(s, d, limit)
+        return d[top], s[top]
+
     @staticmethod
     def _drop_excluded(cand: np.ndarray, exclude: np.ndarray) -> np.ndarray:
         pos = np.searchsorted(exclude, cand)
