@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_documents": ops.mixture_sample_documents,
         "phrase_prefix_search": ops.phrase_prefix_search,
         "dismax_topk": ops.dismax_topk,
+        "bm25_topk_boosting": ops.bm25_topk_boosting,
         "bm25_topk_conjunctive_segmented": ops.bm25_topk_conjunctive_segmented,
         "bm25_topk_synonyms": ops.bm25_topk_synonyms,
         "bm25_topk_plus": ops.bm25_topk_plus,
@@ -269,6 +270,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_topk_boosting": (
+            # ES boosting query (soft NOT): OR BM25 over ('merge','window'),
+            # docs containing 'slow' demoted by 0.5 BEFORE top-k; order by
+            # the UNROUNDED demoted score (engine tie-break doc ASC)
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            "neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'slow'), "
+            "comb AS (SELECT sc.doc_id, sc.score * (CASE WHEN n.doc_id IS "
+            "NULL THEN 1.0 ELSE 0.5 END) AS score "
+            "FROM scores sc LEFT JOIN neg n ON sc.doc_id = n.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM comb "
+            "ORDER BY comb.score DESC, doc_id ASC LIMIT 10"
+        ),
         "dismax_topk": (
             # multi_match best_fields: per-field BM25 (title = pos < 8,
             # body = pos >= 8, each with its OWN n/avgdl/df), combined as

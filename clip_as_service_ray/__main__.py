@@ -87,6 +87,11 @@ def main(argv=None) -> int:
         help="BM25+ bonus (Lv & Zhai 2011): score = idf * (tf_norm + delta); "
         "0 = classic BM25",
     )
+    s.add_argument(
+        "--negative-boost", type=float, default=None,
+        help="ES boosting query (soft NOT): demote docs matching each "
+        "query's `negative` column text by this multiplier before top-k",
+    )
 
     dv = sub.add_parser(
         "build-doc-values",
@@ -268,6 +273,7 @@ def main(argv=None) -> int:
                 collapse=args.collapse, suffix=args.suffix, regex=args.regex,
                 term_range=args.term_range, block_join=args.block_join,
                 decay=json.loads(args.decay) if args.decay else None,
+                boosting=args.negative_boost,
             )
             if args.out:
                 pq.write_table(hits, args.out)

@@ -125,7 +125,8 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
                 [int(x or 10) for x in colsin.get("limit", [10] * n)], pa.int32()
             ),
         }
-        for name, typ in (("exclude", pa.string()), ("conv_prefix", pa.string())):
+        for name, typ in (("exclude", pa.string()), ("conv_prefix", pa.string()),
+                          ("negative", pa.string())):
             if colsin.get(name):
                 cols[name] = pa.array(
                     [str(x or "") for x in colsin[name]], typ
@@ -156,6 +157,10 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
     if any(q.get("conv_prefix") for q in qs):  # metadata filter (conv prefix)
         cols["conv_prefix"] = pa.array(
             [str(q.get("conv_prefix", "") or "") for q in qs], pa.string()
+        )
+    if any(q.get("negative") for q in qs):  # boosting mode's demotion text
+        cols["negative"] = pa.array(
+            [str(q.get("negative", "") or "") for q in qs], pa.string()
         )
     if with_window:  # 0 = exact phrase; >0 = proximity window in tokens
         cols["window"] = pa.array(
@@ -281,6 +286,10 @@ def _mode_key(payload: dict) -> tuple | None:
         return ("boosted",)
     if mode == "msm":
         return ("min_match", int(payload.get("min_match", 2)))
+    if mode == "boosting":
+        # ES boosting query (soft NOT): per-query `negative` text demoted
+        # by negative_boost; one lazy pool per distinct multiplier
+        return ("boosting", float(payload.get("negative_boost", 0.5)))
     if mode == "collapse":
         return ("collapse",)
     if mode == "bm25plus":
@@ -294,7 +303,7 @@ def _mode_key(payload: dict) -> tuple | None:
     raise ValueError(
         f"unknown mode {mode!r} "
         "(conjunctive|prefix|suffix|regex|term_range|block_join|decay|"
-        "fuzzy|boosted|msm|collapse|bm25plus)"
+        "fuzzy|boosted|msm|collapse|bm25plus|boosting)"
     )
 
 

@@ -8114,3 +8114,35 @@ def dismax_topk(
         {"doc_id": pa.array(all_ids[top], pa.int64()),
          "score": pa.array(score[top], pa.float64())}
     )
+
+
+def bm25_topk_boosting(
+    sf_dir: str, terms=BM25_QUERY_TERMS, negative: str = "slow",
+    negative_boost: float = 0.5, limit: int = 10,
+):
+    """ES `boosting` query (soft NOT): exact OR-semantics BM25 where docs
+    matching ANY token of the per-query ``negative`` text keep their slot
+    but have their score multiplied by ``negative_boost`` BEFORE top-k —
+    demotion, not exclusion (the `exclude` column is the hard form).
+    Non-demoted survivor scores are bit-identical to bm25_topk's; demoted
+    scores are exactly score * negative_boost (one multiply on both
+    engines, exact for 0.5)."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32()),
+         "negative": pa.array([negative], pa.string())}
+    )
+    hits = search_table(index_dir, queries, cfg, boosting=negative_boost)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.float64())}
+    )

@@ -34,6 +34,7 @@ def search(
     term_range: bool = False,
     block_join: str | None = None,
     decay: dict | None = None,
+    boosting: float | None = None,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -69,6 +70,7 @@ def search(
             "term_range": term_range,
             "block_join": block_join,
             "decay": decay,
+            "boosting": boosting,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -94,6 +96,7 @@ def search_table(
     term_range: bool = False,
     block_join: str | None = None,
     decay: dict | None = None,
+    boosting: float | None = None,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
@@ -102,7 +105,7 @@ def search_table(
         conjunctive=conjunctive, prefix=prefix, fuzzy=fuzzy,
         synonyms=synonyms, delta=delta, boosted=boosted, min_match=min_match,
         collapse=collapse, suffix=suffix, regex=regex, term_range=term_range,
-        block_join=block_join, decay=decay,
+        block_join=block_join, decay=decay, boosting=boosting,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

@@ -219,6 +219,7 @@ class SegmentedQueryService(ScatterQueryService):
         term_range: bool = False,
         block_join: str | None = None,
         decay: dict | None = None,
+        boosting: float | None = None,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -243,6 +244,7 @@ class SegmentedQueryService(ScatterQueryService):
             term_range=term_range,
             block_join=block_join,
             decay=decay,
+            boosting=boosting,
             synonyms=synonyms,
             delta=delta,
             num_cpus=num_cpus,

@@ -196,6 +196,7 @@ class ScatterQueryService:
         term_range: bool = False,
         block_join: str | None = None,
         decay: dict | None = None,
+        boosting: float | None = None,
         num_cpus: float = 1,
     ):
         import ray
@@ -257,6 +258,7 @@ class ScatterQueryService:
                 term_range=term_range,
                 block_join=block_join,
                 decay=decay,
+                boosting=boosting,
                 synonyms=synonyms,
                 query_cache_size=config.query_cache_size,
                 delta=delta,

@@ -1579,14 +1579,15 @@ class QueryScorer:
         term_range: bool = False,
         block_join: str | None = None,
         decay: dict | None = None,
+        boosting: float | None = None,
     ):
         if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match,
                           collapse, suffix, regex, term_range,
-                          block_join, decay))) > 1:
+                          block_join, decay, boosting is not None))) > 1:
             raise ValueError(
                 "query modes are mutually exclusive: pick ONE of conjunctive/"
                 "prefix/fuzzy/boosted/min_match/collapse/suffix/regex/"
-                "term_range/block_join/decay"
+                "term_range/block_join/decay/boosting"
             )
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         # scoring variant: delta > 0 = BM25+ (same index artifact; the
@@ -1640,6 +1641,9 @@ class QueryScorer:
         # decay: function_score decay spec {field, origin, scale[, offset,
         # decay, kind]} — multiplies each match's OR score pre-top-k
         self.decay = dict(decay) if decay else None
+        # boosting: ES boosting-query negative_boost — per-query `negative`
+        # column demotes (not excludes) matching docs by this multiplier
+        self.boosting = None if boosting is None else float(boosting)
         # fuzzy > 0: each token expands to its edit-distance neighborhood
         self.fuzzy = int(fuzzy)
         # boosted: query text carries Lucene caret boosts ("merge^2 window")
@@ -1817,6 +1821,8 @@ class QueryScorer:
                     text, limit, exclude_text=exclude_text,
                     doc_range=doc_range, **_d,
                 )
+        elif self.boosting is not None:
+            score_fn = None  # dispatched per query (needs `negative` column)
         elif self.boosted:
             score_fn = self.reader.score_query_boosted
         elif self.min_match:
@@ -1851,6 +1857,13 @@ class QueryScorer:
             if "exclude" in batch.column_names
             else None
         )
+        # boosting mode: per-query `negative` column — text whose matching
+        # docs are DEMOTED by self.boosting before top-k (soft NOT)
+        negatives = (
+            batch.column("negative").to_pylist()
+            if "negative" in batch.column_names
+            else None
+        )
         # metadata filter: per-query conv_id PREFIX restricting candidates
         # (the AnnLite filter-column analog); empty string = unfiltered
         prefixes = (
@@ -1883,7 +1896,7 @@ class QueryScorer:
         ) and (self.conjunctive or self.prefix or self.fuzzy or self.boosted
                or self.min_match or self.collapse or self.suffix
                or self.regex or self.term_range or self.block_join
-               or self.decay):
+               or self.decay or self.boosting is not None):
             raise ValueError(
                 "search_after cursors apply to the default OR mode only"
             )
@@ -1905,7 +1918,8 @@ class QueryScorer:
                     )
                 aft = (float(after_scores[qi]), cursor_doc)
             lim = int(limit or self.default_limit)
-            ckey = (text, lim, excl or "", pfx, aft)
+            neg = (negatives[qi] or "") if negatives is not None else ""
+            ckey = (text, lim, excl or "", pfx, aft, neg)
             cached = self._qcache.get(ckey) if self._qcache is not None else None
             if cached is not None:
                 self._qcache.move_to_end(ckey)
@@ -1916,6 +1930,11 @@ class QueryScorer:
                 if aft is not None:
                     doc_ids, scores = self.reader.score_query_after(
                         text, lim, aft[0], aft[1],
+                        exclude_text=excl or "", doc_range=rng,
+                    )
+                elif self.boosting is not None:
+                    doc_ids, scores = self.reader.score_query_boosting(
+                        text, neg, lim, negative_boost=self.boosting,
                         exclude_text=excl or "", doc_range=rng,
                     )
                 else:

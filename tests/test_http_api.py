@@ -237,6 +237,14 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
         p1 = {h["conv_id"]: h["score"] for h in plus}
         shared = set(p0) & set(p1)
         assert shared and all(p1[c] > p0[c] for c in shared)
+        # boosting: soft NOT — convaa (contains "stream") keeps its slot but
+        # its score is demoted to exactly 0.5x the plain OR score
+        boo = _post(srv.url + "/search", {"mode": "boosting",
+                                          "negative_boost": 0.5, "queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5,
+             "negative": "stream"}]})["hits"]
+        b0 = {h["conv_id"]: h["score"] for h in boo}
+        assert "convaa" in b0 and b0["convaa"] == p0["convaa"] * 0.5
         # term_range: [lo TO hi] expands over the dictionary
         hits = _post(srv.url + "/search", {"mode": "term_range", "queries": [
             {"query_id": 0, "text": "[merge TO window]", "limit": 5}]})["hits"]
