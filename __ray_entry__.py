@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "nb_classify_documents": ops.nb_classify_documents,
+        "bm25_topk_fvf": ops.bm25_topk_fvf,
         "ann_hnsw_topk": ops.ann_hnsw_topk,
         "mixture_sample_documents": ops.mixture_sample_documents,
         "phrase_prefix_search": ops.phrase_prefix_search,
@@ -704,6 +705,26 @@ def oracle_sql() -> dict[str, str]:
             "  FROM scores sc JOIN documents d USING (doc_id)) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM dec "
             "ORDER BY dec.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_fvf": (  # ES function_score field_value_factor on n_chars
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            # log2p modifier with the engine's exact expression shape:
+            # log10(value * factor + 2.0), factor = 0.5
+            "fvf AS (SELECT sc.doc_id, "
+            "  sc.score * log10(d.n_chars * 0.5 + 2.0) AS score "
+            "  FROM scores sc JOIN documents d USING (doc_id)) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM fvf "
+            "ORDER BY fvf.score DESC, doc_id ASC LIMIT 10"
         ),
         "bm25_topk_term_range": (  # Lucene TermRangeQuery: [scan TO sort}
             "WITH tok AS (" + _TOK + "), "

@@ -78,8 +78,10 @@ def main(argv=None) -> int:
     )
     s.add_argument(
         "--decay", default=None,
-        help="function_score decay spec as JSON: "
+        help="function_score doc-value spec as JSON: decay "
              '\'{"field": "ts", "origin": 0, "scale": 100, "kind": "gauss"}\' '
+             'or field_value_factor \'{"kind": "fvf", "field": "pop", '
+             '"factor": 0.5, "modifier": "log2p", "missing": 1}\' '
              "(needs the field's doc-values artifact; see build-doc-values)",
     )
     s.add_argument(

@@ -156,3 +156,38 @@ def decay_multiplier(
     else:
         raise ValueError(f"unknown decay kind {kind!r}")
     return np.where(np.isnan(values), 1.0, m)
+
+
+def fvf_multiplier(
+    values: np.ndarray,
+    factor: float = 1.0,
+    modifier: str = "none",
+    missing: float = 1.0,
+) -> np.ndarray:
+    """ES function_score ``field_value_factor``: multiplier =
+    modifier(factor * field_value), with the full ES modifier set (log* are
+    base-10 per the ES docs, ln* natural). NaN values (doc has no field)
+    take ``missing`` BEFORE factor/modifier — the ES missing-param
+    contract."""
+    v = np.where(np.isnan(values), float(missing), values) * float(factor)
+    if modifier == "none":
+        return v
+    if modifier == "log":
+        return np.log10(v)
+    if modifier == "log1p":
+        return np.log10(v + 1.0)
+    if modifier == "log2p":
+        return np.log10(v + 2.0)
+    if modifier == "ln":
+        return np.log(v)
+    if modifier == "ln1p":
+        return np.log(v + 1.0)
+    if modifier == "ln2p":
+        return np.log(v + 2.0)
+    if modifier == "square":
+        return v * v
+    if modifier == "sqrt":
+        return np.sqrt(v)
+    if modifier == "reciprocal":
+        return 1.0 / v
+    raise ValueError(f"unknown field_value_factor modifier {modifier!r}")

@@ -6986,6 +6986,60 @@ def bm25_topk_decay(
     )
 
 
+def bm25_topk_fvf(
+    sf_dir: str, terms=BM25_QUERY_TERMS, field: str = "n_chars",
+    factor: float = 0.5, modifier: str = "log2p", limit: int = 10,
+):
+    """function_score field_value_factor (ES fvf, multiply mode): every
+    matching doc's BM25 score is multiplied by modifier(factor * doc value)
+    BEFORE top-k — here log10(0.5 * n_chars + 2), the classic
+    popularity-boost shape. Same index-time doc-values artifact as the
+    decay query; only the multiplier function differs (kind="fvf")."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.docvalues import build_doc_values
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        padded = pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 12, "0")
+        conv = pc.binary_join_element_wise(pa.scalar("doc"), padded, pa.scalar("-"))
+        return pa.table(
+            {
+                "conv_id": pc.cast(conv, pa.string()),
+                "turn_idx": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+                field: batch.column(field),
+            }
+        )
+
+    import ray.data
+
+    src = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", field]
+    ).map_batches(fmt, batch_format="pyarrow")
+    build_doc_values(src, index_dir, field, cfg)
+
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(
+        index_dir, queries, cfg,
+        decay={"kind": "fvf", "field": field, "factor": factor,
+               "modifier": modifier},
+    )
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.float64())}
+    )
+
+
 def _docs_as_grouped_transcripts(sf_dir: str, group_size: int = 8):
     """Documents as MULTI-TURN conversations: doc_id // group_size is the
     conversation, doc_id % group_size the turn — the parent/child block

@@ -967,17 +967,30 @@ class IndexReader:
         return arr
 
     def score_query_decay(
-        self, text: str, limit: int, *, field: str, origin: float,
-        scale: float, offset: float = 0.0, decay: float = 0.5,
-        kind: str = "gauss", exclude_text: str = "", doc_range=None,
+        self, text: str, limit: int, *, field: str, origin: float = 0.0,
+        scale: float = 1.0, offset: float = 0.0, decay: float = 0.5,
+        kind: str = "gauss", factor: float = 1.0, modifier: str = "none",
+        missing: float = 1.0, exclude_text: str = "", doc_range=None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """function_score decay retrieval (the ES gauss/exp/linear decay
-        analog, multiply mode): every matching doc's OR score is multiplied
-        by the decay of its ``field`` doc value around ``origin`` BEFORE
-        top-k — the decayed ranking is global, not a rescoring of an
-        unweighted top-N. Chunk-safe: the multiplier is pointwise, so
-        per-chunk capping after multiplication is exact."""
-        from clip_as_service_ray.pipelines.docvalues import decay_multiplier
+        """function_score doc-value retrieval (ES multiply mode): every
+        matching doc's OR score is multiplied by a function of its ``field``
+        doc value BEFORE top-k — the weighted ranking is global, not a
+        rescoring of an unweighted top-N. ``kind`` gauss/exp/linear are the
+        decay curves (origin/scale/offset/decay params); ``kind="fvf"`` is
+        field_value_factor (factor/modifier/missing params). Chunk-safe:
+        the multiplier is pointwise, so per-chunk capping after
+        multiplication is exact."""
+        from clip_as_service_ray.pipelines.docvalues import (
+            decay_multiplier,
+            fvf_multiplier,
+        )
+
+        if kind == "fvf":
+            def mult(v):
+                return fvf_multiplier(v, factor, modifier, missing)
+        else:
+            def mult(v):
+                return decay_multiplier(v, origin, scale, offset, decay, kind)
 
         terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
         present = [(t, 1.0) for t in terms if t in self._term_blocks]
@@ -1017,9 +1030,7 @@ class IndexReader:
                     sel = self._drop_excluded(sel + c0, excl) - c0
                 if len(sel):
                     docs_abs = (sel + c0).astype(np.int64)
-                    s_dec = scores[sel] * decay_multiplier(
-                        vals[docs_abs], origin, scale, offset, decay, kind
-                    )
+                    s_dec = scores[sel] * mult(vals[docs_abs])
                     top = bm25.topk_indices(s_dec, docs_abs, limit)
                     win_docs.append(docs_abs[top])
                     win_scores.append(s_dec[top].copy())

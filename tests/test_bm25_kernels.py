@@ -253,3 +253,103 @@ def test_decay_scoring_vs_bruteforce(tmp_path, ray_session):
     d2, s2b = r2.score_query_decay(text, 12, **spec)
     np.testing.assert_array_equal(d1, d2)
     np.testing.assert_array_equal(s1, s2b)
+
+
+def test_fvf_multiplier_semantics():
+    """field_value_factor contract: missing replaces NaN BEFORE
+    factor/modifier (the ES missing-param rule); every modifier matches its
+    documented formula (log* base-10, ln* natural)."""
+    import pytest
+
+    from clip_as_service_ray.pipelines.docvalues import fvf_multiplier
+
+    v = np.array([4.0, np.nan, 9.0])
+    # missing=16 -> NaN slot becomes sqrt(2*16), not 1.0
+    got = fvf_multiplier(v, factor=2.0, modifier="sqrt", missing=16.0)
+    np.testing.assert_array_equal(
+        got, np.sqrt(np.array([8.0, 32.0, 18.0]))
+    )
+    x = np.array([10.0, 98.0])
+    np.testing.assert_array_equal(fvf_multiplier(x), x)
+    np.testing.assert_array_equal(
+        fvf_multiplier(x, modifier="log"), np.log10(x))
+    np.testing.assert_array_equal(
+        fvf_multiplier(x, modifier="log1p"), np.log10(x + 1.0))
+    np.testing.assert_array_equal(
+        fvf_multiplier(x, modifier="log2p"), np.log10(x + 2.0))
+    np.testing.assert_array_equal(
+        fvf_multiplier(x, modifier="ln"), np.log(x))
+    np.testing.assert_array_equal(
+        fvf_multiplier(x, modifier="ln1p"), np.log(x + 1.0))
+    np.testing.assert_array_equal(
+        fvf_multiplier(x, modifier="ln2p"), np.log(x + 2.0))
+    np.testing.assert_array_equal(
+        fvf_multiplier(x, modifier="square"), x * x)
+    np.testing.assert_array_equal(
+        fvf_multiplier(x, modifier="reciprocal"), 1.0 / x)
+    with pytest.raises(ValueError):
+        fvf_multiplier(x, modifier="cbrt")
+
+
+def test_fvf_scoring_vs_bruteforce(tmp_path, ray_session):
+    """kind="fvf" through the full retrieval path: engine top-k == (full OR
+    match set) scores multiplied by the same field_value_factor curve;
+    missing docs take the `missing` value before factor/modifier; chunked
+    dense path identical."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.docvalues import (
+        build_doc_values,
+        fvf_multiplier,
+    )
+    from clip_as_service_ray.pipelines.search import search_table
+    from clip_as_service_ray.sources.transcripts import synthesize_transcripts
+    from clip_as_service_ray.stages.query import IndexReader
+
+    cfg = EngineConfig(num_index_partitions=2, postings_block_size=64)
+    d = str(tmp_path / "fvf")
+    corpus = synthesize_transcripts(700, seed=9)
+    build_index(corpus, d, cfg, overwrite=True)
+    src = corpus.select(["conv_id", "turn_idx"]).append_column(
+        "popularity",
+        pa.array(
+            (np.arange(corpus.num_rows) * 13 % 97 + 1).astype(np.float64),
+            pa.float64(),
+        ),
+    ).filter(pa.array(np.arange(corpus.num_rows) % 5 != 0))
+    build_doc_values(src, d, "popularity", cfg)
+
+    reader = IndexReader(d)
+    text = " ".join(reader._terms_sorted[:2].tolist())
+    full_docs, full_scores = reader.score_query(text, 10**9)
+    vals = reader.doc_values("popularity")
+    assert np.isnan(vals).any()
+    for modifier in ("log2p", "sqrt", "none"):
+        spec = {"kind": "fvf", "field": "popularity", "factor": 0.5,
+                "modifier": modifier, "missing": 3.0}
+        got = search_table(
+            d,
+            pa.table({"query_id": pa.array([0], pa.int64()), "text": [text],
+                      "limit": pa.array([12], pa.int32())}),
+            cfg, decay=spec,
+        )
+        m = fvf_multiplier(vals[full_docs], 0.5, modifier, 3.0)
+        s2 = full_scores * m
+        order = np.lexsort((full_docs, -s2))[:12]
+        wc, wt = reader.invert_doc_ids(full_docs[order])
+        assert got.column("conv_id").to_pylist() == wc.tolist(), modifier
+        assert got.column("turn_idx").to_pylist() == wt.tolist(), modifier
+        np.testing.assert_array_equal(
+            got.column("score").to_numpy(), s2[order]
+        )
+    # chunked dense path identical
+    r2 = IndexReader(d)
+    r2.dense_chunk_docs = 97
+    spec = {"kind": "fvf", "field": "popularity", "factor": 0.5,
+            "modifier": "log2p"}
+    d1, s1 = reader.score_query_decay(text, 12, **spec)
+    d2, s2b = r2.score_query_decay(text, 12, **spec)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2b)
