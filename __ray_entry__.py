@@ -105,6 +105,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/check_oracle.py, which runs the FULL board).
         "nb_classify_documents": ops.nb_classify_documents,
         "bm25_topk_fvf": ops.bm25_topk_fvf,
+        "bm25_topk_rank_feature": ops.bm25_topk_rank_feature,
+        "customers_near_point": ops.customers_near_point,
+        "local_supplier_volume_q5": ops.local_supplier_volume_q5,
+        "supplier_part_counts_q16": ops.supplier_part_counts_q16,
+        "large_volume_customers_q18": ops.large_volume_customers_q18,
+        "dominant_part_suppliers_q20": ops.dominant_part_suppliers_q20,
         "ann_hnsw_topk": ops.ann_hnsw_topk,
         "mixture_sample_documents": ops.mixture_sample_documents,
         "phrase_prefix_search": ops.phrase_prefix_search,
@@ -725,6 +731,95 @@ def oracle_sql() -> dict[str, str]:
             "  FROM scores sc JOIN documents d USING (doc_id)) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM fvf "
             "ORDER BY fvf.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_rank_feature": (  # ES rank_feature: additive saturation
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            # additive saturation boost with the engine's expression shape:
+            # score + weight * (v / (v + pivot)), weight=2, pivot=150
+            "rf AS (SELECT sc.doc_id, "
+            "  sc.score + 2.0 * (d.n_chars / (d.n_chars + 150.0)) AS score "
+            "  FROM scores sc JOIN documents d USING (doc_id)) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM rf "
+            "ORDER BY rf.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "local_supplier_volume_q5": (  # TPC-H Q5: same-nation cust+supp revenue
+            # exact integer ten-thousandths (floor(x*1e4 + 0.5), matching the
+            # engine) so the revenue sum is order-independent on both sides
+            "SELECT n_name, "
+            "(floor(sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5))"
+            " / 100.0 + 0.5) / 100.0)::DOUBLE AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE' "
+            "AND o_orderdate >= DATE '1996-01-01' "
+            "AND o_orderdate < DATE '1997-01-01' "
+            "GROUP BY n_name "
+            "ORDER BY sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)) "
+            "DESC, n_name ASC"
+        ),
+        "supplier_part_counts_q16": (  # TPC-H Q16 analog over lineitem
+            "SELECT p_brand, p_type, p_size::BIGINT AS p_size, "
+            "count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_type <> 'PROMO' "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC"
+        ),
+        "large_volume_customers_q18": (  # TPC-H Q18: big-quantity orders
+            "WITH q AS (SELECT l_orderkey, sum(l_quantity) AS total_qty "
+            "  FROM lineitem GROUP BY l_orderkey "
+            "  HAVING sum(l_quantity) > 250.0) "
+            "SELECT c_name, c_custkey::BIGINT AS c_custkey, "
+            "o_orderkey::BIGINT AS o_orderkey, "
+            "round(o_totalprice, 2)::DOUBLE AS o_totalprice, "
+            "round(total_qty, 2)::DOUBLE AS total_qty "
+            "FROM q JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC"
+        ),
+        "dominant_part_suppliers_q20": (  # TPC-H Q20 analog: shipped share
+            "WITH f AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q "
+            "  FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "  WHERE p_name LIKE '%widget%' "
+            "  AND l_shipdate >= DATE '1997-01-01' "
+            "  AND l_shipdate < DATE '1998-01-01' "
+            "  GROUP BY l_partkey, l_suppkey), "
+            "tot AS (SELECT l_partkey, sum(q) AS tq FROM f GROUP BY l_partkey) "
+            "SELECT DISTINCT s_suppkey::BIGINT AS s_suppkey, s_name "
+            "FROM f JOIN tot USING (l_partkey) "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE q > 0.25 * tq ORDER BY s_suppkey ASC"
+        ),
+        "customers_near_point": (  # ES geo_distance filter + nearest sort
+            # identical expression shape to the engine: deg2rad as the same
+            # double literal, explicit multiplications (no pow/radians)
+            "WITH c AS (SELECT c_custkey, "
+            "  (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat, "
+            "  (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon "
+            "  FROM customer), "
+            "d AS (SELECT c_custkey, 2.0 * 6371.0 * asin(sqrt("
+            "  sin((lat - 12.0) * 0.017453292519943295 / 2.0) "
+            "  * sin((lat - 12.0) * 0.017453292519943295 / 2.0) "
+            "  + cos(12.0 * 0.017453292519943295) "
+            "    * cos(lat * 0.017453292519943295) "
+            "    * (sin((lon - 77.0) * 0.017453292519943295 / 2.0) "
+            "       * sin((lon - 77.0) * 0.017453292519943295 / 2.0)))) AS dist "
+            "  FROM c) "
+            "SELECT c_custkey, round(dist, 6)::DOUBLE AS dist_km FROM d "
+            "WHERE dist <= 2500.0 ORDER BY round(dist, 6) ASC, c_custkey ASC"
         ),
         "bm25_topk_term_range": (  # Lucene TermRangeQuery: [scan TO sort}
             "WITH tok AS (" + _TOK + "), "

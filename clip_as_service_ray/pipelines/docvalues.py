@@ -191,3 +191,30 @@ def fvf_multiplier(
     if modifier == "reciprocal":
         return 1.0 / v
     raise ValueError(f"unknown field_value_factor modifier {modifier!r}")
+
+
+def rank_feature_boost(
+    values: np.ndarray,
+    function: str = "saturation",
+    pivot: float = 1.0,
+    weight: float = 1.0,
+    exponent: float = 0.6,
+    scaling_factor: float = 1.0,
+) -> np.ndarray:
+    """ES ``rank_feature`` query: an ADDITIVE score contribution
+    weight * S(v) where S is saturation v/(v+pivot), log
+    ln(scaling_factor + v), or sigmoid v^a/(v^a + pivot^a) — the boost_mode
+    "sum" counterpart of the multiplicative decay/fvf curves. NaN (doc has
+    no feature value) contributes exactly 0.0, so feature-less docs keep
+    their BM25 score bit-identical (x + 0.0 == x)."""
+    v = values
+    if function == "saturation":
+        s = v / (v + pivot)
+    elif function == "log":
+        s = np.log(scaling_factor + v)
+    elif function == "sigmoid":
+        vp = v ** exponent
+        s = vp / (vp + pivot ** exponent)
+    else:
+        raise ValueError(f"unknown rank_feature function {function!r}")
+    return np.where(np.isnan(values), 0.0, weight * s)

@@ -5996,38 +5996,6 @@ def bm25_topk_msm(
     )
 
 
-def _docs_as_grouped_transcripts(sf_dir: str, group: int = 10):
-    """`documents` adapted to MULTI-TURN conversations: conv = doc_id //
-    group (zero-padded), turn = doc_id % group. Same docs, same dl/df/avgdl
-    — BM25 scores are identical to the flat adapter; only the conv
-    structure differs, which is exactly what collapse-by-conversation
-    needs. Streaming stage, no driver materialization."""
-
-    def fmt(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        did = batch.column("doc_id").to_numpy().astype(np.int64)
-        padded = pc.utf8_lpad(
-            pc.cast(pa.array(did // group, pa.int64()), pa.string()), 12, "0"
-        )
-        conv = pc.binary_join_element_wise(pa.scalar("grp"), padded, pa.scalar("-"))
-        return pa.table(
-            {
-                "conv_id": pc.cast(conv, pa.string()),
-                "turn_idx": pa.array((did % group).astype(np.int32), pa.int32()),
-                "role": pa.array(["user"] * n, pa.string()),
-                "text": batch.column("text"),
-                "tool": pa.array([""] * n, pa.string()),
-                "ts": pa.array(np.zeros(n, dtype=np.int64), pa.timestamp("us")),
-            }
-        )
-
-    import ray.data
-
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).map_batches(fmt, batch_format="pyarrow")
-
-
 def bm25_topk_collapsed(
     sf_dir: str, terms=BM25_QUERY_TERMS, group: int = 10, limit: int = 10
 ):
@@ -8199,4 +8167,480 @@ def bm25_topk_boosting(
     return pa.table(
         {"doc_id": pa.array(doc_ids, pa.int64()),
          "score": pa.array(scores, pa.float64())}
+    )
+
+
+def bm25_topk_rank_feature(
+    sf_dir: str, terms=BM25_QUERY_TERMS, field: str = "n_chars",
+    pivot: float = 150.0, weight: float = 2.0, limit: int = 10,
+):
+    """ES ``rank_feature`` query (boost_mode sum): every matching doc's BM25
+    score gets weight * saturation(v) = weight * v/(v+pivot) ADDED before
+    top-k — the additive static-signal boost (pagerank/popularity shape),
+    vs the multiplicative decay/fvf curves. Same index-time doc-values
+    artifact as the decay query; only the combine differs
+    (kind="rank_feature")."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.docvalues import build_doc_values
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        padded = pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 12, "0")
+        conv = pc.binary_join_element_wise(pa.scalar("doc"), padded, pa.scalar("-"))
+        return pa.table(
+            {
+                "conv_id": pc.cast(conv, pa.string()),
+                "turn_idx": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+                field: batch.column(field),
+            }
+        )
+
+    import ray.data
+
+    src = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", field]
+    ).map_batches(fmt, batch_format="pyarrow")
+    build_doc_values(src, index_dir, field, cfg)
+
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(
+        index_dir, queries, cfg,
+        decay={"kind": "rank_feature", "field": field,
+               "function": "saturation", "pivot": pivot, "weight": weight},
+    )
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.float64())}
+    )
+
+
+def customers_near_point(
+    sf_dir: str, lat0: float = 12.0, lon0: float = 77.0,
+    radius_km: float = 2500.0,
+):
+    """Geo-distance query (the ES geo_distance filter + sort): customers
+    within ``radius_km`` of a point, nearest first. The tables carry no
+    coordinates, so each customer gets DETERMINISTIC synthetic ones derived
+    from c_custkey (exact integer arithmetic, reproducible in SQL), and the
+    great-circle distance is the standard haversine — float parity with the
+    SQL twin comes from the identical expression shape on both sides
+    (deg2rad as the same double literal, explicit multiplications, no
+    pow/radians). Per-batch vectorized trig; the filter runs in the scan,
+    so the result is selectivity-sized."""
+    import ray.data
+
+    R = 6371.0
+    # pi/180 as an explicit double literal: both engines multiply by the
+    # SAME constant (radians() could associate (x*pi)/180 differently)
+    DEG = 0.017453292519943295
+
+    def within(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        lat = (ck * 7919 % 18000) / 100.0 - 90.0
+        lon = (ck * 104729 % 36000) / 100.0 - 180.0
+        sdp = np.sin((lat - lat0) * DEG / 2.0)
+        sdl = np.sin((lon - lon0) * DEG / 2.0)
+        a = sdp * sdp + np.cos(lat0 * DEG) * np.cos(lat * DEG) * (sdl * sdl)
+        d = 2.0 * R * np.arcsin(np.sqrt(a))
+        keep = d <= radius_km
+        return pa.table(
+            {"c_custkey": pa.array(ck[keep], pa.int64()),
+             "dist_km": pa.array(np.round(d[keep], 6), pa.float64())}
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    out = ds.map_batches(within, batch_format="pyarrow")
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if not tbl.num_rows:
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()),
+             "dist_km": pa.array([], pa.float64())}
+        )
+    return tbl.sort_by([("dist_km", "ascending"), ("c_custkey", "ascending")])
+
+
+def local_supplier_volume_q5(
+    sf_dir: str, region: str = "EUROPE",
+    date_from: str = "1996-01-01", date_to: str = "1997-01-01",
+):
+    """TPC-H Q5 analog — local supplier volume: revenue per nation within a
+    region where the ordering customer and the shipping supplier share the
+    nation, for orders in a date window. Nation/supplier/customer are tiny
+    filtered dimension broadcasts folded into the two fact scans (the
+    supplier map tags lineitem, the customer map tags orders); the single
+    all-to-all is the orderkey shuffle join; the same-nation predicate and
+    the per-nation pre-aggregation run inside the join batches, so only
+    (nation, rev_part) partials reach the final few-cell groupby."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.stages.joins import (
+        broadcast_hash_join,
+        shuffle_hash_join,
+    )
+
+    region_t = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        filters=[("r_name", "==", region)],
+    )
+    rkeys = pa.array(
+        region_t.column("r_regionkey").to_numpy().astype(np.int64), pa.int64()
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    nation = nation.filter(
+        pc.is_in(nation.column("n_regionkey").cast(pa.int64()), value_set=rkeys)
+    )
+    nkeys = pa.array(
+        nation.column("n_nationkey").to_numpy().astype(np.int64), pa.int64()
+    )
+    name_of = dict(
+        zip(nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist())
+    )
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    supp = supp.filter(
+        pc.is_in(supp.column("s_nationkey").cast(pa.int64()), value_set=nkeys)
+    )
+    supp = pa.table(
+        {"l_suppkey": supp.column("s_suppkey"),
+         "s_nationkey": supp.column("s_nationkey").cast(pa.int64())}
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    cust = cust.filter(
+        pc.is_in(cust.column("c_nationkey").cast(pa.int64()), value_set=nkeys)
+    )
+    cust = pa.table(
+        {"o_custkey": cust.column("c_custkey"),
+         "c_nationkey": cust.column("c_nationkey").cast(pa.int64())}
+    )
+
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+    orders = broadcast_hash_join(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey"],
+            filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+        ),
+        cust, left_key="o_custkey", right_key="o_custkey",
+    ).map_batches(
+        lambda b: pa.table({"l_orderkey": b.column("o_orderkey"),
+                            "c_nationkey": b.column("c_nationkey")}),
+        batch_format="pyarrow",
+    )
+
+    def line_prep(batch: pa.Table) -> pa.Table:
+        # exact integer ten-thousandths: price has 2 decimals, discount 2, so
+        # price*(1-disc) has <= 4 — floor(x*1e4 + 0.5) is the same int64 on
+        # every engine and the sum is order-independent (float sums rounded
+        # to 2 decimals flipped a boundary cent at sf0.01)
+        rev = np.floor(
+            batch.column("l_extendedprice").to_numpy()
+            * (1.0 - batch.column("l_discount").to_numpy()) * 10000.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": batch.column("l_orderkey"),
+             "s_nationkey": batch.column("s_nationkey"),
+             "rev": pa.array(rev, pa.int64())}
+        )
+
+    line = broadcast_hash_join(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        supp, left_key="l_suppkey", right_key="l_suppkey",
+    ).map_batches(line_prep, batch_format="pyarrow")
+
+    joined = shuffle_hash_join(line, orders, on="l_orderkey", num_partitions=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("s_nationkey"), batch.column("c_nationkey"))
+        b = batch.filter(keep)
+        t = pa.table({"n_nationkey": b.column("s_nationkey"), "rev": b.column("rev")})
+        g = t.group_by("n_nationkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["n_nationkey", "rev_part"])
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_nationkey", num_partitions=2)
+        .aggregate(Sum("rev_part", alias_name="revenue"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    names = [name_of[int(k)] for k in tbl.column("n_nationkey").to_pylist()]
+    raw = tbl.column("revenue").to_numpy().astype(np.int64)
+    # half-up to cents via floor(x + 0.5): raw/100 is often EXACTLY x.5
+    # (integer ten-thousandths), where np.round (half-even) and SQL round
+    # (half-away) disagree — the floor form is identical on both engines
+    out = pa.table(
+        {"n_name": pa.array(names, pa.string()),
+         "revenue": pa.array(
+             np.floor(raw / 100.0 + 0.5) / 100.0, pa.float64()),
+         "_raw": pa.array(raw, pa.int64())}
+    ).sort_by([("_raw", "descending"), ("n_name", "ascending")])
+    return out.drop_columns(["_raw"])
+
+
+def supplier_part_counts_q16(sf_dir: str, exclude_type: str = "PROMO"):
+    """TPC-H Q16 analog — supplier-part relationship count: distinct
+    suppliers per (p_brand, p_type, p_size) over the lineitem fact (the
+    corpus has no partsupp table; shipped lines ARE the supplier-part
+    relation here), excluding one part type. Part attributes are a
+    broadcast dimension into the fact scan; per-batch unique pairs act as
+    the combiner, a 4-key groupby dedupes (attrs, suppkey) globally, and a
+    per-batch second combiner + 3-key groupby counts — distinct-count as
+    two bounded exchanges, never a driver-side set."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from clip_as_service_ray.stages.joins import broadcast_hash_join
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    part = part.filter(
+        pc.invert(pc.equal(part.column("p_type"), pa.scalar(exclude_type)))
+    ).rename_columns(["l_partkey", "p_brand", "p_type", "p_size"])
+
+    def uniq_pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"p_brand": batch.column("p_brand"),
+             "p_type": batch.column("p_type"),
+             "p_size": pc.cast(batch.column("p_size"), pa.int64()),
+             "l_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64())}
+        )
+        return t.group_by(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]
+        ).aggregate([])
+
+    pairs = broadcast_hash_join(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey"],
+        ),
+        part, left_key="l_partkey", right_key="l_partkey",
+    ).map_batches(uniq_pairs, batch_format="pyarrow")
+
+    dedup = pairs.groupby(
+        ["p_brand", "p_type", "p_size", "l_suppkey"], num_partitions=8
+    ).aggregate(Count(alias_name="_n"))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["p_brand", "p_type", "p_size"])
+        g = t.group_by(["p_brand", "p_type", "p_size"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["p_brand", "p_type", "p_size", "cnt_part"])
+
+    agg = (
+        dedup.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size"], num_partitions=4)
+        .aggregate(Sum("cnt_part", alias_name="supplier_cnt"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return pa.table(
+        {"p_brand": pc.cast(tbl.column("p_brand"), pa.string()),
+         "p_type": pc.cast(tbl.column("p_type"), pa.string()),
+         "p_size": pc.cast(tbl.column("p_size"), pa.int64()),
+         "supplier_cnt": pc.cast(tbl.column("supplier_cnt"), pa.int64())}
+    ).sort_by(
+        [("supplier_cnt", "descending"), ("p_brand", "ascending"),
+         ("p_type", "ascending"), ("p_size", "ascending")]
+    )
+
+
+def large_volume_customers_q18(sf_dir: str, threshold: float = 250.0):
+    """TPC-H Q18 analog — large-volume customers: orders whose total
+    lineitem quantity exceeds ``threshold``, with customer and order
+    detail, biggest orders first. The quantity sum is a combiner
+    (per-batch group-sum) + one orderkey groupby; the HAVING filter leaves
+    a selectivity-sized survivor table that then probes orders and
+    customer as broadcast joins — the facts never shuffle. The threshold
+    compare is exact on both engines: quantities are integral, so any
+    float summation order yields the same sum."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.stages.joins import broadcast_hash_join
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"l_orderkey": batch.column("l_orderkey"),
+             "q": pc.cast(batch.column("l_quantity"), pa.float64())}
+        )
+        g = t.group_by("l_orderkey").aggregate([("q", "sum")])
+        return g.rename_columns(["l_orderkey", "q_part"])
+
+    qty = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_quantity"],
+        )
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey", num_partitions=8)
+        .aggregate(Sum("q_part", alias_name="total_qty"))
+    )
+
+    def having(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch.column("total_qty"), pa.scalar(float(threshold)))
+        )
+
+    big = pa.Table.from_pandas(
+        qty.map_batches(having, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    if not big.num_rows:
+        return pa.table(
+            {"c_name": pa.array([], pa.string()),
+             "c_custkey": pa.array([], pa.int64()),
+             "o_orderkey": pa.array([], pa.int64()),
+             "o_totalprice": pa.array([], pa.float64()),
+             "total_qty": pa.array([], pa.float64())}
+        )
+    big = pa.table(
+        {"o_orderkey": pc.cast(big.column("l_orderkey"), pa.int64()),
+         "total_qty": pc.cast(big.column("total_qty"), pa.float64())}
+    )
+
+    orders = broadcast_hash_join(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ),
+        big, left_key="o_orderkey", right_key="o_orderkey",
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    cust_map = pa.table(
+        {"o_custkey": cust.column("c_custkey"),
+         "c_name": cust.column("c_name")}
+    )
+    out = broadcast_hash_join(
+        orders, cust_map, left_key="o_custkey", right_key="o_custkey"
+    )
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    tbl = tbl.sort_by(
+        [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
+    )
+    return pa.table(
+        {"c_name": pc.cast(tbl.column("c_name"), pa.string()),
+         "c_custkey": pc.cast(tbl.column("o_custkey"), pa.int64()),
+         "o_orderkey": pc.cast(tbl.column("o_orderkey"), pa.int64()),
+         "o_totalprice": pa.array(
+             np.round(tbl.column("o_totalprice").to_numpy(), 2), pa.float64()),
+         "total_qty": pa.array(
+             np.round(tbl.column("total_qty").to_numpy(), 2), pa.float64())}
+    )
+
+
+def dominant_part_suppliers_q20(
+    sf_dir: str, name_like: str = "widget", year: int = 1997,
+    share: float = 0.25,
+):
+    """TPC-H Q20 analog — suppliers dominating a part's supply: suppliers
+    who shipped more than ``share`` of a matching part's total shipped
+    quantity in ``year`` (no partsupp table in this corpus; Q20's
+    availqty-vs-half-shipped test becomes a shipped-share test over the
+    same join graph). Matching parts broadcast into the fact scan;
+    per-(part, supplier) sums are a combiner + one groupby; the per-part
+    total and share test run on the aggregate-sized result; survivors (a
+    handful of supplier keys) map to names via a filtered dimension read.
+    The share compare is exact both sides: integral quantity sums and
+    share=0.25 make q > share*total order-independent."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.stages.joins import broadcast_hash_join
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    part = part.filter(
+        pc.match_substring(part.column("p_name"), name_like)
+    ).select(["p_partkey"]).rename_columns(["l_partkey"])
+    part = part.append_column(
+        "_m", pa.array(np.ones(part.num_rows, dtype=np.int8))
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"l_partkey": pc.cast(batch.column("l_partkey"), pa.int64()),
+             "l_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64()),
+             "q": pc.cast(batch.column("l_quantity"), pa.float64())}
+        )
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate([("q", "sum")])
+        return g.rename_columns(["l_partkey", "l_suppkey", "q_part"])
+
+    lo = pa.scalar(np.datetime64(f"{year}-01-01", "us"))
+    hi = pa.scalar(np.datetime64(f"{year + 1}-01-01", "us"))
+    per_ps = (
+        broadcast_hash_join(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "lineitem.parquet"),
+                columns=["l_partkey", "l_suppkey", "l_quantity"],
+                filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+            ),
+            part, left_key="l_partkey", right_key="l_partkey",
+        )
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby(["l_partkey", "l_suppkey"], num_partitions=8)
+        .aggregate(Sum("q_part", alias_name="q"))
+    )
+    ps = pa.Table.from_pandas(per_ps.to_pandas(), preserve_index=False)
+    if not ps.num_rows:
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "s_name": pa.array([], pa.string())}
+        )
+    tot = ps.group_by("l_partkey").aggregate([("q", "sum")])
+    tot_map = dict(
+        zip(tot.column("l_partkey").to_pylist(), tot.column("q_sum").to_pylist())
+    )
+    pk = ps.column("l_partkey").to_pylist()
+    q = ps.column("q").to_numpy()
+    tq = np.array([tot_map[k] for k in pk], dtype=np.float64)
+    winners = sorted(
+        {int(s) for s, keep in
+         zip(ps.column("l_suppkey").to_pylist(), q > share * tq) if keep}
+    )
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+    )
+    supp = supp.filter(
+        pc.is_in(supp.column("s_suppkey").cast(pa.int64()),
+                 value_set=pa.array(winners, pa.int64()))
+    ).sort_by("s_suppkey")
+    return pa.table(
+        {"s_suppkey": supp.column("s_suppkey").cast(pa.int64()),
+         "s_name": supp.column("s_name").cast(pa.string())}
     )

@@ -970,27 +970,37 @@ class IndexReader:
         self, text: str, limit: int, *, field: str, origin: float = 0.0,
         scale: float = 1.0, offset: float = 0.0, decay: float = 0.5,
         kind: str = "gauss", factor: float = 1.0, modifier: str = "none",
-        missing: float = 1.0, exclude_text: str = "", doc_range=None,
+        missing: float = 1.0, function: str = "saturation",
+        pivot: float = 1.0, weight: float = 1.0, exponent: float = 0.6,
+        scaling_factor: float = 1.0, exclude_text: str = "", doc_range=None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """function_score doc-value retrieval (ES multiply mode): every
-        matching doc's OR score is multiplied by a function of its ``field``
-        doc value BEFORE top-k — the weighted ranking is global, not a
-        rescoring of an unweighted top-N. ``kind`` gauss/exp/linear are the
-        decay curves (origin/scale/offset/decay params); ``kind="fvf"`` is
-        field_value_factor (factor/modifier/missing params). Chunk-safe:
-        the multiplier is pointwise, so per-chunk capping after
-        multiplication is exact."""
+        """function_score doc-value retrieval: every matching doc's OR score
+        is combined with a function of its ``field`` doc value BEFORE top-k
+        — the weighted ranking is global, not a rescoring of an unweighted
+        top-N. ``kind`` gauss/exp/linear are the multiplicative decay curves
+        (origin/scale/offset/decay params); ``kind="fvf"`` is multiplicative
+        field_value_factor (factor/modifier/missing params);
+        ``kind="rank_feature"`` is the ADDITIVE rank_feature query
+        (function/pivot/weight/exponent/scaling_factor params, boost_mode
+        sum). Chunk-safe: the combine is pointwise, so per-chunk capping
+        after combination is exact."""
         from clip_as_service_ray.pipelines.docvalues import (
             decay_multiplier,
             fvf_multiplier,
+            rank_feature_boost,
         )
 
         if kind == "fvf":
-            def mult(v):
-                return fvf_multiplier(v, factor, modifier, missing)
+            def combine(s, v):
+                return s * fvf_multiplier(v, factor, modifier, missing)
+        elif kind == "rank_feature":
+            def combine(s, v):
+                return s + rank_feature_boost(
+                    v, function, pivot, weight, exponent, scaling_factor
+                )
         else:
-            def mult(v):
-                return decay_multiplier(v, origin, scale, offset, decay, kind)
+            def combine(s, v):
+                return s * decay_multiplier(v, origin, scale, offset, decay, kind)
 
         terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
         present = [(t, 1.0) for t in terms if t in self._term_blocks]
@@ -1030,7 +1040,7 @@ class IndexReader:
                     sel = self._drop_excluded(sel + c0, excl) - c0
                 if len(sel):
                     docs_abs = (sel + c0).astype(np.int64)
-                    s_dec = scores[sel] * mult(vals[docs_abs])
+                    s_dec = combine(scores[sel], vals[docs_abs])
                     top = bm25.topk_indices(s_dec, docs_abs, limit)
                     win_docs.append(docs_abs[top])
                     win_scores.append(s_dec[top].copy())

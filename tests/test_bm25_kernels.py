@@ -344,11 +344,42 @@ def test_fvf_scoring_vs_bruteforce(tmp_path, ray_session):
         np.testing.assert_array_equal(
             got.column("score").to_numpy(), s2[order]
         )
+    # rank_feature (ADDITIVE boost_mode=sum): same index + doc values; docs
+    # missing the feature keep bit-identical BM25 scores (contribution 0.0)
+    from clip_as_service_ray.pipelines.docvalues import rank_feature_boost
+
+    for function in ("saturation", "log", "sigmoid"):
+        spec = {"kind": "rank_feature", "field": "popularity",
+                "function": function, "pivot": 20.0, "weight": 1.5}
+        got = search_table(
+            d,
+            pa.table({"query_id": pa.array([0], pa.int64()), "text": [text],
+                      "limit": pa.array([12], pa.int32())}),
+            cfg, decay=spec,
+        )
+        s2 = full_scores + rank_feature_boost(
+            vals[full_docs], function, 20.0, 1.5
+        )
+        order = np.lexsort((full_docs, -s2))[:12]
+        wc, wt = reader.invert_doc_ids(full_docs[order])
+        assert got.column("conv_id").to_pylist() == wc.tolist(), function
+        np.testing.assert_array_equal(
+            got.column("score").to_numpy(), s2[order]
+        )
+        # feature-less docs keep bit-identical scores (x + 0.0 == x); the
+        # match set may or may not contain one, so guard the subset check
+        missing = np.isnan(vals[full_docs])
+        np.testing.assert_array_equal(s2[missing], full_scores[missing])
     # chunked dense path identical
     r2 = IndexReader(d)
     r2.dense_chunk_docs = 97
     spec = {"kind": "fvf", "field": "popularity", "factor": 0.5,
             "modifier": "log2p"}
+    d1, s1 = reader.score_query_decay(text, 12, **spec)
+    d2, s2b = r2.score_query_decay(text, 12, **spec)
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2b)
+    spec = {"kind": "rank_feature", "field": "popularity", "pivot": 20.0}
     d1, s1 = reader.score_query_decay(text, 12, **spec)
     d2, s2b = r2.score_query_decay(text, 12, **spec)
     np.testing.assert_array_equal(d1, d2)

@@ -168,3 +168,41 @@ def test_query_cache_identical_results_and_counter(ray_session, tmp_path):
         assert prof.get("cache_hits", 0) >= 1
     finally:
         svc.shutdown()
+
+
+def test_pack_sequences_matches_duckdb(ray_session):
+    """GPT-style packing manifest vs the SQL window-sum twin at a NON-default
+    seq_len, plus packer invariants the SQL can't see: first_seq
+    nondecreasing in doc order and exclusive-prefix reconstruction."""
+    import duckdb
+
+    from clip_as_service_ray.pipelines.operators import pack_sequences
+
+    L = 96
+    got = (
+        pack_sequences(SF, seq_len=L)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    _docs_view(con)
+    want = con.execute(
+        "WITH cnt AS (SELECT doc_id, "
+        "len(regexp_extract_all(lower(text), '" + _PAT_SQL + "'))::BIGINT AS n "
+        "FROM documents), "
+        "s AS (SELECT doc_id, n, coalesce(sum(n) OVER ("
+        "  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        "), 0)::BIGINT AS prev FROM cnt) "
+        f"SELECT doc_id, n AS n_tokens, (prev // {L})::BIGINT AS first_seq, "
+        f"((prev + greatest(n, 1) - 1) // {L})::BIGINT AS last_seq "
+        "FROM s ORDER BY doc_id"
+    ).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+    assert got["first_seq"].tolist() == want["first_seq"].tolist()
+    assert got["last_seq"].tolist() == want["last_seq"].tolist()
+    first = got["first_seq"].to_numpy()
+    assert (np.diff(first) >= 0).all()
+    prev = np.concatenate([[0], np.cumsum(got["n_tokens"].to_numpy())[:-1]])
+    assert (first == prev // L).all()
