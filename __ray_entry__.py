@@ -107,9 +107,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_fvf": ops.bm25_topk_fvf,
         "bm25_topk_rank_feature": ops.bm25_topk_rank_feature,
         "customers_near_point": ops.customers_near_point,
-        "local_supplier_volume_q5": ops.local_supplier_volume_q5,
-        "supplier_part_counts_q16": ops.supplier_part_counts_q16,
-        "large_volume_customers_q18": ops.large_volume_customers_q18,
         "dominant_part_suppliers_q20": ops.dominant_part_suppliers_q20,
         "ann_hnsw_topk": ops.ann_hnsw_topk,
         "mixture_sample_documents": ops.mixture_sample_documents,
@@ -751,44 +748,6 @@ def oracle_sql() -> dict[str, str]:
             "  FROM scores sc JOIN documents d USING (doc_id)) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM rf "
             "ORDER BY rf.score DESC, doc_id ASC LIMIT 10"
-        ),
-        "local_supplier_volume_q5": (  # TPC-H Q5: same-nation cust+supp revenue
-            # exact integer ten-thousandths (floor(x*1e4 + 0.5), matching the
-            # engine) so the revenue sum is order-independent on both sides
-            "SELECT n_name, "
-            "(floor(sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5))"
-            " / 100.0 + 0.5) / 100.0)::DOUBLE AS revenue "
-            "FROM customer JOIN orders ON c_custkey = o_custkey "
-            "JOIN lineitem ON l_orderkey = o_orderkey "
-            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
-            "JOIN nation ON s_nationkey = n_nationkey "
-            "JOIN region ON n_regionkey = r_regionkey "
-            "WHERE r_name = 'EUROPE' "
-            "AND o_orderdate >= DATE '1996-01-01' "
-            "AND o_orderdate < DATE '1997-01-01' "
-            "GROUP BY n_name "
-            "ORDER BY sum(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)) "
-            "DESC, n_name ASC"
-        ),
-        "supplier_part_counts_q16": (  # TPC-H Q16 analog over lineitem
-            "SELECT p_brand, p_type, p_size::BIGINT AS p_size, "
-            "count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
-            "FROM lineitem JOIN part ON p_partkey = l_partkey "
-            "WHERE p_type <> 'PROMO' "
-            "GROUP BY p_brand, p_type, p_size "
-            "ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC"
-        ),
-        "large_volume_customers_q18": (  # TPC-H Q18: big-quantity orders
-            "WITH q AS (SELECT l_orderkey, sum(l_quantity) AS total_qty "
-            "  FROM lineitem GROUP BY l_orderkey "
-            "  HAVING sum(l_quantity) > 250.0) "
-            "SELECT c_name, c_custkey::BIGINT AS c_custkey, "
-            "o_orderkey::BIGINT AS o_orderkey, "
-            "round(o_totalprice, 2)::DOUBLE AS o_totalprice, "
-            "round(total_qty, 2)::DOUBLE AS total_qty "
-            "FROM q JOIN orders ON o_orderkey = l_orderkey "
-            "JOIN customer ON c_custkey = o_custkey "
-            "ORDER BY o_totalprice DESC, o_orderkey ASC"
         ),
         "dominant_part_suppliers_q20": (  # TPC-H Q20 analog: shipped share
             "WITH f AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS q "

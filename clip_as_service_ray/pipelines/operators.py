@@ -8272,296 +8272,6 @@ def customers_near_point(
     return tbl.sort_by([("dist_km", "ascending"), ("c_custkey", "ascending")])
 
 
-def local_supplier_volume_q5(
-    sf_dir: str, region: str = "EUROPE",
-    date_from: str = "1996-01-01", date_to: str = "1997-01-01",
-):
-    """TPC-H Q5 analog — local supplier volume: revenue per nation within a
-    region where the ordering customer and the shipping supplier share the
-    nation, for orders in a date window. Nation/supplier/customer are tiny
-    filtered dimension broadcasts folded into the two fact scans (the
-    supplier map tags lineitem, the customer map tags orders); the single
-    all-to-all is the orderkey shuffle join; the same-nation predicate and
-    the per-nation pre-aggregation run inside the join batches, so only
-    (nation, rev_part) partials reach the final few-cell groupby."""
-    import pyarrow.parquet as pq
-    import ray.data
-    from ray.data.aggregate import Sum
-
-    from clip_as_service_ray.stages.joins import (
-        broadcast_hash_join,
-        shuffle_hash_join,
-    )
-
-    region_t = pq.read_table(
-        os.path.join(sf_dir, "region.parquet"),
-        filters=[("r_name", "==", region)],
-    )
-    rkeys = pa.array(
-        region_t.column("r_regionkey").to_numpy().astype(np.int64), pa.int64()
-    )
-    nation = pq.read_table(
-        os.path.join(sf_dir, "nation.parquet"),
-        columns=["n_nationkey", "n_name", "n_regionkey"],
-    )
-    nation = nation.filter(
-        pc.is_in(nation.column("n_regionkey").cast(pa.int64()), value_set=rkeys)
-    )
-    nkeys = pa.array(
-        nation.column("n_nationkey").to_numpy().astype(np.int64), pa.int64()
-    )
-    name_of = dict(
-        zip(nation.column("n_nationkey").to_pylist(),
-            nation.column("n_name").to_pylist())
-    )
-
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_nationkey"],
-    )
-    supp = supp.filter(
-        pc.is_in(supp.column("s_nationkey").cast(pa.int64()), value_set=nkeys)
-    )
-    supp = pa.table(
-        {"l_suppkey": supp.column("s_suppkey"),
-         "s_nationkey": supp.column("s_nationkey").cast(pa.int64())}
-    )
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    )
-    cust = cust.filter(
-        pc.is_in(cust.column("c_nationkey").cast(pa.int64()), value_set=nkeys)
-    )
-    cust = pa.table(
-        {"o_custkey": cust.column("c_custkey"),
-         "c_nationkey": cust.column("c_nationkey").cast(pa.int64())}
-    )
-
-    lo = pa.scalar(np.datetime64(date_from, "us"))
-    hi = pa.scalar(np.datetime64(date_to, "us"))
-    orders = broadcast_hash_join(
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
-            columns=["o_orderkey", "o_custkey"],
-            filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
-        ),
-        cust, left_key="o_custkey", right_key="o_custkey",
-    ).map_batches(
-        lambda b: pa.table({"l_orderkey": b.column("o_orderkey"),
-                            "c_nationkey": b.column("c_nationkey")}),
-        batch_format="pyarrow",
-    )
-
-    def line_prep(batch: pa.Table) -> pa.Table:
-        # exact integer ten-thousandths: price has 2 decimals, discount 2, so
-        # price*(1-disc) has <= 4 — floor(x*1e4 + 0.5) is the same int64 on
-        # every engine and the sum is order-independent (float sums rounded
-        # to 2 decimals flipped a boundary cent at sf0.01)
-        rev = np.floor(
-            batch.column("l_extendedprice").to_numpy()
-            * (1.0 - batch.column("l_discount").to_numpy()) * 10000.0 + 0.5
-        ).astype(np.int64)
-        return pa.table(
-            {"l_orderkey": batch.column("l_orderkey"),
-             "s_nationkey": batch.column("s_nationkey"),
-             "rev": pa.array(rev, pa.int64())}
-        )
-
-    line = broadcast_hash_join(
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-        ),
-        supp, left_key="l_suppkey", right_key="l_suppkey",
-    ).map_batches(line_prep, batch_format="pyarrow")
-
-    joined = shuffle_hash_join(line, orders, on="l_orderkey", num_partitions=8)
-
-    def partial(batch: pa.Table) -> pa.Table:
-        keep = pc.equal(batch.column("s_nationkey"), batch.column("c_nationkey"))
-        b = batch.filter(keep)
-        t = pa.table({"n_nationkey": b.column("s_nationkey"), "rev": b.column("rev")})
-        g = t.group_by("n_nationkey").aggregate([("rev", "sum")])
-        return g.rename_columns(["n_nationkey", "rev_part"])
-
-    agg = (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("n_nationkey", num_partitions=2)
-        .aggregate(Sum("rev_part", alias_name="revenue"))
-    )
-    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
-    names = [name_of[int(k)] for k in tbl.column("n_nationkey").to_pylist()]
-    raw = tbl.column("revenue").to_numpy().astype(np.int64)
-    # half-up to cents via floor(x + 0.5): raw/100 is often EXACTLY x.5
-    # (integer ten-thousandths), where np.round (half-even) and SQL round
-    # (half-away) disagree — the floor form is identical on both engines
-    out = pa.table(
-        {"n_name": pa.array(names, pa.string()),
-         "revenue": pa.array(
-             np.floor(raw / 100.0 + 0.5) / 100.0, pa.float64()),
-         "_raw": pa.array(raw, pa.int64())}
-    ).sort_by([("_raw", "descending"), ("n_name", "ascending")])
-    return out.drop_columns(["_raw"])
-
-
-def supplier_part_counts_q16(sf_dir: str, exclude_type: str = "PROMO"):
-    """TPC-H Q16 analog — supplier-part relationship count: distinct
-    suppliers per (p_brand, p_type, p_size) over the lineitem fact (the
-    corpus has no partsupp table; shipped lines ARE the supplier-part
-    relation here), excluding one part type. Part attributes are a
-    broadcast dimension into the fact scan; per-batch unique pairs act as
-    the combiner, a 4-key groupby dedupes (attrs, suppkey) globally, and a
-    per-batch second combiner + 3-key groupby counts — distinct-count as
-    two bounded exchanges, never a driver-side set."""
-    import pyarrow.parquet as pq
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
-    from clip_as_service_ray.stages.joins import broadcast_hash_join
-
-    part = pq.read_table(
-        os.path.join(sf_dir, "part.parquet"),
-        columns=["p_partkey", "p_brand", "p_type", "p_size"],
-    )
-    part = part.filter(
-        pc.invert(pc.equal(part.column("p_type"), pa.scalar(exclude_type)))
-    ).rename_columns(["l_partkey", "p_brand", "p_type", "p_size"])
-
-    def uniq_pairs(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {"p_brand": batch.column("p_brand"),
-             "p_type": batch.column("p_type"),
-             "p_size": pc.cast(batch.column("p_size"), pa.int64()),
-             "l_suppkey": pc.cast(batch.column("l_suppkey"), pa.int64())}
-        )
-        return t.group_by(
-            ["p_brand", "p_type", "p_size", "l_suppkey"]
-        ).aggregate([])
-
-    pairs = broadcast_hash_join(
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_partkey", "l_suppkey"],
-        ),
-        part, left_key="l_partkey", right_key="l_partkey",
-    ).map_batches(uniq_pairs, batch_format="pyarrow")
-
-    dedup = pairs.groupby(
-        ["p_brand", "p_type", "p_size", "l_suppkey"], num_partitions=8
-    ).aggregate(Count(alias_name="_n"))
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        t = batch.select(["p_brand", "p_type", "p_size"])
-        g = t.group_by(["p_brand", "p_type", "p_size"]).aggregate(
-            [([], "count_all")]
-        )
-        return g.rename_columns(["p_brand", "p_type", "p_size", "cnt_part"])
-
-    agg = (
-        dedup.map_batches(count_partial, batch_format="pyarrow")
-        .groupby(["p_brand", "p_type", "p_size"], num_partitions=4)
-        .aggregate(Sum("cnt_part", alias_name="supplier_cnt"))
-    )
-    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
-    return pa.table(
-        {"p_brand": pc.cast(tbl.column("p_brand"), pa.string()),
-         "p_type": pc.cast(tbl.column("p_type"), pa.string()),
-         "p_size": pc.cast(tbl.column("p_size"), pa.int64()),
-         "supplier_cnt": pc.cast(tbl.column("supplier_cnt"), pa.int64())}
-    ).sort_by(
-        [("supplier_cnt", "descending"), ("p_brand", "ascending"),
-         ("p_type", "ascending"), ("p_size", "ascending")]
-    )
-
-
-def large_volume_customers_q18(sf_dir: str, threshold: float = 250.0):
-    """TPC-H Q18 analog — large-volume customers: orders whose total
-    lineitem quantity exceeds ``threshold``, with customer and order
-    detail, biggest orders first. The quantity sum is a combiner
-    (per-batch group-sum) + one orderkey groupby; the HAVING filter leaves
-    a selectivity-sized survivor table that then probes orders and
-    customer as broadcast joins — the facts never shuffle. The threshold
-    compare is exact on both engines: quantities are integral, so any
-    float summation order yields the same sum."""
-    import pyarrow.parquet as pq
-    import ray.data
-    from ray.data.aggregate import Sum
-
-    from clip_as_service_ray.stages.joins import broadcast_hash_join
-
-    def qty_partial(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {"l_orderkey": batch.column("l_orderkey"),
-             "q": pc.cast(batch.column("l_quantity"), pa.float64())}
-        )
-        g = t.group_by("l_orderkey").aggregate([("q", "sum")])
-        return g.rename_columns(["l_orderkey", "q_part"])
-
-    qty = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_orderkey", "l_quantity"],
-        )
-        .map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("l_orderkey", num_partitions=8)
-        .aggregate(Sum("q_part", alias_name="total_qty"))
-    )
-
-    def having(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pc.greater(batch.column("total_qty"), pa.scalar(float(threshold)))
-        )
-
-    big = pa.Table.from_pandas(
-        qty.map_batches(having, batch_format="pyarrow").to_pandas(),
-        preserve_index=False,
-    )
-    if not big.num_rows:
-        return pa.table(
-            {"c_name": pa.array([], pa.string()),
-             "c_custkey": pa.array([], pa.int64()),
-             "o_orderkey": pa.array([], pa.int64()),
-             "o_totalprice": pa.array([], pa.float64()),
-             "total_qty": pa.array([], pa.float64())}
-        )
-    big = pa.table(
-        {"o_orderkey": pc.cast(big.column("l_orderkey"), pa.int64()),
-         "total_qty": pc.cast(big.column("total_qty"), pa.float64())}
-    )
-
-    orders = broadcast_hash_join(
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "orders.parquet"),
-            columns=["o_orderkey", "o_custkey", "o_totalprice"],
-        ),
-        big, left_key="o_orderkey", right_key="o_orderkey",
-    )
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
-    )
-    cust_map = pa.table(
-        {"o_custkey": cust.column("c_custkey"),
-         "c_name": cust.column("c_name")}
-    )
-    out = broadcast_hash_join(
-        orders, cust_map, left_key="o_custkey", right_key="o_custkey"
-    )
-    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
-    tbl = tbl.sort_by(
-        [("o_totalprice", "descending"), ("o_orderkey", "ascending")]
-    )
-    return pa.table(
-        {"c_name": pc.cast(tbl.column("c_name"), pa.string()),
-         "c_custkey": pc.cast(tbl.column("o_custkey"), pa.int64()),
-         "o_orderkey": pc.cast(tbl.column("o_orderkey"), pa.int64()),
-         "o_totalprice": pa.array(
-             np.round(tbl.column("o_totalprice").to_numpy(), 2), pa.float64()),
-         "total_qty": pa.array(
-             np.round(tbl.column("total_qty").to_numpy(), 2), pa.float64())}
-    )
-
-
 def dominant_part_suppliers_q20(
     sf_dir: str, name_like: str = "widget", year: int = 1997,
     share: float = 0.25,
