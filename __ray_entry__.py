@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify_documents": ops.nb_classify_documents,
         "bm25_topk_fvf": ops.bm25_topk_fvf,
         "bm25_topk_rank_feature": ops.bm25_topk_rank_feature,
+        "bm25_topk_terms_set": ops.bm25_topk_terms_set,
         "customers_near_point": ops.customers_near_point,
         "dominant_part_suppliers_q20": ops.dominant_part_suppliers_q20,
         "ann_hnsw_topk": ops.ann_hnsw_topk,
@@ -761,6 +762,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM f JOIN tot USING (l_partkey) "
             "JOIN supplier ON s_suppkey = l_suppkey "
             "WHERE q > 0.25 * tq ORDER BY s_suppkey ASC"
+        ),
+        "bm25_topk_terms_set": (  # ES terms_set: per-doc msm floor
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window', 'scan') "
+            "       GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score, "
+            "  count(*)::BIGINT AS nmatch "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            # per-doc floor: req = doc_id % 2 + 1 (the engine's doc-values
+            # field is built from the same expression)
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "WHERE nmatch >= doc_id % 2 + 1 "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
         ),
         "customers_near_point": (  # ES geo_distance filter + nearest sort
             # identical expression shape to the engine: deg2rad as the same

@@ -85,6 +85,11 @@ def main(argv=None) -> int:
              "(needs the field's doc-values artifact; see build-doc-values)",
     )
     s.add_argument(
+        "--terms-set-field", default=None,
+        help="ES terms_set mode: doc-values field holding each doc's own "
+             "minimum_should_match floor (needs build-doc-values)",
+    )
+    s.add_argument(
         "--delta", type=float, default=0.0,
         help="BM25+ bonus (Lv & Zhai 2011): score = idf * (tf_norm + delta); "
         "0 = classic BM25",
@@ -276,6 +281,7 @@ def main(argv=None) -> int:
                 term_range=args.term_range, block_join=args.block_join,
                 decay=json.loads(args.decay) if args.decay else None,
                 boosting=args.negative_boost,
+                terms_set=args.terms_set_field,
             )
             if args.out:
                 pq.write_table(hits, args.out)

@@ -292,6 +292,10 @@ def _mode_key(payload: dict) -> tuple | None:
         return ("boosting", float(payload.get("negative_boost", 0.5)))
     if mode == "collapse":
         return ("collapse",)
+    if mode == "terms_set":
+        # ES terms_set: per-doc minimum_should_match from a doc-values
+        # field; one lazy pool per distinct field
+        return ("terms_set", str(payload.get("field", "")))
     if mode == "bm25plus":
         # per-request scoring variant: one lazy pool per distinct delta
         # (deltas are a handful of curated values in practice, so the pool
@@ -303,7 +307,7 @@ def _mode_key(payload: dict) -> tuple | None:
     raise ValueError(
         f"unknown mode {mode!r} "
         "(conjunctive|prefix|suffix|regex|term_range|block_join|decay|"
-        "fuzzy|boosted|msm|collapse|bm25plus|boosting)"
+        "fuzzy|boosted|msm|collapse|bm25plus|boosting|terms_set)"
     )
 
 

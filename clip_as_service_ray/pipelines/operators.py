@@ -8354,3 +8354,54 @@ def dominant_part_suppliers_q20(
         {"s_suppkey": supp.column("s_suppkey").cast(pa.int64()),
          "s_name": supp.column("s_name").cast(pa.string())}
     )
+
+
+def bm25_topk_terms_set(
+    sf_dir: str, terms=("merge", "window", "scan"), field: str = "req_terms",
+    limit: int = 10,
+):
+    """ES ``terms_set`` query: each doc carries its OWN
+    minimum_should_match floor in a doc-values field
+    (minimum_should_match_field) — here req = doc_id % 2 + 1, so even docs
+    need any 1 of the 3 query terms and odd docs need 2 distinct ones.
+    Survivor scores are bit-identical to plain OR scores (the floor is a
+    candidate filter, not a scoring change)."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.docvalues import build_doc_values
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        padded = pc.utf8_lpad(pc.cast(batch.column("doc_id"), pa.string()), 12, "0")
+        conv = pc.binary_join_element_wise(pa.scalar("doc"), padded, pa.scalar("-"))
+        return pa.table(
+            {
+                "conv_id": pc.cast(conv, pa.string()),
+                "turn_idx": pa.array(np.zeros(len(ids), dtype=np.int32), pa.int32()),
+                field: pa.array((ids % 2 + 1).astype(np.float64), pa.float64()),
+            }
+        )
+
+    import ray.data
+
+    src = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(fmt, batch_format="pyarrow")
+    build_doc_values(src, index_dir, field, cfg)
+
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, terms_set=field)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.float64())}
+    )

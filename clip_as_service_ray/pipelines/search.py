@@ -35,6 +35,7 @@ def search(
     block_join: str | None = None,
     decay: dict | None = None,
     boosting: float | None = None,
+    terms_set: str | None = None,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -71,6 +72,7 @@ def search(
             "block_join": block_join,
             "decay": decay,
             "boosting": boosting,
+            "terms_set": terms_set,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -97,6 +99,7 @@ def search_table(
     block_join: str | None = None,
     decay: dict | None = None,
     boosting: float | None = None,
+    terms_set: str | None = None,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
@@ -106,6 +109,7 @@ def search_table(
         synonyms=synonyms, delta=delta, boosted=boosted, min_match=min_match,
         collapse=collapse, suffix=suffix, regex=regex, term_range=term_range,
         block_join=block_join, decay=decay, boosting=boosting,
+        terms_set=terms_set,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

@@ -220,6 +220,7 @@ class SegmentedQueryService(ScatterQueryService):
         block_join: str | None = None,
         decay: dict | None = None,
         boosting: float | None = None,
+        terms_set: str | None = None,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -245,6 +246,7 @@ class SegmentedQueryService(ScatterQueryService):
             block_join=block_join,
             decay=decay,
             boosting=boosting,
+            terms_set=terms_set,
             synonyms=synonyms,
             delta=delta,
             num_cpus=num_cpus,

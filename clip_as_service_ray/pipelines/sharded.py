@@ -197,6 +197,7 @@ class ScatterQueryService:
         block_join: str | None = None,
         decay: dict | None = None,
         boosting: float | None = None,
+        terms_set: str | None = None,
         num_cpus: float = 1,
     ):
         import ray
@@ -259,6 +260,7 @@ class ScatterQueryService:
                 block_join=block_join,
                 decay=decay,
                 boosting=boosting,
+                terms_set=terms_set,
                 synonyms=synonyms,
                 query_cache_size=config.query_cache_size,
                 delta=delta,

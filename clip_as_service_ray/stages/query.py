@@ -720,6 +720,29 @@ class IndexReader:
             exclude=excl, doc_range=doc_range,
         )
 
+    def score_query_terms_set(
+        self, text: str, limit: int, *, field: str,
+        exclude_text: str = "", doc_range=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ES ``terms_set`` query: OR retrieval where each doc's
+        minimum_should_match floor is ITS OWN doc value (the
+        minimum_should_match_field contract) — doc i survives when it
+        matches >= field[i] DISTINCT query terms; docs missing the field
+        never match. Survivor scores are bit-identical to ``score_query``
+        (the floor is a candidate filter, not a scoring change)."""
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
+        present = [(t, 1.0) for t in terms if t in self._term_blocks]
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        req = self.doc_values(field)
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        return self._score_dense_general(
+            present, limit, n_slots, min_match_values=req,
+            exclude=excl, doc_range=doc_range,
+        )
+
     def score_query_after(
         self, text: str, limit: int, after_score: float, after_doc: int,
         exclude_text: str = "", doc_range=None,
@@ -1055,20 +1078,25 @@ class IndexReader:
 
     def _score_dense_general(
         self, present: list[tuple[str, float]], limit: int, n_slots: int,
-        *, min_match: int = 0, exclude=None, doc_range=None, after=None,
+        *, min_match: int = 0, min_match_values=None, exclude=None,
+        doc_range=None, after=None,
     ):
         """Shared dense/chunked accumulator for the weighted and
         minimum_should_match variants. Keeps the canonical per-term
         sequential ``scores[docs] +=`` structure (sorted-term order is the
         caller's contract); tracks a per-doc distinct-match count only when
-        ``min_match > 1``. Memory-bounded: falls to ``dense_chunk_docs``-slot
-        chunks above the dense threshold, same as ``score_query``."""
+        ``min_match > 1`` or a per-doc requirement array is given
+        (``min_match_values``: the ES terms_set contract — doc i must match
+        >= min_match_values[i] distinct terms; NaN = doc has no requirement
+        field and can never match). Memory-bounded: falls to
+        ``dense_chunk_docs``-slot chunks above the dense threshold, same as
+        ``score_query``."""
         chunk = min(n_slots, self.dense_chunk_docs)
         if self._score_buf is None or len(self._score_buf) != chunk:
             self._score_buf = np.zeros(chunk, dtype=np.float64)
             self._match_buf = np.zeros(chunk, dtype=bool)
         counts = None
-        if min_match > 1:
+        if min_match > 1 or min_match_values is not None:
             if (
                 getattr(self, "_count_buf", None) is None
                 or len(self._count_buf) != chunk
@@ -1097,7 +1125,11 @@ class IndexReader:
             cand = np.nonzero(matched[: c1 - c0])[0]
             if len(cand):
                 sel = cand
-                if counts is not None:
+                if min_match_values is not None:
+                    req = min_match_values[sel + c0]
+                    # NaN req fails both comparisons -> doc never matches
+                    sel = sel[counts[sel].astype(np.float64) >= req]
+                elif counts is not None:
                     sel = sel[counts[sel] >= min_match]
                 if doc_range is not None and len(sel):
                     sel = self._clip_to_range(sel + c0, doc_range) - c0
@@ -1601,14 +1633,16 @@ class QueryScorer:
         block_join: str | None = None,
         decay: dict | None = None,
         boosting: float | None = None,
+        terms_set: str | None = None,
     ):
         if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match,
                           collapse, suffix, regex, term_range,
-                          block_join, decay, boosting is not None))) > 1:
+                          block_join, decay, boosting is not None,
+                          terms_set))) > 1:
             raise ValueError(
                 "query modes are mutually exclusive: pick ONE of conjunctive/"
                 "prefix/fuzzy/boosted/min_match/collapse/suffix/regex/"
-                "term_range/block_join/decay/boosting"
+                "term_range/block_join/decay/boosting/terms_set"
             )
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         # scoring variant: delta > 0 = BM25+ (same index artifact; the
@@ -1629,7 +1663,7 @@ class QueryScorer:
         self._qcache_cap = int(query_cache_size)
         if synonyms:
             if (conjunctive or prefix or fuzzy or boosted or suffix or regex
-                    or term_range or block_join or decay):
+                    or term_range or block_join or decay or terms_set):
                 raise ValueError(
                     "synonyms expand OR queries only (AND over an expanded "
                     "set would require group-match semantics; boosted "
@@ -1665,6 +1699,9 @@ class QueryScorer:
         # boosting: ES boosting-query negative_boost — per-query `negative`
         # column demotes (not excludes) matching docs by this multiplier
         self.boosting = None if boosting is None else float(boosting)
+        # terms_set: doc-values field holding each doc's OWN
+        # minimum_should_match floor (ES minimum_should_match_field)
+        self.terms_set = terms_set
         # fuzzy > 0: each token expands to its edit-distance neighborhood
         self.fuzzy = int(fuzzy)
         # boosted: query text carries Lucene caret boosts ("merge^2 window")
@@ -1842,6 +1879,13 @@ class QueryScorer:
                     text, limit, exclude_text=exclude_text,
                     doc_range=doc_range, **_d,
                 )
+        elif self.terms_set:
+            def score_fn(text, limit, exclude_text="", doc_range=None,
+                         _f=self.terms_set):
+                return self.reader.score_query_terms_set(
+                    text, limit, field=_f, exclude_text=exclude_text,
+                    doc_range=doc_range,
+                )
         elif self.boosting is not None:
             score_fn = None  # dispatched per query (needs `negative` column)
         elif self.boosted:
@@ -1917,7 +1961,8 @@ class QueryScorer:
         ) and (self.conjunctive or self.prefix or self.fuzzy or self.boosted
                or self.min_match or self.collapse or self.suffix
                or self.regex or self.term_range or self.block_join
-               or self.decay or self.boosting is not None):
+               or self.decay or self.boosting is not None
+               or self.terms_set):
             raise ValueError(
                 "search_after cursors apply to the default OR mode only"
             )

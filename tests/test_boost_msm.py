@@ -310,3 +310,54 @@ def test_scorer_cursor_columns(index_dir, reader):
     # cursor under a non-default mode -> hard error, not silent OR
     with pytest.raises(Exception, match="OR mode only"):
         search_table(index_dir, pa.table(q2), EngineConfig(), conjunctive=True)
+
+
+def test_terms_set_matches_bruteforce(index_dir, reader, tmp_path):
+    """ES terms_set (per-doc minimum_should_match from a doc-values field):
+    survivors == OR match set filtered by distinct-match count >= its own
+    floor, scores bit-identical to score_query; docs missing the field never
+    match; chunked dense path identical."""
+    from clip_as_service_ray.pipelines.docvalues import build_doc_values
+
+    n = 1200
+    # req cycles 1,2,3; every 7th doc has NO requirement value (can't match)
+    keep = np.arange(n) % 7 != 0
+    src = pa.table(
+        {
+            "conv_id": pa.array([f"c{i:06d}" for i in range(n)]),
+            "turn_idx": pa.array(np.zeros(n, dtype=np.int32), pa.int32()),
+            "req": pa.array((np.arange(n) % 3 + 1).astype(np.float64)),
+        }
+    ).filter(pa.array(keep))
+    build_doc_values(src, index_dir, "req", EngineConfig(num_index_partitions=2))
+    r = IndexReader(index_dir)
+    req = r.doc_values("req")
+
+    for q in _fuzz_queries(25, seed=11):
+        terms = sorted({t for t in r._qtokens(q) if t in r._term_blocks})
+        d_ts, s_ts = r.score_query_terms_set(q, 50, field="req")
+        # brute force: full OR + per-doc distinct-match count
+        d_all, s_all = r.score_query(q, 10**9)
+        counts = np.zeros(len(req))
+        for t in terms:
+            docs_t, _ = r.term_docs_scores(t)
+            counts[docs_t] += 1
+        ok = ~np.isnan(req[d_all]) & (counts[d_all] >= req[d_all])
+        d_keep, s_keep = d_all[ok], s_all[ok]
+        order = np.lexsort((d_keep, -s_keep))[:50]
+        np.testing.assert_array_equal(d_ts, d_keep[order], err_msg=q)
+        np.testing.assert_array_equal(s_ts, s_keep[order], err_msg=q)
+        assert not np.isnan(req[d_ts]).any()
+    # chunked dense path identical
+    r2 = IndexReader(index_dir)
+    r2.dense_chunk_docs = 157
+    q = _fuzz_queries(1, seed=5)[0]
+    d1, s1 = r.score_query_terms_set(q, 20, field="req")
+    d2, s2 = r2.score_query_terms_set(q, 20, field="req")
+    np.testing.assert_array_equal(d1, d2)
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_terms_set_scorer_mode_exclusive(index_dir):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        QueryScorer(index_dir, 10, False, conjunctive=True, terms_set="req")
