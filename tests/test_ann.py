@@ -237,3 +237,19 @@ def test_pagerank_matches_local_power_iteration(ray_session):
     np.testing.assert_allclose(
         got.column("pr").to_numpy(), rank[top], rtol=0, atol=1e-9
     )
+
+
+def test_bq_refine_equals_exact(ray_session):
+    """1-bit Hamming coarse scan + exact refine returns EXACTLY the
+    brute-force top-k (pool >> k keeps the true top-k inside the 1-bit
+    pool — the contract the oracle twin relies on)."""
+    from clip_as_service_ray.pipelines.operators import ann_topk, ann_topk_bq
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann_topk(sf, k=10)
+    bq = ann_topk_bq(sf, k=10)
+    assert bq.column("vec_id").to_pylist() == exact.column("vec_id").to_pylist()
+    import numpy as np
+    np.testing.assert_array_equal(
+        bq.column("sim").to_numpy(), exact.column("sim").to_numpy()
+    )
