@@ -676,3 +676,45 @@ def test_columnar_request_form(server):
                              "text": ["merge window", "scan"],
                              "limit": [5, 3]}})
     assert col["hits"] == row["hits"]
+
+
+def test_terms_set_mode_over_http(ray_session, tmp_path):
+    """ES terms_set through the segmented front door: per-doc
+    minimum_should_match floors from a doc-values field present in every
+    segment; the ("terms_set", field) lazy mode pool serves it."""
+    import pyarrow as pa
+
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.docvalues import build_doc_values
+    from clip_as_service_ray.pipelines.http_api import SegmentedSearchHTTPServer
+    from clip_as_service_ray.pipelines.segments import segment_dirs
+
+    cfg = EngineConfig(num_index_partitions=2, doc_bucket_size=256,
+                       postings_block_size=64, query_concurrency=1)
+    root = str(tmp_path / "tshttp")
+    srv = SegmentedSearchHTTPServer(root, cfg)
+    try:
+        _post(srv.url + "/index", {"turns": [
+            {"conv_id": "convaa", "turn_idx": 0, "role": "user",
+             "text": "merge the stream window"},
+            {"conv_id": "convab", "turn_idx": 0, "role": "user",
+             "text": "merge scan plan"},
+            {"conv_id": "convac", "turn_idx": 0, "role": "user",
+             "text": "window scan"},
+        ]})
+        # floors: convaa needs 1 match, convab 3 (matches only 2 -> out),
+        # convac 2
+        for d in segment_dirs(root):
+            src = pa.table({
+                "conv_id": pa.array(["convaa", "convab", "convac"]),
+                "turn_idx": pa.array([0, 0, 0], pa.int32()),
+                "req": pa.array([1.0, 3.0, 2.0], pa.float64()),
+            })
+            build_doc_values(src, d, "req", cfg)
+        hits = _post(srv.url + "/search", {
+            "mode": "terms_set", "field": "req",
+            "queries": [{"query_id": 0, "text": "merge window scan",
+                         "limit": 5}]})["hits"]
+        assert {h["conv_id"] for h in hits} == {"convaa", "convac"}
+    finally:
+        srv.shutdown()
