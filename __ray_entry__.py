@@ -55,6 +55,82 @@ def _bm25_field_sql(name: str, pos_pred: str, terms=("merge", "window")) -> str:
     )
 
 
+def _phrase_suggest_sql() -> str:
+    """Twin of operators.phrase_suggest: per-slot fuzzy candidates (DuckDB
+    levenshtein, same (dist ASC, df DESC, term ASC) cap) cross-producted and
+    re-ranked by the add-one bigram LM with the engine's exact expression
+    order: ln(tf1/T) + ln((bigram + 1) / (tf1 + V))."""
+    queries = ("merg windw", "hach jion", "sot tabel")
+    cand_ctes, scored_ctes = [], []
+    for qi, q in enumerate(queries):
+        slots = q.split()
+        for si, s in enumerate(slots):
+            cand_ctes.append(
+                f"cand{qi}_{si} AS (SELECT term, tf FROM uni "
+                f"WHERE levenshtein(term, '{s}') <= 2 "
+                f"ORDER BY levenshtein(term, '{s}') ASC, df DESC, term ASC "
+                "LIMIT 5)"
+            )
+        scored_ctes.append(
+            f"scored{qi} AS (SELECT '{q}' AS query, "
+            "c0.term || ' ' || c1.term AS suggestion, "
+            "round(ln(c0.tf / tot.t) + "
+            "ln((coalesce(bg.n, 0) + 1) / (c0.tf + vs.v)), 6)::DOUBLE AS score "
+            f"FROM cand{qi}_0 c0 CROSS JOIN cand{qi}_1 c1 "
+            "LEFT JOIN big bg ON bg.t1 = c0.term AND bg.t2 = c1.term "
+            "CROSS JOIN tot CROSS JOIN vs)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM scored{qi}" for qi in range(len(queries))
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+        "unnest(range(len(ts))) AS pos "
+        "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+        + _PAT_SQL
+        + "') AS ts FROM documents)), "
+        "uni AS (SELECT term, count(*)::DOUBLE AS tf, "
+        "count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term), "
+        "tot AS (SELECT count(*)::DOUBLE AS t FROM tok), "
+        "vs AS (SELECT count(*)::DOUBLE AS v FROM uni), "
+        "big AS (SELECT a.term AS t1, b.term AS t2, count(*)::DOUBLE AS n "
+        "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+        "GROUP BY a.term, b.term), "
+        + ", ".join(cand_ctes) + ", " + ", ".join(scored_ctes)
+        + f", allscored AS ({union}), "
+        "ranked AS (SELECT query, suggestion, score, row_number() OVER "
+        "(PARTITION BY query ORDER BY score DESC, suggestion ASC) AS rn "
+        "FROM allscored) "
+        "SELECT query, suggestion, score FROM ranked WHERE rn <= 3 "
+        "ORDER BY query ASC, score DESC, suggestion ASC"
+    )
+
+
+def _bm25_field_term_sql(name: str, pos_pred: str, terms=("merge", "window")) -> str:
+    """Per-TERM (unsummed) field BM25 CTE chain — the cross_fields twin
+    needs per-(doc, term, field) scores plus the field's integer df/N so the
+    blended-idf rescale can be written with the exact same expression order
+    as the engine (`operators.multi_match_cross_fields`)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        f"{name}_tok AS (SELECT doc_id, term FROM tokp WHERE {pos_pred}), "
+        f"{name}_dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM {name}_tok "
+        "GROUP BY doc_id), "
+        f"{name}_stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl "
+        f"FROM {name}_dl), "
+        f"{name}_tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM {name}_tok "
+        f"WHERE term IN ({tlist}) GROUP BY doc_id, term), "
+        f"{name}_df AS (SELECT term, count(*)::DOUBLE AS df FROM {name}_tf "
+        "GROUP BY term), "
+        f"{name}_tscore AS (SELECT tf.doc_id, tf.term, df.df, s.n, "
+        "ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2 / "
+        "(tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+        f"FROM {name}_tf tf JOIN {name}_df df USING (term) "
+        f"JOIN {name}_dl dl ON tf.doc_id = dl.doc_id "
+        f"CROSS JOIN {name}_stats s)"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
     from clip_as_service_ray.pipelines.operators import bm25_topk
@@ -103,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the round-3 batch), entries hash-green in CORRECTNESS_r02 are
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
+        "multi_match_most_fields": ops.multi_match_most_fields,
+        "multi_match_cross_fields": ops.multi_match_cross_fields,
+        "phrase_suggest": ops.phrase_suggest,
         "nb_classify_documents": ops.nb_classify_documents,
         "bm25_topk_fvf": ops.bm25_topk_fvf,
         "bm25_topk_rank_feature": ops.bm25_topk_rank_feature,
@@ -315,6 +394,63 @@ def oracle_sql() -> dict[str, str]:
             "(coalesce(t.score, 0) + coalesce(b.score, 0) - "
             "greatest(coalesce(t.score, 0), coalesce(b.score, 0))) AS score "
             "FROM title_score t FULL OUTER JOIN body_score b USING (doc_id)) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM comb "
+            "ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10"
+        ),
+        "phrase_suggest": _phrase_suggest_sql(),
+        "multi_match_most_fields": (
+            # ES multi_match most_fields: same per-field BM25 legs as
+            # dismax_topk, combined as the SUM of field scores (two-value
+            # IEEE sum — order-independent); missing fields contribute 0
+            "WITH tokp AS (SELECT doc_id, unnest(ts) AS term, "
+            "unnest(range(len(ts))) AS pos "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL
+            + "') AS ts FROM documents)), "
+            + _bm25_field_sql("title", "pos < 8")
+            + ", "
+            + _bm25_field_sql("body", "pos >= 8")
+            + ", comb AS (SELECT coalesce(t.doc_id, b.doc_id) AS doc_id, "
+            "coalesce(t.score, 0) + coalesce(b.score, 0) AS score "
+            "FROM title_score t FULL OUTER JOIN body_score b USING (doc_id)) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM comb "
+            "ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10"
+        ),
+        "multi_match_cross_fields": (
+            # ES multi_match cross_fields / Lucene BlendedTermQuery:
+            # per-(term, field) BM25 leg rescaled by idf_blend/idf_field
+            # where df_blend = max df across fields and N_blend = max N —
+            # written with the engine's exact expression order
+            # (field_score * (idf_blend / idf_field)); per-term max across
+            # fields, then a two-term order-independent sum
+            "WITH tokp AS (SELECT doc_id, unnest(ts) AS term, "
+            "unnest(range(len(ts))) AS pos "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL
+            + "') AS ts FROM documents)), "
+            + _bm25_field_term_sql("title", "pos < 8")
+            + ", "
+            + _bm25_field_term_sql("body", "pos >= 8")
+            + ", nblend AS (SELECT greatest((SELECT n FROM title_stats), "
+            "(SELECT n FROM body_stats)) AS nb), "
+            "blend AS (SELECT coalesce(t.term, b.term) AS term, "
+            "greatest(coalesce(t.df, 0), coalesce(b.df, 0)) AS dfb "
+            "FROM title_df t FULL OUTER JOIN body_df b USING (term)), "
+            "title_r AS (SELECT ts.doc_id, ts.term, ts.score * "
+            "(ln(1 + (nb.nb - bl.dfb + 0.5) / (bl.dfb + 0.5)) / "
+            "ln(1 + (ts.n - ts.df + 0.5) / (ts.df + 0.5))) AS score "
+            "FROM title_tscore ts JOIN blend bl USING (term) CROSS JOIN nblend nb), "
+            "body_r AS (SELECT ts.doc_id, ts.term, ts.score * "
+            "(ln(1 + (nb.nb - bl.dfb + 0.5) / (bl.dfb + 0.5)) / "
+            "ln(1 + (ts.n - ts.df + 0.5) / (ts.df + 0.5))) AS score "
+            "FROM body_tscore ts JOIN blend bl USING (term) CROSS JOIN nblend nb), "
+            "per_term AS (SELECT coalesce(t.doc_id, b.doc_id) AS doc_id, "
+            "coalesce(t.term, b.term) AS term, "
+            "greatest(coalesce(t.score, 0), coalesce(b.score, 0)) AS score "
+            "FROM title_r t FULL OUTER JOIN body_r b "
+            "ON t.doc_id = b.doc_id AND t.term = b.term), "
+            "comb AS (SELECT doc_id, sum(score) AS score FROM per_term "
+            "GROUP BY doc_id) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM comb "
             "ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10"
         ),

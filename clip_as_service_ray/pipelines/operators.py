@@ -3918,6 +3918,134 @@ def autocomplete_prefix(
     return tbl.filter(pa.array(rank < k))
 
 
+PHRASE_SUGGEST_QUERIES = ("merg windw", "hach jion", "sot tabel")
+
+
+def phrase_suggest(
+    sf_dir: str,
+    queries: tuple[str, ...] = PHRASE_SUGGEST_QUERIES,
+    max_dist: int = 2,
+    n_cand: int = 5,
+    k: int = 3,
+):
+    """ES phrase suggester ("did you mean" over whole query strings): each
+    whitespace slot gets fuzzy vocabulary candidates (same distributed
+    kernel and cap rule as spell_suggest: dist ASC, df DESC, term ASC,
+    first n_cand), then every candidate CHAIN is re-ranked by an add-one-
+    smoothed bigram language model learned from the corpus in one
+    distributed pass:
+
+        score = ln(tf(c1)/T) + sum_i ln((bigram(ci, ci+1) + 1) / (tf(ci) + V))
+
+    (T = total corpus tokens, V = vocabulary size). Scale shape: only
+    candidate-vocabulary unigram/bigram partial counts leave the workers —
+    bounded by (n_cand * slots * len(queries))^2 rows per batch, never the
+    LM itself. Reference analog: query-assist family next to fuzzy
+    expansion (SURVEY §2 C4); the ES phrase_suggester contract is the
+    candidate-generator x LM-rescore split implemented here."""
+    slots_per_q = [q.split() for q in queries]
+    slot_terms = sorted({t for slots in slots_per_q for t in slots})
+    cands_tbl = spell_suggest(
+        sf_dir, queries=tuple(slot_terms), max_dist=max_dist, k=n_cand
+    )
+    cand_of: dict[str, list[str]] = {t: [] for t in slot_terms}
+    for qt, term in zip(
+        cands_tbl.column("query").to_pylist(), cands_tbl.column("term").to_pylist()
+    ):
+        cand_of[qt].append(term)
+    vocab = sorted({t for lst in cand_of.values() for t in lst})
+    if not vocab:
+        return pa.table(
+            {"query": pa.array([], pa.string()),
+             "suggestion": pa.array([], pa.string()),
+             "score": pa.array([], pa.float64())}
+        )
+    C = len(vocab)
+    vocab_arr = pa.array(vocab, pa.string())
+
+    def stats(batch: pa.Table) -> pa.Table:
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        n_tok = len(tokens)
+        codes = pc.fill_null(
+            pc.index_in(tokens, value_set=vocab_arr), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        t1: list[str] = []
+        t2: list[str] = []
+        kind: list[str] = []
+        n: list[int] = []
+        matched = codes >= 0
+        if matched.any():
+            uc = np.bincount(codes[matched], minlength=C)
+            for i in np.nonzero(uc)[0]:
+                t1.append(vocab[i]); t2.append(""); kind.append("u")
+                n.append(int(uc[i]))
+            row_of = np.repeat(np.arange(len(lens)), lens)
+            if n_tok > 1:
+                a, b = codes[:-1], codes[1:]
+                ok = (a >= 0) & (b >= 0) & (row_of[:-1] == row_of[1:])
+                if ok.any():
+                    comb = a[ok] * C + b[ok]
+                    u, cnt = np.unique(comb, return_counts=True)
+                    for code, c_ in zip(u, cnt):
+                        t1.append(vocab[code // C]); t2.append(vocab[code % C])
+                        kind.append("b"); n.append(int(c_))
+        t1.append(""); t2.append(""); kind.append("T"); n.append(n_tok)
+        return pa.table(
+            {"kind": pa.array(kind, pa.string()), "t1": pa.array(t1, pa.string()),
+             "t2": pa.array(t2, pa.string()), "n": pa.array(n, pa.int64())}
+        )
+
+    parts = (
+        _documents(sf_dir)
+        .map_batches(stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    summed = parts.groupby(["kind", "t1", "t2"], as_index=False)["n"].sum()
+    T = float(summed.loc[summed["kind"] == "T", "n"].sum())
+    uni = {
+        r.t1: float(r.n) for r in summed[summed["kind"] == "u"].itertuples()
+    }
+    big = {
+        (r.t1, r.t2): float(r.n)
+        for r in summed[summed["kind"] == "b"].itertuples()
+    }
+    V = float(term_df(sf_dir).count())
+
+    out_q: list[str] = []
+    out_s: list[str] = []
+    out_sc: list[float] = []
+    import itertools
+
+    for q, slots in zip(queries, slots_per_q):
+        chains = [cand_of.get(t, []) for t in slots]
+        if any(len(c) == 0 for c in chains):
+            continue
+        rows = []
+        for chain in itertools.product(*chains):
+            tf1 = uni.get(chain[0], 0.0)
+            if tf1 == 0.0:
+                continue
+            s = np.log(tf1 / T)
+            ok = True
+            for ci, cj in zip(chain, chain[1:]):
+                tfi = uni.get(ci, 0.0)
+                if tfi == 0.0:
+                    ok = False
+                    break
+                bc = big.get((ci, cj), 0.0)
+                s = s + np.log((bc + 1.0) / (tfi + V))
+            if ok:
+                rows.append((" ".join(chain), round(float(s), 6)))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        for sug, sc in rows[:k]:
+            out_q.append(q); out_s.append(sug); out_sc.append(sc)
+    return pa.table(
+        {"query": pa.array(out_q, pa.string()),
+         "suggestion": pa.array(out_s, pa.string()),
+         "score": pa.array(out_sc, pa.float64())}
+    )
+
+
 def search_facets(sf_dir: str, terms: tuple[str, ...] = BM25_QUERY_TERMS):
     """Faceted search: for documents matching ANY query term, document counts
     per facet value over the ``lang`` and ``source`` dimensions — the facet
@@ -8056,25 +8184,13 @@ def phrase_prefix_search(
     )
 
 
-def dismax_topk(
-    sf_dir: str, terms=BM25_QUERY_TERMS, title_tokens: int = 8,
-    tie_breaker: float = 0.3, limit: int = 10,
-):
-    """multi_match best_fields / Lucene DisjunctionMaxQuery: per-FIELD BM25
-    (title = first `title_tokens` tokens, body = the rest, each its own
-    index with its own df/dl/avgdl statistics), combined per doc as
-    best + tie_breaker * (sum - best). Each field index is built by the
-    real pipeline from a streaming field-slice adapter; both field score
-    sets are the engine's own hit tables (exhaustive limit — a field's
-    match set is its posting union, the same rows BM25 had to score
-    anyway), merged with one vectorized outer combine. Missing-field
-    scores contribute 0 (BM25 scores are strictly positive)."""
-    import ray.data
-
+def _field_slice_indexes(sf_dir: str, title_tokens: int, cfg):
+    """Build (once, resumable) the two field-slice indexes shared by the
+    multi_match family: ``title`` = first `title_tokens` tokens of each
+    document, ``body`` = the rest, each indexed by the real pipeline with
+    its OWN df/dl/avgdl statistics (the Lucene per-field model). Returns
+    ``[(name, index_dir), ...]``."""
     from clip_as_service_ray.pipelines.build_index import build_index
-    from clip_as_service_ray.pipelines.search import search_table
-
-    cfg = EngineConfig(num_index_partitions=4)
 
     def field_adapter(lo: int, hi: int):
         def fields(batch: pa.Table) -> pa.Table:
@@ -8100,7 +8216,7 @@ def dismax_topk(
 
         return fields
 
-    field_scores = {}
+    out = []
     for name, lo, hi in (
         ("title", 0, title_tokens), ("body", title_tokens, 1 << 30)
     ):
@@ -8109,18 +8225,47 @@ def dismax_topk(
             field_adapter(lo, hi), batch_format="pyarrow"
         )
         build_index(src, index_dir, cfg)
-        queries = pa.table(
-            {"query_id": pa.array([0], pa.int64()),
-             "text": pa.array([" ".join(terms)]),
-             # exhaustive: every doc matching the field participates in max
-             "limit": pa.array([1 << 30], pa.int32())}
-        )
-        hits = search_table(index_dir, queries, cfg)
-        ids = np.asarray(
-            [int(c[4:]) for c in hits.column("conv_id").to_pylist()],
-            dtype=np.int64,
-        )
-        field_scores[name] = (ids, hits.column("score").to_numpy())
+        out.append((name, index_dir))
+    return out
+
+
+def _field_search(index_dir: str, text: str, cfg):
+    """Exhaustive-limit engine search of one field index for one query
+    string; returns (doc_ids int64, scores float64). Exhaustive is the
+    multi_match contract: every doc matching the field participates in the
+    cross-field combine (the same rows BM25 had to score anyway)."""
+    from clip_as_service_ray.pipelines.search import search_table
+
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([text]),
+         "limit": pa.array([1 << 30], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg)
+    ids = np.asarray(
+        [int(c[4:]) for c in hits.column("conv_id").to_pylist()],
+        dtype=np.int64,
+    )
+    return ids, hits.column("score").to_numpy()
+
+
+def dismax_topk(
+    sf_dir: str, terms=BM25_QUERY_TERMS, title_tokens: int = 8,
+    tie_breaker: float = 0.3, limit: int = 10,
+):
+    """multi_match best_fields / Lucene DisjunctionMaxQuery: per-FIELD BM25
+    (title = first `title_tokens` tokens, body = the rest, each its own
+    index with its own df/dl/avgdl statistics), combined per doc as
+    best + tie_breaker * (sum - best). Each field index is built by the
+    real pipeline from a streaming field-slice adapter; both field score
+    sets are the engine's own hit tables (exhaustive limit), merged with
+    one vectorized outer combine. Missing-field scores contribute 0
+    (BM25 scores are strictly positive)."""
+    cfg = EngineConfig(num_index_partitions=4)
+    field_scores = {
+        name: _field_search(index_dir, " ".join(terms), cfg)
+        for name, index_dir in _field_slice_indexes(sf_dir, title_tokens, cfg)
+    }
 
     all_ids = np.unique(
         np.concatenate([ids for ids, _ in field_scores.values()])
@@ -8131,6 +8276,121 @@ def dismax_topk(
     best = per_field.max(axis=0)
     total = per_field.sum(axis=0)
     score = np.round(best + tie_breaker * (total - best), 6)
+    top = np.lexsort((all_ids, -score))[: min(limit, len(all_ids))]
+    return pa.table(
+        {"doc_id": pa.array(all_ids[top], pa.int64()),
+         "score": pa.array(score[top], pa.float64())}
+    )
+
+
+def multi_match_most_fields(
+    sf_dir: str, terms=BM25_QUERY_TERMS, title_tokens: int = 8,
+    limit: int = 10,
+):
+    """ES multi_match ``most_fields``: per-field BM25 over the same
+    title/body field-slice indexes as dismax_topk (each field its own
+    df/dl/avgdl), combined per doc as the SUM of field scores — the
+    "more fields that match, the better" mode (vs best_fields' max +
+    tie_breaker). Sum of two per-field totals is order-independent in
+    IEEE, so the 6-dp round matches the SQL twin exactly."""
+    cfg = EngineConfig(num_index_partitions=4)
+    field_scores = {
+        name: _field_search(index_dir, " ".join(terms), cfg)
+        for name, index_dir in _field_slice_indexes(sf_dir, title_tokens, cfg)
+    }
+
+    all_ids = np.unique(
+        np.concatenate([ids for ids, _ in field_scores.values()])
+    )
+    total = np.zeros(len(all_ids), dtype=np.float64)
+    for ids, sc in field_scores.values():
+        total[np.searchsorted(all_ids, ids)] += sc
+    score = np.round(total, 6)
+    top = np.lexsort((all_ids, -score))[: min(limit, len(all_ids))]
+    return pa.table(
+        {"doc_id": pa.array(all_ids[top], pa.int64()),
+         "score": pa.array(score[top], pa.float64())}
+    )
+
+
+def multi_match_cross_fields(
+    sf_dir: str, terms=BM25_QUERY_TERMS, title_tokens: int = 8,
+    limit: int = 10,
+):
+    """ES multi_match ``cross_fields`` / Lucene BlendedTermQuery: term-
+    centric scoring where per-term document frequencies are BLENDED across
+    fields so a term that is rare in every single field but common across
+    the pair stops being over-weighted. Contract (documented, SQL-certified):
+
+      df_blend(t) = max over fields of df_field(t)      (ES blended-df rule)
+      N_blend     = max over fields of N_field
+      score(d)    = sum over terms t of
+                      max over fields f of
+                        [engine BM25 score of t in f] * (idf_blend / idf_f)
+
+    The per-field, per-term leg is the engine's OWN single-term hit table
+    (exhaustive limit) — the rescale multiplies each field score by one
+    scalar ratio, so the float expression order (field_score * (idf_b /
+    idf_f)) is replicated verbatim in the SQL twin. Per-term max across
+    fields is exact; the final sum over the two query terms is order-
+    independent in IEEE."""
+    import pyarrow.parquet as pq
+
+    from clip_as_service_ray.functions import bm25
+    from clip_as_service_ray.state import manifest as mf
+
+    cfg = EngineConfig(num_index_partitions=4)
+    field_dirs = _field_slice_indexes(sf_dir, title_tokens, cfg)
+
+    # per-field integer stats (exact): N_f from stats.json, df_f(t) from the
+    # dictionary parquet — no reader construction, no postings touched
+    stats = {}
+    for name, index_dir in field_dirs:
+        st = mf.read_json(os.path.join(index_dir, "stats.json"))
+        dic = pq.read_table(
+            os.path.join(index_dir, "dictionary"), columns=["term", "df"]
+        )
+        mask = pc.is_in(dic.column("term"), pa.array(list(terms)))
+        dic = dic.filter(mask)
+        dfs = dict(zip(dic.column("term").to_pylist(),
+                       dic.column("df").to_numpy().tolist()))
+        stats[name] = (int(st["n_docs"]), dfs)
+
+    n_blend = max(n for n, _ in stats.values())
+    per_term_field = {}  # (term, field) -> (ids, rescaled scores)
+    for term in terms:
+        df_blend = max(dfs.get(term, 0) for _, dfs in stats.values())
+        idf_blend = float(bm25.idf(float(df_blend), n_blend))
+        for name, index_dir in field_dirs:
+            n_f, dfs = stats[name]
+            df_f = dfs.get(term, 0)
+            if df_f == 0:
+                continue
+            ids, sc = _field_search(index_dir, term, cfg)
+            idf_f = float(bm25.idf(float(df_f), n_f))
+            per_term_field[(term, name)] = (ids, sc * (idf_blend / idf_f))
+
+    if not per_term_field:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    all_ids = np.unique(
+        np.concatenate([ids for ids, _ in per_term_field.values()])
+    )
+    total = np.zeros(len(all_ids), dtype=np.float64)
+    for term in sorted(set(terms)):
+        best = np.zeros(len(all_ids), dtype=np.float64)
+        for name, _ in field_dirs:
+            leg = per_term_field.get((term, name))
+            if leg is None:
+                continue
+            ids, sc = leg
+            cur = np.zeros(len(all_ids), dtype=np.float64)
+            cur[np.searchsorted(all_ids, ids)] = sc
+            best = np.maximum(best, cur)
+        total += best
+    score = np.round(total, 6)
     top = np.lexsort((all_ids, -score))[: min(limit, len(all_ids))]
     return pa.table(
         {"doc_id": pa.array(all_ids[top], pa.int64()),
