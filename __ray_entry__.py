@@ -182,6 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_match_most_fields": ops.multi_match_most_fields,
         "multi_match_cross_fields": ops.multi_match_cross_fields,
         "phrase_suggest": ops.phrase_suggest,
+        "customer_geotile_grid": ops.customer_geotile_grid,
+        "event_value_mad": ops.event_value_mad,
+        "doc_string_stats": ops.doc_string_stats,
         "nb_classify_documents": ops.nb_classify_documents,
         "bm25_topk_fvf": ops.bm25_topk_fvf,
         "bm25_topk_rank_feature": ops.bm25_topk_rank_feature,
@@ -398,6 +401,59 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10"
         ),
         "phrase_suggest": _phrase_suggest_sql(),
+        "customer_geotile_grid": (
+            # ES geotile_grid agg at zoom 5 over the synthetic customer
+            # coords (same c_custkey derivation as customers_near_point):
+            # web-mercator slippy-map tile with the ES ±85.05112878 lat
+            # clamp; identical double literals, clamp/floor order, and
+            # [0, 31] clip as the engine
+            "WITH c AS (SELECT "
+            "(c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat, "
+            "(c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon "
+            "FROM customer), "
+            "t AS (SELECT least(greatest(lat, -85.05112878), 85.05112878) AS latc, "
+            "lon FROM c), "
+            "xy AS (SELECT "
+            "least(greatest(floor((lon + 180.0) / 360.0 * 32.0), 0.0), 31.0)::BIGINT AS x, "
+            "least(greatest(floor((1.0 - ln(tan(latc * 0.017453292519943295) "
+            "+ 1.0 / cos(latc * 0.017453292519943295)) / 3.141592653589793) "
+            "/ 2.0 * 32.0), 0.0), 31.0)::BIGINT AS y FROM t) "
+            "SELECT '5/' || x || '/' || y AS tile, count(*)::BIGINT AS cnt "
+            "FROM xy GROUP BY x, y "
+            "ORDER BY cnt DESC, tile ASC LIMIT 20"
+        ),
+        "event_value_mad": (
+            # ES median_absolute_deviation, exact: per-type median, then
+            # median of |value - median|; both medians quantile_cont-
+            # interpolated (matches np.quantile linear on the engine)
+            "WITH m AS (SELECT event_type, "
+            "quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type), "
+            "d AS (SELECT e.event_type, abs(e.value - m.med) AS dev "
+            "FROM events e JOIN m USING (event_type)) "
+            "SELECT d.event_type, round(any_value(m.med), 6)::DOUBLE AS med, "
+            "round(quantile_cont(d.dev, 0.5), 6)::DOUBLE AS mad "
+            "FROM d JOIN m USING (event_type) GROUP BY d.event_type"
+        ),
+        "doc_string_stats": (
+            # ES string_stats (+ show_distribution entropy): char-length
+            # stats are exact integers; entropy = sum of -(p * log2(p))
+            # over the corpus codepoint distribution (same per-term
+            # expression as the engine; 6-dp round absorbs sum-order ulps)
+            "WITH chars AS (SELECT unnest(string_split(text, '')) AS ch "
+            "FROM documents), "
+            "cc AS (SELECT ch, count(*)::DOUBLE AS n FROM chars "
+            "WHERE ch <> '' GROUP BY ch), "
+            "tot AS (SELECT sum(n) AS t FROM cc), "
+            "ent AS (SELECT sum(-(n / t * log2(n / t))) AS e "
+            "FROM cc CROSS JOIN tot), "
+            "l AS (SELECT count(*)::BIGINT AS doc_count, "
+            "min(length(text))::BIGINT AS min_length, "
+            "max(length(text))::BIGINT AS max_length, "
+            "sum(length(text))::DOUBLE / count(*) AS avg FROM documents) "
+            "SELECT doc_count, min_length, max_length, "
+            "round(avg, 6)::DOUBLE AS avg_length, "
+            "round(e, 6)::DOUBLE AS entropy FROM l CROSS JOIN ent"
+        ),
         "multi_match_most_fields": (
             # ES multi_match most_fields: same per-field BM25 legs as
             # dismax_topk, combined as the SUM of field scores (two-value

@@ -335,6 +335,82 @@ def exact_dedup(sf_dir: str):
 STOPWORDS = ("the", "a", "of", "to", "and", "in")
 
 
+def doc_string_stats(sf_dir: str):
+    """ES ``string_stats`` aggregation (with show_distribution's entropy)
+    over documents.text: count, min/max/avg character length, and the
+    Shannon entropy (base 2) of the corpus character distribution.
+    Distributed shape: each batch emits ONE partial row of (count,
+    len_sum, len_min, len_max) plus a tiny per-codepoint count table
+    (codepoints via a vectorized utf-32 reinterpretation — no Python char
+    loop); integer partials merge exactly, so only the final avg division
+    and the entropy sum are float (entropy terms are summed in codepoint
+    order on the engine; the 6-dp round absorbs the SQL engine's
+    association difference)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text")
+        lens = pc.utf8_length(texts).to_numpy().astype(np.int64)
+        joined = "".join(texts.to_pylist())
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        u, cnt = np.unique(cps, return_counts=True)
+        k = len(u)
+        return pa.table(
+            {
+                "cp": pa.array(
+                    np.concatenate([u.astype(np.int64), [-1]]), pa.int64()
+                ),
+                "n": pa.array(
+                    np.concatenate([cnt.astype(np.int64), [len(lens)]]),
+                    pa.int64(),
+                ),
+                "len_sum": pa.array(
+                    np.concatenate([np.zeros(k, np.int64), [lens.sum()]]),
+                    pa.int64(),
+                ),
+                "len_min": pa.array(
+                    np.concatenate(
+                        [np.zeros(k, np.int64), [lens.min() if len(lens) else 0]]
+                    ),
+                    pa.int64(),
+                ),
+                "len_max": pa.array(
+                    np.concatenate(
+                        [np.zeros(k, np.int64), [lens.max() if len(lens) else 0]]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = (
+        _documents(sf_dir)
+        .map_batches(stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    doc_rows = parts[parts["cp"] == -1]
+    count = int(doc_rows["n"].sum())
+    len_sum = int(doc_rows["len_sum"].sum())
+    len_min = int(doc_rows["len_min"].min()) if count else 0
+    len_max = int(doc_rows["len_max"].max()) if count else 0
+    cp_rows = (
+        parts[parts["cp"] >= 0].groupby("cp", as_index=False)["n"].sum()
+    ).sort_values("cp")
+    total = float(cp_rows["n"].sum())
+    p = cp_rows["n"].to_numpy().astype(np.float64) / total
+    entropy = float(np.sum(-(p * np.log2(p))))
+    return pa.table(
+        {
+            "doc_count": pa.array([count], pa.int64()),
+            "min_length": pa.array([len_min], pa.int64()),
+            "max_length": pa.array([len_max], pa.int64()),
+            "avg_length": pa.array(
+                [round(float(len_sum) / count, 6)], pa.float64()
+            ),
+            "entropy": pa.array([round(entropy, 6)], pa.float64()),
+        }
+    )
+
+
 def doc_quality(sf_dir: str):
     """Per-doc quality features: token count, char count, stopword ratio —
     the quality-scoring stage of a training-data pipeline (vectorized)."""
@@ -2572,6 +2648,55 @@ def event_value_percentiles_distributed(sf_dir: str):
             "p50": pa.array([round(float(res[k][0]), 6) for k in keys], pa.float64()),
             "p90": pa.array([round(float(res[k][1]), 6) for k in keys], pa.float64()),
             "p99": pa.array([round(float(res[k][2]), 6) for k in keys], pa.float64()),
+        }
+    )
+
+
+def event_value_mad(sf_dir: str):
+    """ES ``median_absolute_deviation`` aggregation, EXACT and distributed:
+    per event_type, MAD = median(|value - median(value)|) via two passes of
+    the distributed exact-quantile machinery (stages/rank.quantiles_by_key:
+    global sort + per-block order statistics — no group ever materializes
+    on one worker). The per-type medians from pass 1 are a tiny broadcast
+    map; the deviation column is computed per batch in the scan of pass 2.
+    Both engines interpolate quantile_cont-style, and |value - med| is the
+    same two-operand float expression on both sides."""
+    import ray.data
+
+    from clip_as_service_ray.stages.rank import quantiles_by_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    med = quantiles_by_key(ds, key="event_type", value="value", quantiles=[0.5])
+    med_map = {str(key): float(v[0]) for key, v in med.items()}
+    type_arr = pa.array(sorted(med_map), pa.string())
+    med_arr = np.array([med_map[t] for t in sorted(med_map)], np.float64)
+
+    def dev(batch: pa.Table) -> pa.Table:
+        codes = pc.index_in(
+            batch.column("event_type"), value_set=type_arr
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("value").to_numpy().astype(np.float64)
+        return pa.table(
+            {"event_type": batch.column("event_type"),
+             "dev": pa.array(np.abs(v - med_arr[codes]), pa.float64())}
+        )
+
+    ds2 = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    ).map_batches(dev, batch_format="pyarrow")
+    mad = quantiles_by_key(ds2, key="event_type", value="dev", quantiles=[0.5])
+    keys = sorted(med_map)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "med": pa.array(
+                [round(med_map[key], 6) for key in keys], pa.float64()
+            ),
+            "mad": pa.array(
+                [round(float(mad[key][0]), 6) for key in keys], pa.float64()
+            ),
         }
     )
 
@@ -8530,6 +8655,60 @@ def customers_near_point(
              "dist_km": pa.array([], pa.float64())}
         )
     return tbl.sort_by([("dist_km", "ascending"), ("c_custkey", "ascending")])
+
+
+def customer_geotile_grid(sf_dir: str, zoom: int = 5, k: int = 20):
+    """ES ``geotile_grid`` aggregation: bucket every customer's synthetic
+    coordinate (same deterministic c_custkey derivation as
+    customers_near_point) into a web-mercator z/x/y tile and count per
+    cell, top-k by count. The tile math is the standard slippy-map formula
+    with ES's latitude clamp (±85.05112878); the SQL twin replicates the
+    exact expression shape (same double literals for deg2rad and pi,
+    identical clamp/floor order), and both sides clip the tile index into
+    [0, 2^zoom - 1] so boundary rounding cannot produce an out-of-range
+    cell. Per-batch partial counts (at most 4^zoom tiny rows per batch)
+    are the only thing shuffled."""
+    import ray.data
+
+    DEG = 0.017453292519943295
+    PI = 3.141592653589793
+    n = float(1 << zoom)
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        lat = (ck * 7919 % 18000) / 100.0 - 90.0
+        lon = (ck * 104729 % 36000) / 100.0 - 180.0
+        latc = np.minimum(np.maximum(lat, -85.05112878), 85.05112878)
+        x = np.floor((lon + 180.0) / 360.0 * n)
+        rad = latc * DEG
+        y = np.floor(
+            (1.0 - np.log(np.tan(rad) + 1.0 / np.cos(rad)) / PI) / 2.0 * n
+        )
+        x = np.minimum(np.maximum(x, 0.0), n - 1.0).astype(np.int64)
+        y = np.minimum(np.maximum(y, 0.0), n - 1.0).astype(np.int64)
+        comb = x * (1 << zoom) + y
+        u, cnt = np.unique(comb, return_counts=True)
+        return pa.table(
+            {"x": pa.array(u // (1 << zoom), pa.int64()),
+             "y": pa.array(u % (1 << zoom), pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    parts = ds.map_batches(tiles, batch_format="pyarrow").to_pandas()
+    summed = parts.groupby(["x", "y"], as_index=False)["n"].sum()
+    summed["tile"] = (
+        str(zoom) + "/" + summed["x"].astype(str) + "/" + summed["y"].astype(str)
+    )
+    summed = summed.sort_values(
+        ["n", "tile"], ascending=[False, True]
+    ).head(k)
+    return pa.table(
+        {"tile": pa.array(summed["tile"].tolist(), pa.string()),
+         "cnt": pa.array(summed["n"].astype("int64").tolist(), pa.int64())}
+    )
 
 
 def dominant_part_suppliers_q20(

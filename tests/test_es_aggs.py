@@ -1,0 +1,62 @@
+"""ES aggregation analogs (geotile_grid, median_absolute_deviation,
+string_stats) vs their DuckDB twins at sf0.001."""
+
+import duckdb
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(entry: str, tables=("documents",)):
+    import __ray_entry__ as re_
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con.execute(re_.oracle_sql()[entry]).df()
+
+
+def test_geotile_grid_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import customer_geotile_grid
+
+    got = customer_geotile_grid(SF).to_pandas()
+    want = _oracle("customer_geotile_grid", tables=("customer",))
+    gk = got.sort_values(["tile"]).reset_index(drop=True)
+    wk = want.sort_values(["tile"]).reset_index(drop=True)
+    assert gk["tile"].tolist() == wk["tile"].tolist()
+    assert gk["cnt"].tolist() == wk["cnt"].tolist()
+
+
+def test_event_value_mad_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import event_value_mad
+
+    got = event_value_mad(SF).to_pandas().sort_values("event_type")
+    want = _oracle("event_value_mad", tables=("events",)).sort_values("event_type")
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    np.testing.assert_allclose(got["med"], want["med"], atol=1e-9)
+    np.testing.assert_allclose(got["mad"], want["mad"], atol=1e-9)
+
+
+def test_doc_string_stats_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import doc_string_stats
+
+    got = doc_string_stats(SF).to_pandas()
+    want = _oracle("doc_string_stats")
+    for c in ("doc_count", "min_length", "max_length"):
+        assert int(got[c].iloc[0]) == int(want[c].iloc[0])
+    np.testing.assert_allclose(
+        got["avg_length"], want["avg_length"], atol=1e-9
+    )
+    np.testing.assert_allclose(got["entropy"], want["entropy"], atol=1e-9)
+
+
+def test_mad_is_robust_center_spread(ray_session):
+    """MAD of a symmetric two-sided spread around the median is positive
+    and no larger than the max |deviation|."""
+    from clip_as_service_ray.pipelines.operators import event_value_mad
+
+    got = event_value_mad(SF).to_pandas()
+    assert (got["mad"] >= 0).all()
+    assert len(got) > 0
