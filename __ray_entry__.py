@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_geotile_grid": ops.customer_geotile_grid,
         "event_value_mad": ops.event_value_mad,
         "doc_string_stats": ops.doc_string_stats,
+        "events_t_test": ops.events_t_test,
+        "event_value_percentile_ranks": ops.event_value_percentile_ranks,
         "nb_classify_documents": ops.nb_classify_documents,
         "bm25_topk_fvf": ops.bm25_topk_fvf,
         "bm25_topk_rank_feature": ops.bm25_topk_rank_feature,
@@ -453,6 +455,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_count, min_length, max_length, "
             "round(avg, 6)::DOUBLE AS avg_length, "
             "round(e, 6)::DOUBLE AS entropy FROM l CROSS JOIN ent"
+        ),
+        "events_t_test": (
+            # ES t_test agg (Welch): identical expression chain from the
+            # same three sums (n, sum, sum-of-squares) as the engine driver
+            "WITH m AS (SELECT event_type, count(*)::DOUBLE AS n, "
+            "sum(value) AS s, sum(value * value) AS s2 FROM events "
+            "WHERE event_type IN ('click', 'purchase') GROUP BY event_type), "
+            "a AS (SELECT n, s, s2 FROM m WHERE event_type = 'click'), "
+            "b AS (SELECT n, s, s2 FROM m WHERE event_type = 'purchase'), "
+            "c AS (SELECT a.s / a.n AS ma, b.s / b.n AS mb, "
+            "((a.s2 - a.s * a.s / a.n) / (a.n - 1.0)) / a.n AS sea, "
+            "((b.s2 - b.s * b.s / b.n) / (b.n - 1.0)) / b.n AS seb, "
+            "a.n AS na, b.n AS nb FROM a CROSS JOIN b) "
+            "SELECT 'click' AS type_a, 'purchase' AS type_b, "
+            "round(ma, 6)::DOUBLE AS mean_a, round(mb, 6)::DOUBLE AS mean_b, "
+            "round((ma - mb) / sqrt(sea + seb), 6)::DOUBLE AS t_stat, "
+            "round((sea + seb) * (sea + seb) / "
+            "(sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6)::DOUBLE "
+            "AS welch_df FROM c"
+        ),
+        "event_value_percentile_ranks": (
+            # ES percentile_ranks (count-based inverse CDF): integer counts
+            # are exact, the final 100*c/n is one division on both engines
+            "SELECT event_type, "
+            "round(100.0 * sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END)"
+            "::DOUBLE / count(*), 6)::DOUBLE AS rank_50, "
+            "round(100.0 * sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END)"
+            "::DOUBLE / count(*), 6)::DOUBLE AS rank_100, "
+            "round(100.0 * sum(CASE WHEN value <= 200.0 THEN 1 ELSE 0 END)"
+            "::DOUBLE / count(*), 6)::DOUBLE AS rank_200 "
+            "FROM events GROUP BY event_type"
         ),
         "multi_match_most_fields": (
             # ES multi_match most_fields: same per-field BM25 legs as

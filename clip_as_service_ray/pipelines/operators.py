@@ -5348,6 +5348,118 @@ def bm25_topk_plus(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10,
     )
 
 
+def events_t_test(sf_dir: str, type_a: str = "click", type_b: str = "purchase"):
+    """ES ``t_test`` aggregation (Welch's unequal-variance two-sample
+    t-test) between the values of two event types: one distributed
+    moment-partials pass (n, sum, sum-of-squares per type — the same
+    combiner shape as event_value_outliers), then the explicit Welch
+    formula on the driver. The SQL twin evaluates the IDENTICAL expression
+    chain from the same three sums, so t and the Welch-Satterthwaite df
+    match to the 6-dp round."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch.column("event_type"), value_set=pa.array([type_a, type_b])
+        )
+        b = batch.filter(mask)
+        t = pa.table(
+            {"event_type": b.column("event_type"),
+             "v": b.column("value"),
+             "v2": pc.multiply(b.column("value"), b.column("value")),
+             "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64())}
+        )
+        g = t.group_by("event_type").aggregate(
+            [("one", "sum"), ("v", "sum"), ("v2", "sum")]
+        )
+        return g.rename_columns(["event_type", "n_p", "s_p", "s2_p"])
+
+    mom = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=2)
+        .aggregate(Sum("n_p", alias_name="n"), Sum("s_p", alias_name="s"),
+                   Sum("s2_p", alias_name="s2"))
+        .to_pandas()
+    )
+    rows = {r.event_type: r for r in mom.itertuples()}
+    ra, rb = rows[type_a], rows[type_b]
+    na, nb = float(ra.n), float(rb.n)
+    ma, mb = ra.s / na, rb.s / nb
+    va = (ra.s2 - ra.s * ra.s / na) / (na - 1.0)
+    vb = (rb.s2 - rb.s * rb.s / nb) / (nb - 1.0)
+    sea, seb = va / na, vb / nb
+    t_stat = (ma - mb) / np.sqrt(sea + seb)
+    df = (sea + seb) * (sea + seb) / (
+        sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)
+    )
+    return pa.table(
+        {
+            "type_a": pa.array([type_a], pa.string()),
+            "type_b": pa.array([type_b], pa.string()),
+            "mean_a": pa.array([round(float(ma), 6)], pa.float64()),
+            "mean_b": pa.array([round(float(mb), 6)], pa.float64()),
+            "t_stat": pa.array([round(float(t_stat), 6)], pa.float64()),
+            "welch_df": pa.array([round(float(df), 6)], pa.float64()),
+        }
+    )
+
+
+def event_value_percentile_ranks(
+    sf_dir: str, thresholds: tuple[float, ...] = (50.0, 100.0, 200.0)
+):
+    """ES ``percentile_ranks`` aggregation per event_type: for each
+    threshold x, the percentage of values <= x. Exact (count-based, the
+    inverse-CDF-at-a-point contract): integer counts merge exactly across
+    batches and the final 100*c/n is a single division on both engines.
+    One distributed pass of per-type (n, c_1..c_k) partials."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"event_type": batch.column("event_type")}
+        v = batch.column("value")
+        cols["n_p"] = pa.array(np.ones(batch.num_rows, np.int64), pa.int64())
+        for i, x in enumerate(thresholds):
+            cols[f"c{i}_p"] = pc.cast(
+                pc.less_equal(v, pa.scalar(float(x))), pa.int64()
+            )
+        t = pa.table(cols)
+        g = t.group_by("event_type").aggregate(
+            [("n_p", "sum")] + [(f"c{i}_p", "sum") for i in range(len(thresholds))]
+        )
+        return g.rename_columns(
+            ["event_type", "n_p"] + [f"c{i}_p" for i in range(len(thresholds))]
+        )
+
+    agg = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=2)
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            *[Sum(f"c{i}_p", alias_name=f"c{i}") for i in range(len(thresholds))],
+        )
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    out = {"event_type": pa.array(agg["event_type"].tolist(), pa.string())}
+    n = agg["n"].to_numpy().astype(np.float64)
+    for i, x in enumerate(thresholds):
+        c = agg[f"c{i}"].to_numpy().astype(np.float64)
+        out[f"rank_{int(x)}"] = pa.array(
+            np.round(100.0 * c / n, 6), pa.float64()
+        )
+    return pa.table(out)
+
+
 def event_value_outliers(sf_dir: str, z: float = 3.0):
     """Z-score outlier detection per event type (the monitoring staple):
     pass 1 collects per-type moment partials (n, sum, sum-of-squares —

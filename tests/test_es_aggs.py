@@ -60,3 +60,29 @@ def test_mad_is_robust_center_spread(ray_session):
     got = event_value_mad(SF).to_pandas()
     assert (got["mad"] >= 0).all()
     assert len(got) > 0
+
+
+def test_events_t_test_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import events_t_test
+
+    got = events_t_test(SF).to_pandas()
+    want = _oracle("events_t_test", tables=("events",))
+    for c in ("mean_a", "mean_b", "t_stat", "welch_df"):
+        np.testing.assert_allclose(got[c], want[c], atol=1e-9)
+
+
+def test_percentile_ranks_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import (
+        event_value_percentile_ranks,
+    )
+
+    got = event_value_percentile_ranks(SF).to_pandas().sort_values("event_type")
+    want = _oracle(
+        "event_value_percentile_ranks", tables=("events",)
+    ).sort_values("event_type")
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    for c in ("rank_50", "rank_100", "rank_200"):
+        np.testing.assert_allclose(got[c], want[c], atol=1e-9)
+    # monotone in the threshold
+    assert (got["rank_50"] <= got["rank_100"]).all()
+    assert (got["rank_100"] <= got["rank_200"]).all()
