@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_string_stats": ops.doc_string_stats,
         "events_t_test": ops.events_t_test,
         "event_value_percentile_ranks": ops.event_value_percentile_ranks,
+        "span_or_search": ops.span_or_search,
+        "span_not_search": ops.span_not_search,
         "nb_classify_documents": ops.nb_classify_documents,
         "bm25_topk_fvf": ops.bm25_topk_fvf,
         "bm25_topk_rank_feature": ops.bm25_topk_rank_feature,
@@ -455,6 +457,47 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_count, min_length, max_length, "
             "round(avg, 6)::DOUBLE AS avg_length, "
             "round(e, 6)::DOUBLE AS entropy FROM l CROSS JOIN ent"
+        ),
+        "span_or_search": (
+            # Lucene SpanOrQuery: UNION ALL of per-clause positional
+            # self-joins ("merge part" | "hash join"), grouped per doc;
+            # span_tf counts every clause start, first_pos = min start
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "unnest(range(len(ts))) AS pos "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL
+            + "') AS ts FROM documents)), "
+            "s1 AS (SELECT a.doc_id, a.pos FROM tok a JOIN tok b "
+            "ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.term = 'merge' AND b.term = 'part'), "
+            "s2 AS (SELECT a.doc_id, a.pos FROM tok a JOIN tok b "
+            "ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.term = 'hash' AND b.term = 'join'), "
+            "u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2) "
+            "SELECT doc_id, count(*)::BIGINT AS span_tf, "
+            "min(pos)::BIGINT AS first_pos FROM u GROUP BY doc_id "
+            "ORDER BY span_tf DESC, doc_id ASC LIMIT 10"
+        ),
+        "span_not_search": (
+            # Lucene SpanNotQuery(pre=2, post=2): include = "merge part"
+            # starts (len 2), exclude = any 'slow' (len 1) with
+            # e >= s - pre - (len_e - 1) = s - 2 and
+            # e <= s + len_i - 1 + post = s + 3
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "unnest(range(len(ts))) AS pos "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL
+            + "') AS ts FROM documents)), "
+            "inc AS (SELECT a.doc_id, a.pos FROM tok a JOIN tok b "
+            "ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.term = 'merge' AND b.term = 'part'), "
+            "surv AS (SELECT i.doc_id, i.pos FROM inc i WHERE NOT EXISTS ("
+            "SELECT 1 FROM tok e WHERE e.doc_id = i.doc_id "
+            "AND e.term = 'slow' "
+            "AND e.pos >= i.pos - 2 AND e.pos <= i.pos + 3)) "
+            "SELECT doc_id, count(*)::BIGINT AS span_tf, "
+            "min(pos)::BIGINT AS first_pos FROM surv GROUP BY doc_id "
+            "ORDER BY span_tf DESC, doc_id ASC LIMIT 10"
         ),
         "events_t_test": (
             # ES t_test agg (Welch): identical expression chain from the

@@ -133,6 +133,16 @@ def main(argv=None) -> int:
                          "the last token is a vocabulary prefix")
     ph.add_argument("--max-expansions", type=int, default=50,
                     help="prefix-last expansion cap (lex ASC, ES default 50)")
+    ph.add_argument("--span-or", action="store_true",
+                    help="SpanOrQuery: query text holds '|'-separated "
+                         "phrase clauses; hits union the clause spans")
+    ph.add_argument("--span-not-pre", type=int, default=0,
+                    help="SpanNotQuery pre-window (tokens before the "
+                         "include span; exclude phrase rides the queries "
+                         "parquet 'not_phrase' column)")
+    ph.add_argument("--span-not-post", type=int, default=0,
+                    help="SpanNotQuery post-window (tokens after the "
+                         "include span)")
 
     sg = sub.add_parser(
         "suggest", help="did-you-mean terms from the index dictionary"
@@ -356,7 +366,9 @@ def main(argv=None) -> int:
             hits = phrase_search_table(
                 args.index_dir, queries, EngineConfig(), window=args.window,
                 span_first=args.span_first, prefix_last=args.prefix_last,
-                max_expansions=args.max_expansions,
+                max_expansions=args.max_expansions, span_or=args.span_or,
+                span_not_pre=args.span_not_pre,
+                span_not_post=args.span_not_post,
             )
             if args.out:
                 pq.write_table(hits, args.out)

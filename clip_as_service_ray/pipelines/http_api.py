@@ -143,6 +143,14 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
                 cols["prefix_last"] = pa.array(
                     [bool(x) for x in colsin["prefix_last"]], pa.bool_()
                 )
+            if colsin.get("span_or"):  # SpanOrQuery ('|'-separated clauses)
+                cols["span_or"] = pa.array(
+                    [bool(x) for x in colsin["span_or"]], pa.bool_()
+                )
+            if colsin.get("not_phrase"):  # SpanNotQuery exclude phrase
+                cols["not_phrase"] = pa.array(
+                    [str(x or "") for x in colsin["not_phrase"]], pa.string()
+                )
         return pa.table(cols)
     qs = payload.get("queries", [])
     cols = {
@@ -173,6 +181,14 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
         if any(q.get("prefix_last") for q in qs):  # match_phrase_prefix
             cols["prefix_last"] = pa.array(
                 [bool(q.get("prefix_last", False)) for q in qs], pa.bool_()
+            )
+        if any(q.get("span_or") for q in qs):  # SpanOrQuery per query
+            cols["span_or"] = pa.array(
+                [bool(q.get("span_or", False)) for q in qs], pa.bool_()
+            )
+        if any(q.get("not_phrase") for q in qs):  # SpanNotQuery per query
+            cols["not_phrase"] = pa.array(
+                [str(q.get("not_phrase", "") or "") for q in qs], pa.string()
             )
     return pa.table(cols)
 
@@ -532,7 +548,9 @@ class SegmentedSearchHTTPServer:
         POST /phrase {"queries": [{query_id, text, limit?, window?,
                                    span_first?, prefix_last?}]}
                      -> exact phrase (window absent/0), proximity,
-                     span-first, or match_phrase_prefix (text ends '*') top-k
+                     span-first, match_phrase_prefix (text ends '*'),
+                     span_or ('|'-separated clauses, "span_or": true), or
+                     span_not ("not_phrase": exclude phrase) top-k
                      through the per-segment positional artifacts
         POST /delete {"conv_ids": [...]} -> tombstones, filtered right away
         POST /compact {} -> physical purge of tombstoned convs (segments

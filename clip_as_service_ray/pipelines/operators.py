@@ -3114,6 +3114,83 @@ def phrase_search(sf_dir: str, phrase: str = "merge part", limit: int = 10):
     )
 
 
+def span_or_search(
+    sf_dir: str, clauses: tuple[str, ...] = ("merge part", "hash join"),
+    limit: int = 10,
+):
+    """Lucene SpanOrQuery over exact-phrase clauses through the positional
+    index: hits carry the UNION of the clauses' verified start sets
+    (span_tf = total occurrences across clauses, first_pos = earliest
+    start). SQL twin: UNION ALL of per-clause positional self-joins,
+    grouped per doc."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import (
+        build_positions,
+        phrase_search_table,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    build_positions(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([" | ".join(clauses)]),
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    hits = phrase_search_table(index_dir, q, cfg, span_or=True)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "span_tf": hits.column("phrase_tf"),
+            "first_pos": hits.column("first_pos"),
+        }
+    )
+
+
+def span_not_search(
+    sf_dir: str, include: str = "merge part", exclude: str = "slow",
+    pre: int = 2, post: int = 2, limit: int = 10,
+):
+    """Lucene SpanNotQuery through the positional index: occurrences of the
+    ``include`` phrase whose ``pre``/``post``-widened neighborhood contains
+    NO occurrence of the ``exclude`` phrase; docs whose every occurrence is
+    excluded drop out. SQL twin: positional self-join for the include
+    starts, NOT EXISTS range probe for the exclusion window."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import (
+        build_positions,
+        phrase_search_table,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    build_positions(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([include]),
+            "limit": pa.array([limit], pa.int32()),
+            "not_phrase": pa.array([exclude], pa.string()),
+        }
+    )
+    hits = phrase_search_table(
+        index_dir, q, cfg, span_not_pre=pre, span_not_post=post
+    )
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "span_tf": hits.column("phrase_tf"),
+            "first_pos": hits.column("first_pos"),
+        }
+    )
+
+
 def bm25_topk_conjunctive(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
     """Boolean-AND BM25 top-k over `documents` through the engine's
     conjunctive path (rarest-first candidate intersection with selective

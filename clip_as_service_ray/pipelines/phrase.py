@@ -197,7 +197,8 @@ class PhraseScorer:
     def __init__(
         self, index_dir: str, default_limit: int = 10, window: int = 0,
         warm: bool = False, span_first: int = 0, prefix_last: bool = False,
-        max_expansions: int = 50,
+        max_expansions: int = 50, span_or: bool = False,
+        span_not_pre: int = 0, span_not_post: int = 0,
     ):
         self.reader = PositionsReader(index_dir)
         if warm:  # pre-fault composite-key arrays at pool spawn (T1 pattern)
@@ -214,6 +215,14 @@ class PhraseScorer:
         # `max_expansions` vocabulary expansions (lex ASC) fill the slot
         self.prefix_last = bool(prefix_last)
         self.max_expansions = int(max_expansions)
+        # span_or: SpanOrQuery mode — the query text holds '|'-separated
+        # phrase clauses; hits carry the union of clause start sets
+        self.span_or = bool(span_or)
+        # span_not pre/post widen the exclusion window around the include
+        # span (SpanNotQuery(pre, post)); the exclude phrase itself rides
+        # the per-query 'not_phrase' column
+        self.span_not_pre = int(span_not_pre)
+        self.span_not_post = int(span_not_post)
         conv_tbl = pq.read_table(os.path.join(index_dir, "convmap.parquet"))
         conv_tbl = conv_tbl.sort_by("conv_id")
         self._conv_ids = np.asarray(
@@ -246,11 +255,27 @@ class PhraseScorer:
             if "prefix_last" in batch.column_names
             else [self.prefix_last] * len(qids)
         )
+        span_ors = (
+            batch.column("span_or").to_pylist()
+            if "span_or" in batch.column_names
+            else [self.span_or] * len(qids)
+        )
+        not_phrases = (
+            batch.column("not_phrase").to_pylist()
+            if "not_phrase" in batch.column_names
+            else [""] * len(qids)
+        )
         cols: dict[str, list] = {n: [] for n in PHRASE_HITS_SCHEMA.names}
-        for qid, text, limit, window, sfirst, plast in zip(
-            qids, texts, limits, windows, span_firsts, prefix_lasts
+        for qid, text, limit, window, sfirst, plast, sor, nphrase in zip(
+            qids, texts, limits, windows, span_firsts, prefix_lasts,
+            span_ors, not_phrases,
         ):
             k = int(limit or self.default_limit)
+            if (sor or nphrase) and (plast or sfirst or window):
+                raise ValueError(
+                    "span_or/not_phrase are mutually exclusive with "
+                    "prefix_last/span_first/window per query"
+                )
             if plast:
                 if window or sfirst:
                     raise ValueError(
@@ -292,6 +317,32 @@ class PhraseScorer:
                     docs, tfs, firsts = self.reader.span_near_docs(
                         terms, int(window)
                     )
+            elif sor:
+                if nphrase:
+                    raise ValueError(
+                        "span_or and not_phrase are mutually exclusive "
+                        "per query"
+                    )
+                clauses = [
+                    self.reader.query_tokens(c)
+                    for c in (text or "").split("|")
+                ]
+                clauses = [c for c in clauses if c]
+                if not clauses:
+                    raise ValueError("span_or expects >= 1 phrase clause")
+                docs, tfs, firsts = self.reader.span_or_docs(clauses)
+            elif nphrase:
+                include = self.reader.query_tokens(text or "")
+                exclude = self.reader.query_tokens(nphrase)
+                if not include or not exclude:
+                    raise ValueError(
+                        "span_not expects non-empty include and exclude "
+                        "phrases"
+                    )
+                docs, tfs, firsts = self.reader.span_not_docs(
+                    include, exclude,
+                    pre=self.span_not_pre, post=self.span_not_post,
+                )
             else:
                 docs, tfs, firsts = self.reader.phrase_docs(text or "")
             if len(docs) == 0:
@@ -319,11 +370,16 @@ def phrase_search_table(
     span_first: int = 0,
     prefix_last: bool = False,
     max_expansions: int = 50,
+    span_or: bool = False,
+    span_not_pre: int = 0,
+    span_not_post: int = 0,
 ) -> pa.Table:
     """Batch phrase (or, with ``window>0``, proximity; with
     ``span_first>0``, SpanFirstQuery; with ``prefix_last``,
-    match_phrase_prefix) search through a Ray Data actor pool; returns
-    hits sorted by (query_id, rank)."""
+    match_phrase_prefix; with ``span_or``, SpanOrQuery over '|'-separated
+    clauses; with a per-query ``not_phrase`` column, SpanNotQuery widened
+    by ``span_not_pre``/``span_not_post``) search through a Ray Data actor
+    pool; returns hits sorted by (query_id, rank)."""
     import ray.data
 
     # fail on the driver with a clear message, not a RayTaskError from the
@@ -344,6 +400,9 @@ def phrase_search_table(
             "span_first": span_first,
             "prefix_last": prefix_last,
             "max_expansions": max_expansions,
+            "span_or": span_or,
+            "span_not_pre": span_not_pre,
+            "span_not_post": span_not_post,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,

@@ -822,6 +822,76 @@ class PositionsReader:
             return empty
         return self._group_start_keys(base)
 
+    def span_or_docs(
+        self, clauses: list[list[str]]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Lucene SpanOrQuery over exact-phrase clauses: the UNION of the
+        clauses' verified start-position sets -> (doc_ids ascending, total
+        occurrence counts across clauses, first start per doc). A doc
+        position where two clauses both start counts once per clause — the
+        SQL UNION ALL contract. Work is one phrase-start pass per clause
+        plus one merge sort of the (small) start sets; the cached key
+        arrays are never copied."""
+        empty = (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+        )
+        bases = []
+        for terms in clauses:
+            if not terms:
+                continue
+            b = self._phrase_start_keys(terms)
+            if b is not None and len(b):
+                bases.append(b)
+        if not bases:
+            return empty
+        base = np.sort(np.concatenate(bases))
+        return self._group_start_keys(base)
+
+    def span_not_docs(
+        self,
+        include: list[str],
+        exclude: list[str],
+        pre: int = 0,
+        post: int = 0,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Lucene SpanNotQuery: occurrences of the ``include`` phrase that
+        do NOT overlap an occurrence of the ``exclude`` phrase, with the
+        exclusion window widened by ``pre`` tokens before and ``post``
+        tokens after the include span (SpanNotQuery(pre, post) semantics).
+        An include span [s, s+len_i-1] is killed when an exclude span
+        starting at e (covering [e, e+len_e-1]) satisfies
+        e >= s - pre - (len_e - 1) and e <= s + len_i - 1 + post.
+        Two searchsorted range queries per include occurrence against the
+        exclude start-key array; docs whose every occurrence is killed drop
+        out entirely."""
+        empty = (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+        )
+        base = self._phrase_start_keys(include)
+        if base is None or len(base) == 0:
+            return empty
+        ex = self._phrase_start_keys(exclude) if exclude else None
+        if ex is not None and len(ex):
+            len_i, len_e = len(include), len(exclude)
+            doc = base // POS_SHIFT
+            s = base - doc * POS_SHIFT
+            lo = np.searchsorted(
+                ex, doc * POS_SHIFT
+                + np.maximum(s - pre - (len_e - 1), 0)
+            )
+            hi = np.searchsorted(
+                ex, doc * POS_SHIFT
+                + np.minimum(s + len_i + post, POS_SHIFT)
+            )
+            base = base[(hi - lo) == 0]
+        if len(base) == 0:
+            return empty
+        return self._group_start_keys(base)
+
     def _phrase_start_keys(self, terms: list[str]) -> np.ndarray | None:
         """Verified phrase-START composite keys (ascending) for an exact
         token sequence, or None when any term is absent from the index."""

@@ -174,6 +174,24 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
              "prefix_last": True}]})["hits"]
         assert {(h["conv_id"], h["phrase_tf"]) for h in ph} == {
             ("convaa", 1), ("convac", 3)}
+        # SpanOrQuery per query: union of '|'-separated clauses — convaa
+        # matches "stream window" (pos 2), convac "merge window" (pos 2)
+        ph = _post(srv.url + "/phrase", {"queries": [
+            {"query_id": 0, "text": "merge window | stream window",
+             "limit": 5, "span_or": True}]})["hits"]
+        assert {(h["conv_id"], h["phrase_tf"], h["first_pos"]) for h in ph} \
+            == {("convaa", 1, 2), ("convac", 1, 2)}
+        # SpanNotQuery per query: "stream window" spans containing a
+        # 'stream' occurrence are killed (self-overlap), so convaa drops
+        ph = _post(srv.url + "/phrase", {"queries": [
+            {"query_id": 0, "text": "stream window", "limit": 5,
+             "not_phrase": "stream"}]})["hits"]
+        assert ph == []
+        # ... while an exclude phrase outside the span is a no-op
+        ph = _post(srv.url + "/phrase", {"queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5,
+             "not_phrase": "the"}]})["hits"]
+        assert {(h["conv_id"], h["phrase_tf"]) for h in ph} == {("convac", 1)}
 
         _post(srv.url + "/delete", {"conv_ids": ["convac"]})
         hits = _post(srv.url + "/search", {"queries": [
