@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_percentile_ranks": ops.event_value_percentile_ranks,
         "span_or_search": ops.span_or_search,
         "span_not_search": ops.span_not_search,
+        "interval_search": ops.interval_search,
+        "rare_terms": ops.rare_terms,
         "nb_classify_documents": ops.nb_classify_documents,
         "bm25_topk_fvf": ops.bm25_topk_fvf,
         "bm25_topk_rank_feature": ops.bm25_topk_rank_feature,
@@ -457,6 +459,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_count, min_length, max_length, "
             "round(avg, 6)::DOUBLE AS avg_length, "
             "round(e, 6)::DOUBLE AS entropy FROM l CROSS JOIN ent"
+        ),
+        "interval_search": (
+            # ES intervals (ordered, max_gaps=3): 'part' after 'merge'
+            # with b.pos in [a.pos + 1, a.pos + 4]; counts all ordered
+            # pairs, first_pos = earliest qualifying 'merge'
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "unnest(range(len(ts))) AS pos "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL
+            + "') AS ts FROM documents)) "
+            "SELECT a.doc_id, count(*)::BIGINT AS interval_tf, "
+            "min(a.pos)::BIGINT AS first_pos "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id "
+            "AND b.pos >= a.pos + 1 AND b.pos <= a.pos + 4 "
+            "WHERE a.term = 'merge' AND b.term = 'part' "
+            "GROUP BY a.doc_id ORDER BY interval_tf DESC, a.doc_id ASC "
+            "LIMIT 10"
+        ),
+        "rare_terms": (
+            # ES rare_terms: df * 20 <= n_docs (exact integer predicate)
+            "WITH tok AS (SELECT DISTINCT doc_id, term FROM "
+            "(SELECT doc_id, unnest(regexp_extract_all(lower(text), '"
+            + _PAT_SQL
+            + "')) AS term FROM documents)), "
+            "tdf AS (SELECT term, count(*)::BIGINT AS df FROM tok "
+            "GROUP BY term), "
+            "n AS (SELECT count(*)::BIGINT AS nd FROM documents) "
+            "SELECT term, df FROM tdf CROSS JOIN n WHERE df * 20 <= nd "
+            "ORDER BY df ASC, term ASC LIMIT 20"
         ),
         "span_or_search": (
             # Lucene SpanOrQuery: UNION ALL of per-clause positional

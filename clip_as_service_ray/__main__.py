@@ -143,6 +143,9 @@ def main(argv=None) -> int:
     ph.add_argument("--span-not-post", type=int, default=0,
                     help="SpanNotQuery post-window (tokens after the "
                          "include span)")
+    ph.add_argument("--max-gaps", type=int, default=-1,
+                    help=">=0 = ES intervals mode (ordered 2-term match "
+                         "with at most N tokens between; 0 = adjacent)")
 
     sg = sub.add_parser(
         "suggest", help="did-you-mean terms from the index dictionary"
@@ -369,6 +372,7 @@ def main(argv=None) -> int:
                 max_expansions=args.max_expansions, span_or=args.span_or,
                 span_not_pre=args.span_not_pre,
                 span_not_post=args.span_not_post,
+                interval_gaps=args.max_gaps,
             )
             if args.out:
                 pq.write_table(hits, args.out)

@@ -151,6 +151,13 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
                 cols["not_phrase"] = pa.array(
                     [str(x or "") for x in colsin["not_phrase"]], pa.string()
                 )
+            if any(
+                x is not None for x in colsin.get("max_gaps", [])
+            ):  # ES intervals (ordered, max_gaps)
+                cols["max_gaps"] = pa.array(
+                    [-1 if x is None else int(x) for x in colsin["max_gaps"]],
+                    pa.int32(),
+                )
         return pa.table(cols)
     qs = payload.get("queries", [])
     cols = {
@@ -189,6 +196,14 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
         if any(q.get("not_phrase") for q in qs):  # SpanNotQuery per query
             cols["not_phrase"] = pa.array(
                 [str(q.get("not_phrase", "") or "") for q in qs], pa.string()
+            )
+        if any(
+            q.get("max_gaps") is not None for q in qs
+        ):  # ES intervals (ordered, max_gaps) per query
+            cols["max_gaps"] = pa.array(
+                [int(q.get("max_gaps", -1) if q.get("max_gaps") is not None
+                     else -1) for q in qs],
+                pa.int32(),
             )
     return pa.table(cols)
 

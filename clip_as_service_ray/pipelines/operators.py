@@ -3191,6 +3191,66 @@ def span_not_search(
     )
 
 
+def interval_search(
+    sf_dir: str, first: str = "merge", second: str = "part",
+    max_gaps: int = 3, limit: int = 10,
+):
+    """ES ``intervals`` query (ordered match with max_gaps) through the
+    positional index: docs where ``second`` occurs AFTER ``first`` with at
+    most ``max_gaps`` tokens between them; interval_tf counts all ordered
+    qualifying pairs, first_pos = the earliest qualifying ``first``
+    position. SQL twin: one-sided positional self-join."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import (
+        build_positions,
+        phrase_search_table,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    build_positions(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([f"{first} {second}"]),
+            "limit": pa.array([limit], pa.int32()),
+            "max_gaps": pa.array([max_gaps], pa.int32()),
+        }
+    )
+    hits = phrase_search_table(index_dir, q, cfg)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "interval_tf": hits.column("phrase_tf"),
+            "first_pos": hits.column("first_pos"),
+        }
+    )
+
+
+def rare_terms(sf_dir: str, inv_ratio: int = 20, k: int = 20):
+    """ES ``rare_terms`` aggregation: long-tail vocabulary terms whose
+    document frequency is at most 1/``inv_ratio`` of the corpus (the
+    max_doc_count contract made scale-free: ``df * inv_ratio <= n_docs``
+    is exact integer arithmetic on both engines). Built on the distributed
+    term_df pass; only survivors (long-tail-sized) reach the driver."""
+    n_docs = int(_documents(sf_dir, columns=("doc_id",)).count())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        df = batch.column("df").to_numpy()
+        return batch.filter(pa.array(df * inv_ratio <= n_docs))
+
+    surv = term_df(sf_dir).map_batches(keep, batch_format="pyarrow")
+    tbl = pa.Table.from_pandas(surv.to_pandas(), preserve_index=False)
+    if tbl.num_rows == 0:
+        return pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+    tbl = tbl.sort_by([("df", "ascending"), ("term", "ascending")])
+    return tbl.slice(0, k)
+
+
 def bm25_topk_conjunctive(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
     """Boolean-AND BM25 top-k over `documents` through the engine's
     conjunctive path (rarest-first candidate intersection with selective

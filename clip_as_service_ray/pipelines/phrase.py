@@ -199,6 +199,7 @@ class PhraseScorer:
         warm: bool = False, span_first: int = 0, prefix_last: bool = False,
         max_expansions: int = 50, span_or: bool = False,
         span_not_pre: int = 0, span_not_post: int = 0,
+        interval_gaps: int = -1,
     ):
         self.reader = PositionsReader(index_dir)
         if warm:  # pre-fault composite-key arrays at pool spawn (T1 pattern)
@@ -223,6 +224,11 @@ class PhraseScorer:
         # the per-query 'not_phrase' column
         self.span_not_pre = int(span_not_pre)
         self.span_not_post = int(span_not_post)
+        # interval_gaps >= 0: ES intervals (ordered, max_gaps) mode for a
+        # two-term query — b strictly after a with <= max_gaps tokens
+        # between (0 = adjacent); -1 = off. Per-query 'max_gaps' column
+        # overrides.
+        self.interval_gaps = int(interval_gaps)
         conv_tbl = pq.read_table(os.path.join(index_dir, "convmap.parquet"))
         conv_tbl = conv_tbl.sort_by("conv_id")
         self._conv_ids = np.asarray(
@@ -265,16 +271,27 @@ class PhraseScorer:
             if "not_phrase" in batch.column_names
             else [""] * len(qids)
         )
+        max_gaps = (
+            batch.column("max_gaps").to_pylist()
+            if "max_gaps" in batch.column_names
+            else [self.interval_gaps] * len(qids)
+        )
         cols: dict[str, list] = {n: [] for n in PHRASE_HITS_SCHEMA.names}
-        for qid, text, limit, window, sfirst, plast, sor, nphrase in zip(
+        for qid, text, limit, window, sfirst, plast, sor, nphrase, gaps in zip(
             qids, texts, limits, windows, span_firsts, prefix_lasts,
-            span_ors, not_phrases,
+            span_ors, not_phrases, max_gaps,
         ):
             k = int(limit or self.default_limit)
-            if (sor or nphrase) and (plast or sfirst or window):
+            gaps = -1 if gaps is None else int(gaps)
+            if (sor or nphrase or gaps >= 0) and (plast or sfirst or window):
                 raise ValueError(
-                    "span_or/not_phrase are mutually exclusive with "
-                    "prefix_last/span_first/window per query"
+                    "span_or/not_phrase/max_gaps are mutually exclusive "
+                    "with prefix_last/span_first/window per query"
+                )
+            if gaps >= 0 and (sor or nphrase):
+                raise ValueError(
+                    "max_gaps (intervals mode) is mutually exclusive with "
+                    "span_or/not_phrase per query"
                 )
             if plast:
                 if window or sfirst:
@@ -317,6 +334,15 @@ class PhraseScorer:
                     docs, tfs, firsts = self.reader.span_near_docs(
                         terms, int(window)
                     )
+            elif gaps >= 0:
+                terms = self.reader.query_tokens(text or "")
+                if len(terms) != 2:
+                    raise ValueError(
+                        "intervals (max_gaps) mode expects exactly 2 terms"
+                    )
+                docs, tfs, firsts = self.reader.interval_docs(
+                    terms[0], terms[1], gaps
+                )
             elif sor:
                 if nphrase:
                     raise ValueError(
@@ -373,6 +399,7 @@ def phrase_search_table(
     span_or: bool = False,
     span_not_pre: int = 0,
     span_not_post: int = 0,
+    interval_gaps: int = -1,
 ) -> pa.Table:
     """Batch phrase (or, with ``window>0``, proximity; with
     ``span_first>0``, SpanFirstQuery; with ``prefix_last``,
@@ -403,6 +430,7 @@ def phrase_search_table(
             "span_or": span_or,
             "span_not_pre": span_not_pre,
             "span_not_post": span_not_post,
+            "interval_gaps": interval_gaps,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,

@@ -822,6 +822,44 @@ class PositionsReader:
             return empty
         return self._group_start_keys(base)
 
+    def interval_docs(
+        self, term_a: str, term_b: str, max_gaps: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """ES ``intervals`` query (ordered, max_gaps): docs where ``term_b``
+        occurs AFTER ``term_a`` with at most ``max_gaps`` tokens between
+        them — b.pos in [a.pos + 1, a.pos + 1 + max_gaps]. Counts are over
+        all such ordered pairs (the SQL self-join contract); first = the
+        first qualifying ``term_a`` position per doc. Same two-searchsorted
+        shape as cooccur_docs, one-sided."""
+        empty = (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+        )
+        ka = self.term_keys(term_a)
+        kb = self.term_keys(term_b)
+        if ka is None or kb is None:
+            return empty
+        doc_a = ka // POS_SHIFT
+        pos_a = ka - doc_a * POS_SHIFT
+        lo = np.searchsorted(kb, doc_a * POS_SHIFT + pos_a + 1)
+        hi = np.searchsorted(
+            kb,
+            doc_a * POS_SHIFT
+            + np.minimum(pos_a + max_gaps + 2, POS_SHIFT),
+        )
+        per_occ = (hi - lo).astype(np.int64)
+        change = np.nonzero(np.diff(doc_a) != 0)[0] + 1
+        starts = np.concatenate([[0], change])
+        docs = doc_a[starts]
+        counts = np.add.reduceat(per_occ, starts)
+        keep = counts > 0
+        qidx = np.nonzero(per_occ > 0)[0]
+        qdocs, qfirst = np.unique(doc_a[qidx], return_index=True)
+        first = pos_a[qidx[qfirst]]
+        assert np.array_equal(qdocs, docs[keep])
+        return docs[keep], counts[keep], first
+
     def span_or_docs(
         self, clauses: list[list[str]]
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -93,3 +93,36 @@ def test_span_mode_mutual_exclusion(ray_session):
     )
     with pytest.raises(Exception, match="mutually exclusive"):
         phrase_search_table(index_dir, q, EngineConfig())
+
+
+def test_interval_search_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import interval_search
+
+    got = interval_search(SF).to_pandas()
+    want = _oracle("interval_search")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["interval_tf"].tolist() == want["interval_tf"].tolist()
+    assert got["first_pos"].tolist() == want["first_pos"].tolist()
+
+
+def test_interval_gap_zero_is_phrase(ray_session):
+    """max_gaps=0 (adjacent, ordered) must equal the exact 2-term phrase."""
+    from clip_as_service_ray.pipelines.operators import _index_dir_for
+    from clip_as_service_ray.stages.positions import PositionsReader
+
+    r = PositionsReader(_index_dir_for(SF))
+    d0, t0, f0 = r.phrase_docs(["merge", "part"])
+    d1, t1, f1 = r.interval_docs("merge", "part", 0)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_array_equal(f0, f1)
+
+
+def test_rare_terms_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import rare_terms
+
+    got = rare_terms(SF).to_pandas()
+    want = _oracle("rare_terms")
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["df"].tolist() == want["df"].tolist()
+    assert len(got) >= 1  # the corpus has a planted long-tail term ('dup')
