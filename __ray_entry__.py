@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_not_search": ops.span_not_search,
         "interval_search": ops.interval_search,
         "rare_terms": ops.rare_terms,
+        "events_auto_date_histogram": ops.events_auto_date_histogram,
         "nb_classify_documents": ops.nb_classify_documents,
         "bm25_topk_fvf": ops.bm25_topk_fvf,
         "bm25_topk_rank_feature": ops.bm25_topk_rank_feature,
@@ -459,6 +460,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_count, min_length, max_length, "
             "round(avg, 6)::DOUBLE AS avg_length, "
             "round(e, 6)::DOUBLE AS entropy FROM l CROSS JOIN ent"
+        ),
+        "events_auto_date_histogram": (
+            # ES auto_date_histogram: the coarsest ladder interval whose
+            # bucket-aligned count mx//i - mn//i + 1 fits 20 buckets —
+            # exact int64 arithmetic picks the same interval as the engine
+            "WITH b AS (SELECT epoch_us(min(ts)) AS mn, "
+            "epoch_us(max(ts)) AS mx FROM events), "
+            "ivl AS (SELECT CASE "
+            "WHEN mx // 60000000 - mn // 60000000 + 1 <= 20 "
+            "THEN 60000000 "
+            "WHEN mx // 3600000000 - mn // 3600000000 + 1 <= 20 "
+            "THEN 3600000000 "
+            "WHEN mx // 86400000000 - mn // 86400000000 + 1 <= 20 "
+            "THEN 86400000000 "
+            "WHEN mx // 604800000000 - mn // 604800000000 + 1 <= 20 "
+            "THEN 604800000000 ELSE 2592000000000 END AS i FROM b) "
+            "SELECT make_timestamp((epoch_us(ts) // i) * i) AS bucket, "
+            "count(*)::BIGINT AS cnt, (i // 1000000)::BIGINT AS interval_s "
+            "FROM events CROSS JOIN ivl GROUP BY 1, 3 ORDER BY 1"
         ),
         "interval_search": (
             # ES intervals (ordered, max_gaps=3): 'part' after 'merge'

@@ -5597,6 +5597,72 @@ def event_value_percentile_ranks(
     return pa.table(out)
 
 
+def events_auto_date_histogram(sf_dir: str, target_buckets: int = 20):
+    """ES ``auto_date_histogram``: pick the coarsest calendar-ish interval
+    from a fixed ladder (minute, hour, day, week, 30-day month) such that
+    the bucket-aligned bucket count ``mx//i - mn//i + 1`` stays within
+    ``target_buckets``, then histogram on ``(epoch_us // i) * i``. Every
+    step is exact int64 arithmetic, so engine and SQL pick the SAME
+    interval and the SAME buckets. Pass 1 = distributed min/max partials;
+    pass 2 = per-batch bucket partial counts (<= target+1 rows per batch)."""
+    import ray.data
+
+    LADDER_US = (
+        60_000_000,
+        3_600_000_000,
+        86_400_000_000,
+        604_800_000_000,
+        2_592_000_000_000,
+    )
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table(
+            {"mn": pa.array([int(e.min())], pa.int64()),
+             "mx": pa.array([int(e.max())], pa.int64())}
+        )
+
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    mm = (
+        ray.data.read_parquet(ev_path, columns=["ts"])
+        .map_batches(minmax, batch_format="pyarrow")
+        .to_pandas()
+    )
+    mn, mx = int(mm["mn"].min()), int(mm["mx"].max())
+    ivl = LADDER_US[-1]
+    for i in LADDER_US:
+        if mx // i - mn // i + 1 <= target_buckets:
+            ivl = i
+            break
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        b = (e // ivl) * ivl
+        u, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"b": pa.array(u, pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(ev_path, columns=["ts"])
+        .map_batches(buckets, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("b", as_index=False)["n"].sum().sort_values("b")
+    return pa.table(
+        {
+            "bucket": pa.array(
+                agg["b"].to_numpy().astype(np.int64), pa.timestamp("us")
+            ),
+            "cnt": pa.array(agg["n"].astype("int64").tolist(), pa.int64()),
+            "interval_s": pa.array(
+                [ivl // 1_000_000] * len(agg), pa.int64()
+            ),
+        }
+    )
+
+
 def event_value_outliers(sf_dir: str, z: float = 3.0):
     """Z-score outlier detection per event type (the monitoring staple):
     pass 1 collects per-type moment partials (n, sum, sum-of-squares —

@@ -86,3 +86,19 @@ def test_percentile_ranks_vs_duckdb(ray_session):
     # monotone in the threshold
     assert (got["rank_50"] <= got["rank_100"]).all()
     assert (got["rank_100"] <= got["rank_200"]).all()
+
+
+def test_auto_date_histogram_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import (
+        events_auto_date_histogram,
+    )
+
+    got = events_auto_date_histogram(SF).to_pandas()
+    want = _oracle("events_auto_date_histogram", tables=("events",))
+    assert len(got) == len(want)
+    assert got["cnt"].tolist() == want["cnt"].tolist()
+    assert got["interval_s"].tolist() == want["interval_s"].tolist()
+    assert [str(x) for x in got["bucket"]] == [str(x) for x in want["bucket"]]
+    # the pick honors the target: bucket count within 20, and one ladder
+    # step finer would overflow it (unless already at the finest)
+    assert len(got) <= 20
