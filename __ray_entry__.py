@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_search": ops.interval_search,
         "rare_terms": ops.rare_terms,
         "events_auto_date_histogram": ops.events_auto_date_histogram,
+        "gopher_quality_filter": ops.gopher_quality_filter,
         "nb_classify_documents": ops.nb_classify_documents,
         "bm25_topk_fvf": ops.bm25_topk_fvf,
         "bm25_topk_rank_feature": ops.bm25_topk_rank_feature,
@@ -460,6 +461,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_count, min_length, max_length, "
             "round(avg, 6)::DOUBLE AS avg_length, "
             "round(e, 6)::DOUBLE AS entropy FROM l CROSS JOIN ent"
+        ),
+        "gopher_quality_filter": (
+            # Gopher quality rules (Rae et al. 2021), all-integer boundaries:
+            # word count in [5,200], mean word length in [3,10] as cross-
+            # multiplications, symbol ratio <= 0.2 as 5*(tot-words) <= tot,
+            # >= 2 stopwords
+            "WITH tokp AS (SELECT doc_id, unnest(ts) AS term "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL
+            + "') AS ts FROM documents)), "
+            "per AS (SELECT doc_id, count(*)::BIGINT AS n_tot, "
+            "sum(CASE WHEN regexp_matches(term, '^[a-z]+$') THEN 1 ELSE 0 "
+            "END)::BIGINT AS n_words, "
+            "sum(CASE WHEN regexp_matches(term, '^[a-z]+$') THEN "
+            "length(term) ELSE 0 END)::BIGINT AS sum_len, "
+            "sum(CASE WHEN term IN ('the', 'a', 'of', 'to', 'and', 'in') "
+            "THEN 1 ELSE 0 END)::BIGINT AS stop_cnt "
+            "FROM tokp GROUP BY doc_id) "
+            "SELECT doc_id, n_words, stop_cnt AS stop_count, "
+            "(n_words >= 5 AND n_words <= 200 AND 3 * n_words <= sum_len "
+            "AND sum_len <= 10 * n_words AND 5 * (n_tot - n_words) <= n_tot "
+            "AND stop_cnt >= 2) AS kept FROM per"
         ),
         "events_auto_date_histogram": (
             # ES auto_date_histogram: the coarsest ladder interval whose

@@ -411,6 +411,62 @@ def doc_string_stats(sf_dir: str):
     )
 
 
+def gopher_quality_filter(sf_dir: str):
+    """Gopher/MassiveText-style document quality rules (Rae et al. 2021,
+    arXiv:2112.11446 Table A1, adapted to this corpus' token stream), all
+    expressed in EXACT integer arithmetic so engine and SQL agree on every
+    boundary: keep a doc iff
+      5 <= n_words <= 200              (alpha-token count)
+      3 <= mean word length <= 10      (as 3*n_words <= sum_len <= 10*n_words)
+      symbol ratio <= 0.2              (as 5*(n_tot - n_words) <= n_tot)
+      >= 2 stopword occurrences        (STOPWORDS list)
+    One vectorized pass: flat tokenize, regex alpha mask, per-row
+    reductions via bincount over the row index — no Python row loop."""
+
+    def rules(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        n_rows = len(doc_ids)
+        row_of = np.repeat(np.arange(n_rows), lens)
+        alpha = pc.match_substring_regex(tokens, r"^[a-z]+$").to_numpy(
+            zero_copy_only=False
+        )
+        tok_len = pc.utf8_length(tokens).to_numpy().astype(np.int64)
+        stop = pc.is_in(tokens, value_set=pa.array(list(STOPWORDS))).to_numpy(
+            zero_copy_only=False
+        )
+        n_tot = np.bincount(row_of, minlength=n_rows).astype(np.int64)
+        n_words = np.bincount(
+            row_of, weights=alpha.astype(np.float64), minlength=n_rows
+        ).astype(np.int64)
+        sum_len = np.bincount(
+            row_of, weights=(tok_len * alpha), minlength=n_rows
+        ).astype(np.int64)
+        stop_cnt = np.bincount(
+            row_of, weights=stop.astype(np.float64), minlength=n_rows
+        ).astype(np.int64)
+        kept = (
+            (n_words >= 5)
+            & (n_words <= 200)
+            & (3 * n_words <= sum_len)
+            & (sum_len <= 10 * n_words)
+            & (5 * (n_tot - n_words) <= n_tot)
+            & (stop_cnt >= 2)
+        )
+        m = n_tot > 0  # zero-token docs drop (match the SQL token stream)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[m], pa.int64()),
+                "n_words": pa.array(n_words[m], pa.int64()),
+                "stop_count": pa.array(stop_cnt[m], pa.int64()),
+                "kept": pa.array(kept[m], pa.bool_()),
+            }
+        )
+
+    out = _documents(sf_dir).map_batches(rules, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def doc_quality(sf_dir: str):
     """Per-doc quality features: token count, char count, stopword ratio —
     the quality-scoring stage of a training-data pipeline (vectorized)."""

@@ -102,3 +102,21 @@ def test_auto_date_histogram_vs_duckdb(ray_session):
     # the pick honors the target: bucket count within 20, and one ladder
     # step finer would overflow it (unless already at the finest)
     assert len(got) <= 20
+
+
+def test_gopher_quality_filter_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import gopher_quality_filter
+
+    got = (
+        gopher_quality_filter(SF).to_pandas().sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = _oracle("gopher_quality_filter").sort_values("doc_id").reset_index(
+        drop=True
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_words"].tolist() == want["n_words"].tolist()
+    assert got["stop_count"].tolist() == want["stop_count"].tolist()
+    assert got["kept"].tolist() == want["kept"].tolist()
+    # the rules are discriminative on this corpus (not all-pass/all-fail)
+    assert 0 < got["kept"].sum() < len(got)
