@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms": ops.rare_terms,
         "events_auto_date_histogram": ops.events_auto_date_histogram,
         "gopher_quality_filter": ops.gopher_quality_filter,
+        "bm25_topk_pinned": ops.bm25_topk_pinned,
         "nb_classify_documents": ops.nb_classify_documents,
         "bm25_topk_fvf": ops.bm25_topk_fvf,
         "bm25_topk_rank_feature": ops.bm25_topk_rank_feature,
@@ -461,6 +462,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_count, min_length, max_length, "
             "round(avg, 6)::DOUBLE AS avg_length, "
             "round(e, 6)::DOUBLE AS entropy FROM l CROSS JOIN ent"
+        ),
+        "bm25_topk_pinned": (
+            # ES pinned query: ids (42, 7) take ranks 0,1 in listed order
+            # (match or not), organic BM25 fills the rest with pinned ids
+            # removed; rank-only contract
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '" + _PAT_SQL + "')) "
+            "AS term FROM documents), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok "
+            "GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS "
+            "avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) "
+            "AS score FROM tf JOIN df USING (term) "
+            "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s "
+            "GROUP BY tf.doc_id), "
+            "org AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY score DESC, doc_id ASC) + 1 AS rk FROM scores "
+            "WHERE doc_id NOT IN (42, 7)), "
+            "allr AS (SELECT 42 AS doc_id, 0 AS rk, TRUE AS pinned "
+            "UNION ALL SELECT 7, 1, TRUE "
+            "UNION ALL SELECT doc_id, rk, FALSE FROM org) "
+            "SELECT doc_id::BIGINT AS doc_id, rk::BIGINT AS rank, pinned "
+            "FROM allr ORDER BY rk LIMIT 10"
         ),
         "gopher_quality_filter": (
             # Gopher quality rules (Rae et al. 2021), all-integer boundaries:

@@ -3247,6 +3247,46 @@ def span_not_search(
     )
 
 
+def bm25_topk_pinned(
+    sf_dir: str, terms=BM25_QUERY_TERMS, pinned: tuple[int, ...] = (42, 7),
+    limit: int = 10,
+):
+    """ES ``pinned`` query: the given doc ids occupy the top ranks in the
+    order listed (whether or not they match the organic query — the ES
+    contract), followed by the organic BM25 ranking with pinned docs
+    removed. Rank-only output (ES synthesizes giant sentinel scores for
+    the pinned slots; ranks are the portable contract). Organic scores are
+    the engine's own exhaustive hit table."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([1 << 30], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg)
+    ids = np.asarray(
+        [int(c[4:]) for c in hits.column("conv_id").to_pylist()],
+        dtype=np.int64,
+    )
+    pin = [int(p) for p in pinned]
+    organic = [int(d) for d in ids if int(d) not in set(pin)]
+    ordered = (pin + organic)[:limit]
+    return pa.table(
+        {
+            "doc_id": pa.array(ordered, pa.int64()),
+            "rank": pa.array(np.arange(len(ordered), dtype=np.int64), pa.int64()),
+            "pinned": pa.array(
+                [d in set(pin) for d in ordered], pa.bool_()
+            ),
+        }
+    )
+
+
 def interval_search(
     sf_dir: str, first: str = "merge", second: str = "part",
     max_gaps: int = 3, limit: int = 10,

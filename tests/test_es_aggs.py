@@ -120,3 +120,15 @@ def test_gopher_quality_filter_vs_duckdb(ray_session):
     assert got["kept"].tolist() == want["kept"].tolist()
     # the rules are discriminative on this corpus (not all-pass/all-fail)
     assert 0 < got["kept"].sum() < len(got)
+
+
+def test_pinned_contract(ray_session):
+    """Pinned ids hold the top ranks in listed order even when they don't
+    match the query; organic ranking below excludes them."""
+    from clip_as_service_ray.pipelines.operators import bm25_topk_pinned
+
+    got = bm25_topk_pinned(SF).to_pandas()
+    assert got["doc_id"].iloc[0] == 42 and got["doc_id"].iloc[1] == 7
+    assert got["pinned"].iloc[:2].all() and not got["pinned"].iloc[2:].any()
+    assert got["rank"].tolist() == list(range(len(got)))
+    assert not got["doc_id"].iloc[2:].isin([42, 7]).any()
