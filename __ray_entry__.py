@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_auto_date_histogram": ops.events_auto_date_histogram,
         "gopher_quality_filter": ops.gopher_quality_filter,
         "bm25_topk_pinned": ops.bm25_topk_pinned,
+        "events_daily_derivative": ops.events_daily_derivative,
         "nb_classify_documents": ops.nb_classify_documents,
         "bm25_topk_fvf": ops.bm25_topk_fvf,
         "bm25_topk_rank_feature": ops.bm25_topk_rank_feature,
@@ -462,6 +463,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_count, min_length, max_length, "
             "round(avg, 6)::DOUBLE AS avg_length, "
             "round(e, 6)::DOUBLE AS entropy FROM l CROSS JOIN ent"
+        ),
+        "events_daily_derivative": (
+            # ES derivative pipeline agg: cnt - lag(cnt) over the daily
+            # histogram, NULL first bucket; exact integers
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "count(*)::BIGINT AS cnt FROM events GROUP BY day) "
+            "SELECT day, cnt, (cnt - lag(cnt) OVER (ORDER BY day))::BIGINT "
+            "AS deriv FROM d ORDER BY day"
         ),
         "bm25_topk_pinned": (
             # ES pinned query: ids (42, 7) take ranks 0,1 in listed order

@@ -5693,6 +5693,46 @@ def event_value_percentile_ranks(
     return pa.table(out)
 
 
+def events_daily_derivative(sf_dir: str):
+    """ES ``derivative`` pipeline aggregation over a daily date_histogram:
+    per-day event counts (distributed per-batch partials, exact integers)
+    with deriv = cnt - lag(cnt) ordered by day; the first bucket has no
+    parent value and is NULL (the ES contract). The derivative runs on the
+    bucket-sized result — never on raw rows."""
+    import ray.data
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        b = (e // DAY_US) * DAY_US
+        u, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"b": pa.array(u, pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("b", as_index=False)["n"].sum().sort_values("b")
+    cnt = agg["n"].to_numpy().astype(np.int64)
+    deriv = [None] + (cnt[1:] - cnt[:-1]).tolist()
+    return pa.table(
+        {
+            "day": pa.array(
+                agg["b"].to_numpy().astype(np.int64), pa.timestamp("us")
+            ),
+            "cnt": pa.array(cnt, pa.int64()),
+            "deriv": pa.array(deriv, pa.int64()),
+        }
+    )
+
+
 def events_auto_date_histogram(sf_dir: str, target_buckets: int = 20):
     """ES ``auto_date_histogram``: pick the coarsest calendar-ish interval
     from a fixed ladder (minute, hour, day, week, 30-day month) such that

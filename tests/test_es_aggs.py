@@ -132,3 +132,17 @@ def test_pinned_contract(ray_session):
     assert got["pinned"].iloc[:2].all() and not got["pinned"].iloc[2:].any()
     assert got["rank"].tolist() == list(range(len(got)))
     assert not got["doc_id"].iloc[2:].isin([42, 7]).any()
+
+
+def test_daily_derivative_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import events_daily_derivative
+
+    got = events_daily_derivative(SF).to_pandas()
+    want = _oracle("events_daily_derivative", tables=("events",))
+    assert got["cnt"].tolist() == want["cnt"].tolist()
+    assert [str(x) for x in got["day"]] == [str(x) for x in want["day"]]
+    gd, wd = got["deriv"].to_numpy(), want["deriv"].to_numpy()
+    assert np.isnan(float(gd[0])) and np.isnan(float(wd[0]))
+    np.testing.assert_array_equal(gd[1:].astype(float), wd[1:].astype(float))
+    # derivative telescopes back to the histogram
+    assert np.nansum(gd.astype(float)) == got["cnt"].iloc[-1] - got["cnt"].iloc[0]
