@@ -179,6 +179,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the round-3 batch), entries hash-green in CORRECTNESS_r02 are
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
+        "search_rank_eval": ops.search_rank_eval,
+        "event_value_dense_rank": ops.event_value_dense_rank,
+        "events_moving_avg": ops.events_moving_avg,
+        "events_adjacency_matrix": ops.events_adjacency_matrix,
+        "event_next_value_drop": ops.event_next_value_drop,
+        "user_above_first_count": ops.user_above_first_count,
         "multi_match_most_fields": ops.multi_match_most_fields,
         "multi_match_cross_fields": ops.multi_match_cross_fields,
         "phrase_suggest": ops.phrase_suggest,
@@ -366,8 +372,129 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _dcg_chain_sql(agg_prefix: str) -> str:
+    """Left-associated 10-term DCG chain with math.log2 literals — the
+    engine adds gain/weight in ascending-position order with the SAME
+    constants (operators.search_rank_eval), so the sums are bit-identical."""
+    import math
+
+    terms = []
+    for p in range(1, 11):
+        w = repr(math.log2(p + 1))
+        terms.append(
+            f"COALESCE(max(CASE WHEN {agg_prefix}pos = {p} THEN {agg_prefix}g END), 0.0) / {w}"
+        )
+    return " + ".join(terms)
+
+
+_RANK_EVAL_QT = (
+    "qt(query_id, qterm, iterm) AS (VALUES "
+    "(0, 'merge', 'sort'), (1, 'window', 'scan'), (2, 'hash', 'join'), "
+    "(3, 'vector', 'batch'), (4, 'stream', 'filter'))"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "search_rank_eval": (
+            # ES _rank_eval analog: engine BM25 top-10 per single-term
+            # query; graded relevance = integer tf of the paired intent
+            # term; NDCG@10 via the literal-weight left-assoc DCG chain,
+            # MRR and P@10 exact rationals
+            "WITH tok AS (" + _TOK + "), "
+            + _RANK_EVAL_QT + ", "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "  WHERE term IN ('merge','window','hash','vector','stream') "
+            "  GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "sc AS (SELECT q.query_id, tf.doc_id, "
+            "  ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "  * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score "
+            "  FROM tf JOIN qt q ON tf.term = q.qterm JOIN df ON tf.term = df.term "
+            "  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s), "
+            "r10 AS (SELECT query_id, doc_id, pos FROM ("
+            "  SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id "
+            "  ORDER BY score DESC, doc_id) AS pos FROM sc) WHERE pos <= 10), "
+            "itf AS (SELECT doc_id, term, count(*)::DOUBLE AS g FROM tok "
+            "  WHERE term IN ('sort','scan','join','batch','filter') "
+            "  GROUP BY doc_id, term), "
+            "gains AS (SELECT r.query_id, r.pos, COALESCE(i.g, 0.0) AS g "
+            "  FROM r10 r JOIN qt q ON r.query_id = q.query_id "
+            "  LEFT JOIN itf i ON i.doc_id = r.doc_id AND i.term = q.iterm), "
+            "dcg AS (SELECT query_id, " + _dcg_chain_sql("") + " AS dcg, "
+            "  count(*) FILTER (WHERE g > 0) AS nrel, "
+            "  min(pos) FILTER (WHERE g > 0) AS frel "
+            "  FROM gains GROUP BY query_id), "
+            "ideal AS (SELECT query_id, pos, g FROM ("
+            "  SELECT q.query_id, i.g, row_number() OVER (PARTITION BY q.query_id "
+            "  ORDER BY i.g DESC, i.doc_id) AS pos "
+            "  FROM itf i JOIN qt q ON i.term = q.iterm) WHERE pos <= 10), "
+            "idcg AS (SELECT query_id, " + _dcg_chain_sql("") + " AS idcg "
+            "  FROM ideal GROUP BY query_id) "
+            "SELECT q.query_id, q.qterm AS query, "
+            "round(CASE WHEN COALESCE(idcg.idcg, 0) > 0 "
+            "  THEN COALESCE(dcg.dcg, 0.0) / idcg.idcg ELSE 0.0 END, 6)::DOUBLE AS ndcg, "
+            "CASE WHEN dcg.frel IS NULL THEN 0.0 ELSE 1.0 / dcg.frel END AS mrr, "
+            "COALESCE(dcg.nrel, 0)::DOUBLE / 10 AS p10 "
+            "FROM qt q LEFT JOIN dcg ON q.query_id = dcg.query_id "
+            "LEFT JOIN idcg ON q.query_id = idcg.query_id ORDER BY q.query_id"
+        ),
+        "events_moving_avg": (
+            # ES moving_fn over a daily date_histogram: trailing 3-bucket
+            # average = integer window sum / window length (one division on
+            # exact ints — identical float on both sides)
+            "WITH h AS (SELECT date_trunc('day', ts) AS day, "
+            "count(*)::BIGINT AS cnt FROM events GROUP BY day) "
+            "SELECT day, cnt, "
+            "(sum(cnt) OVER w)::DOUBLE / (count(*) OVER w) AS mavg "
+            "FROM h WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND "
+            "CURRENT ROW) ORDER BY day"
+        ),
+        "events_adjacency_matrix": (
+            # ES adjacency_matrix: filter + pairwise-intersection doc
+            # counts, ES 'a&b' keys, empty intersections dropped
+            "WITH f AS (SELECT (value > 60) AS a, "
+            "(event_type IN ('click','view')) AS b, "
+            "(user_id % 3 = 0) AS c FROM events) "
+            "SELECT key, cnt FROM ("
+            "SELECT 'a' AS key, count(*) FILTER (WHERE a) AS cnt FROM f "
+            "UNION ALL SELECT 'a&b', count(*) FILTER (WHERE a AND b) FROM f "
+            "UNION ALL SELECT 'a&c', count(*) FILTER (WHERE a AND c) FROM f "
+            "UNION ALL SELECT 'b', count(*) FILTER (WHERE b) FROM f "
+            "UNION ALL SELECT 'b&c', count(*) FILTER (WHERE b AND c) FROM f "
+            "UNION ALL SELECT 'c', count(*) FILTER (WHERE c) FROM f"
+            ") WHERE cnt > 0 ORDER BY key"
+        ),
+        "event_value_dense_rank": (
+            # distributed dense_rank window; sample applied AFTER ranking
+            "SELECT event_id, dr FROM (SELECT event_id, dense_rank() OVER "
+            "(PARTITION BY event_type ORDER BY value) AS dr FROM events) "
+            "WHERE event_id % 97 = 0 ORDER BY event_id"
+        ),
+        "event_next_value_drop": (
+            # distributed lead(1) window: adjacent descents/ascents per
+            # type; max_drop is one bit-identical subtraction (no rounding)
+            "WITH w AS (SELECT event_type, value, lead(value) OVER "
+            "(PARTITION BY event_type ORDER BY ts, event_id) AS nxt "
+            "FROM events) "
+            "SELECT event_type, "
+            "count(*) FILTER (WHERE value > nxt) AS n_drops, "
+            "count(*) FILTER (WHERE value < nxt) AS n_rises, "
+            "max(value - nxt) FILTER (WHERE value > nxt) AS max_drop "
+            "FROM w WHERE nxt IS NOT NULL "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "user_above_first_count": (
+            # distributed first_value window: each user's first event value
+            # (raw parquet double, exact) and how many later events beat it
+            "WITH w AS (SELECT user_id, value, first_value(value) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS fv FROM events) "
+            "SELECT user_id, min(fv) AS first_val, "
+            "count(*) FILTER (WHERE value > fv) AS n_above "
+            "FROM w GROUP BY user_id ORDER BY user_id"
+        ),
         "bm25_topk_boosting": (
             # ES boosting query (soft NOT): OR BM25 over ('merge','window'),
             # docs containing 'slow' demoted by 0.5 BEFORE top-k; order by

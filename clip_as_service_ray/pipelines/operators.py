@@ -9357,3 +9357,462 @@ def ann_topk_bq(sf_dir: str, k: int = 10, pool_per_batch: int = 96):
         {"vec_id": pa.array(vec_ids[top], pa.int64()),
          "sim": pa.array(np.round(sims[top], 6), pa.float64())}
     )
+
+
+def event_value_dense_rank(sf_dir: str):
+    """dense_rank() OVER (PARTITION BY event_type ORDER BY value) via the
+    DISTRIBUTED dense-rank window (stages/rank.dense_rank_by_key): one
+    global (key, value) sort, O(1)-size block summaries carrying the
+    boundary runs' distinct-pair counts, a driver scan, then one vectorized
+    segmented-cumsum pass per block — no per-group materialization at any
+    key cardinality. Output is bounded by the event_id % 97 == 0 sample
+    (applied AFTER ranking; the rank depends on every row)."""
+    import ray.data
+
+    from clip_as_service_ray.stages.rank import dense_rank_by_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value", "event_id"],
+    )
+    ranked = dense_rank_by_key(
+        ds, key="event_type", value="value", id_col="event_id"
+    )
+
+    def sample(batch: pa.Table) -> pa.Table:
+        keep = (batch.column("event_id").to_numpy() % 97) == 0
+        return batch.filter(pa.array(keep))
+
+    out = ranked.map_batches(sample, batch_format="pyarrow").sort("event_id")
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if t.num_rows == 0:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()), "dr": pa.array([], pa.int64())}
+        )
+    return t.select(["event_id", "dr"])
+
+
+def event_next_value_drop(sf_dir: str):
+    """lead(value, 1) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+    via the DISTRIBUTED lead window (stages/rank.lead_by_key — the backward
+    mirror of lag_by_key: the only cross-block state is the next block's
+    first value). Per event_type: adjacent descents / ascents and the
+    largest single-step drop. Counts are exact integers; max picks one
+    bit-identical subtraction, so no rounding is needed on either side."""
+    import ray.data
+
+    from clip_as_service_ray.stages.rank import lead_by_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value", "event_id"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "t": pc.cast(batch.column("ts"), pa.int64()),
+                "value": batch.column("value"),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    led = lead_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="event_type", value="value", id_col="event_id",
+        sort_cols=["event_type", "t", "event_id"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("lead")))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "d": pa.array([], pa.int64()),
+                    "r": pa.array([], pa.int64()),
+                    "m": pa.array([], pa.float64()),
+                }
+            )
+        v = t.column("value").to_numpy()
+        nxt = t.column("lead").to_numpy()
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        diff = v - nxt
+        types, codes = np.unique(et, return_inverse=True)
+        drops = np.bincount(codes, weights=(diff > 0), minlength=len(types))
+        rises = np.bincount(codes, weights=(diff < 0), minlength=len(types))
+        mx = np.full(len(types), -np.inf)
+        dmask = diff > 0
+        np.maximum.at(mx, codes[dmask], diff[dmask])
+        return pa.table(
+            {
+                "event_type": pa.array(types.tolist(), pa.string()),
+                "d": pa.array(drops.astype(np.int64), pa.int64()),
+                "r": pa.array(rises.astype(np.int64), pa.int64()),
+                "m": pa.array(mx, pa.float64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        d = int(np.sum(group.column("d").to_numpy()))
+        r = int(np.sum(group.column("r").to_numpy()))
+        m = float(np.max(group.column("m").to_numpy()))
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "n_drops": pa.array([d], pa.int64()),
+                "n_rises": pa.array([r], pa.int64()),
+                "max_drop": pa.array(
+                    [m] if np.isfinite(m) else [None], pa.float64()
+                ),
+            }
+        )
+
+    out = (
+        led.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=4)
+        .map_groups(finalize, batch_format="pyarrow")
+        .sort("event_type")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_drops": pa.array([], pa.int64()),
+                "n_rises": pa.array([], pa.int64()),
+                "max_drop": pa.array([], pa.float64()),
+            }
+        )
+    return t.select(["event_type", "n_drops", "n_rises", "max_drop"])
+
+
+def user_above_first_count(sf_dir: str):
+    """first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    via the DISTRIBUTED first-value window (stages/rank.first_value_by_key:
+    one carried (key, first) pair of cross-block state). Per user: the
+    first event's value and how many later events exceeded it. The first
+    value is a raw parquet double and the comparison is exact, so both
+    engines agree bit-for-bit with no rounding."""
+    import ray.data
+
+    from clip_as_service_ray.stages.rank import first_value_by_key
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "t": pc.cast(batch.column("ts"), pa.int64()),
+                "value": batch.column("value"),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    fv = first_value_by_key(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        key="user_id", value="value", id_col="event_id",
+        sort_cols=["user_id", "t", "event_id"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "f": pa.array([], pa.float64()),
+                    "a": pa.array([], pa.int64()),
+                }
+            )
+        uid = batch.column("user_id").to_numpy()
+        v = batch.column("value").to_numpy()
+        f = batch.column("first").to_numpy()
+        users, codes = np.unique(uid, return_inverse=True)
+        above = np.bincount(codes, weights=(v > f), minlength=len(users))
+        firsts = np.empty(len(users))
+        firsts[codes] = f  # constant per user; any element works
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "f": pa.array(firsts, pa.float64()),
+                "a": pa.array(above.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [group.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "first_val": pa.array(
+                    [float(group.column("f")[0].as_py())], pa.float64()
+                ),
+                "n_above": pa.array(
+                    [int(np.sum(group.column("a").to_numpy()))], pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        fv.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=4)
+        .map_groups(finalize, batch_format="pyarrow")
+        .sort("user_id")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "first_val": pa.array([], pa.float64()),
+                "n_above": pa.array([], pa.int64()),
+            }
+        )
+    return t.select(["user_id", "first_val", "n_above"])
+
+
+def events_moving_avg(sf_dir: str, window: int = 3):
+    """ES ``moving_fn`` / moving-average pipeline aggregation over a daily
+    date_histogram: per-day counts from distributed per-batch partials
+    (exact integers), then a trailing ROWS window-1 PRECEDING..CURRENT ROW
+    average computed on the bucket-sized histogram — integer window sum
+    divided once, so engine and SQL produce the identical float."""
+    import ray.data
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        b = (e // DAY_US) * DAY_US
+        u, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"b": pa.array(u, pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("b", as_index=False)["n"].sum().sort_values("b")
+    cnt = agg["n"].to_numpy().astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(cnt)])
+    lo = np.maximum(np.arange(len(cnt)) - (window - 1), 0)
+    wsum = csum[np.arange(1, len(cnt) + 1)] - csum[lo]
+    wlen = np.arange(1, len(cnt) + 1) - lo
+    mavg = wsum.astype(np.float64) / wlen
+    return pa.table(
+        {
+            "day": pa.array(
+                agg["b"].to_numpy().astype(np.int64), pa.timestamp("us")
+            ),
+            "cnt": pa.array(cnt, pa.int64()),
+            "mavg": pa.array(mavg, pa.float64()),
+        }
+    )
+
+
+def events_adjacency_matrix(sf_dir: str):
+    """ES ``adjacency_matrix`` aggregation: three filters over events —
+    a: value > 60, b: event_type IN ('click','view'), c: user_id % 3 == 0 —
+    and the doc count of every filter and pairwise intersection ('a&b'
+    keys, ES naming). Per batch the (n, 3) boolean matrix collapses to one
+    3x3 integer partial (bools.T @ bools); only those 9 scalars leave the
+    worker. Empty intersections are dropped (the ES contract)."""
+    import ray.data
+
+    names = ["a", "b", "c"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        et = batch.column("event_type")
+        u = batch.column("user_id").to_numpy()
+        b0 = v > 60
+        b1 = pc.is_in(
+            et, value_set=pa.array(["click", "view"])
+        ).to_numpy(zero_copy_only=False)
+        b2 = (u % 3) == 0
+        m = np.stack([b0, b1, b2], axis=1).astype(np.int64)
+        g = m.T @ m  # 3x3 co-occurrence counts
+        return pa.table({"cell": pa.array(g.reshape(-1), pa.int64())})
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["value", "event_type", "user_id"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()["cell"]
+        .to_numpy()
+        .reshape(-1, 9)
+        .sum(axis=0)
+        .reshape(3, 3)
+    )
+    keys, counts = [], []
+    for i in range(3):
+        for j in range(i, 3):
+            c = int(parts[i, j])
+            if c > 0:
+                keys.append(names[i] if i == j else f"{names[i]}&{names[j]}")
+                counts.append(c)
+    order = np.argsort(np.asarray(keys, dtype=object))
+    return pa.table(
+        {
+            "key": pa.array([keys[i] for i in order], pa.string()),
+            "cnt": pa.array([counts[i] for i in order], pa.int64()),
+        }
+    )
+
+
+RANK_EVAL_PAIRS = (
+    ("merge", "sort"),
+    ("window", "scan"),
+    ("hash", "join"),
+    ("vector", "batch"),
+    ("stream", "filter"),
+)
+
+
+def search_rank_eval(sf_dir: str, pairs=RANK_EVAL_PAIRS, k: int = 10):
+    """ES ``_rank_eval`` API analog: NDCG@k, MRR, and precision@k for a set
+    of single-term queries scored BY THE ENGINE against graded relevance
+    judgments rel(q, doc) = tf of the query's paired intent term (exact
+    integers both engines can recompute). One distributed pass computes the
+    judgments: per batch, the retrieved docs' gains (the retrieved set is a
+    Q*k broadcast) plus a per-batch partial top-k per query for the IDEAL
+    ranking — only O(Q*k) rows leave any worker, never the corpus. DCG uses
+    position weights 1/log2(pos+1) added in ascending-position order with
+    ``math.log2`` literals, so the SQL twin (same literal constants, same
+    left-associated chain) produces bit-identical sums."""
+    import math
+
+    import ray
+    import ray.data
+
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    Q = len(pairs)
+    queries = pa.table(
+        {
+            "query_id": pa.array(range(Q), pa.int64()),
+            "text": pa.array([p[0] for p in pairs]),
+            "limit": pa.array([k] * Q, pa.int32()),
+        }
+    )
+    hits = search_table(index_dir, queries, cfg)
+    hq = hits.column("query_id").to_numpy()
+    hd = np.asarray(
+        [int(c[4:]) for c in hits.column("conv_id").to_pylist()], dtype=np.int64
+    )
+    hs = hits.column("score").to_numpy()
+    retrieved = {}  # query_id -> doc_ids in rank order (score DESC, doc ASC)
+    for qi in range(Q):
+        m = hq == qi
+        order = np.lexsort((hd[m], -hs[m]))
+        retrieved[qi] = hd[m][order][:k]
+
+    intent_terms = [p[1] for p in pairs]
+    retr_ref = ray.put({qi: np.sort(v) for qi, v in retrieved.items()})
+
+    def judge(batch: pa.Table) -> pa.Table:
+        """Emit (kind, query_id, doc_id, g): kind 0 = retrieved-doc gain,
+        kind 1 = ideal-ranking candidate (per-batch top-k by gain)."""
+        retr = ray.get(retr_ref)
+        doc_ids = batch.column("doc_id").to_numpy()
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        row_of_tok = np.repeat(np.arange(len(doc_ids)), lens)
+        toks = tokens.to_numpy(zero_copy_only=False)
+        kinds, qids, dids, gs = [], [], [], []
+        for qi, term in enumerate(intent_terms):
+            m = toks == term
+            tf = np.bincount(row_of_tok[m], minlength=len(doc_ids))
+            nz = np.nonzero(tf)[0]
+            if len(nz) == 0:
+                continue
+            # ideal candidates: this batch's top-k by (gain DESC, doc ASC)
+            cand = nz[np.lexsort((doc_ids[nz], -tf[nz]))][:k]
+            kinds.append(np.ones(len(cand), np.int8))
+            qids.append(np.full(len(cand), qi, np.int64))
+            dids.append(doc_ids[cand])
+            gs.append(tf[cand].astype(np.int64))
+            # retrieved-doc gains
+            rmask = np.isin(doc_ids[nz], retr[qi])
+            if rmask.any():
+                rn = nz[rmask]
+                kinds.append(np.zeros(len(rn), np.int8))
+                qids.append(np.full(len(rn), qi, np.int64))
+                dids.append(doc_ids[rn])
+                gs.append(tf[rn].astype(np.int64))
+        if not kinds:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "g": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "kind": pa.array(np.concatenate(kinds), pa.int8()),
+                "query_id": pa.array(np.concatenate(qids), pa.int64()),
+                "doc_id": pa.array(np.concatenate(dids), pa.int64()),
+                "g": pa.array(np.concatenate(gs), pa.int64()),
+            }
+        )
+
+    rows = (
+        _documents(sf_dir)
+        .map_batches(judge, batch_format="pyarrow")
+        .to_pandas()
+    )
+    weights = [math.log2(p + 1) for p in range(1, k + 1)]
+
+    def dcg_of(gains: list[float]) -> float:
+        acc = 0.0
+        for p in range(k):
+            g = gains[p] if p < len(gains) else 0.0
+            acc = acc + g / weights[p]
+        return acc
+
+    out_q, out_t, out_ndcg, out_mrr, out_p = [], [], [], [], []
+    for qi, (qterm, _iterm) in enumerate(pairs):
+        sub = rows[rows["query_id"] == qi]
+        got = sub[sub["kind"] == 0]
+        gain_by_doc = dict(zip(got["doc_id"].tolist(), got["g"].tolist()))
+        gains = [float(gain_by_doc.get(int(d), 0)) for d in retrieved[qi]]
+        ideal = sub[sub["kind"] == 1]
+        iv = ideal["g"].to_numpy()
+        idoc = ideal["doc_id"].to_numpy()
+        top = np.lexsort((idoc, -iv))[:k]
+        dcg = dcg_of(gains)
+        idcg = dcg_of(iv[top].astype(np.float64).tolist())
+        ndcg = float(np.round(dcg / idcg, 6)) if idcg > 0 else 0.0
+        rel_pos = [p + 1 for p, g in enumerate(gains) if g > 0]
+        out_q.append(qi)
+        out_t.append(qterm)
+        out_ndcg.append(ndcg)
+        out_mrr.append(1.0 / rel_pos[0] if rel_pos else 0.0)
+        out_p.append(len(rel_pos) / float(k))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "query": pa.array(out_t, pa.string()),
+            "ndcg": pa.array(out_ndcg, pa.float64()),
+            "mrr": pa.array(out_mrr, pa.float64()),
+            "p10": pa.array(out_p, pa.float64()),
+        }
+    )

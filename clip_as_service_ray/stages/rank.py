@@ -762,3 +762,376 @@ def ntile_by_key(ds, *, key: str, value: str, id_col: str, n_tiles: int, sort_co
             for i in range(len(refs))
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed DENSE_RANK — same sort + O(1)-summary + driver-scan shape as
+# percent_rank above. dense_rank() OVER (PARTITION BY key ORDER BY value) =
+# 1 + number of DISTINCT values of the key strictly before the row's value.
+# The per-block summary carries the distinct-pair counts of the boundary
+# key runs; the driver chain tracks (key, distinct-so-far, last value seen)
+# so a partition key spanning any number of blocks costs three scalars.
+
+
+@dataclass
+class DenseSummary:
+    n: int
+    first_key: object = None
+    first_val: float = 0.0
+    last_key: object = None
+    last_val: float = 0.0
+    head_k: int = 0          # leading rows sharing first_key
+    head_distinct: int = 0   # distinct (key, value) pairs in that leading run
+    tail_k: int = 0          # trailing rows sharing last_key
+    tail_distinct: int = 0   # distinct pairs in that trailing run
+
+
+def summarize_dense(tbl: pa.Table, key: str, value: str) -> DenseSummary:
+    n = tbl.num_rows
+    if n == 0:
+        return DenseSummary(n=0)
+    k = _col_np(tbl, key)
+    v = _col_np(tbl, value)
+    same_head = k == k[0]
+    head_k = int(np.argmin(same_head)) if not same_head.all() else n
+    hv = v[:head_k]
+    head_distinct = 1 + int((hv[1:] != hv[:-1]).sum()) if head_k else 0
+    same_tail = k == k[-1]
+    tail_k = int(np.argmin(same_tail[::-1])) if not same_tail.all() else n
+    tv = v[n - tail_k:]
+    tail_distinct = 1 + int((tv[1:] != tv[:-1]).sum()) if tail_k else 0
+    return DenseSummary(
+        n=n,
+        first_key=k[0], first_val=float(v[0]),
+        last_key=k[-1], last_val=float(v[-1]),
+        head_k=head_k, head_distinct=head_distinct,
+        tail_k=tail_k, tail_distinct=tail_distinct,
+    )
+
+
+def scan_dense_offsets(summaries: list[DenseSummary]):
+    """Per block: (prev_distinct, boundary_continues) for its first key —
+    distinct values of that key in EARLIER blocks, and whether the first
+    value of this block already appeared there (so the block-local count
+    double-counts it by one)."""
+    B = len(summaries)
+    prev_distinct = [0] * B
+    cont = [False] * B
+    cur_key, cur_distinct, cur_last_val, started = None, 0, 0.0, False
+    for i, s in enumerate(summaries):
+        if s.n == 0:
+            continue
+        if started and s.first_key == cur_key:
+            prev_distinct[i] = cur_distinct
+            cont[i] = s.first_val == cur_last_val
+        if started and s.first_key == cur_key and s.head_k == s.n:
+            cur_distinct += s.head_distinct - (1 if s.first_val == cur_last_val else 0)
+            cur_last_val = s.last_val
+        else:
+            cur_key = s.last_key
+            cur_distinct = s.tail_distinct
+            cur_last_val = s.last_val
+            started = True
+    return prev_distinct, cont
+
+
+def dense_rank_block(
+    tbl: pa.Table, key: str, value: str, id_col: str,
+    prev_distinct: int, cont: bool,
+) -> pa.Table:
+    """Within-block dense rank (segmented cumsum of pair changes), shifted
+    at the block's first key by the carried distinct count."""
+    n = tbl.num_rows
+    if n == 0:
+        return pa.table(
+            {id_col: pa.array([], pa.int64()), "dr": pa.array([], pa.int64())}
+        )
+    k = _col_np(tbl, key)
+    v = _col_np(tbl, value)
+    idx = np.arange(n, dtype=np.int64)
+    key_change = np.concatenate([[True], k[1:] != k[:-1]])
+    pair_change = key_change | np.concatenate([[True], v[1:] != v[:-1]])
+    cum = np.cumsum(pair_change.astype(np.int64))
+    key_start = np.maximum.accumulate(np.where(key_change, idx, 0))
+    dr = cum - cum[key_start] + 1  # pair_change[key_start] is always True
+    head = k == k[0]
+    seg0 = int(np.argmin(head)) if not head.all() else n
+    dr[:seg0] += prev_distinct - (1 if cont else 0)
+    return pa.table(
+        {
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            "dr": pa.array(dr, pa.int64()),
+        }
+    )
+
+
+def dense_rank_tables(tables: list[pa.Table], key: str, value: str, id_col: str):
+    """Local reference driver over pre-sorted blocks (test hook)."""
+    pd_, cont = scan_dense_offsets([summarize_dense(t, key, value) for t in tables])
+    return [
+        dense_rank_block(t, key, value, id_col, pd_[i], cont[i])
+        for i, t in enumerate(tables)
+    ]
+
+
+def dense_rank_by_key(ds, *, key: str, value: str, id_col: str):
+    """dense_rank() OVER (PARTITION BY key ORDER BY value) as a Dataset ->
+    Dataset operator. The sort key is exactly (key, value): a unique
+    tiebreaker would turn dense_rank into row_number."""
+    import ray
+    import ray.data
+
+    sorted_ds = ds.sort([key, value])
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()), "dr": pa.array([], pa.int64())})
+        )
+    summarize = ray.remote(num_cpus=0.5)(summarize_dense)
+    dblock = ray.remote(num_cpus=0.5)(dense_rank_block)
+    pd_, cont = scan_dense_offsets(
+        ray.get([summarize.remote(r, key, value) for r in refs])
+    )
+    return ray.data.from_arrow_refs(
+        [
+            dblock.remote(refs[i], key, value, id_col, pd_[i], cont[i])
+            for i in range(len(refs))
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed LEAD(1) — the mirror of lag_by_key: the only cross-block state
+# is the FIRST value of the next block when it continues the same key, found
+# by one backward pass over the O(1) summaries.
+
+
+@dataclass
+class LeadSummary:
+    n: int
+    first_key: object = None
+    last_key: object = None
+    first_val: float = 0.0
+
+
+def summarize_lead(tbl: pa.Table, key: str, value: str) -> LeadSummary:
+    n = tbl.num_rows
+    if n == 0:
+        return LeadSummary(n=0)
+    k = _col_np(tbl, key)
+    v = _col_np(tbl, value)
+    return LeadSummary(n=n, first_key=k[0], last_key=k[-1], first_val=float(v[0]))
+
+
+def scan_lead_carry(summaries: list[LeadSummary]):
+    """Per block: (has_carry, carry_value) for its LAST row — the value of
+    the globally following row when that row shares the block's last key."""
+    out = [(False, 0.0)] * len(summaries)
+    nxt: LeadSummary | None = None
+    for i in range(len(summaries) - 1, -1, -1):
+        s = summaries[i]
+        if s.n == 0:
+            continue
+        if nxt is not None and nxt.first_key == s.last_key:
+            out[i] = (True, nxt.first_val)
+        nxt = s
+    return out
+
+
+def lead_block(
+    tbl: pa.Table, key: str, value: str, id_col: str,
+    has_carry: bool, carry: float,
+) -> pa.Table:
+    """Vectorized within-block lead; null where a key's last row has no
+    successor. Emits (id, key, value, lead)."""
+    n = tbl.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                key: tbl.column(key),
+                "value": pa.array([], pa.float64()),
+                "lead": pa.array([], pa.float64()),
+            }
+        )
+    k = _col_np(tbl, key)
+    v = _col_np(tbl, value).astype(np.float64)
+    leadv = np.empty(n, dtype=np.float64)
+    leadv[:-1] = v[1:]
+    leadv[-1] = carry
+    valid = np.concatenate([k[1:] == k[:-1], [has_carry]])
+    return pa.table(
+        {
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            key: tbl.column(key),
+            "value": pa.array(v, pa.float64()),
+            "lead": pa.array(np.where(valid, leadv, np.nan), pa.float64(), mask=~valid),
+        }
+    )
+
+
+def lead_tables(tables: list[pa.Table], key: str, value: str, id_col: str):
+    """Local reference driver over pre-sorted blocks (test hook)."""
+    carries = scan_lead_carry([summarize_lead(t, key, value) for t in tables])
+    return [
+        lead_block(t, key, value, id_col, carries[i][0], carries[i][1])
+        for i, t in enumerate(tables)
+    ]
+
+
+def lead_by_key(ds, *, key: str, value: str, id_col: str, sort_cols=None):
+    """lead(value, 1) OVER (PARTITION BY key ORDER BY sort_cols) as a
+    Dataset -> Dataset operator; sort_cols defaults to [key, value, id_col]
+    and must order rows uniquely per key."""
+    import ray
+    import ray.data
+
+    sorted_ds = ds.sort(sort_cols or [key, value, id_col])
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                    "lead": pa.array([], pa.float64()),
+                }
+            )
+        )
+    summarize = ray.remote(num_cpus=0.5)(summarize_lead)
+    lblock = ray.remote(num_cpus=0.5)(lead_block)
+    carries = scan_lead_carry(
+        ray.get([summarize.remote(r, key, value) for r in refs])
+    )
+    return ray.data.from_arrow_refs(
+        [
+            lblock.remote(refs[i], key, value, id_col, carries[i][0], carries[i][1])
+            for i in range(len(refs))
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed FIRST_VALUE — for every row, the value at its partition key's
+# FIRST row in the global sort order (SQL first_value with the default
+# RANGE UNBOUNDED PRECEDING frame, which is frame-independent for the first
+# value). Cross-block state: one (key, first value) pair carried forward.
+
+
+@dataclass
+class FirstSummary:
+    n: int
+    first_key: object = None
+    last_key: object = None
+    single_key: bool = False      # whole block is one key
+    last_key_first_val: float = 0.0  # value at the first row of last_key
+
+
+def summarize_first(tbl: pa.Table, key: str, value: str) -> FirstSummary:
+    n = tbl.num_rows
+    if n == 0:
+        return FirstSummary(n=0)
+    k = _col_np(tbl, key)
+    v = _col_np(tbl, value)
+    same_tail = k == k[-1]
+    tail_k = int(np.argmin(same_tail[::-1])) if not same_tail.all() else n
+    return FirstSummary(
+        n=n,
+        first_key=k[0], last_key=k[-1],
+        single_key=bool((k == k[0]).all()),
+        last_key_first_val=float(v[n - tail_k]),
+    )
+
+
+def scan_first_carry(summaries: list[FirstSummary]):
+    """Per block: (has_carry, first value) for its first key when that key
+    started in an earlier block."""
+    out = [(False, 0.0)] * len(summaries)
+    cur_key, cur_first, started = None, 0.0, False
+    for i, s in enumerate(summaries):
+        if s.n == 0:
+            continue
+        if started and s.first_key == cur_key:
+            out[i] = (True, cur_first)
+        if not (started and s.first_key == cur_key and s.single_key):
+            cur_key = s.last_key
+            cur_first = s.last_key_first_val
+            started = True
+    return out
+
+
+def first_value_block(
+    tbl: pa.Table, key: str, value: str, id_col: str,
+    has_carry: bool, carry: float,
+) -> pa.Table:
+    """Emit (id, key, value, first): each key segment's first value within
+    the block, overridden at the first key by the carried global first."""
+    n = tbl.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                key: tbl.column(key),
+                "value": pa.array([], pa.float64()),
+                "first": pa.array([], pa.float64()),
+            }
+        )
+    k = _col_np(tbl, key)
+    v = _col_np(tbl, value).astype(np.float64)
+    idx = np.arange(n, dtype=np.int64)
+    key_change = np.concatenate([[True], k[1:] != k[:-1]])
+    key_start = np.maximum.accumulate(np.where(key_change, idx, 0))
+    fv = v[key_start]
+    if has_carry:
+        head = k == k[0]
+        seg0 = int(np.argmin(head)) if not head.all() else n
+        fv[:seg0] = carry
+    return pa.table(
+        {
+            id_col: tbl.column(id_col).cast(pa.int64()),
+            key: tbl.column(key),
+            "value": pa.array(v, pa.float64()),
+            "first": pa.array(fv, pa.float64()),
+        }
+    )
+
+
+def first_value_tables(tables: list[pa.Table], key: str, value: str, id_col: str):
+    """Local reference driver over pre-sorted blocks (test hook)."""
+    carries = scan_first_carry([summarize_first(t, key, value) for t in tables])
+    return [
+        first_value_block(t, key, value, id_col, carries[i][0], carries[i][1])
+        for i, t in enumerate(tables)
+    ]
+
+
+def first_value_by_key(ds, *, key: str, value: str, id_col: str, sort_cols=None):
+    """first_value(value) OVER (PARTITION BY key ORDER BY sort_cols) as a
+    Dataset -> Dataset operator; sort_cols defaults to [key, value, id_col]
+    and must order rows uniquely per key."""
+    import ray
+    import ray.data
+
+    sorted_ds = ds.sort(sort_cols or [key, value, id_col])
+    refs = sorted_ds.to_arrow_refs()
+    if not refs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "value": pa.array([], pa.float64()),
+                    "first": pa.array([], pa.float64()),
+                }
+            )
+        )
+    summarize = ray.remote(num_cpus=0.5)(summarize_first)
+    fblock = ray.remote(num_cpus=0.5)(first_value_block)
+    carries = scan_first_carry(
+        ray.get([summarize.remote(r, key, value) for r in refs])
+    )
+    return ray.data.from_arrow_refs(
+        [
+            fblock.remote(refs[i], key, value, id_col, carries[i][0], carries[i][1])
+            for i in range(len(refs))
+        ]
+    )

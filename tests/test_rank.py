@@ -321,3 +321,113 @@ def test_ntile_tables_fuzz_block_splits():
                 out.column("tile").to_pylist(),
             ):
                 assert rn == exp_rn[rid] and tile == exp_tile[rid]
+
+
+# ---------------------------------------------------------------------------
+# dense_rank / lead / first_value (round-3 additions, same block-split fuzz)
+
+
+def _brute_dense(k: np.ndarray, v: np.ndarray) -> np.ndarray:
+    out = np.zeros(len(k), dtype=np.int64)
+    for i in range(len(k)):
+        m = k == k[i]
+        out[i] = len(np.unique(v[m][v[m] < v[i]])) + 1
+    return out
+
+
+def test_dense_rank_tables_fuzz_block_splits():
+    """Arbitrary block cuts (tie runs / keys spanning blocks, empty blocks)
+    reproduce brute-force dense_rank exactly."""
+    from clip_as_service_ray.stages.rank import dense_rank_tables
+
+    rng = np.random.default_rng(23)
+    for _ in range(150):
+        n = int(rng.integers(1, 60))
+        k = rng.integers(0, 4, n)
+        v = rng.integers(0, 6, n).astype(float)  # heavy ties
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        ids = np.arange(n)
+        exp = _brute_dense(k, v)
+        cuts = np.sort(rng.integers(0, n + 1, int(rng.integers(0, 6))))
+        bounds = [0, *cuts.tolist(), n]
+        tables = [
+            pa.table({"k": k[a:b], "v": v[a:b], "id": ids[a:b]})
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        outs = dense_rank_tables(tables, "k", "v", "id")
+        got = np.concatenate([t.column("dr").to_numpy() for t in outs])
+        gid = np.concatenate([t.column("id").to_numpy() for t in outs])
+        assert (gid == ids).all()
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_dense_rank_one_key_spanning_all_blocks():
+    from clip_as_service_ray.stages.rank import dense_rank_tables
+
+    v = np.repeat(np.arange(10.0), 3)  # ties of 3, one key
+    k = np.zeros(len(v), dtype=np.int64)
+    ids = np.arange(len(v))
+    tables = [
+        pa.table({"k": k[a:b], "v": v[a:b], "id": ids[a:b]})
+        for a, b in [(0, 7), (7, 8), (8, 8), (8, 20), (20, 30)]
+    ]
+    outs = dense_rank_tables(tables, "k", "v", "id")
+    got = np.concatenate([t.column("dr").to_numpy() for t in outs])
+    np.testing.assert_array_equal(got, np.repeat(np.arange(1, 11), 3))
+
+
+def test_lead_tables_fuzz_block_splits():
+    """lead(1) over arbitrary splits == shifted values, null at each key's
+    last row."""
+    from clip_as_service_ray.stages.rank import lead_tables
+
+    rng = np.random.default_rng(31)
+    for _ in range(120):
+        n = int(rng.integers(1, 50))
+        k = np.sort(rng.integers(0, 4, n))
+        v = rng.normal(size=n)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        ids = np.arange(n)
+        cuts = np.sort(rng.integers(0, n + 1, int(rng.integers(0, 5))))
+        bounds = [0, *cuts.tolist(), n]
+        tables = [
+            pa.table({"k": k[a:b], "v": v[a:b], "id": ids[a:b]})
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        outs = lead_tables(tables, "k", "v", "id")
+        lead = np.concatenate(
+            [t.column("lead").to_numpy(zero_copy_only=False) for t in outs]
+        )
+        for i in range(n):
+            if i + 1 < n and k[i + 1] == k[i]:
+                assert lead[i] == v[i + 1]
+            else:
+                assert np.isnan(lead[i])
+
+
+def test_first_value_tables_fuzz_block_splits():
+    """first_value over arbitrary splits == each key's globally first value."""
+    from clip_as_service_ray.stages.rank import first_value_tables
+
+    rng = np.random.default_rng(37)
+    for _ in range(120):
+        n = int(rng.integers(1, 50))
+        k = np.sort(rng.integers(0, 4, n))
+        v = rng.normal(size=n)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        ids = np.arange(n)
+        exp = np.empty(n)
+        for i in range(n):
+            exp[i] = v[k == k[i]][0]
+        cuts = np.sort(rng.integers(0, n + 1, int(rng.integers(0, 5))))
+        bounds = [0, *cuts.tolist(), n]
+        tables = [
+            pa.table({"k": k[a:b], "v": v[a:b], "id": ids[a:b]})
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        outs = first_value_tables(tables, "k", "v", "id")
+        got = np.concatenate([t.column("first").to_numpy() for t in outs])
+        np.testing.assert_array_equal(got, exp)
