@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "search_rank_eval": ops.search_rank_eval,
+        "span_within_search": ops.span_within_search,
+        "span_containing_search": ops.span_containing_search,
         "event_value_dense_rank": ops.event_value_dense_rank,
         "events_moving_avg": ops.events_moving_avg,
         "events_adjacency_matrix": ops.events_adjacency_matrix,
@@ -440,6 +442,43 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(dcg.nrel, 0)::DOUBLE / 10 AS p10 "
             "FROM qt q LEFT JOIN dcg ON q.query_id = dcg.query_id "
             "LEFT JOIN idcg ON q.query_id = idcg.query_id ORDER BY q.query_id"
+        ),
+        "span_within_search": (
+            # Lucene SpanWithinQuery: 'join' occurrences enclosed by a
+            # 'window join' span — EXISTS range probe over big starts
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "unnest(range(len(ts))) AS pos "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents)), "
+            "big AS (SELECT a.doc_id, a.pos FROM tok a JOIN tok b "
+            "ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.term = 'window' AND b.term = 'join'), "
+            "lit AS (SELECT doc_id, pos FROM tok WHERE term = 'join'), "
+            "surv AS (SELECT l.doc_id, l.pos FROM lit l WHERE EXISTS ("
+            "SELECT 1 FROM big g WHERE g.doc_id = l.doc_id "
+            "AND g.pos >= l.pos - 1 AND g.pos <= l.pos)) "
+            "SELECT doc_id, count(*)::BIGINT AS span_tf, "
+            "min(pos)::BIGINT AS first_pos FROM surv GROUP BY doc_id "
+            "ORDER BY span_tf DESC, doc_id ASC LIMIT 10"
+        ),
+        "span_containing_search": (
+            # Lucene SpanContainingQuery: unordered (stream, column) pairs
+            # within 6 tokens whose envelope contains an 'agg' occurrence;
+            # span_tf = qualifying pairs, first_pos = min envelope start
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "unnest(range(len(ts))) AS pos "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents)), "
+            "pairs AS (SELECT a.doc_id, least(a.pos, b.pos) AS lo, "
+            "greatest(a.pos, b.pos) AS hi FROM tok a JOIN tok b "
+            "ON b.doc_id = a.doc_id AND abs(b.pos - a.pos) <= 6 "
+            "WHERE a.term = 'stream' AND b.term = 'column'), "
+            "surv AS (SELECT p.doc_id, p.lo FROM pairs p WHERE EXISTS ("
+            "SELECT 1 FROM tok l WHERE l.doc_id = p.doc_id "
+            "AND l.term = 'agg' AND l.pos >= p.lo AND l.pos <= p.hi)) "
+            "SELECT doc_id, count(*)::BIGINT AS span_tf, "
+            "min(lo)::BIGINT AS first_pos FROM surv GROUP BY doc_id "
+            "ORDER BY span_tf DESC, doc_id ASC LIMIT 10"
         ),
         "events_moving_avg": (
             # ES moving_fn over a daily date_histogram: trailing 3-bucket

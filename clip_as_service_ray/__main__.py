@@ -146,6 +146,13 @@ def main(argv=None) -> int:
     ph.add_argument("--max-gaps", type=int, default=-1,
                     help=">=0 = ES intervals mode (ordered 2-term match "
                          "with at most N tokens between; 0 = adjacent)")
+    ph.add_argument("--within-phrase", default="",
+                    help="SpanWithinQuery: hits are occurrences of the "
+                         "query phrase enclosed by THIS big phrase")
+    ph.add_argument("--contains-phrase", default="",
+                    help="SpanContainingQuery: query text = 2 big terms "
+                         "(span_near via --window), hits are pairs whose "
+                         "envelope contains THIS little phrase")
 
     sg = sub.add_parser(
         "suggest", help="did-you-mean terms from the index dictionary"
@@ -361,11 +368,20 @@ def main(argv=None) -> int:
                 default=str,
             ))
         elif args.cmd == "phrase":
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             from clip_as_service_ray.pipelines.phrase import phrase_search_table
 
             queries = pq.read_table(args.queries)
+            for flag, col in (
+                (args.within_phrase, "within_phrase"),
+                (args.contains_phrase, "contains_phrase"),
+            ):
+                if flag and col not in queries.column_names:
+                    queries = queries.append_column(
+                        col, pa.array([flag] * queries.num_rows, pa.string())
+                    )
             hits = phrase_search_table(
                 args.index_dir, queries, EngineConfig(), window=args.window,
                 span_first=args.span_first, prefix_last=args.prefix_last,

@@ -158,6 +158,16 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
                     [-1 if x is None else int(x) for x in colsin["max_gaps"]],
                     pa.int32(),
                 )
+            if colsin.get("within_phrase"):  # SpanWithinQuery big phrase
+                cols["within_phrase"] = pa.array(
+                    [str(x or "") for x in colsin["within_phrase"]],
+                    pa.string(),
+                )
+            if colsin.get("contains_phrase"):  # SpanContainingQuery little
+                cols["contains_phrase"] = pa.array(
+                    [str(x or "") for x in colsin["contains_phrase"]],
+                    pa.string(),
+                )
         return pa.table(cols)
     qs = payload.get("queries", [])
     cols = {
@@ -204,6 +214,16 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
                 [int(q.get("max_gaps", -1) if q.get("max_gaps") is not None
                      else -1) for q in qs],
                 pa.int32(),
+            )
+        if any(q.get("within_phrase") for q in qs):  # SpanWithinQuery
+            cols["within_phrase"] = pa.array(
+                [str(q.get("within_phrase", "") or "") for q in qs],
+                pa.string(),
+            )
+        if any(q.get("contains_phrase") for q in qs):  # SpanContainingQuery
+            cols["contains_phrase"] = pa.array(
+                [str(q.get("contains_phrase", "") or "") for q in qs],
+                pa.string(),
             )
     return pa.table(cols)
 

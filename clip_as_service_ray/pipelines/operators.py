@@ -9816,3 +9816,80 @@ def search_rank_eval(sf_dir: str, pairs=RANK_EVAL_PAIRS, k: int = 10):
             "p10": pa.array(out_p, pa.float64()),
         }
     )
+
+
+def span_within_search(
+    sf_dir: str, little: str = "join", big: str = "window join",
+    limit: int = 10,
+):
+    """Lucene SpanWithinQuery through the positional index: occurrences of
+    the ``little`` phrase ENCLOSED by an occurrence of the ``big`` phrase
+    (two searchsorted probes per little start against the big phrase's
+    verified start keys). SQL twin: positional self-join for the big
+    starts, EXISTS range probe for the enclosure."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import (
+        build_positions,
+        phrase_search_table,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    build_positions(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([little]),
+            "limit": pa.array([limit], pa.int32()),
+            "within_phrase": pa.array([big], pa.string()),
+        }
+    )
+    hits = phrase_search_table(index_dir, q, cfg)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "span_tf": hits.column("phrase_tf"),
+            "first_pos": hits.column("first_pos"),
+        }
+    )
+
+
+def span_containing_search(
+    sf_dir: str, term_a: str = "stream", term_b: str = "column",
+    window: int = 6, little: str = "agg", limit: int = 10,
+):
+    """Lucene SpanContainingQuery (big = span_near(a, b, window,
+    unordered)) through the positional index: qualifying (a, b) pairs whose
+    position envelope contains an occurrence of the ``little`` phrase.
+    span_tf = qualifying pair count, first_pos = the smallest envelope
+    start. SQL twin: pair self-join + EXISTS range probe."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import (
+        build_positions,
+        phrase_search_table,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    build_positions(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([f"{term_a} {term_b}"]),
+            "limit": pa.array([limit], pa.int32()),
+            "window": pa.array([window], pa.int32()),
+            "contains_phrase": pa.array([little], pa.string()),
+        }
+    )
+    hits = phrase_search_table(index_dir, q, cfg)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "span_tf": hits.column("phrase_tf"),
+            "first_pos": hits.column("first_pos"),
+        }
+    )

@@ -271,27 +271,49 @@ class PhraseScorer:
             if "not_phrase" in batch.column_names
             else [""] * len(qids)
         )
+        within_phrases = (
+            batch.column("within_phrase").to_pylist()
+            if "within_phrase" in batch.column_names
+            else [""] * len(qids)
+        )
+        contains_phrases = (
+            batch.column("contains_phrase").to_pylist()
+            if "contains_phrase" in batch.column_names
+            else [""] * len(qids)
+        )
         max_gaps = (
             batch.column("max_gaps").to_pylist()
             if "max_gaps" in batch.column_names
             else [self.interval_gaps] * len(qids)
         )
         cols: dict[str, list] = {n: [] for n in PHRASE_HITS_SCHEMA.names}
-        for qid, text, limit, window, sfirst, plast, sor, nphrase, gaps in zip(
+        for (
+            qid, text, limit, window, sfirst, plast, sor, nphrase, gaps,
+            wphrase, cphrase,
+        ) in zip(
             qids, texts, limits, windows, span_firsts, prefix_lasts,
-            span_ors, not_phrases, max_gaps,
+            span_ors, not_phrases, max_gaps, within_phrases, contains_phrases,
         ):
             k = int(limit or self.default_limit)
             gaps = -1 if gaps is None else int(gaps)
-            if (sor or nphrase or gaps >= 0) and (plast or sfirst or window):
+            if (sor or nphrase or gaps >= 0 or wphrase) and (
+                plast or sfirst or window
+            ):
                 raise ValueError(
-                    "span_or/not_phrase/max_gaps are mutually exclusive "
-                    "with prefix_last/span_first/window per query"
+                    "span_or/not_phrase/max_gaps/within_phrase are "
+                    "mutually exclusive with prefix_last/span_first/window "
+                    "per query"
                 )
-            if gaps >= 0 and (sor or nphrase):
+            if cphrase and (plast or sfirst):
                 raise ValueError(
-                    "max_gaps (intervals mode) is mutually exclusive with "
-                    "span_or/not_phrase per query"
+                    "contains_phrase is mutually exclusive with "
+                    "prefix_last/span_first per query (it composes with "
+                    "window: big = span_near)"
+                )
+            if sum(bool(x) for x in (sor, nphrase, gaps >= 0, wphrase, cphrase)) > 1:
+                raise ValueError(
+                    "span_or/not_phrase/max_gaps/within_phrase/"
+                    "contains_phrase are mutually exclusive per query"
                 )
             if plast:
                 if window or sfirst:
@@ -321,6 +343,25 @@ class PhraseScorer:
                     raise ValueError("span_first mode expects a single term")
                 docs, tfs, firsts = self.reader.span_first_docs(
                     terms[0], int(sfirst)
+                )
+            elif cphrase:
+                if not window:
+                    raise ValueError(
+                        "span_containing requires a proximity window "
+                        "(big = span_near(a, b, window))"
+                    )
+                terms = self.reader.query_tokens(text or "")
+                if len(terms) != 2:
+                    raise ValueError(
+                        "span_containing expects exactly 2 big terms"
+                    )
+                little = self.reader.query_tokens(cphrase)
+                if not little:
+                    raise ValueError(
+                        "span_containing expects a non-empty little phrase"
+                    )
+                docs, tfs, firsts = self.reader.span_containing_docs(
+                    terms[0], terms[1], int(window), little
                 )
             elif window:
                 terms = self.reader.query_tokens(text or "")
@@ -369,6 +410,15 @@ class PhraseScorer:
                     include, exclude,
                     pre=self.span_not_pre, post=self.span_not_post,
                 )
+            elif wphrase:
+                little = self.reader.query_tokens(text or "")
+                big = self.reader.query_tokens(wphrase)
+                if not little or not big:
+                    raise ValueError(
+                        "span_within expects non-empty little (text) and "
+                        "big (within_phrase) phrases"
+                    )
+                docs, tfs, firsts = self.reader.span_within_docs(little, big)
             else:
                 docs, tfs, firsts = self.reader.phrase_docs(text or "")
             if len(docs) == 0:

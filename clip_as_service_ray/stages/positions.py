@@ -930,6 +930,105 @@ class PositionsReader:
             return empty
         return self._group_start_keys(base)
 
+    def span_within_docs(
+        self, little: list[str], big: list[str]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Lucene SpanWithinQuery: occurrences of the ``little`` phrase that
+        are ENCLOSED by an occurrence of the ``big`` phrase. A little span
+        [s, s+len_l-1] is within a big span [t, t+len_b-1] iff
+        t in [s - (len_b - len_l), s]. One two-searchsorted range probe per
+        little start against the big phrase's verified start keys."""
+        empty = (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+        )
+        len_l, len_b = len(little), len(big)
+        if len_b < len_l:
+            return empty  # a shorter span cannot enclose a longer one
+        base_l = self._phrase_start_keys(little)
+        if base_l is None or len(base_l) == 0:
+            return empty
+        base_b = self._phrase_start_keys(big)
+        if base_b is None or len(base_b) == 0:
+            return empty
+        doc = base_l // POS_SHIFT
+        s = base_l - doc * POS_SHIFT
+        lo = np.searchsorted(
+            base_b, doc * POS_SHIFT + np.maximum(s - (len_b - len_l), 0)
+        )
+        hi = np.searchsorted(base_b, doc * POS_SHIFT + s + 1)
+        kept = base_l[(hi - lo) > 0]
+        if len(kept) == 0:
+            return empty
+        return self._group_start_keys(kept)
+
+    def span_containing_docs(
+        self, term_a: str, term_b: str, window: int, little: list[str]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Lucene SpanContainingQuery with big = span_near(term_a, term_b,
+        window, unordered): qualifying (a, b) pairs whose position envelope
+        [min(pa, pb), max(pa, pb)] fully CONTAINS an occurrence of the
+        ``little`` phrase (s >= lo and s + len_little - 1 <= hi). With an
+        exact-phrase big the query is degenerate (a phrase always contains
+        its own sub-phrases), so the near-pair form is the meaningful one.
+        Pair enumeration is the cooccur_docs range probe plus a segmented
+        arange expansion; each pair costs two more searchsorted probes into
+        the little phrase's verified start keys. Returns (docs ascending,
+        qualifying pair counts, min envelope start per doc)."""
+        empty = (
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+            np.array([], dtype=np.int64),
+        )
+        ka = self.term_keys(term_a)
+        kb = self.term_keys(term_b)
+        if ka is None or kb is None:
+            return empty
+        base_l = self._phrase_start_keys(little)
+        if base_l is None or len(base_l) == 0:
+            return empty
+        doc_a = ka // POS_SHIFT
+        pos_a = ka - doc_a * POS_SHIFT
+        lo_i = np.searchsorted(
+            kb, doc_a * POS_SHIFT + np.maximum(pos_a - window, 0)
+        )
+        hi_i = np.searchsorted(
+            kb, doc_a * POS_SHIFT + np.minimum(pos_a + window + 1, POS_SHIFT)
+        )
+        cnt = hi_i - lo_i
+        m = cnt > 0
+        if not m.any():
+            return empty
+        reps = cnt[m]
+        pa_idx = np.repeat(np.nonzero(m)[0], reps)
+        offs = np.arange(int(reps.sum())) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        b_idx = np.repeat(lo_i[m], reps) + offs
+        pb = kb[b_idx] % POS_SHIFT  # same doc guaranteed by the key range
+        pa_ = pos_a[pa_idx]
+        d = doc_a[pa_idx]
+        lo_span = np.minimum(pa_, pb)
+        hi_span = np.maximum(pa_, pb)
+        len_l = len(little)
+        ll = np.searchsorted(base_l, d * POS_SHIFT + lo_span)
+        lh = np.searchsorted(
+            base_l,
+            d * POS_SHIFT + np.maximum(hi_span - len_l + 2, 0),
+        )
+        keep = (lh - ll) > 0
+        if not keep.any():
+            return empty
+        dk = d[keep]
+        sk = lo_span[keep]
+        change = np.nonzero(np.diff(dk) != 0)[0] + 1
+        starts = np.concatenate([[0], change])
+        docs = dk[starts]
+        counts = np.diff(np.concatenate([starts, [len(dk)]])).astype(np.int64)
+        first = np.minimum.reduceat(sk, starts)
+        return docs, counts, first
+
     def _phrase_start_keys(self, terms: list[str]) -> np.ndarray | None:
         """Verified phrase-START composite keys (ascending) for an exact
         token sequence, or None when any term is absent from the index."""

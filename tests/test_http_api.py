@@ -192,6 +192,21 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
             {"query_id": 0, "text": "merge window", "limit": 5,
              "not_phrase": "the"}]})["hits"]
         assert {(h["conv_id"], h["phrase_tf"]) for h in ph} == {("convac", 1)}
+        # SpanWithinQuery per query: 'window' occurrences enclosed by a
+        # "stream window" span — only convaa's (pos 3); convac's window is
+        # not preceded by 'stream'
+        ph = _post(srv.url + "/phrase", {"queries": [
+            {"query_id": 0, "text": "window", "limit": 5,
+             "within_phrase": "stream window"}]})["hits"]
+        assert {(h["conv_id"], h["phrase_tf"], h["first_pos"]) for h in ph} \
+            == {("convaa", 1, 3)}
+        # SpanContainingQuery per query: (merge, window) pairs within 3
+        # tokens whose envelope holds a 'the' — convaa's [0, 3] only
+        ph = _post(srv.url + "/phrase", {"queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5,
+             "window": 3, "contains_phrase": "the"}]})["hits"]
+        assert {(h["conv_id"], h["phrase_tf"], h["first_pos"]) for h in ph} \
+            == {("convaa", 1, 0)}
 
         _post(srv.url + "/delete", {"conv_ids": ["convac"]})
         hits = _post(srv.url + "/search", {"queries": [

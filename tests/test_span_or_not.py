@@ -126,3 +126,103 @@ def test_rare_terms_vs_duckdb(ray_session):
     assert got["term"].tolist() == want["term"].tolist()
     assert got["df"].tolist() == want["df"].tolist()
     assert len(got) >= 1  # the corpus has a planted long-tail term ('dup')
+
+
+def test_span_within_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import span_within_search
+
+    got = span_within_search(SF).to_pandas()
+    want = _oracle("span_within_search")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["span_tf"].tolist() == want["span_tf"].tolist()
+    assert got["first_pos"].tolist() == want["first_pos"].tolist()
+
+
+def test_span_containing_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import span_containing_search
+
+    got = span_containing_search(SF).to_pandas()
+    want = _oracle("span_containing_search")
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["span_tf"].tolist() == want["span_tf"].tolist()
+    assert got["first_pos"].tolist() == want["first_pos"].tolist()
+
+
+def test_span_within_identities(ray_session):
+    """little == big degenerates to the phrase kernel; a big phrase shorter
+    than little yields nothing; little-within-itself also degenerates."""
+    from clip_as_service_ray.pipelines.operators import (
+        _docs_as_transcripts,
+        _index_dir_for,
+    )
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import build_positions
+    from clip_as_service_ray.stages.positions import PositionsReader
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(SF)
+    build_index(_docs_as_transcripts(SF), index_dir, cfg)
+    build_positions(_docs_as_transcripts(SF), index_dir, cfg)
+    r = PositionsReader(index_dir)
+    big = r.query_tokens("window join")
+
+    d0, t0, f0 = r.phrase_docs(big)
+    d1, t1, f1 = r.span_within_docs(big, big)
+    np.testing.assert_array_equal(d0, d1)
+    np.testing.assert_array_equal(t0, t1)
+    np.testing.assert_array_equal(f0, f1)
+
+    d2, _t2, _f2 = r.span_within_docs(big, ["join"])  # big shorter: empty
+    assert len(d2) == 0
+
+    # every 'window' occurrence inside 'window join' = the phrase's starts
+    d3, t3, f3 = r.span_within_docs(["window"], big)
+    np.testing.assert_array_equal(d0, d3)
+    np.testing.assert_array_equal(t0, t3)
+    np.testing.assert_array_equal(f0, f3)
+
+
+def test_span_containing_brute_force(ray_session):
+    """Kernel vs a per-doc brute force over the raw corpus (pair envelopes
+    containing the little term)."""
+    import pyarrow.parquet as pq
+
+    from clip_as_service_ray.functions.tokenizer import tokenize
+    from clip_as_service_ray.pipelines.operators import (
+        _docs_as_transcripts,
+        _index_dir_for,
+    )
+    from clip_as_service_ray.config import EngineConfig
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import build_positions
+    from clip_as_service_ray.stages.positions import PositionsReader
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(SF)
+    build_index(_docs_as_transcripts(SF), index_dir, cfg)
+    build_positions(_docs_as_transcripts(SF), index_dir, cfg)
+    r = PositionsReader(index_dir)
+    W = 5
+    d, t, f = r.span_containing_docs("merge", "sort", W, ["fast"])
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    exp = {}
+    for doc_id, text in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        toks = tokenize(text)
+        pa_ = [i for i, x in enumerate(toks) if x == "merge"]
+        pb_ = [i for i, x in enumerate(toks) if x == "sort"]
+        pl_ = [i for i, x in enumerate(toks) if x == "fast"]
+        hits = [
+            (min(a, b), max(a, b))
+            for a in pa_ for b in pb_
+            if abs(a - b) <= W
+            and any(lo <= s <= hi for s in pl_
+                    for lo, hi in [(min(a, b), max(a, b))])
+        ]
+        if hits:
+            exp[doc_id] = (len(hits), min(h[0] for h in hits))
+    got = {int(dd): (int(tt), int(ff)) for dd, tt, ff in zip(d, t, f)}
+    assert got == exp
