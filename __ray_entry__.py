@@ -182,6 +182,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_rank_eval": ops.search_rank_eval,
         "span_within_search": ops.span_within_search,
         "span_containing_search": ops.span_containing_search,
+        "events_top_metrics": ops.events_top_metrics,
+        "terms_agg_sharded": ops.terms_agg_sharded,
+        "benchmark_contamination": ops.benchmark_contamination,
         "event_value_dense_rank": ops.event_value_dense_rank,
         "events_moving_avg": ops.events_moving_avg,
         "events_adjacency_matrix": ops.events_adjacency_matrix,
@@ -442,6 +445,59 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(dcg.nrel, 0)::DOUBLE / 10 AS p10 "
             "FROM qt q LEFT JOIN dcg ON q.query_id = dcg.query_id "
             "LEFT JOIN idcg ON q.query_id = idcg.query_id ORDER BY q.query_id"
+        ),
+        "benchmark_contamination": (
+            # GPT-3 appendix-C contamination protocol: 8-gram overlap with
+            # the doc_id % 20 == 0 'benchmark' docs; exact string grams
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "unnest(range(len(ts))) AS pos "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents)), "
+            "g AS (SELECT doc_id, term || ' ' || lead(term, 1) OVER w || "
+            "' ' || lead(term, 2) OVER w || ' ' || lead(term, 3) OVER w || "
+            "' ' || lead(term, 4) OVER w || ' ' || lead(term, 5) OVER w || "
+            "' ' || lead(term, 6) OVER w || ' ' || lead(term, 7) OVER w "
+            "AS gram, lead(term, 7) OVER w AS t7 FROM tok "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)), "
+            "gg AS (SELECT doc_id, gram FROM g WHERE t7 IS NOT NULL), "
+            "bg AS (SELECT DISTINCT gram FROM gg WHERE doc_id % 20 = 0) "
+            "SELECT doc_id, count(*)::BIGINT AS n_shared FROM gg "
+            "WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM bg) "
+            "GROUP BY doc_id ORDER BY doc_id"
+        ),
+        "events_top_metrics": (
+            # ES top_metrics (arg_max): per type, the latest event's value;
+            # ties broken by event_id ASC — deterministic on both sides
+            "SELECT event_type, ts AS latest_ts, event_id, value FROM ("
+            "SELECT event_type, ts, event_id, value, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY ts DESC, event_id) AS rn "
+            "FROM events) WHERE rn = 1 ORDER BY event_type"
+        ),
+        "terms_agg_sharded": (
+            # ES sharded terms agg incl. doc_count_error_upper_bound:
+            # doc_id % 4 shard routing, per-shard top-8 by (df DESC, term),
+            # coordinator sums RETURNED counts; bound = sum of the rank-8
+            # count of every shard that did not return the term
+            "WITH tok AS (" + _TOK + "), "
+            "dt AS (SELECT DISTINCT doc_id, term FROM tok), "
+            "sh AS (SELECT doc_id % 4 AS shard, term, count(*)::BIGINT AS c "
+            "FROM dt GROUP BY shard, term), "
+            "top AS (SELECT shard, term, c, row_number() OVER ("
+            "PARTITION BY shard ORDER BY c DESC, term) AS rn FROM sh), "
+            "ret AS (SELECT shard, term, c FROM top WHERE rn <= 8), "
+            "lastc AS (SELECT shard, "
+            "max(CASE WHEN rn = 8 THEN c ELSE 0 END)::BIGINT AS lc "
+            "FROM top GROUP BY shard), "
+            "cand AS (SELECT term, sum(c)::BIGINT AS doc_count FROM ret "
+            "GROUP BY term), "
+            "err AS (SELECT t.term, sum(CASE WHEN r.term IS NULL THEN l.lc "
+            "ELSE 0 END)::BIGINT AS bound FROM cand t CROSS JOIN lastc l "
+            "LEFT JOIN ret r ON r.shard = l.shard AND r.term = t.term "
+            "GROUP BY t.term) "
+            "SELECT c.term, c.doc_count, "
+            "e.bound AS doc_count_error_upper_bound "
+            "FROM cand c JOIN err e ON c.term = e.term "
+            "ORDER BY c.doc_count DESC, c.term LIMIT 10"
         ),
         "span_within_search": (
             # Lucene SpanWithinQuery: 'join' occurrences enclosed by a

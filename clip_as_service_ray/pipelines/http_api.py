@@ -228,6 +228,31 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
     return pa.table(cols)
 
 
+def _analyze_payload(payload: dict, default_analyzer: str | None) -> dict:
+    """ES ``_analyze`` API analog: run the engine's tokenize + analyzer fold
+    over the request text and return the surviving token stream. The
+    request may override the index's analyzer with its own ``analyzer``
+    field (the ES contract); positions number the surviving stream — the
+    exact numbering the positional index stores, so /analyze is a faithful
+    preview of what /index would emit. Mirrors the symmetric-analysis
+    contract of IndexReader._qtokens / PositionsReader.query_tokens."""
+    from clip_as_service_ray.functions.analyzers import fold_tokens
+    from clip_as_service_ray.functions.tokenizer import tokenize
+
+    text = str(payload.get("text", ""))
+    analyzer = payload.get("analyzer", default_analyzer)
+    analyzer = str(analyzer) if analyzer else None
+    toks = tokenize(text)
+    if analyzer:
+        toks = fold_tokens(analyzer, toks)
+    return {
+        "analyzer": analyzer or "standard",
+        "tokens": [
+            {"token": t, "position": i} for i, t in enumerate(toks)
+        ],
+    }
+
+
 def _expand_request_synonyms(payload: dict, analyzer: str | None) -> dict:
     """Per-request query-time synonyms WITHOUT a per-map actor pool: OR-mode
     expansion is a pure term-set union (query.py:336-353 — each analyzed
@@ -440,13 +465,25 @@ class SearchHTTPServer:
                     return
                 if self.path not in (
                     "/search", "/rank", "/encode", "/suggest", "/complete",
-                    "/explain",
+                    "/explain", "/analyze",
                 ):
                     self._send(404, {"error": f"unknown path {self.path}"})
                     return
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     payload = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/analyze":
+                        # ES _analyze analog: the index's tokenize + analyzer
+                        # fold chain applied to arbitrary text. Positions
+                        # number the SURVIVING stream (the same numbering the
+                        # positional index stores: stop-dropped tokens leave
+                        # no gaps).
+                        self._send(
+                            200,
+                            _analyze_payload(payload, stats.get("analyzer")),
+                        )
+                        metrics.inc("analyze_requests_total")
+                        return
                     if self.path in ("/suggest", "/complete"):
                         # query-assist over the index dictionary: did-you-mean
                         # (edit-distance + df prior) / prefix autocomplete
@@ -756,6 +793,14 @@ class SegmentedSearchHTTPServer:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     payload = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/analyze":
+                        # ES _analyze analog (see _analyze_payload)
+                        self._send(
+                            200,
+                            _analyze_payload(payload, outer.config.analyzer),
+                        )
+                        metrics.inc("analyze_requests_total")
+                        return
                     if self.path == "/index":
                         t0 = time.time()
                         with outer._write_lock:

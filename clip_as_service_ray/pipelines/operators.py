@@ -9893,3 +9893,233 @@ def span_containing_search(
             "first_pos": hits.column("first_pos"),
         }
     )
+
+
+def events_top_metrics(sf_dir: str):
+    """ES ``top_metrics`` aggregation (metric at the per-group sort
+    extremum, = arg_max): for each event_type, the value and event_id of
+    its LATEST event, ties broken by event_id ASC so both engines are
+    deterministic. Distributed argmax: each batch keeps one candidate row
+    per type (vectorized lexsort-first), the tiny partials merge with the
+    same rule — no sort of the raw table, no per-group materialization."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch.column("event_type").to_pylist(), dtype=object)
+        ts = batch.column("ts").cast(pa.int64()).to_numpy()
+        eid = batch.column("event_id").to_numpy()
+        val = batch.column("value").to_numpy()
+        order = np.lexsort((eid, -ts))  # ts DESC, event_id ASC
+        _types, first = np.unique(et[order], return_index=True)
+        pick = order[first]
+        return pa.table(
+            {
+                "event_type": pa.array(et[pick].tolist(), pa.string()),
+                "t": pa.array(ts[pick], pa.int64()),
+                "event_id": pa.array(eid[pick], pa.int64()),
+                "value": pa.array(val[pick], pa.float64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        ts = group.column("t").to_numpy()
+        eid = group.column("event_id").to_numpy()
+        i = int(np.lexsort((eid, -ts))[0])
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [group.column("event_type")[0].as_py()], pa.string()
+                ),
+                "latest_ts": pa.array([int(ts[i])], pa.timestamp("us")),
+                "event_id": pa.array([int(eid[i])], pa.int64()),
+                "value": pa.array(
+                    [float(group.column("value")[i].as_py())], pa.float64()
+                ),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts", "event_id", "value"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=4)
+        .map_groups(finalize, batch_format="pyarrow")
+        .sort("event_type")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "latest_ts": pa.array([], pa.timestamp("us")),
+                "event_id": pa.array([], pa.int64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    return t.select(["event_type", "latest_ts", "event_id", "value"])
+
+
+def terms_agg_sharded(
+    sf_dir: str, n_shards: int = 4, shard_size: int = 8, size: int = 10,
+):
+    """ES ``terms`` aggregation EXACTLY as a sharded cluster computes it,
+    including ``doc_count_error_upper_bound``: each shard (deterministic
+    doc_id % n_shards routing) returns only its top ``shard_size`` terms by
+    (doc count DESC, term ASC); the coordinator sums the RETURNED counts
+    per candidate term and, for every shard that did not return the term,
+    adds that shard's last-returned (rank shard_size) count to the term's
+    error bound — the documented ES approximation contract, reproduced
+    bit-for-bit in integers. The distributed piece is the per-(shard, term)
+    doc-count word-count shuffle (per-batch pre-agg partials); per-shard
+    tops are aggregate-sized."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _tokens_flat(batch)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        shard = (t.column("doc_id").to_numpy() % n_shards).astype(np.int64)
+        g = (
+            pa.table({"shard": pa.array(shard), "term": t.column("term")})
+            .group_by(["shard", "term"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "shard": g.column("shard"),
+                "term": g.column("term"),
+                "c": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    parts = (
+        _documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    sh = parts.groupby(["shard", "term"], as_index=False)["c"].sum()
+    returned = {}
+    last_c = {}
+    for s, grp in sh.groupby("shard"):
+        grp = grp.sort_values(["c", "term"], ascending=[False, True])
+        top = grp.head(shard_size)
+        returned[int(s)] = dict(zip(top["term"], top["c"].astype(int)))
+        last_c[int(s)] = (
+            int(top["c"].iloc[-1]) if len(grp) >= shard_size else 0
+        )
+    cand: dict[str, int] = {}
+    for s, tops in returned.items():
+        for term, c in tops.items():
+            cand[term] = cand.get(term, 0) + c
+    bounds = {
+        term: sum(
+            lc for s, lc in last_c.items() if term not in returned[s]
+        )
+        for term in cand
+    }
+    ordered = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:size]
+    return pa.table(
+        {
+            "term": pa.array([t for t, _ in ordered], pa.string()),
+            "doc_count": pa.array([c for _, c in ordered], pa.int64()),
+            "doc_count_error_upper_bound": pa.array(
+                [bounds[t] for t, _ in ordered], pa.int64()
+            ),
+        }
+    )
+
+
+def benchmark_contamination(sf_dir: str, n: int = 8, mod: int = 20):
+    """Benchmark-contamination check (the GPT-3 / Brown et al. 2020
+    appendix-C n-gram overlap protocol): the 'benchmark' set is the docs
+    with doc_id % mod == 0; every other doc reports how many of its n-token
+    shingles also occur in ANY benchmark doc. The benchmark gram set is a
+    one-time broadcast (``ray.put``; benchmark sets are tiny next to the
+    corpus), the corpus pass is one vectorized map_batches — shingles built
+    from n shifted Arrow slices, membership via one ``pc.is_in`` per batch,
+    per-doc totals via bincount. Exact string equality (no hashing), exact
+    integer counts."""
+    import ray
+    import ray.data
+
+    def grams_of(batch: pa.Table):
+        """(grams pa.StringArray, row index per gram) for complete n-grams."""
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        L = len(tokens)
+        n_rows = len(lens)
+        if L < n or n_rows == 0:
+            return None, None
+        row = np.repeat(np.arange(n_rows), lens)
+        ok = row[: L - n + 1] == row[n - 1:]
+        if not ok.any():
+            return None, None
+        okp = pa.array(ok)
+        slices = [tokens.slice(j, L - n + 1).filter(okp) for j in range(n)]
+        grams = pc.binary_join_element_wise(*slices, " ")
+        return grams, row[: L - n + 1][ok]
+
+    # ---- benchmark gram set (driver-side: the benchmark is tiny)
+    bench = _documents(sf_dir).map_batches(
+        lambda b: b.filter(pa.array((b.column("doc_id").to_numpy() % mod) == 0)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    bt = pa.table(
+        {"doc_id": pa.array(bench["doc_id"], pa.int64()),
+         "text": pa.array(bench["text"], pa.string())}
+    )
+    bgrams, _ = grams_of(bt)
+    if bgrams is None:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_shared": pa.array([], pa.int64())}
+        )
+    bset = pc.unique(
+        bgrams.combine_chunks() if isinstance(bgrams, pa.ChunkedArray) else bgrams
+    )
+    bref = ray.put(bset)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_shared": pa.array([], pa.int64())}
+        )
+        ids = batch.column("doc_id").to_numpy()
+        keep = (ids % mod) != 0
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return empty
+        grams, rows = grams_of(batch)
+        if grams is None:
+            return empty
+        hit = pc.is_in(grams, value_set=ray.get(bref)).to_numpy(
+            zero_copy_only=False
+        )
+        if not hit.any():
+            return empty
+        cnt = np.bincount(rows[hit], minlength=batch.num_rows)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"doc_id": pa.array(batch.column("doc_id").to_numpy()[nz], pa.int64()),
+             "n_shared": pa.array(cnt[nz].astype(np.int64), pa.int64())}
+        )
+
+    out = (
+        _documents(sf_dir)
+        .map_batches(scan, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+    t = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_shared": pa.array([], pa.int64())}
+        )
+    return t.select(["doc_id", "n_shared"])

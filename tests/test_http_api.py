@@ -751,3 +751,21 @@ def test_terms_set_mode_over_http(ray_session, tmp_path):
         assert {h["conv_id"] for h in hits} == {"convaa", "convac"}
     finally:
         srv.shutdown()
+
+
+def test_analyze_endpoint(server):
+    """ES _analyze analog: index-analyzer fold by default, per-request
+    analyzer override, surviving-stream positions (no stopword gaps)."""
+    srv, _ = server
+    out = _post(srv.url + "/analyze", {"text": "The Merge-Window's test"})
+    assert out["analyzer"] == "standard"
+    assert [t["token"] for t in out["tokens"]] == [
+        "the", "merge", "-", "window", "'s", "test"]
+    assert [t["position"] for t in out["tokens"]] == [0, 1, 2, 3, 4, 5]
+    # per-request analyzer override: stop drops 'the', stem folds suffixes,
+    # positions renumber the SURVIVORS (the positional-index numbering)
+    out = _post(srv.url + "/analyze",
+                {"text": "the merging windows", "analyzer": "stop+stem"})
+    assert out["analyzer"] == "stop+stem"
+    assert [(t["token"], t["position"]) for t in out["tokens"]] == [
+        ("merg", 0), ("window", 1)]
