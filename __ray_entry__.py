@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_metrics": ops.events_top_metrics,
         "terms_agg_sharded": ops.terms_agg_sharded,
         "benchmark_contamination": ops.benchmark_contamination,
+        "bm25_topk_fuzzy_transpositions": ops.bm25_topk_fuzzy_transpositions,
         "event_value_dense_rank": ops.event_value_dense_rank,
         "events_moving_avg": ops.events_moving_avg,
         "events_adjacency_matrix": ops.events_adjacency_matrix,
@@ -445,6 +446,27 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(dcg.nrel, 0)::DOUBLE / 10 AS p10 "
             "FROM qt q LEFT JOIN dcg ON q.query_id = dcg.query_id "
             "LEFT JOIN idcg ON q.query_id = idcg.query_id ORDER BY q.query_id"
+        ),
+        "bm25_topk_fuzzy_transpositions": (
+            # ES-default fuzziness: OSA distance (adjacent swap = 1 edit);
+            # DuckDB damerau_levenshtein == OSA over this vocabulary —
+            # 'lswo' reaches 'slow' (2 swaps) that levenshtein prices at 3
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "fz AS (SELECT DISTINCT term FROM tok "
+            "WHERE damerau_levenshtein(term, 'lswo') <= 2 "
+            "   OR damerau_levenshtein(term, 'mrege') <= 2), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN (SELECT term FROM fz) GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
         ),
         "benchmark_contamination": (
             # GPT-3 appendix-C contamination protocol: 8-gram overlap with

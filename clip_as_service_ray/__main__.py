@@ -59,6 +59,8 @@ def main(argv=None) -> int:
                    help="rank conversations by aggregating matching turns "
                         "(ES has_child score_mode)")
     s.add_argument("--fuzzy", type=int, default=0, help="edit-distance expansion")
+    s.add_argument("--fuzzy-transpositions", action="store_true",
+                   help="ES-default fuzziness metric: adjacent swap = 1 edit")
     s.add_argument(
         "--boosted", action="store_true",
         help="parse Lucene caret boosts in query text (merge^2 window)",
@@ -295,7 +297,9 @@ def main(argv=None) -> int:
             hits = search_table(
                 args.index_dir, queries, EngineConfig(limit=args.limit),
                 conjunctive=args.conjunctive, prefix=args.prefix,
-                fuzzy=args.fuzzy, synonyms=synonyms, delta=args.delta,
+                fuzzy=args.fuzzy,
+                fuzzy_transpositions=args.fuzzy_transpositions,
+                synonyms=synonyms, delta=args.delta,
                 boosted=args.boosted, min_match=args.min_match,
                 collapse=args.collapse, suffix=args.suffix, regex=args.regex,
                 term_range=args.term_range, block_join=args.block_join,

@@ -10123,3 +10123,35 @@ def benchmark_contamination(sf_dir: str, n: int = 8, mod: int = 20):
              "n_shared": pa.array([], pa.int64())}
         )
     return t.select(["doc_id", "n_shared"])
+
+
+def bm25_topk_fuzzy_transpositions(
+    sf_dir: str, text: str = "lswo mrege", max_dist: int = 2, limit: int = 10,
+):
+    """ES-default fuzziness (Lucene FuzzyQuery ``transpositions=true``):
+    expansion uses optimal-string-alignment distance, where an adjacent
+    character swap costs ONE edit — 'lswo' reaches 'slow' at distance 2
+    (two swaps) which plain Levenshtein prices at 3, so the expansion SET
+    differs from the levenshtein mode, not just the distances. SQL twin
+    expands with DuckDB's damerau_levenshtein (== OSA over this vocab)."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([text]),
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    hits = search_table(
+        index_dir, queries, cfg, fuzzy=max_dist, fuzzy_transpositions=True
+    )
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )

@@ -36,6 +36,7 @@ def search(
     decay: dict | None = None,
     boosting: float | None = None,
     terms_set: str | None = None,
+    fuzzy_transpositions: bool = False,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -61,6 +62,7 @@ def search(
             "conjunctive": conjunctive,
             "prefix": prefix,
             "fuzzy": fuzzy,
+            "fuzzy_transpositions": fuzzy_transpositions,
             "synonyms": synonyms,
             "delta": delta,
             "boosted": boosted,
@@ -100,12 +102,14 @@ def search_table(
     decay: dict | None = None,
     boosting: float | None = None,
     terms_set: str | None = None,
+    fuzzy_transpositions: bool = False,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
     ds = search(
         index_dir, queries, config,
         conjunctive=conjunctive, prefix=prefix, fuzzy=fuzzy,
+        fuzzy_transpositions=fuzzy_transpositions,
         synonyms=synonyms, delta=delta, boosted=boosted, min_match=min_match,
         collapse=collapse, suffix=suffix, regex=regex, term_range=term_range,
         block_join=block_join, decay=decay, boosting=boosting,

@@ -415,6 +415,40 @@ def _levenshtein_capped(a: str, b: str, cap: int) -> int:
     return int(prev[-1])
 
 
+def _osa_capped(a: str, b: str, cap: int) -> int:
+    """Banded optimal-string-alignment distance (restricted
+    Damerau-Levenshtein — the Lucene/ES ``fuzziness`` metric with
+    ``transpositions=true``: an adjacent transposition costs ONE edit).
+    Same row DP + min-accumulate insertion-chain trick as
+    ``_levenshtein_capped``, plus the ``d[i-2][j-2] + 1`` transposition
+    candidate where a[i-1]==b[j-2] and a[i-2]==b[j-1]; early abandon when a
+    whole row exceeds ``cap``."""
+    if a == b:
+        return 0
+    na, nb = len(a), len(b)
+    if abs(na - nb) > cap:
+        return cap + 1
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    aa = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    idx = np.arange(nb + 1)
+    prev = idx.copy()
+    prev2 = None
+    for i in range(1, na + 1):
+        sub = prev[:-1] + (bb != aa[i - 1])
+        cand = np.minimum(prev[1:] + 1, sub)
+        if i >= 2 and nb >= 2:
+            m = (bb[:-1] == aa[i - 1]) & (bb[1:] == aa[i - 2])
+            cand[1:] = np.minimum(
+                cand[1:], np.where(m, prev2[:-2] + 1, cap + 2)
+            )
+        full = np.concatenate(([i], cand))
+        new = np.minimum.accumulate(full - idx) + idx
+        if new.min() > cap:
+            return cap + 1
+        prev2, prev = prev, new
+    return int(prev[-1])
+
+
 def _edit_band_pairs(max_dist: int):
     """Group UDF factory: one length band -> verified near-dup pairs.
 

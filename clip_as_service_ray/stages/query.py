@@ -1322,20 +1322,29 @@ class IndexReader:
             return self._score_dense(present, limit, n_slots, exclude=excl, doc_range=doc_range)
         return self._score_dense_chunked(present, limit, n_slots, exclude=excl, doc_range=doc_range)
 
-    def expand_fuzzy(self, term: str, max_dist: int = 2) -> list[str]:
+    def expand_fuzzy(
+        self, term: str, max_dist: int = 2, transpositions: bool = False
+    ) -> list[str]:
         """Fuzzy expansion: every vocabulary term within ``max_dist`` edits
-        (Lucene fuzzy-query analog). Length pruning before the capped-DP
-        verify; the sandbox vocabulary scans in one pass — at 10^8-term
-        vocabularies the scan shards trivially (the dictionary is already a
-        distributed table) or gates behind an n-gram index."""
-        from clip_as_service_ray.stages.dedup import _levenshtein_capped
+        (Lucene fuzzy-query analog). ``transpositions=True`` switches to the
+        ES-default metric (optimal string alignment: an adjacent swap costs
+        one edit) — Lucene ``FuzzyQuery(transpositions=true)``. Length
+        pruning before the capped-DP verify; the sandbox vocabulary scans
+        in one pass — at 10^8-term vocabularies the scan shards trivially
+        (the dictionary is already a distributed table) or gates behind an
+        n-gram index."""
+        from clip_as_service_ray.stages.dedup import (
+            _levenshtein_capped,
+            _osa_capped,
+        )
 
+        dist = _osa_capped if transpositions else _levenshtein_capped
         lt = len(term)
         out = []
         for t in self._terms_sorted:
             if abs(len(t) - lt) > max_dist:
                 continue
-            if _levenshtein_capped(term, t, max_dist) <= max_dist:
+            if dist(term, t, max_dist) <= max_dist:
                 out.append(t)
         return out
 
@@ -1381,15 +1390,16 @@ class IndexReader:
 
     def score_query_fuzzy(
         self, text: str, limit: int, max_dist: int = 2, exclude_text: str = "",
-        doc_range=None,
+        doc_range=None, transpositions: bool = False,
     ) -> tuple[np.ndarray, np.ndarray]:
         """BM25 top-k where EACH query token expands to its fuzzy vocabulary
         neighborhood; the union of expansions scores with per-term idf in
         the canonical sorted order. ``exclude_text`` filters NOT-docs before
-        top-k (fuzzy-NOT; the exclusion side is NOT fuzzy-expanded)."""
+        top-k (fuzzy-NOT; the exclusion side is NOT fuzzy-expanded).
+        ``transpositions`` selects the ES-default OSA metric."""
         present: set[str] = set()
         for tok in set(self._qtokens(text)):
-            present.update(self.expand_fuzzy(tok, max_dist))
+            present.update(self.expand_fuzzy(tok, max_dist, transpositions))
         terms = sorted(present)
         if not terms:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
@@ -1634,6 +1644,7 @@ class QueryScorer:
         decay: dict | None = None,
         boosting: float | None = None,
         terms_set: str | None = None,
+        fuzzy_transpositions: bool = False,
     ):
         if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match,
                           collapse, suffix, regex, term_range,
@@ -1702,8 +1713,11 @@ class QueryScorer:
         # terms_set: doc-values field holding each doc's OWN
         # minimum_should_match floor (ES minimum_should_match_field)
         self.terms_set = terms_set
-        # fuzzy > 0: each token expands to its edit-distance neighborhood
+        # fuzzy > 0: each token expands to its edit-distance neighborhood;
+        # fuzzy_transpositions selects the ES-default OSA metric (adjacent
+        # swap = 1 edit, Lucene FuzzyQuery transpositions=true)
         self.fuzzy = int(fuzzy)
+        self.fuzzy_transpositions = bool(fuzzy_transpositions)
         # boosted: query text carries Lucene caret boosts ("merge^2 window")
         self.boosted = boosted
         # min_match > 0: minimum_should_match floor on distinct matched terms
@@ -1900,10 +1914,11 @@ class QueryScorer:
         elif self.collapse:
             score_fn = self.reader.score_query_collapse
         elif self.fuzzy:
-            def score_fn(text, limit, exclude_text="", doc_range=None, _d=self.fuzzy):
+            def score_fn(text, limit, exclude_text="", doc_range=None,
+                         _d=self.fuzzy, _tr=self.fuzzy_transpositions):
                 return self.reader.score_query_fuzzy(
                     text, limit, max_dist=_d, exclude_text=exclude_text,
-                    doc_range=doc_range,
+                    doc_range=doc_range, transpositions=_tr,
                 )
         else:
             def score_fn(text, limit, exclude_text="", doc_range=None,

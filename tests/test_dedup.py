@@ -256,3 +256,41 @@ def test_dup_span_coverage_vs_bruteforce(ray_session):
         if covered:
             want[d] = len(covered)
     assert got == want and len(want) > 5
+
+
+def test_osa_capped_contract_fuzz():
+    """_osa_capped == the classic OSA DP whenever the true distance <= cap,
+    and returns > cap otherwise (the only contract callers rely on); also
+    the transposition cases plain Levenshtein prices higher."""
+    import numpy as np
+
+    from clip_as_service_ray.stages.dedup import _levenshtein_capped, _osa_capped
+
+    def osa_ref(a, b):
+        la, lb = len(a), len(b)
+        d = [[0] * (lb + 1) for _ in range(la + 1)]
+        for i in range(la + 1):
+            d[i][0] = i
+        for j in range(lb + 1):
+            d[0][j] = j
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                c = 0 if a[i - 1] == b[j - 1] else 1
+                d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + c)
+                if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                        and a[i - 2] == b[j - 1]):
+                    d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+        return d[la][lb]
+
+    rng = np.random.default_rng(13)
+    for _ in range(1500):
+        a = "".join(rng.choice(list("abcd"), rng.integers(0, 9)))
+        b = "".join(rng.choice(list("abcd"), rng.integers(0, 9)))
+        for cap in (1, 2, 3):
+            ref = osa_ref(a, b)
+            got = _osa_capped(a, b, cap)
+            assert got == ref if ref <= cap else got > cap
+    # the ES-default metric: one adjacent swap = 1 edit
+    assert _osa_capped("lswo", "slow", 2) == 2
+    assert _levenshtein_capped("lswo", "slow", 2) == 3  # > cap
+    assert _osa_capped("mrege", "merge", 2) == 1
