@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_agg_sharded": ops.terms_agg_sharded,
         "benchmark_contamination": ops.benchmark_contamination,
         "bm25_topk_fuzzy_transpositions": ops.bm25_topk_fuzzy_transpositions,
+        "embedding_matrix_stats": ops.embedding_matrix_stats,
         "event_value_dense_rank": ops.event_value_dense_rank,
         "events_moving_avg": ops.events_moving_avg,
         "events_adjacency_matrix": ops.events_adjacency_matrix,
@@ -393,6 +394,35 @@ def _dcg_chain_sql(agg_prefix: str) -> str:
     return " + ".join(terms)
 
 
+def _matrix_stats_sql(dims: int = 4) -> str:
+    """ES matrix_stats twin: moment sums + the exact cov/corr expression
+    chain the engine computes (operators.embedding_matrix_stats)."""
+    xs = ", ".join(
+        f"embedding[{i + 1}]::DOUBLE AS x{i}" for i in range(dims)
+    )
+    sums = ", ".join(f"sum(x{i}) AS sx{i}" for i in range(dims))
+    pairs = [(i, j) for i in range(dims) for j in range(i, dims)]
+    crosses = ", ".join(
+        f"sum(x{i} * x{j}) AS s{i}_{j}" for i, j in pairs
+    )
+
+    def cov(i, j):
+        return f"((s{i}_{j} - sx{i} * sx{j} / n) / (n - 1))"
+
+    rows = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS di, {j}::BIGINT AS dj, "
+        f"round({cov(i, j)}, 6)::DOUBLE AS cov, "
+        f"round({cov(i, j)} / sqrt({cov(i, i)} * {cov(j, j)}), 6)::DOUBLE "
+        f"AS corr FROM m"
+        for i, j in pairs
+    )
+    return (
+        f"WITH e AS (SELECT {xs} FROM embeddings), "
+        f"m AS (SELECT count(*)::DOUBLE AS n, {sums}, {crosses} FROM e) "
+        f"SELECT * FROM ({rows}) ORDER BY di, dj"
+    )
+
+
 _RANK_EVAL_QT = (
     "qt(query_id, qterm, iterm) AS (VALUES "
     "(0, 'merge', 'sort'), (1, 'window', 'scan'), (2, 'hash', 'join'), "
@@ -447,6 +477,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM qt q LEFT JOIN dcg ON q.query_id = dcg.query_id "
             "LEFT JOIN idcg ON q.query_id = idcg.query_id ORDER BY q.query_id"
         ),
+        "embedding_matrix_stats": _matrix_stats_sql(4),
         "bm25_topk_fuzzy_transpositions": (
             # ES-default fuzziness: OSA distance (adjacent swap = 1 edit);
             # DuckDB damerau_levenshtein == OSA over this vocabulary —
@@ -1475,14 +1506,19 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY doc_id DESC LIMIT 10"
         ),
         "doc_term_vectors": (
-            # ES _termvectors analog: one doc's (term, tf, df)
-            "WITH tok AS (" + _TOK + "), "
-            "d AS (SELECT term, count(*)::BIGINT AS tf FROM tok "
-            "      WHERE doc_id = 42 GROUP BY term), "
+            # ES _termvectors analog: one doc's (term, tf, df) rows plus
+            # comma-joined token positions
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "unnest(range(len(ts))) AS pos "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents)), "
+            "d AS (SELECT term, count(*)::BIGINT AS tf, "
+            "string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions "
+            "FROM tok WHERE doc_id = 42 GROUP BY term), "
             "dfx AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df "
             "        FROM tok GROUP BY term) "
-            "SELECT d.term, d.tf, dfx.df FROM d JOIN dfx USING (term) "
-            "ORDER BY d.term"
+            "SELECT d.term, d.tf, dfx.df, d.positions FROM d "
+            "JOIN dfx USING (term) ORDER BY d.term"
         ),
         "bm25_topk_segmented": (  # same oracle: segmented == one-shot
             "WITH tok AS (" + _TOK + "), "

@@ -7439,8 +7439,8 @@ def bm25_topk_rescored(sf_dir: str, terms=BM25_QUERY_TERMS,
 
 def doc_term_vectors(sf_dir: str, doc_id: int = 42):
     """The ES/Lucene _termvectors API analog: one doc's (term, tf, df)
-    triples — tf from analyzing the document, df from the index dictionary
-    via predicate-pushdown (only this doc's vocabulary leaves storage,
+    rows with token positions — tf/positions from analyzing the document,
+    df from the index dictionary via predicate-pushdown (only this doc's vocabulary leaves storage,
     the more_like_this access path). Ordered by term."""
     import pyarrow.dataset as pads
     import pyarrow.parquet as pq
@@ -7458,6 +7458,9 @@ def doc_term_vectors(sf_dir: str, doc_id: int = 42):
     ).take(1)
     toks = tokenize(row[0]["text"])
     terms, tfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    pos_by_term = {}
+    for p_, t_ in enumerate(toks):
+        pos_by_term.setdefault(t_, []).append(p_)
     dict_tbl = pq.read_table(
         os.path.join(index_dir, "dictionary"),
         filters=[("term", "in", terms.tolist())],
@@ -7471,7 +7474,10 @@ def doc_term_vectors(sf_dir: str, doc_id: int = 42):
     return pa.table(
         {"term": pa.array(terms.astype(str), pa.string()),
          "tf": pa.array(tfs.astype(np.int64), pa.int64()),
-         "df": pa.array(df, pa.int64())}
+         "df": pa.array(df, pa.int64()),
+         "positions": pa.array(
+             [",".join(map(str, pos_by_term[t])) for t in terms], pa.string()
+         )}
     )
 
 
@@ -10155,3 +10161,66 @@ def bm25_topk_fuzzy_transpositions(
     return pa.table(
         {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
     )
+
+
+def embedding_matrix_stats(sf_dir: str, dims: int = 4):
+    """ES ``matrix_stats`` aggregation over the first ``dims`` embedding
+    components: pairwise sample covariance and correlation from ONE
+    distributed moment pass — each batch emits 1 + dims + dims*(dims+1)/2
+    scalars (n, sums, cross-products), nothing else leaves the workers.
+    Final formulas use the exact expression chain the SQL twin spells out
+    (cov = (sxy - sx*sy/n) / (n-1); corr = cov / sqrt(cov_ii * cov_jj)),
+    rounded to 6 decimals on both sides (the moment-partial float-parity
+    pattern of events_t_test / lineitem_correlations)."""
+    import ray.data
+
+    D = dims
+    pairs = [(i, j) for i in range(D) for j in range(i, D)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = np.array(
+            batch.column("embedding").to_pylist(), dtype=np.float64
+        )[:, :D]
+        n = float(len(emb))
+        sx = emb.sum(axis=0)
+        cross = emb.T @ emb
+        vals = [n] + sx.tolist() + [cross[i, j] for i, j in pairs]
+        return pa.table({"v": pa.array(vals, pa.float64())})
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()["v"]
+        .to_numpy()
+        .reshape(-1, 1 + D + len(pairs))
+        .sum(axis=0)
+    )
+    n = parts[0]
+    sx = parts[1 : 1 + D]
+    s = {}
+    for k, (i, j) in enumerate(pairs):
+        s[(i, j)] = parts[1 + D + k]
+    cov = {
+        (i, j): (s[(i, j)] - sx[i] * sx[j] / n) / (n - 1.0) for i, j in pairs
+    }
+    out_i, out_j, out_cov, out_corr = [], [], [], []
+    for i, j in pairs:
+        out_i.append(i)
+        out_j.append(j)
+        out_cov.append(float(np.round(cov[(i, j)], 6)))
+        out_corr.append(
+            float(np.round(
+                cov[(i, j)] / np.sqrt(cov[(i, i)] * cov[(j, j)]), 6
+            ))
+        )
+    return pa.table(
+        {
+            "di": pa.array(out_i, pa.int64()),
+            "dj": pa.array(out_j, pa.int64()),
+            "cov": pa.array(out_cov, pa.float64()),
+            "corr": pa.array(out_corr, pa.float64()),
+        }
+    )
+

@@ -116,3 +116,31 @@ def test_topk_indices_tiebreak():
     docs = np.array([9, 7, 3, 1])
     idx = bm25.topk_indices(scores, docs, 3)
     assert list(docs[idx]) == [3, 7, 9]
+
+
+def test_board_has_no_duplicate_keys():
+    """queries()/oracle_sql() are dict LITERALS: a re-added name silently
+    overrides the earlier entry (this session re-invented doc_term_vectors
+    before catching it) — pin zero duplicates and twin-key consistency."""
+    import ast
+    import collections
+
+    src = open("/root/repo/__ray_entry__.py").read()
+    tree = ast.parse(src)
+    sizes = {}
+    for fn in [n for n in ast.walk(tree)
+               if isinstance(n, ast.FunctionDef)
+               and n.name in ("queries", "oracle_sql")]:
+        for node in ast.walk(fn):
+            if isinstance(node, ast.Dict):
+                keys = [k.value for k in node.keys
+                        if isinstance(k, ast.Constant)]
+                if len(keys) > 50:  # the board dict, not helper literals
+                    dups = [k for k, c in collections.Counter(keys).items()
+                            if c > 1]
+                    assert dups == [], f"{fn.name} duplicate keys: {dups}"
+                    sizes[fn.name] = set(keys)
+    assert sizes["oracle_sql"] <= sizes["queries"], (
+        "oracle_sql keys missing from queries(): "
+        f"{sorted(sizes['oracle_sql'] - sizes['queries'])}"
+    )
