@@ -179,6 +179,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the round-3 batch), entries hash-green in CORRECTNESS_r02 are
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
+        "lm_dirichlet_topk": ops.lm_dirichlet_topk,
+        "lm_jelinek_mercer_topk": ops.lm_jelinek_mercer_topk,
+        "tfidf_topk": ops.tfidf_topk,
+        "boolean_topk": ops.boolean_topk,
         "search_rank_eval": ops.search_rank_eval,
         "span_within_search": ops.span_within_search,
         "span_containing_search": ops.span_containing_search,
@@ -1061,6 +1065,70 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS dl FROM documents) "
             "SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6)::DOUBLE AS avgdl "
             "FROM dl WHERE dl > 0"
+        ),
+        "lm_dirichlet_topk": (
+            # LM Dirichlet similarity (mu=2000): per-posting
+            # max(ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)), 0) with
+            # p = ctf / (N * avgdl) — exact expression order of
+            # functions/bm25.py::alt_term_scores
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "ctf AS (SELECT term, count(*)::DOUBLE AS ctf FROM tok "
+            "        WHERE term IN ('merge', 'window') GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(greatest(ln(1 + tf.tf / (2000.0 * (ctf.ctf / (s.n * s.avgdl)))) "
+            "      + ln(2000.0 / (dl.dl + 2000.0)), 0)) AS score "
+            "  FROM tf JOIN ctf USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "lm_jelinek_mercer_topk": (
+            # LM Jelinek-Mercer (lambda=0.1):
+            # ln(1 + ((1-lambda)*(tf/dl)) / (lambda*p)), p = ctf/(N*avgdl)
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "ctf AS (SELECT term, count(*)::DOUBLE AS ctf FROM tok "
+            "        WHERE term IN ('merge', 'window') GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + ((1.0 - 0.1) * (tf.tf / dl.dl)) "
+            "      / (0.1 * (ctf.ctf / (s.n * s.avgdl))))) AS score "
+            "  FROM tf JOIN ctf USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "tfidf_topk": (
+            # Lucene ClassicSimilarity: sqrt(tf) * idf^2 / sqrt(dl),
+            # idf = 1 + ln(N / (df+1))
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(sqrt(tf.tf) * ((1 + ln(s.n / (df.df + 1))) "
+            "      * (1 + ln(s.n / (df.df + 1)))) / sqrt(dl.dl)) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "boolean_topk": (
+            # Lucene BooleanSimilarity: 1.0 per matched term
+            "WITH tok AS (" + _TOK + "), "
+            "tf AS (SELECT DISTINCT doc_id, term FROM tok "
+            "       WHERE term IN ('merge', 'window')) "
+            "SELECT doc_id, round(sum(1.0), 6)::DOUBLE AS score FROM tf "
+            "GROUP BY doc_id "
+            "ORDER BY score DESC, doc_id ASC LIMIT 10"
         ),
         "bm25_topk": (
             "WITH tok AS (" + _TOK + "), "

@@ -97,6 +97,17 @@ def main(argv=None) -> int:
         "0 = classic BM25",
     )
     s.add_argument(
+        "--similarity", default="bm25",
+        choices=["bm25", "lmdirichlet", "lmjm", "tfidf", "boolean"],
+        help="similarity module (Lucene/ES `similarity` setting); non-BM25 "
+             "kernels score via the exact dense path",
+    )
+    s.add_argument(
+        "--sim-param", type=float, default=None,
+        help="similarity parameter: mu for lmdirichlet (default 2000), "
+             "lambda for lmjm (default 0.1)",
+    )
+    s.add_argument(
         "--negative-boost", type=float, default=None,
         help="ES boosting query (soft NOT): demote docs matching each "
         "query's `negative` column text by this multiplier before top-k",
@@ -306,6 +317,7 @@ def main(argv=None) -> int:
                 decay=json.loads(args.decay) if args.decay else None,
                 boosting=args.negative_boost,
                 terms_set=args.terms_set_field,
+                similarity=args.similarity, sim_param=args.sim_param,
             )
             if args.out:
                 pq.write_table(hits, args.out)

@@ -63,6 +63,64 @@ def term_scores(
     )
 
 
+#: similarity modules selectable at query time (the Lucene/ES
+#: ``similarity`` setting). Same index artifact — every kernel consumes the
+#: identical (tf, dl, df, ctf, N, avgdl) statistics the postings already
+#: carry; only the per-posting formula changes.
+SIMILARITIES = ("bm25", "lmdirichlet", "lmjm", "tfidf", "boolean")
+
+
+def alt_term_scores(
+    kind: str,
+    tf: np.ndarray,
+    dl: np.ndarray,
+    df: int,
+    ctf: float,
+    n_docs: int,
+    avgdl: float,
+    param: float | None = None,
+) -> np.ndarray:
+    """Per-posting scores for one term under an ALTERNATIVE similarity.
+
+    Formulas (float64; expression order is the parity contract with the SQL
+    oracle — ``np.log(1.0 + x)`` deliberately instead of ``np.log1p`` so the
+    engine and DuckDB's ``ln(1 + x)`` agree bitwise):
+
+    - ``lmdirichlet`` (Zhai & Lafferty 2004; Lucene LMDirichletSimilarity,
+      ``param`` = mu, default 2000): with p = ctf / (N * avgdl),
+      ``max(ln(1 + tf/(mu*p)) + ln(mu/(dl+mu)), 0)`` — the clamp is
+      Lucene's non-negative-score contract.
+    - ``lmjm`` (Jelinek-Mercer smoothing; Lucene LMJelinekMercerSimilarity,
+      ``param`` = lambda, default 0.1):
+      ``ln(1 + ((1-lambda) * (tf/dl)) / (lambda * p))`` (always >= 0).
+    - ``tfidf`` (Lucene ClassicSimilarity): ``sqrt(tf) * idf^2 / sqrt(dl)``
+      with ``idf = 1 + ln(N / (df+1))`` — tf sqrt-damped, idf squared (once
+      as queryNorm, once as docNorm), 1/sqrt(dl) the classic lengthNorm.
+    - ``boolean`` (Lucene BooleanSimilarity): 1.0 per matched term.
+
+    ``ctf`` is the collection term frequency (sum of this term's tfs) and
+    ``N * avgdl`` the collection token count — both derivable from the
+    existing postings + stats without a new index artifact.
+    """
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    if kind == "lmdirichlet":
+        mu = 2000.0 if param is None else float(param)
+        p = float(ctf) / (n_docs * avgdl)
+        s = np.log(1.0 + tf / (mu * p)) + np.log(mu / (dl + mu))
+        return np.maximum(s, 0.0)
+    if kind == "lmjm":
+        lam = 0.1 if param is None else float(param)
+        p = float(ctf) / (n_docs * avgdl)
+        return np.log(1.0 + ((1.0 - lam) * (tf / dl)) / (lam * p))
+    if kind == "tfidf":
+        i = 1.0 + np.log(n_docs / (float(df) + 1.0))
+        return np.sqrt(tf) * (i * i) / np.sqrt(dl)
+    if kind == "boolean":
+        return np.ones(len(tf), dtype=np.float64)
+    raise ValueError(f"unknown similarity {kind!r}; pick one of {SIMILARITIES}")
+
+
 def block_max_score(
     tf: np.ndarray,
     dl: np.ndarray,

@@ -380,10 +380,17 @@ def _mode_key(payload: dict) -> tuple | None:
         # synonym maps stay server-level: an unbounded per-request dict
         # would leak one pool per distinct map)
         return ("delta", float(payload.get("delta", 1.0)))
+    if mode == "similarity":
+        # per-request similarity module (lmdirichlet/lmjm/tfidf/boolean):
+        # one lazy pool per distinct (kind, param); LM kernels are rejected
+        # by the service on multi-segment roots (shard-local ctf)
+        p = payload.get("sim_param")
+        return ("similarity", str(payload.get("similarity", "tfidf")),
+                None if p is None else float(p))
     raise ValueError(
         f"unknown mode {mode!r} "
         "(conjunctive|prefix|suffix|regex|term_range|block_join|decay|"
-        "fuzzy|boosted|msm|collapse|bm25plus|boosting|terms_set)"
+        "fuzzy|boosted|msm|collapse|bm25plus|boosting|terms_set|similarity)"
     )
 
 
@@ -892,8 +899,12 @@ class SegmentedSearchHTTPServer:
                                 with outer._write_lock:  # single spawner
                                     svc = outer._mode_svcs.get(key)
                                     if svc is None:
-                                        kw = {key[0]: (dict(key[1]) if key[0] == "decay"
-                                                       else key[1] if len(key) > 1 else True)}
+                                        if key[0] == "similarity":
+                                            kw = {"similarity": key[1],
+                                                  "sim_param": key[2]}
+                                        else:
+                                            kw = {key[0]: (dict(key[1]) if key[0] == "decay"
+                                                           else key[1] if len(key) > 1 else True)}
                                         svc = SegmentedQueryService(
                                             outer.index_root, outer.config,
                                             num_cpus=0, **kw,

@@ -230,6 +230,52 @@ def bm25_topk(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
     )
 
 
+def similarity_topk(
+    sf_dir: str, similarity: str, sim_param: float | None = None,
+    terms=BM25_QUERY_TERMS, limit: int = 10,
+):
+    """Top-k over `documents` under an ALTERNATIVE similarity module (the
+    Lucene/ES per-index ``similarity`` setting: lmdirichlet / lmjm / tfidf /
+    boolean) — same cached index artifact as ``bm25_topk``, only the
+    query-time kernel changes (``functions/bm25.py::alt_term_scores``).
+    The SQL twin recomputes the exact kernel expression per posting."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(
+        index_dir, queries, cfg, similarity=similarity, sim_param=sim_param
+    )
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )
+
+
+def lm_dirichlet_topk(sf_dir: str):
+    return similarity_topk(sf_dir, "lmdirichlet")
+
+
+def lm_jelinek_mercer_topk(sf_dir: str):
+    return similarity_topk(sf_dir, "lmjm")
+
+
+def tfidf_topk(sf_dir: str):
+    return similarity_topk(sf_dir, "tfidf")
+
+
+def boolean_topk(sf_dir: str):
+    return similarity_topk(sf_dir, "boolean")
+
+
 def bm25_topk_filtered(
     sf_dir: str, terms=BM25_QUERY_TERMS, prefix: str = "doc-0000000000",
     limit: int = 10,

@@ -37,6 +37,8 @@ def search(
     boosting: float | None = None,
     terms_set: str | None = None,
     fuzzy_transpositions: bool = False,
+    similarity: str = "bm25",
+    sim_param: float | None = None,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -75,6 +77,8 @@ def search(
             "decay": decay,
             "boosting": boosting,
             "terms_set": terms_set,
+            "similarity": similarity,
+            "sim_param": sim_param,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -103,6 +107,8 @@ def search_table(
     boosting: float | None = None,
     terms_set: str | None = None,
     fuzzy_transpositions: bool = False,
+    similarity: str = "bm25",
+    sim_param: float | None = None,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
@@ -113,7 +119,7 @@ def search_table(
         synonyms=synonyms, delta=delta, boosted=boosted, min_match=min_match,
         collapse=collapse, suffix=suffix, regex=regex, term_range=term_range,
         block_join=block_join, decay=decay, boosting=boosting,
-        terms_set=terms_set,
+        terms_set=terms_set, similarity=similarity, sim_param=sim_param,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

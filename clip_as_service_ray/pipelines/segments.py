@@ -221,6 +221,8 @@ class SegmentedQueryService(ScatterQueryService):
         decay: dict | None = None,
         boosting: float | None = None,
         terms_set: str | None = None,
+        similarity: str = "bm25",
+        sim_param: float | None = None,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -249,6 +251,8 @@ class SegmentedQueryService(ScatterQueryService):
             terms_set=terms_set,
             synonyms=synonyms,
             delta=delta,
+            similarity=similarity,
+            sim_param=sim_param,
             num_cpus=num_cpus,
         )
 

@@ -198,12 +198,24 @@ class ScatterQueryService:
         decay: dict | None = None,
         boosting: float | None = None,
         terms_set: str | None = None,
+        similarity: str = "bm25",
+        sim_param: float | None = None,
         num_cpus: float = 1,
     ):
         import ray
 
         from clip_as_service_ray.stages.query import QueryScorer
 
+        # LM similarities score with the term's COLLECTION frequency (ctf),
+        # which each shard derives from its OWN postings — correct only when
+        # one shard holds the whole collection. df/N/avgdl-only kernels
+        # (tfidf, boolean) use the union global_stats and stay shard-safe.
+        if similarity in ("lmdirichlet", "lmjm") and len(index_dirs) > 1:
+            raise ValueError(
+                f"similarity {similarity!r} needs union collection term "
+                "frequencies; multi-shard scatter would use shard-local ctf "
+                "(merge segments first, or use tfidf/boolean/bm25)"
+            )
         self.config = config
         # deleted conv_ids filtered at query time (segment tombstones);
         # shards are over-asked by the number of tombstoned DOCS (turns) so
@@ -264,6 +276,8 @@ class ScatterQueryService:
                 synonyms=synonyms,
                 query_cache_size=config.query_cache_size,
                 delta=delta,
+                similarity=similarity,
+                sim_param=sim_param,
             )
             for d in index_dirs
         ]

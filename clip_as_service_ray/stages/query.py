@@ -90,6 +90,13 @@ class IndexReader:
         # the undeltaed form; set per QUERY POOL (the idf-free tf_norm
         # block cache stays variant-independent, only the multiply changes)
         self.delta = 0.0
+        # similarity module (Lucene/ES `similarity` setting): "bm25"
+        # (default) or one of bm25.SIMILARITIES. Non-BM25 kernels need raw
+        # (tf, dl) + per-term ctf, so they score via the full-decode path
+        # (term_docs_scores) and the pruned path falls back to exact —
+        # term_upper_bound envelopes are BM25-shaped. Set per QUERY POOL.
+        self.similarity = "bm25"
+        self.sim_param: float | None = None
 
         dict_path = os.path.join(index_dir, "dictionary")
         if global_stats is not None:
@@ -274,6 +281,11 @@ class IndexReader:
         if rows is None or len(cand) == 0:
             return out
         hit = self._score_cache.get(term)
+        if hit is None and self.similarity != "bm25":
+            # alt-similarity kernels need the term's ctf, so the lazy
+            # block path (idf-free tf_norm cache) cannot produce them:
+            # score via the full decode instead (cached when it fits)
+            hit = self.term_docs_scores(term)
         if hit is not None:  # already fully decoded+scored: no block work
             docs_t, scores_t = hit
             pos = np.searchsorted(docs_t, cand)
@@ -301,6 +313,8 @@ class IndexReader:
         if rows is None:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
         hit = self._score_cache.get(term)
+        if hit is None and self.similarity != "bm25":
+            hit = self.term_docs_scores(term)  # alt kernels need ctf
         if hit is not None:
             docs_t, scores_t = hit
             a = int(np.searchsorted(docs_t, c0))
@@ -518,10 +532,19 @@ class IndexReader:
                 f"corrupt or partially-built index at {self.index_dir}"
             )
         df = int(df_val)
-        scores = bm25.term_scores(
-            tfs, dls, df, self.n_docs, self.avgdl, k1=self.k1, b=self.b,
-            delta=self.delta,
-        )
+        if self.similarity != "bm25":
+            # ctf = collection term frequency: exact integer sum of this
+            # term's tfs — the one extra statistic the LM kernels need,
+            # derived from the postings just decoded (no new artifact)
+            scores = bm25.alt_term_scores(
+                self.similarity, tfs, dls, df, float(tfs.sum()),
+                self.n_docs, self.avgdl, param=self.sim_param,
+            )
+        else:
+            scores = bm25.term_scores(
+                tfs, dls, df, self.n_docs, self.avgdl, k1=self.k1, b=self.b,
+                delta=self.delta,
+            )
         if self._cached_postings + len(docs) <= self._cache_cap:
             self._score_cache[term] = (docs, scores)
             self._cached_postings += len(docs)
@@ -1553,6 +1576,11 @@ class IndexReader:
           end by re-scoring the final k docs exactly, so floats match the
           exact path bit-for-bit.
         """
+        if self.similarity != "bm25":
+            # upper bounds (idf * max_tf_norm envelopes) are BM25-shaped:
+            # under an alternative similarity the pruning math would
+            # under-bound, so fall back to the exact dense path
+            return self.score_query(text, limit)
         terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
         present = [t for t in terms if t in self._term_blocks]
         if not present:
@@ -1645,6 +1673,8 @@ class QueryScorer:
         boosting: float | None = None,
         terms_set: str | None = None,
         fuzzy_transpositions: bool = False,
+        similarity: str = "bm25",
+        sim_param: float | None = None,
     ):
         if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match,
                           collapse, suffix, regex, term_range,
@@ -1655,10 +1685,27 @@ class QueryScorer:
                 "prefix/fuzzy/boosted/min_match/collapse/suffix/regex/"
                 "term_range/block_join/decay/boosting/terms_set"
             )
+        # similarity module (Lucene/ES `similarity` index setting): the
+        # same index artifact scored under lmdirichlet / lmjm / tfidf /
+        # boolean kernels. delta is a BM25 refinement, so mixing them is a
+        # config error; pruning envelopes are BM25-shaped, so non-BM25
+        # similarities force the exact dense path. Validated BEFORE the
+        # index load so config errors fail fast.
+        if similarity not in bm25.SIMILARITIES:
+            raise ValueError(
+                f"unknown similarity {similarity!r}; pick one of "
+                f"{bm25.SIMILARITIES}"
+            )
+        if similarity != "bm25":
+            if delta:
+                raise ValueError("delta (BM25+) applies to similarity='bm25' only")
+            pruning = False
         self.reader = IndexReader(index_dir, global_stats=global_stats)
         # scoring variant: delta > 0 = BM25+ (same index artifact; the
         # idf-free block cache is variant-independent)
         self.reader.delta = float(delta)
+        self.reader.similarity = similarity
+        self.reader.sim_param = None if sim_param is None else float(sim_param)
         self.default_limit = default_limit
         self.pruning = pruning
         # per-replica LRU result cache (the serving-side query cache of

@@ -282,6 +282,16 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
         hits = _post(srv.url + "/search", {"mode": "term_range", "queries": [
             {"query_id": 0, "text": "[merge TO window]", "limit": 5}]})["hits"]
         assert len(hits) > 0
+        # similarity: per-request tfidf module (shard-safe: df/N only);
+        # classic tf-idf ranks by sqrt(tf)*idf^2/sqrt(dl), so scores differ
+        # from BM25 but the match set is the same query's
+        tfidf = _post(srv.url + "/search", {"mode": "similarity",
+                                            "similarity": "tfidf", "queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
+        assert len(tfidf) > 0
+        t0 = {h["conv_id"]: h["score"] for h in tfidf}
+        shared_t = set(p0) & set(t0)
+        assert shared_t and any(t0[c] != p0[c] for c in shared_t)
         # unknown mode -> 400
         with pytest.raises(urllib.error.HTTPError) as em:
             _post(srv.url + "/search", {"mode": "nope", "queries": [
