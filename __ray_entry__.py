@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the round-3 batch), entries hash-green in CORRECTNESS_r02 are
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
+        "bm25_topk_common_terms": ops.bm25_topk_common_terms,
         "lm_dirichlet_topk": ops.lm_dirichlet_topk,
         "lm_jelinek_mercer_topk": ops.lm_jelinek_mercer_topk,
         "tfidf_topk": ops.tfidf_topk,
@@ -1065,6 +1066,28 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS dl FROM documents) "
             "SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6)::DOUBLE AS avgdl "
             "FROM dl WHERE dl > 0"
+        ),
+        "bm25_topk_common_terms": (
+            # Lucene CommonTermsQuery: low-df terms (df < cutoff*N) select
+            # candidates; high-df terms only add score to those candidates
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('dup', 'merge') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "low AS (SELECT term FROM df CROSS JOIN stats s WHERE df.df < 0.1 * s.n), "
+            "cand AS (SELECT DISTINCT doc_id FROM tf "
+            "         WHERE term IN (SELECT term FROM low)), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s "
+            "  WHERE tf.doc_id IN (SELECT doc_id FROM cand) "
+            "  GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
         ),
         "lm_dirichlet_topk": (
             # LM Dirichlet similarity (mu=2000): per-posting

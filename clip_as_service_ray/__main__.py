@@ -97,6 +97,11 @@ def main(argv=None) -> int:
         "0 = classic BM25",
     )
     s.add_argument(
+        "--cutoff-frequency", type=float, default=None,
+        help="Lucene CommonTermsQuery: df/N threshold splitting query terms "
+             "into candidate-selecting (low) vs score-only (high) groups",
+    )
+    s.add_argument(
         "--similarity", default="bm25",
         choices=["bm25", "lmdirichlet", "lmjm", "tfidf", "boolean"],
         help="similarity module (Lucene/ES `similarity` setting); non-BM25 "
@@ -318,6 +323,7 @@ def main(argv=None) -> int:
                 boosting=args.negative_boost,
                 terms_set=args.terms_set_field,
                 similarity=args.similarity, sim_param=args.sim_param,
+                common_terms=args.cutoff_frequency,
             )
             if args.out:
                 pq.write_table(hits, args.out)

@@ -380,6 +380,10 @@ def _mode_key(payload: dict) -> tuple | None:
         # synonym maps stay server-level: an unbounded per-request dict
         # would leak one pool per distinct map)
         return ("delta", float(payload.get("delta", 1.0)))
+    if mode == "common_terms":
+        # Lucene CommonTermsQuery: cutoff frequency as a fraction of
+        # n_docs; one lazy pool per distinct cutoff
+        return ("common_terms", float(payload.get("cutoff_frequency", 0.01)))
     if mode == "similarity":
         # per-request similarity module (lmdirichlet/lmjm/tfidf/boolean):
         # one lazy pool per distinct (kind, param); LM kernels are rejected
@@ -390,7 +394,8 @@ def _mode_key(payload: dict) -> tuple | None:
     raise ValueError(
         f"unknown mode {mode!r} "
         "(conjunctive|prefix|suffix|regex|term_range|block_join|decay|"
-        "fuzzy|boosted|msm|collapse|bm25plus|boosting|terms_set|similarity)"
+        "fuzzy|boosted|msm|collapse|bm25plus|boosting|terms_set|similarity|"
+        "common_terms)"
     )
 
 

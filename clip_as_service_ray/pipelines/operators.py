@@ -276,6 +276,33 @@ def boolean_topk(sf_dir: str):
     return similarity_topk(sf_dir, "boolean")
 
 
+def bm25_topk_common_terms(
+    sf_dir: str, terms=("dup", "merge"), cutoff: float = 0.1, limit: int = 10,
+):
+    """Lucene CommonTermsQuery through the engine: 'dup' (df/N = 0.05) is
+    the candidate-selecting low-frequency group, 'merge' (df/N ~ 0.79) only
+    contributes score to docs that already matched 'dup'. The SQL twin
+    classifies terms by the identical df < cutoff*N predicate and restricts
+    the scored set to low-term matches."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, common_terms=cutoff)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )
+
+
 def bm25_topk_filtered(
     sf_dir: str, terms=BM25_QUERY_TERMS, prefix: str = "doc-0000000000",
     limit: int = 10,

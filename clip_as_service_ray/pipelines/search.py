@@ -39,6 +39,7 @@ def search(
     fuzzy_transpositions: bool = False,
     similarity: str = "bm25",
     sim_param: float | None = None,
+    common_terms: float | None = None,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -79,6 +80,7 @@ def search(
             "terms_set": terms_set,
             "similarity": similarity,
             "sim_param": sim_param,
+            "common_terms": common_terms,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -109,6 +111,7 @@ def search_table(
     fuzzy_transpositions: bool = False,
     similarity: str = "bm25",
     sim_param: float | None = None,
+    common_terms: float | None = None,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
@@ -120,6 +123,7 @@ def search_table(
         collapse=collapse, suffix=suffix, regex=regex, term_range=term_range,
         block_join=block_join, decay=decay, boosting=boosting,
         terms_set=terms_set, similarity=similarity, sim_param=sim_param,
+        common_terms=common_terms,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

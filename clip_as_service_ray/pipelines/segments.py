@@ -223,6 +223,7 @@ class SegmentedQueryService(ScatterQueryService):
         terms_set: str | None = None,
         similarity: str = "bm25",
         sim_param: float | None = None,
+        common_terms: float | None = None,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -253,6 +254,7 @@ class SegmentedQueryService(ScatterQueryService):
             delta=delta,
             similarity=similarity,
             sim_param=sim_param,
+            common_terms=common_terms,
             num_cpus=num_cpus,
         )
 

@@ -200,6 +200,7 @@ class ScatterQueryService:
         terms_set: str | None = None,
         similarity: str = "bm25",
         sim_param: float | None = None,
+        common_terms: float | None = None,
         num_cpus: float = 1,
     ):
         import ray
@@ -278,6 +279,7 @@ class ScatterQueryService:
                 delta=delta,
                 similarity=similarity,
                 sim_param=sim_param,
+                common_terms=common_terms,
             )
             for d in index_dirs
         ]

@@ -743,6 +743,82 @@ class IndexReader:
             exclude=excl, doc_range=doc_range,
         )
 
+    def score_query_common_terms(
+        self, text: str, limit: int, cutoff: float = 0.01,
+        exclude_text: str = "", doc_range=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Lucene CommonTermsQuery (the ES ``common``/``cutoff_frequency``
+        contract): query terms split by document frequency at
+        ``cutoff * n_docs``. LOW-frequency terms select candidates (OR);
+        HIGH-frequency terms contribute score ONLY to docs already matched
+        by a low term — a stopword can never flood the candidate set, but
+        its ranking signal survives on real matches. An all-high query
+        degrades to plain OR (ES behavior when no term is below the cutoff).
+
+        Survivor scores are bit-identical to ``score_query`` on the same
+        doc: ALL matched terms accumulate in sorted term order; the
+        low/high split only gates which docs become candidates. The df
+        classification uses the (union) dictionary df, so the split is
+        identical on every shard of a scatter search."""
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
+        present = [t for t in terms if t in self._term_blocks]
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        low = {
+            t for t in present
+            if float(self._term_df(t)) < cutoff * self.n_docs
+        }
+        if not low:
+            low = set(present)  # all-high: plain OR
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        chunk = min(n_slots, self.dense_chunk_docs)
+        if self._score_buf is None or len(self._score_buf) != chunk:
+            self._score_buf = np.zeros(chunk, dtype=np.float64)
+            self._match_buf = np.zeros(chunk, dtype=bool)
+        scores, matched = self._score_buf, self._match_buf
+        win_docs: list[np.ndarray] = []
+        win_scores: list[np.ndarray] = []
+        one_chunk = chunk >= n_slots
+        for c0 in range(0, n_slots, chunk):
+            c1 = min(c0 + chunk, n_slots)
+            for t in present:
+                if one_chunk:
+                    docs_t, scores_t = self.term_docs_scores(t)
+                    rel = docs_t
+                else:
+                    docs_t, scores_t = self.term_postings_in_range(t, c0, c1)
+                    if not len(docs_t):
+                        continue
+                    rel = docs_t - c0
+                scores[rel] += scores_t
+                if t in low:  # only low-freq terms create candidates
+                    matched[rel] = True
+            cand = np.nonzero(matched[: c1 - c0])[0]
+            # reset includes high-term-only docs (scored but not candidates)
+            touched = np.nonzero(scores[: c1 - c0] != 0.0)[0]
+            if len(cand):
+                sel = cand
+                if doc_range is not None:
+                    sel = self._clip_to_range(sel + c0, doc_range) - c0
+                if excl is not None and len(sel):
+                    sel = self._drop_excluded(sel + c0, excl) - c0
+                if len(sel):
+                    top = bm25.topk_indices(scores[sel], sel + c0, limit)
+                    win_docs.append((sel[top] + c0).astype(np.int64))
+                    win_scores.append(scores[sel[top]].copy())
+            scores[touched] = 0.0
+            matched[cand] = False
+        if not win_docs:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        if len(win_docs) == 1:
+            return win_docs[0], win_scores[0]
+        d = np.concatenate(win_docs)
+        s = np.concatenate(win_scores)
+        top = bm25.topk_indices(s, d, limit)
+        return d[top], s[top]
+
     def score_query_terms_set(
         self, text: str, limit: int, *, field: str,
         exclude_text: str = "", doc_range=None,
@@ -1675,15 +1751,16 @@ class QueryScorer:
         fuzzy_transpositions: bool = False,
         similarity: str = "bm25",
         sim_param: float | None = None,
+        common_terms: float | None = None,
     ):
         if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match,
                           collapse, suffix, regex, term_range,
                           block_join, decay, boosting is not None,
-                          terms_set))) > 1:
+                          terms_set, common_terms is not None))) > 1:
             raise ValueError(
                 "query modes are mutually exclusive: pick ONE of conjunctive/"
                 "prefix/fuzzy/boosted/min_match/collapse/suffix/regex/"
-                "term_range/block_join/decay/boosting/terms_set"
+                "term_range/block_join/decay/boosting/terms_set/common_terms"
             )
         # similarity module (Lucene/ES `similarity` index setting): the
         # same index artifact scored under lmdirichlet / lmjm / tfidf /
@@ -1760,6 +1837,10 @@ class QueryScorer:
         # terms_set: doc-values field holding each doc's OWN
         # minimum_should_match floor (ES minimum_should_match_field)
         self.terms_set = terms_set
+        # common_terms: Lucene CommonTermsQuery cutoff frequency (fraction
+        # of n_docs): low-df terms select candidates, high-df terms only
+        # score them (score_query_common_terms)
+        self.common_terms = None if common_terms is None else float(common_terms)
         # fuzzy > 0: each token expands to its edit-distance neighborhood;
         # fuzzy_transpositions selects the ES-default OSA metric (adjacent
         # swap = 1 edit, Lucene FuzzyQuery transpositions=true)
@@ -1947,6 +2028,13 @@ class QueryScorer:
                     text, limit, field=_f, exclude_text=exclude_text,
                     doc_range=doc_range,
                 )
+        elif self.common_terms is not None:
+            def score_fn(text, limit, exclude_text="", doc_range=None,
+                         _c=self.common_terms):
+                return self.reader.score_query_common_terms(
+                    text, limit, cutoff=_c, exclude_text=exclude_text,
+                    doc_range=doc_range,
+                )
         elif self.boosting is not None:
             score_fn = None  # dispatched per query (needs `negative` column)
         elif self.boosted:
@@ -2024,7 +2112,7 @@ class QueryScorer:
                or self.min_match or self.collapse or self.suffix
                or self.regex or self.term_range or self.block_join
                or self.decay or self.boosting is not None
-               or self.terms_set):
+               or self.terms_set or self.common_terms is not None):
             raise ValueError(
                 "search_after cursors apply to the default OR mode only"
             )

@@ -292,6 +292,12 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
         t0 = {h["conv_id"]: h["score"] for h in tfidf}
         shared_t = set(p0) & set(t0)
         assert shared_t and any(t0[c] != p0[c] for c in shared_t)
+        # common_terms with an impossible cutoff (all terms high) degrades
+        # to plain OR: scores identical to the default-mode hits
+        ct = _post(srv.url + "/search", {"mode": "common_terms",
+                                         "cutoff_frequency": 1e-9, "queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
+        assert {h["conv_id"]: h["score"] for h in ct} == p0
         # unknown mode -> 400
         with pytest.raises(urllib.error.HTTPError) as em:
             _post(srv.url + "/search", {"mode": "nope", "queries": [
