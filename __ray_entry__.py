@@ -180,6 +180,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "bm25_topk_common_terms": ops.bm25_topk_common_terms,
+        "search_sampler_facets": ops.search_sampler_facets,
+        "search_diversified_sample": ops.search_diversified_sample,
+        "search_random_score": ops.search_random_score,
+        "c4_quality_filter": ops.c4_quality_filter,
+        "events_weighted_avg": ops.events_weighted_avg,
+        "customer_geo_bounds": ops.customer_geo_bounds,
+        "events_weekly_serial_diff": ops.events_weekly_serial_diff,
+        "events_value_boxplot": ops.events_value_boxplot,
         "lm_dirichlet_topk": ops.lm_dirichlet_topk,
         "lm_jelinek_mercer_topk": ops.lm_jelinek_mercer_topk,
         "tfidf_topk": ops.tfidf_topk,
@@ -1066,6 +1074,131 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS dl FROM documents) "
             "SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6)::DOUBLE AS avgdl "
             "FROM dl WHERE dl > 0"
+        ),
+        "search_sampler_facets": (
+            # ES sampler agg: terms facet over ONLY the top-100 matches
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            "top AS (SELECT doc_id FROM scores "
+            "       ORDER BY score DESC, doc_id ASC LIMIT 100) "
+            "SELECT d.source, count(*)::BIGINT AS n_docs "
+            "FROM top JOIN documents d USING (doc_id) "
+            "GROUP BY d.source ORDER BY d.source"
+        ),
+        "search_diversified_sample": (
+            # ES diversified_sampler: top-100 sample, max 2 per source in
+            # best-score order, best 20 survivors
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            "top AS (SELECT doc_id, score FROM scores "
+            "       ORDER BY score DESC, doc_id ASC LIMIT 100), "
+            "j AS (SELECT t.doc_id, d.source, t.score, "
+            "  row_number() OVER (PARTITION BY d.source "
+            "                     ORDER BY t.score DESC, t.doc_id) AS rn "
+            "FROM top t JOIN documents d USING (doc_id)) "
+            "SELECT doc_id, source, round(score, 6)::DOUBLE AS score "
+            "FROM j WHERE rn <= 2 "
+            "ORDER BY j.score DESC, doc_id ASC LIMIT 20"
+        ),
+        "search_random_score": (
+            # ES random_score (replace): deterministic Knuth hash of
+            # (doc_id, seed=13) in [0,1); match set = OR over the terms
+            "WITH tok AS (" + _TOK + "), "
+            "m AS (SELECT DISTINCT doc_id FROM tok "
+            "      WHERE term IN ('merge', 'window')), "
+            "h1 AS (SELECT doc_id, "
+            "       (doc_id * 2654435761 + 13) % 4294967296 AS h FROM m), "
+            "r AS (SELECT doc_id, ((h::HUGEINT * h + h) % 4294967296) "
+            "      / 4294967296.0 AS raw FROM h1) "
+            "SELECT doc_id, round(raw, 6)::DOUBLE AS score "
+            "FROM r ORDER BY raw DESC, doc_id ASC LIMIT 10"
+        ),
+        "c4_quality_filter": (
+            # C4 cleaning rules (Raffel et al. 2020): all-integer substring
+            # counts, zero float-boundary risk
+            "WITH c AS (SELECT doc_id, "
+            "  (length(text) - length(replace(text, '.', '')) "
+            "   + (length(text) - length(replace(text, '!', ''))) "
+            "   + (length(text) - length(replace(text, '?', ''))))::BIGINT AS n_sentences, "
+            "  (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_words, "
+            "  contains(text, '{') AS brace, "
+            "  contains(lower(text), 'lorem ipsum') AS lorem, "
+            "  contains(lower(text), 'javascript') AS js "
+            "FROM documents) "
+            "SELECT doc_id, n_sentences, n_words, "
+            "  (n_sentences >= 3 AND n_words >= 5 AND NOT brace "
+            "   AND NOT lorem AND NOT js) AS kept FROM c"
+        ),
+        "events_weighted_avg": (
+            # ES weighted_avg: weight = event_id % 7 + 1 (deterministic int)
+            "SELECT event_type, "
+            "round(sum(value * (event_id % 7 + 1)) / sum(event_id % 7 + 1), 6)"
+            "::DOUBLE AS w_avg, "
+            "sum(event_id % 7 + 1)::BIGINT AS sum_w "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "customer_geo_bounds": (
+            # ES geo_bounds + geo_centroid per segment over the synthetic
+            # deterministic coordinates (same derivation as customers_near_point)
+            "WITH c AS (SELECT c_mktsegment, "
+            "  (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat, "
+            "  (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon "
+            "FROM customer) "
+            "SELECT c_mktsegment, round(max(lat), 6)::DOUBLE AS top, "
+            "round(min(lat), 6)::DOUBLE AS bottom, "
+            "round(min(lon), 6)::DOUBLE AS \"left\", "
+            "round(max(lon), 6)::DOUBLE AS \"right\", "
+            "round(avg(lat), 6)::DOUBLE AS centroid_lat, "
+            "round(avg(lon), 6)::DOUBLE AS centroid_lon "
+            "FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "events_weekly_serial_diff": (
+            # ES serial_diff (lag=7 buckets) over the daily distinct-user
+            # histogram — exact integers end to end
+            "WITH d AS (SELECT epoch_us(ts) // 86400000000 AS di, user_id "
+            "           FROM events), "
+            "u AS (SELECT di, count(DISTINCT user_id)::BIGINT AS users "
+            "      FROM d GROUP BY di) "
+            "SELECT di * 86400000000 AS day, users, "
+            "(users - lag(users, 7) OVER (ORDER BY di))::BIGINT AS diff7 "
+            "FROM u ORDER BY di"
+        ),
+        "events_value_boxplot": (
+            # ES boxplot: exact quartiles; Tukey whiskers from the ROUNDED
+            # quartiles (identical bound arithmetic on both engines)
+            "WITH q AS (SELECT event_type, "
+            "  round(quantile_cont(value, 0.25), 6) AS q1, "
+            "  round(quantile_cont(value, 0.5), 6) AS q2, "
+            "  round(quantile_cont(value, 0.75), 6) AS q3 "
+            "FROM events GROUP BY event_type), "
+            "w AS (SELECT e.event_type, "
+            "  round(min(e.value), 6) AS vmin, round(max(e.value), 6) AS vmax, "
+            "  round(min(e.value) FILTER (WHERE e.value >= q.q1 - 1.5 * (q.q3 - q.q1)), 6) AS lo, "
+            "  round(max(e.value) FILTER (WHERE e.value <= q.q3 + 1.5 * (q.q3 - q.q1)), 6) AS hi "
+            "FROM events e JOIN q ON e.event_type = q.event_type "
+            "GROUP BY e.event_type, q.q1, q.q3) "
+            "SELECT w.event_type, w.vmin::DOUBLE AS vmin, w.vmax::DOUBLE AS vmax, "
+            "q.q1::DOUBLE AS q1, q.q2::DOUBLE AS q2, q.q3::DOUBLE AS q3, "
+            "w.lo::DOUBLE AS \"lower\", w.hi::DOUBLE AS \"upper\" "
+            "FROM w JOIN q ON w.event_type = q.event_type ORDER BY w.event_type"
         ),
         "bm25_topk_common_terms": (
             # Lucene CommonTermsQuery: low-df terms (df < cutoff*N) select

@@ -7737,6 +7737,35 @@ def bm25_topk_decay(
     )
 
 
+def search_random_score(
+    sf_dir: str, terms=BM25_QUERY_TERMS, seed: int = 13, limit: int = 10,
+):
+    """function_score random_score (ES boost_mode=replace): matching docs
+    ranked by a DETERMINISTIC Knuth multiplicative hash of (doc_id, seed)
+    in [0, 1) — reproducible sampling of a match set, the standard ES trick
+    for serving stable random result pages. No doc-values artifact needed;
+    the SQL twin recomputes the identical integer hash."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(
+        index_dir, queries, cfg, decay={"kind": "random", "seed": seed}
+    )
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )
+
+
 def bm25_topk_fvf(
     sf_dir: str, terms=BM25_QUERY_TERMS, field: str = "n_chars",
     factor: float = 0.5, modifier: str = "log2p", limit: int = 10,
@@ -10297,3 +10326,391 @@ def embedding_matrix_stats(sf_dir: str, dims: int = 4):
         }
     )
 
+
+
+def c4_quality_filter(sf_dir: str):
+    """C4-style document cleaning rules (Raffel et al. 2020, arXiv:1910.10683
+    §2.2, adapted to single-line docs), every boundary EXACT so engine and
+    SQL agree bit-for-bit: keep a doc iff
+      terminal punctuation count ('.'+'!'+'?') >= 3   (the ">= 3 sentences" rule)
+      whitespace word count >= 5                      (the short-line rule)
+      no '{'                                          (the code filter)
+      no 'lorem ipsum', no 'javascript' (lowercased)  (the boilerplate filters)
+    All rules are substring counts / containment — one vectorized Arrow pass,
+    zero float arithmetic."""
+
+    def rules(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        lower = pc.utf8_lower(text)
+        n_sent = pc.add(
+            pc.add(pc.count_substring(text, "."), pc.count_substring(text, "!")),
+            pc.count_substring(text, "?"),
+        )
+        # whitespace words = single-space runs + 1 (corpus is single-spaced;
+        # the SQL twin counts the identical ' ' occurrences)
+        n_words = pc.add(pc.count_substring(text, " "), 1)
+        kept = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_sent, 3),
+                pc.greater_equal(n_words, 5),
+            ),
+            pc.and_(
+                pc.equal(pc.count_substring(text, "{"), 0),
+                pc.and_(
+                    pc.equal(pc.count_substring(lower, "lorem ipsum"), 0),
+                    pc.equal(pc.count_substring(lower, "javascript"), 0),
+                ),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_sentences": pc.cast(n_sent, pa.int64()),
+                "n_words": pc.cast(n_words, pa.int64()),
+                "kept": kept,
+            }
+        )
+
+    out = _documents(sf_dir).map_batches(rules, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def events_weighted_avg(sf_dir: str):
+    """ES ``weighted_avg`` aggregation per event_type: value weighted by the
+    deterministic integer weight ``event_id % 7 + 1``. Per-batch partials
+    (sum_vw, sum_w) shuffle O(types) rows; the final divide + round(6) is
+    the parity layer (partial-sum order differs from SQL's by design)."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types, codes = np.unique(
+            batch.column("event_type").to_numpy(zero_copy_only=False),
+            return_inverse=True,
+        )
+        v = batch.column("value").to_numpy().astype(np.float64)
+        w = (batch.column("event_id").to_numpy() % 7 + 1).astype(np.float64)
+        return pa.table(
+            {
+                "event_type": pa.array(types),
+                "sum_vw": pa.array(np.bincount(codes, weights=v * w), pa.float64()),
+                "sum_w": pa.array(np.bincount(codes, weights=w), pa.float64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "value"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("event_type", as_index=False).sum().sort_values("event_type")
+    return pa.table(
+        {
+            "event_type": pa.array(agg["event_type"].tolist(), pa.string()),
+            "w_avg": pa.array(
+                np.round(agg["sum_vw"].to_numpy() / agg["sum_w"].to_numpy(), 6),
+                pa.float64(),
+            ),
+            "sum_w": pa.array(agg["sum_w"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def customer_geo_bounds(sf_dir: str):
+    """ES ``geo_bounds`` + ``geo_centroid`` aggregations per market segment
+    over the same deterministic synthetic coordinates as
+    ``customers_near_point`` (lat = (key*7919 % 18000)/100 - 90, lon =
+    (key*104729 % 36000)/100 - 180 — exact integer derivation, so min/max
+    bounds are bit-identical; centroids round(6) over the float mean)."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seg, codes = np.unique(
+            batch.column("c_mktsegment").to_numpy(zero_copy_only=False),
+            return_inverse=True,
+        )
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        lat = (ck * 7919 % 18000) / 100.0 - 90.0
+        lon = (ck * 104729 % 36000) / 100.0 - 180.0
+        n = len(seg)
+        top = np.full(n, -np.inf)
+        bottom = np.full(n, np.inf)
+        left = np.full(n, np.inf)
+        right = np.full(n, -np.inf)
+        np.maximum.at(top, codes, lat)
+        np.minimum.at(bottom, codes, lat)
+        np.minimum.at(left, codes, lon)
+        np.maximum.at(right, codes, lon)
+        return pa.table(
+            {
+                "seg": pa.array(seg),
+                "top": pa.array(top, pa.float64()),
+                "bottom": pa.array(bottom, pa.float64()),
+                "left": pa.array(left, pa.float64()),
+                "right": pa.array(right, pa.float64()),
+                "sum_lat": pa.array(np.bincount(codes, weights=lat), pa.float64()),
+                "sum_lon": pa.array(np.bincount(codes, weights=lon), pa.float64()),
+                "n": pa.array(np.bincount(codes).astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("seg", as_index=False).agg(
+        top=("top", "max"), bottom=("bottom", "min"), left=("left", "min"),
+        right=("right", "max"), sum_lat=("sum_lat", "sum"),
+        sum_lon=("sum_lon", "sum"), n=("n", "sum"),
+    ).sort_values("seg")
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(agg["seg"].tolist(), pa.string()),
+            "top": pa.array(np.round(agg["top"].to_numpy(), 6), pa.float64()),
+            "bottom": pa.array(np.round(agg["bottom"].to_numpy(), 6), pa.float64()),
+            "left": pa.array(np.round(agg["left"].to_numpy(), 6), pa.float64()),
+            "right": pa.array(np.round(agg["right"].to_numpy(), 6), pa.float64()),
+            "centroid_lat": pa.array(
+                np.round(agg["sum_lat"].to_numpy() / agg["n"].to_numpy(), 6),
+                pa.float64(),
+            ),
+            "centroid_lon": pa.array(
+                np.round(agg["sum_lon"].to_numpy() / agg["n"].to_numpy(), 6),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def events_weekly_serial_diff(sf_dir: str):
+    """ES ``serial_diff`` pipeline aggregation (lag = 7 buckets) over the
+    daily distinct-user histogram: diff[i] = users[i] - users[i-7] in bucket
+    order, NULL for the first 7 buckets (the ES lag contract). Distinct
+    users per day shuffle as (day, user) pairs — exact integers end to end."""
+    import ray.data
+
+    DAY_US = 86_400_000_000
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        d = e // DAY_US  # day INDEX (small), not epoch-us: the composite
+        # key d*2^20 + u stays far below 2^63 (user_id < 2^20 by fixture)
+        key = np.unique(d * (1 << 20) + u)
+        return pa.table(
+            {"day": pa.array(key >> 20, pa.int64()),
+             "user": pa.array(key & ((1 << 20) - 1), pa.int64())}
+        )
+
+    ds = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+        )
+        .map_batches(pairs, batch_format="pyarrow")
+    )
+    from ray.data.aggregate import Count
+
+    # distinct (day, user) pairs survive the unique(); count per day after a
+    # pair-keyed groupby dedup
+    parts = ds.groupby(["day", "user"], num_partitions=8).aggregate(
+        Count(alias_name="c")
+    ).to_pandas()
+    per_day = parts.groupby("day", as_index=False)["user"].count().rename(
+        columns={"user": "users"}
+    ).sort_values("day")
+    users = per_day["users"].to_numpy().astype(np.int64)
+    diff = [None] * min(7, len(users)) + (users[7:] - users[:-7]).tolist()
+    return pa.table(
+        {
+            "day": pa.array(
+                (per_day["day"].to_numpy() * DAY_US).astype(np.int64),
+                pa.int64(),
+            ),
+            "users": pa.array(users, pa.int64()),
+            "diff7": pa.array(diff, pa.int64()),
+        }
+    )
+
+
+def events_value_boxplot(sf_dir: str):
+    """ES ``boxplot`` aggregation per event_type, EXACT and distributed:
+    q1/q2/q3 via the distributed order-statistics pass
+    (stages/rank.quantiles_by_key — no group materializes on one worker),
+    min/max via per-batch partials, and the Tukey whiskers as the nearest
+    data points inside 1.5*IQR. Whisker bounds are computed from the
+    ROUND(6) quartiles on BOTH engines (identical double arithmetic), so
+    the in/out verdict of every data point matches the SQL twin exactly."""
+    import ray.data
+
+    from clip_as_service_ray.stages.rank import quantiles_by_key
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["event_type", "value"])
+    qs = quantiles_by_key(ds, key="event_type", value="value",
+                          quantiles=[0.25, 0.5, 0.75])
+    keys = sorted(qs)
+    r6 = lambda x: float(np.round(float(x), 6))
+    q1 = {k: r6(qs[k][0]) for k in keys}
+    q2 = {k: r6(qs[k][1]) for k in keys}
+    q3 = {k: r6(qs[k][2]) for k in keys}
+    lo_bound = {k: q1[k] - 1.5 * (q3[k] - q1[k]) for k in keys}
+    hi_bound = {k: q3[k] + 1.5 * (q3[k] - q1[k]) for k in keys}
+    type_arr = pa.array([str(k) for k in keys], pa.string())
+    lo_arr = np.array([lo_bound[k] for k in keys], np.float64)
+    hi_arr = np.array([hi_bound[k] for k in keys], np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        codes = pc.index_in(
+            batch.column("event_type"), value_set=type_arr
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("value").to_numpy().astype(np.float64)
+        n = len(keys)
+        mn = np.full(n, np.inf)
+        mx = np.full(n, -np.inf)
+        np.minimum.at(mn, codes, v)
+        np.maximum.at(mx, codes, v)
+        # whisker candidates: values inside the per-type Tukey bounds
+        wlo = np.full(n, np.inf)
+        whi = np.full(n, -np.inf)
+        in_lo = v >= lo_arr[codes]
+        in_hi = v <= hi_arr[codes]
+        np.minimum.at(wlo, codes[in_lo], v[in_lo])
+        np.maximum.at(whi, codes[in_hi], v[in_hi])
+        return pa.table(
+            {"k": pa.array(np.arange(n), pa.int64()),
+             "mn": pa.array(mn, pa.float64()), "mx": pa.array(mx, pa.float64()),
+             "wlo": pa.array(wlo, pa.float64()), "whi": pa.array(whi, pa.float64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(path, columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("k").agg(
+        mn=("mn", "min"), mx=("mx", "max"), wlo=("wlo", "min"), whi=("whi", "max")
+    )
+    return pa.table(
+        {
+            "event_type": pa.array([str(k) for k in keys], pa.string()),
+            "vmin": pa.array([r6(agg.loc[i, "mn"]) for i in range(len(keys))], pa.float64()),
+            "vmax": pa.array([r6(agg.loc[i, "mx"]) for i in range(len(keys))], pa.float64()),
+            "q1": pa.array([q1[k] for k in keys], pa.float64()),
+            "q2": pa.array([q2[k] for k in keys], pa.float64()),
+            "q3": pa.array([q3[k] for k in keys], pa.float64()),
+            "lower": pa.array([r6(agg.loc[i, "wlo"]) for i in range(len(keys))], pa.float64()),
+            "upper": pa.array([r6(agg.loc[i, "whi"]) for i in range(len(keys))], pa.float64()),
+        }
+    )
+
+
+def search_sampler_facets(
+    sf_dir: str, terms=BM25_QUERY_TERMS, shard_size: int = 100,
+):
+    """ES ``sampler`` aggregation: the facet (terms agg on `source`) runs
+    over only the TOP ``shard_size`` best-scoring matches instead of the
+    full match set (``query_facets`` is the unsampled form) — the ES trick
+    for cheap aggregations on huge low-quality match tails. The sample is
+    the engine's own top-k (bit-identical scores to the SQL twin's BM25
+    expression, 2-term sum), so the sampled set matches exactly."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([shard_size], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg)
+    ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    if not ids:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+        filter=pc.field("doc_id").isin(pa.array(ids, pa.int64())),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate([("doc_id", "count")])
+        return g.rename_columns(["source", "n_part"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    return tbl.sort_by("source")
+
+
+def search_diversified_sample(
+    sf_dir: str, terms=BM25_QUERY_TERMS, shard_size: int = 100,
+    max_per_source: int = 2, k: int = 20,
+):
+    """ES ``diversified_sampler``: from the top ``shard_size`` matches, keep
+    at most ``max_per_source`` docs per `source` (in best-score order), then
+    the best ``k`` survivors — the de-biased sample that stops one dominant
+    source from flooding downstream aggregations. Hit order is the engine's
+    (score DESC, doc_id ASC); survivors' scores round(6) for the wire."""
+    import ray.data
+
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([shard_size], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg)
+    ids = np.array([int(c[4:]) for c in hits.column("conv_id").to_pylist()],
+                   np.int64)
+    scores = hits.column("score").to_numpy()
+    if not len(ids):
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "source": pa.array([], pa.string()),
+                         "score": pa.array([], pa.float64())})
+    src_tbl = pa.Table.from_pandas(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+            filter=pc.field("doc_id").isin(pa.array(ids, pa.int64())),
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    src_of = dict(zip(src_tbl.column("doc_id").to_pylist(),
+                      src_tbl.column("source").to_pylist()))
+    seen: dict = {}
+    out_id, out_src, out_sc = [], [], []
+    for d, s in zip(ids.tolist(), scores.tolist()):
+        src = src_of[d]
+        c = seen.get(src, 0)
+        if c < max_per_source:
+            seen[src] = c + 1
+            out_id.append(d)
+            out_src.append(src)
+            out_sc.append(round(s, 6))
+            if len(out_id) == k:
+                break
+    return pa.table(
+        {"doc_id": pa.array(out_id, pa.int64()),
+         "source": pa.array(out_src, pa.string()),
+         "score": pa.array(out_sc, pa.float64())}
+    )

@@ -1089,12 +1089,13 @@ class IndexReader:
         return arr
 
     def score_query_decay(
-        self, text: str, limit: int, *, field: str, origin: float = 0.0,
+        self, text: str, limit: int, *, field: str = "", origin: float = 0.0,
         scale: float = 1.0, offset: float = 0.0, decay: float = 0.5,
         kind: str = "gauss", factor: float = 1.0, modifier: str = "none",
         missing: float = 1.0, function: str = "saturation",
         pivot: float = 1.0, weight: float = 1.0, exponent: float = 0.6,
-        scaling_factor: float = 1.0, exclude_text: str = "", doc_range=None,
+        scaling_factor: float = 1.0, seed: int = 0,
+        exclude_text: str = "", doc_range=None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """function_score doc-value retrieval: every matching doc's OR score
         is combined with a function of its ``field`` doc value BEFORE top-k
@@ -1112,7 +1113,21 @@ class IndexReader:
             rank_feature_boost,
         )
 
-        if kind == "fvf":
+        if kind == "random":
+            # ES random_score (boost_mode=replace): deterministic Knuth
+            # multiplicative hash of (doc_id, seed) -> [0, 1); needs no
+            # doc-values artifact — the doc id IS the input. Reproducible
+            # across runs, shards, and the SQL twin (exact integer mod).
+            def combine(s, v, _seed=int(seed)):
+                h = (v.astype(np.uint64) * np.uint64(2654435761)
+                     + np.uint64(_seed)) % np.uint64(4294967296)
+                # squaring mix: an affine-only hash would shift every doc
+                # by the same constant per seed and never reorder; h*h
+                # wraps mod 2^64 in uint64, and (x mod 2^64) mod 2^32 ==
+                # x mod 2^32, so the wrap is exact vs the SQL hugeint
+                h = (h * h + h) % np.uint64(4294967296)
+                return h.astype(np.float64) / 4294967296.0
+        elif kind == "fvf":
             def combine(s, v):
                 return s * fvf_multiplier(v, factor, modifier, missing)
         elif kind == "rank_feature":
@@ -1128,7 +1143,7 @@ class IndexReader:
         present = [(t, 1.0) for t in terms if t in self._term_blocks]
         if not present:
             return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
-        vals = self.doc_values(field)
+        vals = None if kind == "random" else self.doc_values(field)
         excl = self.excluded_docs(exclude_text) if exclude_text else None
         excl = excl if excl is not None and len(excl) else None
         n_slots = self._max_doc_id + 1
@@ -1162,7 +1177,10 @@ class IndexReader:
                     sel = self._drop_excluded(sel + c0, excl) - c0
                 if len(sel):
                     docs_abs = (sel + c0).astype(np.int64)
-                    s_dec = combine(scores[sel], vals[docs_abs])
+                    s_dec = combine(
+                        scores[sel],
+                        vals[docs_abs] if vals is not None else docs_abs,
+                    )
                     top = bm25.topk_indices(s_dec, docs_abs, limit)
                     win_docs.append(docs_abs[top])
                     win_scores.append(s_dec[top].copy())

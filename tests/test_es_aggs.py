@@ -146,3 +146,59 @@ def test_daily_derivative_vs_duckdb(ray_session):
     np.testing.assert_array_equal(gd[1:].astype(float), wd[1:].astype(float))
     # derivative telescopes back to the histogram
     assert np.nansum(gd.astype(float)) == got["cnt"].iloc[-1] - got["cnt"].iloc[0]
+
+
+def test_boxplot_vs_duckdb(ray_session):
+    from clip_as_service_ray.pipelines.operators import events_value_boxplot
+
+    got = events_value_boxplot(SF).to_pandas().sort_values("event_type")
+    want = _oracle("events_value_boxplot", tables=("events",)).sort_values(
+        "event_type"
+    )
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    for col in ("vmin", "vmax", "q1", "q2", "q3", "lower", "upper"):
+        np.testing.assert_array_equal(got[col].values, want[col].values, col)
+    # Tukey invariants: min <= lower <= q1 <= q2 <= q3 <= upper <= max
+    for _, r in got.iterrows():
+        assert r.vmin <= r["lower"] <= r.q1 <= r.q2 <= r.q3 <= r["upper"] <= r.vmax
+
+
+def test_weighted_avg_and_serial_diff(ray_session):
+    from clip_as_service_ray.pipelines.operators import (
+        events_weekly_serial_diff,
+        events_weighted_avg,
+    )
+
+    got = events_weighted_avg(SF).to_pandas().sort_values("event_type")
+    want = _oracle("events_weighted_avg", tables=("events",)).sort_values(
+        "event_type"
+    )
+    np.testing.assert_array_equal(got["w_avg"].values, want["w_avg"].values)
+    np.testing.assert_array_equal(got["sum_w"].values, want["sum_w"].values)
+
+    sd = events_weekly_serial_diff(SF).to_pandas()
+    ws = _oracle("events_weekly_serial_diff", tables=("events",))
+    assert sd["day"].tolist() == ws["day"].tolist()
+    assert sd["users"].tolist() == ws["users"].tolist()
+    # first 7 buckets have no lag-7 parent
+    assert sd["diff7"].head(min(7, len(sd))).isna().all()
+
+
+def test_diversified_sample_caps_sources(ray_session):
+    from clip_as_service_ray.pipelines.operators import (
+        search_diversified_sample,
+        search_random_score,
+    )
+
+    got = search_diversified_sample(SF).to_pandas()
+    assert got.groupby("source")["doc_id"].count().max() <= 2
+    # scores non-increasing (engine hit order preserved through the cap)
+    s = got["score"].to_numpy()
+    assert (np.diff(s) <= 1e-15).all()
+    # random_score: deterministic (same seed twice) and seed-sensitive
+    a = search_random_score(SF).to_pandas()
+    b = search_random_score(SF).to_pandas()
+    assert a.equals(b)
+    c = search_random_score(SF, seed=99).to_pandas()
+    assert not a["doc_id"].equals(c["doc_id"]) or not a["score"].equals(c["score"])
+    assert ((a["score"] >= 0) & (a["score"] < 1)).all()
