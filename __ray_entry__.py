@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "bm25_topk_common_terms": ops.bm25_topk_common_terms,
+        "tokenize_terms_jsonl": ops.tokenize_terms_jsonl,
+        "term_df_csv": ops.term_df_csv,
         "search_sampler_facets": ops.search_sampler_facets,
         "search_diversified_sample": ops.search_diversified_sample,
         "search_random_score": ops.search_random_score,
@@ -1074,6 +1076,15 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS dl FROM documents) "
             "SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6)::DOUBLE AS avgdl "
             "FROM dl WHERE dl > 0"
+        ),
+        "tokenize_terms_jsonl": (
+            # same logical table through the JSONL reader: twin == parquet's
+            f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK}) t "
+            "GROUP BY doc_id, term"
+        ),
+        "term_df_csv": (
+            f"SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ({_TOK}) t "
+            "GROUP BY term"
         ),
         "search_sampler_facets": (
             # ES sampler agg: terms facet over ONLY the top-100 matches

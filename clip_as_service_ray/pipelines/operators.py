@@ -10714,3 +10714,72 @@ def search_diversified_sample(
          "source": pa.array(out_src, pa.string()),
          "score": pa.array(out_sc, pa.float64())}
     )
+
+
+def _docs_alt_format_dir(sf_dir: str, fmt: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/cas_ray_src/{fmt}_documents_{tag}"
+
+
+def _documents_as(sf_dir: str, fmt: str):
+    """The documents table through an ALTERNATE source format (S1 source
+    breadth): parquet -> {jsonl, csv} written ONCE per sf dir (resumable:
+    skip-if-present, the T3 pattern), read back with the matching Ray Data
+    reader. Both writers shard the output (one file per input block), so
+    the read side parallelizes exactly like the parquet path."""
+    import ray.data
+
+    out = _docs_alt_format_dir(sf_dir, fmt)
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        ds = _documents(sf_dir)
+        if fmt == "jsonl":
+            ds.write_json(out)
+        else:
+            ds.write_csv(out)
+        with open(done, "w") as f:
+            f.write("ok")
+    if fmt == "jsonl":
+        return ray.data.read_json(
+            out, file_extensions=["json", "jsonl"]
+        )
+    return ray.data.read_csv(out, file_extensions=["csv"])
+
+
+def tokenize_terms_jsonl(sf_dir: str):
+    """tokenize_terms through the JSONL source reader: identical output to
+    the parquet path (the SQL twin is the same query over the same logical
+    table) — certifies the JSON ingestion path end to end."""
+
+    def fix(batch: pa.Table) -> pa.Table:
+        # JSON readers may widen ints; normalize to the parquet schema
+        return pa.table(
+            {"doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+             "text": pc.cast(batch.column("text"), pa.string())}
+        )
+
+    return (
+        _documents_as(sf_dir, "jsonl")
+        .map_batches(fix, batch_format="pyarrow")
+        .map_batches(_tokens_flat, batch_format="pyarrow")
+    )
+
+
+def term_df_csv(sf_dir: str):
+    """term_df through the CSV source reader (quoted-field round trip):
+    identical output to the parquet path — certifies CSV ingestion."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = pa.table(
+            {"doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+             "text": pc.cast(batch.column("text"), pa.string())}
+        )
+        t = _tokens_flat(b)
+        g = t.group_by("term").aggregate([("doc_id", "count")])
+        return g.rename_columns(["term", "df_part"])
+
+    ds = _documents_as(sf_dir, "csv").map_batches(partial, batch_format="pyarrow")
+    return ds.groupby("term", num_partitions=8).aggregate(
+        Sum("df_part", alias_name="df")
+    )
