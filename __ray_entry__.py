@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "bm25_topk_common_terms": ops.bm25_topk_common_terms,
+        "bm25_topk_federated": ops.bm25_topk_federated,
         "tokenize_terms_jsonl": ops.tokenize_terms_jsonl,
         "term_df_csv": ops.term_df_csv,
         "search_sampler_facets": ops.search_sampler_facets,
@@ -1076,6 +1077,21 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS dl FROM documents) "
             "SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6)::DOUBLE AS avgdl "
             "FROM dl WHERE dl > 0"
+        ),
+        "bm25_topk_federated": (
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
         ),
         "tokenize_terms_jsonl": (
             # same logical table through the JSONL reader: twin == parquet's

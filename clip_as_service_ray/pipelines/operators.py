@@ -369,6 +369,44 @@ def bm25_topk_segmented(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
     )
 
 
+def bm25_topk_federated(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
+    """Same query as bm25_topk but through the CROSS-CLUSTER path: the
+    documents table is split into two disjoint halves, each indexed as its
+    OWN independent segment root ("cluster"), and the query fans out via
+    FederatedQueryService with federation-wide union stats. The identical
+    SQL oracle certifies federated search == one monolithic index over the
+    union — the ES cross-cluster-search contract."""
+    from clip_as_service_ray.pipelines.segments import (
+        FederatedQueryService,
+        add_segment,
+        segment_dirs,
+    )
+
+    cfg = EngineConfig(num_index_partitions=4)
+    roots = [
+        _index_dir_for(sf_dir) + "_fedA",
+        _index_dir_for(sf_dir) + "_fedB",
+    ]
+    for parity, root in enumerate(roots):
+        if not segment_dirs(root):
+            add_segment(root, _docs_as_transcripts(sf_dir, parity=parity), cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    svc = FederatedQueryService(roots, cfg, federation_dir="/tmp/cas_ray_fed")
+    try:
+        hits = svc.search(queries)
+    finally:
+        svc.shutdown()
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )
+
+
 def exact_dedup(sf_dir: str):
     """Exact dedup: keep min doc_id per distinct text (§2.8, last-write-wins
     by id analog -> first-write-wins deterministic).

@@ -196,6 +196,66 @@ def update_convs(
     return payload
 
 
+class FederatedQueryService(ScatterQueryService):
+    """Cross-cluster search analog (the ES CCS `remote:index` contract):
+    ONE query fans out across the segments of SEVERAL independent index
+    roots, scored under FEDERATION-WIDE union stats (n_docs / avgdl exact
+    from the per-segment integer sum_dl; per-term df summed across every
+    root's dictionary), so results are bit-identical to one monolithic
+    index over the union of the corpora.
+
+    Honest guards: conversations must be disjoint across roots (same
+    invariant as segments within a root), and roots with live tombstones
+    are refused — tombstone scopes are segment NAMES, which collide across
+    roots (compact each root first). The union dictionary is written to
+    ``federation_dir`` (one small parquet, rebuilt per construction)."""
+
+    def __init__(
+        self,
+        index_roots: list[str],
+        config: EngineConfig = DEFAULT_CONFIG,
+        *,
+        federation_dir: str | None = None,
+        num_cpus: float = 1,
+        **mode_kwargs,
+    ):
+        if not index_roots:
+            raise ValueError("need at least one index root")
+        dirs: list[str] = []
+        for root in index_roots:
+            if load_tombstones(root):
+                raise ValueError(
+                    f"root {root!r} has live tombstones: segment-name scopes "
+                    "collide across roots — compact_segments it first"
+                )
+            segs = segment_dirs(root)
+            if not segs:
+                raise ValueError(f"no segments under {root!r}")
+            dirs.extend(segs)
+        # disjointness: a conversation living in two roots would be scored
+        # twice and merged as two docs
+        convs = []
+        for d in dirs:
+            convs.append(
+                pq.read_table(
+                    os.path.join(d, "convmap.parquet"), columns=["conv_id"]
+                ).column("conv_id").to_pylist()
+            )
+        flat = np.asarray([c for part in convs for c in part], dtype=object)
+        if len(flat) != len(np.unique(flat)):
+            raise ValueError("conversations overlap across roots — cannot federate")
+        fed = federation_dir or os.path.join(index_roots[0], "_federation")
+        union = write_union_stats(fed, dirs)
+        global_stats = {
+            "n_docs": union["n_docs"],
+            "avgdl": union["avgdl"],
+            "df_path": os.path.join(fed, "union_dictionary", "dictionary.parquet"),
+        }
+        super().__init__(
+            dirs, global_stats, config, num_cpus=num_cpus, **mode_kwargs
+        )
+
+
 class SegmentedQueryService(ScatterQueryService):
     """Scatter-ALL-search across the segment indexes with union stats;
     tombstoned conversations never appear in results (limit-k preserved by

@@ -467,3 +467,62 @@ def test_segmented_decay_equals_monolithic(corpus_halves, tmp_path):
     )
     assert _ids(got) == _ids(want)
     np.testing.assert_array_equal(got.score.to_numpy(), want.score.to_numpy())
+
+
+def test_federated_equals_monolithic(corpus_halves, tmp_path):
+    """Cross-cluster search: two independent roots (one corpus half each)
+    through FederatedQueryService == one monolithic index over the union,
+    bit-identical docs and scores."""
+    import pyarrow.parquet as pq_
+
+    from clip_as_service_ray.pipelines.segments import FederatedQueryService
+
+    corpus, a, b = corpus_halves
+    roots = []
+    for name, half in (("rootA", a), ("rootB", b)):
+        root = str(tmp_path / name)
+        src = str(tmp_path / f"{name}.parquet")
+        pq_.write_table(half, src)
+        add_segment(root, src, CFG)
+        roots.append(root)
+    mono_dir = str(tmp_path / "mono")
+    src_all = str(tmp_path / "all.parquet")
+    pq_.write_table(corpus, src_all)
+    build_index(src_all, mono_dir, CFG, overwrite=True)
+
+    queries = reference_query_table()
+    svc = FederatedQueryService(roots, CFG, federation_dir=str(tmp_path / "fed"))
+    try:
+        got = svc.search(queries).to_pandas()
+    finally:
+        svc.shutdown()
+    want = search_table(mono_dir, queries, CFG).to_pandas()
+    assert _ids(got) == _ids(want)
+    assert np.array_equal(got.score.values, want.score.values)
+
+
+def test_federated_guards(corpus_halves, tmp_path):
+    """Overlapping conversations and live tombstones are refused."""
+    import pyarrow.parquet as pq_
+
+    from clip_as_service_ray.pipelines.segments import (
+        FederatedQueryService,
+        delete_convs,
+    )
+
+    corpus, a, b = corpus_halves
+    rootA = str(tmp_path / "gA")
+    rootB = str(tmp_path / "gB")
+    srcA = str(tmp_path / "gA.parquet")
+    pq_.write_table(a, srcA)
+    add_segment(rootA, srcA, CFG)
+    add_segment(rootB, srcA, CFG)  # same convs -> overlap
+    with pytest.raises(ValueError, match="overlap"):
+        FederatedQueryService([rootA, rootB], CFG,
+                              federation_dir=str(tmp_path / "gfed"))
+    # tombstones refused
+    conv0 = a.column("conv_id")[0].as_py()
+    delete_convs(rootA, [conv0])
+    with pytest.raises(ValueError, match="tombstones"):
+        FederatedQueryService([rootA], CFG,
+                              federation_dir=str(tmp_path / "gfed2"))
