@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "bm25_topk_common_terms": ops.bm25_topk_common_terms,
+        "mine_hard_negatives": ops.mine_hard_negatives,
+        "doc_readability": ops.doc_readability,
         "bm25_topk_federated": ops.bm25_topk_federated,
         "tokenize_terms_jsonl": ops.tokenize_terms_jsonl,
         "term_df_csv": ops.term_df_csv,
@@ -1077,6 +1079,58 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS dl FROM documents) "
             "SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6)::DOUBLE AS avgdl "
             "FROM dl WHERE dl > 0"
+        ),
+        "mine_hard_negatives": (
+            # DPR-style hard negatives: per query doc (doc_id%100==7) top-3
+            # tf-idf terms -> BM25 top-5 excluding self + exact-text dups
+            "WITH tok AS (" + _TOK + "), "
+            "q AS (SELECT doc_id AS qid, text AS qtext FROM documents "
+            "      WHERE doc_id % 100 = 7), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "dfall AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df "
+            "          FROM tok GROUP BY term), "
+            "qtf AS (SELECT t.doc_id AS qid, t.term, count(*)::DOUBLE AS tf "
+            "        FROM tok t JOIN q ON t.doc_id = q.qid GROUP BY t.doc_id, t.term), "
+            "kw AS (SELECT qid, term FROM ("
+            "  SELECT qtf.qid, qtf.term, row_number() OVER ("
+            "    PARTITION BY qtf.qid "
+            "    ORDER BY qtf.tf * ln(s.n / dfall.df) DESC, qtf.term ASC) AS rn "
+            "  FROM qtf JOIN dfall USING (term) CROSS JOIN stats s) "
+            "  WHERE rn <= 3), "
+            "tf2 AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "        WHERE term IN (SELECT DISTINCT term FROM kw) "
+            "        GROUP BY doc_id, term), "
+            "scores AS (SELECT kw.qid, tf2.doc_id, "
+            "  sum(ln(1 + (s.n - dfall.df + 0.5) / (dfall.df + 0.5)) "
+            "      * tf2.tf * 2.2 / (tf2.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM kw JOIN tf2 USING (term) "
+            "  JOIN dfall ON dfall.term = tf2.term "
+            "  JOIN dl ON tf2.doc_id = dl.doc_id CROSS JOIN stats s "
+            "  GROUP BY kw.qid, tf2.doc_id), "
+            "ranked AS (SELECT sc.qid, sc.doc_id, sc.score, row_number() OVER ("
+            "  PARTITION BY sc.qid ORDER BY sc.score DESC, sc.doc_id ASC) AS rn "
+            "  FROM scores sc JOIN documents d ON sc.doc_id = d.doc_id "
+            "  JOIN q ON q.qid = sc.qid "
+            "  WHERE sc.doc_id <> q.qid AND d.text <> q.qtext) "
+            "SELECT qid AS query_doc, doc_id AS neg_doc, "
+            "(rn - 1)::BIGINT AS rank, round(score, 6)::DOUBLE AS score "
+            "FROM ranked WHERE rn <= 5"
+        ),
+        "doc_readability": (
+            # Flesch-Kincaid grade: exact integer counts, identical float
+            # expression order (0.39*(w/s) + 11.8*(syl/w) - 15.59)
+            "WITH c AS (SELECT doc_id, "
+            "  (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS w, "
+            "  greatest((length(text) - length(replace(text, '.', '')) "
+            "   + (length(text) - length(replace(text, '!', ''))) "
+            "   + (length(text) - length(replace(text, '?', ''))))::BIGINT, 1) AS s, "
+            "  len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS g "
+            "FROM documents) "
+            "SELECT doc_id, w AS n_words, s AS n_sentences, "
+            "greatest(g, w) AS n_syllables, "
+            "round(0.39 * (w / (s * 1.0)) + 11.8 * (greatest(g, w) / (w * 1.0)) "
+            "      - 15.59, 6)::DOUBLE AS fk_grade FROM c"
         ),
         "bm25_topk_federated": (
             "WITH tok AS (" + _TOK + "), "

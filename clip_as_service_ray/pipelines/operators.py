@@ -10821,3 +10821,163 @@ def term_df_csv(sf_dir: str):
     return ds.groupby("term", num_partitions=8).aggregate(
         Sum("df_part", alias_name="df")
     )
+
+
+def doc_readability(sf_dir: str):
+    """Flesch-Kincaid grade level per document (the classic readability
+    score a curation pipeline gates on): grade = 0.39 * (words/sentences)
+    + 11.8 * (syllables/words) - 15.59, with the standard computable
+    proxies — whitespace words, terminal-punctuation sentences (floored at
+    1), and vowel-group syllables ([aeiouy]+ runs, floored at 1/word ...
+    approximated corpus-wide as max(groups, words)). Every count is an
+    exact integer on both engines; the grade is the identical float
+    expression, round(6)."""
+
+    def fk(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        lower = pc.utf8_lower(text)
+        words = pc.add(pc.count_substring(text, " "), 1).to_numpy().astype(np.int64)
+        sents = pc.add(
+            pc.add(pc.count_substring(text, "."), pc.count_substring(text, "!")),
+            pc.count_substring(text, "?"),
+        ).to_numpy().astype(np.int64)
+        sents = np.maximum(sents, 1)
+        syl = pc.count_substring_regex(lower, "[aeiouy]+").to_numpy().astype(np.int64)
+        syl = np.maximum(syl, words)  # >= 1 syllable per word
+        grade = (
+            0.39 * (words.astype(np.float64) / sents.astype(np.float64))
+            + 11.8 * (syl.astype(np.float64) / words.astype(np.float64))
+            - 15.59
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(words, pa.int64()),
+                "n_sentences": pa.array(sents, pa.int64()),
+                "n_syllables": pa.array(syl, pa.int64()),
+                "fk_grade": pa.array(np.round(grade, 6), pa.float64()),
+            }
+        )
+
+    out = _documents(sf_dir).map_batches(fk, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def mine_hard_negatives(
+    sf_dir: str, every: int = 100, offset: int = 7, m: int = 3, k: int = 5,
+):
+    """Hard-negative mining for contrastive training data (the DPR /
+    sentence-transformers recipe): for each query doc (doc_id % every ==
+    offset), its top-m TF-IDF terms become an OR query through the REAL
+    engine, and the best k hits that are neither the doc itself nor an
+    EXACT TEXT DUPLICATE of it are its hard negatives — high-BM25
+    lookalikes that teach the embedding model fine distinctions. All query
+    docs ride ONE multi-query search batch; per-qdoc term selection is
+    bit-identical to the SQL twin (integer tf/df -> identical tf*ln(N/df),
+    ties by term ASC)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from clip_as_service_ray.functions.tokenizer import tokenize
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+    from clip_as_service_ray.state import manifest as mf
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        # modulo predicate in the scan (Expression % is unsupported; this
+        # filter still runs inside the read tasks, so only query docs leave)
+        return batch.filter(
+            pa.array(batch.column("doc_id").to_numpy() % every == offset)
+        )
+
+    qdocs = pa.Table.from_pandas(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ).map_batches(pick, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    ).sort_by("doc_id")
+    qids = qdocs.column("doc_id").to_pylist()
+    qtexts = dict(zip(qids, qdocs.column("text").to_pylist()))
+
+    # one pushdown dictionary read for the UNION of all query docs' terms
+    per_q: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    all_terms: set = set()
+    for qid in qids:
+        toks = tokenize(qtexts[qid])
+        terms, tfs = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        per_q[qid] = (terms, tfs)
+        all_terms.update(terms.tolist())
+    dict_tbl = pq.read_table(
+        os.path.join(index_dir, "dictionary"),
+        filters=[("term", "in", sorted(all_terms))],
+    )
+    dterms = dict_tbl.column("term").to_numpy(zero_copy_only=False)
+    ddf = dict_tbl.column("df").to_numpy().astype(np.float64)
+    order = np.argsort(dterms, kind="stable")
+    dterms, ddf = dterms[order], ddf[order]
+    n_docs = float(mf.read_json(os.path.join(index_dir, "stats.json"))["n_docs"])
+
+    slack = k + 50  # self + exact-text duplicates are filtered post-search
+    q_texts_out = []
+    for qid in qids:
+        terms, tfs = per_q[qid]
+        pos = np.searchsorted(dterms, terms)
+        pos_c = np.minimum(pos, max(len(dterms) - 1, 0))
+        df = np.where(
+            (len(dterms) > 0) & (dterms[pos_c] == terms), ddf[pos_c], n_docs
+        ) if len(dterms) else np.full(len(terms), n_docs)
+        tfidf = tfs * np.log(n_docs / df)
+        top = np.lexsort((terms, -tfidf))[:m]
+        q_texts_out.append(" ".join(sorted(terms[top].tolist())))
+    queries = pa.table(
+        {"query_id": pa.array(qids, pa.int64()),
+         "text": pa.array(q_texts_out, pa.string()),
+         "limit": pa.array([slack] * len(qids), pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg)
+    hit_q = hits.column("query_id").to_numpy()
+    hit_ids = np.asarray(
+        [int(c[4:]) for c in hits.column("conv_id").to_pylist()], np.int64
+    )
+    hit_scores = hits.column("score").to_numpy()
+
+    # texts of every hit, one pushdown read (hits-sized, not corpus-sized)
+    need = sorted(set(hit_ids.tolist()))
+    texts_tbl = pa.Table.from_pandas(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin(need),
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    text_of = dict(zip(texts_tbl.column("doc_id").to_pylist(),
+                       texts_tbl.column("text").to_pylist()))
+
+    out_q, out_d, out_r, out_s = [], [], [], []
+    for qid in qids:
+        sel = np.nonzero(hit_q == qid)[0]
+        rank = 0
+        for i in sel:  # hits are (score DESC, doc ASC) within the query
+            d = int(hit_ids[i])
+            if d == qid or text_of[d] == qtexts[qid]:
+                continue
+            out_q.append(qid)
+            out_d.append(d)
+            out_r.append(rank)
+            out_s.append(round(float(hit_scores[i]), 6))
+            rank += 1
+            if rank == k:
+                break
+    return pa.table(
+        {"query_doc": pa.array(out_q, pa.int64()),
+         "neg_doc": pa.array(out_d, pa.int64()),
+         "rank": pa.array(out_r, pa.int64()),
+         "score": pa.array(out_s, pa.float64())}
+    )
