@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "bm25_topk_common_terms": ops.bm25_topk_common_terms,
+        "bm25_topk_bool": ops.bm25_topk_bool,
         "mine_hard_negatives": ops.mine_hard_negatives,
         "doc_readability": ops.doc_readability,
         "bm25_topk_federated": ops.bm25_topk_federated,
@@ -1079,6 +1080,29 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS dl FROM documents) "
             "SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6)::DOUBLE AS avgdl "
             "FROM dl WHERE dl > 0"
+        ),
+        "bm25_topk_bool": (
+            # Lucene BooleanQuery: must='dup' AND >=1 of should
+            # {'merge','window'}; score sums every matched clause term
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('dup', 'merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "flags AS (SELECT doc_id, "
+            "  max(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS has_must, "
+            "  count(DISTINCT CASE WHEN term IN ('merge', 'window') "
+            "        THEN term END) AS n_should FROM tf GROUP BY doc_id), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT sc.doc_id, round(sc.score, 6)::DOUBLE AS score "
+            "FROM scores sc JOIN flags f ON sc.doc_id = f.doc_id "
+            "WHERE f.has_must = 1 AND f.n_should >= 1 "
+            "ORDER BY sc.score DESC, sc.doc_id ASC LIMIT 10"
         ),
         "mine_hard_negatives": (
             # DPR-style hard negatives: per query doc (doc_id%100==7) top-3

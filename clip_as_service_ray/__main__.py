@@ -97,6 +97,14 @@ def main(argv=None) -> int:
         "0 = classic BM25",
     )
     s.add_argument(
+        "--bool", action="store_true", dest="bool_query",
+        help="full Lucene BooleanQuery: query text = must clauses, a "
+             "per-query `should` column = optional clauses (--min-should "
+             "floor), `exclude` column = must_not",
+    )
+    s.add_argument("--min-should", type=int, default=0,
+                   help="minimum_should_match over the should clauses")
+    s.add_argument(
         "--cutoff-frequency", type=float, default=None,
         help="Lucene CommonTermsQuery: df/N threshold splitting query terms "
              "into candidate-selecting (low) vs score-only (high) groups",
@@ -324,6 +332,7 @@ def main(argv=None) -> int:
                 terms_set=args.terms_set_field,
                 similarity=args.similarity, sim_param=args.sim_param,
                 common_terms=args.cutoff_frequency,
+                bool_query=args.bool_query, min_should=args.min_should,
             )
             if args.out:
                 pq.write_table(hits, args.out)

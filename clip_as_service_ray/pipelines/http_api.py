@@ -126,7 +126,7 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
             ),
         }
         for name, typ in (("exclude", pa.string()), ("conv_prefix", pa.string()),
-                          ("negative", pa.string())):
+                          ("negative", pa.string()), ("should", pa.string())):
             if colsin.get(name):
                 cols[name] = pa.array(
                     [str(x or "") for x in colsin[name]], typ
@@ -186,6 +186,10 @@ def _queries_table(payload: dict, with_window: bool = False) -> pa.Table:
     if any(q.get("negative") for q in qs):  # boosting mode's demotion text
         cols["negative"] = pa.array(
             [str(q.get("negative", "") or "") for q in qs], pa.string()
+        )
+    if any(q.get("should") for q in qs):  # bool mode's optional clauses
+        cols["should"] = pa.array(
+            [str(q.get("should", "") or "") for q in qs], pa.string()
         )
     if with_window:  # 0 = exact phrase; >0 = proximity window in tokens
         cols["window"] = pa.array(
@@ -380,6 +384,10 @@ def _mode_key(payload: dict) -> tuple | None:
         # synonym maps stay server-level: an unbounded per-request dict
         # would leak one pool per distinct map)
         return ("delta", float(payload.get("delta", 1.0)))
+    if mode == "bool":
+        # full Lucene BooleanQuery: text = must, per-query `should` column,
+        # exclude = must_not; one lazy pool per min_should floor
+        return ("bool_query", int(payload.get("min_should", 0)))
     if mode == "common_terms":
         # Lucene CommonTermsQuery: cutoff frequency as a fraction of
         # n_docs; one lazy pool per distinct cutoff
@@ -395,7 +403,7 @@ def _mode_key(payload: dict) -> tuple | None:
         f"unknown mode {mode!r} "
         "(conjunctive|prefix|suffix|regex|term_range|block_join|decay|"
         "fuzzy|boosted|msm|collapse|bm25plus|boosting|terms_set|similarity|"
-        "common_terms)"
+        "common_terms|bool)"
     )
 
 
@@ -907,6 +915,9 @@ class SegmentedSearchHTTPServer:
                                         if key[0] == "similarity":
                                             kw = {"similarity": key[1],
                                                   "sim_param": key[2]}
+                                        elif key[0] == "bool_query":
+                                            kw = {"bool_query": True,
+                                                  "min_should": key[1]}
                                         else:
                                             kw = {key[0]: (dict(key[1]) if key[0] == "decay"
                                                            else key[1] if len(key) > 1 else True)}

@@ -10981,3 +10981,34 @@ def mine_hard_negatives(
          "rank": pa.array(out_r, pa.int64()),
          "score": pa.array(out_s, pa.float64())}
     )
+
+
+def bm25_topk_bool(
+    sf_dir: str, must: str = "dup", should: str = "merge window",
+    min_should: int = 1, limit: int = 10,
+):
+    """Full Lucene/ES BooleanQuery through the engine: must clause ('dup')
+    gates candidates AND scores, should clauses ('merge window') add score
+    with a minimum_should_match floor of 1 — the composite query shape every
+    ES `bool` request uses. The SQL twin replicates the clause algebra with
+    integer flag counts and sums BM25 over every matched clause term."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([must]),
+         "should": pa.array([should]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(
+        index_dir, queries, cfg, bool_query=True, min_should=min_should
+    )
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )

@@ -40,6 +40,8 @@ def search(
     similarity: str = "bm25",
     sim_param: float | None = None,
     common_terms: float | None = None,
+    bool_query: bool = False,
+    min_should: int = 0,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -81,6 +83,8 @@ def search(
             "similarity": similarity,
             "sim_param": sim_param,
             "common_terms": common_terms,
+            "bool_query": bool_query,
+            "min_should": min_should,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -112,6 +116,8 @@ def search_table(
     similarity: str = "bm25",
     sim_param: float | None = None,
     common_terms: float | None = None,
+    bool_query: bool = False,
+    min_should: int = 0,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
@@ -123,7 +129,8 @@ def search_table(
         collapse=collapse, suffix=suffix, regex=regex, term_range=term_range,
         block_join=block_join, decay=decay, boosting=boosting,
         terms_set=terms_set, similarity=similarity, sim_param=sim_param,
-        common_terms=common_terms,
+        common_terms=common_terms, bool_query=bool_query,
+        min_should=min_should,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

@@ -284,6 +284,8 @@ class SegmentedQueryService(ScatterQueryService):
         similarity: str = "bm25",
         sim_param: float | None = None,
         common_terms: float | None = None,
+        bool_query: bool = False,
+        min_should: int = 0,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -315,6 +317,8 @@ class SegmentedQueryService(ScatterQueryService):
             similarity=similarity,
             sim_param=sim_param,
             common_terms=common_terms,
+            bool_query=bool_query,
+            min_should=min_should,
             num_cpus=num_cpus,
         )
 

@@ -201,6 +201,8 @@ class ScatterQueryService:
         similarity: str = "bm25",
         sim_param: float | None = None,
         common_terms: float | None = None,
+        bool_query: bool = False,
+        min_should: int = 0,
         num_cpus: float = 1,
     ):
         import ray
@@ -280,6 +282,8 @@ class ScatterQueryService:
                 similarity=similarity,
                 sim_param=sim_param,
                 common_terms=common_terms,
+                bool_query=bool_query,
+                min_should=min_should,
             )
             for d in index_dirs
         ]

@@ -743,6 +743,99 @@ class IndexReader:
             exclude=excl, doc_range=doc_range,
         )
 
+    def score_query_bool(
+        self, must_text: str, should_text: str, limit: int,
+        min_should: int = 0, exclude_text: str = "", doc_range=None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Full Lucene/ES BooleanQuery: ``must`` clauses are BOTH candidate
+        filters (every must term must match) and scorers; ``should`` clauses
+        add score, with ``min_should`` of them required for candidacy (ES
+        minimum_should_match over should clauses — defaults to 0 when must
+        clauses exist, and to 1 when the query is should-only, the ES rule);
+        ``exclude_text`` is the must_not leg; ``doc_range`` the filter leg.
+
+        Scoring: every matched (must ∪ should) term contributes its BM25
+        score, accumulated in sorted term order over the union — a
+        surviving doc's score is bit-identical to ``score_query`` on the
+        same combined term set. Should terms duplicated in must are
+        dropped (a term can't vote twice). A must term absent from the
+        dictionary returns empty (the conjunctive contract)."""
+        must = sorted(set(self._qtokens(must_text)))
+        should = sorted(set(self._qtokens(should_text)) - set(must))
+        if must and any(t not in self._term_blocks for t in must):
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        should_present = [t for t in should if t in self._term_blocks]
+        if not must and min_should <= 0:
+            min_should = 1  # ES: a should-only bool needs >= 1 match
+        if min_should > len(should_present):
+            # the floor can never be met (OOV should terms never match)
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        present = sorted(set(must) | set(should_present))
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        must_set = set(must)
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        chunk = min(n_slots, self.dense_chunk_docs)
+        if self._score_buf is None or len(self._score_buf) != chunk:
+            self._score_buf = np.zeros(chunk, dtype=np.float64)
+            self._match_buf = np.zeros(chunk, dtype=bool)
+        if (getattr(self, "_count_buf", None) is None
+                or len(self._count_buf) != chunk):
+            self._count_buf = np.zeros(chunk, dtype=np.uint16)
+        if (getattr(self, "_count_buf2", None) is None
+                or len(self._count_buf2) != chunk):
+            self._count_buf2 = np.zeros(chunk, dtype=np.uint16)
+        scores, matched = self._score_buf, self._match_buf
+        m_cnt, s_cnt = self._count_buf, self._count_buf2
+        win_docs: list[np.ndarray] = []
+        win_scores: list[np.ndarray] = []
+        one_chunk = chunk >= n_slots
+        for c0 in range(0, n_slots, chunk):
+            c1 = min(c0 + chunk, n_slots)
+            for t in present:
+                if one_chunk:
+                    docs_t, scores_t = self.term_docs_scores(t)
+                    rel = docs_t
+                else:
+                    docs_t, scores_t = self.term_postings_in_range(t, c0, c1)
+                    if not len(docs_t):
+                        continue
+                    rel = docs_t - c0
+                scores[rel] += scores_t
+                matched[rel] = True
+                if t in must_set:
+                    m_cnt[rel] += 1
+                else:
+                    s_cnt[rel] += 1
+            cand = np.nonzero(matched[: c1 - c0])[0]
+            if len(cand):
+                sel = cand[
+                    (m_cnt[cand] == len(must))
+                    & (s_cnt[cand] >= max(min_should, 0))
+                ]
+                if doc_range is not None and len(sel):
+                    sel = self._clip_to_range(sel + c0, doc_range) - c0
+                if excl is not None and len(sel):
+                    sel = self._drop_excluded(sel + c0, excl) - c0
+                if len(sel):
+                    top = bm25.topk_indices(scores[sel], sel + c0, limit)
+                    win_docs.append((sel[top] + c0).astype(np.int64))
+                    win_scores.append(scores[sel[top]].copy())
+                scores[cand] = 0.0
+                matched[cand] = False
+                m_cnt[cand] = 0
+                s_cnt[cand] = 0
+        if not win_docs:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        if len(win_docs) == 1:
+            return win_docs[0], win_scores[0]
+        d = np.concatenate(win_docs)
+        s = np.concatenate(win_scores)
+        top = bm25.topk_indices(s, d, limit)
+        return d[top], s[top]
+
     def score_query_common_terms(
         self, text: str, limit: int, cutoff: float = 0.01,
         exclude_text: str = "", doc_range=None,
@@ -1770,15 +1863,19 @@ class QueryScorer:
         similarity: str = "bm25",
         sim_param: float | None = None,
         common_terms: float | None = None,
+        bool_query: bool = False,
+        min_should: int = 0,
     ):
         if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match,
                           collapse, suffix, regex, term_range,
                           block_join, decay, boosting is not None,
-                          terms_set, common_terms is not None))) > 1:
+                          terms_set, common_terms is not None,
+                          bool_query))) > 1:
             raise ValueError(
                 "query modes are mutually exclusive: pick ONE of conjunctive/"
                 "prefix/fuzzy/boosted/min_match/collapse/suffix/regex/"
-                "term_range/block_join/decay/boosting/terms_set/common_terms"
+                "term_range/block_join/decay/boosting/terms_set/common_terms/"
+                "bool_query"
             )
         # similarity module (Lucene/ES `similarity` index setting): the
         # same index artifact scored under lmdirichlet / lmjm / tfidf /
@@ -1859,6 +1956,11 @@ class QueryScorer:
         # of n_docs): low-df terms select candidates, high-df terms only
         # score them (score_query_common_terms)
         self.common_terms = None if common_terms is None else float(common_terms)
+        # bool_query: full Lucene BooleanQuery — query text = must clauses,
+        # per-query `should` column = should clauses (min_should floor),
+        # `exclude` column = must_not, conv_prefix = filter
+        self.bool_query = bool(bool_query)
+        self.min_should = int(min_should)
         # fuzzy > 0: each token expands to its edit-distance neighborhood;
         # fuzzy_transpositions selects the ES-default OSA metric (adjacent
         # swap = 1 edit, Lucene FuzzyQuery transpositions=true)
@@ -2053,6 +2155,8 @@ class QueryScorer:
                     text, limit, cutoff=_c, exclude_text=exclude_text,
                     doc_range=doc_range,
                 )
+        elif self.bool_query:
+            score_fn = None  # dispatched per query (needs `should` column)
         elif self.boosting is not None:
             score_fn = None  # dispatched per query (needs `negative` column)
         elif self.boosted:
@@ -2097,6 +2201,12 @@ class QueryScorer:
             if "negative" in batch.column_names
             else None
         )
+        # bool_query mode: per-query `should` column (optional clauses)
+        shoulds = (
+            batch.column("should").to_pylist()
+            if "should" in batch.column_names
+            else None
+        )
         # metadata filter: per-query conv_id PREFIX restricting candidates
         # (the AnnLite filter-column analog); empty string = unfiltered
         prefixes = (
@@ -2130,7 +2240,8 @@ class QueryScorer:
                or self.min_match or self.collapse or self.suffix
                or self.regex or self.term_range or self.block_join
                or self.decay or self.boosting is not None
-               or self.terms_set or self.common_terms is not None):
+               or self.terms_set or self.common_terms is not None
+               or self.bool_query):
             raise ValueError(
                 "search_after cursors apply to the default OR mode only"
             )
@@ -2153,7 +2264,8 @@ class QueryScorer:
                 aft = (float(after_scores[qi]), cursor_doc)
             lim = int(limit or self.default_limit)
             neg = (negatives[qi] or "") if negatives is not None else ""
-            ckey = (text, lim, excl or "", pfx, aft, neg)
+            shd = (shoulds[qi] or "") if shoulds is not None else ""
+            ckey = (text, lim, excl or "", pfx, aft, neg, shd)
             cached = self._qcache.get(ckey) if self._qcache is not None else None
             if cached is not None:
                 self._qcache.move_to_end(ckey)
@@ -2169,6 +2281,13 @@ class QueryScorer:
                 elif self.boosting is not None:
                     doc_ids, scores = self.reader.score_query_boosting(
                         text, neg, lim, negative_boost=self.boosting,
+                        exclude_text=excl or "", doc_range=rng,
+                    )
+                elif self.bool_query:
+                    doc_ids, scores = self.reader.score_query_bool(
+                        text,
+                        (shoulds[qi] or "") if shoulds is not None else "",
+                        lim, min_should=self.min_should,
                         exclude_text=excl or "", doc_range=rng,
                     )
                 else:

@@ -298,6 +298,11 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
                                          "cutoff_frequency": 1e-9, "queries": [
             {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
         assert {h["conv_id"]: h["score"] for h in ct} == p0
+        # bool: should-only (ES default msm=1) == plain OR
+        bq = _post(srv.url + "/search", {"mode": "bool", "queries": [
+            {"query_id": 0, "text": "", "should": "merge window",
+             "limit": 5}]})["hits"]
+        assert {h["conv_id"]: h["score"] for h in bq} == p0
         # unknown mode -> 400
         with pytest.raises(urllib.error.HTTPError) as em:
             _post(srv.url + "/search", {"mode": "nope", "queries": [
