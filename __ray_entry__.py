@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "bm25_topk_common_terms": ops.bm25_topk_common_terms,
+        "bm25_topk_phrase_rescored": ops.bm25_topk_phrase_rescored,
+        "customers_distance_rings": ops.customers_distance_rings,
         "bm25_topk_bool": ops.bm25_topk_bool,
         "mine_hard_negatives": ops.mine_hard_negatives,
         "doc_readability": ops.doc_readability,
@@ -1080,6 +1082,59 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS dl FROM documents) "
             "SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6)::DOUBLE AS avgdl "
             "FROM dl WHERE dl > 0"
+        ),
+        "bm25_topk_phrase_rescored": (
+            # ES rescore window=50 with a match_phrase rescorer:
+            # final = bm25 + 2.0 * phrase_tf (score_mode total)
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'part') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            "win AS (SELECT doc_id, score FROM scores "
+            "        ORDER BY score DESC, doc_id ASC LIMIT 50), "
+            "ptok AS (SELECT doc_id, unnest(ts) AS term, "
+            "         unnest(range(len(ts))) AS pos FROM (SELECT doc_id, "
+            "         regexp_extract_all(lower(text), '" + _PAT_SQL + "') AS ts "
+            "         FROM documents)), "
+            "ptf AS (SELECT a.doc_id, count(*)::BIGINT AS phrase_tf "
+            "        FROM ptok a JOIN ptok b ON b.doc_id = a.doc_id "
+            "        AND b.pos = a.pos + 1 "
+            "        WHERE a.term = 'merge' AND b.term = 'part' "
+            "        GROUP BY a.doc_id) "
+            "SELECT w.doc_id, round(w.score + 2.0 * coalesce(p.phrase_tf, 0), 6)"
+            "::DOUBLE AS score "
+            "FROM win w LEFT JOIN ptf p ON w.doc_id = p.doc_id "
+            "ORDER BY (w.score + 2.0 * coalesce(p.phrase_tf, 0)) DESC, "
+            "w.doc_id ASC LIMIT 10"
+        ),
+        "customers_distance_rings": (
+            # ES geo_distance agg: rings at 1000/2000/4000/8000 km; exact
+            # counts + per-ring nearest distance (min: no sum-order drift)
+            "WITH c AS (SELECT "
+            "  (c_custkey * 7919 % 18000) / 100.0 - 90.0 AS lat, "
+            "  (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon "
+            "FROM customer), "
+            "d AS (SELECT 2.0 * 6371.0 * asin(sqrt("
+            "  sin((lat - 12.0) * 0.017453292519943295 / 2.0) "
+            "  * sin((lat - 12.0) * 0.017453292519943295 / 2.0) "
+            "  + cos(12.0 * 0.017453292519943295) "
+            "  * cos(lat * 0.017453292519943295) "
+            "  * (sin((lon - 77.0) * 0.017453292519943295 / 2.0) "
+            "     * sin((lon - 77.0) * 0.017453292519943295 / 2.0)))) AS dist "
+            "FROM c), "
+            "r AS (SELECT CASE WHEN dist < 1000.0 THEN 0 "
+            "      WHEN dist < 2000.0 THEN 1 WHEN dist < 4000.0 THEN 2 "
+            "      WHEN dist < 8000.0 THEN 3 ELSE 4 END AS ring, dist FROM d) "
+            "SELECT ring::BIGINT AS ring, count(*)::BIGINT AS cnt, "
+            "round(min(dist), 6)::DOUBLE AS nearest_km "
+            "FROM r GROUP BY ring ORDER BY ring"
         ),
         "bm25_topk_bool": (
             # Lucene BooleanQuery: must='dup' AND >=1 of should

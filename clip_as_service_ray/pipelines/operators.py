@@ -11012,3 +11012,106 @@ def bm25_topk_bool(
     return pa.table(
         {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
     )
+
+
+def bm25_topk_phrase_rescored(
+    sf_dir: str, phrase: str = "merge part", window: int = 50,
+    weight: float = 2.0, limit: int = 10,
+):
+    """The canonical ES rescore: BM25 retrieves a top-``window`` candidate
+    set, a match_phrase rescorer re-ranks it — final = bm25 + weight *
+    phrase_tf (score_mode total). Exercises the retrieval index AND the
+    positional artifact in one pipeline; the window selection and the
+    combine are float-identical to the SQL twin (2-term BM25 parity +
+    exact integer phrase counts)."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import (
+        build_positions,
+        phrase_search_table,
+    )
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    build_positions(_docs_as_transcripts(sf_dir), index_dir, cfg)
+
+    q = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([phrase]),
+         "limit": pa.array([window], pa.int32())}
+    )
+    hits = search_table(index_dir, q, cfg)
+    ids = np.asarray(
+        [int(c[4:]) for c in hits.column("conv_id").to_pylist()], np.int64
+    )
+    raw = hits.column("score").to_numpy()
+
+    pq_ = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([phrase]),
+         "limit": pa.array([1_000_000_000], pa.int32())}
+    )
+    ph = phrase_search_table(index_dir, pq_, cfg)
+    ptf = {
+        int(c[4:]): int(t)
+        for c, t in zip(ph.column("conv_id").to_pylist(),
+                        ph.column("phrase_tf").to_pylist())
+    }
+    final = raw + weight * np.array([float(ptf.get(int(d), 0)) for d in ids])
+    order = np.lexsort((ids, -final))[:limit]
+    return pa.table(
+        {"doc_id": pa.array(ids[order], pa.int64()),
+         "score": pa.array(np.round(final[order], 6), pa.float64())}
+    )
+
+
+def customers_distance_rings(
+    sf_dir: str, lat0: float = 12.0, lon0: float = 77.0,
+    bounds=(1000.0, 2000.0, 4000.0, 8000.0),
+):
+    """ES ``geo_distance`` aggregation: customers bucketed into distance
+    RINGS from a point (same deterministic synthetic coordinates and the
+    same haversine expression shape as customers_near_point). Per ring:
+    exact count + the nearest customer's distance (min — exact double, no
+    sum-order drift). Ring edges use strict ``<`` on both engines."""
+    import ray.data
+
+    R = 6371.0
+    DEG = 0.017453292519943295
+    b = np.asarray(bounds, np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        lat = (ck * 7919 % 18000) / 100.0 - 90.0
+        lon = (ck * 104729 % 36000) / 100.0 - 180.0
+        sdp = np.sin((lat - lat0) * DEG / 2.0)
+        sdl = np.sin((lon - lon0) * DEG / 2.0)
+        a = sdp * sdp + np.cos(lat0 * DEG) * np.cos(lat * DEG) * (sdl * sdl)
+        d = 2.0 * R * np.arcsin(np.sqrt(a))
+        ring = np.searchsorted(b, d, side="right")
+        n = len(b) + 1
+        mn = np.full(n, np.inf)
+        np.minimum.at(mn, ring, d)
+        return pa.table(
+            {"ring": pa.array(np.arange(n), pa.int64()),
+             "cnt": pa.array(np.bincount(ring, minlength=n).astype(np.int64), pa.int64()),
+             "mn": pa.array(mn, pa.float64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("ring", as_index=False).agg(
+        cnt=("cnt", "sum"), mn=("mn", "min")
+    ).sort_values("ring")
+    agg = agg[agg["cnt"] > 0]
+    return pa.table(
+        {"ring": pa.array(agg["ring"].to_numpy().astype(np.int64), pa.int64()),
+         "cnt": pa.array(agg["cnt"].to_numpy().astype(np.int64), pa.int64()),
+         "nearest_km": pa.array(np.round(agg["mn"].to_numpy(), 6), pa.float64())}
+    )
