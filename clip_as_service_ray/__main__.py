@@ -96,6 +96,10 @@ def main(argv=None) -> int:
         help="BM25+ bonus (Lv & Zhai 2011): score = idf * (tf_norm + delta); "
         "0 = classic BM25",
     )
+    s.add_argument("--k1", type=float, default=None,
+                   help="override BM25 k1 (exact path; default = index's)")
+    s.add_argument("--b", type=float, default=None,
+                   help="override BM25 b (exact path; default = index's)")
     s.add_argument(
         "--bool", action="store_true", dest="bool_query",
         help="full Lucene BooleanQuery: query text = must clauses, a "
@@ -197,8 +201,8 @@ def main(argv=None) -> int:
 
     qs = sub.add_parser(
         "query",
-        help="run query-language strings (OR/AND/NOT/-term/term*/term~d/"
-        "\"phrase\"/\"a b\"~N) against an index",
+        help="run query-language strings (OR/AND/NOT/-term/+must/term*/"
+        "term~d/\"phrase\"/\"a b\"~N) against an index",
     )
     qs.add_argument("--index-dir", required=True)
     qs.add_argument("text", nargs="+", help="one or more query strings")
@@ -333,6 +337,7 @@ def main(argv=None) -> int:
                 similarity=args.similarity, sim_param=args.sim_param,
                 common_terms=args.cutoff_frequency,
                 bool_query=args.bool_query, min_should=args.min_should,
+                k1=args.k1, b=args.b,
             )
             if args.out:
                 pq.write_table(hits, args.out)

@@ -39,7 +39,13 @@ def _op_build_index(args: dict, cfg: EngineConfig):
 def _op_search(args: dict, cfg: EngineConfig):
     from clip_as_service_ray.pipelines.search import search_table
 
-    return search_table(args["index_dir"], args["queries"], cfg)
+    # optional query-mode passthrough: any search_table keyword works from
+    # YAML (conjunctive/prefix/fuzzy/bool_query/min_should/similarity/
+    # sim_param/common_terms/delta/...)
+    kw = {
+        k: v for k, v in args.items() if k not in ("index_dir", "queries")
+    }
+    return search_table(args["index_dir"], args["queries"], cfg, **kw)
 
 
 def _op_dedup_turns(args: dict, cfg: EngineConfig):

@@ -384,6 +384,12 @@ def _mode_key(payload: dict) -> tuple | None:
         # synonym maps stay server-level: an unbounded per-request dict
         # would leak one pool per distinct map)
         return ("delta", float(payload.get("delta", 1.0)))
+    if mode == "bm25_tuned":
+        # per-request BM25 k1/b (the ES per-index similarity setting):
+        # one lazy pool per (k1, b) pair; exact path (build-time block-max
+        # metadata is k1/b-dependent)
+        return ("k1b", float(payload.get("k1", 1.2)),
+                float(payload.get("b", 0.75)))
     if mode == "bool":
         # full Lucene BooleanQuery: text = must, per-query `should` column,
         # exclude = must_not; one lazy pool per min_should floor
@@ -403,7 +409,7 @@ def _mode_key(payload: dict) -> tuple | None:
         f"unknown mode {mode!r} "
         "(conjunctive|prefix|suffix|regex|term_range|block_join|decay|"
         "fuzzy|boosted|msm|collapse|bm25plus|boosting|terms_set|similarity|"
-        "common_terms|bool)"
+        "common_terms|bool|bm25_tuned)"
     )
 
 
@@ -629,10 +635,14 @@ class SegmentedSearchHTTPServer:
 
         POST /index  {"turns": [{conv_id, turn_idx, role, text, ...}]}
                      -> builds the next segment; docs searchable on return
-        POST /search {"queries": [{query_id, text, limit?, exclude?}],
+        POST /search {"queries": [{query_id, text, limit?, exclude?,
+                                   should?}],
                       "mode"?: "conjunctive"|"prefix"|"fuzzy"|"boosted"|
-                               "msm"|"collapse"|"bm25plus",
-                      "fuzzy_dist"?: 2, "min_match"?: 2, "delta"?: 1.0}
+                               "msm"|"collapse"|"bm25plus"|"bool"|
+                               "similarity"|"common_terms"|...,
+                      "fuzzy_dist"?: 2, "min_match"?: 2, "delta"?: 1.0,
+                      "min_should"?: 1, "similarity"?: "lmdirichlet",
+                      "sim_param"?: 2000, "cutoff_frequency"?: 0.01}
                      -> every query-language mode works against the
                      segmented index (retriever.md:180-225 contract); mode
                      pools spawn lazily, a per-query `exclude` composes
@@ -918,6 +928,8 @@ class SegmentedSearchHTTPServer:
                                         elif key[0] == "bool_query":
                                             kw = {"bool_query": True,
                                                   "min_should": key[1]}
+                                        elif key[0] == "k1b":
+                                            kw = {"k1": key[1], "b": key[2]}
                                         else:
                                             kw = {key[0]: (dict(key[1]) if key[0] == "decay"
                                                            else key[1] if len(key) > 1 else True)}

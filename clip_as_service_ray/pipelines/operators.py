@@ -11115,3 +11115,31 @@ def customers_distance_rings(
          "cnt": pa.array(agg["cnt"].to_numpy().astype(np.int64), pa.int64()),
          "nearest_km": pa.array(np.round(agg["mn"].to_numpy(), 6), pa.float64())}
     )
+
+
+def bm25_topk_tuned(
+    sf_dir: str, terms=BM25_QUERY_TERMS, k1: float = 0.9, b: float = 0.4,
+    limit: int = 10,
+):
+    """BM25 with TUNED parameters (the ES per-index similarity setting
+    ``{type: BM25, k1: 0.9, b: 0.4}`` — the classic short-field tuning):
+    same index artifact, per-pool constant override, exact dense path
+    (build-time block-max metadata assumes the build k1/b). The SQL twin
+    swaps the constants into the same expression."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, k1=k1, b=b)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+    )

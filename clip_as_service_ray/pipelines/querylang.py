@@ -8,6 +8,9 @@ onto those primitives:
     merge window            OR (default)
     merge AND window        conjunctive (every term must match)
     merge NOT part          boolean NOT (also: merge -part)
+    +merge window -part     Lucene occurs syntax -> full bool query: +term
+                            is a must clause, bare terms are should
+                            clauses, -term is must_not
     mer*                    wildcard prefix expansion
     *ger                    leading wildcard (suffix expansion)
     /m.rge/                 regexp term query (full match over the vocab)
@@ -58,6 +61,9 @@ class QuerySpec:
     term_range: bool = False
     phrase: str | None = None
     window: int = 0
+    #: Lucene occurs form: +must clauses present -> the full bool kernel
+    bool_query: bool = False
+    should: str = ""
     #: raw positive tokens, pre-join (for tests / introspection)
     terms: list[str] = field(default_factory=list)
 
@@ -91,6 +97,7 @@ def parse_query(s: str) -> QuerySpec:
 
     raw = s.split()
     positives: list[str] = []
+    musts: list[str] = []
     excludes: list[str] = []
     and_seen = or_gap = False
     expect_not = False
@@ -106,6 +113,9 @@ def parse_query(s: str) -> QuerySpec:
         if tok.startswith("-") and len(tok) > 1:
             excludes.append(tok[1:])
             continue
+        if tok.startswith("+") and len(tok) > 1:
+            musts.append(tok[1:])
+            continue
         if expect_not:
             excludes.append(tok)
             expect_not = False
@@ -113,6 +123,25 @@ def parse_query(s: str) -> QuerySpec:
         positives.append(tok)
     if expect_not:
         raise ValueError("dangling NOT")
+    if musts:
+        # Lucene occurs syntax -> the full bool kernel: +terms are must
+        # clauses, bare terms should clauses, -terms must_not. No other
+        # marker composes (the kernels have no must-aware variants).
+        if and_seen:
+            raise ValueError("+must does not compose with AND (must IS and)")
+        specials = [t for t in musts + positives
+                    if t.endswith("*") or t.startswith("*") or "~" in t
+                    or "^" in t or t.startswith("/")]
+        if specials:
+            raise ValueError(
+                f"+must queries take plain terms only (got {specials[0]!r})"
+            )
+        spec.bool_query = True
+        spec.terms = musts + positives
+        spec.text = " ".join(musts)
+        spec.should = " ".join(positives)
+        spec.exclude = " ".join(excludes)
+        return spec
     # AND must bind every gap: "a AND b c" would be a mixed-boolean tree the
     # conjunctive kernel cannot express
     if and_seen:
@@ -214,7 +243,7 @@ def query_string_table(
             key = ("phrase", sp.window)
         else:
             key = ("search", sp.conjunctive, sp.prefix, sp.fuzzy, sp.boosted,
-                   sp.suffix, sp.regex, sp.term_range)
+                   sp.suffix, sp.regex, sp.term_range, sp.bool_query)
         shapes.setdefault(key, []).append(i)
     for key, idxs in shapes.items():
         if key[0] == "phrase":
@@ -251,7 +280,7 @@ def query_string_table(
                 )
             )
         else:
-            _, conj, pref, fz, bo, suf, rx, trng = key
+            _, conj, pref, fz, bo, suf, rx, trng, bq = key
             cols = {
                 "query_id": pa.array([qids[i] for i in idxs], pa.int64()),
                 "text": pa.array([specs[i].text for i in idxs]),
@@ -259,12 +288,15 @@ def query_string_table(
             }
             if any(specs[i].exclude for i in idxs):
                 cols["exclude"] = pa.array([specs[i].exclude for i in idxs])
+            if bq and any(specs[i].should for i in idxs):
+                cols["should"] = pa.array([specs[i].should for i in idxs])
             parts.append(
                 search_table(
                     index_dir, pa.table(cols), config,
                     conjunctive=conj, prefix=pref, fuzzy=fz,
-                    synonyms=None if (bo or suf or rx or trng) else synonyms,
+                    synonyms=None if (bo or suf or rx or trng or bq) else synonyms,
                     boosted=bo, suffix=suf, regex=rx, term_range=trng,
+                    bool_query=bq,
                 )
             )
     if not parts:

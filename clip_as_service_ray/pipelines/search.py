@@ -42,6 +42,8 @@ def search(
     common_terms: float | None = None,
     bool_query: bool = False,
     min_should: int = 0,
+    k1: float | None = None,
+    b: float | None = None,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -85,6 +87,8 @@ def search(
             "common_terms": common_terms,
             "bool_query": bool_query,
             "min_should": min_should,
+            "k1": k1,
+            "b": b,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -118,6 +122,8 @@ def search_table(
     common_terms: float | None = None,
     bool_query: bool = False,
     min_should: int = 0,
+    k1: float | None = None,
+    b: float | None = None,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
@@ -130,7 +136,7 @@ def search_table(
         block_join=block_join, decay=decay, boosting=boosting,
         terms_set=terms_set, similarity=similarity, sim_param=sim_param,
         common_terms=common_terms, bool_query=bool_query,
-        min_should=min_should,
+        min_should=min_should, k1=k1, b=b,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

@@ -286,6 +286,8 @@ class SegmentedQueryService(ScatterQueryService):
         common_terms: float | None = None,
         bool_query: bool = False,
         min_should: int = 0,
+        k1: float | None = None,
+        b: float | None = None,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -319,6 +321,8 @@ class SegmentedQueryService(ScatterQueryService):
             common_terms=common_terms,
             bool_query=bool_query,
             min_should=min_should,
+            k1=k1,
+            b=b,
             num_cpus=num_cpus,
         )
 

@@ -1865,6 +1865,8 @@ class QueryScorer:
         common_terms: float | None = None,
         bool_query: bool = False,
         min_should: int = 0,
+        k1: float | None = None,
+        b: float | None = None,
     ):
         if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match,
                           collapse, suffix, regex, term_range,
@@ -1893,6 +1895,19 @@ class QueryScorer:
                 raise ValueError("delta (BM25+) applies to similarity='bm25' only")
             pruning = False
         self.reader = IndexReader(index_dir, global_stats=global_stats)
+        # per-request BM25 parameter tuning (the ES index setting
+        # `similarity: {type: BM25, k1, b}` served per pool): overrides the
+        # build-time constants BEFORE any block decode, so every cached
+        # tf_norm uses the override consistently. Block-max metadata
+        # (max_tf_norm) was encoded under the BUILD k1/b, so the pruned
+        # path's upper bounds would be invalid — force the exact path.
+        if k1 is not None or b is not None:
+            if k1 is not None:
+                self.reader.k1 = float(k1)
+            if b is not None:
+                self.reader.b = float(b)
+            pruning = False
+            self.pruning = False
         # scoring variant: delta > 0 = BM25+ (same index artifact; the
         # idf-free block cache is variant-independent)
         self.reader.delta = float(delta)

@@ -303,6 +303,11 @@ def test_segmented_lifecycle_over_http(ray_session, tmp_path):
             {"query_id": 0, "text": "", "should": "merge window",
              "limit": 5}]})["hits"]
         assert {h["conv_id"]: h["score"] for h in bq} == p0
+        # bm25_tuned: default constants through the tuned pool == plain OR
+        tq = _post(srv.url + "/search", {"mode": "bm25_tuned", "k1": 1.2,
+                                         "b": 0.75, "queries": [
+            {"query_id": 0, "text": "merge window", "limit": 5}]})["hits"]
+        assert {h["conv_id"]: h["score"] for h in tq} == p0
         # unknown mode -> 400
         with pytest.raises(urllib.error.HTTPError) as em:
             _post(srv.url + "/search", {"mode": "nope", "queries": [

@@ -244,3 +244,31 @@ def test_query_string_term_range_mode(idx):
     got = query_string_table(d, [rq], cfg).to_pandas()
     assert len(want) > 0 and len(got) == len(want)
     assert np.array_equal(got["score"].values, want["score"].values)
+
+
+def test_parse_occurs_bool():
+    sp = parse_query("+merge window stream -part")
+    assert sp.bool_query and sp.text == "merge"
+    assert sp.should == "window stream" and sp.exclude == "part"
+    # guards: occurs syntax takes plain terms, no AND
+    for bad in ("+merge AND window", "+merge win*", "+mrge~2 window",
+                "+merge window^2"):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+
+
+def test_query_string_occurs_matches_bool_call(idx):
+    from clip_as_service_ray.pipelines.search import search_table
+
+    d, cfg, corpus = idx
+    vocab = _vocab(corpus, 4)
+    a, b = vocab[0], vocab[1]
+    q = pa.table(
+        {"query_id": pa.array([0], pa.int64()), "text": [a],
+         "should": [b], "limit": pa.array([10], pa.int32())}
+    )
+    want = search_table(d, q, cfg, bool_query=True).to_pandas()
+    got = query_string_table(d, [f"+{a} {b}"], cfg).to_pandas()
+    assert len(got) == len(want) > 0
+    assert np.array_equal(got["score"].values, want["score"].values)
+    assert (got["conv_id"].values == want["conv_id"].values).all()

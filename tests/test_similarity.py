@@ -163,3 +163,34 @@ def test_kernel_reference_values():
     assert bm25.alt_term_scores("boolean", tf, dl, 3, 5.0, 100, 10.0)[0] == 1.0
     with pytest.raises(ValueError):
         bm25.alt_term_scores("bm25x", tf, dl, 3, 5.0, 100, 10.0)
+
+
+def test_tuned_k1_b_matches_brute(built):
+    """Per-request BM25 k1/b override (ES similarity tuning): exact path,
+    bit-identical to a brute recompute under the tuned constants."""
+    corpus, index_dir, oracle, reader = built
+    k1, b = 0.9, 0.4
+    text = "merge window"
+    terms = sorted(set(reader._qtokens(text)))
+    scores = np.zeros(oracle.n_docs)
+    matched = np.zeros(oracle.n_docs, bool)
+    for t in terms:
+        ps = oracle.postings.get(t)
+        if ps is None:
+            continue
+        docs, tfs = ps
+        scores[docs] += bm25.term_scores(
+            tfs, oracle.dl_arr[docs], len(docs), reader.n_docs, reader.avgdl,
+            k1=k1, b=b,
+        )
+        matched[docs] = True
+    cand = np.nonzero(matched)[0]
+    top = bm25.topk_indices(scores[cand], cand, 10)
+    want_docs = [oracle.docs[i] for i in cand[top]]
+    want_scores = scores[cand[top]]
+    got = search_table(index_dir, _qtable([text]), CFG, k1=k1, b=b).to_pandas()
+    assert list(zip(got.conv_id, got.turn_idx)) == want_docs
+    assert np.array_equal(got.score.to_numpy(), want_scores)
+    # and differs from the default-constants ranking's scores
+    base = search_table(index_dir, _qtable([text]), CFG).to_pandas()
+    assert not np.array_equal(got.score.to_numpy(), base.score.to_numpy())
