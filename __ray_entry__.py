@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "bm25_topk_common_terms": ops.bm25_topk_common_terms,
+        "ann_topk_dot": ops.ann_topk_dot,
+        "ann_topk_l2": ops.ann_topk_l2,
         "bm25_topk_tuned": ops.bm25_topk_tuned,
         "bm25_topk_phrase_rescored": ops.bm25_topk_phrase_rescored,
         "customers_distance_rings": ops.customers_distance_rings,
@@ -1083,6 +1085,24 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS dl FROM documents) "
             "SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6)::DOUBLE AS avgdl "
             "FROM dl WHERE dl > 0"
+        ),
+        "ann_topk_dot": (
+            # dense-vector dot_product similarity (ES knn option)
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_inner_product(e.embedding::DOUBLE[], "
+            "q.embedding::DOUBLE[]), 6)::DOUBLE AS score "
+            "FROM embeddings e, q "
+            "ORDER BY list_inner_product(e.embedding::DOUBLE[], "
+            "q.embedding::DOUBLE[]) DESC, e.vec_id ASC LIMIT 10"
+        ),
+        "ann_topk_l2": (
+            # dense-vector l2_norm similarity (ES knn option): nearest first
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, round(list_distance(e.embedding::DOUBLE[], "
+            "q.embedding::DOUBLE[]), 6)::DOUBLE AS score "
+            "FROM embeddings e, q "
+            "ORDER BY list_distance(e.embedding::DOUBLE[], "
+            "q.embedding::DOUBLE[]) ASC, e.vec_id ASC LIMIT 10"
         ),
         "bm25_topk_tuned": (
             # BM25 with k1=0.9, b=0.4 (ES similarity tuning): k1+1 = 1.9,

@@ -11143,3 +11143,58 @@ def bm25_topk_tuned(
     return pa.table(
         {"doc_id": pa.array(doc_ids, pa.int64()), "score": pa.array(scores, pa.float64())}
     )
+
+
+def _ann_topk_metric(sf_dir: str, metric: str, k: int = 10):
+    """Brute-force top-k under an alternative vector metric (the ES dense
+    vector ``similarity`` options beside cosine): ``dot`` = raw inner
+    product (DESC), ``l2`` = euclidean distance (ASC). Same
+    per-batch-partials shape as ann_topk — per-batch numpy kernel,
+    per-batch top-k, tiny driver merge, no global sort."""
+    import ray
+    import ray.data
+
+    q = _query_vector(sf_dir, 0)
+    q_ref = ray.put(q)
+    asc = metric == "l2"
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch.column("vec_id").to_numpy()
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            if metric == "dot":
+                s = emb @ self.q
+            else:
+                d = emb - self.q
+                s = np.sqrt(np.sum(d * d, axis=1))
+            key = s if asc else -s
+            top = np.lexsort((vec_ids, key))[: min(k, len(vec_ids))]
+            return pa.table(
+                {"vec_id": pa.array(vec_ids[top], pa.int64()),
+                 "score": pa.array(s[top], pa.float64())}
+            )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    parts = ds.map_batches(Score, batch_format="pyarrow", batch_size=4096, concurrency=2)
+    tbl = pa.Table.from_pandas(parts.to_pandas(), preserve_index=False)
+    s = tbl.column("score").to_numpy()
+    vec_ids = tbl.column("vec_id").to_numpy()
+    key = s if asc else -s
+    top = np.lexsort((vec_ids, key))[: min(k, len(vec_ids))]
+    return pa.table(
+        {"vec_id": pa.array(vec_ids[top], pa.int64()),
+         "score": pa.array(np.round(s[top], 6), pa.float64())}
+    )
+
+
+def ann_topk_dot(sf_dir: str, k: int = 10):
+    return _ann_topk_metric(sf_dir, "dot", k)
+
+
+def ann_topk_l2(sf_dir: str, k: int = 10):
+    return _ann_topk_metric(sf_dir, "l2", k)

@@ -187,3 +187,32 @@ def test_flow_phrase_ops(ray_session, tmp_path):
     # window=2 any-order pairs: c0t0 (alpha,beta adjacent) 1 pair,
     # c0t1 (beta alpha reversed) 1 pair, c1t0 (alpha beta adjacent) 1 pair
     assert got_near == {("c0", 0): 1, ("c0", 1): 1, ("c1", 0): 1}
+
+
+def test_flow_search_mode_kwargs(ray_session, tmp_path):
+    """The YAML search op passes query-mode kwargs through to search_table
+    (conjunctive here; the same path carries bool_query/similarity/k1/b)."""
+    from clip_as_service_ray.pipelines.search import search_table
+
+    corpus = synthesize_transcripts(900, seed=5)
+    idx = str(tmp_path / "idx")
+    cfg = EngineConfig(num_index_partitions=2)
+    queries = reference_query_table()
+    out = run_flow(
+        {"stages": [
+            {"name": "index", "op": "build_index",
+             "args": {"source": "$raw", "index_dir": idx, "overwrite": True}},
+            {"name": "hits", "op": "search",
+             "args": {"index_dir": idx, "queries": "$queries",
+                      "conjunctive": True}},
+        ]},
+        inputs={"raw": corpus, "queries": queries},
+        config=cfg,
+    )
+    got = out["hits"].to_pandas() if hasattr(out["hits"], "to_pandas") else out["hits"]
+    want = search_table(idx, queries, cfg, conjunctive=True).to_pandas()
+    assert len(got) == len(want)
+    assert np.array_equal(
+        np.asarray(got["score"].values, dtype=np.float64),
+        want["score"].values,
+    )
