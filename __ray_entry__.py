@@ -180,6 +180,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "bm25_topk_common_terms": ops.bm25_topk_common_terms,
+        "event_value_extended_stats": ops.event_value_extended_stats,
+        "events_daily_stats_bucket": ops.events_daily_stats_bucket,
+        "events_bucket_sort": ops.events_bucket_sort,
+        "events_cumulative_cardinality": ops.events_cumulative_cardinality,
         "ann_topk_dot": ops.ann_topk_dot,
         "ann_topk_l2": ops.ann_topk_l2,
         "bm25_topk_tuned": ops.bm25_topk_tuned,
@@ -1085,6 +1089,53 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS dl FROM documents) "
             "SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6)::DOUBLE AS avgdl "
             "FROM dl WHERE dl > 0"
+        ),
+        "event_value_extended_stats": (
+            # ES extended_stats: exact ES variance expression
+            # (sum_sq - sum*sum/n)/n, std bounds at 2 sigma
+            "SELECT event_type, count(*)::BIGINT AS cnt, "
+            "round(min(value), 6)::DOUBLE AS vmin, "
+            "round(max(value), 6)::DOUBLE AS vmax, "
+            "round(sum(value), 6)::DOUBLE AS vsum, "
+            "round(sum(value) / count(*), 6)::DOUBLE AS vavg, "
+            "round(sum(value * value), 6)::DOUBLE AS sum_sq, "
+            "round((sum(value * value) - sum(value) * sum(value) / count(*)) "
+            "      / count(*), 6)::DOUBLE AS variance, "
+            "round(sqrt((sum(value * value) - sum(value) * sum(value) "
+            "      / count(*)) / count(*)), 6)::DOUBLE AS std_dev, "
+            "round(sum(value) / count(*) + 2.0 * sqrt((sum(value * value) "
+            "      - sum(value) * sum(value) / count(*)) / count(*)), 6)"
+            "::DOUBLE AS upper, "
+            "round(sum(value) / count(*) - 2.0 * sqrt((sum(value * value) "
+            "      - sum(value) * sum(value) / count(*)) / count(*)), 6)"
+            "::DOUBLE AS lower "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "events_daily_stats_bucket": (
+            # ES stats_bucket over the daily doc-count histogram
+            "WITH d AS (SELECT (epoch_us(ts) // 86400000000) * 86400000000 "
+            "AS day, count(*)::BIGINT AS n FROM events GROUP BY day) "
+            "SELECT count(*)::BIGINT AS n_buckets, min(n)::BIGINT AS bmin, "
+            "max(n)::BIGINT AS bmax, sum(n)::BIGINT AS bsum, "
+            "round(sum(n) / count(*), 6)::DOUBLE AS bavg FROM d"
+        ),
+        "events_bucket_sort": (
+            # ES bucket_sort: busiest 5 days
+            "WITH d AS (SELECT (epoch_us(ts) // 86400000000) * 86400000000 "
+            "AS day, count(*)::BIGINT AS n FROM events GROUP BY day) "
+            "SELECT day, n AS cnt FROM d ORDER BY n DESC, day ASC LIMIT 5"
+        ),
+        "events_cumulative_cardinality": (
+            # ES cumulative_cardinality: running distinct-user count per day
+            "WITH d AS (SELECT (epoch_us(ts) // 86400000000) * 86400000000 "
+            "AS day, user_id FROM events), "
+            "f AS (SELECT user_id, min(day) AS fd FROM d GROUP BY user_id), "
+            "days AS (SELECT DISTINCT day FROM d), "
+            "nu AS (SELECT fd AS day, count(*)::BIGINT AS new_users "
+            "       FROM f GROUP BY fd) "
+            "SELECT days.day, sum(coalesce(nu.new_users, 0)) "
+            "OVER (ORDER BY days.day)::BIGINT AS distinct_users "
+            "FROM days LEFT JOIN nu ON days.day = nu.day ORDER BY days.day"
         ),
         "ann_topk_dot": (
             # dense-vector dot_product similarity (ES knn option)

@@ -11198,3 +11198,171 @@ def ann_topk_dot(sf_dir: str, k: int = 10):
 
 def ann_topk_l2(sf_dir: str, k: int = 10):
     return _ann_topk_metric(sf_dir, "l2", k)
+
+
+def event_value_extended_stats(sf_dir: str):
+    """ES ``extended_stats`` aggregation per event_type: count/min/max/sum/
+    avg plus sum_of_squares, variance ((sum_sq - sum*sum/n) / n — the exact
+    ES expression), std_deviation, and the ±2σ bounds. One moment pass
+    (per-batch partials, O(types) rows shuffled); every derived value uses
+    the identical expression chain as the SQL twin, round(6)."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        types, codes = np.unique(
+            batch.column("event_type").to_numpy(zero_copy_only=False),
+            return_inverse=True,
+        )
+        v = batch.column("value").to_numpy().astype(np.float64)
+        n = len(types)
+        mn = np.full(n, np.inf)
+        mx = np.full(n, -np.inf)
+        np.minimum.at(mn, codes, v)
+        np.maximum.at(mx, codes, v)
+        return pa.table(
+            {"event_type": pa.array(types),
+             "cnt": pa.array(np.bincount(codes).astype(np.int64), pa.int64()),
+             "s1": pa.array(np.bincount(codes, weights=v), pa.float64()),
+             "s2": pa.array(np.bincount(codes, weights=v * v), pa.float64()),
+             "mn": pa.array(mn, pa.float64()),
+             "mx": pa.array(mx, pa.float64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("event_type", as_index=False).agg(
+        cnt=("cnt", "sum"), s1=("s1", "sum"), s2=("s2", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"),
+    ).sort_values("event_type")
+    n = agg["cnt"].to_numpy().astype(np.float64)
+    s1 = agg["s1"].to_numpy()
+    s2 = agg["s2"].to_numpy()
+    avg = s1 / n
+    var = (s2 - s1 * s1 / n) / n
+    std = np.sqrt(var)
+    return pa.table(
+        {
+            "event_type": pa.array(agg["event_type"].tolist(), pa.string()),
+            "cnt": pa.array(agg["cnt"].to_numpy().astype(np.int64), pa.int64()),
+            "vmin": pa.array(np.round(agg["mn"].to_numpy(), 6), pa.float64()),
+            "vmax": pa.array(np.round(agg["mx"].to_numpy(), 6), pa.float64()),
+            "vsum": pa.array(np.round(s1, 6), pa.float64()),
+            "vavg": pa.array(np.round(avg, 6), pa.float64()),
+            "sum_sq": pa.array(np.round(s2, 6), pa.float64()),
+            "variance": pa.array(np.round(var, 6), pa.float64()),
+            "std_dev": pa.array(np.round(std, 6), pa.float64()),
+            "upper": pa.array(np.round(avg + 2.0 * std, 6), pa.float64()),
+            "lower": pa.array(np.round(avg - 2.0 * std, 6), pa.float64()),
+        }
+    )
+
+
+def _daily_counts(sf_dir: str):
+    import ray.data
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        b = (e // DAY_US) * DAY_US
+        u, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"day": pa.array(u, pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return parts.groupby("day", as_index=False)["n"].sum().sort_values("day")
+
+
+def events_daily_stats_bucket(sf_dir: str):
+    """ES ``stats_bucket`` pipeline aggregation: min/max/avg/sum/count OVER
+    the daily doc-count histogram's buckets (a metric of the bucket values,
+    not the rows). Bucket counts are exact integers; only avg divides."""
+    agg = _daily_counts(sf_dir)
+    n = agg["n"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "n_buckets": pa.array([len(n)], pa.int64()),
+            "bmin": pa.array([int(n.min())], pa.int64()),
+            "bmax": pa.array([int(n.max())], pa.int64()),
+            "bsum": pa.array([int(n.sum())], pa.int64()),
+            "bavg": pa.array(
+                [round(float(int(n.sum()) / len(n)), 6)], pa.float64()
+            ),
+        }
+    )
+
+
+def events_bucket_sort(sf_dir: str, k: int = 5):
+    """ES ``bucket_sort`` pipeline aggregation: the daily histogram's
+    buckets re-sorted by doc count (DESC, day ASC) and truncated to the
+    top-k — the 'busiest days' query. All integers."""
+    agg = _daily_counts(sf_dir)
+    n = agg["n"].to_numpy().astype(np.int64)
+    days = agg["day"].to_numpy().astype(np.int64)
+    top = np.lexsort((days, -n))[:k]
+    return pa.table(
+        {"day": pa.array(days[top], pa.int64()),
+         "cnt": pa.array(n[top], pa.int64())}
+    )
+
+
+def events_cumulative_cardinality(sf_dir: str):
+    """ES ``cumulative_cardinality`` pipeline aggregation: per day, the
+    running count of DISTINCT users ever seen — growth analytics (how many
+    NEW users does each day add). Distributed shape: per-batch (user, day)
+    min-partials -> per-user global first day (one small groupby) -> exact
+    integer histogram + cumsum of first-seen counts."""
+    import ray.data
+    from ray.data.aggregate import Min
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        d = (e // DAY_US) * DAY_US
+        key = u * (1 << 45) + d // DAY_US  # day index < 2^45/µs-free
+        uk = np.unique(key)
+        return pa.table(
+            {"user": pa.array(uk >> 45, pa.int64()),
+             "day_part": pa.array(uk & ((1 << 45) - 1), pa.int64())}
+        )
+
+    first = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user", num_partitions=4)
+        .aggregate(Min("day_part", alias_name="first_day"))
+        .to_pandas()
+    )
+    per_day = first.groupby("first_day", as_index=False)["user"].count().rename(
+        columns={"user": "new_users"}
+    ).sort_values("first_day")
+    new = per_day["new_users"].to_numpy().astype(np.int64)
+    # the histogram covers ALL days with events; days adding no new users
+    # still appear (cumulative value carries) — rebuild over the full span
+    all_days = _daily_counts(sf_dir)["day"].to_numpy().astype(np.int64)
+    first_days = per_day["first_day"].to_numpy().astype(np.int64) * DAY_US
+    new_map = dict(zip(first_days.tolist(), new.tolist()))
+    cum, out = 0, []
+    for d in all_days.tolist():
+        cum += new_map.get(d, 0)
+        out.append(cum)
+    return pa.table(
+        {"day": pa.array(all_days, pa.int64()),
+         "distinct_users": pa.array(out, pa.int64())}
+    )
