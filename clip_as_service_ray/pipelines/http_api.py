@@ -338,6 +338,21 @@ def _qid_list(payload: dict) -> list[int]:
     return [int(x) for x in payload.get("columns", {}).get("query_id", [])]
 
 
+def _mode_kwargs(key: tuple) -> dict:
+    """Pool key (from _mode_key) -> SegmentedQueryService keyword args —
+    shared by the HTTP and WebSocket servers so every mode behaves
+    identically on both transports."""
+    if key[0] == "similarity":
+        return {"similarity": key[1], "sim_param": key[2]}
+    if key[0] == "bool_query":
+        return {"bool_query": True, "min_should": key[1]}
+    if key[0] == "k1b":
+        return {"k1": key[1], "b": key[2]}
+    if key[0] == "decay":
+        return {"decay": dict(key[1])}
+    return {key[0]: key[1] if len(key) > 1 else True}
+
+
 def _mode_key(payload: dict) -> tuple | None:
     """Request-level query mode -> pool key: None (default OR),
     ("conjunctive",), ("prefix",), ("fuzzy", max_dist), ("boosted",), or
@@ -922,17 +937,7 @@ class SegmentedSearchHTTPServer:
                                 with outer._write_lock:  # single spawner
                                     svc = outer._mode_svcs.get(key)
                                     if svc is None:
-                                        if key[0] == "similarity":
-                                            kw = {"similarity": key[1],
-                                                  "sim_param": key[2]}
-                                        elif key[0] == "bool_query":
-                                            kw = {"bool_query": True,
-                                                  "min_should": key[1]}
-                                        elif key[0] == "k1b":
-                                            kw = {"k1": key[1], "b": key[2]}
-                                        else:
-                                            kw = {key[0]: (dict(key[1]) if key[0] == "decay"
-                                                           else key[1] if len(key) > 1 else True)}
+                                        kw = _mode_kwargs(key)
                                         svc = SegmentedQueryService(
                                             outer.index_root, outer.config,
                                             num_cpus=0, **kw,

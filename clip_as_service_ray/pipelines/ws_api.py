@@ -41,6 +41,7 @@ from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
 from clip_as_service_ray.pipelines.http_api import (
     Metrics,
     _mode_key,
+    _mode_kwargs,
     _queries_table,
     _rank_tables,
     _turns_table,
@@ -249,7 +250,7 @@ class WebSocketSearchServer:
             with self._write_lock:
                 svc = self._mode_svcs.get(key)
                 if svc is None:
-                    kw = {key[0]: key[1] if len(key) > 1 else True}
+                    kw = _mode_kwargs(key)
                     svc = self._SegmentedQueryService(
                         self.index_root, self.config, num_cpus=0, **kw
                     )
