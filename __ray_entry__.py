@@ -180,6 +180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "bm25_topk_common_terms": ops.bm25_topk_common_terms,
+        "events_monthly_histogram": ops.events_monthly_histogram,
+        "events_value_histogram_dense": ops.events_value_histogram_dense,
         "event_value_extended_stats": ops.event_value_extended_stats,
         "events_daily_stats_bucket": ops.events_daily_stats_bucket,
         "events_bucket_sort": ops.events_bucket_sort,
@@ -1089,6 +1091,23 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS dl FROM documents) "
             "SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6)::DOUBLE AS avgdl "
             "FROM dl WHERE dl > 0"
+        ),
+        "events_monthly_histogram": (
+            # calendar-month date_histogram: engine civil-date integer
+            # arithmetic == date_trunc('month')
+            "SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month, "
+            "count(*)::BIGINT AS cnt, "
+            "round(sum(value), 6)::DOUBLE AS value_sum "
+            "FROM events GROUP BY month ORDER BY month"
+        ),
+        "events_value_histogram_dense": (
+            # histogram with min_doc_count=0: gap buckets filled
+            "WITH h AS (SELECT floor(value / 25.0)::BIGINT AS b, "
+            "count(*)::BIGINT AS n FROM events GROUP BY b), "
+            "rng AS (SELECT unnest(generate_series((SELECT min(b) FROM h), "
+            "(SELECT max(b) FROM h))) AS b) "
+            "SELECT rng.b * 25.0 AS bucket, coalesce(h.n, 0)::BIGINT AS cnt "
+            "FROM rng LEFT JOIN h ON rng.b = h.b ORDER BY rng.b"
         ),
         "event_value_extended_stats": (
             # ES extended_stats: exact ES variance expression

@@ -11366,3 +11366,92 @@ def events_cumulative_cardinality(sf_dir: str):
         {"day": pa.array(all_days, pa.int64()),
          "distinct_users": pa.array(out, pa.int64())}
     )
+
+
+def events_monthly_histogram(sf_dir: str):
+    """ES ``date_histogram`` with calendar_interval=month — REAL calendar
+    months (28/29/30/31 days), not fixed 30-day windows: the civil-date
+    algorithm (Howard Hinnant's days-to-civil, exact integer arithmetic)
+    converts each epoch day to (year, month) entirely in numpy, so the
+    bucket key matches SQL date_trunc('month') bit-for-bit. Per-batch
+    partial counts + value sums; sums round(6)."""
+    import ray.data
+
+    DAY_US = 86_400_000_000
+
+    def civil_ym(days: np.ndarray) -> np.ndarray:
+        """epoch days -> year*12 + (month-1), exact (Hinnant 2014)."""
+        z = days + 719468
+        era = np.floor_divide(z, 146097)
+        doe = z - era * 146097
+        yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+        y = yoe + era * 400
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = (5 * doy + 2) // 153
+        m = mp + np.where(mp < 10, 3, -9)
+        y = y + (m <= 2)
+        return y * 12 + (m - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        v = batch.column("value").to_numpy().astype(np.float64)
+        ym = civil_ym(e // DAY_US)
+        u, inv = np.unique(ym, return_inverse=True)
+        return pa.table(
+            {"ym": pa.array(u, pa.int64()),
+             "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+             "s": pa.array(np.bincount(inv, weights=v), pa.float64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("ym", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum")
+    ).sort_values("ym")
+    ym = agg["ym"].to_numpy().astype(np.int64)
+    months = [f"{y}-{m:02d}" for y, m in zip((ym // 12).tolist(),
+                                             (ym % 12 + 1).tolist())]
+    return pa.table(
+        {"month": pa.array(months, pa.string()),
+         "cnt": pa.array(agg["n"].to_numpy().astype(np.int64), pa.int64()),
+         "value_sum": pa.array(np.round(agg["s"].to_numpy(), 6), pa.float64())}
+    )
+
+
+def events_value_histogram_dense(sf_dir: str, width: float = 25.0):
+    """ES ``histogram`` with min_doc_count=0: fixed-width value buckets
+    INCLUDING the empty ones between the min and max bucket (the ES
+    gap-filling contract that chart consumers rely on). Bucket index =
+    floor(value / width) — exact on both engines; empty rows generated
+    with np.arange / generate_series."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy().astype(np.float64)
+        b = np.floor(v / width).astype(np.int64)
+        u, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"b": pa.array(u, pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("b", as_index=False)["n"].sum()
+    have = dict(zip(agg["b"].astype(int), agg["n"].astype(int)))
+    lo, hi = min(have), max(have)
+    buckets = list(range(lo, hi + 1))
+    return pa.table(
+        {"bucket": pa.array([b * width for b in buckets], pa.float64()),
+         "cnt": pa.array([have.get(b, 0) for b in buckets], pa.int64())}
+    )

