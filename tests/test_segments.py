@@ -177,6 +177,13 @@ def test_segmented_modes_equal_monolithic(corpus_halves, tmp_path):
         ({"term_range": True}, ["[m TO *]"], "stream"),  # range-NOT
         ({"block_join": "sum"}, ["merge window"], ""),  # has_child sum
         ({"block_join": "avg"}, ["merge window"], "stream"),  # avg-NOT
+        # round-3 seventh-session modes: union df keeps every split/score
+        # shard-identical
+        ({"common_terms": 0.5}, ["merge the window"], ""),
+        ({"bool_query": True}, ["merge"], ""),  # must-only
+        ({"similarity": "tfidf"}, ["merge window"], ""),  # df/N-only kernel
+        ({"similarity": "boolean"}, ["merge window"], ""),
+        ({"k1": 0.9, "b": 0.4}, ["merge window"], ""),  # tuned constants
     ]
     for kwargs, texts, excl in cases:
         q = {
@@ -186,6 +193,8 @@ def test_segmented_modes_equal_monolithic(corpus_halves, tmp_path):
         }
         if excl:
             q["exclude"] = pa.array([excl] * len(texts), pa.string())
+        if kwargs.get("bool_query"):
+            q["should"] = pa.array(["window stream"] * len(texts), pa.string())
         qt = pa.table(q)
         svc = SegmentedQueryService(root, CFG, **kwargs)
         try:
