@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "bm25_topk_common_terms": ops.bm25_topk_common_terms,
+        "events_daily_percent_of_total": ops.events_daily_percent_of_total,
         "events_monthly_histogram": ops.events_monthly_histogram,
         "events_value_histogram_dense": ops.events_value_histogram_dense,
         "event_value_extended_stats": ops.event_value_extended_stats,
@@ -1091,6 +1092,15 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS dl FROM documents) "
             "SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6)::DOUBLE AS avgdl "
             "FROM dl WHERE dl > 0"
+        ),
+        "events_daily_percent_of_total": (
+            # ES normalize (percent_of_sum) over the daily histogram
+            "WITH d AS (SELECT (epoch_us(ts) // 86400000000) * 86400000000 "
+            "AS day, count(*)::BIGINT AS n FROM events GROUP BY day), "
+            "t AS (SELECT sum(n)::BIGINT AS total FROM d) "
+            "SELECT day, n AS cnt, "
+            "round(n / (t.total * 1.0), 6)::DOUBLE AS pct "
+            "FROM d, t ORDER BY day"
         ),
         "events_monthly_histogram": (
             # calendar-month date_histogram: engine civil-date integer

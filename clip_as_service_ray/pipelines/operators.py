@@ -11455,3 +11455,21 @@ def events_value_histogram_dense(sf_dir: str, width: float = 25.0):
         {"bucket": pa.array([b * width for b in buckets], pa.float64()),
          "cnt": pa.array([have.get(b, 0) for b in buckets], pa.int64())}
     )
+
+
+def events_daily_percent_of_total(sf_dir: str):
+    """ES ``normalize`` pipeline aggregation (method percent_of_sum): each
+    daily bucket's doc count as a share of the total — exact integer counts,
+    one division per bucket, round(6)."""
+    agg = _daily_counts(sf_dir)
+    n = agg["n"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    return pa.table(
+        {
+            "day": pa.array(agg["day"].to_numpy().astype(np.int64), pa.int64()),
+            "cnt": pa.array(n, pa.int64()),
+            "pct": pa.array(
+                np.round(n.astype(np.float64) / total, 6), pa.float64()
+            ),
+        }
+    )
