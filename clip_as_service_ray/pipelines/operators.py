@@ -11333,11 +11333,16 @@ def events_cumulative_cardinality(sf_dir: str):
         e = batch.column("ts").cast(pa.int64()).to_numpy()
         u = batch.column("user_id").to_numpy().astype(np.int64)
         d = (e // DAY_US) * DAY_US
-        key = u * (1 << 45) + d // DAY_US  # day index < 2^45/µs-free
+        # day_index*2^20 + user (same bit budget as events_weekly_serial_diff:
+        # user_id < 2^20 fixture invariant, day index has 2^43 headroom) —
+        # user-major packing would wrap int64 already at user_id >= 2^18
+        if u.size and int(u.max()) >= (1 << 20):
+            raise ValueError("user_id >= 2^20 breaks composite-key packing")
+        key = (d // DAY_US) * (1 << 20) + u
         uk = np.unique(key)
         return pa.table(
-            {"user": pa.array(uk >> 45, pa.int64()),
-             "day_part": pa.array(uk & ((1 << 45) - 1), pa.int64())}
+            {"user": pa.array(uk & ((1 << 20) - 1), pa.int64()),
+             "day_part": pa.array(uk >> 20, pa.int64())}
         )
 
     first = (

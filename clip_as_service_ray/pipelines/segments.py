@@ -233,16 +233,20 @@ class FederatedQueryService(ScatterQueryService):
                 raise ValueError(f"no segments under {root!r}")
             dirs.extend(segs)
         # disjointness: a conversation living in two roots would be scored
-        # twice and merged as two docs
-        convs = []
+        # twice and merged as two docs. Stay Arrow end-to-end (no Python
+        # lists / object arrays): per-segment convs are unique already
+        # (convmap is one row per conv), so sum-of-sizes == distinct-count
+        # of the concatenation iff all segments are pairwise disjoint.
+        chunks = []
+        per_seg_total = 0
         for d in dirs:
-            convs.append(
-                pq.read_table(
-                    os.path.join(d, "convmap.parquet"), columns=["conv_id"]
-                ).column("conv_id").to_pylist()
-            )
-        flat = np.asarray([c for part in convs for c in part], dtype=object)
-        if len(flat) != len(np.unique(flat)):
+            col = pq.read_table(
+                os.path.join(d, "convmap.parquet"), columns=["conv_id"]
+            ).column("conv_id")
+            per_seg_total += len(col)
+            chunks.extend(col.chunks)
+        union_distinct = pc.count_distinct(pa.chunked_array(chunks)).as_py()
+        if union_distinct != per_seg_total:
             raise ValueError("conversations overlap across roots — cannot federate")
         fed = federation_dir or os.path.join(index_roots[0], "_federation")
         union = write_union_stats(fed, dirs)

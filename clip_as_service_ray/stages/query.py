@@ -1211,7 +1211,9 @@ class IndexReader:
             # multiplicative hash of (doc_id, seed) -> [0, 1); needs no
             # doc-values artifact — the doc id IS the input. Reproducible
             # across runs, shards, and the SQL twin (exact integer mod).
-            def combine(s, v, _seed=int(seed)):
+            # normalize up front: uint64(negative) raises OverflowError on
+            # NumPy>=2, and only the low 32 bits ever matter (mod 2^32)
+            def combine(s, v, _seed=int(seed) % (1 << 32)):
                 h = (v.astype(np.uint64) * np.uint64(2654435761)
                      + np.uint64(_seed)) % np.uint64(4294967296)
                 # squaring mix: an affine-only hash would shift every doc
@@ -1232,6 +1234,11 @@ class IndexReader:
             def combine(s, v):
                 return s * decay_multiplier(v, origin, scale, offset, decay, kind)
 
+        if kind != "random" and not field:
+            raise ValueError(
+                "decay kind %r requires field (only kind='random' scores "
+                "without a doc-values artifact)" % kind
+            )
         terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
         present = [(t, 1.0) for t in terms if t in self._term_blocks]
         if not present:
@@ -1928,7 +1935,8 @@ class QueryScorer:
         self._qcache_cap = int(query_cache_size)
         if synonyms:
             if (conjunctive or prefix or fuzzy or boosted or suffix or regex
-                    or term_range or block_join or decay or terms_set):
+                    or term_range or block_join or decay or terms_set
+                    or bool_query):
                 raise ValueError(
                     "synonyms expand OR queries only (AND over an expanded "
                     "set would require group-match semantics; boosted "
