@@ -167,12 +167,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from clip_as_service_ray.pipelines import operators as ops
 
     # ORDERING IS LOAD-BEARING: the driver's CORRECTNESS snapshot verifies
-    # only the FIRST 50 dict keys, so the first 50 are curated to cover the
-    # flagship suites (bm25 family, phrase/positional, text-pipeline, dedup,
-    # ANN, TPC-H analogs, joins). Entries past #50 still pass the identical
-    # check locally via `python scripts/check_oracle.py` (full board). Add
-    # new entries to the TAIL unless they should displace a checked slot.
-    return {
+    # only the FIRST 50 dict keys. The literal below is grouped by suite for
+    # readability; _DRIVER_HEAD (bottom of this function) re-orders the
+    # returned dict so the 50 entries the driver has NEVER checked in any
+    # CORRECTNESS_r*.json lead. Entries past #50 still pass the identical
+    # check locally via `python scripts/check_oracle.py` (full board).
+    board = {
         # ORDERING IS LOAD-BEARING: the driver's CORRECTNESS snapshot
         # verifies only the FIRST 50 dict keys. Curation rule: entries the
         # driver has NEVER checked come first (this round's additions +
@@ -408,6 +408,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_correlations": ops.lineitem_correlations,
         "event_value_outliers": ops.event_value_outliers,
     }
+    # Round-4 driver-cap rotation (VERDICT r03 item 1): the 50 SQL-twin
+    # entries below have never appeared in CORRECTNESS_r01/r02/r03; they
+    # take the first 50 slots so the driver's external DuckDB oracle covers
+    # new ground each round. Everything else keeps its literal order.
+    _DRIVER_HEAD = [
+        "events_t_test", "event_value_percentile_ranks", "span_or_search",
+        "span_not_search", "interval_search", "rare_terms",
+        "events_auto_date_histogram", "gopher_quality_filter",
+        "bm25_topk_pinned", "events_daily_derivative",
+        "nb_classify_documents", "bm25_topk_fvf", "bm25_topk_rank_feature",
+        "bm25_topk_terms_set", "ann_topk_bq", "customers_near_point",
+        "dominant_part_suppliers_q20", "ann_hnsw_topk",
+        "mixture_sample_documents", "phrase_prefix_search", "dismax_topk",
+        "bm25_topk_boosting", "bm25_topk_conjunctive_segmented",
+        "bm25_topk_synonyms", "bm25_topk_plus", "bm25_topk_filtered",
+        "clean_documents", "cosine_lsh_dup_pairs", "dup_clusters",
+        "near_dedup_keep", "ann_topk_batch", "ann_ivfpq_topk",
+        "revenue_filter_q6", "shipping_priority_q3",
+        "order_priority_check_q4", "returnflag_priority_share_q12",
+        "returned_item_revenue", "top_supplier_revenue",
+        "small_quantity_order_revenue", "sole_late_supplier",
+        "idle_rich_customers", "min_cost_supplier", "important_part_values",
+        "promo_part_suppliers", "search_count", "query_facets",
+        "significant_terms", "bm25_topk_rescored", "doc_term_vectors",
+        "bm25_topk_suffix",
+    ]
+    ordered = {k: board[k] for k in _DRIVER_HEAD}
+    ordered.update((k, v) for k, v in board.items() if k not in ordered)
+    return ordered
 
 
 def _dcg_chain_sql(agg_prefix: str) -> str:
