@@ -64,7 +64,7 @@ def shuffle_partitions(
     """
     n_cpus = cpus if cpus is not None else cluster_cpus()
     cap = max(floor, CAP_PER_CPU * n_cpus)
-    if not nbytes:
+    if nbytes is None:
         return max(floor, min(cap, n_cpus))
     need = -(-int(nbytes * scale) // target_partition_bytes)  # ceil div
     return max(floor, min(cap, need))

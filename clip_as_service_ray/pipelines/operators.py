@@ -21,6 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from clip_as_service_ray.config import EngineConfig
+from clip_as_service_ray.functions.partitions import parts_for_path as _nparts
 from clip_as_service_ray.functions.tokenizer import (
     tokenize,
     tokenize_column_flat,
@@ -126,7 +127,7 @@ def term_df(sf_dir: str):
         return g.rename_columns(["term", "df_part"])
 
     ds = _documents(sf_dir).map_batches(partial, batch_format="pyarrow")
-    return ds.groupby("term", num_partitions=8).aggregate(Sum("df_part", alias_name="df"))
+    return ds.groupby("term", num_partitions=_nparts(sf_dir)).aggregate(Sum("df_part", alias_name="df"))
 
 
 def top_terms(sf_dir: str, k: int = 20):
@@ -140,7 +141,7 @@ def top_terms(sf_dir: str, k: int = 20):
         return g.rename_columns(["term", "tf_part"])
 
     ds = _documents(sf_dir).map_batches(partial, batch_format="pyarrow")
-    agg = ds.groupby("term", num_partitions=8).aggregate(Sum("tf_part", alias_name="total_tf"))
+    agg = ds.groupby("term", num_partitions=_nparts(sf_dir)).aggregate(Sum("tf_part", alias_name="total_tf"))
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return tbl.sort_by([("total_tf", "descending"), ("term", "ascending")]).slice(0, k)
 
@@ -434,7 +435,7 @@ def exact_dedup(sf_dir: str):
     agg = (
         _documents(sf_dir)
         .map_batches(add_hash, batch_format="pyarrow")
-        .groupby(["h1", "h2"], num_partitions=8)
+        .groupby(["h1", "h2"], num_partitions=_nparts(sf_dir))
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count"))
     )
     return agg.select_columns(["doc_id", "dup_count"])
@@ -617,7 +618,7 @@ def events_type_agg(sf_dir: str):
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
     )
-    agg = ds.groupby("event_type", num_partitions=4).aggregate(
+    agg = ds.groupby("event_type", num_partitions=_nparts(sf_dir)).aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -649,7 +650,7 @@ def events_hourly_windows(sf_dir: str):
         return g.rename_columns(["user_id", "window_start", "n_part"])
 
     partials = ds.map_batches(add_window, batch_format="pyarrow")
-    agg = partials.groupby(["user_id", "window_start"], num_partitions=8).aggregate(
+    agg = partials.groupby(["user_id", "window_start"], num_partitions=_nparts(sf_dir)).aggregate(
         Sum("n_part", alias_name="n_events")
     )
     return agg
@@ -688,7 +689,7 @@ def lineitem_pricing_summary(sf_dir: str):
 
     agg = (
         ds.map_batches(revenue, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"], num_partitions=4)
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=_nparts(sf_dir))
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
             Sum("revenue", alias_name="sum_revenue"),
@@ -728,7 +729,7 @@ def customer_segment_revenue(sf_dir: str):
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
     joined = broadcast_hash_join(orders, cust, left_key="o_custkey", right_key="c_custkey")
-    agg = joined.groupby("c_mktsegment", num_partitions=4).aggregate(
+    agg = joined.groupby("c_mktsegment", num_partitions=_nparts(sf_dir)).aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_total")
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -769,14 +770,14 @@ def order_priority_revenue(sf_dir: str):
 
     rev = (
         li.map_batches(rev_partial, batch_format="pyarrow")
-        .groupby("o_orderkey", num_partitions=8)
+        .groupby("o_orderkey", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("rev_part", alias_name="rev"))
     )
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
     )
     joined = shuffle_hash_join(orders, rev, on="o_orderkey")
-    agg = joined.groupby("o_orderpriority", num_partitions=4).aggregate(
+    agg = joined.groupby("o_orderpriority", num_partitions=_nparts(sf_dir)).aggregate(
         Count(alias_name="n_orders"), Sum("rev", alias_name="sum_revenue")
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -986,7 +987,7 @@ def langid_distribution(sf_dir: str):
                          "n_part": pa.array(c.astype(np.int64), pa.int64())})
 
     ds = _documents(sf_dir).map_batches(fn, batch_format="pyarrow")
-    return ds.groupby("pred_lang", num_partitions=4).aggregate(Sum("n_part", alias_name="n_docs"))
+    return ds.groupby("pred_lang", num_partitions=_nparts(sf_dir)).aggregate(Sum("n_part", alias_name="n_docs"))
 
 
 def doc_fingerprints(sf_dir: str):
@@ -1102,10 +1103,10 @@ def distinct_users_daily(sf_dir: str):
         return g.rename_columns(["day", "user_id", "n_part"])
 
     pairs = ds.map_batches(partial, batch_format="pyarrow")
-    per_pair = pairs.groupby(["day", "user_id"], num_partitions=8).aggregate(
+    per_pair = pairs.groupby(["day", "user_id"], num_partitions=_nparts(sf_dir)).aggregate(
         Sum("n_part", alias_name="n_ev")
     )
-    agg = per_pair.groupby("day", num_partitions=4).aggregate(
+    agg = per_pair.groupby("day", num_partitions=_nparts(sf_dir)).aggregate(
         Count(alias_name="n_users"), Sum("n_ev", alias_name="n_events")
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -1164,7 +1165,7 @@ def top_events_per_type(sf_dir: str, k: int = 5):
             pa.array(np.round(out.column("value").to_numpy(), 6), pa.float64()),
         )
 
-    return partials.groupby("event_type", num_partitions=4).map_groups(
+    return partials.groupby("event_type", num_partitions=_nparts(sf_dir)).map_groups(
         final, batch_format="pyarrow"
     )
 
@@ -1193,7 +1194,7 @@ def event_value_percentiles(sf_dir: str):
             }
         )
 
-    return ds.groupby("event_type", num_partitions=4).map_groups(
+    return ds.groupby("event_type", num_partitions=_nparts(sf_dir)).map_groups(
         final, batch_format="pyarrow"
     )
 
@@ -1364,7 +1365,7 @@ def shipping_priority_q3(
     joined = shuffle_hash_join(
         line.map_batches(rev_partial, batch_format="pyarrow"), orders_sel, on="okey"
     )
-    agg = joined.groupby(["okey", "o_orderdate"], num_partitions=4).aggregate(
+    agg = joined.groupby(["okey", "o_orderdate"], num_partitions=_nparts(sf_dir)).aggregate(
         Sum("rev_part", alias_name="rev")
     )
 
@@ -1427,7 +1428,7 @@ def label_centroid_dims(sf_dir: str, dims: int = 4):
         Sum(f"s{d}", alias_name=f"ss{d}") for d in range(dims)
     ]
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "label", num_partitions=4
+        "label", num_partitions=_nparts(sf_dir)
     ).aggregate(*aggs)
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     n = tbl.column("n").to_numpy().astype(np.float64)
@@ -1549,7 +1550,7 @@ def event_value_percentiles_sketch(sf_dir: str, k_sketch: int = 256):
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=4)
+        .groupby("event_type", num_partitions=_nparts(sf_dir))
         .map_groups(final, batch_format="pyarrow")
     )
 
@@ -1584,7 +1585,7 @@ def events_sliding_windows(sf_dir: str):
         )
 
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "ws", num_partitions=4
+        "ws", num_partitions=_nparts(sf_dir)
     ).aggregate(Sum("n_part", alias_name="n"))
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
     return pa.table(
@@ -1696,7 +1697,7 @@ def training_data_pipeline(sf_dir: str, sample_mod: int = 97, sample_keep: int =
 
     keepers = (
         docs.map_batches(add_hash, batch_format="pyarrow")
-        .groupby(["h1", "h2"], num_partitions=8)
+        .groupby(["h1", "h2"], num_partitions=_nparts(sf_dir))
         .aggregate(Min("doc_id", alias_name="doc_id"))
         .select_columns(["doc_id"])
         .materialize()
@@ -1943,7 +1944,7 @@ def events_daily_pivot(sf_dir: str):
 
     pairs = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["day", "event_type"], num_partitions=4)
+        .groupby(["day", "event_type"], num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part", alias_name="n"))
     )
 
@@ -1961,7 +1962,7 @@ def events_daily_pivot(sf_dir: str):
             cols[f"n_{t}"] = pa.array([counts[t]], pa.int64())
         return pa.table(cols)
 
-    return pairs.groupby("day", num_partitions=4).map_groups(
+    return pairs.groupby("day", num_partitions=_nparts(sf_dir)).map_groups(
         widen, batch_format="pyarrow"
     )
 
@@ -2023,7 +2024,7 @@ def events_type_rollup(sf_dir: str):
 
     per_type = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=4)
+        .groupby("event_type", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part", alias_name="n"), Sum("s_part", alias_name="s"))
     )
     tbl = pa.Table.from_pandas(per_type.to_pandas(), preserve_index=False)
@@ -2066,7 +2067,7 @@ def event_prop_stats(sf_dir: str):
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=4)
+        .groupby("event_type", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part", alias_name="n"), Sum("s_part", alias_name="s"))
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -2199,7 +2200,7 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
 
     agg = (
         joined.map_batches(same_nation_partial, batch_format="pyarrow")
-        .groupby("nat", num_partitions=2)
+        .groupby("nat", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("rev", alias_name="revenue"))
     )
     t = agg.to_pandas()  # <= one row per nation in the region
@@ -2248,7 +2249,7 @@ def large_order_customers(sf_dir: str, qty_threshold: float = 300.0, k: int = 20
 
     sums = (
         line.map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("o_orderkey", num_partitions=4)
+        .groupby("o_orderkey", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("q", alias_name="sum_qty"))
     )
     big_df = sums.filter(
@@ -2463,7 +2464,7 @@ def returned_item_revenue(
     joined = shuffle_hash_join(
         line.map_batches(rev_partial, batch_format="pyarrow"), orders, on="okey"
     )
-    per_cust = joined.groupby("o_custkey", num_partitions=4).aggregate(
+    per_cust = joined.groupby("o_custkey", num_partitions=_nparts(sf_dir)).aggregate(
         Sum("rev", alias_name="revenue")
     )
 
@@ -2670,7 +2671,7 @@ def bigram_counts(sf_dir: str, k: int = 50):
     agg = (
         _documents(sf_dir)
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("bigram", num_partitions=8)
+        .groupby("bigram", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part", alias_name="n"))
     )
     df = agg.to_pandas().sort_values(["n", "bigram"], ascending=[False, True]).head(k)
@@ -2939,7 +2940,7 @@ def user_interevent_gap(sf_dir: str):
 
     return (
         lagged.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id", num_partitions=4)
+        .groupby("user_id", num_partitions=_nparts(sf_dir))
         .map_groups(finalize, batch_format="pyarrow")
     )
 
@@ -3007,7 +3008,7 @@ def order_priority_check_q4(
     ).map_batches(lambda b: b.rename_columns(["o_orderkey"]), batch_format="pyarrow")
     agg = (
         shuffle_semi_join(orders, shipped, on="o_orderkey")
-        .groupby("o_orderpriority", num_partitions=2)
+        .groupby("o_orderpriority", num_partitions=_nparts(sf_dir))
         .aggregate(Count(alias_name="order_count"))
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -3062,7 +3063,7 @@ def returnflag_priority_share_q12(sf_dir: str, date_from: str = "1997-01-01", da
 
     agg = (
         joined.map_batches(flags, batch_format="pyarrow")
-        .groupby("l_returnflag", num_partitions=2)
+        .groupby("l_returnflag", num_partitions=_nparts(sf_dir))
         .aggregate(
             Sum("high_line_count", alias_name="high_line_count"),
             Sum("low_line_count", alias_name="low_line_count"),
@@ -3164,7 +3165,7 @@ def user_top_event_type(sf_dir: str):
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id", num_partitions=4)
+        .groupby("user_id", num_partitions=_nparts(sf_dir))
         .map_groups(finalize, batch_format="pyarrow")
     )
 
@@ -3687,7 +3688,7 @@ def customer_orders_full_outer(sf_dir: str):
             filter=pads.field("o_orderpriority") == "1-URGENT",
         )
         .map_batches(order_partial, batch_format="pyarrow")
-        .groupby("custkey", num_partitions=4)
+        .groupby("custkey", num_partitions=_nparts(sf_dir))
         .aggregate(
             Sum("n_part", alias_name="urgent_orders"),
             Sum("total_part", alias_name="urgent_total"),
@@ -3762,7 +3763,7 @@ def doc_perplexity(sf_dir: str):
     counts_ds = (
         _documents(sf_dir)
         .map_batches(count_partial, batch_format="pyarrow")
-        .groupby("key", num_partitions=8)
+        .groupby("key", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part", alias_name="n"))
         .materialize()  # consumed twice (V count + map build): run the groupby once
     )
@@ -4245,7 +4246,7 @@ def event_value_histogram(sf_dir: str, width: float = 10.0):
     agg = (
         ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("bin", num_partitions=4)
+        .groupby("bin", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part", alias_name="n"))
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -4562,7 +4563,7 @@ def search_facets(sf_dir: str, terms: tuple[str, ...] = BM25_QUERY_TERMS):
     ds = _documents(sf_dir, columns=("doc_id", "text", "lang", "source"))
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["facet", "value"], num_partitions=4)
+        .groupby(["facet", "value"], num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part", alias_name="n_docs"))
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -4765,7 +4766,7 @@ def events_composite_agg(
             columns=["event_type", "ts", "value"],
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "day"], num_partitions=4)
+        .groupby(["event_type", "day"], num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part"), Sum("v_part"))
     )
     df = agg.to_pandas().sort_values(["event_type", "day"]).head(size)
@@ -4847,7 +4848,7 @@ def stem_counts(sf_dir: str, min_count: int = 1):
     agg = (
         _documents(sf_dir)
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("stem", num_partitions=4)
+        .groupby("stem", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part", alias_name="n"))
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -4949,7 +4950,7 @@ def top_supplier_revenue(sf_dir: str, date_from: str = "1996-01-01",
 
     agg = (
         line.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_suppkey", num_partitions=4)
+        .groupby("l_suppkey", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("rev_part", alias_name="total_revenue"))
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -5005,7 +5006,7 @@ def small_quantity_order_revenue(sf_dir: str, brand: str = "Brand#13"):
 
     qt = pa.Table.from_pandas(
         line1.map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("l_partkey", num_partitions=4)
+        .groupby("l_partkey", num_partitions=_nparts(sf_dir))
         .sum(["q_sum", "q_cnt"])
         .to_pandas(),
         preserve_index=False,
@@ -5063,7 +5064,7 @@ def sole_late_supplier(sf_dir: str, days: int = 90, limit: int = 10):
         lambda b: b.rename_columns(["l_orderkey", "o_orderdate"]),
         batch_format="pyarrow",
     )
-    joined = shuffle_hash_join(line, orders, on="l_orderkey", num_partitions=8)
+    joined = shuffle_hash_join(line, orders, on="l_orderkey", num_partitions=_nparts(sf_dir))
 
     SHIFT = 1 << 20  # suppkey < 2^20 by construction of the generator
 
@@ -5088,7 +5089,7 @@ def sole_late_supplier(sf_dir: str, days: int = 90, limit: int = 10):
 
     pairs = (
         joined.map_batches(per_pair, batch_format="pyarrow")
-        .groupby("pair", num_partitions=8)
+        .groupby("pair", num_partitions=_nparts(sf_dir))
         .aggregate(Max("late_part", alias_name="late"))
     )
 
@@ -5107,8 +5108,8 @@ def sole_late_supplier(sf_dir: str, days: int = 90, limit: int = 10):
         )
 
     po = (
-        pairs.map_batches(per_order, batch_format="pandas")
-        .groupby("okey", num_partitions=8)
+        pairs.map_batches(per_order, batch_format="pyarrow")
+        .groupby("okey", num_partitions=_nparts(sf_dir))
         .aggregate(
             Sum("one", alias_name="n_supp"),
             Sum("late", alias_name="n_late"),
@@ -5131,7 +5132,7 @@ def sole_late_supplier(sf_dir: str, days: int = 90, limit: int = 10):
 
     agg = (
         po.map_batches(winners, batch_format="pyarrow")
-        .groupby("s_suppkey", num_partitions=4)
+        .groupby("s_suppkey", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("w_part", alias_name="numwait"))
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -5189,7 +5190,7 @@ def idle_rich_customers(sf_dir: str, since: str = "2000-01-01"):
         lambda b: b.select(["o_custkey"]).rename_columns(["c_custkey"]),
         batch_format="pyarrow",
     )
-    idle = shuffle_anti_join(rich, orders, on="c_custkey", num_partitions=8)
+    idle = shuffle_anti_join(rich, orders, on="c_custkey", num_partitions=_nparts(sf_dir))
 
     def nat_partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by("c_nationkey").aggregate(
@@ -5199,7 +5200,7 @@ def idle_rich_customers(sf_dir: str, since: str = "2000-01-01"):
 
     agg = (
         idle.map_batches(nat_partial, batch_format="pyarrow")
-        .groupby("c_nationkey", num_partitions=4)
+        .groupby("c_nationkey", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("bal_part", alias_name="totacctbal"),
                    Sum("n_part", alias_name="numcust"))
     )
@@ -5375,7 +5376,7 @@ def collocations(sf_dir: str, k: int = 20, min_count: int = 5):
     bg = pa.Table.from_pandas(
         _documents(sf_dir)
         .map_batches(bg_partial, batch_format="pyarrow")
-        .groupby("bigram", num_partitions=8)
+        .groupby("bigram", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part", alias_name="n_ab"))
         .to_pandas(),
         preserve_index=False,
@@ -5389,7 +5390,7 @@ def collocations(sf_dir: str, k: int = 20, min_count: int = 5):
     ug = pa.Table.from_pandas(
         _documents(sf_dir)
         .map_batches(ug_partial, batch_format="pyarrow")
-        .groupby("term", num_partitions=8)
+        .groupby("term", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part", alias_name="c"))
         .to_pandas(),
         preserve_index=False,
@@ -5502,7 +5503,7 @@ def user_retention(sf_dir: str):
 
     signup = (
         su_ds.map_batches(su_partial, batch_format="pyarrow")
-        .groupby("user_id", num_partitions=4)
+        .groupby("user_id", num_partitions=_nparts(sf_dir))
         .aggregate(Min("w_part", alias_name="w0"))
     )
 
@@ -5528,8 +5529,8 @@ def user_retention(sf_dir: str):
 
     pairs = (
         act_ds.map_batches(act_partial, batch_format="pyarrow")
-        .map_batches(pair_key, batch_format="pandas")
-        .groupby("pair", num_partitions=4)
+        .map_batches(pair_key, batch_format="pyarrow")
+        .groupby("pair", num_partitions=_nparts(sf_dir))
         .aggregate(Count(alias_name="_c"))  # distinct pairs; count unused
     )
 
@@ -5542,8 +5543,8 @@ def user_retention(sf_dir: str):
 
     from clip_as_service_ray.stages.joins import shuffle_hash_join
 
-    act = pairs.map_batches(unkey, batch_format="pandas")
-    joined = shuffle_hash_join(act, signup, on="user_id", num_partitions=4)
+    act = pairs.map_batches(unkey, batch_format="pyarrow")
+    joined = shuffle_hash_join(act, signup, on="user_id", num_partitions=_nparts(sf_dir))
 
     def cell_partial(batch: pa.Table) -> pa.Table:
         w = batch.column("w").to_numpy()
@@ -5568,7 +5569,7 @@ def user_retention(sf_dir: str):
 
     agg = (
         joined.map_batches(cell_partial, batch_format="pyarrow")
-        .map_batches(cell_key, batch_format="pandas")
+        .map_batches(cell_key, batch_format="pyarrow")
         .groupby("cell", num_partitions=1)
         .aggregate(Sum("n_part", alias_name="n_users"))
     )
@@ -5622,7 +5623,7 @@ def customer_rfm(sf_dir: str, n_tiles: int = 5):
             columns=["o_custkey", "o_orderdate", "o_totalprice"],
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("c_custkey", num_partitions=4)
+        .groupby("c_custkey", num_partitions=_nparts(sf_dir))
         .aggregate(
             Max("day_p", alias_name="recency_day"),
             Sum("n_p", alias_name="frequency"),
@@ -5725,7 +5726,7 @@ def events_t_test(sf_dir: str, type_a: str = "click", type_b: str = "purchase"):
             columns=["event_type", "value"],
         )
         .map_batches(moments, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=2)
+        .groupby("event_type", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_p", alias_name="n"), Sum("s_p", alias_name="s"),
                    Sum("s2_p", alias_name="s2"))
         .to_pandas()
@@ -5786,7 +5787,7 @@ def event_value_percentile_ranks(
             columns=["event_type", "value"],
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=2)
+        .groupby("event_type", num_partitions=_nparts(sf_dir))
         .aggregate(
             Sum("n_p", alias_name="n"),
             *[Sum(f"c{i}_p", alias_name=f"c{i}") for i in range(len(thresholds))],
@@ -5939,7 +5940,7 @@ def event_value_outliers(sf_dir: str, z: float = 3.0):
     mom = pa.Table.from_pandas(
         ray.data.read_parquet(ev_path, columns=["event_type", "value"])
         .map_batches(moments, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=2)
+        .groupby("event_type", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_p", alias_name="n"),
                    Sum("s_p", alias_name="s"),
                    Sum("s2_p", alias_name="s2"))
@@ -6118,7 +6119,7 @@ def duplicate_passages(sf_dir: str, n: int = 8, min_docs: int = 2, k: int = 20):
     agg = (
         _documents(sf_dir)
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("passage", num_partitions=8)
+        .groupby("passage", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("nd_part", alias_name="n_docs"))
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -6199,9 +6200,9 @@ def parts_bought_together(sf_dir: str, k: int = 20):
         )
 
     agg = (
-        dpairs.groupby("_bucket", num_partitions=8)
+        dpairs.groupby("_bucket", num_partitions=_nparts(sf_dir))
         .map_groups(expand, batch_format="pyarrow")
-        .groupby("pair", num_partitions=4)
+        .groupby("pair", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part", alias_name="n_orders"))
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -6297,7 +6298,7 @@ def nation_volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
         supp, left_key="l_suppkey", right_key="l_suppkey",
     ).map_batches(line_prep, batch_format="pyarrow")
 
-    joined = shuffle_hash_join(line, orders, on="l_orderkey", num_partitions=8)
+    joined = shuffle_hash_join(line, orders, on="l_orderkey", num_partitions=_nparts(sf_dir))
 
     def partial(batch: pa.Table) -> pa.Table:
         keep = pc.invert(
@@ -6317,7 +6318,7 @@ def nation_volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
 
     agg = (
         joined.map_batches(partial, batch_format="pyarrow")
-        .groupby(["supp_nation", "cust_nation", "l_year"], num_partitions=2)
+        .groupby(["supp_nation", "cust_nation", "l_year"], num_partitions=_nparts(sf_dir))
         .aggregate(Sum("rev_part", alias_name="revenue"))
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -6457,7 +6458,7 @@ def nation_market_share_q8(
 
     agg = (
         joined.map_batches(year_partial, batch_format="pyarrow")
-        .groupby("o_year", num_partitions=2)
+        .groupby("o_year", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("vol", alias_name="vol"), Sum("vol_nat", alias_name="vol_nat"))
     )
     t = agg.to_pandas().sort_values("o_year").reset_index(drop=True)
@@ -6559,7 +6560,7 @@ def nation_year_profit_q9(sf_dir: str, name_prefix: str = "red"):
 
     agg = (
         joined.map_batches(ny_partial, batch_format="pyarrow")
-        .groupby(["s_nat", "o_year"], num_partitions=2)
+        .groupby(["s_nat", "o_year"], num_partitions=_nparts(sf_dir))
         .aggregate(Sum("profit", alias_name="sum_profit"))
     )
     t = agg.to_pandas()
@@ -6608,7 +6609,7 @@ def customer_order_distribution_q13(sf_dir: str, exclude_priority: str = "1-URGE
 
     per_cust = (
         orders.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("cust", num_partitions=4)
+        .groupby("cust", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n", alias_name="c_count"))
     )
 
@@ -6620,7 +6621,7 @@ def customer_order_distribution_q13(sf_dir: str, exclude_priority: str = "1-URGE
 
     dist = (
         per_cust.map_batches(dist_partial, batch_format="pyarrow")
-        .groupby("c_count", num_partitions=2)
+        .groupby("c_count", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("d", alias_name="custdist"))
     )
     t = dist.to_pandas()
@@ -6713,7 +6714,7 @@ def supplier_part_variety_q16(
 
     distinct = (
         line.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby("key", num_partitions=4)
+        .groupby("key", num_partitions=_nparts(sf_dir))
         .aggregate(Count(alias_name="_c"))
     )
 
@@ -6729,7 +6730,7 @@ def supplier_part_variety_q16(
 
     agg = (
         distinct.map_batches(combo_partial, batch_format="pyarrow")
-        .groupby("combo", num_partitions=2)
+        .groupby("combo", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n", alias_name="supplier_cnt"))
     )
     t = agg.to_pandas()
@@ -6908,7 +6909,7 @@ def events_cube(sf_dir: str):
 
     fine = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "day"], num_partitions=2)
+        .groupby(["event_type", "day"], num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n", alias_name="n_events"), Sum("s", alias_name="sum_value"))
     ).to_pandas()
 
@@ -7179,7 +7180,7 @@ def min_cost_supplier(sf_dir: str, size: int = 7, region: str = "ASIA"):
 
     pairs = pa.Table.from_pandas(
         line.map_batches(unit_partial, batch_format="pyarrow")
-        .groupby("ps", num_partitions=4)
+        .groupby("ps", num_partitions=_nparts(sf_dir))
         .min("unit")
         .to_pandas(),
         preserve_index=False,
@@ -7258,7 +7259,7 @@ def important_part_values(sf_dir: str, nation: str = "NATION_3"):
 
     agg = pa.Table.from_pandas(
         line.map_batches(val_partial, batch_format="pyarrow")
-        .groupby("l_partkey", num_partitions=4)
+        .groupby("l_partkey", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("v", alias_name="value"))
         .to_pandas(),
         preserve_index=False,
@@ -7317,7 +7318,7 @@ def promo_part_suppliers(sf_dir: str, prefix: str = "large",
 
     pairs = pa.Table.from_pandas(
         line.map_batches(qty_partial, batch_format="pyarrow")
-        .groupby("sp", num_partitions=4)
+        .groupby("sp", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("q", alias_name="q"))
         .to_pandas(),
         preserve_index=False,
@@ -7420,7 +7421,7 @@ def query_facets(sf_dir: str, terms=BM25_QUERY_TERMS):
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("source", num_partitions=2)
+        .groupby("source", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part", alias_name="n_docs"))
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -7469,7 +7470,7 @@ def significant_terms(sf_dir: str, fg_term: str = "merge", k: int = 10):
 
     fg = pa.Table.from_pandas(
         ds.map_batches(fg_partial, batch_format="pyarrow")
-        .groupby("term", num_partitions=4)
+        .groupby("term", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("df_part", alias_name="fg_df"))
         .to_pandas(),
         preserve_index=False,
@@ -8108,9 +8109,9 @@ def pagerank_parts(sf_dir: str, damping: float = 0.85, iters: int = 5,
 
     edges = (
         lp.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby("_bucket", num_partitions=8)
+        .groupby("_bucket", num_partitions=_nparts(sf_dir))
         .map_groups(_expand_groups, batch_format="pyarrow")
-        .groupby("edge", num_partitions=8)
+        .groupby("edge", num_partitions=_nparts(sf_dir))
         # global distinct (the same pair can arise in many order buckets);
         # Ray's aggregate() needs >=1 agg, so a throwaway Count rides along
         .aggregate(Count(alias_name="_c"))
@@ -8125,7 +8126,7 @@ def pagerank_parts(sf_dir: str, damping: float = 0.85, iters: int = 5,
 
     deg_tbl = pa.Table.from_pandas(
         edges.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("node", num_partitions=4)
+        .groupby("node", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("d_part", alias_name="deg"))
         .to_pandas(),
         preserve_index=False,
@@ -8155,7 +8156,7 @@ def pagerank_parts(sf_dir: str, damping: float = 0.85, iters: int = 5,
 
         agg = pa.Table.from_pandas(
             edges.map_batches(contrib_partial, batch_format="pyarrow")
-            .groupby("node", num_partitions=4)
+            .groupby("node", num_partitions=_nparts(sf_dir))
             .aggregate(Sum("c_part", alias_name="c"))
             .to_pandas(),
             preserve_index=False,
@@ -8272,7 +8273,7 @@ def sentence_dedup(sf_dir: str, min_chars: int = 20, k: int = 20):
 
     agg = (
         _documents(sf_dir).map_batches(partial, batch_format="pyarrow")
-        .groupby("sentence", num_partitions=8)
+        .groupby("sentence", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("d_part", alias_name="n_docs"))
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -8341,9 +8342,9 @@ def basket_lift(sf_dir: str, min_pair_orders: int = 3, k: int = 20):
 
     agg = pa.Table.from_pandas(
         lp.map_batches(distinct_partial, batch_format="pyarrow")
-        .groupby("_bucket", num_partitions=8)
+        .groupby("_bucket", num_partitions=_nparts(sf_dir))
         .map_groups(_expand_groups, batch_format="pyarrow")
-        .groupby("key", num_partitions=8)
+        .groupby("key", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("c", alias_name="n"))
         .to_pandas(),
         preserve_index=False,
@@ -8368,7 +8369,7 @@ def basket_lift(sf_dir: str, min_pair_orders: int = 3, k: int = 20):
                     {"o": pa.array(np.unique(t.column("l_orderkey").to_numpy()))}
                 ),
                 batch_format="pyarrow",
-            ).groupby("o", num_partitions=4).count().to_pandas(),
+            ).groupby("o", num_partitions=_nparts(sf_dir)).count().to_pandas(),
             preserve_index=False,
         ).num_rows
     )
@@ -8439,7 +8440,7 @@ def event_type_transitions(sf_dir: str, k: int = 20):
 
     agg = pa.Table.from_pandas(
         ev.map_batches(bucket, batch_format="pyarrow")
-        .groupby("_bucket", num_partitions=8)
+        .groupby("_bucket", num_partitions=_nparts(sf_dir))
         .map_groups(_trans_groups, batch_format="pyarrow")
         .to_pandas(),
         preserve_index=False,
@@ -8650,7 +8651,7 @@ def nb_train_documents(sf_dir: str, label_col: str = "lang", test_mod: int = 10)
 
     counts = (
         docs.map_batches(count_partial, batch_format="pyarrow")
-        .groupby(["label", "term"], num_partitions=8)
+        .groupby(["label", "term"], num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n", alias_name="n"), Sum("docs_part", alias_name="docs"))
         .materialize()
     )
@@ -8678,7 +8679,7 @@ def nb_train_documents(sf_dir: str, label_col: str = "lang", test_mod: int = 10)
 
     v = float(
         counts.map_batches(vocab_partial, batch_format="pyarrow")
-        .groupby("term", num_partitions=8)
+        .groupby("term", num_partitions=_nparts(sf_dir))
         .count()
         .count()
     )
@@ -9359,7 +9360,7 @@ def dominant_part_suppliers_q20(
             part, left_key="l_partkey", right_key="l_partkey",
         )
         .map_batches(qty_partial, batch_format="pyarrow")
-        .groupby(["l_partkey", "l_suppkey"], num_partitions=8)
+        .groupby(["l_partkey", "l_suppkey"], num_partitions=_nparts(sf_dir))
         .aggregate(Sum("q_part", alias_name="q"))
     )
     ps = pa.Table.from_pandas(per_ps.to_pandas(), preserve_index=False)
@@ -9617,7 +9618,7 @@ def event_next_value_drop(sf_dir: str):
 
     out = (
         led.map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=4)
+        .groupby("event_type", num_partitions=_nparts(sf_dir))
         .map_groups(finalize, batch_format="pyarrow")
         .sort("event_type")
     )
@@ -9707,7 +9708,7 @@ def user_above_first_count(sf_dir: str):
 
     out = (
         fv.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id", num_partitions=4)
+        .groupby("user_id", num_partitions=_nparts(sf_dir))
         .map_groups(finalize, batch_format="pyarrow")
         .sort("user_id")
     )
@@ -10090,7 +10091,7 @@ def events_top_metrics(sf_dir: str):
             columns=["event_type", "ts", "event_id", "value"],
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=4)
+        .groupby("event_type", num_partitions=_nparts(sf_dir))
         .map_groups(finalize, batch_format="pyarrow")
         .sort("event_type")
     )
@@ -10556,7 +10557,7 @@ def events_weekly_serial_diff(sf_dir: str):
 
     # distinct (day, user) pairs survive the unique(); count per day after a
     # pair-keyed groupby dedup
-    parts = ds.groupby(["day", "user"], num_partitions=8).aggregate(
+    parts = ds.groupby(["day", "user"], num_partitions=_nparts(sf_dir)).aggregate(
         Count(alias_name="c")
     ).to_pandas()
     per_day = parts.groupby("day", as_index=False)["user"].count().rename(
@@ -10688,7 +10689,7 @@ def search_sampler_facets(
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("source", num_partitions=2)
+        .groupby("source", num_partitions=_nparts(sf_dir))
         .aggregate(Sum("n_part", alias_name="n_docs"))
     )
     tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
@@ -10818,7 +10819,7 @@ def term_df_csv(sf_dir: str):
         return g.rename_columns(["term", "df_part"])
 
     ds = _documents_as(sf_dir, "csv").map_batches(partial, batch_format="pyarrow")
-    return ds.groupby("term", num_partitions=8).aggregate(
+    return ds.groupby("term", num_partitions=_nparts(sf_dir)).aggregate(
         Sum("df_part", alias_name="df")
     )
 
@@ -11350,7 +11351,7 @@ def events_cumulative_cardinality(sf_dir: str):
             os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("user", num_partitions=4)
+        .groupby("user", num_partitions=_nparts(sf_dir))
         .aggregate(Min("day_part", alias_name="first_day"))
         .to_pandas()
     )

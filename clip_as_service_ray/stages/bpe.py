@@ -25,6 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from clip_as_service_ray.functions.partitions import parts_for_dataset
+
 from clip_as_service_ray.functions.bpe import bpe_word, merge_ranks, train_bpe
 from clip_as_service_ray.functions.tokenizer import tokenize_column_flat
 
@@ -34,7 +36,7 @@ def word_frequencies(
     *,
     text_col: str = "text",
     min_count: int = 1,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> pa.Table:
     """(word, n) over the corpus, n >= min_count, sorted by word."""
     from ray.data.aggregate import Sum
@@ -48,6 +50,8 @@ def word_frequencies(
         return pa.table({"word": vc.field("values"),
                          "n": vc.field("counts").cast(pa.int64())})
 
+    if num_partitions is None:
+        num_partitions = parts_for_dataset(ds)
     agg = (
         ds.map_batches(count_partial, batch_format="pyarrow")
         .groupby("word", num_partitions=num_partitions)
@@ -65,7 +69,7 @@ def train_bpe_from_dataset(
     num_merges: int,
     text_col: str = "text",
     min_count: int = 2,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> list[tuple[str, str]]:
     """Distributed word count, then the driver-side merge loop."""
     wf = word_frequencies(
@@ -141,7 +145,7 @@ def bpe_encode(ds, merges: list[tuple[str, str]], *, text_col: str = "text",
 
 def bpe_token_counts(
     ds, merges: list[tuple[str, str]], *, text_col: str = "text",
-    num_partitions: int = 4, concurrency: int = 2,
+    num_partitions: int | None = None, concurrency: int = 2,
 ) -> pa.Table:
     """Global (token, n) frequency table of the BPE-encoded corpus.
 
@@ -165,7 +169,7 @@ def bpe_token_counts(
 
     agg = (
         encoded.map_batches(partial, batch_format="pyarrow")
-        .groupby("token", num_partitions=num_partitions)
+        .groupby("token", num_partitions=num_partitions or parts_for_dataset(ds))
         .aggregate(Sum("n", alias_name="n"))
     )
     return pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)

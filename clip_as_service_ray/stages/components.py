@@ -34,6 +34,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from clip_as_service_ray.functions.partitions import parts_for_dataset
+
 _EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
 
@@ -129,7 +131,7 @@ def _checksum(ds) -> tuple[int, int]:
 
 
 def connected_components(
-    edges, *, num_partitions: int = 8, max_rounds: int = 64
+    edges, *, num_partitions: int | None = None, max_rounds: int = 64
 ):
     """edges: Dataset with int64 columns (src, dst); returns a Dataset of
     (node, component) for every node that appears in an edge, component =
@@ -139,6 +141,8 @@ def connected_components(
     small-star); duplicate edges collapse inside the groups (np.unique on a
     shared key), so the edge set stays within a small factor of the input.
     """
+    if num_partitions is None:
+        num_partitions = parts_for_dataset(edges)
     import ray.data
 
     ds = edges.map_batches(

@@ -25,6 +25,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from clip_as_service_ray.functions.partitions import parts_for_dataset
+
 
 # Per-worker-process cache of fetched broadcast sides. ray.get on a plasma
 # object is zero-copy shared memory, but deserializing the (keys, payload)
@@ -83,7 +85,7 @@ def shuffle_hash_join(
     right_ds,
     *,
     on: str,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
     how: str = "inner",
 ):
     """Big-big equi-join (``how``: inner | left | right | full): tag sides,
@@ -95,6 +97,8 @@ def shuffle_hash_join(
         raise ValueError(
             f"how must be 'inner', 'left', 'right' or 'full', got {how!r}"
         )
+    if num_partitions is None:
+        num_partitions = parts_for_dataset(left_ds)
     l_cols = r_cols = None
 
     def tag(side: int):
@@ -250,7 +254,7 @@ def asof_join_by_user(
     r = right_ds.map_batches(tag_and_bucket(1), batch_format="pyarrow")
     return (
         l.union(r)
-        .groupby("_bucket", num_partitions=8)
+        .groupby("_bucket", num_partitions=parts_for_dataset(left_ds))
         .map_groups(asof_group, batch_format="pyarrow")
     )
 
@@ -263,7 +267,7 @@ def range_join_count(
     ts: str,
     left_id: str,
     window_s: float,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ):
     """Interval/range join (count form): for each left row, the number of
     right rows with the SAME ``key`` and ``ts`` in [left.ts, left.ts + w).
@@ -279,6 +283,8 @@ def range_join_count(
     Lefts with zero matches are kept (count 0), matching LEFT JOIN..COUNT.
     """
     w_us = np.int64(round(window_s * 1e6))
+    if num_partitions is None:
+        num_partitions = parts_for_dataset(left_ds)
 
     def prep(side: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -365,7 +371,7 @@ def range_join_count(
     )
 
 
-def shuffle_anti_join(left_ds, right_ds, *, on: str, num_partitions: int = 8):
+def shuffle_anti_join(left_ds, right_ds, *, on: str, num_partitions: int | None = None):
     """ANTI join (NOT EXISTS): left rows whose ``on`` key never appears in
     ``right_ds``. Right side collapses to unique keys per batch FIRST
     (combiner), so only distinct keys shuffle; the group UDF drops the
@@ -376,7 +382,7 @@ def shuffle_anti_join(left_ds, right_ds, *, on: str, num_partitions: int = 8):
     )
 
 
-def shuffle_semi_join(left_ds, right_ds, *, on: str, num_partitions: int = 8):
+def shuffle_semi_join(left_ds, right_ds, *, on: str, num_partitions: int | None = None):
     """SEMI join (EXISTS): left rows whose key appears in right_ds; left
     rows come through at most once regardless of right-side fanout."""
     return _shuffle_existence_join(
@@ -385,6 +391,8 @@ def shuffle_semi_join(left_ds, right_ds, *, on: str, num_partitions: int = 8):
 
 
 def _shuffle_existence_join(left_ds, right_ds, *, on, num_partitions, keep_matches):
+    if num_partitions is None:
+        num_partitions = parts_for_dataset(left_ds)
     l_names = list(left_ds.schema().names)
     l_types = dict(zip(left_ds.schema().names, left_ds.schema().types))
     payload = [c for c in l_names if c != on]

@@ -34,6 +34,7 @@ import pyarrow as pa
 from clip_as_service_ray.functions.tokenizer import tokenize, tokenize_column_flat
 from clip_as_service_ray.stages.merge import _decode_runs, _runs_binary_column
 from clip_as_service_ray.stages.tokenize import _get_conv_base
+from clip_as_service_ray.state.termmap import BlockRowsMap
 from clip_as_service_ray.state.positions import (
     POS_BLOCK_SCHEMA,
     decode_pos_block,
@@ -518,15 +519,18 @@ class PositionsReader:
         if isinstance(self._b_data, pa.ChunkedArray):
             self._b_data = self._b_data.combine_chunks()
         terms_np = blocks.column("term").to_numpy(zero_copy_only=False)
-        self._term_blocks: dict[str, np.ndarray] = {}
+        # CSR over the lexsort (termmap.BlockRowsMap), not a dict of arrays
+        # — a 10^7-term positional vocabulary would cost GBs per actor as a
+        # Python dict (same fix as IndexReader.df / _term_blocks)
         if len(terms_np):
             order = np.lexsort((self._b_first, terms_np))
             ts = terms_np[order]
             change = np.nonzero(ts[1:] != ts[:-1])[0] + 1
             starts = np.concatenate([[0], change])
             ends = np.concatenate([change, [len(order)]])
-            for s, e in zip(starts, ends):
-                self._term_blocks[ts[s]] = order[s:e]
+            self._term_blocks = BlockRowsMap(ts[starts], starts, ends, order)
+        else:
+            self._term_blocks = BlockRowsMap.empty()
         self._cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = {}
         # full composite-key arrays per term (term_keys), byte-capped
         self._keys_cache: dict[str, np.ndarray] = {}
@@ -1078,11 +1082,7 @@ class PositionsReader:
         """First ``max_terms`` vocabulary terms (lex ASC) starting with
         ``prefix`` — the deterministic MultiPhraseQuery expansion cap
         (Elasticsearch match_phrase_prefix defaults to 50)."""
-        if not hasattr(self, "_sorted_vocab"):
-            self._sorted_vocab = np.sort(
-                np.asarray(list(self._term_blocks), dtype=object)
-            )
-        v = self._sorted_vocab
+        v = self._term_blocks.keys  # BlockRowsMap keys are sorted-unique
         lo = np.searchsorted(v, prefix)
         hi = np.searchsorted(v, prefix + "\U0010ffff")
         return v[lo : min(hi, lo + max_terms)].tolist()

@@ -40,6 +40,7 @@ from clip_as_service_ray.pipelines.oracle import HITS_SCHEMA
 from clip_as_service_ray.state import manifest as mf
 from clip_as_service_ray.state.postings import _DTYPES as _W_DT
 from clip_as_service_ray.state.postings import decode_block
+from clip_as_service_ray.state.termmap import BlockRowsMap, SortedArrayMap
 
 
 def _prune_eps(n_terms: int, theta: float) -> float:
@@ -104,12 +105,17 @@ class IndexReader:
             self.avgdl = float(global_stats["avgdl"])
             dict_path = global_stats["df_path"]
         dict_tbl = pq.read_table(dict_path)
-        self.df = dict(
-            zip(
-                dict_tbl.column("term").to_pylist(),
-                dict_tbl.column("df").to_numpy().tolist(),
-            )
-        )
+        # sorted-array binary-search map, NOT a Python dict: at a real
+        # 10^7-10^8-term vocabulary a dict costs GBs per actor and slow
+        # init; the sorted term array answers get/in at O(log n). Writers
+        # usually emit sorted dictionaries — sort defensively otherwise
+        # (the big-input Ray groupby path doesn't guarantee order).
+        d_terms = dict_tbl.column("term").to_numpy(zero_copy_only=False)
+        d_df = dict_tbl.column("df").to_numpy().astype(np.int64)
+        if len(d_terms) > 1 and not np.all(d_terms[:-1] < d_terms[1:]):
+            d_order = np.argsort(d_terms, kind="stable")
+            d_terms, d_df = d_terms[d_order], d_df[d_order]
+        self.df = SortedArrayMap(d_terms, d_df)
 
         blocks = pq.read_table(
             os.path.join(index_dir, "postings"),
@@ -138,20 +144,23 @@ class IndexReader:
         ].astype(np.int64)
         self._v_bytes = np.frombuffer(self._b_data.buffers()[2], np.uint8)
         terms_np = blocks.column("term").to_numpy(zero_copy_only=False)
-        # term -> block row indices ordered by first_doc
-        self._term_blocks: dict[str, np.ndarray] = {}
+        # term -> block row indices ordered by first_doc. CSR over the
+        # lexsort (termmap.BlockRowsMap), not a dict of arrays — same
+        # vocabulary-scale rationale as self.df above.
         if len(terms_np):
             order = np.lexsort((self._b_first, terms_np))
             terms_sorted = terms_np[order]
             change = np.nonzero(terms_sorted[1:] != terms_sorted[:-1])[0] + 1
             starts = np.concatenate([[0], change])
             ends = np.concatenate([change, [len(order)]])
-            for s, e in zip(starts, ends):
-                self._term_blocks[terms_sorted[s]] = order[s:e]
             # sorted unique vocabulary: the wildcard-expansion lookup
             self._terms_sorted = terms_sorted[starts]
+            self._term_blocks = BlockRowsMap(
+                self._terms_sorted, starts, ends, order
+            )
         else:
             self._terms_sorted = np.array([], dtype=object)
+            self._term_blocks = BlockRowsMap.empty()
 
         conv_tbl = pq.read_table(os.path.join(index_dir, "convmap.parquet"))
         conv_tbl = conv_tbl.sort_by("conv_id")
