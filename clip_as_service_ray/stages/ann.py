@@ -20,6 +20,12 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from clip_as_service_ray.functions.guards import guard_candidate_pairs
+from clip_as_service_ray.functions.partitions import (
+    parts_for_dataset,
+    shuffle_partitions,
+)
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -144,13 +150,16 @@ def cosine_lsh_pairs(
 
     cand = (
         ds.map_batches(Bands, batch_format="pyarrow", batch_size=4096, concurrency=2)
-        .groupby(["band", "band_val"], num_partitions=8)
+        .groupby(["band", "band_val"], num_partitions=parts_for_dataset(ds))
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .to_pandas()
     )
     if len(cand) == 0:
         return OUT.empty_table()
-    pairs = np.unique(cand[["vec_a", "vec_b"]].to_numpy(), axis=0)
+    pairs = guard_candidate_pairs(
+        np.unique(cand[["vec_a", "vec_b"]].to_numpy(), axis=0),
+        stage="cosine_lsh_pairs",
+    )
 
     # pair-keyed distributed verify: exact cosine with both sides co-located
     memb: dict[int, list] = {}
@@ -205,7 +214,7 @@ def cosine_lsh_pairs(
 
     out = (
         ds.map_batches(EmitPairVecs, batch_format="pyarrow", concurrency=2)
-        .groupby("pair", num_partitions=4)
+        .groupby("pair", num_partitions=shuffle_partitions(len(pairs) * 8_192))
         .map_groups(verify_group, batch_format="pyarrow")
         .to_pandas()
     )

@@ -26,6 +26,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from clip_as_service_ray.functions import minhash as mh
+from clip_as_service_ray.functions.guards import guard_candidate_pairs
+from clip_as_service_ray.functions.partitions import (
+    parts_for_dataset,
+    shuffle_partitions,
+)
 from clip_as_service_ray.functions.tokenizer import tokenize_column_flat
 
 PAIRS_SCHEMA = pa.schema(
@@ -186,7 +191,7 @@ def _verify_pairs_distributed(
 
     out = (
         ds.map_batches(EmitPairShingles, batch_format="pyarrow", concurrency=2)
-        .groupby("pair", num_partitions=4)
+        .groupby("pair", num_partitions=shuffle_partitions(len(pairs) * 16_384))
         .map_groups(verify_group, batch_format="pyarrow")
         .to_pandas()
     )
@@ -212,13 +217,16 @@ def minhash_lsh_pairs(
         concurrency=2,
     )
     cand = (
-        band_rows.groupby(["band", "band_hash"], num_partitions=8)
+        band_rows.groupby(["band", "band_hash"], num_partitions=parts_for_dataset(ds))
         .map_groups(_bucket_pairs, batch_format="pyarrow")
         .to_pandas()
     )
     if len(cand) == 0:
         return PAIRS_SCHEMA.empty_table()
-    pairs = np.unique(cand[["doc_a", "doc_b"]].to_numpy(), axis=0)
+    pairs = guard_candidate_pairs(
+        np.unique(cand[["doc_a", "doc_b"]].to_numpy(), axis=0),
+        stage="minhash_lsh_pairs",
+    )
     verified = _verify_pairs_distributed(ds, pairs, shingle_n, threshold)
     return verified.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
@@ -309,7 +317,7 @@ def simhash_pairs(ds, *, max_hamming: int = 3) -> pa.Table:
     pairs_fn = _simhash_bucket_pairs(max_hamming)
     out = (
         ds.map_batches(SimHashBands(), batch_format="pyarrow")
-        .groupby(["band", "band_val"], num_partitions=8)
+        .groupby(["band", "band_val"], num_partitions=parts_for_dataset(ds))
         .map_groups(pairs_fn, batch_format="pyarrow")
         .to_pandas()
     )
@@ -386,7 +394,7 @@ def dedup_turns(ds, num_buckets: int = 64):
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket", num_partitions=8)
+        .groupby("_bucket", num_partitions=parts_for_dataset(ds))
         .map_groups(first_per_key, batch_format="pyarrow")
     )
 
@@ -526,7 +534,7 @@ def edit_distance_pairs(ds, *, max_dist: int = 20) -> "object":
 
     return (
         ds.map_batches(to_bands, batch_format="pyarrow")
-        .groupby("band", num_partitions=8)
+        .groupby("band", num_partitions=parts_for_dataset(ds))
         .map_groups(_edit_band_pairs(max_dist), batch_format="pyarrow")
     )
 
@@ -654,9 +662,9 @@ def dup_span_coverage(ds, *, n: int = 8, num_buckets: int = 64):
 
     return (
         ds.map_batches(shingle_rows, batch_format="pyarrow")
-        .groupby("_bucket", num_partitions=8)
+        .groupby("_bucket", num_partitions=parts_for_dataset(ds))
         .map_groups(emit_cross_doc, batch_format="pyarrow")
         .map_batches(add_doc_bucket, batch_format="pyarrow")
-        .groupby("_db", num_partitions=8)
+        .groupby("_db", num_partitions=parts_for_dataset(ds))
         .map_groups(coverage, batch_format="pyarrow")
     )
