@@ -1,0 +1,264 @@
+"""gRPC front door (the reference's DEFAULT scheme, client.py:29-54):
+real protobuf messages over the from-scratch HTTP/2+HPACK layer, serving
+the same QueryService as the HTTP/WS transports — wire results must equal
+direct service calls, auth metadata must gate every method but Health."""
+
+import datetime
+import struct
+
+import pyarrow as pa
+import pytest
+
+from clip_as_service_ray.config import EngineConfig
+from clip_as_service_ray.functions import h2wire as h2
+from clip_as_service_ray.pipelines.build_index import build_index
+from clip_as_service_ray.pipelines.grpc_api import (
+    GrpcError,
+    GrpcSearchClient,
+    GrpcSearchServer,
+    grpc_frame,
+    grpc_unframe,
+)
+from clip_as_service_ray.sources.transcripts import synthesize_transcripts
+
+CFG = EngineConfig(num_index_partitions=2, postings_block_size=64, query_concurrency=2)
+
+
+# ----------------------------------------------------------- wire units ----
+
+
+def test_hpack_roundtrip_and_int_coding():
+    enc, dec = h2.HpackEncoder(), h2.HpackDecoder()
+    headers = [
+        (":method", "POST"), (":path", "/cas.SearchService/Search"),
+        ("authorization", "Bearer tok-123"),
+        ("content-type", "application/grpc+proto"),
+        ("x-long", "v" * 300),  # forces multi-byte prefix integers
+    ]
+    assert dec.decode(enc.encode(headers)) == headers
+    # indexed static entries + incremental indexing + dynamic table reuse
+    blob = bytes([0x82])  # indexed: static 2 = :method GET
+    assert dec.decode(blob) == [(":method", "GET")]
+    # literal WITH incremental indexing, new name -> enters dynamic table
+    frag = bytearray([0x40])
+    for s in ("x-a", "1"):
+        raw = s.encode()
+        frag += bytes([len(raw)]) + raw
+    assert dec.decode(bytes(frag)) == [("x-a", "1")]
+    assert dec.decode(bytes([0x80 | 62])) == [("x-a", "1")]  # dynamic index
+    # Huffman literals are a documented subset boundary
+    with pytest.raises(NotImplementedError):
+        h2.HpackDecoder().decode(bytes([0x00, 0x81, 0xFF]))
+
+
+def test_frame_and_grpc_frame_roundtrip():
+    fr = h2.pack_frame(h2.HEADERS, h2.FLAG_END_HEADERS, 7, b"abc")
+
+    class FakeSock:
+        def __init__(self, data):
+            self.data, self.pos = data, 0
+
+        def recv(self, n):
+            out = self.data[self.pos : self.pos + n]
+            self.pos += len(out)
+            return out
+
+    t, f, sid, payload = h2.read_frame(FakeSock(fr))
+    assert (t, f, sid, payload) == (h2.HEADERS, h2.FLAG_END_HEADERS, 7, b"abc")
+    msg = b"\x01\x02" * 10
+    assert grpc_unframe(grpc_frame(msg)) == msg
+    with pytest.raises(ValueError):
+        grpc_unframe(b"\x01" + struct.pack(">I", 0))  # compressed flag
+
+
+def test_data_chunking_obeys_max_frame():
+    frames = h2.chunk_data_frames(1, b"z" * (h2.MAX_FRAME * 2 + 100), end_stream=True)
+    assert len(frames) == 3
+    # only the LAST carries END_STREAM
+    flags = [fr[4] for fr in frames]
+    assert flags == [0, 0, h2.FLAG_END_STREAM]
+
+
+# ------------------------------------------------------------ lifecycle ----
+
+
+@pytest.fixture(scope="module")
+def grpc_server(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("grpc")
+    corpus = synthesize_transcripts(1200, seed=42)
+    idx = str(root / "index")
+    build_index(corpus, idx, CFG, overwrite=True)
+    srv = GrpcSearchServer(idx, CFG)
+    cli = GrpcSearchClient(srv.url)
+    yield srv, cli
+    cli.close()
+    srv.shutdown()
+
+
+def test_health_and_profile(grpc_server):
+    srv, cli = grpc_server
+    assert srv.url.startswith("grpc://")
+    h = cli.health()
+    assert h["status"] == "ok" and h["n_docs"] > 0
+    p = cli.profile()
+    assert "score_s" in p
+
+
+def test_search_matches_direct_service(grpc_server):
+    srv, cli = grpc_server
+    queries = [
+        {"query_id": 0, "text": "merge window", "limit": 5},
+        {"query_id": 1, "text": "flaky test retry", "limit": 3},
+    ]
+    hits = cli.search(queries)
+    qt = pa.table(
+        {
+            "query_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["merge window", "flaky test retry"]),
+            "limit": pa.array([5, 3], pa.int32()),
+        }
+    )
+    direct = srv.service.search(qt).to_pylist()
+    assert len(hits) == len(direct) > 0
+    for got, want in zip(hits, direct):
+        assert got["conv_id"] == want["conv_id"]
+        assert got["turn_idx"] == want["turn_idx"]
+        assert got["rank"] == want["rank"]
+        assert got["score"] == want["score"]  # protobuf double is exact
+
+
+def test_encode_suggest_complete_rank(grpc_server):
+    srv, cli = grpc_server
+    vecs = cli.encode([{"query_id": 0, "text": "merge window"}])
+    assert 0 in vecs and len(vecs[0]) >= 1
+    assert all(w > 0 for w in vecs[0].values())
+
+    sugg = cli.suggest([{"query_id": 0, "text": "mergw"}], max_dist=2, k=3)
+    assert all(s["query_id"] == 0 for s in sugg)
+    comp = cli.complete([{"query_id": 0, "text": "mer"}], k=3)
+    assert all(c["term"].startswith("mer") for c in comp)
+
+    base = cli.search([{"query_id": 0, "text": "merge window", "limit": 4}])
+    ranked = cli.rank([
+        {"query_id": 0, "text": "merge window",
+         "candidates": [{"conv_id": h["conv_id"], "turn_idx": h["turn_idx"]}
+                        for h in base]}
+    ])
+    assert len(ranked) == len(base)
+    # set_rank over the top-k candidates reproduces the retrieval order
+    assert [(r["conv_id"], r["turn_idx"]) for r in ranked] == [
+        (h["conv_id"], h["turn_idx"]) for h in base
+    ]
+
+
+def test_large_response_multi_frame(grpc_server):
+    """A response larger than one HTTP/2 DATA frame (16 KiB) must arrive
+    intact through the chunked send path."""
+    srv, cli = grpc_server
+    queries = [
+        {"query_id": i, "text": "merge window test retry", "limit": 50}
+        for i in range(40)
+    ]
+    hits = cli.search(queries)
+    assert len(hits) > 400  # comfortably multiple frames of hit rows
+    qids = {h["query_id"] for h in hits}
+    assert qids == set(range(40))
+
+
+def test_unknown_method_is_unimplemented(grpc_server):
+    srv, _cli = grpc_server
+    cli = GrpcSearchClient(srv.url)
+    try:
+        with pytest.raises(GrpcError) as ei:
+            cli._call("NoSuchMethod", b"")
+        assert ei.value.status == 12
+        # connection survives an error status: next call still works
+        assert cli.health()["status"] == "ok"
+    finally:
+        cli.close()
+
+
+def test_auth_metadata(grpc_server):
+    srv, _ = grpc_server
+    auth_srv = GrpcSearchServer(srv.service.index_dir, CFG, auth_token="tok-1")
+    try:
+        ok = GrpcSearchClient(auth_srv.url, auth_token="tok-1")
+        assert len(ok.search([{"query_id": 0, "text": "merge", "limit": 2}])) > 0
+        ok.close()
+        bearer = GrpcSearchClient(auth_srv.url, auth_token="Bearer tok-1")
+        assert bearer.health()["status"] == "ok"  # health unauthenticated
+        assert len(bearer.search([{"query_id": 0, "text": "merge", "limit": 2}])) > 0
+        bearer.close()
+        bad = GrpcSearchClient(auth_srv.url, auth_token="wrong")
+        with pytest.raises(GrpcError) as ei:
+            bad.search([{"query_id": 0, "text": "merge", "limit": 1}])
+        assert ei.value.status == 16
+        bad.close()
+        anon = GrpcSearchClient(auth_srv.url)
+        assert anon.health()["status"] == "ok"
+        with pytest.raises(GrpcError):
+            anon.profile()
+        anon.close()
+    finally:
+        auth_srv.shutdown()
+
+
+def _write_cert(tmp_path):
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name).issuer_name(name).public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [x509.IPAddress(__import__("ipaddress").ip_address("127.0.0.1"))]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    certfile = str(tmp_path / "srv.pem")
+    keyfile = str(tmp_path / "srv.key")
+    with open(certfile, "wb") as f:
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+    with open(keyfile, "wb") as f:
+        f.write(key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        ))
+    return certfile, keyfile
+
+
+def test_grpcs_tls(grpc_server, tmp_path):
+    """grpcs:// (client.py:42-44: the grpcs scheme sets tls=True): TLS
+    handshake from a provided cert/key, auth metadata rides the channel."""
+    srv, _ = grpc_server
+    certfile, keyfile = _write_cert(tmp_path)
+    tls_srv = GrpcSearchServer(
+        srv.service.index_dir, CFG, auth_token="tls-tok",
+        certfile=certfile, keyfile=keyfile,
+    )
+    try:
+        assert tls_srv.url.startswith("grpcs://")
+        cli = GrpcSearchClient(tls_srv.url, auth_token="tls-tok", cafile=certfile)
+        assert cli.health()["status"] == "ok"
+        hits = cli.search([{"query_id": 0, "text": "index merge", "limit": 3}])
+        assert len(hits) == 3
+        cli.close()
+        bad = GrpcSearchClient(tls_srv.url, cafile=certfile)
+        with pytest.raises(GrpcError) as ei:
+            bad.search([{"query_id": 0, "text": "index", "limit": 1}])
+        assert ei.value.status == 16
+        bad.close()
+    finally:
+        tls_srv.shutdown()
