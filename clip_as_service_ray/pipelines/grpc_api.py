@@ -593,16 +593,29 @@ class GrpcSearchClient:
             )
         return req
 
-    def search(self, queries: list[dict]) -> list[dict]:
+    def search(self, queries: list[dict], *, batch_size: int | None = None,
+               on_done=None, on_error=None, on_always=None) -> list[dict] | None:
+        """Per-batch ``on_done``/``on_error``/``on_always`` follow the
+        reference streaming contract (client.py:233-252); with a callback
+        set the call returns None and the callbacks own the results."""
+        from clip_as_service_ray.pipelines.callbacks import stream_batches
+
         M = messages()
-        out = M["SearchResponse"].FromString(
-            self._call("Search", self._queries_msg(queries).SerializeToString())
+
+        def call(batch: list[dict]) -> list[dict]:
+            out = M["SearchResponse"].FromString(
+                self._call("Search", self._queries_msg(batch).SerializeToString())
+            )
+            return [
+                {"query_id": h.query_id, "rank": h.rank, "conv_id": h.conv_id,
+                 "turn_idx": h.turn_idx, "score": h.score}
+                for h in out.hits
+            ]
+
+        return stream_batches(
+            queries, call, batch_size=batch_size, on_done=on_done,
+            on_error=on_error, on_always=on_always,
         )
-        return [
-            {"query_id": h.query_id, "rank": h.rank, "conv_id": h.conv_id,
-             "turn_idx": h.turn_idx, "score": h.score}
-            for h in out.hits
-        ]
 
     def encode(self, queries: list[dict]) -> dict[int, dict[str, float]]:
         M = messages()

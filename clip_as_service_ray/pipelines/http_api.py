@@ -447,6 +447,15 @@ class SearchHTTPServer:
         # expand (QueryScorer rejects the combination)
         self.service = QueryService(index_dir, config, synonyms=synonyms)
         self.metrics = Metrics()
+        # per-request trace context (the reference's OTel span analog,
+        # clip_torch.py:139-172): X-Request-Id in/out + GET /trace/<id>
+        from clip_as_service_ray.pipelines.tracing import (
+            SpanTimer,
+            TraceStore,
+            new_request_id,
+        )
+
+        self.traces = TraceStore()
         import os
 
         from clip_as_service_ray.state import manifest as mf
@@ -454,17 +463,20 @@ class SearchHTTPServer:
         stats = mf.read_json(os.path.join(index_dir, "stats.json"))
         service = self.service
         metrics = self.metrics
+        traces = self.traces
         token = auth_token
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
                 pass
 
-            def _send(self, code: int, obj) -> None:
+            def _send(self, code: int, obj, extra_headers: dict | None = None) -> None:
                 body = json.dumps(obj).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (extra_headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -484,6 +496,13 @@ class SearchHTTPServer:
                     self._send(401, {"error": "unauthorized"})
                 elif self.path == "/profile":
                     self._send(200, service.profile())
+                elif self.path.startswith("/trace/"):
+                    # stage timings of a past request, by request id
+                    tr = traces.get(self.path[len("/trace/"):])
+                    if tr is None:
+                        self._send(404, {"error": "unknown request id"})
+                    else:
+                        self._send(200, tr)
                 elif self.path == "/metrics":
                     prof = service.profile()
                     self._send_text(
@@ -587,19 +606,25 @@ class SearchHTTPServer:
                         else:
                             self._send(200, out)
                         return
+                    rid = self.headers.get("X-Request-Id") or new_request_id()
+                    timer = SpanTimer()
                     t0 = time.time()
-                    hits = service.search(
-                        _queries_table(
+                    with timer.span("parse"):
+                        qt = _queries_table(
                             _expand_request_synonyms(payload, stats.get("analyzer"))
                         )
-                    )
+                    with timer.span("score"):
+                        hits = service.search(qt)
                     metrics.observe("search_latency", time.time() - t0)
                     metrics.inc("search_requests_total")
                     metrics.inc(
                         "search_queries_total", len(payload.get("queries", []))
                     )
                     metrics.inc("search_hits_total", hits.num_rows)
-                    self._send(200, {"hits": hits.to_pylist()})
+                    with timer.span("serialize"):
+                        body = {"hits": hits.to_pylist()}
+                    traces.record(rid, "/search", timer.finish())
+                    self._send(200, body, {"X-Request-Id": rid})
                 except (KeyError, ValueError, json.JSONDecodeError) as e:
                     metrics.inc("search_errors_total")
                     self._send(400, {"error": str(e)})
@@ -1089,28 +1114,53 @@ class SearchHTTPClient:
     def metrics(self) -> str:
         return self._request("/metrics")
 
-    def encode(self, queries: list[dict]) -> list[dict]:
-        """Sparse BM25 term vectors: [{query_id, vector: {term: w}}]."""
-        return self._request("/encode", {"queries": queries})["vectors"]
+    def encode(self, queries: list[dict], *, batch_size: int | None = None,
+               on_done=None, on_error=None, on_always=None) -> list[dict] | None:
+        """Sparse BM25 term vectors: [{query_id, vector: {term: w}}].
+        ``on_done``/``on_error``/``on_always`` stream per request batch
+        (client.py:233-252 contract; see pipelines/callbacks.py)."""
+        from clip_as_service_ray.pipelines.callbacks import stream_batches
 
-    def rank(self, queries: list[dict]) -> list[dict]:
+        return stream_batches(
+            queries, lambda b: self._request("/encode", {"queries": b})["vectors"],
+            batch_size=batch_size, on_done=on_done, on_error=on_error,
+            on_always=on_always,
+        )
+
+    def rank(self, queries: list[dict], *, batch_size: int | None = None,
+             on_done=None, on_error=None, on_always=None) -> list[dict] | None:
         """set_rank: each query dict carries text + candidates
         [{conv_id, turn_idx}]; returns ALL candidates ranked per query."""
-        return self._request("/rank", {"queries": queries})["hits"]
+        from clip_as_service_ray.pipelines.callbacks import stream_batches
+
+        return stream_batches(
+            queries, lambda b: self._request("/rank", {"queries": b})["hits"],
+            batch_size=batch_size, on_done=on_done, on_error=on_error,
+            on_always=on_always,
+        )
 
     def search(self, queries: list[dict], *, mode: str = "",
                fuzzy_dist: int = 2, min_match: int = 2,
-               synonyms: dict | None = None) -> list[dict]:
-        payload: dict = {"queries": queries}
-        if mode:
-            payload["mode"] = mode
-            if mode == "fuzzy":
-                payload["fuzzy_dist"] = fuzzy_dist
-            if mode == "msm":
-                payload["min_match"] = min_match
-        if synonyms:  # per-request OR-mode expansion (server rewrites text)
-            payload["synonyms"] = synonyms
-        return self._request("/search", payload)["hits"]
+               synonyms: dict | None = None, batch_size: int | None = None,
+               on_done=None, on_error=None, on_always=None) -> list[dict] | None:
+        from clip_as_service_ray.pipelines.callbacks import stream_batches
+
+        def call(batch: list[dict]) -> list[dict]:
+            payload: dict = {"queries": batch}
+            if mode:
+                payload["mode"] = mode
+                if mode == "fuzzy":
+                    payload["fuzzy_dist"] = fuzzy_dist
+                if mode == "msm":
+                    payload["min_match"] = min_match
+            if synonyms:  # per-request OR-mode expansion (server rewrites)
+                payload["synonyms"] = synonyms
+            return self._request("/search", payload)["hits"]
+
+        return stream_batches(
+            queries, call, batch_size=batch_size, on_done=on_done,
+            on_error=on_error, on_always=on_always,
+        )
 
     def phrase(self, queries: list[dict]) -> list[dict]:
         return self._request("/phrase", {"queries": queries})["hits"]

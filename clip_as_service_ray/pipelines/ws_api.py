@@ -119,6 +119,8 @@ class WebSocketSearchServer:
         port: int = 0,
         positions: bool = False,
         auth_token: str | None = None,
+        certfile: str | None = None,
+        keyfile: str | None = None,
     ):
         from clip_as_service_ray.pipelines.phrase import SegmentedPhraseService
         from clip_as_service_ray.pipelines.segments import (
@@ -149,13 +151,28 @@ class WebSocketSearchServer:
         self._delete_convs = delete_convs
         self._update_convs = update_convs
 
+        # wss:// (client.py:43-48: the wss scheme sets tls=True) — same
+        # certfile/keyfile surface as the HTTP servers. NOTE a deliberate
+        # divergence from the reference: it REJECTS credentials over
+        # websocket ("Credential is not supported for websocket",
+        # client.py:49-52); this server authenticates the Authorization
+        # header on ws and wss alike.
+        self._ssl_ctx = None
+        self.scheme = "ws"
+        if certfile:
+            import ssl as _ssl
+
+            self._ssl_ctx = _ssl.SSLContext(_ssl.PROTOCOL_TLS_SERVER)
+            self._ssl_ctx.load_cert_chain(certfile, keyfile)
+            self.scheme = "wss"
+
         self._loop = asyncio.new_event_loop()
         started = threading.Event()
 
         def run():
             asyncio.set_event_loop(self._loop)
             server = self._loop.run_until_complete(
-                asyncio.start_server(self._handle, host, port)
+                asyncio.start_server(self._handle, host, port, ssl=self._ssl_ctx)
             )
             self._server = server
             self.host, self.port = server.sockets[0].getsockname()[:2]
@@ -168,7 +185,7 @@ class WebSocketSearchServer:
 
     @property
     def url(self) -> str:
-        return f"ws://{self.host}:{self.port}"
+        return f"{self.scheme}://{self.host}:{self.port}"
 
     # ---- engine plumbing (blocking; runs in the loop's executor) ----
 
@@ -489,10 +506,16 @@ class AsyncSearchClient:
     ``asearch(..., stream=N)`` yields per-chunk hit batches as they arrive."""
 
     def __init__(self, url: str, credential: dict | None = None,
-                 on_progress=None):
-        if not url.startswith("ws://"):
-            raise ValueError(f"expected ws:// url, got {url!r}")
-        hostport = url[5:].split("/", 1)[0]
+                 on_progress=None, cafile: str | None = None):
+        if url.startswith("wss://"):
+            self._tls = True
+            hostport = url[6:].split("/", 1)[0]
+        elif url.startswith("ws://"):
+            self._tls = False
+            hostport = url[5:].split("/", 1)[0]
+        else:
+            raise ValueError(f"expected ws:// or wss:// url, got {url!r}")
+        self._cafile = cafile
         self.host, port = hostport.rsplit(":", 1)
         self.port = int(port)
         # credential contract cloned from client.py:26-64: explicit
@@ -535,8 +558,15 @@ class AsyncSearchClient:
         return payload
 
     async def connect(self) -> "AsyncSearchClient":
+        ssl_ctx = None
+        if self._tls:
+            import ssl as _ssl
+
+            ssl_ctx = _ssl.create_default_context(cafile=self._cafile)
+            if self._cafile:
+                ssl_ctx.check_hostname = False  # self-signed serving certs
         self._reader, self._writer = await asyncio.open_connection(
-            self.host, self.port
+            self.host, self.port, ssl=ssl_ctx
         )
         key = base64.b64encode(os.urandom(16)).decode()
         auth = (
@@ -577,7 +607,19 @@ class AsyncSearchClient:
         return out
 
     async def asearch(self, queries: list[dict], *, mode: str = "", stream: int = 0,
-                      fuzzy_dist: int = 2):
+                      fuzzy_dist: int = 2, batch_size: int | None = None,
+                      on_done=None, on_error=None, on_always=None):
+        if on_done or on_error or on_always or batch_size:
+            if stream:
+                raise ValueError("stream and per-batch callbacks are exclusive")
+            from clip_as_service_ray.pipelines.callbacks import astream_batches
+
+            return await astream_batches(
+                queries,
+                lambda b: self.asearch(b, mode=mode, fuzzy_dist=fuzzy_dist),
+                batch_size=batch_size, on_done=on_done, on_error=on_error,
+                on_always=on_always,
+            )
         msg = {"op": "search", "queries": queries}
         if mode:
             msg["mode"] = mode
@@ -602,12 +644,31 @@ class AsyncSearchClient:
                     return chunks
         return (await self._call(msg))["hits"]
 
-    async def aencode(self, queries: list[dict]):
-        """Sparse BM25 vectors (client.py:333 aencode analog)."""
+    async def aencode(self, queries: list[dict], *, batch_size: int | None = None,
+                      on_done=None, on_error=None, on_always=None):
+        """Sparse BM25 vectors (client.py:333 aencode analog); per-batch
+        callbacks per the reference contract (client.py:302-327)."""
+        if on_done or on_error or on_always or batch_size:
+            from clip_as_service_ray.pipelines.callbacks import astream_batches
+
+            return await astream_batches(
+                queries, lambda b: self.aencode(b),
+                batch_size=batch_size, on_done=on_done, on_error=on_error,
+                on_always=on_always,
+            )
         return (await self._call({"op": "encode", "queries": queries}))["vectors"]
 
-    async def arank(self, queries: list[dict]):
+    async def arank(self, queries: list[dict], *, batch_size: int | None = None,
+                    on_done=None, on_error=None, on_always=None):
         """set_rank over provided candidates (client.py:503 arank analog)."""
+        if on_done or on_error or on_always or batch_size:
+            from clip_as_service_ray.pipelines.callbacks import astream_batches
+
+            return await astream_batches(
+                queries, lambda b: self.arank(b),
+                batch_size=batch_size, on_done=on_done, on_error=on_error,
+                on_always=on_always,
+            )
         return (await self._call({"op": "rank", "queries": queries}))["hits"]
 
     async def aphrase(self, queries: list[dict]):
@@ -638,7 +699,16 @@ class AsyncSearchClient:
             {"op": "complete", "queries": queries, "k": k}
         ))["suggestions"]
 
-    async def aindex(self, turns: list[dict]) -> dict:
+    async def aindex(self, turns: list[dict], *, batch_size: int | None = None,
+                     on_done=None, on_error=None, on_always=None):
+        if on_done or on_error or on_always or batch_size:
+            from clip_as_service_ray.pipelines.callbacks import astream_batches
+
+            return await astream_batches(
+                turns, lambda b: self.aindex(b),
+                batch_size=batch_size, on_done=on_done, on_error=on_error,
+                on_always=on_always,
+            )
         return await self._call({"op": "index", "turns": turns})
 
     async def aupdate(self, turns: list[dict]) -> dict:
