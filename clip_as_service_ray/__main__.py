@@ -260,6 +260,23 @@ def main(argv=None) -> int:
     w.add_argument("--positions", action="store_true")
     w.add_argument("--auth-token", default=None,
                    help="require this Authorization header on the ws handshake")
+    w.add_argument("--certfile", default=None, help="serve wss:// with this cert")
+    w.add_argument("--keyfile", default=None)
+
+    gr = sub.add_parser(
+        "serve-grpc",
+        help="serve an index over gRPC (the reference's default scheme; "
+        "Search/Encode/Suggest/Complete/Rank/Health/Profile)",
+    )
+    gr.add_argument("--index-dir", required=True)
+    gr.add_argument("--host", default="127.0.0.1")
+    gr.add_argument("--port", type=int, default=50051)
+    gr.add_argument("--auth-token", default=None,
+                    help="require this authorization metadata on every RPC")
+    gr.add_argument("--certfile", default=None, help="serve grpcs:// with this cert")
+    gr.add_argument("--keyfile", default=None)
+    gr.add_argument("--synonyms", default=None,
+                    help="JSON file term -> [synonyms], expands OR queries")
 
     c = sub.add_parser(
         "compact",
@@ -501,12 +518,33 @@ def main(argv=None) -> int:
                 pass
             finally:
                 srv.shutdown()
+        elif args.cmd == "serve-grpc":
+            from clip_as_service_ray.pipelines.grpc_api import GrpcSearchServer
+
+            synonyms = None
+            if args.synonyms:
+                with open(args.synonyms) as f:
+                    synonyms = json.load(f)
+            srv = GrpcSearchServer(
+                args.index_dir, EngineConfig(), args.host, args.port,
+                auth_token=args.auth_token,
+                certfile=args.certfile, keyfile=args.keyfile,
+                synonyms=synonyms,
+            )
+            print(json.dumps({"serving": srv.url, "index_dir": args.index_dir}), flush=True)
+            try:
+                srv._accept_thread.join()  # serve until interrupted
+            except KeyboardInterrupt:
+                pass
+            finally:
+                srv.shutdown()
         elif args.cmd == "serve-ws":
             from clip_as_service_ray.pipelines.ws_api import WebSocketSearchServer
 
             srv = WebSocketSearchServer(
                 args.index_root, EngineConfig(), args.host, args.port,
                 positions=args.positions, auth_token=args.auth_token,
+                certfile=args.certfile, keyfile=args.keyfile,
             )
             print(json.dumps({"serving": srv.url, "index_root": args.index_root}), flush=True)
             try:
