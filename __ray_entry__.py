@@ -30,6 +30,25 @@ _TOK = (
 )
 _STOP_SQL = "('the', 'a', 'of', 'to', 'and', 'in')"
 
+# per-doc bigram-LM avg NLL (doc_perplexity) — shared by the
+# ccnet_perplexity_buckets twin, which terciles the same scores
+_PPL_SQL = (
+    "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+    "             unnest(range(len(ts))) AS pos "
+    "  FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+    + _PAT_SQL + "') AS ts FROM documents)), "
+    "big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2 FROM tok a "
+    "        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1), "
+    "bc AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM big GROUP BY w1, w2), "
+    "uc AS (SELECT term AS w1, count(*)::DOUBLE AS c1 FROM tok GROUP BY term), "
+    "v AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM tok), "
+    "scored AS (SELECT big.doc_id, "
+    "  -ln((bc.c2 + 1) / (uc.c1 + v.v)) AS nll "
+    "  FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v) "
+    "SELECT doc_id, round(avg(nll), 6)::DOUBLE AS avg_nll, "
+    "count(*)::BIGINT AS n_bigrams FROM scored GROUP BY doc_id"
+)
+
 
 def _bm25_field_sql(name: str, pos_pred: str, terms=("merge", "window")) -> str:
     """One field's BM25 score CTE chain over position-filtered tokens
@@ -330,6 +349,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_full_outer": ops.customer_orders_full_outer,
         # ==== entries below the driver's 50-entry cap (locally checked;
         # the first 20 here were hash-green in CORRECTNESS_r02) ====
+        # -- round-4 additions (never driver-checked; rotate next round) --
+        "dsir_importance_weights": ops.dsir_importance_weights,
+        "semdedup_keep": ops.semdedup_keep,
+        "ccnet_perplexity_buckets": ops.ccnet_perplexity_buckets,
+        # -- end round-4 additions --
         "tokenize_terms": ops.tokenize_terms,
         "term_df": ops.term_df,
         "top_terms": ops.top_terms,
@@ -1102,6 +1126,54 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, lang, score, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored) "
             "WHERE rn = 1"
+        ),
+        "semdedup_keep": (
+            # SemDeDup (Abbas et al. 2023): per-label mean centroids rounded
+            # to 6, max-cosine assignment on rounded sims (ties -> lowest
+            # label), in-cluster pairs >= 0.42 drop the higher vec_id.
+            # list_value(c0..c63) replicates the engine's broadcast centroid
+            # matrix exactly.
+            "WITH cent AS (SELECT label, "
+            + ", ".join(
+                f"round(avg(embedding[{i + 1}]::DOUBLE), 6) AS c{i}"
+                for i in range(64)
+            )
+            + " FROM embeddings GROUP BY label), "
+            "sims AS (SELECT e.vec_id, c.label, "
+            "round(list_cosine_similarity(e.embedding::DOUBLE[], list_value("
+            + ", ".join(f"c.c{i}" for i in range(64))
+            + ")), 6) AS sim FROM embeddings e CROSS JOIN cent c), "
+            "assign AS (SELECT vec_id, label AS cluster FROM ("
+            "  SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id "
+            "  ORDER BY sim DESC, label) AS rn FROM sims) WHERE rn = 1), "
+            "dropped AS (SELECT DISTINCT ab.vec_id FROM assign aa "
+            "  JOIN assign ab ON aa.cluster = ab.cluster AND aa.vec_id < ab.vec_id "
+            "  JOIN embeddings ea ON ea.vec_id = aa.vec_id "
+            "  JOIN embeddings eb ON eb.vec_id = ab.vec_id "
+            "  WHERE list_cosine_similarity(ea.embedding::DOUBLE[], "
+            "        eb.embedding::DOUBLE[]) >= 0.42) "
+            "SELECT a.vec_id, a.cluster, (d.vec_id IS NULL) AS keep "
+            "FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id "
+            "ORDER BY a.vec_id"
+        ),
+        "dsir_importance_weights": (
+            # DSIR (Xie et al. 2023): per-doc log importance weight under
+            # add-one smoothed unigram models, target = lang='en' docs vs
+            # the raw corpus; engine computes the identical per-token
+            # expression ln((c_tgt+1)/(T_tgt+V)) - ln((c_raw+1)/(T_raw+V))
+            f"WITH tok AS ({_TOK}), "
+            "tgt AS (SELECT doc_id FROM documents WHERE lang = 'en'), "
+            "ct AS (SELECT term, count(*)::DOUBLE AS c_raw, "
+            "  count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM tgt))::DOUBLE AS c_tgt "
+            "  FROM tok GROUP BY term), "
+            "tot AS (SELECT sum(c_raw) AS t_raw, sum(c_tgt) AS t_tgt, "
+            "  count(*)::DOUBLE AS v FROM ct) "
+            "SELECT t.doc_id, "
+            "round(sum(ln((ct.c_tgt + 1) / (tot.t_tgt + tot.v)) "
+            "  - ln((ct.c_raw + 1) / (tot.t_raw + tot.v))), 6)::DOUBLE AS log_w, "
+            "count(*)::BIGINT AS n_tokens "
+            "FROM tok t JOIN ct ON t.term = ct.term CROSS JOIN tot "
+            "GROUP BY t.doc_id"
         ),
         "tokenize_terms": (
             f"SELECT doc_id, term, count(*)::BIGINT AS tf FROM ({_TOK}) t "
@@ -2600,23 +2672,21 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(ts[start + 1 : least(start + 32, len(ts))], ' ') "
             "AS chunk FROM s"
         ),
-        "doc_perplexity": (
-            # add-one smoothed bigram LM learned from the corpus itself;
-            # per-doc avg negative log-likelihood over adjacent token pairs
-            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
-            "             unnest(range(len(ts))) AS pos "
-            "  FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
-            + _PAT_SQL + "') AS ts FROM documents)), "
-            "big AS (SELECT a.doc_id, a.term AS w1, b.term AS w2 FROM tok a "
-            "        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1), "
-            "bc AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM big GROUP BY w1, w2), "
-            "uc AS (SELECT term AS w1, count(*)::DOUBLE AS c1 FROM tok GROUP BY term), "
-            "v AS (SELECT count(DISTINCT term)::DOUBLE AS v FROM tok), "
-            "scored AS (SELECT big.doc_id, "
-            "  -ln((bc.c2 + 1) / (uc.c1 + v.v)) AS nll "
-            "  FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1) CROSS JOIN v) "
-            "SELECT doc_id, round(avg(nll), 6)::DOUBLE AS avg_nll, "
-            "count(*)::BIGINT AS n_bigrams FROM scored GROUP BY doc_id"
+        # add-one smoothed bigram LM learned from the corpus itself;
+        # per-doc avg negative log-likelihood over adjacent token pairs
+        "doc_perplexity": _PPL_SQL,
+        "ccnet_perplexity_buckets": (
+            # CCNet head/middle/tail terciles over the same ppl scores;
+            # bucket = ((rn-1)*3)//n — pure integer rank rule, shared
+            # verbatim with the engine (no float boundary)
+            "WITH rn AS (SELECT avg_nll, "
+            "row_number() OVER (ORDER BY avg_nll, doc_id) AS rn, "
+            f"count(*) OVER () AS n FROM ({_PPL_SQL})) "
+            "SELECT CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head' "
+            "WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket, "
+            "count(*)::BIGINT AS n_docs, "
+            "round(avg(avg_nll), 6)::DOUBLE AS avg_nll "
+            "FROM rn GROUP BY 1 ORDER BY 1"
         ),
         "customer_orders_full_outer": (
             # genuine full-outer structure: BUILDING customers without urgent

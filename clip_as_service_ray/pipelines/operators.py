@@ -1441,6 +1441,109 @@ def label_centroid_dims(sf_dir: str, dims: int = 4):
     return pa.table(cols)
 
 
+def semdedup_keep(sf_dir: str, threshold: float = 0.42):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding space,
+    then drop within-cluster semantic near-duplicates, keeping the lowest
+    vec_id of each duplicate pair. Deterministic cluster model so the SQL
+    twin can replicate it: per-label mean centroids (rounded to 6 — both
+    engines see identical prototypes), each vector assigned to its
+    max-cosine centroid (rounded sims; ties -> lowest label). The
+    in-cluster dedup is a vectorized gram matrix inside
+    ``groupby(cluster).map_groups`` — the SemDeDup partitioning assumption
+    (one cluster fits a worker; k scales with the corpus so n/k stays
+    bounded). Only (cluster, vec_id, embedding) rows shuffle; centroids are
+    a k x d broadcast."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"],
+    )
+
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        emb_col = batch.column("embedding").combine_chunks()
+        flat = emb_col.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(batch.num_rows, -1).astype(np.float64)
+        labels = batch.column("label").to_numpy()
+        u, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(u), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        cols = {"label": pa.array(u.astype(np.int32), pa.int32()),
+                "n_part": pa.array(n, pa.int64())}
+        for d in range(mat.shape[1]):
+            cols[f"s{d}"] = pa.array(sums[:, d], pa.float64())
+        return pa.table(cols)
+
+    import pyarrow.parquet as pq
+
+    probe = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    ).slice(0, 1)
+    dims = len(probe.column("embedding")[0])
+    aggs = [Sum("n_part", alias_name="n")] + [
+        Sum(f"s{d}", alias_name=f"ss{d}") for d in range(dims)
+    ]
+    agg = (
+        ds.map_batches(cent_partial, batch_format="pyarrow")
+        .groupby("label", num_partitions=_nparts(sf_dir))
+        .aggregate(*aggs)
+        .to_pandas()
+        .sort_values("label")
+    )
+    labels = agg["label"].to_numpy().astype(np.int32)
+    n = agg["n"].to_numpy().astype(np.float64)
+    cent = np.stack(
+        [np.round(agg[f"ss{d}"].to_numpy() / n, 6) for d in range(dims)], axis=1
+    )
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    ref = ray.put((labels, cent_n))
+
+    class Assign:
+        def __init__(self):
+            self.labels, self.cent_n = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb_col = batch.column("embedding").combine_chunks()
+            flat = emb_col.flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(batch.num_rows, -1).astype(np.float64)
+            mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat_n @ self.cent_n.T, 6)
+            best = np.argmax(sims, axis=1)  # first max == lowest label
+            return pa.table(
+                {"cluster": pa.array(self.labels[best], pa.int32()),
+                 "vec_id": batch.column("vec_id"),
+                 "embedding": emb_col})
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        emb_col = g.column("embedding").combine_chunks()
+        flat = emb_col.flatten().to_numpy(zero_copy_only=False)
+        mat = flat.reshape(g.num_rows, -1).astype(np.float64)[order]
+        mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat_n @ mat_n.T
+        over = sims >= threshold
+        # dropped[j]: some i<j (in vec_id order) with sim >= threshold
+        dropped = np.triu(over, k=1).any(axis=0)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "cluster": pa.array(
+                 np.repeat(g.column("cluster")[0].as_py(), len(ids)), pa.int32()
+             ),
+             "keep": pa.array(~dropped, pa.bool_())})
+
+    return (
+        ds.map_batches(Assign, batch_format="pyarrow", concurrency=2)
+        .groupby("cluster", num_partitions=_nparts(sf_dir))
+        .map_groups(dedup_group, batch_format="pyarrow")
+    )
+
+
 def parts_never_shipped_late(sf_dir: str, cutoff: str = "2000-06-01"):
     """ANTI join (NOT EXISTS): parts with no lineitem shipped on/after the
     cutoff. The right side is filtered AT THE READ (only late lineitems
@@ -3814,6 +3917,164 @@ def doc_perplexity(sf_dir: str):
         )
 
     return _documents(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def dsir_importance_weights(sf_dir: str, target_lang: str = "en"):
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): per-doc log importance w(d) = sum over tokens of
+    ln p_target(t) - ln p_raw(t), with add-one smoothed unigram models.
+    Target = documents whose ``lang`` column equals ``target_lang``; raw =
+    the whole corpus. ONE combined count pass emits per-term (raw, target)
+    partials; the count table is range-sharded in the object store
+    (state/kvmap.py, same scale path as doc_perplexity) and scoring is a
+    second shuffle-free pass. Expression per token is
+    ln((c_tgt+1)/(T_tgt+V)) - ln((c_raw+1)/(T_raw+V)) in exactly the SQL
+    twin's order; per-doc sums round to 6 (reduceat-vs-SQL sum-order
+    tolerance, the doc_perplexity precedent)."""
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.state.kvmap import build_sharded_float_map
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        if len(tokens) == 0:
+            return pa.table(
+                {"key": pa.array([], pa.string()), "n_part": pa.array([], pa.int64())}
+            )
+        is_tgt = pc.equal(batch.column("lang"), target_lang).to_numpy(
+            zero_copy_only=False
+        )
+        tgt_rows = np.repeat(is_tgt, lens)
+        raw_keys = pc.binary_join_element_wise(
+            pa.array(["r\x00"] * len(tokens), pa.string()), tokens, ""
+        )
+        tgt_tokens = tokens.filter(pa.array(tgt_rows))
+        tgt_keys = pc.binary_join_element_wise(
+            pa.array(["t\x00"] * len(tgt_tokens), pa.string()), tgt_tokens, ""
+        )
+        keys = pa.concat_arrays([raw_keys, tgt_keys])
+        vc = keys.value_counts()
+        u = vc.field("values").to_numpy(zero_copy_only=False)
+        c = vc.field("counts").to_numpy()
+        o = np.argsort(u)
+        return pa.table(
+            {"key": pa.array(u[o], pa.string()),
+             "n_part": pa.array(c[o].astype(np.int64), pa.int64())}
+        )
+
+    counts_ds = (
+        _documents(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("key", num_partitions=_nparts(sf_dir))
+        .aggregate(Sum("n_part", alias_name="n"))
+        .materialize()  # consumed twice (totals + map build)
+    )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        raw = pc.starts_with(batch.column("key"), "r\x00")
+        n = batch.column("n")
+        return pa.table({
+            "t_raw": pa.array([int(pc.sum(pc.if_else(raw, n, pa.scalar(0, pa.int64()))).as_py() or 0)], pa.int64()),
+            "t_tgt": pa.array([int(pc.sum(pc.if_else(pc.invert(raw), n, pa.scalar(0, pa.int64()))).as_py() or 0)], pa.int64()),
+            "v": pa.array([int(pc.sum(pc.cast(raw, pa.int64())).as_py() or 0)], pa.int64()),
+        })
+
+    tot = counts_ds.map_batches(totals, batch_format="pyarrow").to_pandas().sum()
+    t_raw, t_tgt, v = float(tot["t_raw"]), float(tot["t_tgt"]), float(tot["v"])
+    cnt_map = build_sharded_float_map(counts_ds, key_col="key", val_col="n")
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        if len(tokens) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "log_w": pa.array([], pa.float64()),
+                 "n_tokens": pa.array([], pa.int64())}
+            )
+        tk = np.asarray(tokens.to_pylist(), dtype=object)
+        r_keys = np.asarray(["r\x00" + t for t in tk], dtype=object)
+        t_keys = np.asarray(["t\x00" + t for t in tk], dtype=object)
+        c_raw = cnt_map.lookup(r_keys)  # always present: learned from corpus
+        c_tgt = cnt_map.lookup(t_keys)  # missing in target -> 0 (+1 smooth)
+        ll = np.log((c_tgt + 1.0) / (t_tgt + v)) - np.log(
+            (c_raw + 1.0) / (t_raw + v)
+        )
+        keep = lens > 0
+        bounds = np.concatenate([[0], np.cumsum(lens[keep])])
+        sums = np.add.reduceat(ll, bounds[:-1])
+        return pa.table(
+            {"doc_id": pa.array(doc_ids[keep], pa.int64()),
+             "log_w": pa.array(np.round(sums, 6), pa.float64()),
+             "n_tokens": pa.array(lens[keep], pa.int64())}
+        )
+
+    return _documents(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def ccnet_perplexity_buckets(sf_dir: str):
+    """CCNet perplexity bucketing (Wenzek et al. 2020: corpus split into
+    head/middle/tail by LM perplexity terciles, the canonical quality
+    stratification of web-crawl pipelines). Per-doc score = the bigram-LM
+    avg NLL of ``doc_perplexity``; bucket = ((rn-1)*3)//n over the global
+    (avg_nll ASC, doc_id ASC) order — the exact integer rule the SQL twin
+    applies, no float boundary. Distributed shape: one sort of the ppl
+    Dataset; O(1) per-block row counts give each block its global offset
+    (driver prefix-sums counts only); per-block passes emit (bucket, n,
+    sum) partials — 3 rows per block leave the workers."""
+    import ray
+
+    ppl = doc_perplexity(sf_dir)  # (doc_id, avg_nll, n_bigrams)
+    refs = ppl.sort(["avg_nll", "doc_id"]).to_arrow_refs()
+    if not refs:
+        return pa.table(
+            {"bucket": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "avg_nll": pa.array([], pa.float64())}
+        )
+
+    @ray.remote(num_cpus=0.25)
+    def block_rows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([block_rows.remote(r) for r in refs])
+    n_total = int(sum(counts))
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote(num_cpus=0.25)
+    def block_partial(t: pa.Table, offset: int, n: int) -> pa.Table:
+        rn = offset + np.arange(t.num_rows, dtype=np.int64)  # rn-1, 0-based
+        bucket = (rn * 3) // n
+        nll = t.column("avg_nll").to_numpy()
+        s = np.zeros(3, dtype=np.float64)
+        np.add.at(s, bucket, nll)
+        c = np.bincount(bucket, minlength=3).astype(np.int64)
+        return pa.table(
+            {"b": pa.array(np.arange(3, dtype=np.int64), pa.int64()),
+             "n_part": pa.array(c, pa.int64()),
+             "s_part": pa.array(s, pa.float64())}
+        )
+
+    parts = pa.concat_tables(ray.get([
+        block_partial.remote(r, int(offsets[i]), n_total)
+        for i, r in enumerate(refs)
+    ]))
+    b = parts.column("b").to_numpy()
+    n_parts = parts.column("n_part").to_numpy()
+    s_parts = parts.column("s_part").to_numpy()
+    n_docs = np.zeros(3, dtype=np.int64)
+    sums = np.zeros(3, dtype=np.float64)
+    np.add.at(n_docs, b, n_parts)
+    np.add.at(sums, b, s_parts)
+    names = np.array(["head", "middle", "tail"], dtype=object)
+    keep = n_docs > 0
+    return pa.table(
+        {"bucket": pa.array(names[keep], pa.string()),
+         "n_docs": pa.array(n_docs[keep], pa.int64()),
+         "avg_nll": pa.array(
+             np.round(sums[keep] / n_docs[keep], 6), pa.float64()
+         )}
+    )
 
 
 def chunk_documents(sf_dir: str, size: int = 32, stride: int = 16):
