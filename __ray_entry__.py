@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance_weights": ops.dsir_importance_weights,
         "semdedup_keep": ops.semdedup_keep,
         "ccnet_perplexity_buckets": ops.ccnet_perplexity_buckets,
+        "bm25_topk_has_parent": ops.bm25_topk_has_parent,
         # -- end round-4 additions --
         "tokenize_terms": ops.tokenize_terms,
         "term_df": ops.term_df,
@@ -2702,6 +2703,26 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(u.urgent_orders, 0)::BIGINT AS urgent_orders, "
             "round(coalesce(u.urgent_total, 0.0), 2)::DOUBLE AS urgent_total "
             "FROM b FULL OUTER JOIN u USING (custkey)"
+        ),
+        "bm25_topk_has_parent": (  # ES has_parent score=true, inverse join
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            "parents AS (SELECT doc_id // 8 AS parent_id, score FROM scores "
+            "            WHERE doc_id % 8 = 0) "
+            "SELECT d.doc_id AS child_doc_id, p.parent_id, "
+            "round(p.score, 6)::DOUBLE AS score "
+            "FROM documents d JOIN parents p ON d.doc_id // 8 = p.parent_id "
+            "WHERE d.doc_id % 8 <> 0 "
+            "ORDER BY p.score DESC, d.doc_id ASC LIMIT 10"
         ),
         "bm25_topk_blockjoin": (  # ES has_child score_mode=sum over 8-doc parents
             "WITH tok AS (" + _TOK + "), "

@@ -54,10 +54,13 @@ def main(argv=None) -> int:
                    help="regexp term queries (Lucene RegexpQuery)")
     s.add_argument("--term-range", action="store_true",
                    help="term range queries '[lo TO hi]' (Lucene TermRangeQuery)")
-    s.add_argument("--block-join", choices=["sum", "avg", "max", "count"],
+    s.add_argument("--block-join",
+                   choices=["sum", "avg", "max", "count", "parent"],
                    default=None,
                    help="rank conversations by aggregating matching turns "
-                        "(ES has_child score_mode)")
+                        "(ES has_child score_mode); 'parent' is the inverse "
+                        "join (ES has_parent: children of matching turn-0 "
+                        "parents, carrying the parent score)")
     s.add_argument("--fuzzy", type=int, default=0, help="edit-distance expansion")
     s.add_argument("--fuzzy-transpositions", action="store_true",
                    help="ES-default fuzziness metric: adjacent swap = 1 edit")

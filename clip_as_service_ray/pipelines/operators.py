@@ -8120,6 +8120,40 @@ def bm25_topk_fvf(
     )
 
 
+def bm25_topk_has_parent(
+    sf_dir: str, terms=BM25_QUERY_TERMS, group_size: int = 8, limit: int = 10,
+):
+    """ES ``has_parent`` (score=true) through the real engine: documents
+    grouped 8-per-conversation; the PARENT is turn 0 of each group; the
+    query returns CHILD docs of matching parents, each carrying the
+    parent's BM25 score (rank: parent score DESC, child doc ASC). The SQL
+    twin scores only doc_id % group_size == 0 docs and fans out to their
+    siblings."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir) + f"_grp{group_size}"
+    build_index(_docs_as_grouped_transcripts(sf_dir, group_size), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([" ".join(terms)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, block_join="parent")
+    parents = np.asarray(
+        [int(c[4:]) for c in hits.column("conv_id").to_pylist()], dtype=np.int64
+    )
+    child = parents * group_size + hits.column("turn_idx").to_numpy().astype(np.int64)
+    return pa.table(
+        {"child_doc_id": pa.array(child, pa.int64()),
+         "parent_id": pa.array(parents, pa.int64()),
+         "score": pa.array(
+             np.round(hits.column("score").to_numpy(), 6), pa.float64()
+         )}
+    )
+
+
 def _docs_as_grouped_transcripts(sf_dir: str, group_size: int = 8):
     """Documents as MULTI-TURN conversations: doc_id // group_size is the
     conversation, doc_id % group_size the turn — the parent/child block

@@ -43,6 +43,17 @@ from clip_as_service_ray.state.postings import decode_block
 from clip_as_service_ray.state.termmap import BlockRowsMap, SortedArrayMap
 
 
+def _ranges_arange(lens: np.ndarray) -> np.ndarray:
+    """Concatenated [0..len) ranges: arange(sum) minus each segment's
+    start offset (the segmented-cumsum inversion trick)."""
+    lens = lens.astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    return np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64) - np.repeat(
+        starts, lens
+    )
+
+
 def _prune_eps(n_terms: int, theta: float) -> float:
     """Rank-safety margin for pruning decisions against float-order noise.
 
@@ -1070,8 +1081,15 @@ class IndexReader:
         (sum, n, max, representative doc) and the merge reduces partials by
         group id before the single global top-k — a conversation spanning a
         chunk boundary combines exactly."""
-        if mode not in ("sum", "avg", "max", "count"):
+        if mode not in ("sum", "avg", "max", "count", "parent"):
             raise ValueError(f"unknown block-join score mode {mode!r}")
+        if mode == "parent":
+            # ES has_parent (score=true): the inverse join direction —
+            # return CHILD docs of conversations whose PARENT doc (turn 0)
+            # matches the query, each child carrying the parent's score
+            return self._score_query_hasparent(
+                text, limit, exclude_text=exclude_text, doc_range=doc_range
+            )
         terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
         present = [(t, 1.0) for t in terms if t in self._term_blocks]
         if not present:
@@ -1174,6 +1192,88 @@ class IndexReader:
             score_u = mx_u
         top = bm25.topk_indices(score_u, rep_u, limit)
         return rep_u[top], score_u[top]
+
+    def _score_query_hasparent(
+        self, text: str, limit: int, exclude_text: str = "", doc_range=None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ES ``has_parent`` with score=true: children of conversations
+        whose PARENT document (turn 0 — the first doc of the conv block,
+        Lucene's index-time-join parent position) matches the query; each
+        child carries the parent's BM25 score. Rank (parent score DESC,
+        doc ASC) — within a parent children ascend by doc, across parents
+        the conv-blocked doc-id layout keeps the global tie-break
+        (score DESC, doc ASC) exact.
+
+        Parent scores keep the canonical accumulation structure
+        (sequential ``scores[docs] += s`` in sorted term order, restricted
+        to parent positions), so a parent's score is bit-identical to
+        ``score_query`` of that doc. Exclusions and conv_prefix ranges
+        filter the CHILD side (the ES filter-on-child composition)."""
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
+        present = [t for t in terms if t in self._term_blocks]
+        empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float64))
+        if not present:
+            return empty
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        bases = self._bases
+        n_slots = self._max_doc_id + 1
+        pscore = np.zeros(len(bases), dtype=np.float64)
+        pmatch = np.zeros(len(bases), dtype=bool)
+        for t in present:
+            docs_t, scores_t = self.term_docs_scores(t)
+            gi = np.minimum(
+                np.searchsorted(bases, docs_t), len(bases) - 1
+            )
+            isp = bases[gi] == docs_t
+            pscore[gi[isp]] += scores_t[isp]
+            pmatch[gi[isp]] = True
+        g_all = np.nonzero(pmatch)[0]
+        if not len(g_all):
+            return empty
+        ends = np.concatenate([bases[1:], [n_slots]]).astype(np.int64)
+        # parents in rank order (score DESC, conv ASC == doc ASC)
+        order = np.lexsort((g_all, -pscore[g_all]))
+        g_rank = g_all[order]
+        out_docs: list[np.ndarray] = []
+        out_scores: list[np.ndarray] = []
+        have = 0
+        # generate children in parent-rank order until the page is full —
+        # block-at-a-time so a broad query never materializes every child
+        for b0 in range(0, len(g_rank), 256):
+            gb = g_rank[b0 : b0 + 256]
+            lo = bases[gb] + 1  # children exclude the parent doc itself
+            n_child = ends[gb] - lo
+            keep = n_child > 0
+            if keep.any():
+                gb, lo, n_child = gb[keep], lo[keep], n_child[keep]
+                docs = (
+                    np.repeat(lo, n_child)
+                    + _ranges_arange(n_child)
+                ).astype(np.int64)
+                scores = np.repeat(pscore[gb], n_child)
+                if doc_range is not None:
+                    # docs are NOT globally sorted within a rank block —
+                    # mask directly (only excl needs to be sorted below)
+                    m = (docs >= doc_range[0]) & (docs < doc_range[1])
+                    docs, scores = docs[m], scores[m]
+                if excl is not None and len(docs):
+                    pos = np.searchsorted(excl, docs)
+                    hit = (pos < len(excl)) & (
+                        excl[np.minimum(pos, len(excl) - 1)] == docs
+                    )
+                    docs, scores = docs[~hit], scores[~hit]
+                if len(docs):
+                    out_docs.append(docs)
+                    out_scores.append(scores)
+                    have += len(docs)
+            if have >= limit:
+                break
+        if not out_docs:
+            return empty
+        docs = np.concatenate(out_docs)[:limit]
+        scores = np.concatenate(out_scores)[:limit]
+        return docs, scores
 
     def doc_values(self, field: str) -> np.ndarray:
         """Doc-indexed numeric field array (Lucene doc values), loaded once
