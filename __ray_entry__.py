@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_keep": ops.semdedup_keep,
         "ccnet_perplexity_buckets": ops.ccnet_perplexity_buckets,
         "bm25_topk_has_parent": ops.bm25_topk_has_parent,
+        "bm25_topk_bool_prefix": ops.bm25_topk_bool_prefix,
         # -- end round-4 additions --
         "tokenize_terms": ops.tokenize_terms,
         "term_df": ops.term_df,
@@ -2523,6 +2524,23 @@ def oracle_sql() -> dict[str, str]:
             "  CROSS JOIN stats s "
             "  WHERE tf.doc_id NOT IN (SELECT doc_id FROM tok WHERE term = 'part') "
             "  GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_bool_prefix": (  # ES match_bool_prefix: merge OR win*
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term = 'merge' OR term LIKE 'win%' "
+            "       GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok "
+            "       WHERE term = 'merge' OR term LIKE 'win%' GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
         ),

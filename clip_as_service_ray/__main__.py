@@ -48,6 +48,9 @@ def main(argv=None) -> int:
     s.add_argument("--limit", type=int, default=10)
     s.add_argument("--conjunctive", action="store_true", help="AND semantics")
     s.add_argument("--prefix", action="store_true", help="wildcard prefix queries")
+    s.add_argument("--bool-prefix", action="store_true",
+                   help="ES match_bool_prefix (search-as-you-type): last "
+                        "term is a prefix query, the rest plain OR terms")
     s.add_argument("--suffix", action="store_true",
                    help="leading-wildcard *suffix queries")
     s.add_argument("--regex", action="store_true",
@@ -357,7 +360,7 @@ def main(argv=None) -> int:
                 similarity=args.similarity, sim_param=args.sim_param,
                 common_terms=args.cutoff_frequency,
                 bool_query=args.bool_query, min_should=args.min_should,
-                k1=args.k1, b=args.b,
+                k1=args.k1, b=args.b, bool_prefix=args.bool_prefix,
             )
             if args.out:
                 pq.write_table(hits, args.out)

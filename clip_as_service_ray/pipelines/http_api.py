@@ -364,6 +364,9 @@ def _mode_key(payload: dict) -> tuple | None:
         return ("conjunctive",)
     if mode == "prefix":
         return ("prefix",)
+    if mode == "match_bool_prefix":
+        # ES search-as-you-type: last term a prefix query, rest plain OR
+        return ("bool_prefix",)
     if mode == "suffix":
         return ("suffix",)
     if mode == "regex":
@@ -422,7 +425,8 @@ def _mode_key(payload: dict) -> tuple | None:
                 None if p is None else float(p))
     raise ValueError(
         f"unknown mode {mode!r} "
-        "(conjunctive|prefix|suffix|regex|term_range|block_join|decay|"
+        "(conjunctive|prefix|match_bool_prefix|suffix|regex|term_range|"
+        "block_join|decay|"
         "fuzzy|boosted|msm|collapse|bm25plus|boosting|terms_set|similarity|"
         "common_terms|bool|bm25_tuned)"
     )

@@ -4367,6 +4367,33 @@ def bm25_topk_negated(sf_dir: str, terms=BM25_QUERY_TERMS, exclude: str = "part"
     )
 
 
+def bm25_topk_bool_prefix(
+    sf_dir: str, text: str = "merge win", limit: int = 10,
+):
+    """ES ``match_bool_prefix`` (search-as-you-type): every term of the
+    text is a plain OR term except the LAST, which matches as a prefix
+    over the dictionary — "merge win" scores merge OR win*. The SQL twin
+    ORs the exact term predicate with a LIKE on the last term."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([text]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, bool_prefix=True)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.float64())}
+    )
+
+
 def bm25_topk_prefix(sf_dir: str, prefix: str = "s", limit: int = 10):
     """Wildcard query `prefix*`: BM25 over every dictionary term with the
     prefix (one searchsorted range over the sorted vocabulary, each expanded

@@ -44,6 +44,7 @@ def search(
     min_should: int = 0,
     k1: float | None = None,
     b: float | None = None,
+    bool_prefix: bool = False,
 ):
     """queries: pa.Table | ray.data.Dataset with (query_id, text[, limit,
     exclude]). Returns a lazy Dataset of flat ranked hits.
@@ -89,6 +90,7 @@ def search(
             "min_should": min_should,
             "k1": k1,
             "b": b,
+            "bool_prefix": bool_prefix,
         },
         batch_format="pyarrow",
         batch_size=config.query_batch_size,
@@ -124,6 +126,7 @@ def search_table(
     min_should: int = 0,
     k1: float | None = None,
     b: float | None = None,
+    bool_prefix: bool = False,
 ) -> pa.Table:
     """Materialized convenience wrapper: hits sorted (query_id ASC, rank ASC)
     — the order/identity-preservation contract (test_ranker.py:233-239)."""
@@ -136,7 +139,7 @@ def search_table(
         block_join=block_join, decay=decay, boosting=boosting,
         terms_set=terms_set, similarity=similarity, sim_param=sim_param,
         common_terms=common_terms, bool_query=bool_query,
-        min_should=min_should, k1=k1, b=b,
+        min_should=min_should, k1=k1, b=b, bool_prefix=bool_prefix,
     )
     tbl = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
     if tbl.num_rows == 0:

@@ -292,6 +292,7 @@ class SegmentedQueryService(ScatterQueryService):
         min_should: int = 0,
         k1: float | None = None,
         b: float | None = None,
+        bool_prefix: bool = False,
         num_cpus: float = 1,
     ):
         root = mf.read_json(os.path.join(index_root, "manifest.json"))
@@ -327,6 +328,7 @@ class SegmentedQueryService(ScatterQueryService):
             min_should=min_should,
             k1=k1,
             b=b,
+            bool_prefix=bool_prefix,
             num_cpus=num_cpus,
         )
 

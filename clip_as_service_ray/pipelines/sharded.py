@@ -205,6 +205,7 @@ class ScatterQueryService:
         min_should: int = 0,
         k1: float | None = None,
         b: float | None = None,
+        bool_prefix: bool = False,
         num_cpus: float = 1,
     ):
         import ray
@@ -288,6 +289,7 @@ class ScatterQueryService:
                 min_should=min_should,
                 k1=k1,
                 b=b,
+                bool_prefix=bool_prefix,
             )
             for d in index_dirs
         ]

@@ -1518,6 +1518,29 @@ class IndexReader:
             return self._score_dense(present, limit, n_slots, exclude=excl, doc_range=doc_range)
         return self._score_dense_chunked(present, limit, n_slots, exclude=excl, doc_range=doc_range)
 
+    def score_query_bool_prefix(
+        self, text: str, limit: int, exclude_text: str = "", doc_range=None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """ES ``match_bool_prefix``: every term of the text is an OR term
+        query EXCEPT the last, which matches as a PREFIX (the
+        search-as-you-type contract — "quick brown f" scores quick OR
+        brown OR f*). The union term set dedups and sorts, keeping the
+        canonical accumulation order, so a query whose last term expands
+        only to itself is bit-identical to plain ``score_query``."""
+        toks = self._qtokens(text)
+        if not toks:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        full = [t for t in toks[:-1] if t in self._term_blocks]
+        present = sorted(set(full) | set(self.expand_prefix(toks[-1])))
+        if not present:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.float64)
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        if n_slots <= self.dense_chunk_docs:
+            return self._score_dense(present, limit, n_slots, exclude=excl, doc_range=doc_range)
+        return self._score_dense_chunked(present, limit, n_slots, exclude=excl, doc_range=doc_range)
+
     def expand_suffix(self, suffix: str, max_terms: int | None = None) -> list[str]:
         """Leading-wildcard expansion ``*suffix`` (Lucene's
         ReverseStringFilter use case): every dictionary term ending with
@@ -1983,17 +2006,18 @@ class QueryScorer:
         min_should: int = 0,
         k1: float | None = None,
         b: float | None = None,
+        bool_prefix: bool = False,
     ):
         if sum(map(bool, (conjunctive, prefix, fuzzy, boosted, min_match,
                           collapse, suffix, regex, term_range,
                           block_join, decay, boosting is not None,
                           terms_set, common_terms is not None,
-                          bool_query))) > 1:
+                          bool_query, bool_prefix))) > 1:
             raise ValueError(
                 "query modes are mutually exclusive: pick ONE of conjunctive/"
                 "prefix/fuzzy/boosted/min_match/collapse/suffix/regex/"
                 "term_range/block_join/decay/boosting/terms_set/common_terms/"
-                "bool_query"
+                "bool_query/bool_prefix"
             )
         # similarity module (Lucene/ES `similarity` index setting): the
         # same index artifact scored under lmdirichlet / lmjm / tfidf /
@@ -2045,7 +2069,7 @@ class QueryScorer:
         if synonyms:
             if (conjunctive or prefix or fuzzy or boosted or suffix or regex
                     or term_range or block_join or decay or terms_set
-                    or bool_query):
+                    or bool_query or bool_prefix):
                 raise ValueError(
                     "synonyms expand OR queries only (AND over an expanded "
                     "set would require group-match semantics; boosted "
@@ -2066,6 +2090,9 @@ class QueryScorer:
         # prefix mode: query text is a term prefix, expanded over the
         # dictionary (score_query_prefix)
         self.prefix = prefix
+        # bool_prefix: ES match_bool_prefix — last term a prefix query,
+        # earlier terms plain OR terms (search-as-you-type)
+        self.bool_prefix = bool_prefix
         # suffix mode: leading wildcard *suffix (score_query_suffix)
         self.suffix = suffix
         # regex mode: query text is a term regexp (score_query_regex)
@@ -2253,6 +2280,8 @@ class QueryScorer:
             score_fn = self.reader.score_query_conjunctive
         elif self.prefix:
             score_fn = self.reader.score_query_prefix
+        elif self.bool_prefix:
+            score_fn = self.reader.score_query_bool_prefix
         elif self.suffix:
             score_fn = self.reader.score_query_suffix
         elif self.regex:

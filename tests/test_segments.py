@@ -184,6 +184,10 @@ def test_segmented_modes_equal_monolithic(corpus_halves, tmp_path):
         ({"similarity": "tfidf"}, ["merge window"], ""),  # df/N-only kernel
         ({"similarity": "boolean"}, ["merge window"], ""),
         ({"k1": 0.9, "b": 0.4}, ["merge window"], ""),  # tuned constants
+        # round-4 modes
+        ({"bool_prefix": True}, ["merge win", "data str"], ""),
+        ({"block_join": "parent"}, ["merge window"], ""),  # has_parent
+        ({"block_join": "parent"}, ["merge window"], "stream"),
     ]
     for kwargs, texts, excl in cases:
         q = {
