@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_perplexity_buckets": ops.ccnet_perplexity_buckets,
         "bm25_topk_has_parent": ops.bm25_topk_has_parent,
         "bm25_topk_bool_prefix": ops.bm25_topk_bool_prefix,
+        "frequent_itemsets": ops.frequent_itemsets,
         # -- end round-4 additions --
         "tokenize_terms": ops.tokenize_terms,
         "term_df": ops.term_df,
@@ -1128,6 +1129,31 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, lang, score, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored) "
             "WHERE rn = 1"
+        ),
+        "frequent_itemsets": (
+            # ES frequent_item_sets / Apriori over order->brand baskets:
+            # sizes 1-3, support >= ceil(0.002 * n_baskets), top 15 per
+            # size by (support DESC, itemset ASC)
+            "WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b "
+            "  FROM lineitem JOIN part ON l_partkey = p_partkey), "
+            "nb AS (SELECT count(DISTINCT ok)::BIGINT AS n FROM ob), "
+            "ms AS (SELECT CAST(ceil(0.002 * n) AS BIGINT) AS m FROM nb), "
+            "s1 AS (SELECT 1 AS size, b AS itemset, count(*)::BIGINT AS support "
+            "  FROM ob GROUP BY b), "
+            "s2 AS (SELECT 2 AS size, a.b || '|' || c.b AS itemset, "
+            "  count(*)::BIGINT AS support FROM ob a "
+            "  JOIN ob c ON a.ok = c.ok AND a.b < c.b GROUP BY a.b, c.b), "
+            "s3 AS (SELECT 3 AS size, a.b || '|' || c.b || '|' || d.b AS itemset, "
+            "  count(*)::BIGINT AS support FROM ob a "
+            "  JOIN ob c ON a.ok = c.ok AND a.b < c.b "
+            "  JOIN ob d ON a.ok = d.ok AND c.b < d.b GROUP BY a.b, c.b, d.b), "
+            "allsets AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 "
+            "  UNION ALL SELECT * FROM s3), "
+            "filt AS (SELECT size, itemset, support FROM allsets, ms "
+            "  WHERE support >= ms.m), "
+            "rk AS (SELECT size, itemset, support, row_number() OVER ("
+            "  PARTITION BY size ORDER BY support DESC, itemset) AS rn FROM filt) "
+            "SELECT size::BIGINT AS size, itemset, support FROM rk WHERE rn <= 15"
         ),
         "semdedup_keep": (
             # SemDeDup (Abbas et al. 2023): per-label mean centroids rounded

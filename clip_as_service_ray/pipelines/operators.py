@@ -6421,6 +6421,178 @@ def duplicate_passages(sf_dir: str, n: int = 8, min_docs: int = 2, k: int = 20):
     )
 
 
+def frequent_itemsets(
+    sf_dir: str, min_support_frac: float = 0.002, k_per_size: int = 15,
+):
+    """Frequent itemsets over order baskets (the ES ``frequent_item_sets``
+    aggregation / classic Apriori): brand sets per order, itemsets of size
+    1-3 with support >= ceil(min_support_frac * n_baskets), top
+    ``k_per_size`` per size by (support DESC, itemset ASC).
+
+    Proper two-pass Apriori shape: pass 1 counts singles (and baskets)
+    through the same orderkey-bucket shuffle parts_bought_together uses
+    (an order's lines land in ONE bucket, so in-bucket dedup == global
+    dedup); the L1 survivor set broadcasts; pass 2 expands pairs AND
+    triples only over L1 items with the vectorized segment-expansion
+    trick (no per-order Python; an order with L frequent brands emits
+    C(L,2)+C(L,3) combinations, the inherent output). The item dictionary
+    (partkey -> brand code) is a broadcast small side; at web scale the
+    item-cardinality reduction (parts -> brands) is exactly why Apriori's
+    candidate space stays bounded."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    part_t = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    brands = np.asarray(
+        sorted(set(part_t.column("p_brand").to_pylist())), dtype=object
+    )
+    code_of = {b: i for i, b in enumerate(brands)}
+    pk = part_t.column("p_partkey").to_numpy().astype(np.int64)
+    pcode = np.asarray(
+        [code_of[b] for b in part_t.column("p_brand").to_pylist()],
+        dtype=np.int64,
+    )
+    # partkey -> code lookup table (partkeys are dense smallish ints)
+    lut = np.full(int(pk.max()) + 1, -1, dtype=np.int64)
+    lut[pk] = pcode
+    lut_ref = ray.put(lut)
+    NB = 64  # bucket count; brand codes < 64 (6 bits)
+    num_buckets = 64
+
+    class DistinctCodes:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            o = batch.column("l_orderkey").to_numpy().astype(np.int64)
+            p = batch.column("l_partkey").to_numpy().astype(np.int64)
+            key = np.unique(o * NB + self.lut[p])
+            ok = key // NB
+            return pa.table(
+                {"_bucket": pa.array((ok % num_buckets), pa.int64()),
+                 "oc": pa.array(key, pa.int64())}
+            )
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+    dcodes = li.map_batches(DistinctCodes, batch_format="pyarrow",
+                            concurrency=2)
+
+    # ---- pass 1: basket count + single supports (Apriori L1)
+    def singles(group: pa.Table) -> pa.Table:
+        oc = np.unique(group.column("oc").to_numpy())
+        codes = oc % NB
+        c = np.bincount(codes, minlength=len(brands)).astype(np.int64)
+        n_baskets = len(np.unique(oc // NB))
+        return pa.table(
+            {"code": pa.array(
+                np.concatenate([np.arange(len(brands)), [-1]]), pa.int64()
+             ),
+             "n_part": pa.array(np.concatenate([c, [n_baskets]]), pa.int64())}
+        )
+
+    s_agg = (
+        dcodes.groupby("_bucket", num_partitions=_nparts(sf_dir))
+        .map_groups(singles, batch_format="pyarrow")
+        .groupby("code", num_partitions=2)
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    n_baskets = int(s_agg[s_agg.code == -1].n.iloc[0])
+    minsup = int(np.ceil(min_support_frac * n_baskets))
+    s1 = s_agg[s_agg.code >= 0]
+    l1_counts = np.zeros(len(brands), dtype=np.int64)
+    l1_counts[s1.code.to_numpy()] = s1.n.to_numpy()
+    l1_mask = l1_counts >= minsup
+    l1_ref = ray.put(l1_mask)
+
+    # ---- pass 2: pair + triple candidates over L1 items only
+    def expand(group: pa.Table) -> pa.Table:
+        keep = ray.get(l1_ref)
+        oc = np.unique(group.column("oc").to_numpy())
+        codes = oc % NB
+        m = keep[codes]
+        oc, codes = oc[m], codes[m]
+        okey = oc // NB
+        n = len(oc)
+        empty = pa.table({"iset": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        seg_start = np.concatenate([[0], np.nonzero(np.diff(okey))[0] + 1])
+        seg_end = np.concatenate([seg_start[1:], [n]])
+        seg_of = np.repeat(np.arange(len(seg_start)), seg_end - seg_start)
+        partners = seg_end[seg_of] - np.arange(n) - 1
+        total = int(partners.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(n), partners)
+        csum = np.concatenate([[0], np.cumsum(partners)])
+        off = np.arange(total) - np.repeat(csum[:-1], partners) + 1
+        b_idx = a_idx + off
+        pair_key = (np.int64(2) << 18) | (codes[a_idx] * NB + codes[b_idx])
+        # triples: for each (a, b) pair, every element after b in the
+        # same order segment is a third item
+        thirds = seg_end[seg_of[b_idx]] - b_idx - 1
+        tri_total = int(thirds.sum())
+        keys = [pair_key]
+        if tri_total:
+            p_idx = np.repeat(np.arange(len(a_idx)), thirds)
+            csum3 = np.concatenate([[0], np.cumsum(thirds)])
+            off3 = np.arange(tri_total) - np.repeat(csum3[:-1], thirds) + 1
+            c_idx = b_idx[p_idx] + off3
+            tri_key = (np.int64(3) << 18) | (
+                codes[a_idx[p_idx]] * NB * NB
+                + codes[b_idx[p_idx]] * NB + codes[c_idx]
+            )
+            keys.append(tri_key)
+        key_all = np.concatenate(keys)
+        u, c = np.unique(key_all, return_counts=True)
+        return pa.table(
+            {"iset": pa.array(u, pa.int64()),
+             "n_part": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    agg = (
+        dcodes.groupby("_bucket", num_partitions=_nparts(sf_dir))
+        .map_groups(expand, batch_format="pyarrow")
+        .groupby("iset", num_partitions=_nparts(sf_dir))
+        .aggregate(Sum("n_part", alias_name="support"))
+        .to_pandas()
+    )
+    # assemble: singles from pass 1 + filtered pairs/triples from pass 2
+    rows: list[tuple[int, str, int]] = []
+    for code in np.nonzero(l1_mask)[0]:
+        rows.append((1, str(brands[code]), int(l1_counts[code])))
+    for iset, sup in zip(agg.iset.to_numpy(), agg.support.to_numpy()):
+        if sup < minsup:
+            continue
+        size = int(iset) >> 18
+        packed = int(iset) & ((1 << 18) - 1)
+        if size == 2:
+            items = [packed // NB, packed % NB]
+        else:
+            items = [packed // (NB * NB), (packed // NB) % NB, packed % NB]
+        rows.append((size, "|".join(str(brands[i]) for i in items), int(sup)))
+    # top k per size by (support DESC, itemset ASC)
+    out: list[tuple[int, str, int]] = []
+    for size in (1, 2, 3):
+        grp = sorted((r for r in rows if r[0] == size),
+                     key=lambda r: (-r[2], r[1]))[:k_per_size]
+        out.extend(grp)
+    return pa.table(
+        {"size": pa.array([r[0] for r in out], pa.int64()),
+         "itemset": pa.array([r[1] for r in out], pa.string()),
+         "support": pa.array([r[2] for r in out], pa.int64())}
+    )
+
+
 def parts_bought_together(sf_dir: str, k: int = 20):
     """Market-basket affinity: part pairs co-occurring in the same order,
     ranked by order count. Shape: distinct (order, part) rows bucket-shuffle
