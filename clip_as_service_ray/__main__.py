@@ -291,6 +291,14 @@ def main(argv=None) -> int:
     )
     c.add_argument("--index-root", required=True)
 
+    rp = sub.add_parser(
+        "replicate",
+        help="cross-cluster replication (ES CCR analog): converge a "
+        "follower root to a leader's segments + tombstones, incrementally",
+    )
+    rp.add_argument("--leader-root", required=True)
+    rp.add_argument("--follower-root", required=True)
+
     sn = sub.add_parser("snapshot", help="point-in-time index snapshot "
                         "(hardlinked artifacts + size manifest)")
     sn.add_argument("--index-dir", required=True)
@@ -472,6 +480,10 @@ def main(argv=None) -> int:
                 pass
             finally:
                 srv.shutdown()
+        elif args.cmd == "replicate":
+            from clip_as_service_ray.pipelines.ccr import replicate
+
+            print(json.dumps(replicate(args.leader_root, args.follower_root)))
         elif args.cmd == "snapshot":
             from clip_as_service_ray.pipelines.admin import snapshot_index
 

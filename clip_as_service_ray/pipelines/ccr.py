@@ -1,0 +1,177 @@
+"""Cross-cluster replication (the ES CCR analog): a FOLLOWER index root
+mirrors a LEADER segmented root by shipping whole segments.
+
+ES CCR replays the leader's operation log into follower shards; in this
+engine the natural replication unit is the immutable SEGMENT directory —
+every write lands as a new segment (add_segment / update_convs) or a
+segment replacement (compact_segments), and deletes are the tombstone
+file. ``replicate`` therefore:
+
+- hardlinks (or copies, cross-device) every leader segment the follower
+  does not have yet — incremental by construction, O(new data);
+- drops follower segments the leader no longer lists (compaction on the
+  leader converges the follower the same way);
+- copies ``manifest.json`` + ``tombstones.json`` verbatim LAST, so a
+  follower search never sees a manifest naming a segment that has not
+  landed (the same swap-order discipline segment writes use);
+- refuses to replicate into a root it does not manage: the follower is
+  marked by ``_CCR.json`` (leader path + sync counter). An existing
+  segmented root without that marker is an independent index — mirroring
+  would destroy it, so that's a loud error, not a merge.
+
+Followers are read-only replicas: serve them with SegmentedQueryService /
+the HTTP/WS/gRPC front doors; local writes belong on the leader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+_MARKER = "_CCR.json"
+
+
+def _copy_tree(src: str, dest: str) -> int:
+    """Hardlink-or-copy a segment directory; returns file count."""
+    n = 0
+    for root, _dirs, files in os.walk(src):
+        rel_root = os.path.relpath(root, src)
+        out_root = os.path.join(dest, rel_root) if rel_root != "." else dest
+        os.makedirs(out_root, exist_ok=True)
+        for f in files:
+            full = os.path.join(root, f)
+            out = os.path.join(out_root, f)
+            try:
+                os.link(full, out)  # immutable artifact: O(metadata)
+            except OSError:
+                shutil.copy2(full, out)
+            n += 1
+    return n
+
+
+def _seg_signature(seg_dir: str) -> bytes | None:
+    """Cheap change detector for a segment: its stats.json bytes.
+    Compaction rewrites a segment IN PLACE under the same name, and any
+    rewrite changes the doc/posting counts recorded there; an untouched
+    segment's files are bit-identical, so equal stats == nothing to ship."""
+    p = os.path.join(seg_dir, "stats.json")
+    try:
+        with open(p, "rb") as f:
+            return f.read()
+    except OSError:
+        return None
+
+
+def follower_status(follower_root: str) -> dict | None:
+    p = os.path.join(follower_root, _MARKER)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def replicate(leader_root: str, follower_root: str) -> dict:
+    """One replication round: converge ``follower_root`` to the leader's
+    current segment set + tombstones. Returns {added, removed, n_segments,
+    sync}. Idempotent; each call ships only what changed."""
+    lman_path = os.path.join(leader_root, "manifest.json")
+    if not os.path.exists(lman_path):
+        raise FileNotFoundError(f"leader has no manifest: {lman_path}")
+    with open(lman_path) as f:
+        leader_man = json.load(f)
+    leader_segs = list(leader_man.get("segments", []))
+
+    os.makedirs(follower_root, exist_ok=True)
+    status = follower_status(follower_root)
+    f_seg_dir = os.path.join(follower_root, "segments")
+    has_segments = os.path.isdir(f_seg_dir) and any(
+        os.scandir(f_seg_dir)
+    ) if os.path.isdir(f_seg_dir) else False
+    if status is None:
+        if has_segments or os.path.exists(
+            os.path.join(follower_root, "manifest.json")
+        ):
+            raise ValueError(
+                f"{follower_root!r} holds an index but no {_MARKER} marker — "
+                "refusing to mirror over an independent root (create a fresh "
+                "follower directory, or delete the old index explicitly)"
+            )
+        status = {"leader": os.path.abspath(leader_root), "syncs": 0}
+    elif os.path.abspath(leader_root) != status["leader"]:
+        raise ValueError(
+            f"follower tracks leader {status['leader']!r}; refusing to "
+            f"replicate from {os.path.abspath(leader_root)!r}"
+        )
+
+    os.makedirs(f_seg_dir, exist_ok=True)
+    have = set(os.listdir(f_seg_dir))
+    added: list[str] = []
+    for seg in leader_segs:
+        src = os.path.join(leader_root, "segments", seg)
+        dst = os.path.join(f_seg_dir, seg)
+        if seg in have and _seg_signature(src) == _seg_signature(dst):
+            continue  # unchanged segment: nothing ships
+        tmp = os.path.join(f_seg_dir, f".{seg}.tmp")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        _copy_tree(src, tmp)
+        if os.path.exists(dst):
+            # compaction rewrote this segment under the same name on the
+            # leader (stats changed) — swap the fresh copy in atomically
+            shutil.rmtree(dst)
+        os.replace(tmp, dst)  # atomic land
+        added.append(seg)
+    removed: list[str] = []
+    for seg in sorted(have):
+        if seg.startswith("."):
+            continue
+        if seg not in leader_segs:
+            shutil.rmtree(os.path.join(f_seg_dir, seg))
+            removed.append(seg)
+
+    # remaining root-level state (union stats/dictionary dirs, doc values,
+    # ...) mirrors next; manifest.json lands LAST so it only ever names
+    # artifacts that are already on disk
+    leader_entries = set(os.listdir(leader_root))
+    for name in sorted(leader_entries):
+        if name in ("segments", "manifest.json", _MARKER):
+            continue
+        src = os.path.join(leader_root, name)
+        dst = os.path.join(follower_root, name)
+        if os.path.isdir(src):
+            tmp = os.path.join(follower_root, f".{name}.tmp")
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            _copy_tree(src, tmp)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.replace(tmp, dst)
+        else:
+            tmp = dst + ".tmp"
+            shutil.copy2(src, tmp)
+            os.replace(tmp, dst)
+    for name in sorted(os.listdir(follower_root)):
+        if name in leader_entries or name in ("segments", _MARKER):
+            continue
+        if name.endswith(".tmp") or name.startswith("."):
+            continue
+        p = os.path.join(follower_root, name)
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    # manifest LAST
+    src = os.path.join(leader_root, "manifest.json")
+    tmp = os.path.join(follower_root, "manifest.json.tmp")
+    shutil.copy2(src, tmp)
+    os.replace(tmp, os.path.join(follower_root, "manifest.json"))
+
+    status["syncs"] = int(status.get("syncs", 0)) + 1
+    tmp = os.path.join(follower_root, _MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(status, f)
+    os.replace(tmp, os.path.join(follower_root, _MARKER))
+    return {
+        "added": added,
+        "removed": removed,
+        "n_segments": len(leader_segs),
+        "sync": status["syncs"],
+    }
