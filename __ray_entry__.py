@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_has_parent": ops.bm25_topk_has_parent,
         "bm25_topk_bool_prefix": ops.bm25_topk_bool_prefix,
         "frequent_itemsets": ops.frequent_itemsets,
+        "events_moving_median": ops.events_moving_median,
         # -- end round-4 additions --
         "tokenize_terms": ops.tokenize_terms,
         "term_df": ops.term_df,
@@ -1129,6 +1130,18 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, lang, score, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored) "
             "WHERE rn = 1"
+        ),
+        "events_moving_median": (
+            # ES moving_percentiles: trailing 7-day exact p25/med/p75 over
+            # daily sums rounded to 6 BEFORE the window (shared inputs)
+            "WITH daily AS (SELECT (epoch_us(ts) // 86400000000) AS day, "
+            "  round(sum(value), 6) AS sv FROM events GROUP BY 1) "
+            "SELECT day::BIGINT AS day, sv, "
+            "round(quantile_cont(sv, 0.25) OVER w, 6)::DOUBLE AS p25, "
+            "round(quantile_cont(sv, 0.5) OVER w, 6)::DOUBLE AS med, "
+            "round(quantile_cont(sv, 0.75) OVER w, 6)::DOUBLE AS p75 "
+            "FROM daily WINDOW w AS (ORDER BY day "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY day"
         ),
         "frequent_itemsets": (
             # ES frequent_item_sets / Apriori over order->brand baskets:

@@ -10218,6 +10218,56 @@ def user_above_first_count(sf_dir: str):
     return t.select(["user_id", "first_val", "n_above"])
 
 
+def events_moving_median(sf_dir: str, window: int = 7):
+    """ES ``moving_percentiles`` pipeline aggregation: exact p25/median/p75
+    over a trailing ``window``-day frame of the daily value sums. Daily
+    sums come from distributed per-batch partials and ROUND to 6 BEFORE the
+    window pass, so the engine and the SQL twin interpolate over identical
+    inputs (a raw float daily sum could differ in the last ulp between
+    summation orders); the window statistics are np.quantile
+    method='linear' == quantile_cont (the stages/rank.py equivalence)."""
+    import ray.data
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        day = e // DAY_US
+        v = batch.column("value").to_numpy()
+        u, inv = np.unique(day, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.float64)
+        np.add.at(s, inv, v)
+        return pa.table(
+            {"day": pa.array(u, pa.int64()),
+             "s": pa.array(s, pa.float64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("day", as_index=False)["s"].sum().sort_values("day")
+    days = agg["day"].to_numpy().astype(np.int64)
+    sv = np.round(agg["s"].to_numpy(), 6)  # shared inputs with the twin
+    med = np.empty(len(sv))
+    p25 = np.empty(len(sv))
+    p75 = np.empty(len(sv))
+    for i in range(len(sv)):
+        w = sv[max(0, i - (window - 1)) : i + 1]
+        p25[i], med[i], p75[i] = np.quantile(w, [0.25, 0.5, 0.75],
+                                             method="linear")
+    return pa.table(
+        {"day": pa.array(days, pa.int64()),
+         "sv": pa.array(sv, pa.float64()),
+         "p25": pa.array(np.round(p25, 6), pa.float64()),
+         "med": pa.array(np.round(med, 6), pa.float64()),
+         "p75": pa.array(np.round(p75, 6), pa.float64())}
+    )
+
+
 def events_moving_avg(sf_dir: str, window: int = 3):
     """ES ``moving_fn`` / moving-average pipeline aggregation over a daily
     date_histogram: per-day counts from distributed per-batch partials
