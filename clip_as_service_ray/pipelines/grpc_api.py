@@ -112,6 +112,7 @@ def _build_messages():
     msg("HealthResponse",
         ("status", S, False, None), ("n_docs", I64, False, None))
     msg("ProfileResponse", ("json", S, False, None))
+    msg("TraceRequest", ("request_id", S, False, None))
 
     pool = descriptor_pool.DescriptorPool()
     pool.Add(fdp)
@@ -213,6 +214,12 @@ class GrpcSearchServer:
 
         self.service = QueryService(index_dir, config, synonyms=synonyms)
         self.metrics = Metrics()
+        # per-request trace context over gRPC: x-request-id metadata in/out
+        # + the Trace method (the OTel-span analog the HTTP server exposes
+        # as GET /trace/<id>)
+        from clip_as_service_ray.pipelines.tracing import TraceStore
+
+        self.traces = TraceStore()
         self._stats = mf.read_json(os.path.join(index_dir, "stats.json"))
         self._token = auth_token
         self._ssl_ctx = None
@@ -328,10 +335,14 @@ class GrpcSearchServer:
                 pass
 
     def _send_response(self, conn, send_lock, enc, sid, msg_bytes: bytes,
-                       status: int, message: str, swin, cwin) -> None:
-        head = enc.encode([
+                       status: int, message: str, swin, cwin,
+                       request_id: str | None = None) -> None:
+        head_fields = [
             (":status", "200"), ("content-type", "application/grpc+proto"),
-        ])
+        ]
+        if request_id:
+            head_fields.append(("x-request-id", request_id))
+        head = enc.encode(head_fields)
         trailers = enc.encode([
             ("grpc-status", str(status)), ("grpc-message", message),
         ])
@@ -355,9 +366,12 @@ class GrpcSearchServer:
         path = headers.get(":path", "")
         method = path.rsplit("/", 1)[-1] if path.startswith(f"/{_SERVICE}/") else None
 
+        rid_holder: list = [None]
+
         def reply(msg_bytes, status=GRPC_OK, message=""):
             self._send_response(conn, send_lock, enc, sid, msg_bytes,
-                                status, message, swin, cwin)
+                                status, message, swin, cwin,
+                                request_id=rid_holder[0])
 
         if method is None:
             reply(b"", GRPC_UNIMPLEMENTED, f"unknown service path {path}")
@@ -378,18 +392,37 @@ class GrpcSearchServer:
                 out = M["ProfileResponse"](
                     json=json.dumps(self.service.profile())
                 ).SerializeToString()
+            elif method == "Trace":
+                req = M["TraceRequest"].FromString(body)
+                tr = self.traces.get(req.request_id)
+                if tr is None:
+                    reply(b"", 5, "unknown request id")  # NOT_FOUND
+                    return
+                out = M["ProfileResponse"](json=json.dumps(tr)).SerializeToString()
             elif method == "Search":
-                req = M["SearchRequest"].FromString(body)
-                payload = _expand_request_synonyms(
-                    _queries_payload(req), self._stats.get("analyzer")
+                from clip_as_service_ray.pipelines.tracing import (
+                    SpanTimer,
+                    new_request_id,
                 )
+
+                rid_holder[0] = headers.get("x-request-id") or new_request_id()
+                timer = SpanTimer()
+                req = M["SearchRequest"].FromString(body)
                 t0 = time.time()
-                hits = self.service.search(_queries_table(payload))
+                with timer.span("parse"):
+                    payload = _expand_request_synonyms(
+                        _queries_payload(req), self._stats.get("analyzer")
+                    )
+                    qt = _queries_table(payload)
+                with timer.span("score"):
+                    hits = self.service.search(qt)
                 self.metrics.observe("search_latency", time.time() - t0)
                 self.metrics.inc("search_requests_total")
                 self.metrics.inc("search_queries_total", len(req.queries))
                 self.metrics.inc("search_hits_total", hits.num_rows)
-                out = _hits_to_proto(hits, M)
+                with timer.span("serialize"):
+                    out = _hits_to_proto(hits, M)
+                self.traces.record(rid_holder[0], "Search", timer.finish())
             elif method == "Encode":
                 req = M["SearchRequest"].FromString(body)
                 flat = self.service.encode(_queries_table(_queries_payload(req)))
@@ -504,7 +537,8 @@ class GrpcSearchClient:
         self._peer_initial = h2.DEFAULT_WINDOW
         self._settings_acked = False
 
-    def _call(self, method: str, msg_bytes: bytes) -> bytes:
+    def _call(self, method: str, msg_bytes: bytes,
+              extra_headers: list[tuple[str, str]] | None = None) -> bytes:
         with self._lock:
             sid = self._next_stream
             self._next_stream += 2
@@ -517,6 +551,8 @@ class GrpcSearchClient:
             ]
             if self._auth:
                 headers.append(("authorization", self._auth))
+            for kv in extra_headers or []:
+                headers.append(kv)
             frames = h2.pack_frame(
                 h2.HEADERS, h2.FLAG_END_HEADERS, sid, self._enc.encode(headers)
             )
@@ -573,6 +609,8 @@ class GrpcSearchClient:
                         break
                 elif ftype == h2.RST_STREAM:
                     raise ConnectionError("stream reset by server")
+            # trace-context echo: the server's request id for this call
+            self.last_request_id = resp_headers.get("x-request-id")
             status = int(resp_headers.get("grpc-status", GRPC_UNKNOWN))
             if status != GRPC_OK:
                 raise GrpcError(status, resp_headers.get("grpc-message", ""))
@@ -594,17 +632,25 @@ class GrpcSearchClient:
         return req
 
     def search(self, queries: list[dict], *, batch_size: int | None = None,
-               on_done=None, on_error=None, on_always=None) -> list[dict] | None:
+               on_done=None, on_error=None, on_always=None,
+               request_id: str | None = None) -> list[dict] | None:
         """Per-batch ``on_done``/``on_error``/``on_always`` follow the
         reference streaming contract (client.py:233-252); with a callback
-        set the call returns None and the callbacks own the results."""
+        set the call returns None and the callbacks own the results.
+        ``request_id`` propagates as x-request-id trace metadata (the
+        server echoes it and records span timings under it; see
+        ``trace``); ``self.last_request_id`` carries the server-assigned
+        id after any call."""
         from clip_as_service_ray.pipelines.callbacks import stream_batches
 
         M = messages()
+        extra = [("x-request-id", request_id)] if request_id else None
 
         def call(batch: list[dict]) -> list[dict]:
             out = M["SearchResponse"].FromString(
-                self._call("Search", self._queries_msg(batch).SerializeToString())
+                self._call("Search",
+                           self._queries_msg(batch).SerializeToString(),
+                           extra_headers=extra)
             )
             return [
                 {"query_id": h.query_id, "rank": h.rank, "conv_id": h.conv_id,
@@ -676,6 +722,16 @@ class GrpcSearchClient:
     def profile(self) -> dict:
         M = messages()
         out = M["ProfileResponse"].FromString(self._call("Profile", b""))
+        return json.loads(out.json)
+
+    def trace(self, request_id: str) -> dict:
+        """Stage timings of a past request by id (the GET /trace/<id>
+        analog); raises GrpcError status 5 for an unknown id."""
+        M = messages()
+        req = M["TraceRequest"](request_id=request_id)
+        out = M["ProfileResponse"].FromString(
+            self._call("Trace", req.SerializeToString())
+        )
         return json.loads(out.json)
 
     def close(self) -> None:

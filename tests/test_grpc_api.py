@@ -165,6 +165,29 @@ def test_large_response_multi_frame(grpc_server):
     assert qids == set(range(40))
 
 
+def test_trace_context_over_grpc(grpc_server):
+    """x-request-id metadata in/out + the Trace method: a search's stage
+    timings are retrievable by request id (the OTel-span analog)."""
+    srv, cli = grpc_server
+    cli.search([{"query_id": 0, "text": "merge window", "limit": 3}])
+    rid = cli.last_request_id
+    assert rid
+    tr = cli.trace(rid)
+    assert tr["request_id"] == rid and tr["endpoint"] == "Search"
+    names = [s["name"] for s in tr["spans"]]
+    assert names == ["parse", "score", "serialize", "total"]
+
+    # client-supplied id wins (trace-context propagation)
+    cli.search([{"query_id": 0, "text": "index", "limit": 2}],
+               request_id="grpc-trace-01")
+    assert cli.last_request_id == "grpc-trace-01"
+    assert cli.trace("grpc-trace-01")["request_id"] == "grpc-trace-01"
+
+    with pytest.raises(GrpcError) as ei:
+        cli.trace("nope")
+    assert ei.value.status == 5  # NOT_FOUND
+
+
 def test_unknown_method_is_unimplemented(grpc_server):
     srv, _cli = grpc_server
     cli = GrpcSearchClient(srv.url)
