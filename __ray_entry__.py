@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_bool_prefix": ops.bm25_topk_bool_prefix,
         "frequent_itemsets": ops.frequent_itemsets,
         "events_moving_median": ops.events_moving_median,
+        "part_copurchase_bfs": ops.part_copurchase_bfs,
         # -- end round-4 additions --
         "tokenize_terms": ops.tokenize_terms,
         "term_df": ops.term_df,
@@ -1130,6 +1131,22 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, lang, score, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored) "
             "WHERE rn = 1"
+        ),
+        "part_copurchase_bfs": (
+            # multi-hop BFS over the co-purchase graph (recursive CTE):
+            # distances from the smallest edge endpoint, capped at 3 hops
+            "WITH RECURSIVE ob AS (SELECT DISTINCT l_orderkey AS ok, "
+            "  l_partkey AS p FROM lineitem), "
+            "e AS (SELECT a.p AS src, b.p AS dst FROM ob a "
+            "  JOIN ob b ON a.ok = b.ok AND a.p <> b.p), "
+            "seed AS (SELECT min(src) AS s FROM e), "
+            "bfs(node, dist) AS ("
+            "  SELECT s, 0 FROM seed "
+            "  UNION "
+            "  SELECT e.dst, bfs.dist + 1 FROM bfs JOIN e ON e.src = bfs.node "
+            "  WHERE bfs.dist < 3) "
+            "SELECT node::BIGINT AS partkey, min(dist)::BIGINT AS dist "
+            "FROM bfs GROUP BY node ORDER BY partkey"
         ),
         "events_moving_median": (
             # ES moving_percentiles: trailing 7-day exact p25/med/p75 over

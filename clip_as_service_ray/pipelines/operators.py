@@ -6421,6 +6421,99 @@ def duplicate_passages(sf_dir: str, n: int = 8, min_docs: int = 2, k: int = 20):
     )
 
 
+def part_copurchase_bfs(sf_dir: str, max_hops: int = 3):
+    """Multi-hop graph traversal (shortest paths / BFS — the recursive-CTE
+    workload) over the co-purchase graph: parts are adjacent when they
+    share an order; distances from the smallest partkey, capped at
+    ``max_hops``. Distributed shape: the edge list materializes ONCE via
+    the same orderkey-bucket expansion as parts_bought_together (both
+    directions); each hop is one broadcast-frontier pass over the edge
+    Dataset (``pc.is_in`` on src, project dst) — the frontier/visited sets
+    are node-dimension-bounded (parts ≪ lineitems), which is the standard
+    BFS-on-Pregel memory assumption. SQL twin: WITH RECURSIVE + min(dist)."""
+    import ray
+    import ray.data
+
+    SHIFT = 1 << 20
+    num_buckets = 64
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        o = t.column("l_orderkey").to_numpy().astype(np.int64)
+        p = t.column("l_partkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {"_bucket": pa.array((o % num_buckets), pa.int64()),
+             "op": pa.array(o * SHIFT + p, pa.int64())}
+        )
+
+    def edges_of(group: pa.Table) -> pa.Table:
+        op = np.unique(group.column("op").to_numpy())
+        okey = op // SHIFT
+        part = op - okey * SHIFT
+        n = len(op)
+        if n == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        seg_start = np.concatenate([[0], np.nonzero(np.diff(okey))[0] + 1])
+        seg_end = np.concatenate([seg_start[1:], [n]])
+        seg_of = np.repeat(np.arange(len(seg_start)), seg_end - seg_start)
+        partners = seg_end[seg_of] - np.arange(n) - 1
+        total = int(partners.sum())
+        a_idx = np.repeat(np.arange(n), partners)
+        csum = np.concatenate([[0], np.cumsum(partners)])
+        off = np.arange(total) - np.repeat(csum[:-1], partners) + 1
+        b_idx = a_idx + off
+        # both directions, deduped per bucket
+        key = np.unique(np.concatenate(
+            [part[a_idx] * SHIFT + part[b_idx],
+             part[b_idx] * SHIFT + part[a_idx]]
+        ))
+        return pa.table(
+            {"src": pa.array(key // SHIFT, pa.int64()),
+             "dst": pa.array(key % SHIFT, pa.int64())}
+        )
+
+    edges = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        )
+        .map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=_nparts(sf_dir))
+        .map_groups(edges_of, batch_format="pyarrow")
+        .materialize()  # traversed once per hop
+    )
+    seed = int(edges.min("src"))
+    dist: dict[int, int] = {seed: 0}
+    frontier = np.array([seed], dtype=np.int64)
+    for hop in range(1, max_hops + 1):
+        fr_ref = ray.put(pa.array(frontier, pa.int64()))
+
+        def step(batch: pa.Table) -> pa.Table:
+            fr = ray.get(fr_ref)
+            hit = batch.filter(pc.is_in(batch.column("src"), value_set=fr))
+            d = np.unique(hit.column("dst").to_numpy())
+            return pa.table({"dst": pa.array(d, pa.int64())})
+
+        reached = np.unique(
+            pa.Table.from_pandas(
+                edges.map_batches(step, batch_format="pyarrow").to_pandas(),
+                preserve_index=False,
+            ).column("dst").to_numpy()
+        )
+        new = np.array([d for d in reached if d not in dist], dtype=np.int64)
+        if not len(new):
+            break
+        for d in new:
+            dist[int(d)] = hop
+        frontier = new
+    nodes = np.array(sorted(dist), dtype=np.int64)
+    return pa.table(
+        {"partkey": pa.array(nodes, pa.int64()),
+         "dist": pa.array([dist[int(n)] for n in nodes], pa.int64())}
+    )
+
+
 def frequent_itemsets(
     sf_dir: str, min_support_frac: float = 0.002, k_per_size: int = 15,
 ):
