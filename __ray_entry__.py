@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_itemsets": ops.frequent_itemsets,
         "events_moving_median": ops.events_moving_median,
         "part_copurchase_bfs": ops.part_copurchase_bfs,
+        "ltr_feature_log": ops.ltr_feature_log,
         # -- end round-4 additions --
         "tokenize_terms": ops.tokenize_terms,
         "term_df": ops.term_df,
@@ -1131,6 +1132,31 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, lang, score, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored) "
             "WHERE rn = 1"
+        ),
+        "ltr_feature_log": (
+            # LTR feature extraction for the engine's top-20 candidates:
+            # bm25 / matched-term count / dl / total query tf / idf mass
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            "top AS (SELECT doc_id, score FROM scores "
+            "        ORDER BY score DESC, doc_id LIMIT 20), "
+            "feat AS (SELECT tf.doc_id, count(*)::BIGINT AS matched_terms, "
+            "  sum(tf.tf)::BIGINT AS sum_tf, "
+            "  round(sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))), 6)::DOUBLE AS sum_idf "
+            "  FROM tf JOIN df USING (term) CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT top.doc_id, round(top.score, 6)::DOUBLE AS bm25, "
+            "feat.matched_terms, dl.dl::BIGINT AS dl, feat.sum_tf, feat.sum_idf "
+            "FROM top JOIN feat USING (doc_id) JOIN dl USING (doc_id) "
+            "ORDER BY top.doc_id"
         ),
         "part_copurchase_bfs": (
             # multi-hop BFS over the co-purchase graph (recursive CTE):

@@ -231,6 +231,103 @@ def bm25_topk(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10):
     )
 
 
+def ltr_feature_log(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 20):
+    """Learning-to-rank feature logging (the ES LTR plugin's
+    feature-extraction contract): for the query's top-``limit`` candidates
+    (ranked by the REAL engine), emit the per-document feature vector a
+    ranker trains on — bm25 score, matched-term count, doc length, total
+    query-term tf, and the idf mass of the matched terms. Candidate
+    selection goes through the engine (same index artifact as bm25_topk);
+    the tf/dl features come from ONE vectorized corpus pass filtered to
+    the broadcast candidate set; idf needs only the term df aggregate.
+    The SQL twin recomputes every feature from the same BM25 chain."""
+    from ray.data.aggregate import Sum
+
+    hits = bm25_topk(sf_dir, terms=terms, limit=limit)
+    cand = hits.column("doc_id").to_numpy().astype(np.int64)
+    cand_set = pa.array(np.sort(cand), pa.int64())
+    score_of = dict(zip(cand.tolist(),
+                        hits.column("score").to_numpy().tolist()))
+
+    # global stats for idf: n_docs (with >= 1 token) and per-term df
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        n_docs = int((lens > 0).sum())
+        # per-term distinct-doc counts for the query terms only
+        tk = np.asarray(tokens.to_pylist(), dtype=object) if len(tokens) else np.array([], object)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        out_t, out_df = [], []
+        for t in terms:
+            m = tk == t
+            out_t.append(t)
+            out_df.append(int(len(np.unique(doc_of[m]))))
+        return pa.table(
+            {"term": pa.array(out_t + ["\x00n"], pa.string()),
+             "n_part": pa.array(out_df + [n_docs], pa.int64())}
+        )
+
+    s_agg = (
+        _documents(sf_dir)
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("term", num_partitions=2)
+        .aggregate(Sum("n_part", alias_name="n"))
+        .to_pandas()
+    )
+    n_docs = float(s_agg[s_agg.term == "\x00n"].n.iloc[0])
+    df_of = dict(zip(s_agg.term, s_agg.n.astype(float)))
+
+    def feats(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("doc_id"), value_set=cand_set)
+        sub = batch.filter(mask)
+        if sub.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "dl": pa.array([], pa.int64()),
+                 "sum_tf": pa.array([], pa.int64()),
+                 "matched_terms": pa.array([], pa.int64()),
+                 "sum_idf": pa.array([], pa.float64())}
+            )
+        tokens, lens = tokenize_column_flat(sub.column("text"))
+        tk = np.asarray(tokens.to_pylist(), dtype=object) if len(tokens) else np.array([], object)
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        sum_tf = np.zeros(len(lens), dtype=np.int64)
+        matched = np.zeros(len(lens), dtype=np.int64)
+        sum_idf = np.zeros(len(lens), dtype=np.float64)
+        for t in sorted(terms):
+            m = tk == t
+            tf_t = np.bincount(doc_of[m], minlength=len(lens))
+            sum_tf += tf_t
+            has = tf_t > 0
+            matched += has
+            idf_t = np.log(1.0 + (n_docs - df_of[t] + 0.5) / (df_of[t] + 0.5))
+            sum_idf += np.where(has, idf_t, 0.0)
+        return pa.table(
+            {"doc_id": sub.column("doc_id"),
+             "dl": pa.array(lens.astype(np.int64), pa.int64()),
+             "sum_tf": pa.array(sum_tf, pa.int64()),
+             "matched_terms": pa.array(matched, pa.int64()),
+             "sum_idf": pa.array(np.round(sum_idf, 6), pa.float64())}
+        )
+
+    ft = (
+        _documents(sf_dir)
+        .map_batches(feats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ft = ft[ft.doc_id.isin(set(cand.tolist()))].sort_values("doc_id")
+    return pa.table(
+        {"doc_id": pa.array(ft.doc_id.to_numpy().astype(np.int64), pa.int64()),
+         "bm25": pa.array(
+             [score_of[int(d)] for d in ft.doc_id], pa.float64()
+         ),
+         "matched_terms": pa.array(
+             ft.matched_terms.to_numpy().astype(np.int64), pa.int64()),
+         "dl": pa.array(ft.dl.to_numpy().astype(np.int64), pa.int64()),
+         "sum_tf": pa.array(ft.sum_tf.to_numpy().astype(np.int64), pa.int64()),
+         "sum_idf": pa.array(ft.sum_idf.to_numpy(), pa.float64())}
+    )
+
+
 def similarity_topk(
     sf_dir: str, similarity: str, sim_param: float | None = None,
     terms=BM25_QUERY_TERMS, limit: int = 10,
