@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving_median": ops.events_moving_median,
         "part_copurchase_bfs": ops.part_copurchase_bfs,
         "ltr_feature_log": ops.ltr_feature_log,
+        "bm25_topk_collapse_inner": ops.bm25_topk_collapse_inner,
         # -- end round-4 additions --
         "tokenize_terms": ops.tokenize_terms,
         "term_df": ops.term_df,
@@ -1132,6 +1133,33 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, lang, score, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored) "
             "WHERE rn = 1"
+        ),
+        "bm25_topk_collapse_inner": (
+            # ES collapse + inner_hits: top-10 groups by their best doc,
+            # top-2 matching docs per group, each with its own score
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term IN ('merge', 'window') GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id), "
+            "grp AS (SELECT doc_id, doc_id // 10 AS gid, score FROM scores), "
+            "winners AS (SELECT gid, doc_id AS wdoc, score AS wscore FROM ("
+            "  SELECT gid, doc_id, score, row_number() OVER (PARTITION BY gid "
+            "  ORDER BY score DESC, doc_id) AS rn FROM grp) WHERE rn = 1), "
+            "topg AS (SELECT gid FROM winners "
+            "  ORDER BY wscore DESC, wdoc ASC LIMIT 10), "
+            "inn AS (SELECT g.gid, g.doc_id, g.score, row_number() OVER ("
+            "  PARTITION BY g.gid ORDER BY g.score DESC, g.doc_id) AS rn "
+            "  FROM grp g JOIN topg USING (gid)) "
+            "SELECT gid::BIGINT AS group_id, doc_id, "
+            "round(score, 6)::DOUBLE AS score, (rn - 1)::BIGINT AS inner_rank "
+            "FROM inn WHERE rn <= 2"
         ),
         "ltr_feature_log": (
             # LTR feature extraction for the engine's top-20 candidates:

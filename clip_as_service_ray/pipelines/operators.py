@@ -7462,6 +7462,42 @@ def bm25_topk_msm(
     )
 
 
+def bm25_topk_collapse_inner(
+    sf_dir: str, terms=BM25_QUERY_TERMS, group: int = 10,
+    limit: int = 10, inner_n: int = 2,
+):
+    """ES ``collapse`` WITH ``inner_hits``: the top-``limit`` groups (by
+    their best doc, exactly the collapsed ranking) each return their top
+    ``inner_n`` matching docs, every doc carrying its OWN score. Engine:
+    IndexReader.collapse_inner_hits — per-chunk state is inner_n rows per
+    group (distributive), group-major output (the ES inner_hits layout)."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.stages.query import IndexReader
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir) + f"_grp{group}"
+    build_index(_docs_as_grouped_transcripts(sf_dir, group), index_dir, cfg)
+    reader = IndexReader(index_dir)
+    docs, scores, grp = reader.collapse_inner_hits(
+        " ".join(terms), limit, inner_n=inner_n
+    )
+    # inner rank: position within each group run (group-major output)
+    if len(grp):
+        first = np.concatenate([[0], np.nonzero(np.diff(grp))[0] + 1])
+        seg_of = np.repeat(
+            np.arange(len(first)), np.diff(np.concatenate([first, [len(grp)]]))
+        )
+        inner_rank = np.arange(len(grp)) - first[seg_of]
+    else:
+        inner_rank = np.array([], dtype=np.int64)
+    return pa.table(
+        {"group_id": pa.array(grp, pa.int64()),
+         "doc_id": pa.array(docs, pa.int64()),
+         "score": pa.array(np.round(scores, 6), pa.float64()),
+         "inner_rank": pa.array(inner_rank.astype(np.int64), pa.int64())}
+    )
+
+
 def bm25_topk_collapsed(
     sf_dir: str, terms=BM25_QUERY_TERMS, group: int = 10, limit: int = 10
 ):

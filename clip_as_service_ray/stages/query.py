@@ -1064,6 +1064,109 @@ class IndexReader:
         top = bm25.topk_indices(s[win], d[win], limit)
         return d[win][top], s[win][top]
 
+    def collapse_inner_hits(
+        self, text: str, limit: int, inner_n: int = 2,
+        exclude_text: str = "", doc_range=None,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """ES ``collapse`` with ``inner_hits``: the top-``limit`` GROUPS
+        (ranked by their best doc, exactly like ``score_query_collapse``)
+        each return their top-``inner_n`` matching docs, GROUP-MAJOR
+        (groups in rank order; within a group score DESC, doc ASC — the ES
+        inner_hits layout, deliberately not globally score-sorted).
+        Returns (docs, scores, group_ids); each doc carries its OWN score,
+        bit-identical to ``score_query`` for that doc.
+
+        Scale note: per-chunk state is top-``inner_n`` rows per group
+        (distributive, same argument as the winner-only collapse), so a
+        group spanning chunks merges exactly."""
+        terms = self._expand_synonyms(sorted(set(self._qtokens(text))))
+        present = [(t, 1.0) for t in terms if t in self._term_blocks]
+        empty3 = (np.array([], dtype=np.int64), np.array([], dtype=np.float64),
+                  np.array([], dtype=np.int64))
+        if not present:
+            return empty3
+        excl = self.excluded_docs(exclude_text) if exclude_text else None
+        excl = excl if excl is not None and len(excl) else None
+        n_slots = self._max_doc_id + 1
+        chunk = min(n_slots, self.dense_chunk_docs)
+        if self._score_buf is None or len(self._score_buf) != chunk:
+            self._score_buf = np.zeros(chunk, dtype=np.float64)
+            self._match_buf = np.zeros(chunk, dtype=bool)
+        scores, matched = self._score_buf, self._match_buf
+        one_chunk = chunk >= n_slots
+        a_group: list[np.ndarray] = []
+        a_docs: list[np.ndarray] = []
+        a_scores: list[np.ndarray] = []
+        for c0 in range(0, n_slots, chunk):
+            c1 = min(c0 + chunk, n_slots)
+            for t, _w in present:
+                if one_chunk:
+                    docs_t, scores_t = self.term_docs_scores(t)
+                    rel = docs_t
+                else:
+                    docs_t, scores_t = self.term_postings_in_range(t, c0, c1)
+                    if not len(docs_t):
+                        continue
+                    rel = docs_t - c0
+                scores[rel] += scores_t
+                matched[rel] = True
+            cand = np.nonzero(matched[: c1 - c0])[0]
+            if len(cand):
+                sel = cand
+                if doc_range is not None:
+                    sel = self._clip_to_range(sel + c0, doc_range) - c0
+                if excl is not None and len(sel):
+                    sel = self._drop_excluded(sel + c0, excl) - c0
+                if len(sel):
+                    docs_abs = (sel + c0).astype(np.int64)
+                    s_sel = scores[sel]
+                    g = np.searchsorted(self._bases, docs_abs, side="right") - 1
+                    order = np.lexsort((docs_abs, -s_sel, g))
+                    gs = g[order]
+                    first = np.concatenate(
+                        [[0], np.nonzero(np.diff(gs))[0] + 1]
+                    )
+                    # keep the first inner_n rows of each group run
+                    seg_of = np.repeat(
+                        np.arange(len(first)),
+                        np.diff(np.concatenate([first, [len(order)]])),
+                    )
+                    pos_in_seg = np.arange(len(order)) - first[seg_of]
+                    keep = order[pos_in_seg < inner_n]
+                    a_group.append(g[keep])
+                    a_docs.append(docs_abs[keep])
+                    a_scores.append(s_sel[keep].copy())
+                scores[cand] = 0.0
+                matched[cand] = False
+        if not a_docs:
+            return empty3
+        g = np.concatenate(a_group)
+        d = np.concatenate(a_docs)
+        s = np.concatenate(a_scores)
+        order = np.lexsort((d, -s, g))
+        g, d, s = g[order], d[order], s[order]
+        first = np.concatenate([[0], np.nonzero(np.diff(g))[0] + 1])
+        seg_of = np.repeat(
+            np.arange(len(first)), np.diff(np.concatenate([first, [len(g)]]))
+        )
+        pos_in_seg = np.arange(len(g)) - first[seg_of]
+        keep = pos_in_seg < inner_n
+        g, d, s = g[keep], d[keep], s[keep]
+        # rank groups by their best (first) row: score DESC, doc ASC
+        first = np.concatenate([[0], np.nonzero(np.diff(g))[0] + 1])
+        top = bm25.topk_indices(s[first], d[first], limit)
+        out_d: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        out_g: list[np.ndarray] = []
+        ends = np.concatenate([first[1:], [len(g)]])
+        for i in top:
+            sl = slice(first[i], ends[i])
+            out_d.append(d[sl])
+            out_s.append(s[sl])
+            out_g.append(g[sl])
+        return (np.concatenate(out_d), np.concatenate(out_s),
+                np.concatenate(out_g))
+
     def score_query_blockjoin(
         self, text: str, limit: int, mode: str = "sum",
         exclude_text: str = "", doc_range=None,

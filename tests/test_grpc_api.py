@@ -71,6 +71,34 @@ def test_frame_and_grpc_frame_roundtrip():
         grpc_unframe(b"\x01" + struct.pack(">I", 0))  # compressed flag
 
 
+def test_hpack_malformed_inputs_fail_loudly():
+    dec = h2.HpackDecoder()
+    with pytest.raises(ValueError):  # index 0 is a protocol error
+        dec.decode(bytes([0x80]))
+    with pytest.raises(ValueError):  # index past both tables
+        dec.decode(bytes([0x80 | 0x7F, 0x7F]))
+    with pytest.raises((IndexError, ValueError)):  # truncated literal
+        dec.decode(bytes([0x00, 0x05, 0x61]))
+    # dynamic-table size update evicts entries
+    d2 = h2.HpackDecoder()
+    frag = bytearray([0x40])
+    for s in ("x-key", "val"):
+        frag += bytes([len(s)]) + s.encode()
+    d2.decode(bytes(frag))
+    assert len(d2.dynamic) == 1
+    d2.decode(bytes([0x20]))  # size update -> 0: evict all
+    assert len(d2.dynamic) == 0
+
+
+def test_send_window_guard():
+    w = h2.SendWindow(100)
+    w.take(60)
+    w.grant(10)
+    with pytest.raises(ConnectionError, match="window exhausted"):
+        w.take(51)
+    w.take(50)  # exactly the remaining credit
+
+
 def test_data_chunking_obeys_max_frame():
     frames = h2.chunk_data_frames(1, b"z" * (h2.MAX_FRAME * 2 + 100), end_stream=True)
     assert len(frames) == 3
