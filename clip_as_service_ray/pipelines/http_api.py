@@ -735,6 +735,11 @@ class SegmentedSearchHTTPServer:
         self.index_root = index_root
         self.config = config
         self.metrics = Metrics()
+        # per-request trace context (same surface as SearchHTTPServer):
+        # X-Request-Id in/out on /search + GET /trace/<id>
+        from clip_as_service_ray.pipelines.tracing import TraceStore
+
+        self.traces = TraceStore()
         # positions: /index also builds the segment's positional artifact so
         # /phrase sees new docs immediately (skipped when serving BM25 only)
         self.positions = positions
@@ -789,11 +794,14 @@ class SegmentedSearchHTTPServer:
             def log_message(self, *a):  # quiet
                 pass
 
-            def _send(self, code: int, obj: dict) -> None:
+            def _send(self, code: int, obj: dict,
+                      extra_headers: dict | None = None) -> None:
                 body = json.dumps(obj).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (extra_headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -814,6 +822,12 @@ class SegmentedSearchHTTPServer:
                 elif not _auth_ok(self, token):
                     outer.metrics.inc("auth_failures_total")
                     self._send(401, {"error": "unauthorized"})
+                elif self.path.startswith("/trace/"):
+                    tr = outer.traces.get(self.path[len("/trace/"):])
+                    if tr is None:
+                        self._send(404, {"error": "unknown request id"})
+                    else:
+                        self._send(200, tr)
                 elif self.path == "/metrics":
                     svc = outer._svc
                     gauges = {
@@ -977,15 +991,29 @@ class SegmentedSearchHTTPServer:
                                 503, {"error": "index empty or write in progress"}
                             )
                             return
+                        from clip_as_service_ray.pipelines.tracing import (
+                            SpanTimer,
+                            new_request_id,
+                        )
+
+                        rid = (self.headers.get("X-Request-Id")
+                               or new_request_id())
+                        timer = SpanTimer()
                         t0 = time.time()
-                        hits = svc.search(_queries_table(payload))
+                        with timer.span("parse"):
+                            qt = _queries_table(payload)
+                        with timer.span("score"):
+                            hits = svc.search(qt)
                         metrics.observe("search_latency", time.time() - t0)
                         metrics.inc("search_requests_total")
                         metrics.inc(
                             "search_queries_total", len(payload.get("queries", []))
                         )
                         metrics.inc("search_hits_total", hits.num_rows)
-                        self._send(200, {"hits": hits.to_pylist()})
+                        with timer.span("serialize"):
+                            body = {"hits": hits.to_pylist()}
+                        outer.traces.record(rid, "/search", timer.finish())
+                        self._send(200, body, {"X-Request-Id": rid})
                     elif self.path in ("/suggest", "/complete"):
                         svc = outer._svc  # read once: a write may swap it
                         if svc is None:

@@ -89,3 +89,37 @@ def test_search_trace_retrievable_by_request_id(ray_session, tmp_path):
             urllib.request.urlopen(srv.url + "/trace/nope", timeout=10)
     finally:
         srv.shutdown()
+
+
+def test_segmented_server_trace(ray_session, tmp_path):
+    """Same trace surface on the lifecycle (segmented) server."""
+    from clip_as_service_ray.pipelines.http_api import SegmentedSearchHTTPServer
+
+    srv = SegmentedSearchHTTPServer(str(tmp_path / "segroot"), CFG)
+    try:
+        req = urllib.request.Request(
+            srv.url + "/index",
+            data=json.dumps({"turns": [
+                {"conv_id": "convw", "turn_idx": 0, "role": "user",
+                 "text": "merge the stream window"}]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert json.loads(r.read())["n_docs"] == 1
+        req = urllib.request.Request(
+            srv.url + "/search",
+            data=json.dumps({"queries": [
+                {"query_id": 0, "text": "merge window", "limit": 3}]}).encode(),
+            headers={"Content-Type": "application/json",
+                     "X-Request-Id": "seg-trace-01"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["X-Request-Id"] == "seg-trace-01"
+            assert json.loads(r.read())["hits"]
+        with urllib.request.urlopen(srv.url + "/trace/seg-trace-01",
+                                    timeout=10) as r:
+            tr = json.loads(r.read())
+        assert [s["name"] for s in tr["spans"]] == [
+            "parse", "score", "serialize", "total"]
+    finally:
+        srv.shutdown()
