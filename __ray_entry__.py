@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase_bfs": ops.part_copurchase_bfs,
         "ltr_feature_log": ops.ltr_feature_log,
         "bm25_topk_collapse_inner": ops.bm25_topk_collapse_inner,
+        "eql_sequence_pairs": ops.eql_sequence_pairs,
         # -- end round-4 additions --
         "tokenize_terms": ops.tokenize_terms,
         "term_df": ops.term_df,
@@ -1133,6 +1134,22 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, lang, score, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored) "
             "WHERE rn = 1"
+        ),
+        "eql_sequence_pairs": (
+            # EQL sequence by user_id with maxspan=4h: earliest click with
+            # a purchase strictly after it within the span, plus that
+            # purchase's earliest ts — all-integer microsecond arithmetic
+            "WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events "
+            "           WHERE event_type = 'click'), "
+            "p AS (SELECT user_id, epoch_us(ts) AS t FROM events "
+            "      WHERE event_type = 'purchase'), "
+            "q AS (SELECT c.user_id, c.t AS t1, min(p.t) AS t2 "
+            "  FROM c JOIN p ON p.user_id = c.user_id AND p.t > c.t "
+            "  AND p.t <= c.t + 14400000000 GROUP BY c.user_id, c.t), "
+            "f AS (SELECT user_id, min(t1) AS t1 FROM q GROUP BY user_id) "
+            "SELECT f.user_id, f.t1::BIGINT AS t1, q.t2::BIGINT AS t2 "
+            "FROM f JOIN q ON q.user_id = f.user_id AND q.t1 = f.t1 "
+            "ORDER BY f.user_id"
         ),
         "bm25_topk_collapse_inner": (
             # ES collapse + inner_hits: top-10 groups by their best doc,

@@ -5643,6 +5643,95 @@ def search_snippets(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 10,
     )
 
 
+def eql_sequence_pairs(
+    sf_dir: str, first: str = "click", then: str = "purchase",
+    maxspan_s: int = 14_400,
+):
+    """EQL ``sequence by user_id with maxspan`` (the Elastic Event Query
+    Language join): per user, the EARLIEST ``first`` event that is
+    followed by a ``then`` event within ``maxspan``, and that follower's
+    earliest timestamp. All-integer microsecond arithmetic (no float
+    boundary). Same distributed shape as funnel_counts: predicate-pushed
+    read of just the two event types, user-bucket shuffle (a user's
+    history lands in one group), then one vectorized composite-key
+    searchsorted per bucket — no per-user Python."""
+    import ray.data
+
+    from clip_as_service_ray.stages.windows import _scaled_buckets
+
+    num_buckets, num_partitions = _scaled_buckets(None)
+    span_us = np.int64(maxspan_s) * 1_000_000
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+        filter=pc.field("event_type").isin(pa.array([first, then])),
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy().astype(np.int64)
+        return pa.table(
+            {"_bucket": pa.array(u % num_buckets, pa.int64()),
+             "user_id": batch.column("user_id"),
+             "t": batch.column("ts").cast(pa.int64()),
+             "is_first": pc.equal(batch.column("event_type"), first)}
+        )
+
+    def seq_group(g: pa.Table) -> pa.Table:
+        isf = g.column("is_first").to_numpy(zero_copy_only=False)
+        u = g.column("user_id").to_numpy().astype(np.int64)
+        t = g.column("t").to_numpy().astype(np.int64)
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "t1": pa.array([], pa.int64()),
+             "t2": pa.array([], pa.int64())}
+        )
+        cu, ct = u[isf], t[isf]
+        pu, pt = u[~isf], t[~isf]
+        if not len(cu) or not len(pu):
+            return empty
+        # composite keys use GROUP-RELATIVE microseconds: raw epoch-us is
+        # ~2^51 and user_id*BIG + t would overflow int64 (the serial_diff
+        # lesson); the fixture spans ~30 days so rel-us < 2^42
+        tmin = np.int64(t.min())
+        BIG = np.int64(1) << 42
+        c_key = cu * BIG + (ct - tmin)
+        p_key = pu * BIG + (pt - tmin)
+        co = np.argsort(c_key, kind="stable")
+        po = np.argsort(p_key, kind="stable")
+        cu, ct, c_key = cu[co], ct[co], c_key[co]
+        pu, pt, p_key = pu[po], pt[po], p_key[po]
+        # follower = first p event with key > (user, t1): strictly after
+        idx = np.searchsorted(p_key, c_key, side="right")
+        ok = idx < len(p_key)
+        idx_c = np.minimum(idx, len(p_key) - 1)
+        ok &= (pu[idx_c] == cu) & (pt[idx_c] - ct <= span_us) & (pt[idx_c] > ct)
+        # earliest qualifying first-event per user: clicks sorted (user, t)
+        # -> first ok row in each user run
+        if not ok.any():
+            return empty
+        cu_ok, ct_ok, t2_ok = cu[ok], ct[ok], pt[idx_c[ok]]
+        firsts = np.concatenate([[0], np.nonzero(np.diff(cu_ok))[0] + 1])
+        return pa.table(
+            {"user_id": pa.array(cu_ok[firsts], pa.int64()),
+             "t1": pa.array(ct_ok[firsts], pa.int64()),
+             "t2": pa.array(t2_ok[firsts], pa.int64())}
+        )
+
+    out = (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby("_bucket", num_partitions=num_partitions)
+        .map_groups(seq_group, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("user_id")
+    )
+    return pa.table(
+        {"user_id": pa.array(out.user_id.to_numpy().astype(np.int64), pa.int64()),
+         "t1": pa.array(out.t1.to_numpy().astype(np.int64), pa.int64()),
+         "t2": pa.array(out.t2.to_numpy().astype(np.int64), pa.int64())}
+    )
+
+
 def funnel_counts(sf_dir: str, steps=("view", "click", "purchase")):
     """Ordered funnel analysis (the product-analytics staple): how many
     users completed step 1, then step 2 STRICTLY AFTER their first step 1,
