@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ltr_feature_log": ops.ltr_feature_log,
         "bm25_topk_collapse_inner": ops.bm25_topk_collapse_inner,
         "eql_sequence_pairs": ops.eql_sequence_pairs,
+        "ann_matryoshka_topk": ops.ann_matryoshka_topk,
         # -- end round-4 additions --
         "tokenize_terms": ops.tokenize_terms,
         "term_df": ops.term_df,
@@ -1134,6 +1135,22 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, lang, score, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored) "
             "WHERE rn = 1"
+        ),
+        "ann_matryoshka_topk": (
+            # Matryoshka two-stage retrieval: 16-dim truncated scan for 50
+            # candidates, full-dim rerank for the top 10
+            "WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0), "
+            "t AS (SELECT e.vec_id, list_cosine_similarity("
+            "  (e.embedding::DOUBLE[])[1:16], (q.embedding::DOUBLE[])[1:16]) AS ts "
+            "  FROM embeddings e, q), "
+            "cand AS (SELECT vec_id, ts FROM t "
+            "  ORDER BY ts DESC, vec_id LIMIT 50), "
+            "fr AS (SELECT c.vec_id, c.ts, list_cosine_similarity("
+            "  e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS s "
+            "  FROM cand c JOIN embeddings e USING (vec_id) CROSS JOIN q) "
+            "SELECT vec_id, round(ts, 6)::DOUBLE AS trunc_sim, "
+            "round(s, 6)::DOUBLE AS sim FROM fr "
+            "ORDER BY s DESC, vec_id LIMIT 10"
         ),
         "eql_sequence_pairs": (
             # EQL sequence by user_id with maxspan=4h: earliest click with

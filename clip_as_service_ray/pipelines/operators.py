@@ -979,6 +979,89 @@ def ann_topk(sf_dir: str, k: int = 10):
     )
 
 
+def ann_matryoshka_topk(
+    sf_dir: str, k: int = 10, trunc_dims: int = 16, n_candidates: int = 50,
+):
+    """Matryoshka two-stage retrieval (Kusupati et al. 2022, MRL — the
+    truncate-then-rerank pattern of adaptive-dimension embeddings): stage 1
+    scans with the FIRST ``trunc_dims`` components only (a 4x-cheaper
+    matmul and, on disk, a 4x-smaller read) for ``n_candidates``; stage 2
+    reranks just those candidates at full dimension. Per-batch partial
+    top-n in both stages — no global sort; the candidate set broadcasts."""
+    import ray
+    import ray.data
+
+    q = _query_vector(sf_dir, 0)
+    qt = q[:trunc_dims]
+    qt_ref = ray.put(qt / np.linalg.norm(qt))
+    q_ref = ray.put(q / np.linalg.norm(q))
+
+    class Stage1:
+        def __init__(self):
+            self.q = ray.get(qt_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vec_ids = batch.column("vec_id").to_numpy()
+            emb_col = batch.column("embedding").combine_chunks()
+            flat = emb_col.flatten().to_numpy(zero_copy_only=False)
+            emb = flat.reshape(batch.num_rows, -1)[:, :trunc_dims].astype(np.float64)
+            norms = np.linalg.norm(emb, axis=1)
+            sims = (emb @ self.q) / np.where(norms == 0, 1.0, norms)
+            top = np.lexsort((vec_ids, -sims))[: min(n_candidates, len(vec_ids))]
+            return pa.table(
+                {"vec_id": pa.array(vec_ids[top], pa.int64()),
+                 "ts": pa.array(sims[top], pa.float64())}
+            )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    p1 = pa.Table.from_pandas(
+        ds.map_batches(Stage1, batch_format="pyarrow", batch_size=4096,
+                       concurrency=2).to_pandas(),
+        preserve_index=False,
+    )
+    ts_all = p1.column("ts").to_numpy()
+    ids_all = p1.column("vec_id").to_numpy()
+    keep = np.lexsort((ids_all, -ts_all))[: min(n_candidates, len(ids_all))]
+    cand_ids = ids_all[keep]
+    ts_of = dict(zip(cand_ids.tolist(), ts_all[keep].tolist()))
+    cand_set = pa.array(np.sort(cand_ids), pa.int64())
+
+    class Stage2:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sub = batch.filter(pc.is_in(batch.column("vec_id"), value_set=cand_set))
+            if sub.num_rows == 0:
+                return pa.table({"vec_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            vec_ids = sub.column("vec_id").to_numpy()
+            emb = np.array(sub.column("embedding").to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(emb, axis=1)
+            sims = (emb @ self.q) / np.where(norms == 0, 1.0, norms)
+            return pa.table(
+                {"vec_id": pa.array(vec_ids, pa.int64()),
+                 "sim": pa.array(sims, pa.float64())}
+            )
+
+    p2 = pa.Table.from_pandas(
+        ds.map_batches(Stage2, batch_format="pyarrow", batch_size=4096,
+                       concurrency=2).to_pandas(),
+        preserve_index=False,
+    )
+    sims = p2.column("sim").to_numpy()
+    ids = p2.column("vec_id").to_numpy()
+    top = np.lexsort((ids, -sims))[: min(k, len(ids))]
+    return pa.table(
+        {"vec_id": pa.array(ids[top], pa.int64()),
+         "trunc_sim": pa.array(
+             np.round([ts_of[int(i)] for i in ids[top]], 6), pa.float64()),
+         "sim": pa.array(np.round(sims[top], 6), pa.float64())}
+    )
+
+
 def cosine_dup_pairs(sf_dir: str, max_id: int = 1000, threshold: float = 0.4):
     """Embedding-cosine near-dup pairs among vec_id < max_id: block-matmul
     per batch against the broadcast candidate matrix."""
