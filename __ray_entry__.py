@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_collapse_inner": ops.bm25_topk_collapse_inner,
         "eql_sequence_pairs": ops.eql_sequence_pairs,
         "ann_matryoshka_topk": ops.ann_matryoshka_topk,
+        "corpus_ngram_diversity": ops.corpus_ngram_diversity,
         # -- end round-4 additions --
         "tokenize_terms": ops.tokenize_terms,
         "term_df": ops.term_df,
@@ -1135,6 +1136,27 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, lang, score, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored) "
             "WHERE rn = 1"
+        ),
+        "corpus_ngram_diversity": (
+            # distinct-1/2/3 diversity (Li et al. 2016) over the corpus:
+            # integer totals/distincts, one rounded division per n
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "             unnest(range(len(ts))) AS pos "
+            "  FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents)), "
+            "u AS (SELECT 1 AS n, count(*)::BIGINT AS total, "
+            "  count(DISTINCT term)::BIGINT AS n_distinct FROM tok), "
+            "b AS (SELECT 2 AS n, count(*)::BIGINT AS total, "
+            "  count(DISTINCT a.term || ' ' || c.term)::BIGINT AS n_distinct "
+            "  FROM tok a JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1), "
+            "t3 AS (SELECT 3 AS n, count(*)::BIGINT AS total, "
+            "  count(DISTINCT a.term || ' ' || c.term || ' ' || d.term)::BIGINT AS n_distinct "
+            "  FROM tok a JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 1 "
+            "  JOIN tok d ON d.doc_id = a.doc_id AND d.pos = a.pos + 2) "
+            "SELECT n::BIGINT AS n, total, n_distinct, "
+            "round(n_distinct::DOUBLE / total::DOUBLE, 6)::DOUBLE AS distinct_ratio "
+            "FROM (SELECT * FROM u UNION ALL SELECT * FROM b "
+            "      UNION ALL SELECT * FROM t3) ORDER BY n"
         ),
         "ann_matryoshka_topk": (
             # Matryoshka two-stage retrieval: 16-dim truncated scan for 50

@@ -4099,6 +4099,89 @@ def doc_perplexity(sf_dir: str):
     return _documents(sf_dir).map_batches(score, batch_format="pyarrow")
 
 
+def corpus_ngram_diversity(sf_dir: str):
+    """Corpus-level distinct-n diversity (Li et al. 2016's distinct-1/2/3
+    — the generation-diversity / memorization metric applied to a training
+    corpus): total and distinct n-gram counts for n = 1..3 and their
+    ratios. ONE combined pass emits kind-prefixed per-batch gram counts
+    (the doc_perplexity key trick); a single groupby makes them global;
+    distinct = surviving rows per kind, total = their count sums — two
+    tiny follow-up aggregates, all integers until the final division."""
+    from ray.data.aggregate import Count, Sum
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        if len(tokens) == 0:
+            return pa.table(
+                {"key": pa.array([], pa.string()),
+                 "n_part": pa.array([], pa.int64())}
+            )
+        row = np.repeat(np.arange(len(lens)), lens)
+        parts = [pc.binary_join_element_wise(
+            pa.array(["1\x00"] * len(tokens), pa.string()), tokens, "")]
+        if len(tokens) >= 2:
+            ok2 = pa.array(row[:-1] == row[1:])
+            l2 = tokens.slice(0, len(tokens) - 1).filter(ok2)
+            r2 = tokens.slice(1).filter(ok2)
+            parts.append(pc.binary_join_element_wise(
+                pa.array(["2\x00"] * len(l2), pa.string()), l2, r2, " "))
+        if len(tokens) >= 3:
+            ok3 = pa.array((row[:-2] == row[1:-1]) & (row[:-2] == row[2:]))
+            a3 = tokens.slice(0, len(tokens) - 2).filter(ok3)
+            b3 = tokens.slice(1, len(tokens) - 2).filter(ok3)
+            c3 = tokens.slice(2).filter(ok3)
+            parts.append(pc.binary_join_element_wise(
+                pa.array(["3\x00"] * len(a3), pa.string()), a3, b3, c3, " "))
+        keys = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts])
+        vc = keys.value_counts()
+        u = vc.field("values").to_numpy(zero_copy_only=False)
+        c = vc.field("counts").to_numpy()
+        o = np.argsort(u)
+        return pa.table(
+            {"key": pa.array(u[o], pa.string()),
+             "n_part": pa.array(c[o].astype(np.int64), pa.int64())}
+        )
+
+    grams = (
+        _documents(sf_dir)
+        .map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("key", num_partitions=_nparts(sf_dir))
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def kind_partial(batch: pa.Table) -> pa.Table:
+        kind = pc.utf8_slice_codeunits(batch.column("key"), 0, 1)
+        g = pa.table({"kind": kind, "n": batch.column("n")}).group_by(
+            "kind"
+        ).aggregate([("n", "sum"), ("n", "count")])
+        return g.rename_columns(["kind", "total_part", "distinct_part"])
+
+    agg = (
+        grams.map_batches(kind_partial, batch_format="pyarrow")
+        .groupby("kind", num_partitions=2)
+        .aggregate(Sum("total_part", alias_name="total"),
+                   Sum("distinct_part", alias_name="distinct"))
+        .to_pandas()
+        .set_index("kind")
+    )
+    cols: dict[str, pa.Array] = {}
+    out_n, out_tot, out_dist, out_ratio = [], [], [], []
+    for n in ("1", "2", "3"):
+        t = int(agg.loc[n, "total"]) if n in agg.index else 0
+        d = int(agg.loc[n, "distinct"]) if n in agg.index else 0
+        out_n.append(int(n))
+        out_tot.append(t)
+        out_dist.append(d)
+        # _sql_round: DuckDB-parity half handling for exact divisions
+        out_ratio.append(float(_sql_round(np.float64(d / t), 6)) if t else 0.0)
+    return pa.table(
+        {"n": pa.array(out_n, pa.int64()),
+         "total": pa.array(out_tot, pa.int64()),
+         "n_distinct": pa.array(out_dist, pa.int64()),
+         "distinct_ratio": pa.array(out_ratio, pa.float64())}
+    )
+
+
 def dsir_importance_weights(sf_dir: str, target_lang: str = "en"):
     """DSIR importance weights (Xie et al. 2023, Data Selection via
     Importance Resampling): per-doc log importance w(d) = sum over tokens of
