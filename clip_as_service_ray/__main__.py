@@ -308,6 +308,12 @@ def main(argv=None) -> int:
     rs.add_argument("--snap-dir", required=True)
     rs.add_argument("--dest", required=True)
 
+    sl = sub.add_parser("slm", help="snapshot-lifecycle run: next numbered "
+                        "snapshot + retention prune (ES SLM analog)")
+    sl.add_argument("--policy-dir", required=True)
+    sl.add_argument("--index-dir", required=True)
+    sl.add_argument("--keep", type=int, default=3)
+
     al = sub.add_parser("alias", help="atomic alias registry (set/resolve/"
                         "drop/list) — the zero-downtime reindex swap")
     al.add_argument("--registry", required=True)
@@ -495,6 +501,11 @@ def main(argv=None) -> int:
 
             man = restore_index(args.snap_dir, args.dest)
             print(json.dumps({"files": len(man["files"]), "dest": args.dest}))
+        elif args.cmd == "slm":
+            from clip_as_service_ray.pipelines.admin import slm_run
+
+            print(json.dumps(slm_run(args.policy_dir, args.index_dir,
+                                     keep=args.keep)))
         elif args.cmd == "alias":
             from clip_as_service_ray.pipelines import admin
 

@@ -141,3 +141,36 @@ def resolve_alias(registry_dir: str, name: str) -> str:
     if os.path.exists(name):
         return name
     raise KeyError(f"unknown alias {name!r} (registry {registry_dir!r})")
+
+
+# --------------------------------------------------------------- SLM ------
+
+
+def slm_run(policy_dir: str, src: str, *, keep: int = 3) -> dict:
+    """Snapshot-lifecycle management (the ES SLM analog): take the next
+    numbered snapshot of ``src`` under ``policy_dir`` and prune the oldest
+    beyond ``keep``. Snapshot names are a monotone counter persisted in
+    ``_SLM.json`` (deterministic — no wall-clock in the name), so a
+    scheduler can call this repeatedly and retention stays exact. Returns
+    {snapshot, pruned, retained}."""
+    os.makedirs(policy_dir, exist_ok=True)
+    state_path = os.path.join(policy_dir, "_SLM.json")
+    state = {"next": 0, "snapshots": []}
+    if os.path.exists(state_path):
+        with open(state_path) as f:
+            state = json.load(f)
+    name = f"snap-{state['next']:06d}"
+    snapshot_index(src, os.path.join(policy_dir, name))
+    state["next"] += 1
+    state["snapshots"].append(name)
+    pruned: list[str] = []
+    while len(state["snapshots"]) > keep:
+        old = state["snapshots"].pop(0)
+        shutil.rmtree(os.path.join(policy_dir, old), ignore_errors=True)
+        pruned.append(old)
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, state_path)
+    return {"snapshot": name, "pruned": pruned,
+            "retained": list(state["snapshots"])}

@@ -96,3 +96,28 @@ def test_alias_swap_zero_downtime_reindex(built, tmp_path):
     drop_alias(reg, "prod")
     with pytest.raises(KeyError):
         resolve_alias(reg, "prod")
+
+
+def test_slm_retention(built, tmp_path):
+    """SLM (snapshot lifecycle): monotone snapshot names, exact retention
+    pruning, and the newest retained snapshot restores to a working index."""
+    from clip_as_service_ray.pipelines.admin import slm_run
+
+    root, idx = built
+    policy = str(tmp_path / "slm")
+    names = []
+    for i in range(5):
+        r = slm_run(policy, idx, keep=3)
+        names.append(r["snapshot"])
+        assert len(r["retained"]) <= 3
+    assert names == [f"snap-{i:06d}" for i in range(5)]
+    # the two oldest were pruned, the three newest remain on disk
+    assert sorted(
+        d for d in os.listdir(policy) if d.startswith("snap-")
+    ) == ["snap-000002", "snap-000003", "snap-000004"]
+    dest = str(tmp_path / "slm_restore")
+    restore_index(os.path.join(policy, "snap-000004"), dest)
+    q = reference_query_table()
+    want = search_table(idx, q, CFG)
+    got = search_table(dest, q, CFG)
+    assert got.column("conv_id").to_pylist() == want.column("conv_id").to_pylist()
