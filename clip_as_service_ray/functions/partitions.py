@@ -61,6 +61,15 @@ def shuffle_partitions(
     expansion of the measured source (e.g. pair expansion); ``nbytes=None``
     means the size is unknown -> one partition per cluster CPU (scales with
     the cluster, still far below Ray's 200-partition default on a laptop).
+
+    Known trade-off (round-4 review): the unknown-size fallback and the
+    whole-directory ``parts_for_path(sf_dir)`` estimate both lean HIGH for
+    small post-aggregation shuffles (a few extra near-empty reducers at
+    bench scale — measured harmless: the full board's wall time was
+    unchanged when these replaced the hand-tuned constants). They lean
+    high deliberately: under-partitioning at 100x the data caps shuffle
+    parallelism, which is the expensive direction. Call sites that know
+    their table should pass it (``parts_for_path(sf_dir, "events")``).
     """
     n_cpus = cpus if cpus is not None else cluster_cpus()
     cap = max(floor, CAP_PER_CPU * n_cpus)

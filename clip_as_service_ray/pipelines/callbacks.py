@@ -13,7 +13,12 @@ tests/test_client.py:147-195):
   neither is set, client.py:306-309, and its callback tests assert
   ``r is None``);
 - with ``on_error`` set, a failed batch is ROUTED (streaming continues);
-  without it, the first failure raises, after ``on_always`` has seen it.
+  without it, the first failure raises, after ``on_always`` has seen it;
+- with ``batch_size`` set but NO callbacks, list responses concatenate
+  (search/encode/rank keep their shape) while dict responses collect into
+  a LIST of per-batch acks (e.g. batched ``aindex`` returns one status
+  dict per batch — callers that batch a dict-shaped op should expect the
+  list or pass ``on_done``).
 """
 
 from __future__ import annotations

@@ -11,9 +11,11 @@ file. ``replicate`` therefore:
   does not have yet — incremental by construction, O(new data);
 - drops follower segments the leader no longer lists (compaction on the
   leader converges the follower the same way);
-- copies ``manifest.json`` + ``tombstones.json`` verbatim LAST, so a
-  follower search never sees a manifest naming a segment that has not
-  landed (the same swap-order discipline segment writes use);
+- orders mutations so a follower manifest NEVER names a missing segment:
+  new segments land first, then the manifest (+ tombstones / union
+  artifacts), and only then do leader-dropped segments delete; an
+  in-place compaction rewrite swaps via rename-aside + rename-in (the
+  absent window is two renames, not a copy);
 - refuses to replicate into a root it does not manage: the follower is
   marked by ``_CCR.json`` (leader path + sync counter). An existing
   segmented root without that marker is an independent index — mirroring
@@ -118,17 +120,24 @@ def replicate(leader_root: str, follower_root: str) -> dict:
         _copy_tree(src, tmp)
         if os.path.exists(dst):
             # compaction rewrote this segment under the same name on the
-            # leader (stats changed) — swap the fresh copy in atomically
-            shutil.rmtree(dst)
-        os.replace(tmp, dst)  # atomic land
+            # leader: rename-aside + rename-in keeps the absent window at
+            # two renames (µs), not the whole copy duration
+            aside = os.path.join(f_seg_dir, f".{seg}.old")
+            if os.path.exists(aside):
+                shutil.rmtree(aside)
+            os.replace(dst, aside)
+            os.replace(tmp, dst)
+            shutil.rmtree(aside)
+        else:
+            os.replace(tmp, dst)  # atomic land
         added.append(seg)
-    removed: list[str] = []
-    for seg in sorted(have):
-        if seg.startswith("."):
-            continue
-        if seg not in leader_segs:
-            shutil.rmtree(os.path.join(f_seg_dir, seg))
-            removed.append(seg)
+    # segments the leader dropped are removed ONLY AFTER the new manifest
+    # lands (below) — a reader must never hold a manifest naming a missing
+    # segment; collect them now, delete at the end
+    removed: list[str] = [
+        seg for seg in sorted(have)
+        if not seg.startswith(".") and seg not in leader_segs
+    ]
 
     # remaining root-level state (union stats/dictionary dirs, doc values,
     # ...) mirrors next; manifest.json lands LAST so it only ever names
@@ -158,11 +167,15 @@ def replicate(leader_root: str, follower_root: str) -> dict:
             continue
         p = os.path.join(follower_root, name)
         shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
-    # manifest LAST
+    # manifest lands before any segment REMOVAL: new segments are already
+    # on disk (above), so the freshly-copied manifest only names present
+    # dirs; only then is it safe to delete what the leader dropped
     src = os.path.join(leader_root, "manifest.json")
     tmp = os.path.join(follower_root, "manifest.json.tmp")
     shutil.copy2(src, tmp)
     os.replace(tmp, os.path.join(follower_root, "manifest.json"))
+    for seg in removed:
+        shutil.rmtree(os.path.join(f_seg_dir, seg), ignore_errors=True)
 
     status["syncs"] = int(status.get("syncs", 0)) + 1
     tmp = os.path.join(follower_root, _MARKER + ".tmp")

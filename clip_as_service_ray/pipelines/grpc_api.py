@@ -294,14 +294,21 @@ class GrpcSearchServer:
                 elif ftype == h2.RST_STREAM:
                     streams.pop(sid, None)
                 elif ftype in (h2.HEADERS, h2.CONTINUATION):
-                    st = streams.setdefault(sid, {"hbuf": b"", "data": b"", "headers": None})
+                    st = streams.setdefault(
+                        sid, {"hbuf": b"", "data": b"", "headers": None,
+                              "end_stream": False}
+                    )
                     st["hbuf"] += h2.strip_padding(
                         flags, payload, priority=(ftype == h2.HEADERS)
                     )
+                    if ftype == h2.HEADERS and (flags & h2.FLAG_END_STREAM):
+                        # remember: CONTINUATION never carries END_STREAM,
+                        # so a split header block must not lose the bit
+                        st["end_stream"] = True
                     if flags & h2.FLAG_END_HEADERS:
                         st["headers"] = dict(dec.decode(st["hbuf"]))
                         st["hbuf"] = b""
-                    if flags & h2.FLAG_END_STREAM and st["headers"] is not None:
+                    if st["end_stream"] and st["headers"] is not None:
                         self._dispatch(conn, send_lock, enc, sid, st,
                                        stream_wins.setdefault(sid, h2.SendWindow(peer_initial)),
                                        conn_win)
@@ -535,7 +542,23 @@ class GrpcSearchClient:
         self._sock.sendall(h2.PREFACE + h2.raise_windows_frames())
         self._conn_win = h2.SendWindow()
         self._peer_initial = h2.DEFAULT_WINDOW
-        self._settings_acked = False
+        # read the server's post-preface SETTINGS + connection WINDOW_UPDATE
+        # BEFORE the first send: spending send-window credit against the
+        # 64 KiB defaults would spuriously fail a large first request
+        got_settings = got_window = False
+        while not (got_settings and got_window):
+            ftype, flags, fsid, payload = h2.read_frame(self._sock)
+            if ftype == h2.SETTINGS and not (flags & h2.FLAG_ACK):
+                got = h2.parse_settings(payload)
+                if h2.SETTINGS_INITIAL_WINDOW_SIZE in got:
+                    self._peer_initial = got[h2.SETTINGS_INITIAL_WINDOW_SIZE]
+                self._sock.sendall(h2.pack_frame(h2.SETTINGS, h2.FLAG_ACK, 0, b""))
+                got_settings = True
+            elif ftype == h2.WINDOW_UPDATE and fsid == 0:
+                self._conn_win.grant(struct.unpack(">I", payload)[0])
+                got_window = True
+            elif ftype == h2.GOAWAY:
+                raise ConnectionError("server sent GOAWAY during handshake")
 
     def _call(self, method: str, msg_bytes: bytes,
               extra_headers: list[tuple[str, str]] | None = None) -> bytes:

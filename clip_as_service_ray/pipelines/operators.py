@@ -253,12 +253,13 @@ def ltr_feature_log(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 20):
     def stats_partial(batch: pa.Table) -> pa.Table:
         tokens, lens = tokenize_column_flat(batch.column("text"))
         n_docs = int((lens > 0).sum())
-        # per-term distinct-doc counts for the query terms only
-        tk = np.asarray(tokens.to_pylist(), dtype=object) if len(tokens) else np.array([], object)
+        # per-term distinct-doc counts via the Arrow equality kernel over
+        # the flat stream — no object-array materialization (round-3
+        # tokenizer convention)
         doc_of = np.repeat(np.arange(len(lens)), lens)
         out_t, out_df = [], []
         for t in terms:
-            m = tk == t
+            m = pc.equal(tokens, t).to_numpy(zero_copy_only=False)
             out_t.append(t)
             out_df.append(int(len(np.unique(doc_of[m]))))
         return pa.table(
@@ -288,13 +289,12 @@ def ltr_feature_log(sf_dir: str, terms=BM25_QUERY_TERMS, limit: int = 20):
                  "sum_idf": pa.array([], pa.float64())}
             )
         tokens, lens = tokenize_column_flat(sub.column("text"))
-        tk = np.asarray(tokens.to_pylist(), dtype=object) if len(tokens) else np.array([], object)
         doc_of = np.repeat(np.arange(len(lens)), lens)
         sum_tf = np.zeros(len(lens), dtype=np.int64)
         matched = np.zeros(len(lens), dtype=np.int64)
         sum_idf = np.zeros(len(lens), dtype=np.float64)
         for t in sorted(terms):
-            m = tk == t
+            m = pc.equal(tokens, t).to_numpy(zero_copy_only=False)
             tf_t = np.bincount(doc_of[m], minlength=len(lens))
             sum_tf += tf_t
             has = tf_t > 0
@@ -1660,10 +1660,11 @@ def semdedup_keep(sf_dir: str, threshold: float = 0.42):
 
     import pyarrow.parquet as pq
 
-    probe = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
-    ).slice(0, 1)
-    dims = len(probe.column("embedding")[0])
+    # dims from ONE record batch, not a full-column read (the embedding
+    # column at scale is the biggest thing in the table)
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dims = len(first.column("embedding")[0])
     aggs = [Sum("n_part", alias_name="n")] + [
         Sum(f"s{d}", alias_name=f"ss{d}") for d in range(dims)
     ]
@@ -4255,9 +4256,18 @@ def dsir_importance_weights(sf_dir: str, target_lang: str = "en"):
                  "log_w": pa.array([], pa.float64()),
                  "n_tokens": pa.array([], pa.int64())}
             )
-        tk = np.asarray(tokens.to_pylist(), dtype=object)
-        r_keys = np.asarray(["r\x00" + t for t in tk], dtype=object)
-        t_keys = np.asarray(["t\x00" + t for t in tk], dtype=object)
+        # Arrow join kernel for the prefixed keys (the doc_perplexity
+        # pattern) — no per-token Python string concatenation
+        r_keys = np.asarray(
+            pc.binary_join_element_wise(
+                pa.array(["r\x00"] * len(tokens), pa.string()), tokens, ""
+            ).to_pylist(), dtype=object,
+        )
+        t_keys = np.asarray(
+            pc.binary_join_element_wise(
+                pa.array(["t\x00"] * len(tokens), pa.string()), tokens, ""
+            ).to_pylist(), dtype=object,
+        )
         c_raw = cnt_map.lookup(r_keys)  # always present: learned from corpus
         c_tgt = cnt_map.lookup(t_keys)  # missing in target -> 0 (+1 smooth)
         ll = np.log((c_tgt + 1.0) / (t_tgt + v)) - np.log(

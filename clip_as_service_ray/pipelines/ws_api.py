@@ -701,6 +701,9 @@ class AsyncSearchClient:
 
     async def aindex(self, turns: list[dict], *, batch_size: int | None = None,
                      on_done=None, on_error=None, on_always=None):
+        """Index turns. With callbacks the call returns None; with only
+        ``batch_size`` it returns a LIST of per-batch status dicts (see
+        pipelines/callbacks.py); plain calls return one status dict."""
         if on_done or on_error or on_always or batch_size:
             from clip_as_service_ray.pipelines.callbacks import astream_batches
 

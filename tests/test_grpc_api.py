@@ -193,6 +193,66 @@ def test_large_response_multi_frame(grpc_server):
     assert qids == set(range(40))
 
 
+def test_large_request_first_call(grpc_server):
+    """Regression: a FRESH client's first RPC with a >64 KiB request body
+    must succeed — the client has to absorb the server's window grants
+    before spending send credit (the HTTP/2 64 KiB default would
+    otherwise reject it client-side)."""
+    srv, _ = grpc_server
+    cli = GrpcSearchClient(srv.url)
+    try:
+        queries = [
+            {"query_id": i, "text": "merge window " + "pad" * 120, "limit": 1}
+            for i in range(200)
+        ]  # serialized request comfortably > 65,535 bytes
+        from clip_as_service_ray.pipelines.grpc_api import grpc_frame
+        assert len(grpc_frame(
+            cli._queries_msg(queries).SerializeToString())) > 65_535
+        hits = cli.search(queries)
+        assert {h["query_id"] for h in hits} == set(range(200))
+    finally:
+        cli.close()
+
+
+def test_split_header_block_keeps_end_stream(grpc_server):
+    """Regression: HEADERS(END_STREAM, no END_HEADERS) + CONTINUATION
+    (END_HEADERS) must still dispatch — CONTINUATION never carries
+    END_STREAM, so the server has to remember the bit."""
+    import socket as socketmod
+
+    srv, _ = grpc_server
+    sock = socketmod.create_connection((srv.host, srv.port), timeout=30)
+    try:
+        sock.sendall(h2.PREFACE + h2.raise_windows_frames())
+        enc = h2.HpackEncoder()
+        block = enc.encode([
+            (":method", "POST"), (":scheme", "http"),
+            (":path", "/cas.SearchService/Health"),
+            (":authority", f"{srv.host}:{srv.port}"),
+            ("content-type", "application/grpc+proto"),
+            ("te", "trailers"),
+        ])
+        half = len(block) // 2
+        sock.sendall(h2.pack_frame(h2.HEADERS, h2.FLAG_END_STREAM, 1,
+                                   block[:half]))
+        sock.sendall(h2.pack_frame(h2.CONTINUATION, h2.FLAG_END_HEADERS, 1,
+                                   block[half:]))
+        dec = h2.HpackDecoder()
+        status = None
+        while True:
+            ftype, flags, sid, payload = h2.read_frame(sock)
+            if ftype == h2.SETTINGS and not (flags & h2.FLAG_ACK):
+                sock.sendall(h2.pack_frame(h2.SETTINGS, h2.FLAG_ACK, 0, b""))
+            elif ftype == h2.HEADERS and sid == 1:
+                hdrs = dict(dec.decode(payload))
+                status = hdrs.get("grpc-status", status)
+                if flags & h2.FLAG_END_STREAM:
+                    break
+        assert status == "0"  # Health dispatched and succeeded
+    finally:
+        sock.close()
+
+
 def test_trace_context_over_grpc(grpc_server):
     """x-request-id metadata in/out + the Trace method: a search's stage
     timings are retrievable by request id (the OTel-span analog)."""
