@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eql_sequence_pairs": ops.eql_sequence_pairs,
         "ann_matryoshka_topk": ops.ann_matryoshka_topk,
         "corpus_ngram_diversity": ops.corpus_ngram_diversity,
+        "deterministic_shuffle": ops.deterministic_shuffle,
         # -- end round-4 additions --
         "tokenize_terms": ops.tokenize_terms,
         "term_df": ops.term_df,
@@ -1136,6 +1137,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, lang, score, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM scored) "
             "WHERE rn = 1"
+        ),
+        "deterministic_shuffle": (
+            # seeded epoch shuffle: position = rank under the Knuth hash of
+            # doc_id + seed — identical int64 expression on both sides
+            "SELECT (row_number() OVER (ORDER BY key, doc_id) - 1)::BIGINT AS pos, "
+            "doc_id, key FROM (SELECT doc_id, "
+            "(doc_id * 2654435761 + 7) % 4294967296 AS key FROM documents) "
+            "ORDER BY pos"
         ),
         "corpus_ngram_diversity": (
             # distinct-1/2/3 diversity (Li et al. 2016) over the corpus:

@@ -1778,6 +1778,60 @@ def sample_documents(sf_dir: str, mod: int = 97, keep: int = 10):
     )
 
 
+def deterministic_shuffle(sf_dir: str, seed: int = 7):
+    """Seeded global shuffle (the epoch-shuffle every training pipeline
+    needs, reproducible across engines, runs, and partitionings): shuffle
+    position = rank under the Knuth multiplicative hash of doc_id + seed —
+    pure int64 arithmetic, so the SQL twin is the identical expression.
+    Distributed shape: per-batch key compute, ONE distributed sort, then
+    per-block positions from count-only block summaries (driver prefix-sums
+    counts, never rows — the ccnet/rank machinery)."""
+    import ray
+
+    KNUTH = 2654435761
+    MOD = np.int64(1) << 32
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        key = (ids * KNUTH + seed) % MOD
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "key": pa.array(key, pa.int64())}
+        )
+
+    refs = (
+        _documents(sf_dir, columns=("doc_id",))
+        .map_batches(keyed, batch_format="pyarrow")
+        .sort(["key", "doc_id"])
+        .to_arrow_refs()
+    )
+    if not refs:
+        return pa.table(
+            {"pos": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()),
+             "key": pa.array([], pa.int64())}
+        )
+
+    @ray.remote(num_cpus=0.25)
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote(num_cpus=0.25)
+    def with_pos(t: pa.Table, offset: int) -> pa.Table:
+        return pa.table(
+            {"pos": pa.array(
+                offset + np.arange(t.num_rows, dtype=np.int64), pa.int64()),
+             "doc_id": t.column("doc_id"),
+             "key": t.column("key")}
+        )
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    return pa.concat_tables(ray.get([
+        with_pos.remote(r, int(offsets[i])) for i, r in enumerate(refs)
+    ]))
+
+
 def event_value_percentiles_sketch(sf_dir: str, k_sketch: int = 256):
     """Per-group percentiles via the mergeable deterministic KLL-style
     sketch (functions/sketches.py): per-batch per-group sketch partials
