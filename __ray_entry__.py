@@ -443,31 +443,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_correlations": ops.lineitem_correlations,
         "event_value_outliers": ops.event_value_outliers,
     }
-    # Round-4 driver-cap rotation (VERDICT r03 item 1): the 50 SQL-twin
-    # entries below have never appeared in CORRECTNESS_r01/r02/r03; they
-    # take the first 50 slots so the driver's external DuckDB oracle covers
-    # new ground each round. Everything else keeps its literal order.
+    # Round-5 driver-cap rotation (VERDICT r04 item 1): the 50 SQL-twin
+    # entries below have never appeared in CORRECTNESS_r01..r04 — the 14
+    # round-4 additions first, then 36 from the rotated-out backlog. After
+    # this rotation the never-driver-checked backlog is 30 entries (7 of
+    # them rows-only by nature). Everything else keeps its literal order.
     _DRIVER_HEAD = [
-        "events_t_test", "event_value_percentile_ranks", "span_or_search",
-        "span_not_search", "interval_search", "rare_terms",
-        "events_auto_date_histogram", "gopher_quality_filter",
-        "bm25_topk_pinned", "events_daily_derivative",
-        "nb_classify_documents", "bm25_topk_fvf", "bm25_topk_rank_feature",
-        "bm25_topk_terms_set", "ann_topk_bq", "customers_near_point",
-        "dominant_part_suppliers_q20", "ann_hnsw_topk",
-        "mixture_sample_documents", "phrase_prefix_search", "dismax_topk",
-        "bm25_topk_boosting", "bm25_topk_conjunctive_segmented",
-        "bm25_topk_synonyms", "bm25_topk_plus", "bm25_topk_filtered",
-        "clean_documents", "cosine_lsh_dup_pairs", "dup_clusters",
-        "near_dedup_keep", "ann_topk_batch", "ann_ivfpq_topk",
-        "revenue_filter_q6", "shipping_priority_q3",
-        "order_priority_check_q4", "returnflag_priority_share_q12",
-        "returned_item_revenue", "top_supplier_revenue",
-        "small_quantity_order_revenue", "sole_late_supplier",
-        "idle_rich_customers", "min_cost_supplier", "important_part_values",
-        "promo_part_suppliers", "search_count", "query_facets",
-        "significant_terms", "bm25_topk_rescored", "doc_term_vectors",
-        "bm25_topk_suffix",
+        "dsir_importance_weights", "semdedup_keep",
+        "ccnet_perplexity_buckets", "bm25_topk_has_parent",
+        "bm25_topk_bool_prefix", "frequent_itemsets",
+        "events_moving_median", "part_copurchase_bfs", "ltr_feature_log",
+        "bm25_topk_collapse_inner", "eql_sequence_pairs",
+        "ann_matryoshka_topk", "corpus_ngram_diversity",
+        "deterministic_shuffle", "bm25_topk_regex", "search_sort_by_field",
+        "ann_topk_sq8", "pagerank_parts", "bm25f_topk", "sentence_dedup",
+        "basket_lift", "ann_topk_filtered", "proximity_search_span",
+        "bm25_topk_term_range", "span_first_search", "bm25_topk_blockjoin",
+        "bm25_topk_decay", "bm25_topk_rm3", "duplicate_span_coverage",
+        "hybrid_linear_topk", "events_composite_agg",
+        "event_type_transitions", "spell_suggest", "ngram_contamination",
+        "hybrid_rrf_topk", "purchase_click_asof", "bm25_topk_boosted",
+        "bm25_topk_msm", "bm25_topk_collapsed", "bm25_topk_page2",
+        "nation_market_share_q8", "nation_year_profit_q9",
+        "customer_order_distribution_q13", "supplier_part_variety_q16",
+        "events_cube", "pack_sequences", "ann_range_search",
+        "bm25_topk_plus_segmented", "percolate_documents",
+        "duplicate_passages",
     ]
     ordered = {k: board[k] for k in _DRIVER_HEAD}
     ordered.update((k, v) for k, v in board.items() if k not in ordered)
