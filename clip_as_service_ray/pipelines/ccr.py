@@ -52,15 +52,22 @@ def _copy_tree(src: str, dest: str) -> int:
     return n
 
 
-def _seg_signature(seg_dir: str) -> bytes | None:
-    """Cheap change detector for a segment: its stats.json bytes.
-    Compaction rewrites a segment IN PLACE under the same name, and any
-    rewrite changes the doc/posting counts recorded there; an untouched
-    segment's files are bit-identical, so equal stats == nothing to ship."""
-    p = os.path.join(seg_dir, "stats.json")
+def _seg_signature(seg_dir: str) -> tuple | None:
+    """Cheap change detector for a segment: every file's (relpath, size,
+    mtime_ns). Hardlinks share the leader inode and ``copy2`` preserves
+    mtimes, so an unchanged segment compares equal — while ANY in-place
+    rewrite (even one that leaves doc/posting counts byte-identical in
+    stats.json) perturbs an mtime and triggers a re-ship. stats.json
+    content alone was not enough: a count-preserving rewrite would have
+    been silently skipped, leaving the follower stale."""
     try:
-        with open(p, "rb") as f:
-            return f.read()
+        sig = []
+        for root, _dirs, files in os.walk(seg_dir):
+            rel_root = os.path.relpath(root, seg_dir)
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                sig.append((rel_root, f, st.st_size, st.st_mtime_ns))
+        return tuple(sorted(sig))
     except OSError:
         return None
 
@@ -100,6 +107,13 @@ def replicate(leader_root: str, follower_root: str) -> dict:
                 "follower directory, or delete the old index explicitly)"
             )
         status = {"leader": os.path.abspath(leader_root), "syncs": 0}
+        # land the marker BEFORE shipping anything: a crash mid-first-sync
+        # must leave a retryable CCR follower, not an unmarked directory
+        # that the next replicate() refuses as an independent index
+        tmp = os.path.join(follower_root, _MARKER + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(status, f)
+        os.replace(tmp, os.path.join(follower_root, _MARKER))
     elif os.path.abspath(leader_root) != status["leader"]:
         raise ValueError(
             f"follower tracks leader {status['leader']!r}; refusing to "

@@ -254,6 +254,9 @@ class GrpcSearchServer:
                     continue
             t = threading.Thread(target=self._serve_conn, args=(conn,), daemon=True)
             t.start()
+            # prune finished handlers so a long-lived server doesn't leak a
+            # Thread object per connection (threads are daemon, never joined)
+            self._threads = [x for x in self._threads if x.is_alive()]
             self._threads.append(t)
 
     # ---- connection frame loop
@@ -520,7 +523,9 @@ class GrpcSearchClient:
     CLIP_AUTH_TOKEN env like the reference client (client.py:63-64)."""
 
     def __init__(self, url: str, auth_token: str | None = None,
-                 cafile: str | None = None, timeout: float = 180.0):
+                 cafile: str | None = None, timeout: float = 180.0,
+                 insecure_skip_hostname: bool = False,
+                 huffman: bool = False):
         import os
 
         r = urlparse(url)
@@ -530,14 +535,16 @@ class GrpcSearchClient:
         sock = socket.create_connection((r.hostname, r.port), timeout=timeout)
         if r.scheme == "grpcs":
             ctx = ssl.create_default_context(cafile=cafile)
-            if cafile:
-                ctx.check_hostname = False  # self-signed test certs
+            if insecure_skip_hostname:
+                # explicit opt-out only (a private CA still verifies names)
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_REQUIRED
             sock = ctx.wrap_socket(sock, server_hostname=r.hostname)
         self._sock = sock
         self._authority = f"{r.hostname}:{r.port}"
         self._lock = threading.Lock()
         self._next_stream = 1
-        self._enc = h2.HpackEncoder()
+        self._enc = h2.HpackEncoder(huffman=huffman)
         self._dec = h2.HpackDecoder()
         self._sock.sendall(h2.PREFACE + h2.raise_windows_frames())
         self._conn_win = h2.SendWindow()

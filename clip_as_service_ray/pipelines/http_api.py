@@ -1096,7 +1096,8 @@ class SearchHTTPClient:
     stdlib-urllib only — no dependency beyond what the servers use."""
 
     def __init__(self, server: str, credential: dict | None = None,
-                 timeout: float = 30.0, cafile: str | None = None):
+                 timeout: float = 30.0, cafile: str | None = None,
+                 insecure_skip_hostname: bool = False):
         import os
         from urllib.parse import urlparse
 
@@ -1112,10 +1113,12 @@ class SearchHTTPClient:
         if r.scheme == "https":
             import ssl
 
-            # trust the provided CA (self-signed serving certs included)
+            # trust the provided CA (self-signed serving certs included);
+            # hostname verification stays ON unless explicitly skipped
             self._ssl_ctx = ssl.create_default_context(cafile=cafile)
-            if cafile:
+            if insecure_skip_hostname:
                 self._ssl_ctx.check_hostname = False
+                self._ssl_ctx.verify_mode = ssl.CERT_REQUIRED
 
     def _request(self, path: str, payload: dict | None = None) -> dict | str:
         import urllib.error

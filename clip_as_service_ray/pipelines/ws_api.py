@@ -506,7 +506,8 @@ class AsyncSearchClient:
     ``asearch(..., stream=N)`` yields per-chunk hit batches as they arrive."""
 
     def __init__(self, url: str, credential: dict | None = None,
-                 on_progress=None, cafile: str | None = None):
+                 on_progress=None, cafile: str | None = None,
+                 insecure_skip_hostname: bool = False):
         if url.startswith("wss://"):
             self._tls = True
             hostport = url[6:].split("/", 1)[0]
@@ -516,6 +517,7 @@ class AsyncSearchClient:
         else:
             raise ValueError(f"expected ws:// or wss:// url, got {url!r}")
         self._cafile = cafile
+        self._insecure_skip_hostname = insecure_skip_hostname
         self.host, port = hostport.rsplit(":", 1)
         self.port = int(port)
         # credential contract cloned from client.py:26-64: explicit
@@ -563,8 +565,11 @@ class AsyncSearchClient:
             import ssl as _ssl
 
             ssl_ctx = _ssl.create_default_context(cafile=self._cafile)
-            if self._cafile:
-                ssl_ctx.check_hostname = False  # self-signed serving certs
+            if self._insecure_skip_hostname:
+                # explicit opt-out only: a supplied private CA must still
+                # verify the hostname (test certs carry a 127.0.0.1 SAN)
+                ssl_ctx.check_hostname = False
+                ssl_ctx.verify_mode = _ssl.CERT_REQUIRED
         self._reader, self._writer = await asyncio.open_connection(
             self.host, self.port, ssl=ssl_ctx
         )

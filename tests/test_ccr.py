@@ -110,3 +110,61 @@ def test_ccr_refuses_independent_root_and_foreign_leader(ray_session, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         replicate(str(tmp_path / "nope"), str(tmp_path / "f3"))
+
+
+def test_ccr_failed_first_sync_is_retryable(ray_session, tmp_path, monkeypatch):
+    """ADVICE r04: the _CCR.json marker lands BEFORE any segment ships, so
+    a crash mid-first-replication leaves a retryable follower instead of an
+    unmarked directory the next replicate() refuses as independent."""
+    import clip_as_service_ray.pipelines.ccr as ccr
+
+    leader = str(tmp_path / "leader")
+    follower = str(tmp_path / "follower")
+    add_segment(leader, _corpus({"conva": "merge window retry"}), CFG)
+
+    real_copy = ccr._copy_tree
+
+    def boom(src, dest):
+        raise OSError("simulated crash mid-copy")
+
+    monkeypatch.setattr(ccr, "_copy_tree", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        replicate(leader, follower)
+    st = follower_status(follower)
+    assert st is not None and st["syncs"] == 0  # marker survived the crash
+
+    monkeypatch.setattr(ccr, "_copy_tree", real_copy)
+    out = replicate(leader, follower)  # retry converges, no refusal
+    assert out["sync"] == 1 and out["n_segments"] == 1
+    assert len(_search(follower)) > 0
+
+
+def test_ccr_signature_catches_count_preserving_rewrite(ray_session, tmp_path):
+    """ADVICE r04: an in-place leader rewrite that leaves stats.json
+    byte-identical must still re-ship (signature = file sizes+mtimes,
+    not stats content)."""
+    import glob
+
+    leader = str(tmp_path / "leader")
+    follower = str(tmp_path / "follower")
+    add_segment(leader, _corpus({"conva": "merge window alpha"}), CFG)
+    replicate(leader, follower)
+
+    seg = sorted(os.listdir(os.path.join(leader, "segments")))[0]
+    seg_dir = os.path.join(leader, "segments", seg)
+    # rewrite one postings artifact with IDENTICAL bytes: only mtime moves
+    target = sorted(
+        glob.glob(os.path.join(seg_dir, "**", "*.parquet"), recursive=True)
+        or glob.glob(os.path.join(seg_dir, "**", "*"), recursive=True)
+    )
+    target = [p for p in target if os.path.isfile(p)][0]
+    with open(target, "rb") as f:
+        payload = f.read()
+    os.remove(target)  # new inode: hardlinked follower copy keeps old one
+    with open(target, "wb") as f:
+        f.write(payload)
+
+    out = replicate(leader, follower)
+    assert seg in out["added"], "byte-identical rewrite must re-ship"
+    out2 = replicate(leader, follower)
+    assert out2["added"] == []  # converged: signatures equal again

@@ -46,9 +46,79 @@ def test_hpack_roundtrip_and_int_coding():
         frag += bytes([len(raw)]) + raw
     assert dec.decode(bytes(frag)) == [("x-a", "1")]
     assert dec.decode(bytes([0x80 | 62])) == [("x-a", "1")]  # dynamic index
-    # Huffman literals are a documented subset boundary
-    with pytest.raises(NotImplementedError):
+    # an all-ones "Huffman literal" is 8 bits of un-decodable padding
+    with pytest.raises(ConnectionError):
         h2.HpackDecoder().decode(bytes([0x00, 0x81, 0xFF]))
+
+
+# RFC 7541 Appendix C request/response examples — the canonical
+# Huffman-coded literal fixtures (C.4.1-C.4.3, C.6.1).
+_RFC_HUFF_VECTORS = [
+    ("www.example.com", "f1e3c2e5f23a6ba0ab90f4ff"),
+    ("no-cache", "a8eb10649cbf"),
+    ("custom-key", "25a849e95ba97d7f"),
+    ("custom-value", "25a849e95bb8e8b4bf"),
+    ("302", "6402"),
+    ("private", "aec3771a4b"),
+    ("Mon, 21 Oct 2013 20:13:21 GMT",
+     "d07abe941054d444a8200595040b8166e082a62d1bff"),
+    ("https://www.example.com", "9d29ad171863c78f0b97c8e9ae82ae43d3"),
+]
+
+
+def test_huffman_rfc7541_appendix_c_vectors():
+    for text, hexcode in _RFC_HUFF_VECTORS:
+        blob = bytes.fromhex(hexcode)
+        assert h2.huffman_encode(text.encode()) == blob, text
+        assert h2.huffman_decode(blob) == text.encode(), text
+
+
+def test_huffman_all_bytes_roundtrip():
+    raw = bytes(range(256)) * 3
+    assert h2.huffman_decode(h2.huffman_encode(raw)) == raw
+    assert h2.huffman_decode(b"") == b""
+
+
+def test_huffman_error_paths():
+    # padding must be an EOS prefix (all ones): '0' encodes as 00000 so a
+    # single 0x00 byte is code '0' + three ZERO padding bits -> error
+    with pytest.raises(ConnectionError):
+        h2.huffman_decode(bytes([0x00]))
+    # >= 8 bits of trailing all-ones is an undecodable code, not padding
+    with pytest.raises(ConnectionError):
+        h2.huffman_decode(bytes([0xFF, 0xFF, 0xFF, 0xFF]))
+
+
+def test_hpack_huffman_coded_headers_decode():
+    """A real gRPC client Huffman-codes literals by default — the full
+    RFC 7541 C.4.1 header block (indexed fields + Huffman literal) and our
+    own Huffman encoder must both decode to the expected header lists."""
+    dec = h2.HpackDecoder()
+    first = bytes.fromhex("828684418cf1e3c2e5f23a6ba0ab90f4ff")
+    assert dec.decode(first) == [
+        (":method", "GET"), (":scheme", "http"), (":path", "/"),
+        (":authority", "www.example.com"),
+    ]
+    # C.4.2: the dynamic-table entry added above is reusable (index 62)
+    second = bytes.fromhex("828684be5886a8eb10649cbf")
+    assert dec.decode(second) == [
+        (":method", "GET"), (":scheme", "http"), (":path", "/"),
+        (":authority", "www.example.com"), ("cache-control", "no-cache"),
+    ]
+    headers = [(":method", "POST"), ("x-token", "s3cr3t-value"),
+               ("x-bytes", "A" * 200)]
+    enc = h2.HpackEncoder(huffman=True)
+    assert h2.HpackDecoder().decode(enc.encode(headers)) == headers
+
+
+def test_h2_padding_and_int_hardening():
+    # pad length >= remaining payload is PROTOCOL_ERROR, not a wrong slice
+    with pytest.raises(ConnectionError):
+        h2.strip_padding(h2.FLAG_PADDED, bytes([200]) + b"abc")
+    assert h2.strip_padding(h2.FLAG_PADDED, bytes([1]) + b"abcX") == b"abc"
+    # unbounded HPACK integer continuation bytes fail loudly
+    with pytest.raises(ConnectionError):
+        h2._decode_int(bytes([0x7F]) + b"\xff" * 12, 0, 7)
 
 
 def test_frame_and_grpc_frame_roundtrip():
@@ -77,7 +147,7 @@ def test_hpack_malformed_inputs_fail_loudly():
         dec.decode(bytes([0x80]))
     with pytest.raises(ValueError):  # index past both tables
         dec.decode(bytes([0x80 | 0x7F, 0x7F]))
-    with pytest.raises((IndexError, ValueError)):  # truncated literal
+    with pytest.raises(ConnectionError):  # truncated literal
         dec.decode(bytes([0x00, 0x05, 0x61]))
     # dynamic-table size update evicts entries
     d2 = h2.HpackDecoder()
@@ -274,6 +344,21 @@ def test_trace_context_over_grpc(grpc_server):
     with pytest.raises(GrpcError) as ei:
         cli.trace("nope")
     assert ei.value.status == 5  # NOT_FOUND
+
+
+def test_huffman_client_lifecycle(grpc_server):
+    """A client that Huffman-codes its request headers (the real-grpcio
+    default) gets identical results to the raw-literal client."""
+    srv, cli = grpc_server
+    queries = [{"query_id": 7, "text": "merge window", "limit": 5}]
+    want = cli.search(queries)
+    hc = GrpcSearchClient(srv.url, huffman=True)
+    try:
+        assert hc.health()["status"] == "ok"
+        got = hc.search(queries)
+    finally:
+        hc.close()
+    assert got == want and len(got) > 0
 
 
 def test_unknown_method_is_unimplemented(grpc_server):
