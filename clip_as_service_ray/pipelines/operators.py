@@ -6956,30 +6956,44 @@ def frequent_itemsets(
     part_t = pq.read_table(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
     )
-    brands = np.asarray(
-        sorted(set(part_t.column("p_brand").to_pylist())), dtype=object
+    # brand coding via Arrow kernels (no driver Python loop over parts):
+    # the distinct-brand list is tiny (TPC-H: 25), only IT round-trips to
+    # Python for the sorted deterministic code order
+    import pyarrow.compute as pc
+
+    brand_col = part_t.column("p_brand")
+    sorted_brands = pa.array(sorted(pc.unique(brand_col).to_pylist()))
+    brands = np.asarray(sorted_brands.to_pylist(), dtype=object)
+    pcode = pc.index_in(brand_col, value_set=sorted_brands).to_numpy().astype(
+        np.int64
     )
-    code_of = {b: i for i, b in enumerate(brands)}
     pk = part_t.column("p_partkey").to_numpy().astype(np.int64)
-    pcode = np.asarray(
-        [code_of[b] for b in part_t.column("p_brand").to_pylist()],
-        dtype=np.int64,
-    )
-    # partkey -> code lookup table (partkeys are dense smallish ints)
-    lut = np.full(int(pk.max()) + 1, -1, dtype=np.int64)
-    lut[pk] = pcode
-    lut_ref = ray.put(lut)
+    # partkey -> code as a broadcast SORTED-array map (termmap.py precedent):
+    # memory is O(n_parts), not O(max partkey) — a sparse 2B-id catalog no
+    # longer allocates a multi-GB dense LUT per worker. (Past broadcast
+    # scale, shard it with state/kvmap.py like DSIR's count maps.)
+    order = np.argsort(pk, kind="stable")
+    pk_ref = ray.put(np.ascontiguousarray(pk[order]))
+    code_ref = ray.put(np.ascontiguousarray(pcode[order]))
     NB = 64  # bucket count; brand codes < 64 (6 bits)
     num_buckets = 64
 
     class DistinctCodes:
         def __init__(self):
-            self.lut = ray.get(lut_ref)
+            self.pk = ray.get(pk_ref)
+            self.code = ray.get(code_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             o = batch.column("l_orderkey").to_numpy().astype(np.int64)
             p = batch.column("l_partkey").to_numpy().astype(np.int64)
-            key = np.unique(o * NB + self.lut[p])
+            ix = np.searchsorted(self.pk, p)
+            ix_ok = (ix < len(self.pk))
+            if not ix_ok.all() or not (self.pk[ix[ix_ok]] == p[ix_ok]).all():
+                raise KeyError(
+                    "lineitem references partkeys absent from part "
+                    "(dict-miss raises rather than mis-coding)"
+                )
+            key = np.unique(o * NB + self.code[ix])
             ok = key // NB
             return pa.table(
                 {"_bucket": pa.array((ok % num_buckets), pa.int64()),
