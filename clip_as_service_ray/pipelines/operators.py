@@ -4123,20 +4123,9 @@ def doc_perplexity(sf_dir: str):
                  "avg_nll": pa.array([], pa.float64()),
                  "n_bigrams": pa.array([], pa.int64())}
             )
-        g = np.asarray(
-            pc.binary_join_element_wise(
-                pa.array(["b\x00"] * len(grams), pa.string()), grams, ""
-            ).to_pylist(),
-            dtype=object,
-        )
-        w1 = np.asarray(
-            pc.binary_join_element_wise(
-                pa.array(["u\x00"] * len(left), pa.string()), left, ""
-            ).to_pylist(),
-            dtype=object,
-        )
-        c2 = lm_map.lookup(g)       # missing bigram -> 0 (the +1 smoothing path)
-        c1 = lm_map.lookup(w1)      # w1 always present: LM learned from this corpus
+        # dictionary-encoded probes (unique-dictionary object hop only)
+        c2 = lm_map.lookup_tokens(grams, "b\x00")  # missing bigram -> 0 (+1)
+        c1 = lm_map.lookup_tokens(left, "u\x00")   # always present (from corpus)
         nll = -np.log((c2 + 1.0) / (c1 + v))
         keep = lens > 0
         bounds = np.concatenate([[0], np.cumsum(lens[keep])])
@@ -4310,20 +4299,10 @@ def dsir_importance_weights(sf_dir: str, target_lang: str = "en"):
                  "log_w": pa.array([], pa.float64()),
                  "n_tokens": pa.array([], pa.int64())}
             )
-        # Arrow join kernel for the prefixed keys (the doc_perplexity
-        # pattern) — no per-token Python string concatenation
-        r_keys = np.asarray(
-            pc.binary_join_element_wise(
-                pa.array(["r\x00"] * len(tokens), pa.string()), tokens, ""
-            ).to_pylist(), dtype=object,
-        )
-        t_keys = np.asarray(
-            pc.binary_join_element_wise(
-                pa.array(["t\x00"] * len(tokens), pa.string()), tokens, ""
-            ).to_pylist(), dtype=object,
-        )
-        c_raw = cnt_map.lookup(r_keys)  # always present: learned from corpus
-        c_tgt = cnt_map.lookup(t_keys)  # missing in target -> 0 (+1 smooth)
+        # dictionary-encoded probe: only the unique token dictionary
+        # round-trips to object keys, not the full stream
+        c_raw = cnt_map.lookup_tokens(tokens, "r\x00")  # always present
+        c_tgt = cnt_map.lookup_tokens(tokens, "t\x00")  # missing -> 0 (+1)
         ll = np.log((c_tgt + 1.0) / (t_tgt + v)) - np.log(
             (c_raw + 1.0) / (t_raw + v)
         )

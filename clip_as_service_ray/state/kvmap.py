@@ -55,6 +55,32 @@ class ShardedFloatMap:
         self.default = float(default)
         self.n_shards = len(shard_refs)
 
+    def lookup_tokens(self, tokens, prefix: str = "") -> np.ndarray:
+        """Arrow-native probe for a (highly repetitive) token stream:
+        dictionary-encode, materialize ONLY the unique dictionary as
+        object keys (optionally prefixed via the Arrow join kernel), probe
+        once per unique, scatter per token. Value-identical to probing
+        every token directly; the per-batch object hop shrinks from
+        n_tokens to n_unique (VERDICT r04 item 6)."""
+        import pyarrow.compute as pc
+
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        if len(tokens) == 0:
+            return np.empty(0, np.float64)
+        d = (
+            tokens
+            if pa.types.is_dictionary(tokens.type)
+            else tokens.dictionary_encode()
+        )
+        uniq = d.dictionary.cast(pa.string())
+        if prefix:
+            uniq = pc.binary_join_element_wise(
+                pa.array([prefix] * len(uniq), pa.string()), uniq, ""
+            )
+        per_uniq = self.lookup(np.asarray(uniq.to_pylist(), dtype=object))
+        return per_uniq[d.indices.to_numpy().astype(np.int64)]
+
     def lookup(self, needles: np.ndarray) -> np.ndarray:
         out = np.full(len(needles), self.default, dtype=np.float64)
         if len(needles) == 0 or self.n_shards == 0:

@@ -45,3 +45,35 @@ def test_empty_map(ray_session):
     m = build_sharded_float_map(ds, default=7.0)
     assert m.n_shards == 0
     assert m.lookup(np.asarray(["x"], dtype=object)).tolist() == [7.0]
+
+
+def test_lookup_tokens_matches_direct_probe(ray_session):
+    """lookup_tokens (dictionary-encoded Arrow probe) is value-identical
+    to prefixing + probing every token directly, including misses and the
+    prefix path; dictionary-typed input short-circuits the encode."""
+    import pyarrow as pa
+
+    m = build_sharded_float_map(_ds(800, 7), default=0.0)
+    rng = np.random.default_rng(11)
+    toks = [f"k{int(i):05d}" for i in rng.integers(0, 1200, 500)]
+    arr = pa.array(toks, pa.string())
+    direct = m.lookup(np.asarray(toks, dtype=object))
+    np.testing.assert_array_equal(m.lookup_tokens(arr), direct)
+    np.testing.assert_array_equal(
+        m.lookup_tokens(arr.dictionary_encode()), direct
+    )
+    np.testing.assert_array_equal(
+        m.lookup_tokens(pa.chunked_array([arr[:200], arr[200:]])), direct
+    )
+    # prefix path: probe "u\x00"-prefixed keys against a prefixed map
+    import ray.data
+
+    ds = ray.data.from_items(
+        [{"key": f"u\x00k{i:05d}", "val": float(i)} for i in range(100)]
+    )
+    mp = build_sharded_float_map(ds, default=-1.0)
+    want = mp.lookup(
+        np.asarray([f"u\x00{t}" for t in toks], dtype=object)
+    )
+    np.testing.assert_array_equal(mp.lookup_tokens(arr, "u\x00"), want)
+    assert m.lookup_tokens(pa.array([], pa.string())).tolist() == []
