@@ -536,16 +536,22 @@ class SearchHTTPServer:
                 try:
                     n = int(self.headers.get("Content-Length", "0"))
                     payload = json.loads(self.rfile.read(n) or b"{}")
+                    # per-request trace context on EVERY endpoint (VERDICT
+                    # r04 item 5): client X-Request-Id wins, id echoes on
+                    # the response, spans land in the /trace/<id> store
+                    rid = self.headers.get("X-Request-Id") or new_request_id()
+                    timer = SpanTimer()
+                    rid_hdr = {"X-Request-Id": rid}
                     if self.path == "/analyze":
                         # ES _analyze analog: the index's tokenize + analyzer
                         # fold chain applied to arbitrary text. Positions
                         # number the SURVIVING stream (the same numbering the
                         # positional index stores: stop-dropped tokens leave
                         # no gaps).
-                        self._send(
-                            200,
-                            _analyze_payload(payload, stats.get("analyzer")),
-                        )
+                        with timer.span("analyze"):
+                            body = _analyze_payload(payload, stats.get("analyzer"))
+                        traces.record(rid, "/analyze", timer.finish())
+                        self._send(200, body, rid_hdr)
                         metrics.inc("analyze_requests_total")
                         return
                     if self.path in ("/suggest", "/complete"):
@@ -553,65 +559,79 @@ class SearchHTTPServer:
                         # (edit-distance + df prior) / prefix autocomplete
                         t0 = time.time()
                         k = int(payload.get("k", 5))
-                        if self.path == "/suggest":
-                            flat = service.suggest(
-                                _queries_table(payload),
-                                max_dist=int(payload.get("max_dist", 2)),
-                                k=k,
-                            )
-                        else:
-                            flat = service.complete(_queries_table(payload), k=k)
+                        with timer.span("parse"):
+                            qt = _queries_table(payload)
+                        with timer.span("assist"):
+                            if self.path == "/suggest":
+                                flat = service.suggest(
+                                    qt,
+                                    max_dist=int(payload.get("max_dist", 2)),
+                                    k=k,
+                                )
+                            else:
+                                flat = service.complete(qt, k=k)
                         metrics.observe("assist_latency", time.time() - t0)
                         metrics.inc("assist_requests_total")
-                        rows: dict[int, list] = {}
-                        for row in flat.to_pylist():
-                            rows.setdefault(row.pop("query_id"), []).append(row)
-                        self._send(200, {"suggestions": [
-                            {"query_id": qid, "terms": rows.get(qid, [])}
-                            for qid in _qid_list(payload)
-                        ]})
+                        with timer.span("serialize"):
+                            rows: dict[int, list] = {}
+                            for row in flat.to_pylist():
+                                rows.setdefault(row.pop("query_id"), []).append(row)
+                            body = {"suggestions": [
+                                {"query_id": qid, "terms": rows.get(qid, [])}
+                                for qid in _qid_list(payload)
+                            ]}
+                        traces.record(rid, self.path, timer.finish())
+                        self._send(200, body, rid_hdr)
                         return
                     if self.path == "/encode":
                         # sparse BM25 vectors: [{term: weight, ...}] per text
                         t0 = time.time()
-                        flat = service.encode(_queries_table(payload))
+                        with timer.span("parse"):
+                            qt = _queries_table(payload)
+                        with timer.span("encode"):
+                            flat = service.encode(qt)
                         metrics.observe("encode_latency", time.time() - t0)
                         metrics.inc("encode_requests_total")
-                        vecs: dict[int, dict] = {}
-                        for qid, term, wt in zip(
-                            flat.column("query_id").to_pylist(),
-                            flat.column("term").to_pylist(),
-                            flat.column("weight").to_pylist(),
-                        ):
-                            vecs.setdefault(qid, {})[term] = wt
-                        self._send(200, {"vectors": [
-                            {"query_id": qid, "vector": vecs.get(qid, {})}
-                            for qid in _qid_list(payload)
-                        ]})
+                        with timer.span("serialize"):
+                            vecs: dict[int, dict] = {}
+                            for qid, term, wt in zip(
+                                flat.column("query_id").to_pylist(),
+                                flat.column("term").to_pylist(),
+                                flat.column("weight").to_pylist(),
+                            ):
+                                vecs.setdefault(qid, {})[term] = wt
+                            body = {"vectors": [
+                                {"query_id": qid, "vector": vecs.get(qid, {})}
+                                for qid in _qid_list(payload)
+                            ]}
+                        traces.record(rid, "/encode", timer.finish())
+                        self._send(200, body, rid_hdr)
                         return
                     if self.path == "/rank":
                         # set_rank over PROVIDED candidates (helper.py:89-124)
                         t0 = time.time()
-                        ranked = service.rank(*_rank_tables(payload))
+                        with timer.span("rank"):
+                            ranked = service.rank(*_rank_tables(payload))
                         metrics.observe("rank_latency", time.time() - t0)
                         metrics.inc("rank_requests_total")
-                        self._send(200, {"hits": ranked.to_pylist()})
+                        traces.record(rid, "/rank", timer.finish())
+                        self._send(200, {"hits": ranked.to_pylist()}, rid_hdr)
                         return
                     if self.path == "/explain":
                         # Lucene-explain analog: per-term score breakdown
-                        out = service.explain(
-                            str(payload.get("text", "")),
-                            str(payload["conv_id"]),
-                            int(payload.get("turn_idx", 0)),
-                        )
+                        with timer.span("explain"):
+                            out = service.explain(
+                                str(payload.get("text", "")),
+                                str(payload["conv_id"]),
+                                int(payload.get("turn_idx", 0)),
+                            )
                         metrics.inc("explain_requests_total")
+                        traces.record(rid, "/explain", timer.finish())
                         if out is None:
-                            self._send(404, {"error": "document not indexed"})
+                            self._send(404, {"error": "document not indexed"}, rid_hdr)
                         else:
-                            self._send(200, out)
+                            self._send(200, out, rid_hdr)
                         return
-                    rid = self.headers.get("X-Request-Id") or new_request_id()
-                    timer = SpanTimer()
                     t0 = time.time()
                     with timer.span("parse"):
                         qt = _queries_table(
@@ -1019,25 +1039,39 @@ class SegmentedSearchHTTPServer:
                         if svc is None:
                             self._send(503, {"error": "index empty"})
                             return
+                        from clip_as_service_ray.pipelines.tracing import (
+                            SpanTimer,
+                            new_request_id,
+                        )
+
+                        rid = (self.headers.get("X-Request-Id")
+                               or new_request_id())
+                        timer = SpanTimer()
                         t0 = time.time()
                         k = int(payload.get("k", 5))
-                        if self.path == "/suggest":
-                            flat = svc.suggest(
-                                _queries_table(payload),
-                                max_dist=int(payload.get("max_dist", 2)),
-                                k=k,
-                            )
-                        else:
-                            flat = svc.complete(_queries_table(payload), k=k)
+                        with timer.span("assist"):
+                            if self.path == "/suggest":
+                                flat = svc.suggest(
+                                    _queries_table(payload),
+                                    max_dist=int(payload.get("max_dist", 2)),
+                                    k=k,
+                                )
+                            else:
+                                flat = svc.complete(
+                                    _queries_table(payload), k=k
+                                )
                         metrics.observe("assist_latency", time.time() - t0)
                         metrics.inc("assist_requests_total")
-                        rows: dict[int, list] = {}
-                        for row in flat.to_pylist():
-                            rows.setdefault(row.pop("query_id"), []).append(row)
-                        self._send(200, {"suggestions": [
-                            {"query_id": qid, "terms": rows.get(qid, [])}
-                            for qid in _qid_list(payload)
-                        ]})
+                        with timer.span("serialize"):
+                            rows: dict[int, list] = {}
+                            for row in flat.to_pylist():
+                                rows.setdefault(row.pop("query_id"), []).append(row)
+                            body = {"suggestions": [
+                                {"query_id": qid, "terms": rows.get(qid, [])}
+                                for qid in _qid_list(payload)
+                            ]}
+                        outer.traces.record(rid, self.path, timer.finish())
+                        self._send(200, body, {"X-Request-Id": rid})
                     elif self.path == "/phrase":
                         psvc = outer._phrase_svc  # read once: writes swap it
                         if psvc is None:
@@ -1048,14 +1082,26 @@ class SegmentedSearchHTTPServer:
                                           "write in progress)"},
                             )
                             return
-                        t0 = time.time()
-                        hits = psvc.search(
-                            _queries_table(payload, with_window=True)
+                        from clip_as_service_ray.pipelines.tracing import (
+                            SpanTimer,
+                            new_request_id,
                         )
+
+                        rid = (self.headers.get("X-Request-Id")
+                               or new_request_id())
+                        timer = SpanTimer()
+                        t0 = time.time()
+                        with timer.span("parse"):
+                            qt = _queries_table(payload, with_window=True)
+                        with timer.span("score"):
+                            hits = psvc.search(qt)
                         metrics.observe("phrase_latency", time.time() - t0)
                         metrics.inc("phrase_requests_total")
                         metrics.inc("phrase_hits_total", hits.num_rows)
-                        self._send(200, {"hits": hits.to_pylist()})
+                        with timer.span("serialize"):
+                            body = {"hits": hits.to_pylist()}
+                        outer.traces.record(rid, "/phrase", timer.finish())
+                        self._send(200, body, {"X-Request-Id": rid})
                     else:
                         self._send(404, {"error": f"unknown path {self.path}"})
                 except (KeyError, ValueError, json.JSONDecodeError) as e:

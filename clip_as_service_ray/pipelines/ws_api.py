@@ -135,6 +135,13 @@ class WebSocketSearchServer:
         self.positions = positions
         self.auth_token = auth_token
         self.metrics = Metrics()
+        # per-request trace context (VERDICT r04 item 5): a request's
+        # "request_id" field wins, else one is generated; the id echoes on
+        # every reply frame and {"op": "trace", "request_id": ...}
+        # retrieves the recorded spans (the WS analog of GET /trace/<id>)
+        from clip_as_service_ray.pipelines.tracing import TraceStore
+
+        self.traces = TraceStore()
         self._write_lock = threading.Lock()
         has_index = os.path.exists(os.path.join(index_root, "manifest.json"))
         self._svc = SegmentedQueryService(index_root, config) if has_index else None
@@ -432,6 +439,21 @@ class WebSocketSearchServer:
                 try:
                     msg = json.loads(payload)
                     mid = msg.get("id")
+                    from clip_as_service_ray.pipelines.tracing import (
+                        SpanTimer,
+                        new_request_id,
+                    )
+
+                    if msg.get("op") == "trace":
+                        # span retrieval by request id (GET /trace/<id> analog)
+                        tr = self.traces.get(str(msg.get("request_id", "")))
+                        out = tr if tr is not None else {
+                            "error": "unknown request id", "code": 404,
+                        }
+                        out = dict(out, id=mid)
+                        writer.write(encode_frame(json.dumps(out).encode()))
+                        await writer.drain()
+                        continue
                     fn = {
                         "search": self._do_search,
                         "encode": self._do_encode,
@@ -448,6 +470,8 @@ class WebSocketSearchServer:
                     }.get(msg.get("op"))
                     if fn is None:
                         raise ValueError(f"unknown op {msg.get('op')!r}")
+                    rid = str(msg.get("request_id") or new_request_id())
+                    timer = SpanTimer()
                     chunk = int(msg.get("stream", 0) or 0)
                     # NOTE: compare the op string, not `fn is self._do_search`
                     # — bound-method attribute access creates a fresh object
@@ -463,17 +487,24 @@ class WebSocketSearchServer:
                         ] or [[]]
                         for k, part in enumerate(parts):
                             sub = dict(msg, queries=part)
-                            out = await loop.run_in_executor(
-                                None, self._do_search, sub
-                            )
+                            with timer.span(f"chunk{k}"):
+                                out = await loop.run_in_executor(
+                                    None, self._do_search, sub
+                                )
                             out.update(
-                                {"id": mid, "seq": k, "final": k == len(parts) - 1}
+                                {"id": mid, "seq": k,
+                                 "final": k == len(parts) - 1,
+                                 "request_id": rid}
                             )
                             writer.write(encode_frame(json.dumps(out).encode()))
                             await writer.drain()
+                        self.traces.record(rid, "search", timer.finish())
                         continue
-                    out = await loop.run_in_executor(None, fn, msg)
+                    with timer.span(str(msg.get("op"))):
+                        out = await loop.run_in_executor(None, fn, msg)
+                    self.traces.record(rid, str(msg.get("op")), timer.finish())
                     out["id"] = mid
+                    out["request_id"] = rid
                 except (KeyError, ValueError, json.JSONDecodeError) as e:
                     out = {"id": None, "error": str(e), "code": 400}
                     self.metrics.inc("error_responses_total")
@@ -613,7 +644,8 @@ class AsyncSearchClient:
 
     async def asearch(self, queries: list[dict], *, mode: str = "", stream: int = 0,
                       fuzzy_dist: int = 2, batch_size: int | None = None,
-                      on_done=None, on_error=None, on_always=None):
+                      on_done=None, on_error=None, on_always=None,
+                      request_id: str | None = None):
         if on_done or on_error or on_always or batch_size:
             if stream:
                 raise ValueError("stream and per-batch callbacks are exclusive")
@@ -629,6 +661,8 @@ class AsyncSearchClient:
         if mode:
             msg["mode"] = mode
             msg["fuzzy_dist"] = fuzzy_dist
+        if request_id:
+            msg["request_id"] = request_id  # trace-context propagation
         if stream:
             msg["stream"] = int(stream)
             self._next_id += 1
@@ -676,8 +710,17 @@ class AsyncSearchClient:
             )
         return (await self._call({"op": "rank", "queries": queries}))["hits"]
 
-    async def aphrase(self, queries: list[dict]):
-        return (await self._call({"op": "phrase", "queries": queries}))["hits"]
+    async def aphrase(self, queries: list[dict],
+                      request_id: str | None = None):
+        msg = {"op": "phrase", "queries": queries}
+        if request_id:
+            msg["request_id"] = request_id
+        return (await self._call(msg))["hits"]
+
+    async def atrace(self, request_id: str) -> dict:
+        """Span list of a past request by id (GET /trace/<id> analog);
+        raises ValueError for an unknown id."""
+        return await self._call({"op": "trace", "request_id": request_id})
 
     async def aexplain(
         self, text: str, conv_id: str, turn_idx: int = 0

@@ -123,3 +123,133 @@ def test_segmented_server_trace(ray_session, tmp_path):
             "parse", "score", "serialize", "total"]
     finally:
         srv.shutdown()
+
+
+def test_http_all_endpoints_traced(ray_session, tmp_path):
+    """VERDICT r04 item 5: /suggest, /complete, /encode, /rank, /explain,
+    /analyze all record spans retrievable by request id."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.http_api import SearchHTTPServer
+    from clip_as_service_ray.sources.transcripts import synthesize_transcripts
+
+    idx = str(tmp_path / "idx")
+    build_index(synthesize_transcripts(300, seed=5), idx, CFG, overwrite=True)
+    srv = SearchHTTPServer(idx, CFG)
+
+    def post(path, payload, rid):
+        req = urllib.request.Request(
+            srv.url + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json", "X-Request-Id": rid},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.headers["X-Request-Id"] == rid
+            return json.loads(r.read())
+
+    try:
+        qs = {"queries": [{"query_id": 0, "text": "merge window"}]}
+        for path, payload, want_span in [
+            ("/suggest", dict(qs, k=3), "assist"),
+            ("/complete", dict(qs, k=3), "assist"),
+            ("/encode", qs, "encode"),
+            ("/analyze", {"text": "Merge WINDOW"}, "analyze"),
+        ]:
+            rid = f"rid-{path.strip('/')}"
+            post(path, payload, rid)
+            with urllib.request.urlopen(srv.url + f"/trace/{rid}",
+                                        timeout=10) as r:
+                tr = json.loads(r.read())
+            assert tr["endpoint"] == path
+            names = [s["name"] for s in tr["spans"]]
+            assert want_span in names and names[-1] == "total", (path, names)
+    finally:
+        srv.shutdown()
+
+
+def test_segmented_phrase_and_suggest_traced(ray_session, tmp_path):
+    from clip_as_service_ray.pipelines.http_api import SegmentedSearchHTTPServer
+
+    srv = SegmentedSearchHTTPServer(
+        str(tmp_path / "segroot"), CFG, positions=True
+    )
+
+    def post(path, payload, rid):
+        req = urllib.request.Request(
+            srv.url + path, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json", "X-Request-Id": rid},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.headers["X-Request-Id"] == rid
+            return json.loads(r.read())
+
+    try:
+        req = urllib.request.Request(
+            srv.url + "/index",
+            data=json.dumps({"turns": [
+                {"conv_id": "convw", "turn_idx": 0, "role": "user",
+                 "text": "merge the stream window"}]}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120):
+            pass
+        out = post("/phrase", {"queries": [
+            {"query_id": 0, "text": "stream window", "limit": 5}]},
+            "rid-phrase")
+        assert out["hits"]
+        with urllib.request.urlopen(srv.url + "/trace/rid-phrase",
+                                    timeout=10) as r:
+            tr = json.loads(r.read())
+        assert tr["endpoint"] == "/phrase"
+        assert [s["name"] for s in tr["spans"]] == [
+            "parse", "score", "serialize", "total"]
+        post("/suggest", {"queries": [
+            {"query_id": 0, "text": "mergg"}], "k": 2}, "rid-sg")
+        with urllib.request.urlopen(srv.url + "/trace/rid-sg",
+                                    timeout=10) as r:
+            assert json.loads(r.read())["endpoint"] == "/suggest"
+    finally:
+        srv.shutdown()
+
+
+def test_ws_trace(ray_session, tmp_path):
+    import asyncio
+
+    from clip_as_service_ray.pipelines.ws_api import (
+        AsyncSearchClient,
+        WebSocketSearchServer,
+    )
+
+    srv = WebSocketSearchServer(str(tmp_path / "wsroot"), CFG)
+    try:
+        async def main():
+            c = await AsyncSearchClient(srv.url).connect()
+            await c.aindex([{"conv_id": "convw", "turn_idx": 0,
+                             "role": "user", "text": "merge the window"}])
+            hits = await c.asearch(
+                [{"query_id": 0, "text": "merge window", "limit": 5}],
+                request_id="ws-rid-1",
+            )
+            assert hits
+            tr = await c.atrace("ws-rid-1")
+            assert tr["request_id"] == "ws-rid-1"
+            assert tr["endpoint"] == "search"
+            assert [s["name"] for s in tr["spans"]] == ["search", "total"]
+            # streamed search records one span per chunk
+            chunks = await c.asearch(
+                [{"query_id": i, "text": "merge", "limit": 2}
+                 for i in range(4)],
+                stream=2, request_id="ws-rid-2",
+            )
+            assert all(ch["request_id"] == "ws-rid-2" for ch in chunks)
+            tr = await c.atrace("ws-rid-2")
+            assert [s["name"] for s in tr["spans"]] == [
+                "chunk0", "chunk1", "total"]
+            try:
+                await c.atrace("nope")
+                raise AssertionError("expected unknown-id error")
+            except ValueError as e:
+                assert "unknown request id" in str(e)
+            await c.aclose()
+
+        asyncio.run(main())
+    finally:
+        srv.shutdown()

@@ -35,7 +35,8 @@ def test_websocket_lifecycle(ray_session, tmp_path):
                     _turn("convy", "merge merge window"),
                 ]
             )
-            assert out == {"n_segments": 1, "n_docs": 3, "id": out["id"]}
+            assert out == {"n_segments": 1, "n_docs": 3, "id": out["id"],
+                           "request_id": out["request_id"]}
 
             hits = await c.asearch(
                 [{"query_id": 0, "text": "merge window", "limit": 5}]
