@@ -518,9 +518,11 @@ def exact_dedup(sf_dir: str):
     from ray.data.aggregate import Count, Min
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
-        h1 = pd.util.hash_array(texts, hash_key="cas_ray_dedup_01")
-        h2 = pd.util.hash_array(texts, hash_key="cas_ray_dedup_02")
+        # buffer-level vectorized hash (functions/strhash.py) — no
+        # per-batch object-array hop; flagged by the 24M rehearsal
+        from clip_as_service_ray.functions.strhash import hash_utf8_pair
+
+        h1, h2 = hash_utf8_pair(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -2024,9 +2026,9 @@ def training_data_pipeline(sf_dir: str, sample_mod: int = 97, sample_keep: int =
     docs = ray.data.read_parquet(path, columns=["doc_id", "text", "source"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
-        h1 = pd.util.hash_array(texts, hash_key="cas_ray_dedup_01")
-        h2 = pd.util.hash_array(texts, hash_key="cas_ray_dedup_02")
+        from clip_as_service_ray.functions.strhash import hash_utf8_pair
+
+        h1, h2 = hash_utf8_pair(batch.column("text"))
         return pa.table(
             {"doc_id": batch.column("doc_id"),
              "h1": pa.array(h1.view(np.int64), pa.int64()),
@@ -12561,3 +12563,141 @@ def events_daily_percent_of_total(sf_dir: str):
             ),
         }
     )
+
+
+def render_sft_conversations(
+    sf_dir: str, group_size: int = 8, max_chars: int = 2400,
+):
+    """SFT conversation assembly — the chat-template rendering step of an
+    instruction-tuning data pipeline (each conversation becomes ONE
+    training string). Documents grouped ``group_size``-per-conversation
+    (the block-join layout: conv = doc_id // G, turn = doc_id % G), roles
+    alternate user/assistant by turn parity, render =
+    ``<|role|>text`` parts concatenated in turn order. Conversations whose
+    rendered length exceeds ``max_chars`` drop (the context-window gate) —
+    an integer codepoint-count boundary on both sides.
+
+    Distributed shape: the one unavoidable shuffle moves each text exactly
+    once, keyed by conversation (assembly NEEDS co-located turns); part
+    strings are built vectorized per batch BEFORE the shuffle, and each
+    group's output is a single row, so the wide stage emits one row per
+    conversation."""
+
+    def parts(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        turn = ids % group_size
+        role = np.where(turn % 2 == 0, "<|user|>", "<|assistant|>")
+        part = pc.binary_join_element_wise(
+            pa.array(role, pa.string()), batch.column("text"), ""
+        )
+        return pa.table(
+            {"conv_id": pa.array(ids // group_size, pa.int64()),
+             "turn": pa.array(turn, pa.int64()),
+             "part": part}
+        )
+
+    def render(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"conv_id": pa.array([], pa.int64()),
+             "n_turns": pa.array([], pa.int64()),
+             "n_chars": pa.array([], pa.int64()),
+             "rendered": pa.array([], pa.string())}
+        )
+        o = np.argsort(group.column("turn").to_numpy(), kind="stable")
+        texts = group.column("part").to_pylist()
+        s = "".join(texts[i] for i in o)
+        if len(s) > max_chars:  # len() counts codepoints, like SQL length()
+            return empty
+        return pa.table(
+            {"conv_id": pa.array([group.column("conv_id")[0].as_py()], pa.int64()),
+             "n_turns": pa.array([len(o)], pa.int64()),
+             "n_chars": pa.array([len(s)], pa.int64()),
+             "rendered": pa.array([s], pa.string())}
+        )
+
+    return (
+        _documents(sf_dir)
+        .map_batches(parts, batch_format="pyarrow")
+        .groupby("conv_id", num_partitions=_nparts(sf_dir))
+        .map_groups(render, batch_format="pyarrow")
+    )
+
+
+def gopher_repetition_signals(sf_dir: str, dup_n: int = 3):
+    """Gopher n-gram repetition rules (Rae et al. 2021 Table A1 — the
+    half of the repetition family ``doc_repetition``'s unigram stats do
+    not cover): per doc, for n in {2,3,4} the fraction of characters
+    covered by the highest-coverage n-gram (count x gram char length,
+    deterministic under count ties), and for n = 5 the occurrence-weighted
+    fraction of characters in DUPLICATED n-grams (sum of count x chars
+    over grams appearing >= 2 times). Character length = token codepoints,
+    no separators; fractions round(6).
+
+    Embarrassingly parallel: docs never span batches, so one vectorized
+    pass per batch and NO shuffle. Per-batch n-gram grouping is exact
+    lexsort over (doc, code_0..code_{n-1}) dictionary-code columns — no
+    polynomial key, so it cannot overflow at any vocabulary size."""
+    NS = (2, 3, 4)
+    DUP_N = int(dup_n)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy()
+        tokens, lens = tokenize_column_flat(batch.column("text"))
+        ndocs = len(doc_ids)
+        top = {n: np.zeros(ndocs, np.float64) for n in NS}
+        dup = np.zeros(ndocs, np.float64)
+        total_chars = np.zeros(ndocs, np.float64)
+        if len(tokens):
+            d = tokens.dictionary_encode()
+            codes = d.indices.to_numpy().astype(np.int64)
+            tlen = pc.utf8_length(d.dictionary).to_numpy().astype(np.int64)
+            tok_doc = np.repeat(np.arange(ndocs), lens)
+            tok_chars = tlen[codes]
+            total_chars = np.bincount(
+                tok_doc, weights=tok_chars, minlength=ndocs
+            )
+            m = len(codes)
+            for n in sorted(set(NS + (DUP_N,))):
+                if m < n:
+                    continue
+                idx = np.arange(m - n + 1)
+                valid = tok_doc[idx] == tok_doc[idx + n - 1]
+                vi = idx[valid]
+                if len(vi) == 0:
+                    continue
+                cols = [codes[vi + j] for j in range(n)]
+                docv = tok_doc[vi]
+                gch = np.zeros(len(vi), np.int64)
+                for j in range(n):
+                    gch += tok_chars[vi + j]
+                order = np.lexsort(tuple(reversed(cols)) + (docv,))
+                arr = np.stack([docv[order]] + [c[order] for c in cols])
+                change = np.any(arr[:, 1:] != arr[:, :-1], axis=0)
+                run_starts = np.concatenate([[0], np.nonzero(change)[0] + 1])
+                run_counts = np.diff(np.append(run_starts, len(vi)))
+                run_doc = docv[order][run_starts]
+                cov = run_counts * gch[order][run_starts]
+                if n in NS:
+                    np.maximum.at(top[n], run_doc, cov.astype(np.float64))
+                if n == DUP_N:
+                    dmask = run_counts >= 2
+                    np.add.at(
+                        dup, run_doc[dmask], cov[dmask].astype(np.float64)
+                    )
+        safe = np.where(total_chars > 0, total_chars, 1.0)
+        out = {"doc_id": pa.array(doc_ids, pa.int64()),
+               "n_tokens": pa.array(lens.astype(np.int64), pa.int64())}
+        # _sql_round: the quotients are dyadic rationals whenever
+        # total_chars is a power of two, and exact 6dp halves DO occur
+        # (17/128) — DuckDB half-away vs np.round half-even would flip
+        # the last digit
+        for n in NS:
+            out[f"top{n}_frac"] = pa.array(
+                _sql_round(top[n] / safe, 6), pa.float64()
+            )
+        out[f"dup{DUP_N}_frac"] = pa.array(
+            _sql_round(dup / safe, 6), pa.float64()
+        )
+        return pa.table(out)
+
+    return _documents(sf_dir).map_batches(stats, batch_format="pyarrow")
