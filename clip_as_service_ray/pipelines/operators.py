@@ -518,11 +518,16 @@ def exact_dedup(sf_dir: str):
     from ray.data.aggregate import Count, Min
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        # buffer-level vectorized hash (functions/strhash.py) — no
-        # per-batch object-array hop; flagged by the 24M rehearsal
-        from clip_as_service_ray.functions.strhash import hash_utf8_pair
-
-        h1, h2 = hash_utf8_pair(batch.column("text"))
+        # NOTE (24M rehearsal, round 5): a buffer-level vectorized hash
+        # was 4.8x faster single-process but 3-4x SLOWER inside the Ray
+        # pipeline on this box (temporary-matrix first-touch + per-length
+        # block overhead at real batch shapes) — measured old 3.2-4.8 s vs
+        # new 14.2-14.3 s for the full 24M hash stage, reversed-order
+        # controlled. The object-array path stays; the dedup leg's cost
+        # is the groupby exchange, not this map.
+        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
+        h1 = pd.util.hash_array(texts, hash_key="cas_ray_dedup_01")
+        h2 = pd.util.hash_array(texts, hash_key="cas_ray_dedup_02")
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -2026,9 +2031,10 @@ def training_data_pipeline(sf_dir: str, sample_mod: int = 97, sample_keep: int =
     docs = ray.data.read_parquet(path, columns=["doc_id", "text", "source"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        from clip_as_service_ray.functions.strhash import hash_utf8_pair
-
-        h1, h2 = hash_utf8_pair(batch.column("text"))
+        # object-array path kept deliberately — see exact_dedup's note
+        texts = np.asarray(batch.column("text").to_pylist(), dtype=object)
+        h1 = pd.util.hash_array(texts, hash_key="cas_ray_dedup_01")
+        h2 = pd.util.hash_array(texts, hash_key="cas_ray_dedup_02")
         return pa.table(
             {"doc_id": batch.column("doc_id"),
              "h1": pa.array(h1.view(np.int64), pa.int64()),
