@@ -314,6 +314,7 @@ def huffman_encode(raw: bytes) -> bytes:
         while nbits >= 8:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1  # drop flushed bits: keep acc bounded
     if nbits:
         pad = 8 - nbits
         out.append(((acc << pad) | ((1 << pad) - 1)) & 0xFF)

@@ -12609,6 +12609,8 @@ def render_sft_conversations(
              "n_chars": pa.array([], pa.int64()),
              "rendered": pa.array([], pa.string())}
         )
+        if group.num_rows == 0:
+            return empty
         o = np.argsort(group.column("turn").to_numpy(), kind="stable")
         texts = group.column("part").to_pylist()
         s = "".join(texts[i] for i in o)
