@@ -198,6 +198,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the round-3 batch), entries hash-green in CORRECTNESS_r02 are
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
+        "events_rate": ops.events_rate,
+        "events_bucket_script": ops.events_bucket_script,
+        "events_date_range": ops.events_date_range,
+        "events_multi_terms": ops.events_multi_terms,
         "bm25_topk_common_terms": ops.bm25_topk_common_terms,
         "events_daily_percent_of_total": ops.events_daily_percent_of_total,
         "events_monthly_histogram": ops.events_monthly_histogram,
@@ -452,6 +456,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # this rotation the never-driver-checked backlog is 30 entries (7 of
     # them rows-only by nature). Everything else keeps its literal order.
     _DRIVER_HEAD = [
+        # round-5 second-session additions (freshest code first)
+        "events_rate", "events_bucket_script", "events_date_range",
+        "events_multi_terms",
         "dsir_importance_weights", "semdedup_keep",
         "ccnet_perplexity_buckets", "bm25_topk_has_parent",
         "bm25_topk_bool_prefix", "frequent_itemsets",
@@ -469,8 +476,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_msm", "bm25_topk_collapsed", "bm25_topk_page2",
         "nation_market_share_q8", "nation_year_profit_q9",
         "customer_order_distribution_q13", "supplier_part_variety_q16",
-        "events_cube", "pack_sequences", "ann_range_search",
-        "bm25_topk_plus_segmented",
+        # events_cube / pack_sequences / ann_range_search /
+        # bm25_topk_plus_segmented rotate behind the cap to make room for
+        # the second-session additions (they stay green via the local
+        # full-board check_oracle run)
         # round-5 additions (fresh code gets the external oracle first;
         # percolate_documents / duplicate_passages rotate behind the cap)
         "render_sft_conversations", "gopher_repetition_signals",
@@ -895,6 +904,57 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS cnt FROM events GROUP BY day) "
             "SELECT day, cnt, (cnt - lag(cnt) OVER (ORDER BY day))::BIGINT "
             "AS deriv FROM d ORDER BY day"
+        ),
+        "events_rate": (
+            # ES rate agg (unit=hour, bucket=day): counts exact, value sums
+            # in integer cents, divides round 6 (engine uses _sql_round)
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "count(*)::BIGINT AS cnt, "
+            "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents "
+            "FROM events GROUP BY day) "
+            "SELECT day, cnt, round(cnt / 24.0, 6)::DOUBLE AS events_per_hour, "
+            "round(cents / 100.0 / 24.0, 6)::DOUBLE AS value_per_hour "
+            "FROM d ORDER BY day"
+        ),
+        "events_bucket_script": (
+            # ES bucket_script + bucket_selector: purchase/click ratio per
+            # day, keep iff purchases*20 > clicks*19 (exact-integer > 0.95)
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT "
+            "AS purchases, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT "
+            "AS clicks FROM events GROUP BY day) "
+            "SELECT day, purchases, clicks, "
+            "round(purchases::DOUBLE / clicks, 6)::DOUBLE AS ratio "
+            "FROM d WHERE purchases * 20 > clicks * 19 AND clicks > 0 "
+            "ORDER BY day"
+        ),
+        "events_date_range": (
+            # ES date_range agg: half-open [from, to) buckets, exact int64
+            # epoch comparisons, value sums in integer cents
+            "WITH r AS ("
+            "SELECT 0::BIGINT AS bucket, NULL::TIMESTAMP AS from_ts, "
+            "TIMESTAMP '2024-01-11 00:00:00' AS to_ts "
+            "UNION ALL SELECT 1::BIGINT, TIMESTAMP '2024-01-11 00:00:00', "
+            "TIMESTAMP '2024-01-21 00:00:00' "
+            "UNION ALL SELECT 2::BIGINT, TIMESTAMP '2024-01-21 00:00:00', "
+            "NULL::TIMESTAMP) "
+            "SELECT r.bucket, r.from_ts, r.to_ts, count(e.ts)::BIGINT AS cnt, "
+            "(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) / 100.0)::DOUBLE "
+            "AS sum_value "
+            "FROM r LEFT JOIN events e ON "
+            "(r.from_ts IS NULL OR e.ts >= r.from_ts) "
+            "AND (r.to_ts IS NULL OR e.ts < r.to_ts) "
+            "GROUP BY r.bucket, r.from_ts, r.to_ts ORDER BY r.bucket"
+        ),
+        "events_multi_terms": (
+            # ES multi_terms agg on (event_type, user_id % 10), doc_count
+            # DESC, full deterministic tie-break, top 20 — all integer
+            "SELECT event_type, (user_id % 10)::BIGINT AS user_bucket, "
+            "count(*)::BIGINT AS doc_count FROM events "
+            "GROUP BY event_type, user_bucket "
+            "ORDER BY doc_count DESC, event_type ASC, user_bucket ASC "
+            "LIMIT 20"
         ),
         "bm25_topk_pinned": (
             # ES pinned query: ids (42, 7) take ranks 0,1 in listed order

@@ -12709,3 +12709,225 @@ def gopher_repetition_signals(sf_dir: str, dup_n: int = 3):
         return pa.table(out)
 
     return _documents(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+def events_rate(sf_dir: str):
+    """ES ``rate`` aggregation inside a daily ``date_histogram``
+    (rate unit = hour, bucket = day -> value / 24): per-day event count
+    and count-rate-per-hour, plus the value-sum rate. Counts are exact
+    integers; value sums accumulate in exact integer CENTS (the events
+    fixture carries 2-dp values) so partial-sum order cannot flip a digit;
+    the final divides round 6 with ``_sql_round`` (exact 6-dp halves occur
+    for cnt divisible by lcm factors of 24). Per-batch partials shuffle
+    O(days) rows — the rate math runs on the bucket-sized result."""
+    import ray.data
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        b = (e // DAY_US) * DAY_US
+        u, inv, cnt = np.unique(b, return_inverse=True, return_counts=True)
+        return pa.table(
+            {
+                "b": pa.array(u, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                "cents": pa.array(
+                    np.bincount(inv, weights=cents).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("b", as_index=False).sum().sort_values("b")
+    cnt = agg["n"].to_numpy().astype(np.int64)
+    cents = agg["cents"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "day": pa.array(agg["b"].to_numpy().astype(np.int64), pa.timestamp("us")),
+            "cnt": pa.array(cnt, pa.int64()),
+            "events_per_hour": pa.array(
+                _sql_round(cnt / 24.0, 6), pa.float64()
+            ),
+            "value_per_hour": pa.array(
+                _sql_round(cents / 100.0 / 24.0, 6), pa.float64()
+            ),
+        }
+    )
+
+
+def events_bucket_script(sf_dir: str):
+    """ES ``bucket_script`` + ``bucket_selector`` pipeline aggregations over
+    a daily date_histogram: per-day 'purchase' and 'click' counts, a
+    derived purchase/click ratio (bucket_script), and a selector that keeps
+    only days where ``purchases * 20 > clicks * 19`` — the ratio > 0.95
+    predicate cross-multiplied into EXACT integer arithmetic so engine and
+    SQL agree on the keep set with zero float-boundary risk (the
+    ``gopher_quality_filter`` pattern). The ratio column itself rounds 6
+    via ``_sql_round`` (quotients of small integers hit exact halves)."""
+    import ray.data
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        ty = batch.column("event_type").to_numpy(zero_copy_only=False)
+        b = (e // DAY_US) * DAY_US
+        u = np.unique(b)
+        pos = np.searchsorted(u, b)
+        purch = np.bincount(pos[ty == "purchase"], minlength=len(u))
+        click = np.bincount(pos[ty == "click"], minlength=len(u))
+        keep = (purch > 0) | (click > 0)
+        return pa.table(
+            {
+                "b": pa.array(u[keep], pa.int64()),
+                "purchases": pa.array(purch[keep].astype(np.int64), pa.int64()),
+                "clicks": pa.array(click[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("b", as_index=False).sum().sort_values("b")
+    purch = agg["purchases"].to_numpy().astype(np.int64)
+    click = agg["clicks"].to_numpy().astype(np.int64)
+    sel = (purch * 20 > click * 19) & (click > 0)
+    return pa.table(
+        {
+            "day": pa.array(
+                agg["b"].to_numpy().astype(np.int64)[sel], pa.timestamp("us")
+            ),
+            "purchases": pa.array(purch[sel], pa.int64()),
+            "clicks": pa.array(click[sel], pa.int64()),
+            "ratio": pa.array(
+                _sql_round(purch[sel] / click[sel], 6), pa.float64()
+            ),
+        }
+    )
+
+
+def events_date_range(sf_dir: str):
+    """ES ``date_range`` aggregation: fixed half-open [from, to) buckets
+    (first 10 days of 2024-01 / next 10 / open-ended tail) with per-bucket
+    event count and value sum. Bucket membership is exact int64 epoch-us
+    comparison; value sums accumulate in integer cents (2-dp fixture
+    values) so the sum is order-independent and the /100 render exact.
+    Per-batch partials shuffle exactly 3 rows per batch."""
+    import ray.data
+
+    DAY_US = 86_400_000_000
+    BASE = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in epoch us
+    EDGES = [
+        (None, BASE + 10 * DAY_US),
+        (BASE + 10 * DAY_US, BASE + 20 * DAY_US),
+        (BASE + 20 * DAY_US, None),
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        ns, cs = [], []
+        for lo, hi in EDGES:
+            m = np.ones(len(e), bool)
+            if lo is not None:
+                m &= e >= lo
+            if hi is not None:
+                m &= e < hi
+            ns.append(int(m.sum()))
+            cs.append(int(cents[m].sum()))
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(len(EDGES)), pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+                "cents": pa.array(cs, pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("bucket", as_index=False).sum().sort_values("bucket")
+    cents = agg["cents"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "bucket": pa.array(agg["bucket"].to_numpy().astype(np.int64), pa.int64()),
+            "from_ts": pa.array(
+                [None if lo is None else lo for lo, _ in EDGES], pa.timestamp("us")
+            ),
+            "to_ts": pa.array(
+                [None if hi is None else hi for _, hi in EDGES], pa.timestamp("us")
+            ),
+            "cnt": pa.array(agg["n"].to_numpy().astype(np.int64), pa.int64()),
+            "sum_value": pa.array(cents / 100.0, pa.float64()),
+        }
+    )
+
+
+def events_multi_terms(sf_dir: str, k: int = 20):
+    """ES ``multi_terms`` aggregation: terms over the COMPOSITE key
+    (event_type, user_id % 10) ordered by doc_count DESC (ES default),
+    ties broken (event_type ASC, user_bucket ASC), top ``k``. All-integer:
+    per-batch partial counts on the composite key shuffle O(types * 10)
+    rows; the ordering happens on the bucket-sized result."""
+    import ray.data
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ty = batch.column("event_type").to_numpy(zero_copy_only=False)
+        ub = (batch.column("user_id").to_numpy() % 10).astype(np.int64)
+        types, tcodes = np.unique(ty, return_inverse=True)
+        key = tcodes * 10 + ub
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(types[u // 10]),
+                "user_bucket": pa.array((u % 10).astype(np.int64), pa.int64()),
+                "doc_count": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "user_id"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby(["event_type", "user_bucket"], as_index=False).sum()
+    agg = agg.sort_values(
+        ["doc_count", "event_type", "user_bucket"],
+        ascending=[False, True, True],
+        kind="mergesort",
+    ).head(k)
+    return pa.table(
+        {
+            "event_type": pa.array(agg["event_type"].tolist(), pa.string()),
+            "user_bucket": pa.array(
+                agg["user_bucket"].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "doc_count": pa.array(
+                agg["doc_count"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
