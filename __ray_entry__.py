@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the round-3 batch), entries hash-green in CORRECTNESS_r02 are
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
+        "bm25_topk_wildcard": ops.bm25_topk_wildcard,
         "events_rate": ops.events_rate,
         "events_bucket_script": ops.events_bucket_script,
         "events_date_range": ops.events_date_range,
@@ -457,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # them rows-only by nature). Everything else keeps its literal order.
     _DRIVER_HEAD = [
         # round-5 second-session additions (freshest code first)
+        "bm25_topk_wildcard",
         "events_rate", "events_bucket_script", "events_date_range",
         "events_multi_terms",
         "dsir_importance_weights", "semdedup_keep",
@@ -475,7 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf_topk", "purchase_click_asof", "bm25_topk_boosted",
         "bm25_topk_msm", "bm25_topk_collapsed", "bm25_topk_page2",
         "nation_market_share_q8", "nation_year_profit_q9",
-        "customer_order_distribution_q13", "supplier_part_variety_q16",
+        "customer_order_distribution_q13",
         # events_cube / pack_sequences / ann_range_search /
         # bm25_topk_plus_segmented rotate behind the cap to make room for
         # the second-session additions (they stay green via the local
@@ -2368,6 +2370,24 @@ def oracle_sql() -> dict[str, str]:
             "       WHERE term >= 'scan' AND term < 'sort' GROUP BY doc_id, term), "
             "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok "
             "       WHERE term >= 'scan' AND term < 'sort' GROUP BY term), "
+            "scores AS (SELECT tf.doc_id, "
+            "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
+            "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "
+            "  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id "
+            "  CROSS JOIN stats s GROUP BY tf.doc_id) "
+            "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
+            "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "bm25_topk_wildcard": (
+            # ES wildcard query s?a* -> LIKE 's_a%' over the vocabulary;
+            # engine compiles the same pattern to the regex automaton
+            "WITH tok AS (" + _TOK + "), "
+            "dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id), "
+            "stats AS (SELECT count(*)::DOUBLE AS n, avg(dl)::DOUBLE AS avgdl FROM dl), "
+            "tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok "
+            "       WHERE term LIKE 's_a%' GROUP BY doc_id, term), "
+            "df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok "
+            "       WHERE term LIKE 's_a%' GROUP BY term), "
             "scores AS (SELECT tf.doc_id, "
             "  sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) "
             "      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score "

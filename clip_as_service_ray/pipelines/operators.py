@@ -12931,3 +12931,48 @@ def events_multi_terms(sf_dir: str, k: int = 20):
             ),
         }
     )
+
+
+def _wildcard_to_regex(pattern: str) -> str:
+    """ES/Lucene wildcard -> anchored regex: ``*`` = any sequence, ``?`` =
+    any single char, everything else literal (Lucene WildcardQuery compiles
+    to the same automaton). Full-match semantics, so no anchors needed —
+    ``expand_regex`` uses ``fullmatch``."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)
+
+
+def bm25_topk_wildcard(sf_dir: str, pattern: str = "s?a*", limit: int = 10):
+    """ES ``wildcard`` term query: the pattern expands over the term
+    dictionary (``*``/``?`` translated to the regex automaton, exactly how
+    Lucene's WildcardQuery compiles) and the matched term set scores as an
+    OR query with per-term idf — identical engine path to
+    ``bm25_topk_regex``; the SQL twin uses the LIKE translation
+    (``*``->``%``, ``?``->``_``) over the same vocabulary."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.search import search_table
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    queries = pa.table(
+        {"query_id": pa.array([0], pa.int64()),
+         "text": pa.array([_wildcard_to_regex(pattern)]),
+         "limit": pa.array([limit], pa.int32())}
+    )
+    hits = search_table(index_dir, queries, cfg, regex=True)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    scores = np.round(hits.column("score").to_numpy(), 6)
+    return pa.table(
+        {"doc_id": pa.array(doc_ids, pa.int64()),
+         "score": pa.array(scores, pa.float64())}
+    )
