@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the round-3 batch), entries hash-green in CORRECTNESS_r02 are
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
+        "exact_substring_lrs": ops.exact_substring_lrs,
         "bm25_topk_wildcard": ops.bm25_topk_wildcard,
         "events_rate": ops.events_rate,
         "events_bucket_script": ops.events_bucket_script,
@@ -458,7 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # them rows-only by nature). Everything else keeps its literal order.
     _DRIVER_HEAD = [
         # round-5 second-session additions (freshest code first)
-        "bm25_topk_wildcard",
+        "exact_substring_lrs", "bm25_topk_wildcard",
         "events_rate", "events_bucket_script", "events_date_range",
         "events_multi_terms",
         "dsir_importance_weights", "semdedup_keep",
@@ -477,7 +478,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf_topk", "purchase_click_asof", "bm25_topk_boosted",
         "bm25_topk_msm", "bm25_topk_collapsed", "bm25_topk_page2",
         "nation_market_share_q8", "nation_year_profit_q9",
-        "customer_order_distribution_q13",
         # events_cube / pack_sequences / ann_range_search /
         # bm25_topk_plus_segmented rotate behind the cap to make room for
         # the second-session additions (they stay green via the local
@@ -2377,6 +2377,21 @@ def oracle_sql() -> dict[str, str]:
             "  CROSS JOIN stats s GROUP BY tf.doc_id) "
             "SELECT doc_id, round(score, 6)::DOUBLE AS score FROM scores "
             "ORDER BY scores.score DESC, doc_id ASC LIMIT 10"
+        ),
+        "exact_substring_lrs": (
+            # longest repeated token sequence: brute-force substring
+            # enumeration (viable at test scale only — the engine side is
+            # the distributed suffix array); occurrences = (doc, start)
+            # positions, overlaps counted, within-doc only
+            "WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL + "') AS ts FROM documents), "
+            "p AS (SELECT doc_id, ts, unnest(range(len(ts))) AS st FROM d), "
+            "sub AS (SELECT array_to_string(ts[st + 1 : st + ln], ' ') AS seq, "
+            "ln FROM p, unnest(range(1, len(ts) - st + 1)) AS t(ln)), "
+            "g AS (SELECT seq, ln, count(*)::BIGINT AS cnt FROM sub "
+            "GROUP BY seq, ln HAVING count(*) >= 2) "
+            "SELECT ln::BIGINT AS len, seq, cnt FROM g "
+            "ORDER BY len DESC, seq ASC LIMIT 1"
         ),
         "bm25_topk_wildcard": (
             # ES wildcard query s?a* -> LIKE 's_a%' over the vocabulary;

@@ -12976,3 +12976,33 @@ def bm25_topk_wildcard(sf_dir: str, pattern: str = "s?a*", limit: int = 10):
         {"doc_id": pa.array(doc_ids, pa.int64()),
          "score": pa.array(scores, pa.float64())}
     )
+
+
+def exact_substring_lrs(sf_dir: str):
+    """Corpus-wide longest repeated token sequence via the DISTRIBUTED
+    suffix array (stages/suffix.py: Manber-Myers prefix doubling expressed
+    as Ray Data sorts + bucket-routed exchanges) — the variable-length
+    core of Lee et al. 2022's ExactSubstr dedup that the fixed-length
+    gram-routed span pass (``duplicate_span_coverage``) approximates.
+
+    Returns one row (len, seq, cnt): the longest token sequence occurring
+    at >= 2 (doc, start) positions (overlaps counted, never crossing a
+    document boundary), lexicographic-min on ties, with its corpus-wide
+    occurrence count. The SQL twin enumerates every substring — O(sum
+    len^2) rows, viable only at test scale, which is exactly why the
+    engine side exists."""
+    from clip_as_service_ray.stages.suffix import longest_repeated_sequence
+
+    length, terms, cnt = longest_repeated_sequence(_documents(sf_dir))
+    if length == 0:
+        return pa.table(
+            {"len": pa.array([], pa.int64()), "seq": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {
+            "len": pa.array([length], pa.int64()),
+            "seq": pa.array([" ".join(terms)], pa.string()),
+            "cnt": pa.array([cnt], pa.int64()),
+        }
+    )
