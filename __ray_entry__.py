@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated past the cap (they re-verify locally via
         # scripts/check_oracle.py, which runs the FULL board).
         "exact_substring_lrs": ops.exact_substring_lrs,
+        "unigram_lm_vocab": ops.unigram_lm_vocab,
         "bm25_topk_wildcard": ops.bm25_topk_wildcard,
         "events_rate": ops.events_rate,
         "events_bucket_script": ops.events_bucket_script,

@@ -13006,3 +13006,137 @@ def exact_substring_lrs(sf_dir: str):
             "cnt": pa.array([cnt], pa.int64()),
         }
     )
+
+
+def unigram_lm_vocab(
+    sf_dir: str,
+    vocab_size: int = 48,
+    seed_size: int = 400,
+    max_len: int = 6,
+    em_rounds: int = 2,
+    prune_rounds: int = 3,
+    keep_fraction: float = 0.75,
+):
+    """SentencePiece unigram-LM tokenizer trainer (Kudo 2018,
+    arXiv:1804.10959) as a distributed EM over Ray Data — the third
+    tokenizer family next to the reference regex tokenizer and the learned
+    BPE (``functions/bpe.py``).
+
+    Scale shape: the corpus collapses ONCE into the deduplicated
+    (word, freq) table (a distributed groupby); every subsequent pass —
+    seed substring counting, each E-step — is a map_batches over that
+    table with the current piece log-probs broadcast via ray.put, shipping
+    only piece-vocabulary-sized partials. EM cost is O(distinct words x
+    len x max_len), independent of corpus size (the standard unigram
+    working-set trick; SentencePiece trains on unique sentences with
+    counts the same way). The driver holds only piece-sized dicts.
+    Deterministic run-to-run (fixed block order, fixed schedule); the
+    differential test pins the selected vocabulary + probs against the
+    local reference trainer ``functions/unigram.py:train_unigram`` to 1e-9
+    (partial-sum ORDER differs between the two, so exact bit-equality is
+    not the contract — the test corpus keeps counts well separated).
+
+    Rows-only oracle entry (EM is not SQL-expressible); correctness comes
+    from the distributed==local differential test plus lattice unit tests."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from clip_as_service_ray.functions.unigram import (
+        forward_backward,
+        normalize_logprobs,
+        prune,
+    )
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        tokens, _ = tokenize_column_flat(batch.column("text"))
+        if len(tokens) == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "freq": pa.array([], pa.int64())}
+            )
+        vc = tokens.value_counts()
+        return pa.table({"word": vc.field("values"), "freq": vc.field("counts").cast(pa.int64())})
+
+    nparts = _nparts(sf_dir)
+    words = (
+        _documents(sf_dir)
+        .map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word", num_partitions=nparts)
+        .aggregate(Sum("freq", alias_name="freq"))
+        .materialize()
+    )
+
+    # seed: freq-weighted substring counts (distributed partials) + full
+    # single-char coverage, top seed_size with (-count, piece) tie-break
+    def substr_partial(batch: pa.Table) -> pa.Table:
+        wlist = batch.column("word").to_pylist()
+        freqs = batch.column("freq").to_numpy()
+        acc: dict[str, float] = {}
+        for w, f in zip(wlist, freqs):
+            n = len(w)
+            f = float(f)
+            for i in range(n):
+                for j in range(i + 1, min(n, i + max_len) + 1):
+                    s = w[i:j]
+                    acc[s] = acc.get(s, 0.0) + f
+        return pa.table(
+            {"piece": pa.array(list(acc.keys()), pa.string()),
+             "cnt": pa.array(list(acc.values()), pa.float64())}
+        )
+
+    sub = (
+        words.map_batches(substr_partial, batch_format="pyarrow")
+        .groupby("piece", num_partitions=nparts)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    by_piece = dict(zip(sub["piece"], sub["cnt"].astype(float)))
+    chars = sorted({p for p in by_piece if len(p) == 1})
+    multi = sorted(
+        (p for p in by_piece if len(p) > 1),
+        key=lambda s: (-by_piece[s], s),
+    )[: max(0, seed_size - len(chars))]
+    counts = {s: by_piece[s] for s in sorted(set(chars) | set(multi))}
+    logprob = normalize_logprobs(counts)
+
+    def e_step(lp_ref):
+        def expected_partial(batch: pa.Table) -> pa.Table:
+            lp = ray.get(lp_ref)
+            wlist = batch.column("word").to_pylist()
+            freqs = batch.column("freq").to_numpy()
+            acc: dict[str, float] = {}
+            for w, f in zip(wlist, freqs):
+                c, _ = forward_backward(w, lp, max_len)
+                f = float(f)
+                for p, v in c.items():
+                    acc[p] = acc.get(p, 0.0) + f * v
+            return pa.table(
+                {"piece": pa.array(list(acc.keys()), pa.string()),
+                 "cnt": pa.array(list(acc.values()), pa.float64())}
+            )
+
+        parts = words.map_batches(
+            expected_partial, batch_format="pyarrow"
+        ).to_pandas()
+        agg = parts.groupby("piece", sort=True)["cnt"].sum()
+        return dict(zip(agg.index, agg.to_numpy()))
+
+    expected: dict[str, float] = {}
+    for _ in range(prune_rounds):
+        for _ in range(em_rounds):
+            expected = e_step(ray.put(logprob))
+            logprob = normalize_logprobs(expected)
+        expected = prune(expected, keep_fraction, vocab_size)
+        logprob = normalize_logprobs(expected)
+    final = prune(expected, 0.0, vocab_size)
+    probs = {p: float(np.exp(lp)) for p, lp in normalize_logprobs(final).items()}
+    order = sorted(probs, key=lambda p: (-probs[p], p))
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order), dtype=np.int64), pa.int64()),
+            "piece": pa.array(order, pa.string()),
+            "prob": pa.array(
+                np.round([probs[p] for p in order], 6), pa.float64()
+            ),
+        }
+    )
