@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scripts/check_oracle.py, which runs the FULL board).
         "exact_substring_lrs": ops.exact_substring_lrs,
         "unigram_lm_vocab": ops.unigram_lm_vocab,
+        "user_ip_ranges": ops.user_ip_ranges,
+        "events_filters_agg": ops.events_filters_agg,
         "bm25_topk_wildcard": ops.bm25_topk_wildcard,
         "events_rate": ops.events_rate,
         "events_bucket_script": ops.events_bucket_script,
@@ -460,7 +462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # them rows-only by nature). Everything else keeps its literal order.
     _DRIVER_HEAD = [
         # round-5 second-session additions (freshest code first)
-        "exact_substring_lrs", "bm25_topk_wildcard",
+        "exact_substring_lrs", "bm25_topk_wildcard", "user_ip_ranges",
+        "events_filters_agg",
         "events_rate", "events_bucket_script", "events_date_range",
         "events_multi_terms",
         "dsir_importance_weights", "semdedup_keep",
@@ -478,7 +481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions", "spell_suggest", "ngram_contamination",
         "hybrid_rrf_topk", "purchase_click_asof", "bm25_topk_boosted",
         "bm25_topk_msm", "bm25_topk_collapsed", "bm25_topk_page2",
-        "nation_market_share_q8", "nation_year_profit_q9",
+        # nation_year_profit_q9 / customer_order_distribution_q13 /
+        # supplier_part_variety_q16 /
         # events_cube / pack_sequences / ann_range_search /
         # bm25_topk_plus_segmented rotate behind the cap to make room for
         # the second-session additions (they stay green via the local
@@ -949,6 +953,45 @@ def oracle_sql() -> dict[str, str]:
             "(r.from_ts IS NULL OR e.ts >= r.from_ts) "
             "AND (r.to_ts IS NULL OR e.ts < r.to_ts) "
             "GROUP BY r.bucket, r.from_ts, r.to_ts ORDER BY r.bucket"
+        ),
+        "events_filters_agg": (
+            # ES filters agg + other_bucket: overlapping named predicates,
+            # integer cents, Thursday-anchored epoch dow
+            "WITH f AS (SELECT "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, "
+            "event_type = 'purchase' AS is_p, "
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) >= 40000 AS is_h, "
+            "((epoch_us(ts) // 86400000000 + 4) % 7) IN (0, 6) AS is_w "
+            "FROM events), "
+            "b AS (SELECT 'purchase' AS bucket, cents FROM f WHERE is_p "
+            "UNION ALL SELECT 'high_value', cents FROM f WHERE is_h "
+            "UNION ALL SELECT 'weekend', cents FROM f WHERE is_w "
+            "UNION ALL SELECT '_other_', cents FROM f "
+            "WHERE NOT is_p AND NOT is_h AND NOT is_w), "
+            "s AS (SELECT unnest(['_other_', 'high_value', 'purchase', "
+            "'weekend']) AS bucket) "
+            "SELECT s.bucket, count(b.cents)::BIGINT AS cnt, "
+            "(COALESCE(sum(b.cents), 0) / 100.0)::DOUBLE AS sum_value "
+            "FROM s LEFT JOIN b USING (bucket) "
+            "GROUP BY s.bucket ORDER BY s.bucket"
+        ),
+        "user_ip_ranges": (
+            # ES ip_range agg over synthetic ips (user_id * knuth % 2^32);
+            # half-open buckets, dotted-quad keys, exact distinct users
+            "WITH u AS (SELECT user_id, count(*)::BIGINT AS c, "
+            "(user_id * 2654435761) % 4294967296 AS ip "
+            "FROM events GROUP BY user_id), "
+            "r AS (SELECT 0::BIGINT AS bucket, NULL::VARCHAR AS from_ip, "
+            "'64.0.0.0' AS to_ip, 0 AS lo, 1073741824 AS hi "
+            "UNION ALL SELECT 1::BIGINT, '64.0.0.0', '192.0.0.0', "
+            "1073741824, 3221225472 "
+            "UNION ALL SELECT 2::BIGINT, '192.0.0.0', NULL::VARCHAR, "
+            "3221225472, 4294967296) "
+            "SELECT r.bucket, r.from_ip, r.to_ip, "
+            "COALESCE(sum(u.c), 0)::BIGINT AS cnt, "
+            "count(u.user_id)::BIGINT AS users "
+            "FROM r LEFT JOIN u ON u.ip >= r.lo AND u.ip < r.hi "
+            "GROUP BY r.bucket, r.from_ip, r.to_ip ORDER BY r.bucket"
         ),
         "events_multi_terms": (
             # ES multi_terms agg on (event_type, user_id % 10), doc_count

@@ -13140,3 +13140,137 @@ def unigram_lm_vocab(
             ),
         }
     )
+
+
+def user_ip_ranges(sf_dir: str):
+    """ES ``ip_range`` aggregation analog over deterministic synthetic IPs
+    (no IP column in the fixture — derived ``ip32 = (user_id * 2654435761)
+    mod 2^32``, the Knuth-hash synthetic-column precedent of
+    ``customers_near_point``). Three half-open ranges with ES's key
+    rendering (dotted quads, NULL for open ends); per-bucket event count
+    and exact distinct-user count — every comparison int64, zero float
+    risk. Per-batch partials ship (bucket, user) uniques, bounded by the
+    user population."""
+    import ray.data
+
+    K = 2654435761
+    M = 4294967296
+    EDGES = [
+        (None, 1 << 30),
+        (1 << 30, 3 << 30),
+        (3 << 30, None),
+    ]
+
+    def quad(ip):
+        if ip is None:
+            return None
+        return ".".join(
+            str((ip >> s) & 255) for s in (24, 16, 8, 0)
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy()
+        users, counts = np.unique(uid, return_counts=True)
+        ip = (users * K) % M
+        bucket = np.full(len(users), len(EDGES) - 1, np.int64)
+        for b, (lo, hi) in enumerate(EDGES):
+            m = np.ones(len(ip), bool)
+            if lo is not None:
+                m &= ip >= lo
+            if hi is not None:
+                m &= ip < hi
+            bucket[m] = b
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "user_id": pa.array(users.astype(np.int64), pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for b, (lo, hi) in enumerate(EDGES):
+        g = parts[parts["bucket"] == b]
+        rows.append(
+            {
+                "bucket": b,
+                "from_ip": quad(lo),
+                "to_ip": quad(hi),
+                "cnt": int(g["c"].sum()),
+                "users": int(g["user_id"].nunique()),
+            }
+        )
+    return pa.table(
+        {
+            "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
+            "from_ip": pa.array([r["from_ip"] for r in rows], pa.string()),
+            "to_ip": pa.array([r["to_ip"] for r in rows], pa.string()),
+            "cnt": pa.array([r["cnt"] for r in rows], pa.int64()),
+            "users": pa.array([r["users"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def events_filters_agg(sf_dir: str):
+    """ES ``filters`` aggregation with ``other_bucket``: three NAMED (and
+    deliberately overlapping, as ES allows) predicates —
+    ``purchase`` (event_type), ``high_value`` (value >= 400.00, compared
+    in integer cents), ``weekend`` (epoch-day Hinnant-style dow, all
+    int64) — plus ``_other_`` for rows matching none. Counts and
+    value-cent sums are exact integers end to end."""
+    import ray.data
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ty = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        dow = ((e // DAY_US) + 4) % 7  # 1970-01-01 = Thursday = 4, 0 = Sunday
+        masks = {
+            "purchase": ty == "purchase",
+            "high_value": cents >= 40000,
+            "weekend": (dow == 0) | (dow == 6),
+        }
+        masks["_other_"] = ~(
+            masks["purchase"] | masks["high_value"] | masks["weekend"]
+        )
+        names = sorted(masks)
+        return pa.table(
+            {
+                "bucket": pa.array(names, pa.string()),
+                "n": pa.array(
+                    [int(masks[k].sum()) for k in names], pa.int64()
+                ),
+                "cents": pa.array(
+                    [int(cents[masks[k]].sum()) for k in names], pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "value"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("bucket", as_index=False).sum().sort_values("bucket")
+    cents = agg["cents"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "bucket": pa.array(agg["bucket"].tolist(), pa.string()),
+            "cnt": pa.array(agg["n"].to_numpy().astype(np.int64), pa.int64()),
+            "sum_value": pa.array(cents / 100.0, pa.float64()),
+        }
+    )
