@@ -481,8 +481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions", "spell_suggest", "ngram_contamination",
         "hybrid_rrf_topk", "purchase_click_asof", "bm25_topk_boosted",
         "bm25_topk_msm", "bm25_topk_collapsed", "bm25_topk_page2",
-        # nation_year_profit_q9 / customer_order_distribution_q13 /
-        # supplier_part_variety_q16 /
+        # nation_market_share_q8 / nation_year_profit_q9 /
+        # customer_order_distribution_q13 / supplier_part_variety_q16 /
         # events_cube / pack_sequences / ann_range_search /
         # bm25_topk_plus_segmented rotate behind the cap to make room for
         # the second-session additions (they stay green via the local
@@ -947,8 +947,8 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT 2::BIGINT, TIMESTAMP '2024-01-21 00:00:00', "
             "NULL::TIMESTAMP) "
             "SELECT r.bucket, r.from_ts, r.to_ts, count(e.ts)::BIGINT AS cnt, "
-            "(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) / 100.0)::DOUBLE "
-            "AS sum_value "
+            "(COALESCE(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)), 0) "
+            "/ 100.0)::DOUBLE AS sum_value "
             "FROM r LEFT JOIN events e ON "
             "(r.from_ts IS NULL OR e.ts >= r.from_ts) "
             "AND (r.to_ts IS NULL OR e.ts < r.to_ts) "

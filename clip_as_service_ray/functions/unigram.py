@@ -162,6 +162,8 @@ def train_unigram(
     schedule with map_batches E-steps). Returns piece -> prob."""
     counts = seed_candidates(word_counts, max_len, seed_size)
     logprob = normalize_logprobs(counts)
+    expected: dict[str, float] = {}  # degenerate schedules mirror the
+    # distributed trainer: zero rounds -> empty vocabulary, not NameError
     for _ in range(prune_rounds):
         for _ in range(em_rounds):
             expected: dict[str, float] = {}

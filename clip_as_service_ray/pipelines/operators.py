@@ -12955,27 +12955,11 @@ def bm25_topk_wildcard(sf_dir: str, pattern: str = "s?a*", limit: int = 10):
     """ES ``wildcard`` term query: the pattern expands over the term
     dictionary (``*``/``?`` translated to the regex automaton, exactly how
     Lucene's WildcardQuery compiles) and the matched term set scores as an
-    OR query with per-term idf — identical engine path to
-    ``bm25_topk_regex``; the SQL twin uses the LIKE translation
-    (``*``->``%``, ``?``->``_``) over the same vocabulary."""
-    from clip_as_service_ray.pipelines.build_index import build_index
-    from clip_as_service_ray.pipelines.search import search_table
-
-    cfg = EngineConfig(num_index_partitions=4)
-    index_dir = _index_dir_for(sf_dir)
-    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
-    queries = pa.table(
-        {"query_id": pa.array([0], pa.int64()),
-         "text": pa.array([_wildcard_to_regex(pattern)]),
-         "limit": pa.array([limit], pa.int32())}
-    )
-    hits = search_table(index_dir, queries, cfg, regex=True)
-    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
-    scores = np.round(hits.column("score").to_numpy(), 6)
-    return pa.table(
-        {"doc_id": pa.array(doc_ids, pa.int64()),
-         "score": pa.array(scores, pa.float64())}
-    )
+    OR query with per-term idf — delegated to ``bm25_topk_regex`` so there
+    is one regex-query plumbing block to maintain; the SQL twin uses the
+    LIKE translation (``*``->``%``, ``?``->``_``) over the same
+    vocabulary."""
+    return bm25_topk_regex(sf_dir, _wildcard_to_regex(pattern), limit)
 
 
 def exact_substring_lrs(sf_dir: str):

@@ -553,16 +553,22 @@ def longest_repeated_sequence(docs_ds, *, text_col: str = "text", id_col: str = 
     ranked, L = doubling_loop(stream, n_total)
     if ranked is None:
         return 0, (), 0
-    dups = duplicate_members(ranked).to_pandas()
+    dups_ds = duplicate_members(ranked)
     cap = max_candidate_pairs()
-    if len(dups) > cap:
+    # fail loud BEFORE any driver materialization (guards.py policy): the
+    # count is distributed; the window fetch downstream ships up to
+    # n_members * 2 L* rows, so the width is part of the bound
+    n_members = dups_ds.count()
+    if n_members > cap or n_members * 2 * L > 8 * cap:
         raise RuntimeError(
-            f"suffix_array: {len(dups)} duplicate-group members at level {L} "
-            f"exceed the driver cap ({cap}; env CAS_RAY_MAX_CANDIDATE_PAIRS). "
-            "The corpus is extremely repetitive at this span length; raise "
-            "the cap or pre-dedup with the fixed-length span pass "
-            "(stages/dedup.py) first."
+            f"suffix_array: {n_members} duplicate-group members at level {L} "
+            f"(~{n_members * 2 * L} window rows) exceed the driver cap "
+            f"({cap}; env CAS_RAY_MAX_CANDIDATE_PAIRS). The corpus is "
+            "extremely repetitive at this span length; raise the cap or "
+            "pre-dedup with the fixed-length span pass (stages/dedup.py) "
+            "first."
         )
+    dups = dups_ds.to_pandas()
     logger.info(
         "suffix_array: L*=%d, %d candidate members in %d groups",
         L, len(dups), dups["grp"].nunique(),
