@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm_vocab": ops.unigram_lm_vocab,
         "user_ip_ranges": ops.user_ip_ranges,
         "events_filters_agg": ops.events_filters_agg,
+        "doc_token_entropy": ops.doc_token_entropy,
         "bm25_topk_wildcard": ops.bm25_topk_wildcard,
         "events_rate": ops.events_rate,
         "events_bucket_script": ops.events_bucket_script,
@@ -463,7 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _DRIVER_HEAD = [
         # round-5 second-session additions (freshest code first)
         "exact_substring_lrs", "bm25_topk_wildcard", "user_ip_ranges",
-        "events_filters_agg",
+        "events_filters_agg", "doc_token_entropy",
         "events_rate", "events_bucket_script", "events_date_range",
         "events_multi_terms",
         "dsir_importance_weights", "semdedup_keep",
@@ -480,7 +481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_linear_topk", "events_composite_agg",
         "event_type_transitions", "spell_suggest", "ngram_contamination",
         "hybrid_rrf_topk", "purchase_click_asof", "bm25_topk_boosted",
-        "bm25_topk_msm", "bm25_topk_collapsed", "bm25_topk_page2",
+        "bm25_topk_msm", "bm25_topk_collapsed",
+        # bm25_topk_page2 /
         # nation_market_share_q8 / nation_year_profit_q9 /
         # customer_order_distribution_q13 / supplier_part_variety_q16 /
         # events_cube / pack_sequences / ann_range_search /
@@ -953,6 +955,19 @@ def oracle_sql() -> dict[str, str]:
             "(r.from_ts IS NULL OR e.ts >= r.from_ts) "
             "AND (r.to_ts IS NULL OR e.ts < r.to_ts) "
             "GROUP BY r.bucket, r.from_ts, r.to_ts ORDER BY r.bucket"
+        ),
+        "doc_token_entropy": (
+            # Dolma-style unigram entropy per doc; round(6) absorbs the
+            # aggregate-order ulp between hash-agg and sorted accumulation
+            "WITH tok AS (" + _TOK + "), "
+            "c AS (SELECT doc_id, term, count(*)::DOUBLE AS c FROM tok "
+            "GROUP BY doc_id, term), "
+            "n AS (SELECT doc_id, sum(c) AS n, count(*)::BIGINT AS n_distinct "
+            "FROM c GROUP BY doc_id) "
+            "SELECT c.doc_id, n.n::BIGINT AS n_tokens, n.n_distinct, "
+            "round(sum(-(c.c / n.n) * ln(c.c / n.n)), 6)::DOUBLE AS entropy "
+            "FROM c JOIN n USING (doc_id) "
+            "GROUP BY c.doc_id, n.n, n.n_distinct"
         ),
         "events_filters_agg": (
             # ES filters agg + other_bucket: overlapping named predicates,

@@ -13258,3 +13258,40 @@ def events_filters_agg(sf_dir: str):
             "sum_value": pa.array(cents / 100.0, pa.float64()),
         }
     )
+
+
+def doc_token_entropy(sf_dir: str):
+    """Per-document unigram (token) entropy — the Dolma/RefinedWeb-style
+    "unigram entropy" quality signal: low-entropy documents are
+    boilerplate/repetition candidates. Fully shuffle-free: documents never
+    split across batches, so the per-batch ``_tokens_flat`` rows (already
+    lexsorted by (doc, term)) feed one bincount chain per batch — the
+    entropy sum accumulates in sorted-term order (deterministic); round(6)
+    absorbs the hash-order difference of the SQL twin's aggregate."""
+
+    def ent(batch: pa.Table) -> pa.Table:
+        flat = _tokens_flat(batch)
+        if flat.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "n_distinct": pa.array([], pa.int64()),
+                 "entropy": pa.array([], pa.float64())}
+            )
+        doc = flat.column("doc_id").to_numpy()
+        tf = flat.column("tf").to_numpy().astype(np.float64)
+        udocs, codes = np.unique(doc, return_inverse=True)
+        n = np.bincount(codes, weights=tf)
+        n_distinct = np.bincount(codes).astype(np.int64)
+        p = tf / n[codes]
+        h = np.bincount(codes, weights=-(p * np.log(p)))
+        return pa.table(
+            {
+                "doc_id": pa.array(udocs.astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "entropy": pa.array(np.round(h, 6), pa.float64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(ent, batch_format="pyarrow")
