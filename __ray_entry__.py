@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_ip_ranges": ops.user_ip_ranges,
         "events_filters_agg": ops.events_filters_agg,
         "doc_token_entropy": ops.doc_token_entropy,
+        "customer_geohash_grid": ops.customer_geohash_grid,
         "bm25_topk_wildcard": ops.bm25_topk_wildcard,
         "events_rate": ops.events_rate,
         "events_bucket_script": ops.events_bucket_script,
@@ -464,7 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     _DRIVER_HEAD = [
         # round-5 second-session additions (freshest code first)
         "exact_substring_lrs", "bm25_topk_wildcard", "user_ip_ranges",
-        "events_filters_agg", "doc_token_entropy",
+        "events_filters_agg", "doc_token_entropy", "customer_geohash_grid",
         "events_rate", "events_bucket_script", "events_date_range",
         "events_multi_terms",
         "dsir_importance_weights", "semdedup_keep",
@@ -481,8 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_linear_topk", "events_composite_agg",
         "event_type_transitions", "spell_suggest", "ngram_contamination",
         "hybrid_rrf_topk", "purchase_click_asof", "bm25_topk_boosted",
-        "bm25_topk_msm", "bm25_topk_collapsed",
-        # bm25_topk_page2 /
+        "bm25_topk_msm",
+        # bm25_topk_collapsed / bm25_topk_page2 /
         # nation_market_share_q8 / nation_year_profit_q9 /
         # customer_order_distribution_q13 / supplier_part_variety_q16 /
         # events_cube / pack_sequences / ann_range_search /
@@ -496,6 +497,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     ordered = {k: board[k] for k in _DRIVER_HEAD}
     ordered.update((k, v) for k, v in board.items() if k not in ordered)
     return ordered
+
+
+def _geohash_grid_sql() -> str:
+    """customer_geohash_grid twin: the exact integer quantization + 25-bit
+    interleave + base-32 render, generated programmatically (the
+    _matrix_stats_sql precedent) so engine and SQL share one bit layout."""
+    terms = []
+    for i in range(25):
+        if i % 2 == 0:
+            expr = f"((lon_q // {1 << (12 - i // 2)}) % 2)"
+        else:
+            expr = f"((lat_q // {1 << (11 - i // 2)}) % 2)"
+        terms.append(f"{expr} * {1 << (24 - i)}")
+    code = " + ".join(terms)
+    chars = " || ".join(
+        "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"((code // {1 << (5 * (4 - g))}) % 32) + 1, 1)"
+        for g in range(5)
+    )
+    return (
+        "WITH q AS (SELECT "
+        "((c_custkey * 104729 % 36000) * 8192) // 36000 AS lon_q, "
+        "((c_custkey * 7919 % 18000) * 4096) // 18000 AS lat_q "
+        "FROM customer), "
+        f"c AS (SELECT {code} AS code FROM q), "
+        f"g AS (SELECT {chars} AS geohash FROM c) "
+        "SELECT geohash, count(*)::BIGINT AS doc_count FROM g "
+        "GROUP BY geohash ORDER BY doc_count DESC, geohash ASC LIMIT 20"
+    )
 
 
 def _dcg_chain_sql(agg_prefix: str) -> str:
@@ -956,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
             "AND (r.to_ts IS NULL OR e.ts < r.to_ts) "
             "GROUP BY r.bucket, r.from_ts, r.to_ts ORDER BY r.bucket"
         ),
+        "customer_geohash_grid": _geohash_grid_sql(),
         "doc_token_entropy": (
             # Dolma-style unigram entropy per doc; round(6) absorbs the
             # aggregate-order ulp between hash-agg and sorted accumulation

@@ -13295,3 +13295,71 @@ def doc_token_entropy(sf_dir: str):
         )
 
     return _documents(sf_dir).map_batches(ent, batch_format="pyarrow")
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def customer_geohash_grid(sf_dir: str, precision: int = 5, k: int = 20):
+    """ES ``geohash_grid`` aggregation (the base-32 sibling of
+    ``customer_geotile_grid``): bucket every customer's synthetic
+    coordinate (same deterministic c_custkey derivation as
+    customers_near_point) into a precision-5 geohash and count per cell,
+    top-k by (count DESC, hash ASC). The quantization is EXACT integer
+    arithmetic on both sides: the synthetic coords are rationals
+    (hundredths of a degree), so ``floor((lon+180)/360 * 2^13)`` ==
+    ``(m * 8192) // 36000`` with ``m = c_custkey*104729 % 36000`` — no
+    float boundary anywhere. Standard geohash bit layout: 25 bits for
+    precision 5, alternating lon/lat starting with lon (13 lon, 12 lat),
+    5-bit groups through the classic base-32 alphabet. Per-batch partial
+    counts are the only shuffle."""
+    import ray.data
+
+    assert precision == 5, "bit-split below is precision-5 (13 lon / 12 lat)"
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy().astype(np.int64)
+        m_lon = ck * 104729 % 36000  # (lon + 180) in hundredths of degrees
+        n_lat = ck * 7919 % 18000  # (lat + 90) in hundredths of degrees
+        lon_q = (m_lon * 8192) // 36000  # 13 bits
+        lat_q = (n_lat * 4096) // 18000  # 12 bits
+        code = np.zeros(len(ck), np.int64)
+        for i in range(25):
+            if i % 2 == 0:
+                bit = (lon_q >> (12 - i // 2)) & 1
+            else:
+                bit = (lat_q >> (11 - i // 2)) & 1
+            code = (code << 1) | bit
+        u, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {"code": pa.array(u, pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+        )
+        .map_batches(cells, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("code", as_index=False)["n"].sum()
+    codes = agg["code"].to_numpy().astype(np.int64)
+    hashes = [
+        "".join(
+            _GEOHASH32[(int(c) >> (5 * (4 - g))) & 31] for g in range(5)
+        )
+        for c in codes
+    ]
+    agg["geohash"] = hashes
+    agg = agg.sort_values(
+        ["n", "geohash"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pa.table(
+        {
+            "geohash": pa.array(agg["geohash"].tolist(), pa.string()),
+            "doc_count": pa.array(
+                agg["n"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )
