@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filters_agg": ops.events_filters_agg,
         "doc_token_entropy": ops.doc_token_entropy,
         "customer_geohash_grid": ops.customer_geohash_grid,
+        "span_multi_search": ops.span_multi_search,
         "bm25_topk_wildcard": ops.bm25_topk_wildcard,
         "events_rate": ops.events_rate,
         "events_bucket_script": ops.events_bucket_script,
@@ -466,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 second-session additions (freshest code first)
         "exact_substring_lrs", "bm25_topk_wildcard", "user_ip_ranges",
         "events_filters_agg", "doc_token_entropy", "customer_geohash_grid",
+        "span_multi_search",
         "events_rate", "events_bucket_script", "events_date_range",
         "events_multi_terms",
         "dsir_importance_weights", "semdedup_keep",
@@ -482,8 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_linear_topk", "events_composite_agg",
         "event_type_transitions", "spell_suggest", "ngram_contamination",
         "hybrid_rrf_topk", "purchase_click_asof", "bm25_topk_boosted",
-        "bm25_topk_msm",
-        # bm25_topk_collapsed / bm25_topk_page2 /
+        # bm25_topk_msm / bm25_topk_collapsed / bm25_topk_page2 /
         # nation_market_share_q8 / nation_year_profit_q9 /
         # customer_order_distribution_q13 / supplier_part_variety_q16 /
         # events_cube / pack_sequences / ann_range_search /
@@ -1146,6 +1147,22 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT count(*)::BIGINT AS nd FROM documents) "
             "SELECT term, df FROM tdf CROSS JOIN n WHERE df * 20 <= nd "
             "ORDER BY df ASC, term ASC LIMIT 20"
+        ),
+        "span_multi_search": (
+            # Lucene SpanMultiTermQueryWrapper: span "the s*" — one
+            # positional self-join with the LIKE expansion (clause starts
+            # cannot collide: one term per position)
+            "WITH tok AS (SELECT doc_id, unnest(ts) AS term, "
+            "unnest(range(len(ts))) AS pos "
+            "FROM (SELECT doc_id, regexp_extract_all(lower(text), '"
+            + _PAT_SQL
+            + "') AS ts FROM documents)), "
+            "u AS (SELECT a.doc_id, a.pos FROM tok a JOIN tok b "
+            "ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 "
+            "WHERE a.term = 'the' AND b.term LIKE 's%') "
+            "SELECT doc_id, count(*)::BIGINT AS span_tf, "
+            "min(pos)::BIGINT AS first_pos FROM u GROUP BY doc_id "
+            "ORDER BY span_tf DESC, doc_id ASC LIMIT 10"
         ),
         "span_or_search": (
             # Lucene SpanOrQuery: UNION ALL of per-clause positional

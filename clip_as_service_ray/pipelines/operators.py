@@ -13363,3 +13363,50 @@ def customer_geohash_grid(sf_dir: str, precision: int = 5, k: int = 20):
             ),
         }
     )
+
+
+def span_multi_search(
+    sf_dir: str, first: str = "the", prefix: str = "s", limit: int = 10
+):
+    """Lucene SpanMultiTermQueryWrapper: a span_near whose second slot is a
+    MULTI-TERM query (here ``prefix*``), rewritten — exactly as Lucene's
+    SpanRewriteMethod does — into a SpanOr over the dictionary expansion:
+    ``first X`` for every vocabulary term X with the prefix. The expansion
+    comes from the positional index's sorted dictionary (one searchsorted
+    range); the verified union reuses the span_or kernel. Distinct clause
+    starts can never collide (one term occupies a position), so the SQL
+    twin is a single positional self-join with a LIKE predicate."""
+    from clip_as_service_ray.pipelines.build_index import build_index
+    from clip_as_service_ray.pipelines.phrase import (
+        build_positions,
+        phrase_search_table,
+    )
+    from clip_as_service_ray.stages.query import IndexReader
+
+    cfg = EngineConfig(num_index_partitions=4)
+    index_dir = _index_dir_for(sf_dir)
+    build_index(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    build_positions(_docs_as_transcripts(sf_dir), index_dir, cfg)
+    terms = IndexReader(index_dir).expand_prefix(prefix)
+    if not terms:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "span_tf": pa.array([], pa.int64()),
+             "first_pos": pa.array([], pa.int64())}
+        )
+    q = pa.table(
+        {
+            "query_id": pa.array([0], pa.int64()),
+            "text": pa.array([" | ".join(f"{first} {t}" for t in terms)]),
+            "limit": pa.array([limit], pa.int32()),
+        }
+    )
+    hits = phrase_search_table(index_dir, q, cfg, span_or=True)
+    doc_ids = [int(c[4:]) for c in hits.column("conv_id").to_pylist()]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "span_tf": hits.column("phrase_tf"),
+            "first_pos": hits.column("first_pos"),
+        }
+    )
