@@ -37,6 +37,24 @@ def brute_lrs(docs: list[str]):
     return best
 
 
+def brute_lrs_tokens(docs_tokens):
+    """brute_lrs over pre-tokenized docs (engine-tokenizer token lists)."""
+    from collections import Counter
+
+    counts = Counter()
+    for toks in docs_tokens:
+        for st in range(len(toks)):
+            for ln in range(1, len(toks) - st + 1):
+                counts[tuple(toks[st : st + ln])] += 1
+    best = (0, (), 0)
+    for seq, cnt in counts.items():
+        if cnt >= 2 and (
+            len(seq) > best[0] or (len(seq) == best[0] and seq < best[1])
+        ):
+            best = (len(seq), seq, cnt)
+    return best
+
+
 def run_engine(docs: list[str], blocks: int = 3):
     import ray.data
 
@@ -134,3 +152,24 @@ def test_lrs_from_candidates_runs():
     groups = {0: np.array([0, 1, 2, 3], np.int64)}
     length, seq, cnt = lrs_from_candidates(groups, wins, n_vocab=10)
     assert (length, seq, cnt) == (2, (1, 2), 2)
+
+
+def test_digit_words_vs_brute(ray_session):
+    # the reference tokenizer splits digit runs into SINGLE digit tokens
+    # ("w015" -> w,0,1,5): tiny alphabet, deep doubling levels, planted
+    # passage whose occurrences extend by coincidental digit matches —
+    # the stress shape the letter-only cases never hit
+    rng = np.random.default_rng(1)
+    words = np.array(["w%03d" % i for i in range(50)])
+    plant = " ".join(words[rng.integers(0, 50, 8)])
+    docs = []
+    for i in range(60):
+        t = " ".join(words[rng.integers(0, 50, rng.integers(5, 12))])
+        if i % 17 == 3:
+            t = t + " " + plant
+        docs.append(t)
+    from clip_as_service_ray.functions.tokenizer import tokenize_texts
+
+    want = brute_lrs_tokens([tokenize_texts([d])[0] for d in docs])
+    got_len, got_terms, got_cnt = run_engine(docs, blocks=5)
+    assert (got_len, tuple(got_terms), got_cnt) == want
