@@ -6,8 +6,9 @@ decode + resize + center-crop + normalize at ``executors/helper.py:20-56`` /
 opaque ``binary`` columns with typed metadata.
 
 IMAGE CODEC LIBRARIES ARE NOT AVAILABLE IN THIS ENVIRONMENT, so the three
-common formats decode FOR REAL from first principles: uncompressed 24-bit
-BMP (numpy-only parser, ``decode_bmp``), PNG at EVERY legal bit depth
+common formats decode FOR REAL from first principles: BMP (numpy-only
+parser, ``decode_bmp`` — 24/32-bit uncompressed, 8-bit paletted, RLE8;
+honest guard only for 1/4-bit and bitfields), PNG at EVERY legal bit depth
 (``decode_png`` — stdlib zlib inflate + numpy scanline unfiltering:
 1/2/4/8/16-bit, gray / RGB / palette / alpha, all five filter types, Adam7
 interlacing), and baseline + progressive JPEG (``functions/jpeg.py`` — T.81
@@ -47,11 +48,60 @@ IMAGENET_MEAN = (0.48145466, 0.4578275, 0.40821073)  # model/clip.py:36-41
 IMAGENET_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
+def _bmp_palette(payload: bytes, bpp: int) -> np.ndarray:
+    """BGRA color table following the BITMAPINFOHEADER: biClrUsed entries
+    (0 -> 2^bpp). Returns (n, 3) uint8 RGB."""
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    n_colors = int.from_bytes(payload[46:50], "little") or (1 << bpp)
+    off = 14 + hdr_size
+    quads = np.frombuffer(
+        payload, dtype=np.uint8, count=n_colors * 4, offset=off
+    ).reshape(n_colors, 4)
+    return np.ascontiguousarray(quads[:, 2::-1])  # BGRx -> RGB
+
+
+def _bmp_rle8_rows(payload: bytes, pix_off: int, w: int, h: int) -> np.ndarray:
+    """Decode an RLE8 pixel stream (BI_RLE8 per the public BMP spec) into
+    (h, w) palette indices, bottom-up row order as stored. Encoded runs
+    (count, index), escapes 0: 0=EOL, 1=EOB, 2=delta(dx, dy), n>=3 =
+    absolute run of n indices padded to 2 bytes."""
+    data = payload[pix_off:]
+    out = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:  # encoded run
+            run = min(cnt, w - x)
+            out[y, x : x + run] = val
+            x += run
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("truncated BMP RLE8 delta")
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: val literal indices, word-aligned
+            if i + val > n:
+                raise ValueError("truncated BMP RLE8 absolute run")
+            run = min(val, w - x)
+            out[y, x : x + run] = np.frombuffer(data, np.uint8, run, i)
+            x += run
+            i += val + (val & 1)
+    return out
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """REAL image decode for uncompressed 24-bit BMP (the one raster format
-    parseable with numpy alone — BITMAPFILEHEADER + BITMAPINFOHEADER per the
-    public BMP spec). Returns HxWx3 uint8 RGB. Raises ValueError for
-    non-BMP bytes, NotImplementedError for BMP variants needing a codec."""
+    """REAL image decode for BMP (the raster formats parseable with numpy
+    alone — BITMAPFILEHEADER + BITMAPINFOHEADER per the public BMP spec):
+    uncompressed 24-bit and 32-bit BGR(A), 8-bit paletted, and RLE8.
+    Returns HxWx3 uint8 RGB. Raises ValueError for non-BMP bytes,
+    NotImplementedError for the remaining variants (1/4-bit, bitfields)."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     pix_off = int.from_bytes(payload[10:14], "little")
@@ -59,17 +109,35 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     h = int.from_bytes(payload[22:26], "little", signed=True)
     bpp = int.from_bytes(payload[28:30], "little")
     compression = int.from_bytes(payload[30:34], "little")
-    if bpp != 24 or compression != 0:
-        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
     bottom_up, h = h > 0, abs(h)
-    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
-    if w <= 0 or h <= 0 or pix_off + stride * h > len(payload):
+    if w <= 0 or h <= 0:
         raise ValueError("truncated BMP")
-    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pix_off)
-    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bpp == 8 and compression == 1:  # BI_RLE8
+        idx = _bmp_rle8_rows(payload, pix_off, w, h)
+        img = _bmp_palette(payload, 8)[idx]
+    elif compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    elif bpp in (24, 32):
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3  # rows padded to 4 bytes
+        if pix_off + stride * h > len(payload):
+            raise ValueError("truncated BMP")
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pix_off)
+        img = rows.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
+        img = np.ascontiguousarray(img[..., 2::-1])  # BGR(A) -> RGB
+    elif bpp == 8:
+        stride = (w + 3) & ~3
+        if pix_off + stride * h > len(payload):
+            raise ValueError("truncated BMP")
+        idx = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=pix_off
+        ).reshape(h, stride)[:, :w]
+        img = _bmp_palette(payload, 8)[idx]
+    else:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
     if bottom_up:
         img = img[::-1]
-    return np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB
+    return np.ascontiguousarray(img)
 
 
 def encode_bmp(img: np.ndarray) -> bytes:

@@ -72,7 +72,7 @@ def test_bmp_round_trip():
     with pytest.raises(ValueError):
         decode_bmp(encode_bmp(img)[:60])  # truncated pixel data
     bad = bytearray(encode_bmp(img))
-    bad[28] = 8  # 8bpp palette BMP: needs a real codec path
+    bad[28] = 4  # 4bpp BMP: still an honest guard (8/24/32-bit are real)
     with pytest.raises(NotImplementedError):
         decode_bmp(bytes(bad))
 
@@ -491,3 +491,68 @@ def test_png_invalid_depth_combos():
     payload[24] = 3  # depth 3 is never legal
     with pytest.raises(ValueError):
         decode_png(bytes(payload))
+
+
+def _bmp_header(w, h, bpp, compression, pix_off, img_size, n_colors=0):
+    return (
+        b"BM"
+        + (pix_off + img_size).to_bytes(4, "little")
+        + b"\0\0\0\0"
+        + pix_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+        + compression.to_bytes(4, "little")
+        + img_size.to_bytes(4, "little")
+        + b"\x13\x0b\0\0\x13\x0b\0\0"
+        + n_colors.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+
+
+def test_bmp_8bit_paletted():
+    from clip_as_service_ray.stages.multimodal import decode_bmp
+
+    # 3x2 bottom-up paletted image, 4 colors, stride padded 3 -> 4
+    palette = bytes([255, 0, 0, 0,  0, 255, 0, 0,  0, 0, 255, 0,  10, 20, 30, 0])
+    rows = bytes([0, 1, 2, 0,  3, 3, 0, 0])  # bottom row first
+    payload = _bmp_header(3, 2, 8, 0, 54 + 16, len(rows), n_colors=4) + palette + rows
+    img = decode_bmp(payload)
+    assert img.shape == (2, 3, 3)
+    # palette is BGRx -> RGB; top row (stored second) = [3, 3, 0]
+    assert img[0].tolist() == [[30, 20, 10], [30, 20, 10], [0, 0, 255]]
+    assert img[1].tolist() == [[0, 0, 255], [0, 255, 0], [255, 0, 0]]
+
+
+def test_bmp_32bit_bgra():
+    from clip_as_service_ray.stages.multimodal import decode_bmp
+
+    # 2x2 bottom-up 32-bit BGRA (alpha dropped), no padding needed
+    px = bytes(
+        [1, 2, 3, 255,  4, 5, 6, 0,    # bottom row: BGR(A)
+         7, 8, 9, 9,    10, 11, 12, 1]  # top row
+    )
+    payload = _bmp_header(2, 2, 32, 0, 54, len(px)) + px
+    img = decode_bmp(payload)
+    assert img[0].tolist() == [[9, 8, 7], [12, 11, 10]]
+    assert img[1].tolist() == [[3, 2, 1], [6, 5, 4]]
+
+
+def test_bmp_rle8():
+    from clip_as_service_ray.stages.multimodal import decode_bmp
+
+    # 5x2 RLE8: bottom row = run of 3 idx0, run 1 idx1, run 1 idx2, EOL;
+    # top row = delta skip 2 (stays idx0) + run 3 idx3, EOB
+    palette = bytes([255, 0, 0, 0,  0, 255, 0, 0,  0, 0, 255, 0,  40, 50, 60, 0])
+    rle = bytes([3, 0,  1, 1,  1, 2,  0, 0,  0, 2, 2, 0,  3, 3,  0, 1])
+    payload = _bmp_header(5, 2, 8, 1, 54 + 16, len(rle), n_colors=4) + palette + rle
+    img = decode_bmp(payload)
+    # bottom row indices: [0,0,0,1,2]; top row: [0,0,3,3,3]
+    assert img[1].tolist() == [
+        [0, 0, 255], [0, 0, 255], [0, 0, 255], [0, 255, 0], [255, 0, 0]
+    ]
+    assert img[0].tolist() == [
+        [0, 0, 255], [0, 0, 255], [60, 50, 40], [60, 50, 40], [60, 50, 40]
+    ]
