@@ -96,12 +96,101 @@ def _bmp_rle8_rows(payload: bytes, pix_off: int, w: int, h: int) -> np.ndarray:
     return out
 
 
+def _bmp_rle4_rows(payload: bytes, pix_off: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE4 pixel stream -> (h, w) palette indices (escapes as RLE8;
+    encoded runs alternate the byte's two nibbles, absolute runs pack
+    nibbles high-first, word-aligned)."""
+    data = payload[pix_off:]
+    out = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:
+            run = min(cnt, w - x)
+            pair = np.array([val >> 4, val & 15], np.uint8)
+            out[y, x : x + run] = np.tile(pair, (run + 1) // 2)[:run]
+            x += run
+        elif val == 0:
+            x, y = 0, y + 1
+        elif val == 1:
+            break
+        elif val == 2:
+            if i + 1 >= n:
+                raise ValueError("truncated BMP RLE4 delta")
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+        else:
+            nbytes = (val + 1) // 2
+            if i + nbytes > n:
+                raise ValueError("truncated BMP RLE4 absolute run")
+            packed = np.frombuffer(data, np.uint8, nbytes, i)
+            nib = np.empty(nbytes * 2, np.uint8)
+            nib[0::2] = packed >> 4
+            nib[1::2] = packed & 15
+            run = min(val, w - x)
+            out[y, x : x + run] = nib[:run]
+            x += run
+            i += nbytes + (nbytes & 1)
+    return out
+
+
+def _bmp_unpack_indices(payload, pix_off, w, h, bpp) -> np.ndarray:
+    """Uncompressed 1/4/8-bit rows -> (h, w) palette indices."""
+    stride = ((w * bpp + 31) // 32) * 4
+    if pix_off + stride * h > len(payload):
+        raise ValueError("truncated BMP")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)
+    if bpp == 8:
+        return rows[:, :w]
+    if bpp == 4:
+        nib = np.empty((h, stride * 2), np.uint8)
+        nib[:, 0::2] = rows >> 4
+        nib[:, 1::2] = rows & 15
+        return nib[:, :w]
+    bits = np.unpackbits(rows, axis=1)  # MSB-first, the BMP bit order
+    return bits[:, :w]
+
+
+def _bmp_bitfields(payload, pix_off, w, h, bpp) -> np.ndarray:
+    """BI_BITFIELDS 16/32-bit: per-channel masks follow the info header
+    (same byte position inside V4/V5 headers); channels rescale to 8-bit
+    as (v * 255) // mask_max."""
+    masks = [
+        int.from_bytes(payload[54 + 4 * i : 58 + 4 * i], "little")
+        for i in range(3)
+    ]
+    nb = bpp // 8
+    stride = ((w * bpp + 31) // 32) * 4
+    if pix_off + stride * h > len(payload) or any(m == 0 for m in masks):
+        raise ValueError("truncated BMP or empty bitfield mask")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)[:, : w * nb]
+    px = (
+        rows.reshape(h, w, nb)
+        .astype(np.uint32)
+        .dot(np.array([1 << (8 * i) for i in range(nb)], np.uint32))
+    )
+    chans = []
+    for m in masks:
+        shift = (m & -m).bit_length() - 1
+        maxv = m >> shift
+        chans.append((((px >> shift) & maxv) * 255 // maxv).astype(np.uint8))
+    return np.stack(chans, axis=-1)
+
+
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """REAL image decode for BMP (the raster formats parseable with numpy
-    alone — BITMAPFILEHEADER + BITMAPINFOHEADER per the public BMP spec):
-    uncompressed 24-bit and 32-bit BGR(A), 8-bit paletted, and RLE8.
-    Returns HxWx3 uint8 RGB. Raises ValueError for non-BMP bytes,
-    NotImplementedError for the remaining variants (1/4-bit, bitfields)."""
+    """REAL image decode for BMP, numpy-only, per the public spec
+    (BITMAPFILEHEADER + BITMAPINFOHEADER/V4/V5): 1/4/8-bit paletted,
+    RLE4/RLE8, 16/24/32-bit uncompressed, and BI_BITFIELDS. Returns
+    HxWx3 uint8 RGB. Raises ValueError for malformed payloads,
+    NotImplementedError only for the exotic leftovers (BI_JPEG/BI_PNG
+    embeddings, OS/2 core headers)."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     pix_off = int.from_bytes(payload[10:14], "little")
@@ -112,27 +201,40 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     bottom_up, h = h > 0, abs(h)
     if w <= 0 or h <= 0:
         raise ValueError("truncated BMP")
-    if bpp == 8 and compression == 1:  # BI_RLE8
-        idx = _bmp_rle8_rows(payload, pix_off, w, h)
-        img = _bmp_palette(payload, 8)[idx]
+    if compression == 1 and bpp == 8:  # BI_RLE8
+        img = _bmp_palette(payload, 8)[_bmp_rle8_rows(payload, pix_off, w, h)]
+    elif compression == 2 and bpp == 4:  # BI_RLE4
+        img = _bmp_palette(payload, 4)[_bmp_rle4_rows(payload, pix_off, w, h)]
+    elif compression == 3 and bpp in (16, 32):  # BI_BITFIELDS
+        img = _bmp_bitfields(payload, pix_off, w, h, bpp)
     elif compression != 0:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
     elif bpp in (24, 32):
         nb = bpp // 8
-        stride = (w * nb + 3) & ~3  # rows padded to 4 bytes
+        stride = ((w * bpp + 31) // 32) * 4  # rows padded to 4 bytes
         if pix_off + stride * h > len(payload):
             raise ValueError("truncated BMP")
         rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=pix_off)
         img = rows.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
         img = np.ascontiguousarray(img[..., 2::-1])  # BGR(A) -> RGB
-    elif bpp == 8:
-        stride = (w + 3) & ~3
+    elif bpp == 16:  # no BI_BITFIELDS -> the default 5-5-5 layout
+        stride = ((w * 16 + 31) // 32) * 4
         if pix_off + stride * h > len(payload):
             raise ValueError("truncated BMP")
-        idx = np.frombuffer(
-            payload, dtype=np.uint8, count=stride * h, offset=pix_off
-        ).reshape(h, stride)[:, :w]
-        img = _bmp_palette(payload, 8)[idx]
+        px = np.frombuffer(
+            payload, dtype="<u2", count=(stride // 2) * h, offset=pix_off
+        ).reshape(h, stride // 2)[:, :w].astype(np.uint32)
+        img = np.stack(
+            [
+                (((px >> s) & 31) * 255 // 31).astype(np.uint8)
+                for s in (10, 5, 0)
+            ],
+            axis=-1,
+        )
+    elif bpp in (1, 4, 8):
+        img = _bmp_palette(payload, bpp)[
+            _bmp_unpack_indices(payload, pix_off, w, h, bpp)
+        ]
     else:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
     if bottom_up:

@@ -72,7 +72,7 @@ def test_bmp_round_trip():
     with pytest.raises(ValueError):
         decode_bmp(encode_bmp(img)[:60])  # truncated pixel data
     bad = bytearray(encode_bmp(img))
-    bad[28] = 4  # 4bpp BMP: still an honest guard (8/24/32-bit are real)
+    bad[30] = 4  # BI_JPEG embedding: the remaining honest guard
     with pytest.raises(NotImplementedError):
         decode_bmp(bytes(bad))
 
@@ -556,3 +556,49 @@ def test_bmp_rle8():
     assert img[0].tolist() == [
         [0, 0, 255], [0, 0, 255], [60, 50, 40], [60, 50, 40], [60, 50, 40]
     ]
+
+
+def test_bmp_1bit_and_4bit():
+    from clip_as_service_ray.stages.multimodal import decode_bmp
+
+    # 1-bit: 10x1, bits MSB-first, 2-color palette, stride 4
+    palette = bytes([0, 0, 0, 0,  255, 255, 255, 0])
+    rows = bytes([0b10110000, 0b01000000, 0, 0])  # pixels 1011000001
+    p = _bmp_header(10, 1, 1, 0, 54 + 8, 4, n_colors=2) + palette + rows
+    img = decode_bmp(p)
+    assert [px[0] for px in img[0].tolist()] == [
+        255, 0, 255, 255, 0, 0, 0, 0, 0, 255
+    ]
+    # 4-bit: 3x1 nibbles high-first
+    palette4 = bytes([255, 0, 0, 0,  0, 255, 0, 0,  0, 0, 255, 0])
+    rows4 = bytes([0x01, 0x20, 0, 0])  # indices 0,1,2
+    p4 = _bmp_header(3, 1, 4, 0, 54 + 12, 4, n_colors=3) + palette4 + rows4
+    assert decode_bmp(p4)[0].tolist() == [[0, 0, 255], [0, 255, 0], [255, 0, 0]]
+
+
+def test_bmp_rle4():
+    from clip_as_service_ray.stages.multimodal import decode_bmp
+
+    palette = bytes([255, 0, 0, 0,  0, 255, 0, 0,  0, 0, 255, 0])
+    # 5x1: encoded run of 4 alternating idx 1/2, run 1 idx 0, EOB
+    rle = bytes([4, 0x12, 1, 0x00, 0, 1])
+    p = _bmp_header(5, 1, 4, 2, 54 + 12, len(rle), n_colors=3) + palette + rle
+    assert decode_bmp(p)[0].tolist() == [
+        [0, 255, 0], [255, 0, 0], [0, 255, 0], [255, 0, 0], [0, 0, 255]
+    ]
+
+
+def test_bmp_16bit_555_and_bitfields_565():
+    from clip_as_service_ray.stages.multimodal import decode_bmp
+
+    # default 5-5-5: red (31<<10), green (31<<5), blue (31)
+    px = (31 << 10).to_bytes(2, "little") + (31 << 5).to_bytes(2, "little")
+    p = _bmp_header(2, 1, 16, 0, 54, 4) + px
+    assert decode_bmp(p)[0].tolist() == [[255, 0, 0], [0, 255, 0]]
+    # BI_BITFIELDS 5-6-5
+    masks = (0xF800).to_bytes(4, "little") + (0x07E0).to_bytes(4, "little") + (
+        0x001F
+    ).to_bytes(4, "little")
+    px = (0xF800).to_bytes(2, "little") + (0x07E0).to_bytes(2, "little")
+    p = _bmp_header(2, 1, 16, 3, 54 + 12, 4) + masks + px
+    assert decode_bmp(p)[0].tolist() == [[255, 0, 0], [0, 255, 0]]
