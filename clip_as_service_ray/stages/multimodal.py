@@ -7,8 +7,9 @@ opaque ``binary`` columns with typed metadata.
 
 IMAGE CODEC LIBRARIES ARE NOT AVAILABLE IN THIS ENVIRONMENT, so the three
 common formats decode FOR REAL from first principles: BMP (numpy-only
-parser, ``decode_bmp`` — 24/32-bit uncompressed, 8-bit paletted, RLE8;
-honest guard only for 1/4-bit and bitfields), PNG at EVERY legal bit depth
+parser, ``decode_bmp`` — 1/4/8-bit palettes, RLE4/RLE8, 16-bit 5-5-5,
+BI_BITFIELDS, 24/32-bit; guards left: BI_JPEG/BI_PNG embeddings and
+OS/2 core headers), PNG at EVERY legal bit depth
 (``decode_png`` — stdlib zlib inflate + numpy scanline unfiltering:
 1/2/4/8/16-bit, gray / RGB / palette / alpha, all five filter types, Adam7
 interlacing), and baseline + progressive JPEG (``functions/jpeg.py`` — T.81
@@ -60,11 +61,27 @@ def _bmp_palette(payload: bytes, bpp: int) -> np.ndarray:
     return np.ascontiguousarray(quads[:, 2::-1])  # BGRx -> RGB
 
 
-def _bmp_rle8_rows(payload: bytes, pix_off: int, w: int, h: int) -> np.ndarray:
-    """Decode an RLE8 pixel stream (BI_RLE8 per the public BMP spec) into
-    (h, w) palette indices, bottom-up row order as stored. Encoded runs
-    (count, index), escapes 0: 0=EOL, 1=EOB, 2=delta(dx, dy), n>=3 =
-    absolute run of n indices padded to 2 bytes."""
+def _bmp_check_indices(idx: np.ndarray, payload: bytes, bpp: int) -> np.ndarray:
+    """Malformed-payload contract: a pixel/RLE stream referencing a palette
+    entry past biClrUsed is a ValueError, not an IndexError downstream."""
+    n_colors = int.from_bytes(payload[46:50], "little") or (1 << bpp)
+    if idx.size and int(idx.max()) >= n_colors:
+        raise ValueError(
+            f"BMP palette index {int(idx.max())} out of range ({n_colors} colors)"
+        )
+    return idx
+
+
+def _bmp_rle_rows(
+    payload: bytes, pix_off: int, w: int, h: int, four_bit: bool
+) -> np.ndarray:
+    """Decode an RLE4/RLE8 pixel stream (BI_RLE4/BI_RLE8 per the public BMP
+    spec) into (h, w) palette indices, bottom-up row order as stored. One
+    control flow for both widths: encoded runs (count, value — RLE4
+    alternates the value byte's two nibbles), escapes 0: 0=EOL, 1=EOB,
+    2=delta(dx, dy), n>=3 = absolute run of n pixels, word-aligned."""
+    if pix_off >= len(payload):
+        raise ValueError("truncated BMP: RLE pixel data out of range")
     data = payload[pix_off:]
     out = np.zeros((h, w), np.uint8)
     x = y = i = 0
@@ -74,7 +91,11 @@ def _bmp_rle8_rows(payload: bytes, pix_off: int, w: int, h: int) -> np.ndarray:
         i += 2
         if cnt:  # encoded run
             run = min(cnt, w - x)
-            out[y, x : x + run] = val
+            if four_bit:
+                pair = np.array([val >> 4, val & 15], np.uint8)
+                out[y, x : x + run] = np.tile(pair, (run + 1) // 2)[:run]
+            else:
+                out[y, x : x + run] = val
             x += run
         elif val == 0:  # end of line
             x, y = 0, y + 1
@@ -82,56 +103,24 @@ def _bmp_rle8_rows(payload: bytes, pix_off: int, w: int, h: int) -> np.ndarray:
             break
         elif val == 2:  # delta
             if i + 1 >= n:
-                raise ValueError("truncated BMP RLE8 delta")
+                raise ValueError("truncated BMP RLE delta")
             x = min(x + data[i], w)
             y += data[i + 1]
             i += 2
-        else:  # absolute mode: val literal indices, word-aligned
-            if i + val > n:
-                raise ValueError("truncated BMP RLE8 absolute run")
-            run = min(val, w - x)
-            out[y, x : x + run] = np.frombuffer(data, np.uint8, run, i)
-            x += run
-            i += val + (val & 1)
-    return out
-
-
-def _bmp_rle4_rows(payload: bytes, pix_off: int, w: int, h: int) -> np.ndarray:
-    """BI_RLE4 pixel stream -> (h, w) palette indices (escapes as RLE8;
-    encoded runs alternate the byte's two nibbles, absolute runs pack
-    nibbles high-first, word-aligned)."""
-    data = payload[pix_off:]
-    out = np.zeros((h, w), np.uint8)
-    x = y = i = 0
-    n = len(data)
-    while i + 1 < n and y < h:
-        cnt, val = data[i], data[i + 1]
-        i += 2
-        if cnt:
-            run = min(cnt, w - x)
-            pair = np.array([val >> 4, val & 15], np.uint8)
-            out[y, x : x + run] = np.tile(pair, (run + 1) // 2)[:run]
-            x += run
-        elif val == 0:
-            x, y = 0, y + 1
-        elif val == 1:
-            break
-        elif val == 2:
-            if i + 1 >= n:
-                raise ValueError("truncated BMP RLE4 delta")
-            x = min(x + data[i], w)
-            y += data[i + 1]
-            i += 2
-        else:
-            nbytes = (val + 1) // 2
+        else:  # absolute mode: val literal pixels, word-aligned
+            nbytes = (val + 1) // 2 if four_bit else val
             if i + nbytes > n:
-                raise ValueError("truncated BMP RLE4 absolute run")
-            packed = np.frombuffer(data, np.uint8, nbytes, i)
-            nib = np.empty(nbytes * 2, np.uint8)
-            nib[0::2] = packed >> 4
-            nib[1::2] = packed & 15
+                raise ValueError("truncated BMP RLE absolute run")
+            if four_bit:
+                packed = np.frombuffer(data, np.uint8, nbytes, i)
+                nib = np.empty(nbytes * 2, np.uint8)
+                nib[0::2] = packed >> 4
+                nib[1::2] = packed & 15
+                pixels = nib
+            else:
+                pixels = np.frombuffer(data, np.uint8, nbytes, i)
             run = min(val, w - x)
-            out[y, x : x + run] = nib[:run]
+            out[y, x : x + run] = pixels[:run]
             x += run
             i += nbytes + (nbytes & 1)
     return out
@@ -193,6 +182,9 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     embeddings, OS/2 core headers)."""
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if int.from_bytes(payload[14:18], "little") < 40:
+        # BITMAPCOREHEADER stores 16-bit w/h at different offsets
+        raise NotImplementedError("OS/2 core-header BMP")
     pix_off = int.from_bytes(payload[10:14], "little")
     w = int.from_bytes(payload[18:22], "little", signed=True)
     h = int.from_bytes(payload[22:26], "little", signed=True)
@@ -202,9 +194,13 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if w <= 0 or h <= 0:
         raise ValueError("truncated BMP")
     if compression == 1 and bpp == 8:  # BI_RLE8
-        img = _bmp_palette(payload, 8)[_bmp_rle8_rows(payload, pix_off, w, h)]
+        img = _bmp_palette(payload, 8)[
+            _bmp_check_indices(_bmp_rle_rows(payload, pix_off, w, h, False), payload, 8)
+        ]
     elif compression == 2 and bpp == 4:  # BI_RLE4
-        img = _bmp_palette(payload, 4)[_bmp_rle4_rows(payload, pix_off, w, h)]
+        img = _bmp_palette(payload, 4)[
+            _bmp_check_indices(_bmp_rle_rows(payload, pix_off, w, h, True), payload, 4)
+        ]
     elif compression == 3 and bpp in (16, 32):  # BI_BITFIELDS
         img = _bmp_bitfields(payload, pix_off, w, h, bpp)
     elif compression != 0:
@@ -233,7 +229,9 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         )
     elif bpp in (1, 4, 8):
         img = _bmp_palette(payload, bpp)[
-            _bmp_unpack_indices(payload, pix_off, w, h, bpp)
+            _bmp_check_indices(
+                _bmp_unpack_indices(payload, pix_off, w, h, bpp), payload, bpp
+            )
         ]
     else:
         raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")

@@ -602,3 +602,24 @@ def test_bmp_16bit_555_and_bitfields_565():
     px = (0xF800).to_bytes(2, "little") + (0x07E0).to_bytes(2, "little")
     p = _bmp_header(2, 1, 16, 3, 54 + 12, 4) + masks + px
     assert decode_bmp(p)[0].tolist() == [[255, 0, 0], [0, 255, 0]]
+
+
+def test_bmp_malformed_payload_contract():
+    from clip_as_service_ray.stages.multimodal import decode_bmp
+
+    palette = bytes([255, 0, 0, 0])  # ONE color
+    # RLE8 with pixel offset past the payload end -> ValueError, not a
+    # silent all-zeros image
+    p = _bmp_header(4, 1, 8, 1, 9999, 4, n_colors=1) + palette
+    with pytest.raises(ValueError):
+        decode_bmp(p)
+    # palette index out of range (index 5 with 1 color) -> ValueError
+    rows = bytes([0, 5, 0, 0])
+    p = _bmp_header(4, 1, 8, 0, 54 + 4, 4, n_colors=1) + palette + rows
+    with pytest.raises(ValueError):
+        decode_bmp(p)
+    # OS/2 BITMAPCOREHEADER (size 12) -> NotImplementedError
+    core = bytearray(_bmp_header(4, 1, 8, 0, 54, 4, n_colors=1) + palette + rows)
+    core[14:18] = (12).to_bytes(4, "little")
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(core))
