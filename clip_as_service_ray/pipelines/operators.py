@@ -12934,21 +12934,11 @@ def events_multi_terms(sf_dir: str, k: int = 20):
 
 
 def _wildcard_to_regex(pattern: str) -> str:
-    """ES/Lucene wildcard -> anchored regex: ``*`` = any sequence, ``?`` =
-    any single char, everything else literal (Lucene WildcardQuery compiles
-    to the same automaton). Full-match semantics, so no anchors needed —
-    ``expand_regex`` uses ``fullmatch``."""
-    import re as _re
+    """Canonical translation lives with the query language
+    (``pipelines/querylang.py::wildcard_to_regex``)."""
+    from clip_as_service_ray.pipelines.querylang import wildcard_to_regex
 
-    out = []
-    for ch in pattern:
-        if ch == "*":
-            out.append(".*")
-        elif ch == "?":
-            out.append(".")
-        else:
-            out.append(_re.escape(ch))
-    return "".join(out)
+    return wildcard_to_regex(pattern)
 
 
 def bm25_topk_wildcard(sf_dir: str, pattern: str = "s?a*", limit: int = 10):

@@ -13,6 +13,8 @@ onto those primitives:
                             clauses, -term is must_not
     mer*                    wildcard prefix expansion
     *ger                    leading wildcard (suffix expansion)
+    s?a* / m*ge             general wildcard (?/mid-pattern *) -> compiled
+                            to the regex automaton, Lucene WildcardQuery
     /m.rge/                 regexp term query (full match over the vocab)
     mrge~2                  fuzzy (edit distance <= 2)
     merge^2 window          caret boost (weighted OR; weights multiply BM25)
@@ -39,6 +41,22 @@ from dataclasses import dataclass, field
 import pyarrow as pa
 
 from clip_as_service_ray.config import DEFAULT_CONFIG, EngineConfig
+
+def wildcard_to_regex(pattern: str) -> str:
+    """ES/Lucene wildcard -> anchored regex: ``*`` = any sequence, ``?`` =
+    any single char, everything else literal (Lucene WildcardQuery compiles
+    to the same automaton). Full-match semantics — ``expand_regex`` uses
+    ``fullmatch``, so no anchors needed."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
 
 _PHRASE_RE = re.compile(r'^"(?P<body>[^"]+)"(?:~(?P<win>\d+))?$')
 _FUZZY_RE = re.compile(r"^(?P<body>[^~\s]+)~(?P<dist>\d+)?$")
@@ -156,7 +174,28 @@ def parse_query(s: str) -> QuerySpec:
     # wildcard / fuzzy markers
     cleaned: list[str] = []
     for tok in positives:
-        if tok.endswith("*") and len(tok) > 1 and not tok.startswith("*"):
+        pure_prefix = (
+            tok.endswith("*") and len(tok) > 1
+            and "*" not in tok[:-1] and "?" not in tok
+        )
+        pure_suffix = (
+            tok.startswith("*") and len(tok) > 1
+            and "*" not in tok[1:] and "?" not in tok
+        )
+        if (
+            ("*" in tok or "?" in tok)
+            and not pure_prefix and not pure_suffix
+            and tok.strip("*?")
+            and not (tok.startswith("/") and tok.endswith("/") and len(tok) > 2)
+        ):
+            # general wildcard (? anywhere / mid-pattern *): Lucene
+            # WildcardQuery semantics — compile to the regex automaton
+            if spec.regex or len(positives) > 1:
+                raise ValueError("wildcard queries take exactly one pattern")
+            spec.regex = True
+            cleaned.append(wildcard_to_regex(tok))
+            continue
+        if pure_prefix:
             if spec.prefix or len(positives) > 1:
                 raise ValueError("prefix queries take exactly one term*")
             spec.prefix = True

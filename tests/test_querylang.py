@@ -272,3 +272,40 @@ def test_query_string_occurs_matches_bool_call(idx):
     assert len(got) == len(want) > 0
     assert np.array_equal(got["score"].values, want["score"].values)
     assert (got["conv_id"].values == want["conv_id"].values).all()
+
+
+def test_parse_general_wildcard():
+    from clip_as_service_ray.pipelines.querylang import wildcard_to_regex
+
+    sp = parse_query("s?a*")
+    assert sp.regex and sp.text == "s.a.*"
+    sp2 = parse_query("m*ge")
+    assert sp2.regex and sp2.text == "m.*ge"
+    sp3 = parse_query("a*b*")  # was silently matching nothing pre-wildcard
+    assert sp3.regex and sp3.text == "a.*b.*"
+    assert wildcard_to_regex("a.c*") == "a\\.c.*"  # literals escaped
+    # pure edge patterns keep their dedicated (faster) kernels
+    assert parse_query("mer*").prefix and not parse_query("mer*").regex
+    assert parse_query("*ger").suffix and not parse_query("*ger").regex
+    with pytest.raises(ValueError):
+        parse_query("s?a* other")
+    with pytest.raises(ValueError):
+        parse_query("w?nd* AND b")
+
+
+def test_query_string_general_wildcard_mode(idx):
+    """s?a*-style patterns == search_table(regex=True) with the translated
+    automaton — score-identical through the parser path."""
+    from clip_as_service_ray.pipelines.search import search_table
+
+    d, cfg, corpus = idx
+    vocab = _vocab(corpus, 4)
+    term = max(vocab, key=len)
+    pat = term[0] + "?" + term[2:-1] + "*"  # w?ndo* shape from a real term
+    rx = pa.table({"query_id": pa.array([0], pa.int64()),
+                   "text": [parse_query(pat).text],
+                   "limit": pa.array([10], pa.int32())})
+    want = search_table(d, rx, cfg, regex=True).to_pandas()
+    got = query_string_table(d, [pat], cfg).to_pandas()
+    assert len(want) > 0 and len(got) == len(want)
+    assert np.array_equal(got["score"].values, want["score"].values)
