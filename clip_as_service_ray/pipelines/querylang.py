@@ -21,6 +21,8 @@ onto those primitives:
     "merge window"          exact phrase (needs the positional artifact)
     "merge window"~4        proximity (terms within 4 tokens; 3+ terms
                             anchor at the first — span_near)
+    "the win*"              match_phrase_prefix (trailing-* on the LAST
+                            term expands over the dictionary)
     [mer TO mes]            term range, inclusive (Lucene TermRangeQuery;
                             {..} = exclusive end, * = unbounded)
 
@@ -79,6 +81,8 @@ class QuerySpec:
     term_range: bool = False
     phrase: str | None = None
     window: int = 0
+    #: trailing-* last term inside quotes -> match_phrase_prefix kernel
+    phrase_prefix: bool = False
     #: Lucene occurs form: +must clauses present -> the full bool kernel
     bool_query: bool = False
     should: str = ""
@@ -106,6 +110,22 @@ def parse_query(s: str) -> QuerySpec:
         spec.window = int(m.group("win") or 0)
         if spec.window and len(spec.phrase.split()) < 2:
             raise ValueError('proximity form "a b"~N takes >= 2 terms')
+        body_terms = spec.phrase.split()
+        if body_terms and body_terms[-1].endswith("*"):
+            # "the s*" -> match_phrase_prefix (ES) / MultiPhraseQuery
+            spec.phrase_prefix = True
+            if spec.window:
+                raise ValueError(
+                    'phrase-prefix does not compose with the ~N window'
+                )
+        if any(
+            "*" in t[: -1 if i == len(body_terms) - 1 else None] or "?" in t
+            for i, t in enumerate(body_terms)
+        ):
+            raise ValueError(
+                "wildcards inside a phrase are only supported as a "
+                "trailing-* on the LAST term (match_phrase_prefix)"
+            )
         return spec
     if '"' in s:
         raise ValueError(
@@ -279,7 +299,7 @@ def query_string_table(
     shapes: dict[tuple, list[int]] = {}
     for i, sp in enumerate(specs):
         if sp.phrase is not None:
-            key = ("phrase", sp.window)
+            key = ("phrase", sp.window, sp.phrase_prefix)
         else:
             key = ("search", sp.conjunctive, sp.prefix, sp.fuzzy, sp.boosted,
                    sp.suffix, sp.regex, sp.term_range, sp.bool_query)
@@ -304,7 +324,9 @@ def query_string_table(
                     f"build_index(..., positions=True) or the CLI "
                     f"`build-positions --index-dir {index_dir}`"
                 )
-            hits = phrase_search_table(index_dir, qt, config, window=key[1])
+            hits = phrase_search_table(
+                index_dir, qt, config, window=key[1], prefix_last=key[2]
+            )
             # phrase hits rank by phrase_tf (no BM25 model); surface it as
             # the score column so the union shares one flat schema
             parts.append(

@@ -309,3 +309,38 @@ def test_query_string_general_wildcard_mode(idx):
     got = query_string_table(d, [pat], cfg).to_pandas()
     assert len(want) > 0 and len(got) == len(want)
     assert np.array_equal(got["score"].values, want["score"].values)
+
+
+def test_parse_phrase_prefix():
+    sp = parse_query('"the win*"')
+    assert sp.phrase == "the win*" and sp.phrase_prefix and not sp.window
+    with pytest.raises(ValueError):
+        parse_query('"the win*"~3')  # no window composition
+    with pytest.raises(ValueError):
+        parse_query('"th* window"')  # wildcard only on the LAST term
+    with pytest.raises(ValueError):
+        parse_query('"the w?ndow"')  # ? unsupported inside phrases
+
+
+def test_query_string_phrase_prefix_mode(idx):
+    """quoted trailing-* == phrase_search_table(prefix_last=True)."""
+    from clip_as_service_ray.pipelines.phrase import phrase_search_table
+
+    from clip_as_service_ray.functions.tokenizer import tokenize
+
+    d, cfg, corpus = idx
+    # an adjacent pair straight out of a real document -> guaranteed hits
+    a = b = None
+    for text in corpus.column("text").to_pylist():
+        toks = tokenize(text)  # raw stream: the pair must be ADJACENT
+        if len(toks) >= 2:
+            a, b = toks[0], toks[1]
+            break
+    body = f"{a} {b[:2]}*"
+    qt = pa.table({"query_id": pa.array([0], pa.int64()), "text": [body],
+                   "limit": pa.array([10], pa.int32())})
+    want = phrase_search_table(d, qt, cfg, prefix_last=True).to_pandas()
+    got = query_string_table(d, [f'"{body}"'], cfg).to_pandas()
+    assert len(want) > 0 and len(got) == len(want)
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    assert got["turn_idx"].tolist() == want["turn_idx"].tolist()
