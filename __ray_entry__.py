@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_entropy": ops.doc_token_entropy,
         "customer_geohash_grid": ops.customer_geohash_grid,
         "span_multi_search": ops.span_multi_search,
+        "events_hour_of_day": ops.events_hour_of_day,
+        "token_length_histogram": ops.token_length_histogram,
         "bm25_topk_wildcard": ops.bm25_topk_wildcard,
         "events_rate": ops.events_rate,
         "events_bucket_script": ops.events_bucket_script,
@@ -467,7 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 second-session additions (freshest code first)
         "exact_substring_lrs", "bm25_topk_wildcard", "user_ip_ranges",
         "events_filters_agg", "doc_token_entropy", "customer_geohash_grid",
-        "span_multi_search",
+        "span_multi_search", "events_hour_of_day", "token_length_histogram",
         "events_rate", "events_bucket_script", "events_date_range",
         "events_multi_terms",
         "dsir_importance_weights", "semdedup_keep",
@@ -483,8 +485,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_decay", "bm25_topk_rm3", "duplicate_span_coverage",
         "hybrid_linear_topk", "events_composite_agg",
         "event_type_transitions", "spell_suggest", "ngram_contamination",
-        "hybrid_rrf_topk", "purchase_click_asof", "bm25_topk_boosted",
-        # bm25_topk_msm / bm25_topk_collapsed / bm25_topk_page2 /
+        "hybrid_rrf_topk",
+        # purchase_click_asof / bm25_topk_boosted / bm25_topk_msm /
+        # bm25_topk_collapsed / bm25_topk_page2 /
         # nation_market_share_q8 / nation_year_profit_q9 /
         # customer_order_distribution_q13 / supplier_part_variety_q16 /
         # events_cube / pack_sequences / ann_range_search /
@@ -988,6 +991,19 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY r.bucket, r.from_ts, r.to_ts ORDER BY r.bucket"
         ),
         "customer_geohash_grid": _geohash_grid_sql(),
+        "events_hour_of_day": (
+            # hour-of-day profile: all-integer hour bucket + integer cents
+            "SELECT ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour, "
+            "count(*)::BIGINT AS cnt, "
+            "(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0)::DOUBLE "
+            "AS sum_value FROM events GROUP BY hour ORDER BY hour"
+        ),
+        "token_length_histogram": (
+            # tokenizer fertility: codepoint length of every corpus token
+            "WITH tok AS (" + _TOK + ") "
+            "SELECT length(term)::BIGINT AS len, count(*)::BIGINT AS cnt "
+            "FROM tok GROUP BY len ORDER BY len"
+        ),
         "doc_token_entropy": (
             # Dolma-style unigram entropy per doc; round(6) absorbs the
             # aggregate-order ulp between hash-agg and sorted accumulation

@@ -13400,3 +13400,77 @@ def span_multi_search(
             "first_pos": hits.column("first_pos"),
         }
     )
+
+
+def events_hour_of_day(sf_dir: str):
+    """Hour-of-day activity profile (the ES date_histogram hour rollup /
+    classic time-of-day analytics): per hour 0-23, event count and exact
+    value sum in integer cents. hour = (epoch_us // 3600e6) % 24 — all
+    int64; per-batch partials shuffle <= 24 rows each."""
+    import ray.data
+
+    HOUR_US = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        cents = np.floor(
+            batch.column("value").to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        hour = ((e // HOUR_US) % 24).astype(np.int64)
+        n = np.bincount(hour, minlength=24).astype(np.int64)
+        c = np.bincount(hour, weights=cents, minlength=24).astype(np.int64)
+        return pa.table(
+            {"hour": pa.array(np.arange(24, dtype=np.int64), pa.int64()),
+             "n": pa.array(n, pa.int64()),
+             "cents": pa.array(c, pa.int64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("hour", as_index=False).sum().sort_values("hour")
+    return pa.table(
+        {
+            "hour": pa.array(agg["hour"].to_numpy().astype(np.int64), pa.int64()),
+            "cnt": pa.array(agg["n"].to_numpy().astype(np.int64), pa.int64()),
+            "sum_value": pa.array(
+                agg["cents"].to_numpy().astype(np.int64) / 100.0, pa.float64()
+            ),
+        }
+    )
+
+
+def token_length_histogram(sf_dir: str):
+    """Token-length distribution over the corpus (tokenizer fertility — the
+    signal behind max_token_length / long-word quality rules): codepoint
+    length of every token -> exact counts. One vectorized pass (flat token
+    stream + utf8_length + bincount partials); all integer."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tokens, _ = tokenize_column_flat(batch.column("text"))
+        if len(tokens) == 0:
+            return pa.table(
+                {"len": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        lens = pc.utf8_length(tokens).to_numpy().astype(np.int64)
+        cnt = np.bincount(lens)
+        keep = cnt > 0
+        return pa.table(
+            {
+                "len": pa.array(np.nonzero(keep)[0].astype(np.int64), pa.int64()),
+                "n": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = _documents(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("len", as_index=False)["n"].sum().sort_values("len")
+    return pa.table(
+        {
+            "len": pa.array(agg["len"].to_numpy().astype(np.int64), pa.int64()),
+            "cnt": pa.array(agg["n"].to_numpy().astype(np.int64), pa.int64()),
+        }
+    )
