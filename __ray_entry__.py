@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_multi_search": ops.span_multi_search,
         "events_hour_of_day": ops.events_hour_of_day,
         "token_length_histogram": ops.token_length_histogram,
+        "events_change_point": ops.events_change_point,
+        "html_strip_documents": ops.html_strip_documents,
         "bm25_topk_wildcard": ops.bm25_topk_wildcard,
         "events_rate": ops.events_rate,
         "events_bucket_script": ops.events_bucket_script,
@@ -470,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_substring_lrs", "bm25_topk_wildcard", "user_ip_ranges",
         "events_filters_agg", "doc_token_entropy", "customer_geohash_grid",
         "span_multi_search", "events_hour_of_day", "token_length_histogram",
+        "events_change_point", "html_strip_documents",
         "events_rate", "events_bucket_script", "events_date_range",
         "events_multi_terms",
         "dsir_importance_weights", "semdedup_keep",
@@ -484,8 +487,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_term_range", "span_first_search", "bm25_topk_blockjoin",
         "bm25_topk_decay", "bm25_topk_rm3", "duplicate_span_coverage",
         "hybrid_linear_topk", "events_composite_agg",
-        "event_type_transitions", "spell_suggest", "ngram_contamination",
-        "hybrid_rrf_topk",
+        "event_type_transitions", "spell_suggest",
+        # ngram_contamination / hybrid_rrf_topk /
         # purchase_click_asof / bm25_topk_boosted / bm25_topk_msm /
         # bm25_topk_collapsed / bm25_topk_page2 /
         # nation_market_share_q8 / nation_year_profit_q9 /
@@ -991,6 +994,39 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY r.bucket, r.from_ts, r.to_ts ORDER BY r.bucket"
         ),
         "customer_geohash_grid": _geohash_grid_sql(),
+        "events_change_point": (
+            # ES change_point analog: split maximizing the mean shift, the
+            # objective cross-multiplied into exact integers (same argmax)
+            "WITH d AS (SELECT date_trunc('day', ts) AS day, "
+            "count(*)::BIGINT AS n FROM events GROUP BY day), "
+            "c AS (SELECT day, n, sum(n) OVER (ORDER BY day) AS s, "
+            "row_number() OVER (ORDER BY day) AS k, "
+            "count(*) OVER () AS m, sum(n) OVER () AS tot FROM d), "
+            "sc AS (SELECT day, s, k, m, tot, "
+            "abs(s * (m - k) - (tot - s) * k)::BIGINT AS score "
+            "FROM c WHERE k < m) "
+            "SELECT day AS split_day, "
+            "round(s / (k * 1.0), 6)::DOUBLE AS before_mean, "
+            "round((tot - s) / ((m - k) * 1.0), 6)::DOUBLE AS after_mean, "
+            "score AS shift_score "
+            "FROM sc ORDER BY score DESC, day ASC LIMIT 1"
+        ),
+        "html_strip_documents": (
+            # ES html_strip char filter: both sides construct the SAME
+            # doc_id-derived markup, so the hash certifies the stripping
+            "WITH w AS (SELECT doc_id, "
+            "'<p class=\"d' || doc_id || '\">' || "
+            "regexp_replace(text, ' ', ' &amp; ') || '</p><br/>' AS wrapped "
+            "FROM documents), "
+            "s AS (SELECT doc_id, wrapped, "
+            "replace(replace(replace(replace(replace("
+            "regexp_replace(wrapped, '<[^>]*>', '', 'g'), "
+            "'&amp;', '&'), '&lt;', '<'), '&gt;', '>'), "
+            "'&quot;', '\"'), '&#39;', chr(39)) AS stripped FROM w) "
+            "SELECT doc_id, stripped, "
+            "(length(wrapped) - length(stripped))::BIGINT AS n_stripped "
+            "FROM s"
+        ),
         "events_hour_of_day": (
             # hour-of-day profile: all-integer hour bucket + integer cents
             "SELECT ((epoch_us(ts) // 3600000000) % 24)::BIGINT AS hour, "

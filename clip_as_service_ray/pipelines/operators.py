@@ -13474,3 +13474,105 @@ def token_length_histogram(sf_dir: str):
             "cnt": pa.array(agg["n"].to_numpy().astype(np.int64), pa.int64()),
         }
     )
+
+
+def events_change_point(sf_dir: str):
+    """ES ``change_point`` aggregation analog over the daily event-count
+    histogram: the split day maximizing the mean shift between the before
+    and after segments. Honest simplification vs ES's p-value machinery,
+    made EXACT: the objective |mean_b - mean_a| is cross-multiplied into
+    the integer |S_k*(m-k) - (S_m-S_k)*k| (same argmax), so engine and SQL
+    pick the SAME split with zero float-boundary risk; the reported means
+    round 6. Distributed per-batch partials -> bucket-sized driver math."""
+    import ray.data
+
+    DAY_US = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        e = batch.column("ts").cast(pa.int64()).to_numpy()
+        b = (e // DAY_US) * DAY_US
+        u, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"b": pa.array(u, pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("b", as_index=False).sum().sort_values("b")
+    days = agg["b"].to_numpy().astype(np.int64)
+    cnt = agg["n"].to_numpy().astype(np.int64)
+    m = len(cnt)
+    if m < 2:
+        return pa.table(
+            {"split_day": pa.array([], pa.timestamp("us")),
+             "before_mean": pa.array([], pa.float64()),
+             "after_mean": pa.array([], pa.float64()),
+             "shift_score": pa.array([], pa.int64())}
+        )
+    s = np.cumsum(cnt)
+    k = np.arange(1, m)  # before = first k days
+    score = np.abs(s[:-1] * (m - k) - (s[-1] - s[:-1]) * k)
+    best = int(np.argmax(score))  # argmax keeps the FIRST max = earliest day
+    kb = best + 1
+    return pa.table(
+        {
+            # the split day = last day of the before segment
+            "split_day": pa.array([int(days[best])], pa.timestamp("us")),
+            "before_mean": pa.array(
+                [float(_sql_round(s[best] / kb, 6))], pa.float64()
+            ),
+            "after_mean": pa.array(
+                [float(_sql_round((s[-1] - s[best]) / (m - kb), 6))],
+                pa.float64(),
+            ),
+            "shift_score": pa.array([int(score[best])], pa.int64()),
+        }
+    )
+
+
+def html_strip_documents(sf_dir: str):
+    """ES ``html_strip`` char filter: tag removal + the 5 standard entity
+    decodes, exercised NON-trivially on the plain-text fixture by first
+    wrapping each doc in deterministic doc_id-derived markup (the SQL twin
+    constructs the IDENTICAL wrapped text, so the check certifies the
+    stripping logic itself, not an identity pass). Vectorized Arrow
+    replace/regex kernels; output = (doc_id, stripped, n_stripped)."""
+
+    def strip(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        tag = pc.binary_join_element_wise(
+            pa.array(["<p class=\"d"] * batch.num_rows),
+            pc.cast(ids, pa.string()),
+            "\">",
+            "",
+        )
+        wrapped = pc.binary_join_element_wise(
+            tag,
+            pc.replace_substring(batch.column("text"), " ", " &amp; ", max_replacements=1),
+            "</p><br/>",
+            "",
+        )
+        stripped = pc.replace_substring_regex(wrapped, "<[^>]*>", "")
+        for ent, ch in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                        ("&quot;", "\""), ("&#39;", "'")]:
+            stripped = pc.replace_substring(stripped, ent, ch)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "stripped": stripped,
+                "n_stripped": pc.cast(
+                    pc.subtract(
+                        pc.utf8_length(wrapped), pc.utf8_length(stripped)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(strip, batch_format="pyarrow")
